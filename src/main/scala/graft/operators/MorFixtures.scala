@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic reference-shaped MoR inputs synthesized from `lineitem`
+  * (FIXTURES.md §B). Every derivation is a pure column expression (plus one
+  * window for per-file row position), so the DuckDB oracle can reproduce the
+  * exact same tables from the same parquet — see [[oracleCtes]].
+  *
+  * Layout simulated:
+  *   - 7 synthetic data files `f0..f6`, file of a row = l_orderkey % 7
+  *   - per-file sequence number = (l_orderkey % 7) + 1 (constant per file, as
+  *     the reference requires — seq is a FileScanTask field,
+  *     `iceberg_file_task_scan.rs:265-280`)
+  *   - position = 0-based row index within the file ordered by the unique key
+  *     (l_orderkey, l_linenumber)
+  *   - position deletes: rows with (l_orderkey + l_linenumber) % 10 = 3
+  *   - eq-delete group 1 on (l_orderkey, l_linenumber), seq = l_suppkey % 9
+  *     (so the `data.seq < del.seq` guard genuinely filters)
+  *   - eq-delete group 2 on (l_partkey, l_suppkey), seq = (l_linenumber % 4) + 3
+  *
+  * In the real compaction path positions come from the parquet
+  * `_metadata.row_index` column (no shuffle) — see
+  * [[graft.sources.CompactionRunner]]; the window here exists only so the
+  * fixture is SQL-reproducible for the oracle.
+  */
+object MorFixtures {
+
+  import MorPlanner._
+
+  /** lineitem + hidden columns. */
+  def dataTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val file = concat(lit("f"), (col("l_orderkey") % 7).cast("string"))
+    val w = Window.partitionBy(col(FilePathCol)).orderBy(col("l_orderkey"), col("l_linenumber"))
+    li.withColumn(FilePathCol, file)
+      .withColumn(SeqNumCol, (col("l_orderkey") % 7) + 1)
+      .withColumn(PosCol, row_number().over(w).cast("long") - 1)
+  }
+
+  def positionDeletes(data: DataFrame): DataFrame =
+    data.filter((col("l_orderkey") + col("l_linenumber")) % 10 === 3)
+      .select(col(FilePathCol), col(PosCol))
+
+  def eqDeleteGroup1(spark: SparkSession, sfDir: String): EqualityDeleteGroup = {
+    val li = Tables.lineitem(spark, sfDir)
+    val df = li.filter(col("l_partkey") % 17 === 5)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_suppkey") % 9).as(SeqNumCol))
+    EqualityDeleteGroup(df, Seq("l_orderkey", "l_linenumber"))
+  }
+
+  def eqDeleteGroup2(spark: SparkSession, sfDir: String): EqualityDeleteGroup = {
+    val li = Tables.lineitem(spark, sfDir)
+    val df = li.filter(col("l_orderkey") % 23 === 7)
+      .select(col("l_partkey"), col("l_suppkey"),
+        ((col("l_linenumber") % 4) + 3).as(SeqNumCol))
+    EqualityDeleteGroup(df, Seq("l_partkey", "l_suppkey"))
+  }
+
+  /** DuckDB CTEs mirroring the synthesis above, shared by all MoR oracle SQL.
+    * Keep in lock-step with the DataFrame code.
+    */
+  val oracleCtes: String =
+    """WITH data AS (
+      |  SELECT l.*,
+      |         'f' || CAST(l_orderkey % 7 AS VARCHAR) AS sys_hidden_file_path,
+      |         (l_orderkey % 7) + 1 AS sys_hidden_seq_num,
+      |         row_number() OVER (PARTITION BY l_orderkey % 7
+      |                            ORDER BY l_orderkey, l_linenumber) - 1 AS sys_hidden_pos
+      |  FROM lineitem l),
+      |pos_del AS (
+      |  SELECT sys_hidden_file_path, sys_hidden_pos FROM data
+      |  WHERE (l_orderkey + l_linenumber) % 10 = 3),
+      |eq_del_1 AS (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey % 9 AS sys_hidden_seq_num
+      |  FROM lineitem WHERE l_partkey % 17 = 5),
+      |eq_del_2 AS (
+      |  SELECT l_partkey, l_suppkey, (l_linenumber % 4) + 3 AS sys_hidden_seq_num
+      |  FROM lineitem WHERE l_orderkey % 23 = 7)
+      |""".stripMargin
+}

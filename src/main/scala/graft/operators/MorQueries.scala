@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared MoR queries Q1–Q4 (SURVEY §2.2/§2.7) + their DuckDB oracles.
+  * Anti joins are expressed as NOT EXISTS in the oracle SQL.
+  */
+object MorQueries {
+
+  import MorFixtures._
+  import MorPlanner._
+
+  private def q1(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = dataTable(spark, sfDir)
+    applyPositionDeletes(data, positionDeletes(data))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  private def q2(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = dataTable(spark, sfDir)
+    applyEqualityDeletes(data, eqDeleteGroup1(spark, sfDir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+  }
+
+  /** Full MoR merge: pos deletes + both eq-delete groups chained, user
+    * columns only (the reference's flagship generated query).
+    */
+  private def q3(spark: SparkSession, sfDir: String): DataFrame = {
+    val data = dataTable(spark, sfDir)
+    merge(data, Some(positionDeletes(data)),
+      Seq(eqDeleteGroup1(spark, sfDir), eqDeleteGroup2(spark, sfDir)))
+  }
+
+  /** Projection discipline: narrow SELECT list after the merge; hidden cols
+    * must not leak (reference `datafusion_processor.rs:259-263`).
+    */
+  private def q4(spark: SparkSession, sfDir: String): DataFrame =
+    q3(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_mor_pos_delete" -> (q1 _),
+    "q2_mor_eq_delete" -> (q2 _),
+    "q3_mor_full" -> (q3 _),
+    "q4_mor_projection" -> (q4 _))
+
+  private val posDeleteExists =
+    """EXISTS (SELECT 1 FROM pos_del p
+      | WHERE p.sys_hidden_file_path = d.sys_hidden_file_path
+      |   AND p.sys_hidden_pos = d.sys_hidden_pos)""".stripMargin
+
+  private val eqDelete1Exists =
+    """EXISTS (SELECT 1 FROM eq_del_1 e
+      | WHERE e.l_orderkey = d.l_orderkey AND e.l_linenumber = d.l_linenumber
+      |   AND d.sys_hidden_seq_num < e.sys_hidden_seq_num)""".stripMargin
+
+  private val eqDelete2Exists =
+    """EXISTS (SELECT 1 FROM eq_del_2 e
+      | WHERE e.l_partkey = d.l_partkey AND e.l_suppkey = d.l_suppkey
+      |   AND d.sys_hidden_seq_num < e.sys_hidden_seq_num)""".stripMargin
+
+  private val fullMergeFrom =
+    s"""FROM data d
+       |WHERE NOT $posDeleteExists
+       |  AND NOT $eqDelete1Exists
+       |  AND NOT $eqDelete2Exists""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_mor_pos_delete" ->
+      s"""${MorFixtures.oracleCtes}
+         |SELECT l_orderkey, l_linenumber, l_quantity FROM data d
+         |WHERE NOT $posDeleteExists""".stripMargin,
+    "q2_mor_eq_delete" ->
+      s"""${MorFixtures.oracleCtes}
+         |SELECT l_orderkey, l_linenumber, l_quantity FROM data d
+         |WHERE NOT $eqDelete1Exists""".stripMargin,
+    "q3_mor_full" ->
+      s"""${MorFixtures.oracleCtes}
+         |SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+         |       l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+         |       l_shipdate
+         |$fullMergeFrom""".stripMargin,
+    "q4_mor_projection" ->
+      s"""${MorFixtures.oracleCtes}
+         |SELECT l_returnflag, count(*) AS n_rows,
+         |       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+         |$fullMergeFrom
+         |GROUP BY l_returnflag""".stripMargin)
+}
