@@ -17,8 +17,8 @@ object SparkEntry {
     MorQueries.queries("q3_mor_full")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MorQueries.queries
+    MorQueries.queries ++ TransformQueries.queries
 
   def oracleSql: Map[String, String] =
-    MorQueries.oracleSql
+    MorQueries.oracleSql ++ TransformQueries.oracleSql
 }
