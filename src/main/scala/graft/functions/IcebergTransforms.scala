@@ -44,8 +44,14 @@ object IcebergTransforms {
     if (isString) substring(c, 1, w)
     else c - (((c % w) + w) % w)
 
-  /** T8 Void: always null. */
-  def voidT(c: Column): Column = lit(null).cast(NullType)
+  /** T8 Void: always null, typed as the source column (Iceberg's void keeps
+    * the source type so partitioned writes stay schema-stable).
+    */
+  def voidT(c: Column): Column =
+    // `when(false, c)` is always-null typed as c, resolved lazily by the
+    // analyzer (c may be an unresolved attribute here) and constant-folded
+    // to a typed null literal by the optimizer.
+    when(lit(false), c)
 }
 
 /** `bucket[numBuckets]` as a native Catalyst expression.

@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   *   - per-file sequence number = (l_orderkey % 7) + 1 (constant per file, as
   *     the reference requires — seq is a FileScanTask field,
   *     `iceberg_file_task_scan.rs:265-280`)
-  *   - position = 0-based row index within the file ordered by the unique key
-  *     (l_orderkey, l_linenumber)
+  *   - position = 0-based row index within the file under a total order over
+  *     ALL columns (duplicate (l_orderkey, l_linenumber) pairs exist in the
+  *     synthetic data, so a partial order would make pos nondeterministic)
   *   - position deletes: rows with (l_orderkey + l_linenumber) % 10 = 3
   *   - eq-delete group 1 on (l_orderkey, l_linenumber), seq = l_suppkey % 9
   *     (so the `data.seq < del.seq` guard genuinely filters)
@@ -35,7 +36,12 @@ object MorFixtures {
   def dataTable(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val file = concat(lit("f"), (col("l_orderkey") % 7).cast("string"))
-    val w = Window.partitionBy(col(FilePathCol)).orderBy(col("l_orderkey"), col("l_linenumber"))
+    // Total ordering: the synthetic lineitem has duplicate
+    // (l_orderkey, l_linenumber) pairs, so ordering by the "key" alone makes
+    // tie positions nondeterministic across recomputations/engines. Ordering
+    // by every column pins pos up to fully-identical rows (harmless).
+    val w = Window.partitionBy(col(FilePathCol))
+      .orderBy(li.columns.map(col).toSeq: _*)
     li.withColumn(FilePathCol, file)
       .withColumn(SeqNumCol, (col("l_orderkey") % 7) + 1)
       .withColumn(PosCol, row_number().over(w).cast("long") - 1)
@@ -70,7 +76,10 @@ object MorFixtures {
       |         'f' || CAST(l_orderkey % 7 AS VARCHAR) AS sys_hidden_file_path,
       |         (l_orderkey % 7) + 1 AS sys_hidden_seq_num,
       |         row_number() OVER (PARTITION BY l_orderkey % 7
-      |                            ORDER BY l_orderkey, l_linenumber) - 1 AS sys_hidden_pos
+      |                            ORDER BY l_orderkey, l_partkey, l_suppkey,
+      |                                     l_linenumber, l_quantity, l_extendedprice,
+      |                                     l_discount, l_tax, l_returnflag,
+      |                                     l_linestatus, l_shipdate) - 1 AS sys_hidden_pos
       |  FROM lineitem l),
       |pos_del AS (
       |  SELECT sys_hidden_file_path, sys_hidden_pos FROM data

@@ -52,12 +52,16 @@ object MorPlanner {
     * than the delete (`seq_num <` guard). Reference: `datafusion_processor.rs:281-304`.
     */
   def applyEqualityDeletes(data: DataFrame, group: EqualityDeleteGroup): DataFrame = {
-    val del = group.df
+    // Alias both sides so the join resolves even when the delete frame shares
+    // lineage with the data frame (e.g. deletes derived from the same scan).
+    val d = data.as("graft_mor_d")
+    val del = group.df.as("graft_mor_del")
     val equi: Column = group.equalityCols
-      .map(c => data(c) === del(c))
+      .map(c => col(s"graft_mor_d.$c") === col(s"graft_mor_del.$c"))
       .reduce(_ && _)
-    val cond = equi && (data(SeqNumCol) < del(SeqNumCol))
-    data.join(del, cond, "left_anti")
+    val cond = equi &&
+      (col(s"graft_mor_d.$SeqNumCol") < col(s"graft_mor_del.$SeqNumCol"))
+    d.join(del, cond, "left_anti")
   }
 
   /** Full MoR merge: position deletes, then each equality-delete group in

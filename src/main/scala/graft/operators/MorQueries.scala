@@ -39,7 +39,11 @@ object MorQueries {
     q3(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+        // decimal sum for order-independent exactness, then a double on BOTH
+        // sides of the oracle compare (Spark would otherwise widen to
+        // decimal(28,4) while DuckDB returns float64 — same values, hash
+        // mismatch). Convention for every aggregate query in this repo.
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
@@ -86,7 +90,7 @@ object MorQueries {
     "q4_mor_projection" ->
       s"""${MorFixtures.oracleCtes}
          |SELECT l_returnflag, count(*) AS n_rows,
-         |       sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          |$fullMergeFrom
          |GROUP BY l_returnflag""".stripMargin)
 }

@@ -38,14 +38,28 @@ class MorSpec extends SparkSpec {
     val data = dataTable(spark, sfDir)
     val g = eqDeleteGroup1(spark, sfDir)
     val survivors = applyEqualityDeletes(data, g)
-    // a row equal on keys but with data.seq >= del.seq must survive
+    // Independent expected-survivor computation (NOT EXISTS with the seq
+    // condition). The delete decision is a pure function of
+    // (l_orderkey, l_linenumber, seq) — work at key granularity to stay
+    // deterministic (the synthetic lineitem has duplicate key pairs).
     val del = g.df
-    val equalButNotOlder = data.join(del,
-      data("l_orderkey") === del("l_orderkey") &&
-        data("l_linenumber") === del("l_linenumber"), "left_semi")
-    // every data row equal-on-keys where ALL matching deletes have seq <= data.seq survives
-    assert(survivors.count() > 0 && survivors.count() < data.count())
+    val keyCols = Seq("l_orderkey", "l_linenumber", SeqNumCol)
+    val dataKeys = data.select(keyCols.map(col): _*).distinct()
+    val deletableKeys = dataKeys.join(del,
+      dataKeys("l_orderkey") === del("l_orderkey") &&
+        dataKeys("l_linenumber") === del("l_linenumber") &&
+        dataKeys(SeqNumCol) < del(SeqNumCol), "left_semi")
+    val shouldDeleteRows = data.join(deletableKeys, keyCols, "left_semi")
+    assert(survivors.count() == data.count() - shouldDeleteRows.count())
+    // No survivor carries a deletable key.
+    assert(survivors.join(deletableKeys, keyCols, "left_semi").count() == 0)
+    // Keys equal on the delete columns whose seq is NOT older than any
+    // matching delete must all survive — the set a dropped guard would kill.
+    val equalKeys = dataKeys.join(del.select("l_orderkey", "l_linenumber"),
+      Seq("l_orderkey", "l_linenumber"), "left_semi")
+    val equalButNotOlder = equalKeys.except(deletableKeys)
     assert(equalButNotOlder.count() > 0) // fixture exercises both sides of the guard
+    assert(equalButNotOlder.join(survivors, keyCols, "left_anti").count() == 0)
   }
 
   test("full merge drops hidden columns and only them") {

@@ -57,8 +57,15 @@ def main(sf_dir: str, out_dir: str) -> int:
             n_fail += 1
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False,
-                                          check_exact=False, rtol=1e-9, atol=1e-12)
+            # Exact compare, mirroring the driver's hash check (a tolerance
+            # here masked the q4 decimal-vs-double mismatch in round 1).
+            # Pass --tol to loosen while debugging numeric drift.
+            if "--tol" in sys.argv:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                              check_exact=False, rtol=1e-9, atol=1e-12)
+            else:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False,
+                                              check_exact=True)
             print(f"OK   {name}: {len(g)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch: {str(e)[:500]}")
