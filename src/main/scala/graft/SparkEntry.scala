@@ -17,8 +17,12 @@ object SparkEntry {
     MorQueries.queries("q3_mor_full")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    MorQueries.queries ++ TransformQueries.queries
+    MorQueries.queries ++ TransformQueries.queries ++
+      JoinQueries.queries ++ AggQueries.queries ++
+      graft.functions.ScalarQueries.queries
 
   def oracleSql: Map[String, String] =
-    MorQueries.oracleSql ++ TransformQueries.oracleSql
+    MorQueries.oracleSql ++ TransformQueries.oracleSql ++
+      JoinQueries.oracleSql ++ AggQueries.oracleSql ++
+      graft.functions.ScalarQueries.oracleSql
 }

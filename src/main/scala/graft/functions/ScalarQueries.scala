@@ -1,0 +1,162 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Engine-surface scalar-function queries Q30–Q35 (SURVEY §2.6): string /
+  * date / math / array / map / json, all built-in codegen'd Spark functions
+  * (no UDFs), row-level over the fixture tables.
+  *
+  * Cross-engine conventions: Spark int-typed results are cast to long where
+  * DuckDB returns BIGINT (length, year, datediff, ceil/floor, size); math
+  * stays on IEEE-deterministic ops (sqrt, integral powers) or exact decimal
+  * rounding — never `round` on raw doubles.
+  */
+object ScalarQueries {
+
+  /** Q30 string functions over part. */
+  private def q30(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = Tables.part(spark, sfDir)
+    p.select(col("p_partkey"),
+      upper(substring(col("p_name"), 1, 8)).as("name_u"),
+      concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"),
+      length(col("p_name")).cast("long").as("name_len"),
+      col("p_name").like("%gre%").as("has_gre"),
+      regexp_extract(col("p_type"), "([A-Z]+)", 1).as("type_head"),
+      regexp_replace(col("p_brand"), "Brand#", "B").as("brand_short"),
+      lower(trim(col("p_type"))).as("type_l"))
+  }
+
+  /** Q31 date functions over orders. */
+  private def q31(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.select(col("o_orderkey"),
+      // dates out as ISO strings (typed DATE dumps don't compare portably)
+      date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      month(col("o_orderdate")).cast("long").as("mo"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+      datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+        .cast("long").as("days_since"))
+  }
+
+  /** Q32 math functions over lineitem. */
+  private def q32(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.select(col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_discount") - lit(0.05)).as("abs_d"),
+      ceil(col("l_extendedprice")).as("ceil_p"),
+      floor(col("l_extendedprice")).as("floor_p"),
+      (col("l_orderkey") % 7).as("mod7"),
+      pow(col("l_quantity"), lit(2)).as("qty_sq"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      round(col("l_extendedprice").cast("decimal(18,2)"), 1)
+        .cast("double").as("price_r"))
+  }
+
+  /** Q33 array functions over documents (whitespace tokens). */
+  private def q33(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val toks = split(col("text"), " ")
+    d.select(col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      array_contains(toks, "spark").as("has_spark"),
+      element_at(toks, 1).as("first_tok"),
+      size(array_distinct(toks)).cast("long").as("n_uniq"),
+      size(filter(toks, t => length(t) > lit(4))).cast("long").as("n_long"),
+      array_join(slice(sort_array(array_distinct(toks)), 1, 5), ",").as("top5"))
+  }
+
+  /** Q34 map functions over events (map built from row values; outputs kept
+    * scalar so the dump stays engine-portable).
+    */
+  private def q34(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val m = map(lit("t"), col("event_type"), lit("u"), col("user_id").cast("string"))
+    ev.select(col("event_id"),
+      element_at(m, "t").as("m_t"),
+      element_at(m, "u").as("m_u"),
+      size(m).cast("long").as("m_card"),
+      array_join(sort_array(map_keys(m)), ",").as("keys_csv"),
+      array_join(sort_array(map_values(m)), ",").as("vals_csv"))
+  }
+
+  /** Q35 JSON extraction over events.props. */
+  private def q35(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val schema = StructType.fromDDL("k BIGINT")
+    ev.select(col("event_id"),
+      get_json_object(col("props"), "$.k").as("k_str"),
+      get_json_object(col("props"), "$.k").cast("long").as("k_num"),
+      from_json(col("props"), schema).getField("k").as("k_parsed"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_string" -> (q30 _),
+    "q31_date" -> (q31 _),
+    "q32_math" -> (q32 _),
+    "q33_array" -> (q33 _),
+    "q34_map" -> (q34 _),
+    "q35_json" -> (q35 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q30_string" ->
+      """SELECT p_partkey,
+        |       upper(substr(p_name, 1, 8)) AS name_u,
+        |       concat_ws('#', p_brand, p_type) AS brand_type,
+        |       length(p_name) AS name_len,
+        |       p_name LIKE '%gre%' AS has_gre,
+        |       regexp_extract(p_type, '([A-Z]+)', 1) AS type_head,
+        |       replace(p_brand, 'Brand#', 'B') AS brand_short,
+        |       lower(trim(p_type)) AS type_l
+        |FROM part""".stripMargin,
+    "q31_date" ->
+      """SELECT o_orderkey,
+        |       strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d') AS month_start,
+        |       year(o_orderdate) AS yr,
+        |       month(o_orderdate) AS mo,
+        |       dayofmonth(o_orderdate) AS dom,
+        |       quarter(o_orderdate) AS qtr,
+        |       strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+        |       datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders""".stripMargin,
+    "q32_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(l_discount - 0.05) AS abs_d,
+        |       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_p,
+        |       CAST(floor(l_extendedprice) AS BIGINT) AS floor_p,
+        |       l_orderkey % 7 AS mod7,
+        |       power(l_quantity, 2) AS qty_sq,
+        |       sqrt(l_quantity) AS qty_sqrt,
+        |       CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r
+        |FROM lineitem""".stripMargin,
+    "q33_array" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       string_split(text, ' ')[1] AS first_tok,
+        |       len(list_distinct(string_split(text, ' '))) AS n_uniq,
+        |       len(list_filter(string_split(text, ' '), x -> length(x) > 4)) AS n_long,
+        |       array_to_string(list_slice(list_sort(list_distinct(string_split(text, ' '))), 1, 5), ',') AS top5
+        |FROM documents""".stripMargin,
+    "q34_map" ->
+      """SELECT event_id,
+        |       m['t'][1] AS m_t,
+        |       m['u'][1] AS m_u,
+        |       CAST(cardinality(m) AS BIGINT) AS m_card,
+        |       array_to_string(list_sort(map_keys(m)), ',') AS keys_csv,
+        |       array_to_string(list_sort(map_values(m)), ',') AS vals_csv
+        |FROM (SELECT event_id,
+        |             map(['t', 'u'], [event_type, CAST(user_id AS VARCHAR)]) AS m
+        |      FROM events) t""".stripMargin,
+    "q35_json" ->
+      """SELECT event_id,
+        |       json_extract_string(props, '$.k') AS k_str,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed
+        |FROM events""".stripMargin)
+}
