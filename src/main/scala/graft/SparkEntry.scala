@@ -19,10 +19,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MorQueries.queries ++ TransformQueries.queries ++
       JoinQueries.queries ++ AggQueries.queries ++
-      graft.functions.ScalarQueries.queries
+      graft.functions.ScalarQueries.queries ++
+      graft.pipeline.PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
     MorQueries.oracleSql ++ TransformQueries.oracleSql ++
       JoinQueries.oracleSql ++ AggQueries.oracleSql ++
-      graft.functions.ScalarQueries.oracleSql
+      graft.functions.ScalarQueries.oracleSql ++
+      graft.pipeline.PipelineQueries.oracleSql
 }

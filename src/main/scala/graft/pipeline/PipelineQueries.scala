@@ -1,0 +1,429 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators Q40–Q48 (north-star extensions;
+  * BASELINE.json `north_star`): exact + near-duplicate detection, similarity
+  * search, and text analysis over the `documents` / `embeddings` fixtures.
+  *
+  * Every operator is expressed as shuffles over keys — no all-pairs joins, no
+  * driver-side collection:
+  *   - exact dedup: one hash shuffle on md5(normalized text);
+  *   - MinHash near-dup: shingle → signature → LSH band buckets; candidate
+  *     pairs come from equi-joins on (band, band-key), then an exact Jaccard
+  *     verify join restricted to candidates. Never O(n²).
+  *   - cosine top-k: brute-force against a broadcast query set (k·N work,
+  *     the right baseline shape), plus an IVF variant that prunes to one
+  *     centroid bucket per query — the 100 TB path.
+  *
+  * Cross-engine determinism: string hashes are `md5 → hex→digit translate →
+  * BIGINT` (identical in Spark and DuckDB); float dot products are
+  * sequential left folds in both engines (verified bitwise-identical), so
+  * cosine scores compare exactly with no rounding.
+  */
+object PipelineQueries {
+
+  // ---- shared building blocks -------------------------------------------
+
+  /** Deterministic 48-bit-ish string hash portable across engines. */
+  private def strHash(c: Column): Column =
+    translate(substring(md5(c), 1, 12), "abcdef", "123456").cast("long")
+
+  private val StrHashSql =
+    "CAST(translate(substr(md5(%s), 1, 12), 'abcdef', '123456') AS BIGINT)"
+
+  /** MinHash family: (i, a, b) for h_i = (a*h + b) mod P. */
+  private val Family = Seq(
+    (1, 131L, 7L), (2, 137L, 11L), (3, 139L, 13L), (4, 149L, 17L),
+    (5, 151L, 19L), (6, 157L, 23L), (7, 163L, 29L), (8, 167L, 31L),
+    (9, 173L, 37L), (10, 179L, 41L), (11, 181L, 43L), (12, 191L, 47L))
+  private val MinhashP = 2147483647L
+  private val BandRows = 3 // 12 hashes → 4 bands of 3
+  private val JaccardThreshold = 0.6
+
+  /** Corpus under test: documents plus perturbed near-duplicates (every 10th
+    * doc re-appears with a 3-token tail), so the near-dup path has real
+    * positives to find. Purely a derived view of the fixture.
+    */
+  private def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"), lower(col("text")).as("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          lower(concat(col("text"), lit(" graft dup tail"))).as("text")))
+  }
+
+  private val CorpusSql =
+    """corpus AS (
+      |  SELECT doc_id, lower(text) AS text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, lower(text || ' graft dup tail')
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Distinct word-3-shingles per doc with their portable hash. */
+  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val sh = when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2), i =>
+        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    corpus(spark, sfDir)
+      .select(col("doc_id"), explode(sh).as("s")).distinct()
+      .withColumn("h", strHash(col("s")))
+  }
+
+  private val ShinglesSql =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, s FROM toks,
+       |  unnest(CASE WHEN len(t) >= 3
+       |              THEN list_transform(range(1, len(t) - 1),
+       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |              ELSE [] END) AS u(s)),
+       |shh AS (SELECT doc_id, s, ${StrHashSql.format("s")} AS h FROM sh)""".stripMargin
+
+  // ---- Q40 exact dedup ---------------------------------------------------
+
+  /** Q40: exact dedup, keep-first by doc_id, keyed on md5 of normalized text
+    * (small fixed-size shuffle key at 100 TB).
+    */
+  private def q40(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.groupBy(md5(lower(col("text"))).as("k"))
+      .agg(min(struct(col("doc_id"), col("lang"), col("source"), col("n_chars"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+        col("r.source").as("source"), col("r.n_chars").as("n_chars"))
+  }
+
+  // ---- Q41 MinHash LSH near-dup -----------------------------------------
+
+  private def q41(spark: SparkSession, sfDir: String): DataFrame = {
+    val shh = shingles(spark, sfDir).cache()
+    // Hash-family expansion as an exploded literal array: a narrow map with
+    // no join/exchange (the 12 rows never leave the task).
+    val famArr = array(Family.map { case (i, a, b) =>
+      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+    val mh = shh.select(col("doc_id"), col("h"), explode(famArr).as("f"))
+      .groupBy(col("doc_id"), col("f.i").as("i"))
+      .agg(min((col("f.a") * col("h") + col("f.b")) % MinhashP).as("mh"))
+    val posW = when((col("i") - 1) % BandRows === 0, 1L)
+      .when((col("i") - 1) % BandRows === 1, 31L).otherwise(961L)
+    val bands = mh
+      .groupBy(col("doc_id"), floor((col("i") - 1) / BandRows).as("band"))
+      .agg(sum(col("mh") * posW).as("bandkey"))
+    val x = bands.as("x"); val y = bands.as("y")
+    val cand = x.join(y,
+        col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
+    val sz = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sa = shh.select(col("doc_id").as("doc_a"), col("s"))
+    val sb = shh.select(col("doc_id").as("doc_b"), col("s"))
+    val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  private val q41Sql: String = {
+    val famRows = Family.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |fam AS (SELECT * FROM (VALUES $famRows) f(i, a, b)),
+       |mh AS (SELECT doc_id, i, min((a * h + b) % $MinhashP) AS mh
+       |       FROM shh, fam GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, (i - 1) // $BandRows AS band,
+       |         sum(mh * (CASE (i - 1) % $BandRows
+       |                   WHEN 0 THEN 1 WHEN 1 THEN 31 ELSE 961 END)) AS bandkey
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bandkey = y.bandkey AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN shh sa ON sa.doc_id = c.doc_a
+       |  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+       |       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+       |FROM inter i
+       |JOIN sz za ON za.doc_id = i.doc_a
+       |JOIN sz zb ON zb.doc_id = i.doc_b
+       |WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= $JaccardThreshold""".stripMargin
+  }
+
+  // ---- Q42 cosine top-k / Q44 IVF ---------------------------------------
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def normD(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Q42: brute-force cosine top-5 for a broadcast query set. */
+  private def q42(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotD(col("qe"), col("embedding")) /
+          (normD(col("embedding")) * normD(col("qe")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+  }
+
+  private val q42Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+      |p AS (
+      |  SELECT q.qid, e.vec_id,
+      |         list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))
+      |           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+      |              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+      |  FROM e, q WHERE e.vec_id <> q.qid)
+      |SELECT qid, vec_id, CAST(rn AS BIGINT) AS rn, cos FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM p) t
+      |WHERE rn <= 5""".stripMargin
+
+  /** Q44: IVF-style ANN — every vector is assigned to its nearest of 4
+    * centroid seeds (one pass, broadcast centroids); each query then probes
+    * only its own centroid bucket. This is the shape that scales: candidate
+    * sets shrink by the bucket factor and nothing is all-pairs.
+    */
+  private def q44(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        (dotD(col("cv"), col("embedding")) /
+          (normD(col("embedding")) * normD(col("cv")))).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+    val qs = assign.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    qs.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cid"),
+        (dotD(col("qe"), col("embedding")) /
+          (normD(col("embedding")) * normD(col("qe")))).as("cos"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  private val q44Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |assign AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+      |               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+      |                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+      |             c.cid) AS arn
+      |    FROM e, c) t
+      |  WHERE arn = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv, cid FROM assign WHERE vec_id % 50 = 0),
+      |p AS (
+      |  SELECT q.qid, a.vec_id, a.cid,
+      |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.qv[i]))
+      |           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+      |  FROM q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid)
+      |SELECT qid, vec_id, cid, cos, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM p) t
+      |WHERE rn <= 3""".stripMargin
+
+  // ---- Q43 text stats / Q45 lang-id / Q46 quality / Q47 fingerprint ------
+
+  private def q43(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val t = split(col("text"), " ")
+    d.select(col("lang"), col("n_chars"), size(t).as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(col("nt")).as("sum_tokens"),
+        (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"))
+  }
+
+  private val q43Sql =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       min(n_chars) AS min_chars,
+      |       max(n_chars) AS max_chars,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |       CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*) AS avg_tokens
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
+  private val LangMarkers = Seq(
+    "en" -> Seq("the", "a", "and"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "das"))
+
+  /** Q45: marker-token language-ID heuristic (distinct-token overlap with
+    * per-language stopword lists; argmax with fixed tie order en>es>de).
+    */
+  private def q45(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val dt = array_distinct(split(lower(col("text")), " "))
+    val counts = LangMarkers.map { case (l, ms) =>
+      val markers = array(ms.map(lit): _*)
+      l -> size(filter(dt, t => array_contains(markers, t))).cast("long")
+    }.toMap
+    val pred = when(counts("en") >= counts("es") && counts("en") >= counts("de"), "en")
+      .when(counts("es") >= counts("de"), "es").otherwise("de")
+    d.select(col("doc_id"), col("lang"),
+      counts("en").as("n_en"), counts("es").as("n_es"), counts("de").as("n_de"),
+      pred.as("pred"))
+  }
+
+  private val q45Sql = {
+    def cnt(ms: Seq[String]) = {
+      val lst = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+      s"len(list_filter(list_distinct(string_split(lower(text), ' ')), x -> list_contains($lst, x)))"
+    }
+    val (en, es, de) =
+      (cnt(LangMarkers(0)._2), cnt(LangMarkers(1)._2), cnt(LangMarkers(2)._2))
+    s"""SELECT doc_id, lang,
+       |       $en AS n_en, $es AS n_es, $de AS n_de,
+       |       CASE WHEN $en >= $es AND $en >= $de THEN 'en'
+       |            WHEN $es >= $de THEN 'es' ELSE 'de' END AS pred
+       |FROM documents""".stripMargin
+  }
+
+  /** Q46: heuristic quality scoring — alphabetic ratio, length score,
+    * stopword ratio, combined score. Pure deterministic double arithmetic
+    * with the same expression shape on both engines.
+    */
+  private def q46(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val t = split(lower(col("text")), " ")
+    val nt = size(t).cast("long")
+    val alpha = length(regexp_replace(lower(col("text")), "[^a-z ]", "")).cast("double") /
+      length(col("text"))
+    val stopRatio = size(filter(t, x =>
+      array_contains(array(lit("the"), lit("a"), lit("and"), lit("of")), x)))
+      .cast("double") / nt
+    val lenScore = least(lit(1.0), nt.cast("double") / 100.0)
+    d.select(col("doc_id"), nt.as("n_tokens"),
+      alpha.as("alpha_ratio"), stopRatio.as("stop_ratio"), lenScore.as("len_score"),
+      (alpha * 0.4 + lenScore * 0.3 + stopRatio * 0.3).as("quality"))
+  }
+
+  private val q46Sql =
+    """SELECT doc_id,
+      |       CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+      |       CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+      |         / length(text) AS alpha_ratio,
+      |       CAST(len(list_filter(string_split(lower(text), ' '),
+      |                x -> list_contains(['the', 'a', 'and', 'of'], x))) AS DOUBLE)
+      |         / len(string_split(lower(text), ' ')) AS stop_ratio,
+      |       least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0) AS len_score,
+      |       CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+      |           / length(text) * 0.4
+      |         + least(1.0, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 100.0) * 0.3
+      |         + CAST(len(list_filter(string_split(lower(text), ' '),
+      |                  x -> list_contains(['the', 'a', 'and', 'of'], x))) AS DOUBLE)
+      |             / len(string_split(lower(text), ' ')) * 0.3 AS quality
+      |FROM documents""".stripMargin
+
+  /** Q47: document fingerprint — ordered polynomial fold over portable token
+    * hashes (rolling-hash style), plus a regex token count.
+    */
+  private def q47(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val t = split(lower(col("text")), " ")
+    val fp = aggregate(transform(t, x => strHash(x)), lit(0L),
+      (acc, v) => (acc * 131L + v) % 1000000007L)
+    d.select(col("doc_id"), fp.as("fingerprint"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast("long").as("n_re_tokens"))
+  }
+
+  private val q47Sql =
+    s"""SELECT doc_id,
+       |       list_reduce(
+       |         list_concat([CAST(0 AS BIGINT)],
+       |           list_transform(string_split(lower(text), ' '),
+       |                          x -> ${StrHashSql.format("x")})),
+       |         (a, b) -> (a * 131 + b) % 1000000007) AS fingerprint,
+       |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+       |FROM documents""".stripMargin
+
+  /** Q48: 16-bit SimHash over distinct token hashes (sign-sum per bit). */
+  private def q48(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val dt = array_distinct(split(lower(col("text")), " "))
+    val simhash = (0 until 16).map { j =>
+      val signed = aggregate(dt, lit(0L), (acc, x) =>
+        acc + when(shiftright(strHash(x), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(signed > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    d.select(col("doc_id"), simhash.as("simhash"))
+  }
+
+  private val q48Sql = {
+    val th = StrHashSql.format("x")
+    val bits = (0 until 16).map { j =>
+      s"""CASE WHEN list_sum(list_transform(list_distinct(string_split(lower(text), ' ')),
+         |  x -> CASE WHEN ($th >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+         |  THEN ${1L << j} ELSE 0 END""".stripMargin
+    }.mkString("\n + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+       |FROM documents""".stripMargin
+  }
+
+  // ---- registry ----------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_dedup_exact" -> (q40 _),
+    "q41_neardup_minhash" -> (q41 _),
+    "q42_cosine_topk" -> (q42 _),
+    "q43_text_stats" -> (q43 _),
+    "q44_ann_ivf" -> (q44 _),
+    "q45_langid" -> (q45 _),
+    "q46_quality" -> (q46 _),
+    "q47_fingerprint" -> (q47 _),
+    "q48_simhash" -> (q48 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q40_dedup_exact" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) = 1""".stripMargin,
+    "q41_neardup_minhash" -> q41Sql,
+    "q42_cosine_topk" -> q42Sql,
+    "q43_text_stats" -> q43Sql,
+    "q44_ann_ivf" -> q44Sql,
+    "q45_langid" -> q45Sql,
+    "q46_quality" -> q46Sql,
+    "q47_fingerprint" -> q47Sql,
+    "q48_simhash" -> q48Sql)
+}

@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PipelineQueriesSpec extends SparkSpec {
+
+  private def q(name: String) = PipelineQueries.queries(name)(spark, sfDir)
+
+  test("every pipeline query runs and returns rows at sf0.001") {
+    PipelineQueries.queries.keys.foreach { name =>
+      assert(q(name).count() > 0, s"$name returned no rows")
+    }
+  }
+
+  test("exact dedup output has no duplicate normalized text") {
+    val out = q("q40_dedup_exact")
+    assert(out.count() == out.select("doc_id").distinct().count())
+  }
+
+  test("minhash near-dup finds the planted perturbed duplicates") {
+    val out = q("q41_neardup_minhash").cache()
+    // planted pairs are (doc_id, doc_id + 100000) for doc_id % 10 == 0
+    val planted = out.filter(col("doc_b") === col("doc_a") + 100000)
+    assert(planted.count() > 0, "no planted near-dup pair recovered")
+    // all reported pairs really meet the threshold
+    assert(out.filter(col("jaccard") < 0.6).count() == 0)
+    out.unpersist()
+  }
+
+  test("near-dup candidate generation is banded, never all-pairs") {
+    val plan = q("q41_neardup_minhash").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q41 planned a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"q41 planned a BNLJ:\n$plan")
+  }
+
+  test("cosine top-k ranks are dense 1..k per query") {
+    val out = q("q42_cosine_topk")
+    val byQ = out.groupBy("qid").agg(count(lit(1)).as("n"), max("rn").as("mx"))
+    assert(byQ.filter(col("n") =!= col("mx")).count() == 0)
+    // cos must be within [-1, 1]
+    assert(out.filter(abs(col("cos")) > 1.000000001).count() == 0)
+  }
+
+  test("IVF probes only the query's own bucket") {
+    val out = q("q44_ann_ivf")
+    assert(out.count() > 0)
+    assert(out.select("cid").distinct().count() <= 4)
+  }
+
+  test("simhash of identical texts is identical and 16-bit bounded") {
+    val out = q("q48_simhash")
+    assert(out.filter(col("simhash") < 0 || col("simhash") >= (1 << 16)).count() == 0)
+  }
+}
