@@ -1,0 +1,240 @@
+package graft.sources
+
+import graft.operators.MorPlanner
+import graft.operators.MorPlanner.EqualityDeleteGroup
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end merge-on-read compaction over real parquet files — the Spark
+  * re-expression of the reference's compaction driver + executor
+  * (`core/src/compaction/mod.rs:37-72`,
+  * `core/src/executor/datafusion/mod.rs:101-190`).
+  *
+  * Scan → hidden-column fabrication → delete application → repartition →
+  * partitioned write → per-file stats → commit manifest.
+  *
+  * Scale design (100 TB):
+  *   - Positions come from the parquet `_metadata.row_index` column — a
+  *     zero-shuffle per-file row index fabricated at scan time, exactly like
+  *     the reference's running `index_start += batch.num_rows()`
+  *     (`iceberg_file_task_scan.rs:283-314`). The window-based fixture path
+  *     (`MorFixtures`) exists only for oracle reproducibility.
+  *   - Per-file sequence numbers attach via a broadcast join against the
+  *     (tiny) task list — no shuffle of the data side.
+  *   - Delete files are deduped by path before reading (J4,
+  *     `compaction/mod.rs:131-153`), so a delete file referenced by many
+  *     data tasks is read and applied once.
+  *   - Equality-delete files are read with only their equality columns
+  *     projected (P4, `parser/proto.rs:137-142`).
+  *   - The write repartitions to `targetPartitions` round-robin (X1,
+  *     `datafusion_processor.rs:121-131`) and fans out by materialized
+  *     partition-transform columns (S7, `datafusion/mod.rs:176-188`).
+  *   - Per-file column stats (S6, `parser/proto.rs:404-434`) are computed by
+  *     one distributed audit pass over the written files; only the per-file
+  *     summary rows (one per output file) reach the driver for the manifest.
+  */
+object CompactionRunner {
+
+  /** One data-file scan task: path + the file's sequence number
+    * (FileScanTask, `core/src/parser/proto.rs:113-131`).
+    */
+  final case class DataFileTask(path: String, seqNum: Long)
+
+  /** A position-delete file (columns `file_path`, `pos`). */
+  final case class PosDeleteTask(path: String)
+
+  /** An equality-delete file: path, its sequence number, and the equality
+    * column names (field-ID projection resolved to names upstream).
+    */
+  final case class EqDeleteTask(path: String, seqNum: Long, equalityCols: Seq[String])
+
+  final case class CompactionConfig(
+      targetPartitions: Int = 4,
+      partitionTransforms: Seq[(String, Column)] = Nil,
+      statsCols: Seq[String] = Nil)
+
+  final case class DataFileStats(
+      path: String,
+      sizeBytes: Long,
+      recordCount: Long,
+      colMins: Map[String, String],
+      colMaxs: Map[String, String],
+      nullCounts: Map[String, Long])
+
+  /** Commit payload — what the reference sends back as `DataFile`s + what the
+    * transaction removes (`Transaction::rewrite_files`,
+    * `compaction/mod.rs:66-72`).
+    */
+  final case class CommitManifest(
+      addedFiles: Seq[DataFileStats],
+      removedDataFiles: Seq[String],
+      removedDeleteFiles: Seq[String],
+      outputRecordCount: Long)
+
+  /** J4: dedup tasks by path, first occurrence wins (HashMap-insert
+    * semantics of `compaction/mod.rs:131-153`).
+    */
+  def dedupByPath[T](tasks: Seq[T])(path: T => String): Seq[T] = {
+    val seen = scala.collection.mutable.HashSet[String]()
+    tasks.filter(t => seen.add(path(t)))
+  }
+
+  /** Canonical form of a task path, matching `_metadata.file_path`'s URI
+    * rendering (`file:///abs/path`).
+    */
+  def canonPath(p: String): String =
+    new java.io.File(p).toURI.toString.replaceFirst("^file:/+", "file:///")
+
+  private def canonCol(c: Column): Column =
+    regexp_replace(c, "^file:/+", "file:///")
+
+  /** S1+S3: scan data files and fabricate the three hidden columns with zero
+    * shuffle (`_metadata` is computed per-split inside the scan; seq numbers
+    * arrive by broadcast).
+    */
+  def scanWithHiddenCols(spark: SparkSession, tasks: Seq[DataFileTask]): DataFrame = {
+    val dedup = dedupByPath(tasks)(_.path)
+    require(dedup.nonEmpty, "no data files to compact")
+    val seqRows = dedup.map(t => (canonPath(t.path), t.seqNum))
+    import spark.implicits._
+    val seqDf = seqRows.toDF(MorPlanner.FilePathCol, MorPlanner.SeqNumCol)
+    spark.read.parquet(dedup.map(_.path): _*)
+      .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
+      .withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
+      .join(broadcast(seqDf), MorPlanner.FilePathCol)
+  }
+
+  /** Read position-delete files (columns file_path, pos → hidden names). */
+  def readPositionDeletes(spark: SparkSession, tasks: Seq[PosDeleteTask]): Option[DataFrame] =
+    if (tasks.isEmpty) None
+    else Some(spark.read.parquet(dedupByPath(tasks)(_.path).map(_.path): _*)
+      .select(canonCol(col("file_path")).as(MorPlanner.FilePathCol),
+        col("pos").as(MorPlanner.PosCol)))
+
+  /** Read equality-delete files projected to their equality columns (P4),
+    * each with its per-file seq num attached by broadcast. Tasks sharing an
+    * equalityCols vector in consecutive runs form one group, mirroring the
+    * reference's table-per-run chaining (`datafusion_processor.rs:376-400`).
+    */
+  def readEqualityDeletes(
+      spark: SparkSession, tasks: Seq[EqDeleteTask]): Seq[EqualityDeleteGroup] = {
+    import spark.implicits._
+    val dedup = dedupByPath(tasks)(_.path)
+    // consecutive-run grouping (a change of ids opens a new table)
+    val groups = dedup.foldLeft(List.empty[List[EqDeleteTask]]) { (acc, t) =>
+      acc match {
+        case head :: tail if head.head.equalityCols == t.equalityCols =>
+          (head :+ t) :: tail
+        case _ => List(t) :: acc
+      }
+    }.reverse
+    groups.map { ts =>
+      val seqDf = ts.map(t => (canonPath(t.path), t.seqNum))
+        .toDF("graft_eq_path", MorPlanner.SeqNumCol)
+      val df = spark.read.parquet(ts.map(_.path): _*)
+        .select(ts.head.equalityCols.map(col) :+
+          canonCol(col("_metadata.file_path")).as("graft_eq_path"): _*)
+        .join(broadcast(seqDf), "graft_eq_path")
+        .drop("graft_eq_path")
+      EqualityDeleteGroup(df, ts.head.equalityCols)
+    }
+  }
+
+  /** EP1: full compaction — plan, merge, write, audit, commit manifest. */
+  def compact(
+      spark: SparkSession,
+      dataTasks: Seq[DataFileTask],
+      posDeletes: Seq[PosDeleteTask],
+      eqDeletes: Seq[EqDeleteTask],
+      outDir: String,
+      config: CompactionConfig = CompactionConfig()): CommitManifest = {
+
+    val data = scanWithHiddenCols(spark, dataTasks)
+    val merged = MorPlanner.merge(data,
+      readPositionDeletes(spark, posDeletes),
+      readEqualityDeletes(spark, eqDeletes))
+
+    // X1: force output stream count (RoundRobin), like the reference when the
+    // plan's natural partitioning differs from target_partitions.
+    val repartitioned =
+      if (config.targetPartitions > 0) merged.repartition(config.targetPartitions)
+      else merged
+
+    // S7: materialize partition-transform columns and fan out.
+    val dataOut = s"$outDir/data"
+    val withParts = config.partitionTransforms.foldLeft(repartitioned) {
+      case (df, (name, c)) => df.withColumn(name, c)
+    }
+    val writer = withParts.write.mode("overwrite")
+    (if (config.partitionTransforms.nonEmpty)
+       writer.partitionBy(config.partitionTransforms.map(_._1): _*)
+     else writer).parquet(dataOut)
+
+    // S6: per-file column stats via one distributed audit over written files.
+    val statsCols = config.statsCols
+    val written = spark.read.parquet(dataOut)
+    val aggs =
+      count(lit(1)).as("record_count") +:
+        statsCols.flatMap(c => Seq(
+          min(col(c)).cast("string").as(s"min_$c"),
+          max(col(c)).cast("string").as(s"max_$c"),
+          sum(col(c).isNull.cast("long")).as(s"nulls_$c")))
+    val statRows = written
+      .groupBy(col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("size"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per output file — driver-sized, like DataFile metadata
+    val added = statRows.map { r =>
+      DataFileStats(
+        path = r.getAs[String]("path"),
+        sizeBytes = r.getAs[Long]("size"),
+        recordCount = r.getAs[Long]("record_count"),
+        colMins = statsCols.map(c => c -> String.valueOf(r.getAs[Any](s"min_$c"))).toMap,
+        colMaxs = statsCols.map(c => c -> String.valueOf(r.getAs[Any](s"max_$c"))).toMap,
+        nullCounts = statsCols.map(c => c -> r.getAs[Long](s"nulls_$c")).toMap)
+    }.toSeq
+
+    val manifest = CommitManifest(
+      addedFiles = added,
+      removedDataFiles = dedupByPath(dataTasks)(_.path).map(t => canonPath(t.path)),
+      removedDeleteFiles =
+        (dedupByPath(posDeletes)(_.path).map(t => canonPath(t.path)) ++
+          dedupByPath(eqDeletes)(_.path).map(t => canonPath(t.path))),
+      outputRecordCount = added.map(_.recordCount).sum)
+    writeManifest(manifest, s"$outDir/_graft_manifest.json")
+    manifest
+  }
+
+  /** Commit step: manifest JSON (stands in for the catalog transaction of
+    * `Transaction::rewrite_files` — add new files, remove compacted inputs).
+    */
+  private def writeManifest(m: CommitManifest, path: String): Unit = {
+    def q(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    def obj(pairs: Seq[(String, String)]): String =
+      pairs.map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ", ", "}")
+    def strMap(mm: Map[String, String]): String =
+      obj(mm.toSeq.sortBy(_._1).map { case (k, v) => k -> q(v) })
+    val files = m.addedFiles.map { f =>
+      obj(Seq(
+        "path" -> q(f.path),
+        "size_bytes" -> f.sizeBytes.toString,
+        "record_count" -> f.recordCount.toString,
+        "col_mins" -> strMap(f.colMins),
+        "col_maxs" -> strMap(f.colMaxs),
+        "null_counts" -> obj(f.nullCounts.toSeq.sortBy(_._1)
+          .map { case (k, v) => k -> v.toString })))
+    }.mkString("[", ", ", "]")
+    val json = obj(Seq(
+      "added_files" -> files,
+      "removed_data_files" -> m.removedDataFiles.map(q).mkString("[", ", ", "]"),
+      "removed_delete_files" -> m.removedDeleteFiles.map(q).mkString("[", ", ", "]"),
+      "output_record_count" -> m.outputRecordCount.toString))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+}

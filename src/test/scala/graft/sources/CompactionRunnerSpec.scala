@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.functions.IcebergTransforms
+import graft.operators.MorPlanner
+import graft.sources.CompactionRunner._
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+class CompactionRunnerSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("dedupByPath keeps first occurrence per path (J4)") {
+    val tasks = Seq(("a", 1), ("b", 2), ("a", 9), ("c", 3), ("b", 8))
+    val out = dedupByPath(tasks)(_._1)
+    assert(out == Seq(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("scan fabricates hidden columns from _metadata with dense per-file positions") {
+    val table = tmpDir("graft-table")
+    Tables.lineitem(spark, sfDir).repartition(3).write.mode("overwrite").parquet(table)
+    val files = new java.io.File(table).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 3)
+    val tasks = files.zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }.toSeq
+    val scan = scanWithHiddenCols(spark, tasks).cache()
+    // every row tagged, seq matches its file's task
+    assert(scan.count() == 6000)
+    val bad = scan.groupBy(MorPlanner.FilePathCol)
+      .agg(min(col(MorPlanner.PosCol)).as("mn"), max(col(MorPlanner.PosCol)).as("mx"),
+        countDistinct(col(MorPlanner.PosCol)).as("nd"), count(lit(1)).as("n"),
+        countDistinct(col(MorPlanner.SeqNumCol)).as("ns"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 ||
+        col("nd") =!= col("n") || col("ns") =!= 1)
+    assert(bad.count() == 0, "positions not dense per file or seq not constant")
+    // no shuffle in the scan: _metadata is computed inside the file scan and
+    // seq arrives via broadcast
+    val plan = scanWithHiddenCols(spark, tasks).queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"hidden-col scan should not shuffle:\n$plan")
+    scan.unpersist()
+  }
+
+  test("end-to-end compaction: merge, partitioned write, stats, manifest") {
+    val table = tmpDir("graft-table")
+    val deletes = tmpDir("graft-deletes")
+    val out = tmpDir("graft-out")
+    Tables.lineitem(spark, sfDir).repartition(3).write.mode("overwrite").parquet(table)
+    val files = new java.io.File(table).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).sorted
+    val dataTasks = files.zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }.toSeq
+
+    // position deletes: every (file,pos) of rows with l_orderkey % 10 == 3
+    val scan = scanWithHiddenCols(spark, dataTasks)
+    scan.filter(col("l_orderkey") % 10 === 3)
+      .select(col(MorPlanner.FilePathCol).as("file_path"),
+        col(MorPlanner.PosCol).as("pos"))
+      .write.mode("overwrite").parquet(s"$deletes/pos")
+    // equality deletes on (l_orderkey, l_linenumber), seq above all data seqs
+    Tables.lineitem(spark, sfDir).filter(col("l_partkey") % 13 === 1)
+      .select(col("l_orderkey"), col("l_linenumber")).distinct()
+      .write.mode("overwrite").parquet(s"$deletes/eq")
+    def parquetsIn(dir: String): Seq[String] =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
+
+    val manifest = compact(spark, dataTasks,
+      parquetsIn(s"$deletes/pos").map(PosDeleteTask),
+      parquetsIn(s"$deletes/eq").map(EqDeleteTask(_, 10L, Seq("l_orderkey", "l_linenumber"))),
+      out,
+      CompactionConfig(
+        targetPartitions = 4,
+        partitionTransforms =
+          Seq("p_ship_year" -> IcebergTransforms.yearsT(col("l_shipdate"))),
+        statsCols = Seq("l_quantity", "l_orderkey")))
+
+    // independent expectation: planner applied directly to the same scan
+    val expected = MorPlanner.merge(
+      scanWithHiddenCols(spark, dataTasks),
+      readPositionDeletes(spark, parquetsIn(s"$deletes/pos").map(PosDeleteTask)),
+      readEqualityDeletes(spark, parquetsIn(s"$deletes/eq")
+        .map(EqDeleteTask(_, 10L, Seq("l_orderkey", "l_linenumber"))))).count()
+    assert(manifest.outputRecordCount == expected)
+    assert(expected < 6000 && expected > 0)
+
+    // written table: readable, row count matches, hidden cols gone, fanout dirs exist
+    val written = spark.read.parquet(s"$out/data")
+    assert(written.count() == expected)
+    assert(!written.columns.exists(MorPlanner.HiddenCols.contains))
+    assert(written.columns.contains("p_ship_year"))
+    assert(new java.io.File(s"$out/data").listFiles()
+      .exists(_.getName.startsWith("p_ship_year=")))
+
+    // stats: per-file record counts sum to total; min<=max on a stats col
+    assert(manifest.addedFiles.nonEmpty)
+    assert(manifest.addedFiles.map(_.recordCount).sum == expected)
+    manifest.addedFiles.foreach { f =>
+      assert(f.sizeBytes > 0)
+      assert(f.colMins("l_quantity").toDouble <= f.colMaxs("l_quantity").toDouble)
+      assert(f.nullCounts("l_quantity") == 0)
+    }
+    assert(manifest.removedDataFiles.size == 3)
+
+    // manifest JSON committed and parseable-ish
+    val json = Files.readString(Paths.get(s"$out/_graft_manifest.json"))
+    assert(json.contains("\"added_files\"") && json.contains("\"output_record_count\""))
+  }
+}
