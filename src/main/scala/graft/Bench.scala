@@ -20,11 +20,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: session/codegen/shuffle-service init otherwise lands
+    // entirely on whichever query runs first.
+    spark.range(100000).selectExpr("sum(id) s").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
+        // noop sink forces full evaluation of every output column —
+        // count() would let Catalyst prune the projections away and time
+        // row-level queries as bare scans
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }

@@ -48,18 +48,20 @@ object AggQueries {
   }
 
   /** Q22 approximate distinct (HLL++): declared as a self-validating query —
-    * outputs the exact count plus whether the estimate (rsd=0.01) lands
-    * within 5%. The oracle expects `true`, so the hash check verifies the
-    * sketch's accuracy contract, which a DuckDB oracle cannot mirror
-    * value-for-value.
+    * outputs the exact count plus whether the default-rsd (0.05) estimate
+    * lands within 3σ (15%). The oracle expects `true`, so the hash check
+    * verifies the sketch's accuracy contract, which a DuckDB oracle cannot
+    * mirror value-for-value. rsd stays at the default on purpose: Spark's
+    * HLL buffer is copied per input row in the agg path, so sketch size is
+    * a per-row multiplier (rsd=0.01 measured ~90× slower than 0.05).
     */
   private def q22(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     li.agg(
         countDistinct(col("l_orderkey")).as("n_exact"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("ap"))
+        approx_count_distinct(col("l_orderkey")).as("ap"))
       .select(col("n_exact"),
-        (abs(col("ap") - col("n_exact")) <= col("n_exact") * 0.05).as("approx_ok"))
+        (abs(col("ap") - col("n_exact")) <= col("n_exact") * 0.15).as("approx_ok"))
   }
 
   /** Q23 rollup over two grouping columns. */
@@ -226,7 +228,7 @@ object AggQueries {
         |  (SELECT s_nationkey AS nk FROM supplier
         |   EXCEPT SELECT c_nationkey FROM customer) t3""".stripMargin,
     "q28_write_stats" ->
-      """SELECT 'f' || CAST(l_orderkey % 7 AS VARCHAR) AS file,
+      """SELECT 'f' || CAST(l_orderkey % 29 AS VARCHAR) AS file,
         |       count(*) AS record_count,
         |       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
         |       min(l_quantity) AS min_qty,

@@ -11,8 +11,8 @@ import org.apache.spark.sql.functions._
   * exact same tables from the same parquet — see [[oracleCtes]].
   *
   * Layout simulated:
-  *   - 7 synthetic data files `f0..f6`, file of a row = l_orderkey % 7
-  *   - per-file sequence number = (l_orderkey % 7) + 1 (constant per file, as
+  *   - 29 synthetic data files `f0..f28`, file of a row = l_orderkey % 29
+  *   - per-file sequence number = (l_orderkey % 29) + 1 (constant per file, as
   *     the reference requires — seq is a FileScanTask field,
   *     `iceberg_file_task_scan.rs:265-280`)
   *   - position = 0-based row index within the file under a total order over
@@ -35,7 +35,7 @@ object MorFixtures {
   /** lineitem + hidden columns. */
   def dataTable(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    val file = concat(lit("f"), (col("l_orderkey") % 7).cast("string"))
+    val file = concat(lit("f"), (col("l_orderkey") % 29).cast("string"))
     // Total ordering: the synthetic lineitem has duplicate
     // (l_orderkey, l_linenumber) pairs, so ordering by the "key" alone makes
     // tie positions nondeterministic across recomputations/engines. Ordering
@@ -43,7 +43,7 @@ object MorFixtures {
     val w = Window.partitionBy(col(FilePathCol))
       .orderBy(li.columns.map(col).toSeq: _*)
     li.withColumn(FilePathCol, file)
-      .withColumn(SeqNumCol, (col("l_orderkey") % 7) + 1)
+      .withColumn(SeqNumCol, (col("l_orderkey") % 29) + 1)
       .withColumn(PosCol, row_number().over(w).cast("long") - 1)
   }
 
@@ -73,9 +73,9 @@ object MorFixtures {
   val oracleCtes: String =
     """WITH data AS (
       |  SELECT l.*,
-      |         'f' || CAST(l_orderkey % 7 AS VARCHAR) AS sys_hidden_file_path,
-      |         (l_orderkey % 7) + 1 AS sys_hidden_seq_num,
-      |         row_number() OVER (PARTITION BY l_orderkey % 7
+      |         'f' || CAST(l_orderkey % 29 AS VARCHAR) AS sys_hidden_file_path,
+      |         (l_orderkey % 29) + 1 AS sys_hidden_seq_num,
+      |         row_number() OVER (PARTITION BY l_orderkey % 29
       |                            ORDER BY l_orderkey, l_partkey, l_suppkey,
       |                                     l_linenumber, l_quantity, l_extendedprice,
       |                                     l_discount, l_tax, l_returnflag,

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
+import graft.functions.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,10 +29,9 @@ object PipelineQueries {
 
   // ---- shared building blocks -------------------------------------------
 
-  /** Deterministic 48-bit-ish string hash portable across engines. */
-  private def strHash(c: Column): Column =
-    translate(substring(md5(c), 1, 12), "abcdef", "123456").cast("long")
-
+  /** Portable string hash — Spark side is the codegen'd
+    * [[graft.functions.TextOps.portableHash]] kernel; this is its SQL twin.
+    */
   private val StrHashSql =
     "CAST(translate(substr(md5(%s), 1, 12), 'abcdef', '123456') AS BIGINT)"
 
@@ -63,18 +63,6 @@ object PipelineQueries {
       |  SELECT doc_id + 100000, lower(text || ' graft dup tail')
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
 
-  /** Distinct word-3-shingles per doc with their portable hash. */
-  private def shingles(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = split(col("text"), " ")
-    val sh = when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2), i =>
-        concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    corpus(spark, sfDir)
-      .select(col("doc_id"), explode(sh).as("s")).distinct()
-      .withColumn("h", strHash(col("s")))
-  }
-
   private val ShinglesSql =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
        |sh AS (
@@ -101,29 +89,39 @@ object PipelineQueries {
   // ---- Q41 MinHash LSH near-dup -----------------------------------------
 
   private def q41(spark: SparkSession, sfDir: String): DataFrame = {
-    val shh = shingles(spark, sfDir).cache()
-    // Hash-family expansion as an exploded literal array: a narrow map with
-    // no join/exchange (the 12 rows never leave the task).
-    val famArr = array(Family.map { case (i, a, b) =>
-      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    val mh = shh.select(col("doc_id"), col("h"), explode(famArr).as("f"))
-      .groupBy(col("doc_id"), col("f.i").as("i"))
-      .agg(min((col("f.a") * col("h") + col("f.b")) % MinhashP).as("mh"))
-    val posW = when((col("i") - 1) % BandRows === 0, 1L)
-      .when((col("i") - 1) % BandRows === 1, 31L).otherwise(961L)
-    val bands = mh
-      .groupBy(col("doc_id"), floor((col("i") - 1) / BandRows).as("band"))
-      .agg(sum(col("mh") * posW).as("bandkey"))
+    // Flat, codegen-friendly shape: exploded distinct shingles with their
+    // hash stay inside whole-stage codegen (a lambda-heavy array variant
+    // interpreted md5 per element and was ~10× slower). The 12 minhashes
+    // are ONE multi-aggregate groupBy (map-side partial combine), band keys
+    // are plain projections, candidates come from the band-key self-join,
+    // and the exact-Jaccard verify joins only candidate pairs. No all-pairs
+    // anywhere; every shuffle is keyed.
+    val shh = corpus(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextOps.wordShingles(col("text"), 3)).as("s")).distinct()
+      .withColumn("h", TextOps.portableHashC(col("s")))
+      .cache()
+    val sigAggs = Family.map { case (i, a, b) =>
+      min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"mh$i")
+    }
+    val bandStructs = (0 until Family.size / BandRows).map { b =>
+      val key = (0 until BandRows).map { r =>
+        col(s"mh${b * BandRows + r + 1}") * lit(Seq(1L, 31L, 961L)(r))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bandkey"))
+    }
+    val bands = shh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
     val x = bands.as("x"); val y = bands.as("y")
     val cand = x.join(y,
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
     val sz = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val sa = shh.select(col("doc_id").as("doc_a"), col("s"))
-    val sb = shh.select(col("doc_id").as("doc_b"), col("s"))
-    val inter = cand.join(sa, "doc_a").join(sb, Seq("doc_b", "s"))
+    val inter = cand
+      .join(shh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
+      .join(shh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
     inter
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
@@ -173,16 +171,18 @@ object PipelineQueries {
 
   private def normD(a: Column): Column = sqrt(dotD(a, a))
 
-  /** Q42: brute-force cosine top-5 for a broadcast query set. */
+  /** Q42: brute-force cosine top-5 for a broadcast query set. Norms are
+    * computed once per vector (one narrow pass), not once per pair.
+    */
   private def q42(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
     val q = e.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"))
     val scored = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        (dotD(col("qe"), col("embedding")) /
-          (normD(col("embedding")) * normD(col("qe")))).as("cos"))
+        (dotD(col("qe"), col("embedding")) / (col("nrm") * col("qnrm"))).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
   }
@@ -209,25 +209,28 @@ object PipelineQueries {
     */
   private def q44(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
     val cents = e.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
+    // assignment pass is reused by both the query set and the probe join —
+    // cache it so the centroid scoring runs once
     val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        (dotD(col("cv"), col("embedding")) /
-          (normD(col("embedding")) * normD(col("cv")))).as("ccos"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dotD(col("cv"), col("embedding")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cid"))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .cache()
     val qs = assign.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("cid"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qnrm"), col("cid"))
     val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     qs.join(assign, "cid")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("cid"),
-        (dotD(col("qe"), col("embedding")) /
-          (normD(col("embedding")) * normD(col("qe")))).as("cos"))
+        (dotD(col("qe"), col("embedding")) / (col("nrm") * col("qnrm"))).as("cos"))
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= 3)
   }
@@ -360,9 +363,7 @@ object PipelineQueries {
     */
   private def q47(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val t = split(lower(col("text")), " ")
-    val fp = aggregate(transform(t, x => strHash(x)), lit(0L),
-      (acc, v) => (acc * 131L + v) % 1000000007L)
+    val fp = TextOps.fingerprintC(lower(col("text")))
     d.select(col("doc_id"), fp.as("fingerprint"),
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast("long").as("n_re_tokens"))
@@ -381,13 +382,7 @@ object PipelineQueries {
   /** Q48: 16-bit SimHash over distinct token hashes (sign-sum per bit). */
   private def q48(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
-    val dt = array_distinct(split(lower(col("text")), " "))
-    val simhash = (0 until 16).map { j =>
-      val signed = aggregate(dt, lit(0L), (acc, x) =>
-        acc + when(shiftright(strHash(x), j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(signed > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    d.select(col("doc_id"), simhash.as("simhash"))
+    d.select(col("doc_id"), TextOps.simhash16C(lower(col("text"))).as("simhash"))
   }
 
   private val q48Sql = {
