@@ -115,6 +115,23 @@ object TextOps {
     out
   }
 
+  /** Deterministic checksum over payload bytes — the STUB feature extractor
+    * for opaque multimodal payloads (this container has no image/audio
+    * codecs; a real deployment swaps the body for actual decode while the
+    * Spark-side plumbing — binary column, typed metadata, per-row kernel —
+    * stays identical). sum of unsignedByte * ((1-based idx % 7) + 1),
+    * mod 1e9+7.
+    */
+  def binaryChecksum(bytes: Array[Byte]): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) {
+      acc += (bytes(i) & 0xff).toLong * (((i + 1) % 7) + 1)
+      i += 1
+    }
+    acc % 1000000007L
+  }
+
   // ---- Column API --------------------------------------------------------
 
   def wordShingles(c: Column, n: Int): Column =
@@ -125,6 +142,31 @@ object TextOps {
     ColumnBridge.column(TextKernel(ColumnBridge.expression(c), "fingerprint", LongType))
   def simhash16C(c: Column): Column =
     ColumnBridge.column(TextKernel(ColumnBridge.expression(c), "simhash16", LongType))
+  def binaryChecksumC(c: Column): Column =
+    ColumnBridge.column(BinaryChecksum(ColumnBridge.expression(c)))
+}
+
+/** `TextOps.binaryChecksum(binary)` as a codegen'd unary expression. */
+case class BinaryChecksum(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "binary_checksum"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"binary_checksum expects binary, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.binaryChecksum(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.binaryChecksum($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BinaryChecksum =
+    copy(child = newChild)
 }
 
 /** `TextOps.<kernel>(string)` as a codegen'd unary expression. */

@@ -396,6 +396,39 @@ object PipelineQueries {
        |FROM documents""".stripMargin
   }
 
+  /** Q50: multimodal binary-column plumbing — documents' text re-materialized
+    * as an opaque binary payload with a typed metadata struct, ranged hex
+    * access (the "frame sample"), and a deterministic feature-extraction
+    * kernel standing in for media decode (see
+    * [[graft.functions.TextOps.binaryChecksum]]). The oracle mirrors the
+    * byte math over character codes, valid because the corpus is ASCII
+    * (verified: octet_length == length for every doc).
+    */
+  private def q50(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val payload = col("text").cast("binary")
+    val meta = struct(lit("text/plain").as("mime"),
+      length(payload).cast("long").as("n_bytes"))
+    d.select(col("doc_id"), payload.as("payload"), meta.as("meta"))
+      .select(col("doc_id"),
+        col("meta.mime").as("mime"),
+        col("meta.n_bytes").as("n_bytes"),
+        lower(substring(hex(col("payload")), 1, 16)).as("head_hex"),
+        lower(substring(hex(col("payload")), 33, 8)).as("mid_hex"),
+        TextOps.binaryChecksumC(col("payload")).as("checksum"))
+  }
+
+  private val q50Sql =
+    """SELECT doc_id,
+      |       'text/plain' AS mime,
+      |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |       lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+      |       lower(substr(hex(encode(text)), 33, 8)) AS mid_hex,
+      |       CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |              i -> CAST(ascii(substr(text, i, 1)) AS BIGINT) * ((i % 7) + 1)))
+      |            % 1000000007 AS BIGINT) AS checksum
+      |FROM documents""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -407,7 +440,8 @@ object PipelineQueries {
     "q45_langid" -> (q45 _),
     "q46_quality" -> (q46 _),
     "q47_fingerprint" -> (q47 _),
-    "q48_simhash" -> (q48 _))
+    "q48_simhash" -> (q48 _),
+    "q50_multimodal" -> (q50 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -420,5 +454,6 @@ object PipelineQueries {
     "q45_langid" -> q45Sql,
     "q46_quality" -> q46Sql,
     "q47_fingerprint" -> q47Sql,
-    "q48_simhash" -> q48Sql)
+    "q48_simhash" -> q48Sql,
+    "q50_multimodal" -> q50Sql)
 }

@@ -35,10 +35,13 @@ import org.apache.spark.sql.functions._
   */
 object CompactionRunner {
 
-  /** One data-file scan task: path + the file's sequence number
-    * (FileScanTask, `core/src/parser/proto.rs:113-131`).
+  /** One data-file scan task: path + the file's sequence number + format
+    * (FileScanTask, `core/src/parser/proto.rs:113-131`; format enum
+    * `core/proto/iceberg.proto:11-15` — parquet / orc / avro. The avro
+    * DataSource connector is not on this environment's classpath, so the
+    * dispatch accepts it but only parquet and orc are exercised in tests).
     */
-  final case class DataFileTask(path: String, seqNum: Long)
+  final case class DataFileTask(path: String, seqNum: Long, format: String = "parquet")
 
   /** A position-delete file (columns `file_path`, `pos`). */
   final case class PosDeleteTask(path: String)
@@ -83,14 +86,18 @@ object CompactionRunner {
     * rendering (`file:///abs/path`).
     */
   def canonPath(p: String): String =
-    new java.io.File(p).toURI.toString.replaceFirst("^file:/+", "file:///")
+    (if (p.startsWith("file:")) p else new java.io.File(p).toURI.toString)
+      .replaceFirst("^file:/+", "file:///")
 
   private def canonCol(c: Column): Column =
     regexp_replace(c, "^file:/+", "file:///")
 
-  /** S1+S3: scan data files and fabricate the three hidden columns with zero
-    * shuffle (`_metadata` is computed per-split inside the scan; seq numbers
-    * arrive by broadcast).
+  /** S1+S3: scan data files and fabricate the three hidden columns. For
+    * parquet the positions come from `_metadata.row_index` — zero shuffle.
+    * ORC/Avro have no row-index metadata column in Spark, so those formats
+    * fall back to a per-file window (one shuffle keyed by file — the
+    * documented fallback, acceptable because non-parquet inputs are the
+    * rare migration case). Seq numbers arrive by broadcast in both paths.
     */
   def scanWithHiddenCols(spark: SparkSession, tasks: Seq[DataFileTask]): DataFrame = {
     val dedup = dedupByPath(tasks)(_.path)
@@ -98,9 +105,22 @@ object CompactionRunner {
     val seqRows = dedup.map(t => (canonPath(t.path), t.seqNum))
     import spark.implicits._
     val seqDf = seqRows.toDF(MorPlanner.FilePathCol, MorPlanner.SeqNumCol)
-    spark.read.parquet(dedup.map(_.path): _*)
-      .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
-      .withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
+    val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
+    val scans = byFormat.map { case (fmt, ts) =>
+      val base = spark.read.format(fmt).load(ts.map(_.path): _*)
+        .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
+      val withPos =
+        if (fmt == "parquet")
+          base.withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(MorPlanner.FilePathCol))
+            .orderBy(monotonically_increasing_id())
+          base.withColumn(MorPlanner.PosCol, row_number().over(w).cast("long") - 1)
+        }
+      withPos
+    }
+    scans.reduce { (a, b) => a.unionByName(b) }
       .join(broadcast(seqDf), MorPlanner.FilePathCol)
   }
 

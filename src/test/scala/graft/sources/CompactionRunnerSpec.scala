@@ -43,6 +43,30 @@ class CompactionRunnerSpec extends SparkSpec {
     scan.unpersist()
   }
 
+  test("ORC data files scan with dense positions via the window fallback (S2)") {
+    val table = tmpDir("graft-orc")
+    Tables.lineitem(spark, sfDir).repartition(2).write.mode("overwrite").orc(table)
+    val files = new java.io.File(table).listFiles()
+      .filter(f => f.getName.endsWith(".orc")).map(_.getPath).sorted
+    assert(files.length == 2)
+    val tasks = files.zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L, "orc") }.toSeq
+    val scan = scanWithHiddenCols(spark, tasks)
+    assert(scan.count() == 6000)
+    val bad = scan.groupBy(MorPlanner.FilePathCol)
+      .agg(min(col(MorPlanner.PosCol)).as("mn"), max(col(MorPlanner.PosCol)).as("mx"),
+        countDistinct(col(MorPlanner.PosCol)).as("nd"), count(lit(1)).as("n"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 || col("nd") =!= col("n"))
+    assert(bad.count() == 0)
+    // mixed-format scan: parquet + orc unioned under one set of hidden cols
+    val ptable = tmpDir("graft-mixed")
+    Tables.lineitem(spark, sfDir).limit(100).write.mode("overwrite").parquet(ptable)
+    val pfiles = new java.io.File(ptable).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+    val mixed = scanWithHiddenCols(spark,
+      tasks ++ pfiles.map(p => DataFileTask(p, 9L, "parquet")))
+    assert(mixed.count() == 6100)
+  }
+
   test("end-to-end compaction: merge, partitioned write, stats, manifest") {
     val table = tmpDir("graft-table")
     val deletes = tmpDir("graft-deletes")

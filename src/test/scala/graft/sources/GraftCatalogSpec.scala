@@ -1,0 +1,52 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.sources.CompactionRunner.DataFileTask
+import java.nio.file.Files
+
+class GraftCatalogSpec extends SparkSpec {
+
+  private def newCatalog() =
+    new GraftCatalog(Files.createTempDirectory("graft-cat").toString)
+
+  test("create/load/commit/expire snapshot chain") {
+    val cat = newCatalog()
+    cat.createTable("t", Seq(DataFileTask("/a.parquet", 1), DataFileTask("/b.parquet", 2)))
+    assert(cat.currentSnapshotId("t") == 1)
+    assert(cat.loadTable("t").map(_.path) == Seq("/a.parquet", "/b.parquet"))
+
+    val id2 = cat.commitRewrite("t",
+      added = Seq(DataFileTask("/c.parquet", 3)),
+      removedPaths = Seq("/a.parquet"))
+    assert(id2 == 2)
+    assert(cat.loadTable("t").map(_.path) == Seq("/b.parquet", "/c.parquet"))
+    assert(cat.snapshotIds("t") == Seq(1L, 2L))
+
+    val id3 = cat.commitRewrite("t", Seq(DataFileTask("/d.parquet", 4)), Nil)
+    assert(id3 == 3)
+    val expired = cat.expireSnapshots("t", keepLast = 1)
+    assert(expired == Seq(1L, 2L))
+    assert(cat.snapshotIds("t") == Seq(3L))
+    // HEAD still loads
+    assert(cat.loadTable("t").map(_.path).toSet ==
+      Set("/b.parquet", "/c.parquet", "/d.parquet"))
+  }
+
+  test("catalog-driven compaction commits a new snapshot with the output files") {
+    val cat = newCatalog()
+    val table = Files.createTempDirectory("graft-cat-data").toString
+    val out = Files.createTempDirectory("graft-cat-out").toString
+    Tables.lineitem(spark, sfDir).repartition(2).write.mode("overwrite").parquet(table)
+    val files = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    cat.createTable("li", files.zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }.toSeq)
+
+    val (snapId, manifest) = cat.compactTable(spark, "li", out)
+    assert(snapId == 2)
+    assert(manifest.outputRecordCount == 6000)
+    // the new table state is exactly the written files, readable
+    val newTasks = cat.loadTable("li")
+    assert(newTasks.map(_.path).toSet == manifest.addedFiles.map(_.path).toSet)
+    assert(CompactionRunner.scanWithHiddenCols(spark, newTasks).count() == 6000)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.streaming.EventStreams._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String, v: Double) =
+    Event(id, ts(minute), user, typ, v)
+
+  test("watermarked tumbling-window aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = windowedCounts(input.toDS(), "10 minutes", "1 hour")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    input.addData(
+      ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "click", 2.0),
+      ev(3, 12, 2, "view", 3.0), ev(4, 15, 2, "click", 4.0))
+    q.processAllAvailable()
+    val out = spark.table("win_counts").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"), r.getAs[Double]("sum_value")))
+      .toSet
+    q.stop()
+    assert(out == Set(
+      ("2024-01-01 10:00:00.0", "click", 2L, 3.0),
+      ("2024-01-01 10:10:00.0", "view", 1L, 3.0),
+      ("2024-01-01 10:10:00.0", "click", 1L, 4.0)))
+  }
+
+  test("session windows merge events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = userSessions(input.toDS(), "5 minutes", "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    // user 1: minutes 1,3,5 (one session), minute 30 (second session)
+    input.addData(
+      ev(1, 1, 1, "click", 1.0), ev(2, 3, 1, "click", 1.0),
+      ev(3, 5, 1, "click", 1.0), ev(4, 30, 1, "click", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events")))
+    q.stop()
+    assert(out.toSeq.sorted == Seq((1L, 1L), (1L, 3L)))
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+    input.addData(ev(1, 1, 7, "click", 1.5), ev(2, 2, 7, "view", 2.5))
+    q.processAllAvailable()
+    input.addData(ev(3, 3, 7, "click", 6.0))
+    q.processAllAvailable()
+    val updates = spark.table("user_totals").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value")))
+    q.stop()
+    // one update per batch touching the key; final state 3 events / 10.0
+    assert(updates.contains((7L, 2L, 4.0)))
+    assert(updates.contains((7L, 3L, 10.0)))
+  }
+}
