@@ -20,11 +20,13 @@ object SparkEntry {
     MorQueries.queries ++ TransformQueries.queries ++
       JoinQueries.queries ++ AggQueries.queries ++
       graft.functions.ScalarQueries.queries ++
-      graft.pipeline.PipelineQueries.queries
+      graft.pipeline.PipelineQueries.queries ++
+      graft.plans.PlanQueries.queries
 
   def oracleSql: Map[String, String] =
     MorQueries.oracleSql ++ TransformQueries.oracleSql ++
       JoinQueries.oracleSql ++ AggQueries.oracleSql ++
       graft.functions.ScalarQueries.oracleSql ++
-      graft.pipeline.PipelineQueries.oracleSql
+      graft.pipeline.PipelineQueries.oracleSql ++
+      graft.plans.PlanQueries.oracleSql
 }
