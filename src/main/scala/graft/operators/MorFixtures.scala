@@ -32,8 +32,18 @@ object MorFixtures {
 
   import MorPlanner._
 
-  /** lineitem + hidden columns. */
-  def dataTable(spark: SparkSession, sfDir: String): DataFrame = {
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** lineitem + hidden columns. Cached per (session, sfDir): the window is
+    * the fixture's one expensive step and every MoR query references this
+    * table two to four times (data side + delete derivations) — caching
+    * computes it once per session instead of once per plan branch.
+    */
+  def dataTable(spark: SparkSession, sfDir: String): DataFrame =
+    memo.getOrElseUpdate((spark, sfDir), buildDataTable(spark, sfDir).cache())
+
+  private def buildDataTable(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val file = concat(lit("f"), (col("l_orderkey") % 29).cast("string"))
     // Total ordering: the synthetic lineitem has duplicate
