@@ -106,6 +106,25 @@ object JoinQueries {
       .agg(count(lit(1)).as("n_parts"), sumDec("p_retailprice").as("sum_price"))
   }
 
+  /** Q17 as-of join: each click event picks up the user's most recent prior
+    * view value. Spark has no native as-of join; the scalable composition is
+    * ONE window pass over the unioned stream (partition by user, order by
+    * event id, `last(..., ignoreNulls)` over the preceding frame) — a single
+    * shuffle on the join key, no range self-join, no point lookups.
+    */
+  private def q17(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("click", "view"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ev.select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        last(when(col("event_type") === "view", col("value")), ignoreNulls = true)
+          .over(w).as("prev_view_value"))
+      .filter(col("event_type") === "click")
+      .drop("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_join_inner" -> (q10 _),
     "q11_join_left" -> (q11 _),
@@ -113,7 +132,8 @@ object JoinQueries {
     "q13_join_semi" -> (q13 _),
     "q14_join_anti" -> (q14 _),
     "q15_join_range" -> (q15 _),
-    "q16_join_theta" -> (q16 _))
+    "q16_join_theta" -> (q16 _),
+    "q17_join_asof" -> (q17 _))
 
   val oracleSql: Map[String, String] = Map(
     "q10_join_inner" ->
@@ -156,5 +176,13 @@ object JoinQueries {
         |       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part p JOIN nation n
         |  ON p.p_size >= n.n_nationkey AND p.p_size < n.n_nationkey + 5
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q17_join_asof" ->
+      """SELECT event_id, user_id, value, prev_view_value FROM (
+        |  SELECT event_id, user_id, event_type, value,
+        |         last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view_value
+        |  FROM events WHERE event_type IN ('click', 'view')) t
+        |WHERE event_type = 'click'""".stripMargin)
 }
