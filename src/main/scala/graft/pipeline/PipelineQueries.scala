@@ -429,6 +429,126 @@ object PipelineQueries {
       |            % 1000000007 AS BIGINT) AS checksum
       |FROM documents""".stripMargin
 
+  /** Q49: SimHash near-dup — the standard two-stage shape: signatures banded
+    * into two bytes propose candidates (a pair within Hamming distance <
+    * #bands is guaranteed to share a band), then an EXACT token-set Jaccard
+    * verify confirms (Hamming ≤ 3 AND Jaccard ≥ 0.8). The verify stage is
+    * what keeps the operator selective on low-entropy corpora (this
+    * fixture's vocabulary is 33 words, so raw 16-bit signatures collide
+    * heavily — exactly why production simhash dedup always verifies).
+    * Runs over the perturbed corpus so planted near-dups exist; no
+    * all-pairs join anywhere.
+    */
+  private def q49(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = corpus(spark, sfDir)
+      .select(col("doc_id"), TextOps.simhash16C(col("text")).as("sh"),
+        array_distinct(split(col("text"), " ")).as("dt"))
+      .cache()
+    // Stage 1: banded candidates carry only (doc_id, sh) — the Hamming
+    // filter runs before any token arrays are shuffled or compared.
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      explode(array(
+        struct(lit(0).as("band"), (col("sh") % 256).as("bval")),
+        struct(lit(1).as("band"), floor(col("sh") / 256).cast("long").as("bval"))))
+        .as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val x = banded.as("x"); val y = banded.as("y")
+    val cand = x.join(y,
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct()
+    // Stage 2: exact token-set Jaccard verify, only for Hamming survivors.
+    val inter = size(array_intersect(col("dta"), col("dtb")))
+    val jac = inter.cast("double") / (size(col("dta")) + size(col("dtb")) - inter)
+    cand
+      .join(sigs.select(col("doc_id").as("doc_a"), col("dt").as("dta")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("dt").as("dtb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"), jac.as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  private val q49Sql =
+    s"""WITH $CorpusSql,
+       |sigs AS (
+       |  SELECT doc_id,
+       |         CAST(${(0 until 16).map { j =>
+              s"""(CASE WHEN list_sum(list_transform(list_distinct(string_split(text, ' ')),
+                 |  x -> CASE WHEN (${StrHashSql.format("x")} >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                 |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+            }.mkString("\n + ")} AS BIGINT) AS sh,
+       |         list_distinct(string_split(text, ' ')) AS dt
+       |  FROM corpus),
+       |banded AS (
+       |  SELECT doc_id, sh, 0 AS band, sh % 256 AS bval FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, sh, 1 AS band, sh // 256 AS bval FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+       |         CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id
+       |  WHERE bit_count(xor(x.sh, y.sh)) <= 3)
+       |SELECT c.doc_a, c.doc_b, c.hamming,
+       |       CAST(len(list_filter(a.dt, t -> list_contains(b.dt, t))) AS DOUBLE)
+       |         / (len(a.dt) + len(b.dt) - len(list_filter(a.dt, t -> list_contains(b.dt, t)))) AS jaccard
+       |FROM cand c
+       |JOIN sigs a ON a.doc_id = c.doc_a
+       |JOIN sigs b ON b.doc_id = c.doc_b
+       |WHERE CAST(len(list_filter(a.dt, t -> list_contains(b.dt, t))) AS DOUBLE)
+       |        / (len(a.dt) + len(b.dt) - len(list_filter(a.dt, t -> list_contains(b.dt, t)))) >= 0.8""".stripMargin
+
+  /** Q51: embedding-cosine near-dup restricted to IVF buckets (reuses the
+    * Q44 centroid assignment) — the bucketed shape that avoids the O(n²)
+    * cross join at scale; recall is the standard IVF trade, mirrored
+    * exactly by the oracle.
+    */
+  private def q51(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
+    val assign = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
+        (dotD(col("cv"), col("embedding")) / (col("nrm") * col("cnrm"))).as("ccos"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter(col("arn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
+      .cache()
+    val a = assign.as("a"); val b = assign.as("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (dotD(col("a.embedding"), col("b.embedding")) /
+          (col("b.nrm") * col("a.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.40)
+  }
+
+  private val q51Sql =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
+      |assign AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT e.vec_id, e.v, c.cid,
+      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |             list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
+      |               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+      |                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+      |             c.cid) AS arn
+      |    FROM e, c) t
+      |  WHERE arn = 1)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |       list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |         / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
+      |            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) AS cos
+      |FROM assign a JOIN assign b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      |WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |        / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
+      |           * sqrt(list_sum(list_transform(a.v, x -> x * x)))) >= 0.40""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -441,7 +561,9 @@ object PipelineQueries {
     "q46_quality" -> (q46 _),
     "q47_fingerprint" -> (q47 _),
     "q48_simhash" -> (q48 _),
-    "q50_multimodal" -> (q50 _))
+    "q49_simhash_neardup" -> (q49 _),
+    "q50_multimodal" -> (q50 _),
+    "q51_embed_neardup" -> (q51 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -455,5 +577,7 @@ object PipelineQueries {
     "q46_quality" -> q46Sql,
     "q47_fingerprint" -> q47Sql,
     "q48_simhash" -> q48Sql,
-    "q50_multimodal" -> q50Sql)
+    "q49_simhash_neardup" -> q49Sql,
+    "q50_multimodal" -> q50Sql,
+    "q51_embed_neardup" -> q51Sql)
 }
