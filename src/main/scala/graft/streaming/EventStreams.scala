@@ -54,6 +54,15 @@ object EventStreams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup: drop re-deliveries of the same event id, with
+    * state bounded by the watermark (late duplicates beyond it age out of
+    * the dedup state — the standard at-least-once → exactly-once repair).
+    */
+  def dedupStream(events: Dataset[Event], watermark: String = "1 hour"): DataFrame =
+    events.toDF()
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class UserState(nEvents: Long, totalValue: Double)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
 

@@ -48,6 +48,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(out.select("cid").distinct().count() <= 4)
   }
 
+  test("simhash near-dup recovers planted pairs, stays banded") {
+    val out = q("q49_simhash_neardup").cache()
+    assert(out.filter(col("doc_b") === col("doc_a") + 100000).count() > 0)
+    assert(out.filter(col("hamming") > 3 || col("jaccard") < 0.8).count() == 0)
+    val plan = q("q49_simhash_neardup").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    out.unpersist()
+  }
+
+  test("embedding near-dup only pairs vectors from the same IVF bucket") {
+    val out = q("q51_embed_neardup")
+    assert(out.filter(col("cos") < 0.40).count() == 0)
+    val plan = q("q51_embed_neardup").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("simhash of identical texts is identical and 16-bit bounded") {
     val out = q("q48_simhash")
     assert(out.filter(col("simhash") < 0 || col("simhash") >= (1 << 16)).count() == 0)

@@ -53,6 +53,23 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.toSeq.sorted == Seq((1L, 1L), (1L, 3L)))
   }
 
+  test("streaming dedup drops re-delivered event ids across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val q = dedupStream(input.toDS(), "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    input.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 2.0),
+      ev(1, 1, 1, "click", 1.0))
+    q.processAllAvailable()
+    input.addData(ev(2, 2, 1, "view", 2.0), ev(3, 3, 2, "click", 3.0))
+    q.processAllAvailable()
+    val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
