@@ -89,17 +89,17 @@ object TextOps {
     acc
   }
 
-  /** 16-bit simhash: per bit, sign-sum of distinct token hashes. */
-  def simhash16(s: UTF8String): Long = {
+  /** n-bit simhash: per bit, sign-sum of distinct token hashes. */
+  private def simhashN(s: UTF8String, bits: Int): Long = {
     val t = tokens(s)
     val seen = new java.util.HashSet[UTF8String]()
-    val sums = new Array[Int](16)
+    val sums = new Array[Int](bits)
     var i = 0
     while (i < t.length) {
       if (seen.add(t(i))) {
         val h = portableHash(t(i))
         var j = 0
-        while (j < 16) {
+        while (j < bits) {
           sums(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
           j += 1
         }
@@ -108,12 +108,20 @@ object TextOps {
     }
     var out = 0L
     var j = 0
-    while (j < 16) {
+    while (j < bits) {
       if (sums(j) > 0) out |= (1L << j)
       j += 1
     }
     out
   }
+
+  def simhash16(s: UTF8String): Long = simhashN(s, 16)
+
+  /** 32-bit variant for near-dup banding: two 16-bit bands give 65536-way
+    * buckets — the 8-bit bands of a 16-bit signature collapse on
+    * low-entropy corpora (measured ~90% of all pairs as candidates).
+    */
+  def simhash32(s: UTF8String): Long = simhashN(s, 32)
 
   /** Deterministic checksum over payload bytes — the STUB feature extractor
     * for opaque multimodal payloads (this container has no image/audio
@@ -142,6 +150,8 @@ object TextOps {
     ColumnBridge.column(TextKernel(ColumnBridge.expression(c), "fingerprint", LongType))
   def simhash16C(c: Column): Column =
     ColumnBridge.column(TextKernel(ColumnBridge.expression(c), "simhash16", LongType))
+  def simhash32C(c: Column): Column =
+    ColumnBridge.column(TextKernel(ColumnBridge.expression(c), "simhash32", LongType))
   def binaryChecksumC(c: Column): Column =
     ColumnBridge.column(BinaryChecksum(ColumnBridge.expression(c)))
 }
@@ -189,6 +199,7 @@ case class TextKernel(child: Expression, kernel: String, outType: DataType)
       case "portableHash" => TextOps.portableHash(s)
       case "fingerprint" => TextOps.fingerprint(s)
       case "simhash16" => TextOps.simhash16(s)
+      case "simhash32" => TextOps.simhash32(s)
     }
   }
 
