@@ -136,18 +136,25 @@ object CompactionRunner {
     * equalityCols vector in consecutive runs form one group, mirroring the
     * reference's table-per-run chaining (`datafusion_processor.rs:376-400`).
     */
-  def readEqualityDeletes(
-      spark: SparkSession, tasks: Seq[EqDeleteTask]): Seq[EqualityDeleteGroup] = {
-    import spark.implicits._
-    val dedup = dedupByPath(tasks)(_.path)
-    // consecutive-run grouping (a change of ids opens a new table)
-    val groups = dedup.foldLeft(List.empty[List[EqDeleteTask]]) { (acc, t) =>
+  /** Consecutive-run grouping: tasks sharing an equalityCols vector with
+    * their predecessor join its group; any CHANGE of the vector opens a new
+    * group, even if the same vector appeared earlier (the reference's
+    * `is_none_or(!ids.eq)` logic, `datafusion_processor.rs:376-400` — runs,
+    * not a global dedup).
+    */
+  private[sources] def groupConsecutive(tasks: Seq[EqDeleteTask]): Seq[Seq[EqDeleteTask]] =
+    tasks.foldLeft(List.empty[List[EqDeleteTask]]) { (acc, t) =>
       acc match {
         case head :: tail if head.head.equalityCols == t.equalityCols =>
           (head :+ t) :: tail
         case _ => List(t) :: acc
       }
     }.reverse
+
+  def readEqualityDeletes(
+      spark: SparkSession, tasks: Seq[EqDeleteTask]): Seq[EqualityDeleteGroup] = {
+    import spark.implicits._
+    val groups = groupConsecutive(dedupByPath(tasks)(_.path))
     groups.map { ts =>
       val seqDf = ts.map(t => (canonPath(t.path), t.seqNum))
         .toDF("graft_eq_path", MorPlanner.SeqNumCol)

@@ -18,6 +18,16 @@ class CompactionRunnerSpec extends SparkSpec {
     assert(out == Seq(("a", 1), ("b", 2), ("c", 3)))
   }
 
+  test("equality-delete grouping is by consecutive runs, not global dedup") {
+    def t(p: String, cols: String*) = EqDeleteTask(p, 1L, cols.toSeq)
+    // A,A,B -> [AA][B]; A,B,A -> [A][B][A] (a returning vector reopens)
+    assert(groupConsecutive(Seq(t("1", "x"), t("2", "x"), t("3", "y")))
+      .map(_.map(_.path)) == Seq(Seq("1", "2"), Seq("3")))
+    assert(groupConsecutive(Seq(t("1", "x"), t("2", "y"), t("3", "x")))
+      .map(_.map(_.path)) == Seq(Seq("1"), Seq("2"), Seq("3")))
+    assert(groupConsecutive(Nil) == Nil)
+  }
+
   test("scan fabricates hidden columns from _metadata with dense per-file positions") {
     val table = tmpDir("graft-table")
     Tables.lineitem(spark, sfDir).repartition(3).write.mode("overwrite").parquet(table)
