@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   */
 object AggQueries {
 
-  private def sumDec(c: Column, scale: Int = 2): Column =
+  /** Order-independent exact sum: DECIMAL-routed, emitted as double on both
+    * engines (the repo-wide aggregate convention — shared with JoinQueries).
+    */
+  private[operators] def sumDec(c: Column, scale: Int = 2): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
   /** Q20 hash aggregate, TPC-H Q1 shape. */

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object JoinQueries {
 
   private def sumDec(c: String): org.apache.spark.sql.Column =
-    sum(col(c).cast("decimal(18,2)")).cast("double")
+    AggQueries.sumDec(col(c))
 
   /** Q10 inner equi join: orders ⋈ customer, grouped rollup. */
   private def q10(spark: SparkSession, sfDir: String): DataFrame = {

@@ -43,6 +43,14 @@ object MorFixtures {
   def dataTable(spark: SparkSession, sfDir: String): DataFrame =
     memo.getOrElseUpdate((spark, sfDir), buildDataTable(spark, sfDir).cache())
 
+  /** Unpersist and forget all memoized fixture tables (long-lived processes
+    * cycling SparkSessions should call this on session teardown).
+    */
+  def clearCache(): Unit = {
+    memo.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    memo.clear()
+  }
+
   private def buildDataTable(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val file = concat(lit("f"), (col("l_orderkey") % 29).cast("string"))

@@ -29,6 +29,8 @@ object SkewJoin {
       saltBuckets: Int): DataFrame = {
     require(saltBuckets > 0, s"saltBuckets must be positive, got $saltBuckets")
     val saltCol = "graft_salt"
+    require(!big.columns.contains(saltCol) && !small.columns.contains(saltCol),
+      s"inputs must not already carry a '$saltCol' column")
     val bigSalted = big.withColumn(saltCol,
       pmod(xxhash64(big.columns.map(col).toSeq: _*), lit(saltBuckets)))
     val smallReplicated = small.withColumn(saltCol,

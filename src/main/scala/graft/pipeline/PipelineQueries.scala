@@ -202,27 +202,33 @@ object PipelineQueries {
       |  FROM p) t
       |WHERE rn <= 5""".stripMargin
 
-  /** Q44: IVF-style ANN — every vector is assigned to its nearest of 4
-    * centroid seeds (one pass, broadcast centroids); each query then probes
-    * only its own centroid bucket. This is the shape that scales: candidate
-    * sets shrink by the bucket factor and nothing is all-pairs.
+  /** One-pass IVF centroid assignment, shared by Q44 and Q51 (identical
+    * plan → one CacheManager entry even across both queries): every vector
+    * joins the 4 broadcast centroid seeds and keeps its best bucket.
     */
-  private def q44(spark: SparkSession, sfDir: String): DataFrame = {
+  private def ivfAssign(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
     val cents = e.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cid"))
-    // assignment pass is reused by both the query set and the probe join —
-    // cache it so the centroid scoring runs once
-    val assign = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
         (dotD(col("cv"), col("embedding")) / (col("nrm") * col("cnrm"))).as("ccos"))
       .withColumn("arn", row_number().over(wAssign))
       .filter(col("arn") === 1)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
       .cache()
+  }
+
+  /** Q44: IVF-style ANN — every vector is assigned to its nearest of 4
+    * centroid seeds (one pass, broadcast centroids); each query then probes
+    * only its own centroid bucket. This is the shape that scales: candidate
+    * sets shrink by the bucket factor and nothing is all-pairs.
+    */
+  private def q44(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = ivfAssign(spark, sfDir)
     val qs = assign.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("nrm").as("qnrm"), col("cid"))
@@ -235,8 +241,9 @@ object PipelineQueries {
       .filter(col("rn") <= 3)
   }
 
-  private val q44Sql =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  /** Oracle twin of [[ivfAssign]], shared by the Q44 and Q51 oracles. */
+  private val IvfAssignCte =
+    """e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |           FROM embeddings),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
       |assign AS (
@@ -248,7 +255,10 @@ object PipelineQueries {
       |                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
       |             c.cid) AS arn
       |    FROM e, c) t
-      |  WHERE arn = 1),
+      |  WHERE arn = 1)""".stripMargin
+
+  private val q44Sql =
+    s"""WITH $IvfAssignCte,
       |q AS (SELECT vec_id AS qid, v AS qv, cid FROM assign WHERE vec_id % 50 = 0),
       |p AS (
       |  SELECT q.qid, a.vec_id, a.cid,
@@ -508,18 +518,7 @@ object PipelineQueries {
     * exactly by the oracle.
     */
   private def q51(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
-    val cents = e.filter(col("vec_id") < 4)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cid"))
-    val assign = e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"),
-        (dotD(col("cv"), col("embedding")) / (col("nrm") * col("cnrm"))).as("ccos"))
-      .withColumn("arn", row_number().over(wAssign))
-      .filter(col("arn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cid"))
-      .cache()
+    val assign = ivfAssign(spark, sfDir)
     val a = assign.as("a"); val b = assign.as("b")
     a.join(b, col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -529,19 +528,7 @@ object PipelineQueries {
   }
 
   private val q51Sql =
-    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-      |           FROM embeddings),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 4),
-      |assign AS (
-      |  SELECT vec_id, v, cid FROM (
-      |    SELECT e.vec_id, e.v, c.cid,
-      |           row_number() OVER (PARTITION BY e.vec_id ORDER BY
-      |             list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * c.cv[i]))
-      |               / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
-      |                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
-      |             c.cid) AS arn
-      |    FROM e, c) t
-      |  WHERE arn = 1)
+    s"""WITH $IvfAssignCte
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |       list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
       |         / (sqrt(list_sum(list_transform(b.v, x -> x * x)))

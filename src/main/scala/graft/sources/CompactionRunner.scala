@@ -86,8 +86,15 @@ object CompactionRunner {
     * rendering (`file:///abs/path`).
     */
   def canonPath(p: String): String =
-    (if (p.startsWith("file:")) p else new java.io.File(p).toURI.toString)
-      .replaceFirst("^file:/+", "file:///")
+    if (p.contains("://") || p.startsWith("file:"))
+      // already a URI (s3://, hdfs://, file:///…): pass through, only
+      // normalizing the file-scheme slash count to _metadata's rendering
+      p.replaceFirst("^file:/+", "file:///")
+    else
+      // bare local path: prefix the scheme WITHOUT percent-encoding
+      // (java.io.File.toURI encodes spaces etc.; _metadata.file_path's
+      // Hadoop Path rendering does not)
+      "file://" + new java.io.File(p).getAbsolutePath
 
   private def canonCol(c: Column): Column =
     regexp_replace(c, "^file:/+", "file:///")
@@ -113,15 +120,27 @@ object CompactionRunner {
         if (fmt == "parquet")
           base.withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
         else {
+          // Order by (split offset, partition-local id): a file larger than
+          // maxPartitionBytes spans several splits and FilePartition packing
+          // does NOT visit them in offset order, so mid alone would permute
+          // positions; within one split the reader preserves file order.
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col(MorPlanner.FilePathCol))
-            .orderBy(monotonically_increasing_id())
+            .orderBy(col("_metadata.file_block_start"), monotonically_increasing_id())
           base.withColumn(MorPlanner.PosCol, row_number().over(w).cast("long") - 1)
         }
       withPos
     }
-    scans.reduce { (a, b) => a.unionByName(b) }
-      .join(broadcast(seqDf), MorPlanner.FilePathCol)
+    val seqJoined = scans.reduce { (a, b) => a.unionByName(b) }
+      .join(broadcast(seqDf), Seq(MorPlanner.FilePathCol), "left_outer")
+    // A scanned file whose canonical path fails to match its task entry must
+    // fail LOUDLY — an inner join here would silently drop the file's rows
+    // while the manifest still removed it (data loss at commit).
+    seqJoined.withColumn(MorPlanner.SeqNumCol,
+      when(col(MorPlanner.SeqNumCol).isNull,
+        raise_error(concat(lit("no seq-number task entry for scanned file "),
+          col(MorPlanner.FilePathCol))))
+        .otherwise(col(MorPlanner.SeqNumCol)))
   }
 
   /** Read position-delete files (columns file_path, pos → hidden names). */

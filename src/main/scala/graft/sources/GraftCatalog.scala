@@ -41,12 +41,15 @@ final class GraftCatalog(root: String) {
   def loadTable(table: String): Seq[DataFileTask] =
     readSnapshot(table, currentSnapshotId(table))
 
-  def snapshotIds(table: String): Seq[Long] =
-    Files.list(tableDir(table)).iterator().asScala
+  def snapshotIds(table: String): Seq[Long] = {
+    val stream = Files.list(tableDir(table))
+    try stream.iterator().asScala
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("snap-") && s.endsWith(".tsv") =>
         s.stripPrefix("snap-").stripSuffix(".tsv").toLong
       }.toSeq.sorted
+    finally stream.close() // Files.list leaks a directory fd if not closed
+  }
 
   /** Commit a rewrite: current files minus removed plus added → new snapshot,
     * advance HEAD (the `Transaction::rewrite_files` + `commit` pair,
