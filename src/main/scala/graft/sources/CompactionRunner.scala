@@ -114,7 +114,17 @@ object CompactionRunner {
     val seqDf = seqRows.toDF(MorPlanner.FilePathCol, MorPlanner.SeqNumCol)
     val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
     val scans = byFormat.map { case (fmt, ts) =>
-      val base = spark.read.format(fmt).load(ts.map(_.path): _*)
+      val reader = spark.read.format(fmt).load(ts.map(_.path): _*)
+      // Planning-time guard: every resolved input file must have a task
+      // entry under the SAME canonical path, or the broadcast seq join
+      // would silently mismatch. inputFiles is driver-side metadata (no
+      // data read) and uses the same Hadoop Path rendering as _metadata.
+      val taskPaths = ts.map(t => canonPath(t.path)).toSet
+      val unmatched = reader.inputFiles.map(canonPath).filterNot(taskPaths)
+      require(unmatched.isEmpty,
+        s"scanned files have no seq-number task entry (path mismatch?): " +
+          unmatched.take(5).mkString(", "))
+      val base = reader
         .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
       val withPos =
         if (fmt == "parquet")

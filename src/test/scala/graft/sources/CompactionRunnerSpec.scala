@@ -18,6 +18,33 @@ class CompactionRunnerSpec extends SparkSpec {
     assert(out == Seq(("a", 1), ("b", 2), ("c", 3)))
   }
 
+  test("canonPath preserves remote URIs and never percent-encodes") {
+    assert(canonPath("s3://bucket/part-0.parquet") == "s3://bucket/part-0.parquet")
+    assert(canonPath("hdfs://nn:8020/w/t/f.parquet") == "hdfs://nn:8020/w/t/f.parquet")
+    assert(canonPath("/a/b.parquet") == "file:///a/b.parquet")
+    assert(canonPath("file:/a/b.parquet") == "file:///a/b.parquet")
+    assert(canonPath("file:///a/b.parquet") == "file:///a/b.parquet")
+    assert(canonPath("/a/with space.parquet") == "file:///a/with space.parquet")
+  }
+
+  test("scan fails loudly when a scanned file has no matching task entry") {
+    val table = tmpDir("graft-mismatch")
+    Tables.lineitem(spark, sfDir).limit(10).write.mode("overwrite").parquet(table)
+    val file = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    assert(scanWithHiddenCols(spark, Seq(DataFileTask(file, 1L))).count() == 10)
+    // a task path that READS the same file but canonicalizes differently
+    // (redundant "./" survives canonPath, _metadata normalizes it away) —
+    // must raise, not silently drop all 10 rows
+    val dir = file.substring(0, file.lastIndexOf('/'))
+    val name = file.substring(file.lastIndexOf('/') + 1)
+    val ex = intercept[IllegalArgumentException] {
+      scanWithHiddenCols(spark, Seq(DataFileTask(s"$dir/./$name", 1L)))
+    }
+    assert(ex.getMessage.contains("no seq-number task entry"),
+      s"expected loud seq-mismatch failure, got: ${ex.getMessage}")
+  }
+
   test("equality-delete grouping is by consecutive runs, not global dedup") {
     def t(p: String, cols: String*) = EqDeleteTask(p, 1L, cols.toSeq)
     // A,A,B -> [AA][B]; A,B,A -> [A][B][A] (a returning vector reopens)
