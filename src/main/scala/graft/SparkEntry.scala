@@ -18,14 +18,14 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MorQueries.queries ++ TransformQueries.queries ++
-      JoinQueries.queries ++ AggQueries.queries ++
+      JoinQueries.queries ++ AggQueries.queries ++ MiscQueries.queries ++
       graft.functions.ScalarQueries.queries ++
       graft.pipeline.PipelineQueries.queries ++
       graft.plans.PlanQueries.queries
 
   def oracleSql: Map[String, String] =
     MorQueries.oracleSql ++ TransformQueries.oracleSql ++
-      JoinQueries.oracleSql ++ AggQueries.oracleSql ++
+      JoinQueries.oracleSql ++ AggQueries.oracleSql ++ MiscQueries.oracleSql ++
       graft.functions.ScalarQueries.oracleSql ++
       graft.pipeline.PipelineQueries.oracleSql ++
       graft.plans.PlanQueries.oracleSql

@@ -6,7 +6,8 @@ import graft.functions.ScalarQueries
 class EngineQueriesSpec extends SparkSpec {
 
   private val all =
-    JoinQueries.queries ++ AggQueries.queries ++ ScalarQueries.queries
+    JoinQueries.queries ++ AggQueries.queries ++ ScalarQueries.queries ++
+      MiscQueries.queries
 
   test("every engine-surface query runs and returns rows at sf0.001") {
     all.foreach { case (name, fn) =>
