@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H query shapes Q70–Q72 (Q3, Q5, Q10 analogues on the
+  * fixture schema) — the canonical multi-join benchmark shapes: selective
+  * dimension filters, star joins, decimal-exact revenue aggregation, and
+  * deterministic top-k. Per-group revenue sums stay within double-exact
+  * decimal range, so no rounding is needed.
+  *
+  * Scale: region/nation broadcast naturally (25 rows); customer/orders/
+  * lineitem stay shuffled equi-joins under AQE, with the date/segment
+  * filters pushed into the scans.
+  */
+object TpchQueries {
+
+  private def revenue: Column =
+    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast("decimal(18,6)")).cast("double")
+
+  /** Q70 (TPC-H Q3 shape): top-10 high-revenue urgent-ish orders. */
+  private def q70(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1996-06-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1996-06-15").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Q71 (TPC-H Q5 shape): local-supplier volume per nation in one region. */
+  private def q71(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+    val s = Tables.supplier(spark, sfDir)
+    val n = Tables.nation(spark, sfDir)
+    val r = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") &&
+        c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
+  /** Q72 (TPC-H Q10 shape): top-20 customers by returned-item revenue. */
+  private def q72(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1995-10-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir).filter(col("l_returnflag") === "R")
+    val n = Tables.nation(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_tpch_q3" -> (q70 _),
+    "q71_tpch_q5" -> (q71 _),
+    "q72_tpch_q10" -> (q72 _))
+
+  private val Rev =
+    "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q70_tpch_q3" ->
+      s"""SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+         |       o_orderpriority, $Rev AS revenue
+         |FROM customer, orders, lineitem
+         |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+         |  AND o_orderkey = l_orderkey
+         |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+         |  AND l_shipdate > TIMESTAMP '1996-06-15 00:00:00'
+         |GROUP BY 1, 2, 3
+         |ORDER BY revenue DESC, l_orderkey
+         |LIMIT 10""".stripMargin,
+    "q71_tpch_q5" ->
+      s"""SELECT n_name, $Rev AS revenue, count(*) AS n_lines
+         |FROM customer, orders, lineitem, supplier, nation, region
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY 1""".stripMargin,
+    "q72_tpch_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name, $Rev AS revenue
+         |FROM customer, orders, lineitem, nation
+         |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+         |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY 1, 2, 3, 4
+         |ORDER BY revenue DESC, c_custkey
+         |LIMIT 20""".stripMargin)
+}

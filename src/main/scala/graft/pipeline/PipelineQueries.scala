@@ -538,6 +538,44 @@ object PipelineQueries {
       |        / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
       |           * sqrt(list_sum(list_transform(a.v, x -> x * x)))) >= 0.40""".stripMargin
 
+  /** Q52: PII/noise scrubbing — the training-data cleaning pass: count and
+    * strip emails, URLs, and digit runs. Every 5th doc gets a planted noisy
+    * suffix (derived view; the fixture corpus itself is clean) so the
+    * scrubber has real matches. Patterns are restricted to the
+    * Java-regex ∩ RE2 common subset, identical in both engines.
+    */
+  private def q52(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val noisy = when(col("doc_id") % 5 === 0,
+      concat(col("text"),
+        lit(" reach test.user@example.com or http://graft.example/data ref 4711")))
+      .otherwise(col("text"))
+    val EmailRe = "[a-z0-9.]+@[a-z0-9.]+"
+    val UrlRe = "https?://[^ ]+"
+    val NumRe = "[0-9]+"
+    val cleaned = regexp_replace(regexp_replace(regexp_replace(
+      noisy, EmailRe, ""), UrlRe, ""), NumRe, "")
+    d.select(col("doc_id"),
+      regexp_count(noisy, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(noisy, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(noisy, lit(NumRe)).cast("long").as("n_nums"),
+      length(cleaned).cast("long").as("len_clean"))
+  }
+
+  private val q52Sql =
+    """SELECT doc_id,
+      |       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+      |       CAST(len(regexp_extract_all(t, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+      |       CAST(len(regexp_extract_all(t, '[0-9]+')) AS BIGINT) AS n_nums,
+      |       CAST(length(regexp_replace(regexp_replace(regexp_replace(
+      |         t, '[a-z0-9.]+@[a-z0-9.]+', '', 'g'), 'https?://[^ ]+', '', 'g'),
+      |         '[0-9]+', '', 'g')) AS BIGINT) AS len_clean
+      |FROM (SELECT doc_id,
+      |        CASE WHEN doc_id % 5 = 0
+      |             THEN text || ' reach test.user@example.com or http://graft.example/data ref 4711'
+      |             ELSE text END AS t
+      |      FROM documents) d""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -552,7 +590,8 @@ object PipelineQueries {
     "q48_simhash" -> (q48 _),
     "q49_simhash_neardup" -> (q49 _),
     "q50_multimodal" -> (q50 _),
-    "q51_embed_neardup" -> (q51 _))
+    "q51_embed_neardup" -> (q51 _),
+    "q52_scrub" -> (q52 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -568,5 +607,6 @@ object PipelineQueries {
     "q48_simhash" -> q48Sql,
     "q49_simhash_neardup" -> q49Sql,
     "q50_multimodal" -> q50Sql,
-    "q51_embed_neardup" -> q51Sql)
+    "q51_embed_neardup" -> q51Sql,
+    "q52_scrub" -> q52Sql)
 }

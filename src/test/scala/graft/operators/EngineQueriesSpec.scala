@@ -7,7 +7,7 @@ class EngineQueriesSpec extends SparkSpec {
 
   private val all =
     JoinQueries.queries ++ AggQueries.queries ++ ScalarQueries.queries ++
-      MiscQueries.queries
+      MiscQueries.queries ++ TpchQueries.queries
 
   test("every engine-surface query runs and returns rows at sf0.001") {
     all.foreach { case (name, fn) =>
