@@ -40,16 +40,19 @@ object MiscQueries {
     */
   private def q62(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+    // Price rescaled by 1000 so every moment sum fits DECIMAL(18,6) — the
+    // long-backed fast path (precision > 18 decimals fall back to per-row
+    // BigDecimal and were ~10× slower). corr is scale-invariant; covar is
+    // scaled back on output.
+    val pk = col("l_extendedprice") / lit(1000.0)
     val agged = li.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
-      sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sx"),
-      sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sy"),
-      sum((col("l_quantity") * col("l_quantity")).cast("decimal(30,4)"))
+      sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sx"),
+      sum(pk.cast("decimal(18,6)")).cast("double").as("sy"),
+      sum((col("l_quantity") * col("l_quantity")).cast("decimal(18,6)"))
         .cast("double").as("sxx"),
-      sum((col("l_extendedprice") * col("l_extendedprice")).cast("decimal(30,4)"))
-        .cast("double").as("syy"),
-      sum((col("l_quantity") * col("l_extendedprice")).cast("decimal(30,4)"))
-        .cast("double").as("sxy"))
+      sum((pk * pk).cast("decimal(18,6)")).cast("double").as("syy"),
+      sum((col("l_quantity") * pk).cast("decimal(18,6)")).cast("double").as("sxy"))
     // The moment sums exceed double precision (second moments of prices over
     // 1e5+ rows), and decimal→double conversion may double-round in one
     // engine and single-round in the other — last-ulp divergence observed.
@@ -58,7 +61,8 @@ object MiscQueries {
       round((col("n") * col("sxy") - col("sx") * col("sy")) /
         (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"),
-      round((col("sxy") - (col("sx") * col("sy")) / col("n")) / col("n"), 2).as("covar_pop"))
+      round(((col("sxy") - (col("sx") * col("sy")) / col("n")) / col("n")) * lit(1000.0), 2)
+        .as("covar_pop"))
   }
 
   /** Q63 edit distance + normalized similarity over part names/brands. */
@@ -120,14 +124,14 @@ object MiscQueries {
       """SELECT l_returnflag, n,
         |       round((n * sxy - sx * sy)
         |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
-        |       round((sxy - (sx * sy) / n) / n, 2) AS covar_pop
+        |       round(((sxy - (sx * sy) / n) / n) * 1000.0, 2) AS covar_pop
         |FROM (
         |  SELECT l_returnflag, count(*) AS n,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-        |         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxy
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+        |         CAST(sum(CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+        |         CAST(sum(CAST((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) AS DECIMAL(18,6))) AS DOUBLE) AS syy,
+        |         CAST(sum(CAST(l_quantity * (l_extendedprice / 1000.0) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
         |  FROM lineitem
         |  GROUP BY 1) t""".stripMargin,
     "q63_edit_distance" ->
