@@ -63,6 +63,14 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join: each event picks up its user's profile
+    * from a static dimension (broadcast per micro-batch — the standard
+    * at-scale shape for dimension enrichment; the static side can be a
+    * parquet/Delta table refreshed between batches).
+    */
+  def enrich(events: Dataset[Event], users: DataFrame): DataFrame =
+    events.toDF().join(broadcast(users), Seq("user_id"), "left_outer")
+
   final case class UserState(nEvents: Long, totalValue: Double)
   final case class UserUpdate(user_id: Long, n_events: Long, total_value: Double)
 

@@ -53,6 +53,22 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.toSeq.sorted == Seq((1L, 1L), (1L, 3L)))
   }
 
+  test("stream-static join enriches events from a broadcast dimension") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val users = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[Event]
+    val q = enrich(input.toDS(), users)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    input.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 3, "view", 2.0))
+    q.processAllAvailable()
+    val out = spark.table("enriched").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[String]("tier"))).toSet
+    q.stop()
+    assert(out == Set((1L, "gold"), (2L, null)))
+  }
+
   test("streaming dedup drops re-delivered event ids across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
