@@ -54,7 +54,11 @@ object CompactionRunner {
   final case class CompactionConfig(
       targetPartitions: Int = 4,
       partitionTransforms: Seq[(String, Column)] = Nil,
-      statsCols: Seq[String] = Nil)
+      statsCols: Seq[String] = Nil,
+      // range-cluster output on these columns: repartitionByRange + sort
+      // within files, so per-file min/max stats become near-disjoint and
+      // stats-based pruning (see [[pruneByStats]]) skips most files
+      clusterBy: Seq[String] = Nil)
 
   final case class DataFileStats(
       path: String,
@@ -210,10 +214,16 @@ object CompactionRunner {
       readPositionDeletes(spark, posDeletes),
       readEqualityDeletes(spark, eqDeletes))
 
-    // X1: force output stream count (RoundRobin), like the reference when the
-    // plan's natural partitioning differs from target_partitions.
+    // X1: force output stream count, like the reference when the plan's
+    // natural partitioning differs from target_partitions. With clusterBy,
+    // a RANGE repartition + in-file sort replaces round-robin so file-level
+    // min/max stats become selective.
     val repartitioned =
-      if (config.targetPartitions > 0) merged.repartition(config.targetPartitions)
+      if (config.clusterBy.nonEmpty && config.targetPartitions > 0)
+        merged.repartitionByRange(config.targetPartitions,
+            config.clusterBy.map(col): _*)
+          .sortWithinPartitions(config.clusterBy.map(col): _*)
+      else if (config.targetPartitions > 0) merged.repartition(config.targetPartitions)
       else merged
 
     // S7: materialize partition-transform columns and fan out.
@@ -260,6 +270,25 @@ object CompactionRunner {
     writeManifest(manifest, s"$outDir/_graft_manifest.json")
     manifest
   }
+
+  /** Stats-based file pruning: keep only files whose [min,max] range for
+    * `column` intersects [lo,hi] — the Iceberg-style manifest pruning that
+    * lets a 100 TB scan touch only the files a predicate can match. Null
+    * bounds (all-null or missing stats) are conservatively kept.
+    */
+  def pruneByStats(
+      files: Seq[DataFileStats],
+      column: String,
+      lo: Double,
+      hi: Double): Seq[DataFileStats] =
+    files.filter { f =>
+      (f.colMins.get(column), f.colMaxs.get(column)) match {
+        case (Some(mn), Some(mx)) if mn != "null" && mx != "null" =>
+          try mx.toDouble >= lo && mn.toDouble <= hi
+          catch { case _: NumberFormatException => true }
+        case _ => true
+      }
+    }
 
   /** Commit step: manifest JSON (stands in for the catalog transaction of
     * `Transaction::rewrite_files` — add new files, remove compacted inputs).

@@ -104,6 +104,35 @@ class CompactionRunnerSpec extends SparkSpec {
     assert(mixed.count() == 6100)
   }
 
+  test("clustered write yields near-disjoint file stats; pruning is complete") {
+    val table = tmpDir("graft-cluster")
+    val out = tmpDir("graft-cluster-out")
+    Tables.lineitem(spark, sfDir).repartition(2).write.mode("overwrite").parquet(table)
+    val tasks = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+      .zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }.toSeq
+    val manifest = compact(spark, tasks, Nil, Nil, out,
+      CompactionConfig(targetPartitions = 4,
+        statsCols = Seq("l_orderkey"), clusterBy = Seq("l_orderkey")))
+    assert(manifest.addedFiles.size >= 3)
+    // range clustering: file [min,max] orderkey ranges must not all overlap
+    val ranges = manifest.addedFiles.map(f =>
+      (f.colMins("l_orderkey").toDouble, f.colMaxs("l_orderkey").toDouble))
+      .sortBy(_._1)
+    val overlaps = ranges.zip(ranges.tail).count { case ((_, aMax), (bMin, _)) => aMax > bMin }
+    assert(overlaps == 0, s"clustered file ranges overlap: $ranges")
+    // pruning keeps fewer files for a narrow range…
+    val maxKey = ranges.map(_._2).max
+    val pruned = pruneByStats(manifest.addedFiles, "l_orderkey", 0, maxKey / 10)
+    assert(pruned.size < manifest.addedFiles.size)
+    // …and is COMPLETE: the pruned subset holds every matching row
+    val prunedRows = spark.read.parquet(pruned.map(_.path): _*)
+      .filter(col("l_orderkey") <= maxKey / 10).count()
+    val fullRows = spark.read.parquet(s"$out/data")
+      .filter(col("l_orderkey") <= maxKey / 10).count()
+    assert(prunedRows == fullRows && fullRows > 0)
+  }
+
   test("end-to-end compaction: merge, partitioned write, stats, manifest") {
     val table = tmpDir("graft-table")
     val deletes = tmpDir("graft-deletes")
