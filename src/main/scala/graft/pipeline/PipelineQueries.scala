@@ -132,9 +132,12 @@ object PipelineQueries {
       .filter(col("jaccard") >= JaccardThreshold)
   }
 
-  private val q41Sql: String = {
+  /** The q41 pipeline as a reusable CTE chain ending in `pairsq` (the
+    * thresholded near-dup pairs) — shared by the q41 and q53 oracles.
+    */
+  private val NearDupCtes: String = {
     val famRows = Family.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH $CorpusSql,
+    s"""$CorpusSql,
        |$ShinglesSql,
        |fam AS (SELECT * FROM (VALUES $famRows) f(i, a, b)),
        |mh AS (SELECT doc_id, i, min((a * h + b) % $MinhashP) AS mh
@@ -154,14 +157,70 @@ object PipelineQueries {
        |  FROM cand c
        |  JOIN shh sa ON sa.doc_id = c.doc_a
        |  JOIN shh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
-       |  GROUP BY 1, 2)
-       |SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
-       |       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
-       |FROM inter i
-       |JOIN sz za ON za.doc_id = i.doc_a
-       |JOIN sz zb ON zb.doc_id = i.doc_b
-       |WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= $JaccardThreshold""".stripMargin
+       |  GROUP BY 1, 2),
+       |pairsq AS (
+       |  SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+       |         CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+       |  FROM inter i
+       |  JOIN sz za ON za.doc_id = i.doc_a
+       |  JOIN sz zb ON zb.doc_id = i.doc_b
+       |  WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= $JaccardThreshold)""".stripMargin
   }
+
+  private val q41Sql: String =
+    s"""WITH $NearDupCtes
+       |SELECT doc_a, doc_b, n_common, jaccard FROM pairsq""".stripMargin
+
+  /** Q53: dedup clusters — connected components over the near-dup pair
+    * graph (the step after candidate generation in a real dedup pipeline:
+    * groups of mutually-similar docs collapse to one representative). Label
+    * propagation: every node starts as its own representative and
+    * repeatedly takes the min label among neighbors; converges in
+    * O(component diameter) rounds, each a keyed join + aggregate — the
+    * standard distributed CC shape (no driver-side graph).
+    */
+  private def q53(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = q41(spark, sfDir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .cache()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("rep", col("doc_id")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 25) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("rep")), "doc_b")
+        .groupBy(col("doc_a").as("nid")).agg(min(col("rep")).as("nrep"))
+      val updated = labels
+        .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left_outer")
+        .select(col("doc_id"),
+          least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
+        .cache()
+      updated.count() // materialize before comparing
+      changed = updated.as("u")
+        .join(labels.select(col("doc_id").as("did"), col("rep").as("old")),
+          col("u.doc_id") === col("did"))
+        .filter(col("u.rep") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  private val q53Sql =
+    s"""WITH RECURSIVE $NearDupCtes,
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM pairsq
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairsq),
+       |reach AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+       |SELECT a AS doc_id, least(a, min(b)) AS rep
+       |FROM reach GROUP BY a""".stripMargin
 
   // ---- Q42 cosine top-k / Q44 IVF ---------------------------------------
 
@@ -591,7 +650,8 @@ object PipelineQueries {
     "q49_simhash_neardup" -> (q49 _),
     "q50_multimodal" -> (q50 _),
     "q51_embed_neardup" -> (q51 _),
-    "q52_scrub" -> (q52 _))
+    "q52_scrub" -> (q52 _),
+    "q53_dedup_clusters" -> (q53 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -608,5 +668,6 @@ object PipelineQueries {
     "q49_simhash_neardup" -> q49Sql,
     "q50_multimodal" -> q50Sql,
     "q51_embed_neardup" -> q51Sql,
-    "q52_scrub" -> q52Sql)
+    "q52_scrub" -> q52Sql,
+    "q53_dedup_clusters" -> q53Sql)
 }

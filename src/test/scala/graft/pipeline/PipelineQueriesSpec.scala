@@ -64,6 +64,19 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("dedup clusters: planted duplicates share a representative with their source") {
+    val out = q("q53_dedup_clusters").cache()
+    // every planted doc (id+100000) must be in a cluster whose rep is <= its source id
+    val planted = out.filter(col("doc_id") >= 100000)
+    assert(planted.count() > 0)
+    assert(planted.filter(col("rep") >= 100000).count() == 0,
+      "planted duplicate not clustered with any original doc")
+    // reps are cluster minima: every rep maps to itself
+    val reps = out.select(col("rep").as("doc_id")).distinct()
+    assert(out.join(reps, "doc_id").filter(col("rep") =!= col("doc_id")).count() == 0)
+    out.unpersist()
+  }
+
   test("simhash of identical texts is identical and 16-bit bounded") {
     val out = q("q48_simhash")
     assert(out.filter(col("simhash") < 0 || col("simhash") >= (1 << 16)).count() == 0)
