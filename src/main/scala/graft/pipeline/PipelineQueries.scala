@@ -192,18 +192,17 @@ object PipelineQueries {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("rep")), "doc_b")
         .groupBy(col("doc_a").as("nid")).agg(min(col("rep")).as("nrep"))
+      // carry the previous label through the update so convergence is
+      // decided by ONE job per round (a separate compare join doubled the
+      // per-iteration latency)
       val updated = labels
         .join(neighborMin, labels("doc_id") === neighborMin("nid"), "left_outer")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("rep").as("prev"),
           least(col("rep"), coalesce(col("nrep"), col("rep"))).as("rep"))
         .cache()
-      updated.count() // materialize before comparing
-      changed = updated.as("u")
-        .join(labels.select(col("doc_id").as("did"), col("rep").as("old")),
-          col("u.doc_id") === col("did"))
-        .filter(col("u.rep") =!= col("old")).count()
+      changed = updated.filter(col("rep") =!= col("prev")).count()
       labels.unpersist()
-      labels = updated
+      labels = updated.select(col("doc_id"), col("rep"))
       iter += 1
     }
     labels
