@@ -2,16 +2,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Benchmark main. Emits ONE JSON line on stdout AND writes the same line to
-  * /tmp/bench.json (sbt prefixes stdout with `[info]`, which broke the
-  * driver's parse in round 1 — the file copy is the machine-readable signal).
+/** Benchmark main. Emits ONE JSON line on stdout AND stderr (sbt prefixes
+  * stdout with `[info]`, which broke the driver's parse in rounds 1–2; stderr
+  * passes through unwrapped under `sbt run`) AND writes the same line to
+  * `bench.json` in the working directory (= repo root under sbt) plus an
+  * overridable absolute path (default /tmp/bench.json) — four copies so at
+  * least one survives whatever channel the driver actually reads.
   * A failed query is recorded as -1 in `queries` and listed under `errors`
   * instead of silently counting its elapsed time as a success.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Default to the host's cores (capped at 32, the driver's documented
+    // shape) — a hard-coded 32 oversubscribes smaller hosts.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -41,8 +47,13 @@ object Bench {
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
-    Files.writeString(Paths.get("/tmp/bench.json"), line)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
+    for (p <- Seq(out, "bench.json"))
+      try Files.writeString(Paths.get(p), line)
+      catch { case _: Throwable => () }
     println(line)
+    System.err.println(line)
+    System.err.flush()
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

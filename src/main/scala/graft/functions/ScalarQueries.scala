@@ -85,14 +85,19 @@ object ScalarQueries {
       array_join(sort_array(map_values(m)), ",").as("vals_csv"))
   }
 
-  /** Q35 JSON extraction over events.props. */
+  /** Q35 JSON extraction over events.props — ONE `from_json` pass with an
+    * explicit schema; every output derives from the parsed struct (the
+    * earlier per-column `get_json_object` re-ran the JSON path parser per
+    * extraction and was the q35 bench cost).
+    */
   private def q35(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
     val schema = StructType.fromDDL("k BIGINT")
+    val k = from_json(col("props"), schema).getField("k")
     ev.select(col("event_id"),
-      get_json_object(col("props"), "$.k").as("k_str"),
-      get_json_object(col("props"), "$.k").cast("long").as("k_num"),
-      from_json(col("props"), schema).getField("k").as("k_parsed"))
+      k.cast("string").as("k_str"),
+      k.as("k_num"),
+      k.as("k_parsed"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -12,12 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object MiscQueries {
 
-  /** Q60 pivot: order counts per priority × status (fixed pivot values). */
+  /** Q60 pivot: order counts per priority × status (fixed pivot values).
+    * Spark's pivot emits NULL for an empty cell while the oracle's
+    * `count(*) FILTER` emits 0 — fill so the match is data-independent.
+    */
   private def q60(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     o.groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", Seq("F", "O", "P"))
       .agg(count(lit(1)))
+      .na.fill(0, Seq("F", "O", "P"))
   }
 
   /** Q61 percentiles: exact interpolated percentiles over integral
@@ -34,34 +38,53 @@ object MiscQueries {
         expr("percentile(l_quantity, 0.5)")) <= lit(2.0)).as("approx_ok"))
   }
 
-  /** Q62 correlation/covariance from decimal moment sums (the builtin corr
-    * is a float running sum — order-dependent across engines; the moment
-    * formula over exact sums is not).
+  /** Q62 correlation/covariance from exact integer moment sums (the builtin
+    * corr is a float running sum — order-dependent across engines; the
+    * moment formula over exact sums is not).
+    *
+    * All five moment sums are LONG sums of long products — the whole-stage
+    * codegen fast path. (A previous decimal(18,6) formulation widened the
+    * sum buffer to decimal(28,6), a non-long-backed Decimal: per-row
+    * BigDecimal churn made this query 14× its structural twin q20.)
+    * Quantities/prices have exactly 2 decimals in the fixture, so centi-unit
+    * longs are exact; price cents are split hi/lo at 1000 so the largest
+    * product (hi·hi ≤ 1.2e8) keeps every per-group sum inside int64 up to
+    * ~7e10 rows per group (≈10 PB of lineitem) — the documented operating
+    * ceiling. The exact integer sums convert to double once at the end;
+    * both engines then run the identical double expression.
     */
   private def q62(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
-    // Price rescaled by 1000 so every moment sum fits DECIMAL(18,6) — the
-    // long-backed fast path (precision > 18 decimals fall back to per-row
-    // BigDecimal and were ~10× slower). corr is scale-invariant; covar is
-    // scaled back on output.
-    val pk = col("l_extendedprice") / lit(1000.0)
-    val agged = li.groupBy(col("l_returnflag")).agg(
+    val prep = li.selectExpr(
+      "l_returnflag",
+      "cast(round(l_quantity * 100) as bigint) as qc",
+      "cast(round(l_extendedprice * 100) as bigint) as pc")
+      .selectExpr("l_returnflag", "qc", "pc div 1000 as hi", "pc % 1000 as lo")
+    val agged = prep.groupBy(col("l_returnflag")).agg(
       count(lit(1)).as("n"),
-      sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sx"),
-      sum(pk.cast("decimal(18,6)")).cast("double").as("sy"),
-      sum((col("l_quantity") * col("l_quantity")).cast("decimal(18,6)"))
-        .cast("double").as("sxx"),
-      sum((pk * pk).cast("decimal(18,6)")).cast("double").as("syy"),
-      sum((col("l_quantity") * pk).cast("decimal(18,6)")).cast("double").as("sxy"))
-    // The moment sums exceed double precision (second moments of prices over
-    // 1e5+ rows), and decimal→double conversion may double-round in one
-    // engine and single-round in the other — last-ulp divergence observed.
-    // Outputs are therefore rounded with a ~1e6 margin over that error.
-    agged.select(col("l_returnflag"), col("n"),
+      sum(col("qc")).as("sx"),
+      sum(col("hi")).as("shi"),
+      sum(col("lo")).as("slo"),
+      sum(expr("qc * qc")).as("sxx"),
+      sum(expr("hi * hi")).as("shh"),
+      sum(expr("hi * lo")).as("shl"),
+      sum(expr("lo * lo")).as("sll"),
+      sum(expr("qc * hi")).as("sqh"),
+      sum(expr("qc * lo")).as("sql0"))
+    val moments = agged.select(col("l_returnflag"), col("n"),
+      col("sx").cast("double").as("sx"),
+      (col("shi").cast("double") * 1000.0 + col("slo").cast("double")).as("sy"),
+      col("sxx").cast("double").as("sxx"),
+      (col("shh").cast("double") * 1000000.0 + col("shl").cast("double") * 2000.0 +
+        col("sll").cast("double")).as("syy"),
+      (col("sqh").cast("double") * 1000.0 + col("sql0").cast("double")).as("sxy"))
+    // corr is scale-invariant under the centi-unit encoding; covar of the
+    // original units = covar(qc, pc) / 1e4.
+    moments.select(col("l_returnflag"), col("n"),
       round((col("n") * col("sxy") - col("sx") * col("sy")) /
         (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
           sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 9).as("corr_qty_price"),
-      round(((col("sxy") - (col("sx") * col("sy")) / col("n")) / col("n")) * lit(1000.0), 2)
+      round(((col("sxy") - (col("sx") * col("sy")) / col("n")) / col("n")) / lit(10000.0), 2)
         .as("covar_pop"))
   }
 
@@ -124,16 +147,28 @@ object MiscQueries {
       """SELECT l_returnflag, n,
         |       round((n * sxy - sx * sy)
         |         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 9) AS corr_qty_price,
-        |       round(((sxy - (sx * sy) / n) / n) * 1000.0, 2) AS covar_pop
+        |       round(((sxy - (sx * sy) / n) / n) / 10000.0, 2) AS covar_pop
         |FROM (
-        |  SELECT l_returnflag, count(*) AS n,
-        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sx,
-        |         CAST(sum(CAST(l_extendedprice / 1000.0 AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-        |         CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
-        |         CAST(sum(CAST((l_extendedprice / 1000.0) * (l_extendedprice / 1000.0) AS DECIMAL(18,6))) AS DOUBLE) AS syy,
-        |         CAST(sum(CAST(l_quantity * (l_extendedprice / 1000.0) AS DECIMAL(18,6))) AS DOUBLE) AS sxy
-        |  FROM lineitem
-        |  GROUP BY 1) t""".stripMargin,
+        |  SELECT l_returnflag, n,
+        |         CAST(sx AS DOUBLE) AS sx,
+        |         CAST(shi AS DOUBLE) * 1000.0 + CAST(slo AS DOUBLE) AS sy,
+        |         CAST(sxx AS DOUBLE) AS sxx,
+        |         CAST(shh AS DOUBLE) * 1000000.0 + CAST(shl AS DOUBLE) * 2000.0
+        |           + CAST(sll AS DOUBLE) AS syy,
+        |         CAST(sqh AS DOUBLE) * 1000.0 + CAST(sql0 AS DOUBLE) AS sxy
+        |  FROM (
+        |    SELECT l_returnflag, count(*) AS n,
+        |           sum(qc) AS sx, sum(hi) AS shi, sum(lo) AS slo,
+        |           sum(qc * qc) AS sxx,
+        |           sum(hi * hi) AS shh, sum(hi * lo) AS shl, sum(lo * lo) AS sll,
+        |           sum(qc * hi) AS sqh, sum(qc * lo) AS sql0
+        |    FROM (
+        |      SELECT l_returnflag,
+        |             CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) // 1000 AS hi,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) % 1000 AS lo
+        |      FROM lineitem) a
+        |    GROUP BY 1) s) t""".stripMargin,
     "q63_edit_distance" ->
       """SELECT p_partkey,
         |       levenshtein(p_name, p_type) AS lev,

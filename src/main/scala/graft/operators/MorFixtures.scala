@@ -40,8 +40,13 @@ object MorFixtures {
     * table two to four times (data side + delete derivations) — caching
     * computes it once per session instead of once per plan branch.
     */
-  def dataTable(spark: SparkSession, sfDir: String): DataFrame =
+  def dataTable(spark: SparkSession, sfDir: String): DataFrame = {
+    // Self-cleaning lifecycle: entries for stopped sessions are dropped on
+    // every access, so long-lived processes cycling SparkSessions don't
+    // retain dead-session DataFrames or their persisted blocks.
+    memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
     memo.getOrElseUpdate((spark, sfDir), buildDataTable(spark, sfDir).cache())
+  }
 
   /** Unpersist and forget all memoized fixture tables (long-lived processes
     * cycling SparkSessions should call this on session teardown).

@@ -81,4 +81,48 @@ class PipelineQueriesSpec extends SparkSpec {
     val out = q("q48_simhash")
     assert(out.filter(col("simhash") < 0 || col("simhash") >= (1 << 16)).count() == 0)
   }
+
+  test("connected components converge on a path graph with diameter > 25") {
+    // A 60-hop chain defeated the old 25-round label-propagation cap
+    // (which then returned wrong labels SILENTLY). Pointer jumping must
+    // resolve it in O(log n) rounds — well inside the default cap — and
+    // label every node with the chain minimum.
+    import spark.implicits._
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = PipelineQueries.connectedComponents(chain).cache()
+    assert(labels.count() == 61)
+    assert(labels.filter(col("rep") =!= 0L).count() == 0,
+      "path-graph nodes not all labelled with the component minimum")
+    labels.unpersist()
+  }
+
+  test("connected components fail loudly when the iteration cap is too low") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    // log2(40) ≈ 5.3 rounds needed even with jumping; cap of 1 cannot converge
+    val e = intercept[IllegalArgumentException] {
+      PipelineQueries.connectedComponents(chain, maxIter = 1).count()
+    }
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("LSH band-bucket cap bounds candidate blowup from a planted hot bucket") {
+    // 900 identical single-band rows — an adversarial hot bucket (e.g.
+    // boilerplate docs). Uncapped, the candidate self-join would emit
+    // ~405k pairs from this one key; the cap drops the bucket entirely.
+    import spark.implicits._
+    val hot = (0L until 900L).map(i => (i, 0, 7L)) // (doc_id, band, bandkey)
+    val cold = (1000L until 1010L).map(i => (i, 0, 9L))
+    val banded = (hot ++ cold).toDF("doc_id", "band", "bandkey")
+    val over = PipelineQueries.oversizedBuckets(banded, Seq("band", "bandkey")).collect()
+    assert(over.length == 1 && over.head.getAs[Long]("bucket_n") == 900L)
+    // the production queries route through the same capBuckets helper;
+    // verify the semi-join shape keeps only the under-cap bucket
+    val capped = banded.join(
+      banded.groupBy("band", "bandkey").count()
+        .filter(col("count") <= PipelineQueries.MaxBandBucket)
+        .select("band", "bandkey"),
+      Seq("band", "bandkey"), "left_semi")
+    assert(capped.count() == 10)
+  }
 }
