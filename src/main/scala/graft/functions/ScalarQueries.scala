@@ -100,13 +100,36 @@ object ScalarQueries {
       k.as("k_parsed"))
   }
 
+  /** Q36 wire-type conventions (SURVEY §1.2; reference wire schema
+    * `core/proto/iceberg.proto:63-89`, decode `parser/proto.rs:177-240`):
+    * the reference types Spark has no native type for, exercised under the
+    * documented conventions — Uuid as canonical 8-4-4-4-12 lowercase
+    * string, Fixed(16) as length-checked binary (hex-rendered for the
+    * portable dump), Time as µs-since-midnight long, TimestampNs truncated
+    * to µs (events.ts arrives as a nanos long), and a Decimal(18,6)
+    * rendered at full scale.
+    */
+  private def q36(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val h = md5(concat(lit("graft:"), col("event_id").cast("string")))
+    ev.select(col("event_id"),
+      concat_ws("-", substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),
+        substring(h, 17, 4), substring(h, 21, 12)).as("uuid_str"),
+      (expr("ts div 1000") % 86400000000L).as("time_us"),
+      expr("ts div 1000").as("ts_us"),
+      h.as("fixed16_hex"),
+      (length(unhex(h)) === 16).as("fixed16_ok"),
+      col("user_id").cast("decimal(18,6)").cast("string").as("dec_str"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_string" -> (q30 _),
     "q31_date" -> (q31 _),
     "q32_math" -> (q32 _),
     "q33_array" -> (q33 _),
     "q34_map" -> (q34 _),
-    "q35_json" -> (q35 _))
+    "q35_json" -> (q35 _),
+    "q36_wiretypes" -> (q36 _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_string" ->
@@ -163,5 +186,16 @@ object ScalarQueries {
         |       json_extract_string(props, '$.k') AS k_str,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
         |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_parsed
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q36_wiretypes" ->
+      """SELECT event_id,
+        |       concat_ws('-', substr(h, 1, 8), substr(h, 9, 4), substr(h, 13, 4),
+        |                 substr(h, 17, 4), substr(h, 21, 12)) AS uuid_str,
+        |       (epoch_ns(ts) // 1000) % 86400000000 AS time_us,
+        |       epoch_ns(ts) // 1000 AS ts_us,
+        |       h AS fixed16_hex,
+        |       octet_length(unhex(h)) = 16 AS fixed16_ok,
+        |       CAST(CAST(user_id AS DECIMAL(18,6)) AS VARCHAR) AS dec_str
+        |FROM (SELECT *, md5('graft:' || CAST(event_id AS VARCHAR)) AS h
+        |      FROM events) t""".stripMargin)
 }

@@ -142,11 +142,14 @@ object PipelineQueries {
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("bandkey"))
     }
-    val bands = capBuckets(
-      shh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
-        .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey")),
-      Seq("band", "bandkey"), MaxBandBucket)
+    // cached: the 12-minhash aggregate is scanned twice by the bucket cap
+    // (sizes + semi join) and the whole q41 subplan re-runs under q53 —
+    // one CacheManager entry serves all of them (4 small rows per doc)
+    val bandsRaw = shh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+      .cache()
+    val bands = capBuckets(bandsRaw, Seq("band", "bandkey"), MaxBandBucket)
     val x = bands.as("x"); val y = bands.as("y")
     val cand = x.join(y,
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey") &&

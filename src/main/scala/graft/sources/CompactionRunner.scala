@@ -37,9 +37,10 @@ object CompactionRunner {
 
   /** One data-file scan task: path + the file's sequence number + format
     * (FileScanTask, `core/src/parser/proto.rs:113-131`; format enum
-    * `core/proto/iceberg.proto:11-15` — parquet / orc / avro. The avro
-    * DataSource connector is not on this environment's classpath, so the
-    * dispatch accepts it but only parquet and orc are exercised in tests).
+    * `core/proto/iceberg.proto:11-15` — parquet / orc / avro. Parquet and
+    * ORC go through the Spark DataSource; avro goes through [[AvroScan]],
+    * a distributed reader on the avro runtime jars — the spark-avro
+    * connector is absent from this environment's classpath).
     */
   final case class DataFileTask(path: String, seqNum: Long, format: String = "parquet")
 
@@ -47,9 +48,16 @@ object CompactionRunner {
   final case class PosDeleteTask(path: String)
 
   /** An equality-delete file: path, its sequence number, and the equality
-    * column names (field-ID projection resolved to names upstream).
+    * columns — preferably as field IDs (`equalityIds`, the reference's
+    * `equality_ids`, resolved against each file's id metadata so renames
+    * between delete and data files are harmless), with `equalityCols`
+    * names as the fallback for files without id metadata.
     */
-  final case class EqDeleteTask(path: String, seqNum: Long, equalityCols: Seq[String])
+  final case class EqDeleteTask(
+      path: String,
+      seqNum: Long,
+      equalityCols: Seq[String],
+      equalityIds: Seq[Int] = Nil)
 
   final case class CompactionConfig(
       targetPartitions: Int = 4,
@@ -105,10 +113,12 @@ object CompactionRunner {
 
   /** S1+S3: scan data files and fabricate the three hidden columns. For
     * parquet the positions come from `_metadata.row_index` — zero shuffle.
-    * ORC/Avro have no row-index metadata column in Spark, so those formats
-    * fall back to a per-file window (one shuffle keyed by file — the
-    * documented fallback, acceptable because non-parquet inputs are the
-    * rare migration case). Seq numbers arrive by broadcast in both paths.
+    * Avro files go through [[AvroScan]], which fabricates path + position
+    * inline during its single forward pass — also zero shuffle. ORC has no
+    * row-index metadata column in Spark, so it falls back to a per-file
+    * window (one shuffle keyed by file — the documented fallback,
+    * acceptable because ORC inputs are the rare migration case). Seq
+    * numbers arrive by broadcast in all paths.
     */
   def scanWithHiddenCols(spark: SparkSession, tasks: Seq[DataFileTask]): DataFrame = {
     val dedup = dedupByPath(tasks)(_.path)
@@ -117,7 +127,10 @@ object CompactionRunner {
     import spark.implicits._
     val seqDf = seqRows.toDF(MorPlanner.FilePathCol, MorPlanner.SeqNumCol)
     val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
-    val scans = byFormat.map { case (fmt, ts) =>
+    val scans = byFormat.map {
+      case ("avro", ts) =>
+        AvroScan.readWithHiddenCols(spark, ts.map(_.path))
+      case (fmt, ts) =>
       val reader = spark.read.format(fmt).load(ts.map(_.path): _*)
       // Planning-time guard: every resolved input file must have a task
       // entry under the SAME canonical path, or the broadcast seq join
@@ -178,25 +191,52 @@ object CompactionRunner {
   private[sources] def groupConsecutive(tasks: Seq[EqDeleteTask]): Seq[Seq[EqDeleteTask]] =
     tasks.foldLeft(List.empty[List[EqDeleteTask]]) { (acc, t) =>
       acc match {
-        case head :: tail if head.head.equalityCols == t.equalityCols =>
+        case head :: tail if head.head.equalityCols == t.equalityCols &&
+            head.head.equalityIds == t.equalityIds =>
           (head :+ t) :: tail
         case _ => List(t) :: acc
       }
     }.reverse
 
+  /** P4 + §1.3: when a task carries `equalityIds`, each id is resolved to
+    * the DELETE file's column via its `parquet.field.id` metadata and
+    * re-aliased to the DATA schema's name for that id — so a column renamed
+    * between a delete file and a data file still joins correctly. Name
+    * fallback applies per-id for files without id metadata.
+    */
   def readEqualityDeletes(
-      spark: SparkSession, tasks: Seq[EqDeleteTask]): Seq[EqualityDeleteGroup] = {
+      spark: SparkSession,
+      tasks: Seq[EqDeleteTask],
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[EqualityDeleteGroup] = {
     import spark.implicits._
     val groups = groupConsecutive(dedupByPath(tasks)(_.path))
     groups.map { ts =>
       val seqDf = ts.map(t => (canonPath(t.path), t.seqNum))
         .toDF("graft_eq_path", MorPlanner.SeqNumCol)
-      val df = spark.read.parquet(ts.map(_.path): _*)
-        .select(ts.head.equalityCols.map(col) :+
+      val raw = spark.read.parquet(ts.map(_.path): _*)
+      val head = ts.head
+      // (delete-file column, data-side join name) per equality column
+      val resolved: Seq[(String, String)] =
+        if (head.equalityIds.nonEmpty)
+          head.equalityIds.zipWithIndex.map { case (id, i) =>
+            val fallback = head.equalityCols.lift(i)
+            val delName = FieldIds.nameById(raw.schema, id)
+              .orElse(fallback)
+              .getOrElse(throw new IllegalArgumentException(
+                s"equality id $id not found in ${head.path} and no name fallback"))
+            val dataName = dataSchema.flatMap(FieldIds.nameById(_, id))
+              .orElse(fallback)
+              .getOrElse(delName)
+            (delName, dataName)
+          }
+        else head.equalityCols.map(c => (c, c))
+      val df = raw
+        .select(resolved.map { case (d, n) => col(d).as(n) } :+
           canonCol(col("_metadata.file_path")).as("graft_eq_path"): _*)
         .join(broadcast(seqDf), "graft_eq_path")
         .drop("graft_eq_path")
-      EqualityDeleteGroup(df, ts.head.equalityCols)
+      EqualityDeleteGroup(df, resolved.map(_._2))
     }
   }
 
@@ -212,7 +252,7 @@ object CompactionRunner {
     val data = scanWithHiddenCols(spark, dataTasks)
     val merged = MorPlanner.merge(data,
       readPositionDeletes(spark, posDeletes),
-      readEqualityDeletes(spark, eqDeletes))
+      readEqualityDeletes(spark, eqDeletes, Some(data.schema)))
 
     // X1: force output stream count, like the reference when the plan's
     // natural partitioning differs from target_partitions. With clusterBy,
@@ -231,7 +271,10 @@ object CompactionRunner {
     val withParts = config.partitionTransforms.foldLeft(repartitioned) {
       case (df, (name, c)) => df.withColumn(name, c)
     }
-    val writer = withParts.write.mode("overwrite")
+    // §1.3: stamp parquet.field.id metadata so the written files carry the
+    // Iceberg-style field ids (persisted to the parquet footer; read back
+    // into scan schemas — the handle eq-delete resolution keys on).
+    val writer = FieldIds.withFieldIds(withParts).write.mode("overwrite")
     (if (config.partitionTransforms.nonEmpty)
        writer.partitionBy(config.partitionTransforms.map(_._1): _*)
      else writer).parquet(dataOut)

@@ -104,6 +104,92 @@ class CompactionRunnerSpec extends SparkSpec {
     assert(mixed.count() == 6100)
   }
 
+  // Write an avro container file (via the avro runtime directly — the test
+  // twin of AvroScan's read path) holding the given projected lineitem rows.
+  private def writeAvroFixture(path: String, rows: Seq[org.apache.spark.sql.Row]): Unit = {
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val schema = SchemaBuilder.record("lineitem").fields()
+      .requiredLong("l_orderkey")
+      .requiredInt("l_linenumber")
+      .requiredDouble("l_quantity")
+      .requiredString("l_returnflag")
+      .endRecord()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(path))
+    rows.foreach { r =>
+      val rec = new GenericData.Record(schema)
+      rec.put("l_orderkey", r.getLong(0))
+      rec.put("l_linenumber", r.getInt(1))
+      rec.put("l_quantity", r.getDouble(2))
+      rec.put("l_returnflag", r.getString(3))
+      w.append(rec)
+    }
+    w.close()
+  }
+
+  private val avroCols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+  test("avro data files scan with dense zero-shuffle positions (S2)") {
+    val dir = tmpDir("graft-avro")
+    val slice = Tables.lineitem(spark, sfDir)
+      .select(avroCols.map(col): _*).limit(400).collect().toSeq
+    writeAvroFixture(s"$dir/a0.avro", slice.take(250))
+    writeAvroFixture(s"$dir/a1.avro", slice.drop(250))
+    val tasks = Seq(DataFileTask(s"$dir/a0.avro", 1L, "avro"),
+      DataFileTask(s"$dir/a1.avro", 2L, "avro"))
+    val scan = scanWithHiddenCols(spark, tasks).cache()
+    assert(scan.count() == 400)
+    // dense per-file positions, constant per-file seq
+    val bad = scan.groupBy(MorPlanner.FilePathCol)
+      .agg(min(col(MorPlanner.PosCol)).as("mn"), max(col(MorPlanner.PosCol)).as("mx"),
+        countDistinct(col(MorPlanner.PosCol)).as("nd"), count(lit(1)).as("n"),
+        countDistinct(col(MorPlanner.SeqNumCol)).as("ns"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("n") - 1 ||
+        col("nd") =!= col("n") || col("ns") =!= 1)
+    assert(bad.count() == 0, "avro positions not dense per file or seq not constant")
+    // values survive the GenericRecord→Row bridge
+    assert(scan.agg(sum(col("l_orderkey"))).head.getLong(0) ==
+      slice.map(_.getLong(0)).sum)
+    // zero shuffle: positions are fabricated inside the scan task
+    val plan = scanWithHiddenCols(spark, tasks).queryExecution.executedPlan.toString
+    assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+      s"avro hidden-col scan should not shuffle:\n$plan")
+    scan.unpersist()
+  }
+
+  test("mixed parquet+ORC+avro compaction merges deletes across formats (S2 e2e)") {
+    val dir = tmpDir("graft-mixed3")
+    val out = tmpDir("graft-mixed3-out")
+    val base = Tables.lineitem(spark, sfDir).select(avroCols.map(col): _*)
+    base.limit(300).write.mode("overwrite").parquet(s"$dir/p")
+    base.limit(900).except(base.limit(300)).limit(300)
+      .write.mode("overwrite").orc(s"$dir/o")
+    writeAvroFixture(s"$dir/a.avro",
+      base.limit(1500).except(base.limit(900)).limit(300).collect().toSeq)
+    def filesIn(d: String, suffix: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(suffix)).map(_.getPath).sorted.toSeq
+    val tasks =
+      filesIn(s"$dir/p", ".parquet").map(DataFileTask(_, 1L, "parquet")) ++
+        filesIn(s"$dir/o", ".orc").map(DataFileTask(_, 2L, "orc")) ++
+        Seq(DataFileTask(s"$dir/a.avro", 3L, "avro"))
+    val total = scanWithHiddenCols(spark, tasks).count()
+    assert(total > 600, s"3-format union too small: $total")
+    // position deletes spanning all three formats
+    scanWithHiddenCols(spark, tasks).filter(col("l_orderkey") % 7 === 2)
+      .select(col(MorPlanner.FilePathCol).as("file_path"),
+        col(MorPlanner.PosCol).as("pos"))
+      .write.mode("overwrite").parquet(s"$dir/posdel")
+    val posTasks = filesIn(s"$dir/posdel", ".parquet").map(PosDeleteTask)
+    val manifest = compact(spark, tasks, posTasks, Nil, out,
+      CompactionConfig(targetPartitions = 2, statsCols = Seq("l_orderkey")))
+    val expected = scanWithHiddenCols(spark, tasks)
+      .filter(col("l_orderkey") % 7 =!= 2).count()
+    assert(manifest.outputRecordCount == expected && expected > 0)
+    assert(spark.read.parquet(s"$out/data").count() == expected)
+  }
+
   test("clustered write yields near-disjoint file stats; pruning is complete") {
     val table = tmpDir("graft-cluster")
     val out = tmpDir("graft-cluster-out")
@@ -131,6 +217,41 @@ class CompactionRunnerSpec extends SparkSpec {
     val fullRows = spark.read.parquet(s"$out/data")
       .filter(col("l_orderkey") <= maxKey / 10).count()
     assert(prunedRows == fullRows && fullRows > 0)
+  }
+
+  test("field ids survive write→read; eq-deletes resolve by id across renames (§1.3)") {
+    val dir = tmpDir("graft-fieldid")
+    import spark.implicits._
+    // data file: columns (k, v) stamped with ids 1, 2
+    val data = (1L to 100L).map(i => (i, i % 10)).toDF("k", "v")
+    FieldIds.withFieldIds(data).write.mode("overwrite").parquet(s"$dir/data")
+    // ids persisted to the parquet footer and surfaced on read
+    val readBack = spark.read.parquet(s"$dir/data").schema
+    assert(FieldIds.nameById(readBack, 1).contains("k"), s"id 1 lost: $readBack")
+    assert(FieldIds.nameById(readBack, 2).contains("v"), s"id 2 lost: $readBack")
+    // delete file: the id-2 column RENAMED v → v_renamed (same field id)
+    val meta2 = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(FieldIds.MetaKey, 2L).build()
+    Seq(3L, 7L).toDF("x").select(col("x").as("v_renamed", meta2))
+      .write.mode("overwrite").parquet(s"$dir/del")
+    def fileIn(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    val scan = scanWithHiddenCols(spark,
+      fileIn(s"$dir/data").map(DataFileTask(_, 1L)))
+    val groups = readEqualityDeletes(spark,
+      fileIn(s"$dir/del").map(EqDeleteTask(_, 10L, Nil, equalityIds = Seq(2))),
+      Some(scan.schema))
+    // the delete column re-aliased to the DATA name for id 2
+    assert(groups.head.equalityCols == Seq("v"))
+    val merged = MorPlanner.merge(scan, None, groups)
+    // v ∈ {3, 7} → 20 of 100 rows deleted despite the rename
+    assert(merged.count() == 80)
+    // name fallback still works for id-less delete files
+    Seq(1L, 2L).toDF("v").write.mode("overwrite").parquet(s"$dir/del-plain")
+    val plainGroups = readEqualityDeletes(spark,
+      fileIn(s"$dir/del-plain").map(EqDeleteTask(_, 10L, Seq("v"))),
+      Some(scan.schema))
+    assert(MorPlanner.merge(scan, None, plainGroups).count() == 80)
   }
 
   test("end-to-end compaction: merge, partitioned write, stats, manifest") {
