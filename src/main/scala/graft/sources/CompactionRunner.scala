@@ -311,6 +311,16 @@ object CompactionRunner {
           dedupByPath(eqDeletes)(_.path).map(t => canonPath(t.path))),
       outputRecordCount = added.map(_.recordCount).sum)
     writeManifest(manifest, s"$outDir/_graft_manifest.json")
+    // Spec-shaped Iceberg manifest (Avro container, id-keyed bounds): ADDED
+    // entries for the new files, DELETED entries for the compacted inputs —
+    // the structures a real catalog commit would write, readable back via
+    // IcebergManifest.read for stats pruning.
+    IcebergManifest.write(s"$outDir/_graft_manifest.avro",
+      added.map(IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded, _)) ++
+        (manifest.removedDataFiles ++ manifest.removedDeleteFiles).map(p =>
+          IcebergManifest.ManifestEntry(IcebergManifest.StatusDeleted,
+            DataFileStats(p, 0L, 0L, Map.empty, Map.empty, Map.empty))),
+      written.schema)
     manifest
   }
 
@@ -336,7 +346,14 @@ object CompactionRunner {
   /** Commit step: manifest JSON (stands in for the catalog transaction of
     * `Transaction::rewrite_files` — add new files, remove compacted inputs).
     */
-  private def writeManifest(m: CommitManifest, path: String): Unit = {
+  private def writeManifest(m: CommitManifest, path: String): Unit =
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), manifestJson(m))
+
+  /** The manifest's JSON rendering — also the response body of the EP2
+    * façade ([[CompactionService]]), mirroring the reference's
+    * `RewriteFilesResponse` of `DataFile`s + stats (`parser/proto.rs:391-434`).
+    */
+  def manifestJson(m: CommitManifest): String = {
     def q(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -358,11 +375,10 @@ object CompactionRunner {
         "null_counts" -> obj(f.nullCounts.toSeq.sortBy(_._1)
           .map { case (k, v) => k -> v.toString })))
     }.mkString("[", ", ", "]")
-    val json = obj(Seq(
+    obj(Seq(
       "added_files" -> files,
       "removed_data_files" -> m.removedDataFiles.map(q).mkString("[", ", ", "]"),
       "removed_delete_files" -> m.removedDeleteFiles.map(q).mkString("[", ", ", "]"),
       "output_record_count" -> m.outputRecordCount.toString))
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
   }
 }

@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.operators.MorPlanner
+import graft.sources.CompactionRunner._
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class CompactionServiceSpec extends SparkSpec {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def parquetsIn(dir: String): Seq[String] =
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+
+  test("EP2 façade: JSON request runs a full compaction, response is the manifest") {
+    val table = tmpDir("graft-svc")
+    val deletes = tmpDir("graft-svc-del")
+    val out = tmpDir("graft-svc-out")
+    Tables.lineitem(spark, sfDir).repartition(2).write.mode("overwrite").parquet(table)
+    Tables.lineitem(spark, sfDir).filter(col("l_partkey") % 11 === 2)
+      .select(col("l_orderkey"), col("l_linenumber")).distinct()
+      .write.mode("overwrite").parquet(s"$deletes/eq")
+    val dataJson = parquetsIn(table).zipWithIndex
+      .map { case (p, i) => s"""{"path":"$p","seq":${i + 1}}""" }
+      .mkString("[", ",", "]")
+    val eqJson = parquetsIn(s"$deletes/eq")
+      .map(p => s"""{"path":"$p","seq":9,"equality_cols":["l_orderkey","l_linenumber"]}""")
+      .mkString("[", ",", "]")
+    val request =
+      s"""{"data_files":$dataJson,"equality_deletes":$eqJson,
+         |"output_dir":"$out","target_partitions":2,"stats_cols":["l_orderkey"]}""".stripMargin
+    val response = CompactionService.rewriteFiles(spark, request)
+    // response is the commit manifest: added files + stats + removed inputs
+    assert(response.contains("\"added_files\"") && response.contains("\"min_l_orderkey\"")
+      || response.contains("\"col_mins\""))
+    assert(response.contains("\"output_record_count\""))
+    val expected = MorPlanner.merge(
+      scanWithHiddenCols(spark,
+        parquetsIn(table).zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }),
+      None,
+      readEqualityDeletes(spark, parquetsIn(s"$deletes/eq")
+        .map(EqDeleteTask(_, 9L, Seq("l_orderkey", "l_linenumber"))))).count()
+    assert(spark.read.parquet(s"$out/data").count() == expected && expected > 0)
+  }
+
+  test("Iceberg-shaped avro manifest round-trips and drives complete pruning") {
+    val table = tmpDir("graft-man")
+    val out = tmpDir("graft-man-out")
+    Tables.lineitem(spark, sfDir).repartition(2).write.mode("overwrite").parquet(table)
+    val tasks = parquetsIn(table).zipWithIndex
+      .map { case (p, i) => DataFileTask(p, i + 1L) }
+    val manifest = compact(spark, tasks, Nil, Nil, out,
+      CompactionConfig(targetPartitions = 4,
+        statsCols = Seq("l_orderkey"), clusterBy = Seq("l_orderkey")))
+    val schema = spark.read.parquet(s"$out/data").schema
+    val entries = IcebergManifest.read(s"$out/_graft_manifest.avro", schema)
+    // ADDED entries mirror the JSON manifest's added files, field-id-keyed
+    val added = entries.filter(_.status == IcebergManifest.StatusAdded).map(_.file)
+    assert(added.map(_.path).toSet == manifest.addedFiles.map(_.path).toSet)
+    assert(added.map(_.recordCount).sum == manifest.outputRecordCount)
+    // DELETED entries carry the compacted inputs
+    assert(entries.filter(_.status == IcebergManifest.StatusDeleted).map(_.file.path)
+      == manifest.removedDataFiles)
+    // pruning over the avro-manifest entries is COMPLETE (no matching row lost)
+    val maxKey = added.flatMap(_.colMaxs.get("l_orderkey")).map(_.toDouble).max
+    val pruned = pruneByStats(added, "l_orderkey", 0, maxKey / 10)
+    assert(pruned.size < added.size)
+    val prunedRows = spark.read.parquet(pruned.map(_.path): _*)
+      .filter(col("l_orderkey") <= maxKey / 10).count()
+    val fullRows = spark.read.parquet(s"$out/data")
+      .filter(col("l_orderkey") <= maxKey / 10).count()
+    assert(prunedRows == fullRows && fullRows > 0)
+  }
+}
