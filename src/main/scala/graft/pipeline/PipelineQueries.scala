@@ -167,6 +167,11 @@ object PipelineQueries {
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardThreshold)
+      // cached: the pair list is tiny relative to the corpus (that's its
+      // nature) and is the natural handoff to the clustering stage — q53's
+      // identical subplan hits this CacheManager entry instead of re-running
+      // the whole candidate+verify pipeline
+      .cache()
   }
 
   /** The q41 pipeline as a reusable CTE chain ending in `pairsq` (the
