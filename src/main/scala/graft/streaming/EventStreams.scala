@@ -91,4 +91,77 @@ object EventStreams {
           UserUpdate(userId, n, total)
       }
   }
+
+  // ---- streaming near-duplicate detection --------------------------------
+
+  /** A document arriving on the stream. */
+  final case class DocEvent(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** An emitted candidate pair (doc_a < doc_b) with its signature distance. */
+  final case class NearDupCandidate(doc_a: Long, doc_b: Long, hamming: Int)
+
+  // not private: Catalyst's generated (de)serializers need constructor access
+  final case class BandedDoc(band: Int, bval: Long, doc_id: Long, sh: Long)
+
+  /** Per-bucket state: signatures seen so far, admission-capped. */
+  final case class BucketState(members: Seq[(Long, Long)])
+
+  /** Streaming near-dup candidates — the streaming twin of the batch q49
+    * pipeline: each incoming doc's 32-bit SimHash (computed by the codegen
+    * kernel BEFORE the stateful stage, so the hot hash work stays in
+    * whole-stage codegen) is banded into two 16-bit LSH keys;
+    * `flatMapGroupsWithState` keyed on (band, key) holds the bucket's seen
+    * signatures and emits a candidate against every stored member within
+    * `maxHamming`. State is sharded by band key across executors exactly
+    * like the batch shuffle.
+    *
+    * Bounded state + bounded emission: a bucket stops ADMITTING members at
+    * `maxBucket` (the streaming counterpart of the batch
+    * `MaxBandBucket` drop — a boilerplate-text hot bucket cannot grow its
+    * state or go quadratic). Pairs sharing both bands are emitted twice —
+    * dedup downstream (the batch path's `distinct`), keeping the stateful
+    * stage append-only. Production deployments would add
+    * `GroupStateTimeout.EventTimeTimeout` + a watermark so stale buckets
+    * age out; left unbounded here because the fixture streams are finite.
+    */
+  def streamingNearDupCandidates(
+      docs: Dataset[DocEvent],
+      maxHamming: Int = 3,
+      maxBucket: Int = 256): Dataset[NearDupCandidate] = {
+    import docs.sparkSession.implicits._
+    val banded = docs.toDF()
+      .select(col("doc_id"),
+        graft.functions.TextOps.simhash32C(lower(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"),
+        explode(array(
+          struct(lit(0).as("band"), (col("sh") % 65536).as("bval")),
+          struct(lit(1).as("band"),
+            floor(col("sh") / 65536).cast("long").as("bval")))).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bval").as("bval"),
+        col("doc_id"), col("sh"))
+      .as[BandedDoc]
+    banded.groupByKey(b => (b.band, b.bval))
+      .flatMapGroupsWithState[BucketState, NearDupCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        case (_, rows, state) =>
+          var members = state.getOption.map(_.members).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ListBuffer[NearDupCandidate]()
+          rows.foreach { r =>
+            if (members.size < maxBucket) {
+              members.foreach { case (id, sh) =>
+                if (id != r.doc_id) {
+                  val h = java.lang.Long.bitCount(sh ^ r.sh)
+                  if (h <= maxHamming)
+                    out += NearDupCandidate(
+                      math.min(id, r.doc_id), math.max(id, r.doc_id), h)
+                }
+              }
+              members = members :+ ((r.doc_id, r.sh))
+            }
+          }
+          state.update(BucketState(members))
+          out.iterator
+      }
+  }
 }

@@ -96,6 +96,29 @@ class PipelineQueriesSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("connected components match a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 80
+      val edges = Seq.fill(120)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct
+      val minOfComponent = nodes.groupBy(x => find(x.toInt))
+        .map { case (root, xs) => root -> xs.min }
+      val expected = nodes.map(x => x -> minOfComponent(find(x.toInt))).toMap
+      val got = PipelineQueries.connectedComponents(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: labels diverge from union-find oracle")
+    }
+  }
+
   test("connected components fail loudly when the iteration cap is too low") {
     import spark.implicits._
     val chain = (0L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")

@@ -86,6 +86,37 @@ class EventStreamsSpec extends SparkSpec {
     assert(ids.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("streaming near-dup finds cross-batch candidates; hot bucket stays bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val input = MemoryStream[DocEvent]
+    val q = streamingNearDupCandidates(input.toDS(), maxHamming = 3, maxBucket = 5)
+      .writeStream.format("memory").queryName("stream_neardup")
+      .outputMode("append").start()
+    // batch 1: one doc + an unrelated one
+    input.addData(
+      DocEvent(1L, ts(1), base),
+      DocEvent(2L, ts(2), "completely different words about spark engines and parquet"))
+    q.processAllAvailable()
+    assert(spark.table("stream_neardup").count() == 0)
+    // batch 2: a near-duplicate of doc 1 arrives LATER — found via state
+    // (one appended token: hamming 1, shares a 16-bit band with doc 1)
+    input.addData(DocEvent(3L, ts(3), base + " x"))
+    q.processAllAvailable()
+    val pairs = spark.table("stream_neardup").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 3L)), s"cross-batch near-dup not found: $pairs")
+    // batch 3: a flood of identical docs into one bucket — admission stops
+    // at maxBucket=5, so emission stays far below the quadratic count
+    input.addData((100L to 140L).map(i => DocEvent(i, ts(4), base)): _*)
+    q.processAllAvailable()
+    val n = spark.table("stream_neardup").count()
+    q.stop()
+    // uncapped, 41 identical docs alone would emit 2 bands × C(41,2) = 1640
+    assert(n < 100, s"hot bucket not bounded: $n pairs emitted")
+  }
+
   test("mapGroupsWithState keeps running per-user totals across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
