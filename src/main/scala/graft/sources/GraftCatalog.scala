@@ -41,6 +41,28 @@ final class GraftCatalog(root: String) {
   def loadTable(table: String): Seq[DataFileTask] =
     readSnapshot(table, currentSnapshotId(table))
 
+  /** Time travel: the file-scan tasks of a PAST snapshot (Iceberg's
+    * `VERSION AS OF` — any retained snapshot id is readable until expiry).
+    */
+  def loadTableAt(table: String, snapshotId: Long): Seq[DataFileTask] = {
+    require(snapshotIds(table).contains(snapshotId),
+      s"snapshot $snapshotId of $table does not exist (expired or never committed); " +
+        s"retained: ${snapshotIds(table).mkString(", ")}")
+    readSnapshot(table, snapshotId)
+  }
+
+  /** Orphan detection: which of `candidates` (e.g. a storage listing) are
+    * referenced by NO retained snapshot — safe to garbage-collect after
+    * [[expireSnapshots]]. Pure metadata; deletion is the caller's call.
+    */
+  def orphanFiles(table: String, candidates: Seq[String]): Seq[String] = {
+    val live: Set[String] = snapshotIds(table)
+      .flatMap(id => readSnapshot(table, id))
+      .flatMap(t => Seq(t.path, CompactionRunner.canonPath(t.path)))
+      .toSet
+    candidates.filterNot(c => live(c) || live(CompactionRunner.canonPath(c)))
+  }
+
   def snapshotIds(table: String): Seq[Long] = {
     val stream = Files.list(tableDir(table))
     try stream.iterator().asScala

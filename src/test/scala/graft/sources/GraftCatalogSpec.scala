@@ -32,6 +32,23 @@ class GraftCatalogSpec extends SparkSpec {
       Set("/b.parquet", "/c.parquet", "/d.parquet"))
   }
 
+  test("time travel loads past snapshots until expiry; orphan detection is exact") {
+    val cat = newCatalog()
+    cat.createTable("t", Seq(DataFileTask("/a.parquet", 1), DataFileTask("/b.parquet", 2)))
+    cat.commitRewrite("t", Seq(DataFileTask("/c.parquet", 3)), Seq("/a.parquet"))
+    // snapshot 1 is still readable as of its commit point
+    assert(cat.loadTableAt("t", 1).map(_.path) == Seq("/a.parquet", "/b.parquet"))
+    assert(cat.loadTableAt("t", 2).map(_.path) == Seq("/b.parquet", "/c.parquet"))
+    // /a.parquet is NOT an orphan while snapshot 1 retains it
+    val listing = Seq("/a.parquet", "/b.parquet", "/c.parquet", "/stale.parquet")
+    assert(cat.orphanFiles("t", listing) == Seq("/stale.parquet"))
+    // after expiry, snapshot 1 is gone: time travel refuses, /a.parquet orphans
+    cat.expireSnapshots("t", keepLast = 1)
+    val ex = intercept[IllegalArgumentException](cat.loadTableAt("t", 1))
+    assert(ex.getMessage.contains("expired or never committed"))
+    assert(cat.orphanFiles("t", listing) == Seq("/a.parquet", "/stale.parquet"))
+  }
+
   test("catalog-driven compaction commits a new snapshot with the output files") {
     val cat = newCatalog()
     val table = Files.createTempDirectory("graft-cat-data").toString
