@@ -1,7 +1,8 @@
 package graft.sources
 
-import graft.sources.CompactionRunner.{CommitManifest, CompactionConfig, DataFileTask}
-import org.apache.spark.sql.SparkSession
+import graft.sources.CompactionRunner.{
+  CommitManifest, CompactionConfig, DataFileTask, EqDeleteTask, PosDeleteTask}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths, StandardOpenOption}
 import scala.jdk.CollectionConverters._
 
@@ -12,15 +13,37 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under a root directory:
   * {{{
-  * <root>/<table>/snap-<id>.tsv   one line per data file: path<TAB>seq<TAB>format
+  * <root>/<table>/snap-<id>.tsv   one entry (data OR delete file) per line:
+  *                                kind<TAB>path<TAB>seq<TAB>format<TAB>extra
+  *                                kind ∈ data|posdel|eqdel; extra = eq column
+  *                                names (csv) for eqdel, else empty. Legacy
+  *                                3-field lines (path seq format) parse as data.
   * <root>/<table>/HEAD            current snapshot id
   * }}}
   *
+  * Snapshots track DELETE files alongside data files — the reference's
+  * snapshot scan runs `with_delete_file_processing_enabled(true)` and splits
+  * tasks into data / pos-delete / eq-delete lists
+  * (`compaction/mod.rs:121-171`); [[scanTable]] is that read path (MoR merge
+  * on the fly) and [[upsert]] is the v2 row-level-update write path (new
+  * data file + equality-delete file in one commit).
+  *
   * All operations are driver-side metadata IO (snapshot files are one line
-  * per data file — the same cardinality the reference ships over its gRPC
+  * per file — the same cardinality the reference ships over its gRPC
   * wire); the data path stays fully distributed in [[CompactionRunner]].
   */
 final class GraftCatalog(root: String) {
+
+  /** One snapshot entry: a data file or a delete file. */
+  final case class TableEntry(
+      kind: String, // data | posdel | eqdel
+      path: String,
+      seqNum: Long,
+      format: String,
+      eqCols: Seq[String])
+
+  private def toEntry(t: DataFileTask) =
+    TableEntry("data", t.path, t.seqNum, t.format, Nil)
 
   private def tableDir(table: String) = Paths.get(root, table)
   private def headPath(table: String) = tableDir(table).resolve("HEAD")
@@ -30,25 +53,84 @@ final class GraftCatalog(root: String) {
   def createTable(table: String, files: Seq[DataFileTask]): Unit = {
     require(!Files.exists(headPath(table)), s"table $table already exists")
     Files.createDirectories(tableDir(table))
-    writeSnapshot(table, 1L, files)
+    writeSnapshot(table, 1L, files.map(toEntry))
     Files.writeString(headPath(table), "1")
   }
 
   def currentSnapshotId(table: String): Long =
     Files.readString(headPath(table)).trim.toLong
 
-  /** Load the table = the current snapshot's file-scan tasks. */
-  def loadTable(table: String): Seq[DataFileTask] =
+  /** All entries (data + delete files) of the current snapshot. */
+  def loadEntries(table: String): Seq[TableEntry] =
     readSnapshot(table, currentSnapshotId(table))
 
-  /** Time travel: the file-scan tasks of a PAST snapshot (Iceberg's
+  /** Load the table = the current snapshot's DATA file-scan tasks. */
+  def loadTable(table: String): Seq[DataFileTask] =
+    dataTasks(loadEntries(table))
+
+  private def dataTasks(entries: Seq[TableEntry]): Seq[DataFileTask] =
+    entries.collect { case e if e.kind == "data" =>
+      DataFileTask(e.path, e.seqNum, e.format)
+    }
+
+  /** Time travel: the DATA file-scan tasks of a PAST snapshot (Iceberg's
     * `VERSION AS OF` — any retained snapshot id is readable until expiry).
     */
   def loadTableAt(table: String, snapshotId: Long): Seq[DataFileTask] = {
     require(snapshotIds(table).contains(snapshotId),
       s"snapshot $snapshotId of $table does not exist (expired or never committed); " +
         s"retained: ${snapshotIds(table).mkString(", ")}")
-    readSnapshot(table, snapshotId)
+    dataTasks(readSnapshot(table, snapshotId))
+  }
+
+  /** The reference's EP1 step-2 read: snapshot scan WITH delete-file
+    * processing — data tasks merged against the snapshot's position- and
+    * equality-delete files (`compaction/mod.rs:121-171`,
+    * `with_delete_file_processing_enabled(true)`). This is how a reader
+    * sees a table that has pending row-level deletes.
+    */
+  def scanTable(spark: SparkSession, table: String): DataFrame = {
+    val entries = loadEntries(table)
+    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries))
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
+    val eq = entries.collect { case e if e.kind == "eqdel" =>
+      EqDeleteTask(e.path, e.seqNum, e.eqCols)
+    }
+    graft.operators.MorPlanner.merge(data,
+      CompactionRunner.readPositionDeletes(spark, pos),
+      CompactionRunner.readEqualityDeletes(spark, eq, Some(data.schema)))
+  }
+
+  /** Iceberg-v2 row-level upsert: write `updates` as a new data file set AND
+    * an equality-delete file over `keyCols` at the same (advanced) sequence
+    * number, commit both in one snapshot. Readers ([[scanTable]]) see old
+    * rows with matching keys suppressed by the seq guard
+    * (`data.seq < delete.seq`) and the new rows live; a later
+    * [[compactTable]] makes it physical. One distributed write per side, no
+    * driver data movement.
+    */
+  def upsert(
+      spark: SparkSession,
+      table: String,
+      updates: DataFrame,
+      keyCols: Seq[String],
+      outDir: String): Long = {
+    require(keyCols.nonEmpty, "upsert requires key columns")
+    val seq = loadEntries(table).map(_.seqNum).foldLeft(0L)(math.max) + 1
+    val dataDir = s"$outDir/upsert-data-$seq"
+    val delDir = s"$outDir/upsert-eqdel-$seq"
+    updates.write.mode("errorifexists").parquet(dataDir)
+    updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().write.mode("errorifexists").parquet(delDir)
+    def parquetsIn(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    val newEntries =
+      parquetsIn(dataDir).map(p => TableEntry("data", p, seq, "parquet", Nil)) ++
+        parquetsIn(delDir).map(p => TableEntry("eqdel", p, seq, "parquet", keyCols))
+    val nextId = currentSnapshotId(table) + 1
+    writeSnapshot(table, nextId, loadEntries(table) ++ newEntries)
+    Files.writeString(headPath(table), nextId.toString)
+    nextId
   }
 
   /** Orphan detection: which of `candidates` (e.g. a storage listing) are
@@ -73,20 +155,21 @@ final class GraftCatalog(root: String) {
     finally stream.close() // Files.list leaks a directory fd if not closed
   }
 
-  /** Commit a rewrite: current files minus removed plus added → new snapshot,
-    * advance HEAD (the `Transaction::rewrite_files` + `commit` pair,
-    * `compaction/mod.rs:66-72`).
+  /** Commit a rewrite: current entries minus removed plus added → new
+    * snapshot, advance HEAD (the `Transaction::rewrite_files` + `commit`
+    * pair, `compaction/mod.rs:66-72`). Removal matches data AND delete
+    * entries by path, so a compaction that applied pending deletes retires
+    * the delete files in the same commit.
     */
   def commitRewrite(
       table: String,
       added: Seq[DataFileTask],
       removedPaths: Seq[String]): Long = {
     val removed = removedPaths.toSet
-    val current = loadTable(table)
-    val kept = current.filterNot(t => removed(CompactionRunner.canonPath(t.path)) ||
-      removed(t.path))
+    val kept = loadEntries(table).filterNot(e =>
+      removed(CompactionRunner.canonPath(e.path)) || removed(e.path))
     val nextId = currentSnapshotId(table) + 1
-    writeSnapshot(table, nextId, kept ++ added)
+    writeSnapshot(table, nextId, kept ++ added.map(toEntry))
     Files.writeString(headPath(table), nextId.toString)
     nextId
   }
@@ -103,32 +186,52 @@ final class GraftCatalog(root: String) {
     expire
   }
 
-  /** EP1 against the catalog: load → compact → commit → new snapshot id. */
+  /** EP1 against the catalog: load (data + pending deletes) → full MoR
+    * compact → commit → new snapshot id. The commit retires the applied
+    * delete files along with the rewritten data files.
+    */
   def compactTable(
       spark: SparkSession,
       table: String,
       outDir: String,
       config: CompactionConfig = CompactionConfig()): (Long, CommitManifest) = {
-    val tasks = loadTable(table)
-    val manifest = CompactionRunner.compact(spark, tasks, Nil, Nil, outDir, config)
-    val maxSeq = tasks.map(_.seqNum).max
+    val entries = loadEntries(table)
+    val manifest = CompactionRunner.compact(spark,
+      dataTasks(entries),
+      entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
+      entries.collect { case e if e.kind == "eqdel" =>
+        EqDeleteTask(e.path, e.seqNum, e.eqCols)
+      },
+      outDir, config)
+    val maxSeq = entries.map(_.seqNum).max
     val added = manifest.addedFiles.map(f => DataFileTask(f.path, maxSeq + 1))
-    val snapId = commitRewrite(table, added, manifest.removedDataFiles)
+    val snapId = commitRewrite(table, added,
+      manifest.removedDataFiles ++ manifest.removedDeleteFiles)
     (snapId, manifest)
   }
 
-  private def writeSnapshot(table: String, id: Long, files: Seq[DataFileTask]): Unit = {
-    val body = files.map(t => s"${t.path}\t${t.seqNum}\t${t.format}").mkString("\n")
+  private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
+    val body = entries.map(e =>
+      s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}")
+      .mkString("\n")
     Files.writeString(snapPath(table, id), body,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
   }
 
-  private def readSnapshot(table: String, id: Long): Seq[DataFileTask] = {
+  private def readSnapshot(table: String, id: Long): Seq[TableEntry] = {
     val text = Files.readString(snapPath(table, id))
     if (text.isEmpty) Nil
     else text.split("\n").toSeq.map { line =>
-      val Array(p, s, f) = line.split("\t", 3)
-      DataFileTask(p, s.toLong, f)
+      line.split("\t", 5) match {
+        case Array(k, p, s, f, extra) =>
+          TableEntry(k, p, s.toLong, f,
+            if (extra.isEmpty) Nil else extra.split(",").toSeq)
+        case Array(p, s, f) => // legacy 3-field data line
+          TableEntry("data", p, s.toLong, f, Nil)
+        case other =>
+          throw new IllegalStateException(
+            s"unparseable snapshot line (${other.length} fields): $line")
+      }
     }
   }
 }

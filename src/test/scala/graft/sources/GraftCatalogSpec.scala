@@ -49,6 +49,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(cat.orphanFiles("t", listing) == Seq("/a.parquet", "/stale.parquet"))
   }
 
+  test("upsert commits data + eq-deletes; scanTable reads MoR; compaction retires deletes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-ups-base").toString
+    val out = Files.createTempDirectory("graft-ups-out").toString
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$base/t")
+    val files = new java.io.File(s"$base/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    cat.createTable("t", files.map(DataFileTask(_, 1L)))
+
+    // upsert: 10 existing keys get new values, 5 new keys appear
+    val updates = ((91L to 100L) ++ (201L to 205L)).map(k => (k, s"new$k")).toDF("k", "v")
+    assert(cat.upsert(spark, "t", updates, Seq("k"), out) == 2)
+    val entries = cat.loadEntries("t")
+    assert(entries.count(_.kind == "eqdel") >= 1 && entries.count(_.kind == "data") >= 2)
+
+    // MoR read: 105 rows, updated keys show the NEW value exactly once
+    val scanned = cat.scanTable(spark, "t").cache()
+    assert(scanned.count() == 105)
+    assert(scanned.filter(col("k") === 95L).select("v").collect().map(_.getString(0))
+      .toSeq == Seq("new95"))
+    assert(scanned.filter(col("k") === 5L).select("v").head.getString(0) == "v5")
+    scanned.unpersist()
+
+    // time travel: the pre-upsert snapshot still reads the old value
+    val old = CompactionRunner.scanWithHiddenCols(spark, cat.loadTableAt("t", 1))
+    assert(old.count() == 100)
+    assert(old.filter(col("k") === 95L).select("v").head.getString(0) == "v95")
+
+    // compaction applies the pending deletes and RETIRES them in the commit
+    cat.compactTable(spark, "t", s"$out/compact")
+    val after = cat.loadEntries("t")
+    assert(after.nonEmpty && after.forall(_.kind == "data"),
+      s"delete entries survived compaction: $after")
+    val compacted = cat.scanTable(spark, "t").cache()
+    assert(compacted.count() == 105)
+    assert(compacted.filter(col("k") === 95L).select("v").head.getString(0) == "new95")
+    compacted.unpersist()
+  }
+
   test("catalog-driven compaction commits a new snapshot with the output files") {
     val cat = newCatalog()
     val table = Files.createTempDirectory("graft-cat-data").toString
