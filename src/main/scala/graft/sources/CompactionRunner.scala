@@ -78,13 +78,19 @@ object CompactionRunner {
 
   /** Commit payload — what the reference sends back as `DataFile`s + what the
     * transaction removes (`Transaction::rewrite_files`,
-    * `compaction/mod.rs:66-72`).
+    * `compaction/mod.rs:66-72`). The counters mirror `RewriteFilesStat`
+    * (`executor/mod.rs:81-87`, filled at `datafusion/mod.rs:137-142`):
+    * rewritten files/bytes are the consumed inputs, added is the output.
     */
   final case class CommitManifest(
       addedFiles: Seq[DataFileStats],
       removedDataFiles: Seq[String],
       removedDeleteFiles: Seq[String],
-      outputRecordCount: Long)
+      outputRecordCount: Long,
+      rewrittenFilesCount: Long = 0L,
+      rewrittenBytes: Long = 0L,
+      addedFilesCount: Long = 0L,
+      failedFilesCount: Long = 0L)
 
   /** J4: dedup tasks by path, first occurrence wins (HashMap-insert
     * semantics of `compaction/mod.rs:131-153`).
@@ -303,13 +309,26 @@ object CompactionRunner {
         nullCounts = statsCols.map(c => c -> r.getAs[Long](s"nulls_$c")).toMap)
     }.toSeq
 
+    // RewriteFilesStat counters: input bytes via driver-side file status
+    // (one stat call per input file — the same driver-sized metadata the
+    // reference already holds in its DataFile list).
+    val removedData = dedupByPath(dataTasks)(_.path).map(t => canonPath(t.path))
+    val rewrittenBytes = dedupByPath(dataTasks)(_.path).map { t =>
+      try new java.io.File(
+        canonPath(t.path).stripPrefix("file://")).length()
+      catch { case _: Throwable => 0L }
+    }.sum
     val manifest = CommitManifest(
       addedFiles = added,
-      removedDataFiles = dedupByPath(dataTasks)(_.path).map(t => canonPath(t.path)),
+      removedDataFiles = removedData,
       removedDeleteFiles =
         (dedupByPath(posDeletes)(_.path).map(t => canonPath(t.path)) ++
           dedupByPath(eqDeletes)(_.path).map(t => canonPath(t.path))),
-      outputRecordCount = added.map(_.recordCount).sum)
+      outputRecordCount = added.map(_.recordCount).sum,
+      rewrittenFilesCount = removedData.size.toLong,
+      rewrittenBytes = rewrittenBytes,
+      addedFilesCount = added.size.toLong,
+      failedFilesCount = 0L)
     writeManifest(manifest, s"$outDir/_graft_manifest.json")
     // Spec-shaped Iceberg manifest (Avro container, id-keyed bounds): ADDED
     // entries for the new files, DELETED entries for the compacted inputs —
@@ -379,6 +398,11 @@ object CompactionRunner {
       "added_files" -> files,
       "removed_data_files" -> m.removedDataFiles.map(q).mkString("[", ", ", "]"),
       "removed_delete_files" -> m.removedDeleteFiles.map(q).mkString("[", ", ", "]"),
-      "output_record_count" -> m.outputRecordCount.toString))
+      "output_record_count" -> m.outputRecordCount.toString,
+      "stat" -> obj(Seq(
+        "rewritten_files_count" -> m.rewrittenFilesCount.toString,
+        "rewritten_bytes" -> m.rewrittenBytes.toString,
+        "added_files_count" -> m.addedFilesCount.toString,
+        "failed_files_count" -> m.failedFilesCount.toString))))
   }
 }

@@ -314,8 +314,12 @@ class CompactionRunnerSpec extends SparkSpec {
     }
     assert(manifest.removedDataFiles.size == 3)
 
-    // manifest JSON committed and parseable-ish
+    // manifest JSON committed and parseable-ish, with RewriteFilesStat counters
     val json = Files.readString(Paths.get(s"$out/_graft_manifest.json"))
     assert(json.contains("\"added_files\"") && json.contains("\"output_record_count\""))
+    assert(json.contains("\"rewritten_files_count\": 3"))
+    assert(manifest.rewrittenBytes > 0 &&
+      manifest.addedFilesCount == manifest.addedFiles.size &&
+      manifest.failedFilesCount == 0)
   }
 }
