@@ -34,13 +34,15 @@ import scala.jdk.CollectionConverters._
   *     against it via avro schema resolution, so column order differences
   *     between files are handled.
   *
-  * Type bridge: the wire-primitive subset (boolean/int/long/float/double/
-  * string/bytes/fixed, with `[null, T]` unions as nullable); nested records
-  * would pass through the same GenericRecord→Row conversion.
+  * Type bridge: the full wire-type tree of the reference's proto schema
+  * (`core/proto/iceberg.proto:63-110`) — primitives, nested
+  * record/array/map, `[null, T]` unions as nullable, and the logical types
+  * date (→ DateType), timestamp-millis/micros (→ TimestampType), and
+  * decimal (→ DecimalType(p,s)).
   */
 object AvroScan {
 
-  /** Avro record schema → Spark StructType (primitive subset). */
+  /** Avro record schema → Spark StructType. */
   def toStructType(avro: Schema): StructType = {
     require(avro.getType == Schema.Type.RECORD,
       s"top-level avro type must be record, got ${avro.getType}")
@@ -50,29 +52,101 @@ object AvroScan {
     })
   }
 
-  private def fieldType(s: Schema): (DataType, Boolean) = s.getType match {
+  /** Unwrap `[null, T]` → (T, nullable). */
+  private def nonNull(s: Schema): (Schema, Boolean) = s.getType match {
     case Schema.Type.UNION =>
       val branches = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
       require(branches.size == 1, s"only [null, T] unions are supported, got $s")
-      (fieldType(branches.head)._1, true)
-    case Schema.Type.BOOLEAN => (BooleanType, false)
-    case Schema.Type.INT => (IntegerType, false)
-    case Schema.Type.LONG => (LongType, false)
-    case Schema.Type.FLOAT => (FloatType, false)
-    case Schema.Type.DOUBLE => (DoubleType, false)
-    case Schema.Type.STRING => (StringType, false)
-    case Schema.Type.BYTES => (BinaryType, false)
-    case Schema.Type.FIXED => (BinaryType, false)
-    case other => throw new IllegalArgumentException(s"unsupported avro type: $other")
+      (branches.head, true)
+    case _ => (s, false)
   }
 
-  private def convert(v: Any): Any = v match {
-    case null => null
-    case u: org.apache.avro.util.Utf8 => u.toString
+  private def logicalName(s: Schema): String =
+    Option(s.getLogicalType).map(_.getName).getOrElse("")
+
+  private def fieldType(s: Schema): (DataType, Boolean) = {
+    val (b, nullable) = nonNull(s)
+    val t = (b.getType, logicalName(b)) match {
+      case (Schema.Type.INT, "date") => DateType
+      case (Schema.Type.LONG, "timestamp-micros") => TimestampType
+      case (Schema.Type.LONG, "timestamp-millis") => TimestampType
+      case (Schema.Type.BYTES | Schema.Type.FIXED, "decimal") =>
+        val d = b.getLogicalType.asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        DecimalType(d.getPrecision, d.getScale)
+      case (Schema.Type.BOOLEAN, _) => BooleanType
+      case (Schema.Type.INT, _) => IntegerType
+      case (Schema.Type.LONG, _) => LongType
+      case (Schema.Type.FLOAT, _) => FloatType
+      case (Schema.Type.DOUBLE, _) => DoubleType
+      case (Schema.Type.STRING, _) => StringType
+      case (Schema.Type.BYTES, _) => BinaryType
+      case (Schema.Type.FIXED, _) => BinaryType
+      case (Schema.Type.RECORD, _) => toStructType(b)
+      case (Schema.Type.ARRAY, _) =>
+        val (et, en) = fieldType(b.getElementType)
+        ArrayType(et, containsNull = en)
+      case (Schema.Type.MAP, _) =>
+        val (vt, vn) = fieldType(b.getValueType)
+        MapType(StringType, vt, valueContainsNull = vn)
+      case (other, _) =>
+        throw new IllegalArgumentException(s"unsupported avro type: $other")
+    }
+    (t, nullable)
+  }
+
+  private def bytesOf(v: Any): Array[Byte] = v match {
     case b: java.nio.ByteBuffer =>
       val arr = new Array[Byte](b.remaining()); b.duplicate().get(arr); arr
     case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
-    case other => other
+  }
+
+  /** Schema-directed value converter, avro runtime value → Spark external
+    * Row value (java.sql date/timestamp, java BigDecimal, nested Row/Seq/Map).
+    */
+  private def converter(s: Schema): Any => Any = {
+    val (b, _) = nonNull(s)
+    (b.getType, logicalName(b)) match {
+      case (Schema.Type.INT, "date") =>
+        v => if (v == null) null
+          else java.sql.Date.valueOf(
+            java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+      case (Schema.Type.LONG, "timestamp-micros") =>
+        v => if (v == null) null else {
+          val us = v.asInstanceOf[Long]
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+        }
+      case (Schema.Type.LONG, "timestamp-millis") =>
+        v => if (v == null) null
+          else java.sql.Timestamp.from(
+            java.time.Instant.ofEpochMilli(v.asInstanceOf[Long]))
+      case (Schema.Type.BYTES | Schema.Type.FIXED, "decimal") =>
+        val scale = b.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal].getScale
+        v => if (v == null) null
+          else new java.math.BigDecimal(
+            new java.math.BigInteger(bytesOf(v)), scale)
+      case (Schema.Type.RECORD, _) =>
+        val fieldConvs = b.getFields.asScala.map(f => converter(f.schema())).toArray
+        v => if (v == null) null else {
+          val rec = v.asInstanceOf[GenericRecord]
+          Row.fromSeq(fieldConvs.indices.map(i => fieldConvs(i)(rec.get(i))))
+        }
+      case (Schema.Type.ARRAY, _) =>
+        val ec = converter(b.getElementType)
+        v => if (v == null) null
+          else v.asInstanceOf[java.util.Collection[Any]].asScala.map(ec).toSeq
+      case (Schema.Type.MAP, _) =>
+        val vc = converter(b.getValueType)
+        v => if (v == null) null
+          else v.asInstanceOf[java.util.Map[Any, Any]].asScala
+            .map { case (k, vv) => k.toString -> vc(vv) }.toMap
+      case (Schema.Type.STRING, _) =>
+        v => if (v == null) null else v.toString
+      case (Schema.Type.BYTES | Schema.Type.FIXED, _) =>
+        v => if (v == null) null else bytesOf(v)
+      case _ => identity[Any]
+    }
   }
 
   /** Read avro container files, appending `sys_hidden_file_path` (canonical
@@ -100,13 +174,14 @@ object AvroScan {
         val reader = new DataFileReader(
           new FsInput(new Path(p), new Configuration()),
           new GenericDatumReader[GenericRecord](expected))
+        val convs = expected.getFields.asScala.map(f => converter(f.schema())).toArray
         val canon = CompactionRunner.canonPath(p)
         var pos = -1L
         val base = reader.iterator().asScala.map { rec =>
           pos += 1
           val vals = new Array[Any](n + 2)
           var i = 0
-          while (i < n) { vals(i) = convert(rec.get(i)); i += 1 }
+          while (i < n) { vals(i) = convs(i)(rec.get(i)); i += 1 }
           vals(n) = canon
           vals(n + 1) = pos
           Row.fromSeq(vals.toIndexedSeq)

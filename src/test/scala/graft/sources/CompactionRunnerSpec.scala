@@ -159,6 +159,57 @@ class CompactionRunnerSpec extends SparkSpec {
     scan.unpersist()
   }
 
+  test("avro bridge covers nested record/array/map and date/timestamp/decimal logical types") {
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("graft-avro-types")
+    val dateT = LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    val tsT = LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    val decT = LogicalTypes.decimal(10, 2).addToSchema(Schema.create(Schema.Type.BYTES))
+    val inner = SchemaBuilder.record("inner").fields()
+      .requiredString("s").requiredInt("n").endRecord()
+    val schema = SchemaBuilder.record("wide").fields()
+      .requiredLong("id")
+      .name("d").`type`(dateT).noDefault()
+      .name("ts").`type`(tsT).noDefault()
+      .name("amt").`type`(decT).noDefault()
+      .name("tags").`type`().array().items().stringType().noDefault()
+      .name("props").`type`().map().values().longType().noDefault()
+      .name("nested").`type`(inner).noDefault()
+      .endRecord()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$dir/wide.avro"))
+    val rec = new GenericData.Record(schema)
+    rec.put("id", 7L)
+    rec.put("d", 19000) // 2022-01-08
+    rec.put("ts", 1_600_000_000_123_456L) // µs precision must survive
+    rec.put("amt", java.nio.ByteBuffer.wrap(BigInt(123456).toByteArray)) // 1234.56
+    rec.put("tags", java.util.Arrays.asList("a", "b"))
+    val props = new java.util.HashMap[String, Long](); props.put("k", 42L)
+    rec.put("props", props)
+    val in = new GenericData.Record(inner); in.put("s", "x"); in.put("n", 3)
+    rec.put("nested", in)
+    w.append(rec); w.close()
+
+    val df = AvroScan.readWithHiddenCols(spark, Seq(s"$dir/wide.avro"))
+    val f = df.schema.fields.map(x => x.name -> x.dataType).toMap
+    assert(f("d") == DateType && f("ts") == TimestampType)
+    assert(f("amt") == DecimalType(10, 2))
+    assert(f("tags") == ArrayType(StringType, containsNull = false) &&
+      f("props") == MapType(StringType, LongType, valueContainsNull = false))
+    assert(f("nested").isInstanceOf[StructType])
+    val r = df.collect().head
+    assert(r.getAs[java.sql.Date]("d").toString == "2022-01-08")
+    assert(r.getAs[java.sql.Timestamp]("ts").getNanos == 123456000) // µs kept
+    assert(r.getAs[java.math.BigDecimal]("amt")
+      .compareTo(new java.math.BigDecimal("1234.56")) == 0)
+    assert(r.getSeq[String](r.fieldIndex("tags")).toList == List("a", "b"))
+    assert(r.getAs[Map[String, Long]]("props") == Map("k" -> 42L))
+    assert(r.getAs[org.apache.spark.sql.Row]("nested").getString(0) == "x")
+  }
+
   test("mixed parquet+ORC+avro compaction merges deletes across formats (S2 e2e)") {
     val dir = tmpDir("graft-mixed3")
     val out = tmpDir("graft-mixed3-out")
