@@ -23,8 +23,14 @@ import scala.jdk.CollectionConverters._
   *  "equality_deletes":[{"path":"/ed.parquet","seq":9,
   *                       "equality_cols":["k"],"equality_ids":[1]}],
   *  "output_dir":"/out","target_partitions":4,
-  *  "stats_cols":["k"],"cluster_by":["k"]}
+  *  "stats_cols":["k"],"cluster_by":["k"],
+  *  "partition_spec":[{"name":"p_year","transform":"year","source":"ts"},
+  *                    {"name":"p_b","transform":"bucket[16]","source":"k"}]}
   * }}}
+  * `partition_spec` mirrors the reference's wire PartitionSpec decode
+  * (`parser/proto.rs:295-328`): transforms identity / year / month / day /
+  * hour / bucket[n] / truncate[w] / void, resolved against
+  * [[graft.functions.IcebergTransforms]] and fanned out by the writer.
   * Like the reference, the caller commits: the response carries the added
   * files + removed inputs; no catalog mutation happens here.
   */
@@ -59,12 +65,41 @@ object CompactionService {
         equalityIds = ints(f.get("equality_ids")))
     }
     val outDir = req.get("output_dir").asText()
+    val transforms = elems(req.get("partition_spec")).map { spec =>
+      spec.get("name").asText() ->
+        partitionTransform(spec.get("transform").asText(),
+          spec.get("source").asText())
+    }
     val config = CompactionConfig(
       targetPartitions =
         if (req.has("target_partitions")) req.get("target_partitions").asInt() else 4,
+      partitionTransforms = transforms,
       statsCols = strings(req.get("stats_cols")),
       clusterBy = strings(req.get("cluster_by")))
     val manifest = compact(spark, dataTasks, posDeletes, eqDeletes, outDir, config)
     CompactionRunner.manifestJson(manifest)
+  }
+
+  private val Parameterized = """([a-z]+)\[(\d+)\]""".r
+
+  /** Wire transform name → transform column (T1–T8, §2.6). */
+  private[sources] def partitionTransform(
+      transform: String, source: String): org.apache.spark.sql.Column = {
+    import graft.functions.IcebergTransforms._
+    import org.apache.spark.sql.functions.col
+    transform match {
+      case "identity" => identityT(col(source))
+      case "year" => yearsT(col(source))
+      case "month" => monthsT(col(source))
+      case "day" => daysT(col(source))
+      case "hour" => hoursT(col(source))
+      case Parameterized("bucket", n) => bucketT(n.toInt, col(source))
+      case Parameterized("truncate", w) =>
+        // width-w truncation; string sources take the prefix form
+        truncateT(w.toInt, col(source), isString = false)
+      case "void" => voidT(col(source))
+      case other =>
+        throw new IllegalArgumentException(s"unknown partition transform: $other")
+    }
   }
 }

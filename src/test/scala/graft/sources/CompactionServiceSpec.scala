@@ -46,6 +46,30 @@ class CompactionServiceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/data").count() == expected && expected > 0)
   }
 
+  test("request partition_spec decodes to iceberg transforms and fans out the write") {
+    val table = tmpDir("graft-svc-pspec")
+    val out = tmpDir("graft-svc-pspec-out")
+    Tables.lineitem(spark, sfDir).limit(500).write.mode("overwrite").parquet(table)
+    val dataJson = parquetsIn(table)
+      .map(p => s"""{"path":"$p","seq":1}""").mkString("[", ",", "]")
+    val request =
+      s"""{"data_files":$dataJson,"output_dir":"$out","target_partitions":2,
+         |"partition_spec":[{"name":"p_year","transform":"year","source":"l_shipdate"},
+         |                  {"name":"p_bkt","transform":"bucket[4]","source":"l_orderkey"}]}""".stripMargin
+    CompactionService.rewriteFiles(spark, request)
+    // fanout directories exist for both transform columns, nested
+    val yearDirs = new java.io.File(s"$out/data").listFiles()
+      .filter(_.getName.startsWith("p_year="))
+    assert(yearDirs.nonEmpty)
+    assert(yearDirs.head.listFiles().exists(_.getName.startsWith("p_bkt=")))
+    // written data still reads and carries the partition columns
+    val written = spark.read.parquet(s"$out/data")
+    assert(written.count() == 500)
+    assert(written.columns.contains("p_year") && written.columns.contains("p_bkt"))
+    // bucket values inside [0, 4)
+    assert(written.filter(col("p_bkt") < 0 || col("p_bkt") >= 4).count() == 0)
+  }
+
   test("Iceberg-shaped avro manifest round-trips and drives complete pruning") {
     val table = tmpDir("graft-man")
     val out = tmpDir("graft-man-out")
