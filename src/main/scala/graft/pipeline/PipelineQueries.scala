@@ -717,6 +717,141 @@ object PipelineQueries {
       |             ELSE text END AS t
       |      FROM documents) d""".stripMargin
 
+  // ---- Q54 SRP-LSH / Q55 stratified sample / Q56 length packing ----------
+
+  /** Fixed pseudo-random ±1 hyperplane entries for signed random projection,
+    * shared verbatim with the oracle (both sides read the same literals, so
+    * no cross-engine hash function is needed). 16 planes × 64 dims.
+    */
+  private val SrpBits = 16
+  private val SrpDim = 64
+  private def srpSign(j: Int, i: Int): Int =
+    if (((j * 1000003L + i * 7919L) * 2654435761L % 97 % 2 + 2) % 2 == 0) 1 else -1
+
+  /** Q54: embedding near-dup via signed-random-projection LSH — the third
+    * ANN path beside brute-force (q42) and IVF (q44/q51): each vector gets a
+    * 16-bit sign signature against fixed hyperplanes, two 8-bit bands
+    * propose candidates, Hamming ≤ 2 pre-filters, exact cosine ≥ 0.40
+    * verifies. Bit-signature candidates shuffle 2 longs per vector — at
+    * 100 TB the banded self-join moves signatures, never embeddings; only
+    * verified candidates touch the vectors again.
+    */
+  private def q54(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val sigBits = (0 until SrpBits).map { j =>
+      val plane = array((0 until SrpDim).map(i => lit(srpSign(j, i).toDouble)): _*)
+      val proj = aggregate(
+        zip_with(col("embedding"), plane, (x, p) => x.cast("double") * p),
+        lit(0.0), (a, v) => a + v)
+      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val sigs = e.select(col("vec_id"), col("embedding"),
+      normD(col("embedding")).as("nrm"), sigBits.as("sig")).cache()
+    val banded = sigs.select(col("vec_id"), col("sig"),
+      explode(array(
+        struct(lit(0).as("band"), (col("sig") % 256).as("bval")),
+        struct(lit(1).as("band"), (col("sig") / 256).cast("long").as("bval")))).as("bk"))
+      .select(col("vec_id"), col("sig"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val x = banded.as("x"); val y = banded.as("y")
+    val cand = x.join(y,
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 2)
+      .distinct()
+    cand
+      .join(sigs.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(sigs.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"), col("hamming"),
+        (dotD(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= 0.40)
+  }
+
+  private val q54Sql: String = {
+    def planeLit(j: Int): String =
+      (0 until SrpDim).map(i => srpSign(j, i)).mkString("[", ", ", "]")
+    val bitTerms = (0 until SrpBits).map { j =>
+      s"""(CASE WHEN list_sum(list_transform(range(1, ${SrpDim + 1}),
+         |  i -> CAST(embedding[i] AS DOUBLE) * (${planeLit(j)})[i])) > 0
+         |  THEN ${1L << j} ELSE 0 END)""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH sigs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+       |         CAST($bitTerms AS BIGINT) AS sig
+       |  FROM embeddings),
+       |banded AS (
+       |  SELECT vec_id, sig, 0 AS band, sig % 256 AS bval FROM sigs
+       |  UNION ALL
+       |  SELECT vec_id, sig, 1 AS band, sig // 256 AS bval FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       |         CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+       |  FROM banded x JOIN banded y
+       |    ON x.band = y.band AND x.bval = y.bval AND x.vec_id < y.vec_id
+       |  WHERE bit_count(xor(x.sig, y.sig)) <= 2)
+       |SELECT c.vec_a, c.vec_b, c.hamming,
+       |       list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |         / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       |            * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+       |FROM cand c
+       |JOIN sigs a ON a.vec_id = c.vec_a
+       |JOIN sigs b ON b.vec_id = c.vec_b
+       |WHERE list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+       |        / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+       |           * sqrt(list_sum(list_transform(b.v, x -> x * x)))) >= 0.40""".stripMargin
+  }
+
+  /** Q55: deterministic stratified sampling — the training-data mixture
+    * primitive: hash-gate each doc at a per-stratum rate (40% here), so the
+    * sample is reproducible across engines/runs and needs no RNG state.
+    * One narrow row-level pass; at 100 TB the gate is applied at the scan.
+    */
+  private def q55(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val gate = TextOps.portableHashC(
+      concat(lit("smp:"), col("doc_id").cast("string"))) % 100
+    d.filter(gate < 40)
+      .select(col("doc_id"), col("source"), col("lang"), gate.as("gate"))
+  }
+
+  private val q55Sql =
+    s"""SELECT doc_id, source, lang,
+       |       ${StrHashSql.format("'smp:' || CAST(doc_id AS VARCHAR)")} % 100 AS gate
+       |FROM documents
+       |WHERE ${StrHashSql.format("'smp:' || CAST(doc_id AS VARCHAR)")} % 100 < 40""".stripMargin
+
+  /** Q56: length bucketing for sequence packing — docs binned by token
+    * count (16-token bins, capped), with per-bucket packed-sequence
+    * estimates at a 512-token context: the planning pass a training-data
+    * packer runs before writing shards. Pure integral arithmetic.
+    */
+  private def q56(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val nt = size(split(col("text"), " ")).cast("long")
+    val bucket = least(expr("cast(size(split(text, ' ')) as bigint) div 16"), lit(8L))
+    d.select(bucket.as("bucket"), nt.as("nt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("sum_tokens"),
+        min(col("nt")).as("min_tokens"),
+        max(col("nt")).as("max_tokens"),
+        ceil(sum(col("nt")).cast("double") / 512.0).cast("long").as("packed_seqs_512"))
+  }
+
+  private val q56Sql =
+    """SELECT least(len(string_split(text, ' ')) // 16, 8) AS bucket,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+      |       CAST(min(len(string_split(text, ' '))) AS BIGINT) AS min_tokens,
+      |       CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_tokens,
+      |       CAST(ceil(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / 512.0) AS BIGINT)
+      |         AS packed_seqs_512
+      |FROM documents
+      |GROUP BY 1""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -733,7 +868,10 @@ object PipelineQueries {
     "q50_multimodal" -> (q50 _),
     "q51_embed_neardup" -> (q51 _),
     "q52_scrub" -> (q52 _),
-    "q53_dedup_clusters" -> (q53 _))
+    "q53_dedup_clusters" -> (q53 _),
+    "q54_srp_neardup" -> (q54 _),
+    "q55_sample_stratified" -> (q55 _),
+    "q56_length_buckets" -> (q56 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -751,5 +889,8 @@ object PipelineQueries {
     "q50_multimodal" -> q50Sql,
     "q51_embed_neardup" -> q51Sql,
     "q52_scrub" -> q52Sql,
-    "q53_dedup_clusters" -> q53Sql)
+    "q53_dedup_clusters" -> q53Sql,
+    "q54_srp_neardup" -> q54Sql,
+    "q55_sample_stratified" -> q55Sql,
+    "q56_length_buckets" -> q56Sql)
 }
