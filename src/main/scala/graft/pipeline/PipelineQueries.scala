@@ -747,11 +747,13 @@ object PipelineQueries {
     }.reduce(_ + _)
     val sigs = e.select(col("vec_id"), col("embedding"),
       normD(col("embedding")).as("nrm"), sigBits.as("sig")).cache()
-    val banded = sigs.select(col("vec_id"), col("sig"),
-      explode(array(
-        struct(lit(0).as("band"), (col("sig") % 256).as("bval")),
-        struct(lit(1).as("band"), (col("sig") / 256).cast("long").as("bval")))).as("bk"))
-      .select(col("vec_id"), col("sig"), col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val banded = capBuckets(
+      sigs.select(col("vec_id"), col("sig"),
+        explode(array(
+          struct(lit(0).as("band"), (col("sig") % 256).as("bval")),
+          struct(lit(1).as("band"), (col("sig") / 256).cast("long").as("bval")))).as("bk"))
+        .select(col("vec_id"), col("sig"), col("bk.band").as("band"), col("bk.bval").as("bval")),
+      Seq("band", "bval"), MaxBandBucket)
     val x = banded.as("x"); val y = banded.as("y")
     val cand = x.join(y,
         col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
@@ -782,10 +784,13 @@ object PipelineQueries {
        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
        |         CAST($bitTerms AS BIGINT) AS sig
        |  FROM embeddings),
-       |banded AS (
+       |banded0 AS (
        |  SELECT vec_id, sig, 0 AS band, sig % 256 AS bval FROM sigs
        |  UNION ALL
        |  SELECT vec_id, sig, 1 AS band, sig // 256 AS bval FROM sigs),
+       |banded AS (
+       |  SELECT vec_id, sig, band, bval FROM banded0
+       |  QUALIFY count(*) OVER (PARTITION BY band, bval) <= $MaxBandBucket),
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
        |         CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
