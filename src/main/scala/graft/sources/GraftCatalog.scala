@@ -133,6 +133,41 @@ final class GraftCatalog(root: String) {
     nextId
   }
 
+  /** Incremental (append-diff) file set: DATA files present in `toSnapshot`
+    * but not in `fromSnapshot` — Iceberg's incremental append scan. The
+    * diff is meaningful between append/upsert commits; across a compaction
+    * commit it returns the rewritten files (a physical, not logical,
+    * change), exactly like Iceberg's incremental scan over a REPLACE
+    * snapshot — callers doing CDC should read between non-replace commits.
+    */
+  def appendedFilesBetween(
+      table: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Long): Seq[DataFileTask] = {
+    val before = loadTableAt(table, fromSnapshotId)
+      .map(t => CompactionRunner.canonPath(t.path)).toSet
+    loadTableAt(table, toSnapshotId)
+      .filterNot(t => before(CompactionRunner.canonPath(t.path)))
+  }
+
+  /** Incremental read: the rows appended between two snapshots (one scan of
+    * exactly the appended files — at 100 TB this touches only the delta,
+    * never the table). Hidden columns projected away.
+    */
+  def scanAppendedBetween(
+      spark: SparkSession,
+      table: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Long): DataFrame = {
+    val tasks = appendedFilesBetween(table, fromSnapshotId, toSnapshotId)
+    require(tasks.nonEmpty, s"no files appended between snapshots " +
+      s"$fromSnapshotId and $toSnapshotId of $table")
+    val scanned = CompactionRunner.scanWithHiddenCols(spark, tasks)
+    val userCols = scanned.columns
+      .filterNot(graft.operators.MorPlanner.HiddenCols.contains)
+    scanned.select(userCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+  }
+
   /** Orphan detection: which of `candidates` (e.g. a storage listing) are
     * referenced by NO retained snapshot — safe to garbage-collect after
     * [[expireSnapshots]]. Pure metadata; deletion is the caller's call.

@@ -91,6 +91,30 @@ class GraftCatalogSpec extends SparkSpec {
     compacted.unpersist()
   }
 
+  test("incremental read returns exactly the rows appended between snapshots") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-inc").toString
+    val out = Files.createTempDirectory("graft-inc-out").toString
+    (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$base/t")
+    val files = new java.io.File(s"$base/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    cat.createTable("t", files.map(DataFileTask(_, 1L)))
+    // two upserts → snapshots 2 and 3
+    cat.upsert(spark, "t", Seq((101L, "a")).toDF("k", "v"), Seq("k"), out)
+    cat.upsert(spark, "t", Seq((102L, "b"), (103L, "c")).toDF("k", "v"), Seq("k"), out)
+    // 1→2: only the first upsert's rows; 2→3: only the second's
+    val d12 = cat.scanAppendedBetween(spark, "t", 1, 2)
+    assert(d12.select("k").collect().map(_.getLong(0)).toSet == Set(101L))
+    val d23 = cat.scanAppendedBetween(spark, "t", 2, 3)
+    assert(d23.select("k").collect().map(_.getLong(0)).toSet == Set(102L, 103L))
+    assert(d23.columns.toSeq == Seq("k", "v")) // hidden cols projected away
+    // empty diff fails loudly rather than returning an empty scan
+    intercept[IllegalArgumentException](cat.scanAppendedBetween(spark, "t", 3, 3))
+  }
+
   test("catalog-driven compaction commits a new snapshot with the output files") {
     val cat = newCatalog()
     val table = Files.createTempDirectory("graft-cat-data").toString
