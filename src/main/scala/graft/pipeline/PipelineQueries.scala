@@ -857,6 +857,50 @@ object PipelineQueries {
       |FROM documents
       |GROUP BY 1""".stripMargin
 
+  /** Q57: TF-IDF keyword extraction — top-3 salient tokens per document.
+    * Corpus pass 1 computes document frequency per token (one hash agg);
+    * pass 2 joins tf × rarity and ranks per doc. The rarity weight is the
+    * INTEGRAL `(N*1000) div df` instead of `ln(N/df)` — same ranking
+    * monotonicity, but exact integer arithmetic on both engines (ln's last
+    * ulp differs across libm implementations and could flip rank ties).
+    * All shuffles keyed by token or doc; nothing is all-pairs.
+    */
+  private def q57(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val toks = d.select(col("doc_id"),
+      explode(split(lower(col("text")), " ")).as("token"))
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df_ = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = d.count() // driver-side scalar, metadata-sized
+    val scored = tf.join(df_, "token")
+      .select(col("doc_id"), col("token"),
+        (col("tf") * expr(s"${nDocs * 1000L} div df")).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("token"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+  }
+
+  private val q57Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (
+      |  SELECT token, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token,
+      |         tf.tf * ((n.n_docs * 1000) // dfreq.df) AS score
+      |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+      |SELECT doc_id, token, score, CAST(rnk AS BIGINT) AS rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score DESC, token) AS rnk
+      |  FROM scored) t
+      |WHERE rnk <= 3""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -876,7 +920,8 @@ object PipelineQueries {
     "q53_dedup_clusters" -> (q53 _),
     "q54_srp_neardup" -> (q54 _),
     "q55_sample_stratified" -> (q55 _),
-    "q56_length_buckets" -> (q56 _))
+    "q56_length_buckets" -> (q56 _),
+    "q57_tfidf" -> (q57 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -897,5 +942,6 @@ object PipelineQueries {
     "q53_dedup_clusters" -> q53Sql,
     "q54_srp_neardup" -> q54Sql,
     "q55_sample_stratified" -> q55Sql,
-    "q56_length_buckets" -> q56Sql)
+    "q56_length_buckets" -> q56Sql,
+    "q57_tfidf" -> q57Sql)
 }
