@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Extended analytics surface Q60–Q65: pivot, exact + approx percentiles,
@@ -119,13 +120,58 @@ object MiscQueries {
       count(lit(1)).as("n"))
   }
 
+  /** Q66 sessionization (gaps-and-islands): per-user sessions split on
+    * >30-minute inactivity, built from lag + a running sum of
+    * session-boundary markers — the classic two-window shape. Total order
+    * (ts, event_id) per user keeps boundaries deterministic; timestamps are
+    * integral nanos throughout.
+    */
+  private def q66(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts").as("tsn"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
+    val gapNs = 1800L * 1000000000L
+    val newSess = when(lag(col("tsn"), 1).over(w).isNull ||
+      col("tsn") - lag(col("tsn"), 1).over(w) > gapNs, 1L).otherwise(0L)
+    val run = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("new_sess", newSess)
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(tsn) div 1000000000").as("start_sec"),
+        expr("max(tsn) div 1000000000").as("end_sec"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+  }
+
+  /** Q67 funnel: users progressing view → click → purchase in time order
+    * (first occurrence of each stage must be strictly increasing). One hash
+    * agg per user, then a row-level stage test — no joins, no windows.
+    */
+  private def q67(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, col("ts"))).as(s"t_$t")
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+    perUser.select(col("user_id"),
+      col("t_view").isNotNull.as("has_view"),
+      (col("t_view").isNotNull && col("t_click").isNotNull &&
+        col("t_view") < col("t_click")).as("reached_click"),
+      (col("t_view").isNotNull && col("t_click").isNotNull &&
+        col("t_purchase").isNotNull && col("t_view") < col("t_click") &&
+        col("t_click") < col("t_purchase")).as("reached_purchase"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q60_pivot" -> (q60 _),
     "q61_percentile" -> (q61 _),
     "q62_corr" -> (q62 _),
     "q63_edit_distance" -> (q63 _),
     "q64_resample" -> (q64 _),
-    "q65_collect_sorted" -> (q65 _))
+    "q65_collect_sorted" -> (q65 _),
+    "q66_sessionize" -> (q66 _),
+    "q67_funnel" -> (q67 _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_pivot" ->
@@ -186,5 +232,34 @@ object MiscQueries {
         |       array_to_string(list_sort(list(c_custkey))[1:3], ',') AS min3,
         |       count(*) AS n
         |FROM customer
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q66_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS tsn, value FROM events),
+        |s AS (SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+        |                      OR tsn - lag(tsn) OVER w > 1800000000000
+        |                     THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)),
+        |s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |                                     ORDER BY tsn, event_id
+        |                                     ROWS UNBOUNDED PRECEDING) AS sess_id
+        |       FROM s)
+        |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+        |       min(tsn) // 1000000000 AS start_sec,
+        |       max(tsn) // 1000000000 AS end_sec,
+        |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM s2 GROUP BY 1, 2""".stripMargin,
+    "q67_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) END) AS t_view,
+        |         min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) END) AS t_click,
+        |         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) END) AS t_purchase
+        |  FROM events GROUP BY 1)
+        |SELECT user_id,
+        |       t_view IS NOT NULL AS has_view,
+        |       (t_view IS NOT NULL AND t_click IS NOT NULL
+        |        AND t_view < t_click) AS reached_click,
+        |       (t_view IS NOT NULL AND t_click IS NOT NULL AND t_purchase IS NOT NULL
+        |        AND t_view < t_click AND t_click < t_purchase) AS reached_purchase
+        |FROM f""".stripMargin)
 }
