@@ -719,14 +719,15 @@ object PipelineQueries {
 
   // ---- Q54 SRP-LSH / Q55 stratified sample / Q56 length packing ----------
 
-  /** Fixed pseudo-random ±1 hyperplane entries for signed random projection,
-    * shared verbatim with the oracle (both sides read the same literals, so
-    * no cross-engine hash function is needed). 16 planes × 64 dims.
+  /** Fixed pseudo-random ±1 hyperplane entries for signed random projection
+    * (defined in [[graft.functions.VectorOps.srpSign]]), shared verbatim
+    * with the oracle (both sides read the same literals, so no cross-engine
+    * hash function is needed). 16 planes × 64 dims.
     */
   private val SrpBits = 16
   private val SrpDim = 64
   private def srpSign(j: Int, i: Int): Int =
-    if (((j * 1000003L + i * 7919L) * 2654435761L % 97 % 2 + 2) % 2 == 0) 1 else -1
+    graft.functions.VectorOps.srpSign(j, i)
 
   /** Q54: embedding near-dup via signed-random-projection LSH — the third
     * ANN path beside brute-force (q42) and IVF (q44/q51): each vector gets a
@@ -738,15 +739,12 @@ object PipelineQueries {
     */
   private def q54(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
-    val sigBits = (0 until SrpBits).map { j =>
-      val plane = array((0 until SrpDim).map(i => lit(srpSign(j, i).toDouble)): _*)
-      val proj = aggregate(
-        zip_with(col("embedding"), plane, (x, p) => x.cast("double") * p),
-        lit(0.0), (a, v) => a + v)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // codegen'd kernel: all 16 bit projections in one static call per row
+    // (the zip_with/aggregate-per-bit formulation is interpreted and was
+    // the slowest item in the bench)
     val sigs = e.select(col("vec_id"), col("embedding"),
-      normD(col("embedding")).as("nrm"), sigBits.as("sig")).cache()
+      normD(col("embedding")).as("nrm"),
+      graft.functions.VectorOps.srpSigC(col("embedding")).as("sig")).cache()
     val banded = capBuckets(
       sigs.select(col("vec_id"), col("sig"),
         explode(array(
