@@ -50,12 +50,33 @@ final class GraftCatalog(root: String) {
   private def snapPath(table: String, id: Long) =
     tableDir(table).resolve(s"snap-$id.tsv")
 
-  def createTable(table: String, files: Seq[DataFileTask]): Unit = {
-    require(!Files.exists(headPath(table)), s"table $table already exists")
-    Files.createDirectories(tableDir(table))
-    writeSnapshot(table, 1L, files.map(toEntry))
-    Files.writeString(headPath(table), "1")
+  /** Serialize commits per table: an in-JVM striped lock (threads of one
+    * driver) plus an OS file lock (concurrent drivers on shared storage) —
+    * the reference's SQL catalog gets this from the database transaction;
+    * a file-based chain must do it explicitly or two writers would both
+    * read HEAD=n and both write snap-(n+1), losing one commit.
+    */
+  private def withTableLock[A](table: String)(body: => A): A = {
+    val jvmLock = GraftCatalog.jvmLocks
+      .computeIfAbsent(s"$root/$table", _ => new Object)
+    jvmLock.synchronized {
+      Files.createDirectories(tableDir(table))
+      val ch = java.nio.channels.FileChannel.open(
+        tableDir(table).resolve(".lock"),
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val fileLock = ch.lock()
+        try body finally fileLock.release()
+      } finally ch.close()
+    }
   }
+
+  def createTable(table: String, files: Seq[DataFileTask]): Unit =
+    withTableLock(table) {
+      require(!Files.exists(headPath(table)), s"table $table already exists")
+      writeSnapshot(table, 1L, files.map(toEntry))
+      Files.writeString(headPath(table), "1")
+    }
 
   def currentSnapshotId(table: String): Long =
     Files.readString(headPath(table)).trim.toLong
@@ -127,10 +148,12 @@ final class GraftCatalog(root: String) {
     val newEntries =
       parquetsIn(dataDir).map(p => TableEntry("data", p, seq, "parquet", Nil)) ++
         parquetsIn(delDir).map(p => TableEntry("eqdel", p, seq, "parquet", keyCols))
-    val nextId = currentSnapshotId(table) + 1
-    writeSnapshot(table, nextId, loadEntries(table) ++ newEntries)
-    Files.writeString(headPath(table), nextId.toString)
-    nextId
+    withTableLock(table) {
+      val nextId = currentSnapshotId(table) + 1
+      writeSnapshot(table, nextId, loadEntries(table) ++ newEntries)
+      Files.writeString(headPath(table), nextId.toString)
+      nextId
+    }
   }
 
   /** Incremental (append-diff) file set: DATA files present in `toSnapshot`
@@ -199,7 +222,7 @@ final class GraftCatalog(root: String) {
   def commitRewrite(
       table: String,
       added: Seq[DataFileTask],
-      removedPaths: Seq[String]): Long = {
+      removedPaths: Seq[String]): Long = withTableLock(table) {
     val removed = removedPaths.toSet
     val kept = loadEntries(table).filterNot(e =>
       removed(CompactionRunner.canonPath(e.path)) || removed(e.path))
@@ -212,7 +235,7 @@ final class GraftCatalog(root: String) {
   /** EP3: drop all snapshots but the most recent `keepLast` (HEAD's snapshot
     * is always kept).
     */
-  def expireSnapshots(table: String, keepLast: Int): Seq[Long] = {
+  def expireSnapshots(table: String, keepLast: Int): Seq[Long] = withTableLock(table) {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val ids = snapshotIds(table)
     val head = currentSnapshotId(table)
@@ -269,4 +292,12 @@ final class GraftCatalog(root: String) {
       }
     }
   }
+}
+
+object GraftCatalog {
+  /** One lock object per (root, table) across all catalog instances in this
+    * JVM — FileChannel locks don't guard threads of the same process.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

@@ -32,6 +32,23 @@ class GraftCatalogSpec extends SparkSpec {
       Set("/b.parquet", "/c.parquet", "/d.parquet"))
   }
 
+  test("concurrent commits serialize without lost updates (8 threads)") {
+    val cat = newCatalog()
+    cat.createTable("t", Seq(DataFileTask("/base.parquet", 1)))
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { i =>
+      new Thread(() =>
+        try cat.commitRewrite("t", Seq(DataFileTask(s"/f$i.parquet", i + 1L)), Nil)
+        catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"commit failed: ${failures.peek()}")
+    // every commit landed: HEAD advanced 8 times, all files retained
+    assert(cat.currentSnapshotId("t") == 9)
+    assert(cat.loadTable("t").map(_.path).toSet ==
+      (Set("/base.parquet") ++ (1 to 8).map(i => s"/f$i.parquet")))
+  }
+
   test("time travel loads past snapshots until expiry; orphan detection is exact") {
     val cat = newCatalog()
     cat.createTable("t", Seq(DataFileTask("/a.parquet", 1), DataFileTask("/b.parquet", 2)))
