@@ -174,6 +174,14 @@ object AvroScan {
         val reader = new DataFileReader(
           new FsInput(new Path(p), new Configuration()),
           new GenericDatumReader[GenericRecord](expected))
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }
+        // Close on TASK COMPLETION, not just iterator exhaustion: an early-
+        // terminating consumer (limit, head, failed task) never drives
+        // hasNext to false, and a leaked FsInput fd per file would
+        // accumulate for the executor's lifetime.
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         val convs = expected.getFields.asScala.map(f => converter(f.schema())).toArray
         val canon = CompactionRunner.canonPath(p)
         var pos = -1L
@@ -186,10 +194,10 @@ object AvroScan {
           vals(n + 1) = pos
           Row.fromSeq(vals.toIndexedSeq)
         }
-        new Iterator[Row] { // close the container on exhaustion
+        new Iterator[Row] { // still close eagerly on exhaustion
           def hasNext: Boolean = {
             val h = base.hasNext
-            if (!h) reader.close()
+            if (!h) closeOnce()
             h
           }
           def next(): Row = base.next()

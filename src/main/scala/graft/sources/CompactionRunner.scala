@@ -334,11 +334,15 @@ object CompactionRunner {
     // entries for the new files, DELETED entries for the compacted inputs —
     // the structures a real catalog commit would write, readable back via
     // IcebergManifest.read for stats pruning.
+    val formatByPath = dedupByPath(dataTasks)(_.path)
+      .map(t => canonPath(t.path) -> t.format.toLowerCase).toMap
     IcebergManifest.write(s"$outDir/_graft_manifest.avro",
       added.map(IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded, _)) ++
         (manifest.removedDataFiles ++ manifest.removedDeleteFiles).map(p =>
           IcebergManifest.ManifestEntry(IcebergManifest.StatusDeleted,
-            DataFileStats(p, 0L, 0L, Map.empty, Map.empty, Map.empty))),
+            DataFileStats(p, 0L, 0L, Map.empty, Map.empty, Map.empty),
+            // removed DATA files keep their wire format; delete files are parquet
+            format = formatByPath.getOrElse(p, "parquet"))),
       written.schema)
     manifest
   }

@@ -38,6 +38,16 @@ object CompactionService {
 
   private val mapper = new ObjectMapper()
 
+  /** Required-field access with a named error — a malformed request is the
+    * expected failure mode at a service boundary; a bare NPE names nothing.
+    */
+  private def required(n: JsonNode, field: String): JsonNode = {
+    val v = if (n == null) null else n.get(field)
+    if (v == null || v.isNull)
+      throw new IllegalArgumentException(s"request is missing required field '$field'")
+    v
+  }
+
   private def strings(n: JsonNode): Seq[String] =
     if (n == null) Nil else n.elements().asScala.map(_.asText()).toSeq
 
@@ -49,26 +59,34 @@ object CompactionService {
 
   def rewriteFiles(spark: SparkSession, requestJson: String): String = {
     val req = mapper.readTree(requestJson)
-    val dataTasks = elems(req.get("data_files")).map { f =>
+    val dataTasks = elems(required(req, "data_files")).map { f =>
       DataFileTask(
-        path = f.get("path").asText(),
+        path = required(f, "path").asText(),
         seqNum = if (f.has("seq")) f.get("seq").asLong() else 0L,
         format = if (f.has("format")) f.get("format").asText() else "parquet")
     }
+    require(dataTasks.nonEmpty, "request has an empty 'data_files' list")
     val posDeletes = elems(req.get("position_deletes"))
-      .map(f => PosDeleteTask(f.get("path").asText()))
+      .map(f => PosDeleteTask(required(f, "path").asText()))
     val eqDeletes = elems(req.get("equality_deletes")).map { f =>
       EqDeleteTask(
-        path = f.get("path").asText(),
+        path = required(f, "path").asText(),
         seqNum = if (f.has("seq")) f.get("seq").asLong() else 0L,
         equalityCols = strings(f.get("equality_cols")),
         equalityIds = ints(f.get("equality_ids")))
     }
-    val outDir = req.get("output_dir").asText()
-    val transforms = elems(req.get("partition_spec")).map { spec =>
-      spec.get("name").asText() ->
-        partitionTransform(spec.get("transform").asText(),
-          spec.get("source").asText())
+    val outDir = required(req, "output_dir").asText()
+    val specEntries = elems(req.get("partition_spec"))
+    // source-column types (for truncate's string-vs-numeric form) come from
+    // the scan schema — a driver-side schema read, no data touched
+    lazy val dataSchema = scanWithHiddenCols(spark, dataTasks).schema
+    val transforms = specEntries.map { spec =>
+      val source = required(spec, "source").asText()
+      required(spec, "name").asText() ->
+        partitionTransform(required(spec, "transform").asText(), source,
+          dataSchema.fields.find(_.name == source).map(_.dataType)
+            .getOrElse(throw new IllegalArgumentException(
+              s"partition_spec source column '$source' not in the data schema")))
     }
     val config = CompactionConfig(
       targetPartitions =
@@ -82,9 +100,14 @@ object CompactionService {
 
   private val Parameterized = """([a-z]+)\[(\d+)\]""".r
 
-  /** Wire transform name → transform column (T1–T8, §2.6). */
+  /** Wire transform name → transform column (T1–T8, §2.6). The source
+    * column's type picks truncate's form: string prefix vs numeric
+    * floor-to-width (Iceberg spec semantics differ per type).
+    */
   private[sources] def partitionTransform(
-      transform: String, source: String): org.apache.spark.sql.Column = {
+      transform: String,
+      source: String,
+      sourceType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {
     import graft.functions.IcebergTransforms._
     import org.apache.spark.sql.functions.col
     transform match {
@@ -95,8 +118,8 @@ object CompactionService {
       case "hour" => hoursT(col(source))
       case Parameterized("bucket", n) => bucketT(n.toInt, col(source))
       case Parameterized("truncate", w) =>
-        // width-w truncation; string sources take the prefix form
-        truncateT(w.toInt, col(source), isString = false)
+        truncateT(w.toInt, col(source),
+          isString = sourceType == org.apache.spark.sql.types.StringType)
       case "void" => voidT(col(source))
       case other =>
         throw new IllegalArgumentException(s"unknown partition transform: $other")

@@ -71,11 +71,24 @@ final class GraftCatalog(root: String) {
     }
   }
 
+  /** HEAD updates go through temp-file + ATOMIC_MOVE: a plain writeString
+    * truncates before writing, so a lock-free reader could observe an empty
+    * HEAD mid-commit and crash on `"".toLong`.
+    */
+  private def writeHead(table: String, id: Long): Unit = {
+    val tmp = tableDir(table).resolve(s".HEAD.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp, id.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, headPath(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   def createTable(table: String, files: Seq[DataFileTask]): Unit =
     withTableLock(table) {
       require(!Files.exists(headPath(table)), s"table $table already exists")
       writeSnapshot(table, 1L, files.map(toEntry))
-      Files.writeString(headPath(table), "1")
+      writeHead(table, 1L)
     }
 
   def currentSnapshotId(table: String): Long =
@@ -137,21 +150,30 @@ final class GraftCatalog(root: String) {
       keyCols: Seq[String],
       outDir: String): Long = {
     require(keyCols.nonEmpty, "upsert requires key columns")
-    val seq = loadEntries(table).map(_.seqNum).foldLeft(0L)(math.max) + 1
-    val dataDir = s"$outDir/upsert-data-$seq"
-    val delDir = s"$outDir/upsert-eqdel-$seq"
+    // The distributed writes run OUTSIDE the table lock (directories named
+    // by a commit token, not a sequence number); the sequence number is
+    // allocated UNDER the lock at commit time. Allocating it early would
+    // let two concurrent upserts share a seq — and since the eq-delete
+    // guard is strict (`data.seq < delete.seq`), neither would suppress the
+    // other's rows: duplicate live rows per key. Lock-ordered seqs make
+    // the later commit's deletes apply to the earlier commit's data.
+    val token = java.util.UUID.randomUUID().toString
+    val dataDir = s"$outDir/upsert-data-$token"
+    val delDir = s"$outDir/upsert-eqdel-$token"
     updates.write.mode("errorifexists").parquet(dataDir)
     updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .distinct().write.mode("errorifexists").parquet(delDir)
     def parquetsIn(d: String) = new java.io.File(d).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
-    val newEntries =
-      parquetsIn(dataDir).map(p => TableEntry("data", p, seq, "parquet", Nil)) ++
-        parquetsIn(delDir).map(p => TableEntry("eqdel", p, seq, "parquet", keyCols))
     withTableLock(table) {
+      val entries = loadEntries(table)
+      val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      val newEntries =
+        parquetsIn(dataDir).map(p => TableEntry("data", p, seq, "parquet", Nil)) ++
+          parquetsIn(delDir).map(p => TableEntry("eqdel", p, seq, "parquet", keyCols))
       val nextId = currentSnapshotId(table) + 1
-      writeSnapshot(table, nextId, loadEntries(table) ++ newEntries)
-      Files.writeString(headPath(table), nextId.toString)
+      writeSnapshot(table, nextId, entries ++ newEntries)
+      writeHead(table, nextId)
       nextId
     }
   }
@@ -223,12 +245,23 @@ final class GraftCatalog(root: String) {
       table: String,
       added: Seq[DataFileTask],
       removedPaths: Seq[String]): Long = withTableLock(table) {
+    commitRewriteLocked(table, added.map(toEntry), removedPaths)
+  }
+
+  /** Body of a rewrite commit; callers MUST hold the table lock (the file
+    * lock is not reentrant, so locked flows inline this instead of nesting
+    * [[commitRewrite]]).
+    */
+  private def commitRewriteLocked(
+      table: String,
+      added: Seq[TableEntry],
+      removedPaths: Seq[String]): Long = {
     val removed = removedPaths.toSet
     val kept = loadEntries(table).filterNot(e =>
       removed(CompactionRunner.canonPath(e.path)) || removed(e.path))
     val nextId = currentSnapshotId(table) + 1
-    writeSnapshot(table, nextId, kept ++ added.map(toEntry))
-    Files.writeString(headPath(table), nextId.toString)
+    writeSnapshot(table, nextId, kept ++ added)
+    writeHead(table, nextId)
     nextId
   }
 
@@ -247,26 +280,36 @@ final class GraftCatalog(root: String) {
   /** EP1 against the catalog: load (data + pending deletes) → full MoR
     * compact → commit → new snapshot id. The commit retires the applied
     * delete files along with the rewritten data files.
+    *
+    * Runs entirely under the table lock: compaction must commit against the
+    * exact snapshot it compacted, or a concurrent upsert landing in between
+    * gets the same sequence number as the rewritten files and its
+    * eq-deletes silently stop applying (strict `<` guard) — stale rows
+    * resurrect. Compaction is a rare maintenance op; serializing it with
+    * commits on the same table is the honest pessimistic equivalent of
+    * Iceberg's validate-and-retry optimistic commit.
     */
   def compactTable(
       spark: SparkSession,
       table: String,
       outDir: String,
-      config: CompactionConfig = CompactionConfig()): (Long, CommitManifest) = {
-    val entries = loadEntries(table)
-    val manifest = CompactionRunner.compact(spark,
-      dataTasks(entries),
-      entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
-      entries.collect { case e if e.kind == "eqdel" =>
-        EqDeleteTask(e.path, e.seqNum, e.eqCols)
-      },
-      outDir, config)
-    val maxSeq = entries.map(_.seqNum).max
-    val added = manifest.addedFiles.map(f => DataFileTask(f.path, maxSeq + 1))
-    val snapId = commitRewrite(table, added,
-      manifest.removedDataFiles ++ manifest.removedDeleteFiles)
-    (snapId, manifest)
-  }
+      config: CompactionConfig = CompactionConfig()): (Long, CommitManifest) =
+    withTableLock(table) {
+      val entries = loadEntries(table)
+      val manifest = CompactionRunner.compact(spark,
+        dataTasks(entries),
+        entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
+        entries.collect { case e if e.kind == "eqdel" =>
+          EqDeleteTask(e.path, e.seqNum, e.eqCols)
+        },
+        outDir, config)
+      val maxSeq = entries.map(_.seqNum).max
+      val added = manifest.addedFiles
+        .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil))
+      val snapId = commitRewriteLocked(table, added,
+        manifest.removedDataFiles ++ manifest.removedDeleteFiles)
+      (snapId, manifest)
+    }
 
   private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
     val body = entries.map(e =>

@@ -28,7 +28,10 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergManifest {
 
-  final case class ManifestEntry(status: Int, file: DataFileStats)
+  final case class ManifestEntry(
+      status: Int,
+      file: DataFileStats,
+      format: String = "parquet")
 
   val StatusAdded = 1
   val StatusDeleted = 2
@@ -71,18 +74,12 @@ object IcebergManifest {
       entries: Seq[ManifestEntry],
       schema: StructType): Unit = {
     val dfSchema = EntrySchema.getField("data_file").schema()
-    def kvRecords(field: String, m: Map[String, String]): java.util.List[GenericRecord] =
+    // one helper for all three k/v lists — avro's put accepts both long and
+    // string values; the id resolution and ordering must not drift apart
+    def kvRecords(field: String, m: Map[String, Any]): java.util.List[GenericRecord] =
       m.toSeq.sortBy(_._1).map { case (col, v) =>
         val r = new GenericData.Record(
           dfSchema.getField(field).schema().getElementType)
-        r.put("key", idFor(schema, col))
-        r.put("value", v)
-        r: GenericRecord
-      }.asJava
-    def kvLongRecords(m: Map[String, Long]): java.util.List[GenericRecord] =
-      m.toSeq.sortBy(_._1).map { case (col, v) =>
-        val r = new GenericData.Record(
-          dfSchema.getField("null_value_counts").schema().getElementType)
         r.put("key", idFor(schema, col))
         r.put("value", v)
         r: GenericRecord
@@ -92,10 +89,10 @@ object IcebergManifest {
     try entries.foreach { e =>
       val df = new GenericData.Record(dfSchema)
       df.put("file_path", e.file.path)
-      df.put("file_format", "parquet")
+      df.put("file_format", e.format)
       df.put("record_count", e.file.recordCount)
       df.put("file_size_in_bytes", e.file.sizeBytes)
-      df.put("null_value_counts", kvLongRecords(e.file.nullCounts))
+      df.put("null_value_counts", kvRecords("null_value_counts", e.file.nullCounts))
       df.put("lower_bounds", kvRecords("lower_bounds", e.file.colMins))
       df.put("upper_bounds", kvRecords("upper_bounds", e.file.colMaxs))
       val rec = new GenericData.Record(EntrySchema)
@@ -136,7 +133,8 @@ object IcebergManifest {
           recordCount = df.get("record_count").asInstanceOf[Long],
           colMins = kv("lower_bounds"),
           colMaxs = kv("upper_bounds"),
-          nullCounts = nulls))
+          nullCounts = nulls),
+        format = df.get("file_format").toString)
     }.toList
     finally r.close()
   }

@@ -108,6 +108,34 @@ class GraftCatalogSpec extends SparkSpec {
     compacted.unpersist()
   }
 
+  test("concurrent upserts of the same key leave exactly one live row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-cups").toString
+    val out = Files.createTempDirectory("graft-cups-out").toString
+    (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$base/t")
+    cat.createTable("t", new java.io.File(s"$base/t").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(p => DataFileTask(p.getPath, 1L)).toSeq)
+    // two racing upserts of key 7: lock-ordered sequence numbers mean the
+    // later commit's eq-delete suppresses the earlier one's row — never two
+    // live rows for one key (the pre-fix behavior when both shared a seq)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = Seq("x", "y").map { tag =>
+      new Thread(() =>
+        try cat.upsert(spark, "t", Seq((7L, tag)).toDF("k", "v"), Seq("k"), out)
+        catch { case t: Throwable => failures.add(t) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(failures.isEmpty, s"upsert failed: ${failures.peek()}")
+    val live = cat.scanTable(spark, "t").filter(col("k") === 7L)
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(live.size == 1, s"expected exactly one live row for key 7, got $live")
+    assert(Set("x", "y").contains(live.head))
+    assert(cat.scanTable(spark, "t").count() == 20)
+  }
+
   test("incremental read returns exactly the rows appended between snapshots") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
