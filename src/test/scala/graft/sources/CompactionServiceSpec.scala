@@ -70,6 +70,27 @@ class CompactionServiceSpec extends SparkSpec {
     assert(written.filter(col("p_bkt") < 0 || col("p_bkt") >= 4).count() == 0)
   }
 
+  test("malformed requests fail with named errors, not NPEs") {
+    val e1 = intercept[IllegalArgumentException](
+      CompactionService.rewriteFiles(spark, "{}"))
+    assert(e1.getMessage.contains("data_files"))
+    val e2 = intercept[IllegalArgumentException](
+      CompactionService.rewriteFiles(spark,
+        """{"data_files":[{"path":"/x.parquet"}]}"""))
+    assert(e2.getMessage.contains("output_dir"))
+  }
+
+  test("truncate transform picks string-prefix vs numeric form by column type") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val df = Seq((47L, "ALPHA BRAVO")).toDF("n", "s")
+    val sCol = CompactionService.partitionTransform("truncate[4]", "s", StringType)
+    val nCol = CompactionService.partitionTransform("truncate[10]", "n", LongType)
+    val r = df.select(sCol.as("ts"), nCol.as("tn")).head
+    assert(r.getString(0) == "ALPH") // prefix form, not a null from a numeric cast
+    assert(r.getLong(1) == 40L) // floor-to-width form
+  }
+
   test("Iceberg-shaped avro manifest round-trips and drives complete pruning") {
     val table = tmpDir("graft-man")
     val out = tmpDir("graft-man-out")
