@@ -76,6 +76,34 @@ object PipelineQueries {
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n") > MaxBandBucket)
 
+  /** Shared two-band signature-LSH candidate stage (q49 simhash, q54 SRP):
+    * split an integer signature into low/high bands at `bandMod`, cap hot
+    * buckets, self-join within band, Hamming-filter BEFORE anything wider
+    * than (id, sig) shuffles, dedup. Returns (id_a, id_b, hamming); the
+    * verify stage stays per-query.
+    */
+  private def signatureBandCandidates(
+      sigs: DataFrame, // columns: id, sig
+      bandMod: Long,
+      maxHamming: Int): DataFrame = {
+    val banded = capBuckets(
+      sigs.select(col("id"), col("sig"),
+        explode(array(
+          struct(lit(0).as("band"), (col("sig") % bandMod).as("bval")),
+          struct(lit(1).as("band"),
+            floor(col("sig") / bandMod).cast("long").as("bval")))).as("bk"))
+        .select(col("id"), col("sig"), col("bk.band").as("band"), col("bk.bval").as("bval")),
+      Seq("band", "bval"), MaxBandBucket)
+    val x = banded.as("x"); val y = banded.as("y")
+    x.join(y,
+        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Corpus under test: documents plus perturbed near-duplicates (every 10th
     * doc re-appears with a 3-token tail), so the near-dup path has real
     * positives to find. Purely a derived view of the fixture.
@@ -594,22 +622,10 @@ object PipelineQueries {
     // filter runs before any token arrays are shuffled or compared. 16-bit
     // bands of the 32-bit signature: 8-bit bands measured ~90% of all pairs
     // as candidates on this low-entropy corpus.
-    val banded = capBuckets(
-      sigs.select(col("doc_id"), col("sh"),
-        explode(array(
-          struct(lit(0).as("band"), (col("sh") % 65536).as("bval")),
-          struct(lit(1).as("band"), floor(col("sh") / 65536).cast("long").as("bval"))))
-          .as("bk"))
-        .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.bval").as("bval")),
-      Seq("band", "bval"), MaxBandBucket)
-    val x = banded.as("x"); val y = banded.as("y")
-    val cand = x.join(y,
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct()
+    val cand = signatureBandCandidates(
+      sigs.select(col("doc_id").as("id"), col("sh").as("sig")),
+      bandMod = 65536L, maxHamming = 3)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
     // Stage 2: exact token-set Jaccard verify, only for Hamming survivors.
     val inter = size(array_intersect(col("dta"), col("dtb")))
     val jac = inter.cast("double") / (size(col("dta")) + size(col("dtb")) - inter)
@@ -748,21 +764,10 @@ object PipelineQueries {
     // the (small) embeddings parquet instead.
     val sigs = e.select(col("vec_id"),
       graft.functions.VectorOps.srpSigC(col("embedding")).as("sig")).cache()
-    val banded = capBuckets(
-      sigs.select(col("vec_id"), col("sig"),
-        explode(array(
-          struct(lit(0).as("band"), (col("sig") % 256).as("bval")),
-          struct(lit(1).as("band"), (col("sig") / 256).cast("long").as("bval")))).as("bk"))
-        .select(col("vec_id"), col("sig"), col("bk.band").as("band"), col("bk.bval").as("bval")),
-      Seq("band", "bval"), MaxBandBucket)
-    val x = banded.as("x"); val y = banded.as("y")
-    val cand = x.join(y,
-        col("x.band") === col("y.band") && col("x.bval") === col("y.bval") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
-      .filter(col("hamming") <= 2)
-      .distinct()
+    val cand = signatureBandCandidates(
+      sigs.select(col("vec_id").as("id"), col("sig")),
+      bandMod = 256L, maxHamming = 2)
+      .select(col("id_a").as("vec_a"), col("id_b").as("vec_b"), col("hamming"))
     cand
       .join(e.select(col("vec_id").as("vec_a"),
         col("embedding").as("ea"), col("nrm").as("na")), "vec_a")

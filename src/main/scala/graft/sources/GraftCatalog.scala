@@ -57,8 +57,13 @@ final class GraftCatalog(root: String) {
     * read HEAD=n and both write snap-(n+1), losing one commit.
     */
   private def withTableLock[A](table: String)(body: => A): A = {
-    val jvmLock = GraftCatalog.jvmLocks
-      .computeIfAbsent(s"$root/$table", _ => new Object)
+    // normalize the key: two catalog instances addressing the same directory
+    // through different spellings ("/cat" vs "/cat/" vs relative) must hit
+    // the SAME stripe, or they'd race straight into the non-reentrant file
+    // lock (OverlappingFileLockException instead of serialization)
+    val jvmLock = GraftCatalog.jvmLocks.computeIfAbsent(
+      Paths.get(root).toAbsolutePath.normalize.resolve(table).toString,
+      _ => new Object)
     jvmLock.synchronized {
       Files.createDirectories(tableDir(table))
       val ch = java.nio.channels.FileChannel.open(
@@ -125,6 +130,11 @@ final class GraftCatalog(root: String) {
     */
   def scanTable(spark: SparkSession, table: String): DataFrame = {
     val entries = loadEntries(table)
+    // a schema-less empty table cannot produce an empty DataFrame (snapshots
+    // store file lists, not schemas) — fail with a catalog-level message
+    // rather than the runner's compaction-specific one
+    require(dataTasks(entries).nonEmpty,
+      s"table $table has no data files; an empty table has no schema to scan")
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries))
     val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
@@ -256,7 +266,11 @@ final class GraftCatalog(root: String) {
       table: String,
       added: Seq[TableEntry],
       removedPaths: Seq[String]): Long = {
-    val removed = removedPaths.toSet
+    // canonicalize BOTH sides: entries may hold canonical file:/// paths
+    // (from _metadata) while removals arrive as bare filesystem paths — a
+    // one-sided match would silently keep a retired file in the snapshot
+    val removed = removedPaths.flatMap(p =>
+      Seq(p, CompactionRunner.canonPath(p))).toSet
     val kept = loadEntries(table).filterNot(e =>
       removed(CompactionRunner.canonPath(e.path)) || removed(e.path))
     val nextId = currentSnapshotId(table) + 1
@@ -315,8 +329,15 @@ final class GraftCatalog(root: String) {
     val body = entries.map(e =>
       s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}")
       .mkString("\n")
-    Files.writeString(snapPath(table, id), body,
+    // temp + atomic move (like writeHead): a crash mid-write must not leave
+    // a torn snap-N.tsv that snapshotIds/time-travel/orphan detection would
+    // treat as a retained snapshot
+    val tmp = tableDir(table).resolve(s".snap-$id.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp, body,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, snapPath(table, id),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def readSnapshot(table: String, id: Long): Seq[TableEntry] = {

@@ -85,7 +85,12 @@ object EventStreams {
           val prev = state.getOption.getOrElse(UserState(0L, 0.0))
           var n = prev.nEvents
           var total = prev.totalValue
-          batch.foreach { e => n += 1; total += e.value }
+          // fold in (ts, event_id) order: the group iterator arrives in
+          // shuffle-fetch order, and double addition is non-associative —
+          // an unordered fold would persist run-dependent low-order bits
+          // into state (every other aggregation here sums deterministically)
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            .foreach { e => n += 1; total += e.value }
           val next = UserState(n, total)
           state.update(next)
           UserUpdate(userId, n, total)
@@ -148,14 +153,16 @@ object EventStreams {
           var members = state.getOption.map(_.members).getOrElse(Seq.empty)
           val out = scala.collection.mutable.ListBuffer[NearDupCandidate]()
           rows.foreach { r =>
-            if (members.size < maxBucket) {
+            // a re-delivered doc_id (at-least-once sources) is already in
+            // state: skip it entirely, or duplicates would both re-emit its
+            // pairs and burn cap slots that block genuinely new members
+            val seen = members.exists(_._1 == r.doc_id)
+            if (!seen && members.size < maxBucket) {
               members.foreach { case (id, sh) =>
-                if (id != r.doc_id) {
-                  val h = java.lang.Long.bitCount(sh ^ r.sh)
-                  if (h <= maxHamming)
-                    out += NearDupCandidate(
-                      math.min(id, r.doc_id), math.max(id, r.doc_id), h)
-                }
+                val h = java.lang.Long.bitCount(sh ^ r.sh)
+                if (h <= maxHamming)
+                  out += NearDupCandidate(
+                    math.min(id, r.doc_id), math.max(id, r.doc_id), h)
               }
               members = members :+ ((r.doc_id, r.sh))
             }

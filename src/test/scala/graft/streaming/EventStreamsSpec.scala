@@ -112,9 +112,15 @@ class EventStreamsSpec extends SparkSpec {
     input.addData((100L to 140L).map(i => DocEvent(i, ts(4), base)): _*)
     q.processAllAvailable()
     val n = spark.table("stream_neardup").count()
-    q.stop()
     // uncapped, 41 identical docs alone would emit 2 bands × C(41,2) = 1640
     assert(n < 100, s"hot bucket not bounded: $n pairs emitted")
+    // batch 4: RE-DELIVERY of doc 1 (at-least-once source) — already in
+    // state, so it must emit nothing new and burn no cap slot
+    input.addData(DocEvent(1L, ts(5), base))
+    q.processAllAvailable()
+    val n2 = spark.table("stream_neardup").count()
+    q.stop()
+    assert(n2 == n, s"re-delivered doc re-emitted pairs: $n -> $n2")
   }
 
   test("mapGroupsWithState keeps running per-user totals across batches") {
