@@ -350,7 +350,11 @@ object CompactionRunner {
   /** Stats-based file pruning: keep only files whose [min,max] range for
     * `column` intersects [lo,hi] — the Iceberg-style manifest pruning that
     * lets a 100 TB scan touch only the files a predicate can match. Null
-    * bounds (all-null or missing stats) are conservatively kept.
+    * bounds (all-null or missing stats) are conservatively kept, as are the
+    * wire sentinel bounds `below_min` / `above_max` (the reference's
+    * AboveMax/BelowMin literals for values outside the representable range,
+    * `core/proto/iceberg.proto:143-182`) and any other unparseable bound —
+    * an unknown bound can never justify skipping a file.
     */
   def pruneByStats(
       files: Seq[DataFileStats],
@@ -360,7 +364,9 @@ object CompactionRunner {
     files.filter { f =>
       (f.colMins.get(column), f.colMaxs.get(column)) match {
         case (Some(mn), Some(mx)) if mn != "null" && mx != "null" =>
-          try mx.toDouble >= lo && mn.toDouble <= hi
+          // sentinels widen the range to ±∞ on their side → always intersect
+          try (mx == "above_max" || mx.toDouble >= lo) &&
+            (mn == "below_min" || mn.toDouble <= hi)
           catch { case _: NumberFormatException => true }
         case _ => true
       }

@@ -45,6 +45,22 @@ class CompactionRunnerSpec extends SparkSpec {
       s"expected loud seq-mismatch failure, got: ${ex.getMessage}")
   }
 
+  test("pruning keeps files with sentinel, null, or unparseable bounds") {
+    def f(mn: String, mx: String) = DataFileStats("/f", 1L, 1L,
+      Map("c" -> mn), Map("c" -> mx), Map.empty)
+    val files = Seq(
+      f("0", "10"), // entirely below the probe range → pruned
+      f("below_min", "25"), // -∞ min, max inside range → kept
+      f("below_min", "10"), // -∞ min, but max still excludes → pruned
+      f("15", "above_max"), // +∞ max, min below hi → kept
+      f("null", "null"), // all-null stats, conservatively kept
+      f("not-a-number", "also-not")) // unparseable, conservatively kept
+    val kept = pruneByStats(files, "c", 20, 30)
+    assert(kept.map(x => (x.colMins("c"), x.colMaxs("c"))) == Seq(
+      ("below_min", "25"), ("15", "above_max"),
+      ("null", "null"), ("not-a-number", "also-not")))
+  }
+
   test("equality-delete grouping is by consecutive runs, not global dedup") {
     def t(p: String, cols: String*) = EqDeleteTask(p, 1L, cols.toSeq)
     // A,A,B -> [AA][B]; A,B,A -> [A][B][A] (a returning vector reopens)
