@@ -22,7 +22,8 @@ object SparkEntry {
       TpchQueries.queries ++
       graft.functions.ScalarQueries.queries ++
       graft.pipeline.PipelineQueries.queries ++
-      graft.plans.PlanQueries.queries
+      graft.plans.PlanQueries.queries ++
+      graft.streaming.StreamQueries.queries
 
   def oracleSql: Map[String, String] =
     MorQueries.oracleSql ++ TransformQueries.oracleSql ++
@@ -30,5 +31,6 @@ object SparkEntry {
       TpchQueries.oracleSql ++
       graft.functions.ScalarQueries.oracleSql ++
       graft.pipeline.PipelineQueries.oracleSql ++
-      graft.plans.PlanQueries.oracleSql
+      graft.plans.PlanQueries.oracleSql ++
+      graft.streaming.StreamQueries.oracleSql
 }

@@ -733,6 +733,85 @@ object PipelineQueries {
       |             ELSE text END AS t
       |      FROM documents) d""".stripMargin
 
+  // ---- Q58 BPE-ish tokenizer / Q59 frame sampling ------------------------
+
+  /** BPE-ish pre-tokenizer pattern: alpha runs, digit runs, or single
+    * non-alphanumeric marks — the GPT-2-style split shape, restricted to the
+    * Java-regex ∩ RE2 common subset so both engines tokenize identically.
+    */
+  private val BpeTokenRe = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Q58: token counting with a BPE-ish regex tokenizer — the budget pass a
+    * training-data pipeline runs before packing: token counts, vocabulary
+    * size, alpha-token share, and covered characters per document. One
+    * narrow row-level pass (regex tokenize once, then pure array math);
+    * embarrassingly parallel at 100 TB.
+    */
+  private def q58(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"),
+        regexp_extract_all(lower(col("text")), lit(BpeTokenRe), lit(0)).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_unique"),
+        expr("size(filter(toks, t -> t rlike '^[a-z]+$'))").cast("long").as("n_alpha"),
+        expr("aggregate(toks, 0L, (a, t) -> a + length(t))").as("chars_covered"))
+  }
+
+  private val q58Sql =
+    s"""SELECT doc_id,
+       |       CAST(len(toks) AS BIGINT) AS n_tokens,
+       |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+       |       CAST(len(list_filter(toks, t -> regexp_full_match(t, '[a-z]+'))) AS BIGINT)
+       |         AS n_alpha,
+       |       CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT)
+       |         AS chars_covered
+       |FROM (SELECT doc_id, regexp_extract_all(lower(text), '$BpeTokenRe') AS toks
+       |      FROM documents) t""".stripMargin
+
+  /** Q59: multimodal frame sampling — the `mapInPandas`-shaped media path
+    * expressed Spark-native: the opaque binary payload (q50's plumbing) is
+    * split into 256-byte "frames", every 2nd frame is sampled, and each
+    * sampled frame yields a 32-byte prefix plus a deterministic
+    * feature-extraction checksum (the codegen'd stand-in for a media
+    * decoder — the real decode would slot into the same per-frame kernel).
+    * Explode + row-level kernels: no shuffle at all until a consumer
+    * aggregates. The oracle mirrors the byte math over character codes,
+    * valid because the corpus is ASCII (octet_length == length, verified in
+    * q50).
+    */
+  private def q59(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    d.select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("payload"),
+        explode(expr("sequence(0L, cast((length(payload) - 1) div 256 as bigint))"))
+          .as("frame_idx"))
+      .filter(col("frame_idx") % 2 === 0)
+      .select(col("doc_id"), col("frame_idx"),
+        expr("substr(payload, cast(frame_idx * 256 + 1 as int), 32)").as("frame"))
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        lower(hex(col("frame"))).as("frame_hex"),
+        TextOps.binaryChecksumC(col("frame")).as("checksum"))
+  }
+
+  private val q59Sql =
+    """WITH f AS (
+      |  SELECT doc_id, text,
+      |         unnest(range(0, (length(text) + 255) // 256)) AS frame_idx
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |         substr(text, CAST(frame_idx * 256 + 1 AS INTEGER), 32) AS frame
+      |  FROM f WHERE frame_idx % 2 = 0)
+      |SELECT doc_id, frame_idx,
+      |       CAST(length(frame) AS BIGINT) AS frame_bytes,
+      |       lower(hex(encode(frame))) AS frame_hex,
+      |       CAST(list_sum(list_transform(range(1, length(frame) + 1),
+      |              i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT) * ((i % 7) + 1)))
+      |            % 1000000007 AS BIGINT) AS checksum
+      |FROM s""".stripMargin
+
   // ---- Q54 SRP-LSH / Q55 stratified sample / Q56 length packing ----------
 
   /** Fixed pseudo-random ±1 hyperplane entries for signed random projection
@@ -927,7 +1006,9 @@ object PipelineQueries {
     "q54_srp_neardup" -> (q54 _),
     "q55_sample_stratified" -> (q55 _),
     "q56_length_buckets" -> (q56 _),
-    "q57_tfidf" -> (q57 _))
+    "q57_tfidf" -> (q57 _),
+    "q58_bpe_tokens" -> (q58 _),
+    "q59_frame_sample" -> (q59 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -949,5 +1030,7 @@ object PipelineQueries {
     "q54_srp_neardup" -> q54Sql,
     "q55_sample_stratified" -> q55Sql,
     "q56_length_buckets" -> q56Sql,
-    "q57_tfidf" -> q57Sql)
+    "q57_tfidf" -> q57Sql,
+    "q58_bpe_tokens" -> q58Sql,
+    "q59_frame_sample" -> q59Sql)
 }

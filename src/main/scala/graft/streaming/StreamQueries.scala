@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Declared Structured Streaming queries — the streaming tier surfaced in
+  * the driver's correctness gate. Each query reads the `events` fixture AS A
+  * STREAM (`spark.readStream.parquet`), runs a genuinely streaming pipeline
+  * (watermarked window aggregation / stream-static broadcast enrichment) to
+  * completion with `Trigger.AvailableNow`, and returns the materialized
+  * result, which is batch-equivalent and therefore DuckDB-oracle-checkable.
+  *
+  * The reference itself is bounded-batch only (`Boundedness::Bounded`,
+  * `iceberg_file_task_scan.rs:97`); this tier is the forward-looking
+  * streaming surface built on the idiomatic Spark primitives. At scale the
+  * same pipelines run unchanged against a Kafka/file source with a real
+  * sink — the memory sink here holds only the (small) aggregated state, and
+  * the complete-output-mode caveat is documented per query.
+  */
+object StreamQueries {
+
+  /** Memory-sink names must be unique per run: a second `start` with a live
+    * query of the same name throws, and a stale same-name temp view would
+    * silently serve a previous run's data.
+    */
+  private val sinkId = new AtomicLong()
+
+  /** Run a streaming aggregation to completion (AvailableNow drains every
+    * available file, then stops) and return the memory-sink table. Complete
+    * output mode: with a finite stream, append mode would hold the trailing
+    * windows in state forever (the watermark only advances on a NEXT batch,
+    * which never comes), so the final result would be missing the tail —
+    * complete mode emits the full deterministic aggregate instead. The
+    * memory sink holds only aggregated rows (window × type / segment ×
+    * type), not the event stream.
+    */
+  private def runComplete(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** FileStreamSource only accepts a directory; the fixture ships one
+    * parquet FILE per table. Stage a per-sfDir temp directory holding a
+    * symlink to the file (memoized — repeat queries reuse it). A real
+    * deployment points at the table directory and this is a no-op branch.
+    */
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def streamableDir(path: String): String = {
+    import java.nio.file.{Files, Paths}
+    val src = Paths.get(path)
+    if (Files.isDirectory(src)) path
+    else stagedDirs.getOrElseUpdate(path, {
+      val d = Files.createTempDirectory("graft_stream_src_")
+      d.toFile.deleteOnExit()
+      Files.createSymbolicLink(d.resolve(src.getFileName), src)
+      d.toString
+    })
+  }
+
+  /** Streamed events with a proper event-time column. The fixture's ts is
+    * TIMESTAMP(NANOS), read as nanos-long under the repo-wide
+    * `nanosAsLong` conf; truncate to µs for Spark's TimestampType (cannot
+    * move an event across an hour boundary, so window membership is
+    * unaffected).
+    */
+  private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    spark.readStream.schema(schema).parquet(streamableDir(path))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        timestamp_micros(expr("ts div 1000")).as("ts"))
+  }
+
+  /** Q68: watermarked tumbling-window aggregation over the event stream —
+    * counts and value sums per (hour, event_type). The watermark bounds
+    * state on an unbounded source; the window key shards state across
+    * executors exactly like a batch shuffle.
+    */
+  private def q68(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_sec"),
+        col("event_type"), col("n"), col("sum_value"))
+    runComplete(agg)
+  }
+
+  private val q68Sql =
+    """SELECT epoch_ns(date_trunc('hour', ts)) // 1000000000 AS win_start_sec,
+      |       event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q69: stream-static enrichment — each event picks up its user's market
+    * segment from the static customer dimension via a broadcast join (the
+    * standard per-micro-batch dimension-enrichment shape; the static side
+    * re-resolves every batch, so a refreshed dimension table is picked up
+    * between batches at scale), then rolls up per (segment, event_type).
+    */
+  private def q69(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val agg = eventStream(spark, sfDir)
+      .join(broadcast(dim), Seq("user_id"), "left_outer")
+      .select(coalesce(col("c_mktsegment"), lit("NONE")).as("segment"),
+        col("event_type"), col("value"))
+      .groupBy(col("segment"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+    runComplete(agg)
+  }
+
+  private val q69Sql =
+    """SELECT coalesce(c.c_mktsegment, 'NONE') AS segment, e.event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e
+      |LEFT JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_stream_window" -> (q68 _),
+    "q69_stream_enrich" -> (q69 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q68_stream_window" -> q68Sql,
+    "q69_stream_enrich" -> q69Sql)
+}
