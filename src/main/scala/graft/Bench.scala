@@ -15,9 +15,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the host's cores (capped at 32, the driver's documented
-    // shape) — a hard-coded 32 oversubscribes smaller hosts.
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    // shape) — and cap an EXPLICIT request by the cores this JVM can actually
+    // use (availableProcessors is cgroup-aware on JDK 17): local[32] on an
+    // 8-core cgroup oversubscribes 4× and the many-stage queries pay for it
+    // superlinearly.
+    val avail = Runtime.getRuntime.availableProcessors()
+    val cpus = math.min(
+      sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(math.min(32, avail)),
+      avail)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
