@@ -126,17 +126,42 @@ object CompactionRunner {
     * acceptable because ORC inputs are the rare migration case). Seq
     * numbers arrive by broadcast in all paths.
     */
-  def scanWithHiddenCols(spark: SparkSession, tasks: Seq[DataFileTask]): DataFrame = {
+  def scanWithHiddenCols(spark: SparkSession, tasks: Seq[DataFileTask]): DataFrame =
+    scanWithHiddenCols(spark, tasks, None)
+
+  /** As [[scanWithHiddenCols]], but with an optional CANONICAL schema the
+    * files are resolved against BY FIELD ID (§1.3 — the reference projects
+    * by `project_field_ids`, `parser/proto.rs:125,137-142`): parquet tasks
+    * are grouped by their physical footer schema (one driver-side footer
+    * read per file — the same per-file metadata cardinality as the task
+    * list itself — and ONE distributed scan per distinct historical schema,
+    * not per file), then each group's columns map to canonical names via
+    * their ids. A rename between file versions is invisible (ids match), a
+    * canonical field missing from an old file reads as typed nulls
+    * (add-column), and file columns whose ids left the canonical schema are
+    * pruned (drop-column). Files carrying no ids at all (e.g. plain upsert
+    * appends) resolve by name.
+    */
+  def scanWithHiddenCols(
+      spark: SparkSession,
+      tasks: Seq[DataFileTask],
+      canonicalSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val dedup = dedupByPath(tasks)(_.path)
     require(dedup.nonEmpty, "no data files to compact")
     val seqRows = dedup.map(t => (canonPath(t.path), t.seqNum))
     import spark.implicits._
     val seqDf = seqRows.toDF(MorPlanner.FilePathCol, MorPlanner.SeqNumCol)
     val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
-    val scans = byFormat.map {
+    val scans = byFormat.flatMap {
+      case ("parquet", ts) if canonicalSchema.isDefined =>
+        ts.groupBy(t => spark.read.parquet(t.path).schema).toSeq
+          .sortBy(_._2.head.path)
+          .map { case (fileSchema, group) =>
+            evolvedParquetScan(spark, group, fileSchema, canonicalSchema.get)
+          }
       case ("avro", ts) =>
-        AvroScan.readWithHiddenCols(spark, ts.map(_.path))
-      case (fmt, ts) =>
+        Seq(AvroScan.readWithHiddenCols(spark, ts.map(_.path)))
+      case (fmt, ts) => Seq {
       val reader = spark.read.format(fmt).load(ts.map(_.path): _*)
       // Planning-time guard: every resolved input file must have a task
       // entry under the SAME canonical path, or the broadcast seq join
@@ -164,6 +189,7 @@ object CompactionRunner {
         }
       withPos
     }
+    }
     val seqJoined = scans.reduce { (a, b) => a.unionByName(b) }
       .join(broadcast(seqDf), Seq(MorPlanner.FilePathCol), "left_outer")
     // A scanned file whose canonical path fails to match its task entry must
@@ -174,6 +200,42 @@ object CompactionRunner {
         raise_error(concat(lit("no seq-number task entry for scanned file "),
           col(MorPlanner.FilePathCol))))
         .otherwise(col(MorPlanner.SeqNumCol)))
+  }
+
+  /** One distributed scan of a group of parquet files sharing a physical
+    * schema, projected onto the canonical schema by FIELD ID, with the
+    * hidden columns fabricated exactly like the plain parquet branch
+    * (zero-shuffle `_metadata.row_index` positions).
+    */
+  private def evolvedParquetScan(
+      spark: SparkSession,
+      group: Seq[DataFileTask],
+      fileSchema: org.apache.spark.sql.types.StructType,
+      canonical: org.apache.spark.sql.types.StructType): DataFrame = {
+    val reader = spark.read.parquet(group.map(_.path): _*)
+    val taskPaths = group.map(t => canonPath(t.path)).toSet
+    val unmatched = reader.inputFiles.map(canonPath).filterNot(taskPaths)
+    require(unmatched.isEmpty,
+      s"scanned files have no seq-number task entry (path mismatch?): " +
+        unmatched.take(5).mkString(", "))
+    // id-less files (plain appends that never went through a field-id write)
+    // resolve by name; id-carrying files resolve strictly by id, so a
+    // canonical field whose id is absent is a genuine add-column → nulls
+    val fileHasIds = fileSchema.fields.exists(f => FieldIds.idOf(f).isDefined)
+    val resolved = canonical.fields.map { cf =>
+      val source: Option[String] = FieldIds.idOf(cf) match {
+        case Some(id) if fileHasIds => FieldIds.nameById(fileSchema, id)
+        case _ => Some(cf.name).filter(fileSchema.fieldNames.contains)
+      }
+      source match {
+        case Some(n) => col(n).cast(cf.dataType).as(cf.name, cf.metadata)
+        case None => lit(null).cast(cf.dataType).as(cf.name, cf.metadata)
+      }
+    }
+    reader.select(resolved.toSeq :+ col("_metadata"): _*)
+      .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
+      .withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
+      .drop("_metadata")
   }
 
   /** Read position-delete files (columns file_path, pos → hidden names). */
@@ -246,16 +308,22 @@ object CompactionRunner {
     }
   }
 
-  /** EP1: full compaction — plan, merge, write, audit, commit manifest. */
+  /** EP1: full compaction — plan, merge, write, audit, commit manifest.
+    * With `canonicalSchema`, inputs resolve by field id (so a compaction
+    * across renamed file generations rewrites under the canonical names and
+    * ids).
+    */
   def compact(
       spark: SparkSession,
       dataTasks: Seq[DataFileTask],
       posDeletes: Seq[PosDeleteTask],
       eqDeletes: Seq[EqDeleteTask],
       outDir: String,
-      config: CompactionConfig = CompactionConfig()): CommitManifest = {
+      config: CompactionConfig = CompactionConfig(),
+      canonicalSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : CommitManifest = {
 
-    val data = scanWithHiddenCols(spark, dataTasks)
+    val data = scanWithHiddenCols(spark, dataTasks, canonicalSchema)
     val merged = MorPlanner.merge(data,
       readPositionDeletes(spark, posDeletes),
       readEqualityDeletes(spark, eqDeletes, Some(data.schema)))

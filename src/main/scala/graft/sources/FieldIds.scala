@@ -47,4 +47,17 @@ object FieldIds {
     val stamped = stamp(df.schema)
     df.select(stamped.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
   }
+
+  /** Align a DataFrame to a canonical schema's ids by NAME: each column that
+    * the canonical schema also has takes that field's metadata (so an
+    * upsert/append writes the table's current ids into its files); columns
+    * the canonical schema doesn't know keep their own. Pure projection.
+    */
+  def alignToSchema(df: DataFrame, canonical: StructType): DataFrame =
+    df.select(df.schema.fields.map { f =>
+      canonical.fields.find(_.name == f.name) match {
+        case Some(cf) => col(f.name).as(f.name, cf.metadata)
+        case None => col(f.name)
+      }
+    }.toSeq: _*)
 }

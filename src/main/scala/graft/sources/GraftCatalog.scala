@@ -90,11 +90,77 @@ final class GraftCatalog(root: String) {
   }
 
   def createTable(table: String, files: Seq[DataFileTask]): Unit =
+    createTable(table, files, None)
+
+  /** Create a table, optionally recording its canonical schema (field-id
+    * metadata included) — the schema every subsequent snapshot carries
+    * forward until an [[evolveSchema]] commit replaces it.
+    */
+  def createTable(
+      table: String,
+      files: Seq[DataFileTask],
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit =
     withTableLock(table) {
       require(!Files.exists(headPath(table)), s"table $table already exists")
       writeSnapshot(table, 1L, files.map(toEntry))
+      schema.foreach(s => writeSchema(table, 1L, s))
       writeHead(table, 1L)
     }
+
+  // ---- per-snapshot canonical schema (§1.3 schema evolution) -------------
+
+  private def schemaPath(table: String, id: Long) =
+    tableDir(table).resolve(s"schema-$id.json")
+
+  /** The canonical schema recorded at `snapshotId`, if any. */
+  def schemaAt(table: String, snapshotId: Long)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    val p = schemaPath(table, snapshotId)
+    if (!Files.exists(p)) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(Files.readString(p))
+      .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  def currentSchema(table: String): Option[org.apache.spark.sql.types.StructType] =
+    schemaAt(table, currentSnapshotId(table))
+
+  private def writeSchema(
+      table: String, id: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val tmp = tableDir(table).resolve(s".schema-$id.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp, schema.json,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, schemaPath(table, id),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Non-schema commits carry the previous snapshot's schema forward, so
+    * time travel sees the schema each snapshot was committed under.
+    */
+  private def carrySchema(table: String, fromId: Long, toId: Long): Unit =
+    schemaAt(table, fromId).foreach(s => writeSchema(table, toId, s))
+
+  /** Metadata-only schema-evolution commit: same files, new canonical
+    * schema. Renames keep their field ids (invisible to readers), new
+    * fields get fresh ids (old files read them as nulls), removed fields'
+    * ids simply leave the schema (their data is pruned at scan). Field ids
+    * must be present and unique — they are the identity that makes all of
+    * the above safe.
+    */
+  def evolveSchema(
+      table: String,
+      newSchema: org.apache.spark.sql.types.StructType): Long = withTableLock(table) {
+    val ids = newSchema.fields.flatMap(FieldIds.idOf)
+    require(ids.length == newSchema.fields.length,
+      s"every field needs a ${FieldIds.MetaKey} id (got ${ids.length}/${newSchema.fields.length})")
+    require(ids.distinct.length == ids.length, s"duplicate field ids: ${ids.mkString(",")}")
+    val nextId = currentSnapshotId(table) + 1
+    writeSnapshot(table, nextId, loadEntries(table))
+    writeSchema(table, nextId, newSchema)
+    writeHead(table, nextId)
+    nextId
+  }
 
   def currentSnapshotId(table: String): Long =
     Files.readString(headPath(table)).trim.toLong
@@ -135,7 +201,10 @@ final class GraftCatalog(root: String) {
     // rather than the runner's compaction-specific one
     require(dataTasks(entries).nonEmpty,
       s"table $table has no data files; an empty table has no schema to scan")
-    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries))
+    // with a recorded canonical schema, data files resolve BY FIELD ID —
+    // renames/adds/drops between file generations are handled at the scan
+    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries),
+      currentSchema(table))
     val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
       EqDeleteTask(e.path, e.seqNum, e.eqCols)
@@ -170,8 +239,15 @@ final class GraftCatalog(root: String) {
     val token = java.util.UUID.randomUUID().toString
     val dataDir = s"$outDir/upsert-data-$token"
     val delDir = s"$outDir/upsert-eqdel-$token"
-    updates.write.mode("errorifexists").parquet(dataDir)
-    updates.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+    // align the written files to the table's current field ids (if a schema
+    // is recorded) so later evolved scans resolve them by id like any other
+    // file generation
+    val aligned = currentSchema(table) match {
+      case Some(s) => FieldIds.alignToSchema(updates, s)
+      case None => updates
+    }
+    aligned.write.mode("errorifexists").parquet(dataDir)
+    aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .distinct().write.mode("errorifexists").parquet(delDir)
     def parquetsIn(d: String) = new java.io.File(d).listFiles()
       .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
@@ -183,6 +259,7 @@ final class GraftCatalog(root: String) {
           parquetsIn(delDir).map(p => TableEntry("eqdel", p, seq, "parquet", keyCols))
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, entries ++ newEntries)
+      carrySchema(table, nextId - 1, nextId)
       writeHead(table, nextId)
       nextId
     }
@@ -275,6 +352,7 @@ final class GraftCatalog(root: String) {
       removed(CompactionRunner.canonPath(e.path)) || removed(e.path))
     val nextId = currentSnapshotId(table) + 1
     writeSnapshot(table, nextId, kept ++ added)
+    carrySchema(table, nextId - 1, nextId)
     writeHead(table, nextId)
     nextId
   }
@@ -287,7 +365,10 @@ final class GraftCatalog(root: String) {
     val ids = snapshotIds(table)
     val head = currentSnapshotId(table)
     val expire = ids.filterNot(_ == head).sorted.dropRight(keepLast - 1)
-    expire.foreach(id => Files.delete(snapPath(table, id)))
+    expire.foreach { id =>
+      Files.delete(snapPath(table, id))
+      Files.deleteIfExists(schemaPath(table, id))
+    }
     expire
   }
 
@@ -316,7 +397,7 @@ final class GraftCatalog(root: String) {
         entries.collect { case e if e.kind == "eqdel" =>
           EqDeleteTask(e.path, e.seqNum, e.eqCols)
         },
-        outDir, config)
+        outDir, config, currentSchema(table))
       val maxSeq = entries.map(_.seqNum).max
       val added = manifest.addedFiles
         .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil))

@@ -97,6 +97,33 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream interval join: each view pairs with the same user's
+    * purchases that land within `withinSeconds` AFTER it. Both sides carry
+    * watermarks and the join condition bounds event time in BOTH directions,
+    * so Spark can expire buffered rows — state stays bounded on unbounded
+    * streams (the canonical attribution-join shape). Keyed on user_id, so a
+    * 1000-executor cluster shards the join state like any shuffle.
+    */
+  def viewPurchaseAttribution(
+      views: Dataset[Event],
+      purchases: Dataset[Event],
+      withinSeconds: Long = 3600L,
+      watermark: String = "2 hours"): DataFrame = {
+    val v = views.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    val p = purchases.toDF()
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinSeconds SECONDS"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("purchase_value"))
+  }
+
   // ---- streaming near-duplicate detection --------------------------------
 
   /** A document arriving on the stream. */

@@ -1,0 +1,129 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.CompactionRunner.DataFileTask
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** §1.3 end-to-end: field-id-based schema evolution through the catalog —
+  * rename (ids match, names differ), add-column (old files → typed nulls),
+  * drop-column (pruned at scan), upsert alignment, and compaction under the
+  * canonical schema.
+  */
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private def idMeta(id: Int) =
+    new MetadataBuilder().putLong(FieldIds.MetaKey, id.toLong).build()
+
+  private def field(name: String, t: DataType, id: Int) =
+    StructField(name, t, nullable = true, metadata = idMeta(id))
+
+  private val schemaV1 = StructType(Seq(
+    field("k", LongType, 1),
+    field("qty", LongType, 2),
+    field("tag", StringType, 3)))
+
+  // v2: qty RENAMED to quantity (same id 2), tag DROPPED, note ADDED (id 4)
+  private val schemaV2 = StructType(Seq(
+    field("k", LongType, 1),
+    field("quantity", LongType, 2),
+    field("note", StringType, 4)))
+
+  private def writeRows(dir: String, schema: StructType, rows: Seq[Seq[Any]]): String = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      rows.map(r => org.apache.spark.sql.Row(r: _*)).asJava, schema)
+    FieldIds.withFieldIds(df).coalesce(1).write.parquet(dir)
+    new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+      .head.getPath
+  }
+
+  private def userRows(df: org.apache.spark.sql.DataFrame, cols: String*) =
+    df.select(cols.map(col): _*).collect().map(_.toSeq.toList).toSet
+
+  test("rename/add/drop across file generations resolves by field id") {
+    val work = Files.createTempDirectory("graft-evo").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    val fileA = writeRows(s"$work/a", schemaV1,
+      Seq(Seq(1L, 10L, "x"), Seq(2L, 20L, "y")))
+    cat.createTable("t", Seq(DataFileTask(fileA, 1)), Some(schemaV1))
+
+    // v1 read: names as written
+    assert(userRows(cat.scanTable(spark, "t"), "k", "qty", "tag") ==
+      Set(List(1L, 10L, "x"), List(2L, 20L, "y")))
+
+    val evoId = cat.evolveSchema("t", schemaV2)
+    assert(cat.schemaAt("t", evoId).get.fieldNames.toSeq ==
+      Seq("k", "quantity", "note"))
+    // time travel still sees the v1 schema at snapshot 1
+    assert(cat.schemaAt("t", 1).get.fieldNames.toSeq == Seq("k", "qty", "tag"))
+
+    // old file now reads under the NEW names: qty surfaces as quantity (id
+    // 2), tag is gone, note is null
+    assert(userRows(cat.scanTable(spark, "t"), "k", "quantity", "note") ==
+      Set(List(1L, 10L, null), List(2L, 20L, null)))
+    assert(!cat.scanTable(spark, "t").columns.contains("tag"))
+
+    // a new-generation file written under v2 names/ids coexists with the old
+    val fileB = writeRows(s"$work/b", schemaV2, Seq(Seq(3L, 30L, "n3")))
+    cat.commitRewrite("t", Seq(DataFileTask(fileB, 2)), Nil)
+    assert(userRows(cat.scanTable(spark, "t"), "k", "quantity", "note") ==
+      Set(List(1L, 10L, null), List(2L, 20L, null), List(3L, 30L, "n3")))
+  }
+
+  test("upsert aligns to current ids; compaction rewrites under the canonical schema") {
+    val work = Files.createTempDirectory("graft-evo2").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    val fileA = writeRows(s"$work/a", schemaV1,
+      Seq(Seq(1L, 10L, "x"), Seq(2L, 20L, "y")))
+    cat.createTable("t", Seq(DataFileTask(fileA, 1)), Some(schemaV1))
+    cat.evolveSchema("t", schemaV2)
+
+    // upsert under the NEW schema: overwrite k=2, insert k=4
+    import spark.implicits._
+    val updates = Seq((2L, 200L, "upd"), (4L, 40L, "new"))
+      .toDF("k", "quantity", "note")
+    cat.upsert(spark, "t", updates, Seq("k"), s"$work/out")
+    val afterUpsert = userRows(cat.scanTable(spark, "t"), "k", "quantity", "note")
+    assert(afterUpsert == Set(
+      List(1L, 10L, null), List(2L, 200L, "upd"), List(4L, 40L, "new")))
+
+    // upsert data files carry the canonical ids (alignToSchema on write)
+    val upsertFile = cat.loadTable("t").map(_.path).filter(_.contains("upsert-data"))
+    assert(upsertFile.nonEmpty)
+    val upSchema = spark.read.parquet(upsertFile.head).schema
+    assert(FieldIds.idOf(upSchema("quantity")).contains(2))
+
+    // compaction makes the merge physical, under canonical names and ids
+    val (_, manifest) = cat.compactTable(spark, "t", s"$work/compacted")
+    assert(manifest.outputRecordCount == 3)
+    assert(userRows(cat.scanTable(spark, "t"), "k", "quantity", "note") == afterUpsert)
+    val written = spark.read.parquet(cat.loadTable("t").head.path).schema
+    assert(written.fieldNames.toSet == Set("k", "quantity", "note"))
+    assert(FieldIds.idOf(written("quantity")).contains(2))
+    assert(FieldIds.idOf(written("note")).contains(4))
+  }
+
+  test("evolveSchema rejects id-less and duplicate-id schemas; expiry drops schema files") {
+    val work = Files.createTempDirectory("graft-evo3").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    val fileA = writeRows(s"$work/a", schemaV1, Seq(Seq(1L, 10L, "x")))
+    cat.createTable("t", Seq(DataFileTask(fileA, 1)), Some(schemaV1))
+
+    intercept[IllegalArgumentException] {
+      cat.evolveSchema("t", StructType(Seq(StructField("plain", LongType))))
+    }
+    intercept[IllegalArgumentException] {
+      cat.evolveSchema("t", StructType(Seq(
+        field("a", LongType, 1), field("b", LongType, 1))))
+    }
+
+    cat.evolveSchema("t", schemaV2)
+    cat.evolveSchema("t", schemaV2)
+    assert(cat.expireSnapshots("t", keepLast = 1) == Seq(1L, 2L))
+    val left = new java.io.File(s"$work/cat/t").listFiles()
+      .map(_.getName).filter(_.startsWith("schema-")).toSet
+    assert(left == Set("schema-3.json"))
+  }
+}

@@ -142,4 +142,49 @@ class EventStreamsSpec extends SparkSpec {
     assert(updates.contains((7L, 2L, 4.0)))
     assert(updates.contains((7L, 3L, 10.0)))
   }
+
+  test("stream-stream interval join attributes purchases to in-window views") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = viewPurchaseAttribution(views.toDS(), purchases.toDS(),
+        withinSeconds = 600L)
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    // views at 10:01 (u1), 10:02 (u2); purchases at 10:05 (u1, in window),
+    // 10:20 (u2, OUTSIDE the 10-minute window), 10:06 (u3, no view)
+    views.addData(ev(1, 1, 1, "view", 0.0), ev(2, 2, 2, "view", 0.0))
+    purchases.addData(ev(10, 5, 1, "purchase", 9.99),
+      ev(11, 20, 2, "purchase", 5.0), ev(12, 6, 3, "purchase", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("view_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Double]("purchase_value")))
+      .toSet
+    q.stop()
+    assert(out == Set((1L, 1L, 10L, 9.99)))
+  }
+
+  test("streaming pipeline writes an exactly-once parquet sink with checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_sink_").toString
+    val input = MemoryStream[Event]
+    val q = dedupStream(input.toDS())
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+    input.addData(ev(1, 1, 1, "click", 1.0), ev(2, 2, 1, "view", 2.0))
+    q.processAllAvailable()
+    // re-delivery of event 1 must be dropped by the watermarked dedup
+    input.addData(ev(1, 1, 1, "click", 1.0), ev(3, 3, 2, "click", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3)
+    assert(out.select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(1L, 2L, 3L))
+  }
 }
