@@ -123,6 +123,78 @@ object TextOps {
     */
   def simhash32(s: UTF8String): Long = simhashN(s, 32)
 
+  /** MinHash family (i, a, b) for h_i = (a*h + b) mod [[MinhashP]] — the
+    * single source of truth shared by the kernel below and the DuckDB
+    * oracle literals in [[graft.pipeline.PipelineQueries]].
+    */
+  val MinhashFamily: Seq[(Int, Long, Long)] = Seq(
+    (1, 131L, 7L), (2, 137L, 11L), (3, 139L, 13L), (4, 149L, 17L),
+    (5, 151L, 19L), (6, 157L, 23L), (7, 163L, 29L), (8, 167L, 31L),
+    (9, 173L, 37L), (10, 179L, 41L), (11, 181L, 43L), (12, 191L, 47L))
+  val MinhashP = 2147483647L
+  private val MinhashA = MinhashFamily.map(_._2).toArray
+  private val MinhashB = MinhashFamily.map(_._3).toArray
+
+  private def distinctShingles(s: UTF8String, n: Int): java.util.HashSet[UTF8String] = {
+    val t = tokens(s)
+    val set = new java.util.HashSet[UTF8String]()
+    if (t.length >= n) {
+      var i = 0
+      while (i <= t.length - n) {
+        var sh = t(i)
+        var j = 1
+        while (j < n) {
+          sh = UTF8String.concat(sh, UTF8String.fromString(" "), t(i + j))
+          j += 1
+        }
+        set.add(sh)
+        i += 1
+      }
+    }
+    set
+  }
+
+  /** All 12 family minhashes over the doc's DISTINCT n-word shingles in one
+    * row-level pass — the kernel twin of `min((a*h+b) % P) GROUP BY doc`
+    * over exploded shingles, with the explode/distinct/groupBy shuffles
+    * deleted. Empty array when the doc has fewer than n tokens (such docs
+    * have no signature and never band — matching the grouped formulation,
+    * where they simply produce no rows).
+    */
+  def minhashSig(s: UTF8String, n: Int): ArrayData = {
+    val set = distinctShingles(s, n)
+    if (set.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill[Long](MinhashA.length)(Long.MaxValue)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val h = portableHash(it.next())
+      var k = 0
+      while (k < mins.length) {
+        val v = (MinhashA(k) * h + MinhashB(k)) % MinhashP
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
+  /** Number of distinct n-word shingles. */
+  def shingleCount(s: UTF8String, n: Int): Long =
+    distinctShingles(s, n).size.toLong
+
+  /** Size of the distinct-shingle intersection of two docs — the kernel twin
+    * of the exploded-shingle equi-join + count in the Jaccard verify.
+    */
+  def shingleCommon(a: UTF8String, b: UTF8String, n: Int): Long = {
+    val sa = distinctShingles(a, n)
+    val sb = distinctShingles(b, n)
+    val (small, big) = if (sa.size <= sb.size) (sa, sb) else (sb, sa)
+    var common = 0L
+    val it = small.iterator()
+    while (it.hasNext) if (big.contains(it.next())) common += 1
+    common
+  }
+
   /** Deterministic checksum over payload bytes — the STUB feature extractor
     * for opaque multimodal payloads (this container has no image/audio
     * codecs; a real deployment swaps the body for actual decode while the
@@ -154,6 +226,13 @@ object TextOps {
     ColumnBridge.column(TextKernel(ColumnBridge.expression(c), "simhash32", LongType))
   def binaryChecksumC(c: Column): Column =
     ColumnBridge.column(BinaryChecksum(ColumnBridge.expression(c)))
+  def minhashSigC(c: Column, n: Int): Column =
+    ColumnBridge.column(MinhashSig(ColumnBridge.expression(c), n))
+  def shingleCountC(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleKernel(ColumnBridge.expression(c), n))
+  def shingleCommonC(a: Column, b: Column, n: Int): Column =
+    ColumnBridge.column(
+      ShingleCommon(ColumnBridge.expression(a), ColumnBridge.expression(b), n))
 }
 
 /** `TextOps.binaryChecksum(binary)` as a codegen'd unary expression. */
@@ -208,6 +287,85 @@ case class TextKernel(child: Expression, kernel: String, outType: DataType)
 
   override protected def withNewChildInternal(newChild: Expression): TextKernel =
     copy(child = newChild)
+}
+
+/** `TextOps.minhashSig(string, n)` as a codegen'd unary expression. */
+case class MinhashSig(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"shingle width must be positive, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.minhashSig(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.minhashSig($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSig =
+    copy(child = newChild)
+}
+
+/** `TextOps.shingleCount(string, n)` as a codegen'd unary expression. */
+case class ShingleKernel(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"shingle width must be positive, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "shingle_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_count expects string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.shingleCount(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingleCount($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleKernel =
+    copy(child = newChild)
+}
+
+/** `TextOps.shingleCommon(a, b, n)` as a codegen'd binary expression. */
+case class ShingleCommon(left: Expression, right: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  require(n > 0, s"shingle width must be positive, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "shingle_common"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"shingle_common expects (string, string), got (${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.shingleCommon(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextOps.shingleCommon($a, $b, $n)")
+
+  override protected def withNewChildInternal(
+      newLeft: Expression, newRight: Expression): ShingleCommon =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `TextOps.shingles(string, n)` as a codegen'd unary expression. */
