@@ -363,7 +363,7 @@ case class ShingleCommon(left: Expression, right: Expression, n: Int)
     defineCodeGen(ctx, ev,
       (a, b) => s"graft.functions.TextOps.shingleCommon($a, $b, $n)")
 
-  override protected def withNewChildInternal(
+  override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ShingleCommon =
     copy(left = newLeft, right = newRight)
 }
