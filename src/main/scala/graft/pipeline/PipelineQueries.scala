@@ -35,12 +35,12 @@ object PipelineQueries {
   private val StrHashSql =
     "CAST(translate(substr(md5(%s), 1, 12), 'abcdef', '123456') AS BIGINT)"
 
-  /** MinHash family: (i, a, b) for h_i = (a*h + b) mod P. */
-  private val Family = Seq(
-    (1, 131L, 7L), (2, 137L, 11L), (3, 139L, 13L), (4, 149L, 17L),
-    (5, 151L, 19L), (6, 157L, 23L), (7, 163L, 29L), (8, 167L, 31L),
-    (9, 173L, 37L), (10, 179L, 41L), (11, 181L, 43L), (12, 191L, 47L))
-  private val MinhashP = 2147483647L
+  /** MinHash family: (i, a, b) for h_i = (a*h + b) mod P — sourced from the
+    * kernel so the row-level signature and the oracle literals can never
+    * drift apart.
+    */
+  private val Family = TextOps.MinhashFamily
+  private val MinhashP = TextOps.MinhashP
   private val BandRows = 3 // 12 hashes → 4 bands of 3
   private val JaccardThreshold = 0.6
 
@@ -149,48 +149,45 @@ object PipelineQueries {
   // ---- Q41 MinHash LSH near-dup -----------------------------------------
 
   private def q41(spark: SparkSession, sfDir: String): DataFrame = {
-    // Flat, codegen-friendly shape: exploded distinct shingles with their
-    // hash stay inside whole-stage codegen (a lambda-heavy array variant
-    // interpreted md5 per element and was ~10× slower). The 12 minhashes
-    // are ONE multi-aggregate groupBy (map-side partial combine), band keys
-    // are plain projections, candidates come from the band-key self-join,
-    // and the exact-Jaccard verify joins only candidate pairs. No all-pairs
-    // anywhere; every shuffle is keyed.
-    val shh = corpus(spark, sfDir)
-      .select(col("doc_id"),
-        explode(TextOps.wordShingles(col("text"), 3)).as("s")).distinct()
-      .withColumn("h", TextOps.portableHashC(col("s")))
+    // Row-level kernel shape: `minhashSigC` computes all 12 family
+    // minhashes over each doc's DISTINCT shingles in one codegen'd pass,
+    // and `shingleCountC` the distinct-shingle count — deleting the
+    // explode → distinct → groupBy shuffle cascade of the grouped
+    // formulation (which the oracle keeps, so the gate proves kernel/SQL
+    // equivalence). A doc with <3 tokens has an empty signature and never
+    // bands, exactly as it produces no rows when grouped. Shuffles left:
+    // the capped band self-join and two keyed joins that fetch candidate
+    // texts; `shingleCommonC` then verifies Jaccard per pair row-level.
+    val docs = corpus(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        TextOps.minhashSigC(col("text"), 3).as("sig"),
+        TextOps.shingleCountC(col("text"), 3).as("n"))
+      .filter(size(col("sig")) > 0)
+      // cached: one small row per doc, scanned by the band stage (twice,
+      // via the bucket cap) and the two candidate-text joins — and the
+      // whole q41 subplan re-runs under q53
       .cache()
-    val sigAggs = Family.map { case (i, a, b) =>
-      min((lit(a) * col("h") + lit(b)) % MinhashP).as(s"mh$i")
-    }
     val bandStructs = (0 until Family.size / BandRows).map { b =>
       val key = (0 until BandRows).map { r =>
-        col(s"mh${b * BandRows + r + 1}") * lit(Seq(1L, 31L, 961L)(r))
+        element_at(col("sig"), b * BandRows + r + 1) * lit(Seq(1L, 31L, 961L)(r))
       }.reduce(_ + _)
       struct(lit(b).as("band"), key.as("bandkey"))
     }
-    // cached: the 12-minhash aggregate is scanned twice by the bucket cap
-    // (sizes + semi join) and the whole q41 subplan re-runs under q53 —
-    // one CacheManager entry serves all of them (4 small rows per doc)
-    val bandsRaw = shh.groupBy(col("doc_id")).agg(sigAggs.head, sigAggs.tail: _*)
+    val bandsRaw = docs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
-      .cache()
     val bands = capBuckets(bandsRaw, Seq("band", "bandkey"), MaxBandBucket)
     val x = bands.as("x"); val y = bands.as("y")
     val cand = x.join(y,
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b")).distinct()
-    val sz = shh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(shh.select(col("doc_id").as("doc_a"), col("s")), "doc_a")
-      .join(shh.select(col("doc_id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("n_common", TextOps.shingleCommonC(col("ta"), col("tb"), 3))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
