@@ -154,9 +154,14 @@ object CompactionRunner {
     val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
     val scans = byFormat.flatMap {
       case ("parquet", ts) if canonicalSchema.isDefined =>
-        ts.groupBy(t => spark.read.parquet(t.path).schema).toSeq
+        val fps = schemaFingerprints(spark, ts.map(_.path))
+        ts.groupBy(t => fps(t.path)).toSeq
           .sortBy(_._2.head.path)
-          .map { case (fileSchema, group) =>
+          .map { case (_, group) =>
+            // one driver-side schema resolution per DISTINCT physical
+            // schema (bounded by the table's evolution history), not per
+            // file — the per-file footers were read distributed above
+            val fileSchema = spark.read.parquet(group.head.path).schema
             evolvedParquetScan(spark, group, fileSchema, canonicalSchema.get)
           }
       case ("avro", ts) =>
@@ -200,6 +205,32 @@ object CompactionRunner {
         raise_error(concat(lit("no seq-number task entry for scanned file "),
           col(MorPlanner.FilePathCol))))
         .otherwise(col(MorPlanner.SeqNumCol)))
+  }
+
+  /** Physical-schema fingerprint (SHA-256 of the parquet footer schema) of
+    * every file, computed in ONE distributed metadata job: executors read
+    * footers in parallel and the driver collects a fixed-size digest per
+    * path. The previous per-file `spark.read` on the driver was a
+    * sequential footer loop — at 10^6 input files a planning-time
+    * bottleneck even though each read is cheap.
+    */
+  private def schemaFingerprints(
+      spark: SparkSession, paths: Seq[String]): Map[String, String] = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val slices = math.max(1, math.min(paths.length,
+      spark.sparkContext.defaultParallelism * 4))
+    spark.sparkContext.parallelize(paths, slices).map { p =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p), conf.value)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val schemaStr =
+        try reader.getFooter.getFileMetaData.getSchema.toString
+        finally reader.close()
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(schemaStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      p -> digest.map("%02x".format(_)).mkString
+    }.collect().toMap
   }
 
   /** One distributed scan of a group of parquet files sharing a physical
