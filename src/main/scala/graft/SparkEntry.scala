@@ -23,7 +23,8 @@ object SparkEntry {
       graft.functions.ScalarQueries.queries ++
       graft.pipeline.PipelineQueries.queries ++
       graft.plans.PlanQueries.queries ++
-      graft.streaming.StreamQueries.queries
+      graft.streaming.StreamQueries.queries ++
+      graft.wire.WireQueries.queries
 
   def oracleSql: Map[String, String] =
     MorQueries.oracleSql ++ TransformQueries.oracleSql ++
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.functions.ScalarQueries.oracleSql ++
       graft.pipeline.PipelineQueries.oracleSql ++
       graft.plans.PlanQueries.oracleSql ++
-      graft.streaming.StreamQueries.oracleSql
+      graft.streaming.StreamQueries.oracleSql ++
+      graft.wire.WireQueries.oracleSql
 }

@@ -104,7 +104,7 @@ object CompactionService {
     * column's type picks truncate's form: string prefix vs numeric
     * floor-to-width (Iceberg spec semantics differ per type).
     */
-  private[sources] def partitionTransform(
+  private[graft] def partitionTransform(
       transform: String,
       source: String,
       sourceType: org.apache.spark.sql.types.DataType): org.apache.spark.sql.Column = {

@@ -1,0 +1,117 @@
+package graft.wire
+
+import graft.wire.CompactorProto._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Gate-visible wire-surface queries (EP2): a golden `RewriteFilesRequest`
+  * is encoded to protobuf bytes and decoded back through the full stack —
+  * codec ([[CompactorProto]]) plus semantic routing ([[WireBridge]]) — and
+  * the decoded result is emitted as rows. The DuckDB oracles are literal
+  * VALUES of what the proto spec says those bytes mean, so the gate pins
+  * the codec against an implementation-independent expectation (the bytes
+  * are deterministic: same request, same encoder, every run).
+  */
+object WireQueries {
+
+  import WireLiteral._
+  import WirePrimitiveKind._
+
+  /** Golden request: every content type, a schema with ids, eq-delete ids
+    * that resolve by field id, and a config map.
+    */
+  private def goldenRequest: WireRewriteRequest = WireRewriteRequest(
+    tasks = Seq(
+      WireScanTask(0L, 4096L, 1000L, "s3://warehouse/data-00001.parquet",
+        ContentData, FormatParquet, Seq(1, 2, 3), 41L, Nil),
+      WireScanTask(0L, 1024L, 64L, "s3://warehouse/data-00002.avro",
+        ContentData, FormatAvro, Seq(1, 2), 40L, Nil),
+      WireScanTask(0L, 512L, 10L, "s3://warehouse/posdel-00001.parquet",
+        ContentPositionDeletes, FormatParquet, Seq(1), 42L, Nil),
+      WireScanTask(0L, 256L, 7L, "s3://warehouse/eqdel-00001.parquet",
+        ContentEqualityDeletes, FormatParquet, Nil, 43L, Seq(2, 1))),
+    config = Map("target_partitions" -> "8", "stats_cols" -> "id",
+      "cluster_by" -> "id"),
+    dirPath = "s3://warehouse/out",
+    fileIo = Some(WireFileIo("s3://warehouse",
+      Map("s3.region" -> "us-east-1"))),
+    schema = Some(WireSchema(5L, Seq(
+      WireField(1, "id", required = true, WirePrimitive(KLong)),
+      WireField(2, "k", required = false, WirePrimitive(KInt)),
+      WireField(3, "price", required = false, WirePrimitive(KDecimal(38, 5)))))),
+    partitionSpec = None)
+
+  /** Q73: encode → decode → route. One row per input scan task with its
+    * routed role, exactly the reference decoder's routing rules.
+    */
+  private def q73(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val decoded = WireBridge.decodeRequest(
+      decodeRewriteRequest(encodeRewriteRequest(goldenRequest)))
+    val rows =
+      decoded.dataTasks.map(t => (t.path, "data", t.format, t.seqNum, "")) ++
+        decoded.posDeletes.map(t => (t.path, "posdel", "parquet", -1L, "")) ++
+        decoded.eqDeletes.map(t =>
+          (t.path, "eqdel", "parquet", t.seqNum, t.equalityCols.mkString(",")))
+    rows.toDF("task_path", "role", "format", "seq_num", "eq_cols")
+  }
+
+  private val q73Sql =
+    """SELECT * FROM (VALUES
+      |  ('s3://warehouse/data-00001.parquet', 'data', 'parquet', CAST(41 AS BIGINT), ''),
+      |  ('s3://warehouse/data-00002.avro', 'data', 'avro', CAST(40 AS BIGINT), ''),
+      |  ('s3://warehouse/posdel-00001.parquet', 'posdel', 'parquet', CAST(-1 AS BIGINT), ''),
+      |  ('s3://warehouse/eqdel-00001.parquet', 'eqdel', 'parquet', CAST(43 AS BIGINT), 'k,id')
+      |) t(task_path, role, format, seq_num, eq_cols)""".stripMargin
+
+  /** Q74: the wire literal tree decoded to values — decimals backed by
+    * int64 AND by int128 (unscaled value beyond long), date day-ordinals,
+    * and the AboveMax/BelowMin bound sentinels in the engine's rendering.
+    * Values travel through encode→decode before rendering.
+    */
+  private def q74(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val cases: Seq[(String, WireLiteral, DataType)] = Seq(
+      ("bool_true", PBool(true), BooleanType),
+      ("int_neg", PInt(-7), IntegerType),
+      ("long_max", PLong(Long.MaxValue), LongType),
+      ("string_utf8", PString("héllo wörld"), StringType),
+      ("date_epoch_days", PInt(17486), DateType),
+      ("dec_long_backed", PLong(1420L), DecimalType(4, 2)),
+      ("dec_int128_wide", PInt128(BigInt("12345678901234567890123")), DecimalType(38, 5)),
+      ("dec_int128_neg", PInt128(BigInt("-98765432109876543210987")), DecimalType(38, 5)),
+      ("dec_uint128", PUInt128(BigInt(2).pow(70)), DecimalType(38, 0)),
+      ("bound_above_max", AboveMax, LongType),
+      ("bound_below_min", BelowMin, LongType))
+    val rows = cases.map { case (name, lit, tpe) =>
+      val w = new ProtoWire.Writer
+      encodeLiteral(w, lit)
+      val back = decodeLiteral(new ProtoWire.Reader(w.toBytes))
+      name -> WireBridge.boundString(back, tpe)
+    }
+    rows.toDF("lit_name", "rendered")
+  }
+
+  private val q74Sql =
+    """SELECT * FROM (VALUES
+      |  ('bool_true', 'true'),
+      |  ('int_neg', '-7'),
+      |  ('long_max', '9223372036854775807'),
+      |  ('string_utf8', 'héllo wörld'),
+      |  ('date_epoch_days', '2017-11-16'),
+      |  ('dec_long_backed', '14.20'),
+      |  ('dec_int128_wide', '123456789012345678.90123'),
+      |  ('dec_int128_neg', '-987654321098765432.10987'),
+      |  ('dec_uint128', '1180591620717411303424'),
+      |  ('bound_above_max', 'above_max'),
+      |  ('bound_below_min', 'below_min')
+      |) t(lit_name, rendered)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_wire_tasks" -> (q73 _),
+    "q74_wire_literals" -> (q74 _))
+
+  def oracleSql: Map[String, String] = Map(
+    "q73_wire_tasks" -> q73Sql,
+    "q74_wire_literals" -> q74Sql)
+}
