@@ -277,19 +277,48 @@ object WireBridge {
         failedDataFilesCount = manifest.failedFilesCount)))
   }
 
+  // ---- FileIO → Hadoop conf ----------------------------------------------
+
+  /** Iceberg FileIO property keys → Hadoop s3a configuration — the remote
+    * object-store seam: the reference threads per-request S3 credentials
+    * through `FileIoBuilder.props` (`core/proto/iceberg.proto:129-132`,
+    * applied at `parser/proto.rs:94-100`). Spark's analog is the session's
+    * Hadoop configuration, which every distributed scan and write in the
+    * request's compaction reads. Keys are the public Iceberg aws property
+    * names; unknown props pass through under their own name so any
+    * `fs.s3a.*`-spelled extras also land.
+    */
+  private val FileIoToHadoop: Map[String, String] = Map(
+    "s3.endpoint" -> "fs.s3a.endpoint",
+    "s3.access-key-id" -> "fs.s3a.access.key",
+    "s3.secret-access-key" -> "fs.s3a.secret.key",
+    "s3.session-token" -> "fs.s3a.session.token",
+    "s3.region" -> "fs.s3a.endpoint.region",
+    "s3.path-style-access" -> "fs.s3a.path.style.access")
+
+  /** Apply a request's FileIO props to the session's Hadoop configuration.
+    * Mutates session state by design — file systems are resolved per
+    * scheme+authority from this conf at scan/write time.
+    */
+  def applyFileIo(spark: SparkSession, props: Map[String, String]): Unit =
+    props.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(FileIoToHadoop.getOrElse(k, k), v)
+    }
+
   // ---- the full RPC body -------------------------------------------------
 
-  /** RewriteFiles, end to end: decode the request bytes, run ONE
-    * distributed compaction, encode the response bytes — the body behind
-    * the reference's tonic handler (`services/compactor/src/rpc.rs:31-47`).
-    * Like the reference, the CALLER commits: the response only reports
-    * added files + stats.
+  /** RewriteFiles, end to end: decode the request bytes, apply the
+    * request's FileIO credentials, run ONE distributed compaction, encode
+    * the response bytes — the body behind the reference's tonic handler
+    * (`services/compactor/src/rpc.rs:31-47`). Like the reference, the
+    * CALLER commits: the response only reports added files + stats.
     */
   def rewriteFiles(spark: SparkSession, requestBytes: Array[Byte]): Array[Byte] = {
     val req = decodeRewriteRequest(requestBytes)
     val d = decodeRequest(req)
     require(d.dataTasks.nonEmpty, "request has no data-file scan tasks")
     require(d.outDir.nonEmpty, "request has no dir_path")
+    applyFileIo(spark, d.fileIoProps)
     val manifest = CompactionRunner.compact(
       spark, d.dataTasks, d.posDeletes, d.eqDeletes, d.outDir, d.config,
       d.canonicalSchema)

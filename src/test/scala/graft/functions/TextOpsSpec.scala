@@ -42,6 +42,20 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.binaryChecksum(bytes) == expected)
   }
 
+  test("wordShingles column explodes to the same set the row-level kernels summarize") {
+    import spark.implicits._
+    val df = graft.Tables.documents(spark, sfDir).limit(16)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val exploded = df
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("t"), 3)).as("s"))
+      .distinct().groupBy("doc_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kernel = df.select(col("doc_id"), TextOps.shingleCountC(col("t"), 3).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs with <3 tokens produce no exploded rows and kernel count 0
+    assert(kernel.filter(_._2 > 0) == exploded)
+  }
+
   test("codegen and interpreted paths agree for all kernels") {
     import spark.implicits._
     // parquet-backed input: a local relation would be constant-folded on

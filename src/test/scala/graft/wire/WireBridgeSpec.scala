@@ -159,6 +159,23 @@ class WireBridgeSpec extends SparkSpec {
     assert(r.getInt(1) >= 0 && r.getInt(1) < 8)
   }
 
+  test("FileIO props thread into the session's Hadoop conf under s3a keys") {
+    WireBridge.applyFileIo(spark, Map(
+      "s3.endpoint" -> "http://minio:9000",
+      "s3.access-key-id" -> "AKIA-TEST",
+      "s3.secret-access-key" -> "sekret",
+      "s3.region" -> "eu-west-1",
+      "s3.path-style-access" -> "true",
+      "fs.s3a.connection.maximum" -> "64")) // already-hadoop-spelled passthrough
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(conf.get("fs.s3a.endpoint") == "http://minio:9000")
+    assert(conf.get("fs.s3a.access.key") == "AKIA-TEST")
+    assert(conf.get("fs.s3a.secret.key") == "sekret")
+    assert(conf.get("fs.s3a.endpoint.region") == "eu-west-1")
+    assert(conf.get("fs.s3a.path.style.access") == "true")
+    assert(conf.get("fs.s3a.connection.maximum") == "64")
+  }
+
   test("RewriteFiles over the framed TCP server: full compaction round-trip") {
     import spark.implicits._
     val table = tmpDir("graft-wire")
