@@ -66,7 +66,15 @@ object CompactionRunner {
       // range-cluster output on these columns: repartitionByRange + sort
       // within files, so per-file min/max stats become near-disjoint and
       // stats-based pruning (see [[pruneByStats]]) skips most files
-      clusterBy: Seq[String] = Nil)
+      clusterBy: Seq[String] = Nil,
+      // the reference's `batch_parallelism` (`core/src/config/mod.rs:23`):
+      // execution parallelism of the rewrite. Spark analog is the job's
+      // shuffle-partition count, applied for the duration of the compact
+      // and restored after
+      batchParallelism: Option[Int] = None,
+      // the reference's `data_file_prefix` (`config/mod.rs:25`): output
+      // data files are named `<prefix>-...` instead of Spark's `part-...`
+      dataFilePrefix: Option[String] = None)
 
   final case class DataFileStats(
       path: String,
@@ -353,6 +361,26 @@ object CompactionRunner {
       config: CompactionConfig = CompactionConfig(),
       canonicalSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : CommitManifest = {
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    config.batchParallelism.foreach { n =>
+      require(n > 0, s"batch_parallelism must be positive, got $n")
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+    }
+    try compactBody(spark, dataTasks, posDeletes, eqDeletes, outDir, config,
+      canonicalSchema)
+    finally if (config.batchParallelism.isDefined)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+  }
+
+  private def compactBody(
+      spark: SparkSession,
+      dataTasks: Seq[DataFileTask],
+      posDeletes: Seq[PosDeleteTask],
+      eqDeletes: Seq[EqDeleteTask],
+      outDir: String,
+      config: CompactionConfig,
+      canonicalSchema: Option[org.apache.spark.sql.types.StructType])
+      : CommitManifest = {
 
     val data = scanWithHiddenCols(spark, dataTasks, canonicalSchema)
     val merged = MorPlanner.merge(data,
@@ -383,6 +411,27 @@ object CompactionRunner {
     (if (config.partitionTransforms.nonEmpty)
        writer.partitionBy(config.partitionTransforms.map(_._1): _*)
      else writer).parquet(dataOut)
+
+    // data_file_prefix: rename Spark's `part-*` outputs to `<prefix>-*`
+    // (the reference names its writer outputs `{prefix}-{uuid}.parquet`).
+    // Hadoop FS rename, scheme-agnostic; one driver call per OUTPUT file —
+    // the same cardinality as the manifest entries built below.
+    config.dataFilePrefix.foreach { prefix =>
+      val hconf = spark.sessionState.newHadoopConf()
+      val root = new org.apache.hadoop.fs.Path(dataOut)
+      val fs = root.getFileSystem(hconf)
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val name = st.getPath.getName
+        if (name.startsWith("part-")) {
+          val target = new org.apache.hadoop.fs.Path(
+            st.getPath.getParent, prefix + "-" + name.stripPrefix("part-"))
+          require(fs.rename(st.getPath, target),
+            s"failed to rename ${st.getPath} to $target")
+        }
+      }
+    }
 
     // S6: per-file column stats via one distributed audit over written files.
     val statsCols = config.statsCols

@@ -93,7 +93,11 @@ object CompactionService {
         if (req.has("target_partitions")) req.get("target_partitions").asInt() else 4,
       partitionTransforms = transforms,
       statsCols = strings(req.get("stats_cols")),
-      clusterBy = strings(req.get("cluster_by")))
+      clusterBy = strings(req.get("cluster_by")),
+      batchParallelism =
+        if (req.has("batch_parallelism")) Some(req.get("batch_parallelism").asInt()) else None,
+      dataFilePrefix =
+        if (req.has("data_file_prefix")) Some(req.get("data_file_prefix").asText()) else None)
     val manifest = compact(spark, dataTasks, posDeletes, eqDeletes, outDir, config)
     CompactionRunner.manifestJson(manifest)
   }

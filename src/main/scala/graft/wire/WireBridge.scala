@@ -186,7 +186,9 @@ object WireBridge {
       targetPartitions = cfg.get("target_partitions").map(_.toInt).getOrElse(4),
       partitionTransforms = transforms,
       statsCols = csv("stats_cols"),
-      clusterBy = csv("cluster_by"))
+      clusterBy = csv("cluster_by"),
+      batchParallelism = cfg.get("batch_parallelism").map(_.toInt),
+      dataFilePrefix = cfg.get("data_file_prefix"))
     DecodedRewrite(data.toSeq, pos.toSeq, eq.toSeq, req.dirPath, config, schema,
       req.fileIo.map(_.props).getOrElse(Map.empty))
   }

@@ -389,4 +389,27 @@ class CompactionRunnerSpec extends SparkSpec {
       manifest.addedFilesCount == manifest.addedFiles.size &&
       manifest.failedFilesCount == 0)
   }
+
+  test("data_file_prefix renames outputs; batch_parallelism scopes shuffle partitions") {
+    val table = tmpDir("graft-prefix")
+    val out = tmpDir("graft-prefix-out")
+    Tables.lineitem(spark, sfDir).limit(200).write.mode("overwrite").parquet(table)
+    val tasks = new java.io.File(table).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => DataFileTask(f.getPath, 1L)).toSeq
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val manifest = compact(spark, tasks, Nil, Nil, out,
+      CompactionConfig(targetPartitions = 2, statsCols = Seq("l_orderkey"),
+        batchParallelism = Some(3), dataFilePrefix = Some("graft-00042")))
+    // shuffle-partition override is scoped to the compact call
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == prevShuffle)
+    // every output data file carries the prefix, none keep Spark's part- name
+    val outFiles = new java.io.File(s"$out/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq
+    assert(outFiles.nonEmpty && outFiles.forall(_.startsWith("graft-00042-")))
+    // manifest paths point at the RENAMED files and still read correctly
+    assert(manifest.addedFiles.map(_.path).forall(
+      _.split('/').last.startsWith("graft-00042-")))
+    assert(spark.read.parquet(s"$out/data").count() == 200L)
+    assert(manifest.outputRecordCount == 200L)
+  }
 }
