@@ -70,6 +70,24 @@ object StreamQueries {
     })
   }
 
+  /** Run an append-mode streaming query to completion — for stateful
+    * non-aggregate operators (streaming dedup) where complete mode is not
+    * defined. AvailableNow drains the source, append emits each surviving
+    * row exactly once.
+    */
+  private def runAppend(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Streamed events with a proper event-time column. The fixture's ts is
     * TIMESTAMP(NANOS), read as nanos-long under the repo-wide
     * `nanosAsLong` conf; truncate to µs for Spark's TimestampType (cannot
@@ -134,11 +152,39 @@ object StreamQueries {
       |LEFT JOIN customer c ON c.c_custkey = e.user_id
       |GROUP BY 1, 2""".stripMargin
 
+  /** Q75: streaming exact dedup — the streaming twin of q40's batch dedup
+    * and the ingestion-time shape of a training-data pipeline (drop
+    * duplicate documents as they arrive, BEFORE paying downstream compute).
+    * `dropDuplicates` on the content hash keeps first-arrival per key in
+    * state; every emitted column is a pure function of the text, so the
+    * output SET is deterministic regardless of which physical row arrives
+    * first. At scale the same query runs with a watermark on an event-time
+    * column to bound state; the drain-once fixture needs none.
+    */
+  private def q75(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema).parquet(streamableDir(path))
+    val deduped = docs
+      .select(md5(lower(col("text"))).as("k"),
+        graft.functions.TextOps.shingleCountC(lower(col("text")), 1).as("n_tokens"))
+      .dropDuplicates("k")
+    runAppend(deduped)
+  }
+
+  private val q75Sql =
+    """SELECT DISTINCT md5(lower(text)) AS k,
+      |       CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT)
+      |         AS n_tokens
+      |FROM documents""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_stream_window" -> (q68 _),
-    "q69_stream_enrich" -> (q69 _))
+    "q69_stream_enrich" -> (q69 _),
+    "q75_stream_dedup" -> (q75 _))
 
   val oracleSql: Map[String, String] = Map(
     "q68_stream_window" -> q68Sql,
-    "q69_stream_enrich" -> q69Sql)
+    "q69_stream_enrich" -> q69Sql,
+    "q75_stream_dedup" -> q75Sql)
 }

@@ -44,6 +44,19 @@ class StreamQueriesSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("q75 streaming dedup equals the batch distinct-key set") {
+    val batch = graft.Tables.documents(spark, sfDir)
+      .select(md5(lower(col("text"))).as("k"),
+        graft.functions.TextOps.shingleCountC(lower(col("text")), 1).as("n_tokens"))
+      .distinct()
+      .collect().map(_.toSeq.toList).toSet
+    val streamed = rowsOf("q75_stream_dedup")
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // genuinely deduplicating: exactly one row per content hash
+    assert(streamed.map(_.head).size == streamed.size)
+  }
+
   test("repeat runs get fresh sink names and identical results") {
     val a = rowsOf("q68_stream_window")
     val b = rowsOf("q68_stream_window")
