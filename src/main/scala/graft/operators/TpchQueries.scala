@@ -74,10 +74,51 @@ object TpchQueries {
       .limit(20)
   }
 
+  /** Q76 (TPC-H Q6 shape): forecasting revenue change — a pure filtered
+    * scan + single aggregate, the canonical pushdown/codegen smoke: no
+    * join, no shuffle beyond the final partial-agg exchange.
+    */
+  private def q76(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(18,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Q77 (TPC-H Q18 shape): large-volume customers — the group-by-HAVING
+    * over a fact table feeding a star join. The qualifying-orderkey set is
+    * aggregated FIRST (map-side combinable, tiny result), then joined back;
+    * at 100 TB the qualifier output is small enough that AQE broadcasts it
+    * into the second join.
+    */
+  private def q77(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+      .select(col("l_orderkey").as("qual_orderkey"),
+        col("sum_qty").cast("double").as("total_qty"))
+    val o = Tables.orders(spark, sfDir)
+    val c = Tables.customer(spark, sfDir)
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(big, o("o_orderkey") === col("qual_orderkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_tpch_q3" -> (q70 _),
     "q71_tpch_q5" -> (q71 _),
-    "q72_tpch_q10" -> (q72 _))
+    "q72_tpch_q10" -> (q72 _),
+    "q76_tpch_q6" -> (q76 _),
+    "q77_tpch_q18" -> (q77 _))
 
   private val Rev =
     "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -113,5 +154,26 @@ object TpchQueries {
          |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
          |GROUP BY 1, 2, 3, 4
          |ORDER BY revenue DESC, c_custkey
-         |LIMIT 20""".stripMargin)
+         |LIMIT 20""".stripMargin,
+    "q76_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q77_tpch_q18" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+        |       o_totalprice, CAST(b.sum_qty AS DOUBLE) AS total_qty
+        |FROM customer, orders, big b
+        |WHERE c_custkey = o_custkey AND o_orderkey = b.l_orderkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin)
 }
