@@ -432,6 +432,61 @@ object PipelineQueries {
       |  FROM p) t
       |WHERE rn <= 3""".stripMargin
 
+  /** Q78: IVF ANN with nprobe=2 — the standard recall lever: a query whose
+    * true neighbors straddle a centroid boundary misses them under Q44's
+    * own-bucket probe; probing the two nearest centroid buckets recovers
+    * most of that recall for 2× the candidate work (still nothing close to
+    * all-pairs). Buckets are disjoint (each vector has ONE assignment), so
+    * the probe union needs no dedup.
+    */
+  private def q78(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = ivfAssign(spark, sfDir)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("nrm").as("cnrm"))
+    val qs = assign.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid"),
+        (dotD(col("cv"), col("qe")) / (col("qnrm") * col("cnrm"))).as("qcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= 2)
+      .select(col("qid"), col("qe"), col("qnrm"), col("cid"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    probes.join(assign, "cid")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cid"),
+        (dotD(col("qe"), col("embedding")) / (col("nrm") * col("qnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= 3)
+  }
+
+  private val q78Sql =
+    s"""WITH $IvfAssignCte,
+      |q0 AS (SELECT vec_id AS qid, v AS qv FROM assign WHERE vec_id % 50 = 0),
+      |probes AS (
+      |  SELECT qid, qv, cid FROM (
+      |    SELECT q0.qid, q0.qv, c.cid,
+      |           row_number() OVER (PARTITION BY q0.qid ORDER BY
+      |             list_sum(list_transform(range(1, len(q0.qv) + 1), i -> q0.qv[i] * c.cv[i]))
+      |               / (sqrt(list_sum(list_transform(q0.qv, x -> x * x)))
+      |                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+      |             c.cid) AS prn
+      |    FROM q0, c) t
+      |  WHERE prn <= 2),
+      |p AS (
+      |  SELECT pr.qid, a.vec_id, a.cid,
+      |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * pr.qv[i]))
+      |           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |              * sqrt(list_sum(list_transform(pr.qv, x -> x * x)))) AS cos
+      |  FROM probes pr JOIN assign a ON a.cid = pr.cid AND a.vec_id <> pr.qid)
+      |SELECT qid, vec_id, cid, cos, CAST(rn AS BIGINT) AS rn FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |  FROM p) t
+      |WHERE rn <= 3""".stripMargin
+
   // ---- Q43 text stats / Q45 lang-id / Q46 quality / Q47 fingerprint ------
 
   private def q43(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1005,7 +1060,8 @@ object PipelineQueries {
     "q56_length_buckets" -> (q56 _),
     "q57_tfidf" -> (q57 _),
     "q58_bpe_tokens" -> (q58 _),
-    "q59_frame_sample" -> (q59 _))
+    "q59_frame_sample" -> (q59 _),
+    "q78_ann_nprobe" -> (q78 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1029,5 +1085,6 @@ object PipelineQueries {
     "q56_length_buckets" -> q56Sql,
     "q57_tfidf" -> q57Sql,
     "q58_bpe_tokens" -> q58Sql,
-    "q59_frame_sample" -> q59Sql)
+    "q59_frame_sample" -> q59Sql,
+    "q78_ann_nprobe" -> q78Sql)
 }
