@@ -30,5 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench runs 70+ queries in one JVM with several
+  // session-lifetime caches (MoR fixture, q41 docs/pairs, IVF assignment);
+  // at 8g Spark's unified pool (~4.6g) evicts those caches under the
+  // 32-thread execution load and mid-bench queries silently recompute
+  // whole upstream pipelines (q53 paid a full q41 re-run). The container
+  // has 128 GiB; 16 GiB keeps every cache resident with headroom.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
