@@ -113,7 +113,39 @@ object TpchQueries {
       .limit(100)
   }
 
+  /** Q80 (TPC-H Q1, the pricing-summary report): the canonical wide
+    * scan-and-aggregate — one pass over lineitem, six-key grouping cube of
+    * decimal-exact sums plus derived averages. Averages are each exact
+    * decimal-routed sum divided by the group count as ONE double division,
+    * so both engines compute identical doubles (no running float mean).
+    * Scale: pure map-side-combinable hash agg on a 4-group key — the
+    * textbook 100 TB-friendly shape; filter pushed into the scan.
+    */
+  private def q80(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1997-06-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
+          .as("sum_charge"),
+        sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
+        (col("sum_qty") / col("count_order")).as("avg_qty"),
+        (col("sum_base_price") / col("count_order")).as("avg_price"),
+        (col("sum_disc") / col("count_order")).as("avg_disc"),
+        col("count_order"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_tpch_q1" -> (q80 _),
     "q70_tpch_q3" -> (q70 _),
     "q71_tpch_q5" -> (q71 _),
     "q72_tpch_q10" -> (q72 _),
@@ -124,6 +156,28 @@ object TpchQueries {
     "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
 
   val oracleSql: Map[String, String] = Map(
+    "q80_tpch_q1" ->
+      """WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS sum_base_price,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+        |           AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |         CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        |         count(*) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1997-06-30 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+        |       sum_disc_price, sum_charge,
+        |       sum_qty / count_order AS avg_qty,
+        |       sum_base_price / count_order AS avg_price,
+        |       sum_disc / count_order AS avg_disc,
+        |       count_order
+        |FROM g""".stripMargin,
     "q70_tpch_q3" ->
       s"""SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
          |       o_orderpriority, $Rev AS revenue

@@ -487,6 +487,100 @@ object PipelineQueries {
       |  FROM p) t
       |WHERE rn <= 3""".stripMargin
 
+  // ---- Q81 exact n-gram Jaccard self-join (prefix filtering) -------------
+
+  /** Q81: EXACT n-gram (3-shingle) Jaccard near-dup join via prefix
+    * filtering (the PPJoin family) — the deterministic counterpart to q41's
+    * MinHash LSH: output is provably ALL pairs with Jaccard ≥ t (= 0.6,
+    * [[JaccardThreshold]]), no probabilistic recall loss.
+    *
+    * Shape: build the shingle inverted index, rank each doc's shingles
+    * rarest-first (global document frequency, ties by shingle text — a
+    * total order, so both engines pick identical prefixes), and index only
+    * each doc's first `n - ceil(t·n) + 1` shingles. Any pair with Jaccard
+    * ≥ t MUST collide inside these prefixes (pigeonhole on the ≥ ceil(t·n)
+    * shared shingles), so the candidate join touches only rare-shingle
+    * posting lists — the quadratic work concentrates where df is small. A
+    * size filter (`3·max(na,nb) ≤ 5·min(na,nb)`, exact integer form of
+    * min/max ≥ 3/5) prunes cross-size pairs the Jaccard bound already
+    * excludes. Survivors get one row-level exact-intersection kernel pass.
+    *
+    * Prefix length and size filter use INTEGER arithmetic (`ceil(0.6·n)` =
+    * `(3n+4) div 5`): the double form `floor((1-0.6)*n)` is off by one at
+    * multiples of 5 (binary 0.6 is not exact), which would silently drop
+    * boundary true pairs. The double final threshold (0.6d, a hair BELOW
+    * 3/5) is looser than both integer pre-filters only by < 2.3e-17 — no
+    * integral size ratio can fall in that gap, so the pre-filters prune
+    * nothing the final filter keeps.
+    *
+    * Scale: df ranking is one agg + one window over the posting table;
+    * candidates shuffle on shingle; at 100 TB the standard extra lever is
+    * length-bucketed repartition, which composes with this plan unchanged.
+    */
+  private def q81(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = corpus(spark, sfDir)
+      .select(col("doc_id"), col("text"),
+        TextOps.shingleCountC(col("text"), 3).as("n"))
+      .filter(col("n") > 0)
+      .cache() // scanned by the postings build and both verify-side joins
+    val postings = docs.select(col("doc_id"), col("n"),
+      explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("s"))
+    val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val wPref = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val pref = postings.join(dfreq, "s")
+      .withColumn("rn", row_number().over(wPref))
+      .filter(col("rn") <= col("n") - expr("(n * 3 + 4) div 5") + 1)
+      .select(col("doc_id"), col("n"), col("s"))
+    val a = pref.as("a"); val b = pref.as("b")
+    val cand = a.join(b,
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n") * 3 <= col("a.n") * 5 && col("a.n") * 3 <= col("b.n") * 5)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+        col("n").as("na")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+        col("n").as("nb")), "doc_b")
+      .withColumn("n_common", TextOps.shingleCommonC(col("ta"), col("tb"), 3))
+      .select(col("doc_a"), col("doc_b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardThreshold)
+  }
+
+  /** Oracle twin: same prefix-filter candidates (integer prefix length,
+    * same (df, s) tie-break), same exact verify. The size filter is omitted
+    * — it only prunes candidates the final Jaccard filter rejects anyway,
+    * so the output set is identical.
+    */
+  private val q81Sql =
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |ranked AS (
+       |  SELECT sh.doc_id, sh.s, sz.n,
+       |         row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
+       |  FROM sh JOIN dfreq d USING (s) JOIN sz USING (doc_id)),
+       |pref AS (SELECT doc_id, s FROM ranked WHERE rn <= n - (n * 3 + 4) // 5 + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  GROUP BY 1, 2)
+       |SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+       |       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+       |FROM inter i
+       |JOIN sz za ON za.doc_id = i.doc_a
+       |JOIN sz zb ON zb.doc_id = i.doc_b
+       |WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common)
+       |        >= $JaccardThreshold""".stripMargin
+
   // ---- Q43 text stats / Q45 lang-id / Q46 quality / Q47 fingerprint ------
 
   private def q43(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1061,7 +1155,8 @@ object PipelineQueries {
     "q57_tfidf" -> (q57 _),
     "q58_bpe_tokens" -> (q58 _),
     "q59_frame_sample" -> (q59 _),
-    "q78_ann_nprobe" -> (q78 _))
+    "q78_ann_nprobe" -> (q78 _),
+    "q81_ngram_jaccard" -> (q81 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1086,5 +1181,6 @@ object PipelineQueries {
     "q57_tfidf" -> q57Sql,
     "q58_bpe_tokens" -> q58Sql,
     "q59_frame_sample" -> q59Sql,
-    "q78_ann_nprobe" -> q78Sql)
+    "q78_ann_nprobe" -> q78Sql,
+    "q81_ngram_jaccard" -> q81Sql)
 }

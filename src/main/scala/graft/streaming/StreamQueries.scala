@@ -178,13 +178,57 @@ object StreamQueries {
       |         AS n_tokens
       |FROM documents""".stripMargin
 
+  /** Q79: streaming sessionization — `session_window` (gap 30 min) keyed by
+    * user, the canonical stateful streaming shape: windows merge as events
+    * arrive, the watermark bounds session state on an unbounded source, and
+    * state shards by (user, window) exactly like a batch shuffle. Session
+    * membership is a pure function of event times (merge while the gap to
+    * the previous event is < 30 min), so the drained result is
+    * batch-equivalent: the oracle is the same gaps-and-islands sessionize
+    * as batch q66, with the session break at `gap >= 30 min` (Spark's
+    * window [ts, ts+gap) overlap rule) and `end_sec` = last event + gap
+    * (the window's close, not the last event).
+    */
+  private def q79(spark: SparkSession, sfDir: String): DataFrame = {
+    val agg = eventStream(spark, sfDir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_sec"),
+        unix_timestamp(col("session_window.end")).as("end_sec"),
+        col("n_events"), col("sum_value"))
+    runComplete(agg)
+  }
+
+  private val q79Sql =
+    """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS tsu, value
+      |           FROM events),
+      |s AS (SELECT *, CASE WHEN lag(tsu) OVER w IS NULL
+      |                      OR tsu - lag(tsu) OVER w >= 1800000000
+      |                     THEN 1 ELSE 0 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |                                     ORDER BY tsu, event_id
+      |                                     ROWS UNBOUNDED PRECEDING) AS sid
+      |       FROM s)
+      |SELECT user_id,
+      |       min(tsu) // 1000000 AS start_sec,
+      |       (max(tsu) + 1800000000) // 1000000 AS end_sec,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM s2 GROUP BY user_id, sid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_stream_window" -> (q68 _),
     "q69_stream_enrich" -> (q69 _),
-    "q75_stream_dedup" -> (q75 _))
+    "q75_stream_dedup" -> (q75 _),
+    "q79_stream_sessions" -> (q79 _))
 
   val oracleSql: Map[String, String] = Map(
     "q68_stream_window" -> q68Sql,
     "q69_stream_enrich" -> q69Sql,
-    "q75_stream_dedup" -> q75Sql)
+    "q75_stream_dedup" -> q75Sql,
+    "q79_stream_sessions" -> q79Sql)
 }
