@@ -182,6 +182,52 @@ object TextOps {
   def shingleCount(s: UTF8String, n: Int): Long =
     distinctShingles(s, n).size.toLong
 
+  /** The doc's distinct n-word shingle HASHES ([[portableHash]]), sorted
+    * ascending — the long-domain twin of the exploded `DISTINCT (doc_id,
+    * md5-hash(s))` posting build, one row-level pass. Sorted so that
+    * pairwise intersection ([[sortedLongCommon]]) is a merge scan instead
+    * of a per-pair hash-set build. Empty when the doc has < n tokens.
+    */
+  def shingleHashesSorted(s: UTF8String, n: Int): ArrayData = {
+    val set = distinctShingles(s, n)
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = portableHash(it.next()); i += 1 }
+    java.util.Arrays.sort(out)
+    // hash collisions inside one doc would leave duplicates; count them out
+    // so the array is a set (the SQL twin is SELECT DISTINCT on the hash)
+    var dups = 0
+    i = 1
+    while (i < out.length) { if (out(i) == out(i - 1)) dups += 1; i += 1 }
+    if (dups == 0) new GenericArrayData(out.map(v => v: Any))
+    else {
+      val ded = new Array[Any](out.length - dups)
+      var j = 0
+      i = 0
+      while (i < out.length) {
+        if (i == 0 || out(i) != out(i - 1)) { ded(j) = out(i); j += 1 }
+        i += 1
+      }
+      new GenericArrayData(ded)
+    }
+  }
+
+  /** Count of common elements of two SORTED long arrays — one merge scan,
+    * the verify-join kernel for prefix-filtered Jaccard (q81).
+    */
+  def sortedLongCommon(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var common = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    common
+  }
+
   /** Size of the distinct-shingle intersection of two docs — the kernel twin
     * of the exploded-shingle equi-join + count in the Jaccard verify.
     */
@@ -233,6 +279,65 @@ object TextOps {
   def shingleCommonC(a: Column, b: Column, n: Int): Column =
     ColumnBridge.column(
       ShingleCommon(ColumnBridge.expression(a), ColumnBridge.expression(b), n))
+  def shingleHashesC(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(c), n))
+  def sortedCommonC(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedLongCommon(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `TextOps.shingleHashesSorted(string, n)` as a codegen'd unary expression. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0, s"shingle width must be positive, got $n")
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_sorted"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes_sorted expects string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.shingleHashesSorted(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingleHashesSorted($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `TextOps.sortedLongCommon(a, b)` as a codegen'd binary expression. */
+case class SortedLongCommon(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_long_common"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_long_common expects (array<long>, array<long>), got " +
+          s"(${l.catalogString}, ${r.catalogString})")
+    }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.sortedLongCommon(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.TextOps.sortedLongCommon($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedLongCommon =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `TextOps.binaryChecksum(binary)` as a codegen'd unary expression. */

