@@ -258,8 +258,15 @@ object PipelineQueries {
     * output (round-2 verdict finding).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a"), col("doc_b"))
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    // Eagerly pin the (tiny) pair list before fanning it out: `edges`
+    // references `pairs` twice, and every loop round references `edges` —
+    // if the upstream cache entry has been evicted (observed mid-bench
+    // under memory pressure), an unpinned plan re-runs the entire q41
+    // candidate+verify pipeline once per union branch. localCheckpoint
+    // truncates lineage AND spills to disk instead of recomputing.
+    val pinned = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = pinned
+      .union(pinned.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .cache()
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("rep", col("doc_id")).cache()
