@@ -46,6 +46,67 @@ object VectorOps {
 
   def srpSigC(c: Column): Column =
     ColumnBridge.column(SrpSignature(ColumnBridge.expression(c)))
+
+  /** Sequential left-fold dot product — bit-identical to the
+    * `aggregate(zip_with(a, b, x·y), 0.0, +)` higher-order formulation it
+    * replaces (same element order, same double rounding at every step) and
+    * to the oracle's `list_sum(list_transform(...))`, but one codegen'd
+    * static call per row instead of an interpreted per-element lambda tree.
+    */
+  def dotFold(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  def dotC(a: Column, b: Column): Column =
+    ColumnBridge.column(DotFold(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** `VectorOps.dotFold(array<float|double>, array<float|double>)` as a
+  * codegen'd binary expression.
+  */
+case class DotFold(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_fold"
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_fold expects (array<float|double>, array<float|double>), got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dotFold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorOps.dotFold($a, $b, ${isFloat(left)}, ${isFloat(right)})")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotFold =
+    copy(left = newLeft, right = newRight)
 }
 
 /** `VectorOps.srpSig(array<float|double>)` as a codegen'd unary expression. */

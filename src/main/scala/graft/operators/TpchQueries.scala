@@ -144,8 +144,46 @@ object TpchQueries {
         col("count_order"))
   }
 
+  /** Q83 (TPC-H Q12 shape): priority-class line counts per return flag (the
+    * fixture has no l_shipmode/commitdate; returnflag stands in for the
+    * mode dimension, shipdate-in-1996 for the receipt window). Conditional
+    * aggregation over one equi-join — both flag counts come from the same
+    * shuffle; at scale the date filter pushes into the lineitem scan.
+    */
+  private def q83(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o.join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+  }
+
+  /** Q84 (TPC-H Q4 shape): order-priority checking — orders with at least
+    * one late line (shipdate after orderdate stands in for the fixture's
+    * missing commit/receipt dates), counted per priority. The EXISTS
+    * becomes a left-semi hash join with the date comparison as a residual
+    * condition: the probe keeps at most one match per order, so no
+    * pre-aggregation or distinct is needed on the fact side.
+    */
+  private def q84(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+    o.join(li, o("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > o("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_tpch_q1" -> (q80 _),
+    "q83_tpch_q12" -> (q83 _),
+    "q84_tpch_q4" -> (q84 _),
     "q70_tpch_q3" -> (q70 _),
     "q71_tpch_q5" -> (q71 _),
     "q72_tpch_q10" -> (q72 _),
@@ -178,6 +216,26 @@ object TpchQueries {
         |       sum_disc / count_order AS avg_disc,
         |       count_order
         |FROM g""".stripMargin,
+    "q83_tpch_q12" ->
+      """SELECT l_returnflag,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS high_line_count,
+        |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS low_line_count
+        |FROM orders, lineitem
+        |WHERE o_orderkey = l_orderkey
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+    "q84_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1""".stripMargin,
     "q70_tpch_q3" ->
       s"""SELECT l_orderkey, strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
          |       o_orderpriority, $Rev AS revenue

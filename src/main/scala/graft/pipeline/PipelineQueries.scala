@@ -333,9 +333,13 @@ object PipelineQueries {
 
   // ---- Q42 cosine top-k / Q44 IVF ---------------------------------------
 
+  /** Sequential-fold dot product — the codegen'd [[graft.functions.VectorOps.dotFold]]
+    * kernel, bit-identical to the previous `aggregate(zip_with(...))`
+    * higher-order formulation (same element order and rounding) and to the
+    * oracles' `list_sum(list_transform(...))`.
+    */
   private def dotD(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorOps.dotC(a, b)
 
   private def normD(a: Column): Column = sqrt(dotD(a, a))
 

@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 /** Declared Structured Streaming queries — the streaming tier surfaced in
   * the driver's correctness gate. Each query reads the `events` fixture AS A
@@ -220,15 +220,83 @@ object StreamQueries {
       |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
       |FROM s2 GROUP BY user_id, sid""".stripMargin
 
+  /** Keyed record for the custom-state stage: `micros` is the event value
+    * quantized to decimal(18,6) micro-units — LONG state sums are exact and
+    * commutative, so the persisted state carries no fold-order bits (the
+    * double-accumulating demo variant in [[EventStreams.runningUserTotals]]
+    * must sort each batch instead). Not private: Catalyst's generated
+    * (de)serializers need constructor access.
+    */
+  final case class KeyedValue(user_id: Long, micros: Long)
+
+  final case class TotalsState(nEvents: Long, totalMicros: Long)
+
+  /** Q82: custom keyed state in the declared gate — `mapGroupsWithState`
+    * running per-user totals (the building block the built-in aggregations
+    * don't cover: arbitrary per-key state machines). State is (count,
+    * exact micro-unit sum); the final emitted total converts to double
+    * once, reproducing the oracle's `CAST(sum(decimal) AS DOUBLE)` bit for
+    * bit. AvailableNow over the one-file fixture drains in a single
+    * micro-batch, so update mode emits exactly one final row per user.
+    * At scale state shards by user across executors like any shuffle, and
+    * a watermark + `GroupStateTimeout.EventTimeTimeout` bounds it on an
+    * unbounded source.
+    */
+  private def q82(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = eventStream(spark, sfDir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,6)") * lit(1000000L))
+          .cast("long").as("micros"))
+      .as[KeyedValue]
+    val updates = keyed.groupByKey(_.user_id)
+      .mapGroupsWithState[TotalsState, (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[KeyedValue], state: GroupState[TotalsState]) =>
+          val prev = state.getOption.getOrElse(TotalsState(0L, 0L))
+          var n = prev.nEvents
+          var total = prev.totalMicros
+          batch.foreach { e => n += 1; total += e.micros }
+          state.update(TotalsState(n, total))
+          (userId, n, total.toDouble / 1e6)
+      }
+      .toDF("user_id", "n_events", "total_value")
+    runUpdate(updates)
+  }
+
+  private val q82Sql =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
+  /** Run a stateful update-mode streaming query to completion —
+    * `mapGroupsWithState` only supports update output.
+    */
+  private def runUpdate(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("update")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_stream_window" -> (q68 _),
     "q69_stream_enrich" -> (q69 _),
     "q75_stream_dedup" -> (q75 _),
-    "q79_stream_sessions" -> (q79 _))
+    "q79_stream_sessions" -> (q79 _),
+    "q82_stream_state" -> (q82 _))
 
   val oracleSql: Map[String, String] = Map(
     "q68_stream_window" -> q68Sql,
     "q69_stream_enrich" -> q69Sql,
     "q75_stream_dedup" -> q75Sql,
-    "q79_stream_sessions" -> q79Sql)
+    "q79_stream_sessions" -> q79Sql,
+    "q82_stream_state" -> q82Sql)
 }
