@@ -146,6 +146,86 @@ object PipelineQueries {
         col("r.source").as("source"), col("r.n_chars").as("n_chars"))
   }
 
+  // ---- Q85 chunking / Q86 decontamination --------------------------------
+
+  /** Q85: document chunking — the LLM-preprocessing step that turns each
+    * document into overlapping token windows (64 tokens, stride 48) ready
+    * for tokenization/embedding. Pure row-level explode: `sequence` over
+    * chunk starts, `slice`+`array_join` per chunk, md5 as the stable chunk
+    * key — no shuffle at all, the shape that streams through 100 TB.
+    * Trailing windows shorter than the overlap are kept (deterministic,
+    * mirrored by the oracle's `range(0, n, 48)`).
+    */
+  private def q85(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val t = split(lower(col("text")), " ")
+    val starts = sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(48))
+    d.select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"), col("t"), explode(starts).as("s"))
+      .filter(col("s") < size(col("t"))) // the n=0 doc would emit start 0
+      .select(col("doc_id"), col("s").cast("long").as("chunk_start"),
+        array_join(slice(col("t"), col("s") + 1,
+          least(lit(64), size(col("t")) - col("s"))), " ").as("chunk"))
+      .select(col("doc_id"), col("chunk_start"),
+        (size(split(col("chunk"), " "))).cast("long").as("chunk_tokens"),
+        md5(col("chunk")).as("chunk_hash"))
+  }
+
+  private val q85Sql =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |           FROM documents),
+      |c AS (
+      |  SELECT doc_id, CAST(s AS BIGINT) AS chunk_start,
+      |         array_to_string(t[s + 1 : s + least(64, len(t) - s)], ' ') AS chunk
+      |  FROM t, unnest(range(0, greatest(len(t), 1), 48)) AS u(s)
+      |  WHERE s < len(t))
+      |SELECT doc_id, chunk_start,
+      |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS chunk_tokens,
+      |       md5(chunk) AS chunk_hash
+      |FROM c""".stripMargin
+
+  /** Q86: test-set decontamination — flag training docs whose shingle sets
+    * are substantially CONTAINED in an evaluation document (every 97th doc
+    * stands in for the benchmark set). Containment |train ∩ eval| / |train|
+    * is the decontamination metric (Jaccard under-fires when the eval doc
+    * is much longer). The eval side is tiny by construction, so it
+    * broadcasts and the scan stays one embarrassingly-parallel pass with a
+    * per-pair sorted-merge kernel — at 100 TB this is a map-only job, no
+    * shuffle of the training corpus.
+    */
+  private def q86(spark: SparkSession, sfDir: String): DataFrame = {
+    // train side = the perturbed corpus (its planted dup-tails of eval docs
+    // ARE the contamination to catch); eval side = the plain benchmark
+    // stand-in, every 97th base document
+    val c = corpus(spark, sfDir)
+      .select(col("doc_id"), TextOps.shingleHashesC(col("text"), 3).as("dh"))
+      .filter(size(col("dh")) > 0)
+    val evals = c.filter(col("doc_id") % 97 === 0 && col("doc_id") < 100000)
+      .select(col("doc_id").as("eval_id"), col("dh").as("dhe"))
+    c.filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 100000))
+      .crossJoin(broadcast(evals))
+      .withColumn("n_common", TextOps.sortedCommonC(col("dh"), col("dhe")))
+      .select(col("doc_id"), col("eval_id"), col("n_common"),
+        (col("n_common").cast("double") / size(col("dh"))).as("containment"))
+      .filter(col("containment") >= 0.5)
+  }
+
+  private val q86Sql =
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |dh86 AS (SELECT DISTINCT doc_id, h FROM shh),
+       |sz86 AS (SELECT doc_id, count(*) AS n FROM dh86 GROUP BY 1),
+       |pairs86 AS (
+       |  SELECT tr.doc_id, ev.doc_id AS eval_id, count(*) AS n_common
+       |  FROM dh86 tr JOIN dh86 ev ON ev.h = tr.h
+       |   AND (ev.doc_id % 97 = 0 AND ev.doc_id < 100000)
+       |   AND NOT (tr.doc_id % 97 = 0 AND tr.doc_id < 100000)
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_id, p.eval_id, CAST(p.n_common AS BIGINT) AS n_common,
+       |       CAST(p.n_common AS DOUBLE) / z.n AS containment
+       |FROM pairs86 p JOIN sz86 z ON z.doc_id = p.doc_id
+       |WHERE CAST(p.n_common AS DOUBLE) / z.n >= 0.5""".stripMargin
+
   // ---- Q41 MinHash LSH near-dup -----------------------------------------
 
   private def q41(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1174,7 +1254,9 @@ object PipelineQueries {
     "q58_bpe_tokens" -> (q58 _),
     "q59_frame_sample" -> (q59 _),
     "q78_ann_nprobe" -> (q78 _),
-    "q81_ngram_jaccard" -> (q81 _))
+    "q81_ngram_jaccard" -> (q81 _),
+    "q85_chunking" -> (q85 _),
+    "q86_decontaminate" -> (q86 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1200,5 +1282,7 @@ object PipelineQueries {
     "q58_bpe_tokens" -> q58Sql,
     "q59_frame_sample" -> q59Sql,
     "q78_ann_nprobe" -> q78Sql,
-    "q81_ngram_jaccard" -> q81Sql)
+    "q81_ngram_jaccard" -> q81Sql,
+    "q85_chunking" -> q85Sql,
+    "q86_decontaminate" -> q86Sql)
 }
