@@ -858,9 +858,12 @@ object PipelineQueries {
     * all-pairs join anywhere.
     */
   private def q49(spark: SparkSession, sfDir: String): DataFrame = {
+    // token sets ride as SORTED HASH arrays (1-gram shingle hashes), so the
+    // per-pair verify is a sorted-merge long scan instead of a string-set
+    // intersect — same hash-domain pattern as q81, mirrored by the oracle
     val sigs = corpus(spark, sfDir)
       .select(col("doc_id"), TextOps.simhash32C(col("text")).as("sh"),
-        array_distinct(split(col("text"), " ")).as("dt"))
+        TextOps.shingleHashesC(col("text"), 1).as("dt"))
       .cache()
     // Stage 1: banded candidates carry only (doc_id, sh) — the Hamming
     // filter runs before any token arrays are shuffled or compared. 16-bit
@@ -871,7 +874,7 @@ object PipelineQueries {
       bandMod = 65536L, maxHamming = 3)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("hamming"))
     // Stage 2: exact token-set Jaccard verify, only for Hamming survivors.
-    val inter = size(array_intersect(col("dta"), col("dtb")))
+    val inter = TextOps.sortedCommonC(col("dta"), col("dtb"))
     val jac = inter.cast("double") / (size(col("dta")) + size(col("dtb")) - inter)
     cand
       .join(sigs.select(col("doc_id").as("doc_a"), col("dt").as("dta")), "doc_a")
@@ -889,7 +892,8 @@ object PipelineQueries {
                  |  x -> CASE WHEN (${StrHashSql.format("x")} >> $j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
                  |  THEN ${1L << j} ELSE 0 END)""".stripMargin
             }.mkString("\n + ")} AS BIGINT) AS sh,
-       |         list_distinct(string_split(text, ' ')) AS dt
+       |         list_distinct(list_transform(string_split(text, ' '),
+       |           x -> ${StrHashSql.format("x")})) AS dt
        |  FROM corpus),
        |banded0 AS (
        |  SELECT doc_id, sh, 0 AS band, sh % 65536 AS bval FROM sigs
