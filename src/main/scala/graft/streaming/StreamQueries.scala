@@ -28,6 +28,36 @@ object StreamQueries {
     */
   private val sinkId = new AtomicLong()
 
+  /** Run a streaming query to completion with the given output mode and
+    * return the memory-sink table. The number of state-store partitions is
+    * pinned to the streaming default (8) for the duration of the start —
+    * Structured Streaming freezes `spark.sql.shuffle.partitions` into the
+    * query's state layout at first start, and 32 stores for the fixture's
+    * tiny keyed state is pure per-microbatch overhead. At scale this knob
+    * sizes UP with key cardinality; it is per-query state layout, not a
+    * session-wide choice, which is exactly why it's scoped here.
+    */
+  private def runToCompletion(df: DataFrame, mode: String): DataFrame = {
+    val spark = df.sparkSession
+    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        conf.set("spark.sql.shuffle.partitions",
+          math.min(8, prev.toInt).toString)
+        df.writeStream
+          .format("memory")
+          .queryName(name)
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+
   /** Run a streaming aggregation to completion (AvailableNow drains every
     * available file, then stops) and return the memory-sink table. Complete
     * output mode: with a finite stream, append mode would hold the trailing
@@ -37,18 +67,7 @@ object StreamQueries {
     * memory sink holds only aggregated rows (window × type / segment ×
     * type), not the event stream.
     */
-  private def runComplete(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  private def runComplete(df: DataFrame): DataFrame = runToCompletion(df, "complete")
 
   /** FileStreamSource only accepts a directory; the fixture ships one
     * parquet FILE per table. Stage a per-sfDir temp directory holding a
@@ -75,18 +94,7 @@ object StreamQueries {
     * defined. AvailableNow drains the source, append emits each surviving
     * row exactly once.
     */
-  private def runAppend(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  private def runAppend(df: DataFrame): DataFrame = runToCompletion(df, "append")
 
   /** Streamed events with a proper event-time column. The fixture's ts is
     * TIMESTAMP(NANOS), read as nanos-long under the repo-wide
@@ -273,18 +281,7 @@ object StreamQueries {
   /** Run a stateful update-mode streaming query to completion —
     * `mapGroupsWithState` only supports update output.
     */
-  private def runUpdate(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("update")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+  private def runUpdate(df: DataFrame): DataFrame = runToCompletion(df, "update")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_stream_window" -> (q68 _),
