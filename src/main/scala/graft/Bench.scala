@@ -52,20 +52,32 @@ object Bench {
         catch { case e: Throwable => errors += s"$name: ${e.getClass.getSimpleName}"; false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // The driver keeps only the LAST ~2000 chars of output; full-precision
+    // nanosecond floats pushed the 71-query line past that window every
+    // round (BENCH_r01–r06 all show parsed=null with the line truncated
+    // mid-JSON in the tail). 2-decimal rounding keeps the whole line
+    // (~1.7 KB) inside the window with room for sbt's [success] trailer.
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     for (p <- Seq(out, "bench.json"))
       try Files.writeString(Paths.get(p), line)
       catch { case _: Throwable => () }
+    // Stop the session BEFORE printing so no shutdown logging lands after
+    // the JSON line (round-1's tail was all post-print INFO noise). Print
+    // stdout first, stderr last: sbt wraps stdout in an `[info] ` prefix,
+    // the stderr copy passes through raw and ends up nearest the tail.
+    spark.stop()
     println(line)
+    System.out.flush()
     System.err.println(line)
     System.err.flush()
-    spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
+import org.apache.spark.sql.types.LongType
+
+/** A native AS-OF join — the whole-operator custom-plan exemplar from the
+  * build plan's preference ladder: a [[LogicalPlan]] node, a planner
+  * [[SparkStrategy]], and a sorted-merge [[SparkPlan]] registered through
+  * `spark.experimental.extraStrategies` (and injectable via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  *
+  * Semantics: LEFT OUTER as-of — for every left row, append the single
+  * latest right row of the same `by` key whose `on` value is `<=` the left
+  * row's `on` (nulls when none). The standard shape for "state as of event
+  * time": telemetry → latest config push, trade → latest quote, event →
+  * latest order.
+  *
+  * Why a custom operator instead of the window-function rewrite (q17): the
+  * rewrite unions both sides, shuffles the union, and carries every left
+  * column through the window sort. This operator shuffles each side ONCE on
+  * its `by` key (the partitioning a warehouse would already have), sorts
+  * within partitions, and streams a per-partition two-pointer merge — no
+  * union materialization, no window state, right side touched once. At
+  * 100 TB both inputs are typically already bucketed by the key, which
+  * under bucketed layout drops even those exchanges (see BucketedJoinSpec).
+  *
+  * Keys are restricted to LONG `by`/`on` (ids and epoch timestamps — the
+  * as-of domain); the type check rejects anything else at analysis time.
+  * Ties on (`by`, `on`) resolve to the LAST right row in sort order; give
+  * `on` a strictly unique secondary component (or pre-aggregate the right
+  * side) when the right key is not unique — the q87 query does exactly
+  * that.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBy: Expression,
+    leftOn: Expression,
+    rightBy: Expression,
+    rightOn: Expression)
+    extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override lazy val resolved: Boolean = {
+    val exprsOk = Seq(leftBy, leftOn, rightBy, rightOn).forall(e =>
+      e.resolved && e.dataType == LongType)
+    childrenResolved && exprsOk
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Physical sorted-merge as-of join. Each child is hash-clustered on its
+  * `by` key and sorted by (`by`, `on`); the merge is a forward-only
+  * two-pointer scan per partition: the right pointer never rewinds, each
+  * right row is copied at most once (the current "latest match"), and
+  * output rows are produced straight off the streamed left side — O(|L|+|R|)
+  * per partition, no buffering beyond one row.
+  */
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBy: Expression,
+    leftOn: Expression,
+    rightBy: Expression,
+    rightOn: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftBy)) :: ClusteredDistribution(Seq(rightBy)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending)),
+      Seq(SortOrder(rightBy, Ascending), SortOrder(rightOn, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOutput = left.output
+    val rightOutput = right.output
+    val fullOutput = output
+    val lBy = BindReferences.bindReference(leftBy, leftOutput)
+    val lOn = BindReferences.bindReference(leftOn, leftOutput)
+    val rBy = BindReferences.bindReference(rightBy, rightOutput)
+    val rOn = BindReferences.bindReference(rightOn, rightOutput)
+    val rightArity = rightOutput.size
+    left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightArity)
+      val proj = UnsafeProjection.create(fullOutput, fullOutput)
+      new Iterator[InternalRow] {
+        // next unconsumed right row (fields cached; row NOT copied — it is
+        // only copied if it becomes the latest match)
+        private var rRow: InternalRow = _
+        private var rKey: Long = _
+        private var rVal: Long = _
+        private var rValid = false
+        // latest right row with (by == matchKey, on <= current left on)
+        private var matchKey: Long = _
+        private var matchRow: InternalRow = null
+
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rValid = false
+          while (!rValid && rIt.hasNext) {
+            val r = rIt.next()
+            val kv = rBy.eval(r)
+            val ov = rOn.eval(r)
+            if (kv != null && ov != null) { // null keys never match anything
+              rRow = r
+              rKey = kv.asInstanceOf[Long]
+              rVal = ov.asInstanceOf[Long]
+              rValid = true
+            }
+          }
+        }
+
+        override def hasNext: Boolean = lIt.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIt.next()
+          val kv = lBy.eval(l)
+          val ov = lOn.eval(l)
+          if (kv == null || ov == null) return proj(joined(l, nullRight))
+          val lKey = kv.asInstanceOf[Long]
+          val lVal = ov.asInstanceOf[Long]
+          if (matchRow != null && matchKey != lKey) matchRow = null
+          // consume right rows up to and including (lKey, lVal); the last
+          // one with the same key is the as-of match
+          while (rValid &&
+              (rKey < lKey || (rKey == lKey && rVal <= lVal))) {
+            if (rKey == lKey) { matchRow = rRow.copy(); matchKey = lKey }
+            advanceRight()
+          }
+          if (matchRow != null) proj(joined(l, matchRow))
+          else proj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lb, lo, rb, ro) =>
+      AsOfJoinExec(planLater(l), planLater(r), lb, lo, rb, ro) :: Nil
+    case _ => Nil
+  }
+}
+
+/** `spark.sql.extensions`-style injection point (config-based sessions). */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+}
+
+object AsOfJoin {
+
+  /** Public API: `asof(left, right, $"uid", $"ts", $"uid2", $"ts2")`.
+    * Registers the planner strategy on the session idempotently, so it
+    * works on any already-running session (no config-time opt-in needed).
+    */
+  def asof(left: DataFrame, right: DataFrame,
+      leftBy: Column, leftOn: Column,
+      rightBy: Column, rightOn: Column): DataFrame = {
+    val spark = left.sparkSession
+    val strategies = spark.experimental.extraStrategies
+    if (!strategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
+    val plan = AsOfJoinPlan(
+      left.queryExecution.analyzed, right.queryExecution.analyzed,
+      ColumnBridge.expression(leftBy), ColumnBridge.expression(leftOn),
+      ColumnBridge.expression(rightBy), ColumnBridge.expression(rightOn))
+    DatasetBridge.ofRows(spark, plan)
+  }
+}
