@@ -258,6 +258,37 @@ object TextOps {
     acc % 1000000007L
   }
 
+  /** Per-doc repetition stats (Gopher-style quality-filter inputs) in one
+    * row-level pass: `[total_words, distinct_words, top_word_count,
+    * total_2grams, distinct_2grams]`. All counts are over the space-split
+    * token stream KEEPING empty tokens (the shared tokenization contract),
+    * so the SQL twin is `string_split` + `list_distinct` + a grouped
+    * unigram max. Integer outputs only — the fraction arithmetic stays in
+    * the query so both engines divide identical longs.
+    */
+  def repStats(s: UTF8String): ArrayData = {
+    val t = tokens(s)
+    val counts = new java.util.HashMap[UTF8String, Integer]()
+    var top = 0
+    var i = 0
+    while (i < t.length) {
+      val c = counts.merge(t(i), Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      if (c.intValue > top) top = c.intValue
+      i += 1
+    }
+    val n2 = math.max(0, t.length - 1)
+    val g2 = new java.util.HashSet[UTF8String]()
+    val sp = UTF8String.fromString(" ")
+    i = 0
+    while (i < n2) {
+      g2.add(UTF8String.concat(t(i), sp, t(i + 1)))
+      i += 1
+    }
+    new GenericArrayData(Array[Any](
+      t.length.toLong, counts.size.toLong, top.toLong, n2.toLong, g2.size.toLong))
+  }
+
   // ---- Column API --------------------------------------------------------
 
   def wordShingles(c: Column, n: Int): Column =
@@ -284,6 +315,8 @@ object TextOps {
   def sortedCommonC(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedLongCommon(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def repStatsC(c: Column): Column =
+    ColumnBridge.column(RepStats(ColumnBridge.expression(c)))
 }
 
 /** `TextOps.shingleHashesSorted(string, n)` as a codegen'd unary expression. */
@@ -495,5 +528,30 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.shingles($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+/** `TextOps.repStats(string)` as a codegen'd unary expression — five long
+  * counters per row, see the kernel scaladoc for the layout.
+  */
+case class RepStats(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rep_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"rep_stats expects string, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextOps.repStats(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextOps.repStats($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepStats =
     copy(child = newChild)
 }

@@ -1234,6 +1234,108 @@ object PipelineQueries {
       |  FROM scored) t
       |WHERE rnk <= 3""".stripMargin
 
+  // ---- Q88 domain mixture / Q89 repetition filter ------------------------
+
+  /** Q88: domain-mixture rebalancing — the sampling step that reshapes a
+    * multi-source corpus toward a target per-source token budget before
+    * training. Each source's keep-rate (in permille, integer math so both
+    * engines agree bit-for-bit) is `min(1000, 700 * min_src_chars /
+    * src_chars)` — sources over the budget are down-sampled toward the
+    * smallest source's character mass. Per-row keep decisions are the
+    * deterministic portable-hash gate (same mechanism as Q55), so the
+    * sample is reproducible run-to-run and node-to-node.
+    *
+    * Scale shape: one 20-key partial-agg shuffle for the per-source stats,
+    * the tiny rate table broadcast back, and one more 20-key agg — the
+    * 100 TB corpus itself is scanned exactly once per agg with map-side
+    * combine; nothing row-level ever shuffles.
+    */
+  private def q88(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val srcStats = d.groupBy(col("source"))
+      .agg(sum(col("n_chars")).as("src_chars"))
+    val minChars = srcStats.agg(min(col("src_chars")).as("min_chars"))
+    val rates = srcStats.crossJoin(broadcast(minChars))
+      .select(col("source"),
+        least(lit(1000L), expr("(700 * min_chars) div src_chars")).as("rate_permille"))
+    val gate = TextOps.portableHashC(
+      concat(lit("mix:"), col("doc_id").cast("string"))) % 1000
+    d.select(col("doc_id"), col("source"), col("n_chars"), gate.as("gate"))
+      .join(broadcast(rates), "source")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("src_chars"),
+        min(col("rate_permille")).as("rate_permille"),
+        sum(when(col("gate") < col("rate_permille"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("gate") < col("rate_permille"), col("n_chars")).otherwise(0L))
+          .as("kept_chars"))
+  }
+
+  private val q88Sql =
+    s"""WITH s AS (SELECT source, sum(n_chars) AS src_chars
+       |           FROM documents GROUP BY 1),
+       |m AS (SELECT min(src_chars) AS min_chars FROM s),
+       |r AS (SELECT source,
+       |             least(1000, (700 * min_chars) // src_chars) AS rate_permille
+       |      FROM s, m),
+       |k AS (SELECT d.source, d.n_chars, r.rate_permille,
+       |             ${StrHashSql.format("'mix:' || CAST(doc_id AS VARCHAR)")} % 1000 AS gate
+       |      FROM documents d JOIN r USING (source))
+       |SELECT source,
+       |       CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS src_chars,
+       |       CAST(min(rate_permille) AS BIGINT) AS rate_permille,
+       |       CAST(sum(CASE WHEN gate < rate_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       CAST(sum(CASE WHEN gate < rate_permille THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+       |FROM k GROUP BY 1""".stripMargin
+
+  /** Q89: repetition-based quality filter (the Gopher/RefinedWeb family):
+    * per document, the top-unigram mass fraction and the duplicate-2-gram
+    * fraction, plus a keep flag at the corpus-calibrated thresholds. The
+    * five integer counters come from the one-pass codegen'd
+    * [[graft.functions.TextOps.repStats]] kernel; the fractions divide
+    * those identical longs on both engines, so the doubles match exactly.
+    * Row-level only — at 100 TB this is a map-only pass with no shuffle.
+    */
+  private def q89(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val withStats = d
+      .select(col("doc_id"), TextOps.repStatsC(lower(col("text"))).as("r"))
+      .select(col("doc_id"),
+        element_at(col("r"), 1).as("n_words"),
+        element_at(col("r"), 2).as("n_distinct_words"),
+        (element_at(col("r"), 3).cast("double") / element_at(col("r"), 1))
+          .as("top_word_frac"),
+        when(element_at(col("r"), 4) === 0, lit(0.0))
+          .otherwise(lit(1.0) -
+            element_at(col("r"), 5).cast("double") / element_at(col("r"), 4))
+          .as("dup_2gram_frac"))
+    withStats.withColumn("keep",
+      col("top_word_frac") <= 0.09 && col("dup_2gram_frac") <= 0.12)
+  }
+
+  private val q89Sql =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, w,
+      |             list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+      |      FROM t),
+      |uni AS (SELECT doc_id, u AS tok, count(*) AS c
+      |        FROM (SELECT doc_id, unnest(w) AS u FROM t) GROUP BY 1, 2),
+      |topw AS (SELECT doc_id, max(c) AS topc FROM uni GROUP BY 1),
+      |s AS (SELECT g.doc_id, len(g.w) AS tw, len(list_distinct(g.w)) AS dw,
+      |             tp.topc, len(g.bg) AS t2, len(list_distinct(g.bg)) AS d2
+      |      FROM g JOIN topw tp ON tp.doc_id = g.doc_id)
+      |SELECT doc_id,
+      |       CAST(tw AS BIGINT) AS n_words,
+      |       CAST(dw AS BIGINT) AS n_distinct_words,
+      |       CAST(topc AS DOUBLE) / tw AS top_word_frac,
+      |       CASE WHEN t2 = 0 THEN 0.0
+      |            ELSE 1.0 - CAST(d2 AS DOUBLE) / t2 END AS dup_2gram_frac,
+      |       (CAST(topc AS DOUBLE) / tw <= 0.09 AND
+      |        (CASE WHEN t2 = 0 THEN 0.0
+      |              ELSE 1.0 - CAST(d2 AS DOUBLE) / t2 END) <= 0.12) AS keep
+      |FROM s""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1260,7 +1362,9 @@ object PipelineQueries {
     "q78_ann_nprobe" -> (q78 _),
     "q81_ngram_jaccard" -> (q81 _),
     "q85_chunking" -> (q85 _),
-    "q86_decontaminate" -> (q86 _))
+    "q86_decontaminate" -> (q86 _),
+    "q88_domain_mix" -> (q88 _),
+    "q89_repetition" -> (q89 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1288,5 +1392,7 @@ object PipelineQueries {
     "q78_ann_nprobe" -> q78Sql,
     "q81_ngram_jaccard" -> q81Sql,
     "q85_chunking" -> q85Sql,
-    "q86_decontaminate" -> q86Sql)
+    "q86_decontaminate" -> q86Sql,
+    "q88_domain_mix" -> q88Sql,
+    "q89_repetition" -> q89Sql)
 }
