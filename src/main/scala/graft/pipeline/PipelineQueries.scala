@@ -104,6 +104,22 @@ object PipelineQueries {
       .distinct()
   }
 
+  /** LSH banding of a MinHash signature column: `(doc_id, sig)` →
+    * `(doc_id, band, bandkey)` with [[BandRows]] hashes folded per band
+    * (weights 1/31/961). Shared by q41's self-join and q90's
+    * new-batch-vs-index join; the SQL twin is the `bands0` CTE.
+    */
+  private def minhashBands(docs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Family.size / BandRows).map { b =>
+      val key = (0 until BandRows).map { r =>
+        element_at(col("sig"), b * BandRows + r + 1) * lit(Seq(1L, 31L, 961L)(r))
+      }.reduce(_ + _)
+      struct(lit(b).as("band"), key.as("bandkey"))
+    }
+    docs.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
+  }
+
   /** Corpus under test: documents plus perturbed near-duplicates (every 10th
     * doc re-appears with a 3-token tail), so the near-dup path has real
     * positives to find. Purely a derived view of the fixture.
@@ -247,16 +263,7 @@ object PipelineQueries {
       // via the bucket cap) and the two candidate-text joins — and the
       // whole q41 subplan re-runs under q53
       .cache()
-    val bandStructs = (0 until Family.size / BandRows).map { b =>
-      val key = (0 until BandRows).map { r =>
-        element_at(col("sig"), b * BandRows + r + 1) * lit(Seq(1L, 31L, 961L)(r))
-      }.reduce(_ + _)
-      struct(lit(b).as("band"), key.as("bandkey"))
-    }
-    val bandsRaw = docs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bandkey").as("bandkey"))
-    val bands = capBuckets(bandsRaw, Seq("band", "bandkey"), MaxBandBucket)
+    val bands = capBuckets(minhashBands(docs), Seq("band", "bandkey"), MaxBandBucket)
     val x = bands.as("x"); val y = bands.as("y")
     val cand = x.join(y,
         col("x.band") === col("y.band") && col("x.bandkey") === col("y.bandkey") &&
@@ -1336,6 +1343,208 @@ object PipelineQueries {
       |              ELSE 1.0 - CAST(d2 AS DOUBLE) / t2 END) <= 0.12) AS keep
       |FROM s""".stripMargin
 
+  // ---- Q90 incremental dedup / Q91 decode stub / Q92 sketch accuracy -----
+
+  /** Q90: incremental corpus dedup — the production shape: a NEW batch (the
+    * perturbed additions plus every doc_id%10==7 original) is deduped
+    * against the EXISTING corpus without ever re-deduping the corpus
+    * itself. Stage 1 drops exact duplicates by hash anti-lookup against the
+    * old side's key set; stage 2 bands the survivors' MinHash signatures
+    * and joins them against the old side's banded index (hot old buckets
+    * capped at [[MaxBandBucket]], mirrored in the oracle), then
+    * Jaccard-verifies candidates row-level. Output: one verdict per new doc
+    * (`exact_dup` / `near_dup` / `kept`).
+    *
+    * Scale shape: at 100 TB the old side's `(band, bandkey)` table is a
+    * PERSISTED index (built once, appended per batch) — each incoming batch
+    * shuffles only its own bands and candidate pairs, never the corpus.
+    * Here the index is rebuilt from the fixture because declared queries
+    * are stateless, but the dataflow after the build is exactly the
+    * incremental one: new-side rows join INTO the index, nothing self-joins.
+    */
+  private def q90(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+    val isNew = col("doc_id") >= 100000 || col("doc_id") % 10 === 7
+    val sigged = c
+      .select(col("doc_id"), col("text"),
+        TextOps.minhashSigC(col("text"), 3).as("sig"),
+        TextOps.shingleCountC(col("text"), 3).as("n"))
+    val oldS = sigged.filter(!isNew)
+    val oldKeys = oldS.select(md5(col("text")).as("k")).distinct()
+    val exact = sigged.filter(isNew)
+      .withColumn("k", md5(col("text")))
+      .join(oldKeys.withColumn("exact_hit", lit(true)), Seq("k"), "left_outer")
+      .select(col("doc_id"), col("text"), col("sig"), col("n"),
+        coalesce(col("exact_hit"), lit(false)).as("is_exact"))
+      .cache()
+    val oldBands = capBuckets(
+      minhashBands(oldS.filter(size(col("sig")) > 0)),
+      Seq("band", "bandkey"), MaxBandBucket)
+    val newBands = minhashBands(
+      exact.filter(!col("is_exact") && size(col("sig")) > 0))
+    val cand = newBands.as("nb")
+      .join(oldBands.as("ob"),
+        col("nb.band") === col("ob.band") && col("nb.bandkey") === col("ob.bandkey"))
+      .select(col("nb.doc_id").as("new_id"), col("ob.doc_id").as("old_id"))
+      .distinct()
+    val nearIds = cand
+      .join(exact.select(col("doc_id").as("new_id"), col("text").as("ta"),
+        col("n").as("na")), "new_id")
+      .join(oldS.select(col("doc_id").as("old_id"), col("text").as("tb"),
+        col("n").as("nb")), "old_id")
+      .withColumn("common", TextOps.shingleCommonC(col("ta"), col("tb"), 3))
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= JaccardThreshold)
+      .select(col("new_id").as("doc_id")).distinct()
+    exact
+      .join(nearIds.withColumn("near_hit", lit(true)), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        when(col("is_exact"), lit("exact_dup"))
+          .when(coalesce(col("near_hit"), lit(false)), lit("near_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
+  private val q90Sql = {
+    val famRows = Family.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |newdocs AS (SELECT * FROM corpus WHERE doc_id >= 100000 OR doc_id % 10 = 7),
+       |olddocs AS (SELECT * FROM corpus WHERE NOT (doc_id >= 100000 OR doc_id % 10 = 7)),
+       |oldkeys AS (SELECT DISTINCT md5(text) AS k FROM olddocs),
+       |exact AS (
+       |  SELECT n.doc_id, (ok.k IS NOT NULL) AS is_exact
+       |  FROM newdocs n LEFT JOIN oldkeys ok ON md5(n.text) = ok.k),
+       |fam AS (SELECT * FROM (VALUES $famRows) f(i, a, b)),
+       |mh AS (SELECT doc_id, i, min((a * h + b) % $MinhashP) AS mh
+       |       FROM shh, fam GROUP BY 1, 2),
+       |bands0 AS (
+       |  SELECT doc_id, (i - 1) // $BandRows AS band,
+       |         sum(mh * (CASE (i - 1) % $BandRows
+       |                   WHEN 0 THEN 1 WHEN 1 THEN 31 ELSE 961 END)) AS bandkey
+       |  FROM mh GROUP BY 1, 2),
+       |oldbands AS (
+       |  SELECT doc_id, band, bandkey FROM bands0
+       |  WHERE doc_id IN (SELECT doc_id FROM olddocs)
+       |  QUALIFY count(*) OVER (PARTITION BY band, bandkey) <= $MaxBandBucket),
+       |newbands AS (
+       |  SELECT b.doc_id, band, bandkey FROM bands0 b
+       |  JOIN exact e ON e.doc_id = b.doc_id AND NOT e.is_exact),
+       |cand AS (
+       |  SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+       |  FROM newbands nb JOIN oldbands ob
+       |    ON nb.band = ob.band AND nb.bandkey = ob.bandkey),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.new_id, c.old_id, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN shh sa ON sa.doc_id = c.new_id
+       |  JOIN shh sb ON sb.doc_id = c.old_id AND sb.s = sa.s
+       |  GROUP BY 1, 2),
+       |neardup AS (
+       |  SELECT DISTINCT i.new_id FROM inter i
+       |  JOIN sz za ON za.doc_id = i.new_id
+       |  JOIN sz zb ON zb.doc_id = i.old_id
+       |  WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= $JaccardThreshold)
+       |SELECT e.doc_id,
+       |       CASE WHEN e.is_exact THEN 'exact_dup'
+       |            WHEN nd.new_id IS NOT NULL THEN 'near_dup'
+       |            ELSE 'kept' END AS verdict
+       |FROM exact e LEFT JOIN neardup nd ON nd.new_id = e.doc_id""".stripMargin
+  }
+
+  /** Q91: multimodal decode plumbing — typed `mapPartitions` over the
+    * binary payload column, batching rows in groups of 64 the way a real
+    * vectorized image/audio decoder (JNI / external process) is fed. The
+    * decode body is a clearly-marked deterministic STUB (this container has
+    * no codecs): header bytes → fake (width, height, channels), full-pass
+    * mean byte, and a stride-sampled byte sum standing in for a resize
+    * kernel. Everything around the stub — the binary column, the encoder
+    * boundary, the batch shape, the typed output schema — is the real
+    * production plumbing, and the whole pass is map-only: no shuffle at any
+    * scale.
+    */
+  private def q91(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    d.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        // a real decoder consumes the whole batch in one native call;
+        // the stub decodes each payload deterministically
+        batch.iterator.map { case (docId, p) =>
+          def byteAt(i: Int): Long = if (i < p.length) (p(i) & 0xff).toLong else 0L
+          val n = p.length.toLong
+          var sum = 0L
+          var i = 0
+          while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
+          val stride = math.max(1L, n / 16L).toInt
+          var sampled = 0L
+          i = 0
+          while (i < p.length) { sampled += (p(i) & 0xff); i += stride }
+          MediaFeat(docId, "image/x-fake", n,
+            16L + byteAt(0) % 64L, 16L + byteAt(1) % 64L, 1L + byteAt(2) % 3L,
+            if (n == 0) 0.0 else sum.toDouble / n, sampled)
+        }
+      }
+    }.toDF()
+  }
+
+  private val q91Sql =
+    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+      |f AS (
+      |  SELECT doc_id, n,
+      |         CASE WHEN n >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b0,
+      |         CASE WHEN n >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS b1,
+      |         CASE WHEN n >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END AS b2,
+      |         list_sum(list_transform(range(1, n + 1),
+      |           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS bsum,
+      |         list_sum(list_transform(range(1, n + 1, greatest(1, n // 16)),
+      |           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS sampled
+      |  FROM b)
+      |SELECT doc_id, 'image/x-fake' AS mime, CAST(n AS BIGINT) AS n_bytes,
+      |       CAST(16 + b0 % 64 AS BIGINT) AS width,
+      |       CAST(16 + b1 % 64 AS BIGINT) AS height,
+      |       CAST(1 + b2 % 3 AS BIGINT) AS channels,
+      |       CASE WHEN n = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / n END AS mean_byte,
+      |       CAST(sampled AS BIGINT) AS sampled_sum
+      |FROM f""".stripMargin
+
+  /** Q92: sketch-accuracy audit — for every verified near-dup pair, the
+    * MinHash ESTIMATE of Jaccard (fraction of agreeing signature
+    * components) against the exact Jaccard the verify stage computed. This
+    * is the measurement that justifies the LSH pipeline's thresholds: at
+    * 100 TB you tune band/row counts from exactly this err distribution,
+    * computed on the (tiny) verified-pair set, not the corpus.
+    */
+  private def q92(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = corpus(spark, sfDir)
+      .select(col("doc_id"), TextOps.minhashSigC(col("text"), 3).as("sig"))
+      .filter(size(col("sig")) > 0)
+    val agree = expr(
+      "aggregate(zip_with(sa, sb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+    q41(spark, sfDir).select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (agree.cast("double") / 12.0).as("est_jaccard"))
+      .withColumn("err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
+  private val q92Sql =
+    s"""WITH $NearDupCtes,
+       |agree AS (
+       |  SELECT p.doc_a, p.doc_b,
+       |         sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS n_agree
+       |  FROM pairsq p
+       |  JOIN mh ma ON ma.doc_id = p.doc_a
+       |  JOIN mh mb ON mb.doc_id = p.doc_b AND mb.i = ma.i
+       |  GROUP BY 1, 2)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |       CAST(a.n_agree AS DOUBLE) / 12.0 AS est_jaccard,
+       |       abs(CAST(a.n_agree AS DOUBLE) / 12.0 - p.jaccard) AS err
+       |FROM pairsq p JOIN agree a ON a.doc_a = p.doc_a AND a.doc_b = p.doc_b""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1364,7 +1573,10 @@ object PipelineQueries {
     "q85_chunking" -> (q85 _),
     "q86_decontaminate" -> (q86 _),
     "q88_domain_mix" -> (q88 _),
-    "q89_repetition" -> (q89 _))
+    "q89_repetition" -> (q89 _),
+    "q90_incremental_dedup" -> (q90 _),
+    "q91_decode_stub" -> (q91 _),
+    "q92_sketch_accuracy" -> (q92 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1394,5 +1606,14 @@ object PipelineQueries {
     "q85_chunking" -> q85Sql,
     "q86_decontaminate" -> q86Sql,
     "q88_domain_mix" -> q88Sql,
-    "q89_repetition" -> q89Sql)
+    "q89_repetition" -> q89Sql,
+    "q90_incremental_dedup" -> q90Sql,
+    "q91_decode_stub" -> q91Sql,
+    "q92_sketch_accuracy" -> q92Sql)
 }
+
+/** Typed output row of the q91 decode stub — the schema a real decoder
+  * would emit (dims + channel count + cheap pixel stats).
+  */
+case class MediaFeat(doc_id: Long, mime: String, n_bytes: Long, width: Long,
+    height: Long, channels: Long, mean_byte: Double, sampled_sum: Long)
