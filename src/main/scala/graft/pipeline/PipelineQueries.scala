@@ -1545,6 +1545,57 @@ object PipelineQueries {
        |       abs(CAST(a.n_agree AS DOUBLE) / 12.0 - p.jaccard) AS err
        |FROM pairsq p JOIN agree a ON a.doc_a = p.doc_a AND a.doc_b = p.doc_b""".stripMargin
 
+  /** Q93: one Lloyd (k-means) refinement step over the IVF assignment —
+    * the index-maintenance pass a production ANN system runs as the corpus
+    * drifts: re-average every centroid from its members, report per-dim
+    * drift vs the seed. Element sums run in the FIXED-POINT long domain
+    * (`floor(double(x) * 1e6)`) so the cross-engine compare is exact —
+    * float sums are fold-order-dependent, long sums are not; the division
+    * back to doubles divides identical integers on both engines.
+    *
+    * Scale shape: posexplode → one `(cid, dim)` shuffle with map-side
+    * partial sums — k·d running totals regardless of corpus size; the
+    * assignment reuses [[ivfAssign]]'s cached pass shared with q44/q51/q78.
+    */
+  private def q93(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = ivfAssign(spark, sfDir)
+    val members = assign
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("cid"), col("pos").cast("long").as("pos"),
+        floor(col("x").cast("double") * 1000000d).cast("long").as("micro"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n_members"), sum(col("micro")).as("s"))
+    val seeds = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), posexplode(col("embedding")).as(Seq("pos", "ox")))
+      .select(col("cid"), col("pos").cast("long").as("pos"),
+        col("ox").cast("double").as("old_val"))
+    members.join(seeds, Seq("cid", "pos"))
+      .select(col("cid"), col("pos"), col("n_members"),
+        (col("s").cast("double") / (col("n_members") * 1000000d)).as("centroid_val"),
+        col("old_val"))
+      .withColumn("shift", abs(col("centroid_val") - col("old_val")))
+  }
+
+  private val q93Sql =
+    s"""WITH $IvfAssignCte,
+       |m AS (
+       |  SELECT cid, CAST(i - 1 AS BIGINT) AS pos,
+       |         CAST(floor(v[i] * 1000000) AS BIGINT) AS micro
+       |  FROM assign, unnest(range(1, len(v) + 1)) AS u(i)),
+       |agg AS (
+       |  SELECT cid, pos, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(sum(micro) AS BIGINT) AS s
+       |  FROM m GROUP BY 1, 2),
+       |old AS (
+       |  SELECT cid, CAST(i - 1 AS BIGINT) AS pos, cv[i] AS old_val
+       |  FROM c, unnest(range(1, len(cv) + 1)) AS u(i))
+       |SELECT a.cid, a.pos, a.n_members,
+       |       CAST(a.s AS DOUBLE) / (a.n_members * 1000000) AS centroid_val,
+       |       o.old_val,
+       |       abs(CAST(a.s AS DOUBLE) / (a.n_members * 1000000) - o.old_val) AS shift
+       |FROM agg a JOIN old o ON o.cid = a.cid AND o.pos = a.pos""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1576,7 +1627,8 @@ object PipelineQueries {
     "q89_repetition" -> (q89 _),
     "q90_incremental_dedup" -> (q90 _),
     "q91_decode_stub" -> (q91 _),
-    "q92_sketch_accuracy" -> (q92 _))
+    "q92_sketch_accuracy" -> (q92 _),
+    "q93_kmeans_step" -> (q93 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1609,7 +1661,8 @@ object PipelineQueries {
     "q89_repetition" -> q89Sql,
     "q90_incremental_dedup" -> q90Sql,
     "q91_decode_stub" -> q91Sql,
-    "q92_sketch_accuracy" -> q92Sql)
+    "q92_sketch_accuracy" -> q92Sql,
+    "q93_kmeans_step" -> q93Sql)
 }
 
 /** Typed output row of the q91 decode stub — the schema a real decoder
