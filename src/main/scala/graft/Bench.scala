@@ -55,16 +55,33 @@ object Bench {
     // The driver keeps only the LAST ~2000 chars of output; full-precision
     // nanosecond floats pushed the 71-query line past that window every
     // round (BENCH_r01–r06 all show parsed=null with the line truncated
-    // mid-JSON in the tail). 2-decimal rounding keeps the whole line
-    // (~1.7 KB) inside the window with room for sbt's [success] trailer.
+    // mid-JSON in the tail). Two levers keep the 86-query line ~1.3 KB with
+    // real headroom below the window (sbt's [success] trailer still lands
+    // after it): 2-decimal values with trailing zeros stripped, and query
+    // keys shortened to their first two name segments ("q41_neardup") —
+    // unique today and asserted so; the documented contract is short keys
+    // ({"q1":sec,...}) and no prior round ever parsed the long ones.
     def fmt(v: Double): String =
-      if (v < 0) "-1" else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      if (v < 0) "-1"
+      else {
+        val s = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          .underlying.stripTrailingZeros.toPlainString
+        if (s == "0") "0.01" else s // a sub-5ms query still shows nonzero
+      }
+    def shortKey(k: String): String = k.split('_').take(2).mkString("_")
+    val keyed =
+      if (results.map(r => shortKey(r._1)).distinct.size == results.size)
+        results.map { case (k, v) => shortKey(k) -> v }
+      else results // collision: keep full names rather than drop a query
+    val qs = keyed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"").mkString("[", ",", "]")
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map(e => "\"" + e.replace("\"", "'") + "\"")
+        .mkString(""","errors":[""", ",", "]")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")
     for (p <- Seq(out, "bench.json"))
       try Files.writeString(Paths.get(p), line)

@@ -75,7 +75,30 @@ object ExplainAudit {
       "Overlapping token windows via sequence/slice explode — row-level, zero exchanges.",
     "q86_decontaminate" ->
       ("Containment scan against the broadcast eval set: map-only over the corpus, " +
-        "per-pair sorted-merge kernel; no shuffle of the training side."))
+        "per-pair sorted-merge kernel; no shuffle of the training side."),
+    "q88_domain_mix" ->
+      ("Domain rebalancing: two 20-key partial+final aggs over the corpus plus an " +
+        "explicit broadcast of the per-source rate table — row-level data never " +
+        "shuffles, keep decisions are a deterministic hash gate. The one BNLJ is " +
+        "the 1-row min-chars scalar broadcast — intentional and O(sources)."),
+    "q89_repetition" ->
+      ("Repetition quality filter: one codegen'd repStats kernel pass, fractions " +
+        "derived in-row — map-only, zero exchanges."),
+    "q90_incremental_dedup" ->
+      ("Incremental dedup: the NEW batch's bands join INTO the old side's capped " +
+        "band index (no corpus self-join); exact stage is a distinct-key left join; " +
+        "Jaccard verify runs row-level on candidates only."),
+    "q91_decode_stub" ->
+      ("Typed mapPartitions decode plumbing: one encoder boundary around the batch " +
+        "loop, no shuffle — the scan streams straight through the stub decoder."),
+    "q92_sketch_accuracy" ->
+      ("Sketch audit joins signatures onto the (tiny) verified pair set; the " +
+        "signature scan is the cached q41 kernel pass."),
+    "q93_kmeans_step" ->
+      ("Lloyd step: posexplode then ONE (cid, dim) partial+final hash aggregate in " +
+        "the long fixed-point domain — k*d running totals regardless of corpus size. " +
+        "The BNLJ is the intentional 4-row centroid-seed broadcast cross join from " +
+        "the shared cached assignment."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
