@@ -1596,6 +1596,116 @@ object PipelineQueries {
        |       abs(CAST(a.s AS DOUBLE) / (a.n_members * 1000000) - o.old_val) AS shift
        |FROM agg a JOIN old o ON o.cid = a.cid AND o.pos = a.pos""".stripMargin
 
+  /** Q94: STREAMING incremental near-dup detection — q90's in-flight twin.
+    * The new batch arrives as a stream (readStream over the fixture, the
+    * same derivation of additions + %10==7 originals); each micro-batch's
+    * rows compute their minhash bands ROW-LEVEL (the codegen kernel needs
+    * no state), drop exact duplicates via a stream-static key lookup, join
+    * their bands INTO the static capped old-side band index, dedup
+    * candidate pairs with stateful `dropDuplicates`, and Jaccard-verify
+    * against the static old texts. Output: verified near-dup pairs as they
+    * are found (append mode, AvailableNow).
+    *
+    * Scale shape: the only streaming state is the candidate-pair dedup set
+    * (tiny — pairs, not corpus); every join is stream-static against the
+    * persisted index, so an unbounded doc stream needs bounded memory.
+    */
+  private def q94(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = s"$sfDir/documents.parquet"
+    val schema = Tables.documents(spark, sfDir).schema
+    val src = spark.readStream.schema(schema)
+      .parquet(graft.streaming.StreamQueries.streamableDir(path))
+    // same new-batch derivation as q90's corpus split, from the stream
+    val newBatch = src.select(explode(array(
+        when(col("doc_id") % 10 === 0,
+          struct((col("doc_id") + 100000).as("doc_id"),
+            lower(concat(col("text"), lit(" graft dup tail"))).as("text"))),
+        when(col("doc_id") % 10 === 7,
+          struct(col("doc_id"), lower(col("text")).as("text"))))).as("r"))
+      .filter(col("r").isNotNull).select(col("r.doc_id"), col("r.text"))
+    // static sides: the existing corpus's key set and capped band index
+    val c = corpus(spark, sfDir)
+    val isNew = col("doc_id") >= 100000 || col("doc_id") % 10 === 7
+    val oldS = c.filter(!isNew)
+      .select(col("doc_id"), col("text"),
+        TextOps.minhashSigC(col("text"), 3).as("sig"),
+        TextOps.shingleCountC(col("text"), 3).as("n"))
+    val oldKeys = oldS.select(md5(col("text")).as("k")).distinct()
+    val oldBands = capBuckets(
+      minhashBands(oldS.filter(size(col("sig")) > 0)),
+      Seq("band", "bandkey"), MaxBandBucket)
+    val streamBands = minhashBands(
+      newBatch
+        .withColumn("k", md5(col("text")))
+        .join(oldKeys.withColumn("exact_hit", lit(true)), Seq("k"), "left_outer")
+        .filter(col("exact_hit").isNull)
+        .select(col("doc_id"), col("text"),
+          TextOps.minhashSigC(col("text"), 3).as("sig"),
+          TextOps.shingleCountC(col("text"), 3).as("n"))
+        .filter(size(col("sig")) > 0))
+    val cand = streamBands.as("nb")
+      .join(oldBands.as("ob"),
+        col("nb.band") === col("ob.band") && col("nb.bandkey") === col("ob.bandkey"))
+      .select(col("nb.doc_id").as("new_id"), col("ob.doc_id").as("old_id"))
+      .dropDuplicates("new_id", "old_id")
+    val verified = cand
+      .join(corpus(spark, sfDir).filter(isNew)
+        .select(col("doc_id").as("new_id"), col("text").as("ta"),
+          TextOps.shingleCountC(col("text"), 3).as("na")), "new_id")
+      .join(oldS.select(col("doc_id").as("old_id"), col("text").as("tb"),
+        col("n").as("nb")), "old_id")
+      .withColumn("n_common", TextOps.shingleCommonC(col("ta"), col("tb"), 3))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("new_id"), col("old_id"), col("n_common"), col("jaccard"))
+    graft.streaming.StreamQueries.runAppend(verified)
+  }
+
+  private val q94Sql = {
+    val famRows = Family.map { case (i, a, b) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |newdocs AS (SELECT * FROM corpus WHERE doc_id >= 100000 OR doc_id % 10 = 7),
+       |olddocs AS (SELECT * FROM corpus WHERE NOT (doc_id >= 100000 OR doc_id % 10 = 7)),
+       |oldkeys AS (SELECT DISTINCT md5(text) AS k FROM olddocs),
+       |survivors AS (
+       |  SELECT n.doc_id FROM newdocs n LEFT JOIN oldkeys ok ON md5(n.text) = ok.k
+       |  WHERE ok.k IS NULL),
+       |fam AS (SELECT * FROM (VALUES $famRows) f(i, a, b)),
+       |mh AS (SELECT doc_id, i, min((a * h + b) % $MinhashP) AS mh
+       |       FROM shh, fam GROUP BY 1, 2),
+       |bands0 AS (
+       |  SELECT doc_id, (i - 1) // $BandRows AS band,
+       |         sum(mh * (CASE (i - 1) % $BandRows
+       |                   WHEN 0 THEN 1 WHEN 1 THEN 31 ELSE 961 END)) AS bandkey
+       |  FROM mh GROUP BY 1, 2),
+       |oldbands AS (
+       |  SELECT doc_id, band, bandkey FROM bands0
+       |  WHERE doc_id IN (SELECT doc_id FROM olddocs)
+       |  QUALIFY count(*) OVER (PARTITION BY band, bandkey) <= $MaxBandBucket),
+       |newbands AS (
+       |  SELECT b.doc_id, band, bandkey FROM bands0 b
+       |  JOIN survivors s ON s.doc_id = b.doc_id),
+       |cand AS (
+       |  SELECT DISTINCT nb.doc_id AS new_id, ob.doc_id AS old_id
+       |  FROM newbands nb JOIN oldbands ob
+       |    ON nb.band = ob.band AND nb.bandkey = ob.bandkey),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.new_id, c.old_id, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN shh sa ON sa.doc_id = c.new_id
+       |  JOIN shh sb ON sb.doc_id = c.old_id AND sb.s = sa.s
+       |  GROUP BY 1, 2)
+       |SELECT i.new_id, i.old_id, CAST(i.n_common AS BIGINT) AS n_common,
+       |       CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+       |FROM inter i
+       |JOIN sz za ON za.doc_id = i.new_id
+       |JOIN sz zb ON zb.doc_id = i.old_id
+       |WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= $JaccardThreshold""".stripMargin
+  }
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1628,7 +1738,8 @@ object PipelineQueries {
     "q90_incremental_dedup" -> (q90 _),
     "q91_decode_stub" -> (q91 _),
     "q92_sketch_accuracy" -> (q92 _),
-    "q93_kmeans_step" -> (q93 _))
+    "q93_kmeans_step" -> (q93 _),
+    "q94_stream_neardup" -> (q94 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1662,7 +1773,8 @@ object PipelineQueries {
     "q90_incremental_dedup" -> q90Sql,
     "q91_decode_stub" -> q91Sql,
     "q92_sketch_accuracy" -> q92Sql,
-    "q93_kmeans_step" -> q93Sql)
+    "q93_kmeans_step" -> q93Sql,
+    "q94_stream_neardup" -> q94Sql)
 }
 
 /** Typed output row of the q91 decode stub — the schema a real decoder

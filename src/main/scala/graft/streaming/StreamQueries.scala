@@ -77,7 +77,7 @@ object StreamQueries {
   private val stagedDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def streamableDir(path: String): String = {
+  private[graft] def streamableDir(path: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(path)
     if (Files.isDirectory(src)) path
@@ -94,7 +94,7 @@ object StreamQueries {
     * defined. AvailableNow drains the source, append emits each surviving
     * row exactly once.
     */
-  private def runAppend(df: DataFrame): DataFrame = runToCompletion(df, "append")
+  private[graft] def runAppend(df: DataFrame): DataFrame = runToCompletion(df, "append")
 
   /** Streamed events with a proper event-time column. The fixture's ts is
     * TIMESTAMP(NANOS), read as nanos-long under the repo-wide
