@@ -180,6 +180,60 @@ object TpchQueries {
       .agg(count(lit(1)).as("order_count"))
   }
 
+  /** Q95 (TPC-H Q13 shape): customer order-count distribution — the
+    * canonical LEFT OUTER + double aggregation: per-customer counts
+    * (customers with no qualifying orders count as 0, which an inner join
+    * would silently drop), then a histogram over the counts. The second
+    * aggregate's input is one row per customer — tiny at any scale.
+    */
+  private def q95(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  /** Q96 (TPC-H Q14 shape): promo revenue share in one ship month —
+    * conditional aggregation over a fact-dim join; both sums ride in ONE
+    * partial+final aggregate pass (no second scan for the denominator).
+    */
+  private def q96(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(spark, sfDir)
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(p, li("l_partkey") === p("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))
+          .cast("decimal(18,6)")).cast("double").as("promo_rev"),
+        sum(disc.cast("decimal(18,6)")).cast("double").as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        ((lit(100.0) * col("promo_rev")) / col("total_rev")).as("promo_pct"))
+  }
+
+  /** Q97 (TPC-H Q19 shape): disjunctive-predicate join — an equi join on
+    * partkey whose OR-of-ANDs rides as a residual filter on the hash join
+    * (the optimizer must NOT fall back to a nested loop because of the
+    * disjunction; the plan guard in TpchPlanSpec asserts it).
+    */
+  private def q97(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val p = Tables.part(spark, sfDir)
+    li.join(p, li("l_partkey") === p("p_partkey") &&
+        ((col("p_brand") === "Brand#2" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+         (col("p_brand") === "Brand#15" && col("p_size").between(1, 24) &&
+          col("l_quantity").between(10, 20)) ||
+         (col("p_brand") === "Brand#19" && col("p_size").between(1, 50) &&
+          col("l_quantity").between(20, 30))))
+      .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_tpch_q1" -> (q80 _),
     "q83_tpch_q12" -> (q83 _),
@@ -188,7 +242,10 @@ object TpchQueries {
     "q71_tpch_q5" -> (q71 _),
     "q72_tpch_q10" -> (q72 _),
     "q76_tpch_q6" -> (q76 _),
-    "q77_tpch_q18" -> (q77 _))
+    "q77_tpch_q18" -> (q77 _),
+    "q95_tpch_q13" -> (q95 _),
+    "q96_tpch_q14" -> (q96 _),
+    "q97_tpch_q19" -> (q97 _))
 
   private val Rev =
     "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -287,5 +344,38 @@ object TpchQueries {
         |FROM customer, orders, big b
         |WHERE c_custkey = o_custkey AND o_orderkey = b.l_orderkey
         |ORDER BY o_totalprice DESC, o_orderkey
-        |LIMIT 100""".stripMargin)
+        |LIMIT 100""".stripMargin,
+    "q95_tpch_q13" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT CAST(c_count AS BIGINT) AS c_count,
+        |       CAST(count(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY 1""".stripMargin,
+    "q96_tpch_q14" ->
+      """WITH j AS (
+        |  SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+        |                  THEN l_extendedprice * (1.0 - l_discount)
+        |                  ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE) AS promo_rev,
+        |         CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+        |                  AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+        |  FROM lineitem, part
+        |  WHERE l_partkey = p_partkey
+        |    AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+        |SELECT promo_rev, total_rev,
+        |       (100.0 * promo_rev) / total_rev AS promo_pct
+        |FROM j""".stripMargin,
+    "q97_tpch_q19" ->
+      s"""SELECT $Rev AS revenue, CAST(count(*) AS BIGINT) AS n_lines
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |  AND ((p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 15
+         |        AND l_quantity BETWEEN 1 AND 11)
+         |    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 24
+         |        AND l_quantity BETWEEN 10 AND 20)
+         |    OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 50
+         |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
 }
