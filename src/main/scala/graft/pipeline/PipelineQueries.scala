@@ -42,7 +42,7 @@ object PipelineQueries {
   private val Family = TextOps.MinhashFamily
   private val MinhashP = TextOps.MinhashP
   private val BandRows = 3 // 12 hashes → 4 bands of 3
-  private val JaccardThreshold = 0.6
+  private[pipeline] val JaccardThreshold = 0.6
 
   /** Operating limit on LSH band-bucket cardinality (q41/q49): a bucket
     * larger than this is DROPPED from candidate generation on both engines
@@ -60,7 +60,7 @@ object PipelineQueries {
     * against the (tiny, aggregated) under-cap bucket list, so no window
     * shuffle-sort over the full banded set.
     */
-  private def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
+  private[pipeline] def capBuckets(banded: DataFrame, keyCols: Seq[String], cap: Int): DataFrame = {
     val under = banded.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("graft_bn"))
       .filter(col("graft_bn") <= cap)
@@ -109,7 +109,7 @@ object PipelineQueries {
     * (weights 1/31/961). Shared by q41's self-join and q90's
     * new-batch-vs-index join; the SQL twin is the `bands0` CTE.
     */
-  private def minhashBands(docs: DataFrame): DataFrame = {
+  private[pipeline] def minhashBands(docs: DataFrame): DataFrame = {
     val bandStructs = (0 until Family.size / BandRows).map { b =>
       val key = (0 until BandRows).map { r =>
         element_at(col("sig"), b * BandRows + r + 1) * lit(Seq(1L, 31L, 961L)(r))
