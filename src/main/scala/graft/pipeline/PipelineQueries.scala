@@ -1365,10 +1365,13 @@ object PipelineQueries {
   private def q90(spark: SparkSession, sfDir: String): DataFrame = {
     val c = corpus(spark, sfDir)
     val isNew = col("doc_id") >= 100000 || col("doc_id") % 10 === 7
+    // cached: the kernel pass feeds the old side three times (key set,
+    // band index, verify texts) and the new side twice
     val sigged = c
       .select(col("doc_id"), col("text"),
         TextOps.minhashSigC(col("text"), 3).as("sig"),
         TextOps.shingleCountC(col("text"), 3).as("n"))
+      .cache()
     val oldS = sigged.filter(!isNew)
     val oldKeys = oldS.select(md5(col("text")).as("k")).distinct()
     val exact = sigged.filter(isNew)
