@@ -234,6 +234,30 @@ object TpchQueries {
       .agg(revenue.as("revenue"), count(lit(1)).as("n_lines"))
   }
 
+  /** Q98 (TPC-H Q22 shape): global-customer-relationship — a scalar
+    * aggregate (the positive-balance average, decimal-exact then one
+    * double division) broadcast as a threshold, an ANTI join dropping
+    * customers with any URGENT order, and a per-nation rollup of who
+    * remains.
+    * The scalar side is one row; Spark plans the threshold comparison as a
+    * broadcast nested loop over 1 row (constant-folding equivalent), and
+    * the anti join stays hash-based on custkey.
+    */
+  private def q98(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.customer(spark, sfDir)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    val o = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.join(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_tpch_q1" -> (q80 _),
     "q83_tpch_q12" -> (q83 _),
@@ -245,7 +269,8 @@ object TpchQueries {
     "q77_tpch_q18" -> (q77 _),
     "q95_tpch_q13" -> (q95 _),
     "q96_tpch_q14" -> (q96 _),
-    "q97_tpch_q19" -> (q97 _))
+    "q97_tpch_q19" -> (q97 _),
+    "q98_tpch_q22" -> (q98 _))
 
   private val Rev =
     "CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE)"
@@ -377,5 +402,18 @@ object TpchQueries {
          |    OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 24
          |        AND l_quantity BETWEEN 10 AND 20)
          |    OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 50
-         |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin)
+         |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q98_tpch_q22" ->
+      """WITH t AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |           AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, t
+        |WHERE c_acctbal > t.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY 1""".stripMargin)
 }
