@@ -90,9 +90,12 @@ final class WireCompactionServer(spark: SparkSession, port: Int = 0) {
                 (1.toByte, s"unknown method $m".getBytes(StandardCharsets.UTF_8))
             }
           } catch {
+            // mirror the reference's tonic handler (rpc.rs:41): every
+            // failure classifies to its CompactionError domain and renders
+            // as "Internal error: <domain prefix>: <detail>"
             case e: Exception =>
-              (1.toByte,
-                String.valueOf(e.getMessage).getBytes(StandardCharsets.UTF_8))
+              (1.toByte, s"Internal error: ${graft.sources.GraftError.classify(e).getMessage}"
+                .getBytes(StandardCharsets.UTF_8))
           }
         out.writeByte(status.toInt)
         out.writeInt(body.length)
