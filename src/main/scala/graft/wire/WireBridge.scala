@@ -315,13 +315,15 @@ object WireBridge {
     * (`services/compactor/src/rpc.rs:31-47`). Like the reference, the
     * CALLER commits: the response only reports added files + stats.
     */
-  def rewriteFiles(spark: SparkSession, requestBytes: Array[Byte]): Array[Byte] = {
+  def rewriteFiles(spark: SparkSession, requestBytes: Array[Byte],
+      executor: graft.sources.CompactionExecutor =
+        graft.sources.SparkCompactionExecutor): Array[Byte] = {
     val req = decodeRewriteRequest(requestBytes)
     val d = decodeRequest(req)
     require(d.dataTasks.nonEmpty, "request has no data-file scan tasks")
     require(d.outDir.nonEmpty, "request has no dir_path")
     applyFileIo(spark, d.fileIoProps)
-    val manifest = CompactionRunner.compact(
+    val manifest = executor.rewriteFiles(
       spark, d.dataTasks, d.posDeletes, d.eqDeletes, d.outDir, d.config,
       d.canonicalSchema)
     encodeRewriteResponse(responseFor(manifest, d.canonicalSchema))
