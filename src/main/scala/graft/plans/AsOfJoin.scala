@@ -171,10 +171,15 @@ object AsOfJoinStrategy extends SparkStrategy {
   }
 }
 
-/** `spark.sql.extensions`-style injection point (config-based sessions). */
+/** `spark.sql.extensions`-style injection point (config-based sessions):
+  * the native as-of join strategy plus SQL names for every graft kernel
+  * ([[graft.functions.GraftFunctions]]).
+  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    graft.functions.GraftFunctions.injectInto(ext)
+  }
 }
 
 object AsOfJoin {
