@@ -122,6 +122,45 @@ object ScalarQueries {
       col("user_id").cast("decimal(18,6)").cast("string").as("dec_str"))
   }
 
+  /** Q99: the SQL doorway, gate-proven — the same codegen kernels the
+    * DataFrame queries use, but invoked through their REGISTERED SQL names
+    * (`GraftFunctions.registerAll`) from a `spark.sql` string. Proves that
+    * a pure-SQL user of the library gets bit-identical kernel results, in
+    * the driver's own oracle gate.
+    */
+  private def q99(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftFunctions.registerAll(spark) // idempotent: replaces same-name entries
+    val view = "graft_docs_sql_surface"
+    Tables.documents(spark, sfDir).createOrReplaceTempView(view)
+    spark.sql(
+      s"""SELECT doc_id,
+         |       graft_portable_hash(lower(text)) AS phash,
+         |       graft_fingerprint(lower(text)) AS fp,
+         |       graft_shingle_count(lower(text), 3) AS n3
+         |FROM $view""".stripMargin)
+  }
+
+  private val q99Sql = {
+    val th = "CAST(translate(substr(md5(%s), 1, 12), 'abcdef', '123456') AS BIGINT)"
+    s"""WITH toks AS (SELECT doc_id, lower(text) AS lt,
+       |                     string_split(lower(text), ' ') AS t FROM documents),
+       |sc AS (
+       |  SELECT doc_id, count(DISTINCT s) AS n3 FROM toks,
+       |  unnest(CASE WHEN len(t) >= 3
+       |              THEN list_transform(range(1, len(t) - 1),
+       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |              ELSE [] END) AS u(s)
+       |  GROUP BY 1)
+       |SELECT k.doc_id,
+       |       ${th.format("k.lt")} AS phash,
+       |       list_reduce(
+       |         list_concat([CAST(0 AS BIGINT)],
+       |           list_transform(k.t, x -> ${th.format("x")})),
+       |         (a, b) -> (a * 131 + b) % 1000000007) AS fp,
+       |       coalesce(sc.n3, 0) AS n3
+       |FROM toks k LEFT JOIN sc ON sc.doc_id = k.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_string" -> (q30 _),
     "q31_date" -> (q31 _),
@@ -129,7 +168,8 @@ object ScalarQueries {
     "q33_array" -> (q33 _),
     "q34_map" -> (q34 _),
     "q35_json" -> (q35 _),
-    "q36_wiretypes" -> (q36 _))
+    "q36_wiretypes" -> (q36 _),
+    "q99_sql_surface" -> (q99 _))
 
   val oracleSql: Map[String, String] = Map(
     "q30_string" ->
@@ -197,5 +237,6 @@ object ScalarQueries {
         |       octet_length(unhex(h)) = 16 AS fixed16_ok,
         |       CAST(CAST(user_id AS DECIMAL(18,6)) AS VARCHAR) AS dec_str
         |FROM (SELECT *, md5('graft:' || CAST(event_id AS VARCHAR)) AS h
-        |      FROM events) t""".stripMargin)
+        |      FROM events) t""".stripMargin,
+    "q99_sql_surface" -> q99Sql)
 }

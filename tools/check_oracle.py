@@ -71,6 +71,28 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: value mismatch: {str(e)[:500]}")
             n_fail += 1
     print(f"\n{len(oracles) - n_fail}/{len(oracles)} oracles matched")
+
+    # Negative control: perturb one oracle and require the compare to FAIL —
+    # a checker that can't fail is not a gate. Runs by default (cheap); the
+    # control query is the first alphabetically.
+    if n_fail == 0 and oracles and "--no-negative-control" not in sys.argv:
+        name = sorted(oracles)[0]
+        got = canon(pd.read_parquet(f"{out_dir}/{name}"))
+        want = canon(con.execute(
+            f"SELECT * FROM ({oracles[name]}) LIMIT (SELECT count(*) - 1 "
+            f"FROM ({oracles[name]}))").df())
+        try:
+            if len(got) == len(want):
+                pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                              check_exact=True)
+            control_failed = len(got) != len(want)
+        except AssertionError:
+            control_failed = True
+        if control_failed:
+            print(f"NEGATIVE CONTROL OK ({name} perturbed -> compare fails)")
+        else:
+            print(f"NEGATIVE CONTROL BROKEN: perturbed {name} still matched")
+            return 1
     return 1 if n_fail else 0
 
 
