@@ -283,17 +283,93 @@ object StreamQueries {
     */
   private def runUpdate(df: DataFrame): DataFrame = runToCompletion(df, "update")
 
+  /** Per-user stats under the new API: count + exact micro sum + micro max
+    * (all order-free, so no fold-order bits persist).
+    */
+  final case class TwsStats(nEvents: Long, sumMicros: Long, maxMicros: Long)
+
+  /** Q100's `StatefulProcessor` — Spark 4's `transformWithState`
+    * replacement for `mapGroupsWithState`: typed per-key state handles
+    * from `getHandle` (here one `ValueState`), TTL support, timers, and
+    * the RocksDB state store underneath. The processor is a top-level
+    * class because executors deserialize it.
+    */
+  final class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, KeyedValue, (Long, Long, Double, Double)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+
+    @transient private var state: ValueState[TwsStats] = _
+
+    override def init(outputMode: streaming.OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[TwsStats](
+        "totals", Encoders.product[TwsStats], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[KeyedValue],
+        timers: streaming.TimerValues): Iterator[(Long, Long, Double, Double)] = {
+      val prev = if (state.exists()) state.get() else TwsStats(0L, 0L, Long.MinValue)
+      var n = prev.nEvents
+      var sum = prev.sumMicros
+      var max = prev.maxMicros
+      rows.foreach { e =>
+        n += 1; sum += e.micros; if (e.micros > max) max = e.micros
+      }
+      state.update(TwsStats(n, sum, max))
+      Iterator.single((key, n, sum.toDouble / 1e6, max.toDouble / 1e6))
+    }
+  }
+
+  /** Q100: `transformWithState` in the declared gate — the Spark-4-native
+    * arbitrary-state operator (successor to `mapGroupsWithState`) over the
+    * RocksDB state store: explicit typed state handles, TTL-capable,
+    * timer-capable. Emits one (count, exact-sum, max) row per user; the
+    * RocksDB provider conf is scoped to this query start the same way the
+    * state-store parallelism is.
+    */
+  private def q100(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import spark.implicits._
+    val keyed = eventStream(spark, sfDir)
+      .select(col("user_id"),
+        (col("value").cast("decimal(18,6)") * lit(1000000L))
+          .cast("long").as("micros"))
+      .as[KeyedValue]
+    val updates = keyed.groupByKey(_.user_id)
+      .transformWithState(new RunningStatsProcessor, TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+      .toDF("user_id", "n_events", "total_value", "max_value")
+    val conf = spark.conf
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = conf.get(key,
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+    try {
+      conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      runUpdate(updates)
+    } finally conf.set(key, prev)
+  }
+
+  private val q100Sql =
+    """SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+      |       CAST(max(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+      |FROM events
+      |GROUP BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_stream_window" -> (q68 _),
     "q69_stream_enrich" -> (q69 _),
     "q75_stream_dedup" -> (q75 _),
     "q79_stream_sessions" -> (q79 _),
-    "q82_stream_state" -> (q82 _))
+    "q82_stream_state" -> (q82 _),
+    "q100_stream_tws" -> (q100 _))
 
   val oracleSql: Map[String, String] = Map(
     "q68_stream_window" -> q68Sql,
     "q69_stream_enrich" -> q69Sql,
     "q75_stream_dedup" -> q75Sql,
     "q79_stream_sessions" -> q79Sql,
-    "q82_stream_state" -> q82Sql)
+    "q82_stream_state" -> q82Sql,
+    "q100_stream_tws" -> q100Sql)
 }
