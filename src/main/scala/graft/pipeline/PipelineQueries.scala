@@ -1709,6 +1709,140 @@ object PipelineQueries {
        |WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= $JaccardThreshold""".stripMargin
   }
 
+  // ---- Q101 quantization audit / Q102 ANN recall -------------------------
+
+  /** Per-vector int8 scalar quantization: `floor(x * 127/max|x| + 0.5)` —
+    * the memory-reduction lever of large-scale ANN (4× smaller vectors,
+    * integer dot products). All-zero vectors quantize to zero.
+    */
+  private def quantized(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale = when(mx === 0d, lit(0d)).otherwise(lit(127d) / mx)
+    // floor() yields bigint; back to double so the sequential-fold dot
+    // kernel applies (values are exact small integers either way)
+    transform(v, x => floor(x.cast("double") * scale + lit(0.5d)).cast("double"))
+  }
+
+  /** Q101: quantization-accuracy audit — for q42's broadcast query set,
+    * the top-5 exact-cosine neighbors with their INT8-quantized cosine and
+    * the absolute error. The quantized dot runs on small exact integers
+    * (|q| ≤ 127), so both engines' sums are exact and the audit doubles
+    * match bit for bit. This is the measurement that justifies shipping a
+    * quantized index: err quantiles here decide whether recall at the next
+    * tier is acceptable. Same scale shape as q42 (broadcast query set,
+    * row-level kernels, one top-k window).
+    */
+  private def q101(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"),
+        normD(col("embedding")).as("nrm"), quantized(col("embedding")).as("qv"))
+      .withColumn("qnrm", sqrt(dotD(col("qv"), col("qv"))))
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("q_nrm"), col("qv").as("qqv"), col("qnrm").as("q_qnrm"))
+    val scored = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid") && col("qnrm") > 0 && col("q_qnrm") > 0)
+      .select(col("qid"), col("vec_id"),
+        (dotD(col("qe"), col("embedding")) / (col("nrm") * col("q_nrm"))).as("cos_exact"),
+        (dotD(col("qqv"), col("qv")) / (col("qnrm") * col("q_qnrm"))).as("cos_q"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos_exact").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+      .withColumn("err", abs(col("cos_exact") - col("cos_q")))
+  }
+
+  private val q101Sql =
+    """WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |            FROM embeddings),
+      |e AS (
+      |  SELECT vec_id, v,
+      |         list_transform(v, x -> floor(x * (CASE WHEN mx = 0 THEN 0
+      |                                           ELSE 127.0 / mx END) + 0.5)) AS qv
+      |  FROM (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+      |        FROM e0) t),
+      |n AS (
+      |  SELECT vec_id, v, qv,
+      |         sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS nrm,
+      |         sqrt(list_sum(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]))) AS qnrm
+      |  FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qe, qv AS qqv, nrm AS q_nrm, qnrm AS q_qnrm
+      |      FROM n WHERE vec_id < 8),
+      |p AS (
+      |  SELECT q.qid, n.vec_id,
+      |         list_sum(list_transform(range(1, len(n.v) + 1), i -> n.v[i] * q.qe[i]))
+      |           / (n.nrm * q.q_nrm) AS cos_exact,
+      |         list_sum(list_transform(range(1, len(n.qv) + 1), i -> n.qv[i] * q.qqv[i]))
+      |           / (n.qnrm * q.q_qnrm) AS cos_q
+      |  FROM n, q
+      |  WHERE n.vec_id <> q.qid AND n.qnrm > 0 AND q.q_qnrm > 0)
+      |SELECT qid, vec_id, cos_exact, cos_q, CAST(rn AS BIGINT) AS rn,
+      |       abs(cos_exact - cos_q) AS err
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |                                   ORDER BY cos_exact DESC, vec_id) AS rn
+      |      FROM p) t
+      |WHERE rn <= 5""".stripMargin
+
+  /** Q102: ANN quality audit — recall@3 of the IVF own-bucket probe (q44)
+    * against the exact brute-force top-3 for the SAME query set. The number
+    * a production ANN deployment watches: bucketed probing trades this
+    * recall for the candidate-set reduction, and the per-query breakdown
+    * shows which queries sit on centroid boundaries (the q78 nprobe=2
+    * motivation). Integer intersection counts divided once → exact doubles.
+    */
+  private def q102(spark: SparkSession, sfDir: String): DataFrame = {
+    val approx = q44(spark, sfDir).select(col("qid"), col("vec_id"))
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), normD(col("embedding")).as("nrm"))
+    val qs = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("nrm").as("qnrm"))
+    val wTop = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val exact = e.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotD(col("qe"), col("embedding")) / (col("nrm") * col("qnrm"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop)).filter(col("rn") <= 3)
+      .select(col("qid"), col("vec_id"))
+    val hits = exact.join(approx, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+    qs.select(col("qid"))
+      .join(hits, Seq("qid"), "left_outer")
+      .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / 3.0)
+  }
+
+  private val q102Sql =
+    s"""WITH $IvfAssignCte,
+      |q44q AS (SELECT vec_id AS qid, v AS qv, cid FROM assign WHERE vec_id % 50 = 0),
+      |q44p AS (
+      |  SELECT q.qid, a.vec_id,
+      |         list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * q.qv[i]))
+      |           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+      |              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+      |  FROM q44q q JOIN assign a ON a.cid = q.cid AND a.vec_id <> q.qid),
+      |approx AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |    FROM q44p) t
+      |  WHERE rn <= 3),
+      |qset AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |ep AS (
+      |  SELECT q.qid, e.vec_id,
+      |         list_sum(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.qv[i]))
+      |           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+      |              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+      |  FROM e, qset q WHERE e.vec_id <> q.qid),
+      |exact AS (
+      |  SELECT qid, vec_id FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+      |    FROM ep) t
+      |  WHERE rn <= 3),
+      |hits AS (
+      |  SELECT x.qid, count(*) AS n_hits
+      |  FROM exact x JOIN approx a ON a.qid = x.qid AND a.vec_id = x.vec_id
+      |  GROUP BY 1)
+      |SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0 AS recall
+      |FROM qset q LEFT JOIN hits h ON h.qid = q.qid""".stripMargin
+
   // ---- registry ----------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1742,7 +1876,9 @@ object PipelineQueries {
     "q91_decode_stub" -> (q91 _),
     "q92_sketch_accuracy" -> (q92 _),
     "q93_kmeans_step" -> (q93 _),
-    "q94_stream_neardup" -> (q94 _))
+    "q94_stream_neardup" -> (q94 _),
+    "q101_quantized_cosine" -> (q101 _),
+    "q102_ann_recall" -> (q102 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1777,7 +1913,9 @@ object PipelineQueries {
     "q91_decode_stub" -> q91Sql,
     "q92_sketch_accuracy" -> q92Sql,
     "q93_kmeans_step" -> q93Sql,
-    "q94_stream_neardup" -> q94Sql)
+    "q94_stream_neardup" -> q94Sql,
+    "q101_quantized_cosine" -> q101Sql,
+    "q102_ann_recall" -> q102Sql)
 }
 
 /** Typed output row of the q91 decode stub — the schema a real decoder

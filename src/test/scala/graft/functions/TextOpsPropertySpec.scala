@@ -83,4 +83,21 @@ class TextOpsPropertySpec extends AnyFunSuite {
       assert(TextOps.binaryChecksum(bytes) == expected)
     }
   }
+
+  test("repStats == split-model counters on random corpora") {
+    import org.apache.spark.sql.types.LongType
+    forAll(randText _) { s =>
+      val toks = s.split(" ", -1).toSeq
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val expected = Seq(
+        toks.length.toLong,
+        toks.distinct.length.toLong,
+        toks.groupBy(identity).values.map(_.length).max.toLong,
+        math.max(0, toks.length - 1).toLong,
+        grams.distinct.length.toLong)
+      val got = TextOps.repStats(u(s)).toArray[Long](LongType).toSeq
+      assert(got == expected, s"for text '$s'")
+    }
+  }
+
 }
