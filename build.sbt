@@ -37,4 +37,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // whole upstream pipelines (q53 paid a full q41 re-run). The container
   // has 128 GiB; 16 GiB keeps every cache resident with headroom.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").toSeq)
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq
+  .flatMap(_.split("\\s+").toSeq).filter(_.nonEmpty)

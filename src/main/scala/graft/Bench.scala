@@ -77,10 +77,8 @@ object Bench {
     val qs = keyed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val errJson =
-      if (errors.isEmpty) ""
-      else errors.map(e => "\"" + e.replace("\"", "'") + "\"")
-        .mkString(""","errors":[""", ",", "]")
+    val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
+      .mkString(""","errors":[""", ",", "]")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$errJson,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/bench.json")

@@ -141,7 +141,8 @@ object ScalarQueries {
   }
 
   private val q99Sql = {
-    val th = "CAST(translate(substr(md5(%s), 1, 12), 'abcdef', '123456') AS BIGINT)"
+    // the single source of truth for the portable-hash SQL twin
+    val th = graft.pipeline.PipelineQueries.StrHashSql
     s"""WITH toks AS (SELECT doc_id, lower(text) AS lt,
        |                     string_split(lower(text), ' ') AS t FROM documents),
        |sc AS (

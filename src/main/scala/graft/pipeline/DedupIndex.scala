@@ -37,7 +37,7 @@ final class DedupIndex private (spark: SparkSession, name: String) {
     * (`exact_dup` / `near_dup` / `kept`) per batch doc.
     */
   def dedupBatch(batch: DataFrame): DataFrame = {
-    val p = prepare(batch).cache()
+    val p = prepare(batch) // single consumer (the exact join) — no cache
     val exact = p
       .join(keys.withColumn("exact_hit", lit(true)), Seq("k"), "left_outer")
       .select(col("doc_id"), col("text"), col("sig"), col("n"),
@@ -59,12 +59,18 @@ final class DedupIndex private (spark: SparkSession, name: String) {
       .filter(col("common").cast("double") /
         (col("na") + col("nb") - col("common")) >= PipelineQueries.JaccardThreshold)
       .select(col("new_id").as("doc_id")).distinct()
-    exact
+    val verdicts = exact
       .join(nearIds.withColumn("near_hit", lit(true)), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), col("text"),
         when(col("is_exact"), lit("exact_dup"))
           .when(coalesce(col("near_hit"), lit(false)), lit("near_dup"))
           .otherwise(lit("kept")).as("verdict"))
+      // eager, lineage-free result so the batch-scoped cache can be
+      // RELEASED here: a service probing batch after batch must not
+      // accumulate one CacheManager entry per call
+      .localCheckpoint(true)
+    exact.unpersist()
+    verdicts
   }
 
   /** Admit the batch's KEPT docs into the index: parquet appends into the

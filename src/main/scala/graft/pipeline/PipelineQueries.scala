@@ -32,7 +32,7 @@ object PipelineQueries {
   /** Portable string hash — Spark side is the codegen'd
     * [[graft.functions.TextOps.portableHash]] kernel; this is its SQL twin.
     */
-  private val StrHashSql =
+  private[graft] val StrHashSql =
     "CAST(translate(substr(md5(%s), 1, 12), 'abcdef', '123456') AS BIGINT)"
 
   /** MinHash family: (i, a, b) for h_i = (a*h + b) mod P — sourced from the
@@ -1465,6 +1465,12 @@ object PipelineQueries {
     * boundary, the batch shape, the typed output schema — is the real
     * production plumbing, and the whole pass is map-only: no shuffle at any
     * scale.
+    *
+    * Oracle convention (shared with q50/q59): the DuckDB twin indexes CODE
+    * POINTS via `ascii(substr(...))`, which equals the Spark side's BYTE
+    * reads because the fixture corpus is pure ASCII. A non-ASCII corpus
+    * needs a byte-domain oracle (hex-pair decode) — the Spark side is the
+    * byte-correct one.
     */
   private def q91(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._

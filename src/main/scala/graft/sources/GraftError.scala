@@ -49,9 +49,11 @@ object GraftError {
     case g: GraftError => g
     case e: IllegalArgumentException => Config(String.valueOf(e.getMessage), e)
     case e =>
+      // both domain probes walk the full cause chain: Spark wraps task IO
+      // failures, and plumbing (ExecutionException etc.) wraps Spark ones
       if (rootChain(e).exists(_.isInstanceOf[java.io.IOException]))
         Io(String.valueOf(rootMessage(e)), e)
-      else if (e.getClass.getName.startsWith("org.apache.spark"))
+      else if (rootChain(e).exists(_.getClass.getName.startsWith("org.apache.spark")))
         Engine(String.valueOf(rootMessage(e)), e)
       else Execution(String.valueOf(rootMessage(e)), e)
   }
