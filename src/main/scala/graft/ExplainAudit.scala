@@ -94,6 +94,13 @@ object ExplainAudit {
     "q92_sketch_accuracy" ->
       ("Sketch audit joins signatures onto the (tiny) verified pair set; the " +
         "signature scan is the cached q41 kernel pass."),
+    "q101_quantized_cosine" ->
+      ("Quantization audit: int8 vectors via row-level transforms, integer dot " +
+        "products in the codegen fold kernel, one broadcast + one top-k window — " +
+        "q42's shape with a second (cheaper) score column."),
+    "q102_ann_recall" ->
+      ("Recall audit: exact top-3 (broadcast brute force) left-semi joined against " +
+        "the cached IVF probe's top-3; per-query integer hit counts."),
     "q93_kmeans_step" ->
       ("Lloyd step: posexplode then ONE (cid, dim) partial+final hash aggregate in " +
         "the long fixed-point domain — k*d running totals regardless of corpus size. " +
