@@ -1,0 +1,66 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.CompactionRunner.DataFileTask
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class IcebergMetadataJsonSpec extends SparkSpec {
+
+  test("exported metadata.json is valid JSON with spec-shaped v2 fields") {
+    val root = Files.createTempDirectory("graft-meta").toString
+    val cat = new GraftCatalog(root)
+    val schema = FieldIds.stamp(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType),
+      StructField("price", DecimalType(18, 6)))))
+    cat.createTable("t", Seq(DataFileTask("/a.parquet", 1)), Some(schema))
+    cat.commitRewrite("t", Seq(DataFileTask("/b.parquet", 2)), Nil)
+    val path = IcebergMetadataJson.export(cat, root, "t")
+    assert(path.getFileName.toString == "v2.metadata.json")
+
+    // parse with Spark's JSON reader — a malformed document becomes a
+    // _corrupt_record column and fails the field asserts
+    val meta = spark.read.option("multiLine", "true").json(path.toString)
+    val row = meta.head()
+    assert(meta.columns.contains("format-version"))
+    assert(row.getAs[Long]("format-version") == 2L)
+    assert(row.getAs[Long]("current-snapshot-id") == 2L)
+    assert(row.getAs[Long]("last-sequence-number") == 2L)
+    assert(row.getAs[Long]("last-column-id") == 3L)
+
+    val snaps = meta.select(explode(col("snapshots")).as("s"))
+      .select(col("s.snapshot-id"), col("s.manifest-list"))
+    assert(snaps.count() == 2)
+    assert(snaps.filter(col("manifest-list").contains("snap-")).count() == 2)
+
+    val fields = meta.select(explode(col("schemas")).as("sc"))
+      .select(explode(col("sc.fields")).as("f"))
+      .select(col("f.id"), col("f.name"), col("f.type"), col("f.required"))
+      .collect()
+    assert(fields.map(_.getAs[String]("name")).toSet == Set("id", "name", "price"))
+    assert(fields.map(_.getAs[Long]("id")).toSet == Set(1L, 2L, 3L))
+    assert(fields.find(_.getAs[String]("name") == "price")
+      .get.getAs[String]("type") == "decimal(18, 6)")
+    assert(fields.find(_.getAs[String]("name") == "id")
+      .get.getAs[Boolean]("required"))
+  }
+
+  test("export reflects schema evolution: current-schema-id tracks HEAD") {
+    val root = Files.createTempDirectory("graft-meta2").toString
+    val cat = new GraftCatalog(root)
+    val s1 = FieldIds.stamp(StructType(Seq(StructField("id", LongType))))
+    cat.createTable("t", Seq(DataFileTask("/a.parquet", 1)), Some(s1))
+    val s2 = StructType(s1.fields :+
+      StructField("extra", StringType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build()))
+    cat.evolveSchema("t", s2)
+    val meta = spark.read.option("multiLine", "true")
+      .json(IcebergMetadataJson.export(cat, root, "t").toString)
+    val row = meta.head()
+    assert(row.getAs[Long]("current-schema-id") == cat.currentSnapshotId("t"))
+    assert(meta.select(explode(col("schemas")).as("s")).count() == 2)
+  }
+}
