@@ -157,8 +157,13 @@ object AvroScan {
     */
   def readWithHiddenCols(spark: SparkSession, paths: Seq[String]): DataFrame = {
     require(paths.nonEmpty, "no avro files to read")
+    // the SESSION's Hadoop conf (spark.hadoop.* / fs.* overrides included),
+    // serialized for the executor-side readers — a bare `new Configuration()`
+    // only sees classpath defaults and loses e.g. s3a credentials
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val head = new DataFileReader(
-      new FsInput(new Path(paths.head), new Configuration()),
+      new FsInput(new Path(paths.head), serConf.value),
       new GenericDatumReader[GenericRecord]())
     val avroSchema = try head.getSchema finally head.close()
     val userSchema = toStructType(avroSchema)
@@ -172,7 +177,7 @@ object AvroScan {
       .flatMap { p =>
         val expected = new Schema.Parser().parse(schemaJson)
         val reader = new DataFileReader(
-          new FsInput(new Path(p), new Configuration()),
+          new FsInput(new Path(p), serConf.value),
           new GenericDatumReader[GenericRecord](expected))
         var closed = false
         def closeOnce(): Unit = if (!closed) { closed = true; reader.close() }

@@ -35,6 +35,9 @@ import org.apache.spark.sql.functions._
   */
 object CompactionRunner {
 
+  /** Serializes compactions that override the session-global shuffle conf. */
+  private val shuffleOverrideLock = new Object
+
   /** One data-file scan task: path + the file's sequence number + format
     * (FileScanTask, `core/src/parser/proto.rs:113-131`; format enum
     * `core/proto/iceberg.proto:11-15` — parquet / orc / avro. Parquet and
@@ -361,15 +364,25 @@ object CompactionRunner {
       config: CompactionConfig = CompactionConfig(),
       canonicalSchema: Option[org.apache.spark.sql.types.StructType] = None)
       : CommitManifest = {
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    config.batchParallelism.foreach { n =>
-      require(n > 0, s"batch_parallelism must be positive, got $n")
-      spark.conf.set("spark.sql.shuffle.partitions", n)
+    // batch_parallelism overrides a SESSION-global conf; overriding
+    // compactions serialize on a JVM lock so two concurrent set/restore
+    // pairs cannot interleave and strand a stale value (the reference's
+    // server equally runs one rewrite per RPC). Non-overriding work on the
+    // same session is still exposed to the override window — full isolation
+    // needs a per-job session (spark.newSession), the caller's choice.
+    def run() = compactBody(spark, dataTasks, posDeletes, eqDeletes, outDir,
+      config, canonicalSchema)
+    config.batchParallelism match {
+      case None => run()
+      case Some(n) =>
+        require(n > 0, s"batch_parallelism must be positive, got $n")
+        shuffleOverrideLock.synchronized {
+          val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions", n)
+          try run()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+        }
     }
-    try compactBody(spark, dataTasks, posDeletes, eqDeletes, outDir, config,
-      canonicalSchema)
-    finally if (config.batchParallelism.isDefined)
-      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
   }
 
   private def compactBody(
@@ -477,7 +490,7 @@ object CompactionRunner {
       rewrittenBytes = rewrittenBytes,
       addedFilesCount = added.size.toLong,
       failedFilesCount = 0L)
-    writeManifest(manifest, s"$outDir/_graft_manifest.json")
+    writeManifest(spark, manifest, s"$outDir/_graft_manifest.json")
     // Spec-shaped Iceberg manifest (Avro container, id-keyed bounds): ADDED
     // entries for the new files, DELETED entries for the compacted inputs —
     // the structures a real catalog commit would write, readable back via
@@ -485,13 +498,15 @@ object CompactionRunner {
     val formatByPath = dedupByPath(dataTasks)(_.path)
       .map(t => canonPath(t.path) -> t.format.toLowerCase).toMap
     IcebergManifest.write(s"$outDir/_graft_manifest.avro",
+      conf = spark.sessionState.newHadoopConf(),
+      entries =
       added.map(IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded, _)) ++
         (manifest.removedDataFiles ++ manifest.removedDeleteFiles).map(p =>
           IcebergManifest.ManifestEntry(IcebergManifest.StatusDeleted,
             DataFileStats(p, 0L, 0L, Map.empty, Map.empty, Map.empty),
             // removed DATA files keep their wire format; delete files are parquet
             format = formatByPath.getOrElse(p, "parquet"))),
-      written.schema)
+      schema = written.schema)
     manifest
   }
 
@@ -522,9 +537,18 @@ object CompactionRunner {
 
   /** Commit step: manifest JSON (stands in for the catalog transaction of
     * `Transaction::rewrite_files` — add new files, remove compacted inputs).
+    * Written through the Hadoop FileSystem of the target path's scheme: the
+    * data files just landed there distributed, so the commit artifact must
+    * not silently require a LOCAL filesystem (java.nio would).
     */
-  private def writeManifest(m: CommitManifest, path: String): Unit =
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), manifestJson(m))
+  private def writeManifest(
+      spark: SparkSession, m: CommitManifest, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(manifestJson(m).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
 
   /** The manifest's JSON rendering — also the response body of the EP2
     * façade ([[CompactionService]]), mirroring the reference's

@@ -40,7 +40,8 @@ final class GraftCatalog(root: String) {
       path: String,
       seqNum: Long,
       format: String,
-      eqCols: Seq[String])
+      eqCols: Seq[String],
+      eqIds: Seq[Int] = Nil)
 
   private def toEntry(t: DataFileTask) =
     TableEntry("data", t.path, t.seqNum, t.format, Nil)
@@ -102,6 +103,14 @@ final class GraftCatalog(root: String) {
       schema: Option[org.apache.spark.sql.types.StructType]): Unit =
     withTableLock(table) {
       require(!Files.exists(headPath(table)), s"table $table already exists")
+      schema.foreach { sch =>
+        val ids = sch.fields.flatMap(FieldIds.idOf)
+        require(ids.length == sch.fields.length,
+          s"every field needs a ${FieldIds.MetaKey} id " +
+            s"(got ${ids.length}/${sch.fields.length})")
+        require(ids.distinct.length == ids.length,
+          s"duplicate field ids: ${ids.mkString(",")}")
+      }
       writeSnapshot(table, 1L, files.map(toEntry))
       schema.foreach(s => writeSchema(table, 1L, s))
       writeHead(table, 1L)
@@ -155,6 +164,18 @@ final class GraftCatalog(root: String) {
     require(ids.length == newSchema.fields.length,
       s"every field needs a ${FieldIds.MetaKey} id (got ${ids.length}/${newSchema.fields.length})")
     require(ids.distinct.length == ids.length, s"duplicate field ids: ${ids.mkString(",")}")
+    // an id may carry forward (renames) but a DROPPED id must never return:
+    // old files still bind it to the old column, so a reused id would
+    // silently resurface that data under the new name at evolved scans
+    val currentIds = currentSchema(table)
+      .map(_.fields.flatMap(FieldIds.idOf).toSet).getOrElse(Set.empty[Int])
+    val historicalIds = snapshotIds(table)
+      .flatMap(id => schemaAt(table, id))
+      .flatMap(_.fields.flatMap(FieldIds.idOf)).toSet
+    val resurrected = ids.toSet.intersect(historicalIds -- currentIds)
+    require(resurrected.isEmpty,
+      s"field ids ${resurrected.mkString(",")} were dropped in an earlier schema " +
+        "and cannot be reused (old files would resurface their data under the new column)")
     val nextId = currentSnapshotId(table) + 1
     writeSnapshot(table, nextId, loadEntries(table))
     writeSchema(table, nextId, newSchema)
@@ -207,7 +228,7 @@ final class GraftCatalog(root: String) {
       currentSchema(table))
     val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
-      EqDeleteTask(e.path, e.seqNum, e.eqCols)
+      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
     }
     graft.operators.MorPlanner.merge(data,
       CompactionRunner.readPositionDeletes(spark, pos),
@@ -249,14 +270,32 @@ final class GraftCatalog(root: String) {
     aligned.write.mode("errorifexists").parquet(dataDir)
     aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .distinct().write.mode("errorifexists").parquet(delDir)
-    def parquetsIn(d: String) = new java.io.File(d).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    // scheme-aware listing (java.io.File would return null for any
+    // non-local outDir AFTER both file sets were already written)
+    def parquetsIn(d: String): Seq[String] = {
+      val hp = new org.apache.hadoop.fs.Path(d)
+      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.listStatus(hp).toSeq.map { st =>
+        val u = st.getPath.toUri
+        if (u.getScheme == "file") u.getPath else st.getPath.toString
+      }.filter(_.endsWith(".parquet")).sorted
+    }
     withTableLock(table) {
       val entries = loadEntries(table)
       val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      // record the key columns' field ids alongside their names: the ids
+      // are what keeps pending eq-deletes applicable across a later rename
+      // (readEqualityDeletes resolves by id when ids are present)
+      val keyIds = currentSchema(table) match {
+        case Some(sch) => keyCols.flatMap(n =>
+          sch.fields.find(_.name == n).flatMap(FieldIds.idOf))
+        case None => Nil
+      }
+      val recordedIds = if (keyIds.length == keyCols.length) keyIds else Nil
       val newEntries =
         parquetsIn(dataDir).map(p => TableEntry("data", p, seq, "parquet", Nil)) ++
-          parquetsIn(delDir).map(p => TableEntry("eqdel", p, seq, "parquet", keyCols))
+          parquetsIn(delDir).map(p =>
+            TableEntry("eqdel", p, seq, "parquet", keyCols, recordedIds))
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, entries ++ newEntries)
       carrySchema(table, nextId - 1, nextId)
@@ -294,7 +333,10 @@ final class GraftCatalog(root: String) {
     val tasks = appendedFilesBetween(table, fromSnapshotId, toSnapshotId)
     require(tasks.nonEmpty, s"no files appended between snapshots " +
       s"$fromSnapshotId and $toSnapshotId of $table")
-    val scanned = CompactionRunner.scanWithHiddenCols(spark, tasks)
+    // resolve by the to-snapshot's canonical schema: the appended window may
+    // span a rename, and a by-name merge would emit both generations' names
+    val scanned = CompactionRunner.scanWithHiddenCols(spark, tasks,
+      schemaAt(table, toSnapshotId))
     val userCols = scanned.columns
       .filterNot(graft.operators.MorPlanner.HiddenCols.contains)
     scanned.select(userCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
@@ -395,7 +437,7 @@ final class GraftCatalog(root: String) {
         dataTasks(entries),
         entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
         entries.collect { case e if e.kind == "eqdel" =>
-          EqDeleteTask(e.path, e.seqNum, e.eqCols)
+          EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
         },
         outDir, config, currentSchema(table))
       val maxSeq = entries.map(_.seqNum).max
@@ -408,7 +450,8 @@ final class GraftCatalog(root: String) {
 
   private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
     val body = entries.map(e =>
-      s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}")
+      s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}" +
+        s"\t${e.eqIds.mkString(",")}")
       .mkString("\n")
     // temp + atomic move (like writeHead): a crash mid-write must not leave
     // a torn snap-N.tsv that snapshotIds/time-travel/orphan detection would
@@ -425,10 +468,14 @@ final class GraftCatalog(root: String) {
     val text = Files.readString(snapPath(table, id))
     if (text.isEmpty) Nil
     else text.split("\n").toSeq.map { line =>
-      line.split("\t", 5) match {
-        case Array(k, p, s, f, extra) =>
+      line.split("\t", 6) match {
+        case Array(k, p, s, f, cols, ids) =>
           TableEntry(k, p, s.toLong, f,
-            if (extra.isEmpty) Nil else extra.split(",").toSeq)
+            if (cols.isEmpty) Nil else cols.split(",").toSeq,
+            if (ids.isEmpty) Nil else ids.split(",").toSeq.map(_.toInt))
+        case Array(k, p, s, f, cols) => // pre-eqIds 5-field line
+          TableEntry(k, p, s.toLong, f,
+            if (cols.isEmpty) Nil else cols.split(",").toSeq)
         case Array(p, s, f) => // legacy 3-field data line
           TableEntry("data", p, s.toLong, f, Nil)
         case other =>

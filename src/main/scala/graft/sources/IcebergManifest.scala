@@ -61,18 +61,24 @@ object IcebergManifest {
   }
 
   /** Resolve each stats column to its field id via the written schema's
-    * `parquet.field.id` metadata (position fallback for id-less schemas).
+    * `parquet.field.id` metadata. Id-less fields fall back to NEGATIVE
+    * positions `-(i+1)`: a positive fallback could collide with another
+    * field's REAL id (e.g. a gap left by a dropped column), silently
+    * crossing bounds between columns on read. Write and read share the
+    * convention, so round-trips stay exact.
     */
   private def idFor(schema: StructType, name: String): Int =
     schema.fields.zipWithIndex.collectFirst {
       case (f, i) if f.name == name =>
-        FieldIds.idOf(f).getOrElse(i + 1)
+        FieldIds.idOf(f).getOrElse(-(i + 1))
     }.getOrElse(throw new IllegalArgumentException(s"no field '$name' in schema"))
 
   def write(
       path: String,
       entries: Seq[ManifestEntry],
-      schema: StructType): Unit = {
+      schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Unit = {
     val dfSchema = EntrySchema.getField("data_file").schema()
     // one helper for all three k/v lists — avro's put accepts both long and
     // string values; the id resolution and ordering must not drift apart
@@ -85,7 +91,9 @@ object IcebergManifest {
         r: GenericRecord
       }.asJava
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](EntrySchema))
-    w.create(EntrySchema, new java.io.File(path))
+    // scheme-aware: the manifest must land wherever the data files did
+    val hp = new org.apache.hadoop.fs.Path(path)
+    w.create(EntrySchema, hp.getFileSystem(conf).create(hp, true))
     try entries.foreach { e =>
       val df = new GenericData.Record(dfSchema)
       df.put("file_path", e.file.path)
@@ -109,7 +117,7 @@ object IcebergManifest {
   def read(path: String, schema: StructType): Seq[ManifestEntry] = {
     val idToName: Map[Int, String] =
       schema.fields.zipWithIndex.map { case (f, i) =>
-        FieldIds.idOf(f).getOrElse(i + 1) -> f.name
+        FieldIds.idOf(f).getOrElse(-(i + 1)) -> f.name
       }.toMap
     val r = new DataFileReader(new java.io.File(path),
       new GenericDatumReader[GenericRecord](EntrySchema))

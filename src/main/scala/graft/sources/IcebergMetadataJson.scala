@@ -75,9 +75,12 @@ object IcebergMetadataJson {
     val schemas = ids.flatMap(id => catalog.schemaAt(table, id).map(id -> _))
     val currentSchemaId = schemas.collect { case (id, _) if id <= head => id }
       .maxOption.getOrElse(0L)
-    val lastColumnId = schemas.collect { case (id, s) if id == currentSchemaId =>
-      s.fields.flatMap(FieldIds.idOf).maxOption.getOrElse(0)
-    }.maxOption.getOrElse(0)
+    // spec: highest column id ever ASSIGNED (all schemas, not just current)
+    // — an external writer allocates last-column-id + 1 for its next column,
+    // and a dropped column's id must never be reachable that way
+    val lastColumnId = schemas
+      .flatMap { case (_, s) => s.fields.flatMap(FieldIds.idOf) }
+      .maxOption.getOrElse(0)
     def mtime(id: Long): Long =
       try Files.getLastModifiedTime(dir.resolve(s"snap-$id.tsv")).toMillis
       catch { case _: Exception => 0L }

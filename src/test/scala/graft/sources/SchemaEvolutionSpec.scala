@@ -126,4 +126,56 @@ class SchemaEvolutionSpec extends SparkSpec {
       .map(_.getName).filter(_.startsWith("schema-")).toSet
     assert(left == Set("schema-3.json"))
   }
+
+  test("pending eq-deletes survive a key-column rename (ids recorded in the snapshot)") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-evo-eqdel").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    val f1 = writeRows(s"$work/g1", schemaV1,
+      Seq(Seq(1L, 10L, "a"), Seq(2L, 20L, "b"), Seq(3L, 30L, "c")))
+    cat.createTable("t", Seq(CompactionRunner.DataFileTask(f1, 1L)), Some(schemaV1))
+    // upsert keyed on k BEFORE the rename: overwrite k=2
+    val updates = Seq((2L, 200L, "B")).toDF("k", "qty", "tag")
+    cat.upsert(spark, "t", updates, Seq("k"), s"$work/out")
+    // rename k -> key (same field id 1) while the eq-delete is still pending
+    val renamed = StructType(Seq(
+      field("key", LongType, 1),
+      field("qty", LongType, 2),
+      field("tag", StringType, 3)))
+    cat.evolveSchema("t", renamed)
+    // the scan must still apply the delete: k=2's OLD row suppressed
+    val rows = userRows(cat.scanTable(spark, "t"), "key", "qty")
+    assert(rows == Set(List(1L, 10L), List(2L, 200L), List(3L, 30L)),
+      s"eq-delete lost across rename: $rows")
+    // and compaction applies it physically under the renamed schema
+    val (_, manifest) = cat.compactTable(spark, "t", s"$work/compacted")
+    assert(manifest.outputRecordCount == 3L)
+  }
+
+  test("evolveSchema rejects resurrecting a dropped field id") {
+    val work = Files.createTempDirectory("graft-evo-resurrect").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    val f1 = writeRows(s"$work/g1", schemaV1, Seq(Seq(1L, 10L, "a")))
+    cat.createTable("t", Seq(CompactionRunner.DataFileTask(f1, 1L)), Some(schemaV1))
+    cat.evolveSchema("t", schemaV2) // tag (id 3) dropped
+    val reuse = StructType(Seq(
+      field("k", LongType, 1),
+      field("quantity", LongType, 2),
+      field("fresh", StringType, 3))) // id 3 reused for a NEW column
+    val e = intercept[IllegalArgumentException](cat.evolveSchema("t", reuse))
+    assert(e.getMessage.contains("cannot be reused"))
+    // a genuinely fresh id is fine
+    cat.evolveSchema("t", StructType(reuse.fields.dropRight(1) :+
+      field("fresh", StringType, 5)))
+  }
+
+  test("createTable validates field ids like evolveSchema") {
+    val cat = new GraftCatalog(Files.createTempDirectory("graft-evo-ct").toString)
+    val idless = StructType(Seq(StructField("a", LongType)))
+    val e = intercept[IllegalArgumentException](
+      cat.createTable("t", Seq(CompactionRunner.DataFileTask("/x.parquet", 1L)),
+        Some(idless)))
+    assert(e.getMessage.contains("needs a"))
+  }
+
 }
