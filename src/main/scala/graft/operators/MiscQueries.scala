@@ -133,8 +133,9 @@ object MiscQueries {
     val gapNs = 1800L * 1000000000L
     val newSess = when(lag(col("tsn"), 1).over(w).isNull ||
       col("tsn") - lag(col("tsn"), 1).over(w) > gapNs, 1L).otherwise(0L)
-    val run = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // derived from w: the boundary markers and the running sum must never
+    // disagree on partitioning/ordering
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("new_sess", newSess)
       .withColumn("sess_id", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("sess_id"))

@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object TpchQueries {
 
+  import AggQueries.sumDec
+
   private def revenue: Column =
-    sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-      .cast("decimal(18,6)")).cast("double")
+    sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
 
   /** Q70 (TPC-H Q3 shape): top-10 high-revenue urgent-ish orders. */
   private def q70(spark: SparkSession, sfDir: String): DataFrame = {
@@ -84,8 +85,7 @@ object TpchQueries {
         col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
         col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
         col("l_quantity") < 24)
-      .agg(sum((col("l_extendedprice") * col("l_discount"))
-        .cast("decimal(18,6)")).cast("double").as("revenue"),
+      .agg(sumDec(col("l_extendedprice") * col("l_discount"), 6).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -126,15 +126,13 @@ object TpchQueries {
       .filter(col("l_shipdate") <= lit("1997-06-30").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
-          .as("sum_base_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
-        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
-          (lit(1.0) + col("l_tax"))).cast("decimal(18,6)")).cast("double")
-          .as("sum_charge"),
-        sum(col("l_discount").cast("decimal(18,2)")).cast("double").as("sum_disc"),
+        sumDec(col("l_quantity")).as("sum_qty"),
+        sumDec(col("l_extendedprice")).as("sum_base_price"),
+        sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        sumDec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+          (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        sumDec(col("l_discount")).as("sum_disc"),
         count(lit(1)).as("count_order"))
       .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
         col("sum_base_price"), col("sum_disc_price"), col("sum_charge"),
@@ -209,9 +207,9 @@ object TpchQueries {
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     li.join(p, li("l_partkey") === p("p_partkey"))
       .agg(
-        sum(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))
-          .cast("decimal(18,6)")).cast("double").as("promo_rev"),
-        sum(disc.cast("decimal(18,6)")).cast("double").as("total_rev"))
+        sumDec(when(col("p_type") === "PROMO", disc).otherwise(lit(0.0)), 6)
+          .as("promo_rev"),
+        sumDec(disc, 6).as("total_rev"))
       .select(col("promo_rev"), col("total_rev"),
         ((lit(100.0) * col("promo_rev")) / col("total_rev")).as("promo_pct"))
   }
@@ -246,8 +244,7 @@ object TpchQueries {
   private def q98(spark: SparkSession, sfDir: String): DataFrame = {
     val c = Tables.customer(spark, sfDir)
     val avgBal = c.filter(col("c_acctbal") > 0.0)
-      .agg((sum(col("c_acctbal").cast("decimal(18,2)")).cast("double") /
-        count(lit(1))).as("avg_bal"))
+      .agg((sumDec(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
     val o = Tables.orders(spark, sfDir)
       .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
     c.join(broadcast(avgBal))
@@ -255,7 +252,7 @@ object TpchQueries {
       .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),
-        sum(col("c_acctbal").cast("decimal(18,2)")).cast("double").as("totacctbal"))
+        sumDec(col("c_acctbal")).as("totacctbal"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -92,6 +92,13 @@ final case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftBy, Ascending), SortOrder(leftOn, Ascending))
 
+  // left-outer shape: every output row is a streamed left row, so the
+  // left child's hash clustering survives — without this the node reads
+  // as UnknownPartitioning and a downstream groupBy(by-key) re-shuffles
+  // data that is already clustered
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val leftOutput = left.output
     val rightOutput = right.output
@@ -188,17 +195,37 @@ object AsOfJoin {
     * Registers the planner strategy on the session idempotently, so it
     * works on any already-running session (no config-time opt-in needed).
     */
+  private val registerLock = new Object
+
   def asof(left: DataFrame, right: DataFrame,
       leftBy: Column, leftOn: Column,
       rightBy: Column, rightOn: Column): DataFrame = {
     val spark = left.sparkSession
-    val strategies = spark.experimental.extraStrategies
-    if (!strategies.contains(AsOfJoinStrategy))
-      spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
-    val plan = AsOfJoinPlan(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      ColumnBridge.expression(leftBy), ColumnBridge.expression(leftOn),
-      ColumnBridge.expression(rightBy), ColumnBridge.expression(rightOn))
+    // read-modify-write of a session field: serialize it, or a concurrent
+    // registration of another extra strategy can be lost
+    registerLock.synchronized {
+      val strategies = spark.experimental.extraStrategies
+      if (!strategies.contains(AsOfJoinStrategy))
+        spark.experimental.extraStrategies = strategies :+ AsOfJoinStrategy
+    }
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    // fail HERE with a named reason: a wrong-side column would otherwise
+    // pass analysis (missingInput is empty) and die in executor-side
+    // binding; a non-LONG key would surface as a bare unresolved-operator
+    def check(c: Column, side: String, out: Seq[Attribute]): Expression = {
+      val e = ColumnBridge.expression(c)
+      require(e.references.forall(r => out.exists(_.exprId == r.exprId)),
+        s"asof: $side key $e does not resolve against the $side side's columns " +
+          s"(${out.map(_.name).mkString(", ")})")
+      require(e.dataType == LongType,
+        s"asof: $side key $e must be LONG, got ${e.dataType.catalogString} " +
+          "(cast the key; ordering semantics are defined in the long domain)")
+      e
+    }
+    val plan = AsOfJoinPlan(lPlan, rPlan,
+      check(leftBy, "left", lPlan.output), check(leftOn, "left", lPlan.output),
+      check(rightBy, "right", rPlan.output), check(rightOn, "right", rPlan.output))
     DatasetBridge.ofRows(spark, plan)
   }
 }
