@@ -1,6 +1,5 @@
 package graft.functions
 
-import graft.plans.AsOfJoinStrategy
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graftbridge.RegistryBridge

@@ -53,8 +53,23 @@ object TextOps {
     acc
   }
 
+  private val Space = UTF8String.fromString(" ")
+
   private def tokens(s: UTF8String): Array[UTF8String] =
-    s.split(UTF8String.fromString(" "), -1)
+    s.split(Space, -1)
+
+  /** Join tokens t(i..i+n-1) with single spaces — THE shingle definition,
+    * shared by the ordered and distinct builders so it cannot drift.
+    */
+  private def joinShingle(t: Array[UTF8String], i: Int, n: Int): UTF8String = {
+    var sh = t(i)
+    var j = 1
+    while (j < n) {
+      sh = UTF8String.concat(sh, Space, t(i + j))
+      j += 1
+    }
+    sh
+  }
 
   /** Consecutive n-word shingles joined by single spaces; empty when fewer
     * than n tokens.
@@ -65,13 +80,7 @@ object TextOps {
     val out = new Array[Any](t.length - n + 1)
     var i = 0
     while (i < out.length) {
-      var sh = t(i)
-      var j = 1
-      while (j < n) {
-        sh = UTF8String.concat(sh, UTF8String.fromString(" "), t(i + j))
-        j += 1
-      }
-      out(i) = sh
+      out(i) = joinShingle(t, i, n)
       i += 1
     }
     new GenericArrayData(out)
@@ -141,13 +150,7 @@ object TextOps {
     if (t.length >= n) {
       var i = 0
       while (i <= t.length - n) {
-        var sh = t(i)
-        var j = 1
-        while (j < n) {
-          sh = UTF8String.concat(sh, UTF8String.fromString(" "), t(i + j))
-          j += 1
-        }
-        set.add(sh)
+        set.add(joinShingle(t, i, n))
         i += 1
       }
     }
@@ -220,6 +223,11 @@ object TextOps {
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var common = 0L
     while (i < na && j < nb) {
+      // null slots unbox to 0L and would count as matches — reachable via
+      // the SQL-registered graft_sorted_common; reject them
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_long_common: null element (hash sets must be dense)")
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { common += 1; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -279,10 +287,9 @@ object TextOps {
     }
     val n2 = math.max(0, t.length - 1)
     val g2 = new java.util.HashSet[UTF8String]()
-    val sp = UTF8String.fromString(" ")
     i = 0
     while (i < n2) {
-      g2.add(UTF8String.concat(t(i), sp, t(i + 1)))
+      g2.add(joinShingle(t, i, 2))
       i += 1
     }
     new GenericArrayData(Array[Any](

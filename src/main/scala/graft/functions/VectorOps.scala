@@ -58,6 +58,12 @@ object VectorOps {
     var acc = 0.0
     var i = 0
     while (i < n) {
+      // ArrayData silently unboxes a null slot to 0.0 — reachable from SQL
+      // (`graft_dot(array(CAST(NULL AS DOUBLE)), ...)`); fail loudly rather
+      // than treat it as a zero component
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"dot_fold: null element at position $i (vectors must be dense)")
       val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       acc += x * y

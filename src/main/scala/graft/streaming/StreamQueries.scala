@@ -40,9 +40,13 @@ object StreamQueries {
   private def runToCompletion(df: DataFrame, mode: String): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    val conf = spark.conf
-    val prev = conf.get("spark.sql.shuffle.partitions")
-    val q =
+    // the set/restore of a session-global conf is serialized: interleaved
+    // pairs from two threads could strand the clamped value on the session
+    // (start() clones the session synchronously, so restoring before
+    // awaitTermination is safe)
+    val q = startLock.synchronized {
+      val conf = spark.conf
+      val prev = conf.get("spark.sql.shuffle.partitions")
       try {
         conf.set("spark.sql.shuffle.partitions",
           math.min(8, prev.toInt).toString)
@@ -53,9 +57,19 @@ object StreamQueries {
           .trigger(Trigger.AvailableNow())
           .start()
       } finally conf.set("spark.sql.shuffle.partitions", prev)
+    }
     q.awaitTermination()
-    spark.table(name)
+    // materialize OFF the memory sink and drop it: the sink's rows live on
+    // the driver for the session lifetime otherwise — a bench looping the
+    // streaming queries would accumulate one result copy per run
+    val sunk = spark.table(name)
+    val rows = sunk.collect()
+    val schema = sunk.schema
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
+
+  private val startLock = new Object
 
 
   /** Run a streaming aggregation to completion (AvailableNow drains every
@@ -79,7 +93,9 @@ object StreamQueries {
 
   private[graft] def streamableDir(path: String): String = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(path)
+    // absolute target: a relative sfDir would otherwise produce a symlink
+    // relative to the TEMP dir (dangling), failing every streaming query
+    val src = Paths.get(path).toAbsolutePath.normalize
     if (Files.isDirectory(src)) path
     else stagedDirs.getOrElseUpdate(path, {
       val d = Files.createTempDirectory("graft_stream_src_")
