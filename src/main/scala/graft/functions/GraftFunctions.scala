@@ -86,6 +86,10 @@ object GraftFunctions {
       expect(2, "graft_dot")(args)
       DotFold(args.head, args(1))
     },
+    "graft_quantize_int8" -> { args =>
+      expect(1, "graft_quantize_int8")(args)
+      QuantizeInt8(args.head)
+    },
     "graft_iceberg_bucket" -> { args =>
       expect(2, "graft_iceberg_bucket")(args)
       IcebergBucket(args.head, intArg(args(1), "graft_iceberg_bucket", 2))

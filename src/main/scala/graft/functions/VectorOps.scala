@@ -74,6 +74,40 @@ object VectorOps {
 
   def dotC(a: Column, b: Column): Column =
     ColumnBridge.column(DotFold(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Per-vector int8 scalar quantization in ONE kernel call: max|x| →
+    * scale 127/max|x| (0 for all-zero vectors) → `floor(x·scale + 0.5)`,
+    * emitted as exact small-integer doubles so [[dotFold]] applies
+    * directly. Exists because the equivalent `transform`/`array_max`
+    * formulation is un-hoistable: `CollapseProject` re-inlines the scale
+    * into the per-element lambda (O(d²)/row) no matter how the projection
+    * is staged — a kernel is opaque to that rewrite.
+    */
+  def quantizeInt8(v: ArrayData, isFloat: Boolean): ArrayData = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"quantize_int8: null element at position $i (vectors must be dense)")
+      val x = math.abs(if (isFloat) v.getFloat(i).toDouble else v.getDouble(i))
+      if (x > mx) mx = x
+      i += 1
+    }
+    val scale = if (mx == 0.0) 0.0 else 127.0 / mx
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = math.floor(x * scale + 0.5)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def quantizeInt8C(c: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(c)))
 }
 
 /** `VectorOps.dotFold(array<float|double>, array<float|double>)` as a
@@ -141,5 +175,37 @@ case class SrpSignature(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.srpSig($c, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
+/** `VectorOps.quantizeInt8(array<float|double>)` as a codegen'd unary
+  * expression: one static call per row, no per-element lambda for the
+  * optimizer to re-expand.
+  */
+case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "quantize_int8"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"quantize_int8 expects array<float|double>, got ${t.catalogString}")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorOps.quantizeInt8(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorOps.quantizeInt8($c, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
     copy(child = newChild)
 }

@@ -76,21 +76,71 @@ final class DedupIndex private (spark: SparkSession, name: String) {
   /** Admit the batch's KEPT docs into the index: parquet appends into the
     * three bucketed tables (the writer re-declares the bucket spec, which
     * must match the existing layout — co-location survives appends).
+    *
+    * There is no cross-table transaction, so the append order is chosen to
+    * FAIL SAFE: `_docs` first, `_bands` second, `_keys` last. A crash
+    * between appends then only ever leaves docs/bands rows whose key rows
+    * are missing — the next probe of the same docs reports `near_dup`
+    * (bands+docs present, verify join matches) instead of `kept`, i.e.
+    * duplicates are still suppressed and re-running `append` on the same
+    * batch converges. The reverse order would register keys whose verify
+    * rows are missing: exact-dup verdicts with no band/doc backing, which
+    * silently DROPS near-dup verdicts for every later batch. Recovery after
+    * a partial append: re-run `append` with the same verdicts (idempotent
+    * for dedup purposes — re-probing classifies the batch as dup either
+    * way); orphaned doc/band rows are reclaimed by [[compactIndex]].
     */
   def append(verdicts: DataFrame): Unit = {
     val kept = prepare(
       verdicts.filter(col("verdict") === "kept").select(col("doc_id"), col("text")))
       .cache()
-    kept.select(col("k")).distinct()
-      .write.mode("append").bucketBy(NumBuckets, "k")
-      .saveAsTable(s"${name}_keys")
-    bandsOf(kept.filter(size(col("sig")) > 0))
-      .write.mode("append").bucketBy(NumBuckets, "bkey")
-      .saveAsTable(s"${name}_bands")
     kept.select(col("doc_id"), col("text"), col("n"))
       .write.mode("append").bucketBy(NumBuckets, "doc_id")
       .saveAsTable(s"${name}_docs")
+    bandsOf(kept.filter(size(col("sig")) > 0))
+      .write.mode("append").bucketBy(NumBuckets, "bkey")
+      .saveAsTable(s"${name}_bands")
+    kept.select(col("k")).distinct()
+      .write.mode("append").bucketBy(NumBuckets, "k")
+      .saveAsTable(s"${name}_keys")
     kept.unpersist()
+  }
+
+  /** Index maintenance: rewrite the three bucketed tables into one file
+    * per bucket. Per-batch appends each add ≥1 small file per table —
+    * at production cadence that is the classic Iceberg small-file growth
+    * this whole project exists to solve, here applied to our own index.
+    *
+    * The rewrite REBUILDS `_keys` and `_bands` from `_docs` (the source of
+    * truth — written first by [[append]]'s fail-safe order), so a partial
+    * append heals here too: keys/bands become exactly the kernel pass over
+    * the surviving docs. Each table is written to a fresh generation path
+    * bucketed identically, then swapped in with a metadata-only
+    * drop+rename — probes in flight keep reading the old files, which
+    * remain on disk for orphan collection (the [[graft.sources.GraftCatalog]]
+    * orphan-detection discipline). The pre-write `repartition(NumBuckets,
+    * bucketCol)` aligns shuffle partitions with bucket ids, so each bucket
+    * lands as exactly one file.
+    */
+  def compactIndex(dir: String): Unit = {
+    // bucketed-by-doc_id read → exchange-free dropDuplicates
+    val corpus = docs.select(col("doc_id"), col("text")).dropDuplicates("doc_id")
+    val p = prepare(corpus).cache()
+    val gen = java.lang.Long.toHexString(System.nanoTime())
+    def swapIn(suffix: String, bcol: String, df: DataFrame): Unit = {
+      val t = s"${name}_$suffix"
+      val tmp = s"${t}_compact_tmp"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      df.repartition(NumBuckets, col(bcol))
+        .write.mode("overwrite").bucketBy(NumBuckets, bcol)
+        .option("path", s"$dir/${t}_$gen").saveAsTable(tmp)
+      spark.sql(s"DROP TABLE IF EXISTS $t") // external: files stay readable
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
+    }
+    swapIn("docs", "doc_id", p.select(col("doc_id"), col("text"), col("n")))
+    swapIn("bands", "bkey", bandsOf(p.filter(size(col("sig")) > 0)))
+    swapIn("keys", "k", p.select(col("k")).distinct())
+    p.unpersist()
   }
 
   /** The band-probe join in isolation — exposed so tests can assert the

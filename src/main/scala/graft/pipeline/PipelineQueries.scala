@@ -1719,21 +1719,14 @@ object PipelineQueries {
 
   /** Per-vector int8 scalar quantization: `floor(x * 127/max|x| + 0.5)` —
     * the memory-reduction lever of large-scale ANN (4× smaller vectors,
-    * integer dot products). All-zero vectors quantize to zero.
+    * integer dot products). All-zero vectors quantize to zero. One
+    * codegen'd kernel call per row ([[graft.functions.VectorOps.quantizeInt8]]);
+    * the earlier staged-projection formulation was re-inlined by
+    * `CollapseProject` into an O(d²)-per-row lambda no matter how the
+    * scale was hoisted, so the whole pass lives in one opaque kernel.
     */
-  /** The int8 scale factor 127/max|x| as its own column — computed once
-    * per ROW; inlined into the per-element lambda it would be recomputed
-    * O(d) times per element (O(d²) per row on the interpreted HOF path).
-    */
-  private def quantScale(v: Column): Column = {
-    val mx = array_max(transform(v, x => abs(x.cast("double"))))
-    when(mx === 0d, lit(0d)).otherwise(lit(127d) / mx)
-  }
-
-  private def quantized(v: Column, scale: Column): Column =
-    // floor() yields bigint; back to double so the sequential-fold dot
-    // kernel applies (values are exact small integers either way)
-    transform(v, x => floor(x.cast("double") * scale + lit(0.5d)).cast("double"))
+  private def quantized(v: Column): Column =
+    graft.functions.VectorOps.quantizeInt8C(v)
 
   /** Q101: quantization-accuracy audit — for q42's broadcast query set,
     * the top-5 exact-cosine neighbors with their INT8-quantized cosine and
@@ -1748,9 +1741,7 @@ object PipelineQueries {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"),
         normD(col("embedding")).as("nrm"),
-        quantScale(col("embedding")).as("qs"))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        quantized(col("embedding"), col("qs")).as("qv"))
+        quantized(col("embedding")).as("qv"))
       .withColumn("qnrm", sqrt(dotD(col("qv"), col("qv"))))
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),

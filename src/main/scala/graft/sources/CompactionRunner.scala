@@ -77,7 +77,11 @@ object CompactionRunner {
       batchParallelism: Option[Int] = None,
       // the reference's `data_file_prefix` (`config/mod.rs:25`): output
       // data files are named `<prefix>-...` instead of Spark's `part-...`
-      dataFilePrefix: Option[String] = None)
+      dataFilePrefix: Option[String] = None,
+      // incremental mode: delete files are APPLIED to the rewritten delta
+      // but NOT retired — they may still suppress rows in data files
+      // outside the delta, so the commit must keep them pending
+      retireDeleteFiles: Boolean = true)
 
   final case class DataFileStats(
       path: String,
@@ -165,16 +169,15 @@ object CompactionRunner {
     val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
     val scans = byFormat.flatMap {
       case ("parquet", ts) if canonicalSchema.isDefined =>
-        val fps = schemaFingerprints(spark, ts.map(_.path))
-        ts.groupBy(t => fps(t.path)).toSeq
-          .sortBy(_._2.head.path)
-          .map { case (_, group) =>
-            // one driver-side schema resolution per DISTINCT physical
-            // schema (bounded by the table's evolution history), not per
-            // file — the per-file footers were read distributed above
-            val fileSchema = spark.read.parquet(group.head.path).schema
-            evolvedParquetScan(spark, group, fileSchema, canonicalSchema.get)
-          }
+        val byPath = ts.map(t => t.path -> t).toMap
+        schemaGroups(spark, ts.map(_.path)).map { groupPaths =>
+          // one driver-side schema resolution per DISTINCT physical
+          // schema (bounded by the table's evolution history), not per
+          // file — footers were read AND grouped distributed above
+          val group = groupPaths.map(byPath)
+          val fileSchema = spark.read.parquet(group.head.path).schema
+          evolvedParquetScan(spark, group, fileSchema, canonicalSchema.get)
+        }
       case ("avro", ts) =>
         Seq(AvroScan.readWithHiddenCols(spark, ts.map(_.path)))
       case (fmt, ts) => Seq {
@@ -218,15 +221,18 @@ object CompactionRunner {
         .otherwise(col(MorPlanner.SeqNumCol)))
   }
 
-  /** Physical-schema fingerprint (SHA-256 of the parquet footer schema) of
-    * every file, computed in ONE distributed metadata job: executors read
-    * footers in parallel and the driver collects a fixed-size digest per
-    * path. The previous per-file `spark.read` on the driver was a
-    * sequential footer loop — at 10^6 input files a planning-time
-    * bottleneck even though each read is cheap.
+  /** Group files by their physical parquet schema (SHA-256 of the footer
+    * schema) in ONE distributed metadata job, with the GROUPING done on
+    * executors too: footers are read in parallel, (digest, path) pairs
+    * shuffle once keyed by digest, and the driver collects one row per
+    * DISTINCT schema — member-path lists whose total size is the task list
+    * planning already holds. The previous per-file path→digest collect was
+    * a ~100 MB driver map at 10^6 input files even though the group count
+    * is bounded by the table's evolution history. Output order and member
+    * order are deterministic (sorted by path) so plans stay stable.
     */
-  private def schemaFingerprints(
-      spark: SparkSession, paths: Seq[String]): Map[String, String] = {
+  private def schemaGroups(
+      spark: SparkSession, paths: Seq[String]): Seq[Seq[String]] = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val slices = math.max(1, math.min(paths.length,
@@ -240,8 +246,12 @@ object CompactionRunner {
         finally reader.close()
       val digest = java.security.MessageDigest.getInstance("SHA-256")
         .digest(schemaStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      p -> digest.map("%02x".format(_)).mkString
-    }.collect().toMap
+      digest.map("%02x".format(_)).mkString -> p
+    }.aggregateByKey(List.empty[String])((acc, p) => p :: acc, _ ::: _)
+      .values.map(_.sorted)
+      .collect() // one element per distinct schema, not per file
+      .sortBy(_.head)
+      .map(_.toSeq).toSeq
   }
 
   /** One distributed scan of a group of parquet files sharing a physical
@@ -483,8 +493,9 @@ object CompactionRunner {
       addedFiles = added,
       removedDataFiles = removedData,
       removedDeleteFiles =
-        (dedupByPath(posDeletes)(_.path).map(t => canonPath(t.path)) ++
-          dedupByPath(eqDeletes)(_.path).map(t => canonPath(t.path))),
+        if (!config.retireDeleteFiles) Nil
+        else dedupByPath(posDeletes)(_.path).map(t => canonPath(t.path)) ++
+          dedupByPath(eqDeletes)(_.path).map(t => canonPath(t.path)),
       outputRecordCount = added.map(_.recordCount).sum,
       rewrittenFilesCount = removedData.size.toLong,
       rewrittenBytes = rewrittenBytes,

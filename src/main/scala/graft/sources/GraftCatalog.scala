@@ -445,8 +445,105 @@ final class GraftCatalog(root: String) {
         .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil))
       val snapId = commitRewriteLocked(table, added,
         manifest.removedDataFiles ++ manifest.removedDeleteFiles)
+      writeCompactWatermark(table, snapId)
       (snapId, manifest)
     }
+
+  // ---- incremental compaction (the reference's own roadmap item:
+  // `README.md:30` "Incremental compaction") --------------------------------
+
+  private def watermarkPath(table: String) =
+    tableDir(table).resolve("COMPACT_WATERMARK")
+
+  /** The snapshot produced by the last compaction (full or incremental), if
+    * any — the baseline an incremental compaction diffs against.
+    */
+  def lastCompactedSnapshotId(table: String): Option[Long] =
+    if (!Files.exists(watermarkPath(table))) None
+    else Some(Files.readString(watermarkPath(table)).trim.toLong)
+
+  private def writeCompactWatermark(table: String, id: Long): Unit = {
+    val tmp = tableDir(table).resolve(
+      s".COMPACT_WATERMARK.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp, id.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, watermarkPath(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Incremental compaction: rewrite ONLY the data files appended since the
+    * last compaction's snapshot ([[appendedFilesBetween]] — the append-diff
+    * scan), leaving earlier compacted outputs physically untouched. At
+    * production cadence this is the whole point of the watermark: each run
+    * touches the delta, never the table.
+    *
+    * Pending delete files are APPLIED to the rewritten delta (the rewritten
+    * rows come out clean, and the new outputs' sequence number places them
+    * above every pending eq-delete) but are NOT blanket-retired — a delete
+    * committed since the last compaction may still suppress rows in the
+    * untouched older outputs. The commit retires only eq-delete files that
+    * are provably DEAD after the rewrite: the strict `data.seq < delete.seq`
+    * guard means an eq-delete no kept data file undercuts can never match
+    * again. Position-delete files always stay pending (whether one still
+    * references a surviving file is content, not metadata — retiring on
+    * content is a full compaction's job).
+    *
+    * Falls back to a FULL [[compactTable]] when there is no watermark yet or
+    * the watermark snapshot has been expired (the diff base is gone).
+    * Returns `(currentSnapshotId, empty manifest)` without committing when
+    * nothing was appended since the watermark.
+    */
+  def compactTableIncremental(
+      spark: SparkSession,
+      table: String,
+      outDir: String,
+      config: CompactionConfig = CompactionConfig()): (Long, CommitManifest) = {
+    val base = lastCompactedSnapshotId(table)
+      .filter(snapshotIds(table).contains)
+    base match {
+      case None => compactTable(spark, table, outDir, config)
+      case Some(wm) => withTableLock(table) {
+        val head = currentSnapshotId(table)
+        val delta = appendedFilesBetween(table, wm, head)
+        if (delta.isEmpty) {
+          (head, CommitManifest(Nil, Nil, Nil, 0L))
+        } else {
+          val entries = loadEntries(table)
+          val manifest = CompactionRunner.compact(spark,
+            delta,
+            entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
+            entries.collect { case e if e.kind == "eqdel" =>
+              EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+            },
+            outDir, config.copy(retireDeleteFiles = false), currentSchema(table))
+          val maxSeq = entries.map(_.seqNum).max
+          val added = manifest.addedFiles
+            .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil))
+          // dead eq-deletes: after the rewrite the kept data files are
+          // (all data minus the delta) plus the new outputs at maxSeq+1;
+          // an eq-delete with no kept file strictly below its seq can
+          // never suppress a row again — retire it in the same commit
+          val removedSet = manifest.removedDataFiles
+            .flatMap(p => Seq(p, CompactionRunner.canonPath(p))).toSet
+          val keptDataSeqs = entries.collect {
+            case e if e.kind == "data" &&
+              !removedSet(CompactionRunner.canonPath(e.path)) &&
+              !removedSet(e.path) => e.seqNum
+          }
+          val deadEqDeletes = entries.collect {
+            case e if e.kind == "eqdel" &&
+              !keptDataSeqs.exists(_ < e.seqNum) => e.path
+          }
+          val snapId = commitRewriteLocked(table, added,
+            manifest.removedDataFiles ++ deadEqDeletes)
+          writeCompactWatermark(table, snapId)
+          (snapId, manifest.copy(removedDeleteFiles = deadEqDeletes
+            .map(CompactionRunner.canonPath)))
+        }
+      }
+    }
+  }
 
   private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
     val body = entries.map(e =>

@@ -114,12 +114,29 @@ object IcebergManifest {
     * `schema` — the inverse of [[write]], and the structure
     * [[CompactionRunner.pruneByStats]] consumes.
     */
-  def read(path: String, schema: StructType): Seq[ManifestEntry] = {
+  def read(
+      path: String,
+      schema: StructType,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Seq[ManifestEntry] = {
     val idToName: Map[Int, String] =
       schema.fields.zipWithIndex.map { case (f, i) =>
         FieldIds.idOf(f).getOrElse(-(i + 1)) -> f.name
       }.toMap
-    val r = new DataFileReader(new java.io.File(path),
+    // scheme-aware like write(): a manifest the compactor lands on s3a/hdfs
+    // must be readable back through the same FileSystem, not java.io.File
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(conf)
+    val fileLen = fs.getFileStatus(hp).getLen
+    val in = fs.open(hp)
+    val seekable = new org.apache.avro.file.SeekableInput {
+      override def read(b: Array[Byte], off: Int, len: Int): Int = in.read(b, off, len)
+      override def seek(p: Long): Unit = in.seek(p)
+      override def tell(): Long = in.getPos
+      override def length(): Long = fileLen
+      override def close(): Unit = in.close()
+    }
+    val r = new DataFileReader(seekable,
       new GenericDatumReader[GenericRecord](EntrySchema))
     try r.iterator().asScala.map { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]

@@ -26,11 +26,30 @@ object IcebergMetadataJson {
       case c => c.toString
     }
 
-  /** Spark → Iceberg type names (spec "Schemas and Data Types"). Nested
-    * types render as nested JSON objects; field ids for nested levels are
-    * not tracked by this catalog and render as 0 (top-level ids are real).
+  /** Deterministic id allocator for fields the catalog does not track
+    * (nested list/map element/key/value slots and id-less top-level
+    * columns). Iceberg requires every field id in a table-metadata
+    * document to be unique — rendering 0 for each untracked slot produced
+    * duplicate ids that external tooling rejects. Synthetic ids start
+    * above the highest REAL id across all schemas and are memoized by
+    * field path, so the same column keeps the same id in every schema of
+    * the export (no cross-schema misbinding) and `last-column-id` can
+    * cover them per spec.
     */
-  private def icebergType(dt: DataType): String = dt match {
+  private final class IdAllocator(maxRealId: Int) {
+    private var next = maxRealId + 1
+    private val byPath = scala.collection.mutable.HashMap.empty[String, Int]
+    def id(path: String): Int =
+      byPath.getOrElseUpdate(path, { val v = next; next += 1; v })
+    def last: Int = next - 1
+  }
+
+  /** Spark → Iceberg type names (spec "Schemas and Data Types"). Nested
+    * types render as nested JSON objects; ids for nested levels are
+    * allocated synthetically by path (top-level ids are real when the
+    * catalog tracks them).
+    */
+  private def icebergType(dt: DataType, path: String, ids: IdAllocator): String = dt match {
     case BooleanType => "\"boolean\""
     case IntegerType | ShortType | ByteType => "\"int\""
     case LongType => "\"long\""
@@ -43,27 +62,32 @@ object IcebergMetadataJson {
     case BinaryType => "\"binary\""
     case d: DecimalType => s""""decimal(${d.precision}, ${d.scale})""""
     case a: ArrayType =>
-      s"""{"type":"list","element-id":0,"element":${icebergType(a.elementType)},""" +
+      val eid = ids.id(s"$path.element")
+      s"""{"type":"list","element-id":$eid,""" +
+        s""""element":${icebergType(a.elementType, s"$path.element", ids)},""" +
         s""""element-required":${!a.containsNull}}"""
     case m: MapType =>
-      s"""{"type":"map","key-id":0,"key":${icebergType(m.keyType)},""" +
-        s""""value-id":0,"value":${icebergType(m.valueType)},""" +
+      val kid = ids.id(s"$path.key")
+      val vid = ids.id(s"$path.value")
+      s"""{"type":"map","key-id":$kid,"key":${icebergType(m.keyType, s"$path.key", ids)},""" +
+        s""""value-id":$vid,"value":${icebergType(m.valueType, s"$path.value", ids)},""" +
         s""""value-required":${!m.valueContainsNull}}"""
     case s: StructType =>
-      s"""{"type":"struct","fields":[${structFields(s)}]}"""
+      s"""{"type":"struct","fields":[${structFields(s, path, ids)}]}"""
     case other =>
       throw GraftError.Metadata(s"no Iceberg rendering for ${other.catalogString}")
   }
 
-  private def structFields(s: StructType): String =
+  private def structFields(s: StructType, path: String, ids: IdAllocator): String =
     s.fields.map { f =>
-      val id = FieldIds.idOf(f).getOrElse(0)
+      val fpath = s"$path.${f.name}"
+      val id = FieldIds.idOf(f).getOrElse(ids.id(fpath))
       s"""{"id":$id,"name":"${esc(f.name)}","required":${!f.nullable},""" +
-        s""""type":${icebergType(f.dataType)}}"""
+        s""""type":${icebergType(f.dataType, fpath, ids)}}"""
     }.mkString(",")
 
-  private def schemaJson(id: Long, s: StructType): String =
-    s"""{"schema-id":$id,"type":"struct","fields":[${structFields(s)}]}"""
+  private def schemaJson(id: Long, s: StructType, ids: IdAllocator): String =
+    s"""{"schema-id":$id,"type":"struct","fields":[${structFields(s, "", ids)}]}"""
 
   /** Write `vN.metadata.json` (N = current snapshot id) into the table
     * directory and return its path.
@@ -77,10 +101,12 @@ object IcebergMetadataJson {
       .maxOption.getOrElse(0L)
     // spec: highest column id ever ASSIGNED (all schemas, not just current)
     // — an external writer allocates last-column-id + 1 for its next column,
-    // and a dropped column's id must never be reachable that way
-    val lastColumnId = schemas
+    // and a dropped column's id must never be reachable that way. Synthetic
+    // ids (nested/id-less fields) allocate above this and are folded back in.
+    val maxRealId = schemas
       .flatMap { case (_, s) => s.fields.flatMap(FieldIds.idOf) }
       .maxOption.getOrElse(0)
+    val idAlloc = new IdAllocator(maxRealId)
     def mtime(id: Long): Long =
       try Files.getLastModifiedTime(dir.resolve(s"snap-$id.tsv")).toMillis
       catch { case _: Exception => 0L }
@@ -95,6 +121,10 @@ object IcebergMetadataJson {
       s"""{"timestamp-ms":${mtime(id)},"snapshot-id":$id}""").mkString(",")
     val uuid = java.util.UUID.nameUUIDFromBytes(
       s"graft:$root/$table".getBytes("UTF-8"))
+    // render schemas BEFORE last-column-id: rendering allocates the
+    // synthetic nested/id-less ids that last-column-id must cover
+    val schemasJson = schemas.map { case (id, s) => schemaJson(id, s, idAlloc) }.mkString(",")
+    val lastColumnId = idAlloc.last
     val json =
       s"""{"format-version":2,
          |"table-uuid":"$uuid",
@@ -103,7 +133,7 @@ object IcebergMetadataJson {
          |"last-updated-ms":${mtime(head)},
          |"last-column-id":$lastColumnId,
          |"current-schema-id":$currentSchemaId,
-         |"schemas":[${schemas.map { case (id, s) => schemaJson(id, s) }.mkString(",")}],
+         |"schemas":[$schemasJson],
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[]}],
          |"last-partition-id":999,

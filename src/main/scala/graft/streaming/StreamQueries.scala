@@ -37,26 +37,38 @@ object StreamQueries {
     * sizes UP with key cardinality; it is per-query state layout, not a
     * session-wide choice, which is exactly why it's scoped here.
     */
-  private def runToCompletion(df: DataFrame, mode: String): DataFrame = {
+  private def runToCompletion(
+      df: DataFrame, mode: String,
+      scopedConfs: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     val name = s"graft_stream_sink_${sinkId.incrementAndGet()}"
-    // the set/restore of a session-global conf is serialized: interleaved
-    // pairs from two threads could strand the clamped value on the session
+    // the set/restore of session-global confs is serialized: interleaved
+    // pairs from two threads could strand a value on the session
     // (start() clones the session synchronously, so restoring before
-    // awaitTermination is safe)
+    // awaitTermination is safe). scopedConfs (e.g. q100's RocksDB state
+    // store provider) ride the SAME critical section — set outside it, a
+    // concurrently starting stream could clone the session mid-override.
     val q = startLock.synchronized {
       val conf = spark.conf
       val prev = conf.get("spark.sql.shuffle.partitions")
+      val prevScoped = scopedConfs.keys.map(k => k -> conf.getOption(k)).toMap
       try {
         conf.set("spark.sql.shuffle.partitions",
           math.min(8, prev.toInt).toString)
+        scopedConfs.foreach { case (k, v) => conf.set(k, v) }
         df.writeStream
           .format("memory")
           .queryName(name)
           .outputMode(mode)
           .trigger(Trigger.AvailableNow())
           .start()
-      } finally conf.set("spark.sql.shuffle.partitions", prev)
+      } finally {
+        conf.set("spark.sql.shuffle.partitions", prev)
+        prevScoped.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None) => conf.unset(k)
+        }
+      }
     }
     q.awaitTermination()
     // materialize OFF the memory sink and drop it: the sink's rows live on
@@ -355,15 +367,12 @@ object StreamQueries {
       .transformWithState(new RunningStatsProcessor, TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Update())
       .toDF("user_id", "n_events", "total_value", "max_value")
-    val conf = spark.conf
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = conf.get(key,
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
-    try {
-      conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      runUpdate(updates)
-    } finally conf.set(key, prev)
+    // the provider override rides runToCompletion's startLock section:
+    // set/restored atomically with the start, so a concurrently starting
+    // stream can never clone the session with RocksDB accidentally set
+    runToCompletion(updates, "update", Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
   }
 
   private val q100Sql =

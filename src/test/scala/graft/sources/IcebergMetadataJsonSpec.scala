@@ -48,6 +48,37 @@ class IcebergMetadataJsonSpec extends SparkSpec {
       .get.getAs[Boolean]("required"))
   }
 
+  test("nested and id-less fields get unique synthetic ids covered by last-column-id") {
+    val root = Files.createTempDirectory("graft-meta3").toString
+    val cat = new GraftCatalog(root)
+    // top-level ids are real (catalog requires them); the nested list/map
+    // slots have no tracked ids — they must come out unique, not 0
+    val schema = FieldIds.stamp(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("tags", ArrayType(StringType)),
+      StructField("attrs", MapType(StringType, ArrayType(LongType))),
+      StructField("point", StructType(Seq(
+        StructField("x", DoubleType), StructField("y", DoubleType)))))))
+    cat.createTable("t", Seq(DataFileTask("/a.parquet", 1)), Some(schema))
+    val text = Files.readString(IcebergMetadataJson.export(cat, root, "t"))
+
+    // collect every field id in the document: "id":N, element-id, key-id, value-id
+    val idPattern = """"(?:id|element-id|key-id|value-id)":(-?\d+)""".r
+    val ids = idPattern.findAllMatchIn(text).map(_.group(1).toLong).toSeq
+    assert(ids.nonEmpty)
+    assert(!ids.contains(0L), s"id 0 emitted: $text")
+    assert(ids.distinct.length == ids.length, s"duplicate field ids in: $ids")
+    // last-column-id covers the synthetic allocations
+    val lastColumnId = """"last-column-id":(\d+)""".r
+      .findFirstMatchIn(text).get.group(1).toLong
+    assert(lastColumnId == ids.max,
+      s"last-column-id $lastColumnId does not cover max id ${ids.max}")
+
+    // a second export is deterministic: same ids for the same schema
+    val text2 = Files.readString(IcebergMetadataJson.export(cat, root, "t"))
+    assert(idPattern.findAllMatchIn(text2).map(_.group(1).toLong).toSeq == ids)
+  }
+
   test("export reflects schema evolution: current-schema-id tracks HEAD") {
     val root = Files.createTempDirectory("graft-meta2").toString
     val cat = new GraftCatalog(root)

@@ -74,9 +74,15 @@ def main(sf_dir: str, out_dir: str) -> int:
 
     # Negative control: perturb one oracle and require the compare to FAIL —
     # a checker that can't fail is not a gate. Runs by default (cheap); the
-    # control query is the first alphabetically.
+    # control query is the first alphabetically whose result has >= 1 row
+    # (LIMIT count-1 on a 0-row result would be LIMIT -1: a DuckDB error or
+    # all-rows no-op, either way a spurious gate verdict).
     if n_fail == 0 and oracles and "--no-negative-control" not in sys.argv:
-        name = sorted(oracles)[0]
+        name = next((n for n in sorted(oracles)
+                     if len(con.execute(oracles[n]).df()) >= 1), None)
+        if name is None:
+            print("NEGATIVE CONTROL SKIPPED: every oracle returns 0 rows")
+            return 0
         got = canon(pd.read_parquet(f"{out_dir}/{name}"))
         want = canon(con.execute(
             f"SELECT * FROM ({oracles[name]}) LIMIT (SELECT count(*) - 1 "
