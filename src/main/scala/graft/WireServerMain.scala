@@ -6,10 +6,14 @@ import org.apache.spark.sql.SparkSession
   * `services/compactor` binary (tonic server on :7777,
   * `services/compactor/src/server.rs:24-34`, port from
   * `docker/compactor/config.yaml`). One long-lived Spark session serves
-  * RewriteFiles/Echo frames until killed.
+  * `compactor.CompactorService` until killed — by default over REAL gRPC
+  * (HTTP/2 cleartext, [[graft.wire.GrpcCompactionServer]]), exactly the
+  * doorway a tonic/stock client dials; the legacy framed-TCP transport
+  * stays selectable for zero-netty environments.
   *
-  *   GRAFT_WIRE_PORT  listen port (default 7777, the reference's)
-  *   SPARK_GRAFT_CPUS local parallelism (default: host cores, capped at 32)
+  *   GRAFT_WIRE_PORT       listen port (default 7777, the reference's)
+  *   GRAFT_WIRE_TRANSPORT  "grpc" (default) | "framed"
+  *   SPARK_GRAFT_CPUS      local parallelism (default: host cores, cap 32)
   */
 object WireServerMain {
   def main(args: Array[String]): Unit = {
@@ -27,10 +31,20 @@ object WireServerMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val server = new graft.wire.WireCompactionServer(spark, port)
-    // stderr: sbt passes it through unwrapped (same reasoning as Bench)
-    System.err.println(
-      s"graft wire compaction server listening on 127.0.0.1:${server.boundPort}")
-    server.serveLoop()
+    sys.env.getOrElse("GRAFT_WIRE_TRANSPORT", "grpc") match {
+      case "framed" =>
+        val server = new graft.wire.WireCompactionServer(spark, port)
+        // stderr: sbt passes it through unwrapped (same reasoning as Bench)
+        System.err.println(
+          s"graft framed-TCP compaction server on 127.0.0.1:${server.boundPort}")
+        server.serveLoop()
+      case _ =>
+        val server = new graft.wire.GrpcCompactionServer(spark, port)
+        System.err.println(
+          s"graft gRPC (h2c) compaction server on 127.0.0.1:${server.boundPort} " +
+            s"serving ${graft.wire.GrpcCompactionServer.PathRewriteFiles}")
+        // netty owns the event loop; park the main thread until killed
+        new java.util.concurrent.CountDownLatch(1).await()
+    }
   }
 }

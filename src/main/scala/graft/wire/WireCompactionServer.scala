@@ -5,12 +5,12 @@ import java.io.{DataInputStream, DataOutputStream}
 import java.net.{InetAddress, ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 
-/** Network entry point for the wire surface: the reference runs a tonic
-  * (gRPC) server on :7777 serving `CompactorService` (RewriteFiles + Echo,
-  * `services/compactor/src/rpc.rs`). gRPC itself is HTTP/2 framing around
-  * exactly the protobuf payloads [[CompactorProto]] speaks; this repo adds
-  * no HTTP/2 dependency, so the transport here is a minimal length-prefixed
-  * frame over TCP carrying those SAME payload bytes:
+/** MINIMAL network entry point for the wire surface: the reference runs a
+  * tonic (gRPC) server on :7777 serving `CompactorService` (RewriteFiles +
+  * Echo, `services/compactor/src/rpc.rs`). The REAL gRPC (HTTP/2 cleartext)
+  * doorway is [[GrpcCompactionServer]]; this class remains as the
+  * zero-netty fallback transport — a length-prefixed frame over TCP
+  * carrying the SAME payload bytes:
   *
   * {{{
   * request  frame: [1 byte method][4-byte big-endian payload length][payload]
