@@ -19,7 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     MorQueries.queries ++ TransformQueries.queries ++
       JoinQueries.queries ++ AggQueries.queries ++ MiscQueries.queries ++
-      TpchQueries.queries ++
+      TpchQueries.queries ++ TpchDeepQueries.queries ++
       graft.functions.ScalarQueries.queries ++
       graft.pipeline.PipelineQueries.queries ++
       graft.plans.PlanQueries.queries ++
@@ -29,7 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     MorQueries.oracleSql ++ TransformQueries.oracleSql ++
       JoinQueries.oracleSql ++ AggQueries.oracleSql ++ MiscQueries.oracleSql ++
-      TpchQueries.oracleSql ++
+      TpchQueries.oracleSql ++ TpchDeepQueries.oracleSql ++
       graft.functions.ScalarQueries.oracleSql ++
       graft.pipeline.PipelineQueries.oracleSql ++
       graft.plans.PlanQueries.oracleSql ++
