@@ -93,6 +93,10 @@ object GraftFunctions {
     "graft_iceberg_bucket" -> { args =>
       expect(2, "graft_iceberg_bucket")(args)
       IcebergBucket(args.head, intArg(args(1), "graft_iceberg_bucket", 2))
+    },
+    "graft_interleave_bits" -> { args =>
+      expect(2, "graft_interleave_bits")(args)
+      InterleaveBits(args.head, args(1))
     })
 
   private def infoFor(name: String): ExpressionInfo =

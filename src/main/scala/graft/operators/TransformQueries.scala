@@ -37,9 +37,26 @@ object TransformQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Q113: the z-order (Morton) layout transform as a gate query — the
+    * clustering key of [[graft.sources.CompactionRunner]]'s zOrderBy
+    * rewrite, pinned value-exact against an oracle that unrolls the same
+    * 16-bit interleave as plain shift/mask arithmetic. Grouped by z-bucket
+    * (bits ≥16) to keep the output small while covering the full curve.
+    */
+  private def q113(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val z = graft.functions.ZOrder.interleaveC(
+      col("l_partkey") % 65536, col("l_suppkey") % 65536)
+    li.select(shiftright(z, 16).as("z_bucket"), z.as("zval"))
+      .groupBy(col("z_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("zval")).as("z_min"),
+        max(col("zval")).as("z_max"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q5_transforms" -> (q5 _),
-    "q5_bucket" -> (q5b _))
+    "q5_bucket" -> (q5b _),
+    "q113_zorder" -> (q113 _))
 
   val oracleSql: Map[String, String] = Map(
     "q5_transforms" ->
@@ -86,5 +103,18 @@ object TransformQueries {
         |       CAST((h2.h & 2147483647) % 4 AS INTEGER) AS b_shipdate,
         |       count(*) AS n
         |FROM raw r JOIN hv h1 ON h1.v = r.okey JOIN hv h2 ON h2.v = r.sd_us
-        |GROUP BY 1, 2, 3""".stripMargin)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q113_zorder" -> {
+      // the kernel's 16-bit Morton interleave, unrolled to shift/mask terms
+      val interleave = (0 until 16).map(i =>
+        s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT l_partkey % 65536 AS a, l_suppkey % 65536 AS b
+         |  FROM lineitem),
+         |z AS (SELECT CAST($interleave AS BIGINT) AS zval FROM t)
+         |SELECT zval >> 16 AS z_bucket, CAST(count(*) AS BIGINT) AS n,
+         |       min(zval) AS z_min, max(zval) AS z_max
+         |FROM z GROUP BY 1""".stripMargin
+    })
 }

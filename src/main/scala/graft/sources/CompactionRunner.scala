@@ -70,6 +70,15 @@ object CompactionRunner {
       // within files, so per-file min/max stats become near-disjoint and
       // stats-based pruning (see [[pruneByStats]]) skips most files
       clusterBy: Seq[String] = Nil,
+      // Z-ORDER cluster output on exactly two columns: rows sort along the
+      // Morton curve of their range-normalized ordinals, so per-file
+      // min/max bounds are tight in BOTH dimensions — box predicates prune
+      // files that no single-column sort order could skip (Iceberg's
+      // `rewrite_data_files` zorder strategy). Mutually exclusive with
+      // clusterBy; takes one extra column-pruned pass over the inputs for
+      // the normalization ranges (parquet footers make this metadata-only
+      // on a production table)
+      zOrderBy: Seq[String] = Nil,
       // the reference's `batch_parallelism` (`core/src/config/mod.rs:23`):
       // execution parallelism of the rewrite. Spark analog is the job's
       // shuffle-partition count, applied for the duration of the compact
@@ -219,6 +228,50 @@ object CompactionRunner {
         raise_error(concat(lit("no seq-number task entry for scanned file "),
           col(MorPlanner.FilePathCol))))
         .otherwise(col(MorPlanner.SeqNumCol)))
+  }
+
+  /** Z-order the MoR-merged output: range-normalize both cluster columns
+    * to 16-bit ordinals against min/max taken from the RAW input scan
+    * (bounds over the pre-delete superset are still valid bounds — deletes
+    * only shrink ranges — and the column-pruned stats pass reads just the
+    * two columns), Morton-interleave them ([[graft.functions.ZOrder]]),
+    * then range-partition + sort on the z-value so each output file covers
+    * a compact square-ish region of (a, b) space. The helper column never
+    * reaches the writer.
+    */
+  private def zOrderCluster(
+      merged: DataFrame,
+      statsSource: DataFrame,
+      cols: Seq[String],
+      nParts: Int): DataFrame = {
+    require(cols.length == 2,
+      s"zOrderBy interleaves exactly 2 columns, got ${cols.length}")
+    val Seq(ca, cb) = cols
+    cols.foreach { c =>
+      require(statsSource.schema(c).dataType.isInstanceOf[
+          org.apache.spark.sql.types.NumericType],
+        s"zOrderBy column $c must be numeric, is " +
+          statsSource.schema(c).dataType.catalogString)
+    }
+    val r = statsSource.agg(
+      min(col(ca).cast("double")).as("mna"), max(col(ca).cast("double")).as("mxa"),
+      min(col(cb).cast("double")).as("mnb"), max(col(cb).cast("double")).as("mxb"))
+      .head()
+    if (r.isNullAt(0) || r.isNullAt(2)) return merged // no rows to cluster
+    def ord(c: String, mn: Double, mx: Double): Column =
+      if (mx > mn)
+        floor((col(c).cast("double") - lit(mn)) * lit(65535.0) / lit(mx - mn))
+          .cast("long")
+      else lit(0L)
+    val zCol = "_graft_zvalue"
+    require(!merged.columns.contains(zCol), s"column $zCol already exists")
+    merged
+      .withColumn(zCol, graft.functions.ZOrder.interleaveC(
+        ord(ca, r.getDouble(0), r.getDouble(1)),
+        ord(cb, r.getDouble(2), r.getDouble(3))))
+      .repartitionByRange(nParts, col(zCol))
+      .sortWithinPartitions(col(zCol))
+      .drop(zCol)
   }
 
   /** Group files by their physical parquet schema (SHA-256 of the footer
@@ -413,9 +466,14 @@ object CompactionRunner {
     // X1: force output stream count, like the reference when the plan's
     // natural partitioning differs from target_partitions. With clusterBy,
     // a RANGE repartition + in-file sort replaces round-robin so file-level
-    // min/max stats become selective.
+    // min/max stats become selective; with zOrderBy the same but along the
+    // Morton curve of both columns' range-normalized ordinals.
+    require(config.clusterBy.isEmpty || config.zOrderBy.isEmpty,
+      "clusterBy and zOrderBy are mutually exclusive sort strategies")
     val repartitioned =
-      if (config.clusterBy.nonEmpty && config.targetPartitions > 0)
+      if (config.zOrderBy.nonEmpty && config.targetPartitions > 0)
+        zOrderCluster(merged, data, config.zOrderBy, config.targetPartitions)
+      else if (config.clusterBy.nonEmpty && config.targetPartitions > 0)
         merged.repartitionByRange(config.targetPartitions,
             config.clusterBy.map(col): _*)
           .sortWithinPartitions(config.clusterBy.map(col): _*)
