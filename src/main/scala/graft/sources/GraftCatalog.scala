@@ -545,6 +545,34 @@ final class GraftCatalog(root: String) {
     }
   }
 
+  /** Auto-compaction cadence: compact only when the small-file debt since
+    * the last compaction reaches `minAppendedFiles` — the trigger loop a
+    * production deployment runs on every commit (or on a timer) instead of
+    * compacting blindly. Debt = data files appended since the watermark;
+    * a never-compacted table counts every data file. Below the threshold
+    * this is a pure metadata check — no Spark job, no commit. On trigger
+    * it delegates to [[compactTableIncremental]] (which rewrites only the
+    * delta, or falls back to full for a virgin table), so the cost of each
+    * triggered run is proportional to the debt, not the table.
+    */
+  def maybeCompactTable(
+      spark: SparkSession,
+      table: String,
+      outDir: String,
+      minAppendedFiles: Int = 8,
+      config: CompactionConfig = CompactionConfig()): Option[(Long, CommitManifest)] = {
+    require(minAppendedFiles > 0, "minAppendedFiles must be positive")
+    val debt = lastCompactedSnapshotId(table)
+      .filter(snapshotIds(table).contains) match {
+      case Some(wm) =>
+        appendedFilesBetween(table, wm, currentSnapshotId(table)).size
+      case None => loadTable(table).size
+    }
+    if (debt >= minAppendedFiles)
+      Some(compactTableIncremental(spark, table, outDir, config))
+    else None
+  }
+
   private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
     val body = entries.map(e =>
       s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}" +

@@ -135,4 +135,41 @@ class IncrementalCompactionSpec extends SparkSpec {
     assert(cat.lastCompactedSnapshotId("t").contains(snapId))
     assert(cat.scanTable(spark, "t").count() == 30)
   }
+
+  test("maybeCompactTable triggers only past the small-file threshold, debt resets") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-auto-base").toString
+    val out = Files.createTempDirectory("graft-auto-out").toString
+    def appendBatch(i: Int, rows: Range): Unit =
+      cat.commitRewrite("t",
+        writeParquet(rows.map(k => (k.toLong, s"v$k")), s"$base/b$i")
+          .map(DataFileTask(_, i + 1L)), Nil)
+    cat.createTable("t",
+      writeParquet((1 to 50).map(k => (k.toLong, s"v$k")), s"$base/b0")
+        .map(DataFileTask(_, 1L)))
+
+    // 1 file of debt (never compacted) < threshold 3 → pure no-op
+    assert(cat.maybeCompactTable(spark, "t", s"$out/a", minAppendedFiles = 3).isEmpty)
+    appendBatch(1, 51 to 60)
+    assert(cat.maybeCompactTable(spark, "t", s"$out/b", minAppendedFiles = 3).isEmpty)
+    // third file crosses the threshold → full compaction (no watermark yet)
+    appendBatch(2, 61 to 70)
+    val first = cat.maybeCompactTable(spark, "t", s"$out/c", minAppendedFiles = 3)
+    assert(first.nonEmpty)
+    assert(cat.lastCompactedSnapshotId("t").contains(first.get._1))
+    // debt reset by the watermark → no-op again
+    assert(cat.maybeCompactTable(spark, "t", s"$out/d", minAppendedFiles = 3).isEmpty)
+    // grow debt past the threshold again → INCREMENTAL run over the delta only
+    val deltas = (3 to 5).map { i =>
+      appendBatch(i, (100 + i * 10) to (109 + i * 10)); s"$base/b$i"
+    }
+    val second = cat.maybeCompactTable(spark, "t", s"$out/e", minAppendedFiles = 3)
+    assert(second.nonEmpty)
+    val deltaPaths = deltas.flatMap(d => new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(p =>
+        CompactionRunner.canonPath(p.getPath))).toSet
+    assert(second.get._2.removedDataFiles.toSet == deltaPaths,
+      "second trigger must rewrite exactly the post-watermark delta")
+    assert(cat.scanTable(spark, "t").count() == 50 + 10 * 2 + 10 * 3)
+  }
 }
