@@ -85,8 +85,7 @@ object ScalingProbe {
     import graft.sources.GraftCatalog
     import graft.sources.CompactionRunner.DataFileTask
     def parquetsIn(d: String): Seq[String] =
-      new java.io.File(d).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+      graft.sources.CompactionRunner.listParquet(d)
     val compRows = Seq(1, 4, 16).map { mult =>
       val corpus = spark.read.parquet(s"/tmp/graft_scale_$mult/documents.parquet")
       // fixed-size delta regardless of corpus size: ids disjoint from the corpus

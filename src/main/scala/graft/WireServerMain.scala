@@ -38,13 +38,19 @@ object WireServerMain {
         System.err.println(
           s"graft framed-TCP compaction server on 127.0.0.1:${server.boundPort}")
         server.serveLoop()
-      case _ =>
+      case "grpc" =>
         val server = new graft.wire.GrpcCompactionServer(spark, port)
         System.err.println(
           s"graft gRPC (h2c) compaction server on 127.0.0.1:${server.boundPort} " +
             s"serving ${graft.wire.GrpcCompactionServer.PathRewriteFiles}")
         // netty owns the event loop; park the main thread until killed
         new java.util.concurrent.CountDownLatch(1).await()
+      case other =>
+        // fail at startup, not with opaque frame errors at the first client
+        // connection speaking the wrong protocol
+        System.err.println(
+          s"unknown GRAFT_WIRE_TRANSPORT '$other' (expected: grpc | framed)")
+        sys.exit(2)
     }
   }
 }

@@ -116,6 +116,14 @@ object CompactionRunner {
       addedFilesCount: Long = 0L,
       failedFilesCount: Long = 0L)
 
+  /** The parquet files directly inside a local directory, sorted — the
+    * task-list discovery idiom every caller was hand-rolling. Returns
+    * empty for a missing directory rather than NPE-ing on `listFiles`.
+    */
+  def listParquet(dir: String): Seq[String] =
+    Option(new java.io.File(dir).listFiles()).fold(Seq.empty[String])(
+      _.filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq)
+
   /** J4: dedup tasks by path, first occurrence wins (HashMap-insert
     * semantics of `compaction/mod.rs:131-153`).
     */

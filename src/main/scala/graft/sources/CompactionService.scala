@@ -23,7 +23,7 @@ import scala.jdk.CollectionConverters._
   *  "equality_deletes":[{"path":"/ed.parquet","seq":9,
   *                       "equality_cols":["k"],"equality_ids":[1]}],
   *  "output_dir":"/out","target_partitions":4,
-  *  "stats_cols":["k"],"cluster_by":["k"],
+  *  "stats_cols":["k"],"cluster_by":["k"],"z_order_by":["a","b"],
   *  "partition_spec":[{"name":"p_year","transform":"year","source":"ts"},
   *                    {"name":"p_b","transform":"bucket[16]","source":"k"}]}
   * }}}
@@ -94,6 +94,7 @@ object CompactionService {
       partitionTransforms = transforms,
       statsCols = strings(req.get("stats_cols")),
       clusterBy = strings(req.get("cluster_by")),
+      zOrderBy = strings(req.get("z_order_by")),
       batchParallelism =
         if (req.has("batch_parallelism")) Some(req.get("batch_parallelism").asInt()) else None,
       dataFilePrefix =

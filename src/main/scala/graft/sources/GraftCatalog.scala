@@ -494,13 +494,19 @@ final class GraftCatalog(root: String) {
     * Returns `(currentSnapshotId, empty manifest)` without committing when
     * nothing was appended since the watermark.
     */
+  /** The watermark snapshot an incremental compaction can actually diff
+    * against: present AND not expired (an expired base means the diff
+    * chain is gone → callers fall back to full compaction).
+    */
+  private def usableWatermark(table: String): Option[Long] =
+    lastCompactedSnapshotId(table).filter(snapshotIds(table).contains)
+
   def compactTableIncremental(
       spark: SparkSession,
       table: String,
       outDir: String,
       config: CompactionConfig = CompactionConfig()): (Long, CommitManifest) = {
-    val base = lastCompactedSnapshotId(table)
-      .filter(snapshotIds(table).contains)
+    val base = usableWatermark(table)
     base match {
       case None => compactTable(spark, table, outDir, config)
       case Some(wm) => withTableLock(table) {
@@ -554,6 +560,13 @@ final class GraftCatalog(root: String) {
     * it delegates to [[compactTableIncremental]] (which rewrites only the
     * delta, or falls back to full for a virgin table), so the cost of each
     * triggered run is proportional to the debt, not the table.
+    *
+    * The debt check runs OUTSIDE the table lock ([[withTableLock]] is
+    * non-reentrant, and the check must stay a cheap read): a commit landing
+    * between check and compact only GROWS the delta, and the locked
+    * [[compactTableIncremental]] re-diffs at lock time — so the triggered
+    * run compacts at least the files that crossed the threshold, never a
+    * stale subset.
     */
   def maybeCompactTable(
       spark: SparkSession,
@@ -562,8 +575,7 @@ final class GraftCatalog(root: String) {
       minAppendedFiles: Int = 8,
       config: CompactionConfig = CompactionConfig()): Option[(Long, CommitManifest)] = {
     require(minAppendedFiles > 0, "minAppendedFiles must be positive")
-    val debt = lastCompactedSnapshotId(table)
-      .filter(snapshotIds(table).contains) match {
+    val debt = usableWatermark(table) match {
       case Some(wm) =>
         appendedFilesBetween(table, wm, currentSnapshotId(table)).size
       case None => loadTable(table).size

@@ -103,7 +103,7 @@ object GrpcCompactionClient {
           body.writeBytes(d.content)
           d.release()
           if (consumed > 0)
-            ctx.write(new DefaultHttp2WindowUpdateFrame(consumed))
+            ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
           if (d.isEndStream) finish(ctx)
         case other => ReferenceCountUtil.release(other)
       }

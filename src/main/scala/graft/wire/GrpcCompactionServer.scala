@@ -38,7 +38,10 @@ import org.apache.spark.sql.SparkSession
   * the netty event loop stays free to answer PING/SETTINGS while a rewrite
   * runs.
   */
-final class GrpcCompactionServer(spark: SparkSession, port: Int = 0) {
+final class GrpcCompactionServer(
+    spark: SparkSession, port: Int = 0,
+    executor: graft.sources.CompactionExecutor =
+      graft.sources.SparkCompactionExecutor) {
 
   import GrpcCompactionServer._
 
@@ -61,7 +64,7 @@ final class GrpcCompactionServer(spark: SparkSession, port: Int = 0) {
           Http2FrameCodecBuilder.forServer().build(),
           new Http2MultiplexHandler(new ChannelInitializer[Channel] {
             override def initChannel(stream: Channel): Unit =
-              stream.pipeline().addLast(new StreamHandler(spark, worker))
+              stream.pipeline().addLast(new StreamHandler(spark, worker, executor))
           }))
     })
     .bind(InetAddress.getLoopbackAddress, port).sync().channel()
@@ -94,7 +97,8 @@ object GrpcCompactionServer {
     */
   private final class StreamHandler(
       spark: SparkSession,
-      worker: java.util.concurrent.ExecutorService)
+      worker: java.util.concurrent.ExecutorService,
+      executor: graft.sources.CompactionExecutor)
       extends ChannelInboundHandlerAdapter {
 
     private var path: String = ""
@@ -110,7 +114,7 @@ object GrpcCompactionServer {
           body.writeBytes(d.content)
           d.release()
           if (consumed > 0) // return the inbound flow-control window
-            ctx.write(new DefaultHttp2WindowUpdateFrame(consumed))
+            ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
           if (d.isEndStream) dispatch(ctx)
         case other => ReferenceCountUtil.release(other)
       }
@@ -150,7 +154,7 @@ object GrpcCompactionServer {
                 case PathEcho =>
                   Right(CompactorProto.encodeEcho(CompactorProto.decodeEcho(payload)))
                 case PathRewriteFiles =>
-                  Right(WireBridge.rewriteFiles(spark, payload))
+                  Right(WireBridge.rewriteFiles(spark, payload, executor))
                 case p =>
                   Left(12 -> s"unknown method $p")
               } catch {

@@ -187,6 +187,7 @@ object WireBridge {
       partitionTransforms = transforms,
       statsCols = csv("stats_cols"),
       clusterBy = csv("cluster_by"),
+      zOrderBy = csv("z_order_by"),
       batchParallelism = cfg.get("batch_parallelism").map(_.toInt),
       dataFilePrefix = cfg.get("data_file_prefix"))
     DecodedRewrite(data.toSeq, pos.toSeq, eq.toSeq, req.dirPath, config, schema,

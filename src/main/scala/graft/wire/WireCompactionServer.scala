@@ -29,7 +29,10 @@ import java.nio.charset.StandardCharsets
   * runs one rewrite per RPC; concurrency belongs to the cluster scheduler,
   * not the doorway).
   */
-final class WireCompactionServer(spark: SparkSession, port: Int = 0) {
+final class WireCompactionServer(
+    spark: SparkSession, port: Int = 0,
+    executor: graft.sources.CompactionExecutor =
+      graft.sources.SparkCompactionExecutor) {
 
   final val MethodEcho: Byte = 0
   final val MethodRewriteFiles: Byte = 1
@@ -85,7 +88,7 @@ final class WireCompactionServer(spark: SparkSession, port: Int = 0) {
               case MethodEcho =>
                 (0.toByte, CompactorProto.encodeEcho(CompactorProto.decodeEcho(payload)))
               case MethodRewriteFiles =>
-                (0.toByte, WireBridge.rewriteFiles(spark, payload))
+                (0.toByte, WireBridge.rewriteFiles(spark, payload, executor))
               case m =>
                 (1.toByte, s"unknown method $m".getBytes(StandardCharsets.UTF_8))
             }

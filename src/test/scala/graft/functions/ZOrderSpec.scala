@@ -32,9 +32,8 @@ class ZOrderSpec extends SparkSpec {
   test("z-order compaction: tight 2-D file bounds, prunes where linear sort cannot") {
     val table = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     Tables.lineitem(spark, sfDir).repartition(2).write.mode("overwrite").parquet(table)
-    val tasks = new java.io.File(table).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
-      .zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }.toSeq
+    val tasks = listParquet(table)
+      .zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }
     val stats = Seq("l_partkey", "l_suppkey")
     def run(cfg: CompactionConfig): CommitManifest = {
       val out = java.nio.file.Files.createTempDirectory("graft-zorder-out").toString

@@ -19,8 +19,7 @@ class IncrementalCompactionSpec extends SparkSpec {
 
   private def writeParquet(rows: Seq[(Long, String)], dir: String): Seq[String] = {
     rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dir)
-    new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    CompactionRunner.listParquet(dir)
   }
 
   test("incremental compaction rewrites only the delta; old outputs untouched") {
@@ -165,9 +164,8 @@ class IncrementalCompactionSpec extends SparkSpec {
     }
     val second = cat.maybeCompactTable(spark, "t", s"$out/e", minAppendedFiles = 3)
     assert(second.nonEmpty)
-    val deltaPaths = deltas.flatMap(d => new java.io.File(d).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(p =>
-        CompactionRunner.canonPath(p.getPath))).toSet
+    val deltaPaths = deltas.flatMap(d =>
+      CompactionRunner.listParquet(d).map(CompactionRunner.canonPath)).toSet
     assert(second.get._2.removedDataFiles.toSet == deltaPaths,
       "second trigger must rewrite exactly the post-watermark delta")
     assert(cat.scanTable(spark, "t").count() == 50 + 10 * 2 + 10 * 3)

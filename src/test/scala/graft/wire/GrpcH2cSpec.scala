@@ -19,8 +19,7 @@ class GrpcH2cSpec extends SparkSpec {
     Files.createTempDirectory(prefix).toString
 
   private def parquetsIn(dir: String): Seq[String] =
-    new java.io.File(dir).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.toSeq
+    graft.sources.CompactionRunner.listParquet(dir)
 
   test("Echo over h2c gRPC: HTTP/2 + HPACK + gRPC framing round-trip") {
     val server = new GrpcCompactionServer(spark)
@@ -64,17 +63,50 @@ class GrpcH2cSpec extends SparkSpec {
       assert(resp.dataFiles.map(_.recordCount).sum == 100L)
       assert(resp.stat.get.rewrittenFilesCount == 2L)
       assert(spark.read.parquet(s"$out/data").count() == 100L)
-      // transport independence: the gRPC payload bytes equal the framed-TCP
-      // server's for the same request — the codec seam is shared
-      val legacy = new WireCompactionServer(spark)
+      // transport independence: for the SAME RewriteFiles request, both
+      // transports must produce byte-identical response payloads. A real
+      // rewrite's response embeds nondeterministic part-file names, so
+      // both servers run a deterministic executor whose manifest is a pure
+      // function of the request — any divergence left is transport-layer
+      // encode/decode, exactly what this assertion polices.
+      object FixedExecutor extends graft.sources.CompactionExecutor {
+        override def rewriteFiles(
+            s: org.apache.spark.sql.SparkSession,
+            dataTasks: Seq[graft.sources.CompactionRunner.DataFileTask],
+            posDeletes: Seq[graft.sources.CompactionRunner.PosDeleteTask],
+            eqDeletes: Seq[graft.sources.CompactionRunner.EqDeleteTask],
+            outDir: String,
+            config: graft.sources.CompactionRunner.CompactionConfig,
+            schema: Option[org.apache.spark.sql.types.StructType]) =
+          graft.sources.CompactionRunner.CommitManifest(
+            addedFiles = Seq(graft.sources.CompactionRunner.DataFileStats(
+              s"$outDir/data/part-0.parquet", 4096L, 100L,
+              Map("id" -> "1"), Map("id" -> "100"), Map("id" -> 0L))),
+            removedDataFiles = dataTasks.map(_.path).sorted,
+            removedDeleteFiles = Nil,
+            outputRecordCount = 100L,
+            rewrittenFilesCount = dataTasks.size.toLong,
+            rewrittenBytes = 8192L,
+            addedFilesCount = 1L)
+      }
+      val grpcFixed = new GrpcCompactionServer(spark, executor = FixedExecutor)
+      val legacy = new WireCompactionServer(spark, executor = FixedExecutor)
       legacy.start()
+      val fixedClient = new GrpcCompactionClient("127.0.0.1", grpcFixed.boundPort)
       try {
         val legacyBytes = WireCompactionServer.call("127.0.0.1",
+          legacy.boundPort, legacy.MethodRewriteFiles, reqBytes)
+        val grpcBytes = fixedClient.call(
+          GrpcCompactionServer.PathRewriteFiles, reqBytes)
+        assert(legacyBytes.toSeq == grpcBytes.toSeq,
+          "RewriteFiles response bytes diverge between gRPC and framed-TCP")
+        // ...and the shared Echo path agrees too
+        val legacyEcho = WireCompactionServer.call("127.0.0.1",
           legacy.boundPort, legacy.MethodEcho, CompactorProto.encodeEcho("x"))
-        val grpcBytes = client.call(GrpcCompactionServer.PathEcho,
+        val grpcEcho = client.call(GrpcCompactionServer.PathEcho,
           CompactorProto.encodeEcho("x"))
-        assert(legacyBytes.toSeq == grpcBytes.toSeq)
-      } finally legacy.close()
+        assert(legacyEcho.toSeq == grpcEcho.toSeq)
+      } finally { fixedClient.close(); grpcFixed.close(); legacy.close() }
     } finally { client.close(); server.close() }
   }
 

@@ -118,7 +118,7 @@ class WireBridgeSpec extends SparkSpec {
         WireScanTask(0, 0, 0, "/ed.parquet", ContentEqualityDeletes, FormatParquet, Nil, 9L, Seq(2, 1)),
         WireScanTask(0, 0, 0, "/d2.orc", ContentData, FormatOrc, Nil, 4L, Nil)),
       config = Map("target_partitions" -> "8", "cluster_by" -> "id,k",
-        "stats_cols" -> "id"),
+        "z_order_by" -> "id,k", "stats_cols" -> "id"),
       dirPath = "/out", fileIo = None, schema = Some(schema), partitionSpec = None)
     val d = WireBridge.decodeRequest(req)
     assert(d.dataTasks.map(t => (t.path, t.seqNum, t.format)) ==
@@ -129,6 +129,7 @@ class WireBridgeSpec extends SparkSpec {
     assert(d.eqDeletes.head.equalityIds == Seq(2, 1))
     assert(d.config.targetPartitions == 8)
     assert(d.config.clusterBy == Seq("id", "k"))
+    assert(d.config.zOrderBy == Seq("id", "k"))
     assert(d.config.statsCols == Seq("id"))
     assert(d.outDir == "/out")
     assert(d.canonicalSchema.get.fieldNames.toSeq == Seq("id", "k", "name"))
