@@ -236,9 +236,16 @@ object WireBridge {
     * tracked per output file by the engine manifest — the struct is empty,
     * like an unpartitioned table's.
     */
+  /** `sortOrderId` marks the outputs as sort-clustered (the reference's
+    * `DataFile.sort_order_id`, `iceberg.proto:200`): None = unsorted
+    * (Iceberg order-id 0 semantics), Some(1) = the request's
+    * cluster_by/z_order_by order — so a consuming catalog records that
+    * these files satisfy a sort order and can plan order-aware scans.
+    */
   def responseFor(
       manifest: CommitManifest,
-      canonicalSchema: Option[StructType]): WireRewriteResponse = {
+      canonicalSchema: Option[StructType],
+      sortOrderId: Option[Int] = None): WireRewriteResponse = {
     val files = manifest.addedFiles.map { f =>
       def bounds(m: Map[String, String]): Map[Int, Seq[Byte]] =
         canonicalSchema.map { sch =>
@@ -266,7 +273,8 @@ object WireBridge {
         fileSizeBytes = f.sizeBytes,
         nullValueCounts = idCounts(f.nullCounts),
         lowerBounds = bounds(f.colMins),
-        upperBounds = bounds(f.colMaxs))
+        upperBounds = bounds(f.colMaxs),
+        sortOrderId = sortOrderId)
     }
     WireRewriteResponse(files,
       Some(WireStat(
@@ -327,6 +335,9 @@ object WireBridge {
     val manifest = executor.rewriteFiles(
       spark, d.dataTasks, d.posDeletes, d.eqDeletes, d.outDir, d.config,
       d.canonicalSchema)
-    encodeRewriteResponse(responseFor(manifest, d.canonicalSchema))
+    val sortId =
+      if (d.config.clusterBy.nonEmpty || d.config.zOrderBy.nonEmpty) Some(1)
+      else None
+    encodeRewriteResponse(responseFor(manifest, d.canonicalSchema, sortId))
   }
 }

@@ -227,6 +227,21 @@ class WireBridgeSpec extends SparkSpec {
       assert(spark.read.parquet(s"$out/data").filter(col("k") === 3).count() == 0L)
       assert(spark.read.parquet(s"$out/data").count() == 90L)
 
+      // an UNSORTED rewrite reports no sort order (Iceberg order-id 0
+      // semantics); a z-ordered one stamps sort_order_id = 1
+      // (`iceberg.proto:200`) so the consuming catalog records the layout
+      assert(resp.dataFiles.forall(_.sortOrderId.isEmpty))
+      val outZ = tmpDir("graft-wire-zout")
+      val zResp = decodeRewriteResponse(WireCompactionServer.call(
+        "127.0.0.1", server.boundPort, server.MethodRewriteFiles,
+        encodeRewriteRequest(WireRewriteRequest(
+          tasks, Map("target_partitions" -> "2", "stats_cols" -> "id",
+            "z_order_by" -> "id,k"), outZ,
+          Some(WireFileIo("file://", Map.empty)), Some(schema), None))))
+      assert(zResp.dataFiles.nonEmpty &&
+        zResp.dataFiles.forall(_.sortOrderId.contains(1)))
+      assert(spark.read.parquet(s"$outZ/data").count() == 90L)
+
       // a malformed request surfaces as a framed error, not a hang
       val err = intercept[RuntimeException] {
         WireCompactionServer.call("127.0.0.1", server.boundPort,
