@@ -118,7 +118,11 @@ object ExplainAudit {
     "q112_tpch_q21" ->
       ("Waiting suppliers: EXISTS/NOT-EXISTS as left-semi + left-anti HASH joins " +
         "on orderkey with the supplier inequality as residual — the fact table " +
-        "shuffles on orderkey once per quantifier, never a nested loop."))
+        "shuffles on orderkey once per quantifier, never a nested loop."),
+    "q113_zorder" ->
+      ("Morton z-value via ONE codegen interleave_bits call per row (the z-order " +
+        "compaction clustering key); map-side partial agg on the z-bucket — " +
+        "a pure scan+aggregate, zero joins."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
