@@ -95,8 +95,13 @@ object GraftFunctions {
       IcebergBucket(args.head, intArg(args(1), "graft_iceberg_bucket", 2))
     },
     "graft_interleave_bits" -> { args =>
-      expect(2, "graft_interleave_bits")(args)
-      InterleaveBits(args.head, args(1))
+      args.size match {
+        case 2 => InterleaveBits(args.head, args(1))
+        case 3 => InterleaveBits3(args.head, args(1), args(2))
+        case 4 => InterleaveBits4(args.head, args(1), args(2), args(3))
+        case n => throw new IllegalArgumentException(
+          s"graft_interleave_bits takes 2 to ${ZOrder.MaxDims} arguments, got $n")
+      }
     })
 
   private def infoFor(name: String): ExpressionInfo =

@@ -70,10 +70,10 @@ object CompactionRunner {
       // within files, so per-file min/max stats become near-disjoint and
       // stats-based pruning (see [[pruneByStats]]) skips most files
       clusterBy: Seq[String] = Nil,
-      // Z-ORDER cluster output on exactly two columns: rows sort along the
-      // Morton curve of their range-normalized ordinals, so per-file
-      // min/max bounds are tight in BOTH dimensions — box predicates prune
-      // files that no single-column sort order could skip (Iceberg's
+      // Z-ORDER cluster output on 2–4 columns: rows sort along the Morton
+      // curve of their range-normalized ordinals, so per-file min/max
+      // bounds are tight in EVERY clustered dimension — box predicates
+      // prune files that no single-column sort order could skip (Iceberg's
       // `rewrite_data_files` zorder strategy). Mutually exclusive with
       // clusterBy; takes one extra column-pruned pass over the inputs for
       // the normalization ranges (parquet footers make this metadata-only
@@ -238,45 +238,45 @@ object CompactionRunner {
         .otherwise(col(MorPlanner.SeqNumCol)))
   }
 
-  /** Z-order the MoR-merged output: range-normalize both cluster columns
-    * to 16-bit ordinals against min/max taken from the RAW input scan
-    * (bounds over the pre-delete superset are still valid bounds — deletes
-    * only shrink ranges — and the column-pruned stats pass reads just the
-    * two columns), Morton-interleave them ([[graft.functions.ZOrder]]),
-    * then range-partition + sort on the z-value so each output file covers
-    * a compact square-ish region of (a, b) space. The helper column never
-    * reaches the writer.
+  /** Z-order the MoR-merged output: range-normalize the 2–4 cluster
+    * columns to 16-bit ordinals against min/max taken from the RAW input
+    * scan (bounds over the pre-delete superset are still valid bounds —
+    * deletes only shrink ranges — and the column-pruned stats pass reads
+    * just the cluster columns), Morton-interleave them
+    * ([[graft.functions.ZOrder]]), then range-partition + sort on the
+    * z-value so each output file covers a compact hypercube-ish region of
+    * the clustered space. The helper column never reaches the writer.
     */
   private def zOrderCluster(
       merged: DataFrame,
       statsSource: DataFrame,
       cols: Seq[String],
       nParts: Int): DataFrame = {
-    require(cols.length == 2,
-      s"zOrderBy interleaves exactly 2 columns, got ${cols.length}")
-    val Seq(ca, cb) = cols
+    require(cols.length >= 2 && cols.length <= graft.functions.ZOrder.MaxDims,
+      s"zOrderBy interleaves 2 to ${graft.functions.ZOrder.MaxDims} columns, " +
+        s"got ${cols.length}")
     cols.foreach { c =>
       require(statsSource.schema(c).dataType.isInstanceOf[
           org.apache.spark.sql.types.NumericType],
         s"zOrderBy column $c must be numeric, is " +
           statsSource.schema(c).dataType.catalogString)
     }
-    val r = statsSource.agg(
-      min(col(ca).cast("double")).as("mna"), max(col(ca).cast("double")).as("mxa"),
-      min(col(cb).cast("double")).as("mnb"), max(col(cb).cast("double")).as("mxb"))
-      .head()
-    if (r.isNullAt(0) || r.isNullAt(2)) return merged // no rows to cluster
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("double")), max(col(c).cast("double"))))
+    val r = statsSource.agg(aggs.head, aggs.tail: _*).head()
+    if (r.isNullAt(0)) return merged // no rows to cluster
     def ord(c: String, mn: Double, mx: Double): Column =
       if (mx > mn)
         floor((col(c).cast("double") - lit(mn)) * lit(65535.0) / lit(mx - mn))
           .cast("long")
       else lit(0L)
+    val ords = cols.zipWithIndex.map { case (c, j) =>
+      ord(c, r.getDouble(2 * j), r.getDouble(2 * j + 1))
+    }
     val zCol = "_graft_zvalue"
     require(!merged.columns.contains(zCol), s"column $zCol already exists")
     merged
-      .withColumn(zCol, graft.functions.ZOrder.interleaveC(
-        ord(ca, r.getDouble(0), r.getDouble(1)),
-        ord(cb, r.getDouble(2), r.getDouble(3))))
+      .withColumn(zCol, graft.functions.ZOrder.interleaveC(ords: _*))
       .repartitionByRange(nParts, col(zCol))
       .sortWithinPartitions(col(zCol))
       .drop(zCol)

@@ -21,12 +21,63 @@ class ZOrderSpec extends SparkSpec {
       (ZOrder.interleaveBits(40001, 40001) >> 30))
   }
 
-  test("graft_interleave_bits is SQL-callable and matches the kernel") {
+  test("n-dimensional interleave: round-robin bit layout, 2-D case matches binary kernel") {
+    // n=2 must agree with the hot allocation-free path on random vectors
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val (a, b) = (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      assert(ZOrder.interleaveBitsN(Array(a, b)) == ZOrder.interleaveBits(a, b))
+    }
+    // 3-D: dimension j owns bits i*3+j → all-ones in one dim paints its lane
+    assert(ZOrder.interleave3(0xFFFFL, 0, 0) == 0x249249249249L * 0x1) // bits 0,3,6,…
+    assert(ZOrder.interleave3(0, 0xFFFFL, 0) == 0x249249249249L << 1)
+    assert(ZOrder.interleave3(0, 0, 0xFFFFL) == 0x249249249249L << 2)
+    // 4-D fills the long: every dim all-ones → all 64 bits set
+    assert(ZOrder.interleave4(0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL) == -1L)
+    assert(ZOrder.interleave4(0xFFFFL, 0, 0, 0) == 0x1111111111111111L)
+  }
+
+  test("graft_interleave_bits is SQL-callable at 2-4 arity and matches the kernel") {
     GraftFunctions.registerAll(spark)
     val got = spark.sql(
       "SELECT graft_interleave_bits(CAST(65535 AS BIGINT), CAST(0 AS BIGINT)) z")
       .head().getLong(0)
     assert(got == 0x55555555L)
+    val got3 = spark.sql(
+      "SELECT graft_interleave_bits(0L, 65535L, 0L) z").head().getLong(0)
+    assert(got3 == (0x249249249249L << 1))
+    val got4 = spark.sql(
+      "SELECT graft_interleave_bits(65535L, 65535L, 65535L, 65535L) z")
+      .head().getLong(0)
+    assert(got4 == -1L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_interleave_bits(1L)").collect()
+    }
+    assert(err.getMessage.contains("2 to 4"))
+  }
+
+  test("3-column z-order compaction clusters all three dimensions") {
+    val table = java.nio.file.Files.createTempDirectory("graft-zorder3").toString
+    Tables.lineitem(spark, sfDir).repartition(2).write.mode("overwrite").parquet(table)
+    val tasks = listParquet(table)
+      .zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }
+    val stats = Seq("l_partkey", "l_suppkey", "l_orderkey")
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder3-out").toString
+    val m = compact(spark, tasks, Nil, Nil, out,
+      CompactionConfig(targetPartitions = 8, statsCols = stats,
+        zOrderBy = stats))
+    assert(m.addedFiles.size > 1)
+    // every clustered dimension's per-file width must average well under
+    // the full range (a plain round-robin write covers ~all of each)
+    stats.foreach { c =>
+      val r = Tables.lineitem(spark, sfDir)
+        .agg(min(col(c)), max(col(c))).head()
+      val range = (r.getLong(1) - r.getLong(0)).toDouble
+      val widths = m.addedFiles.map(f =>
+        (f.colMaxs(c).toDouble - f.colMins(c).toDouble) / range)
+      val avg = widths.sum / widths.size
+      assert(avg < 0.8, s"dimension $c not clustered: avg width $avg")
+    }
   }
 
   test("z-order compaction: tight 2-D file bounds, prunes where linear sort cannot") {
