@@ -45,11 +45,32 @@ object MorQueries {
         // mismatch). Convention for every aggregate query in this repo.
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
 
+  /** Q114: the WRITE side of MoR, end-to-end against a real catalog table —
+    * create a table over the scale-factor lineitem parquet, `deleteWhere`
+    * (writes spec-shaped position-delete files, no data rewrite), then the
+    * catalog's MoR read, aggregated. SQL-reproducible because the scan is
+    * exactly lineitem minus the predicate-TRUE rows; the physical layout
+    * (which file/pos each suppressed row lived at) cancels out.
+    */
+  private def q114(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q114").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.deleteWhere(spark, "lineitem",
+      col("l_returnflag") === "A" && col("l_quantity") < 25, s"$root/out")
+    cat.scanTable(spark, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
     "q3_mor_full" -> (q3 _),
-    "q4_mor_projection" -> (q4 _))
+    "q4_mor_projection" -> (q4 _),
+    "q114_delete_where" -> (q114 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -92,5 +113,11 @@ object MorQueries {
          |SELECT l_returnflag, count(*) AS n_rows,
          |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
          |$fullMergeFrom
-         |GROUP BY l_returnflag""".stripMargin)
+         |GROUP BY l_returnflag""".stripMargin,
+    "q114_delete_where" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'A' AND l_quantity < 25)
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -270,16 +270,7 @@ final class GraftCatalog(root: String) {
     aligned.write.mode("errorifexists").parquet(dataDir)
     aligned.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .distinct().write.mode("errorifexists").parquet(delDir)
-    // scheme-aware listing (java.io.File would return null for any
-    // non-local outDir AFTER both file sets were already written)
-    def parquetsIn(d: String): Seq[String] = {
-      val hp = new org.apache.hadoop.fs.Path(d)
-      val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
-      fs.listStatus(hp).toSeq.map { st =>
-        val u = st.getPath.toUri
-        if (u.getScheme == "file") u.getPath else st.getPath.toString
-      }.filter(_.endsWith(".parquet")).sorted
-    }
+    def parquetsIn(d: String): Seq[String] = listParquetsIn(spark, d)
     withTableLock(table) {
       val entries = loadEntries(table)
       val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
@@ -301,6 +292,148 @@ final class GraftCatalog(root: String) {
       carrySchema(table, nextId - 1, nextId)
       writeHead(table, nextId)
       nextId
+    }
+  }
+
+  /** Scheme-aware parquet listing of a written output directory
+    * (java.io.File would return null for any non-local outDir).
+    */
+  private def listParquetsIn(spark: SparkSession, d: String): Seq[String] = {
+    val hp = new org.apache.hadoop.fs.Path(d)
+    val fs = hp.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(hp).toSeq.map { st =>
+      val u = st.getPath.toUri
+      if (u.getScheme == "file") u.getPath else st.getPath.toString
+    }.filter(_.endsWith(".parquet")).sorted
+  }
+
+  /** Row-level DELETE — the WRITE side of merge-on-read (Iceberg v2
+    * `DELETE FROM`). The reference consumes position-delete files the
+    * embedding engine produced (`compaction/mod.rs:138-148`); this is the
+    * producer that closes that loop, in the two spec-defined flavors:
+    *
+    *  - '''MoR''' (`copyOnWrite = false`): one column-pruned distributed
+    *    scan finds matching rows' `(file_path, pos)` and writes them as
+    *    position-delete parquet (the spec's file layout, the exact shape
+    *    [[CompactionRunner.readPositionDeletes]] consumes). No data file is
+    *    rewritten — at 100 TB the cost is the scan plus a delete file
+    *    proportional to the matched rows. Readers ([[scanTable]]) suppress
+    *    the rows immediately; a later [[compactTable]] makes it physical
+    *    and retires the delete files.
+    *  - '''Copy-on-write''' (`copyOnWrite = true`): rewrite ONLY the data
+    *    files that contain matching rows (discovered from the same scan —
+    *    a driver-sized file list, never row data), applying any PENDING
+    *    pos/eq-deletes to those files in the same pass (the rewritten
+    *    outputs get a fresh sequence number, which escapes the strict
+    *    `data.seq < delete.seq` guard — so pending deletes must be folded
+    *    in, exactly like [[compactTableIncremental]]). Untouched files keep
+    *    their pending deletes. No reader-side merge cost afterwards.
+    *
+    * Delete semantics are SQL's: a row is deleted when the predicate is
+    * TRUE; NULL keeps the row (both modes pin this — MoR by `filter(pred)`
+    * on the matched side, CoW by keeping `NOT coalesce(pred, false)`).
+    *
+    * Concurrency: the MoR scan+write runs OUTSIDE the table lock (like
+    * [[upsert]]); at commit time, under the lock, every file the delete
+    * rows reference must still be in the snapshot — a concurrent compaction
+    * retiring a referenced file would silently orphan those deletes, so the
+    * commit fails with a typed conflict instead (caller re-runs against the
+    * new snapshot). CoW rewrites run fully under the lock like
+    * [[compactTable]], for the same seq-ordering reasons.
+    *
+    * Returns the committed snapshot id, or the current head when no row
+    * matched (no empty commit).
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      outDir: String,
+      copyOnWrite: Boolean = false): Long =
+    if (copyOnWrite) deleteWhereCow(spark, table, predicate, outDir)
+    else deleteWhereMor(spark, table, predicate, outDir)
+
+  private def deleteWhereMor(
+      spark: SparkSession,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val entries0 = loadEntries(table)
+    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries0),
+      currentSchema(table))
+    // matched = predicate TRUE rows; the projection is (file_path, pos) only,
+    // so Catalyst prunes the scan to the predicate's columns + metadata
+    val matched = data.filter(predicate)
+      .select(col(graft.operators.MorPlanner.FilePathCol).as("file_path"),
+        col(graft.operators.MorPlanner.PosCol).as("pos"))
+    val token = java.util.UUID.randomUUID().toString
+    val delDir = s"$outDir/delete-pos-$token"
+    matched.write.mode("errorifexists").parquet(delDir)
+    val written = listParquetsIn(spark, delDir)
+    // the written files are the matched rows only — re-reading them is the
+    // cheap way to learn (a) emptiness and (b) the referenced-file set
+    // (driver-sized: bounded by the table's file count, not row count)
+    val back = spark.read.parquet(written: _*)
+    if (back.isEmpty) currentSnapshotId(table)
+    else {
+      val referenced = back.select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
+      withTableLock(table) {
+        val entries = loadEntries(table)
+        val live = dataTasks(entries)
+          .flatMap(t => Seq(t.path, CompactionRunner.canonPath(t.path))).toSet
+        val stale = referenced.filterNot(p =>
+          live(p) || live(CompactionRunner.canonPath(p)))
+        if (stale.nonEmpty)
+          throw GraftError.Metadata(
+            s"deleteWhere commit conflict on $table: files " +
+              s"${stale.take(3).mkString(", ")} were rewritten by a concurrent " +
+              "commit after the delete scan; re-run against the new snapshot")
+        val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+        val newEntries =
+          written.map(p => TableEntry("posdel", p, seq, "parquet", Nil))
+        val nextId = currentSnapshotId(table) + 1
+        writeSnapshot(table, nextId, entries ++ newEntries)
+        carrySchema(table, nextId - 1, nextId)
+        writeHead(table, nextId)
+        nextId
+      }
+    }
+  }
+
+  private def deleteWhereCow(
+      spark: SparkSession,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      outDir: String): Long = withTableLock(table) {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    val entries = loadEntries(table)
+    val schema = currentSchema(table)
+    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries), schema)
+    val affected = data.filter(predicate)
+      .select(col(graft.operators.MorPlanner.FilePathCol)).distinct()
+      .collect().map(_.getString(0)).toSet // canonical (_metadata) paths
+    if (affected.isEmpty) currentSnapshotId(table)
+    else {
+      val affTasks = dataTasks(entries)
+        .filter(t => affected(CompactionRunner.canonPath(t.path)))
+      val scan = CompactionRunner.scanWithHiddenCols(spark, affTasks, schema)
+      val merged = graft.operators.MorPlanner.merge(scan,
+        CompactionRunner.readPositionDeletes(spark,
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }),
+        CompactionRunner.readEqualityDeletes(spark,
+          entries.collect { case e if e.kind == "eqdel" =>
+            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+          }, Some(scan.schema)))
+      val kept = merged.filter(not(coalesce(predicate, lit(false))))
+      val token = java.util.UUID.randomUUID().toString
+      val cowDir = s"$outDir/delete-cow-$token"
+      kept.write.mode("errorifexists").parquet(cowDir)
+      val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      val added = listParquetsIn(spark, cowDir)
+        .map(p => TableEntry("data", p, seq, "parquet", Nil))
+      commitRewriteLocked(table, added, affTasks.map(_.path))
     }
   }
 
