@@ -31,8 +31,16 @@ import scala.jdk.CollectionConverters._
   * All operations are driver-side metadata IO (snapshot files are one line
   * per file — the same cardinality the reference ships over its gRPC
   * wire); the data path stays fully distributed in [[CompactionRunner]].
+  *
+  * The current-snapshot POINTER is pluggable ([[GraftCatalog.HeadStore]]):
+  * the default is the HEAD file; [[JdbcHeadStore]] keeps it as an
+  * Iceberg-`JdbcCatalog`-shaped row in an embedded SQL database with
+  * compare-and-swap commits — the reference's `SqlCatalog` deployment shape
+  * (`core/src/compaction/mod.rs:183-202`), where the database transaction,
+  * not a filesystem lock, is what serializes concurrent drivers.
   */
-final class GraftCatalog(root: String) {
+final class GraftCatalog(root: String,
+    headStore: Option[GraftCatalog.HeadStore] = None) {
 
   /** One snapshot entry: a data file or a delete file. */
   final case class TableEntry(
@@ -81,7 +89,7 @@ final class GraftCatalog(root: String) {
     * truncates before writing, so a lock-free reader could observe an empty
     * HEAD mid-commit and crash on `"".toLong`.
     */
-  private def writeHead(table: String, id: Long): Unit = {
+  private def writeHeadFile(table: String, id: Long): Unit = {
     val tmp = tableDir(table).resolve(s".HEAD.tmp-${Thread.currentThread().getId}")
     Files.writeString(tmp, id.toString,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
@@ -89,6 +97,33 @@ final class GraftCatalog(root: String) {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def headExists(table: String): Boolean =
+    headStore.fold(Files.exists(headPath(table)))(_.exists(table))
+
+  /** Register a brand-new table's pointer at snapshot `id`. */
+  private def createHead(table: String, id: Long): Unit =
+    headStore.fold(writeHeadFile(table, id))(_.create(table, id))
+
+  /** Advance the pointer `from → to` — THE commit point. File-backed: a
+    * plain atomic write (the table lock already serializes committers on
+    * one filesystem). Store-backed: a compare-and-swap — if another driver
+    * (one this process's locks can't see) advanced the pointer since the
+    * commit read its base snapshot, the swap fails and the commit aborts
+    * with a typed conflict instead of silently orphaning that driver's
+    * snapshot. Iceberg's optimistic-commit protocol, provided by the SQL
+    * row exactly as the reference gets it from its catalog database.
+    */
+  private def advanceHead(table: String, from: Long, to: Long): Unit =
+    headStore match {
+      case None => writeHeadFile(table, to)
+      case Some(store) =>
+        if (!store.cas(table, from, to))
+          throw GraftError.Metadata(
+            s"commit conflict on $table: expected snapshot $from at the " +
+              s"catalog store but another driver committed first " +
+              s"(now ${store.read(table)}); re-read and retry")
+    }
 
   def createTable(table: String, files: Seq[DataFileTask]): Unit =
     createTable(table, files, None)
@@ -102,7 +137,7 @@ final class GraftCatalog(root: String) {
       files: Seq[DataFileTask],
       schema: Option[org.apache.spark.sql.types.StructType]): Unit =
     withTableLock(table) {
-      require(!Files.exists(headPath(table)), s"table $table already exists")
+      require(!headExists(table), s"table $table already exists")
       schema.foreach { sch =>
         val ids = sch.fields.flatMap(FieldIds.idOf)
         require(ids.length == sch.fields.length,
@@ -113,7 +148,7 @@ final class GraftCatalog(root: String) {
       }
       writeSnapshot(table, 1L, files.map(toEntry))
       schema.foreach(s => writeSchema(table, 1L, s))
-      writeHead(table, 1L)
+      createHead(table, 1L)
     }
 
   // ---- per-snapshot canonical schema (§1.3 schema evolution) -------------
@@ -179,12 +214,12 @@ final class GraftCatalog(root: String) {
     val nextId = currentSnapshotId(table) + 1
     writeSnapshot(table, nextId, loadEntries(table))
     writeSchema(table, nextId, newSchema)
-    writeHead(table, nextId)
+    advanceHead(table, nextId - 1, nextId)
     nextId
   }
 
   def currentSnapshotId(table: String): Long =
-    Files.readString(headPath(table)).trim.toLong
+    headStore.fold(Files.readString(headPath(table)).trim.toLong)(_.read(table))
 
   /** All entries (data + delete files) of the current snapshot. */
   def loadEntries(table: String): Seq[TableEntry] =
@@ -290,7 +325,7 @@ final class GraftCatalog(root: String) {
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, entries ++ newEntries)
       carrySchema(table, nextId - 1, nextId)
-      writeHead(table, nextId)
+      advanceHead(table, nextId - 1, nextId)
       nextId
     }
   }
@@ -396,7 +431,7 @@ final class GraftCatalog(root: String) {
         val nextId = currentSnapshotId(table) + 1
         writeSnapshot(table, nextId, entries ++ newEntries)
         carrySchema(table, nextId - 1, nextId)
-        writeHead(table, nextId)
+        advanceHead(table, nextId - 1, nextId)
         nextId
       }
     }
@@ -528,7 +563,7 @@ final class GraftCatalog(root: String) {
     val nextId = currentSnapshotId(table) + 1
     writeSnapshot(table, nextId, kept ++ added)
     carrySchema(table, nextId - 1, nextId)
-    writeHead(table, nextId)
+    advanceHead(table, nextId - 1, nextId)
     nextId
   }
 
@@ -762,4 +797,27 @@ object GraftCatalog {
     */
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** The authoritative current-snapshot pointer of each table — the one
+    * piece of catalog state that must be transactional across drivers.
+    * Everything else (snapshot documents, schemas) is immutable
+    * write-once data addressed BY the pointer, so it needs no
+    * coordination. This is exactly Iceberg's catalog contract: a catalog
+    * is "a place to atomically swap a table's metadata pointer", whether
+    * that place is a file, a SQL row (the reference's `SqlCatalog`,
+    * `compaction/mod.rs:183-202`), or a metastore entry.
+    */
+  trait HeadStore {
+    def exists(table: String): Boolean
+
+    /** Register a new table at snapshot `id`; fails if it already exists. */
+    def create(table: String, id: Long): Unit
+
+    def read(table: String): Long
+
+    /** Atomically advance `expected → next`; false when another committer
+      * moved the pointer first (the optimistic-commit conflict signal).
+      */
+    def cas(table: String, expected: Long, next: Long): Boolean
+  }
 }
