@@ -65,12 +65,31 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q115: row-level UPDATE end-to-end — MoR mode commits position deletes
+    * (suppressing old versions) plus a fresh data file (the updated
+    * versions) in one snapshot; the catalog read then shows the CASE-WHEN
+    * view of lineitem the oracle states directly.
+    */
+  private def q115(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q115").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.updateWhere(spark, "lineitem", col("l_returnflag") === "R",
+      Map("l_quantity" -> (col("l_quantity") + 100)), s"$root/out")
+    cat.scanTable(spark, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
     "q3_mor_full" -> (q3 _),
     "q4_mor_projection" -> (q4 _),
-    "q114_delete_where" -> (q114 _))
+    "q114_delete_where" -> (q114 _),
+    "q115_update_where" -> (q115 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -119,5 +138,13 @@ object MorQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'A' AND l_quantity < 25)
+        |GROUP BY 1, 2""".stripMargin,
+    "q115_update_where" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CASE WHEN l_returnflag = 'R'
+        |                          THEN l_quantity + 100
+        |                          ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS sum_qty
+        |FROM lineitem
         |GROUP BY 1, 2""".stripMargin)
 }

@@ -472,6 +472,182 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** Live rows (pending pos/eq-deletes applied) WITH the hidden columns
+    * kept — what the row-level mutation writers iterate: [[updateWhere]]
+    * must not act on already-deleted rows (a MoR update of a suppressed row
+    * would RESURRECT it as fresh data), and the writers need
+    * `(file_path, pos)` to emit position deletes.
+    */
+  private def scanLiveWithHidden(
+      spark: SparkSession, entries: Seq[TableEntry],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries), schema)
+    val afterPos = CompactionRunner.readPositionDeletes(spark,
+      entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) })
+      .fold(data)(graft.operators.MorPlanner.applyPositionDeletes(data, _))
+    CompactionRunner.readEqualityDeletes(spark,
+      entries.collect { case e if e.kind == "eqdel" =>
+        EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+      }, Some(data.schema))
+      .foldLeft(afterPos)(graft.operators.MorPlanner.applyEqualityDeletes)
+  }
+
+  /** Row-level UPDATE — `UPDATE table SET col = expr, … WHERE predicate`,
+    * composed from the same primitives as [[deleteWhere]]:
+    *
+    *  - '''MoR''' (default): one pass finds the LIVE matching rows (pending
+    *    deletes applied first — updating an already-deleted row would
+    *    resurrect it), then commits a position-delete file suppressing the
+    *    old versions AND a new data file carrying the updated versions, in
+    *    one snapshot. The new file's fresh sequence number sits above every
+    *    pending eq-delete, so the updated rows are immediately live.
+    *  - '''Copy-on-write''': rewrite only the files containing matching
+    *    rows; within the rewrite, matched rows get the SET expressions and
+    *    the rest pass through (`when(pred, set).otherwise(old)` per
+    *    column), with pending deletes folded in like [[deleteWhereCow]].
+    *
+    * SQL semantics: a row is updated when the predicate is TRUE; NULL
+    * leaves the row unchanged (both modes express this through
+    * predicate-TRUE filters / `when`). SET columns must exist — this is an
+    * update, not a schema change; [[evolveSchema]] owns that.
+    *
+    * Returns the committed snapshot id (current head when nothing matched).
+    */
+  def updateWhere(
+      spark: SparkSession,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      outDir: String,
+      copyOnWrite: Boolean = false): Long = {
+    require(set.nonEmpty, "updateWhere requires at least one SET column")
+    if (copyOnWrite) updateWhereCow(spark, table, predicate, set, outDir)
+    else updateWhereMor(spark, table, predicate, set, outDir)
+  }
+
+  private def requireSetColsExist(
+      set: Map[String, org.apache.spark.sql.Column], cols: Seq[String]): Unit = {
+    val missing = set.keys.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"SET columns ${missing.mkString(", ")} not in table schema " +
+        s"(${cols.mkString(", ")}); schema changes go through evolveSchema")
+  }
+
+  private def updateWhereMor(
+      spark: SparkSession,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val entries0 = loadEntries(table)
+    val matched = scanLiveWithHidden(spark, entries0, currentSchema(table))
+      .filter(predicate)
+      .persist() // two writes (delete side + update side) off one pass
+    try {
+      val userCols = matched.columns
+        .filterNot(graft.operators.MorPlanner.HiddenCols.contains).toSeq
+      requireSetColsExist(set, userCols)
+      val token = java.util.UUID.randomUUID().toString
+      val delDir = s"$outDir/update-pos-$token"
+      val dataDir = s"$outDir/update-data-$token"
+      matched
+        .select(col(graft.operators.MorPlanner.FilePathCol).as("file_path"),
+          col(graft.operators.MorPlanner.PosCol).as("pos"))
+        .write.mode("errorifexists").parquet(delDir)
+      matched
+        .select(userCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+        .write.mode("errorifexists").parquet(dataDir)
+      val delFiles = listParquetsIn(spark, delDir)
+      val back = spark.read.parquet(delFiles: _*)
+      if (back.isEmpty) currentSnapshotId(table)
+      else {
+        val referenced = back.select("file_path").distinct()
+          .collect().map(_.getString(0)).toSeq
+        withTableLock(table) {
+          val entries = loadEntries(table)
+          val live = dataTasks(entries)
+            .flatMap(t => Seq(t.path, CompactionRunner.canonPath(t.path))).toSet
+          val stale = referenced.filterNot(p =>
+            live(p) || live(CompactionRunner.canonPath(p)))
+          if (stale.nonEmpty)
+            throw GraftError.Metadata(
+              s"updateWhere commit conflict on $table: files " +
+                s"${stale.take(3).mkString(", ")} were rewritten by a concurrent " +
+                "commit after the update scan; re-run against the new snapshot")
+          val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+          val newEntries =
+            delFiles.map(p => TableEntry("posdel", p, seq, "parquet", Nil)) ++
+              listParquetsIn(spark, dataDir)
+                .map(p => TableEntry("data", p, seq, "parquet", Nil))
+          val nextId = currentSnapshotId(table) + 1
+          writeSnapshot(table, nextId, entries ++ newEntries)
+          carrySchema(table, nextId - 1, nextId)
+          advanceHead(table, nextId - 1, nextId)
+          nextId
+        }
+      }
+    } finally matched.unpersist()
+  }
+
+  private def updateWhereCow(
+      spark: SparkSession,
+      table: String,
+      predicate: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      outDir: String): Long = withTableLock(table) {
+    import org.apache.spark.sql.functions.{col, when}
+    val entries = loadEntries(table)
+    val schema = currentSchema(table)
+    val live = scanLiveWithHidden(spark, entries, schema)
+    val affected = live.filter(predicate)
+      .select(col(graft.operators.MorPlanner.FilePathCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (affected.isEmpty) currentSnapshotId(table)
+    else {
+      val affTasks = dataTasks(entries)
+        .filter(t => affected(CompactionRunner.canonPath(t.path)))
+      val affLive = scanLiveWithHidden(spark,
+        entries.filterNot(e => e.kind == "data" &&
+          !affected(CompactionRunner.canonPath(e.path))), schema)
+      val userCols = affLive.columns
+        .filterNot(graft.operators.MorPlanner.HiddenCols.contains).toSeq
+      requireSetColsExist(set, userCols)
+      val rewritten = affLive.select(userCols.map { c =>
+        set.get(c).fold(col(c))(expr => when(predicate, expr).otherwise(col(c)).as(c))
+      }: _*)
+      val token = java.util.UUID.randomUUID().toString
+      val cowDir = s"$outDir/update-cow-$token"
+      rewritten.write.mode("errorifexists").parquet(cowDir)
+      val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      val added = listParquetsIn(spark, cowDir)
+        .map(p => TableEntry("data", p, seq, "parquet", Nil))
+      commitRewriteLocked(table, added, affTasks.map(_.path))
+    }
+  }
+
+  /** Roll the table back to a retained earlier snapshot (Iceberg's
+    * `rollback_to_snapshot`): a METADATA-ONLY commit that re-installs the
+    * old snapshot's entries as a NEW snapshot — history stays linear and
+    * intact (the rolled-back snapshots remain readable until expiry),
+    * exactly like Iceberg, rather than moving the pointer backwards and
+    * stranding unreachable snapshot documents.
+    */
+  def rollbackTo(table: String, snapshotId: Long): Long = withTableLock(table) {
+    require(snapshotIds(table).contains(snapshotId),
+      s"snapshot $snapshotId of $table does not exist (expired or never " +
+        s"committed); retained: ${snapshotIds(table).mkString(", ")}")
+    val head = currentSnapshotId(table)
+    if (snapshotId == head) head
+    else {
+      val nextId = head + 1
+      writeSnapshot(table, nextId, readSnapshot(table, snapshotId))
+      schemaAt(table, snapshotId).foreach(s => writeSchema(table, nextId, s))
+      advanceHead(table, head, nextId)
+      nextId
+    }
+  }
+
   /** Incremental (append-diff) file set: DATA files present in `toSnapshot`
     * but not in `fromSnapshot` — Iceberg's incremental append scan. The
     * diff is meaningful between append/upsert commits; across a compaction
