@@ -122,7 +122,18 @@ object ExplainAudit {
     "q113_zorder" ->
       ("Morton z-value via ONE codegen interleave_bits call per row (the z-order " +
         "compaction clustering key); map-side partial agg on the z-bucket — " +
-        "a pure scan+aggregate, zero joins."))
+        "a pure scan+aggregate, zero joins."),
+    "q114_delete_where" ->
+      ("Catalog MoR read AFTER a deleteWhere commit: the data scan anti-joins the " +
+        "freshly written position-delete file on (file_path, pos) — hash-based, " +
+        "delete side broadcast (deletes are a fraction of data) — then one keyed " +
+        "aggregate. The delete WRITE itself was a column-pruned scan + a parquet " +
+        "file of matched (file_path, pos) pairs; no data file rewritten."),
+    "q115_update_where" ->
+      ("Catalog read after an updateWhere commit: old versions suppressed by the " +
+        "pos-delete anti join, updated versions live from the fresh data file at " +
+        "the advanced sequence number — one commit, two small files, no rewrite " +
+        "of the unmatched data."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

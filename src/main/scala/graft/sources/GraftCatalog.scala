@@ -408,10 +408,13 @@ final class GraftCatalog(root: String,
     val written = listParquetsIn(spark, delDir)
     // the written files are the matched rows only — re-reading them is the
     // cheap way to learn (a) emptiness and (b) the referenced-file set
-    // (driver-sized: bounded by the table's file count, not row count)
-    val back = spark.read.parquet(written: _*)
-    if (back.isEmpty) currentSnapshotId(table)
+    // (driver-sized: bounded by the table's file count, not row count).
+    // A fully-empty match may also surface as ZERO part files, so check
+    // the listing before handing it to the reader.
+    if (written.isEmpty || spark.read.parquet(written: _*).isEmpty)
+      currentSnapshotId(table)
     else {
+      val back = spark.read.parquet(written: _*)
       val referenced = back.select("file_path").distinct()
         .collect().map(_.getString(0)).toSeq
       withTableLock(table) {
@@ -559,10 +562,11 @@ final class GraftCatalog(root: String,
         .select(userCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
         .write.mode("errorifexists").parquet(dataDir)
       val delFiles = listParquetsIn(spark, delDir)
-      val back = spark.read.parquet(delFiles: _*)
-      if (back.isEmpty) currentSnapshotId(table)
+      if (delFiles.isEmpty || spark.read.parquet(delFiles: _*).isEmpty)
+        currentSnapshotId(table)
       else {
-        val referenced = back.select("file_path").distinct()
+        val referenced = spark.read.parquet(delFiles: _*)
+          .select("file_path").distinct()
           .collect().map(_.getString(0)).toSeq
         withTableLock(table) {
           val entries = loadEntries(table)
@@ -743,6 +747,88 @@ final class GraftCatalog(root: String,
     nextId
   }
 
+  // ---- named snapshot refs (Iceberg tags: immutable named pointers) ------
+
+  private def refsPath(table: String) = tableDir(table).resolve("refs.tsv")
+
+  private def readRefs(table: String): Map[String, Long] = {
+    val p = refsPath(table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).split("\n").filter(_.nonEmpty).map { line =>
+      val Array(name, id) = line.split("\t", 2)
+      name -> id.toLong
+    }.toMap
+  }
+
+  private def writeRefs(table: String, refs: Map[String, Long]): Unit = {
+    val tmp = tableDir(table).resolve(s".refs.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp,
+      refs.toSeq.sortBy(_._1).map { case (n, id) => s"$n\t$id" }.mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, refsPath(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Tag a retained snapshot with an immutable name (Iceberg's tags — the
+    * audit/publish handles: `prod-2024-01-01`, `validated`). Tagged
+    * snapshots survive [[expireSnapshots]] until the tag is dropped.
+    */
+  def tagSnapshot(table: String, tag: String, snapshotId: Long): Unit =
+    withTableLock(table) {
+      require(tag.nonEmpty && !tag.contains("\t") && !tag.contains("\n"),
+        s"invalid tag name '$tag'")
+      require(snapshotIds(table).contains(snapshotId),
+        s"snapshot $snapshotId of $table does not exist; retained: " +
+          snapshotIds(table).mkString(", "))
+      val refs = readRefs(table)
+      require(!refs.contains(tag),
+        s"tag '$tag' already points at snapshot ${refs(tag)} (tags are " +
+          "immutable; drop it first)")
+      writeRefs(table, refs + (tag -> snapshotId))
+    }
+
+  def tags(table: String): Map[String, Long] = readRefs(table)
+
+  def dropTag(table: String, tag: String): Unit = withTableLock(table) {
+    val refs = readRefs(table)
+    require(refs.contains(tag), s"no tag '$tag' on $table")
+    writeRefs(table, refs - tag)
+  }
+
+  /** Time travel by tag — `VERSION AS OF 'prod-2024-01-01'`. */
+  def loadTableAtTag(table: String, tag: String): Seq[DataFileTask] = {
+    val refs = readRefs(table)
+    require(refs.contains(tag),
+      s"no tag '$tag' on $table; tags: ${refs.keys.toSeq.sorted.mkString(", ")}")
+    loadTableAt(table, refs(tag))
+  }
+
+  /** EP3 companion action: DELETE the orphans [[orphanFiles]] detects, with
+    * the safety rail every production remove-orphans job has — an age grace
+    * period. A file can look orphaned while being mid-write by an
+    * in-flight commit (written BEFORE the snapshot that will reference it
+    * exists — upsert/deleteWhere write outside the table lock by design),
+    * so only files older than `olderThanMillis` are eligible; recent
+    * "orphans" are presumed in-flight and skipped. Re-checks liveness under
+    * the table lock immediately before deleting (the candidate listing may
+    * predate a commit that adopted a file). Returns the deleted paths.
+    */
+  def removeOrphanFiles(
+      table: String,
+      candidates: Seq[String],
+      olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = withTableLock(table) {
+    require(olderThanMillis >= 0, "grace period must be non-negative")
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    orphanFiles(table, candidates).filter { p =>
+      val f = new java.io.File(
+        if (p.startsWith("file:")) p.replaceFirst("^file:/+", "/") else p)
+      // missing files (raced with another cleaner) are simply not "deleted
+      // by us"; never delete on an unreadable mtime
+      f.exists() && f.lastModified() < cutoff && f.delete()
+    }
+  }
+
   /** EP3: drop all snapshots but the most recent `keepLast` (HEAD's snapshot
     * is always kept).
     */
@@ -750,7 +836,9 @@ final class GraftCatalog(root: String,
     require(keepLast >= 1, "must keep at least the current snapshot")
     val ids = snapshotIds(table)
     val head = currentSnapshotId(table)
-    val expire = ids.filterNot(_ == head).sorted.dropRight(keepLast - 1)
+    val tagged = readRefs(table).values.toSet // tagged snapshots never expire
+    val expire = ids.filterNot(id => id == head || tagged(id))
+      .sorted.dropRight(keepLast - 1)
     expire.foreach { id =>
       Files.delete(snapPath(table, id))
       Files.deleteIfExists(schemaPath(table, id))
