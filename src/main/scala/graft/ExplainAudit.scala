@@ -133,7 +133,14 @@ object ExplainAudit {
       ("Catalog read after an updateWhere commit: old versions suppressed by the " +
         "pos-delete anti join, updated versions live from the fresh data file at " +
         "the advanced sequence number — one commit, two small files, no rewrite " +
-        "of the unmatched data."))
+        "of the unmatched data."),
+    "q116_stats_prune" ->
+      ("Stats-pruned catalog read: the clustered compaction persisted per-file " +
+        "l_orderkey bounds into the snapshot, so the BETWEEN touches only the " +
+        "files whose [min,max] intersect — the scan's file list (InMemoryFileIndex) " +
+        "holds the intersecting subset of the 8 clustered outputs, not the table. " +
+        "Iceberg manifest pruning as a catalog primitive; the residual filter " +
+        "re-applies the exact predicate on the survivors."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

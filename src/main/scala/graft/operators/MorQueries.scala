@@ -83,13 +83,37 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q116: stats-pruned catalog read — a range-clustered compaction commit
+    * persists per-file l_orderkey bounds into the snapshot, and the narrow
+    * scan then touches ONLY the files whose [min,max] intersect the
+    * predicate (Iceberg manifest pruning; `StatsPruningSpec` asserts the
+    * file skipping in-plan). The oracle is the plain BETWEEN the pruned
+    * read must equal row-for-row.
+    */
+  private def q116(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q116").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.compactTable(spark, "lineitem", s"$root/out",
+      graft.sources.CompactionRunner.CompactionConfig(
+        targetPartitions = 8,
+        clusterBy = Seq("l_orderkey"),
+        statsCols = Seq("l_orderkey")))
+    cat.scanTableWhere(spark, "lineitem", "l_orderkey", 1000, 3000)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
     "q3_mor_full" -> (q3 _),
     "q4_mor_projection" -> (q4 _),
     "q114_delete_where" -> (q114 _),
-    "q115_update_where" -> (q115 _))
+    "q115_update_where" -> (q115 _),
+    "q116_stats_prune" -> (q116 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -146,5 +170,11 @@ object MorQueries {
         |                          ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE)
         |         AS sum_qty
         |FROM lineitem
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    "q116_stats_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY 1""".stripMargin)
 }

@@ -14,10 +14,13 @@ import scala.jdk.CollectionConverters._
   * Layout under a root directory:
   * {{{
   * <root>/<table>/snap-<id>.tsv   one entry (data OR delete file) per line:
-  *                                kind<TAB>path<TAB>seq<TAB>format<TAB>extra
-  *                                kind ∈ data|posdel|eqdel; extra = eq column
-  *                                names (csv) for eqdel, else empty. Legacy
-  *                                3-field lines (path seq format) parse as data.
+  *                                kind<TAB>path<TAB>seq<TAB>format<TAB>eqCols
+  *                                <TAB>eqIds<TAB>stats
+  *                                kind ∈ data|posdel|eqdel; eqCols/eqIds only
+  *                                for eqdel; stats = url-encoded per-column
+  *                                min/max bounds (data files written by a
+  *                                stats-collecting compaction). Legacy 3/5/6-
+  *                                field lines parse with the tail defaulted.
   * <root>/<table>/HEAD            current snapshot id
   * }}}
   *
@@ -42,6 +45,15 @@ import scala.jdk.CollectionConverters._
 final class GraftCatalog(root: String,
     headStore: Option[GraftCatalog.HeadStore] = None) {
 
+  /** Per-file column bounds persisted IN the snapshot — what Iceberg keeps
+    * in manifest entries (`lower_bounds`/`upper_bounds`) so a predicate can
+    * skip whole files from the metadata alone. Values are the stringified
+    * min/max the stats audit renders ([[CompactionRunner.DataFileStats]]).
+    */
+  final case class EntryStats(
+      colMins: Map[String, String],
+      colMaxs: Map[String, String])
+
   /** One snapshot entry: a data file or a delete file. */
   final case class TableEntry(
       kind: String, // data | posdel | eqdel
@@ -49,10 +61,38 @@ final class GraftCatalog(root: String,
       seqNum: Long,
       format: String,
       eqCols: Seq[String],
-      eqIds: Seq[Int] = Nil)
+      eqIds: Seq[Int] = Nil,
+      stats: Option[EntryStats] = None)
 
   private def toEntry(t: DataFileTask) =
     TableEntry("data", t.path, t.seqNum, t.format, Nil)
+
+  private def statsOf(f: CompactionRunner.DataFileStats): Option[EntryStats] =
+    if (f.colMins.isEmpty && f.colMaxs.isEmpty) None
+    else Some(EntryStats(f.colMins, f.colMaxs))
+
+  // stats TSV rendering: `enc(col):enc(min):enc(max)` joined with `;` —
+  // URL-encoding keeps arbitrary bound strings clear of the separators
+  // (and of the snapshot's tabs/newlines)
+  private def encodeStats(s: EntryStats): String = {
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    s.colMins.keys.toSeq.sorted.flatMap { c =>
+      s.colMaxs.get(c).map(mx => s"${enc(c)}:${enc(s.colMins(c))}:${enc(mx)}")
+    }.mkString(";")
+  }
+
+  private def decodeStats(field: String): Option[EntryStats] =
+    if (field.isEmpty) None
+    else {
+      def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+      val parts = field.split(";").toSeq.map { kv =>
+        val Array(c, mn, mx) = kv.split(":", 3)
+        (dec(c), dec(mn), dec(mx))
+      }
+      Some(EntryStats(
+        parts.map(p => p._1 -> p._2).toMap,
+        parts.map(p => p._1 -> p._3).toMap))
+    }
 
   private def tableDir(table: String) = Paths.get(root, table)
   private def headPath(table: String) = tableDir(table).resolve("HEAD")
@@ -268,6 +308,53 @@ final class GraftCatalog(root: String,
     graft.operators.MorPlanner.merge(data,
       CompactionRunner.readPositionDeletes(spark, pos),
       CompactionRunner.readEqualityDeletes(spark, eq, Some(data.schema)))
+  }
+
+  /** Stats-pruned MoR read — Iceberg's manifest-level file skipping, off
+    * the bounds the compaction commit persisted into the snapshot
+    * ([[EntryStats]], populated from `CompactionConfig.statsCols`): only
+    * data files whose `[min,max]` range for `column` intersects `[lo,hi]`
+    * are scanned at all. With range- or z-order-clustered outputs the file
+    * bounds are near-disjoint, so a narrow predicate touches a handful of
+    * files — at 100 TB this is the difference between a metadata lookup
+    * and a full scan. Pruning is conservative exactly like
+    * [[CompactionRunner.pruneByStats]]: files without stats (or with
+    * null/sentinel/unparseable bounds) are always scanned. Pending
+    * pos/eq-deletes still apply to the kept files, and the exact predicate
+    * is re-applied on top, so the result equals
+    * `scanTable(...).filter(lo <= column && column <= hi)` row-for-row.
+    */
+  def scanTableWhere(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val entries = loadEntries(table)
+    val dataEntries = entries.filter(_.kind == "data")
+    val keptPaths = CompactionRunner.pruneByStats(
+      dataEntries.map(e => CompactionRunner.DataFileStats(e.path, 0L, 0L,
+        e.stats.fold(Map.empty[String, String])(_.colMins),
+        e.stats.fold(Map.empty[String, String])(_.colMaxs), Map.empty)),
+      column, lo, hi).map(_.path).toSet
+    val exact = col(column) >= lo && col(column) <= hi
+    if (keptPaths.isEmpty)
+      // provably-empty result; limit(0) keeps the schema without any scan
+      scanTable(spark, table).filter(exact).limit(0)
+    else {
+      val kept = dataEntries.filter(e => keptPaths(e.path))
+        .map(e => DataFileTask(e.path, e.seqNum, e.format))
+      val data = CompactionRunner.scanWithHiddenCols(spark, kept,
+        currentSchema(table))
+      graft.operators.MorPlanner.merge(data,
+        CompactionRunner.readPositionDeletes(spark,
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }),
+        CompactionRunner.readEqualityDeletes(spark,
+          entries.collect { case e if e.kind == "eqdel" =>
+            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+          }, Some(data.schema))).filter(exact)
+    }
   }
 
   /** Iceberg-v2 row-level upsert: write `updates` as a new data file set AND
@@ -874,7 +961,8 @@ final class GraftCatalog(root: String,
         outDir, config, currentSchema(table))
       val maxSeq = entries.map(_.seqNum).max
       val added = manifest.addedFiles
-        .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil))
+        .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil,
+          stats = statsOf(f)))
       val snapId = commitRewriteLocked(table, added,
         manifest.removedDataFiles ++ manifest.removedDeleteFiles)
       writeCompactWatermark(table, snapId)
@@ -957,7 +1045,8 @@ final class GraftCatalog(root: String,
             outDir, config.copy(retireDeleteFiles = false), currentSchema(table))
           val maxSeq = entries.map(_.seqNum).max
           val added = manifest.addedFiles
-            .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil))
+            .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil,
+              stats = statsOf(f)))
           // dead eq-deletes: after the rewrite the kept data files are
           // (all data minus the delta) plus the new outputs at maxSeq+1;
           // an eq-delete with no kept file strictly below its seq can
@@ -1020,7 +1109,7 @@ final class GraftCatalog(root: String,
   private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
     val body = entries.map(e =>
       s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}" +
-        s"\t${e.eqIds.mkString(",")}")
+        s"\t${e.eqIds.mkString(",")}\t${e.stats.fold("")(encodeStats)}")
       .mkString("\n")
     // temp + atomic move (like writeHead): a crash mid-write must not leave
     // a torn snap-N.tsv that snapshotIds/time-travel/orphan detection would
@@ -1037,8 +1126,13 @@ final class GraftCatalog(root: String,
     val text = Files.readString(snapPath(table, id))
     if (text.isEmpty) Nil
     else text.split("\n").toSeq.map { line =>
-      line.split("\t", 6) match {
-        case Array(k, p, s, f, cols, ids) =>
+      line.split("\t", 7) match {
+        case Array(k, p, s, f, cols, ids, stats) =>
+          TableEntry(k, p, s.toLong, f,
+            if (cols.isEmpty) Nil else cols.split(",").toSeq,
+            if (ids.isEmpty) Nil else ids.split(",").toSeq.map(_.toInt),
+            decodeStats(stats))
+        case Array(k, p, s, f, cols, ids) => // pre-stats 6-field line
           TableEntry(k, p, s.toLong, f,
             if (cols.isEmpty) Nil else cols.split(",").toSeq,
             if (ids.isEmpty) Nil else ids.split(",").toSeq.map(_.toInt))
