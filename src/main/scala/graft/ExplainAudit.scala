@@ -140,7 +140,12 @@ object ExplainAudit {
         "files whose [min,max] intersect — the scan's file list (InMemoryFileIndex) " +
         "holds the intersecting subset of the 8 clustered outputs, not the table. " +
         "Iceberg manifest pruning as a catalog primitive; the residual filter " +
-        "re-applies the exact predicate on the survivors."))
+        "re-applies the exact predicate on the survivors."),
+    "q117_merge_into" ->
+      ("Catalog read after a MERGE INTO commit: matched keys suppressed by the " +
+        "eq-delete anti join (seq guard), updated versions live from the fresh " +
+        "data file — the merge itself was one inner join (update side) + one " +
+        "anti join (insert side) + two writes, all hash joins on the keys."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -117,6 +117,38 @@ object ScalingProbe {
       (mult, mult * 5000L, tFull, tInc)
     }
 
+    // ---- stats-pruned vs full catalog scan over growing clustered tables -
+    // A FIXED narrow doc_id range is probed as the table grows; the full
+    // filter scan must touch every file (cost ∝ corpus) while the
+    // stats-pruned scan touches only the intersecting clustered files
+    // (cost ~flat) — the catalog-pruning design claim measured.
+    import graft.sources.CompactionRunner.CompactionConfig
+    val pruneRows = Seq(1, 4, 16).map { mult =>
+      val dir = s"/tmp/graft_scale_prune_$mult"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val corpus = spark.read.parquet(s"/tmp/graft_scale_$mult/documents.parquet")
+      corpus.repartition(8).write.mode("overwrite").parquet(s"$dir/base")
+      val cat = new GraftCatalog(s"$dir/cat")
+      cat.createTable("t", parquetsIn(s"$dir/base").map(DataFileTask(_, 1L)))
+      cat.compactTable(spark, "t", s"$dir/out",
+        CompactionConfig(targetPartitions = 8 * mult,
+          clusterBy = Seq("doc_id"), statsCols = Seq("doc_id")))
+      def time(mk: => org.apache.spark.sql.DataFrame): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val tFull = time(cat.scanTable(spark, "t")
+        .filter(col("doc_id") >= 0 && col("doc_id") <= 499))
+      val tPruned = time(cat.scanTableWhere(spark, "t", "doc_id", 0, 499))
+      val filesScanned = cat.scanTableWhere(spark, "t", "doc_id", 0, 499)
+        .inputFiles.length
+      val filesTotal = cat.loadTable("t").size
+      println(f"prune mult=$mult%2d files=$filesScanned/$filesTotal " +
+        f"full=$tFull%6.2f pruned=$tPruned%6.2f")
+      (mult, filesScanned, filesTotal, tFull, tPruned)
+    }
+
     val sb = new StringBuilder
     sb.append("# SCALING — empirical scaling curve of the dedup tier\n\n")
     sb.append(s"Generated by `graft.ScalingProbe` from $sfDir on local[32].\n")
@@ -144,6 +176,19 @@ object ScalingProbe {
       sb.append(f"| ${m}x | $n | $tF%.2f | $tI%.2f |\n")
     }
     sb.append("\nmin-of-2 over fully fresh catalog chains per cell.\n")
+
+    sb.append("\n## Stats-pruned vs full catalog scan\n\n")
+    sb.append("Same corpora, range-clustered into 8×mult files with per-file\n")
+    sb.append("doc_id bounds persisted in the snapshot; a FIXED narrow range\n")
+    sb.append("(500 ids) probed via `scanTableWhere`. The full filter scan\n")
+    sb.append("touches every file (cost grows with the table); the pruned scan\n")
+    sb.append("touches only intersecting files and should stay ~flat — the\n")
+    sb.append("metadata-vs-scan difference that dominates at 100 TB.\n\n")
+    sb.append("| mult | files scanned / total | full filter scan (s) | pruned scan (s) |\n")
+    sb.append("|---|---|---|---|\n")
+    pruneRows.foreach { case (m, fs, ft, tF, tP) =>
+      sb.append(f"| ${m}x | $fs/$ft | $tF%.2f | $tP%.2f |\n")
+    }
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
     println("SCALING.md written")
     spark.stop()

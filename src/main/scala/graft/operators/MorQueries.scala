@@ -106,6 +106,33 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q117: MERGE INTO end-to-end — a distinct-key source (every 97th
+    * order's line numbers, delta 50) merges into the catalog lineitem
+    * table; matched rows get `l_quantity + delta` via one eq-delete +
+    * fresh-data commit. Duplicate (orderkey, linenumber) TARGET rows (the
+    * synthetic data has them) are each updated — exactly the CASE-WHEN
+    * view the oracle states.
+    */
+  private def q117(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q117").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    val source = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .select(col("l_orderkey"), col("l_linenumber")).distinct()
+      .withColumn("delta", lit(50.0))
+    cat.mergeInto(spark, "lineitem", source, Seq("l_orderkey", "l_linenumber"),
+      whenMatchedSet =
+        Map("l_quantity" -> (col("l_quantity") + col("_src_delta"))),
+      outDir = s"$root/out",
+      whenNotMatchedInsert = false)
+    cat.scanTable(spark, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
@@ -113,7 +140,8 @@ object MorQueries {
     "q4_mor_projection" -> (q4 _),
     "q114_delete_where" -> (q114 _),
     "q115_update_where" -> (q115 _),
-    "q116_stats_prune" -> (q116 _))
+    "q116_stats_prune" -> (q116 _),
+    "q117_merge_into" -> (q117 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -176,5 +204,13 @@ object MorQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 1000 AND 3000
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q117_merge_into" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CASE WHEN l_orderkey % 97 = 0
+        |                          THEN l_quantity + 50
+        |                          ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS sum_qty
+        |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin)
 }

@@ -562,6 +562,119 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** MERGE INTO — the conditional upsert (Iceberg/SQL:2003 MERGE), compiled
+    * to the same MoR primitives as [[upsert]]: ONE commit containing an
+    * equality-delete file over the matched keys (suppressing the old
+    * versions of updated AND deleted rows) plus a data file with the
+    * updated versions and the not-matched inserts. The new file's fresh
+    * sequence number sits above the eq-delete, so updated rows are
+    * immediately live while pre-merge versions stay suppressed.
+    *
+    *  - `whenMatchedSet`: per-column update expressions evaluated over the
+    *    matched (target ⋈ source) row; target columns keep their names,
+    *    source columns are exposed as `_src_<name>`. E.g.
+    *    `Map("qty" -> (col("qty") + col("_src_delta")))`.
+    *  - `whenMatchedDelete`: matched rows satisfying this condition (same
+    *    namespace) are deleted instead of updated.
+    *  - `whenNotMatchedInsert`: source rows matching no target key are
+    *    inserted (the source must then contain every target column).
+    *
+    * Duplicate-key discipline is SQL MERGE's: the SOURCE must have at most
+    * one row per key (rejected otherwise — the engine cannot know which
+    * update wins); the TARGET may hold many rows per key and each one is
+    * updated/deleted.
+    *
+    * Like [[upsert]], the distributed writes run outside the table lock and
+    * the sequence number is allocated under it at commit time.
+    */
+  def mergeInto(
+      spark: SparkSession,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      whenMatchedSet: Map[String, org.apache.spark.sql.Column],
+      outDir: String,
+      whenNotMatchedInsert: Boolean = true,
+      whenMatchedDelete: Option[org.apache.spark.sql.Column] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
+    require(keyCols.nonEmpty, "mergeInto requires key columns")
+    require(whenMatchedSet.nonEmpty || whenMatchedDelete.nonEmpty ||
+      whenNotMatchedInsert, "mergeInto requires at least one action clause")
+    val srcPrefix = "_src_"
+    require(keyCols.forall(source.columns.contains),
+      s"source is missing key columns ${keyCols.filterNot(source.columns.contains).mkString(", ")}")
+    // SQL MERGE's cardinality rule, enforced up front (driver-sized check)
+    val srcKeys = source.select(keyCols.map(col): _*)
+    require(srcKeys.distinct().count() == source.count(),
+      "mergeInto source has multiple rows per key; SQL MERGE requires at " +
+        "most one source row per target key")
+
+    val entries0 = loadEntries(table)
+    val liveAll = scanLiveWithHidden(spark, entries0, currentSchema(table))
+    val userCols = liveAll.columns
+      .filterNot(graft.operators.MorPlanner.HiddenCols.contains).toSeq
+    val live = liveAll.select(userCols.map(col): _*)
+    requireSetColsExist(whenMatchedSet, userCols)
+    val src = source.columns.foldLeft(source)((df, c) =>
+      df.withColumnRenamed(c, srcPrefix + c))
+    val joinCond = keyCols.map(k => col(k) === col(srcPrefix + k)).reduce(_ && _)
+
+    val matched = live.join(src, joinCond, "inner")
+    val deleteCond = whenMatchedDelete.getOrElse(lit(false))
+    val updated = matched.filter(not(coalesce(deleteCond, lit(false))))
+      .select(userCols.map(c =>
+        whenMatchedSet.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+    val inserted =
+      if (!whenNotMatchedInsert) updated.limit(0)
+      else {
+        val missing = userCols.filterNot(source.columns.contains)
+        require(missing.isEmpty,
+          s"whenNotMatchedInsert requires the source to carry every target " +
+            s"column; missing: ${missing.mkString(", ")}")
+        src.join(live.select(keyCols.map(col): _*), joinCond, "left_anti")
+          .select(userCols.map(c => col(srcPrefix + c).as(c)): _*)
+      }
+
+    // matched keys (updates AND deletes) get eq-deleted; writes outside lock
+    val token = java.util.UUID.randomUUID().toString
+    val delDir = s"$outDir/merge-eqdel-$token"
+    val dataDir = s"$outDir/merge-data-$token"
+    val matchedKeys = srcKeys
+      .join(live.select(keyCols.map(col): _*).distinct(),
+        keyCols, "left_semi").distinct()
+    matchedKeys.write.mode("errorifexists").parquet(delDir)
+    updated.unionByName(inserted).write.mode("errorifexists").parquet(dataDir)
+
+    val delFiles = listParquetsIn(spark, delDir)
+    val dataFiles = listParquetsIn(spark, dataDir)
+    val nothingDeleted =
+      delFiles.isEmpty || spark.read.parquet(delFiles: _*).isEmpty
+    val nothingWritten =
+      dataFiles.isEmpty || spark.read.parquet(dataFiles: _*).isEmpty
+    if (nothingDeleted && nothingWritten) currentSnapshotId(table)
+    else withTableLock(table) {
+      val entries = loadEntries(table)
+      val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      val keyIds = currentSchema(table) match {
+        case Some(sch) => keyCols.flatMap(n =>
+          sch.fields.find(_.name == n).flatMap(FieldIds.idOf))
+        case None => Nil
+      }
+      val recordedIds = if (keyIds.length == keyCols.length) keyIds else Nil
+      val newEntries =
+        (if (nothingDeleted) Nil
+         else delFiles.map(p =>
+           TableEntry("eqdel", p, seq, "parquet", keyCols, recordedIds))) ++
+          (if (nothingWritten) Nil
+           else dataFiles.map(p => TableEntry("data", p, seq, "parquet", Nil)))
+      val nextId = currentSnapshotId(table) + 1
+      writeSnapshot(table, nextId, entries ++ newEntries)
+      carrySchema(table, nextId - 1, nextId)
+      advanceHead(table, nextId - 1, nextId)
+      nextId
+    }
+  }
+
   /** Live rows (pending pos/eq-deletes applied) WITH the hidden columns
     * kept — what the row-level mutation writers iterate: [[updateWhere]]
     * must not act on already-deleted rows (a MoR update of a suppressed row
