@@ -950,6 +950,55 @@ object PipelineQueries {
       |        / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
       |           * sqrt(list_sum(list_transform(a.v, x -> x * x)))) >= 0.40""".stripMargin
 
+  /** Q118: SEMANTIC dedup (SemDeDup, Abbas et al. 2023 — the
+    * embedding-space counterpart of the q41 text tier): cluster the corpus
+    * (shared cached IVF assignment), then WITHIN each cluster drop every
+    * vector that has a smaller-id neighbor at cosine ≥ t — a deterministic
+    * keep-one-representative rule. The quadratic work is bounded by the
+    * CLUSTER size, never the corpus (k grows with the corpus; the q93
+    * Lloyd step is the maintenance path), and the pair probe is the same
+    * hash semi join on cid that q51 uses. Threshold 0.35 is calibrated to
+    * the synthetic fixture (random 64-d embeddings, max off-diagonal
+    * cosine ≈ 0.48 — real corpora use ~0.95+). Output: per-cluster member/
+    * dropped counts plus the dropped-id checksum pinning the exact set.
+    */
+  private def q118(spark: SparkSession, sfDir: String): DataFrame = {
+    val assign = ivfAssign(spark, sfDir)
+    val a = assign.as("a"); val b = assign.as("b")
+    val dropped = a.join(b,
+      col("a.cid") === col("b.cid") && col("b.vec_id") < col("a.vec_id") &&
+        (dotD(col("a.embedding"), col("b.embedding")) /
+          (col("b.nrm") * col("a.nrm")) >= 0.35),
+      "left_semi")
+      .select(col("a.cid").as("cid"), col("a.vec_id").as("vec_id"))
+    val members = assign.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"))
+    val drops = dropped.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_dropped"), sum(col("vec_id")).as("drop_id_sum"))
+    members.join(drops, Seq("cid"), "left_outer")
+      .select(col("cid"), col("n_members"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        coalesce(col("drop_id_sum"), lit(0L)).as("drop_id_sum"))
+  }
+
+  private val q118Sql =
+    s"""WITH $IvfAssignCte,
+      |d AS (
+      |  SELECT DISTINCT a.cid, a.vec_id
+      |  FROM assign a JOIN assign b
+      |    ON b.cid = a.cid AND b.vec_id < a.vec_id
+      |   AND list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]))
+      |         / (sqrt(list_sum(list_transform(b.v, x -> x * x)))
+      |            * sqrt(list_sum(list_transform(a.v, x -> x * x)))) >= 0.35),
+      |m AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_members FROM assign GROUP BY 1),
+      |dc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_dropped,
+      |              CAST(sum(vec_id) AS BIGINT) AS drop_id_sum
+      |       FROM d GROUP BY 1)
+      |SELECT m.cid, m.n_members,
+      |       coalesce(dc.n_dropped, 0) AS n_dropped,
+      |       coalesce(dc.drop_id_sum, 0) AS drop_id_sum
+      |FROM m LEFT JOIN dc ON dc.cid = m.cid""".stripMargin
+
   /** Q52: PII/noise scrubbing — the training-data cleaning pass: count and
     * strip emails, URLs, and digit runs. Every 5th doc gets a planted noisy
     * suffix (derived view; the fixture corpus itself is clean) so the
@@ -1884,7 +1933,8 @@ object PipelineQueries {
     "q93_kmeans_step" -> (q93 _),
     "q94_stream_neardup" -> (q94 _),
     "q101_quantized_cosine" -> (q101 _),
-    "q102_ann_recall" -> (q102 _))
+    "q102_ann_recall" -> (q102 _),
+    "q118_semantic_dedup" -> (q118 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1901,6 +1951,7 @@ object PipelineQueries {
     "q49_simhash_neardup" -> q49Sql,
     "q50_multimodal" -> q50Sql,
     "q51_embed_neardup" -> q51Sql,
+    "q118_semantic_dedup" -> q118Sql,
     "q52_scrub" -> q52Sql,
     "q53_dedup_clusters" -> q53Sql,
     "q54_srp_neardup" -> q54Sql,
