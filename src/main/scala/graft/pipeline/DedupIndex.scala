@@ -78,17 +78,24 @@ final class DedupIndex private (spark: SparkSession, name: String) {
     * must match the existing layout — co-location survives appends).
     *
     * There is no cross-table transaction, so the append order is chosen to
-    * FAIL SAFE: `_docs` first, `_bands` second, `_keys` last. A crash
-    * between appends then only ever leaves docs/bands rows whose key rows
-    * are missing — the next probe of the same docs reports `near_dup`
-    * (bands+docs present, verify join matches) instead of `kept`, i.e.
-    * duplicates are still suppressed and re-running `append` on the same
-    * batch converges. The reverse order would register keys whose verify
-    * rows are missing: exact-dup verdicts with no band/doc backing, which
-    * silently DROPS near-dup verdicts for every later batch. Recovery after
-    * a partial append: re-run `append` with the same verdicts (idempotent
-    * for dedup purposes — re-probing classifies the batch as dup either
-    * way); orphaned doc/band rows are reclaimed by [[compactIndex]].
+    * FAIL SAFE where ordering can: `_docs` first, `_bands` second, `_keys`
+    * last. A crash between `_bands` and `_keys` leaves docs+bands rows
+    * whose key rows are missing — a replay of the same batch classifies
+    * `near_dup` (bands+docs present; identical text maximizes the verify
+    * overlap), so duplicates stay suppressed. The reverse (keys-first)
+    * order would be strictly worse: keys without doc/band backing silently
+    * DROP near-dup verdicts for every later batch, and `_docs` is the
+    * source [[compactIndex]] rebuilds from — keys without docs are
+    * unreclaimable.
+    *
+    * The ordering canNOT cover a crash between `_docs` and `_bands`: a
+    * replay of that batch finds neither keys nor bands and classifies
+    * `kept` again — one duplicate admission (duplicate `_docs` rows plus a
+    * repeated downstream `kept` verdict). Admission is therefore
+    * AT-LEAST-ONCE under crashes, exactly-once would need a per-batch
+    * commit marker; re-running `append` converges, and duplicate/orphaned
+    * doc/band rows are reclaimed by [[compactIndex]] (which rebuilds keys
+    * and bands from the distinct docs).
     */
   def append(verdicts: DataFrame): Unit = {
     val kept = prepare(

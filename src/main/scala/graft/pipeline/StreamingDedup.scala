@@ -23,11 +23,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Delivery semantics: with a checkpoint, each micro-batch is processed
   * once per commit; after a failure `foreachBatch` may REPLAY the last
-  * uncommitted batch. Both halves of the loop tolerate that: re-probing
-  * docs a previous attempt already appended classifies them `exact_dup`
-  * (so they are not re-appended), and a torn append heals per
-  * [[DedupIndex#append]]'s fail-safe ordering — duplicates stay suppressed
-  * either way.
+  * uncommitted batch. Re-probing docs a previous attempt fully appended
+  * classifies them `exact_dup` (not re-appended); a torn append is
+  * AT-LEAST-ONCE per [[DedupIndex#append]]'s ordering contract — every
+  * window except docs-only-landed keeps the replay suppressed, and that
+  * last window yields one duplicate admission that `compactIndex`
+  * reclaims. Verdict emission is therefore at-least-once, not
+  * exactly-once; downstream consumers must key on `doc_id`.
   */
 object StreamingDedup {
 

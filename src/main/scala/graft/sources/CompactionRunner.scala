@@ -271,7 +271,11 @@ object CompactionRunner {
           .cast("long")
       else lit(0L)
     val ords = cols.zipWithIndex.map { case (c, j) =>
-      ord(c, r.getDouble(2 * j), r.getDouble(2 * j + 1))
+      // a column that is entirely NULL has null bounds (only the FIRST
+      // column's null-min implies an empty input): it cannot discriminate,
+      // so it contributes a constant ordinal instead of an NPE
+      if (r.isNullAt(2 * j) || r.isNullAt(2 * j + 1)) lit(0L)
+      else ord(c, r.getDouble(2 * j), r.getDouble(2 * j + 1))
     }
     val zCol = "_graft_zvalue"
     require(!merged.columns.contains(zCol), s"column $zCol already exists")

@@ -158,11 +158,18 @@ final class GraftCatalog(root: String,
     headStore match {
       case None => writeHeadFile(table, to)
       case Some(store) =>
-        if (!store.cas(table, from, to))
+        if (!store.cas(table, from, to)) {
+          // we won the document-install race for `to` (writeSnapshot is
+          // first-writer-wins) but lost the pointer: our document was never
+          // referenced, so remove it — leaving it would brick the id for
+          // our own retry and for the winner's next commit
+          Files.deleteIfExists(snapPath(table, to))
+          Files.deleteIfExists(schemaPath(table, to))
           throw GraftError.Metadata(
             s"commit conflict on $table: expected snapshot $from at the " +
               s"catalog store but another driver committed first " +
               s"(now ${store.read(table)}); re-read and retry")
+        }
     }
 
   def createTable(table: String, files: Seq[DataFileTask]): Unit =
@@ -493,17 +500,16 @@ final class GraftCatalog(root: String,
     val delDir = s"$outDir/delete-pos-$token"
     matched.write.mode("errorifexists").parquet(delDir)
     val written = listParquetsIn(spark, delDir)
-    // the written files are the matched rows only — re-reading them is the
-    // cheap way to learn (a) emptiness and (b) the referenced-file set
-    // (driver-sized: bounded by the table's file count, not row count).
-    // A fully-empty match may also surface as ZERO part files, so check
-    // the listing before handing it to the reader.
-    if (written.isEmpty || spark.read.parquet(written: _*).isEmpty)
-      currentSnapshotId(table)
-    else {
-      val back = spark.read.parquet(written: _*)
-      val referenced = back.select("file_path").distinct()
+    // ONE read-back job learns both emptiness and the referenced-file set
+    // (driver-sized: bounded by the table's file count, not row count). A
+    // fully-empty match may surface as ZERO part files, hence the listing
+    // guard before the reader.
+    val referenced =
+      if (written.isEmpty) Nil
+      else spark.read.parquet(written: _*).select("file_path").distinct()
         .collect().map(_.getString(0)).toSeq
+    if (referenced.isEmpty) currentSnapshotId(table)
+    else {
       withTableLock(table) {
         val entries = loadEntries(table)
         val live = dataTasks(entries)
@@ -603,9 +609,13 @@ final class GraftCatalog(root: String,
     val srcPrefix = "_src_"
     require(keyCols.forall(source.columns.contains),
       s"source is missing key columns ${keyCols.filterNot(source.columns.contains).mkString(", ")}")
-    // SQL MERGE's cardinality rule, enforced up front (driver-sized check)
+    // SQL MERGE's cardinality rule, enforced up front in ONE aggregation
+    // pass (a distinct().count() == count() pair would evaluate the source
+    // plan twice)
     val srcKeys = source.select(keyCols.map(col): _*)
-    require(srcKeys.distinct().count() == source.count(),
+    require(srcKeys.groupBy(keyCols.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("_graft_cnt"))
+      .filter(col("_graft_cnt") > 1).isEmpty,
       "mergeInto source has multiple rows per key; SQL MERGE requires at " +
         "most one source row per target key")
 
@@ -647,10 +657,11 @@ final class GraftCatalog(root: String,
 
     val delFiles = listParquetsIn(spark, delDir)
     val dataFiles = listParquetsIn(spark, dataDir)
-    val nothingDeleted =
-      delFiles.isEmpty || spark.read.parquet(delFiles: _*).isEmpty
-    val nothingWritten =
-      dataFiles.isEmpty || spark.read.parquet(dataFiles: _*).isEmpty
+    // footer-metadata counts: one cheap job per output set, no row scan
+    def rowsIn(files: Seq[String]): Long =
+      if (files.isEmpty) 0L else spark.read.parquet(files: _*).count()
+    val nothingDeleted = rowsIn(delFiles) == 0L
+    val nothingWritten = rowsIn(dataFiles) == 0L
     if (nothingDeleted && nothingWritten) currentSnapshotId(table)
     else withTableLock(table) {
       val entries = loadEntries(table)
@@ -762,12 +773,12 @@ final class GraftCatalog(root: String,
         .select(userCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
         .write.mode("errorifexists").parquet(dataDir)
       val delFiles = listParquetsIn(spark, delDir)
-      if (delFiles.isEmpty || spark.read.parquet(delFiles: _*).isEmpty)
-        currentSnapshotId(table)
-      else {
-        val referenced = spark.read.parquet(delFiles: _*)
-          .select("file_path").distinct()
+      val referenced =
+        if (delFiles.isEmpty) Nil
+        else spark.read.parquet(delFiles: _*).select("file_path").distinct()
           .collect().map(_.getString(0)).toSeq
+      if (referenced.isEmpty) currentSnapshotId(table)
+      else {
         withTableLock(table) {
           val entries = loadEntries(table)
           val live = dataTasks(entries)
@@ -1020,12 +1031,19 @@ final class GraftCatalog(root: String,
       olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = withTableLock(table) {
     require(olderThanMillis >= 0, "grace period must be non-negative")
     val cutoff = System.currentTimeMillis() - olderThanMillis
+    // scheme-aware IO (the data files may live on s3a/hdfs even though the
+    // catalog metadata is local) — java.io.File would silently "delete"
+    // nothing for any non-local candidate
+    val conf = new org.apache.hadoop.conf.Configuration()
     orphanFiles(table, candidates).filter { p =>
-      val f = new java.io.File(
-        if (p.startsWith("file:")) p.replaceFirst("^file:/+", "/") else p)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
       // missing files (raced with another cleaner) are simply not "deleted
       // by us"; never delete on an unreadable mtime
-      f.exists() && f.lastModified() < cutoff && f.delete()
+      try fs.exists(hp) &&
+        fs.getFileStatus(hp).getModificationTime < cutoff &&
+        fs.delete(hp, false)
+      catch { case _: java.io.IOException => false }
     }
   }
 
@@ -1226,13 +1244,32 @@ final class GraftCatalog(root: String,
       .mkString("\n")
     // temp + atomic move (like writeHead): a crash mid-write must not leave
     // a torn snap-N.tsv that snapshotIds/time-travel/orphan detection would
-    // treat as a retained snapshot
+    // treat as a retained snapshot.
+    //
+    // NO REPLACE_EXISTING: snapshot documents are write-once. Two drivers
+    // whose locks can't see each other (the cross-host scenario the SQL
+    // head store exists for) can both compute the same next id; with a
+    // replacing move the LOSER of the subsequent pointer CAS would clobber
+    // the WINNER's installed document first — committed files silently
+    // lost. First-writer-wins on the document makes the race loud instead:
+    // the second writer aborts with a typed conflict before reaching its
+    // CAS. (A committer that crashed between installing the document and
+    // the CAS leaves an unreferenced snap-<id>.tsv; the conflict message
+    // names it for operator cleanup — stuck-and-loud over silent loss.)
     val tmp = tableDir(table).resolve(s".snap-$id.tmp-${Thread.currentThread().getId}")
     Files.writeString(tmp, body,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    Files.move(tmp, snapPath(table, id),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    try Files.move(tmp, snapPath(table, id),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw GraftError.Metadata(
+          s"commit conflict on $table: snapshot document ${snapPath(table, id)} " +
+            "already exists (another driver committed this id first, or a " +
+            "crashed commit left it unreferenced — verify and remove it if " +
+            "HEAD never reached this id); re-read and retry")
+    }
   }
 
   private def readSnapshot(table: String, id: Long): Seq[TableEntry] = {

@@ -63,6 +63,12 @@ final class GrpcCompactionClient(host: String, port: Int) {
     try done.get(timeoutSec, TimeUnit.SECONDS)
     catch {
       case e: java.util.concurrent.ExecutionException => throw e.getCause
+      case e: java.util.concurrent.TimeoutException =>
+        // cancel the stream (RST_STREAM) so a hung server call doesn't leak
+        // the open stream + its buffered response bytes on this long-lived
+        // connection; channelInactive releases the handler's buffer
+        stream.close()
+        throw e
     }
   }
 

@@ -102,6 +102,7 @@ object GrpcCompactionServer {
       extends ChannelInboundHandlerAdapter {
 
     private var path: String = ""
+    private var rejected = false
     private val body = Unpooled.buffer()
 
     override def channelRead(ctx: ChannelHandlerContext, msg: AnyRef): Unit =
@@ -111,11 +112,24 @@ object GrpcCompactionServer {
           if (h.isEndStream) dispatch(ctx)
         case d: Http2DataFrame =>
           val consumed = d.initialFlowControlledBytes
-          body.writeBytes(d.content)
-          d.release()
-          if (consumed > 0) // return the inbound flow-control window
-            ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
-          if (d.isEndStream) dispatch(ctx)
+          // enforce the message cap AS FRAMES ARRIVE: waiting for
+          // END_STREAM would let a client that never ends the stream grow
+          // the heap buffer without bound (and the eager window updates
+          // mean nothing backpressures it)
+          if (rejected) d.release() // already errored; drop further frames
+          else if (body.readableBytes.toLong + d.content.readableBytes > maxMessage + 5L) {
+            d.release()
+            rejected = true
+            body.clear()
+            respondTrailersOnly(ctx, 8, // RESOURCE_EXHAUSTED
+              s"gRPC message exceeds $maxMessage bytes")
+          } else {
+            body.writeBytes(d.content)
+            d.release()
+            if (consumed > 0) // return the inbound flow-control window
+              ctx.writeAndFlush(new DefaultHttp2WindowUpdateFrame(consumed))
+            if (d.isEndStream) dispatch(ctx)
+          }
         case other => ReferenceCountUtil.release(other)
       }
 

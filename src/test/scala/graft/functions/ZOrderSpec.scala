@@ -138,4 +138,25 @@ class ZOrderSpec extends SparkSpec {
       .filter(col("l_suppkey").between(lo, hi)).count()
     assert(prunedRows == fullRows && fullRows > 0)
   }
+
+  test("z-order compaction survives an entirely-NULL cluster column") {
+    import spark.implicits._
+    val table = java.nio.file.Files.createTempDirectory("graft-zorder-null").toString
+    // second dimension is all-NULL: its min/max stats row is (null, null),
+    // which used to NPE in the ordinal builder (getDouble on a null cell)
+    (1L to 100L).map(i => (i, Option.empty[Double]))
+      .toDF("k", "dead")
+      .repartition(2).write.mode("overwrite").parquet(table)
+    val tasks = listParquet(table)
+      .zipWithIndex.map { case (p, i) => DataFileTask(p, i + 1L) }
+    val out = java.nio.file.Files.createTempDirectory("graft-zorder-null-out").toString
+    val m = compact(spark, tasks, Nil, Nil, out,
+      CompactionConfig(targetPartitions = 4,
+        zOrderBy = Seq("k", "dead")))
+    assert(m.outputRecordCount == 100L)
+    // the live dimension still clusters: outputs ordered by k-range
+    val ks = spark.read.parquet(m.addedFiles.map(_.path): _*)
+      .select("k").as[Long].collect().toSet
+    assert(ks == (1L to 100L).toSet)
+  }
 }
