@@ -133,6 +133,58 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q119: hidden partitioning end-to-end — declare a two-field partition
+    * spec (`truncate[250](l_orderkey)`, `bucket[8](l_suppkey)`), compact
+    * into the Hive-layout fanout with per-file partition tuples committed
+    * to the snapshot, then range-scan the truncate SOURCE column:
+    * `scanTableWhere` projects the predicate through the transform and
+    * skips every non-covering partition before stats are even consulted.
+    * SQL-reproducible because pruning only skips IO — the result is
+    * exactly the BETWEEN filter.
+    */
+  private def q119(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q119").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.setPartitionSpec("lineitem", Seq(
+      graft.sources.GraftCatalog.PartitionFieldDef("ok_t", "truncate[250]", "l_orderkey"),
+      graft.sources.GraftCatalog.PartitionFieldDef("sk_b", "bucket[8]", "l_suppkey")))
+    cat.compactTable(spark, "lineitem", s"$root/out",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 2))
+    cat.scanTableWhere(spark, "lineitem", "l_orderkey", 300, 900)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
+  /** Q120: changelog (CDC) scan end-to-end — a delete commit then an
+    * append-shaped upsert (fresh keys, nothing matched), and the changelog
+    * over the whole window nets them into `'D'` rows (the suppressed
+    * originals) and `'I'` rows (the new versions). SQL-reproducible
+    * because the change sets are exactly the delete predicate's rows and
+    * the upsert source (which the oracle re-derives from lineitem).
+    */
+  private def q120(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q120").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    val s1 = cat.currentSnapshotId("lineitem")
+    cat.deleteWhere(spark, "lineitem", col("l_quantity") < 5, s"$root/d1")
+    // append-shaped upsert: negated keys exist nowhere in the table, so the
+    // eq-delete matches nothing and the commit is a pure insert
+    val source = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 103 === 0)
+      .withColumn("l_orderkey", -col("l_orderkey") - 1)
+    val s3 = cat.upsert(spark, "lineitem", source,
+      Seq("l_orderkey", "l_linenumber"), s"$root/u1")
+    cat.changelog(spark, "lineitem", s1, s3)
+      .groupBy(col("_change_type"), col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
@@ -141,7 +193,9 @@ object MorQueries {
     "q114_delete_where" -> (q114 _),
     "q115_update_where" -> (q115 _),
     "q116_stats_prune" -> (q116 _),
-    "q117_merge_into" -> (q117 _))
+    "q117_merge_into" -> (q117 _),
+    "q119_partition_prune" -> (q119 _),
+    "q120_changelog" -> (q120 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -212,5 +266,22 @@ object MorQueries {
         |                          ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE)
         |         AS sum_qty
         |FROM lineitem
+        |GROUP BY 1, 2""".stripMargin,
+    "q119_partition_prune" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 300 AND 900
+        |GROUP BY 1""".stripMargin,
+    "q120_changelog" ->
+      """SELECT _change_type, l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM (
+        |  SELECT 'D' AS _change_type, l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_quantity < 5
+        |  UNION ALL
+        |  SELECT 'I' AS _change_type, l_returnflag, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 103 = 0
+        |)
         |GROUP BY 1, 2""".stripMargin)
 }

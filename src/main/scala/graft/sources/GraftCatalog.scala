@@ -54,7 +54,11 @@ final class GraftCatalog(root: String,
       colMins: Map[String, String],
       colMaxs: Map[String, String])
 
-  /** One snapshot entry: a data file or a delete file. */
+  /** One snapshot entry: a data file or a delete file. `partitionVals` is
+    * the file's partition tuple (transform-column name → value string) —
+    * Iceberg's `DataFile.partition` (`iceberg.proto:188`), the metadata
+    * that lets a scan skip whole partitions without touching file stats.
+    */
   final case class TableEntry(
       kind: String, // data | posdel | eqdel
       path: String,
@@ -62,7 +66,8 @@ final class GraftCatalog(root: String,
       format: String,
       eqCols: Seq[String],
       eqIds: Seq[Int] = Nil,
-      stats: Option[EntryStats] = None)
+      stats: Option[EntryStats] = None,
+      partitionVals: Map[String, String] = Map.empty)
 
   private def toEntry(t: DataFileTask) =
     TableEntry("data", t.path, t.seqNum, t.format, Nil)
@@ -92,6 +97,27 @@ final class GraftCatalog(root: String,
       Some(EntryStats(
         parts.map(p => p._1 -> p._2).toMap,
         parts.map(p => p._1 -> p._3).toMap))
+    }
+
+  // partition tuple TSV rendering: `enc(name)=enc(value)` joined with `;`,
+  // null partition values rendered as a bare `enc(name)` (no `=`)
+  private def encodePartition(p: Map[String, String]): String = {
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    p.keys.toSeq.sorted.map { k =>
+      Option(p(k)).fold(enc(k))(v => s"${enc(k)}=${enc(v)}")
+    }.mkString(";")
+  }
+
+  private def decodePartition(field: String): Map[String, String] =
+    if (field.isEmpty) Map.empty
+    else {
+      def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+      field.split(";").toSeq.map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => dec(k) -> dec(v)
+          case Array(k) => dec(k) -> null
+        }
+      }.toMap
     }
 
   private def tableDir(table: String) = Paths.get(root, table)
@@ -265,6 +291,47 @@ final class GraftCatalog(root: String,
     nextId
   }
 
+  // ---- table partition spec (hidden partitioning, `iceberg.proto:47-60`) --
+
+  private def pspecPath(table: String) = tableDir(table).resolve("pspec.tsv")
+
+  /** Declare the table's partition spec (Iceberg `PartitionSpec`: named
+    * fields, each a transform over a source column —
+    * `iceberg.proto:47-60`). Hidden partitioning: users query SOURCE
+    * columns; the catalog maps predicates through the transforms to skip
+    * partitions. The spec applies to data written by subsequent
+    * [[compactTable]] calls (which fan out on the transform columns and
+    * record each file's partition tuple); existing files simply have no
+    * tuple and are never pruned by partition.
+    */
+  def setPartitionSpec(table: String,
+      fields: Seq[GraftCatalog.PartitionFieldDef]): Unit = withTableLock(table) {
+    require(fields.nonEmpty, "empty partition spec; use clearPartitionSpec")
+    require(fields.map(_.name).distinct.length == fields.length,
+      s"duplicate partition field names in ${fields.map(_.name).mkString(",")}")
+    def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+    val tmp = tableDir(table).resolve(s".pspec.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp,
+      fields.map(f => s"${enc(f.name)}\t${enc(f.transform)}\t${enc(f.source)}")
+        .mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, pspecPath(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def partitionSpec(table: String): Seq[GraftCatalog.PartitionFieldDef] = {
+    val p = pspecPath(table)
+    if (!Files.exists(p)) Nil
+    else {
+      def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
+      Files.readString(p).split("\n").toSeq.filter(_.nonEmpty).map { line =>
+        val Array(n, t, s) = line.split("\t", 3)
+        GraftCatalog.PartitionFieldDef(dec(n), dec(t), dec(s))
+      }
+    }
+  }
+
   def currentSnapshotId(table: String): Long =
     headStore.fold(Files.readString(headPath(table)).trim.toLong)(_.read(table))
 
@@ -340,6 +407,10 @@ final class GraftCatalog(root: String,
     import org.apache.spark.sql.functions.col
     val entries = loadEntries(table)
     val dataEntries = entries.filter(_.kind == "data")
+      // partition pruning FIRST (hidden partitioning): a file whose
+      // partition tuple provably excludes [lo,hi] under the table's
+      // transform spec never reaches the stats check
+      .filter(partitionPruner(spark, table, column, lo, hi))
     val keptPaths = CompactionRunner.pruneByStats(
       dataEntries.map(e => CompactionRunner.DataFileStats(e.path, 0L, 0L,
         e.stats.fold(Map.empty[String, String])(_.colMins),
@@ -361,6 +432,68 @@ final class GraftCatalog(root: String,
           entries.collect { case e if e.kind == "eqdel" =>
             EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
           }, Some(data.schema))).filter(exact)
+    }
+  }
+
+  /** Hidden-partition pruning predicate for `column ∈ [lo, hi]`: true when
+    * the entry's partition tuple MAY contain matching rows under the
+    * table's spec. Iceberg's predicate *projection* through transforms —
+    * each transform knows how a source-range predicate maps onto its
+    * partition values:
+    *
+    *  - `identity`: partition value itself must intersect `[lo, hi]`.
+    *  - `truncate[w]` (numeric): value `p` covers source range `[p, p+w)`,
+    *    so keep iff `p <= hi && p + w > lo`.
+    *  - `bucket[n]`: hashing destroys order — only an EQUALITY predicate
+    *    (`lo == hi`, integral, int/long source) prunes, to the single
+    *    bucket `murmur3(v) % n`. This is the query shape bucketing exists
+    *    for: a point lookup touches 1/n of the table's files.
+    *  - temporal transforms (`year`/`month`/`day`/`hour`) and everything
+    *    else: recorded but not pruned through this numeric-range API
+    *    (their source domains are dates; the per-file column stats prune
+    *    those scans instead).
+    *
+    * Conservative throughout: no spec, no tuple, null value, unparseable
+    * value, or a string-typed source → keep the file. A kept file's rows
+    * still pass through the exact predicate, so pruning can only skip IO,
+    * never change results.
+    */
+  private def partitionPruner(
+      spark: SparkSession,
+      table: String, column: String, lo: Double, hi: Double)
+      : TableEntry => Boolean = {
+    val fields = partitionSpec(table).filter(_.source == column)
+    if (fields.isEmpty) (_: TableEntry) => true
+    else {
+      // the source TYPE decides whether transform math applies (truncate
+      // prefix-vs-floor, bucket hash function); schema-less tables read it
+      // from one data-file footer — a driver-side metadata read
+      val srcType = currentSchema(table)
+        .orElse(loadTable(table).headOption.map(t =>
+          spark.read.format(t.format).load(t.path).schema))
+        .flatMap(_.fields.find(_.name == column)).map(_.dataType)
+      val intSource = srcType.exists {
+        case org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType => true
+        case _ => false
+      }
+      val Param = """([a-z]+)\[(\d+)\]""".r
+      e: TableEntry => fields.forall { f =>
+        e.partitionVals.get(f.name) match {
+          case Some(v) if v != null =>
+            val pv = scala.util.Try(v.toDouble).toOption
+            (f.transform, pv) match {
+              case ("identity", Some(p)) => p >= lo && p <= hi
+              case (Param("truncate", w), Some(p)) if intSource =>
+                p <= hi && p + w.toInt > lo
+              case (Param("bucket", n), Some(p))
+                  if intSource && lo == hi && lo.isWhole =>
+                p == graft.functions.IcebergMurmur3.bucketLong(lo.toLong, n.toInt)
+              case _ => true
+            }
+          case _ => true
+        }
+      }
     }
   }
 
@@ -901,6 +1034,115 @@ final class GraftCatalog(root: String,
     scanned.select(userCols.map(org.apache.spark.sql.functions.col).toSeq: _*)
   }
 
+  /** Changelog (CDC) scan: the NET row-level changes between two snapshots,
+    * tagged `_change_type` `'I'` (insert) / `'D'` (delete) — Iceberg's
+    * `create_changelog_view` for append/delete/update windows. Consumers:
+    * incremental downstream refresh, audit, replication.
+    *
+    * Metadata-driven, never a full-table diff: changes are derived from
+    * the snapshot FILE diff, so the scan cost is the window's delta files
+    * plus the old files they reference —
+    *
+    *  - '''inserts''': data files present at `to` but not at `from`
+    *    (appends/upsert data/update new-versions), MoR-merged against
+    *    `to`'s delete files — a row inserted AND deleted inside the window
+    *    never appears (net semantics).
+    *  - '''deletes''': rows of `from`'s data files that were live at
+    *    `from` but are suppressed at `to` — ONE scan of the old files with
+    *    both snapshots' delete sets applied, then an anti join of the two
+    *    live row-sets on the hidden `(file_path, pos)` identity (row
+    *    identity by physical position — exact, no content compare).
+    *    Rows already dead at `from` don't re-report.
+    *
+    * Upserts thus emit `'D'` for each suppressed old version and `'I'` for
+    * its replacement — downstream updates are the `D`+`I` pair keyed by the
+    * equality columns, exactly Iceberg's update_before/update_after pairing.
+    *
+    * COMPACTION windows are rejected (same as Iceberg's changelog on
+    * replace snapshots): a rewrite re-homes rows to new files with no net
+    * change, and net-diffing it would require content comparison. Windows
+    * on either side of a compaction remain queryable.
+    */
+  def changelog(
+      spark: SparkSession,
+      table: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(fromSnapshotId < toSnapshotId,
+      s"changelog window must advance: $fromSnapshotId >= $toSnapshotId")
+    val ids = snapshotIds(table)
+      .filter(id => id > fromSnapshotId && id <= toSnapshotId)
+    (Seq(fromSnapshotId) ++ ids).sliding(2).foreach {
+      case Seq(parent, child) =>
+        val parentData = readSnapshot(table, parent)
+          .collect { case e if e.kind == "data" => e.path }.toSet
+        val childData = readSnapshot(table, child)
+          .collect { case e if e.kind == "data" => e.path }.toSet
+        val removed = parentData -- childData
+        if (removed.nonEmpty)
+          throw GraftError.Metadata(
+            s"changelog window ($fromSnapshotId, $toSnapshotId] of $table " +
+              s"crosses a rewrite at snapshot $child (data files removed: " +
+              s"${removed.take(2).mkString(", ")}…); changelog is defined " +
+              "for append/delete/update commits — query the windows on " +
+              "either side of the compaction")
+      case _ => ()
+    }
+    val fromE = readSnapshot(table, fromSnapshotId)
+    val toE = readSnapshot(table, toSnapshotId)
+    val fromPaths = fromE.collect { case e if e.kind == "data" => e.path }.toSet
+    val oldTasks = dataTasks(fromE)
+    val newTasks = dataTasks(toE).filterNot(t => fromPaths(t.path))
+    val schema = schemaAt(table, toSnapshotId)
+
+    def pos(es: Seq[TableEntry]) =
+      es.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
+    def eq(es: Seq[TableEntry]) =
+      es.collect { case e if e.kind == "eqdel" =>
+        EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+      }
+    // MoR application KEEPING the hidden identity columns (merge() projects
+    // them away; the delete diff below joins on them)
+    def liveWithHidden(scan: DataFrame, es: Seq[TableEntry]): DataFrame = {
+      val afterPos = CompactionRunner.readPositionDeletes(spark, pos(es))
+        .fold(scan)(pd => graft.operators.MorPlanner.applyPositionDeletes(scan, pd))
+      CompactionRunner.readEqualityDeletes(spark, eq(es), Some(scan.schema))
+        .foldLeft(afterPos)(graft.operators.MorPlanner.applyEqualityDeletes)
+    }
+    val hidden = graft.operators.MorPlanner.HiddenCols
+    def dropHidden(df: DataFrame) =
+      df.select(df.columns.filterNot(hidden.contains).map(col).toSeq: _*)
+
+    val inserts =
+      if (newTasks.isEmpty) None
+      else Some(dropHidden(liveWithHidden(
+        CompactionRunner.scanWithHiddenCols(spark, newTasks, schema), toE))
+        .withColumn("_change_type", lit("I")))
+    val deletes =
+      if (oldTasks.isEmpty) None
+      else {
+        val scanOld = CompactionRunner.scanWithHiddenCols(spark, oldTasks, schema)
+        val liveFrom = liveWithHidden(scanOld, fromE)
+        val liveTo = liveWithHidden(scanOld, toE)
+        Some(dropHidden(liveFrom.join(
+          liveTo.select(hidden.filterNot(_ == graft.operators.MorPlanner.SeqNumCol)
+            .map(col).toSeq: _*),
+          Seq(graft.operators.MorPlanner.FilePathCol,
+            graft.operators.MorPlanner.PosCol),
+          "left_anti"))
+          .withColumn("_change_type", lit("D")))
+      }
+    (inserts, deletes) match {
+      case (Some(i), Some(d)) => i.unionByName(d)
+      case (Some(i), None) => i
+      case (None, Some(d)) => d
+      case (None, None) =>
+        throw GraftError.Metadata(
+          s"changelog of $table: neither snapshot has data files")
+    }
+  }
+
   /** Orphan detection: which of `candidates` (e.g. a storage listing) are
     * referenced by NO retained snapshot — safe to garbage-collect after
     * [[expireSnapshots]]. Pure metadata; deletion is the caller's call.
@@ -1083,21 +1325,60 @@ final class GraftCatalog(root: String,
       config: CompactionConfig = CompactionConfig()): (Long, CommitManifest) =
     withTableLock(table) {
       val entries = loadEntries(table)
+      // hidden partitioning: a declared spec drives the fanout write unless
+      // the caller supplied explicit transforms (explicit wins, spec-less
+      // callers keep today's behavior)
+      val spec = partitionSpec(table)
+      val effective =
+        if (config.partitionTransforms.nonEmpty || spec.isEmpty) config
+        else {
+          val schema = currentSchema(table).getOrElse(
+            spark.read.parquet(dataTasks(entries).head.path).schema)
+          config.copy(partitionTransforms = spec.map { f =>
+            val srcType = schema.fields.find(_.name == f.source).map(_.dataType)
+              .getOrElse(throw GraftError.Metadata(
+                s"partition spec source column '${f.source}' not in $table's schema"))
+            f.name -> CompactionService.partitionTransform(f.transform, f.source, srcType)
+          })
+        }
       val manifest = CompactionRunner.compact(spark,
         dataTasks(entries),
         entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
         entries.collect { case e if e.kind == "eqdel" =>
           EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
         },
-        outDir, config, currentSchema(table))
+        outDir, effective, currentSchema(table))
       val maxSeq = entries.map(_.seqNum).max
+      val partNames = effective.partitionTransforms.map(_._1)
       val added = manifest.addedFiles
         .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil,
-          stats = statsOf(f)))
+          stats = statsOf(f),
+          partitionVals = partitionValsFromPath(f.path, partNames)))
       val snapId = commitRewriteLocked(table, added,
         manifest.removedDataFiles ++ manifest.removedDeleteFiles)
       writeCompactWatermark(table, snapId)
       (snapId, manifest)
+    }
+
+  /** Recover a written file's partition tuple from its Hive-layout path
+    * segments (`name=value/`) — the fanout writer encodes exactly the
+    * transform values there, so this is metadata the commit already has,
+    * not a file read. Spark escapes special characters `%XX`-style in both
+    * names and values; `__HIVE_DEFAULT_PARTITION__` is a null value.
+    */
+  private def partitionValsFromPath(
+      path: String, names: Seq[String]): Map[String, String] =
+    if (names.isEmpty) Map.empty
+    else {
+      def unesc(s: String) = java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+      path.split('/').toSeq.flatMap { seg =>
+        seg.split("=", 2) match {
+          case Array(k, v) if names.contains(unesc(k)) =>
+            Some(unesc(k) ->
+              (if (v == "__HIVE_DEFAULT_PARTITION__") null else unesc(v)))
+          case _ => None
+        }
+      }.toMap
     }
 
   // ---- incremental compaction (the reference's own roadmap item:
@@ -1240,7 +1521,8 @@ final class GraftCatalog(root: String,
   private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
     val body = entries.map(e =>
       s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}" +
-        s"\t${e.eqIds.mkString(",")}\t${e.stats.fold("")(encodeStats)}")
+        s"\t${e.eqIds.mkString(",")}\t${e.stats.fold("")(encodeStats)}" +
+        s"\t${encodePartition(e.partitionVals)}")
       .mkString("\n")
     // temp + atomic move (like writeHead): a crash mid-write must not leave
     // a torn snap-N.tsv that snapshotIds/time-travel/orphan detection would
@@ -1276,8 +1558,14 @@ final class GraftCatalog(root: String,
     val text = Files.readString(snapPath(table, id))
     if (text.isEmpty) Nil
     else text.split("\n").toSeq.map { line =>
-      line.split("\t", 7) match {
-        case Array(k, p, s, f, cols, ids, stats) =>
+      line.split("\t", 8) match {
+        case Array(k, p, s, f, cols, ids, stats, partition) =>
+          TableEntry(k, p, s.toLong, f,
+            if (cols.isEmpty) Nil else cols.split(",").toSeq,
+            if (ids.isEmpty) Nil else ids.split(",").toSeq.map(_.toInt),
+            decodeStats(stats),
+            decodePartition(partition))
+        case Array(k, p, s, f, cols, ids, stats) => // pre-partition 7-field
           TableEntry(k, p, s.toLong, f,
             if (cols.isEmpty) Nil else cols.split(",").toSeq,
             if (ids.isEmpty) Nil else ids.split(",").toSeq.map(_.toInt),
@@ -1315,6 +1603,13 @@ object GraftCatalog {
     * that place is a file, a SQL row (the reference's `SqlCatalog`,
     * `compaction/mod.rs:183-202`), or a metastore entry.
     */
+  /** One partition-spec field: `transform(source) AS name` — the catalog
+    * rendering of Iceberg's `PartitionField` (`iceberg.proto:47-57`).
+    * Transform strings are the wire names (§2.6): `identity`, `year`,
+    * `month`, `day`, `hour`, `bucket[n]`, `truncate[w]`, `void`.
+    */
+  final case class PartitionFieldDef(name: String, transform: String, source: String)
+
   trait HeadStore {
     def exists(table: String): Boolean
 

@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.CompactionRunner.DataFileTask
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+/** Changelog (CDC) scans: net row-level I/D changes between snapshots,
+  * derived from the snapshot file diff (delta files + referenced old files
+  * only — never a full-table content diff), with compaction windows
+  * rejected loudly.
+  */
+class ChangelogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshTable(): (GraftCatalog, String) = {
+    val cat = new GraftCatalog(
+      Files.createTempDirectory("graft-cdc-cat").toString)
+    val base = Files.createTempDirectory("graft-cdc-base").toString
+    (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/b0")
+    cat.createTable("t",
+      CompactionRunner.listParquet(s"$base/b0").map(DataFileTask(_, 1L)))
+    (cat, Files.createTempDirectory("graft-cdc-out").toString)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String, String)] =
+    df.select("k", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("delete window emits exactly the suppressed rows as D") {
+    val (cat, out) = freshTable()
+    val s1 = cat.currentSnapshotId("t")
+    val s2 = cat.deleteWhere(spark, "t", col("k") <= 3, out)
+    val got = rows(cat.changelog(spark, "t", s1, s2))
+    assert(got == Set((1L, "v1", "D"), (2L, "v2", "D"), (3L, "v3", "D")))
+  }
+
+  test("upsert window emits D old-versions plus I new-versions") {
+    val (cat, out) = freshTable()
+    val s1 = cat.currentSnapshotId("t")
+    val s2 = cat.upsert(spark, "t",
+      Seq((5L, "V5"), (101L, "v101")).toDF("k", "v"), Seq("k"), s"$out/u1")
+    val got = rows(cat.changelog(spark, "t", s1, s2))
+    assert(got == Set(
+      (5L, "v5", "D"), // old version suppressed
+      (5L, "V5", "I"), (101L, "v101", "I")))
+  }
+
+  test("insert-then-delete inside the window nets to nothing") {
+    val (cat, out) = freshTable()
+    val s1 = cat.currentSnapshotId("t")
+    cat.upsert(spark, "t", Seq((200L, "v200")).toDF("k", "v"), Seq("k"), s"$out/u1")
+    val s3 = cat.deleteWhere(spark, "t", col("k") === 200L, out)
+    val got = rows(cat.changelog(spark, "t", s1, s3))
+    assert(got.isEmpty, s"net window must hide the in-window row: $got")
+  }
+
+  test("rows already dead at `from` do not re-report") {
+    val (cat, out) = freshTable()
+    cat.deleteWhere(spark, "t", col("k") <= 5, out)
+    val s2 = cat.currentSnapshotId("t")
+    // overlapping predicate: 1..5 already dead, only 6..8 newly die
+    val s3 = cat.deleteWhere(spark, "t", col("k") <= 8, out)
+    val got = rows(cat.changelog(spark, "t", s2, s3))
+    assert(got == Set((6L, "v6", "D"), (7L, "v7", "D"), (8L, "v8", "D")))
+  }
+
+  test("compaction inside the window is rejected; flanking windows work") {
+    val (cat, out) = freshTable()
+    val s1 = cat.currentSnapshotId("t")
+    val s2 = cat.deleteWhere(spark, "t", col("k") === 1L, out)
+    val (s3, _) = cat.compactTable(spark, "t", s"$out/c1")
+    val s4 = cat.deleteWhere(spark, "t", col("k") === 2L, out)
+    val err = intercept[GraftError.Metadata] {
+      cat.changelog(spark, "t", s1, s4).collect()
+    }
+    assert(err.getMessage.contains("rewrite"))
+    assert(rows(cat.changelog(spark, "t", s1, s2)) == Set((1L, "v1", "D")))
+    assert(rows(cat.changelog(spark, "t", s3, s4)) == Set((2L, "v2", "D")))
+  }
+}
