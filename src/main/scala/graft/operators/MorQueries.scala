@@ -185,6 +185,29 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q121: metadata-aligned range DELETE — on the truncate[250]-partitioned
+    * lineitem table, `deleteWhereRange(l_orderkey, 300, 800)` drops the
+    * fully-covered partition 500 from the snapshot WITHOUT scanning it and
+    * pos-deletes only the boundary partitions 250/750; the scan then shows
+    * exactly `NOT BETWEEN`. SQL-reproducible because which rows die never
+    * depends on which proof (metadata vs scan) killed them.
+    */
+  private def q121(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q121").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.setPartitionSpec("lineitem", Seq(
+      graft.sources.GraftCatalog.PartitionFieldDef("ok_t", "truncate[250]", "l_orderkey")))
+    cat.compactTable(spark, "lineitem", s"$root/out",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 2))
+    cat.deleteWhereRange(spark, "lineitem", "l_orderkey", 300, 800, s"$root/d1")
+    cat.scanTable(spark, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
@@ -195,7 +218,8 @@ object MorQueries {
     "q116_stats_prune" -> (q116 _),
     "q117_merge_into" -> (q117 _),
     "q119_partition_prune" -> (q119 _),
-    "q120_changelog" -> (q120 _))
+    "q120_changelog" -> (q120 _),
+    "q121_range_delete" -> (q121 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -283,5 +307,11 @@ object MorQueries {
         |  SELECT 'I' AS _change_type, l_returnflag, l_quantity
         |  FROM lineitem WHERE l_orderkey % 103 = 0
         |)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    "q121_range_delete" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey NOT BETWEEN 300 AND 800
+        |GROUP BY 1""".stripMargin)
 }

@@ -52,7 +52,8 @@ final class GraftCatalog(root: String,
     */
   final case class EntryStats(
       colMins: Map[String, String],
-      colMaxs: Map[String, String])
+      colMaxs: Map[String, String],
+      nullCounts: Map[String, Long] = Map.empty)
 
   /** One snapshot entry: a data file or a delete file. `partitionVals` is
     * the file's partition tuple (transform-column name → value string) —
@@ -74,15 +75,21 @@ final class GraftCatalog(root: String,
 
   private def statsOf(f: CompactionRunner.DataFileStats): Option[EntryStats] =
     if (f.colMins.isEmpty && f.colMaxs.isEmpty) None
-    else Some(EntryStats(f.colMins, f.colMaxs))
+    else Some(EntryStats(f.colMins, f.colMaxs, f.nullCounts))
 
-  // stats TSV rendering: `enc(col):enc(min):enc(max)` joined with `;` —
-  // URL-encoding keeps arbitrary bound strings clear of the separators
-  // (and of the snapshot's tabs/newlines)
+  // stats TSV rendering: `enc(col):enc(min):enc(max)[:nulls]` joined with
+  // `;` — URL-encoding keeps arbitrary bound strings clear of the
+  // separators (and of the snapshot's tabs/newlines). The null count
+  // (Iceberg's `null_value_counts`) is what lets a whole-file DELETE prove
+  // "every row matches": bounds alone can't, because NULL predicate rows
+  // must survive a delete.
   private def encodeStats(s: EntryStats): String = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     s.colMins.keys.toSeq.sorted.flatMap { c =>
-      s.colMaxs.get(c).map(mx => s"${enc(c)}:${enc(s.colMins(c))}:${enc(mx)}")
+      s.colMaxs.get(c).map { mx =>
+        val base = s"${enc(c)}:${enc(s.colMins(c))}:${enc(mx)}"
+        s.nullCounts.get(c).fold(base)(n => s"$base:$n")
+      }
     }.mkString(";")
   }
 
@@ -91,12 +98,15 @@ final class GraftCatalog(root: String,
     else {
       def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
       val parts = field.split(";").toSeq.map { kv =>
-        val Array(c, mn, mx) = kv.split(":", 3)
-        (dec(c), dec(mn), dec(mx))
+        kv.split(":", 4) match {
+          case Array(c, mn, mx, n) => (dec(c), dec(mn), dec(mx), Some(n.toLong))
+          case Array(c, mn, mx) => (dec(c), dec(mn), dec(mx), None)
+        }
       }
       Some(EntryStats(
         parts.map(p => p._1 -> p._2).toMap,
-        parts.map(p => p._1 -> p._3).toMap))
+        parts.map(p => p._1 -> p._3).toMap,
+        parts.collect { case (c, _, _, Some(n)) => c -> n }.toMap))
     }
 
   // partition tuple TSV rendering: `enc(name)=enc(value)` joined with `;`,
@@ -701,6 +711,132 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** Range DELETE with METADATA-ONLY whole-file drops — the 100 TB shape of
+    * `DELETE FROM t WHERE day < X`: a delete aligned with the table's
+    * partition/clustering layout should cost metadata, not a scan. Files
+    * are classified from the snapshot alone:
+    *
+    *  - '''provably disjoint''' (partition tuple or stats bounds exclude
+    *    `[lo, hi]`): untouched, never scanned.
+    *  - '''provably all-matching''': dropped from the snapshot outright —
+    *    no scan, no delete file, no data IO. Two proofs work: stats bounds
+    *    inside the range with a recorded NULL count of 0 (bounds alone
+    *    cannot prove it — SQL keeps NULL-predicate rows, so one NULL would
+    *    be wrongly deleted), or an `identity`/`truncate[w]` partition value
+    *    whose covered interval sits inside the range (a NON-null tuple
+    *    value also proves no NULLs: transforms map null → null, so null
+    *    rows land in the null partition).
+    *  - '''boundary''' (may contain both): scanned — only these — and
+    *    their matching rows written as position-delete files, exactly
+    *    [[deleteWhere]]'s MoR flavor.
+    *
+    * One snapshot commits both effects. Numeric int/long/double source
+    * columns only (the proofs are interval arithmetic); equality is
+    * `lo == hi`. Same optimistic concurrency as [[deleteWhere]]: the
+    * classified files must still be live at commit time or the commit
+    * fails with a typed conflict.
+    */
+  def deleteWhereRange(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Double,
+      hi: Double,
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    require(lo <= hi, s"empty delete range [$lo, $hi]")
+    val entries0 = loadEntries(table)
+    val dataEntries = entries0.filter(_.kind == "data")
+    val pruner = partitionPruner(spark, table, column, lo, hi)
+    val statsKept = CompactionRunner.pruneByStats(
+      dataEntries.map(e => CompactionRunner.DataFileStats(e.path, 0L, 0L,
+        e.stats.fold(Map.empty[String, String])(_.colMins),
+        e.stats.fold(Map.empty[String, String])(_.colMaxs), Map.empty)),
+      column, lo, hi).map(_.path).toSet
+    val mayMatch = dataEntries.filter(e => pruner(e) && statsKept(e.path))
+
+    val srcType = currentSchema(table)
+      .orElse(loadTable(table).headOption.map(t =>
+        spark.read.format(t.format).load(t.path).schema))
+      .flatMap(_.fields.find(_.name == column)).map(_.dataType)
+    val numericSource = srcType.exists(
+      _.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val intSource = srcType.exists {
+      case org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val specFields = partitionSpec(table).filter(_.source == column)
+    val Param = """([a-z]+)\[(\d+)\]""".r
+    def allMatch(e: TableEntry): Boolean = {
+      val byStats = numericSource && e.stats.exists { s =>
+        (s.colMins.get(column), s.colMaxs.get(column),
+          s.nullCounts.get(column)) match {
+          case (Some(mn), Some(mx), Some(0L)) =>
+            try mn.toDouble >= lo && mx.toDouble <= hi
+            catch { case _: NumberFormatException => false }
+          case _ => false
+        }
+      }
+      def byPartition = specFields.exists { f =>
+        e.partitionVals.get(f.name) match {
+          case Some(v) if v != null =>
+            val pv = scala.util.Try(v.toDouble).toOption
+            (f.transform, pv) match {
+              case ("identity", Some(p)) if numericSource => p >= lo && p <= hi
+              case (Param("truncate", w), Some(p)) if intSource =>
+                p >= lo && p + w.toInt - 1 <= hi
+              case _ => false
+            }
+          case _ => false
+        }
+      }
+      byStats || byPartition
+    }
+    val dropped = mayMatch.filter(allMatch).map(_.path)
+    val droppedSet = dropped.toSet
+    val boundary = mayMatch.filterNot(e => droppedSet(e.path))
+
+    val written =
+      if (boundary.isEmpty) Nil
+      else {
+        val scan = CompactionRunner.scanWithHiddenCols(spark,
+          boundary.map(e => DataFileTask(e.path, e.seqNum, e.format)),
+          currentSchema(table))
+        val matched = scan.filter(col(column) >= lo && col(column) <= hi)
+          .select(col(graft.operators.MorPlanner.FilePathCol).as("file_path"),
+            col(graft.operators.MorPlanner.PosCol).as("pos"))
+        val delDir = s"$outDir/delete-pos-${java.util.UUID.randomUUID()}"
+        matched.write.mode("errorifexists").parquet(delDir)
+        listParquetsIn(spark, delDir)
+      }
+    val referenced =
+      if (written.isEmpty) Nil
+      else spark.read.parquet(written: _*).select("file_path").distinct()
+        .collect().map(_.getString(0)).toSeq
+    if (dropped.isEmpty && referenced.isEmpty) currentSnapshotId(table)
+    else withTableLock(table) {
+      val entries = loadEntries(table)
+      val live = entries.collect { case e if e.kind == "data" => e.path }
+        .flatMap(p => Seq(p, CompactionRunner.canonPath(p))).toSet
+      val stale = (dropped ++ referenced).filterNot(p =>
+        live(p) || live(CompactionRunner.canonPath(p)))
+      if (stale.nonEmpty)
+        throw GraftError.Metadata(
+          s"deleteWhereRange commit conflict on $table: files " +
+            s"${stale.take(3).mkString(", ")} were rewritten by a concurrent " +
+            "commit after classification; re-run against the new snapshot")
+      val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      val posdel = written.map(p => TableEntry("posdel", p, seq, "parquet", Nil))
+      val kept = entries.filterNot(e => e.kind == "data" && droppedSet(e.path))
+      val nextId = currentSnapshotId(table) + 1
+      writeSnapshot(table, nextId, kept ++ posdel)
+      carrySchema(table, nextId - 1, nextId)
+      advanceHead(table, nextId - 1, nextId)
+      nextId
+    }
+  }
+
   /** MERGE INTO — the conditional upsert (Iceberg/SQL:2003 MERGE), compiled
     * to the same MoR primitives as [[upsert]]: ONE commit containing an
     * equality-delete file over the matched keys (suppressing the old
@@ -1058,10 +1194,13 @@ final class GraftCatalog(root: String,
     * its replacement — downstream updates are the `D`+`I` pair keyed by the
     * equality columns, exactly Iceberg's update_before/update_after pairing.
     *
-    * COMPACTION windows are rejected (same as Iceberg's changelog on
-    * replace snapshots): a rewrite re-homes rows to new files with no net
-    * change, and net-diffing it would require content comparison. Windows
-    * on either side of a compaction remain queryable.
+    * Data files REMOVED without replacement (a [[deleteWhereRange]]
+    * metadata-only drop) report all their `from`-live rows as deletes.
+    * COMPACTION windows — commits that remove AND add data files — are
+    * rejected (same as Iceberg's changelog on replace snapshots): a
+    * rewrite re-homes rows to new files with no net change, and
+    * net-diffing it would require content comparison. Windows on either
+    * side of a compaction remain queryable.
     */
   def changelog(
       spark: SparkSession,
@@ -1080,7 +1219,10 @@ final class GraftCatalog(root: String,
         val childData = readSnapshot(table, child)
           .collect { case e if e.kind == "data" => e.path }.toSet
         val removed = parentData -- childData
-        if (removed.nonEmpty)
+        val added = childData -- parentData
+        // remove-ONLY commits are metadata deletes (their rows diff below);
+        // remove+add in one commit is a rewrite — no net change, rejected
+        if (removed.nonEmpty && added.nonEmpty)
           throw GraftError.Metadata(
             s"changelog window ($fromSnapshotId, $toSnapshotId] of $table " +
               s"crosses a rewrite at snapshot $child (data files removed: " +
@@ -1124,7 +1266,13 @@ final class GraftCatalog(root: String,
       else {
         val scanOld = CompactionRunner.scanWithHiddenCols(spark, oldTasks, schema)
         val liveFrom = liveWithHidden(scanOld, fromE)
+        // files dropped between the snapshots contribute NO live rows at
+        // `to` — every from-live row of theirs lands in the delete diff
+        val toCanon = toE.collect { case e if e.kind == "data" =>
+          CompactionRunner.canonPath(e.path)
+        }
         val liveTo = liveWithHidden(scanOld, toE)
+          .filter(col(graft.operators.MorPlanner.FilePathCol).isin(toCanon: _*))
         Some(dropHidden(liveFrom.join(
           liveTo.select(hidden.filterNot(_ == graft.operators.MorPlanner.SeqNumCol)
             .map(col).toSeq: _*),
