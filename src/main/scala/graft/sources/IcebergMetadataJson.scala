@@ -124,6 +124,27 @@ object IcebergMetadataJson {
     // render schemas BEFORE last-column-id: rendering allocates the
     // synthetic nested/id-less ids that last-column-id must cover
     val schemasJson = schemas.map { case (id, s) => schemaJson(id, s, idAlloc) }.mkString(",")
+    // the table's declared partition spec (hidden partitioning) renders as
+    // Iceberg partition-spec JSON: source-id binds by the schema field id
+    // (real, or the synthetic one the schema render above just allocated —
+    // IdAllocator memoizes by path, so re-asking returns the same id);
+    // partition field ids start at 1000 per the spec convention
+    val specFields = catalog.partitionSpec(table)
+    val currentFields = schemas.collect { case (sid, s) if sid <= head => s }
+      .lastOption.map(_.fields.toSeq).getOrElse(Nil)
+    val renderable = specFields.forall(f =>
+      currentFields.exists(_.name == f.source))
+    // all-or-nothing: a spec whose source column can't bind to a schema
+    // field (schema-less table) renders as the empty default spec — a
+    // partial spec would misdescribe the table's layout to external tooling
+    val renderedFields = if (renderable) specFields else Nil
+    val specJson = renderedFields.zipWithIndex.map { case (f, i) =>
+      val src = currentFields.find(_.name == f.source).get
+      val sourceId = FieldIds.idOf(src).getOrElse(idAlloc.id(s".${src.name}"))
+      s"""{"name":"${esc(f.name)}","transform":"${esc(f.transform)}",""" +
+        s""""source-id":$sourceId,"field-id":${1000 + i}}"""
+    }.mkString(",")
+    val lastPartitionId = 999 + renderedFields.length
     val lastColumnId = idAlloc.last
     val json =
       s"""{"format-version":2,
@@ -135,8 +156,8 @@ object IcebergMetadataJson {
          |"current-schema-id":$currentSchemaId,
          |"schemas":[$schemasJson],
          |"default-spec-id":0,
-         |"partition-specs":[{"spec-id":0,"fields":[]}],
-         |"last-partition-id":999,
+         |"partition-specs":[{"spec-id":0,"fields":[$specJson]}],
+         |"last-partition-id":$lastPartitionId,
          |"default-sort-order-id":0,
          |"sort-orders":[{"order-id":0,"fields":[]}],
          |"current-snapshot-id":$head,

@@ -94,4 +94,26 @@ class IcebergMetadataJsonSpec extends SparkSpec {
     assert(row.getAs[Long]("current-schema-id") == cat.currentSnapshotId("t"))
     assert(meta.select(explode(col("schemas")).as("s")).count() == 2)
   }
+
+  test("declared partition spec exports with source-ids bound to schema field ids") {
+    val root = Files.createTempDirectory("graft-meta4").toString
+    val cat = new GraftCatalog(root)
+    val schema = FieldIds.stamp(StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("name", StringType))))
+    cat.createTable("t", Seq(DataFileTask("/a.parquet", 1)), Some(schema))
+    cat.setPartitionSpec("t", Seq(
+      GraftCatalog.PartitionFieldDef("id_t", "truncate[10]", "id"),
+      GraftCatalog.PartitionFieldDef("name_b", "bucket[4]", "name")))
+    val path = IcebergMetadataJson.export(cat, root, "t")
+    val meta = spark.read.option("multiLine", "true").json(path.toString)
+    val pf = meta.select(explode(col("partition-specs")).as("ps"))
+      .select(explode(col("ps.fields")).as("f"))
+      .select(col("f.name"), col("f.transform"), col("f.source-id"), col("f.field-id"))
+      .collect()
+    assert(pf.map(r => (r.getAs[String]("name"), r.getAs[String]("transform"),
+      r.getAs[Long]("source-id"), r.getAs[Long]("field-id"))).toSeq ==
+      Seq(("id_t", "truncate[10]", 1L, 1000L), ("name_b", "bucket[4]", 2L, 1001L)))
+    assert(meta.head().getAs[Long]("last-partition-id") == 1001L)
+  }
 }
