@@ -208,6 +208,27 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q122: write-audit-publish end-to-end — fork the catalog table, run
+    * the row-level DELETE on the fork (main stays untouched — the audit
+    * window), then publish atomically and read MAIN. The published state
+    * is exactly the fork's, so the oracle is the same `WHERE NOT pred`
+    * view a direct delete would produce.
+    */
+  private def q122(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q122").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    val fork = cat.forkTable("lineitem", "audit")
+    cat.deleteWhere(spark, fork,
+      col("l_returnflag") === "N" && col("l_quantity") > 40, s"$root/out")
+    cat.publishFork(fork)
+    cat.scanTable(spark, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
@@ -219,7 +240,8 @@ object MorQueries {
     "q117_merge_into" -> (q117 _),
     "q119_partition_prune" -> (q119 _),
     "q120_changelog" -> (q120 _),
-    "q121_range_delete" -> (q121 _))
+    "q121_range_delete" -> (q121 _),
+    "q122_wap_publish" -> (q122 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -313,5 +335,11 @@ object MorQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey NOT BETWEEN 300 AND 800
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q122_wap_publish" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'N' AND l_quantity > 40)
+        |GROUP BY 1, 2""".stripMargin)
 }

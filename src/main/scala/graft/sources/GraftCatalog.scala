@@ -1348,6 +1348,93 @@ final class GraftCatalog(root: String,
     nextId
   }
 
+  // ---- write-audit-publish forks (Iceberg's WAP workflow) ----------------
+
+  private def forkBasePath(table: String) = tableDir(table).resolve("FORK_BASE")
+
+  /** Fork `table` into the catalog table `<table>@<branch>` — the
+    * write-audit-publish (WAP) staging area: the fork starts as a METADATA
+    * copy of main's current snapshot (file lists, schema, partition spec —
+    * no data IO), takes every normal write (`upsert`, `deleteWhere`,
+    * `compactTable`, …) and every normal read (`scanTable` = the audit),
+    * and never disturbs main. [[publishFork]] atomically adopts the
+    * fork's state as main's next snapshot — or refuses if main moved.
+    *
+    * Returns the fork's table name. Lock order is always main → fork, so
+    * fork creation cannot deadlock with a concurrent publish.
+    */
+  def forkTable(table: String, branch: String): String = withTableLock(table) {
+    require(branch.nonEmpty && !branch.exists("@\t\n/".contains(_)),
+      s"invalid branch name '$branch'")
+    require(!table.contains("@"), s"cannot fork a fork: $table")
+    val fork = s"$table@$branch"
+    require(!headExists(fork), s"fork $fork already exists")
+    val baseId = currentSnapshotId(table)
+    val entries = loadEntries(table)
+    withTableLock(fork) {
+      writeSnapshot(fork, 1L, entries)
+      schemaAt(table, baseId).foreach(s => writeSchema(fork, 1L, s))
+      createHead(fork, 1L)
+      Files.writeString(forkBasePath(fork), s"$table\t$baseId",
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    }
+    // separate acquisition (the table lock is non-reentrant); still under
+    // the MAIN lock, so the spec copied is the one the entries came from
+    val spec = partitionSpec(table)
+    if (spec.nonEmpty) setPartitionSpec(fork, spec)
+    fork
+  }
+
+  /** Publish a fork: commit its CURRENT state as main's next snapshot, in
+    * one atomic head advance — the "publish" of WAP. Optimistic: if main
+    * advanced past the fork's base, the publish fails with a typed
+    * conflict (the auditor validated the fork AGAINST that base; silently
+    * merging over a moved main would publish unaudited state). Re-fork
+    * from the new head and re-apply on conflict.
+    *
+    * The fork's metadata remains (re-publishable, inspectable); drop it
+    * with [[dropFork]] when done.
+    */
+  def publishFork(fork: String): Long = {
+    val bp = forkBasePath(fork)
+    require(Files.exists(bp), s"$fork is not a fork (no FORK_BASE)")
+    val Array(table, baseStr) = Files.readString(bp).trim.split("\t", 2)
+    val baseId = baseStr.toLong
+    withTableLock(table) {
+      val mainHead = currentSnapshotId(table)
+      if (mainHead != baseId)
+        throw GraftError.Metadata(
+          s"publish conflict on $fork: $table advanced $baseId -> $mainHead " +
+            "since the fork; the audit validated stale state — re-fork from " +
+            "the new head, re-apply, re-audit, re-publish")
+      val entries = loadEntries(fork)
+      val nextId = baseId + 1
+      writeSnapshot(table, nextId, entries)
+      schemaAt(fork, currentSnapshotId(fork)) match {
+        case Some(s) => writeSchema(table, nextId, s)
+        case None => carrySchema(table, baseId, nextId)
+      }
+      advanceHead(table, baseId, nextId)
+      nextId
+    }
+  }
+
+  /** Remove a fork's METADATA directory. Data files are never touched —
+    * pre-fork files belong to main, and files the fork's own commits wrote
+    * live in caller-owned output directories ([[removeOrphanFiles]] on
+    * main is the reclamation path for published-then-rewritten outputs).
+    */
+  def dropFork(fork: String): Unit = {
+    require(Files.exists(forkBasePath(fork)), s"$fork is not a fork")
+    withTableLock(fork) {
+      val dir = tableDir(fork)
+      val stream = Files.list(dir)
+      val files = try stream.iterator().asScala.toSeq finally stream.close()
+      files.foreach(Files.deleteIfExists)
+    }
+    Files.deleteIfExists(tableDir(fork))
+  }
+
   // ---- named snapshot refs (Iceberg tags: immutable named pointers) ------
 
   private def refsPath(table: String) = tableDir(table).resolve("refs.tsv")
