@@ -229,6 +229,30 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q123: the `graft` Spark data source end-to-end — the catalog table
+    * read through `spark.read.format("graft")` with a pushed-down BETWEEN
+    * (projected onto the catalog's stats pruning inside `buildScan`),
+    * aggregated. The call site has no graft imports: the library consumed
+    * the way vanilla Spark users consume any format.
+    */
+  private def q123(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q123").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.compactTable(spark, "lineitem", s"$root/out",
+      graft.sources.CompactionRunner.CompactionConfig(
+        targetPartitions = 8,
+        clusterBy = Seq("l_orderkey"),
+        statsCols = Seq("l_orderkey")))
+    spark.read.format("graft")
+      .option("root", s"$root/cat").option("table", "lineitem").load()
+      .filter(col("l_orderkey") >= 400 && col("l_orderkey") <= 1100)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
@@ -241,7 +265,8 @@ object MorQueries {
     "q119_partition_prune" -> (q119 _),
     "q120_changelog" -> (q120 _),
     "q121_range_delete" -> (q121 _),
-    "q122_wap_publish" -> (q122 _))
+    "q122_wap_publish" -> (q122 _),
+    "q123_spark_format" -> (q123 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -341,5 +366,11 @@ object MorQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE NOT (l_returnflag = 'N' AND l_quantity > 40)
-        |GROUP BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2""".stripMargin,
+    "q123_spark_format" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 400 AND 1100
+        |GROUP BY 1""".stripMargin)
 }

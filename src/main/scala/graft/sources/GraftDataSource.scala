@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.sources.{
+  BaseRelation, DataSourceRegister, EqualTo, Filter, GreaterThan,
+  GreaterThanOrEqual, LessThan, LessThanOrEqual, PrunedFilteredScan,
+  RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` — the catalog as a first-class Spark data
+  * source, so a catalog table is addressable from vanilla DataFrame code
+  * and (via `createOrReplaceTempView`) plain SQL, with no graft imports at
+  * the call site:
+  *
+  * {{{
+  * spark.read.format("graft")
+  *   .option("root", "/path/to/catalog").option("table", "t").load()
+  * }}}
+  *
+  * The relation implements `PrunedFilteredScan`: Catalyst pushes the
+  * query's filters and required columns down, and the relation projects
+  * the filters onto the catalog's METADATA pruning ([[GraftCatalog
+  * .scanTableWhere]] — partition-transform + per-file-stats skipping)
+  * before any data IO. All filters are declared unhandled, so Spark
+  * re-applies them exactly on top — pruning can only skip files, never
+  * change results (the same conservative contract as the catalog scan).
+  *
+  * Registered through the standard `DataSourceRegister` service loading,
+  * mirroring how spark-avro / delta expose their short names.
+  */
+final class GraftDataSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    def required(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft data source requires option '$k'"))
+    new GraftRelation(sqlContext, required("root"), required("table"))
+  }
+}
+
+final class GraftRelation(
+    override val sqlContext: SQLContext,
+    root: String,
+    table: String) extends BaseRelation with PrunedFilteredScan {
+
+  private val catalog = new GraftCatalog(root)
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType = catalog.scanTable(spark, table).schema
+
+  /** Declare every filter unhandled: Spark evaluates all of them on the
+    * returned rows, so [[buildScan]] is free to use them purely as pruning
+    * hints (partial pushdown with zero correctness risk).
+    */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(
+      requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val base = GraftRelation.bestRange(filters, schema) match {
+      case Some((c, lo, hi)) => catalog.scanTableWhere(spark, table, c, lo, hi)
+      case None => catalog.scanTable(spark, table)
+    }
+    val projected =
+      if (requiredColumns.isEmpty) base
+      else base.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*)
+    projected.rdd
+  }
+}
+
+object GraftRelation {
+
+  /** Fold the pushed filters into the tightest single-column numeric range
+    * `[lo, hi]` — the shape the catalog's metadata pruning consumes.
+    * Strict bounds are relaxed to closed ones (pruning needs a superset;
+    * Spark re-applies the exact predicate). Columns scored by bound count,
+    * so `k = 5` (two bounds) beats `j >= 0` (one).
+    */
+  private[sources] def bestRange(
+      filters: Array[Filter],
+      schema: StructType): Option[(String, Double, Double)] = {
+    def num(v: Any): Option[Double] = v match {
+      case n: Number => Some(n.doubleValue())
+      case _ => None
+    }
+    val numericCols = schema.fields.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+        f.name
+    }.toSet
+    val bounds = scala.collection.mutable.Map
+      .empty[String, (Double, Double, Int)] // lo, hi, count
+    def add(c: String, lo: Double, hi: Double): Unit =
+      if (numericCols(c)) {
+        val (l0, h0, n) = bounds.getOrElse(c,
+          (Double.NegativeInfinity, Double.PositiveInfinity, 0))
+        bounds(c) = (math.max(l0, lo), math.min(h0, hi), n + 1)
+      }
+    filters.foreach {
+      case EqualTo(c, v) => num(v).foreach(d => add(c, d, d))
+      case GreaterThan(c, v) => num(v).foreach(d => add(c, d, Double.PositiveInfinity))
+      case GreaterThanOrEqual(c, v) => num(v).foreach(d => add(c, d, Double.PositiveInfinity))
+      case LessThan(c, v) => num(v).foreach(d => add(c, Double.NegativeInfinity, d))
+      case LessThanOrEqual(c, v) => num(v).foreach(d => add(c, Double.NegativeInfinity, d))
+      case _ => ()
+    }
+    bounds.toSeq
+      .filter { case (_, (lo, hi, _)) => lo <= hi && (
+        lo != Double.NegativeInfinity || hi != Double.PositiveInfinity) }
+      .sortBy { case (c, (_, _, n)) => (-n, c) }
+      .headOption.map { case (c, (lo, hi, _)) =>
+        // scanTableWhere takes finite doubles; open sides widen to extremes
+        (c, if (lo == Double.NegativeInfinity) -Double.MaxValue else lo,
+          if (hi == Double.PositiveInfinity) Double.MaxValue else hi)
+      }
+  }
+}

@@ -1,0 +1,88 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.CompactionRunner.{CompactionConfig, DataFileTask}
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** The `graft` Spark data source: catalog tables readable via
+  * `spark.read.format("graft")` and plain SQL, with pushed filters
+  * projected onto the catalog's metadata pruning.
+  */
+class GraftDataSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def makeCatalog(): String = {
+    val root = Files.createTempDirectory("graft-ds-cat").toString
+    val base = Files.createTempDirectory("graft-ds-base").toString
+    (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/b0")
+    val cat = new GraftCatalog(root)
+    cat.createTable("t",
+      CompactionRunner.listParquet(s"$base/b0").map(DataFileTask(_, 1L)))
+    cat.compactTable(spark, "t",
+      s"${Files.createTempDirectory("graft-ds-out")}",
+      CompactionConfig(targetPartitions = 8, clusterBy = Seq("k"),
+        statsCols = Seq("k")))
+    root
+  }
+
+  test("format(graft) reads the MoR state; deletes apply") {
+    val root = makeCatalog()
+    val cat = new GraftCatalog(root)
+    cat.deleteWhere(spark, "t", col("k") <= 10,
+      Files.createTempDirectory("graft-ds-d").toString)
+    val df = spark.read.format("graft")
+      .option("root", root).option("table", "t").load()
+    assert(df.schema.fieldNames.toSeq == Seq("k", "v"))
+    assert(df.select("k").as[Long].collect().toSet == (11L to 400L).toSet)
+  }
+
+  test("SQL over a temp view, filters and projection exact") {
+    val root = makeCatalog()
+    spark.read.format("graft").option("root", root).option("table", "t")
+      .load().createOrReplaceTempView("graft_t")
+    val got = spark.sql(
+      "SELECT v FROM graft_t WHERE k BETWEEN 90 AND 92 ORDER BY k")
+      .as[String].collect().toSeq
+    assert(got == Seq("v90", "v91", "v92"))
+  }
+
+  test("bestRange folds pushed filters to the tightest numeric range") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType)))
+    // BETWEEN-shaped pair beats a single bound; strings never qualify
+    val r = GraftRelation.bestRange(Array(
+      GreaterThanOrEqual("k", 90L), LessThanOrEqual("k", 110L),
+      EqualTo("v", "x")), schema)
+    assert(r.contains(("k", 90.0, 110.0)))
+    // equality is a point range; strict bounds relax to closed
+    assert(GraftRelation.bestRange(Array(EqualTo("k", 7L)), schema)
+      .contains(("k", 7.0, 7.0)))
+    assert(GraftRelation.bestRange(Array(GreaterThan("k", 5L)), schema)
+      .contains(("k", 5.0, Double.MaxValue)))
+    // contradictory bounds or no numeric filters -> no range
+    assert(GraftRelation.bestRange(Array(
+      GreaterThanOrEqual("k", 10L), LessThanOrEqual("k", 5L)), schema).isEmpty)
+    assert(GraftRelation.bestRange(Array(EqualTo("v", "x")), schema).isEmpty)
+  }
+
+  test("narrow SQL filter answers from a pruned file subset") {
+    val root = makeCatalog()
+    val cat = new GraftCatalog(root)
+    // the catalog-side pruned scan reads fewer files than the table holds
+    // (clustered bounds persisted by makeCatalog's compaction)...
+    val pruned = cat.scanTableWhere(spark, "t", "k", 90, 110)
+    assert(pruned.inputFiles.length < cat.loadTable("t").size)
+    // ...and the data source's answer equals it row-for-row
+    val viaDs = spark.read.format("graft")
+      .option("root", root).option("table", "t").load()
+      .filter(col("k") >= 90 && col("k") <= 110)
+    assert(viaDs.select("k").as[Long].collect().sorted.toSeq ==
+      pruned.select("k").as[Long].collect().sorted.toSeq)
+  }
+}
