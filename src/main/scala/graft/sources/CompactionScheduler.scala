@@ -1,0 +1,89 @@
+package graft.sources
+
+import graft.sources.CompactionRunner.CompactionConfig
+import org.apache.spark.sql.SparkSession
+
+/** Standalone compaction scheduler — the reference's roadmap component
+  * (`README.md:32` "Standalone scheduler component"): the cadence loop a
+  * deployment runs against a whole catalog instead of hand-invoking
+  * per-table compactions.
+  *
+  * One [[sweep]]:
+  *
+  *  1. enumerate the catalog's tables (forks skipped — `name@branch`
+  *     staging areas are published, not compacted in place);
+  *  2. score each by small-file DEBT from snapshot metadata alone
+  *     ([[GraftCatalog.compactionDebt]] — no Spark job for healthy
+  *     tables, so a sweep over a mostly-idle catalog costs metadata);
+  *  3. compact worst-first through [[GraftCatalog.maybeCompactTable]]
+  *     (threshold-gated, incremental — each run costs the delta);
+  *  4. run up to `maxConcurrent` table compactions at once (Spark
+  *     schedules concurrent jobs from separate threads fairly);
+  *  5. treat a typed commit conflict as SKIPPED, not failed — another
+  *     driver compacting the same table first IS the work getting done.
+  *
+  * Per-table outcomes come back as [[CompactionScheduler.Outcome]]s;
+  * callers loop sweeps on their own timer.
+  */
+final class CompactionScheduler(
+    catalog: GraftCatalog,
+    outRoot: String,
+    minAppendedFiles: Int = 8,
+    maxConcurrent: Int = 2) {
+
+  require(minAppendedFiles > 0, "minAppendedFiles must be positive")
+  require(maxConcurrent > 0, "maxConcurrent must be positive")
+
+  private val sweepCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  def sweep(
+      spark: SparkSession,
+      config: CompactionConfig = CompactionConfig())
+      : Seq[CompactionScheduler.Outcome] = {
+    val sweepId = sweepCounter.incrementAndGet()
+    val scored = catalog.tables()
+      .filterNot(_.contains("@"))
+      .map(t => t -> catalog.compactionDebt(t))
+      .sortBy { case (t, d) => (-d, t) } // worst debt first, then stable
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(maxConcurrent)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = scored.map { case (table, debt) =>
+        scala.concurrent.Future {
+          if (debt < minAppendedFiles)
+            CompactionScheduler.Outcome(table, debt, "healthy", None)
+          else try {
+            catalog.maybeCompactTable(spark, table,
+              s"$outRoot/$table/sweep-$sweepId", minAppendedFiles, config) match {
+              case Some((snap, _)) =>
+                CompactionScheduler.Outcome(table, debt, "compacted", Some(snap))
+              case None => // another driver drained the debt since scoring
+                CompactionScheduler.Outcome(table, debt, "healthy", None)
+            }
+          } catch {
+            case _: GraftError.Metadata =>
+              CompactionScheduler.Outcome(table, debt, "conflict", None)
+          }
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+}
+
+object CompactionScheduler {
+
+  /** What one sweep did to one table: `outcome` ∈ `healthy` (debt below
+    * threshold — metadata check only), `compacted` (new snapshot
+    * committed), `conflict` (another driver won the commit race; the debt
+    * is being drained regardless).
+    */
+  final case class Outcome(
+      table: String,
+      debt: Int,
+      outcome: String,
+      snapshotId: Option[Long])
+}

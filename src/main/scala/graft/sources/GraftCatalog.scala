@@ -59,6 +59,12 @@ final class GraftCatalog(root: String,
     * the file's partition tuple (transform-column name → value string) —
     * Iceberg's `DataFile.partition` (`iceberg.proto:188`), the metadata
     * that lets a scan skip whole partitions without touching file stats.
+    * `partitionTransforms` records the transform string each tuple value
+    * was produced BY (Iceberg's per-file `partition_spec_id`,
+    * `iceberg.proto:201`, flattened): partition data must be interpreted
+    * by the spec that WROTE the file — after a spec evolution (e.g.
+    * `truncate[100]` → `truncate[50]`) the current spec would silently
+    * misread old tuples and prune wrong files.
     */
   final case class TableEntry(
       kind: String, // data | posdel | eqdel
@@ -68,7 +74,8 @@ final class GraftCatalog(root: String,
       eqCols: Seq[String],
       eqIds: Seq[Int] = Nil,
       stats: Option[EntryStats] = None,
-      partitionVals: Map[String, String] = Map.empty)
+      partitionVals: Map[String, String] = Map.empty,
+      partitionTransforms: Map[String, String] = Map.empty)
 
   private def toEntry(t: DataFileTask) =
     TableEntry("data", t.path, t.seqNum, t.format, Nil)
@@ -109,25 +116,36 @@ final class GraftCatalog(root: String,
         parts.collect { case (c, _, _, Some(n)) => c -> n }.toMap))
     }
 
-  // partition tuple TSV rendering: `enc(name)=enc(value)` joined with `;`,
-  // null partition values rendered as a bare `enc(name)` (no `=`)
-  private def encodePartition(p: Map[String, String]): String = {
+  // partition tuple TSV rendering: `enc(name)@enc(transform)=enc(value)`
+  // joined with `;` — null partition values drop the `=value` tail, files
+  // recorded before transform tracking drop the `@transform` part ('@' is
+  // %-escaped by URL-encoding, so the separators are unambiguous)
+  private def encodePartition(
+      p: Map[String, String], t: Map[String, String]): String = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
     p.keys.toSeq.sorted.map { k =>
-      Option(p(k)).fold(enc(k))(v => s"${enc(k)}=${enc(v)}")
+      val key = enc(k) + t.get(k).fold("")(tr => s"@${enc(tr)}")
+      Option(p(k)).fold(key)(v => s"$key=${enc(v)}")
     }.mkString(";")
   }
 
-  private def decodePartition(field: String): Map[String, String] =
-    if (field.isEmpty) Map.empty
+  private def decodePartition(field: String)
+      : (Map[String, String], Map[String, String]) =
+    if (field.isEmpty) (Map.empty, Map.empty)
     else {
       def dec(v: String) = java.net.URLDecoder.decode(v, "UTF-8")
-      field.split(";").toSeq.map { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) => dec(k) -> dec(v)
-          case Array(k) => dec(k) -> null
+      val parts = field.split(";").toSeq.map { kv =>
+        val (key, value) = kv.split("=", 2) match {
+          case Array(k, v) => (k, dec(v))
+          case Array(k) => (k, null)
         }
-      }.toMap
+        key.split("@", 2) match {
+          case Array(n, tr) => (dec(n), Some(dec(tr)), value)
+          case Array(n) => (dec(n), None, value)
+        }
+      }
+      (parts.map(p => p._1 -> p._3).toMap,
+        parts.collect { case (n, Some(tr), _) => n -> tr }.toMap)
     }
 
   private def tableDir(table: String) = Paths.get(root, table)
@@ -463,10 +481,15 @@ final class GraftCatalog(root: String,
     *    (their source domains are dates; the per-file column stats prune
     *    those scans instead).
     *
-    * Conservative throughout: no spec, no tuple, null value, unparseable
-    * value, or a string-typed source → keep the file. A kept file's rows
-    * still pass through the exact predicate, so pruning can only skip IO,
-    * never change results.
+    * The transform used per file is the one RECORDED in its entry
+    * (`TableEntry.partitionTransforms` — the spec that wrote the file),
+    * never the current spec's: after a spec evolution the current
+    * transform would misinterpret old tuples and prune wrong files.
+    *
+    * Conservative throughout: no spec, no tuple, no recorded transform,
+    * null value, unparseable value, or a string-typed source → keep the
+    * file. A kept file's rows still pass through the exact predicate, so
+    * pruning can only skip IO, never change results.
     */
   private def partitionPruner(
       spark: SparkSession,
@@ -489,10 +512,18 @@ final class GraftCatalog(root: String,
       }
       val Param = """([a-z]+)\[(\d+)\]""".r
       e: TableEntry => fields.forall { f =>
-        e.partitionVals.get(f.name) match {
-          case Some(v) if v != null =>
+        (e.partitionVals.get(f.name), e.partitionTransforms.get(f.name)) match {
+          case (Some(v), Some(recorded)) if v != null =>
+            // recorded form is `transform|source`: both must still mean
+            // this column, or the tuple describes some other column's data
+            val (transform, recSource) = recorded.split("\\|", 2) match {
+              case Array(t, src) => (t, src)
+              case Array(t) => (t, f.source)
+            }
+            if (recSource != column) true
+            else {
             val pv = scala.util.Try(v.toDouble).toOption
-            (f.transform, pv) match {
+            (transform, pv) match {
               case ("identity", Some(p)) => p >= lo && p <= hi
               case (Param("truncate", w), Some(p)) if intSource =>
                 p <= hi && p + w.toInt > lo
@@ -500,6 +531,7 @@ final class GraftCatalog(root: String,
                   if intSource && lo == hi && lo.isWhole =>
                 p == graft.functions.IcebergMurmur3.bucketLong(lo.toLong, n.toInt)
               case _ => true
+            }
             }
           case _ => true
         }
@@ -779,12 +811,20 @@ final class GraftCatalog(root: String,
         }
       }
       def byPartition = specFields.exists { f =>
-        e.partitionVals.get(f.name) match {
-          case Some(v) if v != null =>
+        // the file's RECORDED transform governs (spec-evolution safety;
+        // same rule as partitionPruner)
+        (e.partitionVals.get(f.name), e.partitionTransforms.get(f.name)) match {
+          case (Some(v), Some(recorded)) if v != null =>
+            val (transform, recSource) = recorded.split("\\|", 2) match {
+              case Array(t, src) => (t, src)
+              case Array(t) => (t, f.source)
+            }
             val pv = scala.util.Try(v.toDouble).toOption
-            (f.transform, pv) match {
-              case ("identity", Some(p)) if numericSource => p >= lo && p <= hi
-              case (Param("truncate", w), Some(p)) if intSource =>
+            (transform, pv) match {
+              case ("identity", Some(p))
+                  if numericSource && recSource == column => p >= lo && p <= hi
+              case (Param("truncate", w), Some(p))
+                  if intSource && recSource == column =>
                 p >= lo && p + w.toInt - 1 <= hi
               case _ => false
             }
@@ -1585,10 +1625,19 @@ final class GraftCatalog(root: String,
         outDir, effective, currentSchema(table))
       val maxSeq = entries.map(_.seqNum).max
       val partNames = effective.partitionTransforms.map(_._1)
-      val added = manifest.addedFiles
-        .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil,
+      // each file records WHICH transform produced its tuple values — the
+      // flattened per-file spec binding that keeps pruning correct across
+      // spec evolution (caller-supplied Column transforms have no string
+      // form; their tuples are recorded transform-less and never pruned)
+      val specTransforms = spec.map(f => f.name -> s"${f.transform}|${f.source}").toMap
+      val added = manifest.addedFiles.map { f =>
+        val vals = partitionValsFromPath(f.path, partNames)
+        TableEntry("data", f.path, maxSeq + 1, "parquet", Nil,
           stats = statsOf(f),
-          partitionVals = partitionValsFromPath(f.path, partNames)))
+          partitionVals = vals,
+          partitionTransforms =
+            specTransforms.view.filterKeys(vals.contains).toMap)
+      }
       val snapId = commitRewriteLocked(table, added,
         manifest.removedDataFiles ++ manifest.removedDeleteFiles)
       writeCompactWatermark(table, snapId)
@@ -1743,21 +1792,43 @@ final class GraftCatalog(root: String,
       minAppendedFiles: Int = 8,
       config: CompactionConfig = CompactionConfig()): Option[(Long, CommitManifest)] = {
     require(minAppendedFiles > 0, "minAppendedFiles must be positive")
-    val debt = usableWatermark(table) match {
-      case Some(wm) =>
-        appendedFilesBetween(table, wm, currentSnapshotId(table)).size
-      case None => loadTable(table).size
-    }
-    if (debt >= minAppendedFiles)
+    if (compactionDebt(table) >= minAppendedFiles)
       Some(compactTableIncremental(spark, table, outDir, config))
     else None
+  }
+
+  /** Small-file debt: files appended since the last compaction watermark
+    * (or the whole table when none exists) — metadata only, no Spark job.
+    * The signal [[maybeCompactTable]] gates on and
+    * [[CompactionScheduler]] prioritizes by.
+    */
+  def compactionDebt(table: String): Int = usableWatermark(table) match {
+    case Some(wm) =>
+      appendedFilesBetween(table, wm, currentSnapshotId(table)).size
+    case None => loadTable(table).size
+  }
+
+  /** All tables in this catalog (any directory with a registered head) —
+    * forks ([[forkTable]]'s `name@branch`) included; schedulers filter.
+    */
+  def tables(): Seq[String] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) Nil
+    else {
+      val stream = Files.list(rootPath)
+      val names = try stream.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq
+      finally stream.close()
+      names.filter(headExists).sorted
+    }
   }
 
   private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
     val body = entries.map(e =>
       s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}" +
         s"\t${e.eqIds.mkString(",")}\t${e.stats.fold("")(encodeStats)}" +
-        s"\t${encodePartition(e.partitionVals)}")
+        s"\t${encodePartition(e.partitionVals, e.partitionTransforms)}")
       .mkString("\n")
     // temp + atomic move (like writeHead): a crash mid-write must not leave
     // a torn snap-N.tsv that snapshotIds/time-travel/orphan detection would
@@ -1795,11 +1866,12 @@ final class GraftCatalog(root: String,
     else text.split("\n").toSeq.map { line =>
       line.split("\t", 8) match {
         case Array(k, p, s, f, cols, ids, stats, partition) =>
+          val (pvals, ptransforms) = decodePartition(partition)
           TableEntry(k, p, s.toLong, f,
             if (cols.isEmpty) Nil else cols.split(",").toSeq,
             if (ids.isEmpty) Nil else ids.split(",").toSeq.map(_.toInt),
             decodeStats(stats),
-            decodePartition(partition))
+            pvals, ptransforms)
         case Array(k, p, s, f, cols, ids, stats) => // pre-partition 7-field
           TableEntry(k, p, s.toLong, f,
             if (cols.isEmpty) Nil else cols.split(",").toSeq,

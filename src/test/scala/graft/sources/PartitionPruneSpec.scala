@@ -113,6 +113,40 @@ class PartitionPruneSpec extends SparkSpec {
     assert(scan.select("k").as[Long].collect().toSeq == Seq(7L))
   }
 
+  test("spec evolution: old files prune by the transform that WROTE them") {
+    val cat = newCatalog()
+    makeTable(cat, Seq(PartitionFieldDef("kt", "truncate[100]", "k")))
+    val oldFiles = cat.loadEntries("t").filter(_.kind == "data")
+    assert(oldFiles.forall(_.partitionTransforms("kt") == "truncate[100]|k"))
+
+    // evolve the spec: same field name, narrower width. Old tuples (e.g.
+    // kt=100 covering [100,200)) must NOT be reinterpreted as truncate[50]
+    // (covering [100,150)) — that would wrongly prune [150,199] rows.
+    cat.setPartitionSpec("t", Seq(PartitionFieldDef("kt", "truncate[50]", "k")))
+    val scan = cat.scanTableWhere(spark, "t", "k", 150, 199)
+    assert(scan.select("k").as[Long].collect().sorted.toSeq
+      == (150L to 199L).toSeq,
+      "rows lost: old tuples were misread under the evolved spec")
+    // the file holding kt=100 IS still scanned (its recorded width covers)
+    assert(scan.inputFiles.length >= 1)
+
+    // a fresh compaction under the evolved spec records the NEW transform
+    cat.compactTable(spark, "t",
+      s"${java.nio.file.Files.createTempDirectory("graft-part-evout")}",
+      CompactionRunner.CompactionConfig(targetPartitions = 2))
+    val newFiles = cat.loadEntries("t").filter(_.kind == "data")
+    assert(newFiles.forall(_.partitionTransforms("kt") == "truncate[50]|k"))
+    assert(newFiles.map(_.partitionVals("kt")).distinct.sorted
+      .headOption.contains("0"))
+    // and the evolved layout prunes at the NEW width: [150,199] is one
+    // truncate[50] partition now
+    val scan2 = cat.scanTableWhere(spark, "t", "k", 150, 199)
+    assert(scan2.inputFiles.length ==
+      newFiles.count(_.partitionVals("kt") == "150"))
+    assert(scan2.select("k").as[Long].collect().sorted.toSeq
+      == (150L to 199L).toSeq)
+  }
+
   test("deletes still apply to partition-pruned survivors") {
     val cat = newCatalog()
     makeTable(cat, Seq(PartitionFieldDef("kt", "truncate[100]", "k")))
