@@ -145,7 +145,36 @@ object ExplainAudit {
       ("Catalog read after a MERGE INTO commit: matched keys suppressed by the " +
         "eq-delete anti join (seq guard), updated versions live from the fresh " +
         "data file — the merge itself was one inner join (update side) + one " +
-        "anti join (insert side) + two writes, all hash joins on the keys."))
+        "anti join (insert side) + two writes, all hash joins on the keys."),
+    "q119_partition_prune" ->
+      ("Hidden-partitioned catalog read: the truncate[250] range predicate was " +
+        "projected through the spec BEFORE planning, so the scan's file list " +
+        "(InMemoryFileIndex) holds only the covering partitions' files — the " +
+        "bucket field correctly contributes nothing to a range. Partition-level " +
+        "skipping happens in catalog metadata; the plan just shows the shrunken " +
+        "scan plus the exact residual filter."),
+    "q120_changelog" ->
+      ("Changelog window: inserts = the window's NEW files MoR-merged at `to`; " +
+        "deletes = ONE scan of the old files with both snapshots' delete sets " +
+        "applied and an anti join on the hidden (file_path, pos) identity. " +
+        "All joins hash-based with broadcast delete sides; union of two tagged " +
+        "branches then one keyed aggregate."),
+    "q121_range_delete" ->
+      ("Catalog read after a deleteWhereRange commit: the fully-covered " +
+        "partition's files are GONE from the task list (metadata drop — they " +
+        "never appear in any scan), boundary partitions carry the pos-delete " +
+        "anti join; the aggregate sees exactly NOT BETWEEN."),
+    "q122_wap_publish" ->
+      ("Catalog read after a WAP publish: main's head now points at the fork's " +
+        "snapshot, so the plan is identical to a direct deleteWhere commit — " +
+        "data scan anti-joined with the fork-written pos-delete file, then one " +
+        "keyed aggregate. Staging leaves no plan-level residue."),
+    "q123_spark_format" ->
+      ("The graft data source: Catalyst pushes the BETWEEN into " +
+        "PrunedFilteredScan.buildScan, which folds it to a range and asks the " +
+        "catalog's stats pruning for the file subset; the RDD boundary appears " +
+        "as an ExistingRDD scan with Spark's exact filter re-applied on top " +
+        "(all filters declared unhandled — pruning skips IO, never semantics)."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
