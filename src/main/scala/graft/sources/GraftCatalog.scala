@@ -491,6 +491,35 @@ final class GraftCatalog(root: String,
     * file. A kept file's rows still pass through the exact predicate, so
     * pruning can only skip IO, never change results.
     */
+  /** The source column's type — drives whether transform math applies
+    * (truncate prefix-vs-floor, bucket hash function). Schema-less tables
+    * read it from one data-file footer: a driver-side metadata read.
+    */
+  private def sourceColumnType(
+      spark: SparkSession, table: String, column: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    currentSchema(table)
+      .orElse(loadTable(table).headOption.map(t =>
+        spark.read.format(t.format).load(t.path).schema))
+      .flatMap(_.fields.find(_.name == column)).map(_.dataType)
+
+  private def isIntType(t: Option[org.apache.spark.sql.types.DataType]): Boolean =
+    t.exists {
+      case org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+
+  /** Decode an entry's recorded `transform|source` binding; entries from
+    * before source recording fall back to the given spec field's source.
+    */
+  private def recordedBinding(
+      recorded: String, fallbackSource: String): (String, String) =
+    recorded.split("\\|", 2) match {
+      case Array(t, src) => (t, src)
+      case Array(t) => (t, fallbackSource)
+    }
+
   private def partitionPruner(
       spark: SparkSession,
       table: String, column: String, lo: Double, hi: Double)
@@ -498,40 +527,26 @@ final class GraftCatalog(root: String,
     val fields = partitionSpec(table).filter(_.source == column)
     if (fields.isEmpty) (_: TableEntry) => true
     else {
-      // the source TYPE decides whether transform math applies (truncate
-      // prefix-vs-floor, bucket hash function); schema-less tables read it
-      // from one data-file footer — a driver-side metadata read
-      val srcType = currentSchema(table)
-        .orElse(loadTable(table).headOption.map(t =>
-          spark.read.format(t.format).load(t.path).schema))
-        .flatMap(_.fields.find(_.name == column)).map(_.dataType)
-      val intSource = srcType.exists {
-        case org.apache.spark.sql.types.IntegerType |
-            org.apache.spark.sql.types.LongType => true
-        case _ => false
-      }
+      val intSource = isIntType(sourceColumnType(spark, table, column))
       val Param = """([a-z]+)\[(\d+)\]""".r
       e: TableEntry => fields.forall { f =>
         (e.partitionVals.get(f.name), e.partitionTransforms.get(f.name)) match {
           case (Some(v), Some(recorded)) if v != null =>
-            // recorded form is `transform|source`: both must still mean
-            // this column, or the tuple describes some other column's data
-            val (transform, recSource) = recorded.split("\\|", 2) match {
-              case Array(t, src) => (t, src)
-              case Array(t) => (t, f.source)
-            }
+            // both halves of the recorded binding must still mean this
+            // column, or the tuple describes some other column's data
+            val (transform, recSource) = recordedBinding(recorded, f.source)
             if (recSource != column) true
             else {
-            val pv = scala.util.Try(v.toDouble).toOption
-            (transform, pv) match {
-              case ("identity", Some(p)) => p >= lo && p <= hi
-              case (Param("truncate", w), Some(p)) if intSource =>
-                p <= hi && p + w.toInt > lo
-              case (Param("bucket", n), Some(p))
-                  if intSource && lo == hi && lo.isWhole =>
-                p == graft.functions.IcebergMurmur3.bucketLong(lo.toLong, n.toInt)
-              case _ => true
-            }
+              val pv = scala.util.Try(v.toDouble).toOption
+              (transform, pv) match {
+                case ("identity", Some(p)) => p >= lo && p <= hi
+                case (Param("truncate", w), Some(p)) if intSource =>
+                  p <= hi && p + w.toInt > lo
+                case (Param("bucket", n), Some(p))
+                    if intSource && lo == hi && lo.isWhole =>
+                  p == graft.functions.IcebergMurmur3.bucketLong(lo.toLong, n.toInt)
+                case _ => true
+              }
             }
           case _ => true
         }
@@ -787,17 +802,10 @@ final class GraftCatalog(root: String,
       column, lo, hi).map(_.path).toSet
     val mayMatch = dataEntries.filter(e => pruner(e) && statsKept(e.path))
 
-    val srcType = currentSchema(table)
-      .orElse(loadTable(table).headOption.map(t =>
-        spark.read.format(t.format).load(t.path).schema))
-      .flatMap(_.fields.find(_.name == column)).map(_.dataType)
+    val srcType = sourceColumnType(spark, table, column)
     val numericSource = srcType.exists(
       _.isInstanceOf[org.apache.spark.sql.types.NumericType])
-    val intSource = srcType.exists {
-      case org.apache.spark.sql.types.IntegerType |
-          org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
+    val intSource = isIntType(srcType)
     val specFields = partitionSpec(table).filter(_.source == column)
     val Param = """([a-z]+)\[(\d+)\]""".r
     def allMatch(e: TableEntry): Boolean = {
@@ -811,14 +819,11 @@ final class GraftCatalog(root: String,
         }
       }
       def byPartition = specFields.exists { f =>
-        // the file's RECORDED transform governs (spec-evolution safety;
+        // the file's RECORDED binding governs (spec-evolution safety;
         // same rule as partitionPruner)
         (e.partitionVals.get(f.name), e.partitionTransforms.get(f.name)) match {
           case (Some(v), Some(recorded)) if v != null =>
-            val (transform, recSource) = recorded.split("\\|", 2) match {
-              case Array(t, src) => (t, src)
-              case Array(t) => (t, f.source)
-            }
+            val (transform, recSource) = recordedBinding(recorded, f.source)
             val pv = scala.util.Try(v.toDouble).toOption
             (transform, pv) match {
               case ("identity", Some(p))
@@ -867,7 +872,11 @@ final class GraftCatalog(root: String,
             s"${stale.take(3).mkString(", ")} were rewritten by a concurrent " +
             "commit after classification; re-run against the new snapshot")
       val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
-      val posdel = written.map(p => TableEntry("posdel", p, seq, "parquet", Nil))
+      // a boundary scan that matched NOTHING may still have written empty
+      // part files — registering them would tax every future MoR read
+      val posdel =
+        if (referenced.isEmpty) Nil
+        else written.map(p => TableEntry("posdel", p, seq, "parquet", Nil))
       val kept = entries.filterNot(e => e.kind == "data" && droppedSet(e.path))
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, kept ++ posdel)
@@ -1392,6 +1401,18 @@ final class GraftCatalog(root: String,
 
   private def forkBasePath(table: String) = tableDir(table).resolve("FORK_BASE")
 
+  // temp + ATOMIC_MOVE like every other pointer file (HEAD, pspec,
+  // snapshots): a torn FORK_BASE would turn publishFork into a MatchError
+  private def writeForkBase(fork: String, table: String, baseId: Long): Unit = {
+    val tmp = tableDir(fork).resolve(
+      s".FORK_BASE.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp, s"$table\t$baseId",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, forkBasePath(fork),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Fork `table` into the catalog table `<table>@<branch>` — the
     * write-audit-publish (WAP) staging area: the fork starts as a METADATA
     * copy of main's current snapshot (file lists, schema, partition spec —
@@ -1415,8 +1436,7 @@ final class GraftCatalog(root: String,
       writeSnapshot(fork, 1L, entries)
       schemaAt(table, baseId).foreach(s => writeSchema(fork, 1L, s))
       createHead(fork, 1L)
-      Files.writeString(forkBasePath(fork), s"$table\t$baseId",
-        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      writeForkBase(fork, table, baseId)
     }
     // separate acquisition (the table lock is non-reentrant); still under
     // the MAIN lock, so the spec copied is the one the entries came from
@@ -1455,6 +1475,10 @@ final class GraftCatalog(root: String,
         case None => carrySchema(table, baseId, nextId)
       }
       advanceHead(table, baseId, nextId)
+      // re-base the fork onto its own publish: further audited commits on
+      // the fork stay publishable (the conflict check still fires the
+      // moment anyone ELSE moves main)
+      writeForkBase(fork, table, nextId)
       nextId
     }
   }
@@ -1472,7 +1496,14 @@ final class GraftCatalog(root: String,
       val files = try stream.iterator().asScala.toSeq finally stream.close()
       files.foreach(Files.deleteIfExists)
     }
-    Files.deleteIfExists(tableDir(fork))
+    // the directory itself can only go after the lock releases (the lock
+    // file lives inside it); a concurrent lock acquisition may recreate
+    // .lock in that window — best-effort: a leftover headless directory is
+    // invisible (tables() requires a head) and harmless
+    try {
+      Files.deleteIfExists(tableDir(fork).resolve(".lock"))
+      Files.deleteIfExists(tableDir(fork))
+    } catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 
   // ---- named snapshot refs (Iceberg tags: immutable named pointers) ------
@@ -1629,7 +1660,13 @@ final class GraftCatalog(root: String,
       // flattened per-file spec binding that keeps pruning correct across
       // spec evolution (caller-supplied Column transforms have no string
       // form; their tuples are recorded transform-less and never pruned)
-      val specTransforms = spec.map(f => f.name -> s"${f.transform}|${f.source}").toMap
+      // ONLY when the spec drove the fanout: caller-supplied Column
+      // transforms have no string form, and recording the spec's transform
+      // for a same-named caller transform would make pruning misread the
+      // caller's tuples (values from a different function entirely)
+      val specTransforms =
+        if (config.partitionTransforms.nonEmpty) Map.empty[String, String]
+        else spec.map(f => f.name -> s"${f.transform}|${f.source}").toMap
       val added = manifest.addedFiles.map { f =>
         val vals = partitionValsFromPath(f.path, partNames)
         TableEntry("data", f.path, maxSeq + 1, "parquet", Nil,

@@ -65,10 +65,11 @@ final class GraftRelation(
       case Some((c, lo, hi)) => catalog.scanTableWhere(spark, table, c, lo, hi)
       case None => catalog.scanTable(spark, table)
     }
-    val projected =
-      if (requiredColumns.isEmpty) base
-      else base.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*)
-    projected.rdd
+    // requiredColumns CAN be empty (e.g. COUNT(*)): an empty select is the
+    // legal zero-column projection — rows keep their count while skipping
+    // every column's decode; returning `base` unprojected instead would
+    // materialize the full width just to throw it away
+    base.select(requiredColumns.toSeq.map(org.apache.spark.sql.functions.col): _*).rdd
   }
 }
 

@@ -147,6 +147,35 @@ class PartitionPruneSpec extends SparkSpec {
       == (150L to 199L).toSeq)
   }
 
+  test("caller-supplied Column transforms never inherit the spec's recorded binding") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-part-clash").toString
+    (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/b0")
+    cat.createTable("t",
+      CompactionRunner.listParquet(s"$base/b0").map(DataFileTask(_, 1L)))
+    cat.setPartitionSpec("t", Seq(PartitionFieldDef("kt", "truncate[100]", "k")))
+    // explicit transform REUSES the spec field's name but is a different
+    // function (k % 7): recording the spec's truncate[100] for these
+    // tuples would make pruning misread them and drop live rows
+    cat.compactTable(spark, "t",
+      s"${Files.createTempDirectory("graft-part-clash-out")}",
+      CompactionRunner.CompactionConfig(targetPartitions = 2,
+        partitionTransforms = Seq(
+          "kt" -> org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("k"),
+            org.apache.spark.sql.functions.lit(7)))))
+    val data = cat.loadEntries("t").filter(_.kind == "data")
+    assert(data.forall(_.partitionVals.contains("kt")))
+    assert(data.forall(_.partitionTransforms.isEmpty),
+      "caller tuples must be recorded transform-less")
+    // no pruning (conservative), and the rows survive intact
+    val scan = cat.scanTableWhere(spark, "t", "k", 150, 199)
+    assert(scan.inputFiles.length == data.size)
+    assert(scan.select("k").as[Long].collect().sorted.toSeq
+      == (150L to 199L).toSeq)
+  }
+
   test("deletes still apply to partition-pruned survivors") {
     val cat = newCatalog()
     makeTable(cat, Seq(PartitionFieldDef("kt", "truncate[100]", "k")))

@@ -129,6 +129,35 @@ class RangeDeleteSpec extends SparkSpec {
     assert(ks(cat, "t") == ((1L to 9L) ++ (21L to 100L)).toSet)
   }
 
+  test("no-match boundary scan registers no (empty) delete files") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-rdel-nomatch").toString
+    (1L to 400L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/b0")
+    cat.createTable("t",
+      CompactionRunner.listParquet(s"$base/b0").map(DataFileTask(_, 1L)))
+    cat.setPartitionSpec("t", Seq(PartitionFieldDef("kt", "truncate[100]", "k")))
+    cat.compactTable(spark, "t",
+      s"${Files.createTempDirectory("graft-rdel-nm-out")}",
+      CompactionConfig(targetPartitions = 2))
+    // a stats-less, tuple-less straggler: boundary by conservatism, but it
+    // holds NOTHING in the range — its scan matches zero rows
+    val extra = Files.createTempDirectory("graft-rdel-nm-extra").toString
+    (1000L to 1100L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$extra/d")
+    cat.commitRewrite("t",
+      CompactionRunner.listParquet(s"$extra/d")
+        .map(DataFileTask(_, cat.currentSnapshotId("t") + 1)), Nil)
+
+    cat.deleteWhereRange(spark, "t", "k", 100, 299,
+      Files.createTempDirectory("graft-rdel-nm-d").toString)
+    val after = cat.loadEntries("t")
+    assert(after.count(_.kind == "posdel") == 0,
+      "a zero-match boundary scan must not register empty delete files")
+    assert(ks(cat, "t") ==
+      ((1L to 99L) ++ (300L to 400L) ++ (1000L to 1100L)).toSet)
+  }
+
   test("range-delete commits surface in the changelog as pure deletes") {
     val cat = newCatalog()
     val base = Files.createTempDirectory("graft-rdel-cdc").toString

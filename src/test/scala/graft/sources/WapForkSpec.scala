@@ -73,6 +73,22 @@ class WapForkSpec extends SparkSpec {
     intercept[IllegalArgumentException] { cat.dropFork("t") }
   }
 
+  test("a fork re-bases onto its own publish and stays publishable") {
+    val (cat, out) = freshTable()
+    val fork = cat.forkTable("t", "audit")
+    cat.deleteWhere(spark, fork, col("k") <= 10, s"$out/f1")
+    cat.publishFork(fork)
+    // second audited batch on the SAME fork: no one else moved main, so
+    // the re-based fork publishes cleanly
+    cat.deleteWhere(spark, fork, col("k") > 90, s"$out/f2")
+    cat.publishFork(fork)
+    assert(ks(cat, "t") == (11L to 90L).toSet)
+    // a foreign commit still conflicts the third publish
+    cat.deleteWhere(spark, "t", col("k") === 50L, s"$out/m")
+    cat.deleteWhere(spark, fork, col("k") === 60L, s"$out/f3")
+    intercept[GraftError.Metadata] { cat.publishFork(fork) }
+  }
+
   test("forking a fork is rejected; fork survives republish inspection") {
     val (cat, out) = freshTable()
     val fork = cat.forkTable("t", "audit")
