@@ -147,7 +147,7 @@ object ExplainAudit {
         "data file — the merge itself was one inner join (update side) + one " +
         "anti join (insert side) + two writes, all hash joins on the keys."),
     "q119_partition_prune" ->
-      ("Hidden-partitioned catalog read: the truncate[250] range predicate was " +
+      ("Hidden-partitioned catalog read: the truncate[25000] range predicate was " +
         "projected through the spec BEFORE planning, so the scan's file list " +
         "(InMemoryFileIndex) holds only the covering partitions' files — the " +
         "bucket field correctly contributes nothing to a range. Partition-level " +

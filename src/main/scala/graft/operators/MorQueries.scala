@@ -134,7 +134,7 @@ object MorQueries {
   }
 
   /** Q119: hidden partitioning end-to-end — declare a two-field partition
-    * spec (`truncate[250](l_orderkey)`, `bucket[8](l_suppkey)`), compact
+    * spec (`truncate[25000](l_orderkey)`, `bucket[8](l_suppkey)`), compact
     * into the Hive-layout fanout with per-file partition tuples committed
     * to the snapshot, then range-scan the truncate SOURCE column:
     * `scanTableWhere` projects the predicate through the transform and
@@ -148,7 +148,10 @@ object MorQueries {
     cat.createTable("lineitem", Seq(
       graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
     cat.setPartitionSpec("lineitem", Seq(
-      graft.sources.GraftCatalog.PartitionFieldDef("ok_t", "truncate[250]", "l_orderkey"),
+      // widths sized to the key domain: ~6 truncate values x 8 buckets at
+      // sf0.1 (a 250-wide truncate here means 4,800 Hive directories and a
+      // 100x slower write - the classic over-partitioning trap)
+      graft.sources.GraftCatalog.PartitionFieldDef("ok_t", "truncate[25000]", "l_orderkey"),
       graft.sources.GraftCatalog.PartitionFieldDef("sk_b", "bucket[8]", "l_suppkey")))
     cat.compactTable(spark, "lineitem", s"$root/out",
       graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 2))
@@ -185,12 +188,12 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
-  /** Q121: metadata-aligned range DELETE — on the truncate[250]-partitioned
-    * lineitem table, `deleteWhereRange(l_orderkey, 300, 800)` drops the
-    * fully-covered partition 500 from the snapshot WITHOUT scanning it and
-    * pos-deletes only the boundary partitions 250/750; the scan then shows
-    * exactly `NOT BETWEEN`. SQL-reproducible because which rows die never
-    * depends on which proof (metadata vs scan) killed them.
+  /** Q121: metadata-aligned range DELETE — on the truncate[2500]-partitioned
+    * lineitem table, `deleteWhereRange(l_orderkey, 2500, 7499)` drops the
+    * fully-covered partitions 2500/5000 from the snapshot WITHOUT scanning
+    * them (at sf0.001 the range matches nothing and the commit no-ops); the
+    * scan then shows exactly `NOT BETWEEN`. SQL-reproducible because which
+    * rows die never depends on which proof (metadata vs scan) killed them.
     */
   private def q121(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q121").toString
@@ -198,10 +201,10 @@ object MorQueries {
     cat.createTable("lineitem", Seq(
       graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
     cat.setPartitionSpec("lineitem", Seq(
-      graft.sources.GraftCatalog.PartitionFieldDef("ok_t", "truncate[250]", "l_orderkey")))
+      graft.sources.GraftCatalog.PartitionFieldDef("ok_t", "truncate[2500]", "l_orderkey")))
     cat.compactTable(spark, "lineitem", s"$root/out",
       graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 2))
-    cat.deleteWhereRange(spark, "lineitem", "l_orderkey", 300, 800, s"$root/d1")
+    cat.deleteWhereRange(spark, "lineitem", "l_orderkey", 2500, 7499, s"$root/d1")
     cat.scanTable(spark, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(count(lit(1)).as("n"),
@@ -359,7 +362,7 @@ object MorQueries {
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |WHERE l_orderkey NOT BETWEEN 300 AND 800
+        |WHERE l_orderkey NOT BETWEEN 2500 AND 7499
         |GROUP BY 1""".stripMargin,
     "q122_wap_publish" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
