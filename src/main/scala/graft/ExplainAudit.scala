@@ -200,6 +200,11 @@ object ExplainAudit {
     sb.append("with host load average > 2 where EVERY query after the stall window\n")
     sb.append("inflated ~+4 s uniformly (total 145 s vs 92 s on the clean rerun);\n")
     sb.append("single-run numbers on this box remain untrustworthy for any one query.\n")
+    sb.append("r8 addendum: back-to-back full-suite runs measured 117 s and 182 s for\n")
+    sb.append("the SAME code (the second hit a stall window), and q102 sat at\n")
+    sb.append("2.5-2.8 s in both vs 1.87 s in r7 with its code untouched — attributed\n")
+    sb.append("to box state, worth re-checking when the host is quiet. The 95\n")
+    sb.append("r7-comparable queries total 72.3 s in r8's clean run vs 78.4 s in r7.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
