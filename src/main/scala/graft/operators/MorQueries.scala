@@ -256,6 +256,26 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q124: string point lookup on a source-bucketed corpus — the documents
+    * table partitioned `bucket[4](source)`, then "all docs from src7"
+    * answered from one bucket's files via `scanTableWhereEqString`
+    * (murmur3 bucket of the value + string stats bounds). The production
+    * shape for per-source corpus slicing in the training pipeline.
+    */
+  private def q124(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q124").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("documents", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/documents.parquet", 1L)))
+    cat.setPartitionSpec("documents", Seq(
+      graft.sources.GraftCatalog.PartitionFieldDef("src_b", "bucket[4]", "source")))
+    cat.compactTable(spark, "documents", s"$root/out",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 2))
+    cat.scanTableWhereEqString(spark, "documents", "source", "src7")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
@@ -269,7 +289,8 @@ object MorQueries {
     "q120_changelog" -> (q120 _),
     "q121_range_delete" -> (q121 _),
     "q122_wap_publish" -> (q122 _),
-    "q123_spark_format" -> (q123 _))
+    "q123_spark_format" -> (q123 _),
+    "q124_source_lookup" -> (q124 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -375,5 +396,11 @@ object MorQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 400 AND 1100
+        |GROUP BY 1""".stripMargin,
+    "q124_source_lookup" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE source = 'src7'
         |GROUP BY 1""".stripMargin)
 }

@@ -554,6 +554,81 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** String point-lookup with partition + stats pruning —
+    * `scanTable(...).filter(col === value)` semantics at metadata cost.
+    * The shape string bucketing exists for: a corpus partitioned
+    * `bucket[n](source)` answers "all documents from THIS source" from
+    * 1/n of its files. Pruning proofs per recorded transform binding
+    * (spec-evolution-safe like [[scanTableWhere]]):
+    *
+    *  - `identity`: partition value must equal `value`;
+    *  - `bucket[n]` (string source): must equal Iceberg's
+    *    `murmur3(utf8 bytes) % n` of `value`;
+    *  - `truncate[w]` (string source): must equal `value`'s `w`-char
+    *    prefix (Iceberg string truncate);
+    *  - plus file stats: `[min, max]` bounds must straddle `value`
+    *    lexicographically (string bounds compare exactly like the
+    *    parquet writer ordered them).
+    *
+    * Conservative on every unknown; the exact filter re-applies on top.
+    */
+  def scanTableWhereEqString(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      value: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(value != null, "use an IS NULL filter for null lookups")
+    val entries = loadEntries(table)
+    val isString = sourceColumnType(spark, table, column)
+      .contains(org.apache.spark.sql.types.StringType)
+    val fields = partitionSpec(table).filter(_.source == column)
+    val Param = """([a-z]+)\[(\d+)\]""".r
+    def partitionKeeps(e: TableEntry): Boolean = fields.forall { f =>
+      (e.partitionVals.get(f.name), e.partitionTransforms.get(f.name)) match {
+        case (Some(v), Some(recorded)) if v != null =>
+          val (transform, recSource) = recordedBinding(recorded, f.source)
+          if (recSource != column) true
+          else transform match {
+            case "identity" if isString => v == value
+            case Param("bucket", n) if isString =>
+              v == graft.functions.IcebergMurmur3.bucketUTF8(
+                org.apache.spark.unsafe.types.UTF8String.fromString(value),
+                n.toInt).toString
+            case Param("truncate", w) if isString =>
+              v == value.take(w.toInt)
+            case _ => true
+          }
+        case _ => true
+      }
+    }
+    def statsKeep(e: TableEntry): Boolean = e.stats.forall { s =>
+      (s.colMins.get(column), s.colMaxs.get(column)) match {
+        case (Some(mn), Some(mx))
+            if mn != "null" && mx != "null" &&
+              mn != "below_min" && mx != "above_max" =>
+          mn <= value && value <= mx
+        case _ => true
+      }
+    }
+    val dataEntries = entries.filter(_.kind == "data")
+    val kept = dataEntries.filter(e => partitionKeeps(e) && statsKeep(e))
+    val exact = col(column) === lit(value)
+    if (kept.isEmpty) scanTable(spark, table).filter(exact).limit(0)
+    else {
+      val data = CompactionRunner.scanWithHiddenCols(spark,
+        kept.map(e => DataFileTask(e.path, e.seqNum, e.format)),
+        currentSchema(table))
+      graft.operators.MorPlanner.merge(data,
+        CompactionRunner.readPositionDeletes(spark,
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }),
+        CompactionRunner.readEqualityDeletes(spark,
+          entries.collect { case e if e.kind == "eqdel" =>
+            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+          }, Some(data.schema))).filter(exact)
+    }
+  }
+
   /** Iceberg-v2 row-level upsert: write `updates` as a new data file set AND
     * an equality-delete file over `keyCols` at the same (advanced) sequence
     * number, commit both in one snapshot. Readers ([[scanTable]]) see old

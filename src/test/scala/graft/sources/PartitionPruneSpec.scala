@@ -176,6 +176,41 @@ class PartitionPruneSpec extends SparkSpec {
       == (150L to 199L).toSeq)
   }
 
+  test("string point lookup prunes via bucketUTF8 and string stats bounds") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-part-str").toString
+    (1L to 400L).map(k => (k, s"src${k % 10}")).toDF("k", "src")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/b0")
+    cat.createTable("t",
+      CompactionRunner.listParquet(s"$base/b0").map(DataFileTask(_, 1L)))
+    cat.setPartitionSpec("t", Seq(PartitionFieldDef("sb", "bucket[4]", "src")))
+    cat.compactTable(spark, "t",
+      s"${Files.createTempDirectory("graft-part-str-out")}",
+      CompactionRunner.CompactionConfig(targetPartitions = 2))
+    val data = cat.loadEntries("t").filter(_.kind == "data")
+    val expected = graft.functions.IcebergMurmur3.bucketUTF8(
+      org.apache.spark.unsafe.types.UTF8String.fromString("src7"), 4)
+    val inBucket = data.count(_.partitionVals("sb").toInt == expected)
+    assert(inBucket < data.size, "fixture must spread across buckets")
+
+    val scan = cat.scanTableWhereEqString(spark, "t", "src", "src7")
+    assert(scan.inputFiles.length == inBucket,
+      s"expected the $inBucket bucket-$expected files, got ${scan.inputFiles.length}")
+    assert(scan.select("k").as[Long].collect().toSet ==
+      (1L to 400L).filter(_ % 10 == 7).toSet)
+
+    // a value hashing to an absent bucket combination still returns exact
+    // (possibly empty) results
+    val none = cat.scanTableWhereEqString(spark, "t", "src", "no-such-source")
+    assert(none.count() == 0)
+
+    // deletes apply on the pruned survivors
+    cat.deleteWhere(spark, "t", col("k") === 7L,
+      Files.createTempDirectory("graft-part-str-d").toString)
+    val after = cat.scanTableWhereEqString(spark, "t", "src", "src7")
+    assert(!after.select("k").as[Long].collect().contains(7L))
+  }
+
   test("deletes still apply to partition-pruned survivors") {
     val cat = newCatalog()
     makeTable(cat, Seq(PartitionFieldDef("kt", "truncate[100]", "k")))
