@@ -276,6 +276,28 @@ object MorQueries {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Q125: metadata-table integrity — the documents corpus compacted under
+    * an identity(lang) partition spec, then answered from the `partitions`
+    * METADATA table alone (per-partition record counts summed from the
+    * snapshot's per-file `record_count`, no data file opened). The oracle
+    * is the GROUP BY the metadata must agree with — the invariant that
+    * makes metadata-only planning (debt scoring, range deletes, `SELECT
+    * count(*)` shortcuts) trustworthy.
+    */
+  private def q125(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q125").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("documents", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/documents.parquet", 1L)))
+    cat.setPartitionSpec("documents", Seq(
+      graft.sources.GraftCatalog.PartitionFieldDef("lang_p", "identity", "lang")))
+    cat.compactTable(spark, "documents", s"$root/out",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 2))
+    cat.metadataTable(spark, "documents", "partitions")
+      .select(element_at(col("partition"), "lang_p").as("lang"),
+        col("record_count").cast("long").as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
@@ -290,7 +312,8 @@ object MorQueries {
     "q121_range_delete" -> (q121 _),
     "q122_wap_publish" -> (q122 _),
     "q123_spark_format" -> (q123 _),
-    "q124_source_lookup" -> (q124 _))
+    "q124_source_lookup" -> (q124 _),
+    "q125_meta_partitions" -> (q125 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -402,5 +425,9 @@ object MorQueries {
         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE source = 'src7'
+        |GROUP BY 1""".stripMargin,
+    "q125_meta_partitions" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |FROM documents
         |GROUP BY 1""".stripMargin)
 }

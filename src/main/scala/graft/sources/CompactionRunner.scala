@@ -198,7 +198,27 @@ object CompactionRunner {
       case ("avro", ts) =>
         Seq(AvroScan.readWithHiddenCols(spark, ts.map(_.path)))
       case (fmt, ts) => Seq {
-      val reader = spark.read.format(fmt).load(ts.map(_.path): _*)
+      val inferred = spark.read.format(fmt).load(ts.map(_.path): _*)
+      // Schema-less parquet reads resolve by footer inference, which picks
+      // ONE file's schema — if that footer carries field ids the read
+      // demands ids from EVERY file, so a table mixing id-stamped
+      // generations (compaction outputs) with id-less ones (plain appends
+      // against a schema-less catalog) fails to scan. Only when the file
+      // set is actually MIXED, strip the ids and resolve the whole read by
+      // name (the documented fallback without a canonical schema); uniform
+      // id-stamped sets keep their ids so eq-deletes still resolve by id.
+      // The mixed check reads one footer per DISTINCT physical schema
+      // (same cardinality the canonical-schema path already pays).
+      val reader =
+        if (fmt == "parquet" &&
+            inferred.schema.fields.exists(FieldIds.idOf(_).isDefined) &&
+            schemaGroups(spark, ts.map(_.path)).exists { g =>
+              !spark.read.parquet(g.head).schema.fields
+                .exists(FieldIds.idOf(_).isDefined)
+            })
+          spark.read.schema(FieldIds.stripIds(inferred.schema))
+            .parquet(ts.map(_.path): _*)
+        else inferred
       // Planning-time guard: every resolved input file must have a task
       // entry under the SAME canonical path, or the broadcast seq join
       // would silently mismatch. inputFiles is driver-side metadata (no

@@ -48,6 +48,23 @@ object FieldIds {
     df.select(stamped.fields.map(f => col(f.name).as(f.name, f.metadata)).toSeq: _*)
   }
 
+  /** Drop field-id metadata from every top-level field. A read schema that
+    * CARRIES ids demands them from every parquet footer it touches — a
+    * table whose generations mix id-stamped files (compaction outputs)
+    * with id-less ones (plain appends against a schema-less catalog) then
+    * fails to scan. Stripping the ids switches the whole read to name
+    * resolution, the documented fallback when no canonical schema governs.
+    */
+  def stripIds(schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(MetaKey)) f
+      else {
+        val kept = new MetadataBuilder().withMetadata(f.metadata)
+          .remove(MetaKey).build()
+        f.copy(metadata = kept)
+      }
+    })
+
   /** Align a DataFrame to a canonical schema's ids by NAME: each column that
     * the canonical schema also has takes that field's metadata (so an
     * upsert/append writes the table's current ids into its files); columns

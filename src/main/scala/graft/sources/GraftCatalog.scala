@@ -75,7 +75,12 @@ final class GraftCatalog(root: String,
       eqIds: Seq[Int] = Nil,
       stats: Option[EntryStats] = None,
       partitionVals: Map[String, String] = Map.empty,
-      partitionTransforms: Map[String, String] = Map.empty)
+      partitionTransforms: Map[String, String] = Map.empty,
+      // Iceberg's DataFile.record_count / file_size_in_bytes — the manifest
+      // fields metadata tables and planners read without touching the file.
+      // -1 = unknown (file committed by a path that didn't count it).
+      recordCount: Long = -1L,
+      sizeBytes: Long = -1L)
 
   private def toEntry(t: DataFileTask) =
     TableEntry("data", t.path, t.seqNum, t.format, Nil)
@@ -688,6 +693,192 @@ final class GraftCatalog(root: String,
       nextId
     }
   }
+
+  /** Pure append commit: write `df` as a fresh parquet generation and add
+    * the files to the snapshot — Iceberg's `AppendFiles` fast path (no
+    * deletes, no rewrite; the reference's incremental scan consumes exactly
+    * these commits, `GraftCatalog.appendedFilesBetween`). One read-back job
+    * records per-file record counts and sizes into the entries (the
+    * manifest fields [[metadataTable]] and debt scoring read), so appended
+    * generations stay metadata-countable like compacted ones.
+    *
+    * Zero-row appends commit nothing (the empty-write discipline of the
+    * DML writers) and return the unchanged head.
+    */
+  def appendFiles(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val token = java.util.UUID.randomUUID().toString
+    val dir = s"$outDir/append-$token"
+    val aligned = currentSchema(table) match {
+      case Some(s) => FieldIds.alignToSchema(df, s)
+      case None => df
+    }
+    aligned.write.mode("errorifexists").parquet(dir)
+    val counted = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("size"))
+      .agg(count(lit(1)).as("rc"))
+      .collect() // one row per written file — driver-sized manifest metadata
+    if (counted.isEmpty) currentSnapshotId(table)
+    else withTableLock(table) {
+      val entries = loadEntries(table)
+      val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      val added = counted.toSeq.map(r =>
+        TableEntry("data", CompactionRunner.canonPath(r.getAs[String]("path")),
+          seq, "parquet", Nil,
+          recordCount = r.getAs[Long]("rc"),
+          sizeBytes = r.getAs[Long]("size")))
+      val nextId = currentSnapshotId(table) + 1
+      writeSnapshot(table, nextId, entries ++ added)
+      carrySchema(table, nextId - 1, nextId)
+      advanceHead(table, nextId - 1, nextId)
+      nextId
+    }
+  }
+
+  // ---- streaming ingestion (exactly-once appends per micro-batch) --------
+
+  private def streamMarksPath(table: String) =
+    tableDir(table).resolve("stream-marks.tsv")
+
+  /** queryId → (last committed batch id, its snapshot id). */
+  private def readStreamMarks(table: String): Map[String, (Long, Long)] = {
+    val p = streamMarksPath(table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).split("\n").filter(_.nonEmpty).map { line =>
+      val Array(q, b, s) = line.split("\t", 3)
+      java.net.URLDecoder.decode(q, "UTF-8") -> (b.toLong, s.toLong)
+    }.toMap
+  }
+
+  private def writeStreamMarks(
+      table: String, marks: Map[String, (Long, Long)]): Unit = {
+    val body = marks.toSeq.sortBy(_._1).map { case (q, (b, s)) =>
+      s"${java.net.URLEncoder.encode(q, "UTF-8")}\t$b\t$s"
+    }.mkString("\n")
+    val tmp = tableDir(table).resolve(
+      s".stream-marks.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp, body,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, streamMarksPath(table),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Roll a torn streaming commit forward; callers must hold the table
+    * lock. The commit protocol writes (1) the snapshot document — which
+    * RESERVES its id first-writer-wins, (2) the stream mark, (3) the HEAD
+    * advance. A crash between (2) and (3) leaves a mark pointing one past
+    * HEAD at an installed document: finishing the advance here makes the
+    * commit durable exactly once — the reserved id means no other commit
+    * can have taken it, so the roll-forward can never clobber anyone.
+    */
+  private def completeTornStreamCommit(table: String): Unit = {
+    val head = currentSnapshotId(table)
+    readStreamMarks(table).values.collect {
+      case (_, snapId) if snapId == head + 1 && Files.exists(snapPath(table, snapId)) =>
+        carrySchema(table, head, snapId)
+        advanceHead(table, head, snapId)
+    }
+  }
+
+  /** One micro-batch of streaming ingestion, exactly-once. Returns the
+    * committed snapshot id, or None when this (queryId, batchId) was
+    * already committed — the replay Structured Streaming delivers after a
+    * restart (`foreachBatch` is at-least-once; the recorded mark is what
+    * upgrades it to exactly-once, the same batch-id dedup contract as
+    * Spark's own transactional sinks).
+    *
+    * The distributed write runs outside the table lock (same discipline as
+    * [[upsert]]); the mark is written between the snapshot document and the
+    * HEAD advance, so every crash window either never published the batch
+    * (replay re-commits it) or is completed by [[completeTornStreamCommit]]
+    * on the next batch (replay then skips). Batch ids per queryId are
+    * monotone (Structured Streaming's contract), so `<=` is the replay test.
+    */
+  def appendStreamBatch(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      outDir: String,
+      queryId: String,
+      batchId: Long): Option[Long] = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // fast replay path: fully committed (mark visible at or below HEAD) —
+    // skip without writing files
+    readStreamMarks(table).get(queryId) match {
+      case Some((b, snapId)) if b >= batchId && snapId <= currentSnapshotId(table) =>
+        return None
+      case _ => ()
+    }
+    val token = java.util.UUID.randomUUID().toString
+    val dir = s"$outDir/stream-$token"
+    val aligned = currentSchema(table) match {
+      case Some(s) => FieldIds.alignToSchema(df, s)
+      case None => df
+    }
+    aligned.write.mode("errorifexists").parquet(dir)
+    val counted = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("size"))
+      .agg(count(lit(1)).as("rc"))
+      .collect()
+    withTableLock(table) {
+      completeTornStreamCommit(table)
+      val marks = readStreamMarks(table)
+      if (marks.get(queryId).exists(_._1 >= batchId)) None
+      else if (counted.isEmpty) None // empty batch: nothing to publish
+      else {
+        val entries = loadEntries(table)
+        val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+        val added = counted.toSeq.map(r =>
+          TableEntry("data", CompactionRunner.canonPath(r.getAs[String]("path")),
+            seq, "parquet", Nil,
+            recordCount = r.getAs[Long]("rc"),
+            sizeBytes = r.getAs[Long]("size")))
+        val nextId = currentSnapshotId(table) + 1
+        writeSnapshot(table, nextId, entries ++ added) // reserves nextId
+        writeStreamMarks(table, marks + (queryId -> (batchId, nextId)))
+        carrySchema(table, nextId - 1, nextId)
+        advanceHead(table, nextId - 1, nextId)
+        Some(nextId)
+      }
+    }
+  }
+
+  /** Start a streaming ingestion query draining `stream` into the table —
+    * the production shape: a document/event stream lands as committed
+    * catalog snapshots, one per micro-batch, restart-safe via the
+    * checkpoint + [[appendStreamBatch]]'s batch-id dedup, and the growing
+    * small-file debt is exactly what [[maybeCompactTable]] /
+    * [[CompactionScheduler]] then sweep. `foreachBatch` hands a session
+    * CLONE; the catalog re-resolves all state from disk per batch, so the
+    * clone serves fresh listings (the [[graft.pipeline.StreamingDedup]]
+    * lesson).
+    */
+  def streamAppend(
+      stream: DataFrame,
+      table: String,
+      outDir: String,
+      checkpointDir: String,
+      queryId: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          id: Long) =>
+        appendStreamBatch(batch.sparkSession, table, batch.toDF(), outDir,
+          queryId, id)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .start()
 
   /** Scheme-aware parquet listing of a written output directory
     * (java.io.File would return null for any non-local outDir).
@@ -1437,6 +1628,73 @@ final class GraftCatalog(root: String,
     finally stream.close() // Files.list leaks a directory fd if not closed
   }
 
+  /** Iceberg-style metadata tables — the table ABOUT the table, served
+    * entirely from snapshot documents (no data file is opened). The same
+    * inspection surface Iceberg exposes as `db.table.files` /
+    * `.snapshots` / `.history` / `.partitions`; the reference's planning
+    * RPC ships exactly these rows over the wire (`iceberg.proto:183-205`,
+    * `DataFile.record_count`/`file_size_in_bytes`).
+    *
+    * Kinds:
+    *  - `files`: one row per entry in the CURRENT snapshot — content kind,
+    *    path, format, sequence number, record count / size (null when the
+    *    committing path didn't count them), the partition tuple.
+    *  - `partitions`: data-file rows grouped by partition tuple with file /
+    *    record / byte totals. Record counts are data-file counts BEFORE
+    *    delete application (Iceberg semantics — pending pos/eq deletes
+    *    suppress rows at read time, not in the manifest).
+    *  - `snapshots`: one row per retained snapshot, with per-kind file
+    *    counts and total records.
+    *  - `history`: the retained snapshot chain with the current flag — the
+    *    rollback/time-travel picker.
+    *
+    * Cardinality = file count (files/partitions) or snapshot count — the
+    * same driver-side metadata [[loadEntries]] already materializes;
+    * returned as a DataFrame so the inspection queries compose with the
+    * rest of the engine (and stay small enough to broadcast into joins
+    * against data).
+    */
+  def metadataTable(spark: SparkSession, table: String, kind: String): DataFrame = {
+    import spark.implicits._
+    def opt(v: Long): Option[Long] = if (v < 0) None else Some(v)
+    kind match {
+      case "files" =>
+        loadEntries(table).map(e =>
+          (e.kind, e.path, e.format, e.seqNum, opt(e.recordCount),
+            opt(e.sizeBytes), e.partitionVals))
+          .toDF("content", "file_path", "file_format", "seq_num",
+            "record_count", "size_bytes", "partition")
+      case "partitions" =>
+        loadEntries(table).filter(_.kind == "data")
+          .groupBy(_.partitionVals).toSeq.map { case (pvals, es) =>
+            // null totals when ANY member file is uncounted — a partial sum
+            // presented as the total would be silently wrong
+            val rc = if (es.exists(_.recordCount < 0)) None
+                     else Some(es.map(_.recordCount).sum)
+            val bytes = if (es.exists(_.sizeBytes < 0)) None
+                        else Some(es.map(_.sizeBytes).sum)
+            (pvals, es.size.toLong, rc, bytes)
+          }.toDF("partition", "file_count", "record_count", "size_bytes")
+      case "snapshots" =>
+        snapshotIds(table).map { id =>
+          val es = readSnapshot(table, id)
+          (id, es.count(_.kind == "data").toLong,
+            es.count(_.kind != "data").toLong,
+            if (es.exists(e => e.kind == "data" && e.recordCount < 0)) None
+            else Some(es.collect { case e if e.kind == "data" => e.recordCount }.sum),
+            id == currentSnapshotId(table))
+        }.toDF("snapshot_id", "data_files", "delete_files", "total_records",
+          "is_current")
+      case "history" =>
+        val head = currentSnapshotId(table)
+        snapshotIds(table).map(id => (id, id == head))
+          .toDF("snapshot_id", "is_current")
+      case other =>
+        throw GraftError.Metadata(
+          s"unknown metadata table '$other' (files|partitions|snapshots|history)")
+    }
+  }
+
   /** Commit a rewrite: current entries minus removed plus added → new
     * snapshot, advance HEAD (the `Transaction::rewrite_files` + `commit`
     * pair, `compaction/mod.rs:66-72`). Removal matches data AND delete
@@ -1748,7 +2006,9 @@ final class GraftCatalog(root: String,
           stats = statsOf(f),
           partitionVals = vals,
           partitionTransforms =
-            specTransforms.view.filterKeys(vals.contains).toMap)
+            specTransforms.view.filterKeys(vals.contains).toMap,
+          recordCount = f.recordCount,
+          sizeBytes = f.sizeBytes)
       }
       val snapId = commitRewriteLocked(table, added,
         manifest.removedDataFiles ++ manifest.removedDeleteFiles)
@@ -1854,7 +2114,8 @@ final class GraftCatalog(root: String,
           val maxSeq = entries.map(_.seqNum).max
           val added = manifest.addedFiles
             .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil,
-              stats = statsOf(f)))
+              stats = statsOf(f),
+              recordCount = f.recordCount, sizeBytes = f.sizeBytes))
           // dead eq-deletes: after the rewrite the kept data files are
           // (all data minus the delta) plus the new outputs at maxSeq+1;
           // an eq-delete with no kept file strictly below its seq can
@@ -1940,7 +2201,9 @@ final class GraftCatalog(root: String,
     val body = entries.map(e =>
       s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}" +
         s"\t${e.eqIds.mkString(",")}\t${e.stats.fold("")(encodeStats)}" +
-        s"\t${encodePartition(e.partitionVals, e.partitionTransforms)}")
+        s"\t${encodePartition(e.partitionVals, e.partitionTransforms)}" +
+        s"\t${if (e.recordCount < 0 && e.sizeBytes < 0) ""
+              else s"${e.recordCount},${e.sizeBytes}"}")
       .mkString("\n")
     // temp + atomic move (like writeHead): a crash mid-write must not leave
     // a torn snap-N.tsv that snapshotIds/time-travel/orphan detection would
@@ -1976,7 +2239,18 @@ final class GraftCatalog(root: String,
     val text = Files.readString(snapPath(table, id))
     if (text.isEmpty) Nil
     else text.split("\n").toSeq.map { line =>
-      line.split("\t", 8) match {
+      line.split("\t", 9) match {
+        case Array(k, p, s, f, cols, ids, stats, partition, counts) =>
+          val (pvals, ptransforms) = decodePartition(partition)
+          val (rc, bytes) = counts.split(",", 2) match {
+            case Array(r, b) if r.nonEmpty => (r.toLong, b.toLong)
+            case _ => (-1L, -1L)
+          }
+          TableEntry(k, p, s.toLong, f,
+            if (cols.isEmpty) Nil else cols.split(",").toSeq,
+            if (ids.isEmpty) Nil else ids.split(",").toSeq.map(_.toInt),
+            decodeStats(stats),
+            pvals, ptransforms, rc, bytes)
         case Array(k, p, s, f, cols, ids, stats, partition) =>
           val (pvals, ptransforms) = decodePartition(partition)
           TableEntry(k, p, s.toLong, f,

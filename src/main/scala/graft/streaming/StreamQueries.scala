@@ -388,7 +388,39 @@ object StreamQueries {
     "q75_stream_dedup" -> (q75 _),
     "q79_stream_sessions" -> (q79 _),
     "q82_stream_state" -> (q82 _),
-    "q100_stream_tws" -> (q100 _))
+    "q100_stream_tws" -> (q100 _),
+    "q126_stream_ingest" -> (q126 _))
+
+  /** Q126: streaming ingestion into the CATALOG — the document stream
+    * drained through [[graft.sources.GraftCatalog.streamAppend]]
+    * (foreachBatch → exactly-once append commits, one snapshot per
+    * micro-batch), then read back through the catalog's own scan. The
+    * production landing-zone shape: restart-safe via checkpoint + batch-id
+    * marks, and the accumulated small files are exactly what the
+    * compaction scheduler then sweeps. Batch-equivalent because append
+    * commits never reorder or drop rows, so the oracle is the plain
+    * GROUP BY over the same corpus.
+    */
+  private def q126(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q126").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("documents", Nil)
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val docs = spark.readStream.schema(schema).parquet(streamableDir(path))
+    val q = cat.streamAppend(docs, "documents", s"$root/data",
+      s"$root/ckpt", "q126-ingest")
+    q.awaitTermination()
+    cat.scanTable(spark, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
+  private val q126Sql =
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY 1""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q68_stream_window" -> q68Sql,
@@ -396,5 +428,6 @@ object StreamQueries {
     "q75_stream_dedup" -> q75Sql,
     "q79_stream_sessions" -> q79Sql,
     "q82_stream_state" -> q82Sql,
-    "q100_stream_tws" -> q100Sql)
+    "q100_stream_tws" -> q100Sql,
+    "q126_stream_ingest" -> q126Sql)
 }

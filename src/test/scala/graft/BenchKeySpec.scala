@@ -18,9 +18,10 @@ class BenchKeySpec extends AnyFunSuite {
   }
 
   test("the projected bench line fits the driver's tail window") {
-    // worst-case value rendering is 6 chars ("123.45"); headroom of ~300
-    // bytes below 2000 covers sbt's [success] trailer and the wrapper keys
-    val line = Bench.shortKeys(names).map(k => "\"" + k + "\":123.45")
+    // worst-case value rendering is 4 chars ("99.9" — Bench.fmt scales
+    // precision with magnitude); headroom of ~300 bytes below 2000 covers
+    // sbt's [success] trailer and the wrapper keys
+    val line = Bench.shortKeys(names).map(k => "\"" + k + "\":99.9")
       .mkString("{", ",", "}").length + 120 // metric/value/unit/sf wrapper
     assert(line < 1700, s"projected bench line $line bytes — shrink keys")
   }
