@@ -4,6 +4,7 @@ import graft.operators.MorPlanner
 import graft.operators.MorPlanner.EqualityDeleteGroup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** End-to-end merge-on-read compaction over real parquet files — the Spark
   * re-expression of the reference's compaction driver + executor
@@ -212,10 +213,7 @@ object CompactionRunner {
       val reader =
         if (fmt == "parquet" &&
             inferred.schema.fields.exists(FieldIds.idOf(_).isDefined) &&
-            schemaGroups(spark, ts.map(_.path)).exists { g =>
-              !spark.read.parquet(g.head).schema.fields
-                .exists(FieldIds.idOf(_).isDefined)
-            })
+            anyIdlessFooter(spark, ts.map(_.path)))
           spark.read.schema(FieldIds.stripIds(inferred.schema))
             .parquet(ts.map(_.path): _*)
         else inferred
@@ -316,6 +314,28 @@ object CompactionRunner {
     * is bounded by the table's evolution history. Output order and member
     * order are deterministic (sorted by path) so plans stay stable.
     */
+  /** Does any of these parquet files lack top-level field ids in its
+    * footer? Small sets (the common catalog-table cardinality) check
+    * driver-side — a footer open is single-digit milliseconds, cheaper
+    * than any Spark job; large sets reuse the distributed footer pass
+    * ([[schemaGroups]], one representative read per distinct schema).
+    */
+  private def anyIdlessFooter(spark: SparkSession, paths: Seq[String]): Boolean =
+    if (paths.length <= 64) {
+      val conf = spark.sessionState.newHadoopConf()
+      paths.exists { p =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try !reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+          .exists(_.getId != null)
+        finally reader.close()
+      }
+    } else schemaGroups(spark, paths).exists { g =>
+      !spark.read.parquet(g.head).schema.fields
+        .exists(FieldIds.idOf(_).isDefined)
+    }
+
   private def schemaGroups(
       spark: SparkSession, paths: Seq[String]): Seq[Seq[String]] = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
