@@ -96,6 +96,50 @@ class StreamCatalogSinkSpec extends SparkSpec {
       Seq(SinkRow(2, "b", "y")).toDF(), out, "q", 2L).contains(head + 2))
   }
 
+  test("appendFiles: counted append commit, zero-row no-op") {
+    val (cat, _) = newCatalogWithRoot()
+    cat.createTable("t", Nil)
+    val out = Files.createTempDirectory("graft-sink-app").toString
+    val id = cat.appendFiles(spark, "t",
+      (1L to 50L).map(k => SinkRow(k, s"g${k % 2}", s"v$k")).toDF(), out)
+    assert(id === cat.currentSnapshotId("t"))
+    assert(cat.scanTable(spark, "t").count() === 50L)
+    val files = cat.metadataTable(spark, "t", "files").collect()
+    assert(files.map(_.getAs[Long]("record_count")).sum === 50L)
+    // zero rows: no commit
+    assert(cat.appendFiles(spark, "t", Seq.empty[SinkRow].toDF(), out) === id)
+    assert(cat.snapshotIds("t").length === 2)
+  }
+
+  test("streamed ingestion accrues debt the auto-compaction sweeps") {
+    val (cat, _) = newCatalogWithRoot()
+    cat.createTable("t", Nil)
+    val out = Files.createTempDirectory("graft-sink-loop").toString
+    (0 to 2).foreach { b =>
+      val rows = (b * 100L + 1 to b * 100L + 100)
+        .map(k => SinkRow(k, s"g${k % 2}", s"v$k"))
+      cat.appendStreamBatch(spark, "t", rows.toDF(), out, "q", b.toLong)
+    }
+    val before = cat.scanTable(spark, "t")
+      .select(count(lit(1)), sum(col("k"))).head()
+    val nFilesBefore = cat.loadTable("t").size
+    assert(cat.compactionDebt("t") >= 3, "each batch must add debt")
+
+    // below threshold: a pure metadata check, no commit
+    assert(cat.maybeCompactTable(spark, "t", s"$out/c0",
+      minAppendedFiles = 100).isEmpty)
+    // at threshold: the sweep rewrites the streamed small files
+    val swept = cat.maybeCompactTable(spark, "t", s"$out/c1",
+      minAppendedFiles = 3)
+    assert(swept.isDefined, "debt at threshold must trigger")
+    assert(cat.loadTable("t").size < nFilesBefore,
+      s"sweep must collapse the ${nFilesBefore} streamed files")
+    val after = cat.scanTable(spark, "t")
+      .select(count(lit(1)), sum(col("k"))).head()
+    assert(after === before, "compaction must not change results")
+    assert(cat.compactionDebt("t") === 0, "debt settles after the sweep")
+  }
+
   test("empty batch publishes nothing") {
     val (cat, _) = newCatalogWithRoot()
     cat.createTable("t", Nil)
