@@ -1695,6 +1695,24 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** `COUNT(*)` answered from metadata when provably exact — every data
+    * file carries a record count and no delete file is pending (pending
+    * pos/eq deletes suppress an unknown number of rows at read time, so
+    * the manifest sum would overcount). At 100 TB this is the difference
+    * between a driver-side sum over the file list and a full scan; the
+    * q125 integrity gate is what makes trusting the metadata sound. Falls
+    * back to the real MoR scan count otherwise — callers always get the
+    * exact answer, only the cost differs.
+    */
+  def countRows(spark: SparkSession, table: String): Long = {
+    val entries = loadEntries(table)
+    val data = entries.filter(_.kind == "data")
+    if (data.isEmpty) 0L
+    else if (entries.forall(_.kind == "data") && data.forall(_.recordCount >= 0))
+      data.map(_.recordCount).sum
+    else scanTable(spark, table).count()
+  }
+
   /** Commit a rewrite: current entries minus removed plus added → new
     * snapshot, advance HEAD (the `Transaction::rewrite_files` + `commit`
     * pair, `compaction/mod.rs:66-72`). Removal matches data AND delete

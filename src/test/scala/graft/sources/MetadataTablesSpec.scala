@@ -120,6 +120,30 @@ class MetadataTablesSpec extends SparkSpec {
     assert(hist.count(_.getAs[Boolean]("is_current")) === 1)
   }
 
+  test("countRows: metadata when provably exact, scan fallback otherwise") {
+    val (cat, _) = newCatalogWithRoot()
+    seedTable(cat, partitioned = false)
+    // clean counted table: the metadata sum IS the count
+    assert(cat.countRows(spark, "t") === 300L)
+
+    // a pending eq-delete makes the manifest sum an overcount — must fall
+    // back to the MoR scan (2 deleted + 1 inserted ⇒ 299 live originals + 1)
+    cat.upsert(spark, "t",
+      Seq((1L, "g1", "updated")).toDF("k", "g", "v"), Seq("k"),
+      s"${Files.createTempDirectory("graft-meta-cr")}")
+    assert(cat.countRows(spark, "t") ===
+      cat.scanTable(spark, "t").count())
+
+    // compaction applies the deletes and re-counts: metadata path again
+    cat.compactTable(spark, "t",
+      s"${Files.createTempDirectory("graft-meta-cr2")}")
+    assert(cat.countRows(spark, "t") === 300L)
+
+    // empty table: zero without a scan (scanTable would refuse)
+    cat.createTable("empty", Nil)
+    assert(cat.countRows(spark, "empty") === 0L)
+  }
+
   test("pre-counts snapshot lines parse with unknown counts") {
     val (cat, root) = newCatalogWithRoot()
     seedTable(cat, partitioned = false)
