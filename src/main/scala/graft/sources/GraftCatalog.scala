@@ -179,7 +179,20 @@ final class GraftCatalog(root: String,
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
         val fileLock = ch.lock()
-        try body finally fileLock.release()
+        try {
+          // complete any torn streaming commit BEFORE the body reads HEAD:
+          // a crash between the stream mark and the HEAD advance leaves a
+          // reserved snap-(head+1) document that would make every other
+          // commit's writeSnapshot collide — and the generic conflict
+          // advice ("remove the unreferenced document") would LOSE a batch
+          // the mark already promised durable. Rolling forward here makes
+          // every locked operation see the true durable state. Guarded on
+          // the marks file so pre-create flows (createTable's own lock)
+          // stay no-ops on a not-yet-existing table.
+          if (Files.exists(streamMarksPath(table)))
+            completeTornStreamCommit(table)
+          body
+        } finally fileLock.release()
       } finally ch.close()
     }
   }
@@ -827,8 +840,7 @@ final class GraftCatalog(root: String,
         col("_metadata.file_size").as("size"))
       .agg(count(lit(1)).as("rc"))
       .collect()
-    withTableLock(table) {
-      completeTornStreamCommit(table)
+    withTableLock(table) { // torn-commit roll-forward rides the lock entry
       val marks = readStreamMarks(table)
       if (marks.get(queryId).exists(_._1 >= batchId)) None
       else if (counted.isEmpty) None // empty batch: nothing to publish

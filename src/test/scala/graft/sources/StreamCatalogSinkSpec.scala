@@ -96,6 +96,31 @@ class StreamCatalogSinkSpec extends SparkSpec {
       Seq(SinkRow(2, "b", "y")).toDF(), out, "q", 2L).contains(head + 2))
   }
 
+  test("torn stream commit does not wedge other commit paths") {
+    val (cat, root) = newCatalogWithRoot()
+    cat.createTable("t", Nil)
+    val out = Files.createTempDirectory("graft-sink-wedge").toString
+    cat.appendStreamBatch(spark, "t",
+      Seq(SinkRow(1, "a", "x")).toDF(), out, "q", 0L)
+    val head = cat.currentSnapshotId("t")
+
+    // crash window: batch 1's document + mark installed, HEAD lagging —
+    // the reserved snap-(head+1) would collide with ANY next commit
+    val tdir = Paths.get(root, "t")
+    Files.copy(tdir.resolve(s"snap-$head.tsv"),
+      tdir.resolve(s"snap-${head + 1}.tsv"))
+    Files.writeString(tdir.resolve("stream-marks.tsv"), s"q\t1\t${head + 1}")
+
+    // a NON-stream commit must roll the torn commit forward, not conflict
+    val id = cat.appendFiles(spark, "t",
+      Seq(SinkRow(2, "b", "y")).toDF(), out)
+    assert(id === head + 2, "append must land on top of the completed chain")
+    assert(cat.scanTable(spark, "t").count() === 2L)
+    // the torn batch stays durable: its replay skips
+    assert(cat.appendStreamBatch(spark, "t",
+      Seq(SinkRow(1, "a", "x")).toDF(), out, "q", 1L).isEmpty)
+  }
+
   test("appendFiles: counted append commit, zero-row no-op") {
     val (cat, _) = newCatalogWithRoot()
     cat.createTable("t", Nil)
