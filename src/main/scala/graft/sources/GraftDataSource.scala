@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Row, SQLContext}
 import org.apache.spark.sql.sources.{
   BaseRelation, DataSourceRegister, EqualTo, Filter, GreaterThan,
   GreaterThanOrEqual, LessThan, LessThanOrEqual, PrunedFilteredScan,
-  RelationProvider}
+  RelationProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graft")` — the catalog as a first-class Spark data
@@ -39,8 +39,32 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister {
     def required(k: String) = parameters.getOrElse(k,
       throw new IllegalArgumentException(
         s"graft data source requires option '$k'"))
-    new GraftRelation(sqlContext, required("root"), required("table"))
+    parameters.get("metadata") match {
+      // .option("metadata", "files"|"partitions"|"snapshots"|"history"):
+      // the inspection surface through the same vanilla entry point —
+      // Iceberg's `db.table.files` addressing, format-option flavored
+      case Some(kind) => new GraftMetadataRelation(
+        sqlContext, required("root"), required("table"), kind)
+      case None => new GraftRelation(sqlContext, required("root"), required("table"))
+    }
   }
+}
+
+/** A metadata table as a relation: rebuilt from the snapshot documents on
+  * every scan, so a temp view always reflects the current snapshot.
+  */
+final class GraftMetadataRelation(
+    override val sqlContext: SQLContext,
+    root: String,
+    table: String,
+    kind: String) extends BaseRelation with TableScan {
+
+  private val catalog = new GraftCatalog(root)
+  private def df = catalog.metadataTable(sqlContext.sparkSession, table, kind)
+
+  override val schema: StructType = df.schema
+
+  override def buildScan(): RDD[Row] = df.rdd
 }
 
 final class GraftRelation(

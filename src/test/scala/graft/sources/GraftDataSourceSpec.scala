@@ -42,6 +42,31 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(df.select("k").as[Long].collect().toSet == (11L to 400L).toSet)
   }
 
+  test("metadata option serves the inspection tables through the format") {
+    val root = makeCatalog()
+    def meta(kind: String) = spark.read.format("graft")
+      .option("root", root).option("table", "t").option("metadata", kind).load()
+
+    // files: counted compaction outputs, totals equal the data
+    val files = meta("files")
+    assert(files.schema.fieldNames.contains("record_count"))
+    assert(files.select(org.apache.spark.sql.functions.sum(col("record_count")))
+      .head().getLong(0) === 400L)
+
+    // SQL over a metadata temp view — the vanilla inspection query
+    meta("snapshots").createOrReplaceTempView("t_snapshots")
+    val cur = spark.sql(
+      "SELECT snapshot_id FROM t_snapshots WHERE is_current").collect()
+    assert(cur.length === 1)
+    assert(cur.head.getLong(0) === new GraftCatalog(root).currentSnapshotId("t"))
+
+    // the view reflects commits made AFTER view creation (rebuilt per scan)
+    new GraftCatalog(root).deleteWhere(spark, "t", col("k") <= 10,
+      Files.createTempDirectory("graft-ds-md").toString)
+    assert(spark.sql("SELECT count(*) FROM t_snapshots").head().getLong(0) ===
+      new GraftCatalog(root).snapshotIds("t").length.toLong)
+  }
+
   test("SQL over a temp view, filters and projection exact") {
     val root = makeCatalog()
     spark.read.format("graft").option("root", root).option("table", "t")
