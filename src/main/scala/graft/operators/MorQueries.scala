@@ -298,6 +298,34 @@ object MorQueries {
         col("record_count").cast("long").as("n"))
   }
 
+  /** Metadata-only MIN/MAX ([[graft.sources.GraftCatalog.minMaxLong]]):
+    * a compacted table answers from per-file manifest bounds with no data
+    * file opened; an upsert then makes exactness unprovable (a pending
+    * eq-delete may suppress the extreme row) and the SAME call falls back
+    * to the MoR scan — the gate pins both paths against one oracle.
+    */
+  private def q127(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-q127").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("orders", Seq(
+      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/orders.parquet", 1L)))
+    cat.compactTable(spark, "orders", s"$root/out",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 2))
+    val (mnMeta, mxMeta) = cat.minMaxLong(spark, "orders", "o_custkey").get
+
+    val orders = spark.read.parquet(s"$sfDir/orders.parquet")
+    val k0 = orders.agg(min(col("o_orderkey"))).head().getLong(0)
+    val upd = orders.filter(col("o_orderkey") === k0)
+      .withColumn("o_custkey",
+        lit(-7L).cast(orders.schema("o_custkey").dataType))
+    cat.upsert(spark, "orders", upd, Seq("o_orderkey"), s"$root/out")
+    val (mnAfter, mxAfter) = cat.minMaxLong(spark, "orders", "o_custkey").get
+
+    Seq((mnMeta, mxMeta, mnAfter, mxAfter))
+      .toDF("mn_meta", "mx_meta", "mn_after", "mx_after")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
@@ -313,7 +341,8 @@ object MorQueries {
     "q122_wap_publish" -> (q122 _),
     "q123_spark_format" -> (q123 _),
     "q124_source_lookup" -> (q124 _),
-    "q125_meta_partitions" -> (q125 _))
+    "q125_meta_partitions" -> (q125 _),
+    "q127_meta_minmax" -> (q127 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -429,5 +458,13 @@ object MorQueries {
     "q125_meta_partitions" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n
         |FROM documents
-        |GROUP BY 1""".stripMargin)
+        |GROUP BY 1""".stripMargin,
+    "q127_meta_minmax" ->
+      """WITH k AS (SELECT min(o_orderkey) AS k0 FROM orders),
+        |after AS (SELECT CASE WHEN o_orderkey = (SELECT k0 FROM k)
+        |                      THEN -7 ELSE o_custkey END AS c FROM orders)
+        |SELECT CAST((SELECT min(o_custkey) FROM orders) AS BIGINT) AS mn_meta,
+        |       CAST((SELECT max(o_custkey) FROM orders) AS BIGINT) AS mx_meta,
+        |       CAST((SELECT min(c) FROM after) AS BIGINT) AS mn_after,
+        |       CAST((SELECT max(c) FROM after) AS BIGINT) AS mx_after""".stripMargin)
 }

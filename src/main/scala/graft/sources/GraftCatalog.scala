@@ -13,9 +13,17 @@ import scala.jdk.CollectionConverters._
   *
   * Layout under a root directory:
   * {{{
-  * <root>/<table>/snap-<id>.tsv   one entry (data OR delete file) per line:
+  * <root>/<table>/snap-<id>.tsv   SEGMENTED (v2): `#graft-snap-v2` then one
+  *                                reference per line `seg<TAB>count<TAB>sha1`
+  *                                into immutable entry segments — the
+  *                                Iceberg manifest-list shape; additive
+  *                                commits carry prior segments by reference
+  *                                and write O(delta) metadata. Flat legacy
+  *                                documents (one entry per line) still parse.
+  * <root>/<table>/seg-<id>-<tok>.tsv  write-once entry segment, one entry
+  *                                (data OR delete file) per line:
   *                                kind<TAB>path<TAB>seq<TAB>format<TAB>eqCols
-  *                                <TAB>eqIds<TAB>stats
+  *                                <TAB>eqIds<TAB>stats<TAB>partition<TAB>counts
   *                                kind ∈ data|posdel|eqdel; eqCols/eqIds only
   *                                for eqdel; stats = url-encoded per-column
   *                                min/max bounds (data files written by a
@@ -410,8 +418,29 @@ final class GraftCatalog(root: String,
     * `with_delete_file_processing_enabled(true)`). This is how a reader
     * sees a table that has pending row-level deletes.
     */
-  def scanTable(spark: SparkSession, table: String): DataFrame = {
-    val entries = loadEntries(table)
+  def scanTable(spark: SparkSession, table: String): DataFrame =
+    scanEntries(spark, table, loadEntries(table), currentSchema(table))
+
+  /** [[scanTable]] as of a retained snapshot — time travel WITH delete-file
+    * processing: the MoR state the table showed at `snapshotId`, pending
+    * deletes of THAT snapshot applied, resolved against THAT snapshot's
+    * schema ([[loadTableAt]] serves raw data tasks for compaction-style
+    * consumers; a reader wants the merged view).
+    */
+  def scanTableAt(
+      spark: SparkSession, table: String, snapshotId: Long): DataFrame = {
+    require(snapshotIds(table).contains(snapshotId),
+      s"snapshot $snapshotId of $table does not exist (expired or never " +
+        s"committed); retained: ${snapshotIds(table).mkString(", ")}")
+    scanEntries(spark, table,
+      readSnapshot(table, snapshotId), schemaAt(table, snapshotId))
+  }
+
+  private def scanEntries(
+      spark: SparkSession,
+      table: String,
+      entries: Seq[TableEntry],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     // a schema-less empty table cannot produce an empty DataFrame (snapshots
     // store file lists, not schemas) — fail with a catalog-level message
     // rather than the runner's compaction-specific one
@@ -420,7 +449,7 @@ final class GraftCatalog(root: String,
     // with a recorded canonical schema, data files resolve BY FIELD ID —
     // renames/adds/drops between file generations are handled at the scan
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries),
-      currentSchema(table))
+      schema)
     val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
       EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
@@ -1725,6 +1754,52 @@ final class GraftCatalog(root: String,
     else scanTable(spark, table).count()
   }
 
+  /** Metadata-only MIN/MAX over an integer column — the manifest-bounds
+    * sibling of [[countRows]]: when every data file in the snapshot
+    * records long-parseable bounds for `column` and no delete file is
+    * pending, the answer is the fold of the per-file bounds with no data
+    * file opened. Anything less provable falls back to the MoR scan, so
+    * callers always get the exact answer at the cheapest price.
+    *
+    * The exactness conditions, each load-bearing:
+    *  - a pending pos/eq delete may suppress exactly the extreme row, so
+    *    stats could only over-extend the range;
+    *  - a data file with NO recorded bounds for the column forces the
+    *    fallback even when all others have them — at this layer a
+    *    stats-less file (unknown values) and an all-null file (which
+    *    contributes nothing to MIN/MAX) are indistinguishable;
+    *  - SQL MIN/MAX ignore NULLs, and recorded bounds cover non-null
+    *    values only, so null counts play no part (unlike [[countRows]]).
+    *
+    * Returns None for a table with no data files (SQL's NULL aggregate).
+    */
+  def minMaxLong(
+      spark: SparkSession, table: String, column: String): Option[(Long, Long)] = {
+    val entries = loadEntries(table)
+    val data = entries.filter(_.kind == "data")
+    if (data.isEmpty) None
+    else {
+      val bounds: Seq[Option[(Long, Long)]] = data.map(e =>
+        e.stats.flatMap(s =>
+          (s.colMins.get(column), s.colMaxs.get(column)) match {
+            case (Some(mn), Some(mx)) =>
+              try Some((mn.toLong, mx.toLong))
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }))
+      if (entries.forall(_.kind == "data") && bounds.forall(_.isDefined)) {
+        val bs = bounds.flatten
+        Some((bs.map(_._1).min, bs.map(_._2).max))
+      } else {
+        import org.apache.spark.sql.functions.{min, max, col}
+        val row = scanTable(spark, table)
+          .agg(min(col(column)).cast("long"), max(col(column)).cast("long"))
+          .head()
+        if (row.isNullAt(0)) None else Some((row.getLong(0), row.getLong(1)))
+      }
+    }
+  }
+
   /** Commit a rewrite: current entries minus removed plus added → new
     * snapshot, advance HEAD (the `Transaction::rewrite_files` + `commit`
     * pair, `compaction/mod.rs:66-72`). Removal matches data AND delete
@@ -1918,13 +1993,17 @@ final class GraftCatalog(root: String,
     writeRefs(table, refs - tag)
   }
 
-  /** Time travel by tag — `VERSION AS OF 'prod-2024-01-01'`. */
-  def loadTableAtTag(table: String, tag: String): Seq[DataFileTask] = {
+  /** Resolve a tag to its pinned snapshot id, loudly when absent. */
+  def snapshotIdOfTag(table: String, tag: String): Long = {
     val refs = readRefs(table)
     require(refs.contains(tag),
       s"no tag '$tag' on $table; tags: ${refs.keys.toSeq.sorted.mkString(", ")}")
-    loadTableAt(table, refs(tag))
+    refs(tag)
   }
+
+  /** Time travel by tag — `VERSION AS OF 'prod-2024-01-01'`. */
+  def loadTableAtTag(table: String, tag: String): Seq[DataFileTask] =
+    loadTableAt(table, snapshotIdOfTag(table, tag))
 
   /** EP3 companion action: DELETE the orphans [[orphanFiles]] detects, with
     * the safety rail every production remove-orphans job has — an age grace
@@ -1972,6 +2051,22 @@ final class GraftCatalog(root: String,
       Files.delete(snapPath(table, id))
       Files.deleteIfExists(schemaPath(table, id))
     }
+    // segment GC: entry segments are shared across the snapshot chain by
+    // reference, so they outlive individual documents — reclaim the ones no
+    // RETAINED document references anymore. Runs under the table lock, so
+    // no same-host commit can be mid-install; a reader holding parsed
+    // entries is unaffected (the parse cache never re-reads), and a
+    // snapshot document on disk always wins over GC because referenced =
+    // union over every remaining document, including unreferenced
+    // crashed-commit documents.
+    val referenced = snapshotIds(table).flatMap(segRefsOf(table, _)).map(_.name).toSet
+    val stream = Files.list(tableDir(table))
+    val segs = try stream.iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("seg-") && n.endsWith(".tsv")).toSeq
+      finally stream.close()
+    segs.filterNot(referenced).foreach(n =>
+      Files.deleteIfExists(tableDir(table).resolve(n)))
     expire
   }
 
@@ -2227,14 +2322,91 @@ final class GraftCatalog(root: String,
     }
   }
 
+  private def encodeEntryLine(e: TableEntry): String =
+    s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}" +
+      s"\t${e.eqIds.mkString(",")}\t${e.stats.fold("")(encodeStats)}" +
+      s"\t${encodePartition(e.partitionVals, e.partitionTransforms)}" +
+      s"\t${if (e.recordCount < 0 && e.sizeBytes < 0) ""
+            else s"${e.recordCount},${e.sizeBytes}"}"
+
+  /** A segment reference line inside a v2 snapshot document:
+    * `name<TAB>entryCount<TAB>sha1(body)`. The digest is over the segment's
+    * exact line block, which is also how a later commit detects that its
+    * own entry list still starts with this segment's entries (carry check)
+    * without re-reading the segment file.
+    */
+  private case class SegRef(name: String, count: Int, digest: String)
+
+  private def digestOf(lines: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    md.digest(lines.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def segRefsOf(table: String, id: Long): Seq[SegRef] = {
+    val p = snapPath(table, id)
+    if (!Files.exists(p)) Nil
+    else {
+      val text = Files.readString(p)
+      if (!text.startsWith(GraftCatalog.SegmentedHeader)) Nil
+      else text.split("\n").toSeq.drop(1).filter(_.nonEmpty).map { ref =>
+        ref.split("\t", 3) match {
+          case Array(n, c, d) => SegRef(n, c.toInt, d)
+          case _ => throw GraftError.Metadata(
+            s"unparseable segment reference in snap-$id of $table: $ref")
+        }
+      }
+    }
+  }
+
+  /** Commit metadata is SEGMENTED (the Iceberg manifest-list shape): a
+    * snapshot document is a small list of references to immutable entry
+    * segments, and a commit whose entry list starts with the previous
+    * snapshot's segments carries them BY REFERENCE and writes only the
+    * tail as one new segment. The dominant commit shapes — appends,
+    * streaming batches, MoR upserts/deletes (all strictly additive) — cost
+    * O(files touched) metadata, not O(table): a per-minute streaming commit
+    * onto a million-file table writes a segment for its own files plus a
+    * handful of reference lines, where the flat form rewrote (and
+    * retained!) a million lines per commit. Rewriting commits (compaction,
+    * metadata-only drops) break the prefix and pay a full segment — they
+    * are the rare, already-heavyweight ops, exactly as Iceberg rewrites
+    * manifests on rewrite commits.
+    *
+    * Segments are write-once (UUID-tokened names, atomic move, never
+    * replaced), so [[GraftCatalog.segmentCache]] can cache parsed entries
+    * by path forever; [[expireSnapshots]] garbage-collects segments no
+    * retained snapshot references. Pre-segmentation flat documents still
+    * parse (readSnapshot's legacy branch) — the first commit on top of one
+    * writes its full state as one segment and carries from there on.
+    */
   private def writeSnapshot(table: String, id: Long, entries: Seq[TableEntry]): Unit = {
-    val body = entries.map(e =>
-      s"${e.kind}\t${e.path}\t${e.seqNum}\t${e.format}\t${e.eqCols.mkString(",")}" +
-        s"\t${e.eqIds.mkString(",")}\t${e.stats.fold("")(encodeStats)}" +
-        s"\t${encodePartition(e.partitionVals, e.partitionTransforms)}" +
-        s"\t${if (e.recordCount < 0 && e.sizeBytes < 0) ""
-              else s"${e.recordCount},${e.sizeBytes}"}")
-      .mkString("\n")
+    val lines = entries.map(encodeEntryLine)
+    // greedy prefix carry against the previous snapshot's composition: the
+    // slice digests, not the segment files, decide — O(delta) IO on the
+    // additive paths. (The base may be missing — createTable, a rolled-back
+    // chain with gaps, a fork's first snapshot — or flat-legacy: both mean
+    // nothing carries and the full list lands in one fresh segment.)
+    var pos = 0
+    val carried = segRefsOf(table, id - 1).takeWhile { r =>
+      val ok = pos + r.count <= lines.length &&
+        digestOf(lines.slice(pos, pos + r.count)) == r.digest
+      if (ok) pos += r.count
+      ok
+    }
+    val rest = lines.drop(pos)
+    val fresh = if (rest.isEmpty) None else {
+      val name = s"seg-$id-${java.util.UUID.randomUUID().toString.take(8)}.tsv"
+      val tmp = tableDir(table).resolve(s".$name.tmp")
+      Files.writeString(tmp, rest.mkString("\n"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, tableDir(table).resolve(name),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      Some(SegRef(name, rest.length, digestOf(rest)))
+    }
+    val refs = carried ++ fresh
+    val body = (GraftCatalog.SegmentedHeader +:
+      refs.map(r => s"${r.name}\t${r.count}\t${r.digest}")).mkString("\n")
     // temp + atomic move (like writeHead): a crash mid-write must not leave
     // a torn snap-N.tsv that snapshotIds/time-travel/orphan detection would
     // treat as a retained snapshot.
@@ -2249,26 +2421,76 @@ final class GraftCatalog(root: String,
     // CAS. (A committer that crashed between installing the document and
     // the CAS leaves an unreferenced snap-<id>.tsv; the conflict message
     // names it for operator cleanup — stuck-and-loud over silent loss.)
+    // The claim is a HARD LINK of the fully-written temp file, not a move:
+    // POSIX rename(2) — what ATOMIC_MOVE compiles to — silently REPLACES an
+    // existing target, so a move-based "fail if exists" never fires on
+    // Linux and the loser would clobber the winner after all. link(2) is
+    // the primitive that atomically fails on an existing name while making
+    // the complete content visible in the same step.
     val tmp = tableDir(table).resolve(s".snap-$id.tmp-${Thread.currentThread().getId}")
     Files.writeString(tmp, body,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-    try Files.move(tmp, snapPath(table, id),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    try Files.createLink(snapPath(table, id), tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
+        // the conflict loser's fresh segment is referenced by nothing;
+        // reclaim it now rather than waiting for expiry GC
+        fresh.foreach(r => Files.deleteIfExists(tableDir(table).resolve(r.name)))
         throw GraftError.Metadata(
           s"commit conflict on $table: snapshot document ${snapPath(table, id)} " +
             "already exists (another driver committed this id first, or a " +
             "crashed commit left it unreferenced — verify and remove it if " +
             "HEAD never reached this id); re-read and retry")
     }
+    Files.deleteIfExists(tmp)
   }
 
   private def readSnapshot(table: String, id: Long): Seq[TableEntry] = {
     val text = Files.readString(snapPath(table, id))
     if (text.isEmpty) Nil
-    else text.split("\n").toSeq.map { line =>
+    else if (text.startsWith(GraftCatalog.SegmentedHeader))
+      segRefsOf(table, id).flatMap { r =>
+        val entries = segmentEntries(table, r.name)
+        if (entries.length != r.count)
+          throw GraftError.Metadata(
+            s"segment ${r.name} of $table holds ${entries.length} entries " +
+              s"but snap-$id recorded ${r.count} — torn or foreign segment file")
+        entries
+      }
+    else text.split("\n").toSeq.map(parseEntryLine)
+  }
+
+  /** Parsed entries of one immutable segment, via the process-wide cache:
+    * segment names are UUID-tokened and never rewritten, so a cached parse
+    * can never go stale — repeated [[loadEntries]] calls (every commit,
+    * scan, and scheduler sweep starts with one) re-read only documents that
+    * appeared since, not the accumulated table history.
+    */
+  private def segmentEntries(table: String, name: String): Seq[TableEntry] = {
+    require(name.startsWith("seg-") && !name.contains("/") && !name.contains(".."),
+      s"invalid segment reference: $name")
+    val key = tableDir(table).resolve(name).toAbsolutePath.toString
+    // TableEntry is path-dependent on the catalog instance; entries are
+    // plain data, so sharing across instances through the projected type is
+    // sound — the cast recovers this instance's view
+    val cached = GraftCatalog.segmentCache.get(key)
+    if (cached != null) cached.asInstanceOf[Seq[TableEntry]]
+    else {
+      val p = tableDir(table).resolve(name)
+      if (!Files.exists(p))
+        throw GraftError.Metadata(
+          s"snapshot of $table references missing segment $name " +
+            "(expired segment GC raced a reader, or metadata was hand-edited)")
+      val entries = Files.readString(p).split("\n").toSeq
+        .filter(_.nonEmpty).map(parseEntryLine)
+      if (GraftCatalog.segmentCache.size > 512) GraftCatalog.segmentCache.clear()
+      GraftCatalog.segmentCache.put(key, entries)
+      entries
+    }
+  }
+
+  private def parseEntryLine(line: String): TableEntry = {
       line.split("\t", 9) match {
         case Array(k, p, s, f, cols, ids, stats, partition, counts) =>
           val (pvals, ptransforms) = decodePartition(partition)
@@ -2306,11 +2528,24 @@ final class GraftCatalog(root: String,
           throw new IllegalStateException(
             s"unparseable snapshot line (${other.length} fields): $line")
       }
-    }
   }
 }
 
 object GraftCatalog {
+  /** First line of a segmented (v2) snapshot document; anything else is the
+    * original flat one-entry-per-line form.
+    */
+  private[sources] val SegmentedHeader = "#graft-snap-v2"
+
+  /** Parsed entries per segment file, keyed by absolute path. Safe to share
+    * process-wide because segments are write-once under UUID-tokened names
+    * (created with a non-replacing atomic move, never mutated); crudely
+    * bounded by a clear-on-overflow — segments are driver-side metadata,
+    * not data.
+    */
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[GraftCatalog#TableEntry]]()
+
   /** One lock object per (root, table) across all catalog instances in this
     * JVM — FileChannel locks don't guard threads of the same process.
     */

@@ -39,13 +39,26 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister {
     def required(k: String) = parameters.getOrElse(k,
       throw new IllegalArgumentException(
         s"graft data source requires option '$k'"))
+    val snapshot: Option[Long] = (parameters.get("snapshot"), parameters.get("tag")) match {
+      // time travel through the vanilla entry point — Iceberg's
+      // `VERSION AS OF` addressing: pin the scan to a retained snapshot id
+      // or a named tag, resolved ONCE here so the relation serves a stable
+      // version for its whole lifetime (a view over it never drifts)
+      case (Some(_), Some(_)) => throw new IllegalArgumentException(
+        "graft data source takes 'snapshot' or 'tag', not both")
+      case (Some(id), None) => Some(id.toLong)
+      case (None, Some(t)) =>
+        Some(new GraftCatalog(required("root")).snapshotIdOfTag(required("table"), t))
+      case (None, None) => None
+    }
     parameters.get("metadata") match {
       // .option("metadata", "files"|"partitions"|"snapshots"|"history"):
       // the inspection surface through the same vanilla entry point —
       // Iceberg's `db.table.files` addressing, format-option flavored
       case Some(kind) => new GraftMetadataRelation(
         sqlContext, required("root"), required("table"), kind)
-      case None => new GraftRelation(sqlContext, required("root"), required("table"))
+      case None =>
+        new GraftRelation(sqlContext, required("root"), required("table"), snapshot)
     }
   }
 }
@@ -70,12 +83,15 @@ final class GraftMetadataRelation(
 final class GraftRelation(
     override val sqlContext: SQLContext,
     root: String,
-    table: String) extends BaseRelation with PrunedFilteredScan {
+    table: String,
+    snapshot: Option[Long] = None) extends BaseRelation with PrunedFilteredScan {
 
   private val catalog = new GraftCatalog(root)
   private def spark = sqlContext.sparkSession
 
-  override val schema: StructType = catalog.scanTable(spark, table).schema
+  override val schema: StructType =
+    snapshot.fold(catalog.scanTable(spark, table))(
+      catalog.scanTableAt(spark, table, _)).schema
 
   /** Declare every filter unhandled: Spark evaluates all of them on the
     * returned rows, so [[buildScan]] is free to use them purely as pruning
@@ -85,9 +101,14 @@ final class GraftRelation(
 
   override def buildScan(
       requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
-    val base = GraftRelation.bestRange(filters, schema) match {
-      case Some((c, lo, hi)) => catalog.scanTableWhere(spark, table, c, lo, hi)
-      case None => catalog.scanTable(spark, table)
+    val base = (snapshot, GraftRelation.bestRange(filters, schema)) match {
+      // a pinned version reads that snapshot's MoR state; metadata range
+      // pruning applies to the CURRENT snapshot's file set only, so the
+      // pinned path takes the unpruned scan (filters still re-applied by
+      // Spark — correctness identical, pruning is a current-head fast path)
+      case (Some(id), _) => catalog.scanTableAt(spark, table, id)
+      case (None, Some((c, lo, hi))) => catalog.scanTableWhere(spark, table, c, lo, hi)
+      case (None, None) => catalog.scanTable(spark, table)
     }
     // requiredColumns CAN be empty (e.g. COUNT(*)): an empty select is the
     // legal zero-column projection — rows keep their count while skipping

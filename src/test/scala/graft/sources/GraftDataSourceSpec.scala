@@ -42,6 +42,36 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(df.select("k").as[Long].collect().toSet == (11L to 400L).toSet)
   }
 
+  test("snapshot/tag options pin the scan to a retained version") {
+    val root = makeCatalog()
+    val cat = new GraftCatalog(root)
+    val v1 = cat.currentSnapshotId("t")
+    cat.tagSnapshot("t", "audited", v1)
+    cat.deleteWhere(spark, "t", col("k") <= 100,
+      Files.createTempDirectory("graft-ds-tt").toString)
+
+    def read(opts: (String, String)*) = {
+      val r = spark.read.format("graft").option("root", root).option("table", "t")
+      opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+    }
+    // unpinned: the delete applies; pinned (id or tag): the pre-delete MoR
+    // state, deletes OF THAT SNAPSHOT only
+    assert(read().count() === 300L)
+    assert(read("snapshot" -> v1.toString).select("k").as[Long]
+      .collect().toSet === (1L to 400L).toSet)
+    assert(read("tag" -> "audited").count() === 400L)
+    // a pinned view stays pinned across later commits, filters still exact
+    val pinned = read("snapshot" -> v1.toString)
+    pinned.createOrReplaceTempView("t_v1")
+    cat.deleteWhere(spark, "t", col("k") > 390,
+      Files.createTempDirectory("graft-ds-tt2").toString)
+    assert(spark.sql("SELECT count(*) FROM t_v1 WHERE k <= 50").head().getLong(0)
+      === 50L)
+    intercept[IllegalArgumentException] {
+      read("snapshot" -> v1.toString, "tag" -> "audited")
+    }
+  }
+
   test("metadata option serves the inspection tables through the format") {
     val root = makeCatalog()
     def meta(kind: String) = spark.read.format("graft")

@@ -144,14 +144,50 @@ class MetadataTablesSpec extends SparkSpec {
     assert(cat.countRows(spark, "empty") === 0L)
   }
 
+  test("minMaxLong: manifest bounds when provable, scan fallback otherwise") {
+    val (cat, _) = newCatalogWithRoot()
+    seedTable(cat, partitioned = false) // compaction records bounds
+    assert(cat.minMaxLong(spark, "t", "k") === Some((1L, 300L)))
+
+    // pending upsert (eq-delete may suppress an extreme row): fallback must
+    // see both the surviving range and the new extreme value
+    cat.upsert(spark, "t",
+      Seq((-5L, "g1", "neg")).toDF("k", "g", "v"), Seq("k"),
+      s"${Files.createTempDirectory("graft-meta-mm")}")
+    assert(cat.minMaxLong(spark, "t", "k") === Some((-5L, 300L)))
+
+    // a stats-less generation (createTable from raw files records no
+    // bounds) forces the fallback — and still answers exactly
+    val base = Files.createTempDirectory("graft-meta-mm-raw").toString
+    (10L to 20L).map(k => (k, "g", s"v$k")).toDF("k", "g", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/r")
+    cat.createTable("raw",
+      CompactionRunner.listParquet(s"$base/r").map(DataFileTask(_, 1L)))
+    assert(cat.minMaxLong(spark, "raw", "k") === Some((10L, 20L)))
+
+    // empty table: SQL's NULL aggregate, no scan attempted
+    cat.createTable("empty2", Nil)
+    assert(cat.minMaxLong(spark, "empty2", "k") === None)
+  }
+
   test("pre-counts snapshot lines parse with unknown counts") {
     val (cat, root) = newCatalogWithRoot()
     seedTable(cat, partitioned = false)
-    // strip the counts field from the current snapshot document, simulating
-    // a document written before the field existed (8-field lines)
-    val snapPath = java.nio.file.Paths.get(
-      root, "t", s"snap-${cat.currentSnapshotId("t")}.tsv")
-    val legacy = java.nio.file.Files.readString(snapPath).split("\n")
+    // rewrite the current snapshot as a pre-segmentation FLAT document with
+    // the counts field stripped, simulating a document written before
+    // either feature existed (8-field flat lines): resolve the v2 segment
+    // references to their entry lines first
+    val tdir = java.nio.file.Paths.get(root, "t")
+    val snapPath = tdir.resolve(s"snap-${cat.currentSnapshotId("t")}.tsv")
+    val doc = java.nio.file.Files.readString(snapPath).split("\n")
+    val entryLines =
+      if (doc.head.startsWith("#graft-snap-v2"))
+        doc.tail.filter(_.nonEmpty).flatMap { ref =>
+          java.nio.file.Files.readString(tdir.resolve(ref.split("\t")(0)))
+            .split("\n").filter(_.nonEmpty)
+        }.toSeq
+      else doc.toSeq
+    val legacy = entryLines
       .map(l => l.split("\t", 9).take(8).mkString("\t")).mkString("\n")
     java.nio.file.Files.writeString(snapPath, legacy)
 
