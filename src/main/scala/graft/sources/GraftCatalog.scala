@@ -338,11 +338,46 @@ final class GraftCatalog(root: String,
     require(resurrected.isEmpty,
       s"field ids ${resurrected.mkString(",")} were dropped in an earlier schema " +
         "and cannot be reused (old files would resurface their data under the new column)")
+    // a type change for a surviving id must be a LEGAL promotion (Iceberg
+    // v2 set: int->long, float->double, decimal precision widening) — the
+    // scan casts old files to the canonical type by field id, so an
+    // unchecked change (long->int, string->int) would silently truncate or
+    // null out already-committed data instead of failing here
+    currentSchema(table).foreach { cur =>
+      val curById = cur.fields.flatMap(f => FieldIds.idOf(f).map(_ -> f)).toMap
+      newSchema.fields.foreach { nf =>
+        FieldIds.idOf(nf).flatMap(curById.get).foreach { cf =>
+          require(legalPromotion(cf.dataType, nf.dataType),
+            s"illegal type change for field id ${FieldIds.idOf(nf).get}: " +
+              s"'${cf.name}' ${cf.dataType.catalogString} -> " +
+              s"'${nf.name}' ${nf.dataType.catalogString} (allowed: " +
+              "int->long, float->double, decimal precision widening)")
+        }
+      }
+    }
     val nextId = currentSnapshotId(table) + 1
     writeSnapshot(table, nextId, loadEntries(table))
     writeSchema(table, nextId, newSchema)
     advanceHead(table, nextId - 1, nextId)
     nextId
+  }
+
+  /** Iceberg v2 type-promotion lattice (spec §Schemas: "valid type
+    * promotion"): widening only, scale preserved — every old value remains
+    * exactly representable under the new type.
+    */
+  private def legalPromotion(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (a, b) if a == b => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision >= a.precision
+      case _ => false
+    }
   }
 
   // ---- table partition spec (hidden partitioning, `iceberg.proto:47-60`) --

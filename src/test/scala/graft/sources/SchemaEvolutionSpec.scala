@@ -169,6 +169,48 @@ class SchemaEvolutionSpec extends SparkSpec {
       field("fresh", StringType, 5)))
   }
 
+  test("type widening reads old files under the promoted type; narrowing rejected") {
+    val work = Files.createTempDirectory("graft-evo-widen").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    val v1 = StructType(Seq(
+      field("k", LongType, 1),
+      field("n", IntegerType, 2),
+      field("x", FloatType, 3),
+      field("d", DecimalType(10, 2), 4)))
+    val f1 = writeRows(s"$work/g1", v1, Seq(
+      Seq(1L, 10, 1.5f, new java.math.BigDecimal("12.34")),
+      Seq(2L, 20, 2.5f, new java.math.BigDecimal("56.78"))))
+    cat.createTable("t", Seq(DataFileTask(f1, 1L)), Some(v1))
+
+    // Iceberg v2 promotions: int->long, float->double, decimal(10,2)->(18,2)
+    val v2 = StructType(Seq(
+      field("k", LongType, 1),
+      field("n", LongType, 2),
+      field("x", DoubleType, 3),
+      field("d", DecimalType(18, 2), 4)))
+    cat.evolveSchema("t", v2)
+    val scanned = cat.scanTable(spark, "t")
+    assert(scanned.schema("n").dataType == LongType)
+    assert(scanned.schema("x").dataType == DoubleType)
+    assert(scanned.schema("d").dataType == DecimalType(18, 2))
+    // old int/float/decimal values surface exactly under the wide types
+    assert(userRows(scanned, "k", "n", "d") == Set(
+      List(1L, 10L, new java.math.BigDecimal("12.34")),
+      List(2L, 20L, new java.math.BigDecimal("56.78"))))
+
+    // narrowing and cross-type changes must fail loudly, not truncate at scan
+    val narrow = StructType(v2.fields.updated(1, field("n", IntegerType, 2)))
+    val e1 = intercept[IllegalArgumentException](cat.evolveSchema("t", narrow))
+    assert(e1.getMessage.contains("illegal type change"))
+    val crossed = StructType(v2.fields.updated(0, field("k", StringType, 1)))
+    val e2 = intercept[IllegalArgumentException](cat.evolveSchema("t", crossed))
+    assert(e2.getMessage.contains("illegal type change"))
+    // decimal scale change is NOT a promotion even when precision grows
+    val rescaled = StructType(v2.fields.updated(3, field("d", DecimalType(20, 4), 4)))
+    val e3 = intercept[IllegalArgumentException](cat.evolveSchema("t", rescaled))
+    assert(e3.getMessage.contains("illegal type change"))
+  }
+
   test("createTable validates field ids like evolveSchema") {
     val cat = new GraftCatalog(Files.createTempDirectory("graft-evo-ct").toString)
     val idless = StructType(Seq(StructField("a", LongType)))
