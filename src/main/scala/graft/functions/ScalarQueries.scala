@@ -106,11 +106,12 @@ object ScalarQueries {
     * documented conventions — Uuid as canonical 8-4-4-4-12 lowercase
     * string, Fixed(16) as length-checked binary (hex-rendered for the
     * portable dump), Time as µs-since-midnight long, TimestampNs truncated
-    * to µs (events.ts arrives as a nanos long), and a Decimal(18,6)
+    * to µs (events.ts normalized to a nanos long whatever the fixture's
+    * physical type — [[Tables.eventsNanos]]), and a Decimal(18,6)
     * rendered at full scale.
     */
   private def q36(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val ev = Tables.eventsNanos(spark, sfDir)
     val h = md5(concat(lit("graft:"), col("event_id").cast("string")))
     ev.select(col("event_id"),
       concat_ws("-", substring(h, 1, 8), substring(h, 9, 4), substring(h, 13, 4),

@@ -99,11 +99,12 @@ object MiscQueries {
         .as("sim"))
   }
 
-  /** Q64 time-bin resample: 15-minute bins over the event stream (ts is
-    * read as nanos-long; pure integral arithmetic on both engines).
+  /** Q64 time-bin resample: 15-minute bins over the event stream (ts
+    * normalized to nanos-long — [[Tables.eventsNanos]]; pure integral
+    * arithmetic on both engines).
     */
   private def q64(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val ev = Tables.eventsNanos(spark, sfDir)
     ev.groupBy(expr("((ts div 1000000000) div 900) * 900").as("bin_sec"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
@@ -127,7 +128,7 @@ object MiscQueries {
     * integral nanos throughout.
     */
   private def q66(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val ev = Tables.eventsNanos(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts").as("tsn"), col("value"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("tsn"), col("event_id"))
     val gapNs = 1800L * 1000000000L

@@ -55,8 +55,7 @@ object MorQueries {
   private def q114(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q114").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     cat.deleteWhere(spark, "lineitem",
       col("l_returnflag") === "A" && col("l_quantity") < 25, s"$root/out")
     cat.scanTable(spark, "lineitem")
@@ -73,8 +72,7 @@ object MorQueries {
   private def q115(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q115").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     cat.updateWhere(spark, "lineitem", col("l_returnflag") === "R",
       Map("l_quantity" -> (col("l_quantity") + 100)), s"$root/out")
     cat.scanTable(spark, "lineitem")
@@ -93,8 +91,7 @@ object MorQueries {
   private def q116(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q116").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     cat.compactTable(spark, "lineitem", s"$root/out",
       graft.sources.CompactionRunner.CompactionConfig(
         targetPartitions = 8,
@@ -116,10 +113,10 @@ object MorQueries {
   private def q117(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q117").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     val source = graft.Tables.lineitem(spark, sfDir)
-      .filter(col("l_orderkey") % 97 === 0)
+      .filter(col("l_orderkey") <= DmlFixtures.SliceMaxKey &&
+        col("l_orderkey") % 97 === 0)
       .select(col("l_orderkey"), col("l_linenumber")).distinct()
       .withColumn("delta", lit(50.0))
     cat.mergeInto(spark, "lineitem", source, Seq("l_orderkey", "l_linenumber"),
@@ -145,8 +142,7 @@ object MorQueries {
   private def q119(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q119").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     cat.setPartitionSpec("lineitem", Seq(
       // widths sized to the key domain: ~6 truncate values x 8 buckets at
       // sf0.1 (a 250-wide truncate here means 4,800 Hive directories and a
@@ -171,14 +167,14 @@ object MorQueries {
   private def q120(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q120").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     val s1 = cat.currentSnapshotId("lineitem")
     cat.deleteWhere(spark, "lineitem", col("l_quantity") < 5, s"$root/d1")
     // append-shaped upsert: negated keys exist nowhere in the table, so the
     // eq-delete matches nothing and the commit is a pure insert
     val source = graft.Tables.lineitem(spark, sfDir)
-      .filter(col("l_orderkey") % 103 === 0)
+      .filter(col("l_orderkey") <= DmlFixtures.SliceMaxKey &&
+        col("l_orderkey") % 103 === 0)
       .withColumn("l_orderkey", -col("l_orderkey") - 1)
     val s3 = cat.upsert(spark, "lineitem", source,
       Seq("l_orderkey", "l_linenumber"), s"$root/u1")
@@ -198,8 +194,7 @@ object MorQueries {
   private def q121(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q121").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     cat.setPartitionSpec("lineitem", Seq(
       graft.sources.GraftCatalog.PartitionFieldDef("ok_t", "truncate[2500]", "l_orderkey")))
     cat.compactTable(spark, "lineitem", s"$root/out",
@@ -220,8 +215,7 @@ object MorQueries {
   private def q122(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q122").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     val fork = cat.forkTable("lineitem", "audit")
     cat.deleteWhere(spark, fork,
       col("l_returnflag") === "N" && col("l_quantity") > 40, s"$root/out")
@@ -241,8 +235,7 @@ object MorQueries {
   private def q123(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q123").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", Seq(
-      graft.sources.CompactionRunner.DataFileTask(s"$sfDir/lineitem.parquet", 1L)))
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     cat.compactTable(spark, "lineitem", s"$root/out",
       graft.sources.CompactionRunner.CompactionConfig(
         targetPartitions = 8,
@@ -390,7 +383,8 @@ object MorQueries {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |WHERE NOT (l_returnflag = 'A' AND l_quantity < 25)
+        |WHERE l_orderkey <= 60000
+        |  AND NOT (l_returnflag = 'A' AND l_quantity < 25)
         |GROUP BY 1, 2""".stripMargin,
     "q115_update_where" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
@@ -399,6 +393,7 @@ object MorQueries {
         |                          ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE)
         |         AS sum_qty
         |FROM lineitem
+        |WHERE l_orderkey <= 60000
         |GROUP BY 1, 2""".stripMargin,
     "q116_stats_prune" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
@@ -413,6 +408,7 @@ object MorQueries {
         |                          ELSE l_quantity END AS DECIMAL(18,4))) AS DOUBLE)
         |         AS sum_qty
         |FROM lineitem
+        |WHERE l_orderkey <= 60000
         |GROUP BY 1, 2""".stripMargin,
     "q119_partition_prune" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
@@ -425,23 +421,25 @@ object MorQueries {
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM (
         |  SELECT 'D' AS _change_type, l_returnflag, l_quantity
-        |  FROM lineitem WHERE l_quantity < 5
+        |  FROM lineitem WHERE l_orderkey <= 60000 AND l_quantity < 5
         |  UNION ALL
         |  SELECT 'I' AS _change_type, l_returnflag, l_quantity
-        |  FROM lineitem WHERE l_orderkey % 103 = 0
+        |  FROM lineitem WHERE l_orderkey <= 60000 AND l_orderkey % 103 = 0
         |)
         |GROUP BY 1, 2""".stripMargin,
     "q121_range_delete" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |WHERE l_orderkey NOT BETWEEN 2500 AND 7499
+        |WHERE l_orderkey <= 60000
+        |  AND l_orderkey NOT BETWEEN 2500 AND 7499
         |GROUP BY 1""".stripMargin,
     "q122_wap_publish" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem
-        |WHERE NOT (l_returnflag = 'N' AND l_quantity > 40)
+        |WHERE l_orderkey <= 60000
+        |  AND NOT (l_returnflag = 'N' AND l_quantity > 40)
         |GROUP BY 1, 2""".stripMargin,
     "q123_spark_format" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
 
 /** A native AS-OF join — the whole-operator custom-plan exemplar from the
   * build plan's preference ladder: a [[LogicalPlan]] node, a planner
@@ -33,8 +33,14 @@ import org.apache.spark.sql.types.LongType
   * 100 TB both inputs are typically already bucketed by the key, which
   * under bucketed layout drops even those exchanges (see BucketedJoinSpec).
   *
-  * Keys are restricted to LONG `by`/`on` (ids and epoch timestamps — the
-  * as-of domain); the type check rejects anything else at analysis time.
+  * `by` keys are restricted to LONG (ids); `on` keys are LONG (epoch
+  * longs) or TIMESTAMP/TIMESTAMP_NTZ — timestamps evaluate to their
+  * internal micros-since-epoch long, whose ordering is the timestamp
+  * ordering, so the merge runs unchanged in the long domain. Both sides'
+  * `on` keys must live in the SAME domain (both long or both
+  * timestamp-family); the type check rejects anything else at analysis
+  * time — a nanos long compared against a micros timestamp would join in
+  * silently different units.
   * Ties on (`by`, `on`) resolve to the LAST right row in sort order; give
   * `on` a strictly unique secondary component (or pre-aggregate the right
   * side) when the right key is not unique — the q87 query does exactly
@@ -53,8 +59,10 @@ final case class AsOfJoinPlan(
     left.output ++ right.output.map(_.withNullability(true))
 
   override lazy val resolved: Boolean = {
-    val exprsOk = Seq(leftBy, leftOn, rightBy, rightOn).forall(e =>
-      e.resolved && e.dataType == LongType)
+    val exprsOk = Seq(leftBy, leftOn, rightBy, rightOn).forall(_.resolved) &&
+      leftBy.dataType == LongType && rightBy.dataType == LongType &&
+      AsOfJoin.onTypeOk(leftOn.dataType) && AsOfJoin.onTypeOk(rightOn.dataType) &&
+      AsOfJoin.sameOnDomain(leftOn.dataType, rightOn.dataType)
     childrenResolved && exprsOk
   }
 
@@ -191,6 +199,22 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
 
 object AsOfJoin {
 
+  /** `on` keys join in the long domain: epoch longs directly, timestamp
+    * types via their internal micros-since-epoch representation (identical
+    * ordering, so the merge is unchanged).
+    */
+  private[plans] def onTypeOk(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  /** Both `on` keys must agree on their long interpretation — a raw epoch
+    * long carries caller-chosen units (e.g. nanos) while timestamps eval
+    * to micros, so mixing the two families would compare different units.
+    */
+  private[plans] def sameOnDomain(l: DataType, r: DataType): Boolean =
+    (l == LongType) == (r == LongType)
+
   /** Public API: `asof(left, right, $"uid", $"ts", $"uid2", $"ts2")`.
     * Registers the planner strategy on the session idempotently, so it
     * works on any already-running session (no config-time opt-in needed).
@@ -213,19 +237,28 @@ object AsOfJoin {
     // fail HERE with a named reason: a wrong-side column would otherwise
     // pass analysis (missingInput is empty) and die in executor-side
     // binding; a non-LONG key would surface as a bare unresolved-operator
-    def check(c: Column, side: String, out: Seq[Attribute]): Expression = {
+    def check(c: Column, side: String, out: Seq[Attribute], isOn: Boolean): Expression = {
       val e = ColumnBridge.expression(c)
       require(e.references.forall(r => out.exists(_.exprId == r.exprId)),
         s"asof: $side key $e does not resolve against the $side side's columns " +
           s"(${out.map(_.name).mkString(", ")})")
-      require(e.dataType == LongType,
-        s"asof: $side key $e must be LONG, got ${e.dataType.catalogString} " +
-          "(cast the key; ordering semantics are defined in the long domain)")
+      if (isOn) require(onTypeOk(e.dataType),
+        s"asof: $side on-key $e must be LONG or TIMESTAMP[_NTZ], got " +
+          s"${e.dataType.catalogString} (cast the key; ordering semantics are " +
+          "defined in the long domain)")
+      else require(e.dataType == LongType,
+        s"asof: $side by-key $e must be LONG, got ${e.dataType.catalogString}")
       e
     }
+    val lOn = check(leftOn, "left", lPlan.output, isOn = true)
+    val rOn = check(rightOn, "right", rPlan.output, isOn = true)
+    require(sameOnDomain(lOn.dataType, rOn.dataType),
+      s"asof: on-keys must share a domain — both LONG or both timestamps; got " +
+        s"${lOn.dataType.catalogString} vs ${rOn.dataType.catalogString} " +
+        "(a raw long's units are caller-defined; timestamps compare as micros)")
     val plan = AsOfJoinPlan(lPlan, rPlan,
-      check(leftBy, "left", lPlan.output), check(leftOn, "left", lPlan.output),
-      check(rightBy, "right", rPlan.output), check(rightOn, "right", rPlan.output))
+      check(leftBy, "left", lPlan.output, isOn = false), lOn,
+      check(rightBy, "right", rPlan.output, isOn = false), rOn)
     DatasetBridge.ofRows(spark, plan)
   }
 }

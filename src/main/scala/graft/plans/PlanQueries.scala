@@ -40,7 +40,7 @@ object PlanQueries {
     * is DuckDB's native ASOF LEFT JOIN.
     */
   private def q87(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = Tables.events(spark, sfDir)
+    val ev = Tables.eventsNanos(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts").as("tsn"))
     val ord = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("byk"),

@@ -53,6 +53,10 @@ import scala.jdk.CollectionConverters._
 final class GraftCatalog(root: String,
     headStore: Option[GraftCatalog.HeadStore] = None) {
 
+  /** Catalog root path (read-only; the REST façade renders snapshot
+    * document mtimes as commit timestamps from it). */
+  private[graft] def rootDir: String = root
+
   /** Per-file column bounds persisted IN the snapshot — what Iceberg keeps
     * in manifest entries (`lower_bounds`/`upper_bounds`) so a predicate can
     * skip whole files from the metadata alone. Values are the stringified
@@ -343,17 +347,37 @@ final class GraftCatalog(root: String,
     // scan casts old files to the canonical type by field id, so an
     // unchecked change (long->int, string->int) would silently truncate or
     // null out already-committed data instead of failing here
-    currentSchema(table).foreach { cur =>
-      val curById = cur.fields.flatMap(f => FieldIds.idOf(f).map(_ -> f)).toMap
-      newSchema.fields.foreach { nf =>
-        FieldIds.idOf(nf).flatMap(curById.get).foreach { cf =>
-          require(legalPromotion(cf.dataType, nf.dataType),
-            s"illegal type change for field id ${FieldIds.idOf(nf).get}: " +
-              s"'${cf.name}' ${cf.dataType.catalogString} -> " +
-              s"'${nf.name}' ${nf.dataType.catalogString} (allowed: " +
-              "int->long, float->double, decimal precision widening)")
+    currentSchema(table) match {
+      case Some(cur) =>
+        val curById = cur.fields.flatMap(f => FieldIds.idOf(f).map(_ -> f)).toMap
+        newSchema.fields.foreach { nf =>
+          FieldIds.idOf(nf).flatMap(curById.get).foreach { cf =>
+            require(legalPromotion(cf.dataType, nf.dataType),
+              s"illegal type change for field id ${FieldIds.idOf(nf).get}: " +
+                s"'${cf.name}' ${cf.dataType.catalogString} -> " +
+                s"'${nf.name}' ${nf.dataType.catalogString} (allowed: " +
+                "int->long, float->double, decimal precision widening)")
+          }
         }
-      }
+      case None =>
+        // FIRST canonical schema over a schema-less table: there is no
+        // field-id mapping yet, but the scan will still cast name-resolved
+        // columns to the adopted types — an unchecked string->int adoption
+        // would null out committed data exactly like an illegal evolution.
+        // Validate BY NAME against one data-file footer (driver-side
+        // metadata read, parquet only; fields the footer can't be mapped
+        // confidently for — nested groups, exotic annotations — are
+        // skipped conservatively).
+        for {
+          entry <- loadTable(table).find(_.format == "parquet")
+          fileTypes = parquetTopLevelTypes(entry.path)
+          nf <- newSchema.fields
+          ft <- fileTypes.get(nf.name)
+        } require(legalPromotion(ft, nf.dataType),
+          s"illegal first-schema adoption for column '${nf.name}': data file " +
+            s"${entry.path} holds ${ft.catalogString}, adopting " +
+            s"${nf.dataType.catalogString} would corrupt committed data " +
+            "(allowed: identity, int->long, float->double, decimal precision widening)")
     }
     val nextId = currentSnapshotId(table) + 1
     writeSnapshot(table, nextId, loadEntries(table))
@@ -362,20 +386,94 @@ final class GraftCatalog(root: String,
     nextId
   }
 
+  /** Top-level parquet footer fields mapped to Spark types, for the
+    * first-schema adoption check — CONFIDENT mappings only (primitive
+    * fields with unambiguous logical annotations); anything nested,
+    * repeated, or exotically annotated is omitted and therefore skipped by
+    * the caller. A driver-side footer open: single-digit milliseconds.
+    */
+  private def parquetTopLevelTypes(
+      path: String): Map[String, org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.conf.Configuration())
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.flatMap { f =>
+        if (!f.isPrimitive || f.isRepetition(
+            org.apache.parquet.schema.Type.Repetition.REPEATED)) None
+        else {
+          val p = f.asPrimitiveType()
+          val mapped: Option[DataType] = p.getLogicalTypeAnnotation match {
+            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation =>
+              Some(StringType)
+            case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              Some(DecimalType(d.getPrecision, d.getScale))
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+              Some(DateType)
+            case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              Some(if (t.isAdjustedToUTC) TimestampType else TimestampNTZType)
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                if i.getBitWidth == 32 && i.isSigned => Some(IntegerType)
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation
+                if i.getBitWidth == 64 && i.isSigned => Some(LongType)
+            case null => p.getPrimitiveTypeName match {
+              case BOOLEAN => Some(BooleanType)
+              case INT32 => Some(IntegerType)
+              case INT64 => Some(LongType)
+              case FLOAT => Some(FloatType)
+              case DOUBLE => Some(DoubleType)
+              case BINARY => Some(BinaryType)
+              case _ => None // INT96, FIXED without annotation: skip
+            }
+            case _ => None // unhandled annotation: skip, never guess
+          }
+          mapped.map(f.getName -> _)
+        }
+      }.toMap
+    } finally reader.close()
+  }
+
   /** Iceberg v2 type-promotion lattice (spec §Schemas: "valid type
     * promotion"): widening only, scale preserved — every old value remains
-    * exactly representable under the new type.
+    * exactly representable under the new type. Promotion is legal at ANY
+    * nesting depth (the spec promotes struct fields / array elements / map
+    * values independently), so containers recurse element-wise; struct
+    * comparison goes by position + name with field metadata ignored (a
+    * metadata-only diff — e.g. a comment — is not a type change).
+    * Container nullability may widen (required -> optional) but never
+    * tighten: old files may hold nulls a newly-required slot would deny.
     */
   private def legalPromotion(
       from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
+    def nullabilityOk(fromNullable: Boolean, toNullable: Boolean): Boolean =
+      toNullable || !fromNullable
     (from, to) match {
       case (a, b) if a == b => true
       case (IntegerType, LongType) => true
       case (FloatType, DoubleType) => true
       case (a: DecimalType, b: DecimalType) =>
         b.scale == a.scale && b.precision >= a.precision
+      case (a: ArrayType, b: ArrayType) =>
+        nullabilityOk(a.containsNull, b.containsNull) &&
+          legalPromotion(a.elementType, b.elementType)
+      case (a: MapType, b: MapType) =>
+        // map keys are identity semantics — promote values only
+        a.keyType == b.keyType &&
+          nullabilityOk(a.valueContainsNull, b.valueContainsNull) &&
+          legalPromotion(a.valueType, b.valueType)
+      case (a: StructType, b: StructType) =>
+        a.fields.length == b.fields.length &&
+          a.fields.zip(b.fields).forall { case (af, bf) =>
+            af.name == bf.name &&
+              nullabilityOk(af.nullable, bf.nullable) &&
+              legalPromotion(af.dataType, bf.dataType)
+          }
       case _ => false
     }
   }

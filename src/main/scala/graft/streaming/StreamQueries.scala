@@ -124,18 +124,20 @@ object StreamQueries {
     */
   private[graft] def runAppend(df: DataFrame): DataFrame = runToCompletion(df, "append")
 
-  /** Streamed events with a proper event-time column. The fixture's ts is
-    * TIMESTAMP(NANOS), read as nanos-long under the repo-wide
-    * `nanosAsLong` conf; truncate to µs for Spark's TimestampType (cannot
-    * move an event across an hour boundary, so window membership is
-    * unaffected).
+  /** Streamed events with a proper event-time column. The fixture's ts has
+    * shipped as BOTH TIMESTAMP(NANOS) (→ nanos-long under the repo-wide
+    * `nanosAsLong` conf; truncated to µs here — cannot move an event
+    * across an hour boundary, so window membership is unaffected) and
+    * plain `timestamp[us]` (TIMESTAMP_NTZ → re-typed TIMESTAMP under the
+    * UTC session zone, same instant). [[graft.Tables.eventTime]] branches
+    * on the physical type so both fixture shapes stream identically.
     */
   private def eventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
     spark.readStream.schema(schema).parquet(streamableDir(path))
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
-        timestamp_micros(expr("ts div 1000")).as("ts"))
+        graft.Tables.eventTime(col("ts"), schema("ts").dataType).as("ts"))
   }
 
   /** Q68: watermarked tumbling-window aggregation over the event stream —

@@ -52,8 +52,34 @@ class AsOfJoinSpec extends SparkSpec {
     assert(m((3L, 100L)) == None)
   }
 
+  test("asof accepts timestamp on-keys (micros ordering) and rejects mixed domains") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (1L, 5L, "c"), (2L, 7L, "d"))
+      .toDF("k", "t", "tag")
+      .select($"k", timestamp_micros($"t").as("t"), $"tag")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (1L, 1L, "r1"), (2L, 8L, "r8"))
+      .toDF("rk", "rt", "rv")
+      .select($"rk", timestamp_micros($"rt").as("rt"), $"rv")
+    val viaTs = AsOfJoin.asof(left, right,
+      left("k"), left("t"), right("rk"), right("rt"))
+    // output = left(k, t, tag) ++ right(rk, rt, rv); match by tag
+    val byTag = viaTs.collect().map(r => r.getString(2) ->
+      Option(r.get(5)).map(_.toString)).toMap
+    assert(byTag("c") == Some("r1"))
+    assert(byTag("a") == Some("r10"))
+    assert(byTag("b") == Some("r15"))
+    assert(byTag("d") == None)
+    // mixed long/timestamp on-domains would silently compare different
+    // units — rejected at analysis
+    val longRight = Seq((1L, 10L, "r10")).toDF("rk", "rt", "rv")
+    val ex = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, longRight,
+        left("k"), left("t"), longRight("rk"), longRight("rt"))
+    }
+    assert(ex.getMessage.contains("domain"))
+  }
+
   test("plan is AsOfJoinExec with one exchange and one sort per side") {
-    val ev = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.eventsNanos(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts").as("tsn"))
     val ord = graft.Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("byk"),
@@ -71,7 +97,7 @@ class AsOfJoinSpec extends SparkSpec {
   }
 
   test("asof agrees with DuckDB semantics on events x orders at sf0.001") {
-    val ev = graft.Tables.events(spark, sfDir)
+    val ev = graft.Tables.eventsNanos(spark, sfDir)
       .select(col("user_id"), col("event_id"), col("ts").as("tsn"))
     val ord = graft.Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey").as("byk"),

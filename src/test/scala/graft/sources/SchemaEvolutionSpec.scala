@@ -211,6 +211,74 @@ class SchemaEvolutionSpec extends SparkSpec {
     assert(e3.getMessage.contains("illegal type change"))
   }
 
+  test("nested promotions are legal element-wise; nested narrowing rejected") {
+    val work = Files.createTempDirectory("graft-evo-nested").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    val inner1 = StructType(Seq(StructField("a", IntegerType), StructField("b", StringType)))
+    val v1 = StructType(Seq(
+      field("k", LongType, 1),
+      field("arr", ArrayType(IntegerType), 2),
+      field("st", inner1, 3)))
+    val f1 = writeRows(s"$work/g1", v1, Seq(
+      Seq(1L, Seq(10, 20), org.apache.spark.sql.Row(7, "x"))))
+    cat.createTable("t", Seq(DataFileTask(f1, 1L)), Some(v1))
+
+    // legal nested promotions: array<int> -> array<long>, struct inner
+    // int -> long (Iceberg promotes at any depth)
+    val inner2 = StructType(Seq(StructField("a", LongType), StructField("b", StringType)))
+    val v2 = StructType(Seq(
+      field("k", LongType, 1),
+      field("arr", ArrayType(LongType), 2),
+      field("st", inner2, 3)))
+    cat.evolveSchema("t", v2)
+    val scanned = cat.scanTable(spark, "t")
+    assert(scanned.schema("arr").dataType == ArrayType(LongType))
+    assert(userRows(scanned, "k", "arr") == Set(List(1L, Seq(10L, 20L))))
+
+    // nested NARROWING (array<long> -> array<int>) must fail loudly
+    val narrow = StructType(v2.fields.updated(1, field("arr", ArrayType(IntegerType), 2)))
+    val e1 = intercept[IllegalArgumentException](cat.evolveSchema("t", narrow))
+    assert(e1.getMessage.contains("illegal type change"))
+    // nested cross-type (struct inner string -> long) too
+    val crossedInner = StructType(Seq(StructField("a", LongType), StructField("b", LongType)))
+    val crossed = StructType(v2.fields.updated(2, field("st", crossedInner, 3)))
+    val e2 = intercept[IllegalArgumentException](cat.evolveSchema("t", crossed))
+    assert(e2.getMessage.contains("illegal type change"))
+  }
+
+  test("first-schema adoption over a schema-less table is footer-checked") {
+    import spark.implicits._
+    val work = Files.createTempDirectory("graft-evo-adopt").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    // schema-LESS table: plain parquet, no canonical schema recorded
+    Seq((1L, "x", 10), (2L, "y", 20)).toDF("k", "tag", "n")
+      .coalesce(1).write.parquet(s"$work/data")
+    val file = new java.io.File(s"$work/data").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    cat.createTable("t", Seq(DataFileTask(file, 1L)))
+
+    // adopting a type the footer contradicts (string tag as LONG) would
+    // null out committed data at scan — must fail at the commit instead
+    val bad = StructType(Seq(
+      field("k", LongType, 1),
+      field("tag", LongType, 2),
+      field("n", IntegerType, 3)))
+    val e = intercept[IllegalArgumentException](cat.evolveSchema("t", bad))
+    assert(e.getMessage.contains("first-schema adoption"), e.getMessage)
+
+    // a footer-compatible adoption (incl. the int->long widening) commits
+    // and the scan serves the adopted types
+    val good = StructType(Seq(
+      field("k", LongType, 1),
+      field("tag", StringType, 2),
+      field("n", LongType, 3)))
+    cat.evolveSchema("t", good)
+    val scanned = cat.scanTable(spark, "t")
+    assert(scanned.schema("n").dataType == LongType)
+    assert(userRows(scanned, "k", "tag", "n") ==
+      Set(List(1L, "x", 10L), List(2L, "y", 20L)))
+  }
+
   test("createTable validates field ids like evolveSchema") {
     val cat = new GraftCatalog(Files.createTempDirectory("graft-evo-ct").toString)
     val idless = StructType(Seq(StructField("a", LongType)))

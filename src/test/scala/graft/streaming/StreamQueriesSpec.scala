@@ -14,9 +14,10 @@ class StreamQueriesSpec extends SparkSpec {
       .map(_.toSeq.toList).toSet
 
   test("q68 streaming window agg equals the batch window agg") {
-    val batch = graft.Tables.events(spark, sfDir)
-      .select(timestamp_micros(expr("ts div 1000")).as("ts"), col("event_type"),
-        col("value"))
+    val ev = graft.Tables.events(spark, sfDir)
+    val batch = ev
+      .select(graft.Tables.eventTime(col("ts"), ev.schema("ts").dataType).as("ts"),
+        col("event_type"), col("value"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))

@@ -1,0 +1,78 @@
+package graft.wire
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.GraftCatalog
+
+/** The REST catalog façade round-tripped through a PLAIN http client
+  * (`HttpURLConnection` — zero graft, zero netty on the client side): the
+  * doorway an ecosystem catalog browser actually uses.
+  */
+class RestCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def get(port: Int, path: String): (Int, String) = {
+    val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val body = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    (code, body)
+  }
+
+  test("config, namespace, table list, table metadata, and 404 round-trip") {
+    val root = Files.createTempDirectory("graft-rest-cat").toString
+    val out = Files.createTempDirectory("graft-rest-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("alpha", Nil)
+    cat.createTable("beta", Nil)
+    cat.appendFiles(spark, "alpha", Seq((1L, "x"), (2L, "y")).toDF("k", "v"), out)
+    cat.appendFiles(spark, "alpha", Seq((3L, "z")).toDF("k", "v"), out)
+    val head = cat.currentSnapshotId("alpha")
+    cat.tagSnapshot("alpha", "v1", head)
+
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+
+      val (c1, config) = get(port, "/v1/config")
+      assert(c1 == 200 && config.contains("\"defaults\""), config)
+
+      val (c2, ns) = get(port, "/v1/namespaces")
+      assert(c2 == 200 && ns.contains("[[\"default\"]]"), ns)
+
+      val (c3, tables) = get(port, "/v1/namespaces/default/tables")
+      assert(c3 == 200, tables)
+      assert(tables.contains("\"name\":\"alpha\"") && tables.contains("\"name\":\"beta\""), tables)
+
+      val (c4, meta) = get(port, "/v1/namespaces/default/tables/alpha")
+      assert(c4 == 200, meta)
+      assert(meta.contains(s""""current-snapshot-id":$head"""), meta)
+      // full snapshot log: create + two appends
+      cat.snapshotIds("alpha").foreach(id =>
+        assert(meta.contains(s""""snapshot-id":$id"""), s"missing snap $id in $meta"))
+      assert(meta.contains(""""main":{"snapshot-id":"""), meta)
+      assert(meta.contains(s""""v1":{"snapshot-id":$head,"type":"tag"}"""), meta)
+      assert(meta.contains(""""format-version":2"""), meta)
+
+      // repeat load: stable uuid (deterministic identity across loads)
+      val (_, meta2) = get(port, "/v1/namespaces/default/tables/alpha")
+      def uuid(s: String) = s.split("\"table-uuid\":\"")(1).takeWhile(_ != '"')
+      assert(uuid(meta) == uuid(meta2))
+
+      val (c5, err) = get(port, "/v1/namespaces/default/tables/nope")
+      assert(c5 == 404, err)
+      assert(err.contains("NoSuchTableException") && err.contains("\"code\":404"), err)
+
+      val (c6, err2) = get(port, "/v1/namespaces/other/tables")
+      assert(c6 == 404 && err2.contains("NoSuchNamespaceException"), err2)
+
+      val (c7, err3) = get(port, "/v1/bogus")
+      assert(c7 == 404, err3)
+    } finally server.close()
+  }
+}
