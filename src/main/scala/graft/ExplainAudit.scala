@@ -205,6 +205,21 @@ object ExplainAudit {
     sb.append("2.5-2.8 s in both vs 1.87 s in r7 with its code untouched — attributed\n")
     sb.append("to box state, worth re-checking when the host is quiet. The 95\n")
     sb.append("r7-comparable queries total 72.3 s in r8's clean run vs 78.4 s in r7.\n")
+    sb.append("\n")
+    sb.append("r9 re-measure (closing the r8 verdict's environmental question): the\n")
+    sb.append("queries the r8 driver run flagged were re-run on a quiet box with the\n")
+    sb.append("new Bench min-of-2 (any first run > 3 s or errored retries once, min\n")
+    sb.append("recorded). Every one returned to its r7/clean level with no code or\n")
+    sb.append("plan change on the comparable tier: q20 12.5→1.83 s (r7 1.49),\n")
+    sb.append("q101 13.2→1.57, q102 5.2→1.38 (r7 1.87), q112 15.7→2.11, q53 5.5→1.81\n")
+    sb.append("(r7 2.1), q46/q47 3.3→0.37/0.38 — confirming the r8 numbers were the\n")
+    sb.append("documented host-stall profile, not plan regressions. The catalog-DML\n")
+    sb.append("gates, rebuilt on the ~60k-row session-staged lineitem slice\n")
+    sb.append("(`operators/DmlFixtures.scala`; oracles restate the cap), fell from\n")
+    sb.append("460 s of the r8 run to all-under-3.1 s: q121 174→2.96, q122 65→1.72,\n")
+    sb.append("q114 57.5→1.60, q117 40.4→2.25, q119 20→2.75, q120 17.9→3.03,\n")
+    sb.append("q116 15→2.51, q123 13.3→2.36. Full 120-query suite: 116 s total,\n")
+    sb.append("rc=0, zero errors (r8: 575 s partial at rc=1).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

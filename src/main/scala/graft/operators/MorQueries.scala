@@ -319,7 +319,34 @@ object MorQueries {
       .toDF("mn_meta", "mx_meta", "mn_after", "mx_after")
   }
 
+  /** Q128: TIME TRAVEL in the declared gate — tag the pre-delete snapshot
+    * (Iceberg's audit handle), run a row-level DELETE, then read BOTH the
+    * current state and the state AT the tag through the catalog's own
+    * snapshot-pinned MoR scan in one row. SQL-reproducible because the
+    * tagged read is exactly the table before the predicate fired and the
+    * current read is exactly `NOT pred` — physical history layout cancels
+    * out. The flagship catalog feature (every prior gate reads HEAD only).
+    */
+  private def q128(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-q128").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    val s1 = cat.currentSnapshotId("lineitem")
+    cat.tagSnapshot("lineitem", "pre-delete", s1)
+    cat.deleteWhere(spark, "lineitem", col("l_quantity") >= 30, s"$root/d")
+    def agg(df: DataFrame) = df.agg(
+      count(lit(1)).as("n"),
+      sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("s")).head()
+    val now = agg(cat.scanTable(spark, "lineitem"))
+    val was = agg(cat.scanTableAt(spark, "lineitem",
+      cat.snapshotIdOfTag("lineitem", "pre-delete")))
+    Seq((now.getLong(0), now.getDouble(1), was.getLong(0), was.getDouble(1)))
+      .toDF("n_now", "sum_now", "n_was", "sum_was")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_time_travel" -> (q128 _),
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
     "q3_mor_full" -> (q3 _),
@@ -359,6 +386,16 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q128_time_travel" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey <= 60000 AND NOT (l_quantity >= 30)) AS n_now,
+        |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+        |   WHERE l_orderkey <= 60000 AND NOT (l_quantity >= 30)) AS sum_now,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey <= 60000) AS n_was,
+        |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+        |   WHERE l_orderkey <= 60000) AS sum_was""".stripMargin,
     "q1_mor_pos_delete" ->
       s"""${MorFixtures.oracleCtes}
          |SELECT l_orderkey, l_linenumber, l_quantity FROM data d
