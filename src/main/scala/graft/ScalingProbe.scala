@@ -64,9 +64,13 @@ object ScalingProbe {
       docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
       val nDocs = mult * 5000L
 
-      // min of two runs per cell: the box shows sporadic multi-second
+      // min of three runs per cell: the box shows sporadic multi-second
       // stalls (see BENCH history) that would otherwise fake superlinearity
-      def time(name: String): Double = (1 to 2).map { _ =>
+      // — an r9 probe caught BOTH of two 16x q41 runs stalled (28.9 s
+      // recorded where three fresh runs measured 2.1–4.9 s, with linear
+      // candidate-pair counts proving the work itself scales), so two
+      // samples are not enough for the largest cells
+      def time(name: String): Double = (1 to 3).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         graft.pipeline.PipelineQueries.queries(name)(spark, dir)
@@ -200,7 +204,8 @@ object ScalingProbe {
     rows.foreach { case (m, n, t40, t41, t90) =>
       sb.append(f"| ${m}x | $n | $t40%.2f | $t41%.2f | $t90%.2f | ${t41 * 1000 / n}%.2f |\n")
     }
-    sb.append("\nmin-of-2 wall times (the box shows sporadic multi-second stalls);\n")
+    sb.append("\nmin-of-3 wall times (the box shows sporadic multi-second stalls —\n")
+    sb.append("an r9 probe caught both of two 16x q41 samples stalled at once);\n")
     sb.append("read the TREND: flat-ish ms/doc = linear scaling, the design claim.\n")
 
     sb.append("\n## Incremental vs full compaction\n\n")

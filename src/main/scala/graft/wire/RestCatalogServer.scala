@@ -112,6 +112,8 @@ object RestCatalogServer {
         HttpResponseStatus.OK -> """{"defaults":{},"overrides":{}}"""
       case (HttpMethod.GET, Seq("v1", "namespaces")) =>
         HttpResponseStatus.OK -> """{"namespaces":[["default"]]}"""
+      case (HttpMethod.GET, Seq("v1", "namespaces", "default")) =>
+        HttpResponseStatus.OK -> """{"namespace":["default"],"properties":{}}"""
       case (HttpMethod.GET, Seq("v1", "namespaces", "default", "tables")) =>
         val ids = catalog.tables().sorted.map(t =>
           s"""{"namespace":["default"],"name":${q(t)}}""")

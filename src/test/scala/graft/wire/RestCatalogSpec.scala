@@ -45,6 +45,10 @@ class RestCatalogSpec extends SparkSpec {
       val (c2, ns) = get(port, "/v1/namespaces")
       assert(c2 == 200 && ns.contains("[[\"default\"]]"), ns)
 
+      // namespace load — the first call many REST clients make
+      val (c2b, nsLoad) = get(port, "/v1/namespaces/default")
+      assert(c2b == 200 && nsLoad.contains("\"namespace\":[\"default\"]"), nsLoad)
+
       val (c3, tables) = get(port, "/v1/namespaces/default/tables")
       assert(c3 == 200, tables)
       assert(tables.contains("\"name\":\"alpha\"") && tables.contains("\"name\":\"beta\""), tables)
