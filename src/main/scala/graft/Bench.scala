@@ -74,8 +74,10 @@ object Bench {
     // 182 s). A second attempt costs nothing on a healthy run (few queries
     // cross the threshold) and recovers a stalled one on a sick run; errors
     // also get one retry so a transient failure doesn't record -1.
+    // toDoubleOption: a malformed env value must fall back, not crash the
+    // bench before any query runs (the round would record no JSON at all)
     val retrySec =
-      sys.env.get("SPARK_GRAFT_RETRY_SEC").map(_.toDouble).getOrElse(3.0)
+      sys.env.get("SPARK_GRAFT_RETRY_SEC").flatMap(_.toDoubleOption).getOrElse(3.0)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val v1 = timeOne(name, fn)
       val v = if (v1 >= 0 && v1 < retrySec) v1 else {

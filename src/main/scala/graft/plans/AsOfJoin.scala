@@ -208,12 +208,14 @@ object AsOfJoin {
     case _ => false
   }
 
-  /** Both `on` keys must agree on their long interpretation — a raw epoch
-    * long carries caller-chosen units (e.g. nanos) while timestamps eval
-    * to micros, so mixing the two families would compare different units.
+  /** Both `on` keys must agree on their long interpretation, which means
+    * the SAME type: a raw epoch long carries caller-chosen units (e.g.
+    * nanos) while timestamps eval to micros, and TIMESTAMP vs
+    * TIMESTAMP_NTZ mix instant-micros with wall-clock-micros — under any
+    * non-UTC session zone those longs are offset by the zone, silently
+    * shifting every match.
     */
-  private[plans] def sameOnDomain(l: DataType, r: DataType): Boolean =
-    (l == LongType) == (r == LongType)
+  private[plans] def sameOnDomain(l: DataType, r: DataType): Boolean = l == r
 
   /** Public API: `asof(left, right, $"uid", $"ts", $"uid2", $"ts2")`.
     * Registers the planner strategy on the session idempotently, so it
@@ -253,9 +255,10 @@ object AsOfJoin {
     val lOn = check(leftOn, "left", lPlan.output, isOn = true)
     val rOn = check(rightOn, "right", rPlan.output, isOn = true)
     require(sameOnDomain(lOn.dataType, rOn.dataType),
-      s"asof: on-keys must share a domain — both LONG or both timestamps; got " +
+      s"asof: on-keys must share a domain — the same type on both sides; got " +
         s"${lOn.dataType.catalogString} vs ${rOn.dataType.catalogString} " +
-        "(a raw long's units are caller-defined; timestamps compare as micros)")
+        "(a raw long's units are caller-defined, and TIMESTAMP vs TIMESTAMP_NTZ " +
+        "would compare instant micros against wall-clock micros)")
     val plan = AsOfJoinPlan(lPlan, rPlan,
       check(leftBy, "left", lPlan.output, isOn = false), lOn,
       check(rightBy, "right", rPlan.output, isOn = false), rOn)

@@ -357,6 +357,11 @@ final class GraftCatalog(root: String,
                 s"'${cf.name}' ${cf.dataType.catalogString} -> " +
                 s"'${nf.name}' ${nf.dataType.catalogString} (allowed: " +
                 "int->long, float->double, decimal precision widening)")
+            require(nullabilityOk(cf.nullable, nf.nullable),
+              s"illegal nullability tightening for field id ${FieldIds.idOf(nf).get}: " +
+                s"'${cf.name}' is nullable and old files may hold nulls the " +
+                "required slot would serve as garbage (codegen trusts " +
+                "nullable=false); widen only")
           }
         }
       case None =>
@@ -447,12 +452,19 @@ final class GraftCatalog(root: String,
     * Container nullability may widen (required -> optional) but never
     * tighten: old files may hold nulls a newly-required slot would deny.
     */
+  /** Nullability may widen (required -> optional) but never tighten: old
+    * files may hold nulls a newly-required slot would deny — and Spark
+    * codegen treats nullable=false as a contract, so serving null-bearing
+    * data under it returns garbage, not errors. Applied at every level:
+    * top-level fields (evolveSchema) and container elements (recursion).
+    */
+  private def nullabilityOk(fromNullable: Boolean, toNullable: Boolean): Boolean =
+    toNullable || !fromNullable
+
   private def legalPromotion(
       from: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
-    def nullabilityOk(fromNullable: Boolean, toNullable: Boolean): Boolean =
-      toNullable || !fromNullable
     (from, to) match {
       case (a, b) if a == b => true
       case (IntegerType, LongType) => true

@@ -82,8 +82,11 @@ object RestCatalogServer {
       val (status, body) =
         try route(catalog, req.method(), req.uri())
         catch { case e: Exception =>
+          // e.getMessage may be null (bare NPEs): the envelope must still
+          // render or the client sees a reset instead of the 500
           HttpResponseStatus.INTERNAL_SERVER_ERROR ->
-            errorJson(e.getMessage, "InternalServerError", 500)
+            errorJson(Option(e.getMessage).getOrElse(e.getClass.getName),
+              "InternalServerError", 500)
         }
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       val resp = new DefaultFullHttpResponse(
@@ -91,9 +94,15 @@ object RestCatalogServer {
       resp.headers()
         .set(HttpHeaderNames.CONTENT_TYPE, "application/json")
         .setInt(HttpHeaderNames.CONTENT_LENGTH, bytes.length)
-      if (HttpUtil.isKeepAlive(req))
+      if (HttpUtil.isKeepAlive(req)) {
         resp.headers().set(HttpHeaderNames.CONNECTION, HttpHeaderValues.KEEP_ALIVE)
-      ctx.writeAndFlush(resp)
+        ctx.writeAndFlush(resp)
+      } else {
+        // HTTP/1.0 or Connection: close — the peer reads to EOF; leaving
+        // the socket open hangs it and leaks the connection on our loop
+        ctx.writeAndFlush(resp)
+          .addListener(io.netty.channel.ChannelFutureListener.CLOSE)
+      }
     }
 
     override def exceptionCaught(ctx: ChannelHandlerContext, cause: Throwable): Unit =
@@ -105,8 +114,12 @@ object RestCatalogServer {
       method: HttpMethod,
       uri: String): (HttpResponseStatus, String) = {
     val path = uri.takeWhile(_ != '?')
+    // percent-decode ONLY: URLDecoder is form decoding, where '+' means
+    // space — but '+' is a legal literal path character (RFC 3986), so a
+    // table named a+b would decode to "a b" and 404 right after being
+    // listed. Escaping '+' first makes URLDecoder a pure percent-decoder.
     val segs = path.split('/').filter(_.nonEmpty).toSeq
-      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+      .map(s => java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8"))
     (method, segs) match {
       case (HttpMethod.GET, Seq("v1", "config")) =>
         HttpResponseStatus.OK -> """{"defaults":{},"overrides":{}}"""

@@ -76,6 +76,15 @@ class AsOfJoinSpec extends SparkSpec {
         left("k"), left("t"), longRight("rk"), longRight("rt"))
     }
     assert(ex.getMessage.contains("domain"))
+    // TIMESTAMP vs TIMESTAMP_NTZ mixes instant micros with wall-clock
+    // micros (zone-shifted under any non-UTC session) — also rejected
+    val ntzRight = Seq((1L, 10L, "r10")).toDF("rk", "rt", "rv")
+      .select($"rk", timestamp_micros($"rt").cast("timestamp_ntz").as("rt"), $"rv")
+    val ex2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, ntzRight,
+        left("k"), left("t"), ntzRight("rk"), ntzRight("rt"))
+    }
+    assert(ex2.getMessage.contains("domain"))
   }
 
   test("plan is AsOfJoinExec with one exchange and one sort per side") {

@@ -209,6 +209,13 @@ class SchemaEvolutionSpec extends SparkSpec {
     val rescaled = StructType(v2.fields.updated(3, field("d", DecimalType(20, 4), 4)))
     val e3 = intercept[IllegalArgumentException](cat.evolveSchema("t", rescaled))
     assert(e3.getMessage.contains("illegal type change"))
+    // top-level nullability tightening: old files may hold nulls codegen
+    // would serve as garbage under nullable=false — rejected like the
+    // nested case
+    val required = StructType(v2.fields.updated(1,
+      StructField("n", LongType, nullable = false, metadata = idMeta(2))))
+    val e4 = intercept[IllegalArgumentException](cat.evolveSchema("t", required))
+    assert(e4.getMessage.contains("nullability"), e4.getMessage)
   }
 
   test("nested promotions are legal element-wise; nested narrowing rejected") {

@@ -77,6 +77,26 @@ class RestCatalogSpec extends SparkSpec {
 
       val (c7, err3) = get(port, "/v1/bogus")
       assert(c7 == 404, err3)
+
+      // '+' is a legal literal path character (RFC 3986) — a table listed
+      // with '+' in its name must be loadable at the same spelling
+      cat.createTable("a+b", Nil)
+      val (c8, plusMeta) = get(port, "/v1/namespaces/default/tables/a+b")
+      assert(c8 == 200, plusMeta)
+      assert(plusMeta.contains("\"current-snapshot-id\""), plusMeta)
+
+      // HTTP/1.0 client (reads to EOF): the server must close after the
+      // response, or the client hangs until its own timeout
+      val sock = new java.net.Socket("127.0.0.1", port)
+      try {
+        sock.setSoTimeout(10000)
+        sock.getOutputStream.write(
+          "GET /v1/config HTTP/1.0\r\n\r\n".getBytes("UTF-8"))
+        sock.getOutputStream.flush()
+        val raw = new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        assert(raw.startsWith("HTTP/1.1 200"), raw.take(100))
+        assert(raw.contains("\"defaults\""), raw)
+      } finally sock.close()
     } finally server.close()
   }
 }
