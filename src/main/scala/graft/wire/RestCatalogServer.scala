@@ -146,10 +146,12 @@ object RestCatalogServer {
   }
 
   /** The Iceberg REST `LoadTableResult` surface this catalog can answer
-    * from metadata: snapshot log, HEAD, refs. Sequence number == snapshot
-    * id (the catalog's commit counter is its sequence domain) and
-    * timestamps are the snapshot documents' mtimes — the catalog does not
-    * persist commit wall-clocks separately.
+    * from metadata: snapshot log, HEAD, refs, and the canonical schema
+    * (when recorded) as an Iceberg-spec struct schema with the REAL field
+    * ids the catalog already persists. Sequence number == snapshot id
+    * (the catalog's commit counter is its sequence domain) and timestamps
+    * are the snapshot documents' mtimes — the catalog does not persist
+    * commit wall-clocks separately.
     */
   private def tableJson(catalog: GraftCatalog, table: String): String = {
     val head = catalog.currentSnapshotId(table)
@@ -161,9 +163,44 @@ object RestCatalogServer {
         catalog.tags(table).toSeq.sortBy(_._1).map { case (tag, id) =>
           s"""${q(tag)}:{"snapshot-id":$id,"type":"tag"}"""
         }).mkString(",")
+    val schemaPart = catalog.currentSchema(table).map { sch =>
+      val fields = sch.fields.flatMap { f =>
+        for {
+          id <- graft.sources.FieldIds.idOf(f)
+          t <- icebergTypeName(f.dataType)
+        } yield s"""{"id":$id,"name":${q(f.name)},"required":${!f.nullable},"type":${q(t)}}"""
+      }
+      s""""current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,""" +
+        s""""fields":[${fields.mkString(",")}]}],"""
+    }.getOrElse("")
     s"""{"metadata":{"format-version":2,"table-uuid":${q(uuidOf(table))},""" +
+      schemaPart +
       s""""current-snapshot-id":$head,"snapshots":[${snaps.mkString(",")}],""" +
       s""""refs":{$refs}}}"""
+  }
+
+  /** Iceberg spec primitive type names for the Spark types the catalog's
+    * canonical schemas use; fields of unmapped types are omitted from the
+    * rendered schema rather than guessed (the rest of the metadata still
+    * serves).
+    */
+  private def icebergTypeName(
+      dt: org.apache.spark.sql.types.DataType): Option[String] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case BooleanType => Some("boolean")
+      case IntegerType => Some("int")
+      case LongType => Some("long")
+      case FloatType => Some("float")
+      case DoubleType => Some("double")
+      case StringType => Some("string")
+      case BinaryType => Some("binary")
+      case DateType => Some("date")
+      case TimestampType => Some("timestamptz")
+      case TimestampNTZType => Some("timestamp")
+      case d: DecimalType => Some(s"decimal(${d.precision}, ${d.scale})")
+      case _ => None
+    }
   }
 
   private def snapMtime(catalog: GraftCatalog, table: String, id: Long): Long =

@@ -78,6 +78,20 @@ class RestCatalogSpec extends SparkSpec {
       val (c7, err3) = get(port, "/v1/bogus")
       assert(c7 == 404, err3)
 
+      // a table WITH a recorded canonical schema renders it Iceberg-spec
+      // shaped, carrying the catalog's real field ids
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = true,
+          metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong(graft.sources.FieldIds.MetaKey, 7L).build())))
+      cat.createTable("typed", Nil, Some(sch))
+      val (c9, typedMeta) = get(port, "/v1/namespaces/default/tables/typed")
+      assert(c9 == 200, typedMeta)
+      assert(typedMeta.contains(
+        """"fields":[{"id":7,"name":"k","required":false,"type":"long"}]"""), typedMeta)
+      assert(typedMeta.contains(""""current-schema-id":0"""), typedMeta)
+
       // '+' is a legal literal path character (RFC 3986) — a table listed
       // with '+' in its name must be loadable at the same spelling
       cat.createTable("a+b", Nil)
