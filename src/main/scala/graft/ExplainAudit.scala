@@ -88,9 +88,10 @@ object ExplainAudit {
       ("Incremental dedup: the NEW batch's bands join INTO the old side's capped " +
         "band index (no corpus self-join); exact stage is a distinct-key left join; " +
         "Jaccard verify runs row-level on candidates only."),
-    "q91_decode_stub" ->
-      ("Typed mapPartitions decode plumbing: one encoder boundary around the batch " +
-        "loop, no shuffle — the scan streams straight through the stub decoder."),
+    "q91_header_decode" ->
+      ("Typed mapPartitions header decode: one encoder boundary around the batch " +
+        "loop, no shuffle — the scan streams straight through the PNG-IHDR/" +
+        "JPEG-SOF byte parsers (real public-format parsing, no pixel codecs)."),
     "q92_sketch_accuracy" ->
       ("Sketch audit joins signatures onto the (tiny) verified pair set; the " +
         "signature scan is the cached q41 kernel pass."),

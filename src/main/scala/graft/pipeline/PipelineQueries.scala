@@ -1504,69 +1504,76 @@ object PipelineQueries {
        |FROM exact e LEFT JOIN neardup nd ON nd.new_id = e.doc_id""".stripMargin
   }
 
-  /** Q91: multimodal decode plumbing — typed `mapPartitions` over the
-    * binary payload column, batching rows in groups of 64 the way a real
-    * vectorized image/audio decoder (JNI / external process) is fed. The
-    * decode body is a clearly-marked deterministic STUB (this container has
-    * no codecs): header bytes → fake (width, height, channels), full-pass
-    * mean byte, and a stride-sampled byte sum standing in for a resize
-    * kernel. Everything around the stub — the binary column, the encoder
-    * boundary, the batch shape, the typed output schema — is the real
-    * production plumbing, and the whole pass is map-only: no shuffle at any
-    * scale.
-    *
-    * Oracle convention (shared with q50/q59): the DuckDB twin indexes CODE
-    * POINTS via `ascii(substr(...))`, which equals the Spark side's BYTE
-    * reads because the fixture corpus is pure ASCII. A non-ASCII corpus
-    * needs a byte-domain oracle (hex-pair decode) — the Spark side is the
-    * byte-correct one.
+  /** Q91: multimodal header decode — typed `mapPartitions` over the binary
+    * payload column, batching rows in groups of 64 the way a real
+    * vectorized decoder (JNI / external process) is fed, and the decode
+    * body is now REAL public-format parsing
+    * ([[graft.functions.MediaHeaders]]): PNG signature + IHDR (big-endian
+    * dims, bit depth, color type → channels) and JPEG marker-segment
+    * walking to the SOF0 frame header — the header-geometry pass a 100 TB
+    * ingest pipeline runs on every object before any pixel work is
+    * scheduled. The fixture derivation wraps each document's bytes in a
+    * spec-shaped header (even ids PNG — real CRC32 IHDR; odd ids JPEG —
+    * APP0 + variable-length COM segment, so the parser must walk markers,
+    * not read fixed offsets); geometry derives from doc_id arithmetic, so
+    * the DuckDB oracle states the expected parse in pure SQL while the
+    * Spark side actually reads it back out of the bytes. Pixel decode
+    * stays out of scope (no codecs in this container) — header parse,
+    * corrupt-input rejection, and the batch plumbing are the real thing.
+    * Both stages are map-only: no shuffle at any scale.
     */
   private def q91(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
+    import graft.functions.MediaHeaders
     val d = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text").cast("binary").as("body"))
       .as[(Long, Array[Byte])]
-    d.mapPartitions { it =>
+    // fixture derivation: wrap each body in a real format header (the
+    // synthetic stand-in for "the corpus is images"); geometry from id
+    // arithmetic keeps the oracle SQL-expressible
+    val payloads = d.map { case (docId, body) =>
+      val w = (16 + docId % 509).toInt
+      val h = (16 + (docId * 7) % 509).toInt
+      val header =
+        if (docId % 2 == 0) {
+          val colorType = (docId % 3) match {
+            case 0 => 0 // grayscale
+            case 1 => 2 // truecolor
+            case _ => 6 // truecolor+alpha
+          }
+          MediaHeaders.pngHeader(w, h, bitDepth = 8, colorType = colorType)
+        } else MediaHeaders.jpegHeader(w, h, commentLen = (docId % 16).toInt)
+      (docId, header ++ body)
+    }
+    payloads.mapPartitions { it =>
       it.grouped(64).flatMap { batch =>
-        // a real decoder consumes the whole batch in one native call;
-        // the stub decodes each payload deterministically
+        // a real decoder consumes the whole batch in one call; header
+        // parsing is per-payload byte inspection
         batch.iterator.map { case (docId, p) =>
-          def byteAt(i: Int): Long = if (i < p.length) (p(i) & 0xff).toLong else 0L
-          val n = p.length.toLong
-          var sum = 0L
-          var i = 0
-          while (i < p.length) { sum += (p(i) & 0xff); i += 1 }
-          val stride = math.max(1L, n / 16L).toInt
-          var sampled = 0L
-          i = 0
-          while (i < p.length) { sampled += (p(i) & 0xff); i += stride }
-          MediaFeat(docId, "image/x-fake", n,
-            16L + byteAt(0) % 64L, 16L + byteAt(1) % 64L, 1L + byteAt(2) % 3L,
-            if (n == 0) 0.0 else sum.toDouble / n, sampled)
+          val h = MediaHeaders.parseImageHeader(p).getOrElse(
+            throw new IllegalStateException(
+              s"unparseable synthesized header for doc $docId"))
+          MediaHeader(docId, h.mime, p.length.toLong,
+            h.width, h.height, h.channels, h.bitDepth)
         }
       }
     }.toDF()
   }
 
   private val q91Sql =
-    """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
-      |f AS (
-      |  SELECT doc_id, n,
-      |         CASE WHEN n >= 1 THEN ascii(substr(text, 1, 1)) ELSE 0 END AS b0,
-      |         CASE WHEN n >= 2 THEN ascii(substr(text, 2, 1)) ELSE 0 END AS b1,
-      |         CASE WHEN n >= 3 THEN ascii(substr(text, 3, 1)) ELSE 0 END AS b2,
-      |         list_sum(list_transform(range(1, n + 1),
-      |           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS bsum,
-      |         list_sum(list_transform(range(1, n + 1, greatest(1, n // 16)),
-      |           i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))) AS sampled
-      |  FROM b)
-      |SELECT doc_id, 'image/x-fake' AS mime, CAST(n AS BIGINT) AS n_bytes,
-      |       CAST(16 + b0 % 64 AS BIGINT) AS width,
-      |       CAST(16 + b1 % 64 AS BIGINT) AS height,
-      |       CAST(1 + b2 % 3 AS BIGINT) AS channels,
-      |       CASE WHEN n = 0 THEN 0.0 ELSE CAST(bsum AS DOUBLE) / n END AS mean_byte,
-      |       CAST(sampled AS BIGINT) AS sampled_sum
-      |FROM f""".stripMargin
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'image/png' ELSE 'image/jpeg' END AS mime,
+      |  CAST(CASE WHEN doc_id % 2 = 0 THEN 33 + octet_length(encode(text))
+      |            ELSE 43 + (doc_id % 16) + octet_length(encode(text))
+      |       END AS BIGINT) AS n_bytes,
+      |  CAST(16 + doc_id % 509 AS BIGINT) AS width,
+      |  CAST(16 + (doc_id * 7) % 509 AS BIGINT) AS height,
+      |  CAST(CASE WHEN doc_id % 2 = 1 THEN 3
+      |            WHEN doc_id % 3 = 0 THEN 1
+      |            WHEN doc_id % 3 = 1 THEN 3
+      |            ELSE 4 END AS BIGINT) AS channels,
+      |  CAST(8 AS BIGINT) AS bit_depth
+      |FROM documents""".stripMargin
 
   /** Q92: sketch-accuracy audit — for every verified near-dup pair, the
     * MinHash ESTIMATE of Jaccard (fraction of agreeing signature
@@ -1928,7 +1935,7 @@ object PipelineQueries {
     "q88_domain_mix" -> (q88 _),
     "q89_repetition" -> (q89 _),
     "q90_incremental_dedup" -> (q90 _),
-    "q91_decode_stub" -> (q91 _),
+    "q91_header_decode" -> (q91 _),
     "q92_sketch_accuracy" -> (q92 _),
     "q93_kmeans_step" -> (q93 _),
     "q94_stream_neardup" -> (q94 _),
@@ -1967,7 +1974,7 @@ object PipelineQueries {
     "q88_domain_mix" -> q88Sql,
     "q89_repetition" -> q89Sql,
     "q90_incremental_dedup" -> q90Sql,
-    "q91_decode_stub" -> q91Sql,
+    "q91_header_decode" -> q91Sql,
     "q92_sketch_accuracy" -> q92Sql,
     "q93_kmeans_step" -> q93Sql,
     "q94_stream_neardup" -> q94Sql,
@@ -1975,8 +1982,8 @@ object PipelineQueries {
     "q102_ann_recall" -> q102Sql)
 }
 
-/** Typed output row of the q91 decode stub — the schema a real decoder
-  * would emit (dims + channel count + cheap pixel stats).
+/** Typed output row of the q91 header decode — the geometry a real header
+  * parse emits (mime + dims + channels + bit depth).
   */
-case class MediaFeat(doc_id: Long, mime: String, n_bytes: Long, width: Long,
-    height: Long, channels: Long, mean_byte: Double, sampled_sum: Long)
+case class MediaHeader(doc_id: Long, mime: String, n_bytes: Long, width: Long,
+    height: Long, channels: Long, bit_depth: Long)

@@ -369,12 +369,14 @@ final class GraftCatalog(root: String,
         // field-id mapping yet, but the scan will still cast name-resolved
         // columns to the adopted types — an unchecked string->int adoption
         // would null out committed data exactly like an illegal evolution.
-        // Validate BY NAME against one data-file footer (driver-side
-        // metadata read, parquet only; fields the footer can't be mapped
-        // confidently for — nested groups, exotic annotations — are
-        // skipped conservatively).
+        // Validate BY NAME against EVERY parquet data-file footer
+        // (driver-side metadata reads, milliseconds each; a multi-file
+        // table may mix physical types across generations, and checking
+        // only the first file would re-open the silent null-out for the
+        // rest). Fields a footer can't be mapped confidently for — nested
+        // groups, exotic annotations — are skipped conservatively.
         for {
-          entry <- loadTable(table).find(_.format == "parquet")
+          entry <- loadTable(table).filter(_.format == "parquet")
           fileTypes = parquetTopLevelTypes(entry.path)
           nf <- newSchema.fields
           ft <- fileTypes.get(nf.name)
@@ -1124,6 +1126,68 @@ final class GraftCatalog(root: String,
     if (copyOnWrite) deleteWhereCow(spark, table, predicate, outDir)
     else deleteWhereMor(spark, table, predicate, outDir)
 
+  /** Key-predicate point DELETE as a METADATA-SIZED equality-delete commit
+    * — `DELETE FROM t WHERE key IN (…)` at 100 TB should not scan a single
+    * data file. `keys` holds the key tuples to kill (its column set IS the
+    * equality-column set); they are written as one equality-delete parquet
+    * (the file class the reference consumes and retires,
+    * `core/src/compaction/mod.rs:149-158`) and committed with the next
+    * sequence number, so the strict `data.seq < delete.seq` guard
+    * suppresses every live row with a matching key. The MoR read path
+    * ([[scanTable]]) applies it immediately; [[compactTable]] later makes
+    * it physical.
+    *
+    * Contrast with [[deleteWhere]] (arbitrary predicate): that one must
+    * SCAN to learn positions; this one touches zero data files — the
+    * commit's cost is the key tuples themselves. NULL semantics match SQL
+    * row-equality: an eq-delete key only matches non-null-equal rows, so
+    * null keys never kill anything (and are dropped from the delete file).
+    *
+    * Returns the committed snapshot id, or the current head when `keys`
+    * is empty (no empty commit).
+    */
+  def deleteWhereEq(
+      spark: SparkSession,
+      table: String,
+      keys: DataFrame,
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val keyCols = keys.columns.toSeq
+    require(keyCols.nonEmpty, "deleteWhereEq requires at least one key column")
+    val token = java.util.UUID.randomUUID().toString
+    val delDir = s"$outDir/eqdel-$token"
+    val aligned = currentSchema(table) match {
+      case Some(s) => FieldIds.alignToSchema(keys, s)
+      case None => keys
+    }
+    // a null in ANY key column can never equality-match a row (SQL =), so
+    // such tuples are dead weight in the delete file — drop them up front
+    aligned.na.drop("any", keyCols)
+      .distinct().write.mode("errorifexists").parquet(delDir)
+    val written = listParquetsIn(spark, delDir)
+    val empty = written.isEmpty || spark.read.parquet(written: _*).isEmpty
+    if (empty) currentSnapshotId(table)
+    else withTableLock(table) {
+      val entries = loadEntries(table)
+      val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      // record field ids alongside names (same discipline as upsert): ids
+      // keep the delete applicable across a later column rename
+      val keyIds = currentSchema(table) match {
+        case Some(sch) => keyCols.flatMap(n =>
+          sch.fields.find(_.name == n).flatMap(FieldIds.idOf))
+        case None => Nil
+      }
+      val recordedIds = if (keyIds.length == keyCols.length) keyIds else Nil
+      val newEntries = written.map(p =>
+        TableEntry("eqdel", p, seq, "parquet", keyCols, recordedIds))
+      val nextId = currentSnapshotId(table) + 1
+      writeSnapshot(table, nextId, entries ++ newEntries)
+      carrySchema(table, nextId - 1, nextId)
+      advanceHead(table, nextId - 1, nextId)
+      nextId
+    }
+  }
+
   private def deleteWhereMor(
       spark: SparkSession,
       table: String,
@@ -1814,6 +1878,85 @@ final class GraftCatalog(root: String,
     finally stream.close() // Files.list leaks a directory fd if not closed
   }
 
+  /** Iceberg-style commit summary of snapshot `id` (the `summary` map every
+    * catalog UI renders next to a snapshot), computed by DIFFING the
+    * snapshot's entry list against its predecessor's — the counts are
+    * already in the entries, so nothing extra is persisted and historical
+    * snapshots summarize for free. None when the predecessor document was
+    * expired (the delta is no longer derivable); snapshot 1 diffs against
+    * the empty table.
+    *
+    * Operation names follow Iceberg's: `append` (data added only),
+    * `overwrite` (data + delete files added — upsert/MERGE/row-level
+    * UPDATE), `delete` (removals or delete files only), `replace`
+    * (data rewritten — compaction), plus the extension `metadata` for
+    * commits that change no entries (schema/spec evolution — Iceberg
+    * doesn't snapshot those; this catalog does).
+    */
+  def snapshotSummary(table: String, id: Long)
+      : Option[GraftCatalog.SnapshotSummary] = {
+    if (!Files.exists(snapPath(table, id))) return None
+    val prev: Seq[TableEntry] =
+      if (id <= 1) Nil
+      else if (Files.exists(snapPath(table, id - 1))) readSnapshot(table, id - 1)
+      else return None
+    val cur = readSnapshot(table, id)
+    def keyed(es: Seq[TableEntry]) =
+      es.map(e => CompactionRunner.canonPath(e.path) -> e).toMap
+    val (prevK, curK) = (keyed(prev), keyed(cur))
+    val added = curK.view.filterKeys(!prevK.contains(_)).values.toSeq
+    val removed = prevK.view.filterKeys(!curK.contains(_)).values.toSeq
+    def recs(es: Seq[TableEntry]): Option[Long] = {
+      val data = es.filter(_.kind == "data")
+      if (data.isEmpty) Some(0L)
+      else if (data.exists(_.recordCount < 0)) None // partial sum ≠ total
+      else Some(data.map(_.recordCount).sum)
+    }
+    val (addData, addDel) = added.partition(_.kind == "data")
+    val (remData, remDel) = removed.partition(_.kind == "data")
+    val op =
+      if (added.isEmpty && removed.isEmpty) "metadata"
+      else if (addData.nonEmpty && remData.nonEmpty) "replace"
+      else if (addDel.nonEmpty) { if (addData.nonEmpty) "overwrite" else "delete" }
+      else if (addData.nonEmpty) "append"
+      else "delete"
+    Some(GraftCatalog.SnapshotSummary(op,
+      addData.size, remData.size, addDel.size, remDel.size,
+      recs(addData), recs(remData)))
+  }
+
+  /** Optimistic append commit at an EXPLICIT expected head — the primitive
+    * behind the REST facade's `CommitTable` endpoint: the caller (an
+    * external engine that loaded the table at `expectedHead`) adds data
+    * files it already wrote, and the commit succeeds only if the table
+    * still sits at that snapshot. Iceberg's assert-ref-snapshot-id
+    * requirement, enforced under the table lock — on a store-backed
+    * catalog the [[advanceHead]] CAS re-checks the same base across
+    * drivers this lock can't see. Throws [[GraftError.Metadata]] on a
+    * stale base (the facade renders it as the spec's 409).
+    */
+  def commitAppendAt(
+      table: String,
+      expectedHead: Long,
+      files: Seq[GraftCatalog.AddedFile]): Long = withTableLock(table) {
+    val head = currentSnapshotId(table)
+    if (head != expectedHead)
+      throw GraftError.Metadata(
+        s"commit conflict on $table: requirement expected snapshot " +
+          s"$expectedHead but the table is at $head; reload and retry")
+    require(files.nonEmpty, "commit adds no files")
+    val entries = loadEntries(table)
+    val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+    val added = files.map(f => TableEntry("data",
+      CompactionRunner.canonPath(f.path), seq, f.format, Nil,
+      recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+    val nextId = head + 1
+    writeSnapshot(table, nextId, entries ++ added)
+    carrySchema(table, head, nextId)
+    advanceHead(table, head, nextId)
+    nextId
+  }
+
   /** Iceberg-style metadata tables — the table ABOUT the table, served
     * entirely from snapshot documents (no data file is opened). The same
     * inspection surface Iceberg exposes as `db.table.files` /
@@ -1864,13 +2007,21 @@ final class GraftCatalog(root: String,
       case "snapshots" =>
         snapshotIds(table).map { id =>
           val es = readSnapshot(table, id)
+          val sum = snapshotSummary(table, id)
           (id, es.count(_.kind == "data").toLong,
             es.count(_.kind != "data").toLong,
             if (es.exists(e => e.kind == "data" && e.recordCount < 0)) None
             else Some(es.collect { case e if e.kind == "data" => e.recordCount }.sum),
-            id == currentSnapshotId(table))
+            id == currentSnapshotId(table),
+            // the commit summary (Iceberg's `summary` map): operation +
+            // file deltas vs the predecessor; nulls when the predecessor
+            // was expired and the delta is no longer derivable
+            sum.map(_.operation), sum.map(_.addedDataFiles),
+            sum.map(_.removedDataFiles), sum.map(_.addedDeleteFiles),
+            sum.flatMap(_.addedRecords))
         }.toDF("snapshot_id", "data_files", "delete_files", "total_records",
-          "is_current")
+          "is_current", "operation", "added_data_files", "removed_data_files",
+          "added_delete_files", "added_records")
       case "history" =>
         val head = currentSnapshotId(table)
         snapshotIds(table).map(id => (id, id == head))
@@ -2120,6 +2271,10 @@ final class GraftCatalog(root: String,
     withTableLock(table) {
       require(tag.nonEmpty && !tag.contains("\t") && !tag.contains("\n"),
         s"invalid tag name '$tag'")
+      // 'main' is the reserved branch name every rendering of refs leads
+      // with — a tag by the same name would produce a duplicate JSON key
+      // in the REST refs object, with parser-dependent winners
+      require(tag != "main", "'main' is the reserved branch name")
       require(snapshotIds(table).contains(snapshotId),
         s"snapshot $snapshotId of $table does not exist; retained: " +
           snapshotIds(table).mkString(", "))
@@ -2712,6 +2867,30 @@ object GraftCatalog {
     * `month`, `day`, `hour`, `bucket[n]`, `truncate[w]`, `void`.
     */
   final case class PartitionFieldDef(name: String, transform: String, source: String)
+
+  /** A data file an EXTERNAL writer commits through [[GraftCatalog.commitAppendAt]]
+    * (the REST facade's commit body). Counts may be unknown (-1), like any
+    * entry committed by a non-counting path.
+    */
+  final case class AddedFile(
+      path: String,
+      format: String = "parquet",
+      recordCount: Long = -1L,
+      sizeBytes: Long = -1L)
+
+  /** Iceberg-style snapshot summary (operation + file/record deltas),
+    * derived by [[GraftCatalog.snapshotSummary]]. Record deltas are None
+    * when any participating data file was committed uncounted — a partial
+    * sum presented as the total would be silently wrong.
+    */
+  final case class SnapshotSummary(
+      operation: String,
+      addedDataFiles: Long,
+      removedDataFiles: Long,
+      addedDeleteFiles: Long,
+      removedDeleteFiles: Long,
+      addedRecords: Option[Long],
+      removedRecords: Option[Long])
 
   trait HeadStore {
     def exists(table: String): Boolean

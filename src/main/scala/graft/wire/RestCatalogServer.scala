@@ -3,6 +3,7 @@ package graft.wire
 import java.net.{InetAddress, InetSocketAddress}
 import java.nio.charset.StandardCharsets
 
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import io.netty.bootstrap.ServerBootstrap
 import io.netty.buffer.Unpooled
 import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInitializer, SimpleChannelInboundHandler}
@@ -11,28 +12,44 @@ import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioServerSocketChannel
 import io.netty.handler.codec.http._
 
-import graft.sources.GraftCatalog
+import graft.sources.{FieldIds, GraftCatalog, GraftError}
+
+import scala.jdk.CollectionConverters._
 
 /** Iceberg-REST-catalog-shaped JSON doorway over [[GraftCatalog]] — the
   * reference ecosystem's OTHER deployment shape (an Iceberg compactor is
   * normally pointed at a REST catalog endpoint; the reference reaches its
   * catalog through `SqlCatalog`, `core/src/compaction/mod.rs:183-202`).
-  * Serving the same head/snapshot surface REST-shaped means a stock
-  * ecosystem client can browse this catalog with zero graft imports.
+  * Serving the same head/snapshot surface REST-shaped means an ecosystem
+  * client can browse AND write this catalog with zero graft imports.
   *
-  * Routes (the read surface of the Iceberg REST spec, single flat
-  * namespace `default` — [[GraftCatalog]] is flat):
+  * Routes (single flat namespace `default` — [[GraftCatalog]] is flat):
   *
   *   - `GET /v1/config` → `{"defaults":{},"overrides":{}}`
   *   - `GET /v1/namespaces` → `{"namespaces":[["default"]]}`
   *   - `GET /v1/namespaces/default/tables` → table identifier list
-  *   - `GET /v1/namespaces/default/tables/{t}` → table metadata:
-  *     format-version, current-snapshot-id, the snapshot log (ids +
-  *     sequence numbers + commit file mtimes), and `refs` (main branch +
-  *     every tag) — the HEAD/snapshot surface a catalog browser reads.
+  *   - `GET /v1/namespaces/default/tables/{t}` → LoadTableResult: the
+  *     spec's required TableMetadata fields (location, last-updated-ms,
+  *     last-column-id, schemas, partition-specs, sort-orders,
+  *     last-sequence-number, …), the snapshot log with per-snapshot
+  *     commit summaries, and `refs` (main branch + every tag).
+  *   - `POST /v1/namespaces/default/tables` → CREATE: body carries `name`
+  *     and optionally an Iceberg struct `schema` (field ids preserved into
+  *     the catalog's canonical schema). 409 `AlreadyExistsException` when
+  *     the table exists.
+  *   - `POST /v1/namespaces/default/tables/{t}` → COMMIT: body carries the
+  *     spec's `requirements` (`assert-ref-snapshot-id` on `main` maps onto
+  *     the catalog's optimistic commit — under a store-backed head the
+  *     [[GraftCatalog]] CAS re-checks the same base) and `updates`. The
+  *     supported update is `add-data-files` (documented deviation: this
+  *     catalog's manifests are inline file lists, so the added files ride
+  *     the update body instead of a manifest-list location), each file as
+  *     `{"file-path","file-format","record-count","file-size-in-bytes"}`.
+  *     A stale base gets the spec's 409 `CommitFailedException` envelope.
   *   - errors use the spec's envelope
-  *     (`{"error":{"message":…,"type":…,"code":…}}`), 404 for a missing
-  *     table with `NoSuchTableException`.
+  *     (`{"error":{"message":…,"type":…,"code":…}}`): 404
+  *     `NoSuchTableException`, 400 `BadRequestException` for malformed
+  *     bodies/URIs, 409 for conflicts.
   *
   * Transport is HTTP/1.1 (netty-codec-http, already on the Spark runtime
   * classpath) rather than the gRPC doorway's h2c: REST catalog clients —
@@ -42,7 +59,10 @@ import graft.sources.GraftCatalog
   * loop, loopback bind, port 0 for tests. Requests are served from
   * catalog METADATA only (snapshot documents + refs — no SparkSession,
   * no data IO), so the doorway stays cheap no matter the table size: the
-  * same O(metadata) contract the reference's catalog layer has.
+  * same O(metadata) contract the reference's catalog layer has. Commits
+  * reference files an external engine already wrote — the facade never
+  * opens them (Iceberg catalog semantics: the catalog swaps pointers,
+  * engines move data).
   */
 final class RestCatalogServer(catalog: GraftCatalog, port: Int = 0) {
 
@@ -75,12 +95,15 @@ final class RestCatalogServer(catalog: GraftCatalog, port: Int = 0) {
 
 object RestCatalogServer {
 
+  private val mapper = new ObjectMapper()
+
   private final class Handler(catalog: GraftCatalog)
       extends SimpleChannelInboundHandler[FullHttpRequest] {
 
     override def channelRead0(ctx: ChannelHandlerContext, req: FullHttpRequest): Unit = {
       val (status, body) =
-        try route(catalog, req.method(), req.uri())
+        try route(catalog, req.method(), req.uri(),
+          req.content().toString(StandardCharsets.UTF_8))
         catch { case e: Exception =>
           // e.getMessage may be null (bare NPEs): the envelope must still
           // render or the client sees a reset instead of the 500
@@ -112,14 +135,23 @@ object RestCatalogServer {
   private[wire] def route(
       catalog: GraftCatalog,
       method: HttpMethod,
-      uri: String): (HttpResponseStatus, String) = {
+      uri: String,
+      body: String = ""): (HttpResponseStatus, String) = {
     val path = uri.takeWhile(_ != '?')
     // percent-decode ONLY: URLDecoder is form decoding, where '+' means
     // space — but '+' is a legal literal path character (RFC 3986), so a
     // table named a+b would decode to "a b" and 404 right after being
     // listed. Escaping '+' first makes URLDecoder a pure percent-decoder.
-    val segs = path.split('/').filter(_.nonEmpty).toSeq
-      .map(s => java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8"))
+    // Malformed percent-escapes are the CLIENT's error: a 400, not the
+    // catch-all 500.
+    val segs =
+      try path.split('/').filter(_.nonEmpty).toSeq
+        .map(s => java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8"))
+      catch { case e: IllegalArgumentException =>
+        return HttpResponseStatus.BAD_REQUEST ->
+          errorJson(s"malformed percent-encoding in request path: " +
+            Option(e.getMessage).getOrElse(path), "BadRequestException", 400)
+      }
     (method, segs) match {
       case (HttpMethod.GET, Seq("v1", "config")) =>
         HttpResponseStatus.OK -> """{"defaults":{},"overrides":{}}"""
@@ -136,7 +168,11 @@ object RestCatalogServer {
           HttpResponseStatus.NOT_FOUND ->
             errorJson(s"Table does not exist: default.$t", "NoSuchTableException", 404)
         else HttpResponseStatus.OK -> tableJson(catalog, t)
-      case (HttpMethod.GET, Seq("v1", "namespaces", ns, _*)) =>
+      case (HttpMethod.POST, Seq("v1", "namespaces", "default", "tables")) =>
+        createTable(catalog, body)
+      case (HttpMethod.POST, Seq("v1", "namespaces", "default", "tables", t)) =>
+        commitTable(catalog, t, body)
+      case (_, Seq("v1", "namespaces", ns, _*)) if ns != "default" =>
         HttpResponseStatus.NOT_FOUND ->
           errorJson(s"Namespace does not exist: $ns", "NoSuchNamespaceException", 404)
       case _ =>
@@ -145,36 +181,243 @@ object RestCatalogServer {
     }
   }
 
-  /** The Iceberg REST `LoadTableResult` surface this catalog can answer
-    * from metadata: snapshot log, HEAD, refs, and the canonical schema
-    * (when recorded) as an Iceberg-spec struct schema with the REAL field
-    * ids the catalog already persists. Sequence number == snapshot id
-    * (the catalog's commit counter is its sequence domain) and timestamps
-    * are the snapshot documents' mtimes — the catalog does not persist
-    * commit wall-clocks separately.
+  // ---- write side --------------------------------------------------------
+
+  private def badRequest(msg: String): (HttpResponseStatus, String) =
+    HttpResponseStatus.BAD_REQUEST -> errorJson(msg, "BadRequestException", 400)
+
+  /** `POST …/tables` — CreateTable. The table starts empty (files arrive
+    * through commits); a request `schema` (Iceberg struct JSON) becomes
+    * the catalog's canonical schema with the REQUEST's field ids persisted
+    * — the ids are the column identity every later commit resolves by.
+    */
+  private def createTable(
+      catalog: GraftCatalog, body: String): (HttpResponseStatus, String) = {
+    val req = try mapper.readTree(body) catch { case e: Exception =>
+      return badRequest(s"malformed JSON body: ${e.getMessage}")
+    }
+    val nameNode = if (req == null) null else req.get("name")
+    if (nameNode == null || !nameNode.isTextual || nameNode.asText.isEmpty)
+      return badRequest("create request requires a non-empty 'name'")
+    val name = nameNode.asText
+    if (name.contains("/") || name.contains("@"))
+      return badRequest(s"invalid table name '$name'")
+    val schema = Option(req.get("schema")) match {
+      case None => None
+      case Some(s) => parseIcebergSchema(s) match {
+        case Right(st) => Some(st)
+        case Left(err) => return badRequest(err)
+      }
+    }
+    if (catalog.tables().contains(name))
+      HttpResponseStatus.CONFLICT ->
+        errorJson(s"Table already exists: default.$name",
+          "AlreadyExistsException", 409)
+    else {
+      try catalog.createTable(name, Nil, schema)
+      catch { case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("already exists") =>
+        // lost a concurrent-create race after the listing check
+        return HttpResponseStatus.CONFLICT ->
+          errorJson(s"Table already exists: default.$name",
+            "AlreadyExistsException", 409)
+      }
+      HttpResponseStatus.OK -> tableJson(catalog, name)
+    }
+  }
+
+  /** `POST …/tables/{t}` — CommitTable: requirements then updates, the
+    * spec's optimistic protocol. `assert-ref-snapshot-id` on `main` is
+    * the requirement that matters (it pins the base snapshot the caller
+    * validated against); the catalog enforces it under its commit lock —
+    * and re-checks via the head-store CAS where one is configured.
+    */
+  private def commitTable(
+      catalog: GraftCatalog, table: String,
+      body: String): (HttpResponseStatus, String) = {
+    if (!catalog.tables().contains(table))
+      return HttpResponseStatus.NOT_FOUND ->
+        errorJson(s"Table does not exist: default.$table", "NoSuchTableException", 404)
+    val req = try mapper.readTree(body) catch { case e: Exception =>
+      return badRequest(s"malformed JSON body: ${e.getMessage}")
+    }
+    def elems(n: JsonNode): Seq[JsonNode] =
+      if (n == null || !n.isArray) Nil else n.elements().asScala.toSeq
+    // requirements: assert-ref-snapshot-id (ref must be main — the only
+    // mutable ref this catalog has); unknown requirement types are
+    // rejected rather than ignored (silently skipping an assertion the
+    // client relies on would commit over state it never validated)
+    var expected: Option[Long] = None
+    for (r <- elems(if (req == null) null else req.get("requirements"))) {
+      val tpe = Option(r.get("type")).map(_.asText).getOrElse("")
+      tpe match {
+        case "assert-ref-snapshot-id" =>
+          val ref = Option(r.get("ref")).map(_.asText).getOrElse("main")
+          if (ref != "main")
+            return badRequest(s"unknown ref '$ref' (this catalog's only branch is 'main')")
+          val sid = Option(r.get("snapshot-id")).map(_.asLong)
+          if (sid.isEmpty) return badRequest("assert-ref-snapshot-id requires 'snapshot-id'")
+          expected = sid
+        case "assert-table-uuid" =>
+          val want = Option(r.get("uuid")).map(_.asText).getOrElse("")
+          if (want != uuidOf(table))
+            return HttpResponseStatus.CONFLICT ->
+              errorJson(s"table uuid mismatch: requirement $want, table ${uuidOf(table)}",
+                "CommitFailedException", 409)
+        case other =>
+          return badRequest(s"unsupported requirement type '$other'")
+      }
+    }
+    val files = elems(if (req == null) null else req.get("updates")).flatMap { u =>
+      Option(u.get("action")).map(_.asText).getOrElse("") match {
+        case "add-data-files" =>
+          elems(u.get("data-files")).map { f =>
+            val p = Option(f.get("file-path")).map(_.asText).getOrElse("")
+            if (p.isEmpty) return badRequest("data file requires 'file-path'")
+            GraftCatalog.AddedFile(p,
+              Option(f.get("file-format")).map(_.asText.toLowerCase).getOrElse("parquet"),
+              Option(f.get("record-count")).map(_.asLong).getOrElse(-1L),
+              Option(f.get("file-size-in-bytes")).map(_.asLong).getOrElse(-1L))
+          }
+        case other =>
+          return badRequest(s"unsupported update action '$other' " +
+            "(this facade commits 'add-data-files')")
+      }
+    }
+    if (files.isEmpty) return badRequest("commit carries no data files")
+    try {
+      catalog.commitAppendAt(table,
+        expected.getOrElse(catalog.currentSnapshotId(table)), files)
+      HttpResponseStatus.OK -> tableJson(catalog, table)
+    } catch {
+      case e: GraftError.Metadata =>
+        // the CAS / base-snapshot conflict — the spec's retryable 409
+        HttpResponseStatus.CONFLICT ->
+          errorJson(Option(e.getMessage).getOrElse("commit conflict"),
+            "CommitFailedException", 409)
+    }
+  }
+
+  /** Iceberg struct-schema JSON → Spark StructType with the request's
+    * field ids persisted as `parquet.field.id` metadata (the catalog's
+    * field-id convention, [[FieldIds]]). Inverse of [[icebergTypeName]];
+    * an unmapped type is the client's error (400), never a guess.
+    */
+  private def parseIcebergSchema(
+      node: JsonNode): Either[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    if (Option(node.get("type")).map(_.asText).getOrElse("") != "struct")
+      return Left("schema must be an Iceberg struct ({\"type\":\"struct\",…})")
+    val fields = Option(node.get("fields")).toSeq
+      .flatMap(_.elements().asScala.toSeq)
+    val parsed = fields.map { f =>
+      val name = Option(f.get("name")).map(_.asText).getOrElse("")
+      if (name.isEmpty) return Left("schema field requires 'name'")
+      val id = Option(f.get("id")).map(_.asInt)
+        .getOrElse(return Left(s"schema field '$name' requires 'id'"))
+      val required = Option(f.get("required")).exists(_.asBoolean)
+      val tn = Option(f.get("type")).map(_.asText).getOrElse("")
+      val dt: DataType = tn match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "string" => StringType
+        case "binary" => BinaryType
+        case "date" => DateType
+        case "timestamptz" => TimestampType
+        case "timestamp" => TimestampNTZType
+        case d if d.startsWith("decimal(") && d.endsWith(")") =>
+          d.stripPrefix("decimal(").stripSuffix(")").split(",") match {
+            case Array(p, s) => DecimalType(p.trim.toInt, s.trim.toInt)
+            case _ => return Left(s"malformed decimal type '$d'")
+          }
+        case other => return Left(s"unsupported field type '$other' for '$name'")
+      }
+      StructField(name, dt, nullable = !required,
+        metadata = new MetadataBuilder()
+          .putLong(FieldIds.MetaKey, id.toLong).build())
+    }
+    Right(StructType(parsed))
+  }
+
+  // ---- read side ---------------------------------------------------------
+
+  /** The Iceberg REST `LoadTableResult`: the spec's required TableMetadata
+    * fields plus the snapshot log (with commit summaries), HEAD, refs, and
+    * the canonical schema (when recorded) with the catalog's REAL
+    * persisted field ids. Sequence number == snapshot id (the catalog's
+    * commit counter is its sequence domain), timestamps are the snapshot
+    * documents' mtimes, and `metadata-location` points at the catalog's
+    * current snapshot document — this catalog's metadata root object.
     */
   private def tableJson(catalog: GraftCatalog, table: String): String = {
     val head = catalog.currentSnapshotId(table)
     val snaps = catalog.snapshotIds(table).map { id =>
-      s"""{"snapshot-id":$id,"sequence-number":$id,"timestamp-ms":${snapMtime(catalog, table, id)}}"""
+      val summary = catalog.snapshotSummary(table, id).map { s =>
+        val recs = s.addedRecords.fold("")(r => s""","added-records":"$r"""")
+        s""","summary":{"operation":${q(s.operation)},""" +
+          s""""added-data-files":"${s.addedDataFiles}",""" +
+          s""""removed-data-files":"${s.removedDataFiles}",""" +
+          s""""added-delete-files":"${s.addedDeleteFiles}"$recs}"""
+      }.getOrElse("")
+      s"""{"snapshot-id":$id,"sequence-number":$id,""" +
+        s""""timestamp-ms":${snapMtime(catalog, table, id)}$summary}"""
     }
     val refs =
       (s""""main":{"snapshot-id":$head,"type":"branch"}""" +:
-        catalog.tags(table).toSeq.sortBy(_._1).map { case (tag, id) =>
-          s"""${q(tag)}:{"snapshot-id":$id,"type":"tag"}"""
-        }).mkString(",")
-    val schemaPart = catalog.currentSchema(table).map { sch =>
-      val fields = sch.fields.flatMap { f =>
-        for {
-          id <- graft.sources.FieldIds.idOf(f)
-          t <- icebergTypeName(f.dataType)
-        } yield s"""{"id":$id,"name":${q(f.name)},"required":${!f.nullable},"type":${q(t)}}"""
-      }
+        // a pre-existing tag literally named 'main' is skipped: rendering
+        // it would duplicate the branch key in this object (tagSnapshot
+        // rejects new ones)
+        catalog.tags(table).toSeq.filterNot(_._1 == "main")
+          .sortBy(_._1).map { case (tag, id) =>
+            s"""${q(tag)}:{"snapshot-id":$id,"type":"tag"}"""
+          }).mkString(",")
+    val schemaOpt = catalog.currentSchema(table)
+    val schemaFields = schemaOpt.toSeq.flatMap(_.fields.toSeq).flatMap { f =>
+      for {
+        id <- FieldIds.idOf(f)
+        t <- icebergTypeName(f.dataType)
+      } yield s"""{"id":$id,"name":${q(f.name)},"required":${!f.nullable},"type":${q(t)}}"""
+    }
+    // the spec requires schemas/current-schema-id: a schema-less catalog
+    // table renders the empty struct schema rather than omitting the keys
+    // (a stock TableMetadata parser rejects a document without them)
+    val schemaPart =
       s""""current-schema-id":0,"schemas":[{"type":"struct","schema-id":0,""" +
-        s""""fields":[${fields.mkString(",")}]}],"""
-    }.getOrElse("")
-    s"""{"metadata":{"format-version":2,"table-uuid":${q(uuidOf(table))},""" +
+        s""""fields":[${schemaFields.mkString(",")}]}],"""
+    val lastColumnId = schemaOpt.toSeq.flatMap(_.fields.toSeq)
+      .flatMap(FieldIds.idOf).maxOption.getOrElse(0)
+    // the declared partition spec renders when every source column binds
+    // to a schema field id (partial specs would misdescribe the layout);
+    // partition field ids follow the spec's 1000+ convention
+    val specFields = catalog.partitionSpec(table)
+    val bindable = schemaOpt.exists(s =>
+      specFields.forall(f => s.fields.exists(sf =>
+        sf.name == f.source && FieldIds.idOf(sf).isDefined)))
+    val renderedSpec =
+      if (specFields.nonEmpty && bindable)
+        specFields.zipWithIndex.map { case (f, i) =>
+          val srcId = schemaOpt.get.fields
+            .find(_.name == f.source).flatMap(FieldIds.idOf).get
+          s"""{"name":${q(f.name)},"transform":${q(f.transform)},""" +
+            s""""source-id":$srcId,"field-id":${1000 + i}}"""
+        }.mkString(",")
+      else ""
+    val lastPartitionId = 999 + (if (renderedSpec.isEmpty) 0 else specFields.length)
+    val location = java.nio.file.Paths.get(catalog.rootDir, table).toString
+    s"""{"metadata-location":${q(
+        java.nio.file.Paths.get(catalog.rootDir, table, s"snap-$head.tsv").toString)},""" +
+      s""""metadata":{"format-version":2,"table-uuid":${q(uuidOf(table))},""" +
+      s""""location":${q(location)},""" +
+      s""""last-sequence-number":$head,""" +
+      s""""last-updated-ms":${snapMtime(catalog, table, head)},""" +
+      s""""last-column-id":$lastColumnId,""" +
       schemaPart +
+      s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$renderedSpec]}],""" +
+      s""""last-partition-id":$lastPartitionId,""" +
+      s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],""" +
       s""""current-snapshot-id":$head,"snapshots":[${snaps.mkString(",")}],""" +
       s""""refs":{$refs}}}"""
   }

@@ -107,11 +107,63 @@ object WireQueries {
       |  ('bound_below_min', 'below_min')
       |) t(lit_name, rendered)""".stripMargin
 
+  /** Q129: the Iceberg-REST WRITE doorway end-to-end — a table created and
+    * committed ENTIRELY over plain HTTP (zero graft imports on the client
+    * side: `HttpURLConnection` POSTs an Iceberg struct schema, then a
+    * commit with the spec's `assert-ref-snapshot-id` requirement adding
+    * the scale-factor region parquet), then read back through the
+    * catalog's normal MoR scan. This is the deployment shape the
+    * reference ecosystem uses: an external engine writes files and the
+    * catalog's REST commit swaps the pointer
+    * (`core/src/compaction/mod.rs:183-202` reaches the same catalog
+    * contract through `SqlCatalog`). SQL-reproducible because the
+    * committed table IS region.
+    */
+  private def q129(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-q129").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      def post(path: String, body: String): Int = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST")
+        conn.setDoOutput(true)
+        conn.setRequestProperty("Content-Type", "application/json")
+        val out = conn.getOutputStream
+        out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        in.readAllBytes(); in.close()
+        code
+      }
+      val created = post("/v1/namespaces/default/tables",
+        """{"name":"region_ext","schema":{"type":"struct","fields":[
+          |{"id":1,"name":"r_regionkey","required":false,"type":"int"},
+          |{"id":2,"name":"r_name","required":false,"type":"string"}]}}""".stripMargin)
+      require(created == 200, s"REST create failed: HTTP $created")
+      val committed = post("/v1/namespaces/default/tables/region_ext",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+           |"updates":[{"action":"add-data-files","data-files":[
+           |{"file-path":"$sfDir/region.parquet","file-format":"parquet"}]}]}""".stripMargin)
+      require(committed == 200, s"REST commit failed: HTTP $committed")
+      cat.scanTable(spark, "region_ext")
+        .select(col("r_regionkey"), col("r_name"))
+    } finally server.close()
+  }
+
+  private val q129Sql = "SELECT r_regionkey, r_name FROM region"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_wire_tasks" -> (q73 _),
-    "q74_wire_literals" -> (q74 _))
+    "q74_wire_literals" -> (q74 _),
+    "q129_rest_commit" -> (q129 _))
 
   def oracleSql: Map[String, String] = Map(
     "q73_wire_tasks" -> q73Sql,
-    "q74_wire_literals" -> q74Sql)
+    "q74_wire_literals" -> q74Sql,
+    "q129_rest_commit" -> q129Sql)
 }

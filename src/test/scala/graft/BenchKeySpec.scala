@@ -25,4 +25,27 @@ class BenchKeySpec extends AnyFunSuite {
       .mkString("{", ",", "}").length + 120 // metric/value/unit/sf wrapper
     assert(line < 1700, s"projected bench line $line bytes — shrink keys")
   }
+
+  test("recorded per-query levels bind to live short keys only") {
+    // a stale key (query renamed/removed) would silently disable that
+    // query's drift retry — fail loudly instead
+    val live = Bench.shortKeys(names).toSet
+    val stale = Bench.recordedSec.keySet -- live
+    assert(stale.isEmpty, s"recordedSec keys with no live query: ${stale.mkString(", ")}")
+  }
+
+  test("per-query retry fires on drift the global threshold misses") {
+    // r9's actual failure mode: q27 recorded 0.45 s, drifted to 2.50 s —
+    // under the 3 s global threshold, >3x its healthy level
+    assert(Bench.shouldRetry(2.50, Some(0.45), retrySec = 3.0))
+    // healthy run: no retry
+    assert(!Bench.shouldRetry(0.50, Some(0.45), retrySec = 3.0))
+    // sub-100 ms jitter is floored, not retried (0.04 s query at 0.15 s)
+    assert(!Bench.shouldRetry(0.15, Some(0.04), retrySec = 3.0))
+    // errors and global-threshold crossings always retry
+    assert(Bench.shouldRetry(-1.0, None, retrySec = 3.0))
+    assert(Bench.shouldRetry(3.2, None, retrySec = 3.0))
+    // no recorded level: only the global threshold governs
+    assert(!Bench.shouldRetry(2.9, None, retrySec = 3.0))
+  }
 }

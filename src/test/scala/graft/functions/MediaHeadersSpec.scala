@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PNG IHDR / JPEG SOF header codecs ([[MediaHeaders]]) — pinned against
+  * hand-written spec vectors (byte layouts from RFC 2083 and ITU-T T.81,
+  * independent of the synthesizer), round-tripped through the synthesizer,
+  * and rejected on truncation/corruption (the quarantine contract).
+  */
+class MediaHeadersSpec extends AnyFunSuite {
+
+  import MediaHeaders._
+
+  private def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+  test("spec vector: the canonical 1x1 RGBA PNG header parses") {
+    // the textbook minimal PNG prefix: signature + IHDR(1, 1, depth 8,
+    // color type 6) with its well-known CRC 0x1f15c489
+    val v = bytes(
+      0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a,
+      0x00, 0x00, 0x00, 0x0d, 0x49, 0x48, 0x44, 0x52,
+      0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00, 0x01,
+      0x08, 0x06, 0x00, 0x00, 0x00, 0x1f, 0x15, 0xc4, 0x89)
+    assert(parseImageHeader(v) ===
+      Some(ImageHeader("image/png", 1L, 1L, 4L, 8L)))
+  }
+
+  test("spec vector: a JFIF JPEG with SOF0 parses via marker walking") {
+    // SOI, APP0/JFIF (length 16), SOF0 640x480, 3 components, precision 8
+    val v = bytes(0xff, 0xd8,
+      0xff, 0xe0, 0x00, 0x10, 0x4a, 0x46, 0x49, 0x46, 0x00,
+      0x01, 0x01, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xff, 0xc0, 0x00, 0x11, 0x08, 0x01, 0xe0, 0x02, 0x80, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    assert(parseImageHeader(v) ===
+      Some(ImageHeader("image/jpeg", 640L, 480L, 3L, 8L)))
+  }
+
+  test("spec vector: progressive JPEG (SOF2) and grayscale (1 component) parse") {
+    val sof2 = bytes(0xff, 0xd8,
+      0xff, 0xc2, 0x00, 0x0b, 0x08, 0x00, 0x64, 0x00, 0xc8, 0x01,
+      0x01, 0x11, 0x00)
+    assert(parseImageHeader(sof2) ===
+      Some(ImageHeader("image/jpeg", 200L, 100L, 1L, 8L)))
+  }
+
+  test("round-trip: synthesized headers parse back exactly (big-endian > 255)") {
+    for ((w, h) <- Seq((1, 1), (300, 7), (65535, 65535), (509, 3500))) {
+      assert(parseImageHeader(jpegHeader(w, h, commentLen = 5)) ===
+        Some(ImageHeader("image/jpeg", w.toLong, h.toLong, 3L, 8L)))
+      assert(parseImageHeader(pngHeader(w, h, 8, 2)) ===
+        Some(ImageHeader("image/png", w.toLong, h.toLong, 3L, 8L)))
+    }
+    // every PNG color-type → channels mapping
+    for ((ct, ch) <- Seq(0 -> 1L, 2 -> 3L, 3 -> 1L, 4 -> 2L, 6 -> 4L))
+      assert(parseImageHeader(pngHeader(10, 20, 8, ct)).get.channels === ch)
+  }
+
+  test("synthesized PNG carries a correct CRC32 (a checking reader accepts it)") {
+    val p = pngHeader(640, 480, 8, 6)
+    val crc = new java.util.zip.CRC32
+    crc.update(p, 12, 4 + 13) // "IHDR" + data
+    val stored = ((p(29) & 0xffL) << 24) | ((p(30) & 0xffL) << 16) |
+      ((p(31) & 0xffL) << 8) | (p(32) & 0xffL)
+    assert(stored === crc.getValue)
+  }
+
+  test("truncated and corrupt inputs are rejected, never guessed") {
+    val png = pngHeader(100, 200, 8, 2)
+    val jpg = jpegHeader(100, 200, commentLen = 3)
+    // truncations at every prefix length parse as None (PNG shorter than
+    // IHDR; JPEG cut before/inside SOF)
+    for (n <- 0 until png.length) {
+      val r = parseImageHeader(png.take(n))
+      assert(r.isEmpty, s"PNG truncated at $n parsed as $r")
+    }
+    for (n <- 0 until jpg.length) {
+      val r = parseImageHeader(jpg.take(n))
+      assert(r.isEmpty, s"JPEG truncated at $n parsed as $r")
+    }
+    // wrong chunk tag, invalid color type, zero dimension
+    val badTag = png.clone(); badTag(12) = 'X'.toByte
+    assert(parseImageHeader(badTag).isEmpty)
+    val badColor = png.clone(); badColor(25) = 9.toByte
+    assert(parseImageHeader(badColor).isEmpty)
+    val zeroW = png.clone()
+    zeroW(16) = 0; zeroW(17) = 0; zeroW(18) = 0; zeroW(19) = 0
+    assert(parseImageHeader(zeroW).isEmpty)
+    // JPEG: lost marker sync / segment length overrunning the buffer
+    val badSync = jpg.clone(); badSync(2) = 0x00.toByte
+    assert(parseImageHeader(badSync).isEmpty)
+    val overrun = jpg.clone(); overrun(4) = 0x7f.toByte // APP0 len 0x7f10
+    assert(parseImageHeader(overrun).isEmpty)
+    // neither format
+    assert(parseImageHeader(Array.empty[Byte]).isEmpty)
+    assert(parseImageHeader("plain text".getBytes("UTF-8")).isEmpty)
+  }
+}

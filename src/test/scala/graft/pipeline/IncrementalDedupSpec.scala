@@ -25,30 +25,30 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out.filter(col("doc_id") < 100000 && col("doc_id") % 10 =!= 7).count() == 0)
   }
 
-  test("q91: decode stub matches a driver-side recomputation on a sample") {
-    val out = PipelineQueries.queries("q91_decode_stub")(spark, sfDir)
+  test("q91: header decode matches a driver-side recomputation on a sample") {
+    val out = PipelineQueries.queries("q91_header_decode")(spark, sfDir)
     val sample = graft.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).limit(32).collect()
       .map { r =>
-        val p = r.getString(1).getBytes("UTF-8")
-        val n = p.length.toLong
-        def b(i: Int) = if (i < p.length) (p(i) & 0xff).toLong else 0L
-        val sum = p.map(_ & 0xff).map(_.toLong).sum
-        val stride = math.max(1L, n / 16L).toInt
-        val sampled = p.indices.by(stride).map(i => (p(i) & 0xff).toLong).sum
-        (r.getLong(0), (n, 16L + b(0) % 64, 16L + b(1) % 64, 1L + b(2) % 3,
-          sum.toDouble / n, sampled))
+        val id = r.getLong(0)
+        val n = r.getString(1).getBytes("UTF-8").length.toLong
+        val headerLen = if (id % 2 == 0) 33L else 43L + id % 16
+        val channels =
+          if (id % 2 == 1) 3L
+          else Seq(1L, 3L, 4L)((id % 3).toInt)
+        (id, (n + headerLen, 16L + id % 509, 16L + (id * 7) % 509, channels))
       }.toMap
     val got = out.filter(col("doc_id").isin(sample.keys.toSeq: _*)).collect()
     assert(got.length == sample.size)
     got.foreach { r =>
-      val (n, w, h, c, mean, samp) = sample(r.getAs[Long]("doc_id"))
+      val (n, w, h, c) = sample(r.getAs[Long]("doc_id"))
       assert(r.getAs[Long]("n_bytes") == n)
       assert(r.getAs[Long]("width") == w)
       assert(r.getAs[Long]("height") == h)
       assert(r.getAs[Long]("channels") == c)
-      assert(r.getAs[Double]("mean_byte") == mean)
-      assert(r.getAs[Long]("sampled_sum") == samp)
+      assert(r.getAs[String]("mime") ==
+        (if (r.getAs[Long]("doc_id") % 2 == 0) "image/png" else "image/jpeg"))
+      assert(r.getAs[Long]("bit_depth") == 8L)
     }
   }
 

@@ -141,4 +141,65 @@ class DeleteWhereSpec extends SparkSpec {
     assert(cat.deleteWhere(spark, "t", col("k") > 1000, out, copyOnWrite = true) == head)
     assert(cat.currentSnapshotId("t") == head)
   }
+
+  test("deleteWhereEq equals the position-scan delete for the same key set") {
+    val keys = Seq(3L, 17L, 42L, 99L)
+    val out = Files.createTempDirectory("graft-del-out").toString
+
+    val byPos = newCatalog()
+    freshTable(byPos)
+    byPos.deleteWhere(spark, "t", col("k").isInCollection(keys), s"$out/pos")
+
+    val byEq = newCatalog()
+    freshTable(byEq)
+    byEq.deleteWhereEq(spark, "t", keys.toDF("k"), s"$out/eq")
+
+    // same live rows through the MoR read, different file classes in the
+    // snapshot: the pos path scanned for (file, pos), the eq path committed
+    // the key tuples themselves
+    assert(rowsOf(byPos.scanTable(spark, "t")) == rowsOf(byEq.scanTable(spark, "t")))
+    assert(byPos.loadEntries("t").exists(_.kind == "posdel"))
+    val eqEntries = byEq.loadEntries("t").filter(_.kind == "eqdel")
+    assert(eqEntries.nonEmpty && eqEntries.forall(_.eqCols == Seq("k")))
+
+    // and compaction retires the eq-delete like any other (makes it physical)
+    byEq.compactTable(spark, "t", s"$out/compact",
+      CompactionRunner.CompactionConfig(targetPartitions = 1))
+    assert(byEq.loadEntries("t").forall(_.kind == "data"))
+    assert(rowsOf(byEq.scanTable(spark, "t")) ==
+      (1L to 100L).filterNot(keys.contains).map(k => (k, s"v$k")))
+  }
+
+  test("deleteWhereEq touches zero data files: commits against unreadable paths") {
+    // the structural claim — a key-predicate DELETE at 100 TB must be a
+    // metadata-sized commit — proven by construction: the table's data
+    // paths point NOWHERE, so any attempt to read data would throw.
+    // deleteWhereEq still commits; only the later scan needs real files.
+    val cat = newCatalog()
+    cat.createTable("t", Seq(
+      DataFileTask("/nonexistent/shard-0.parquet", 1L),
+      DataFileTask("/nonexistent/shard-1.parquet", 1L)))
+    val out = Files.createTempDirectory("graft-del-out").toString
+    val snap = cat.deleteWhereEq(spark, "t", Seq(7L, 8L).toDF("k"), out)
+    assert(snap == 2L)
+    val eq = cat.loadEntries("t").filter(_.kind == "eqdel")
+    assert(eq.nonEmpty && eq.forall(_.seqNum == 2L))
+  }
+
+  test("deleteWhereEq: null keys never match (dropped), empty keys no-op") {
+    val cat = newCatalog()
+    freshTable(cat)
+    val out = Files.createTempDirectory("graft-del-out").toString
+    val head = cat.currentSnapshotId("t")
+    // all-null key set: nothing can equality-match → no commit at all
+    assert(cat.deleteWhereEq(spark, "t",
+      Seq(Option.empty[Long]).toDF("k"), out) == head)
+    assert(cat.deleteWhereEq(spark, "t",
+      Seq.empty[Long].toDF("k"), out) == head)
+    // mixed: the null tuple is dropped, the real key still deletes
+    cat.deleteWhereEq(spark, "t",
+      Seq(Some(5L), Option.empty[Long]).toDF("k"), out)
+    assert(rowsOf(cat.scanTable(spark, "t")) ==
+      (1L to 100L).filterNot(_ == 5L).map(k => (k, s"v$k")))
+  }
 }

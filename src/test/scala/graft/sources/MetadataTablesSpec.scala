@@ -118,6 +118,48 @@ class MetadataTablesSpec extends SparkSpec {
     assert(hist.map(_.getAs[Long]("snapshot_id")).toSeq ===
       cat.snapshotIds("t"))
     assert(hist.count(_.getAs[Boolean]("is_current")) === 1)
+
+    // commit summaries, derived by diffing consecutive entry lists: the
+    // upsert head is an `overwrite` (data + eq-delete added), snapshot 1
+    // is the creating commit
+    assert(head.getAs[String]("operation") === "overwrite")
+    assert(head.getAs[Long]("added_data_files") >= 1L)
+    assert(head.getAs[Long]("added_delete_files") >= 1L)
+    assert(head.getAs[Long]("removed_data_files") === 0L)
+    val first = snaps.find(_.getAs[Long]("snapshot_id") == 1L).get
+    assert(first.getAs[String]("operation") === "append")
+  }
+
+  test("snapshot summaries name every operation class") {
+    val cat = newCatalog()
+    seedTable(cat, partitioned = false)
+    val out = Files.createTempDirectory("graft-meta-sum").toString
+    def opOf(id: Long): String =
+      cat.snapshotSummary("t", id).get.operation
+
+    assert(opOf(1L) === "append") // createTable
+    assert(opOf(cat.currentSnapshotId("t")) === "replace") // seed compaction
+    cat.appendFiles(spark, "t", Seq((9999L, "g9", "z")).toDF("k", "g", "v"), out)
+    val appendId = cat.currentSnapshotId("t")
+    assert(opOf(appendId) === "append")
+    val appendSum = cat.snapshotSummary("t", appendId).get
+    assert(appendSum.addedRecords === Some(1L)) // appendFiles counts rows
+
+    cat.deleteWhere(spark, "t", col("k") === 1L, out)
+    assert(opOf(cat.currentSnapshotId("t")) === "delete") // posdel only
+
+    cat.compactTable(spark, "t", s"$out/c",
+      CompactionRunner.CompactionConfig(targetPartitions = 1))
+    assert(opOf(cat.currentSnapshotId("t")) === "replace") // rewrite
+
+    cat.upsert(spark, "t", Seq((1L, "g1", "u")).toDF("k", "g", "v"),
+      Seq("k"), out)
+    assert(opOf(cat.currentSnapshotId("t")) === "overwrite") // data + eqdel
+
+    // a summary is None only when the predecessor document was expired
+    cat.expireSnapshots("t", keepLast = 1)
+    val headId = cat.currentSnapshotId("t")
+    assert(cat.snapshotSummary("t", headId).isEmpty)
   }
 
   test("countRows: metadata when provably exact, scan fallback otherwise") {

@@ -24,6 +24,22 @@ class RestCatalogSpec extends SparkSpec {
     (code, body)
   }
 
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    val out = conn.getOutputStream
+    out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    val code = conn.getResponseCode
+    val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+    val resp = new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    in.close()
+    (code, resp)
+  }
+
   test("config, namespace, table list, table metadata, and 404 round-trip") {
     val root = Files.createTempDirectory("graft-rest-cat").toString
     val out = Files.createTempDirectory("graft-rest-out").toString
@@ -111,6 +127,123 @@ class RestCatalogSpec extends SparkSpec {
         assert(raw.startsWith("HTTP/1.1 200"), raw.take(100))
         assert(raw.contains("\"defaults\""), raw)
       } finally sock.close()
+
+      // malformed percent-encoding is the CLIENT's error — 400, not 500.
+      // HttpURLConnection refuses to even send it, so use a raw socket.
+      val sock2 = new java.net.Socket("127.0.0.1", port)
+      try {
+        sock2.setSoTimeout(10000)
+        sock2.getOutputStream.write(
+          "GET /v1/namespaces/default/tables/a%zz HTTP/1.0\r\n\r\n".getBytes("UTF-8"))
+        sock2.getOutputStream.flush()
+        val raw2 = new String(sock2.getInputStream.readAllBytes(), "UTF-8")
+        assert(raw2.startsWith("HTTP/1.1 400"), raw2.take(100))
+        assert(raw2.contains("BadRequestException"), raw2)
+      } finally sock2.close()
+    } finally server.close()
+  }
+
+  test("spec-required TableMetadata fields render on every load") {
+    val root = Files.createTempDirectory("graft-rest-meta").toString
+    val out = Files.createTempDirectory("graft-rest-meta-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    cat.appendFiles(spark, "t", Seq((1L, "x")).toDF("k", "v"), out)
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val (code, meta) = get(server.boundPort, "/v1/namespaces/default/tables/t")
+      assert(code == 200, meta)
+      // the fields a stock TableMetadata parser requires — present even on
+      // a schema-less table (schemas renders the empty struct)
+      for (k <- Seq("\"metadata-location\"", "\"location\"",
+          "\"last-sequence-number\"", "\"last-updated-ms\"",
+          "\"last-column-id\"", "\"current-schema-id\"", "\"schemas\"",
+          "\"default-spec-id\"", "\"partition-specs\"", "\"last-partition-id\"",
+          "\"default-sort-order-id\"", "\"sort-orders\""))
+        assert(meta.contains(k), s"missing $k in $meta")
+      // commit summaries in the snapshot log: the append diff is derivable
+      // from the entries, so the log carries operation + file deltas
+      assert(meta.contains("\"operation\":\"append\""), meta)
+      assert(meta.contains("\"added-data-files\":\"1\""), meta)
+    } finally server.close()
+  }
+
+  test("create + commit write-side round-trip with CAS 409 on a stale base") {
+    val root = Files.createTempDirectory("graft-rest-w").toString
+    val out = Files.createTempDirectory("graft-rest-w-out").toString
+    // parquet the "external engine" wrote before talking to the catalog
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$out/batch1")
+    Seq((4L, "d")).toDF("k", "v").coalesce(1).write.parquet(s"$out/batch2")
+    def parquetIn(d: String): String =
+      new java.io.File(d).listFiles().map(_.getAbsolutePath)
+        .filter(p => p.endsWith(".parquet") && !p.contains("crc")).head
+    val cat = new GraftCatalog(root)
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+
+      // CREATE with an Iceberg struct schema; the request's field ids land
+      // in the catalog's canonical schema
+      val createBody =
+        """{"name":"ext","schema":{"type":"struct","fields":[
+          |{"id":11,"name":"k","required":false,"type":"long"},
+          |{"id":12,"name":"v","required":false,"type":"string"}]}}""".stripMargin
+      val (c1, created) = post(port, "/v1/namespaces/default/tables", createBody)
+      assert(c1 == 200, created)
+      assert(created.contains(""""current-snapshot-id":1"""), created)
+      assert(created.contains(""""id":11"""), created)
+      assert(created.contains(""""last-column-id":12"""), created)
+      assert(cat.currentSchema("ext").exists(s =>
+        graft.sources.FieldIds.idOf(s.fields.head).contains(11)))
+
+      // duplicate create → the spec's 409 AlreadyExists
+      val (cDup, dup) = post(port, "/v1/namespaces/default/tables", createBody)
+      assert(cDup == 409 && dup.contains("AlreadyExistsException"), s"$cDup $dup")
+
+      // COMMIT at the asserted base
+      def commitBody(base: Long, file: String, rc: Long) =
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":$base}],
+           |"updates":[{"action":"add-data-files","data-files":[
+           |{"file-path":"$file","file-format":"parquet","record-count":$rc}]}]}""".stripMargin
+      val (c2, committed) =
+        post(port, "/v1/namespaces/default/tables/ext",
+          commitBody(1L, parquetIn(s"$out/batch1"), 3L))
+      assert(c2 == 200, committed)
+      assert(committed.contains(""""current-snapshot-id":2"""), committed)
+      assert(committed.contains("\"operation\":\"append\""), committed)
+
+      // the committed table reads through the normal engine path
+      val rows = cat.scanTable(spark, "ext").orderBy("k").collect()
+      assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+
+      // STALE base (still asserting snapshot 1 after the table moved to 2)
+      // → the spec's retryable CommitFailedException envelope
+      val (c3, stale) =
+        post(port, "/v1/namespaces/default/tables/ext",
+          commitBody(1L, parquetIn(s"$out/batch2"), 1L))
+      assert(c3 == 409, stale)
+      assert(stale.contains("CommitFailedException") && stale.contains("\"code\":409"), stale)
+      assert(cat.currentSnapshotId("ext") == 2L, "stale commit must not advance")
+
+      // re-read, retry at the TRUE base → lands
+      val (c4, retried) =
+        post(port, "/v1/namespaces/default/tables/ext",
+          commitBody(2L, parquetIn(s"$out/batch2"), 1L))
+      assert(c4 == 200, retried)
+      assert(cat.scanTable(spark, "ext").count() == 4L)
+
+      // commit to a missing table → 404; malformed body → 400; unknown
+      // update action → 400 (never silently ignored)
+      val (c5, _) = post(port, "/v1/namespaces/default/tables/nope",
+        commitBody(1L, parquetIn(s"$out/batch2"), 1L))
+      assert(c5 == 404)
+      val (c6, badJson) = post(port, "/v1/namespaces/default/tables/ext", "{nope")
+      assert(c6 == 400 && badJson.contains("BadRequestException"), badJson)
+      val (c7, badAction) = post(port, "/v1/namespaces/default/tables/ext",
+        """{"updates":[{"action":"set-location","location":"/x"}]}""")
+      assert(c7 == 400 && badAction.contains("unsupported update action"), badAction)
     } finally server.close()
   }
 }
