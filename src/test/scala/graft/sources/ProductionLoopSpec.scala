@@ -85,5 +85,27 @@ class ProductionLoopSpec extends SparkSpec {
     // 5. LOOP: the next sweep over the now-healthy catalog is metadata-only
     val again = sched.sweep(spark, sweepConfig).map(o => o.table -> o.outcome).toMap
     assert(again.values.forall(_ == "healthy"), s"got $again")
+
+    // 6. OBSERVE through the REST doorway: the facade's snapshot log shows
+    //    the whole loop — the stream appends AND the sweep's replace commit
+    //    with its summary — to a plain HTTP client with zero graft imports
+    //    (how an ops dashboard actually watches this loop)
+    val server = new graft.wire.RestCatalogServer(cat, port = 0)
+    try {
+      val conn = new java.net.URI(
+        s"http://127.0.0.1:${server.boundPort}/v1/namespaces/default/tables/docs")
+        .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val in = conn.getInputStream
+      val meta = new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      in.close()
+      cat.snapshotIds("docs").foreach(id =>
+        assert(meta.contains(s""""snapshot-id":$id"""), s"missing snap $id"))
+      assert(meta.contains(s""""current-snapshot-id":${cat.currentSnapshotId("docs")}"""))
+      // the appends and the compaction are distinguishable from the log
+      assert(meta.contains("\"operation\":\"append\""), meta)
+      assert(meta.contains("\"operation\":\"replace\""),
+        s"sweep's compaction commit missing from the REST snapshot log: $meta")
+    } finally server.close()
   }
 }
