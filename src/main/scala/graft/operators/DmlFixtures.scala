@@ -210,6 +210,28 @@ object DmlFixtures {
         CompactionConfig(targetPartitions = 2))
     }
 
+  /** q131's layout: the documents corpus with a content-fingerprint column
+    * (`fp = md5(text)`) written ROUND-ROBIN into several files — hashes
+    * scatter by construction, so every file's [min,max] straddles every
+    * probe and stats pruning keeps everything — then a per-file bloom
+    * filter on `fp` recorded into the catalog sidecar. The
+    * content-addressed point-lookup shape (an exact-dedup probe by hash)
+    * where ONLY the bloom can skip files.
+    */
+  def docsFingerprinted(spark: SparkSession, sfDir: String): (GraftCatalog, String) =
+    ensure(spark, sfDir, "docs_fp") { (cat, t) =>
+      val out = outDir(sfDir, t)
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .withColumn("fp", md5(col("text")))
+        .repartition(8)
+        .write.mode("errorifexists").parquet(out)
+      cat.createTable(t,
+        graft.sources.CompactionRunner.listParquet(out).map(DataFileTask(_, 1L)))
+      cat.recordBloomFilter(spark, t, "fp",
+        expectedItemsPerFile = 20000L, fpp = 0.01)
+      ()
+    }
+
   /** q127's layout: orders compacted with stats — the metadata min/max
     * input (mutating gates fork it first).
     */
@@ -244,6 +266,7 @@ object DmlFixtures {
     part2500Lineitem(spark, sfDir)
     docsSourceBucketed(spark, sfDir)
     docsLangPartitioned(spark, sfDir)
+    docsFingerprinted(spark, sfDir)
     compactedOrders(spark, sfDir)
     ()
   }

@@ -244,6 +244,27 @@ object MorQueries {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
   }
 
+  /** Q131: content-addressed point lookup through the catalog's per-file
+    * BLOOM sidecar ([[graft.sources.GraftCatalog.recordBloomFilter]]) — the
+    * exact-dedup probe shape ("is THIS document already in the corpus?") on
+    * a round-robin layout where content hashes scatter across every file,
+    * so min/max bounds straddle every probe and only the bloom can skip.
+    * At 100 TB this turns a full-corpus probe into a driver-side sidecar
+    * read plus the one file (± fpp stragglers) whose filter fires. The
+    * result is the probed document row itself, so the oracle is the same
+    * md5-equality SELECT over the raw corpus.
+    */
+  private def q131(spark: SparkSession, sfDir: String): DataFrame = {
+    // read-only over the session-shared fingerprinted + bloom'd layout
+    val (cat, t) = DmlFixtures.docsFingerprinted(spark, sfDir)
+    val probe = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") === 42L)
+      .select(md5(col("text"))).head().getString(0)
+    cat.scanTableWhereEqString(spark, t, "fp", probe)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("fp"))
+  }
+
   /** Q125: metadata-table integrity — the documents corpus compacted under
     * an identity(lang) partition spec, then answered from the `partitions`
     * METADATA table alone (per-partition record counts summed from the
@@ -351,7 +372,8 @@ object MorQueries {
     "q123_spark_format" -> (q123 _),
     "q124_source_lookup" -> (q124 _),
     "q125_meta_partitions" -> (q125 _),
-    "q127_meta_minmax" -> (q127 _))
+    "q127_meta_minmax" -> (q127 _),
+    "q131_bloom_lookup" -> (q131 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -490,6 +512,10 @@ object MorQueries {
       """SELECT lang, CAST(count(*) AS BIGINT) AS n
         |FROM documents
         |GROUP BY 1""".stripMargin,
+    "q131_bloom_lookup" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
+        |FROM documents
+        |WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 42)""".stripMargin,
     "q127_meta_minmax" ->
       """WITH k AS (SELECT min(o_orderkey) AS k0 FROM orders),
         |after AS (SELECT CASE WHEN o_orderkey = (SELECT k0 FROM k)

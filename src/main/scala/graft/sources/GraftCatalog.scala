@@ -774,6 +774,35 @@ final class GraftCatalog(root: String,
     import org.apache.spark.sql.functions.{col, lit}
     require(value != null, "use an IS NULL filter for null lookups")
     val entries = loadEntries(table)
+    val kept = eqStringKeptEntries(spark, table, column, value, entries)
+    val exact = col(column) === lit(value)
+    if (kept.isEmpty) scanTable(spark, table).filter(exact).limit(0)
+    else {
+      val data = CompactionRunner.scanWithHiddenCols(spark,
+        kept.map(e => DataFileTask(e.path, e.seqNum, e.format)),
+        currentSchema(table))
+      graft.operators.MorPlanner.merge(data,
+        CompactionRunner.readPositionDeletes(spark,
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }),
+        CompactionRunner.readEqualityDeletes(spark,
+          entries.collect { case e if e.kind == "eqdel" =>
+            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+          }, Some(data.schema))).filter(exact)
+    }
+  }
+
+  /** The planning half of [[scanTableWhereEqString]]: the data entries a
+    * point lookup must still read after partition-tuple, min/max-stats, and
+    * bloom-filter pruning. Exposed package-private so specs can assert the
+    * file-skipping claim on the PLAN (entry list), not just the result.
+    */
+  private[graft] def eqStringKeptEntries(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      value: String,
+      preloaded: Seq[TableEntry] = null): Seq[TableEntry] = {
+    val entries = Option(preloaded).getOrElse(loadEntries(table))
     val isString = sourceColumnType(spark, table, column)
       .contains(org.apache.spark.sql.types.StringType)
     val fields = partitionSpec(table).filter(_.source == column)
@@ -805,22 +834,135 @@ final class GraftCatalog(root: String,
         case _ => true
       }
     }
-    val dataEntries = entries.filter(_.kind == "data")
-    val kept = dataEntries.filter(e => partitionKeeps(e) && statsKeep(e))
-    val exact = col(column) === lit(value)
-    if (kept.isEmpty) scanTable(spark, table).filter(exact).limit(0)
-    else {
-      val data = CompactionRunner.scanWithHiddenCols(spark,
-        kept.map(e => DataFileTask(e.path, e.seqNum, e.format)),
-        currentSchema(table))
-      graft.operators.MorPlanner.merge(data,
-        CompactionRunner.readPositionDeletes(spark,
-          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }),
-        CompactionRunner.readEqualityDeletes(spark,
-          entries.collect { case e if e.kind == "eqdel" =>
-            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
-          }, Some(data.schema))).filter(exact)
+    // Per-file bloom filters (recorded by [[recordBloomFilter]]) prune
+    // definitively where bounds can't: on an UNCLUSTERED column every
+    // file's [min,max] straddles every probe, but a 0-bit in the filter
+    // proves absence. A file without a sidecar entry is kept (advisory
+    // metadata, never required for correctness).
+    val blooms = readBlooms(table, column)
+    val parsed = scala.collection.mutable.HashMap.empty[
+      String, org.apache.spark.util.sketch.BloomFilter]
+    // sidecar keys are the scan's CANONICAL path rendering (the hidden
+    // file-path column); entries registered by raw local path canonicalize
+    // to the same key
+    def bloomKeep(e: TableEntry): Boolean = {
+      val key = CompactionRunner.canonPath(e.path)
+      blooms.get(key).forall { bytes =>
+        parsed.getOrElseUpdate(key, org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(bytes)))
+          .mightContainString(value)
+      }
     }
+    entries.filter(_.kind == "data")
+      .filter(e => partitionKeeps(e) && statsKeep(e) && bloomKeep(e))
+  }
+
+  // ---- per-file bloom filters (point-lookup file skipping) ---------------
+
+  private def bloomSidecarPath(table: String, column: String) =
+    tableDir(table).resolve(
+      s"bloom-${java.net.URLEncoder.encode(column, "UTF-8")}.tsv")
+
+  /** The persisted bloom sidecar for `column`: canonical data-file path →
+    * serialized `org.apache.spark.util.sketch.BloomFilter` bytes. Empty map
+    * when none recorded.
+    */
+  private[graft] def readBlooms(
+      table: String, column: String): Map[String, Array[Byte]] = {
+    val p = bloomSidecarPath(table, column)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).split("\n").filter(_.nonEmpty).map { line =>
+      val Array(path, b64) = line.split("\t", 2)
+      java.net.URLDecoder.decode(path, "UTF-8") ->
+        java.util.Base64.getDecoder.decode(b64)
+    }.toMap
+  }
+
+  /** Record a per-file bloom filter over a STRING column into a catalog
+    * sidecar, so [[scanTableWhereEqString]] can skip whole files from
+    * metadata alone on columns where min/max bounds prune nothing (content
+    * hashes, URLs, ids scattered by arrival order). Iceberg's analog keeps
+    * blooms inside parquet column metadata — readable only by opening every
+    * footer; lifting a compact filter into catalog metadata makes the skip
+    * a PLANNER decision: a point probe on a 100 TB unclustered corpus goes
+    * from touching every file to one driver-side sidecar read plus the few
+    * files whose filters fire (true hit + fpp stragglers).
+    *
+    * One distributed pass builds partial filters per (task × file) with no
+    * shuffle (`mapPartitions` over the hidden-file-path scan); the driver
+    * merges per path — the collected cardinality is O(tasks + files), the
+    * same driver-sized metadata every commit already handles. Bytes per
+    * file ≈ `-n·ln(fpp)/ln²2 / 8` — the 1.2 KB default (`expectedItems` 1k,
+    * fpp 3%) covers a 1k-distinct-value file; size to the real per-file
+    * cardinality at scale.
+    *
+    * The sidecar is ADVISORY and keyed by immutable file path: files
+    * appended after recording have no entry and are always kept; re-running
+    * merges over prior entries (new files covered, unchanged paths
+    * overwritten equivalently). Returns the number of files covered.
+    */
+  def recordBloomFilter(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      expectedItemsPerFile: Long = 1000L,
+      fpp: Double = 0.03): Int = {
+    import org.apache.spark.sql.functions.col
+    require(sourceColumnType(spark, table, column)
+        .contains(org.apache.spark.sql.types.StringType),
+      s"bloom filters record STRING columns; $column is not a string")
+    val dataEntries = loadEntries(table).filter(_.kind == "data")
+    if (dataEntries.isEmpty) return 0
+    val data = CompactionRunner.scanWithHiddenCols(spark,
+      dataEntries.map(e => DataFileTask(e.path, e.seqNum, e.format)),
+      currentSchema(table))
+    import spark.implicits._
+    val partials = data
+      .select(col(graft.operators.MorPlanner.FilePathCol), col(column))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val perFile = scala.collection.mutable.HashMap
+          .empty[String, org.apache.spark.util.sketch.BloomFilter]
+        it.foreach { case (path, v) =>
+          if (v != null)
+            perFile.getOrElseUpdate(path,
+              org.apache.spark.util.sketch.BloomFilter
+                .create(expectedItemsPerFile, fpp)).putString(v)
+        }
+        perFile.iterator.map { case (p, bf) =>
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          (p, bos.toByteArray)
+        }
+      }
+      .collect() // one row per (task, file-slice): driver-sized metadata
+    val merged: Map[String, Array[Byte]] =
+      partials.groupBy(_._1).map { case (path, slices) =>
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(new java.io.ByteArrayInputStream(slices.head._2))
+        slices.tail.foreach { case (_, bytes) =>
+          bf.mergeInPlace(org.apache.spark.util.sketch.BloomFilter
+            .readFrom(new java.io.ByteArrayInputStream(bytes)))
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        path -> bos.toByteArray
+      }
+    withTableLock(table) {
+      val all = readBlooms(table, column) ++ merged
+      val enc = java.util.Base64.getEncoder
+      val tmp = tableDir(table).resolve(
+        s".bloom.tmp-${Thread.currentThread().getId}")
+      Files.writeString(tmp,
+        all.toSeq.sortBy(_._1).map { case (p, bytes) =>
+          s"${java.net.URLEncoder.encode(p, "UTF-8")}\t${enc.encodeToString(bytes)}"
+        }.mkString("\n"),
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      Files.move(tmp, bloomSidecarPath(table, column),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    merged.size
   }
 
   /** Iceberg-v2 row-level upsert: write `updates` as a new data file set AND
