@@ -162,6 +162,59 @@ object PipelineQueries {
         col("r.source").as("source"), col("r.n_chars").as("n_chars"))
   }
 
+  // ---- Q132 span-level exact-substring duplication ------------------------
+
+  /** Q132: span-level exact-substring duplication audit (the dedup unit of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al., arXiv:2107.06499, re-expressed at word-shingle granularity):
+    * inventory every distinct 8-word span corpus-wide and report, per
+    * document, how many of its spans also appear VERBATIM in another
+    * document. Doc-level dedup (q40/q41) misses partial copies — a page
+    * quoting half of another page — which is exactly what span counts
+    * surface; downstream policy (drop spans, drop docs over a duplicated
+    * fraction) consumes this table.
+    *
+    * Scale shape: span extraction is one codegen row-level pass per doc
+    * ([[TextOps.shingleHashesC]] — the distinct-span-hash set built
+    * in-row, no explode+distinct shuffle); the corpus-wide inventory
+    * groups 8-byte hash keys with map-side partial aggregation; the join
+    * back is hash-partitioned on the same key, so a hot span (boilerplate
+    * repeated in millions of docs) is AQE-skew-splittable. Nothing is
+    * quadratic — total cost is O(total spans) over long keys.
+    */
+  private def q132(spark: SparkSession, sfDir: String): DataFrame = {
+    val posts = corpus(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextOps.shingleHashesC(col("text"), 8)).as("h"))
+    val inv = posts.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    posts.join(inv, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
+  }
+
+  /** Oracle twin: same corpus, same 8-word spans, same hash domain (the
+    * kernel dedups HASHES per doc, so the twin distincts on (doc_id, h)).
+    * Docs with fewer than 8 tokens have no spans and drop out of both.
+    */
+  private val q132Sql =
+    s"""WITH $CorpusSql,
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+       |sp AS (
+       |  SELECT DISTINCT doc_id, s FROM toks,
+       |  unnest(CASE WHEN len(t) >= 8
+       |              THEN list_transform(range(1, len(t) - 6),
+       |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+       |                          t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' ||
+       |                          t[i+6] || ' ' || t[i+7])
+       |              ELSE [] END) AS u(s)),
+       |sph AS (SELECT DISTINCT doc_id, ${StrHashSql.format("s")} AS h FROM sp),
+       |inv AS (SELECT h, count(*) AS nd FROM sph GROUP BY 1)
+       |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |       CAST(sum(CASE WHEN i.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       |FROM sph s JOIN inv i USING (h)
+       |GROUP BY 1""".stripMargin
+
   // ---- Q85 chunking / Q86 decontamination --------------------------------
 
   /** Q85: document chunking — the LLM-preprocessing step that turns each
@@ -1941,7 +1994,8 @@ object PipelineQueries {
     "q94_stream_neardup" -> (q94 _),
     "q101_quantized_cosine" -> (q101 _),
     "q102_ann_recall" -> (q102 _),
-    "q118_semantic_dedup" -> (q118 _))
+    "q118_semantic_dedup" -> (q118 _),
+    "q132_span_dedup" -> (q132 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -1959,6 +2013,7 @@ object PipelineQueries {
     "q50_multimodal" -> q50Sql,
     "q51_embed_neardup" -> q51Sql,
     "q118_semantic_dedup" -> q118Sql,
+    "q132_span_dedup" -> q132Sql,
     "q52_scrub" -> q52Sql,
     "q53_dedup_clusters" -> q53Sql,
     "q54_srp_neardup" -> q54Sql,
