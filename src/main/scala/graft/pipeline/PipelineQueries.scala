@@ -215,6 +215,69 @@ object PipelineQueries {
        |FROM sph s JOIN inv i USING (h)
        |GROUP BY 1""".stripMargin
 
+  // ---- Q133 token-budget shard packing ------------------------------------
+
+  /** Q133: token-budget shard packing — the training-shard writer's
+    * assignment: documents in a stable order (doc_id) are cut into shards
+    * at a 4096-token budget; a doc lands in shard `cum_before div B`, so
+    * shards are contiguous, deterministic, and a doc crossing the budget
+    * boundary stays in the shard where it started (the streaming-writer
+    * semantic). The output is the shard manifest (doc count, token total,
+    * doc-id range per shard) a downstream loader consumes.
+    *
+    * Scale shape: a GLOBAL running sum without the global-window trap — a
+    * naive `Window.orderBy(doc_id)` drags the whole corpus into one
+    * reducer. Instead the classic two-level distributed prefix sum, fully
+    * declarative: block-local sums (one map-side-combined aggregation,
+    * corpus/1000 rows), block OFFSETS via a window over that tiny
+    * aggregate (single-partition but planner-scale — block size is the
+    * knob that keeps it so at any corpus), broadcast back, and the
+    * intra-block cumsum as a window partitioned BY BLOCK. Every stage
+    * bounded; no full-corpus sort into one partition at any size.
+    */
+  private def q133(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 4096L
+    val block = 1000L
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("blk", expr(s"doc_id div $block"))
+    val wOff = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("blk")).agg(sum(col("tok")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wOff), lit(0L)))
+      .select(col("blk"), col("boff"))
+    val wBlk = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    d.join(broadcast(offsets), "blk")
+      .withColumn("cum",
+        col("boff") + coalesce(sum(col("tok")).over(wBlk), lit(0L)))
+      .withColumn("shard", expr(s"cum div $budget"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
+  /** Oracle twin: the same cut points from one global window (the oracle
+    * need not scale); `//` is DuckDB's integral division like Spark's
+    * `div`.
+    */
+  private val q133Sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, tok,
+      |         COALESCE(sum(tok) OVER (ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      |  FROM d)
+      |SELECT CAST(cum // 4096 AS BIGINT) AS shard,
+      |       CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(tok) AS BIGINT) AS tokens,
+      |       CAST(min(doc_id) AS BIGINT) AS first_doc,
+      |       CAST(max(doc_id) AS BIGINT) AS last_doc
+      |FROM c GROUP BY 1""".stripMargin
+
   // ---- Q85 chunking / Q86 decontamination --------------------------------
 
   /** Q85: document chunking — the LLM-preprocessing step that turns each
@@ -1995,7 +2058,8 @@ object PipelineQueries {
     "q101_quantized_cosine" -> (q101 _),
     "q102_ann_recall" -> (q102 _),
     "q118_semantic_dedup" -> (q118 _),
-    "q132_span_dedup" -> (q132 _))
+    "q132_span_dedup" -> (q132 _),
+    "q133_shard_pack" -> (q133 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -2014,6 +2078,7 @@ object PipelineQueries {
     "q51_embed_neardup" -> q51Sql,
     "q118_semantic_dedup" -> q118Sql,
     "q132_span_dedup" -> q132Sql,
+    "q133_shard_pack" -> q133Sql,
     "q52_scrub" -> q52Sql,
     "q53_dedup_clusters" -> q53Sql,
     "q54_srp_neardup" -> q54Sql,
