@@ -27,7 +27,10 @@ import scala.jdk.CollectionConverters._
   *
   *   - `GET /v1/config` → `{"defaults":{},"overrides":{}}`
   *   - `GET /v1/namespaces` → `{"namespaces":[["default"]]}`
-  *   - `GET /v1/namespaces/default/tables` → table identifier list
+  *   - `GET /v1/namespaces/default/tables` → table identifier list;
+  *     paginated per the spec via `pageSize`/`pageToken` (opaque cursor =
+  *     last identifier served; `next-page-token` present only when the
+  *     page was truncated)
   *   - `GET /v1/namespaces/default/tables/{t}` → LoadTableResult: the
   *     spec's required TableMetadata fields (location, last-updated-ms,
   *     last-column-id, schemas, partition-specs, sort-orders,
@@ -144,13 +147,23 @@ object RestCatalogServer {
     // listed. Escaping '+' first makes URLDecoder a pure percent-decoder.
     // Malformed percent-escapes are the CLIENT's error: a 400, not the
     // catch-all 500.
-    val segs =
-      try path.split('/').filter(_.nonEmpty).toSeq
-        .map(s => java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8"))
-      catch { case e: IllegalArgumentException =>
+    def dec(s: String) =
+      java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    val (segs, query) =
+      try {
+        val s = path.split('/').filter(_.nonEmpty).toSeq.map(dec)
+        val qs = uri.dropWhile(_ != '?').drop(1)
+        val kv = qs.split('&').filter(_.nonEmpty).toSeq.map { p =>
+          p.split("=", 2) match {
+            case Array(k, v) => dec(k) -> dec(v)
+            case Array(k) => dec(k) -> ""
+          }
+        }.toMap
+        (s, kv)
+      } catch { case e: IllegalArgumentException =>
         return HttpResponseStatus.BAD_REQUEST ->
-          errorJson(s"malformed percent-encoding in request path: " +
-            Option(e.getMessage).getOrElse(path), "BadRequestException", 400)
+          errorJson(s"malformed percent-encoding in request: " +
+            Option(e.getMessage).getOrElse(uri), "BadRequestException", 400)
       }
     (method, segs) match {
       case (HttpMethod.GET, Seq("v1", "config")) =>
@@ -160,9 +173,34 @@ object RestCatalogServer {
       case (HttpMethod.GET, Seq("v1", "namespaces", "default")) =>
         HttpResponseStatus.OK -> """{"namespace":["default"],"properties":{}}"""
       case (HttpMethod.GET, Seq("v1", "namespaces", "default", "tables")) =>
-        val ids = catalog.tables().sorted.map(t =>
-          s"""{"namespace":["default"],"name":${q(t)}}""")
-        HttpResponseStatus.OK -> s"""{"identifiers":[${ids.mkString(",")}]}"""
+        // Iceberg-REST pagination: `pageToken` is an opaque cursor (here:
+        // the last identifier served — strictly-after resumption is stable
+        // under sorted order even if tables are created mid-iteration);
+        // `next-page-token` appears ONLY when a page was truncated. No
+        // `pageSize` = the whole listing, the spec's non-paginated mode.
+        val all = catalog.tables().sorted
+        val after = query.get("pageToken")
+          .fold(all)(tok => all.dropWhile(_ <= tok))
+        query.get("pageSize") match {
+          case Some(raw) =>
+            raw.toIntOption.filter(_ >= 1) match {
+              case None => badRequest(
+                s"pageSize must be a positive integer, got '$raw'")
+              case Some(n) =>
+                val page = after.take(n)
+                val ids = page.map(t =>
+                  s"""{"namespace":["default"],"name":${q(t)}}""")
+                val tail =
+                  if (after.size > n) s""","next-page-token":${q(page.last)}"""
+                  else ""
+                HttpResponseStatus.OK ->
+                  s"""{"identifiers":[${ids.mkString(",")}]$tail}"""
+            }
+          case None =>
+            val ids = after.map(t =>
+              s"""{"namespace":["default"],"name":${q(t)}}""")
+            HttpResponseStatus.OK -> s"""{"identifiers":[${ids.mkString(",")}]}"""
+        }
       case (HttpMethod.GET, Seq("v1", "namespaces", "default", "tables", t)) =>
         if (!catalog.tables().contains(t))
           HttpResponseStatus.NOT_FOUND ->

@@ -246,4 +246,52 @@ class RestCatalogSpec extends SparkSpec {
       assert(c7 == 400 && badAction.contains("unsupported update action"), badAction)
     } finally server.close()
   }
+
+  test("table listing paginates: cursor walk covers every table exactly once") {
+    val root = Files.createTempDirectory("graft-rest-page").toString
+    val cat = new GraftCatalog(root)
+    val names = (1 to 5).map(i => s"t$i")
+    names.foreach(cat.createTable(_, Nil))
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      def nameSeq(body: String): Seq[String] =
+        "\"name\":\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+      def token(body: String): Option[String] =
+        "\"next-page-token\":\"([^\"]+)\"".r.findFirstMatchIn(body).map(_.group(1))
+
+      // no pageSize = the whole listing, no token
+      val (cAll, all) = get(port, "/v1/namespaces/default/tables")
+      assert(cAll == 200 && nameSeq(all) == names && token(all).isEmpty, all)
+
+      // cursor walk at pageSize=2: 2 + 2 + 1, token only on truncated pages
+      var walked = Seq.empty[String]
+      var tok = Option.empty[String]
+      var pages = 0
+      while ({
+        val qs = "?pageSize=2" + tok.fold("")(t => s"&pageToken=$t")
+        val (c, body) = get(port, s"/v1/namespaces/default/tables$qs")
+        assert(c == 200, body)
+        walked ++= nameSeq(body)
+        tok = token(body)
+        pages += 1
+        tok.isDefined
+      }) ()
+      assert(walked == names, s"cursor walk returned $walked")
+      assert(pages == 3)
+
+      // a table created MID-WALK after the cursor still shows up
+      val (_, p1) = get(port, "/v1/namespaces/default/tables?pageSize=2")
+      cat.createTable("t9", Nil)
+      val (_, p2) = get(port,
+        s"/v1/namespaces/default/tables?pageSize=9&pageToken=${token(p1).get}")
+      assert(nameSeq(p2) == Seq("t3", "t4", "t5", "t9"), p2)
+
+      // malformed pageSize is the client's error
+      val (cBad, bad) = get(port, "/v1/namespaces/default/tables?pageSize=zero")
+      assert(cBad == 400 && bad.contains("BadRequestException"), bad)
+      val (cZero, _) = get(port, "/v1/namespaces/default/tables?pageSize=0")
+      assert(cZero == 400)
+    } finally server.close()
+  }
 }
