@@ -175,7 +175,26 @@ object ExplainAudit {
         "PrunedFilteredScan.buildScan, which folds it to a range and asks the " +
         "catalog's stats pruning for the file subset; the RDD boundary appears " +
         "as an ExistingRDD scan with Spark's exact filter re-applied on top " +
-        "(all filters declared unhandled — pruning skips IO, never semantics)."))
+        "(all filters declared unhandled — pruning skips IO, never semantics)."),
+    "q131_bloom_lookup" ->
+      ("Content-addressed point lookup through the per-file bloom sidecar: " +
+        "the task list is pruned BEFORE planning (bloom bits prove absence " +
+        "where min/max straddle every probe), so the scan node lists only the " +
+        "surviving file(s); the exact fp-equality filter re-applies on top — " +
+        "pruning skips IO, never semantics."),
+    "q132_span_dedup" ->
+      ("Span inventory in the hash domain: ONE codegen kernel pass per doc " +
+        "emits the distinct 8-word span-hash set (no explode+distinct " +
+        "shuffle); the corpus-wide inventory is a partial+final hash " +
+        "aggregate over 8-byte keys; the join back shares the hash " +
+        "partitioning so hot boilerplate spans are AQE-skew-splittable. " +
+        "Linear in span count — nothing quadratic."),
+    "q133_shard_pack" ->
+      ("Distributed prefix sum, NOT a global window: block-local sums " +
+        "(partial+final agg), block offsets from a window over the " +
+        "planner-scale block table, broadcast back, intra-block cumsum as a " +
+        "window PARTITIONED by block — no full-corpus sort into a single " +
+        "reducer anywhere in the plan."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
