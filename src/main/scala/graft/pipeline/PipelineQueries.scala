@@ -278,6 +278,56 @@ object PipelineQueries {
       |       CAST(max(doc_id) AS BIGINT) AS last_doc
       |FROM c GROUP BY 1""".stripMargin
 
+  // ---- Q134 composite quality filter (the DECISION stage) -----------------
+
+  /** Q134: the filter DECISION stage — q46 scores, this one decides.
+    * Gopher-style ordered rejection rules (Rae et al. 2021 flavor:
+    * length floor, symbol/alpha ratio, stop-word presence, repetition via
+    * distinct-token ratio) evaluated with FIRST-FAILURE precedence so every
+    * dropped doc carries one auditable reason — the shape a curation
+    * pipeline reports ("N dropped for X") and replays after threshold
+    * changes. All signals are row-level codegen (one pass, no shuffle,
+    * no UDF); thresholds are fixture-calibrated (documented: real corpora
+    * tune per-language; `low_alpha` never fires on the all-alpha fixture
+    * and is kept as the stated rule order).
+    */
+  private def q134(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val t = split(lower(col("text")), " ")
+    val nt = size(t).cast("long")
+    val alpha = length(regexp_replace(lower(col("text")), "[^a-z ]", ""))
+      .cast("double") / length(col("text"))
+    val stopRatio = size(filter(t, x =>
+      array_contains(array(lit("the"), lit("a"), lit("and"), lit("of")), x)))
+      .cast("double") / nt
+    val distinctRatio = size(array_distinct(t)).cast("double") / nt
+    d.select(col("doc_id"),
+      when(nt < 15, lit("too_short"))
+        .when(alpha < 0.6, lit("low_alpha"))
+        .when(stopRatio < 0.02, lit("low_stopwords"))
+        .when(distinctRatio < 0.33, lit("repetitive"))
+        .otherwise(lit("kept")).as("reason"))
+  }
+
+  private val q134Sql =
+    """WITH d AS (SELECT doc_id,
+      |  len(string_split(lower(text), ' ')) AS nt,
+      |  CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g')) AS DOUBLE)
+      |    / length(text) AS ar,
+      |  CAST(len(list_filter(string_split(lower(text), ' '),
+      |         x -> list_contains(['the', 'a', 'and', 'of'], x))) AS DOUBLE)
+      |    / len(string_split(lower(text), ' ')) AS sr,
+      |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+      |    / len(string_split(lower(text), ' ')) AS dr
+      |FROM documents)
+      |SELECT doc_id,
+      |       CASE WHEN nt < 15 THEN 'too_short'
+      |            WHEN ar < 0.6 THEN 'low_alpha'
+      |            WHEN sr < 0.02 THEN 'low_stopwords'
+      |            WHEN dr < 0.33 THEN 'repetitive'
+      |            ELSE 'kept' END AS reason
+      |FROM d""".stripMargin
+
   // ---- Q85 chunking / Q86 decontamination --------------------------------
 
   /** Q85: document chunking — the LLM-preprocessing step that turns each
@@ -2059,7 +2109,8 @@ object PipelineQueries {
     "q102_ann_recall" -> (q102 _),
     "q118_semantic_dedup" -> (q118 _),
     "q132_span_dedup" -> (q132 _),
-    "q133_shard_pack" -> (q133 _))
+    "q133_shard_pack" -> (q133 _),
+    "q134_quality_filter" -> (q134 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -2079,6 +2130,7 @@ object PipelineQueries {
     "q118_semantic_dedup" -> q118Sql,
     "q132_span_dedup" -> q132Sql,
     "q133_shard_pack" -> q133Sql,
+    "q134_quality_filter" -> q134Sql,
     "q52_scrub" -> q52Sql,
     "q53_dedup_clusters" -> q53Sql,
     "q54_srp_neardup" -> q54Sql,
