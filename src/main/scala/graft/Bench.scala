@@ -63,7 +63,12 @@ object Bench {
     "q87" -> 0.74, "q88" -> 0.51, "q89" -> 0.22, "q90" -> 1.4,
     "q91" -> 0.15, "q92" -> 0.97, "q93" -> 0.57, "q94" -> 2.02,
     "q95" -> 0.52, "q96" -> 0.33, "q97" -> 0.4, "q98" -> 0.39,
-    "q99" -> 0.26)
+    "q99" -> 0.26,
+    // round-10 gates: levels from this round's idle-box runs (q129/q130
+    // from the round's clean 116 s full bench; q131–q134 from the bench +
+    // DriftProbe min-of-3)
+    "q129" -> 0.6, "q130" -> 2.0, "q131" -> 0.5, "q132" -> 2.6,
+    "q133" -> 1.1, "q134" -> 0.45)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 3× the query's recorded

@@ -240,6 +240,16 @@ object ExplainAudit {
     sb.append("q114 57.5→1.60, q117 40.4→2.25, q119 20→2.75, q120 17.9→3.03,\n")
     sb.append("q116 15→2.51, q123 13.3→2.36. Full 120-query suite: 116 s total,\n")
     sb.append("rc=0, zero errors (r8: 575 s partial at rc=1).\n")
+    sb.append("\n")
+    sb.append("r10 late-session check: a full-suite run (127 queries, 161 s) hit a\n")
+    sb.append("stall window across its alphabetical TAIL — q99 0.26→14.6 s,\n")
+    sb.append("q98 0.4→7.6, q94 2.2→10.8, q95/q97/q93/q_grp 3-6× — and an immediate\n")
+    sb.append("DriftProbe min-of-3 of exactly those queries measured q99 0.54,\n")
+    sb.append("q98 1.39, q97 0.60, q95 0.65, q93 1.28, q_grp 0.62 with per-sample\n")
+    sb.append("spreads up to 7× INSIDE the probe (q133 samples 10.3/6.3/1.6 s for a\n")
+    sb.append("0.5 s query) — the box was mid-stall, no plan-level cause; the\n")
+    sb.append("round's earlier clean run recorded 116 s. New gates' healthy levels\n")
+    sb.append("(q129-q134) are now in Bench.recordedSec so their drift retries too.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
