@@ -2524,6 +2524,67 @@ final class GraftCatalog(root: String,
     * commits on the same table is the honest pessimistic equivalent of
     * Iceberg's validate-and-retry optimistic commit.
     */
+  /** Iceberg's `rewrite_position_delete_files`: merge the table's
+    * accumulated position-delete files into few, dropping rows that
+    * DANGLE (their target data file has left the snapshot — e.g. an
+    * external rewrite replaced the data file without rewriting deletes;
+    * dangling rows match nothing but every MoR scan still reads them).
+    * Data files are untouched — this is the cheap maintenance op between
+    * full compactions: each row-level DELETE commit adds ≥1 small delete
+    * file, and scans pay one file-open per delete file forever until
+    * either a full rewrite (expensive, rewrites DATA) or this (reads and
+    * rewrites only the delete rows).
+    *
+    * One distributed pass: union the delete files, keep rows whose target
+    * path is still a live data file (semi join against the snapshot's
+    * path list — driver-sized metadata, broadcast), distinct, write
+    * `targetFiles` outputs, commit as a rewrite (old posdel entries out,
+    * compacted ones in at the max original sequence number; pos-deletes
+    * bind by FILE IDENTITY, so merging across commits is sound — unlike
+    * eq-deletes, whose strict seq guard forbids cross-seq merging and
+    * which this op deliberately leaves alone).
+    *
+    * The write runs outside the table lock; the commit re-reads entries
+    * under it and removes exactly the delete files read, so delete
+    * commits racing in keep their (new) files. Old files stay on disk for
+    * [[removeOrphanFiles]]. No-op (current head returned) when the table
+    * has fewer than two position-delete files and nothing would shrink.
+    */
+  def compactDeleteFiles(
+      spark: SparkSession,
+      table: String,
+      outDir: String,
+      targetFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val entries = loadEntries(table)
+    val pos = entries.filter(_.kind == "posdel")
+    if (pos.size <= math.max(targetFiles, 1))
+      return currentSnapshotId(table)
+    val merged = CompactionRunner.readPositionDeletes(spark,
+      pos.map(p => PosDeleteTask(p.path))).get
+    val livePaths = entries.filter(_.kind == "data")
+      .map(e => CompactionRunner.canonPath(e.path))
+    import spark.implicits._
+    val alive = merged
+      .join(broadcast(livePaths.toDF(
+        graft.operators.MorPlanner.FilePathCol)),
+        Seq(graft.operators.MorPlanner.FilePathCol), "left_semi")
+      .distinct()
+      .select(col(graft.operators.MorPlanner.FilePathCol).as("file_path"),
+        col(graft.operators.MorPlanner.PosCol).as("pos"))
+    val token = java.util.UUID.randomUUID().toString
+    val dir = s"$outDir/posdel-compact-$token"
+    alive.coalesce(math.max(targetFiles, 1))
+      .write.mode("errorifexists").parquet(dir)
+    val written = CompactionRunner.listParquet(dir)
+    val seq = pos.map(_.seqNum).max
+    withTableLock(table) {
+      commitRewriteLocked(table,
+        written.map(p => TableEntry("posdel", p, seq, "parquet", Nil)),
+        pos.map(_.path))
+    }
+  }
+
   def compactTable(
       spark: SparkSession,
       table: String,

@@ -1,0 +1,104 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.CompactionRunner.DataFileTask
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+/** Position-delete file compaction (`GraftCatalog.compactDeleteFiles`) —
+  * Iceberg's `rewrite_position_delete_files`: per-commit small delete
+  * files merge into few, dangling rows (targets gone from the snapshot)
+  * drop, data files and scan results stay byte-identical.
+  */
+class DeleteFileCompactionSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newCatalog() =
+    new GraftCatalog(Files.createTempDirectory("graft-dfc-cat").toString)
+
+  private def writeParquet(rows: Seq[(Long, String)], dir: String): Seq[String] = {
+    rows.toDF("k", "v").coalesce(1).write.mode("overwrite").parquet(dir)
+    CompactionRunner.listParquet(dir)
+  }
+
+  private def keys(cat: GraftCatalog, t: String): Seq[Long] =
+    cat.scanTable(spark, t).select("k").as[Long].collect().toSeq.sorted
+
+  test("three delete commits collapse to one file; answers and data entries unchanged") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-dfc-base").toString
+    val f0 = writeParquet((1L to 50L).map(k => (k, s"v$k")), s"$base/b0")
+    val f1 = writeParquet((51L to 100L).map(k => (k, s"v$k")), s"$base/b1")
+    cat.createTable("t", (f0 ++ f1).map(DataFileTask(_, 1L)))
+
+    cat.deleteWhere(spark, "t", col("k") <= 10L, s"$base/d1")
+    cat.deleteWhere(spark, "t", col("k") >= 95L, s"$base/d2")
+    cat.deleteWhere(spark, "t", col("k") === 60L, s"$base/d3")
+
+    val before = cat.loadEntries("t")
+    // ≥ one delete file per commit (a commit touching both data files may
+    // write more — exactly the small-file accumulation under test)
+    assert(before.count(_.kind == "posdel") >= 3)
+    val expect = keys(cat, "t")
+    val dataBefore = before.filter(_.kind == "data").map(_.path).toSet
+    val oldDeleteFiles = before.filter(_.kind == "posdel").map(_.path)
+    val headBefore = cat.currentSnapshotId("t")
+
+    val next = cat.compactDeleteFiles(spark, "t", s"$base/out")
+    assert(next == headBefore + 1)
+
+    val after = cat.loadEntries("t")
+    assert(after.count(_.kind == "posdel") == 1,
+      s"want 1 compacted delete file, got ${after.filter(_.kind == "posdel")}")
+    assert(after.filter(_.kind == "data").map(_.path).toSet == dataBefore,
+      "data entries must be untouched")
+    assert(keys(cat, "t") == expect, "compaction changed scan answers")
+    // retired files stay on disk for orphan collection
+    oldDeleteFiles.foreach(p =>
+      assert(new java.io.File(p.stripPrefix("file:")).exists(), s"$p deleted"))
+  }
+
+  test("dangling delete rows (target data file left the snapshot) are dropped") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-dfc-base").toString
+    val f0 = writeParquet((1L to 50L).map(k => (k, s"v$k")), s"$base/b0")
+    val f1 = writeParquet((51L to 100L).map(k => (k, s"v$k")), s"$base/b1")
+    cat.createTable("t", (f0 ++ f1).map(DataFileTask(_, 1L)))
+
+    // one delete commit touching BOTH files, then a second for file count
+    cat.deleteWhere(spark, "t", col("k") === 5L || col("k") === 55L, s"$base/d1")
+    cat.deleteWhere(spark, "t", col("k") === 6L || col("k") === 56L, s"$base/d2")
+    // an "external engine" replaces f1 without rewriting deletes: the four
+    // delete rows targeting f1 now dangle (and 55/56 resurrect — the
+    // simulated engine's choice, not ours)
+    val f1b = writeParquet((51L to 100L).map(k => (k, s"w$k")), s"$base/b1b")
+    cat.commitRewrite("t", f1b.map(DataFileTask(_, 2L)), f1)
+
+    val expect = keys(cat, "t")
+    cat.compactDeleteFiles(spark, "t", s"$base/out")
+    assert(keys(cat, "t") == expect)
+
+    val compacted = cat.loadEntries("t").filter(_.kind == "posdel")
+    assert(compacted.size == 1)
+    val rows = spark.read.parquet(compacted.head.path)
+    assert(rows.count() == 2,
+      "only the two f0-targeting rows survive; f1's dangle and drop")
+    assert(rows.select("file_path").distinct().count() == 1)
+  }
+
+  test("no-op below the target file count") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-dfc-base").toString
+    val f0 = writeParquet((1L to 50L).map(k => (k, s"v$k")), s"$base/b0")
+    cat.createTable("t", f0.map(DataFileTask(_, 1L)))
+    val h0 = cat.currentSnapshotId("t")
+    assert(cat.compactDeleteFiles(spark, "t", s"$base/out") == h0,
+      "zero delete files: no commit")
+    cat.deleteWhere(spark, "t", col("k") === 1L, s"$base/d1")
+    val h1 = cat.currentSnapshotId("t")
+    assert(cat.compactDeleteFiles(spark, "t", s"$base/out") == h1,
+      "one delete file at targetFiles=1: nothing would shrink")
+  }
+}
