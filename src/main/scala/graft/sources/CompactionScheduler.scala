@@ -29,10 +29,12 @@ final class CompactionScheduler(
     catalog: GraftCatalog,
     outRoot: String,
     minAppendedFiles: Int = 8,
-    maxConcurrent: Int = 2) {
+    maxConcurrent: Int = 2,
+    minDeleteFiles: Int = 8) {
 
   require(minAppendedFiles > 0, "minAppendedFiles must be positive")
   require(maxConcurrent > 0, "maxConcurrent must be positive")
+  require(minDeleteFiles > 1, "minDeleteFiles must exceed the 1-file floor")
 
   private val sweepCounter = new java.util.concurrent.atomic.AtomicLong()
 
@@ -51,9 +53,23 @@ final class CompactionScheduler(
     try {
       val futures = scored.map { case (table, debt) =>
         scala.concurrent.Future {
-          if (debt < minAppendedFiles)
-            CompactionScheduler.Outcome(table, debt, "healthy", None)
-          else try {
+          if (debt < minAppendedFiles) {
+            // append side healthy — check the DELETE side: per-commit
+            // small delete files cost every MoR scan a file open, and
+            // retiring them is far cheaper than a data rewrite
+            val dDebt = catalog.deleteFileDebt(table)
+            if (dDebt < minDeleteFiles)
+              CompactionScheduler.Outcome(table, debt, "healthy", None)
+            else try {
+              val snap = catalog.compactDeleteFiles(spark, table,
+                s"$outRoot/$table/sweep-$sweepId-deletes")
+              CompactionScheduler.Outcome(
+                table, dDebt, "deletes_compacted", Some(snap))
+            } catch {
+              case _: GraftError.Metadata =>
+                CompactionScheduler.Outcome(table, dDebt, "conflict", None)
+            }
+          } else try {
             catalog.maybeCompactTable(spark, table,
               s"$outRoot/$table/sweep-$sweepId", minAppendedFiles, config) match {
               case Some((snap, _)) =>
@@ -76,10 +92,13 @@ final class CompactionScheduler(
 
 object CompactionScheduler {
 
-  /** What one sweep did to one table: `outcome` ∈ `healthy` (debt below
-    * threshold — metadata check only), `compacted` (new snapshot
-    * committed), `conflict` (another driver won the commit race; the debt
-    * is being drained regardless).
+  /** What one sweep did to one table: `outcome` ∈ `healthy` (both debts
+    * below threshold — metadata checks only), `compacted` (data rewrite
+    * committed), `deletes_compacted` (append side healthy but the
+    * position-delete file count crossed `minDeleteFiles`, so the cheap
+    * [[GraftCatalog.compactDeleteFiles]] ran — `debt` then reports the
+    * DELETE-file count), `conflict` (another driver won the commit race;
+    * the debt is being drained regardless).
     */
   final case class Outcome(
       table: String,

@@ -2809,6 +2809,15 @@ final class GraftCatalog(root: String,
     case None => loadTable(table).size
   }
 
+  /** Delete-file DEBT: position-delete files the snapshot carries — each
+    * costs every MoR scan a file open until retired. Metadata-only (one
+    * snapshot read). The scheduler pairs it with [[compactionDebt]]:
+    * append debt warrants a data rewrite (which also retires deletes);
+    * delete debt ALONE warrants the far cheaper [[compactDeleteFiles]].
+    */
+  def deleteFileDebt(table: String): Int =
+    loadEntries(table).count(_.kind == "posdel")
+
   /** All tables in this catalog (any directory with a registered head) —
     * forks ([[forkTable]]'s `name@branch`) included; schedulers filter.
     */

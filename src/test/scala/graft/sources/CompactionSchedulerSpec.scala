@@ -60,4 +60,30 @@ class CompactionSchedulerSpec extends SparkSpec {
     assert(third.filterNot(_.table == "big").forall(_.outcome == "healthy"))
     assert(cat.scanTable(spark, "big").count() == 180L)
   }
+
+  test("delete-file debt alone triggers the cheap delete compaction, not a rewrite") {
+    import org.apache.spark.sql.functions.col
+    val cat = new GraftCatalog(
+      Files.createTempDirectory("graft-sched-cat2").toString)
+    addTable(cat, "t", 2) // append side healthy (2 < 8)
+    val out = Files.createTempDirectory("graft-sched-out2").toString
+    // four row-level DELETE commits accumulate small delete files
+    (1 to 4).foreach(i =>
+      cat.deleteWhere(spark, "t", col("k") === (i * 10L), s"$out/d$i"))
+    val dDebt = cat.deleteFileDebt("t")
+    assert(dDebt >= 4)
+    val expect = cat.scanTable(spark, "t").count()
+
+    val sched = new CompactionScheduler(cat, out,
+      minAppendedFiles = 8, maxConcurrent = 2, minDeleteFiles = 3)
+    val report = sched.sweep(spark)
+    val o = report.find(_.table == "t").get
+    assert(o.outcome == "deletes_compacted" && o.debt == dDebt, o)
+    assert(cat.deleteFileDebt("t") == 1, "deletes not collapsed")
+    assert(cat.loadTable("t").size == 2, "data files must be untouched")
+    assert(cat.scanTable(spark, "t").count() == expect)
+
+    // drained: the next sweep is metadata-only healthy
+    assert(sched.sweep(spark).find(_.table == "t").get.outcome == "healthy")
+  }
 }
