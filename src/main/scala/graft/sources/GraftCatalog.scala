@@ -2382,6 +2382,44 @@ final class GraftCatalog(root: String,
     } catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 
+  /** DROP a table: remove its METADATA (snapshot documents, segments,
+    * schemas, refs, sidecars, head pointer). Data files are NEVER touched
+    * — Iceberg's drop-without-purge: committed files may be shared
+    * (pre-fork generations, external writers holding paths), so
+    * reclamation is a separate ownership decision, not a side effect of
+    * unregistering a name. Refuses while live forks exist: their
+    * FORK_BASE names this table, and a later publish would fail far from
+    * the cause. Fork names themselves go through [[dropFork]].
+    *
+    * Store-backed catalogs deregister the pointer FIRST (the authoritative
+    * existence bit — concurrent drivers stop committing immediately), then
+    * delete the metadata directory; a crash between the two leaves
+    * headless files that [[tables]] never lists, and a re-run converges
+    * ([[HeadStore.remove]] is a no-op on a missing pointer).
+    */
+  def dropTable(table: String): Unit = {
+    require(!table.contains("@"), s"$table is a fork — use dropFork")
+    require(headExists(table), s"table $table does not exist")
+    val forks = tables().filter(_.startsWith(s"$table@"))
+    require(forks.isEmpty,
+      s"drop of $table blocked by live forks: ${forks.mkString(", ")} " +
+        "(publish or dropFork them first)")
+    withTableLock(table) {
+      headStore.foreach(_.remove(table))
+      val dir = tableDir(table)
+      val stream = Files.list(dir)
+      val files = try stream.iterator().asScala.toSeq finally stream.close()
+      files.foreach(Files.deleteIfExists)
+    }
+    // directory last, outside the lock (the lock file lives inside it);
+    // a leftover headless directory is invisible and harmless — same
+    // discipline as dropFork
+    try {
+      Files.deleteIfExists(tableDir(table).resolve(".lock"))
+      Files.deleteIfExists(tableDir(table))
+    } catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+  }
+
   // ---- named snapshot refs (Iceberg tags: immutable named pointers) ------
 
   private def refsPath(table: String) = tableDir(table).resolve("refs.tsv")
@@ -3116,5 +3154,11 @@ object GraftCatalog {
       * moved the pointer first (the optimistic-commit conflict signal).
       */
     def cas(table: String, expected: Long, next: Long): Boolean
+
+    /** Deregister a table's pointer ([[GraftCatalog.dropTable]]). Removing
+      * a pointer that does not exist is a no-op — drops must be replayable
+      * after a crash between pointer removal and metadata deletion.
+      */
+    def remove(table: String): Unit
   }
 }

@@ -94,6 +94,18 @@ final class JdbcHeadStore(
       } finally ps.close()
     }
 
+  override def remove(table: String): Unit = conn.synchronized {
+    val ps = conn.prepareStatement(
+      "DELETE FROM iceberg_tables WHERE catalog_name = ? AND " +
+        "table_namespace = ? AND table_name = ?")
+    try {
+      ps.setString(1, catalogName); ps.setString(2, namespace)
+      ps.setString(3, table)
+      ps.executeUpdate() // 0 rows = already gone: drops are replayable
+      ()
+    } finally ps.close()
+  }
+
   def close(): Unit = conn.synchronized(conn.close())
 }
 

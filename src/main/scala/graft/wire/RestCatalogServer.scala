@@ -36,6 +36,9 @@ import scala.jdk.CollectionConverters._
   *     last-column-id, schemas, partition-specs, sort-orders,
   *     last-sequence-number, …), the snapshot log with per-snapshot
   *     commit summaries, and `refs` (main branch + every tag).
+  *   - `DELETE /v1/namespaces/default/tables/{t}` → DROP (metadata only,
+  *     Iceberg's drop-without-purge): 204 on success, 409 while live
+  *     forks block the drop.
   *   - `POST /v1/namespaces/default/tables` → CREATE: body carries `name`
   *     and optionally an Iceberg struct `schema` (field ids preserved into
   *     the catalog's canonical schema). 409 `AlreadyExistsException` when
@@ -206,6 +209,19 @@ object RestCatalogServer {
           HttpResponseStatus.NOT_FOUND ->
             errorJson(s"Table does not exist: default.$t", "NoSuchTableException", 404)
         else HttpResponseStatus.OK -> tableJson(catalog, t)
+      case (HttpMethod.DELETE, Seq("v1", "namespaces", "default", "tables", t)) =>
+        if (!catalog.tables().contains(t))
+          HttpResponseStatus.NOT_FOUND ->
+            errorJson(s"Table does not exist: default.$t", "NoSuchTableException", 404)
+        else
+          try { catalog.dropTable(t); HttpResponseStatus.NO_CONTENT -> "" }
+          catch {
+            // live forks etc. — the caller's ordering problem, not a 500
+            case e: IllegalArgumentException =>
+              HttpResponseStatus.CONFLICT ->
+                errorJson(Option(e.getMessage).getOrElse("drop refused"),
+                  "CommitFailedException", 409)
+          }
       case (HttpMethod.POST, Seq("v1", "namespaces", "default", "tables")) =>
         createTable(catalog, body)
       case (HttpMethod.POST, Seq("v1", "namespaces", "default", "tables", t)) =>

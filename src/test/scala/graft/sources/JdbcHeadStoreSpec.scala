@@ -98,6 +98,7 @@ class JdbcHeadStoreSpec extends SparkSpec {
       }
       inner.cas(t, expected, next)
     }
+    override def remove(t: String): Unit = inner.remove(t)
   }
 
   test("optimistic-commit conflict: a foreign driver's interleaved commit aborts ours, typed") {

@@ -247,6 +247,38 @@ class RestCatalogSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("DELETE drops a table: 204, gone from the listing; fork conflicts are 409") {
+    val root = Files.createTempDirectory("graft-rest-drop").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("a", Nil)
+    cat.createTable("b", Nil)
+    cat.forkTable("b", "audit")
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      def del(path: String): (Int, String) = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("DELETE")
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = if (in == null) ""
+          else new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        if (in != null) in.close()
+        (code, body)
+      }
+      val (c1, _) = del("/v1/namespaces/default/tables/a")
+      assert(c1 == 204)
+      val (_, listing) = get(port, "/v1/namespaces/default/tables")
+      assert(!listing.contains("\"a\"") && listing.contains("\"b\""), listing)
+      val (c2, gone) = del("/v1/namespaces/default/tables/a")
+      assert(c2 == 404 && gone.contains("NoSuchTableException"), gone)
+      // a live fork blocks the drop with the spec's conflict envelope
+      val (c3, blocked) = del("/v1/namespaces/default/tables/b")
+      assert(c3 == 409 && blocked.contains("b@audit"), blocked)
+    } finally server.close()
+  }
+
   test("table listing paginates: cursor walk covers every table exactly once") {
     val root = Files.createTempDirectory("graft-rest-page").toString
     val cat = new GraftCatalog(root)
