@@ -2420,6 +2420,59 @@ final class GraftCatalog(root: String,
     } catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 
+  /** RENAME a table: re-register the same metadata under a new name. The
+    * snapshot documents are small immutable files, so rename = copy them
+    * into the new directory, register the new head at the same snapshot
+    * id, then unregister and delete the old name — data files untouched
+    * (entries carry absolute paths; segment references are
+    * directory-relative and copy with their documents). NOT atomic across
+    * the two names (the filesystem has no two-directory transaction;
+    * Iceberg's `SqlCatalog` does this as one row update): during the
+    * switch the table is briefly visible under BOTH names, never under
+    * neither. A crash after the new head registers leaves both live —
+    * finish with [[dropTable]] on the old name (the copy is
+    * self-contained). Locks are taken in name order, so concurrent
+    * `a→b` / `b→a` renames cannot deadlock; forks and fork parents are
+    * refused like [[dropTable]].
+    */
+  def renameTable(from: String, to: String): Unit = {
+    require(!from.contains("@"), s"$from is a fork — forks are not renamed")
+    require(to.nonEmpty && !to.exists("@\t\n/".contains(_)),
+      s"invalid table name '$to'")
+    require(from != to, "rename to the same name")
+    require(headExists(from), s"table $from does not exist")
+    require(!headExists(to), s"table $to already exists")
+    val forks = tables().filter(_.startsWith(s"$from@"))
+    require(forks.isEmpty,
+      s"rename of $from blocked by live forks: ${forks.mkString(", ")}")
+    def body(): Unit = {
+      val head = currentSnapshotId(from)
+      val toDir = tableDir(to)
+      Files.createDirectories(toDir)
+      val stream = Files.list(tableDir(from))
+      val files = try stream.iterator().asScala.toSeq finally stream.close()
+      // copy documents FIRST, head registration last: a lock-free reader
+      // must never see `to`'s existence bit before the documents it
+      // points at (Files.list order is arbitrary, so HEAD is excluded
+      // from the bulk copy and written by createHead at the end)
+      val docs = files.filterNot(f =>
+        Set(".lock", "HEAD")(f.getFileName.toString))
+      docs.foreach(f => Files.copy(f, toDir.resolve(f.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      createHead(to, head)
+      // old name last: existence bit first, then its documents
+      headStore.foreach(_.remove(from))
+      Files.deleteIfExists(tableDir(from).resolve("HEAD"))
+      docs.foreach(Files.deleteIfExists)
+    }
+    val (first, second) = if (from < to) (from, to) else (to, from)
+    withTableLock(first) { withTableLock(second) { body() } }
+    try {
+      Files.deleteIfExists(tableDir(from).resolve(".lock"))
+      Files.deleteIfExists(tableDir(from))
+    } catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+  }
+
   // ---- named snapshot refs (Iceberg tags: immutable named pointers) ------
 
   private def refsPath(table: String) = tableDir(table).resolve("refs.tsv")

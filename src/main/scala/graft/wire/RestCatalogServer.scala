@@ -39,6 +39,9 @@ import scala.jdk.CollectionConverters._
   *   - `DELETE /v1/namespaces/default/tables/{t}` → DROP (metadata only,
   *     Iceberg's drop-without-purge): 204 on success, 409 while live
   *     forks block the drop.
+  *   - `POST /v1/tables/rename` → RENAME: `source`/`destination`
+  *     TableIdentifiers; 204 / 404 missing source / 409 existing
+  *     destination.
   *   - `POST /v1/namespaces/default/tables` → CREATE: body carries `name`
   *     and optionally an Iceberg struct `schema` (field ids preserved into
   *     the catalog's canonical schema). 409 `AlreadyExistsException` when
@@ -224,6 +227,8 @@ object RestCatalogServer {
           }
       case (HttpMethod.POST, Seq("v1", "namespaces", "default", "tables")) =>
         createTable(catalog, body)
+      case (HttpMethod.POST, Seq("v1", "tables", "rename")) =>
+        renameTable(catalog, body)
       case (HttpMethod.POST, Seq("v1", "namespaces", "default", "tables", t)) =>
         commitTable(catalog, t, body)
       case (_, Seq("v1", "namespaces", ns, _*)) if ns != "default" =>
@@ -239,6 +244,51 @@ object RestCatalogServer {
 
   private def badRequest(msg: String): (HttpResponseStatus, String) =
     HttpResponseStatus.BAD_REQUEST -> errorJson(msg, "BadRequestException", 400)
+
+  /** `POST /v1/tables/rename` — the spec's RenameTable: body carries
+    * `source`/`destination` TableIdentifiers (single flat namespace, so
+    * both must be `["default"]`). 204 on success, 404 missing source,
+    * 409 existing destination or live-fork block.
+    */
+  private def renameTable(
+      catalog: GraftCatalog, body: String): (HttpResponseStatus, String) = {
+    val req = try mapper.readTree(body) catch { case e: Exception =>
+      return badRequest(s"malformed JSON body: ${e.getMessage}")
+    }
+    def ident(field: String): Either[String, String] = {
+      val node = if (req == null) null else req.get(field)
+      val name = if (node == null) null else node.get("name")
+      val ns = if (node == null) null else node.get("namespace")
+      if (name == null || !name.isTextual || name.asText.isEmpty)
+        Left(s"rename request requires $field.name")
+      else if (ns != null && !(ns.isArray && ns.size == 1 &&
+          ns.get(0).asText == "default"))
+        Left(s"$field namespace must be [\"default\"]")
+      else Right(name.asText)
+    }
+    (ident("source"), ident("destination")) match {
+      case (Left(e), _) => badRequest(e)
+      case (_, Left(e)) => badRequest(e)
+      case (Right(src), Right(dst)) =>
+        if (!catalog.tables().contains(src))
+          HttpResponseStatus.NOT_FOUND ->
+            errorJson(s"Table does not exist: default.$src",
+              "NoSuchTableException", 404)
+        else if (catalog.tables().contains(dst))
+          HttpResponseStatus.CONFLICT ->
+            errorJson(s"Table already exists: default.$dst",
+              "AlreadyExistsException", 409)
+        else try {
+          catalog.renameTable(src, dst)
+          HttpResponseStatus.NO_CONTENT -> ""
+        } catch {
+          case e: IllegalArgumentException =>
+            HttpResponseStatus.CONFLICT ->
+              errorJson(Option(e.getMessage).getOrElse("rename refused"),
+                "CommitFailedException", 409)
+        }
+    }
+  }
 
   /** `POST …/tables` — CreateTable. The table starts empty (files arrive
     * through commits); a request `schema` (Iceberg struct JSON) becomes

@@ -279,6 +279,32 @@ class RestCatalogSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("POST /v1/tables/rename: 204 moves the name; 404/409 envelopes") {
+    val root = Files.createTempDirectory("graft-rest-ren").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("a", Nil)
+    cat.createTable("c", Nil)
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      def ren(src: String, dst: String) = post(port, "/v1/tables/rename",
+        s"""{"source":{"namespace":["default"],"name":"$src"},""" +
+          s""""destination":{"namespace":["default"],"name":"$dst"}}""")
+      val (c1, _) = ren("a", "b")
+      assert(c1 == 204)
+      val (_, listing) = get(port, "/v1/namespaces/default/tables")
+      assert(listing.contains("\"b\"") && !listing.contains("\"a\""), listing)
+      val (c2, miss) = ren("a", "z")
+      assert(c2 == 404 && miss.contains("NoSuchTableException"), miss)
+      val (c3, clash) = ren("b", "c")
+      assert(c3 == 409 && clash.contains("AlreadyExistsException"), clash)
+      val (c4, badNs) = post(port, "/v1/tables/rename",
+        """{"source":{"namespace":["other"],"name":"b"},""" +
+          """"destination":{"namespace":["default"],"name":"d"}}""")
+      assert(c4 == 400 && badNs.contains("namespace"), badNs)
+    } finally server.close()
+  }
+
   test("table listing paginates: cursor walk covers every table exactly once") {
     val root = Files.createTempDirectory("graft-rest-page").toString
     val cat = new GraftCatalog(root)
