@@ -157,6 +157,40 @@ object ScalingProbe {
       (mult, filesScanned, filesTotal, tFull, tPruned)
     }
 
+    // ---- bloom-pruned point probe over growing UNCLUSTERED tables -------
+    // A content-hash point lookup as the table grows round-robin: every
+    // file's [min,max] straddles every probe (stats prune nothing), so the
+    // full filter scan costs ∝ corpus while the bloom-pruned probe opens
+    // only the files whose filters fire (~flat) — the sidecar design claim
+    // measured.
+    val bloomRows = Seq(1, 4, 16).map { mult =>
+      val dir = s"/tmp/graft_scale_bloom_$mult"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val corpus = spark.read
+        .parquet(s"/tmp/graft_scale_$mult/documents.parquet")
+        .withColumn("fp", md5(col("text")))
+      corpus.repartition(8 * mult).write.mode("overwrite")
+        .parquet(s"$dir/base")
+      val cat = new GraftCatalog(s"$dir/cat")
+      cat.createTable("t", parquetsIn(s"$dir/base").map(DataFileTask(_, 1L)))
+      cat.recordBloomFilter(spark, "t", "fp",
+        expectedItemsPerFile = 20000L, fpp = 0.01)
+      val probe = corpus.filter(col("doc_id") === 42L)
+        .select(col("fp")).head().getString(0)
+      def time(mk: => org.apache.spark.sql.DataFrame): Double = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        mk.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      val tFull = time(cat.scanTable(spark, "t").filter(col("fp") === probe))
+      val tBloom = time(cat.scanTableWhereEqString(spark, "t", "fp", probe))
+      val kept = cat.eqStringKeptEntries(spark, "t", "fp", probe).size
+      val total = cat.loadTable("t").size
+      println(f"bloom mult=$mult%2d files=$kept/$total " +
+        f"full=$tFull%6.2f bloom=$tBloom%6.2f")
+      (mult, kept, total, tFull, tBloom)
+    }
+
     // ---- metadata-only range delete vs scan-based delete ----------------
     // A FIXED partition-aligned range is deleted from a growing
     // truncate-partitioned table. `deleteWhereRange` proves the drop from
@@ -237,6 +271,19 @@ object ScalingProbe {
     sb.append("|---|---|---|---|\n")
     pruneRows.foreach { case (m, fs, ft, tF, tP) =>
       sb.append(f"| ${m}x | $fs/$ft | $tF%.2f | $tP%.2f |\n")
+    }
+
+    sb.append("\n## Bloom-pruned point probe vs full scan (unclustered)\n\n")
+    sb.append("Same corpora with a content-hash column, written ROUND-ROBIN into\n")
+    sb.append("8×mult files — every file's [min,max] straddles every probe, so\n")
+    sb.append("stats pruning keeps everything and only the per-file bloom sidecar\n")
+    sb.append("can skip. The full filter scan costs ∝ corpus; the bloom probe\n")
+    sb.append("opens only firing files (~flat) — the content-addressed-lookup\n")
+    sb.append("claim behind q131, measured as the table grows.\n\n")
+    sb.append("| mult | files opened / total | full filter scan (s) | bloom probe (s) |\n")
+    sb.append("|---|---|---|---|\n")
+    bloomRows.foreach { case (m, k, tot, tF, tB) =>
+      sb.append(f"| ${m}x | $k/$tot | $tF%.2f | $tB%.2f |\n")
     }
 
     sb.append("\n## Metadata-only vs scan-based range delete\n\n")

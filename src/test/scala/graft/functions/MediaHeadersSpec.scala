@@ -95,4 +95,51 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(parseImageHeader(Array.empty[Byte]).isEmpty)
     assert(parseImageHeader("plain text".getBytes("UTF-8")).isEmpty)
   }
+
+  test("spec vectors: GIF logical screen descriptor and BMP info header parse") {
+    // hand-written GIF89a 320x200 LSD, color resolution 8 bits/primary
+    // (packed 0x70 = bits 4-6 set), no global color table
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array(0x40, 0x01, 0xc8, 0x00, 0x70, 0x00, 0x00).map(_.toByte)
+    assert(parseImageHeader(gif) ===
+      Some(MediaHeaders.ImageHeader("image/gif", 320, 200, 1, 8)))
+    // GIF87a accepted; other versions rejected
+    val g87 = gif.clone(); g87(4) = '7'.toByte
+    assert(parseImageHeader(g87).isDefined)
+    val g90 = gif.clone(); g90(4) = '9'.toByte; g90(5) = '0'.toByte
+    assert(parseImageHeader(g90).isEmpty)
+
+    // synthesized BMP 24-bit: 3 channels, 8 bits/sample; top-down
+    // (negative height) parses with the magnitude
+    assert(parseImageHeader(bmpHeader(800, 600, 24)) ===
+      Some(MediaHeaders.ImageHeader("image/bmp", 800, 600, 3, 8)))
+    assert(parseImageHeader(bmpHeader(16, -32, 32)) ===
+      Some(MediaHeaders.ImageHeader("image/bmp", 16, 32, 4, 8)))
+    assert(parseImageHeader(bmpHeader(5, 5, 8)) ===
+      Some(MediaHeaders.ImageHeader("image/bmp", 5, 5, 1, 8)))
+  }
+
+  test("GIF/BMP round-trip, truncation, and corruption rejection") {
+    val gif = gifHeader(1024, 768, bitsPerPrimary = 5)
+    assert(parseImageHeader(gif) ===
+      Some(MediaHeaders.ImageHeader("image/gif", 1024, 768, 1, 5)))
+    val bmp = bmpHeader(321, 123, 16)
+    assert(parseImageHeader(bmp) ===
+      Some(MediaHeaders.ImageHeader("image/bmp", 321, 123, 3, 8)))
+    for (n <- 0 until gif.length) {
+      val r = parseImageHeader(gif.take(n))
+      assert(r.isEmpty, s"GIF truncated at $n parsed as $r")
+    }
+    for (n <- 0 until bmp.length) {
+      val r = parseImageHeader(bmp.take(n))
+      assert(r.isEmpty, s"BMP truncated at $n parsed as $r")
+    }
+    // zero-width GIF, obsolete 12-byte BMP core header, bad plane count
+    val zw = gif.clone(); zw(6) = 0; zw(7) = 0
+    assert(parseImageHeader(zw).isEmpty)
+    val core = bmp.clone(); core(14) = 12
+    assert(parseImageHeader(core).isEmpty)
+    val planes = bmp.clone(); planes(26) = 2
+    assert(parseImageHeader(planes).isEmpty)
+  }
 }
