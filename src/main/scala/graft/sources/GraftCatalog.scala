@@ -2318,6 +2318,8 @@ final class GraftCatalog(root: String,
     // the MAIN lock, so the spec copied is the one the entries came from
     val spec = partitionSpec(table)
     if (spec.nonEmpty) setPartitionSpec(fork, spec)
+    val props = tableProperties(table)
+    if (props.nonEmpty) updateTableProperties(fork, props)
     fork
   }
 
@@ -2471,6 +2473,47 @@ final class GraftCatalog(root: String,
       Files.deleteIfExists(tableDir(from).resolve(".lock"))
       Files.deleteIfExists(tableDir(from))
     } catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+  }
+
+  // ---- table properties (Iceberg's key/value metadata) -------------------
+
+  private def propsPath(table: String) = tableDir(table).resolve("props.tsv")
+
+  /** The table's key/value properties (Iceberg's `properties` map — write
+    * knobs, ownership annotations, UI hints; advisory metadata, never
+    * consulted implicitly by the engine). Empty when none set.
+    */
+  def tableProperties(table: String): Map[String, String] = {
+    val p = propsPath(table)
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).split("\n").filter(_.nonEmpty).map { line =>
+      val Array(k, v) = line.split("\t", 2)
+      java.net.URLDecoder.decode(k, "UTF-8") ->
+        java.net.URLDecoder.decode(v, "UTF-8")
+    }.toMap
+  }
+
+  /** Merge `updates` into the table's properties and drop `removals` —
+    * one atomic sidecar replace under the table lock (last writer wins
+    * per key, like Iceberg's `updateProperties` commit). A key in both
+    * sets is removed (removal is the later intent).
+    */
+  def updateTableProperties(
+      table: String,
+      updates: Map[String, String],
+      removals: Set[String] = Set.empty): Unit = withTableLock(table) {
+    require(headExists(table), s"table $table does not exist")
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val next = (tableProperties(table) ++ updates) -- removals
+    val tmp = tableDir(table).resolve(
+      s".props.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp,
+      next.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+        .mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, propsPath(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   // ---- named snapshot refs (Iceberg tags: immutable named pointers) ------

@@ -372,6 +372,8 @@ object RestCatalogServer {
           return badRequest(s"unsupported requirement type '$other'")
       }
     }
+    var propSets = Map.empty[String, String]
+    var propRemoves = Set.empty[String]
     val files = elems(if (req == null) null else req.get("updates")).flatMap { u =>
       Option(u.get("action")).map(_.asText).getOrElse("") match {
         case "add-data-files" =>
@@ -383,15 +385,41 @@ object RestCatalogServer {
               Option(f.get("record-count")).map(_.asLong).getOrElse(-1L),
               Option(f.get("file-size-in-bytes")).map(_.asLong).getOrElse(-1L))
           }
+        case "set-properties" =>
+          val ups = Option(u.get("updates"))
+          if (!ups.exists(_.isObject))
+            return badRequest("set-properties requires an 'updates' object")
+          ups.get.fields().asScala.foreach(e =>
+            propSets += e.getKey -> e.getValue.asText)
+          Nil
+        case "remove-properties" =>
+          val rm = Option(u.get("removals"))
+          if (!rm.exists(_.isArray))
+            return badRequest("remove-properties requires a 'removals' array")
+          rm.get.elements().asScala.foreach(n => propRemoves += n.asText)
+          Nil
         case other =>
           return badRequest(s"unsupported update action '$other' " +
-            "(this facade commits 'add-data-files')")
+            "(this facade commits 'add-data-files', 'set-properties', " +
+            "'remove-properties')")
       }
     }
-    if (files.isEmpty) return badRequest("commit carries no data files")
+    if (files.isEmpty && propSets.isEmpty && propRemoves.isEmpty)
+      return badRequest("commit carries no supported updates")
     try {
-      catalog.commitAppendAt(table,
-        expected.getOrElse(catalog.currentSnapshotId(table)), files)
+      if (files.nonEmpty)
+        catalog.commitAppendAt(table,
+          expected.getOrElse(catalog.currentSnapshotId(table)), files)
+      else expected.foreach { e =>
+        // a metadata-only commit still honors the base assertion
+        val cur = catalog.currentSnapshotId(table)
+        if (cur != e) return HttpResponseStatus.CONFLICT ->
+          errorJson(s"commit conflict on $table: requirement expected " +
+            s"snapshot $e but the table is at $cur",
+            "CommitFailedException", 409)
+      }
+      if (propSets.nonEmpty || propRemoves.nonEmpty)
+        catalog.updateTableProperties(table, propSets, propRemoves)
       HttpResponseStatus.OK -> tableJson(catalog, table)
     } catch {
       case e: GraftError.Metadata =>
@@ -522,6 +550,8 @@ object RestCatalogServer {
       s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$renderedSpec]}],""" +
       s""""last-partition-id":$lastPartitionId,""" +
       s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],""" +
+      s""""properties":{${catalog.tableProperties(table).toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")}},""" +
       s""""current-snapshot-id":$head,"snapshots":[${snaps.mkString(",")}],""" +
       s""""refs":{$refs}}}"""
   }

@@ -279,6 +279,38 @@ class RestCatalogSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("commit set-properties/remove-properties round-trips; stale base still 409s") {
+    val root = Files.createTempDirectory("graft-rest-props").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      val (c1, meta1) = post(port, "/v1/namespaces/default/tables/t",
+        """{"updates":[{"action":"set-properties",
+          |"updates":{"owner":"curation","write.target-file-size":"134217728"}}]}"""
+          .stripMargin)
+      assert(c1 == 200 && meta1.contains("\"owner\":\"curation\""), meta1)
+      assert(cat.tableProperties("t")("owner") == "curation")
+      val (c2, meta2) = post(port, "/v1/namespaces/default/tables/t",
+        """{"updates":[{"action":"remove-properties","removals":["owner"]}]}""")
+      assert(c2 == 200 && !meta2.contains("\"owner\""), meta2)
+      // a metadata-only commit with a stale base assertion is the spec 409
+      val head = cat.currentSnapshotId("t")
+      val (c3, stale) = post(port, "/v1/namespaces/default/tables/t",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main",
+           |"snapshot-id":${head + 7}}],
+           |"updates":[{"action":"set-properties","updates":{"x":"1"}}]}"""
+          .stripMargin)
+      assert(c3 == 409 && stale.contains("CommitFailedException"), stale)
+      assert(!cat.tableProperties("t").contains("x"))
+      // empty update list is the client's error
+      val (c4, _) = post(port, "/v1/namespaces/default/tables/t",
+        """{"updates":[]}""")
+      assert(c4 == 400)
+    } finally server.close()
+  }
+
   test("POST /v1/tables/rename: 204 moves the name; 404/409 envelopes") {
     val root = Files.createTempDirectory("graft-rest-ren").toString
     val cat = new GraftCatalog(root)
