@@ -250,6 +250,9 @@ object ExplainAudit {
     sb.append("0.5 s query) — the box was mid-stall, no plan-level cause; the\n")
     sb.append("round's earlier clean run recorded 116 s. New gates' healthy levels\n")
     sb.append("(q129-q134) are now in Bench.recordedSec so their drift retries too.\n")
+    sb.append("A later idle-box full run confirmed: 107 s over all 127 queries —\n")
+    sb.append("the suite's best number (r9: 142 s / 121) — with the slowest single\n")
+    sb.append("query at 3.6 s and every stall-window outlier back at its level.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
