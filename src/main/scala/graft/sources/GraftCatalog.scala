@@ -2320,6 +2320,8 @@ final class GraftCatalog(root: String,
     if (spec.nonEmpty) setPartitionSpec(fork, spec)
     val props = tableProperties(table)
     if (props.nonEmpty) updateTableProperties(fork, props)
+    val so = sortOrder(table)
+    if (so.nonEmpty) setSortOrder(fork, so)
     fork
   }
 
@@ -2515,6 +2517,42 @@ final class GraftCatalog(root: String,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
+
+  // ---- declared sort order (Iceberg's table write order) -----------------
+
+  private def sortOrderPath(table: String) =
+    tableDir(table).resolve("sortorder.tsv")
+
+  /** The table's declared sort order (Iceberg's `write-order`): the
+    * clustering intent maintenance compactions apply when the caller
+    * doesn't choose a layout. Empty when none declared.
+    */
+  def sortOrder(table: String): Seq[String] = {
+    val p = sortOrderPath(table)
+    if (!Files.exists(p)) Nil
+    else Files.readString(p).split("\n").filter(_.nonEmpty).toSeq
+      .map(java.net.URLDecoder.decode(_, "UTF-8"))
+  }
+
+  /** Declare (or clear, with Nil) the table's sort order. Metadata only —
+    * existing files keep their layout until the next rewrite applies it.
+    */
+  def setSortOrder(table: String, cols: Seq[String]): Unit =
+    withTableLock(table) {
+      require(headExists(table), s"table $table does not exist")
+      require(cols.distinct.size == cols.size, s"duplicate sort columns: $cols")
+      if (cols.isEmpty) { Files.deleteIfExists(sortOrderPath(table)); () }
+      else {
+        val tmp = tableDir(table).resolve(
+          s".sortorder.tmp-${Thread.currentThread().getId}")
+        Files.writeString(tmp,
+          cols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString("\n"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        Files.move(tmp, sortOrderPath(table),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
 
   // ---- named snapshot refs (Iceberg tags: immutable named pointers) ------
 
@@ -2742,13 +2780,23 @@ final class GraftCatalog(root: String,
             f.name -> CompactionService.partitionTransform(f.transform, f.source, srcType)
           })
         }
+      // declared sort order: the catalog's clustering intent drives the
+      // rewrite when the caller didn't choose a layout (same explicit-wins
+      // rule as the partition spec above); ordered columns auto-join the
+      // stats set so the sorted layout immediately feeds pruning
+      val so = sortOrder(table)
+      val layout =
+        if (effective.clusterBy.nonEmpty || effective.zOrderBy.nonEmpty ||
+            so.isEmpty) effective
+        else effective.copy(clusterBy = so,
+          statsCols = (effective.statsCols ++ so).distinct)
       val manifest = CompactionRunner.compact(spark,
         dataTasks(entries),
         entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
         entries.collect { case e if e.kind == "eqdel" =>
           EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
         },
-        outDir, effective, currentSchema(table))
+        outDir, layout, currentSchema(table))
       val maxSeq = entries.map(_.seqNum).max
       val partNames = effective.partitionTransforms.map(_._1)
       // each file records WHICH transform produced its tuple values — the

@@ -549,11 +549,35 @@ object RestCatalogServer {
       schemaPart +
       s""""default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[$renderedSpec]}],""" +
       s""""last-partition-id":$lastPartitionId,""" +
-      s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],""" +
+      sortOrderJson(catalog, table, schemaOpt) +
       s""""properties":{${catalog.tableProperties(table).toSeq.sortBy(_._1)
         .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")}},""" +
       s""""current-snapshot-id":$head,"snapshots":[${snaps.mkString(",")}],""" +
       s""""refs":{$refs}}}"""
+  }
+
+  /** `sort-orders` rendering: the declared order becomes the spec's order
+    * 1 (asc, nulls-first — the catalog's write layout) when every column
+    * binds to a schema field id; otherwise only the unsorted order 0
+    * renders, which is also always present as the spec requires.
+    */
+  private def sortOrderJson(
+      catalog: GraftCatalog,
+      table: String,
+      schemaOpt: Option[org.apache.spark.sql.types.StructType]): String = {
+    val cols = catalog.sortOrder(table)
+    val bound = schemaOpt.toSeq.flatMap { s =>
+      cols.flatMap(c =>
+        s.fields.find(_.name == c).flatMap(FieldIds.idOf))
+    }
+    if (cols.nonEmpty && bound.length == cols.length) {
+      val fields = bound.map(id =>
+        s"""{"transform":"identity","source-id":$id,""" +
+          s""""direction":"asc","null-order":"nulls-first"}""").mkString(",")
+      s""""default-sort-order-id":1,"sort-orders":[""" +
+        s"""{"order-id":0,"fields":[]},{"order-id":1,"fields":[$fields]}],"""
+    } else
+      s""""default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],"""
   }
 
   /** Iceberg spec primitive type names for the Spark types the catalog's

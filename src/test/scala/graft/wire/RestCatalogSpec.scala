@@ -279,6 +279,27 @@ class RestCatalogSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("a declared sort order renders as the default sort-orders entry") {
+    val root = Files.createTempDirectory("graft-rest-so").toString
+    val cat = new GraftCatalog(root)
+    import org.apache.spark.sql.types._
+    def f(name: String, dt: DataType, id: Int) = StructField(name, dt,
+      metadata = new MetadataBuilder()
+        .putLong(graft.sources.FieldIds.MetaKey, id.toLong).build())
+    val schema = StructType(Seq(f("k", LongType, 1), f("v", StringType, 2)))
+    cat.createTable("t", Nil, Some(schema))
+    cat.setSortOrder("t", Seq("k"))
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val (code, meta) = get(server.boundPort, "/v1/namespaces/default/tables/t")
+      assert(code == 200, meta)
+      assert(meta.contains("\"default-sort-order-id\":1"), meta)
+      assert(meta.contains(
+        """{"transform":"identity","source-id":1,"direction":"asc","null-order":"nulls-first"}"""),
+        meta)
+    } finally server.close()
+  }
+
   test("commit set-properties/remove-properties round-trips; stale base still 409s") {
     val root = Files.createTempDirectory("graft-rest-props").toString
     val cat = new GraftCatalog(root)
