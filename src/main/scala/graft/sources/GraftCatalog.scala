@@ -2796,7 +2796,9 @@ final class GraftCatalog(root: String,
         entries.collect { case e if e.kind == "eqdel" =>
           EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
         },
-        outDir, layout, currentSchema(table))
+        outDir,
+        targetSizedConfig(table, layout, entries.filter(_.kind == "data")),
+        currentSchema(table))
       val maxSeq = entries.map(_.seqNum).max
       val partNames = effective.partitionTransforms.map(_._1)
       // each file records WHICH transform produced its tuple values — the
@@ -2914,13 +2916,20 @@ final class GraftCatalog(root: String,
           (head, CommitManifest(Nil, Nil, Nil, 0L))
         } else {
           val entries = loadEntries(table)
+          val deltaPaths = delta
+            .map(t => CompactionRunner.canonPath(t.path)).toSet
           val manifest = CompactionRunner.compact(spark,
             delta,
             entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
             entries.collect { case e if e.kind == "eqdel" =>
               EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
             },
-            outDir, config.copy(retireDeleteFiles = false), currentSchema(table))
+            outDir,
+            targetSizedConfig(table,
+              config.copy(retireDeleteFiles = false),
+              entries.filter(e => e.kind == "data" &&
+                deltaPaths(CompactionRunner.canonPath(e.path)))),
+            currentSchema(table))
           val maxSeq = entries.map(_.seqNum).max
           val added = manifest.addedFiles
             .map(f => TableEntry("data", f.path, maxSeq + 1, "parquet", Nil,
@@ -2968,6 +2977,30 @@ final class GraftCatalog(root: String,
     * run compacts at least the files that crossed the threshold, never a
     * stale subset.
     */
+  /** Apply `write.target-file-size-bytes` (the knob every Iceberg
+    * deployment sets): when the table declares it and every input file
+    * carries a known manifest size, the rewrite's partition count becomes
+    * `ceil(inputBytes / target)` — output files sized from METADATA
+    * alone, no sampling pass. The property wins over the config's
+    * partition count for tables that declare it (callers wanting manual
+    * control simply don't set it); tables without the property, or with
+    * any unknown input size, keep the caller's count unchanged. MoR
+    * deletes shrink output below input, so sized files land at-or-under
+    * target — the safe side of the knob.
+    */
+  private def targetSizedConfig(
+      table: String,
+      config: CompactionConfig,
+      inputs: Seq[TableEntry]): CompactionConfig =
+    tableProperties(table).get("write.target-file-size-bytes")
+      .flatMap(_.toLongOption).filter(_ > 0) match {
+      case Some(tfs) if inputs.nonEmpty && inputs.forall(_.sizeBytes >= 0) =>
+        val total = inputs.map(_.sizeBytes).sum
+        config.copy(targetPartitions =
+          math.max(1L, (total + tfs - 1) / tfs).toInt)
+      case _ => config
+    }
+
   def maybeCompactTable(
       spark: SparkSession,
       table: String,

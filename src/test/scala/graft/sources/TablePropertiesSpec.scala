@@ -43,6 +43,42 @@ class TablePropertiesSpec extends SparkSpec {
     assert(cat.tableProperties(fork) == Map("k" -> "w"))
   }
 
+  test("write.target-file-size-bytes sizes compaction output from metadata") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = new GraftCatalog(
+      Files.createTempDirectory("graft-tfs-cat").toString)
+    val out = Files.createTempDirectory("graft-tfs-out").toString
+    cat.createTable("t", Nil)
+    // appendFiles records per-file manifest sizes — the metadata the knob
+    // derives from
+    (0 until 4).foreach(i =>
+      cat.appendFiles(spark, "t",
+        (1L to 2000L).map(k => (k + i * 10000L, s"v$k")).toDF("k", "v"), out))
+    val entries = cat.loadEntries("t").filter(_.kind == "data")
+    assert(entries.forall(_.sizeBytes > 0), "append must record sizes")
+    val total = entries.map(_.sizeBytes).sum
+    val target = total / 3 // expect ceil(total/target) = 3..4 output files
+
+    cat.updateTableProperties("t",
+      Map("write.target-file-size-bytes" -> target.toString))
+    cat.compactTable(spark, "t", s"$out/c1")
+    val n1 = cat.loadEntries("t").count(_.kind == "data")
+    assert(n1 >= 3 && n1 <= 4, s"expected ~ceil(total/target) files, got $n1")
+    assert(cat.scanTable(spark, "t").count() == 8000L)
+
+    // without the property the caller's (default) partition count governs
+    val cat2 = new GraftCatalog(
+      Files.createTempDirectory("graft-tfs-cat2").toString)
+    cat2.createTable("t", Nil)
+    cat2.appendFiles(spark, "t",
+      (1L to 2000L).map(k => (k, s"v$k")).toDF("k", "v"), out)
+    cat2.compactTable(spark, "t", s"$out/c2",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 2))
+    assert(cat2.loadEntries("t").count(_.kind == "data") == 2)
+    assert(cat2.scanTable(spark, "t").filter(col("k") <= 10L).count() == 10L)
+  }
+
   test("rename carries properties; drop removes them with the metadata") {
     val cat = new GraftCatalog(
       Files.createTempDirectory("graft-props-cat").toString)
