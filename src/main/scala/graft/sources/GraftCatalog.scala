@@ -2918,6 +2918,14 @@ final class GraftCatalog(root: String,
           val entries = loadEntries(table)
           val deltaPaths = delta
             .map(t => CompactionRunner.canonPath(t.path)).toSet
+          // declared sort order applies to the delta rewrite too (sorted
+          // within the rewritten group — Iceberg's incremental-sort shape)
+          val so = sortOrder(table)
+          val layout =
+            if (config.clusterBy.nonEmpty || config.zOrderBy.nonEmpty ||
+                so.isEmpty) config
+            else config.copy(clusterBy = so,
+              statsCols = (config.statsCols ++ so).distinct)
           val manifest = CompactionRunner.compact(spark,
             delta,
             entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
@@ -2926,7 +2934,7 @@ final class GraftCatalog(root: String,
             },
             outDir,
             targetSizedConfig(table,
-              config.copy(retireDeleteFiles = false),
+              layout.copy(retireDeleteFiles = false),
               entries.filter(e => e.kind == "data" &&
                 deltaPaths(CompactionRunner.canonPath(e.path)))),
             currentSchema(table))

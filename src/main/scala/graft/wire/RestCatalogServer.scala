@@ -374,6 +374,7 @@ object RestCatalogServer {
     }
     var propSets = Map.empty[String, String]
     var propRemoves = Set.empty[String]
+    var rollbackTarget = Option.empty[Long]
     val files = elems(if (req == null) null else req.get("updates")).flatMap { u =>
       Option(u.get("action")).map(_.asText).getOrElse("") match {
         case "add-data-files" =>
@@ -398,14 +399,29 @@ object RestCatalogServer {
             return badRequest("remove-properties requires a 'removals' array")
           rm.get.elements().asScala.foreach(n => propRemoves += n.asText)
           Nil
+        case "set-snapshot-ref" =>
+          // rolling main back to a retained snapshot — the spec's rollback
+          // shape. Rendered as a NEW head pointing at the old state
+          // (rollbackTo), so history stays append-only.
+          if (Option(u.get("ref-name")).map(_.asText).getOrElse("main") != "main")
+            return badRequest("set-snapshot-ref supports the 'main' branch")
+          val sid = Option(u.get("snapshot-id")).filter(_.isNumber)
+            .getOrElse(return badRequest(
+              "set-snapshot-ref requires a numeric 'snapshot-id'"))
+          rollbackTarget = Some(sid.asLong)
+          Nil
         case other =>
           return badRequest(s"unsupported update action '$other' " +
             "(this facade commits 'add-data-files', 'set-properties', " +
-            "'remove-properties')")
+            "'remove-properties', 'set-snapshot-ref')")
       }
     }
-    if (files.isEmpty && propSets.isEmpty && propRemoves.isEmpty)
+    if (files.isEmpty && propSets.isEmpty && propRemoves.isEmpty &&
+        rollbackTarget.isEmpty)
       return badRequest("commit carries no supported updates")
+    if (files.nonEmpty && rollbackTarget.nonEmpty)
+      return badRequest(
+        "add-data-files and set-snapshot-ref cannot share a commit")
     try {
       if (files.nonEmpty)
         catalog.commitAppendAt(table,
@@ -417,6 +433,12 @@ object RestCatalogServer {
           errorJson(s"commit conflict on $table: requirement expected " +
             s"snapshot $e but the table is at $cur",
             "CommitFailedException", 409)
+      }
+      rollbackTarget.foreach { sid =>
+        try catalog.rollbackTo(table, sid)
+        catch { case e: IllegalArgumentException =>
+          return badRequest(Option(e.getMessage).getOrElse("bad snapshot"))
+        }
       }
       if (propSets.nonEmpty || propRemoves.nonEmpty)
         catalog.updateTableProperties(table, propSets, propRemoves)

@@ -332,6 +332,35 @@ class RestCatalogSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("commit set-snapshot-ref rolls main back as a new head") {
+    val root = Files.createTempDirectory("graft-rest-rb").toString
+    val out = Files.createTempDirectory("graft-rest-rb-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    cat.appendFiles(spark, "t", Seq((1L, "a")).toDF("k", "v"), out)
+    val good = cat.currentSnapshotId("t")
+    cat.appendFiles(spark, "t", Seq((2L, "b")).toDF("k", "v"), out)
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      val (c1, meta) = post(port, "/v1/namespaces/default/tables/t",
+        s"""{"updates":[{"action":"set-snapshot-ref","ref-name":"main",
+           |"snapshot-id":$good}]}""".stripMargin)
+      assert(c1 == 200, meta)
+      // rollback is a NEW head pointing at the old state (append-only log)
+      assert(cat.currentSnapshotId("t") > good)
+      assert(cat.scanTable(spark, "t").count() == 1L)
+      // unknown snapshot / non-main ref are the client's errors
+      val (c2, _) = post(port, "/v1/namespaces/default/tables/t",
+        """{"updates":[{"action":"set-snapshot-ref","snapshot-id":999}]}""")
+      assert(c2 == 400)
+      val (c3, _) = post(port, "/v1/namespaces/default/tables/t",
+        s"""{"updates":[{"action":"set-snapshot-ref","ref-name":"dev",
+           |"snapshot-id":$good}]}""".stripMargin)
+      assert(c3 == 400)
+    } finally server.close()
+  }
+
   test("POST /v1/tables/rename: 204 moves the name; 404/409 envelopes") {
     val root = Files.createTempDirectory("graft-rest-ren").toString
     val cat = new GraftCatalog(root)
