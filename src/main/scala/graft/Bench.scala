@@ -68,7 +68,7 @@ object Bench {
     // from the round's clean 116 s full bench; q131–q134 from the bench +
     // DriftProbe min-of-3)
     "q129" -> 0.6, "q130" -> 2.0, "q131" -> 0.5, "q132" -> 2.6,
-    "q133" -> 1.1, "q134" -> 0.45)
+    "q133" -> 1.1, "q134" -> 0.45, "q135" -> 0.6)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 3× the query's recorded

@@ -232,6 +232,21 @@ object DmlFixtures {
       ()
     }
 
+  /** q135's layout: the documents corpus registered with a DECLARED sort
+    * order on doc_id, then compacted through the plain maintenance path —
+    * no explicit layout in the config, so the catalog's own write-order
+    * metadata drives the range-clustered rewrite and persists the bounds
+    * the range scan prunes on.
+    */
+  def docsSorted(spark: SparkSession, sfDir: String): (GraftCatalog, String) =
+    ensure(spark, sfDir, "docs_sorted") { (cat, t) =>
+      cat.createTable(t, Seq(DataFileTask(s"$sfDir/documents.parquet", 1L)))
+      cat.setSortOrder(t, Seq("doc_id"))
+      cat.compactTable(spark, t, outDir(sfDir, t),
+        CompactionConfig(targetPartitions = 8))
+      ()
+    }
+
   /** q127's layout: orders compacted with stats — the metadata min/max
     * input (mutating gates fork it first).
     */
@@ -267,6 +282,7 @@ object DmlFixtures {
     docsSourceBucketed(spark, sfDir)
     docsLangPartitioned(spark, sfDir)
     docsFingerprinted(spark, sfDir)
+    docsSorted(spark, sfDir)
     compactedOrders(spark, sfDir)
     ()
   }

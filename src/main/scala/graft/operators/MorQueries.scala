@@ -265,6 +265,23 @@ object MorQueries {
         col("fp"))
   }
 
+  /** Q135: declared-sort-order range scan — the corpus registered with a
+    * write-order on doc_id ([[graft.sources.GraftCatalog.setSortOrder]])
+    * and compacted through the PLAIN maintenance path (no layout in the
+    * config: the catalog's own metadata chose the range-clustered rewrite
+    * and persisted the bounds), then a narrow id range answered through
+    * the stats-pruned scan. The declarative loop a production table
+    * lives: declare the order once, every maintenance pass maintains it,
+    * every range query prunes on it.
+    */
+  private def q135(spark: SparkSession, sfDir: String): DataFrame = {
+    // read-only over the session-shared sort-ordered layout
+    val (cat, t) = DmlFixtures.docsSorted(spark, sfDir)
+    cat.scanTableWhere(spark, t, "doc_id", 100, 199)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** Q125: metadata-table integrity — the documents corpus compacted under
     * an identity(lang) partition spec, then answered from the `partitions`
     * METADATA table alone (per-partition record counts summed from the
@@ -373,7 +390,8 @@ object MorQueries {
     "q124_source_lookup" -> (q124 _),
     "q125_meta_partitions" -> (q125 _),
     "q127_meta_minmax" -> (q127 _),
-    "q131_bloom_lookup" -> (q131 _))
+    "q131_bloom_lookup" -> (q131 _),
+    "q135_sorted_range" -> (q135 _))
 
   private val posDeleteExists =
     """EXISTS (SELECT 1 FROM pos_del p
@@ -516,6 +534,12 @@ object MorQueries {
       """SELECT doc_id, lang, source, n_chars, md5(text) AS fp
         |FROM documents
         |WHERE md5(text) = (SELECT md5(text) FROM documents WHERE doc_id = 42)""".stripMargin,
+    "q135_sorted_range" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 199
+        |GROUP BY 1""".stripMargin,
     "q127_meta_minmax" ->
       """WITH k AS (SELECT min(o_orderkey) AS k0 FROM orders),
         |after AS (SELECT CASE WHEN o_orderkey = (SELECT k0 FROM k)
