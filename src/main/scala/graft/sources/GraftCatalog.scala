@@ -1071,6 +1071,48 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** OVERWRITE the table's contents with `df` in ONE commit — the
+    * INSERT OVERWRITE shape: the new generation replaces every data AND
+    * delete entry atomically at the head advance, so a reader sees the
+    * old contents or the new, never both and never an empty window (the
+    * two-commit truncate+append alternative exposes both). Old files stay
+    * on disk for [[removeOrphanFiles]]. An empty frame truncates. Same
+    * distributed write + driver-sized manifest counting as
+    * [[appendFiles]].
+    */
+  def overwriteTable(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val token = java.util.UUID.randomUUID().toString
+    val dir = s"$outDir/overwrite-$token"
+    val aligned = currentSchema(table) match {
+      case Some(s) => FieldIds.alignToSchema(df, s)
+      case None => df
+    }
+    aligned.write.mode("errorifexists").parquet(dir)
+    val counted = spark.read.parquet(dir)
+      .groupBy(col("_metadata.file_path").as("path"),
+        col("_metadata.file_size").as("size"))
+      .agg(count(lit(1)).as("rc"))
+      .collect() // one row per written file — driver-sized manifest metadata
+    withTableLock(table) {
+      val seq = loadEntries(table).map(_.seqNum).foldLeft(0L)(math.max) + 1
+      val added = counted.toSeq.map(r =>
+        TableEntry("data", CompactionRunner.canonPath(r.getAs[String]("path")),
+          seq, "parquet", Nil,
+          recordCount = r.getAs[Long]("rc"),
+          sizeBytes = r.getAs[Long]("size")))
+      val nextId = currentSnapshotId(table) + 1
+      writeSnapshot(table, nextId, added)
+      carrySchema(table, nextId - 1, nextId)
+      advanceHead(table, nextId - 1, nextId)
+      nextId
+    }
+  }
+
   // ---- streaming ingestion (exactly-once appends per micro-batch) --------
 
   private def streamMarksPath(table: String) =

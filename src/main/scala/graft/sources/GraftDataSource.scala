@@ -1,11 +1,11 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.{Row, SaveMode, SQLContext}
 import org.apache.spark.sql.sources.{
-  BaseRelation, DataSourceRegister, EqualTo, Filter, GreaterThan,
-  GreaterThanOrEqual, LessThan, LessThanOrEqual, PrunedFilteredScan,
-  RelationProvider, TableScan}
+  BaseRelation, CreatableRelationProvider, DataSourceRegister, EqualTo,
+  Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual,
+  PrunedFilteredScan, RelationProvider, TableScan}
 import org.apache.spark.sql.types.StructType
 
 /** `spark.read.format("graft")` — the catalog as a first-class Spark data
@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.StructType
   * Registered through the standard `DataSourceRegister` service loading,
   * mirroring how spark-avro / delta expose their short names.
   */
-final class GraftDataSource extends RelationProvider with DataSourceRegister {
+final class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -60,6 +61,50 @@ final class GraftDataSource extends RelationProvider with DataSourceRegister {
       case None =>
         new GraftRelation(sqlContext, required("root"), required("table"), snapshot)
     }
+  }
+
+  /** `df.write.format("graft")` — the WRITE side of the vanilla entry
+    * point, mapped onto catalog commits:
+    *
+    *  - `Append` — one counted append commit ([[GraftCatalog.appendFiles]];
+    *    creates the table with the frame's id-stamped schema when absent);
+    *  - `Overwrite` — ONE atomic replace commit
+    *    ([[GraftCatalog.overwriteTable]]: readers see old XOR new, never
+    *    an empty window);
+    *  - `ErrorIfExists` / `Ignore` — the standard existence semantics.
+    *
+    * Data files land under `option("outDir", …)` (default
+    * `<root>/_data/<table>`). Returns the read relation over the table,
+    * per the `CreatableRelationProvider` contract.
+    */
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    def required(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft data source requires option '$k'"))
+    val root = required("root")
+    val table = required("table")
+    val cat = new GraftCatalog(root)
+    val spark = sqlContext.sparkSession
+    val outDir = parameters.getOrElse("outDir", s"$root/_data/$table")
+    val exists = cat.tables().contains(table)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"table $table already exists (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case m =>
+        if (!exists)
+          cat.createTable(table, Nil, Some(FieldIds.stamp(data.schema)))
+        if (m == SaveMode.Overwrite && exists)
+          cat.overwriteTable(spark, table, data, outDir)
+        else
+          cat.appendFiles(spark, table, data, outDir)
+    }
+    createRelation(sqlContext, parameters)
   }
 }
 

@@ -140,4 +140,42 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(viaDs.select("k").as[Long].collect().sorted.toSeq ==
       pruned.select("k").as[Long].collect().sorted.toSeq)
   }
+
+  test("write.format(graft): append creates + appends; overwrite is one atomic replace") {
+    val root = Files.createTempDirectory("graft-ds-w").toString
+    def write(rows: Seq[(Long, String)], mode: String): Unit =
+      rows.toDF("k", "v").write.format("graft")
+        .option("root", root).option("table", "w").mode(mode).save()
+    def read() = spark.read.format("graft")
+      .option("root", root).option("table", "w").load()
+
+    // append on a missing table creates it with an id-stamped schema
+    write(Seq((1L, "a"), (2L, "b")), "append")
+    val cat = new GraftCatalog(root)
+    assert(cat.tables().contains("w"))
+    assert(cat.currentSchema("w").exists(s =>
+      s.fields.forall(FieldIds.idOf(_).isDefined)))
+    assert(read().count() == 2L)
+
+    // append again: both generations visible
+    write(Seq((3L, "c")), "append")
+    assert(read().select("k").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    // counted manifest metadata rides the commit
+    assert(cat.loadEntries("w").filter(_.kind == "data")
+      .forall(e => e.recordCount > 0 && e.sizeBytes > 0))
+
+    // overwrite replaces contents in ONE commit (snapshot id advances once)
+    val before = cat.currentSnapshotId("w")
+    write(Seq((9L, "z")), "overwrite")
+    assert(cat.currentSnapshotId("w") == before + 1,
+      "overwrite must be a single commit")
+    assert(read().select("k").as[Long].collect().toSeq == Seq(9L))
+    // history intact: time travel to the pre-overwrite snapshot still serves
+    assert(cat.scanTableAt(spark, "w", before).count() == 3L)
+
+    // errorIfExists and ignore follow the standard semantics
+    intercept[IllegalArgumentException](write(Seq((0L, "x")), "errorifexists"))
+    write(Seq((0L, "x")), "ignore")
+    assert(read().count() == 1L, "ignore must be a no-op on an existing table")
+  }
 }
