@@ -30,7 +30,9 @@ import org.apache.spark.sql.types.StructType
   * mirroring how spark-avro / delta expose their short names.
   */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -105,6 +107,54 @@ final class GraftDataSource extends RelationProvider
           cat.appendFiles(spark, table, data, outDir)
     }
     createRelation(sqlContext, parameters)
+  }
+
+  /** `stream.writeStream.format("graft")` — streaming ingestion through
+    * the vanilla entry point, mapped onto the catalog's EXACTLY-ONCE
+    * micro-batch commits ([[GraftCatalog.appendStreamBatch]]: snapshot
+    * document → batch mark → head advance, with torn commits rolled
+    * forward and replayed batch ids skipped). `option("queryId", …)`
+    * names the replay-dedup domain; it defaults to the checkpoint
+    * location, which Structured Streaming already requires to be stable
+    * across restarts. Append-only (the catalog's commit model); the table
+    * is created from the stream's id-stamped schema on first batch.
+    */
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    def required(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft data source requires option '$k'"))
+    val root = required("root")
+    val table = required("table")
+    require(partitionColumns.isEmpty,
+      "graft sink takes no partitionBy — declare a partition spec on the table")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft sink is append-only, got $outputMode")
+    val outDir = parameters.getOrElse("outDir", s"$root/_data/$table")
+    val queryId = parameters.get("queryId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink requires option 'queryId' (or a checkpointLocation)"))
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(
+          batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+        val spark = data.sparkSession
+        // the V1 sink hands the analyzed STREAMING plan — re-wrap the
+        // executed rows as a batch frame so the catalog's parquet write
+        // accepts it (the standard V1-sink re-materialization)
+        val batch =
+          org.apache.spark.sql.graftbridge.DatasetBridge.asBatch(data)
+        val cat = new GraftCatalog(root)
+        if (!cat.tables().contains(table))
+          cat.createTable(table, Nil, Some(FieldIds.stamp(batch.schema)))
+        cat.appendStreamBatch(spark, table, batch, outDir, queryId, batchId)
+        ()
+      }
+    }
   }
 }
 

@@ -12,4 +12,17 @@ import org.apache.spark.sql.classic
 object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a V1 streaming sink's per-batch frame as a BATCH frame over
+    * the SAME executed rows — `internalCreateDataFrame(isStreaming =
+    * false)` on the batch's own physical plan, the doorway every V1 sink
+    * implementation uses: re-planning the handed frame (e.g. `.rdd`)
+    * re-analyzes its streaming scan and is rejected by the analyzer. The
+    * `copy()` detaches rows from the reused unsafe-row buffers.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = false)
+  }
 }

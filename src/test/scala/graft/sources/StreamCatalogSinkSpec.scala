@@ -175,4 +175,39 @@ class StreamCatalogSinkSpec extends SparkSpec {
     assert(cat.currentSnapshotId("t") === head)
     assert(cat.snapshotIds("t").length === 1)
   }
+
+  test("writeStream.format(graft): zero-import streaming ingestion, exactly-once") {
+    val (cat, root) = newCatalogWithRoot()
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SinkRow]
+    val ckpt = Files.createTempDirectory("graft-sinkfmt-ckpt").toString
+    def drain(): Unit = {
+      val q = input.toDF().writeStream.format("graft")
+        .option("root", root).option("table", "fmt")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    input.addData(SinkRow(1L, "a", "x"), SinkRow(2L, "a", "y"))
+    drain() // first batch creates the table from the stream's schema
+    assert(cat.tables().contains("fmt"))
+    assert(cat.currentSchema("fmt").exists(s =>
+      s.fields.forall(FieldIds.idOf(_).isDefined)))
+    assert(cat.scanTable(spark, "fmt").count() == 2L)
+    val snapAfterFirst = cat.currentSnapshotId("fmt")
+
+    input.addData(SinkRow(3L, "b", "z"))
+    drain() // second batch: one more exactly-once commit
+    assert(cat.scanTable(spark, "fmt").count() == 3L)
+    assert(cat.currentSnapshotId("fmt") == snapAfterFirst + 1)
+    // manifest counts ride the streaming commit like any append
+    assert(cat.loadEntries("fmt").filter(_.kind == "data")
+      .forall(e => e.recordCount > 0 && e.sizeBytes > 0))
+
+    // a fresh run over the SAME checkpoint replays nothing (no new data)
+    drain()
+    assert(cat.scanTable(spark, "fmt").count() == 3L)
+    assert(cat.currentSnapshotId("fmt") == snapAfterFirst + 1)
+  }
 }
