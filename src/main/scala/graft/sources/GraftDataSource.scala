@@ -179,10 +179,29 @@ final class GraftRelation(
     override val sqlContext: SQLContext,
     root: String,
     table: String,
-    snapshot: Option[Long] = None) extends BaseRelation with PrunedFilteredScan {
+    snapshot: Option[Long] = None)
+    extends BaseRelation with PrunedFilteredScan
+    with org.apache.spark.sql.sources.InsertableRelation {
 
   private val catalog = new GraftCatalog(root)
   private def spark = sqlContext.sparkSession
+
+  /** Plain-SQL DML through a temp view over this relation:
+    * `INSERT INTO v SELECT …` lands as one counted append commit,
+    * `INSERT OVERWRITE` as ONE atomic replace ([[GraftCatalog
+    * .overwriteTable]]). Version-pinned relations refuse writes — an
+    * insert "into the past" would silently target the current head.
+    */
+  override def insert(
+      data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+    require(snapshot.isEmpty,
+      "INSERT into a snapshot/tag-pinned relation is not allowed " +
+        "(reads are pinned to history; writes go to the current table)")
+    val outDir = s"$root/_data/$table"
+    if (overwrite) catalog.overwriteTable(spark, table, data, outDir)
+    else catalog.appendFiles(spark, table, data, outDir)
+    ()
+  }
 
   override val schema: StructType =
     snapshot.fold(catalog.scanTable(spark, table))(

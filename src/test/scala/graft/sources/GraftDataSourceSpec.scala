@@ -178,4 +178,34 @@ class GraftDataSourceSpec extends SparkSpec {
     write(Seq((0L, "x")), "ignore")
     assert(read().count() == 1L, "ignore must be a no-op on an existing table")
   }
+
+  test("plain-SQL INSERT INTO / INSERT OVERWRITE through a temp view") {
+    val root = Files.createTempDirectory("graft-ds-ins").toString
+    Seq((1L, "a")).toDF("k", "v").write.format("graft")
+      .option("root", root).option("table", "s").mode("append").save()
+    spark.read.format("graft").option("root", root).option("table", "s")
+      .load().createOrReplaceTempView("sql_ins")
+    try {
+      spark.sql("INSERT INTO sql_ins VALUES (2, 'b'), (3, 'c')")
+      val cat = new GraftCatalog(root)
+      assert(cat.scanTable(spark, "s").count() == 3L)
+      val before = cat.currentSnapshotId("s")
+      spark.sql("INSERT OVERWRITE sql_ins VALUES (9, 'z')")
+      assert(cat.currentSnapshotId("s") == before + 1,
+        "INSERT OVERWRITE must be one commit")
+      assert(cat.scanTable(spark, "s").select("k").as[Long].collect().toSeq
+        == Seq(9L))
+      // snapshot-pinned views refuse writes
+      spark.read.format("graft").option("root", root).option("table", "s")
+        .option("snapshot", before.toString).load()
+        .createOrReplaceTempView("sql_pin")
+      val e = intercept[Exception](
+        spark.sql("INSERT INTO sql_pin VALUES (0, 'x')"))
+      assert(e.getMessage != null)
+      assert(cat.scanTable(spark, "s").count() == 1L, "pinned insert must not land")
+    } finally {
+      spark.catalog.dropTempView("sql_ins")
+      spark.catalog.dropTempView("sql_pin")
+    }
+  }
 }
