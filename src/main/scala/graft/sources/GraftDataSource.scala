@@ -32,7 +32,37 @@ import org.apache.spark.sql.types.StructType
 final class GraftDataSource extends RelationProvider
     with CreatableRelationProvider
     with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
+
+  /** `spark.readStream.format("graft")` — see [[GraftStreamSource]]. */
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    def required(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft data source requires option '$k'"))
+    val cat = new GraftCatalog(required("root"))
+    (shortName(),
+      schema.getOrElse(
+        cat.scanTable(sqlContext.sparkSession, required("table")).schema))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    def required(k: String) = parameters.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft data source requires option '$k'"))
+    new GraftStreamSource(sqlContext, required("root"), required("table"),
+      skipRewrites = parameters.get("skipRewrites").exists(_.toBoolean))
+  }
 
   override def shortName(): String = "graft"
 

@@ -1,0 +1,91 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("graft")` — a catalog table AS A STREAM: each
+  * micro-batch is the rows appended between two snapshot ids, so a
+  * downstream pipeline (the dedup loop, a training-shard writer) consumes
+  * the table incrementally with exactly-once progress tracked in its own
+  * checkpoint. The offset domain is the snapshot id — the catalog's
+  * commit log IS the stream's write-ahead log, the same equivalence
+  * Iceberg/Delta streaming reads are built on.
+  *
+  * Semantics per snapshot in `(start, end]`:
+  *
+  *  - `append` snapshots (and the table's FIRST retained snapshot — the
+  *    initial load) stream their delta files' rows exactly once;
+  *  - anything else (compaction/overwrite/delete rewrites) is NOT an
+  *    append: its "new" files carry rows already streamed. By default the
+  *    source FAILS LOUDLY on one — silently re-streaming a compaction
+  *    would duplicate the whole table downstream. `option("skipRewrites",
+  *    "true")` opts into skipping them (the Delta `ignoreChanges` trade:
+  *    row-level deletes/updates inside the rewrite are then invisible to
+  *    the stream).
+  *
+  * Reads resolve through the canonical schema by field id like every
+  * other scan; delete files are deliberately NOT applied — the stream
+  * reports what was appended, not the table's current MoR view (that is
+  * [[GraftCatalog.scanTable]]'s job; the changelog shape with deletes is
+  * q120's).
+  */
+final class GraftStreamSource(
+    sqlContext: SQLContext,
+    root: String,
+    table: String,
+    skipRewrites: Boolean) extends Source {
+
+  private val catalog = new GraftCatalog(root)
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType =
+    catalog.scanTable(spark, table).schema
+
+  override def getOffset: Option[Offset] = {
+    val head = catalog.currentSnapshotId(table)
+    if (head < 1) None else Some(LongOffset(head))
+  }
+
+  private def longOf(o: Offset): Long = o.json().toLong
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val s = start.map(longOf).getOrElse(0L)
+    val e = longOf(end)
+    val retained = catalog.snapshotIds(table).sorted
+    val first = retained.headOption.getOrElse(0L)
+    val ids = retained.filter(id => id > s && id <= e)
+    val tasks = ids.flatMap { id =>
+      val op =
+        if (id == first) "append" // initial load: the table as created
+        else catalog.snapshotSummary(table, id).map(_.operation)
+          .getOrElse("unknown")
+      op match {
+        case "append" =>
+          if (id == first) catalog.loadTableAt(table, id)
+          else catalog.appendedFilesBetween(table, id - 1, id)
+        case other if skipRewrites => Nil
+        case other => throw GraftError.Metadata(
+          s"snapshot $id of $table is a '$other', not an append — " +
+            "streaming it would re-emit already-streamed rows; pass " +
+            ".option(\"skipRewrites\", \"true\") to skip rewrite " +
+            "snapshots (row-level changes inside them become invisible " +
+            "to the stream)")
+      }
+    }
+    val batch =
+      if (tasks.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val scan = CompactionRunner.scanWithHiddenCols(spark, tasks,
+          catalog.currentSchema(table))
+        scan.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+      }
+    org.apache.spark.sql.graftbridge.DatasetBridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+}

@@ -25,4 +25,14 @@ object DatasetBridge {
     ds.sparkSession.internalCreateDataFrame(
       ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = false)
   }
+
+  /** The inverse of [[asBatch]] for a V1 streaming SOURCE's `getBatch`:
+    * the engine requires the returned frame to be streaming-tagged, while
+    * the rows come from an ordinary batch read of the delta files.
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    ds.sparkSession.internalCreateDataFrame(
+      ds.queryExecution.toRdd, ds.schema, isStreaming = true)
+  }
 }

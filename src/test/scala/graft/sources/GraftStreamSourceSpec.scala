@@ -1,0 +1,86 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** `readStream.format("graft")` — the catalog table as a stream: the
+  * snapshot chain is the offset log, append snapshots stream exactly
+  * once across runs of one checkpoint, and rewrite snapshots either fail
+  * loudly (default) or skip under `skipRewrites`.
+  */
+class GraftStreamSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // foreachBatch sink: the memory sink cannot RECOVER from a checkpoint,
+  // and cross-run recovery is exactly what is under test
+  private def drain(root: String, ckpt: String,
+      buf: scala.collection.mutable.ListBuffer[Long],
+      skipRewrites: Boolean = false): Unit = {
+    var reader = spark.readStream.format("graft")
+      .option("root", root).option("table", "t")
+    if (skipRewrites) reader = reader.option("skipRewrites", "true")
+    val q = reader.load().writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        buf ++= b.select("k").as[Long](org.apache.spark.sql.Encoders.scalaLong)
+          .collect()
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("initial load + incremental appends stream exactly once across runs") {
+    val root = Files.createTempDirectory("graft-ss-cat").toString
+    val out = Files.createTempDirectory("graft-ss-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    cat.appendFiles(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), out)
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt").toString
+
+    val got = scala.collection.mutable.ListBuffer[Long]()
+    drain(root, ckpt, got)
+    assert(got.sorted.toSeq == Seq(1L, 2L), "initial load must stream")
+
+    // two more append commits land BETWEEN runs; only the delta streams
+    cat.appendFiles(spark, "t", Seq((3L, "c")).toDF("k", "v"), out)
+    cat.appendFiles(spark, "t", Seq((4L, "d")).toDF("k", "v"), out)
+    drain(root, ckpt, got)
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      "delta-only on the second run — no re-streamed rows")
+  }
+
+  test("a compaction snapshot fails the stream by default and skips under the option") {
+    val root = Files.createTempDirectory("graft-ss-cat").toString
+    val out = Files.createTempDirectory("graft-ss-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    cat.appendFiles(spark, "t", Seq((1L, "a"), (2L, "b")).toDF("k", "v"), out)
+    val ckpt = Files.createTempDirectory("graft-ss-ckpt").toString
+    val got = scala.collection.mutable.ListBuffer[Long]()
+    drain(root, ckpt, got)
+    assert(got.sorted.toSeq == Seq(1L, 2L))
+
+    // a rewrite between runs: re-streaming its files would duplicate rows
+    cat.compactTable(spark, "t", s"$out/c1")
+    cat.appendFiles(spark, "t", Seq((5L, "e")).toDF("k", "v"), out)
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(root, ckpt, got)
+    }
+    assert(e.getCause.getMessage.contains("skipRewrites"), e.getCause.getMessage)
+
+    // fresh checkpoint with the option: rewrite skipped, appends stream,
+    // nothing duplicated (the compacted files never re-emit)
+    val ckpt2 = Files.createTempDirectory("graft-ss-ckpt2").toString
+    val got2 = scala.collection.mutable.ListBuffer[Long]()
+    drain(root, ckpt2, got2, skipRewrites = true)
+    assert(got2.sorted.toSeq == Seq(1L, 2L, 5L),
+      "initial snapshot + post-rewrite append, rewrite files skipped")
+  }
+}
