@@ -371,9 +371,48 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q136: plain-SQL row-level DML end-to-end — DELETE, UPDATE, and MERGE
+    * statements against a temp view over the graft data source, rewritten
+    * by the injected resolution rule ([[graft.plans.GraftSqlDml]]) into the
+    * catalog's MoR DML. Zero graft imports between the view registration
+    * and the final read: the whole lifecycle is the SQL a reference user
+    * writes against their Iceberg catalog. The oracle states the composed
+    * effect (delete → update → merge with ordered matched actions) as
+    * nested CASE/filter SQL; physical file layout cancels out.
+    */
+  private def q136(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q136").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    spark.read.format("graft")
+      .option("root", s"$root/cat").option("table", "lineitem")
+      .load().createOrReplaceTempView("q136_t")
+    spark.sql(
+      "DELETE FROM q136_t WHERE l_returnflag = 'A' AND l_quantity < 25")
+    spark.sql(
+      "UPDATE q136_t SET l_quantity = l_quantity + 100 WHERE l_returnflag = 'R'")
+    // distinct: the synthetic lineitem repeats (orderkey, linenumber), and
+    // SQL MERGE requires at most one source row per target key
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .distinct()
+      .createOrReplaceTempView("q136_src")
+    spark.sql(
+      """MERGE INTO q136_t t USING q136_src s
+        |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        |WHEN MATCHED AND t.l_quantity > 120 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + 7""".stripMargin)
+    cat.scanTable(spark, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_time_travel" -> (q128 _),
     "q130_eq_point_delete" -> (q130 _),
+    "q136_sql_dml" -> (q136 _),
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
     "q3_mor_full" -> (q3 _),
@@ -421,6 +460,22 @@ object MorQueries {
         |FROM lineitem
         |WHERE l_orderkey <= 60000
         |  AND NOT (l_orderkey % 1000 = 0 AND l_orderkey BETWEEN 1000 AND 60000)
+        |GROUP BY 1, 2""".stripMargin,
+    "q136_sql_dml" ->
+      """WITH s2 AS (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey,
+        |         CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
+        |              ELSE l_quantity END AS qty
+        |  FROM lineitem
+        |  WHERE l_orderkey <= 60000
+        |    AND NOT (l_returnflag = 'A' AND l_quantity < 25)
+        |)
+        |SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CASE WHEN l_orderkey <= 2000 THEN qty + 7
+        |                          ELSE qty END AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS sum_qty
+        |FROM s2
+        |WHERE NOT (l_orderkey <= 2000 AND qty > 120)
         |GROUP BY 1, 2""".stripMargin,
     "q128_time_travel" ->
       """SELECT

@@ -193,6 +193,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectResolutionRule(spark => new GraftSqlDml(spark))
     graft.functions.GraftFunctions.injectInto(ext)
   }
 }

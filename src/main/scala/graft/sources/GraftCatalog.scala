@@ -1624,7 +1624,7 @@ final class GraftCatalog(root: String,
     require(keyCols.nonEmpty, "mergeInto requires key columns")
     require(whenMatchedSet.nonEmpty || whenMatchedDelete.nonEmpty ||
       whenNotMatchedInsert, "mergeInto requires at least one action clause")
-    val srcPrefix = "_src_"
+    val srcPrefix = GraftCatalog.MergeSrcPrefix
     require(keyCols.forall(source.columns.contains),
       s"source is missing key columns ${keyCols.filterNot(source.columns.contains).mkString(", ")}")
     // SQL MERGE's cardinality rule, enforced up front in ONE aggregation
@@ -3313,6 +3313,13 @@ object GraftCatalog {
     * original flat one-entry-per-line form.
     */
   private[sources] val SegmentedHeader = "#graft-snap-v2"
+
+  /** Prefix under which [[GraftCatalog.mergeInto]] exposes SOURCE columns
+    * to the whenMatchedSet / whenMatchedDelete expressions — part of the
+    * merge API's contract (the SQL MERGE translation maps source-side
+    * references onto it).
+    */
+  val MergeSrcPrefix = "_src_"
 
   /** Parsed entries per segment file, keyed by absolute path. Safe to share
     * process-wide because segments are write-once under UUID-tokened names

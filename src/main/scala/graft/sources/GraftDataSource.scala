@@ -207,9 +207,9 @@ final class GraftMetadataRelation(
 
 final class GraftRelation(
     override val sqlContext: SQLContext,
-    root: String,
-    table: String,
-    snapshot: Option[Long] = None)
+    private[graft] val root: String,
+    private[graft] val table: String,
+    private[graft] val snapshot: Option[Long] = None)
     extends BaseRelation with PrunedFilteredScan
     with org.apache.spark.sql.sources.InsertableRelation {
 
