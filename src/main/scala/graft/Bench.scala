@@ -68,7 +68,13 @@ object Bench {
     // from the round's clean 116 s full bench; q131–q134 from the bench +
     // DriftProbe min-of-3)
     "q129" -> 0.6, "q130" -> 2.0, "q131" -> 0.5, "q132" -> 2.6,
-    "q133" -> 1.1, "q134" -> 0.45, "q135" -> 0.6)
+    "q133" -> 1.1, "q134" -> 0.45, "q135" -> 0.6,
+    // three serial SQL DML lifecycles (delete+update+merge commits) on the
+    // 60k slice — gate cost measured on this round's clean 115 s full run
+    "q136" -> 4.9,
+    // one delete lifecycle + two TVF-addressed aggregate scans (q128's
+    // shape through the SQL doorway)
+    "q137" -> 2.2)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 3× the query's recorded

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.{GraftCatalog, GraftMetadataRelation}
+
+/** Table-valued functions: catalog tables addressable from a bare SQL
+  * string, with no view registration and no graft imports at the call
+  * site — the `FROM`-clause twin of the scalar kernel registry
+  * ([[GraftFunctions]]).
+  *
+  *   - `SELECT * FROM graft_table('root', 't')` — current MoR state
+  *     (deletes applied), exactly [[GraftCatalog.scanTable]].
+  *   - `SELECT * FROM graft_table('root', 't', 3)` — time travel to
+  *     snapshot 3 ([[GraftCatalog.scanTableAt]]); a STRING third argument
+  *     resolves as a tag name. SQL `VERSION AS OF` addressing without a
+  *     DSv2 catalog.
+  *   - `SELECT * FROM graft_meta('root', 't', 'files')` — the metadata
+  *     tables (`files` | `partitions` | `snapshots` | `history`), same
+  *     rebuilt-per-scan relation the format's `metadata` option serves.
+  *
+  * Arguments must be literals: the relation (schema included) is resolved
+  * at ANALYSIS time, the same moment a table name in the FROM clause
+  * resolves — there is no row context to evaluate expressions in. The
+  * builder only reads catalog METADATA (snapshot documents) at analysis;
+  * data IO stays inside the returned plan's execution.
+  */
+object GraftTableFunctions {
+
+  private def strLit(e: Expression, fn: String, pos: Int): String = e match {
+    case Literal(v: UTF8String, StringType) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn argument $pos must be a string literal (the relation is " +
+        s"resolved at analysis time), got: ${other.sql}")
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def graftTable(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"graft_table takes (root, table [, snapshot-id | tag]), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_table", 1)
+    val table = strLit(args(1), "graft_table", 2)
+    val cat = new GraftCatalog(root)
+    val df =
+      if (args.length == 2) cat.scanTable(spark, table)
+      else args(2) match {
+        case Literal(v: Long, LongType) => cat.scanTableAt(spark, table, v)
+        case Literal(v: Int, IntegerType) => cat.scanTableAt(spark, table, v.toLong)
+        case Literal(v: UTF8String, StringType) =>
+          cat.scanTableAt(spark, table, cat.snapshotIdOfTag(table, v.toString))
+        case other => throw new IllegalArgumentException(
+          "graft_table argument 3 must be an integer snapshot id or a " +
+            s"string tag name literal, got: ${other.sql}")
+      }
+    df.queryExecution.analyzed
+  }
+
+  private def graftMeta(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      s"graft_meta takes (root, table, kind), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_meta", 1)
+    val table = strLit(args(1), "graft_meta", 2)
+    val kind = strLit(args(2), "graft_meta", 3)
+    val rel = new GraftMetadataRelation(spark.sqlContext, root, table, kind)
+    spark.baseRelationToDataFrame(rel).queryExecution.analyzed
+  }
+
+  private val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
+    Seq("graft_table" -> (graftTable _), "graft_meta" -> (graftMeta _))
+
+  private[graft] def injectInto(
+      ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    tableFunctions.foreach { case (name, builder) =>
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(GraftTableFunctions.getClass.getCanonicalName, name),
+        builder))
+    }
+}

@@ -409,10 +409,35 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q137: SQL-string time travel through the table-valued function
+    * ([[graft.functions.GraftTableFunctions]]) — both the current MoR
+    * state and a tagged pre-delete version addressed in ONE SQL statement,
+    * `FROM graft_table(root, t [, tag])`, with no view registration and no
+    * graft imports between the tag commit and the read. The sibling of
+    * q128 (API time travel): same oracle shape, different doorway.
+    */
+  private def q137(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q137").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    cat.tagSnapshot("lineitem", "pre", cat.currentSnapshotId("lineitem"))
+    cat.deleteWhere(spark, "lineitem", col("l_linestatus") === "F", s"$root/out")
+    spark.sql(
+      s"""SELECT now.n_now, now.sum_now, was.n_was, was.sum_was
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n_now,
+         |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_now
+         |      FROM graft_table('$root/cat', 'lineitem')) now
+         |CROSS JOIN
+         |     (SELECT CAST(count(*) AS BIGINT) AS n_was,
+         |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_was
+         |      FROM graft_table('$root/cat', 'lineitem', 'pre')) was""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_time_travel" -> (q128 _),
     "q130_eq_point_delete" -> (q130 _),
     "q136_sql_dml" -> (q136 _),
+    "q137_sql_tvf" -> (q137 _),
     "q1_mor_pos_delete" -> (q1 _),
     "q2_mor_eq_delete" -> (q2 _),
     "q3_mor_full" -> (q3 _),
@@ -461,6 +486,16 @@ object MorQueries {
         |WHERE l_orderkey <= 60000
         |  AND NOT (l_orderkey % 1000 = 0 AND l_orderkey BETWEEN 1000 AND 60000)
         |GROUP BY 1, 2""".stripMargin,
+    "q137_sql_tvf" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey <= 60000 AND NOT (l_linestatus = 'F')) AS n_now,
+        |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+        |   WHERE l_orderkey <= 60000 AND NOT (l_linestatus = 'F')) AS sum_now,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey <= 60000) AS n_was,
+        |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+        |   WHERE l_orderkey <= 60000) AS sum_was""".stripMargin,
     "q136_sql_dml" ->
       """WITH s2 AS (
         |  SELECT l_returnflag, l_linestatus, l_orderkey,

@@ -195,6 +195,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectResolutionRule(spark => new GraftSqlDml(spark))
     graft.functions.GraftFunctions.injectInto(ext)
+    graft.functions.GraftTableFunctions.injectInto(ext)
   }
 }
 

@@ -95,7 +95,15 @@ final class GraftCatalog(root: String,
       sizeBytes: Long = -1L)
 
   private def toEntry(t: DataFileTask) =
-    TableEntry("data", t.path, t.seqNum, t.format, Nil)
+    // record the manifest's file_size_in_bytes at commit time (one local
+    // stat per file, driver-side — the same moment Iceberg stamps it):
+    // planners and the relation's sizeInBytes broadcast estimate read it
+    // from metadata forever after. Unstattable paths stay -1 (unknown).
+    TableEntry("data", t.path, t.seqNum, t.format, Nil,
+      sizeBytes = try {
+        val f = new java.io.File(t.path)
+        if (f.isFile) f.length() else -1L
+      } catch { case _: SecurityException => -1L })
 
   private def statsOf(f: CompactionRunner.DataFileStats): Option[EntryStats] =
     if (f.colMins.isEmpty && f.colMaxs.isEmpty) None
@@ -539,6 +547,16 @@ final class GraftCatalog(root: String,
   /** All entries (data + delete files) of the current snapshot. */
   def loadEntries(table: String): Seq[TableEntry] =
     readSnapshot(table, currentSnapshotId(table))
+
+  /** The full entry list of a PAST snapshot (the time-travel twin of
+    * [[loadEntries]]); any retained snapshot id is readable until expiry.
+    */
+  def loadEntriesAt(table: String, snapshotId: Long): Seq[TableEntry] = {
+    require(snapshotIds(table).contains(snapshotId),
+      s"snapshot $snapshotId of $table does not exist (expired or never " +
+        s"committed); retained: ${snapshotIds(table).mkString(", ")}")
+    readSnapshot(table, snapshotId)
+  }
 
   /** Load the table = the current snapshot's DATA file-scan tasks. */
   def loadTable(table: String): Seq[DataFileTask] =

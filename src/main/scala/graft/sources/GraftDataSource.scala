@@ -237,6 +237,27 @@ final class GraftRelation(
     snapshot.fold(catalog.scanTable(spark, table))(
       catalog.scanTableAt(spark, table, _)).schema
 
+  /** Answer Spark's size question from catalog METADATA (the manifests'
+    * `file_size_in_bytes`, scaled by `spark.sql.sources.fileCompressionFactor`
+    * like the builtin file sources) so a small graft table auto-broadcasts
+    * in joins. Without this a BaseRelation reports `defaultSizeInBytes`
+    * (Long.MaxValue-ish) and NEVER broadcasts — at 100 TB that turns every
+    * dim-to-fact join on a catalog table into a shuffle. Deletes only
+    * shrink the MoR output, so the data-file sum stays a valid upper
+    * bound; any unknown size (-1) falls back to the conservative default
+    * rather than risking a mis-broadcast of an unbounded table.
+    */
+  override def sizeInBytes: Long = {
+    val entries =
+      snapshot.fold(catalog.loadEntries(table))(catalog.loadEntriesAt(table, _))
+    val sizes = entries.filter(_.kind == "data").map(_.sizeBytes)
+    if (sizes.forall(_ >= 0L)) {
+      val factor = spark.conf
+        .get("spark.sql.sources.fileCompressionFactor", "1.0").toDouble
+      math.max(1L, (sizes.sum * factor).toLong)
+    } else super.sizeInBytes
+  }
+
   /** Declare every filter unhandled: Spark evaluates all of them on the
     * returned rows, so [[buildScan]] is free to use them purely as pruning
     * hints (partial pushdown with zero correctness risk).
