@@ -71,8 +71,33 @@ object GraftTableFunctions {
     spark.baseRelationToDataFrame(rel).queryExecution.analyzed
   }
 
+  /** `SELECT * FROM graft_changes('root','t', from, to)` — the CDC scan
+    * ([[GraftCatalog.changelog]]): net row-level changes in the snapshot
+    * window `(from, to]`, tagged `_change_type` `'I'`/`'D'`, as a FROM
+    * clause. Snapshot bounds are integer ids or string tag names.
+    */
+  private def graftChanges(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 4,
+      s"graft_changes takes (root, table, from-snapshot, to-snapshot), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_changes", 1)
+    val table = strLit(args(1), "graft_changes", 2)
+    val cat = new GraftCatalog(root)
+    def snap(e: Expression, pos: Int): Long = e match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: UTF8String, StringType) =>
+        cat.snapshotIdOfTag(table, v.toString)
+      case other => throw new IllegalArgumentException(
+        s"graft_changes argument $pos must be an integer snapshot id or a " +
+          s"string tag name literal, got: ${other.sql}")
+    }
+    cat.changelog(spark, table, snap(args(2), 3), snap(args(3), 4))
+      .queryExecution.analyzed
+  }
+
   private val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
-    Seq("graft_table" -> (graftTable _), "graft_meta" -> (graftMeta _))
+    Seq("graft_table" -> (graftTable _), "graft_meta" -> (graftMeta _),
+      "graft_changes" -> (graftChanges _))
 
   private[graft] def injectInto(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

@@ -312,7 +312,7 @@ object GraftSqlDml {
     * Project of plain attributes) over the relation. Anything else — a
     * derived view with real computation — is left for Spark's own error.
     */
-  private object GraftTarget {
+  private[plans] object GraftTarget {
     def unapply(plan: LogicalPlan): Option[GraftRelation] = plan match {
       case SubqueryAlias(_, child) => unapply(child)
       case v: View => unapply(v.child)

@@ -2080,6 +2080,30 @@ final class GraftCatalog(root: String,
     finally stream.close() // Files.list leaks a directory fd if not closed
   }
 
+  /** Commit wall-clock of snapshot `id` in epoch millis — the snapshot
+    * document's mtime (documents are write-once, so the mtime IS the
+    * commit time; the same source the REST snapshot log serves).
+    */
+  def snapshotTimestampMs(table: String, id: Long): Long = {
+    val p = snapPath(table, id)
+    require(Files.exists(p),
+      s"snapshot $id of $table does not exist (expired or never committed)")
+    Files.getLastModifiedTime(p).toMillis
+  }
+
+  /** Iceberg's `TIMESTAMP AS OF`: the latest retained snapshot committed
+    * at or before `ms`. Errors when the table has no snapshot that old
+    * (same contract as Iceberg's SnapshotUtil lookup).
+    */
+  def snapshotIdAsOf(table: String, ms: Long): Long = {
+    val ids = snapshotIds(table)
+    ids.filter(snapshotTimestampMs(table, _) <= ms).maxOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot of $table at or before timestamp $ms; earliest " +
+          s"retained commit is ${ids.headOption.map(snapshotTimestampMs(table, _))
+            .getOrElse("<none>")}"))
+  }
+
   /** Iceberg-style commit summary of snapshot `id` (the `summary` map every
     * catalog UI renders next to a snapshot), computed by DIFFING the
     * snapshot's entry list against its predecessor's — the counts are

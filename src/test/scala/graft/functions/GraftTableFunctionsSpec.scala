@@ -86,6 +86,25 @@ class GraftTableFunctionsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") || plan.contains("Filter"))
   }
 
+  test("graft_changes serves the CDC window as a FROM clause") {
+    val (cat, root) = freshTable()
+    val s0 = cat.currentSnapshotId("t")
+    cat.tagSnapshot("t", "w0", s0)
+    cat.deleteWhere(spark, "t", col("k") <= 5, s"$root/out")
+    val s1 = cat.currentSnapshotId("t")
+    val byId = spark.sql(
+      s"""SELECT _change_type, count(*) AS n
+         |FROM graft_changes('$root', 't', $s0, $s1)
+         |GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byId == Map("D" -> 5L))
+    // tag-addressed lower bound, and the D rows carry the data columns
+    val deleted = spark.sql(
+      s"SELECT k FROM graft_changes('$root', 't', 'w0', $s1) WHERE _change_type = 'D'")
+      .collect().map(_.getLong(0)).sorted
+    assert(deleted.toSeq == (1L to 5L))
+  }
+
   test("non-literal and malformed arguments are rejected with named reasons") {
     val (_, root) = freshTable()
     val nonLit = intercept[Exception](
