@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
+import graft.plans.{GraftMaintenancePlan, MaintenanceOp}
 import graft.sources.{GraftCatalog, GraftMetadataRelation}
 
 /** Table-valued functions: catalog tables addressable from a bare SQL
@@ -23,6 +24,10 @@ import graft.sources.{GraftCatalog, GraftMetadataRelation}
   *   - `SELECT * FROM graft_meta('root', 't', 'files')` — the metadata
   *     tables (`files` | `partitions` | `snapshots` | `history`), same
   *     rebuilt-per-scan relation the format's `metadata` option serves.
+  *   - `graft_compact` / `graft_expire` / `graft_rollback` — table
+  *     MAINTENANCE as TVFs (Iceberg's `CALL` procedures): these resolve to
+  *     a deferred plan ([[graft.plans.GraftMaintenancePlan]]) and run the
+  *     operation only when the enclosing query executes.
   *
   * Arguments must be literals: the relation (schema included) is resolved
   * at ANALYSIS time, the same moment a table name in the FROM clause
@@ -95,9 +100,82 @@ object GraftTableFunctions {
       .queryExecution.analyzed
   }
 
+  /** Shared by the maintenance TVFs: the table must exist at ANALYSIS time
+    * (same moment a FROM-clause table name resolves) so a typo'd name is a
+    * named analysis error, not a deferred execution failure.
+    */
+  private def requireTable(cat: GraftCatalog, table: String, fn: String): Unit =
+    require(cat.tables().contains(table),
+      s"$fn: table '$table' does not exist in this catalog")
+
+  /** `SELECT * FROM graft_compact('root','t' [, mode])` — SQL-addressable
+    * compaction ([[graft.plans.GraftMaintenancePlan]]): Iceberg's
+    * `CALL rewrite_data_files` served as a TVF. `mode` is
+    * `'incremental'` (default — the watermark-diff production path) or
+    * `'full'`. The operation runs when the enclosing query EXECUTES, so
+    * EXPLAIN plans without committing.
+    */
+  private def graftCompact(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"graft_compact takes (root, table [, mode]), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_compact", 1)
+    val table = strLit(args(1), "graft_compact", 2)
+    val mode =
+      if (args.length == 2) "incremental" else strLit(args(2), "graft_compact", 3)
+    require(mode == "full" || mode == "incremental",
+      s"graft_compact mode must be 'full' or 'incremental', got '$mode'")
+    requireTable(new GraftCatalog(root), table, "graft_compact")
+    GraftMaintenancePlan(root, table, MaintenanceOp.Compact(mode))
+  }
+
+  /** `SELECT * FROM graft_expire('root','t', keepLast)` — EP3 snapshot
+    * expiry as a TVF (`CALL expire_snapshots`): one row per expired id,
+    * executed when the query runs.
+    */
+  private def graftExpire(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      s"graft_expire takes (root, table, keep-last), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_expire", 1)
+    val table = strLit(args(1), "graft_expire", 2)
+    val keep = args(2) match {
+      case Literal(v: Int, IntegerType) => v
+      case Literal(v: Long, LongType) => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"graft_expire argument 3 must be an integer literal, got: ${other.sql}")
+    }
+    require(keep >= 1, s"graft_expire keep-last must be >= 1, got $keep")
+    requireTable(new GraftCatalog(root), table, "graft_expire")
+    GraftMaintenancePlan(root, table, MaintenanceOp.Expire(keep))
+  }
+
+  /** `SELECT * FROM graft_rollback('root','t', snapshot | tag)` — rollback
+    * of `main` to a retained snapshot (`CALL rollback_to_snapshot`),
+    * rendered append-only ([[GraftCatalog.rollbackTo]]); returns the NEW
+    * head id when the query executes.
+    */
+  private def graftRollback(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      s"graft_rollback takes (root, table, snapshot-id | tag), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_rollback", 1)
+    val table = strLit(args(1), "graft_rollback", 2)
+    val cat = new GraftCatalog(root)
+    requireTable(cat, table, "graft_rollback")
+    val sid = args(2) match {
+      case Literal(v: Long, LongType) => v
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: UTF8String, StringType) =>
+        cat.snapshotIdOfTag(table, v.toString)
+      case other => throw new IllegalArgumentException(
+        "graft_rollback argument 3 must be an integer snapshot id or a " +
+          s"string tag name literal, got: ${other.sql}")
+    }
+    GraftMaintenancePlan(root, table, MaintenanceOp.Rollback(sid))
+  }
+
   private val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
     Seq("graft_table" -> (graftTable _), "graft_meta" -> (graftMeta _),
-      "graft_changes" -> (graftChanges _))
+      "graft_changes" -> (graftChanges _), "graft_compact" -> (graftCompact _),
+      "graft_expire" -> (graftExpire _), "graft_rollback" -> (graftRollback _))
 
   private[graft] def injectInto(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

@@ -433,8 +433,48 @@ object MorQueries {
          |      FROM graft_table('$root/cat', 'lineitem', 'pre')) was""".stripMargin)
   }
 
+  /** Q138: SQL-addressable table MAINTENANCE end-to-end — the lifecycle a
+    * production operator runs as Iceberg `CALL` procedures, here through
+    * the maintenance TVFs ([[graft.functions.GraftTableFunctions]]):
+    * a MoR delete leaves pending position-delete files, `graft_compact`
+    * rewrites them away (full mode — the delete must be retired, not
+    * carried), `graft_expire` drops the pre-compaction history, and the
+    * final SELECT proves the composed state from SQL alone: the compacted
+    * rows via `graft_table`, zero delete files via `graft_meta`, and the
+    * two expired snapshots (create + delete commits). Oracle-stable
+    * because every output column is data-derived or an invariant of the
+    * operations (full compaction retires ALL pending deletes; the chain
+    * create→delete→compact minus HEAD is exactly 2 snapshots).
+    */
+  private def q138(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q138").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    cat.deleteWhere(spark, "lineitem", col("l_quantity") >= 30, s"$root/d")
+    // materialized eagerly and IN ORDER: compact commits snapshot 3, then
+    // expiry drops {1, 2} — composing them into one statement would leave
+    // the execution order to the planner
+    spark.sql(
+      s"SELECT snapshot_id FROM graft_compact('$root/cat','lineitem','full')")
+      .head()
+    val nExpired = spark.sql(
+      s"SELECT count(*) FROM graft_expire('$root/cat','lineitem', 1)")
+      .head().getLong(0)
+    spark.sql(
+      s"""SELECT agg.n, agg.sum_qty, m.n_delete_files,
+         |       CAST($nExpired AS BIGINT) AS n_expired
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |      FROM graft_table('$root/cat', 'lineitem')) agg
+         |CROSS JOIN
+         |     (SELECT CAST(count(*) AS BIGINT) AS n_delete_files
+         |      FROM graft_meta('$root/cat', 'lineitem', 'files')
+         |      WHERE content <> 'data') m""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_time_travel" -> (q128 _),
+    "q138_sql_maintenance" -> (q138 _),
     "q130_eq_point_delete" -> (q130 _),
     "q136_sql_dml" -> (q136 _),
     "q137_sql_tvf" -> (q137 _),
@@ -479,6 +519,14 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q138_sql_maintenance" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey <= 60000 AND NOT (l_quantity >= 30)) AS n,
+        |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+        |   WHERE l_orderkey <= 60000 AND NOT (l_quantity >= 30)) AS sum_qty,
+        |  CAST(0 AS BIGINT) AS n_delete_files,
+        |  CAST(2 AS BIGINT) AS n_expired""".stripMargin,
     "q130_eq_point_delete" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

@@ -193,6 +193,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => MaintenanceStrategy)
     ext.injectResolutionRule(spark => new GraftSqlDml(spark))
     // hint batch = BEFORE the resolver that rejects v1 time travel
     ext.injectHintResolutionRule(spark => new GraftSqlTimeTravel(spark))

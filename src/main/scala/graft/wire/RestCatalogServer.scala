@@ -50,7 +50,12 @@ import scala.jdk.CollectionConverters._
   *     spec's `requirements` (`assert-ref-snapshot-id` on `main` maps onto
   *     the catalog's optimistic commit — under a store-backed head the
   *     [[GraftCatalog]] CAS re-checks the same base) and `updates`. The
-  *     supported update is `add-data-files` (documented deviation: this
+  *     supported updates are `add-data-files`, `set-properties` /
+  *     `remove-properties`, `set-snapshot-ref` (rollback), and the
+  *     schema-evolution pair `add-schema` + `set-current-schema-id: -1`
+  *     (mapped onto the catalog's field-id-checked `evolveSchema`;
+  *     illegal evolutions get the spec's 400). `add-data-files`
+  *     (documented deviation: this
   *     catalog's manifests are inline file lists, so the added files ride
   *     the update body instead of a manifest-list location), each file as
   *     `{"file-path","file-format","record-count","file-size-in-bytes"}`.
@@ -375,6 +380,7 @@ object RestCatalogServer {
     var propSets = Map.empty[String, String]
     var propRemoves = Set.empty[String]
     var rollbackTarget = Option.empty[Long]
+    var newSchema = Option.empty[org.apache.spark.sql.types.StructType]
     val files = elems(if (req == null) null else req.get("updates")).flatMap { u =>
       Option(u.get("action")).map(_.asText).getOrElse("") match {
         case "add-data-files" =>
@@ -399,6 +405,28 @@ object RestCatalogServer {
             return badRequest("remove-properties requires a 'removals' array")
           rm.get.elements().asScala.foreach(n => propRemoves += n.asText)
           Nil
+        case "add-schema" =>
+          // the spec's schema-evolution pair: add-schema carries the full
+          // evolved struct (field ids are the evolution identity); the
+          // companion set-current-schema-id below activates it
+          val s = Option(u.get("schema")).getOrElse(
+            return badRequest("add-schema requires a 'schema'"))
+          parseIcebergSchema(s) match {
+            case Right(st) => newSchema = Some(st)
+            case Left(err) => return badRequest(err)
+          }
+          Nil
+        case "set-current-schema-id" =>
+          // the spec's sentinel -1 = "the schema added in this commit";
+          // this catalog has no standalone schema registry to address
+          // other ids through
+          val sid = Option(u.get("schema-id")).filter(_.isNumber)
+            .getOrElse(return badRequest(
+              "set-current-schema-id requires a numeric 'schema-id'"))
+          if (sid.asInt != -1)
+            return badRequest("set-current-schema-id supports -1 " +
+              "(the schema added by this commit's add-schema)")
+          Nil
         case "set-snapshot-ref" =>
           // rolling main back to a retained snapshot — the spec's rollback
           // shape. Rendered as a NEW head pointing at the old state
@@ -417,11 +445,15 @@ object RestCatalogServer {
       }
     }
     if (files.isEmpty && propSets.isEmpty && propRemoves.isEmpty &&
-        rollbackTarget.isEmpty)
+        rollbackTarget.isEmpty && newSchema.isEmpty)
       return badRequest("commit carries no supported updates")
     if (files.nonEmpty && rollbackTarget.nonEmpty)
       return badRequest(
         "add-data-files and set-snapshot-ref cannot share a commit")
+    if (newSchema.nonEmpty && (files.nonEmpty || rollbackTarget.nonEmpty))
+      return badRequest(
+        "add-schema must be its own commit (schema evolution is a " +
+          "standalone snapshot in this catalog)")
     try {
       if (files.nonEmpty)
         catalog.commitAppendAt(table,
@@ -438,6 +470,15 @@ object RestCatalogServer {
         try catalog.rollbackTo(table, sid)
         catch { case e: IllegalArgumentException =>
           return badRequest(Option(e.getMessage).getOrElse("bad snapshot"))
+        }
+      }
+      newSchema.foreach { st =>
+        // evolution legality (id reuse, illegal promotions, nullability
+        // tightening) is the CLIENT's error — the spec's 400
+        // ValidationException, not a retryable 409
+        try catalog.evolveSchema(table, st)
+        catch { case e: IllegalArgumentException =>
+          return badRequest(Option(e.getMessage).getOrElse("illegal schema evolution"))
         }
       }
       if (propSets.nonEmpty || propRemoves.nonEmpty)

@@ -1,0 +1,114 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.{CompactionRunner, GraftCatalog}
+import graft.sources.CompactionRunner.DataFileTask
+
+/** The SQL maintenance TVFs ([[GraftMaintenancePlan]] via
+  * `graft_compact` / `graft_expire` / `graft_rollback`) — the `CALL`
+  * procedure surface. Pins the two contracts the gate (q138) can't see:
+  * EXPLAIN must NOT execute the operation, and each TVF's result row must
+  * agree with the catalog API it wraps.
+  */
+class SqlMaintenanceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** 3 appended file generations + a MoR delete: compactable debt. */
+  private def debtTable(): (GraftCatalog, String) = {
+    val root = Files.createTempDirectory("graft-maint").toString
+    val cat = new GraftCatalog(root)
+    (10L until 20L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/stage1")
+    cat.createTable("t",
+      CompactionRunner.listParquet(s"$root/stage1").map(DataFileTask(_, 1L)))
+    (2 to 3).foreach { g =>
+      cat.appendFiles(spark, "t",
+        ((g * 10L) until (g * 10L + 10L)).map(k => (k, s"v$k")).toDF("k", "v"),
+        s"$root/stage$g")
+    }
+    cat.deleteWhere(spark, "t",
+      org.apache.spark.sql.functions.col("k") % 2 === 0, s"$root/d")
+    (cat, root)
+  }
+
+  private def deleteEntryCount(cat: GraftCatalog, root: String): Long =
+    cat.metadataTable(spark, "t", "files")
+      .filter("content <> 'data'").count()
+
+  test("EXPLAIN graft_compact plans without committing") {
+    val (cat, root) = debtTable()
+    val head = cat.currentSnapshotId("t")
+    val plan = spark.sql(s"EXPLAIN SELECT * FROM graft_compact('$root','t')")
+      .collect().head.getString(0)
+    assert(plan.contains("GraftMaintenance"),
+      s"maintenance exec node missing from plan:\n$plan")
+    assert(cat.currentSnapshotId("t") == head,
+      "EXPLAIN must not run the compaction")
+    assert(deleteEntryCount(cat, root) >= 1,
+      "EXPLAIN must leave the pending delete files in place")
+  }
+
+  test("graft_compact('full') retires deletes and matches the API result") {
+    val (cat, root) = debtTable()
+    val before = cat.scanTable(spark, "t").orderBy("k").collect().toSeq
+    val row = spark.sql(
+      s"SELECT * FROM graft_compact('$root','t','full')").collect().head
+    assert(row.getLong(0) == cat.currentSnapshotId("t"),
+      "returned snapshot_id must be the committed head")
+    assert(row.getLong(2) >= 1, "the pending pos-delete file must be retired")
+    assert(row.getLong(4) == before.size,
+      "output_records must equal the surviving row count")
+    assert(deleteEntryCount(cat, root) == 0,
+      "full compaction leaves no delete entries")
+    assert(cat.scanTable(spark, "t").orderBy("k").collect().toSeq == before,
+      "compaction must not change table contents")
+  }
+
+  test("graft_compact default mode is incremental: second call is a no-op") {
+    val (cat, root) = debtTable()
+    spark.sql(s"SELECT * FROM graft_compact('$root','t','full')").collect()
+    val head = cat.currentSnapshotId("t")
+    val again = spark.sql(
+      s"SELECT * FROM graft_compact('$root','t')").collect().head
+    assert(again.getLong(0) == head,
+      "incremental compaction with no appended delta must not commit")
+  }
+
+  test("graft_expire returns exactly the expired ids; tagged snapshots survive") {
+    val (cat, root) = debtTable()
+    cat.tagSnapshot("t", "keep", 2L)
+    val allBefore = cat.snapshotIds("t")
+    val expired = spark.sql(
+      s"SELECT * FROM graft_expire('$root','t', 1)")
+      .collect().map(_.getLong(0)).toSet
+    val remaining = cat.snapshotIds("t").toSet
+    assert(expired == allBefore.toSet -- remaining,
+      "returned rows must be exactly the dropped snapshot ids")
+    assert(remaining.contains(2L), "tagged snapshot must never expire")
+    assert(remaining.contains(cat.currentSnapshotId("t")))
+  }
+
+  test("graft_rollback by tag returns the new head serving the old state") {
+    val (cat, root) = debtTable()
+    cat.tagSnapshot("t", "pre", 1L)
+    val wasRows = cat.scanTableAt(spark, "t", 1L).count()
+    val newHead = spark.sql(
+      s"SELECT * FROM graft_rollback('$root','t','pre')").collect().head.getLong(0)
+    assert(newHead == cat.currentSnapshotId("t"))
+    assert(cat.scanTable(spark, "t").count() == wasRows,
+      "HEAD must serve the rolled-back state")
+  }
+
+  test("analysis-time errors are named: bad mode, missing table") {
+    val (_, root) = debtTable()
+    val badMode = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_compact('$root','t','both')"))
+    assert(badMode.getMessage.contains("mode must be"))
+    val noTable = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_expire('$root','missing', 1)"))
+    assert(noTable.getMessage.contains("does not exist"))
+  }
+}

@@ -247,6 +247,56 @@ class RestCatalogSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("commit add-schema evolves the canonical schema; illegal evolution is 400") {
+    val root = Files.createTempDirectory("graft-rest-evo").toString
+    val cat = new GraftCatalog(root)
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      val createBody =
+        """{"name":"evo","schema":{"type":"struct","fields":[
+          |{"id":1,"name":"k","required":false,"type":"int"},
+          |{"id":2,"name":"v","required":false,"type":"string"}]}}""".stripMargin
+      assert(post(port, "/v1/namespaces/default/tables", createBody)._1 == 200)
+
+      // the spec's evolution pair: widen k int->long, add a new column.
+      // set-current-schema-id -1 = "the schema added by this commit"
+      def evoBody(kType: String) =
+        s"""{"updates":[
+           |{"action":"add-schema","schema":{"type":"struct","fields":[
+           |{"id":1,"name":"k","required":false,"type":"$kType"},
+           |{"id":2,"name":"v","required":false,"type":"string"},
+           |{"id":3,"name":"w","required":false,"type":"double"}]}},
+           |{"action":"set-current-schema-id","schema-id":-1}]}""".stripMargin
+      val (c1, evolved) =
+        post(port, "/v1/namespaces/default/tables/evo", evoBody("long"))
+      assert(c1 == 200, evolved)
+      assert(evolved.contains(""""last-column-id":3"""), evolved)
+      assert(evolved.contains(""""type":"long""""), evolved)
+      assert(cat.currentSchema("evo").exists(s =>
+        s.fields.map(_.name).toSeq == Seq("k", "v", "w") &&
+          s.fields.head.dataType ==
+            org.apache.spark.sql.types.LongType))
+
+      // illegal narrowing (long -> int on a surviving id) → the client's
+      // 400, not a retryable 409
+      val (c2, bad) =
+        post(port, "/v1/namespaces/default/tables/evo", evoBody("int"))
+      assert(c2 == 400 && bad.contains("illegal type change"), s"$c2 $bad")
+
+      // a base assertion still guards schema commits
+      val (c3, stale) = post(port, "/v1/namespaces/default/tables/evo",
+        """{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+          |"updates":[
+          |{"action":"add-schema","schema":{"type":"struct","fields":[
+          |{"id":1,"name":"k","required":false,"type":"long"},
+          |{"id":2,"name":"v","required":false,"type":"string"},
+          |{"id":3,"name":"w","required":false,"type":"double"},
+          |{"id":4,"name":"x","required":false,"type":"long"}]}}]}""".stripMargin)
+      assert(c3 == 409 && stale.contains("CommitFailedException"), s"$c3 $stale")
+    } finally server.close()
+  }
+
   test("DELETE drops a table: 204, gone from the listing; fork conflicts are 409") {
     val root = Files.createTempDirectory("graft-rest-drop").toString
     val cat = new GraftCatalog(root)
