@@ -74,7 +74,11 @@ object Bench {
     "q136" -> 4.9,
     // one delete lifecycle + two TVF-addressed aggregate scans (q128's
     // shape through the SQL doorway)
-    "q137" -> 2.2)
+    "q137" -> 2.2,
+    // q138 SQL maintenance (compact+expire lifecycle), q139 boilerplate
+    // removal, q140 bloom decontam — levels from this round's clean 130 s
+    // full idle-box run
+    "q138" -> 2.6, "q139" -> 1.5, "q140" -> 2.0)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 3× the query's recorded

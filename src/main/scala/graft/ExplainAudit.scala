@@ -207,7 +207,28 @@ object ExplainAudit {
         "graft_table() call resolves (at analysis) to its own snapshot's " +
         "file set, both sides reduce to 1-row aggregates, and the cross " +
         "join of two scalar frames is the only BNLJ — the same " +
-        "1-row-broadcast shape the TPC-H scalar-subquery plans pin."))
+        "1-row-broadcast shape the TPC-H scalar-subquery plans pin."),
+    "q138_sql_maintenance" ->
+      ("Final read after SQL-addressed maintenance (graft_compact + " +
+        "graft_expire TVFs, each a deferred GraftMaintenance leaf executed " +
+        "only at query run): the compacted table aggregate is a plain " +
+        "pruned scan (no delete anti joins left — full compaction retired " +
+        "them), cross-joined with the 1-row metadata count. Maintenance " +
+        "cost is the operation itself, never the read plan."),
+    "q139_boilerplate" ->
+      ("CCNet-style boilerplate removal: segment explode is map-side, the " +
+        "frequency pass is a partial+final hash aggregate over segment " +
+        "keys, the hot set returns as a BROADCAST anti join (small by " +
+        "definition of 'boilerplate'; Catalyst falls back to a shuffled " +
+        "anti join past the threshold), and reassembly is the single " +
+        "corpus shuffle (by doc_id). Nothing quadratic, no driver state."),
+    "q140_bloom_decontam" ->
+      ("Bloom-prefiltered decontamination: the train scan carries a " +
+        "map-only exists(dh, might_contain) gate through Spark's codegen'd " +
+        "BloomFilterMightContain (bloom rides the plan as a literal), and " +
+        "only surviving candidates hit the broadcast exact-verify join — " +
+        "zero shuffles of the corpus. Exactness is join-determined; the " +
+        "bloom only prunes true negatives."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -272,6 +293,12 @@ object ExplainAudit {
     sb.append("zero errors; q136 at 4.88 s is the suite's slowest query — three\n")
     sb.append("serial DML lifecycles (delete+update+merge commits) on the 60k\n")
     sb.append("slice, gate cost not plan cost (recorded in Bench.recordedSec).\n")
+    sb.append("After the SQL maintenance TVFs (q138 compact+expire lifecycle) and\n")
+    sb.append("the two new pipeline operators (q139 CCNet boilerplate removal,\n")
+    sb.append("q140 bloom-prefiltered decontamination), a clean idle-box full run\n")
+    sb.append("measured 130 s over 132 queries, zero errors, slowest q136 5.11 s;\n")
+    sb.append("the three new gates came in at 2.57/1.44/1.93 s (levels recorded\n")
+    sb.append("in Bench.recordedSec).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -5,6 +5,7 @@ import graft.functions.TextOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Training-data pipeline operators Q40–Q48 (north-star extensions;
   * BASELINE.json `north_star`): exact + near-duplicate detection, similarity
@@ -407,6 +408,125 @@ object PipelineQueries {
        |       CAST(p.n_common AS DOUBLE) / z.n AS containment
        |FROM pairs86 p JOIN sz86 z ON z.doc_id = p.doc_id
        |WHERE CAST(p.n_common AS DOUBLE) / z.n >= 0.5""".stripMargin
+
+  // ---- Q139 boilerplate removal / Q140 bloom decontamination -------------
+
+  /** Q139: boilerplate removal — CCNet-style line-level dedup (Wenzek et
+    * al., "CCNet: Extracting High Quality Monolingual Datasets from Web
+    * Crawl Data", arXiv:1911.00359 §3.1, also RefinedWeb's line-wise
+    * filter), re-expressed at 8-token segment granularity because the
+    * fixture corpus has no newlines: segment each document into
+    * consecutive 8-token windows, count corpus-wide how many DISTINCT
+    * documents contain each segment, mark segments appearing in ≥ 3 docs
+    * as boilerplate, and rebuild every document from its surviving
+    * segments in order (a fully-boilerplate document drops out entirely —
+    * CCNet's behavior).
+    *
+    * Scale shape: the frequency pass shuffles only (segment, partial
+    * count) pairs — map-side combine collapses within-partition repeats —
+    * and the hot set flows back as a LEFT ANTI join that Catalyst
+    * broadcasts while small and falls back to a shuffled anti join when a
+    * 100 TB corpus's boilerplate set outgrows the threshold; reassembly is
+    * the one corpus-wide shuffle (by doc_id). No driver materialization
+    * anywhere.
+    */
+  private def q139(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val toks = split(lower(col("text")), " ")
+    val starts = sequence(lit(0), greatest(size(col("t")) - 1, lit(0)), lit(8))
+    val segs = d.select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"),
+        (floor(greatest(size(col("t")) - 1, lit(0)) / 8) + 1)
+          .cast("long").as("n_segs"),
+        col("t"), explode(starts).as("s"))
+      .filter(col("s") < size(col("t"))) // the n=0 doc would emit start 0
+      .select(col("doc_id"), col("n_segs"), col("s").cast("long").as("s"),
+        array_join(slice(col("t"), col("s") + 1,
+          least(lit(8), size(col("t")) - col("s"))), " ").as("seg"))
+    val hot = segs.select(col("seg"), col("doc_id")).distinct()
+      .groupBy(col("seg")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 3)
+      .select(col("seg"))
+    segs.join(hot, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"), col("n_segs"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("s"), col("seg")))),
+          x => x.getField("seg")), " ")).as("clean_hash"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"), col("clean_hash"))
+  }
+
+  private val q139Sql =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+      |           FROM documents),
+      |segs AS (
+      |  SELECT doc_id,
+      |         CAST(greatest(len(t) - 1, 0) // 8 + 1 AS BIGINT) AS n_segs,
+      |         CAST(s AS BIGINT) AS s,
+      |         array_to_string(t[s + 1 : s + least(8, len(t) - s)], ' ') AS seg
+      |  FROM t, unnest(range(0, greatest(len(t), 1), 8)) AS u(s)
+      |  WHERE s < len(t)),
+      |hot AS (
+      |  SELECT seg FROM (SELECT seg, count(DISTINCT doc_id) AS nd
+      |                   FROM segs GROUP BY 1) WHERE nd >= 3)
+      |SELECT doc_id, n_segs, CAST(count(*) AS BIGINT) AS n_kept,
+      |       md5(string_agg(seg, ' ' ORDER BY s)) AS clean_hash
+      |FROM segs WHERE seg NOT IN (SELECT seg FROM hot)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Q140: bloom-prefiltered decontamination — q86's contamination check
+    * restructured the way a production pipeline actually runs it when the
+    * benchmark suite is large: the eval side's shingle hashes are folded
+    * into a Bloom filter (`org.apache.spark.util.sketch.BloomFilter` — a
+    * 100M-n-gram benchmark set is ~120 MB of bloom vs gigabytes of hash
+    * set), the TRAIN scan applies a map-only `exists(dh, might_contain)`
+    * prefilter through Spark's own codegen'd `BloomFilterMightContain`
+    * expression, and only the surviving candidates pay the exact
+    * sorted-merge intersection against the broadcast eval frame. Bloom
+    * false positives are killed by the exact verify and false negatives
+    * are impossible, so the result is EXACT — the oracle is the plain
+    * join, no bloom in sight. At 100 TB: zero shuffles of the corpus
+    * (map-only prefilter + broadcast verify), the shape that makes
+    * decontamination affordable at every ingest.
+    */
+  private def q140(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = corpus(spark, sfDir)
+      .select(col("doc_id"), TextOps.shingleHashesC(col("text"), 3).as("dh"))
+      .filter(size(col("dh")) > 0)
+    val evals = c.filter(col("doc_id") % 97 === 0 && col("doc_id") < 100000)
+      .select(col("doc_id").as("eval_id"), col("dh").as("dhe"))
+    // benchmark n-grams are driver-small by nature (eval suites are KB-MB,
+    // not TB) — the one collect, bounded by the benchmark not the corpus
+    val evalHashes = evals.select(explode(col("dhe")).as("h")).distinct()
+      .collect().map(_.getLong(0))
+    val bloom = org.apache.spark.util.sketch.BloomFilter
+      .create(math.max(evalHashes.length.toLong, 1L), 0.01)
+    evalHashes.foreach(bloom.putLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(baos)
+    val bloomLit = lit(baos.toByteArray)
+    def mightContain(h: Column): Column = ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bloomLit), ColumnBridge.expression(h)))
+    val train = c.filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 100000))
+    train
+      .filter(exists(col("dh"), mightContain)) // map-only candidate gate
+      .crossJoin(broadcast(evals))
+      .withColumn("n_common", TextOps.sortedCommonC(col("dh"), col("dhe")))
+      .filter(col("n_common") >= 1)
+      .select(col("doc_id"), col("eval_id"),
+        col("n_common").cast("long").as("n_common"))
+  }
+
+  private val q140Sql =
+    s"""WITH $CorpusSql,
+       |$ShinglesSql,
+       |dh140 AS (SELECT DISTINCT doc_id, h FROM shh)
+       |SELECT tr.doc_id, ev.doc_id AS eval_id, CAST(count(*) AS BIGINT) AS n_common
+       |FROM dh140 tr JOIN dh140 ev ON ev.h = tr.h
+       | AND (ev.doc_id % 97 = 0 AND ev.doc_id < 100000)
+       | AND NOT (tr.doc_id % 97 = 0 AND tr.doc_id < 100000)
+       |GROUP BY 1, 2""".stripMargin
 
   // ---- Q41 MinHash LSH near-dup -----------------------------------------
 
@@ -2110,7 +2230,9 @@ object PipelineQueries {
     "q118_semantic_dedup" -> (q118 _),
     "q132_span_dedup" -> (q132 _),
     "q133_shard_pack" -> (q133 _),
-    "q134_quality_filter" -> (q134 _))
+    "q134_quality_filter" -> (q134 _),
+    "q139_boilerplate" -> (q139 _),
+    "q140_bloom_decontam" -> (q140 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -2151,7 +2273,9 @@ object PipelineQueries {
     "q93_kmeans_step" -> q93Sql,
     "q94_stream_neardup" -> q94Sql,
     "q101_quantized_cosine" -> q101Sql,
-    "q102_ann_recall" -> q102Sql)
+    "q102_ann_recall" -> q102Sql,
+    "q139_boilerplate" -> q139Sql,
+    "q140_bloom_decontam" -> q140Sql)
 }
 
 /** Typed output row of the q91 header decode — the geometry a real header

@@ -34,6 +34,48 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"q41 planned a BNLJ:\n$plan")
   }
 
+  test("boilerplate removal drops exactly the >=3-doc segments, anti-join planned") {
+    val out = q("q139_boilerplate").cache()
+    // kept can never exceed total, and at least one doc must actually lose
+    // a segment (the corpus carries repeated token runs)
+    assert(out.filter(col("n_kept") > col("n_segs")).count() == 0)
+    assert(out.filter(col("n_kept") < col("n_segs")).count() > 0,
+      "no boilerplate segment was detected — the gate is vacuous")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"hot-set removal must be an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    out.unpersist()
+  }
+
+  test("bloom decontamination is exact: equals the join with no bloom") {
+    val out = q("q140_bloom_decontam").cache()
+    // exact reference: every (train, eval) pair with >= 1 common shingle
+    import graft.functions.TextOps
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lower(col("text")).as("text"))
+    val corpus = docs.unionAll(docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graft dup tail")).as("text")))
+      .select(col("doc_id"), TextOps.shingleHashesC(col("text"), 3).as("dh"))
+      .filter(size(col("dh")) > 0)
+    val evals = corpus.filter(col("doc_id") % 97 === 0 && col("doc_id") < 100000)
+      .select(col("doc_id").as("eval_id"), col("dh").as("dhe"))
+    val exact = corpus
+      .filter(!(col("doc_id") % 97 === 0 && col("doc_id") < 100000))
+      .crossJoin(broadcast(evals))
+      .select(col("doc_id"), col("eval_id"),
+        TextOps.sortedCommonC(col("dh"), col("dhe")).cast("long").as("n_common"))
+      .filter(col("n_common") >= 1)
+    assert(out.count() == exact.count())
+    assert(out.except(exact).count() == 0 && exact.except(out).count() == 0,
+      "bloom-prefiltered result must equal the exact join")
+    // the prefilter is really in the plan (the map-only candidate gate)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain") || plan.contains("BloomFilterMightContain"),
+      s"bloom prefilter missing from the plan:\n$plan")
+    out.unpersist()
+  }
+
   test("cosine top-k ranks are dense 1..k per query") {
     val out = q("q42_cosine_topk")
     val byQ = out.groupBy("qid").agg(count(lit(1)).as("n"), max("rn").as("mx"))
