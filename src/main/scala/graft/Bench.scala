@@ -78,7 +78,9 @@ object Bench {
     // q138 SQL maintenance (compact+expire lifecycle), q139 boilerplate
     // removal, q140 bloom decontam — levels from this round's clean 130 s
     // full idle-box run
-    "q138" -> 2.6, "q139" -> 1.5, "q140" -> 2.0)
+    "q138" -> 2.6, "q139" -> 1.5, "q140" -> 2.0,
+    // q141 WAV header decode — map-only, from the same clean run
+    "q141" -> 0.25)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 3× the query's recorded

@@ -228,7 +228,12 @@ object ExplainAudit {
         "BloomFilterMightContain (bloom rides the plan as a literal), and " +
         "only surviving candidates hit the broadcast exact-verify join — " +
         "zero shuffles of the corpus. Exactness is join-determined; the " +
-        "bloom only prunes true negatives."))
+        "bloom only prunes true negatives."),
+    "q141_audio_meta" ->
+      ("Audio header decode (q91's WAV sibling): typed mapPartitions in " +
+        "64-row batches, RIFF subchunk walking per payload — row-level, " +
+        "zero exchanges; the same map-only shape that streams through " +
+        "100 TB of objects."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

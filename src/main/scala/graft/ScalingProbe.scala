@@ -42,7 +42,8 @@ object ScalingProbe {
     // the 1x row absorbs all first-run costs and fakes a sublinear curve
     base.count()
     Seq("q40_dedup_exact", "q41_neardup_minhash", "q90_incremental_dedup",
-      "q132_span_dedup", "q133_shard_pack")
+      "q132_span_dedup", "q133_shard_pack", "q139_boilerplate",
+      "q140_bloom_decontam")
       .foreach { q =>
         graft.pipeline.PipelineQueries.queries(q)(spark, sfDir)
           .write.mode("overwrite").format("noop").save()
@@ -83,10 +84,13 @@ object ScalingProbe {
       val t90 = time("q90_incremental_dedup")
       val t132 = time("q132_span_dedup")
       val t133 = time("q133_shard_pack")
+      val t139 = time("q139_boilerplate")
+      val t140 = time("q140_bloom_decontam")
       spark.catalog.clearCache() // per-size caches must not subsidize the next size
       println(f"mult=$mult%2d docs=$nDocs%6d q40=$t40%6.2f q41=$t41%6.2f " +
-        f"q90=$t90%6.2f q132=$t132%6.2f q133=$t133%6.2f")
-      (mult, nDocs, t40, t41, t90, t132, t133)
+        f"q90=$t90%6.2f q132=$t132%6.2f q133=$t133%6.2f q139=$t139%6.2f " +
+        f"q140=$t140%6.2f")
+      (mult, nDocs, t40, t41, t90, t132, t133, t139, t140)
     }
 
     // ---- incremental vs full compaction over the same corpus sizes ------
@@ -237,11 +241,12 @@ object ScalingProbe {
     sb.append("tokens: zero cross-replica 3-shingle overlap), so workload should\n")
     sb.append("scale ~linearly if the banded/keyed designs hold — a quadratic\n")
     sb.append("stage would show sec/doc growing with the multiplier.\n\n")
-    sb.append("| mult | docs | q40 exact (s) | q41 LSH near-dup (s) | q90 incremental (s) | q132 span-dedup (s) | q133 shard-pack (s) | q41 ms/doc | q132 ms/doc |\n")
-    sb.append("|---|---|---|---|---|---|---|---|---|\n")
-    rows.foreach { case (m, n, t40, t41, t90, t132, t133) =>
+    sb.append("| mult | docs | q40 exact (s) | q41 LSH near-dup (s) | q90 incremental (s) | q132 span-dedup (s) | q133 shard-pack (s) | q139 boilerplate (s) | q140 bloom-decontam (s) | q41 ms/doc | q132 ms/doc | q139 ms/doc |\n")
+    sb.append("|---|---|---|---|---|---|---|---|---|---|---|---|\n")
+    rows.foreach { case (m, n, t40, t41, t90, t132, t133, t139, t140) =>
       sb.append(f"| ${m}x | $n | $t40%.2f | $t41%.2f | $t90%.2f | $t132%.2f | " +
-        f"$t133%.2f | ${t41 * 1000 / n}%.2f | ${t132 * 1000 / n}%.2f |\n")
+        f"$t133%.2f | $t139%.2f | $t140%.2f | ${t41 * 1000 / n}%.2f | " +
+        f"${t132 * 1000 / n}%.2f | ${t139 * 1000 / n}%.2f |\n")
     }
     sb.append("\nmin-of-3 wall times (the box shows sporadic multi-second stalls —\n")
     sb.append("an r9 probe caught both of two 16x q41 samples stalled at once);\n")

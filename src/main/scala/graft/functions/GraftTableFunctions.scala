@@ -24,10 +24,11 @@ import graft.sources.{GraftCatalog, GraftMetadataRelation}
   *   - `SELECT * FROM graft_meta('root', 't', 'files')` — the metadata
   *     tables (`files` | `partitions` | `snapshots` | `history`), same
   *     rebuilt-per-scan relation the format's `metadata` option serves.
-  *   - `graft_compact` / `graft_expire` / `graft_rollback` — table
-  *     MAINTENANCE as TVFs (Iceberg's `CALL` procedures): these resolve to
-  *     a deferred plan ([[graft.plans.GraftMaintenancePlan]]) and run the
-  *     operation only when the enclosing query executes.
+  *   - `graft_compact` / `graft_expire` / `graft_rollback` /
+  *     `graft_remove_orphans` — table MAINTENANCE as TVFs (Iceberg's
+  *     `CALL` procedures): these resolve to a deferred plan
+  *     ([[graft.plans.GraftMaintenancePlan]]) and run the operation only
+  *     when the enclosing query executes.
   *
   * Arguments must be literals: the relation (schema included) is resolved
   * at ANALYSIS time, the same moment a table name in the FROM clause
@@ -73,6 +74,19 @@ object GraftTableFunctions {
     val table = strLit(args(1), "graft_meta", 2)
     val kind = strLit(args(2), "graft_meta", 3)
     val rel = new GraftMetadataRelation(spark.sqlContext, root, table, kind)
+    spark.baseRelationToDataFrame(rel).queryExecution.analyzed
+  }
+
+  /** `SELECT * FROM graft_tables('root')` — the catalog-level table
+    * listing (name, head snapshot, per-kind file counts): the REST
+    * `/v1/namespaces/default/tables` route's SQL twin, rebuilt per scan
+    * from catalog metadata like the other metadata tables.
+    */
+  private def graftTables(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 1,
+      s"graft_tables takes (root), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_tables", 1)
+    val rel = new GraftMetadataRelation(spark.sqlContext, root, "", "tables")
     spark.baseRelationToDataFrame(rel).queryExecution.analyzed
   }
 
@@ -172,10 +186,36 @@ object GraftTableFunctions {
     GraftMaintenancePlan(root, table, MaintenanceOp.Rollback(sid))
   }
 
+  /** `SELECT * FROM graft_remove_orphans('root','t' [, graceSeconds])` —
+    * GC of unreferenced files under the catalog-managed data location
+    * (`CALL remove_orphan_files`): one row per deleted path, executed when
+    * the query runs. Grace defaults to 24 h (Iceberg's default) so
+    * in-flight writers are never raced.
+    */
+  private def graftRemoveOrphans(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2 || args.length == 3,
+      s"graft_remove_orphans takes (root, table [, grace-seconds]), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_remove_orphans", 1)
+    val table = strLit(args(1), "graft_remove_orphans", 2)
+    val grace: Long =
+      if (args.length == 2) 24L * 3600
+      else args(2) match {
+        case Literal(v: Int, IntegerType) => v.toLong
+        case Literal(v: Long, LongType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_remove_orphans argument 3 must be an integer literal, got: ${other.sql}")
+      }
+    require(grace >= 0, s"grace period must be non-negative, got $grace")
+    requireTable(new GraftCatalog(root), table, "graft_remove_orphans")
+    GraftMaintenancePlan(root, table, MaintenanceOp.RemoveOrphans(grace))
+  }
+
   private val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
     Seq("graft_table" -> (graftTable _), "graft_meta" -> (graftMeta _),
       "graft_changes" -> (graftChanges _), "graft_compact" -> (graftCompact _),
-      "graft_expire" -> (graftExpire _), "graft_rollback" -> (graftRollback _))
+      "graft_expire" -> (graftExpire _), "graft_rollback" -> (graftRollback _),
+      "graft_remove_orphans" -> (graftRemoveOrphans _),
+      "graft_tables" -> (graftTables _))
 
   private[graft] def injectInto(
       ext: org.apache.spark.sql.SparkSessionExtensions): Unit =

@@ -1861,6 +1861,59 @@ object PipelineQueries {
       |  CAST(8 AS BIGINT) AS bit_depth
       |FROM documents""".stripMargin
 
+  /** Q141: audio header decode — the WAV sibling of q91's image pass,
+    * completing the multimodal tier's modality coverage: each payload is a
+    * spec-shaped RIFF/WAVE object ([[graft.functions.MediaHeaders]]
+    * synthesis — PCM `fmt ` chunk, a variable-length `JUNK` padding chunk
+    * so the parser must WALK subchunks with RIFF word alignment, never
+    * read fixed offsets) and the decode extracts the routing metadata an
+    * audio ingest needs before any sample work: sample rate, channels,
+    * bits/sample, sample count, duration. Geometry derives from doc_id
+    * arithmetic so the oracle states the expected parse in pure SQL while
+    * the Spark side actually reads it back out of the bytes. Same typed
+    * 64-row `mapPartitions` batching as q91; map-only — no shuffle at any
+    * scale.
+    */
+  private def q141(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MediaHeaders
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("body"))
+      .as[(Long, Array[Byte])]
+    val payloads = d.map { case (docId, body) =>
+      val rate = (8000 + (docId % 8) * 1000).toInt
+      val ch = (1 + docId % 2).toInt
+      val bits = if (docId % 3 == 0) 8 else 16
+      (docId, MediaHeaders.wavHeader(rate, ch, bits, body.length,
+        junkLen = (docId % 12).toInt) ++ body)
+    }
+    payloads.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { case (docId, p) =>
+          val h = MediaHeaders.parseWavHeader(p).getOrElse(
+            throw new IllegalStateException(
+              s"unparseable synthesized wav header for doc $docId"))
+          AudioMeta(docId, h.mime, h.sampleRate, h.channels, h.bitsPerSample,
+            h.nSamples, h.nSamples * 1000L / h.sampleRate)
+        }
+      }
+    }.toDF()
+  }
+
+  private val q141Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+      |         CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+      |         CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS BIGINT) AS bits_per_sample,
+      |         octet_length(encode(text)) AS nb
+      |  FROM documents)
+      |SELECT doc_id, 'audio/wav' AS mime, sample_rate, channels, bits_per_sample,
+      |       CAST(nb // (channels * (bits_per_sample // 8)) AS BIGINT) AS n_samples,
+      |       CAST((nb // (channels * (bits_per_sample // 8))) * 1000 // sample_rate
+      |            AS BIGINT) AS duration_ms
+      |FROM p""".stripMargin
+
   /** Q92: sketch-accuracy audit — for every verified near-dup pair, the
     * MinHash ESTIMATE of Jaccard (fraction of agreeing signature
     * components) against the exact Jaccard the verify stage computed. This
@@ -2232,7 +2285,8 @@ object PipelineQueries {
     "q133_shard_pack" -> (q133 _),
     "q134_quality_filter" -> (q134 _),
     "q139_boilerplate" -> (q139 _),
-    "q140_bloom_decontam" -> (q140 _))
+    "q140_bloom_decontam" -> (q140 _),
+    "q141_audio_meta" -> (q141 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -2275,7 +2329,8 @@ object PipelineQueries {
     "q101_quantized_cosine" -> q101Sql,
     "q102_ann_recall" -> q102Sql,
     "q139_boilerplate" -> q139Sql,
-    "q140_bloom_decontam" -> q140Sql)
+    "q140_bloom_decontam" -> q140Sql,
+    "q141_audio_meta" -> q141Sql)
 }
 
 /** Typed output row of the q91 header decode — the geometry a real header
@@ -2283,3 +2338,9 @@ object PipelineQueries {
   */
 case class MediaHeader(doc_id: Long, mime: String, n_bytes: Long, width: Long,
     height: Long, channels: Long, bit_depth: Long)
+
+/** Typed output row of the q141 audio header decode — PCM routing
+  * geometry (rate, channels, sample width, duration).
+  */
+case class AudioMeta(doc_id: Long, mime: String, sample_rate: Long,
+    channels: Long, bits_per_sample: Long, n_samples: Long, duration_ms: Long)

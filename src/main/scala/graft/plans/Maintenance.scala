@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{LeafNode, Statistics}
 import org.apache.spark.sql.execution.{LeafExecNode, SparkPlan, SparkStrategy}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.sources.GraftCatalog
 
@@ -36,6 +37,11 @@ sealed trait MaintenanceOp {
     * must be unique per query).
     */
   def outputNames: Seq[String]
+
+  /** Column types, positionally matching [[outputNames]] (longs unless an
+    * op overrides — orphan removal returns paths).
+    */
+  def outputTypes: Seq[DataType] = outputNames.map(_ => LongType)
 }
 
 object MaintenanceOp {
@@ -62,6 +68,19 @@ object MaintenanceOp {
   final case class Rollback(snapshotId: Long) extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("snapshot_id")
   }
+
+  /** `graft_remove_orphans`: GC of unreferenced files under the
+    * catalog-managed data location (`CALL remove_orphan_files`) — one row
+    * per deleted path. Candidates come from listing `<root>/_data/<table>`
+    * (the location every catalog write path commits under); files outside
+    * it are never touched, referenced files never qualify
+    * ([[GraftCatalog.orphanFiles]]), and the grace period shields
+    * in-flight writes exactly like the API path.
+    */
+  final case class RemoveOrphans(graceSeconds: Long) extends MaintenanceOp {
+    override def outputNames: Seq[String] = Seq("orphan_path")
+    override def outputTypes: Seq[DataType] = Seq(StringType)
+  }
 }
 
 /** Logical leaf: the operation, deferred. All columns are non-null longs. */
@@ -79,7 +98,9 @@ final case class GraftMaintenancePlan(
 object GraftMaintenancePlan {
   def apply(root: String, table: String, op: MaintenanceOp): GraftMaintenancePlan =
     GraftMaintenancePlan(root, table, op,
-      op.outputNames.map(n => AttributeReference(n, LongType, nullable = false)()))
+      op.outputNames.zip(op.outputTypes).map { case (n, t) =>
+        AttributeReference(n, t, nullable = false)()
+      })
 }
 
 /** Runs the maintenance operation at execution time, on the driver. */
@@ -93,11 +114,14 @@ final case class GraftMaintenanceExec(
   override protected def doExecute(): RDD[InternalRow] = {
     val spark = SparkSession.active
     val cat = new GraftCatalog(root)
-    val rows: Seq[Seq[Long]] = op match {
+    val rows: Seq[Seq[Any]] = op match {
       case MaintenanceOp.Compact(mode) =>
-        // catalog-managed output location — the same `<root>/_data/<table>`
-        // the data source's SQL INSERT commits under
-        val out = s"$root/_data/$table"
+        // catalog-managed output location (`<root>/_data/<table>`, where
+        // every catalog write path commits) with a FRESH generation dir
+        // per run — the compaction writer overwrites its target, and the
+        // files it replaces stay referenced by retained snapshots until
+        // expiry (same per-generation discipline as appendFiles/scheduler)
+        val out = s"$root/_data/$table/compact-${java.util.UUID.randomUUID()}"
         val (sid, m) =
           if (mode == "full") cat.compactTable(spark, table, out)
           else cat.compactTableIncremental(spark, table, out)
@@ -107,9 +131,33 @@ final case class GraftMaintenanceExec(
         cat.expireSnapshots(table, keepLast).map(Seq(_))
       case MaintenanceOp.Rollback(sid) =>
         Seq(Seq(cat.rollbackTo(table, sid)))
+      case MaintenanceOp.RemoveOrphans(graceSeconds) =>
+        // candidates = recursive listing of the catalog-managed data
+        // location; a driver-side walk over file metadata (Iceberg's
+        // remove_orphan_files does the same storage listing)
+        val dataDir = java.nio.file.Paths.get(root, "_data", table)
+        val candidates =
+          if (!java.nio.file.Files.isDirectory(dataDir)) Nil
+          else {
+            val stream = java.nio.file.Files.walk(dataDir)
+            try {
+              import scala.jdk.CollectionConverters._
+              stream.iterator().asScala
+                .filter(java.nio.file.Files.isRegularFile(_))
+                .map(_.toString).toList
+            } finally stream.close()
+          }
+        cat.removeOrphanFiles(table, candidates, graceSeconds * 1000L)
+          .sorted.map(Seq(_))
     }
     val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-    val unsafe = rows.map(r => proj(InternalRow.fromSeq(r)).copy(): InternalRow)
+    val unsafe = rows.map { r =>
+      val cells = r.map {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+      proj(InternalRow.fromSeq(cells)).copy(): InternalRow
+    }
     sparkContext.parallelize(unsafe, 1)
   }
 }

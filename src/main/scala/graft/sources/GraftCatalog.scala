@@ -2252,9 +2252,19 @@ final class GraftCatalog(root: String,
         val head = currentSnapshotId(table)
         snapshotIds(table).map(id => (id, id == head))
           .toDF("snapshot_id", "is_current")
+      case "tables" =>
+        // catalog-LEVEL listing (the REST /tables route's SQL twin):
+        // `table` is unused — the row set spans the whole catalog, one row
+        // per table with its head and per-kind file counts
+        tables().sorted.map { t =>
+          val es = loadEntries(t)
+          (t, currentSnapshotId(t),
+            es.count(_.kind == "data").toLong,
+            es.count(_.kind != "data").toLong)
+        }.toDF("table_name", "current_snapshot_id", "data_files", "delete_files")
       case other =>
         throw GraftError.Metadata(
-          s"unknown metadata table '$other' (files|partitions|snapshots|history)")
+          s"unknown metadata table '$other' (files|partitions|snapshots|history|tables)")
     }
   }
 

@@ -105,6 +105,29 @@ class GraftTableFunctionsSpec extends SparkSpec {
     assert(deleted.toSeq == (1L to 5L))
   }
 
+  test("graft_tables lists the whole catalog with heads and file counts") {
+    val (cat, root) = freshTable()
+    (200L to 210L).map(k => (k, s"w$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/stage2")
+    cat.createTable("u",
+      CompactionRunner.listParquet(s"$root/stage2").map(DataFileTask(_, 1L)))
+    cat.deleteWhere(spark, "u", col("k") === 200L, s"$root/out")
+    val rows = spark.sql(
+      s"""SELECT table_name, current_snapshot_id, data_files, delete_files
+         |FROM graft_tables('$root') ORDER BY table_name""".stripMargin)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("t", "u"))
+    val u = rows(1)
+    assert(u.getLong(1) == cat.currentSnapshotId("u"))
+    assert(u.getLong(2) == 1L && u.getLong(3) >= 1L,
+      s"u should show 1 data file + pending delete files, got $u")
+    // rebuilt per scan: a table created AFTER the statement planned still
+    // appears on re-execution of a NEW statement
+    cat.createTable("v", Nil)
+    assert(spark.sql(s"SELECT count(*) FROM graft_tables('$root')")
+      .collect().head.getLong(0) == 3L)
+  }
+
   test("non-literal and malformed arguments are rejected with named reasons") {
     val (_, root) = freshTable()
     val nonLit = intercept[Exception](

@@ -119,6 +119,51 @@ class MediaHeadersSpec extends AnyFunSuite {
       Some(MediaHeaders.ImageHeader("image/bmp", 5, 5, 1, 8)))
   }
 
+  test("spec vector: a hand-written canonical 44-byte PCM WAV header parses") {
+    // 8000 Hz mono 8-bit, 4 payload bytes — the textbook minimal WAV
+    val v = bytes('R', 'I', 'F', 'F', 40, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, // fmt size 16
+      1, 0, // PCM
+      1, 0, // 1 channel
+      0x40, 0x1f, 0, 0, // 8000 Hz
+      0x40, 0x1f, 0, 0, // byte rate
+      1, 0, // block align
+      8, 0, // bits per sample
+      'd', 'a', 't', 'a', 4, 0, 0, 0,
+      1, 2, 3, 4)
+    assert(parseWavHeader(v) ===
+      Some(AudioHeader("audio/wav", 8000, 1, 8, 4, 4)))
+  }
+
+  test("WAV chunk walking: JUNK chunks (odd sizes word-aligned) are skipped") {
+    for (junk <- Seq(0, 1, 5, 8, 11)) {
+      val payload = Array.fill(10)(0x55.toByte)
+      val p = wavHeader(44100, 2, 16, payload.length, junkLen = junk) ++ payload
+      assert(parseWavHeader(p) ===
+        Some(AudioHeader("audio/wav", 44100, 2, 16, 10, 2)),
+        s"junkLen=$junk")
+    }
+  }
+
+  test("WAV truncation, non-PCM, and declared-payload-cut rejection") {
+    val payload = Array.fill(6)(0x10.toByte)
+    val p = wavHeader(16000, 1, 16, payload.length, junkLen = 3) ++ payload
+    for (n <- 0 until p.length) {
+      val r = parseWavHeader(p.take(n))
+      assert(r.isEmpty, s"WAV truncated at $n parsed as $r")
+    }
+    // format tag 2 (ADPCM): routed elsewhere, never guessed as PCM
+    val adpcm = p.clone()
+    // fmt chunk starts after RIFF(12) + JUNK(8 + 3 + 1 pad)
+    val fmtOff = 12 + 8 + 4
+    assert(new String(adpcm.slice(fmtOff, fmtOff + 4), "US-ASCII") == "fmt ")
+    adpcm(fmtOff + 8) = 2
+    assert(parseWavHeader(adpcm).isEmpty)
+    // wrong RIFF form type
+    val avi = p.clone(); avi(8) = 'A'; avi(9) = 'V'; avi(10) = 'I'; avi(11) = ' '
+    assert(parseWavHeader(avi).isEmpty)
+  }
+
   test("GIF/BMP round-trip, truncation, and corruption rejection") {
     val gif = gifHeader(1024, 768, bitsPerPrimary = 5)
     assert(parseImageHeader(gif) ===

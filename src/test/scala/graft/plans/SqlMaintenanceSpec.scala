@@ -102,6 +102,45 @@ class SqlMaintenanceSpec extends SparkSpec {
       "HEAD must serve the rolled-back state")
   }
 
+  test("graft_remove_orphans deletes aged unreferenced managed files only") {
+    val root = Files.createTempDirectory("graft-maint-orph").toString
+    val cat = new GraftCatalog(root)
+    (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$root/stage")
+    cat.createTable("t",
+      CompactionRunner.listParquet(s"$root/stage").map(DataFileTask(_, 1L)))
+    // gen1 into the managed location, then a second rewrite makes gen1
+    // orphanable once history is expired
+    spark.sql(s"SELECT * FROM graft_compact('$root','t','full')").collect()
+    // entry paths are canonical (`file:` scheme); compare in local form
+    def local(p: String) = p.stripPrefix("file:")
+    val gen1 = cat.loadTable("t").map(e => local(e.path))
+    assert(gen1.forall(_.startsWith(s"$root/_data/")), gen1.mkString(","))
+    cat.deleteWhere(spark, "t",
+      org.apache.spark.sql.functions.col("k") <= 5, s"$root/d")
+    spark.sql(s"SELECT * FROM graft_compact('$root','t','full')").collect()
+    // fresh generation dirs: the second compaction must NOT clobber gen1
+    // while retained snapshots still reference it (time travel intact)
+    assert(cat.scanTableAt(spark, "t", 2L).count() == 20)
+    spark.sql(s"SELECT * FROM graft_expire('$root','t', 1)").collect()
+    // inside the default grace nothing qualifies (in-flight protection)
+    assert(spark.sql(
+      s"SELECT * FROM graft_remove_orphans('$root','t')").collect().isEmpty)
+    // age the orphans out of a 60 s grace, then remove through SQL
+    gen1.foreach(p =>
+      new java.io.File(p).setLastModified(System.currentTimeMillis() - 120000))
+    val removed = spark.sql(
+      s"SELECT * FROM graft_remove_orphans('$root','t', 60)")
+      .collect().map(r => local(r.getString(0))).toSet
+    assert(removed == gen1.toSet,
+      s"expected exactly gen1 removed; got $removed vs $gen1")
+    gen1.foreach(p => assert(!new java.io.File(p).exists(), s"$p survived"))
+    // the live table is untouched and still reads
+    assert(cat.scanTable(spark, "t").count() == 15)
+    assert(cat.loadTable("t")
+      .forall(e => new java.io.File(local(e.path)).exists()))
+  }
+
   test("analysis-time errors are named: bad mode, missing table") {
     val (_, root) = debtTable()
     val badMode = intercept[Exception](
