@@ -153,7 +153,12 @@ object GraftTableFunctions {
     val table = strLit(args(1), "graft_expire", 2)
     val keep = args(2) match {
       case Literal(v: Int, IntegerType) => v
-      case Literal(v: Long, LongType) => v.toInt
+      case Literal(v: Long, LongType) =>
+        // toInt would WRAP a >2^31 literal to a tiny keep count and
+        // silently expire history the caller asked to retain
+        require(v <= Int.MaxValue,
+          s"graft_expire keep-last out of int range: $v")
+        v.toInt
       case other => throw new IllegalArgumentException(
         s"graft_expire argument 3 must be an integer literal, got: ${other.sql}")
     }

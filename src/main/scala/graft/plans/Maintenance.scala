@@ -83,7 +83,10 @@ object MaintenanceOp {
   }
 }
 
-/** Logical leaf: the operation, deferred. All columns are non-null longs. */
+/** Logical leaf: the operation, deferred. All columns are non-null; longs
+  * except [[MaintenanceOp.RemoveOrphans]]'s string path column (the exec's
+  * projection converts Strings to UTF8String accordingly).
+  */
 final case class GraftMaintenancePlan(
     root: String,
     table: String,

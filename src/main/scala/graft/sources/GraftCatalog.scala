@@ -2253,9 +2253,14 @@ final class GraftCatalog(root: String,
         snapshotIds(table).map(id => (id, id == head))
           .toDF("snapshot_id", "is_current")
       case "tables" =>
-        // catalog-LEVEL listing (the REST /tables route's SQL twin):
-        // `table` is unused — the row set spans the whole catalog, one row
-        // per table with its head and per-kind file counts
+        // catalog-LEVEL listing (the REST /tables route's SQL twin): the
+        // row set spans the whole catalog, one row per table with its head
+        // and per-kind file counts. Reachable only through graft_tables —
+        // a per-table graft_meta call naming a table would silently ignore
+        // it and return catalog-wide rows, so that shape is rejected.
+        require(table.isEmpty,
+          "the catalog-level listing is addressed as graft_tables(root), " +
+            s"not as a metadata table of '$table'")
         tables().sorted.map { t =>
           val es = loadEntries(t)
           (t, currentSnapshotId(t),
@@ -2264,7 +2269,7 @@ final class GraftCatalog(root: String,
         }.toDF("table_name", "current_snapshot_id", "data_files", "delete_files")
       case other =>
         throw GraftError.Metadata(
-          s"unknown metadata table '$other' (files|partitions|snapshots|history|tables)")
+          s"unknown metadata table '$other' (files|partitions|snapshots|history)")
     }
   }
 

@@ -381,6 +381,7 @@ object RestCatalogServer {
     var propRemoves = Set.empty[String]
     var rollbackTarget = Option.empty[Long]
     var newSchema = Option.empty[org.apache.spark.sql.types.StructType]
+    var activateSchema = false
     val files = elems(if (req == null) null else req.get("updates")).flatMap { u =>
       Option(u.get("action")).map(_.asText).getOrElse("") match {
         case "add-data-files" =>
@@ -426,6 +427,7 @@ object RestCatalogServer {
           if (sid.asInt != -1)
             return badRequest("set-current-schema-id supports -1 " +
               "(the schema added by this commit's add-schema)")
+          activateSchema = true
           Nil
         case "set-snapshot-ref" =>
           // rolling main back to a retained snapshot — the spec's rollback
@@ -441,11 +443,12 @@ object RestCatalogServer {
         case other =>
           return badRequest(s"unsupported update action '$other' " +
             "(this facade commits 'add-data-files', 'set-properties', " +
-            "'remove-properties', 'set-snapshot-ref')")
+            "'remove-properties', 'set-snapshot-ref', 'add-schema', " +
+            "'set-current-schema-id')")
       }
     }
     if (files.isEmpty && propSets.isEmpty && propRemoves.isEmpty &&
-        rollbackTarget.isEmpty && newSchema.isEmpty)
+        rollbackTarget.isEmpty && newSchema.isEmpty && !activateSchema)
       return badRequest("commit carries no supported updates")
     if (files.nonEmpty && rollbackTarget.nonEmpty)
       return badRequest(
@@ -454,6 +457,15 @@ object RestCatalogServer {
       return badRequest(
         "add-schema must be its own commit (schema evolution is a " +
           "standalone snapshot in this catalog)")
+    // the pair is required BOTH ways: an added-but-unactivated schema has
+    // nowhere to live (no standalone schema registry), and an activation
+    // with nothing added has nothing to point at
+    if (newSchema.nonEmpty != activateSchema)
+      return badRequest(
+        if (newSchema.nonEmpty)
+          "add-schema requires the companion set-current-schema-id: -1 " +
+            "(this catalog has no registry for inactive schemas)"
+        else "set-current-schema-id requires a companion add-schema in the same commit")
     try {
       if (files.nonEmpty)
         catalog.commitAppendAt(table,

@@ -164,6 +164,25 @@ class MediaHeadersSpec extends AnyFunSuite {
     assert(parseWavHeader(avi).isEmpty)
   }
 
+  test("WAV malformed chunk sizes terminate with None (no wrap, no hang)") {
+    def riff(chunk: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes("US-ASCII") ++ bytes(40, 0, 0, 0) ++
+        "WAVE".getBytes("US-ASCII") ++ chunk
+    // 0xFFFFFFF8: as a wrapped Int the step would be exactly 0 (infinite
+    // loop); 0x7FFFFFFF: the wrapped offset would go negative (AIOOBE) —
+    // both must reject as corrupt, promptly
+    val loopy = riff("JUNK".getBytes("US-ASCII") ++
+      bytes(0xf8, 0xff, 0xff, 0xff) ++ Array.fill(16)(0.toByte))
+    assert(parseWavHeader(loopy).isEmpty)
+    val huge = riff("JUNK".getBytes("US-ASCII") ++
+      bytes(0xff, 0xff, 0xff, 0x7f) ++ Array.fill(16)(0.toByte))
+    assert(parseWavHeader(huge).isEmpty)
+    // a declared data chunk larger than the buffer is truncated, not served
+    val cut = riff("data".getBytes("US-ASCII") ++
+      bytes(0xff, 0, 0, 0) ++ Array.fill(8)(0.toByte))
+    assert(parseWavHeader(cut).isEmpty)
+  }
+
   test("GIF/BMP round-trip, truncation, and corruption rejection") {
     val gif = gifHeader(1024, 768, bitsPerPrimary = 5)
     assert(parseImageHeader(gif) ===

@@ -292,8 +292,22 @@ class RestCatalogSpec extends SparkSpec {
           |{"id":1,"name":"k","required":false,"type":"long"},
           |{"id":2,"name":"v","required":false,"type":"string"},
           |{"id":3,"name":"w","required":false,"type":"double"},
-          |{"id":4,"name":"x","required":false,"type":"long"}]}}]}""".stripMargin)
+          |{"id":4,"name":"x","required":false,"type":"long"}]}},
+          |{"action":"set-current-schema-id","schema-id":-1}]}""".stripMargin)
       assert(c3 == 409 && stale.contains("CommitFailedException"), s"$c3 $stale")
+
+      // the pair is required in BOTH directions: add without activate and
+      // activate without add are each the client's 400
+      val (c4, noAct) = post(port, "/v1/namespaces/default/tables/evo",
+        """{"updates":[
+          |{"action":"add-schema","schema":{"type":"struct","fields":[
+          |{"id":1,"name":"k","required":false,"type":"long"},
+          |{"id":2,"name":"v","required":false,"type":"string"},
+          |{"id":3,"name":"w","required":false,"type":"double"}]}}]}""".stripMargin)
+      assert(c4 == 400 && noAct.contains("set-current-schema-id"), s"$c4 $noAct")
+      val (c5, noAdd) = post(port, "/v1/namespaces/default/tables/evo",
+        """{"updates":[{"action":"set-current-schema-id","schema-id":-1}]}""")
+      assert(c5 == 400 && noAdd.contains("companion add-schema"), s"$c5 $noAdd")
     } finally server.close()
   }
 
