@@ -375,25 +375,50 @@ object GraftSqlDml {
     case other => Seq(other)
   }
 
-  /** `DELETE FROM <graft view> WHERE <cond>` → MoR position-delete commit. */
+  /** Iceberg's `write.delete.mode` / `write.update.mode` table property,
+    * read at EXECUTION time (the property a table declares drives every
+    * engine's row-level writes): absent or `merge-on-read` → the MoR
+    * position-delete commit (this engine's default), `copy-on-write` →
+    * rewrite only the affected files. Anything else fails loudly — a
+    * typo'd mode silently falling back would write the wrong layout for
+    * the table's declared read profile.
+    */
+  private def copyOnWriteMode(
+      cat: GraftCatalog, table: String, prop: String): Boolean =
+    cat.tableProperties(table).get(prop) match {
+      case None | Some("merge-on-read") => false
+      case Some("copy-on-write") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"$prop must be 'merge-on-read' or 'copy-on-write', got '$other'")
+    }
+
+  /** `DELETE FROM <graft view> WHERE <cond>` → row-level delete commit in
+    * the table's declared `write.delete.mode` (MoR default).
+    */
   final case class GraftDeleteCommand(
       root: String, table: String, cond: ExprBox) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      new GraftCatalog(root).deleteWhere(
-        spark, table, ColumnBridge.column(cond.e), s"$root/_data/$table")
+      val cat = new GraftCatalog(root)
+      cat.deleteWhere(
+        spark, table, ColumnBridge.column(cond.e), s"$root/_data/$table",
+        copyOnWrite = copyOnWriteMode(cat, table, "write.delete.mode"))
       Seq.empty
     }
   }
 
-  /** `UPDATE <graft view> SET ... WHERE ...` → MoR update commit. */
+  /** `UPDATE <graft view> SET ... WHERE ...` → row-level update commit in
+    * the table's declared `write.update.mode` (MoR default).
+    */
   final case class GraftUpdateCommand(
       root: String, table: String,
       set: Seq[(String, ExprBox)], cond: ExprBox) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
-      new GraftCatalog(root).updateWhere(
+      val cat = new GraftCatalog(root)
+      cat.updateWhere(
         spark, table, ColumnBridge.column(cond.e),
         set.map { case (c, b) => c -> ColumnBridge.column(b.e) }.toMap,
-        s"$root/_data/$table")
+        s"$root/_data/$table",
+        copyOnWrite = copyOnWriteMode(cat, table, "write.update.mode"))
       Seq.empty
     }
   }

@@ -606,11 +606,23 @@ final class GraftCatalog(root: String,
       table: String,
       entries: Seq[TableEntry],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    // a schema-less empty table cannot produce an empty DataFrame (snapshots
-    // store file lists, not schemas) — fail with a catalog-level message
-    // rather than the runner's compaction-specific one
-    require(dataTasks(entries).nonEmpty,
-      s"table $table has no data files; an empty table has no schema to scan")
+    // an EMPTY table with a recorded canonical schema reads as zero rows
+    // AT that schema — the state every freshly-created catalog/REST table
+    // is in before its first commit, and a reader (relation, TVF, SQL
+    // view) must be able to bind to it. Only a schema-LESS empty table
+    // cannot produce a DataFrame (snapshots store file lists, not
+    // schemas) — that still fails with the catalog-level message.
+    if (dataTasks(entries).isEmpty) {
+      schema match {
+        case Some(s) =>
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+        case None =>
+          throw new IllegalArgumentException(
+            s"requirement failed: table $table has no data files; " +
+              "an empty table has no schema to scan")
+      }
+    }
     // with a recorded canonical schema, data files resolve BY FIELD ID —
     // renames/adds/drops between file generations are handled at the scan
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries),
@@ -1791,7 +1803,8 @@ final class GraftCatalog(root: String,
       outDir: String): Long = {
     import org.apache.spark.sql.functions.col
     val entries0 = loadEntries(table)
-    val matched = scanLiveWithHidden(spark, entries0, currentSchema(table))
+    val schema0 = currentSchema(table)
+    val matched = scanLiveWithHidden(spark, entries0, schema0)
       .filter(predicate)
       .persist() // two writes (delete side + update side) off one pass
     try {
@@ -1805,8 +1818,13 @@ final class GraftCatalog(root: String,
         .select(col(graft.operators.MorPlanner.FilePathCol).as("file_path"),
           col(graft.operators.MorPlanner.PosCol).as("pos"))
         .write.mode("errorifexists").parquet(delDir)
-      matched
+      // re-align to the canonical schema before writing: a SET column's
+      // `.as(c)` strips the field-id metadata the scan attached, and an
+      // id-resolving read (canonical schema with ids) would serve NULL
+      // for an id-less column in the rewritten file
+      val newVersions = matched
         .select(userCols.map(c => set.get(c).map(_.as(c)).getOrElse(col(c))): _*)
+      schema0.fold(newVersions)(s => FieldIds.alignToSchema(newVersions, s))
         .write.mode("errorifexists").parquet(dataDir)
       val delFiles = listParquetsIn(spark, delDir)
       val referenced =
@@ -1869,7 +1887,10 @@ final class GraftCatalog(root: String,
       }: _*)
       val token = java.util.UUID.randomUUID().toString
       val cowDir = s"$outDir/update-cow-$token"
-      rewritten.write.mode("errorifexists").parquet(cowDir)
+      // same field-id re-alignment as the MoR writer: the when/otherwise
+      // rewrite strips column metadata on SET columns
+      schema.fold(rewritten)(s => FieldIds.alignToSchema(rewritten, s))
+        .write.mode("errorifexists").parquet(cowDir)
       val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
       val added = listParquetsIn(spark, cowDir)
         .map(p => TableEntry("data", p, seq, "parquet", Nil))

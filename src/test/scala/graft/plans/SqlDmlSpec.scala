@@ -59,6 +59,32 @@ class SqlDmlSpec extends SparkSpec {
     assert(cat.loadEntries("t").exists(_.kind == "posdel"))
   }
 
+  test("write.delete.mode / write.update.mode properties drive SQL DML layout") {
+    val (cat, root) = freshTable(base)
+    cat.updateTableProperties("t",
+      Map("write.delete.mode" -> "copy-on-write",
+        "write.update.mode" -> "copy-on-write"), Set.empty)
+    view(root, "sqldml_cow")
+
+    spark.sql("DELETE FROM sqldml_cow WHERE k <= 2")
+    assert(state(cat) == base.filterNot(_._1 <= 2))
+    assert(!cat.loadEntries("t").exists(_.kind != "data"),
+      "copy-on-write DELETE must leave no delete entries")
+
+    spark.sql("UPDATE sqldml_cow SET qty = qty + 1 WHERE k = 5")
+    assert(state(cat).find(_._1 == 5L).map(_._3).contains(51L))
+    assert(!cat.loadEntries("t").exists(_.kind != "data"),
+      "copy-on-write UPDATE must leave no delete entries")
+
+    // a typo'd mode fails loudly instead of silently writing MoR
+    cat.updateTableProperties("t",
+      Map("write.delete.mode" -> "cow"), Set.empty)
+    val bad = intercept[Exception](
+      spark.sql("DELETE FROM sqldml_cow WHERE k = 9"))
+    assert(bad.getMessage.contains("write.delete.mode"), bad.getMessage)
+    assert(state(cat).exists(_._1 == 9L), "failed DELETE must not commit")
+  }
+
   test("SQL DELETE without WHERE empties the table") {
     val (cat, root) = freshTable(base)
     view(root, "sqldml_delall")

@@ -151,4 +151,30 @@ class UpdateWhereSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](cat.rollbackTo("t", 99L))
   }
+
+  test("updates on a field-id canonical schema keep ids: no NULL-out on id-resolved reads") {
+    // regression: SET columns lose their field-id metadata through `.as`,
+    // and an id-resolving scan (canonical schema with ids) served NULL for
+    // the id-less column in the rewritten file — both writers must
+    // re-align before writing
+    import org.apache.spark.sql.types._
+    def idField(name: String, dt: DataType, id: Long) =
+      StructField(name, dt, nullable = true,
+        metadata = new MetadataBuilder().putLong(FieldIds.MetaKey, id).build())
+    val canonical = StructType(Seq(
+      idField("k", LongType, 1L), idField("v", StringType, 2L)))
+    for (cow <- Seq(false, true)) {
+      val cat = newCatalog()
+      val base = Files.createTempDirectory("graft-upd-fid").toString
+      cat.createTable("t", Nil, Some(canonical))
+      cat.appendFiles(spark, "t",
+        (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), s"$base/a")
+      val out = Files.createTempDirectory("graft-upd-fid-out").toString
+      cat.updateWhere(spark, "t", col("k") <= 5,
+        Map("v" -> concat(col("v"), lit("!"))), out, copyOnWrite = cow)
+      assert(rowsOf(cat.scanTable(spark, "t")) ==
+        (1L to 20L).map(k => (k, if (k <= 5) s"v$k!" else s"v$k")),
+        s"copyOnWrite=$cow")
+    }
+  }
 }
