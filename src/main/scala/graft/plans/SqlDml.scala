@@ -434,13 +434,25 @@ object GraftSqlDml {
       insertAssigns: Seq[(String, ExprBox)],
       passthrough: Seq[String]) extends LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      val cat = new GraftCatalog(root)
+      // this catalog's MERGE is the eq-delete upsert — merge-on-read by
+      // construction. A table declaring write.merge.mode=copy-on-write
+      // must be refused loudly (its readers are tuned for a no-delete-file
+      // profile), exactly like a typo'd mode — never silently written MoR
+      cat.tableProperties(table).get("write.merge.mode") match {
+        case None | Some("merge-on-read") => ()
+        case Some(other) => throw new IllegalArgumentException(
+          s"write.merge.mode '$other' is not supported: this catalog's " +
+            "MERGE INTO commits merge-on-read eq-deletes " +
+            "(only 'merge-on-read' is available)")
+      }
       val src0 = DatasetBridge.ofRows(spark, source)
       val src =
         if (insertAssigns.isEmpty) src0
         else src0.select(insertAssigns.map { case (c, b) =>
           ColumnBridge.column(b.e).as(c)
         } ++ passthrough.map(col): _*)
-      new GraftCatalog(root).mergeInto(spark, table, src, keyCols,
+      cat.mergeInto(spark, table, src, keyCols,
         matchedSet.map { case (c, b) => c -> ColumnBridge.column(b.e) }.toMap,
         s"$root/_data/$table",
         whenNotMatchedInsert = insert,

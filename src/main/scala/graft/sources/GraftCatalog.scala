@@ -1409,6 +1409,9 @@ final class GraftCatalog(root: String,
       outDir: String): Long = {
     import org.apache.spark.sql.functions.col
     val entries0 = loadEntries(table)
+    // DELETE over an empty table affects zero rows: a legal no-op, never
+    // the runner's compaction-specific empty-task error
+    if (dataTasks(entries0).isEmpty) return currentSnapshotId(table)
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries0),
       currentSchema(table))
     // matched = predicate TRUE rows; the projection is (file_path, pos) only,
@@ -1461,10 +1464,15 @@ final class GraftCatalog(root: String,
     import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val entries = loadEntries(table)
     val schema = currentSchema(table)
-    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries), schema)
-    val affected = data.filter(predicate)
-      .select(col(graft.operators.MorPlanner.FilePathCol)).distinct()
-      .collect().map(_.getString(0)).toSet // canonical (_metadata) paths
+    // empty table: DELETE affects zero rows — a no-op, not the runner's
+    // compaction-specific empty-task error (no `return`: this whole body
+    // is the withTableLock closure)
+    val affected =
+      if (dataTasks(entries).isEmpty) Set.empty[String]
+      else CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries), schema)
+        .filter(predicate)
+        .select(col(graft.operators.MorPlanner.FilePathCol)).distinct()
+        .collect().map(_.getString(0)).toSet // canonical (_metadata) paths
     if (affected.isEmpty) currentSnapshotId(table)
     else {
       val affTasks = dataTasks(entries)
@@ -1700,8 +1708,15 @@ final class GraftCatalog(root: String,
     val matchedKeys = srcKeys
       .join(live.select(keyCols.map(col): _*).distinct(),
         keyCols, "left_semi").distinct()
-    matchedKeys.write.mode("errorifexists").parquet(delDir)
-    updated.unionByName(inserted).write.mode("errorifexists").parquet(dataDir)
+    // field-id re-alignment before writing, like the UPDATE writers: a SET
+    // or inserted column's `.as(c)` strips the canonical metadata, and an
+    // id-resolving read would serve NULL for the id-less columns
+    val schema0 = currentSchema(table)
+    def aligned(df: DataFrame): DataFrame =
+      schema0.fold(df)(s => FieldIds.alignToSchema(df, s))
+    aligned(matchedKeys).write.mode("errorifexists").parquet(delDir)
+    aligned(updated.unionByName(inserted))
+      .write.mode("errorifexists").parquet(dataDir)
 
     val delFiles = listParquetsIn(spark, delDir)
     val dataFiles = listParquetsIn(spark, dataDir)
@@ -1743,6 +1758,27 @@ final class GraftCatalog(root: String,
   private def scanLiveWithHidden(
       spark: SparkSession, entries: Seq[TableEntry],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    // row-level DML over an EMPTY schema'd table (fresh catalog/REST
+    // create) must see zero live rows and proceed — DELETE/UPDATE no-op,
+    // MERGE inserts its whole source — not crash in the runner's
+    // compaction-specific empty-task require
+    if (dataTasks(entries).isEmpty) {
+      schema match {
+        case Some(s) =>
+          import org.apache.spark.sql.types._
+          val hidden = Seq(
+            StructField(graft.operators.MorPlanner.SeqNumCol, LongType),
+            StructField(graft.operators.MorPlanner.FilePathCol, StringType),
+            StructField(graft.operators.MorPlanner.PosCol, LongType))
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(s.fields.toSeq ++ hidden))
+        case None =>
+          throw new IllegalArgumentException(
+            s"requirement failed: the table has no data files; " +
+              "an empty table has no schema to scan")
+      }
+    }
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries), schema)
     val afterPos = CompactionRunner.readPositionDeletes(spark,
       entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) })

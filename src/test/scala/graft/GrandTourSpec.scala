@@ -60,20 +60,33 @@ class GrandTourSpec extends SparkSpec {
           |{"id":2,"name":"v","required":false,"type":"string"}]}}""".stripMargin)
       assert(cCreate == 200)
 
-      // 2. SQL INSERT through a temp view over the data source
+      // 2. SQL INSERT through a temp view over the data source. DML on the
+      //    still-empty table first: zero-row no-ops, never an error
       spark.read.format("graft").option("root", root).option("table", "tour")
         .load().createOrReplaceTempView("tour")
+      spark.sql("DELETE FROM tour WHERE k = 1")
+      spark.sql("UPDATE tour SET v = 'x' WHERE k = 1")
+      assert(spark.sql("SELECT count(*) FROM tour").head().getLong(0) == 0)
       spark.sql(
         "INSERT INTO tour SELECT id AS k, concat('v', id) AS v FROM range(1, 101)")
       assert(spark.sql("SELECT count(*) FROM tour").head().getLong(0) == 100)
 
-      // 3. tag the audit point, then SQL row-level DML (injected rule)
+      // 3. tag the audit point, then SQL row-level DML (injected rule) —
+      //    including MERGE, whose SET/inserted columns must keep their
+      //    field ids on this id-resolved table
       cat.tagSnapshot("tour", "audited", cat.currentSnapshotId("tour"))
       spark.sql("DELETE FROM tour WHERE k % 10 = 0")
       spark.sql("UPDATE tour SET v = 'patched' WHERE k = 1")
       assert(spark.sql("SELECT count(*) FROM tour").head().getLong(0) == 90)
       assert(spark.sql("SELECT v FROM tour WHERE k = 1").head().getString(0)
         == "patched")
+      spark.sql("SELECT 2L AS k, 'merged' AS v")
+        .createOrReplaceTempView("tour_src")
+      spark.sql(
+        """MERGE INTO tour t USING tour_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin)
+      assert(spark.sql("SELECT v FROM tour WHERE k = 2").head().getString(0)
+        == "merged", "MERGE SET columns must survive the id-resolved read")
 
       // 4. TVF time travel: the tagged state is still the pre-DML one
       assert(spark.sql(

@@ -83,6 +83,17 @@ class SqlDmlSpec extends SparkSpec {
       spark.sql("DELETE FROM sqldml_cow WHERE k = 9"))
     assert(bad.getMessage.contains("write.delete.mode"), bad.getMessage)
     assert(state(cat).exists(_._1 == 9L), "failed DELETE must not commit")
+
+    // MERGE is eq-delete (merge-on-read) by construction: a declared CoW
+    // merge mode is refused loudly, never silently written MoR
+    cat.updateTableProperties("t",
+      Map("write.merge.mode" -> "copy-on-write"), Set.empty)
+    spark.range(1).selectExpr("5L AS k", "'m' AS v", "0L AS qty")
+      .createOrReplaceTempView("sqldml_cow_src")
+    val badMerge = intercept[Exception](spark.sql(
+      """MERGE INTO sqldml_cow t USING sqldml_cow_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET v = s.v""".stripMargin))
+    assert(badMerge.getMessage.contains("write.merge.mode"), badMerge.getMessage)
   }
 
   test("SQL DELETE without WHERE empties the table") {
