@@ -35,19 +35,32 @@ final class GraftDataSource extends RelationProvider
     with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
+  /** Shared option lookup with the provider's one error shape (each entry
+    * point aliases it locally as `required`).
+    */
+  private def requiredOption(parameters: Map[String, String], k: String): String =
+    parameters.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"graft data source requires option '$k'"))
+
   /** `spark.readStream.format("graft")` — see [[GraftStreamSource]]. */
   override def sourceSchema(
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    def required(k: String) = parameters.getOrElse(k,
-      throw new IllegalArgumentException(
-        s"graft data source requires option '$k'"))
+    def required(k: String) = requiredOption(parameters, k)
+    // the catalog table is the schema authority: honoring a user-supplied
+    // .schema(...) here while createSource scans with the catalog schema
+    // would declare one shape and deliver another (mid-query binding
+    // failure at the first batch) — reject up front with the remedy
+    require(schema.isEmpty,
+      "the graft streaming source derives its schema from the catalog " +
+        "table; drop .schema(...) from readStream (evolve the table's " +
+        "schema instead)")
     val cat = new GraftCatalog(required("root"))
     (shortName(),
-      schema.getOrElse(
-        cat.scanTable(sqlContext.sparkSession, required("table")).schema))
+      cat.scanTable(sqlContext.sparkSession, required("table")).schema)
   }
 
   override def createSource(
@@ -57,9 +70,7 @@ final class GraftDataSource extends RelationProvider
       providerName: String,
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
-    def required(k: String) = parameters.getOrElse(k,
-      throw new IllegalArgumentException(
-        s"graft data source requires option '$k'"))
+    def required(k: String) = requiredOption(parameters, k)
     new GraftStreamSource(sqlContext, required("root"), required("table"),
       skipRewrites = parameters.get("skipRewrites").exists(_.toBoolean))
   }
@@ -69,9 +80,7 @@ final class GraftDataSource extends RelationProvider
   override def createRelation(
       sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    def required(k: String) = parameters.getOrElse(k,
-      throw new IllegalArgumentException(
-        s"graft data source requires option '$k'"))
+    def required(k: String) = requiredOption(parameters, k)
     val snapshot: Option[Long] = (parameters.get("snapshot"), parameters.get("tag")) match {
       // time travel through the vanilla entry point — Iceberg's
       // `VERSION AS OF` addressing: pin the scan to a retained snapshot id
@@ -114,9 +123,7 @@ final class GraftDataSource extends RelationProvider
       mode: SaveMode,
       parameters: Map[String, String],
       data: org.apache.spark.sql.DataFrame): BaseRelation = {
-    def required(k: String) = parameters.getOrElse(k,
-      throw new IllegalArgumentException(
-        s"graft data source requires option '$k'"))
+    def required(k: String) = requiredOption(parameters, k)
     val root = required("root")
     val table = required("table")
     val cat = new GraftCatalog(root)
@@ -155,9 +162,7 @@ final class GraftDataSource extends RelationProvider
       partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
       : org.apache.spark.sql.execution.streaming.Sink = {
-    def required(k: String) = parameters.getOrElse(k,
-      throw new IllegalArgumentException(
-        s"graft data source requires option '$k'"))
+    def required(k: String) = requiredOption(parameters, k)
     val root = required("root")
     val table = required("table")
     require(partitionColumns.isEmpty,

@@ -56,14 +56,35 @@ final class GraftStreamSource(
     val retained = catalog.snapshotIds(table).sorted
     val first = retained.headOption.getOrElse(0L)
     val ids = retained.filter(id => id > s && id <= e)
+    // the initial-load special case applies ONLY to a fresh stream (no
+    // checkpointed offset): for a resumed stream, treating the oldest
+    // retained snapshot as "the table as created" would re-emit every row
+    // the sink already consumed whenever expiry outran the checkpoint —
+    // silent duplicates; that case must fail loudly below instead
+    val freshStart = s == 0L
     val tasks = ids.flatMap { id =>
+      val initial = freshStart && id == first
+      // the diff-base check comes FIRST, before the summary is consulted:
+      // an expired predecessor also makes the summary underivable
+      // ('unknown'), and routing that through the rewrite arm would tell
+      // the user to pass skipRewrites — which would then silently DROP
+      // this snapshot's appended rows. Expiry outrunning the checkpoint is
+      // unrecoverable either way (duplication or loss), so it throws even
+      // under skipRewrites.
+      if (!initial && !retained.contains(id - 1))
+        throw GraftError.Metadata(
+          s"cannot stream snapshot $id of $table: diff base ${id - 1} " +
+            s"has been expired (retained: ${retained.mkString(", ")}; " +
+            s"checkpointed offset $s). The stream fell behind snapshot " +
+            "expiry — restart with a fresh checkpoint to re-load, and " +
+            "retain snapshots longer than the stream's maximum lag")
       val op =
-        if (id == first) "append" // initial load: the table as created
+        if (initial) "append" // initial load: the table as created
         else catalog.snapshotSummary(table, id).map(_.operation)
           .getOrElse("unknown")
       op match {
         case "append" =>
-          if (id == first) catalog.loadTableAt(table, id)
+          if (initial) catalog.loadTableAt(table, id)
           else catalog.appendedFilesBetween(table, id - 1, id)
         case other if skipRewrites => Nil
         case other => throw GraftError.Metadata(

@@ -83,4 +83,44 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(got2.sorted.toSeq == Seq(1L, 2L, 5L),
       "initial snapshot + post-rewrite append, rewrite files skipped")
   }
+
+  test("a checkpoint that fell behind snapshot expiry fails loudly, never re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = Files.createTempDirectory("graft-ss-lag").toString
+    val out = Files.createTempDirectory("graft-ss-lag-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    cat.appendFiles(spark, "t", Seq((1L, "a")).toDF("k", "v"), out) // snap 2
+    cat.appendFiles(spark, "t", Seq((2L, "b")).toDF("k", "v"), out) // snap 3
+    cat.appendFiles(spark, "t", Seq((3L, "c")).toDF("k", "v"), out) // snap 4
+    cat.expireSnapshots("t", keepLast = 1) // retained: {4}
+    val src = new GraftStreamSource(spark.sqlContext, root, "t",
+      skipRewrites = false)
+    // a FRESH stream initial-loads the oldest retained snapshot — returns
+    // a batch without throwing (row-level exactness is the e2e tests' job;
+    // the streaming-tagged frame cannot be counted outside the engine)
+    assert(src.getBatch(None, LongOffset(4L)).isStreaming)
+    // a RESUMED stream whose offset predates the retention window must
+    // fail loudly (the old behavior re-emitted the full table: silent
+    // duplicates downstream). getBatch itself throws — before any plan
+    val lag = intercept[Exception](
+      src.getBatch(Some(LongOffset(2L)), LongOffset(4L)))
+    assert(lag.getMessage.contains("fell behind"), lag.getMessage)
+  }
+
+  test("a user-supplied readStream schema is rejected up front with the remedy") {
+    val root = Files.createTempDirectory("graft-ss-schema").toString
+    val out = Files.createTempDirectory("graft-ss-schema-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    cat.appendFiles(spark, "t", Seq((1L, "a")).toDF("k", "v"), out)
+    val e = intercept[Exception](
+      spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("other",
+            org.apache.spark.sql.types.LongType))))
+        .format("graft").option("root", root).option("table", "t")
+        .load())
+    assert(e.getMessage.contains("derives its schema"), e.getMessage)
+  }
 }
