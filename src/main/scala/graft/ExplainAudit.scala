@@ -304,6 +304,10 @@ object ExplainAudit {
     sb.append("measured 130 s over 132 queries, zero errors, slowest q136 5.11 s;\n")
     sb.append("the three new gates came in at 2.57/1.44/1.93 s (levels recorded\n")
     sb.append("in Bench.recordedSec).\n")
+    sb.append("Round-10 closing run (after q141 audio decode, the maintenance\n")
+    sb.append("quartet, and the review-fix wave): 110 s over ALL 134 queries,\n")
+    sb.append("zero errors, slowest q136 5.05 s — the suite's best recorded\n")
+    sb.append("number (r9: 142 s over 121 queries).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
