@@ -111,4 +111,27 @@ class MergeIntoSpec extends SparkSpec {
     cat2.upsert(spark, "t", source, Seq("k"), s"$out/u")
     assert(rowsOf(cat1.scanTable(spark, "t")) == rowsOf(cat2.scanTable(spark, "t")))
   }
+
+  test("merge on a field-id canonical schema keeps ids: no NULL-out on id-resolved reads") {
+    // regression twin of UpdateWhereSpec's: SET/inserted columns lose
+    // their field-id metadata through `.as` and the merge writer must
+    // re-align before writing, or an id-resolving scan serves NULL
+    import org.apache.spark.sql.types._
+    def idField(name: String, dt: DataType, id: Long) =
+      StructField(name, dt, nullable = true,
+        metadata = new MetadataBuilder().putLong(FieldIds.MetaKey, id).build())
+    val cat = newCatalog()
+    cat.createTable("t", Nil, Some(StructType(Seq(
+      idField("k", LongType, 1L), idField("v", StringType, 2L)))))
+    val base = Files.createTempDirectory("graft-merge-fid").toString
+    cat.appendFiles(spark, "t",
+      (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"), s"$base/a")
+    val source = Seq((3L, "m3"), (11L, "m11")).toDF("k", "v")
+    cat.mergeInto(spark, "t", source, Seq("k"),
+      Map("v" -> col(GraftCatalog.MergeSrcPrefix + "v")), s"$base/out")
+    assert(rowsOf(cat.scanTable(spark, "t")) ==
+      ((1L to 10L).map(k => (k, if (k == 3) "m3" else s"v$k")) :+ (11L, "m11"))
+        .sortBy(_._1),
+      "matched SET and inserted columns must survive the id-resolved read")
+  }
 }
