@@ -2221,12 +2221,29 @@ final class GraftCatalog(root: String,
   def commitAppendAt(
       table: String,
       expectedHead: Long,
+      files: Seq[GraftCatalog.AddedFile]): Long =
+    commitAppendFiles(table, Some(expectedHead), files)
+
+  /** [[commitAppendAt]] WITHOUT a base assertion — the commit shape for a
+    * caller that asserted nothing (Iceberg-REST: an empty `requirements`
+    * list means no validation): the append lands at whatever head holds
+    * under the lock, never a conflict. Appends are order-independent, so
+    * an unconditioned one has nothing to validate.
+    */
+  def commitAppend(
+      table: String, files: Seq[GraftCatalog.AddedFile]): Long =
+    commitAppendFiles(table, None, files)
+
+  private def commitAppendFiles(
+      table: String,
+      expectedHead: Option[Long],
       files: Seq[GraftCatalog.AddedFile]): Long = withTableLock(table) {
     val head = currentSnapshotId(table)
-    if (head != expectedHead)
+    expectedHead.filter(_ != head).foreach { e =>
       throw GraftError.Metadata(
         s"commit conflict on $table: requirement expected snapshot " +
-          s"$expectedHead but the table is at $head; reload and retry")
+          s"$e but the table is at $head; reload and retry")
+    }
     require(files.nonEmpty, "commit adds no files")
     val entries = loadEntries(table)
     val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
@@ -2567,13 +2584,21 @@ final class GraftCatalog(root: String,
     withTableLock(table) {
       headStore.foreach(_.remove(table))
       val dir = tableDir(table)
+      // HEAD first (the existence bit: a racer sees the table gone before
+      // any other file disappears), then the rest — EXCEPT the lock file:
+      // unlinking `.lock` while this lock is held would let a second
+      // process create a fresh lock inode and acquire it mid-drop,
+      // interleaving commits with the deletion (a resurrected table whose
+      // HEAD points at already-deleted documents)
+      Files.deleteIfExists(headPath(table))
       val stream = Files.list(dir)
       val files = try stream.iterator().asScala.toSeq finally stream.close()
-      files.foreach(Files.deleteIfExists)
+      files.filterNot(_.getFileName.toString == ".lock")
+        .foreach(Files.deleteIfExists)
     }
-    // directory last, outside the lock (the lock file lives inside it);
-    // a leftover headless directory is invisible and harmless — same
-    // discipline as dropFork
+    // lock file + directory last, outside the lock (the lock file lives
+    // inside it); a leftover headless directory is invisible and harmless
+    // — same discipline as dropFork
     try {
       Files.deleteIfExists(tableDir(table).resolve(".lock"))
       Files.deleteIfExists(tableDir(table))
@@ -2606,6 +2631,11 @@ final class GraftCatalog(root: String,
     require(forks.isEmpty,
       s"rename of $from blocked by live forks: ${forks.mkString(", ")}")
     def body(): Unit = {
+      // re-checked under BOTH locks: a destination table created between
+      // the lock-free precondition above and the lock acquisition must
+      // refuse here — the REPLACE_EXISTING copies below would otherwise
+      // silently clobber its head and documents (lost table, no error)
+      require(!headExists(to), s"table $to already exists")
       val head = currentSnapshotId(from)
       val toDir = tableDir(to)
       Files.createDirectories(toDir)

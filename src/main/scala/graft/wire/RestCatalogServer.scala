@@ -467,9 +467,14 @@ object RestCatalogServer {
             "(this catalog has no registry for inactive schemas)"
         else "set-current-schema-id requires a companion add-schema in the same commit")
     try {
-      if (files.nonEmpty)
-        catalog.commitAppendAt(table,
-          expected.getOrElse(catalog.currentSnapshotId(table)), files)
+      if (files.nonEmpty) expected match {
+        // an empty requirements list means NO validation (the spec's
+        // unconditioned commit): the append lands at whatever head holds
+        // under the commit lock. Fabricating a base from a lock-free head
+        // read here raced concurrent appends into spurious 409s.
+        case Some(base) => catalog.commitAppendAt(table, base, files)
+        case None => catalog.commitAppend(table, files)
+      }
       else expected.foreach { e =>
         // a metadata-only commit still honors the base assertion
         val cur = catalog.currentSnapshotId(table)
