@@ -45,6 +45,13 @@ final class SpanIndex private (spark: SparkSession, name: String) {
   def probe(batch: DataFrame): DataFrame =
     spansOf(batch)
       .join(spans.withColumn("hit", lit(true)), Seq("h"), "left_outer")
+      // collapse per (doc, span) BEFORE counting: the inventory is
+      // distinct by construction, but a torn/concurrent append can leave
+      // duplicate hash rows until compaction reclaims them, and the outer
+      // join would multiply both counts by the duplicate factor. The
+      // extra aggregation is batch-side only (same h partitioning).
+      .groupBy(col("doc_id"), col("h"))
+      .agg(max(coalesce(col("hit"), lit(false))).as("hit"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("hit"), 1L).otherwise(0L)).as("n_dup_spans"))
@@ -65,7 +72,12 @@ final class SpanIndex private (spark: SparkSession, name: String) {
   /** Rewrite the inventory into one file per bucket (distinct rebuilt in
     * the same pass — duplicate rows from torn/replayed appends reclaim
     * here). Fresh generation path + metadata-only swap, so in-flight
-    * probes keep reading the old files.
+    * probes keep reading the old files. The DROP→RENAME swap has a brief
+    * window where the NAME does not resolve (Spark's catalog has no
+    * atomic two-table swap): run compaction from the maintenance role,
+    * not concurrently with probe/append planning; a crash inside the
+    * window self-heals at the next [[SpanIndex.open]] (the compacted
+    * generation survives under the tmp name and is renamed into place).
     */
   def compactIndex(dir: String): Unit = {
     val t = s"${name}_spans"
@@ -118,8 +130,16 @@ object SpanIndex {
   }
 
   /** Reopen a previously created inventory (e.g. a new session over the
-    * same warehouse).
+    * same warehouse). Repairs a [[SpanIndex#compactIndex]] crash that
+    * landed between the DROP and the RENAME (the compacted generation
+    * survives under the tmp name — rename it into place so the inventory
+    * is never permanently lost).
     */
-  def open(spark: SparkSession, name: String): SpanIndex =
+  def open(spark: SparkSession, name: String): SpanIndex = {
+    val t = s"${name}_spans"
+    val tmp = s"${t}_compact_tmp"
+    if (!spark.catalog.tableExists(t) && spark.catalog.tableExists(tmp))
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $t")
     new SpanIndex(spark, name)
+  }
 }

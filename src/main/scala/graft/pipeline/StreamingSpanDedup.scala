@@ -45,7 +45,13 @@ object StreamingSpanDedup {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val index = SpanIndex.open(batch.sparkSession, indexName)
-          onCounts(index.probe(batch))
+          // materialize the counts BEFORE append mutates the inventory:
+          // probe() is lazy and resolves the index table by name, so a
+          // sink that defers evaluation past this callback would
+          // otherwise observe post-append state (every span of its own
+          // batch counted as duplicated — the inverted policy signal)
+          val counts = index.probe(batch).localCheckpoint(true)
+          onCounts(counts)
           index.append(batch)
         }
       }

@@ -44,6 +44,26 @@ class SpanIndexSpec extends SparkSpec {
     }
   }
 
+  test("duplicate inventory rows (torn append) do not inflate probe counts") {
+    val dir = Files.createTempDirectory("graft_span_dup_").toString
+    val idx = SpanIndex.create(spark, "sidx_dup", dir, corpus())
+    try {
+      // plant the torn-append shape: every inventory hash appears TWICE
+      // (bypassing append's anti join, like two racing appends would)
+      spark.table("sidx_dup_spans")
+        .write.mode("append").bucketBy(SpanIndex.NumBuckets, "h")
+        .saveAsTable("sidx_dup_spans")
+      val got = idx.probe(batch()).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got == Map(
+        100L -> ((9L, 9L)), 101L -> ((9L, 1L)), 102L -> ((9L, 0L))),
+        s"duplicate index rows multiplied the counts: $got")
+    } finally {
+      idx.drop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("append admits only new spans, converges on replay; re-probe sees full dup") {
     val dir = Files.createTempDirectory("graft_span_idx_").toString
     val idx = SpanIndex.create(spark, "sidx2", dir, corpus())
