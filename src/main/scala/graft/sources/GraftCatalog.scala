@@ -387,12 +387,22 @@ final class GraftCatalog(root: String,
           entry <- loadTable(table).filter(_.format == "parquet")
           fileTypes = parquetTopLevelTypes(entry.path)
           nf <- newSchema.fields
-          ft <- fileTypes.get(nf.name)
-        } require(legalPromotion(ft, nf.dataType),
-          s"illegal first-schema adoption for column '${nf.name}': data file " +
-            s"${entry.path} holds ${ft.catalogString}, adopting " +
-            s"${nf.dataType.catalogString} would corrupt committed data " +
-            "(allowed: identity, int->long, float->double, decimal precision widening)")
+          (ft, fileNullable) <- fileTypes.get(nf.name)
+        } {
+          require(legalPromotion(ft, nf.dataType),
+            s"illegal first-schema adoption for column '${nf.name}': data file " +
+              s"${entry.path} holds ${ft.catalogString}, adopting " +
+              s"${nf.dataType.catalogString} would corrupt committed data " +
+              "(allowed: identity, int->long, float->double, decimal precision widening)")
+          // same tightening rule as the evolution path: adopting
+          // nullable=false over an OPTIONAL column whose files may hold
+          // nulls would serve them as garbage under codegen's
+          // non-null contract
+          require(nullabilityOk(fileNullable, nf.nullable),
+            s"illegal first-schema adoption for column '${nf.name}': data file " +
+              s"${entry.path} declares it OPTIONAL (may hold nulls) but the " +
+              "adopted schema requires it; widen the field to nullable")
+        }
     }
     val nextId = currentSnapshotId(table) + 1
     writeSnapshot(table, nextId, loadEntries(table))
@@ -401,14 +411,15 @@ final class GraftCatalog(root: String,
     nextId
   }
 
-  /** Top-level parquet footer fields mapped to Spark types, for the
-    * first-schema adoption check — CONFIDENT mappings only (primitive
-    * fields with unambiguous logical annotations); anything nested,
-    * repeated, or exotically annotated is omitted and therefore skipped by
-    * the caller. A driver-side footer open: single-digit milliseconds.
+  /** Top-level parquet footer fields mapped to (Spark type, nullable) —
+    * nullable = the footer's OPTIONAL repetition — for the first-schema
+    * adoption check. CONFIDENT mappings only (primitive fields with
+    * unambiguous logical annotations); anything nested, repeated, or
+    * exotically annotated is omitted and therefore skipped by the caller.
+    * A driver-side footer open: single-digit milliseconds.
     */
   private def parquetTopLevelTypes(
-      path: String): Map[String, org.apache.spark.sql.types.DataType] = {
+      path: String): Map[String, (org.apache.spark.sql.types.DataType, Boolean)] = {
     import org.apache.spark.sql.types._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -446,7 +457,8 @@ final class GraftCatalog(root: String,
             }
             case _ => None // unhandled annotation: skip, never guess
           }
-          mapped.map(f.getName -> _)
+          mapped.map(dt => f.getName -> (dt, f.isRepetition(
+            org.apache.parquet.schema.Type.Repetition.OPTIONAL)))
         }
       }.toMap
     } finally reader.close()

@@ -273,6 +273,18 @@ class SchemaEvolutionSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](cat.evolveSchema("t", bad))
     assert(e.getMessage.contains("first-schema adoption"), e.getMessage)
 
+    // adopting nullable=false over an OPTIONAL footer column is the same
+    // silent-garbage hole as an evolution tightening — rejected too.
+    // (`tag` is OPTIONAL in the file: Spark's tuple encoder writes boxed
+    // string columns nullable; `k`/`n` are REQUIRED primitives, which a
+    // non-null adoption may legally claim.)
+    val tight = StructType(Seq(
+      field("k", LongType, 1),
+      field("tag", StringType, 2).copy(nullable = false),
+      field("n", IntegerType, 3)))
+    val e2 = intercept[IllegalArgumentException](cat.evolveSchema("t", tight))
+    assert(e2.getMessage.contains("OPTIONAL"), e2.getMessage)
+
     // a footer-compatible adoption (incl. the int->long widening) commits
     // and the scan serves the adopted types
     val good = StructType(Seq(
