@@ -154,9 +154,11 @@ object GraftTableFunctions {
     val keep = args(2) match {
       case Literal(v: Int, IntegerType) => v
       case Literal(v: Long, LongType) =>
-        // toInt would WRAP a >2^31 literal to a tiny keep count and
-        // silently expire history the caller asked to retain
-        require(v <= Int.MaxValue,
+        // toInt would WRAP an out-of-int-range literal — a >2^31 value to
+        // a tiny keep count that silently expires history the caller asked
+        // to retain, and a large NEGATIVE (e.g. -4294967295L → 1) past the
+        // keep >= 1 check below
+        require(v >= 1 && v <= Int.MaxValue,
           s"graft_expire keep-last out of int range: $v")
         v.toInt
       case other => throw new IllegalArgumentException(

@@ -91,30 +91,84 @@ final case class GraftMaintenancePlan(
     root: String,
     table: String,
     op: MaintenanceOp,
-    output: Seq[Attribute])
+    output: Seq[Attribute],
+    token: Long)
     extends LeafNode {
   // metadata-sized by construction (one row per compaction / expired
   // snapshot): always broadcastable if joined
   override def computeStats(): Statistics = Statistics(sizeInBytes = 1024)
+
+  /** The side-effecting catalog operation, executed AT MOST ONCE per TVF
+    * invocation: every action on the TVF DataFrame — and on Datasets
+    * DERIVED from it (`df.count()` plans a fresh Aggregate over this leaf)
+    * — re-plans and re-executes, and both the analyzer and the optimizer
+    * COPY plan nodes, so neither exec-node nor leaf-instance `lazy val`
+    * memoization survives to the second action. Without this, `show()`
+    * then `count()` on one `graft_rollback` frame would commit TWO
+    * rollback heads, and `graft_remove_orphans` would delete twice. The
+    * construction-time [[token]] DOES survive copying (`makeCopy`
+    * replays constructor args), so the first action to execute any copy
+    * of this invocation runs the operation and later actions replay its
+    * rows; a NEW `spark.sql(...)` call mints a new token and runs afresh.
+    */
+  def resultRows: Seq[InternalRow] = GraftMaintenanceExec
+    .memoized(token, () => GraftMaintenanceExec.run(root, table, op, output))
 }
 
 object GraftMaintenancePlan {
+  private val tokens = new java.util.concurrent.atomic.AtomicLong()
+
   def apply(root: String, table: String, op: MaintenanceOp): GraftMaintenancePlan =
     GraftMaintenancePlan(root, table, op,
       op.outputNames.zip(op.outputTypes).map { case (n, t) =>
         AttributeReference(n, t, nullable = false)()
-      })
+      },
+      tokens.incrementAndGet())
 }
 
-/** Runs the maintenance operation at execution time, on the driver. */
-final case class GraftMaintenanceExec(
-    root: String,
-    table: String,
-    op: MaintenanceOp,
-    output: Seq[Attribute])
+/** Runs the maintenance operation at execution time, on the driver. The
+  * rows come from the LOGICAL leaf's memoized [[GraftMaintenancePlan.resultRows]]
+  * so that multi-action consumption executes the operation exactly once.
+  */
+final case class GraftMaintenanceExec(logical: GraftMaintenancePlan)
     extends LeafExecNode {
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  override def output: Seq[Attribute] = logical.output
+
+  override protected def doExecute(): RDD[InternalRow] =
+    sparkContext.parallelize(logical.resultRows, 1)
+}
+
+object GraftMaintenanceExec {
+
+  /** Once-only holders per invocation token, bounded LRU (maintenance
+    * calls are rare and rows metadata-sized; 256 retained invocations is
+    * generous). The map lock covers only holder install — the operation
+    * itself runs under the holder's own `lazy val` lock, so two threads
+    * racing the SAME invocation's first action still execute once, while
+    * maintenance on OTHER tokens proceeds concurrently.
+    */
+  private val cache =
+    new java.util.LinkedHashMap[java.lang.Long, () => Seq[InternalRow]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[java.lang.Long, () => Seq[InternalRow]]): Boolean =
+        size() > 256
+    }
+
+  private[plans] def memoized(
+      token: Long, body: () => Seq[InternalRow]): Seq[InternalRow] = {
+    val holder = cache.synchronized {
+      cache.computeIfAbsent(token, _ => { lazy val r = body(); () => r })
+    }
+    holder()
+  }
+
+  /** One driver-side execution of the operation, rendered as unsafe rows. */
+  private[plans] def run(
+      root: String,
+      table: String,
+      op: MaintenanceOp,
+      output: Seq[Attribute]): Seq[InternalRow] = {
     val spark = SparkSession.active
     val cat = new GraftCatalog(root)
     val rows: Seq[Seq[Any]] = op match {
@@ -154,14 +208,13 @@ final case class GraftMaintenanceExec(
           .sorted.map(Seq(_))
     }
     val proj = UnsafeProjection.create(output.map(_.dataType).toArray)
-    val unsafe = rows.map { r =>
+    rows.map { r =>
       val cells = r.map {
         case s: String => UTF8String.fromString(s)
         case other => other
       }
       proj(InternalRow.fromSeq(cells)).copy(): InternalRow
     }
-    sparkContext.parallelize(unsafe, 1)
   }
 }
 
@@ -170,8 +223,7 @@ object MaintenanceStrategy extends SparkStrategy {
   override def apply(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[SparkPlan] =
     plan match {
-      case GraftMaintenancePlan(root, table, op, out) =>
-        GraftMaintenanceExec(root, table, op, out) :: Nil
+      case p: GraftMaintenancePlan => GraftMaintenanceExec(p) :: Nil
       case _ => Nil
     }
 }

@@ -333,7 +333,9 @@ final class GraftCatalog(root: String,
     */
   def evolveSchema(
       table: String,
-      newSchema: org.apache.spark.sql.types.StructType): Long = withTableLock(table) {
+      newSchema: org.apache.spark.sql.types.StructType,
+      expectedHead: Option[Long] = None): Long = withTableLock(table) {
+    assertBaseLocked(table, expectedHead)
     val ids = newSchema.fields.flatMap(FieldIds.idOf)
     require(ids.length == newSchema.fields.length,
       s"every field needs a ${FieldIds.MetaKey} id (got ${ids.length}/${newSchema.fields.length})")
@@ -555,6 +557,20 @@ final class GraftCatalog(root: String,
 
   def currentSnapshotId(table: String): Long =
     headStore.fold(Files.readString(headPath(table)).trim.toLong)(_.read(table))
+
+  /** Assert the caller's base snapshot while HOLDING the table lock — the
+    * metadata-commit twin of [[commitAppendAt]]'s in-lock check. A lock-free
+    * read-then-commit would let two racing metadata commits both observe the
+    * required base and both land, defeating the optimistic-concurrency
+    * contract; callers must invoke this inside [[withTableLock]].
+    */
+  private def assertBaseLocked(table: String, expectedHead: Option[Long]): Unit =
+    expectedHead.foreach { e =>
+      val head = currentSnapshotId(table)
+      if (head != e) throw GraftError.Metadata(
+        s"commit conflict on $table: requirement expected snapshot " +
+          s"$e but the table is at $head; reload and retry")
+    }
 
   /** All entries (data + delete files) of the current snapshot. */
   def loadEntries(table: String): Seq[TableEntry] =
@@ -1953,7 +1969,11 @@ final class GraftCatalog(root: String,
     * exactly like Iceberg, rather than moving the pointer backwards and
     * stranding unreachable snapshot documents.
     */
-  def rollbackTo(table: String, snapshotId: Long): Long = withTableLock(table) {
+  def rollbackTo(
+      table: String,
+      snapshotId: Long,
+      expectedHead: Option[Long] = None): Long = withTableLock(table) {
+    assertBaseLocked(table, expectedHead)
     require(snapshotIds(table).contains(snapshotId),
       s"snapshot $snapshotId of $table does not exist (expired or never " +
         s"committed); retained: ${snapshotIds(table).mkString(", ")}")
@@ -2355,7 +2375,8 @@ final class GraftCatalog(root: String,
         }.toDF("table_name", "current_snapshot_id", "data_files", "delete_files")
       case other =>
         throw GraftError.Metadata(
-          s"unknown metadata table '$other' (files|partitions|snapshots|history)")
+          s"unknown metadata table '$other' (files|partitions|snapshots|" +
+            "history; the catalog-wide 'tables' listing is graft_tables(root))")
     }
   }
 
@@ -2701,8 +2722,10 @@ final class GraftCatalog(root: String,
   def updateTableProperties(
       table: String,
       updates: Map[String, String],
-      removals: Set[String] = Set.empty): Unit = withTableLock(table) {
+      removals: Set[String] = Set.empty,
+      expectedHead: Option[Long] = None): Unit = withTableLock(table) {
     require(headExists(table), s"table $table does not exist")
+    assertBaseLocked(table, expectedHead)
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
     val next = (tableProperties(table) ++ updates) -- removals
     val tmp = tableDir(table).resolve(

@@ -62,7 +62,20 @@ final class GraftStreamSource(
     // the sink already consumed whenever expiry outran the checkpoint —
     // silent duplicates; that case must fail loudly below instead
     val freshStart = s == 0L
-    val tasks = ids.flatMap { id =>
+    // a FRESH stream over a non-contiguous retained set (tag-island
+    // retention: expiry kept {2, 7, 8} because 2 is tagged) cannot walk
+    // snapshot diffs — and the diff-gap error below prescribes "restart
+    // with a fresh checkpoint", which is exactly what this already is, so
+    // walking would make the table permanently unstreamable despite a
+    // valid current state. Nothing has been emitted yet, so the initial
+    // load can simply be the FULL table at the end offset instead of
+    // first-then-diffs; resumed streams (s > 0) must still fail loudly
+    // (rows before s were already consumed — a full reload would duplicate).
+    val contiguous = ids.isEmpty ||
+      ids.zip(ids.tail).forall { case (a, b) => b == a + 1 }
+    val tasks =
+      if (freshStart && !contiguous) catalog.loadTableAt(table, e)
+      else ids.flatMap { id =>
       val initial = freshStart && id == first
       // the diff-base check comes FIRST, before the summary is consulted:
       // an expired predecessor also makes the summary underivable

@@ -467,7 +467,17 @@ object RestCatalogServer {
             "(this catalog has no registry for inactive schemas)"
         else "set-current-schema-id requires a companion add-schema in the same commit")
     try {
-      if (files.nonEmpty) expected match {
+      // the base requirement is asserted INSIDE the catalog's table lock
+      // by whichever operation runs first (a lock-free pre-check here was
+      // a TOCTOU hole: two racing metadata commits could both observe the
+      // required base and both land). Later operations in the same commit
+      // run unasserted — the first op already validated the caller's view,
+      // and a head-advancing first op (rollback, evolve) makes the original
+      // base stale for its siblings by design.
+      var baseAsserted = false
+      def takeExpected(): Option[Long] =
+        if (baseAsserted) None else { baseAsserted = true; expected }
+      if (files.nonEmpty) takeExpected() match {
         // an empty requirements list means NO validation (the spec's
         // unconditioned commit): the append lands at whatever head holds
         // under the commit lock. Fabricating a base from a lock-free head
@@ -475,16 +485,8 @@ object RestCatalogServer {
         case Some(base) => catalog.commitAppendAt(table, base, files)
         case None => catalog.commitAppend(table, files)
       }
-      else expected.foreach { e =>
-        // a metadata-only commit still honors the base assertion
-        val cur = catalog.currentSnapshotId(table)
-        if (cur != e) return HttpResponseStatus.CONFLICT ->
-          errorJson(s"commit conflict on $table: requirement expected " +
-            s"snapshot $e but the table is at $cur",
-            "CommitFailedException", 409)
-      }
       rollbackTarget.foreach { sid =>
-        try catalog.rollbackTo(table, sid)
+        try catalog.rollbackTo(table, sid, takeExpected())
         catch { case e: IllegalArgumentException =>
           return badRequest(Option(e.getMessage).getOrElse("bad snapshot"))
         }
@@ -493,13 +495,13 @@ object RestCatalogServer {
         // evolution legality (id reuse, illegal promotions, nullability
         // tightening) is the CLIENT's error — the spec's 400
         // ValidationException, not a retryable 409
-        try catalog.evolveSchema(table, st)
+        try catalog.evolveSchema(table, st, takeExpected())
         catch { case e: IllegalArgumentException =>
           return badRequest(Option(e.getMessage).getOrElse("illegal schema evolution"))
         }
       }
       if (propSets.nonEmpty || propRemoves.nonEmpty)
-        catalog.updateTableProperties(table, propSets, propRemoves)
+        catalog.updateTableProperties(table, propSets, propRemoves, takeExpected())
       HttpResponseStatus.OK -> tableJson(catalog, table)
     } catch {
       case e: GraftError.Metadata =>

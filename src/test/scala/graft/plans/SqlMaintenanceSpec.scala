@@ -141,7 +141,7 @@ class SqlMaintenanceSpec extends SparkSpec {
       .forall(e => new java.io.File(local(e.path)).exists()))
   }
 
-  test("analysis-time errors are named: bad mode, missing table") {
+  test("analysis-time errors are named: bad mode, missing table, wrapped keep") {
     val (_, root) = debtTable()
     val badMode = intercept[Exception](
       spark.sql(s"SELECT * FROM graft_compact('$root','t','both')"))
@@ -149,5 +149,31 @@ class SqlMaintenanceSpec extends SparkSpec {
     val noTable = intercept[Exception](
       spark.sql(s"SELECT * FROM graft_expire('$root','missing', 1)"))
     assert(noTable.getMessage.contains("does not exist"))
+    // a large NEGATIVE long would .toInt-wrap to a small positive keep
+    // (-4294967295L → 1) and silently expire history; it must fail with
+    // the same named error the oversized positive gets
+    val wrapped = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_expire('$root','t', -4294967295)"))
+    assert(wrapped.getMessage.contains("out of int range"), wrapped.getMessage)
+    val oversize = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_expire('$root','t', 4294967297)"))
+    assert(oversize.getMessage.contains("out of int range"), oversize.getMessage)
+  }
+
+  test("repeated actions on one maintenance TVF DataFrame run the operation once") {
+    val (cat, root) = debtTable()
+    cat.tagSnapshot("t", "pre", 1L)
+    val headBefore = cat.currentSnapshotId("t")
+    val df = spark.sql(s"SELECT * FROM graft_rollback('$root','t','pre')")
+    val first = df.collect().head.getLong(0)
+    assert(first == headBefore + 1, "first action commits the rollback")
+    // a second action on the SAME DataFrame re-executes the same plan
+    // instance; without memoization it would commit a SECOND rollback head
+    assert(df.count() == 1L)
+    val again = df.collect().head.getLong(0)
+    assert(again == first, "replayed action must return the first run's row")
+    assert(cat.currentSnapshotId("t") == first,
+      s"three actions must leave exactly one rollback commit, head is " +
+        s"${cat.currentSnapshotId("t")}")
   }
 }

@@ -108,6 +108,41 @@ class GraftStreamSourceSpec extends SparkSpec {
     assert(lag.getMessage.contains("fell behind"), lag.getMessage)
   }
 
+  test("a FRESH stream over a tag-island retained set full-loads instead of throwing") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = Files.createTempDirectory("graft-ss-island").toString
+    val out = Files.createTempDirectory("graft-ss-island-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    cat.appendFiles(spark, "t", Seq((1L, "a")).toDF("k", "v"), out) // snap 2
+    cat.appendFiles(spark, "t", Seq((2L, "b")).toDF("k", "v"), out) // snap 3
+    cat.appendFiles(spark, "t", Seq((3L, "c")).toDF("k", "v"), out) // snap 4
+    cat.appendFiles(spark, "t", Seq((4L, "d")).toDF("k", "v"), out) // snap 5
+    cat.tagSnapshot("t", "audited", 2L)
+    cat.expireSnapshots("t", keepLast = 2)
+    // tag-island retention: {2, 4, 5} — the chain 2→4 has a gap at 3
+    assert(cat.snapshotIds("t").sorted == Seq(2L, 4L, 5L),
+      s"fixture must be non-contiguous, got ${cat.snapshotIds("t").sorted}")
+    // pre-fix this threw "diff base 3 has been expired … restart with a
+    // fresh checkpoint" — advice that cannot succeed, because this IS a
+    // fresh checkpoint. A fresh stream has emitted nothing, so it may
+    // simply load the full table at the end offset.
+    val src = new GraftStreamSource(spark.sqlContext, root, "t",
+      skipRewrites = false)
+    assert(src.getBatch(None, LongOffset(5L)).isStreaming)
+    // e2e: the whole current table streams exactly once
+    val got = scala.collection.mutable.ListBuffer[Long]()
+    val ckpt = Files.createTempDirectory("graft-ss-island-ckpt").toString
+    drain(root, ckpt, got)
+    assert(got.sorted.toSeq == Seq(1L, 2L, 3L, 4L),
+      s"fresh stream must deliver the full current table, got ${got.sorted}")
+    // a RESUMED stream across the same gap still fails loudly (its rows
+    // before the gap were already consumed; a reload would duplicate)
+    val lag = intercept[Exception](
+      src.getBatch(Some(LongOffset(2L)), LongOffset(5L)))
+    assert(lag.getMessage.contains("expired"), lag.getMessage)
+  }
+
   test("a user-supplied readStream schema is rejected up front with the remedy") {
     val root = Files.createTempDirectory("graft-ss-schema").toString
     val out = Files.createTempDirectory("graft-ss-schema-out").toString

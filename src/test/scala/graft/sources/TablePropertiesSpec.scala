@@ -31,6 +31,32 @@ class TablePropertiesSpec extends SparkSpec {
       cat.updateTableProperties("nope", Map("a" -> "b")))
   }
 
+  test("metadata commits assert their base under the table lock") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-props-cas").toString
+    val out = Files.createTempDirectory("graft-props-cas-out").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("t", Nil)
+    cat.appendFiles(spark, "t", Seq((1L, "a")).toDF("k", "v"), out)
+    val head = cat.currentSnapshotId("t")
+    // a STALE base must 409 (GraftError.Metadata) for every metadata-only
+    // commit shape — the check runs inside withTableLock, closing the
+    // read-then-commit TOCTOU the REST facade used to have
+    intercept[GraftError.Metadata](
+      cat.updateTableProperties("t", Map("k" -> "v"),
+        expectedHead = Some(head - 1)))
+    intercept[GraftError.Metadata](
+      cat.rollbackTo("t", head, expectedHead = Some(head - 1)))
+    intercept[GraftError.Metadata](
+      cat.evolveSchema("t", FieldIds.stamp(cat.scanTable(spark, "t").schema),
+        expectedHead = Some(head - 1)))
+    // the CURRENT base passes, and the operation lands exactly once
+    cat.updateTableProperties("t", Map("k" -> "v"), expectedHead = Some(head))
+    assert(cat.tableProperties("t")("k") == "v")
+    val rolled = cat.rollbackTo("t", head - 1, expectedHead = Some(head))
+    assert(rolled == head + 1)
+  }
+
   test("forks inherit properties at fork time; later edits stay independent") {
     val cat = new GraftCatalog(
       Files.createTempDirectory("graft-props-cat").toString)
