@@ -24,72 +24,65 @@ object Bench {
   }
 
   /** Best-known healthy per-query levels (seconds, sf0.1 local[32]) —
-    * per-key min of the r7 and r9 recorded runs, keyed by short name.
+    * per-key min of the r7/r9/r10 recorded runs plus targeted DriftProbe
+    * min-of-3 dispositions (q108: the r10 run recorded 1.77 s against an
+    * 0.78 s level, 2.3×; an idle-box probe measured samples 1.13/0.55/0.53
+    * — host stall, no plan cause; level now 0.53), keyed by short name.
     * These drive the PER-QUERY retry: the global threshold protects the
     * big queries, but a 0.5 s query drifting 5× stays under it (seven did
-    * exactly that in r9, all traced to the box's documented stall window);
-    * retrying when a run exceeds 3× its recorded level catches sub-second
-    * drift too. Levels are ceilings for retry purposes only — queries
-    * without one (new gates) fall back to the global threshold.
+    * exactly that in r9; q108 did it again in r10 one octave lower under
+    * the then-3× trigger); retrying when a run exceeds 2× its recorded
+    * level catches sub-second drift too. Levels are ceilings for retry
+    * purposes only — queries without one (new gates) fall back to the
+    * global threshold.
     */
   private[graft] val recordedSec: Map[String, Double] = Map(
-    "q" -> 0.35, "q1" -> 0.62, "q10" -> 0.71, "q100" -> 1.5, "q101" -> 1.11,
-    "q102" -> 1.87, "q103" -> 2.01, "q104" -> 1.42, "q105" -> 1.6,
-    "q106" -> 1.16, "q107" -> 1.19, "q108" -> 0.78, "q109" -> 4.37,
-    "q11" -> 0.63, "q110" -> 0.81, "q111" -> 1.29, "q112" -> 5.04,
-    "q113" -> 0.3, "q114" -> 2.31, "q115" -> 4.8, "q116" -> 1.48,
-    "q117" -> 4.65, "q118" -> 4.83, "q119" -> 4.36, "q12" -> 0.38,
-    "q120" -> 2.81, "q121" -> 4.02, "q122" -> 7.22, "q123" -> 1.96,
-    "q124" -> 0.98, "q125" -> 0.71, "q126" -> 0.87, "q127" -> 2.26,
-    "q128" -> 2.05, "q13" -> 0.31, "q14" -> 0.23, "q15" -> 0.8,
-    "q16" -> 0.37, "q17" -> 0.36, "q2" -> 0.45, "q20" -> 1.26,
-    "q21" -> 0.52, "q22" -> 1.03, "q23_cube" -> 1.76, "q23_rollup" -> 0.86,
-    "q24" -> 0.16, "q25" -> 0.63, "q26" -> 0.54, "q27" -> 0.45,
-    "q28" -> 0.39, "q3" -> 0.86, "q30" -> 0.15, "q31" -> 0.32,
-    "q32" -> 0.34, "q33" -> 0.29, "q34" -> 0.27, "q35" -> 0.5,
-    "q36" -> 0.33, "q4" -> 1.17, "q40" -> 0.35, "q41" -> 2.06,
-    "q42" -> 0.4, "q43" -> 0.26, "q44" -> 0.32, "q45" -> 0.33,
-    "q46" -> 0.31, "q47" -> 0.3, "q48" -> 0.18, "q49" -> 1.24,
-    "q50" -> 0.15, "q51" -> 0.36, "q52" -> 0.37, "q53" -> 1.96,
-    "q54" -> 0.95, "q55" -> 0.14, "q56" -> 0.24, "q57" -> 1.07,
-    "q58" -> 0.37, "q59" -> 0.18, "q5_bucket" -> 0.28,
-    "q5_transforms" -> 1.4, "q60" -> 0.35, "q61" -> 0.7, "q62" -> 0.56,
-    "q63" -> 0.12, "q64" -> 0.29, "q65" -> 0.21, "q66" -> 0.6,
-    "q67" -> 0.25, "q68" -> 1.16, "q69" -> 1.02, "q70" -> 1.38,
-    "q71" -> 1.48, "q72" -> 0.77, "q73" -> 0.06, "q74" -> 0.04,
-    "q75" -> 0.71, "q76" -> 0.26, "q77" -> 1.18, "q78" -> 0.58,
-    "q79" -> 2.09, "q80" -> 0.87, "q81" -> 2.1, "q82" -> 0.87,
-    "q83" -> 0.53, "q84" -> 0.6, "q85" -> 0.23, "q86" -> 1.08,
-    "q87" -> 0.74, "q88" -> 0.51, "q89" -> 0.22, "q90" -> 1.4,
-    "q91" -> 0.15, "q92" -> 0.97, "q93" -> 0.57, "q94" -> 2.02,
-    "q95" -> 0.52, "q96" -> 0.33, "q97" -> 0.4, "q98" -> 0.39,
-    "q99" -> 0.26,
-    // round-10 gates: levels from this round's idle-box runs (q129/q130
-    // from the round's clean 116 s full bench; q131–q134 from the bench +
-    // DriftProbe min-of-3)
-    "q129" -> 0.6, "q130" -> 2.0, "q131" -> 0.5, "q132" -> 2.6,
-    "q133" -> 1.1, "q134" -> 0.45, "q135" -> 0.6,
-    // three serial SQL DML lifecycles (delete+update+merge commits) on the
-    // 60k slice — gate cost measured on this round's clean 115 s full run
-    "q136" -> 4.9,
-    // one delete lifecycle + two TVF-addressed aggregate scans (q128's
-    // shape through the SQL doorway)
-    "q137" -> 2.2,
-    // q138 SQL maintenance (compact+expire lifecycle), q139 boilerplate
-    // removal, q140 bloom decontam — levels from this round's clean 130 s
-    // full idle-box run
-    "q138" -> 2.6, "q139" -> 1.5, "q140" -> 2.0,
-    // q141 WAV header decode — map-only, from the same clean run
-    "q141" -> 0.25)
+    "q" -> 0.27, "q1" -> 0.62, "q2" -> 0.35, "q3" -> 0.86, "q4" -> 1,
+    "q5_bucket" -> 0.24, "q5_transforms" -> 1.07, "q10" -> 0.43,
+    "q11" -> 0.45, "q12" -> 0.33, "q13" -> 0.26, "q14" -> 0.22,
+    "q15" -> 0.58, "q16" -> 0.32, "q17" -> 0.31, "q20" -> 1.15,
+    "q21" -> 0.45, "q22" -> 0.77, "q23_cube" -> 0.55, "q23_rollup" -> 0.78,
+    "q24" -> 0.13, "q25" -> 0.46, "q26" -> 0.46, "q27" -> 0.32,
+    "q28" -> 0.24, "q30" -> 0.15, "q31" -> 0.29, "q32" -> 0.3,
+    "q33" -> 0.2, "q34" -> 0.21, "q35" -> 0.41, "q36" -> 0.33,
+    "q40" -> 0.26, "q41" -> 1.25, "q42" -> 0.3, "q43" -> 0.19,
+    "q44" -> 0.22, "q45" -> 0.24, "q46" -> 0.21, "q47" -> 0.26,
+    "q48" -> 0.16, "q49" -> 1.04, "q50" -> 0.12, "q51" -> 0.3,
+    "q52" -> 0.31, "q53" -> 1.21, "q54" -> 0.7, "q55" -> 0.1,
+    "q56" -> 0.19, "q57" -> 0.88, "q58" -> 0.33, "q59" -> 0.14,
+    "q60" -> 0.27, "q61" -> 0.61, "q62" -> 0.49, "q63" -> 0.11,
+    "q64" -> 0.26, "q65" -> 0.16, "q66" -> 0.53, "q67" -> 0.19,
+    "q68" -> 0.94, "q69" -> 0.77, "q70" -> 0.7, "q71" -> 0.88,
+    "q72" -> 0.58, "q73" -> 0.04, "q74" -> 0.02, "q75" -> 0.58,
+    "q76" -> 0.19, "q77" -> 0.9, "q78" -> 0.4, "q79" -> 1.5, "q80" -> 0.79,
+    "q81" -> 1.75, "q82" -> 0.7, "q83" -> 0.41, "q84" -> 0.53,
+    "q85" -> 0.19, "q86" -> 0.97, "q87" -> 0.71, "q88" -> 0.43,
+    "q89" -> 0.21, "q90" -> 1.23, "q91" -> 0.14, "q92" -> 0.92,
+    "q93" -> 0.57, "q94" -> 1.8, "q95" -> 0.43, "q96" -> 0.3,
+    "q97" -> 0.36, "q98" -> 0.35, "q99" -> 0.24, "q100" -> 1.5,
+    "q101" -> 0.66, "q102" -> 1.34, "q103" -> 1.51, "q104" -> 1.08,
+    "q105" -> 1.28, "q106" -> 1.12, "q107" -> 1.19, "q108" -> 0.53,
+    "q109" -> 0.95, "q110" -> 0.53, "q111" -> 0.71, "q112" -> 1.22,
+    "q113" -> 0.28, "q114" -> 1.61, "q115" -> 1.83, "q116" -> 0.27,
+    "q117" -> 2.08, "q118" -> 0.57, "q119" -> 0.4, "q120" -> 2.64,
+    "q121" -> 0.93, "q122" -> 1.03, "q123" -> 0.46, "q124" -> 0.29,
+    "q125" -> 0.06, "q126" -> 0.79, "q127" -> 1.2, "q128" -> 1.59,
+    "q129" -> 0.46, "q130" -> 0.96, "q131" -> 0.29, "q132" -> 1.66,
+    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 3.73,
+    "q137" -> 1.34, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
+    "q141" -> 0.18)
 
   /** Retry decision for one measured run: errors always retry; otherwise
-    * retry past the GLOBAL threshold or past 3× the query's recorded
-    * healthy level (floored at 0.3 s — sub-100 ms queries jitter harmlessly).
+    * retry past the GLOBAL threshold or past 2× the query's recorded
+    * healthy level (floored at 0.3 s — sub-100 ms queries jitter
+    * harmlessly). 2×, not 3×: r10's only unexplained drift (q108,
+    * 0.78→1.77 s) sailed under the 3× trigger exactly like r9's
+    * sub-second drifters sailed under the global floor.
     */
   private[graft] def shouldRetry(
       sec: Double, recorded: Option[Double], retrySec: Double): Boolean =
     sec < 0 || sec >= retrySec ||
-      recorded.exists(r => sec > math.max(0.3, 3.0 * r))
+      recorded.exists(r => sec > math.max(0.3, 2.0 * r))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -717,7 +717,14 @@ object PipelineQueries {
   private def normD(a: Column): Column = sqrt(dotD(a, a))
 
   /** Q42: brute-force cosine top-5 for a broadcast query set. Norms are
-    * computed once per vector (one narrow pass), not once per pair.
+    * computed once per vector (one narrow pass), not once per pair. The
+    * ranking is the bounded [[graft.functions.TopKByScore]] aggregate, not
+    * a `row_number()` window: the window shape repartitions EVERY scored
+    * row into |queries| reducers, while the aggregate's map-side partial
+    * keeps ≤5 rows per (scan partition, query), so the one exchange
+    * carries O(k × partitions × queries) rows no matter the corpus size.
+    * Ranks are positional over the best-first array (same total order —
+    * cos DESC, vec_id ASC — the window used; oracle unchanged).
     */
   private def q42(spark: SparkSession, sfDir: String): DataFrame = {
     val e = Tables.embeddings(spark, sfDir)
@@ -728,8 +735,12 @@ object PipelineQueries {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         (dotD(col("qe"), col("embedding")) / (col("nrm") * col("qnrm"))).as("cos"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rn", row_number().over(w).cast("long")).filter(col("rn") <= 5)
+    scored.groupBy(col("qid"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("cos"), col("vec_id").cast("long"), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"), col("t.score").as("cos"))
   }
 
   private val q42Sql =

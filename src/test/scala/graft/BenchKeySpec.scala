@@ -36,10 +36,16 @@ class BenchKeySpec extends AnyFunSuite {
 
   test("per-query retry fires on drift the global threshold misses") {
     // r9's actual failure mode: q27 recorded 0.45 s, drifted to 2.50 s —
-    // under the 3 s global threshold, >3x its healthy level
+    // under the 3 s global threshold, >2x its healthy level
     assert(Bench.shouldRetry(2.50, Some(0.45), retrySec = 3.0))
+    // r10's failure mode: q108 recorded 0.78 s (since reprobed to 0.53),
+    // drifted to 1.77 s — under the global threshold AND under the old 3x
+    // trigger (2.34 s); the 2x trigger (1.56 s) catches it
+    assert(Bench.shouldRetry(1.77, Some(0.78), retrySec = 3.0))
     // healthy run: no retry
     assert(!Bench.shouldRetry(0.50, Some(0.45), retrySec = 3.0))
+    // a run just under 2x its level stays (1.5 s on a 0.78 s level)
+    assert(!Bench.shouldRetry(1.50, Some(0.78), retrySec = 3.0))
     // sub-100 ms jitter is floored, not retried (0.04 s query at 0.15 s)
     assert(!Bench.shouldRetry(0.15, Some(0.04), retrySec = 3.0))
     // errors and global-threshold crossings always retry
