@@ -274,7 +274,16 @@ final class GraftCatalog(root: String,
   def createTable(
       table: String,
       files: Seq[DataFileTask],
-      schema: Option[org.apache.spark.sql.types.StructType]): Unit =
+      schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
+    // namespaced names ("ns/t"): validated BEFORE the lock, which would
+    // otherwise create the directory chain for a namespace that doesn't
+    // exist (a typo'd namespace must fail, not come into implicit being)
+    if (table.contains("/")) {
+      validateSegments("table", table)
+      val parent = table.substring(0, table.lastIndexOf('/'))
+      require(namespaceExists(parent), s"namespace $parent does not exist")
+    }
+    require(!namespaceExists(table), s"$table is a namespace, not a table")
     withTableLock(table) {
       require(!headExists(table), s"table $table already exists")
       schema.foreach { sch =>
@@ -289,6 +298,7 @@ final class GraftCatalog(root: String,
       schema.foreach(s => writeSchema(table, 1L, s))
       createHead(table, 1L)
     }
+  }
 
   // ---- per-snapshot canonical schema (§1.3 schema evolution) -------------
 
@@ -2655,8 +2665,14 @@ final class GraftCatalog(root: String,
     */
   def renameTable(from: String, to: String): Unit = {
     require(!from.contains("@"), s"$from is a fork — forks are not renamed")
-    require(to.nonEmpty && !to.exists("@\t\n/".contains(_)),
-      s"invalid table name '$to'")
+    require(to.nonEmpty, s"invalid table name '$to'")
+    validateSegments("table", to)
+    // a namespaced destination must land in an EXISTING namespace (same
+    // no-implicit-namespaces rule as createTable)
+    if (to.contains("/"))
+      require(namespaceExists(to.substring(0, to.lastIndexOf('/'))),
+        s"namespace ${to.substring(0, to.lastIndexOf('/'))} does not exist")
+    require(!namespaceExists(to), s"$to is a namespace, not a table")
     require(from != to, "rename to the same name")
     require(headExists(from), s"table $from does not exist")
     require(!headExists(to), s"table $to already exists")
@@ -3264,18 +3280,151 @@ final class GraftCatalog(root: String,
 
   /** All tables in this catalog (any directory with a registered head) —
     * forks ([[forkTable]]'s `name@branch`) included; schedulers filter.
+    * Tables inside namespaces list as their `/`-joined catalog name
+    * (`ns/t`); the walk descends ONLY into marker-carrying namespace
+    * directories, so unrelated directories (the managed `_data` tree,
+    * staging dirs) are never scanned.
     */
   def tables(): Seq[String] = {
-    val rootPath = Paths.get(root)
-    if (!Files.isDirectory(rootPath)) Nil
-    else {
-      val stream = Files.list(rootPath)
-      val names = try stream.iterator().asScala
-        .filter(Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq
-      finally stream.close()
-      names.filter(headExists).sorted
+    def walk(prefix: String, dir: java.nio.file.Path): Seq[String] = {
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val stream = Files.list(dir)
+        val children = try stream.iterator().asScala
+          .filter(Files.isDirectory(_)).toSeq
+        finally stream.close()
+        children.flatMap { c =>
+          val name = prefix + c.getFileName.toString
+          if (headExists(name)) Seq(name)
+          else if (Files.exists(c.resolve(GraftCatalog.NamespaceMarker)))
+            walk(name + "/", c)
+          else Nil
+        }
+      }
     }
+    walk("", Paths.get(root)).sorted
+  }
+
+  // ---- namespaces (Iceberg's multi-level namespace tree) -----------------
+  //
+  // A namespace is a marker-carrying directory under the root; tables in
+  // it are addressed by their `/`-joined catalog name ("ns/t", nested
+  // "a/b/t"). The flat root level is the implicit `default` namespace the
+  // REST facade exposes — it always exists and cannot be created or
+  // dropped. The marker doubles as the namespace's property sidecar.
+
+  private def nsDir(ns: String) = Paths.get(root, ns.split('/').toSeq: _*)
+  private def nsMarker(ns: String) = nsDir(ns).resolve(GraftCatalog.NamespaceMarker)
+
+  /** Segment validation shared by namespace and table creation: no
+    * traversal ("..", "."), no separators, no fork/hidden prefixes.
+    */
+  private def validateSegments(kind: String, name: String): Unit = {
+    val parts = name.split('/')
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"invalid $kind name '$name': empty segment")
+    parts.foreach { p =>
+      require(p != "." && p != "..", s"invalid $kind name '$name': traversal segment")
+      require(!p.startsWith("."), s"invalid $kind name '$name': hidden segment '$p'")
+      require(!p.exists("@\\\t\n".contains(_)),
+        s"invalid $kind name '$name': reserved character in '$p'")
+      require(p != "_data", s"invalid $kind name '$name': '_data' is the managed data tree")
+    }
+  }
+
+  def namespaceExists(ns: String): Boolean = Files.exists(nsMarker(ns))
+
+  /** Create a namespace (optionally nested — every parent must already
+    * exist, like `CREATE NAMESPACE a.b` after `a`). Refuses names that
+    * collide with an existing table directory.
+    */
+  def createNamespace(ns: String, props: Map[String, String] = Map.empty): Unit = {
+    validateSegments("namespace", ns)
+    val parts = ns.split('/').toSeq
+    parts.inits.toSeq.reverse.drop(1).dropRight(1).foreach { parent =>
+      val p = parent.mkString("/")
+      require(namespaceExists(p), s"parent namespace $p does not exist")
+    }
+    GraftCatalog.nsLock.synchronized {
+      require(!namespaceExists(ns), s"namespace $ns already exists")
+      require(!headExists(ns), s"a table named $ns already exists")
+      Files.createDirectories(nsDir(ns))
+      writeNsProps(ns, props)
+    }
+  }
+
+  /** Drop an empty namespace: refuses while tables or child namespaces
+    * live under it (Iceberg's NamespaceNotEmpty contract).
+    */
+  def dropNamespace(ns: String): Unit = GraftCatalog.nsLock.synchronized {
+    require(namespaceExists(ns), s"namespace $ns does not exist")
+    val children = tables().filter(_.startsWith(ns + "/")) ++
+      namespaces().filter(_.startsWith(ns + "/"))
+    require(children.isEmpty,
+      s"namespace $ns is not empty: ${children.take(5).mkString(", ")}")
+    Files.deleteIfExists(nsMarker(ns))
+    // best-effort dir removal — stray lock files from table ops that once
+    // lived here are cleaned; a non-empty dir (concurrent create) survives
+    try {
+      Files.deleteIfExists(nsDir(ns).resolve(".lock"))
+      Files.deleteIfExists(nsDir(ns))
+    } catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+  }
+
+  /** Every namespace, `/`-joined, nested included, sorted. */
+  def namespaces(): Seq[String] = {
+    def walk(prefix: String, dir: java.nio.file.Path): Seq[String] = {
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val stream = Files.list(dir)
+        val children = try stream.iterator().asScala
+          .filter(Files.isDirectory(_)).toSeq
+        finally stream.close()
+        children.flatMap { c =>
+          val name = prefix + c.getFileName.toString
+          if (Files.exists(c.resolve(GraftCatalog.NamespaceMarker)))
+            name +: walk(name + "/", c)
+          else Nil
+        }
+      }
+    }
+    walk("", Paths.get(root)).sorted
+  }
+
+  def namespaceProperties(ns: String): Map[String, String] = {
+    require(namespaceExists(ns), s"namespace $ns does not exist")
+    Files.readString(nsMarker(ns)).split("\n").filter(_.nonEmpty).toSeq.map { l =>
+      l.split("\t", 2) match {
+        case Array(k, v) => dec(k) -> dec(v)
+        case Array(k) => dec(k) -> ""
+      }
+    }.toMap
+  }
+
+  /** Merge/remove namespace properties (a key in both sets is removed —
+    * same last-intent rule as [[updateTableProperties]]).
+    */
+  def updateNamespaceProperties(
+      ns: String,
+      updates: Map[String, String],
+      removals: Set[String] = Set.empty): Unit =
+    GraftCatalog.nsLock.synchronized {
+      require(namespaceExists(ns), s"namespace $ns does not exist")
+      writeNsProps(ns, (namespaceProperties(ns) ++ updates) -- removals)
+    }
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def writeNsProps(ns: String, props: Map[String, String]): Unit = {
+    val tmp = nsDir(ns).resolve(s".ns.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp,
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+        .mkString("\n"),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, nsMarker(ns),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def encodeEntryLine(e: TableEntry): String =
@@ -3514,6 +3663,17 @@ object GraftCatalog {
     */
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Marker file that makes a directory a namespace (and carries its
+    * properties). Dot-prefixed so the table-document globs never see it.
+    */
+  private[sources] val NamespaceMarker = ".namespace"
+
+  /** Serializes namespace CRUD within the JVM (cross-driver namespace
+    * races are benign: creation is an atomic marker write, drop re-checks
+    * emptiness under the lock and directory removal is refused non-empty).
+    */
+  private[sources] val nsLock = new Object
 
   /** The authoritative current-snapshot pointer of each table — the one
     * piece of catalog state that must be transactional across drivers.

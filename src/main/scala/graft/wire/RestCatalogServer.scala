@@ -23,11 +23,22 @@ import scala.jdk.CollectionConverters._
   * Serving the same head/snapshot surface REST-shaped means an ecosystem
   * client can browse AND write this catalog with zero graft imports.
   *
-  * Routes (single flat namespace `default` — [[GraftCatalog]] is flat):
+  * Routes (namespaced: the catalog's flat root is the implicit `default`
+  * namespace; created namespaces are marker directories whose tables are
+  * addressed by `/`-joined catalog names, `GraftCatalog.createNamespace`.
+  * Multi-level namespaces use the spec's 0x1F unit separator in URLs):
   *
   *   - `GET /v1/config` → `{"defaults":{},"overrides":{}}`
-  *   - `GET /v1/namespaces` → `{"namespaces":[["default"]]}`
-  *   - `GET /v1/namespaces/default/tables` → table identifier list;
+  *   - `GET /v1/namespaces[?parent=ns]` → namespace listing (top level =
+  *     `default` + root namespaces; `parent` lists direct children)
+  *   - `POST /v1/namespaces` → CreateNamespace (`namespace` parts array +
+  *     `properties`): 409 existing, 404 missing parent, 400 reserved names
+  *   - `GET /v1/namespaces/{ns}` → namespace + properties; 404 unknown
+  *   - `DELETE /v1/namespaces/{ns}` → drop empty namespace: 204, 409
+  *     `NamespaceNotEmptyException` with live tables/children, 400 default
+  *   - `POST /v1/namespaces/{ns}/properties` → update/remove namespace
+  *     properties with the spec's updated/removed/missing report
+  *   - `GET /v1/namespaces/{ns}/tables` → table identifier list;
   *     paginated per the spec via `pageSize`/`pageToken` (opaque cursor =
   *     last identifier served; `next-page-token` present only when the
   *     page was truncated)
@@ -180,49 +191,111 @@ object RestCatalogServer {
       case (HttpMethod.GET, Seq("v1", "config")) =>
         HttpResponseStatus.OK -> """{"defaults":{},"overrides":{}}"""
       case (HttpMethod.GET, Seq("v1", "namespaces")) =>
-        HttpResponseStatus.OK -> """{"namespaces":[["default"]]}"""
-      case (HttpMethod.GET, Seq("v1", "namespaces", "default")) =>
-        HttpResponseStatus.OK -> """{"namespace":["default"],"properties":{}}"""
-      case (HttpMethod.GET, Seq("v1", "namespaces", "default", "tables")) =>
-        // Iceberg-REST pagination: `pageToken` is an opaque cursor (here:
-        // the last identifier served — strictly-after resumption is stable
-        // under sorted order even if tables are created mid-iteration);
-        // `next-page-token` appears ONLY when a page was truncated. No
-        // `pageSize` = the whole listing, the spec's non-paginated mode.
-        val all = catalog.tables().sorted
-        val after = query.get("pageToken")
-          .fold(all)(tok => all.dropWhile(_ <= tok))
-        query.get("pageSize") match {
-          case Some(raw) =>
-            raw.toIntOption.filter(_ >= 1) match {
-              case None => badRequest(
-                s"pageSize must be a positive integer, got '$raw'")
-              case Some(n) =>
-                val page = after.take(n)
-                val ids = page.map(t =>
-                  s"""{"namespace":["default"],"name":${q(t)}}""")
-                val tail =
-                  if (after.size > n) s""","next-page-token":${q(page.last)}"""
-                  else ""
-                HttpResponseStatus.OK ->
-                  s"""{"identifiers":[${ids.mkString(",")}]$tail}"""
-            }
+        // top level lists `default` + root namespaces; `parent=<ns>` lists
+        // that namespace's DIRECT children (the spec's nested listing)
+        query.get("parent") match {
           case None =>
-            val ids = after.map(t =>
-              s"""{"namespace":["default"],"name":${q(t)}}""")
-            HttpResponseStatus.OK -> s"""{"identifiers":[${ids.mkString(",")}]}"""
+            val roots = catalog.namespaces().filterNot(_.contains("/"))
+            HttpResponseStatus.OK -> ("""{"namespaces":[["default"]""" +
+              roots.map(n => s",[${q(n)}]").mkString + "]}")
+          case Some(p) =>
+            val parts = nsParts(p)
+            if (parts == Seq("default"))
+              // the implicit root namespace has no children (namespaces
+              // live beside it, not under it)
+              HttpResponseStatus.OK -> """{"namespaces":[]}"""
+            else if (!catalog.namespaceExists(parts.mkString("/")))
+              nsNotFound(parts)
+            else {
+              val prefix = parts.mkString("/") + "/"
+              val kids = catalog.namespaces()
+                .filter(n => n.startsWith(prefix) && !n.drop(prefix.length).contains("/"))
+              HttpResponseStatus.OK -> ("""{"namespaces":[""" +
+                kids.map(nk => nsJson(nk.split('/').toSeq)).mkString(",") + "]}")
+            }
         }
-      case (HttpMethod.GET, Seq("v1", "namespaces", "default", "tables", t)) =>
-        if (!catalog.tables().contains(t))
-          HttpResponseStatus.NOT_FOUND ->
-            errorJson(s"Table does not exist: default.$t", "NoSuchTableException", 404)
-        else HttpResponseStatus.OK -> tableJson(catalog, t)
-      case (HttpMethod.DELETE, Seq("v1", "namespaces", "default", "tables", t)) =>
-        if (!catalog.tables().contains(t))
-          HttpResponseStatus.NOT_FOUND ->
-            errorJson(s"Table does not exist: default.$t", "NoSuchTableException", 404)
+      case (HttpMethod.POST, Seq("v1", "namespaces")) =>
+        createNamespace(catalog, body)
+      case (HttpMethod.GET, Seq("v1", "namespaces", ns)) =>
+        val parts = nsParts(ns)
+        if (parts == Seq("default"))
+          HttpResponseStatus.OK -> """{"namespace":["default"],"properties":{}}"""
+        else if (!catalog.namespaceExists(parts.mkString("/"))) nsNotFound(parts)
+        else {
+          val props = catalog.namespaceProperties(parts.mkString("/"))
+            .toSeq.sortBy(_._1)
+            .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
+          HttpResponseStatus.OK ->
+            s"""{"namespace":${nsJson(parts)},"properties":{$props}}"""
+        }
+      case (HttpMethod.DELETE, Seq("v1", "namespaces", ns)) =>
+        val parts = nsParts(ns)
+        if (parts == Seq("default"))
+          badRequest("the implicit 'default' namespace cannot be dropped")
+        else if (!catalog.namespaceExists(parts.mkString("/"))) nsNotFound(parts)
         else
-          try { catalog.dropTable(t); HttpResponseStatus.NO_CONTENT -> "" }
+          try { catalog.dropNamespace(parts.mkString("/")); HttpResponseStatus.NO_CONTENT -> "" }
+          catch { case e: IllegalArgumentException =>
+            // non-empty: the spec's 409 NamespaceNotEmptyException
+            HttpResponseStatus.CONFLICT ->
+              errorJson(Option(e.getMessage).getOrElse("namespace not empty"),
+                "NamespaceNotEmptyException", 409)
+          }
+      case (HttpMethod.POST, Seq("v1", "namespaces", ns, "properties")) =>
+        updateNamespaceProps(catalog, nsParts(ns), body)
+      case (HttpMethod.GET, Seq("v1", "namespaces", ns, "tables")) =>
+        val parts = nsParts(ns)
+        if (!nsExists(catalog, parts)) nsNotFound(parts)
+        else {
+          // Iceberg-REST pagination: `pageToken` is an opaque cursor
+          // (here: the last identifier served — strictly-after resumption
+          // is stable under sorted order even if tables are created
+          // mid-iteration); `next-page-token` appears ONLY when a page was
+          // truncated. No `pageSize` = the whole listing, the spec's
+          // non-paginated mode. Listed tables are the namespace's DIRECT
+          // children (nested namespaces' tables list under their own).
+          val prefix = if (parts == Seq("default")) "" else parts.mkString("/") + "/"
+          val all = catalog.tables()
+            .filter(t => t.startsWith(prefix) && !t.drop(prefix.length).contains("/"))
+            .map(_.drop(prefix.length)).sorted
+          val after = query.get("pageToken")
+            .fold(all)(tok => all.dropWhile(_ <= tok))
+          def ident(t: String) = s"""{"namespace":${nsJson(parts)},"name":${q(t)}}"""
+          query.get("pageSize") match {
+            case Some(raw) =>
+              raw.toIntOption.filter(_ >= 1) match {
+                case None => badRequest(
+                  s"pageSize must be a positive integer, got '$raw'")
+                case Some(n) =>
+                  val page = after.take(n)
+                  val tail =
+                    if (after.size > n) s""","next-page-token":${q(page.last)}"""
+                    else ""
+                  HttpResponseStatus.OK ->
+                    s"""{"identifiers":[${page.map(ident).mkString(",")}]$tail}"""
+              }
+            case None =>
+              HttpResponseStatus.OK ->
+                s"""{"identifiers":[${after.map(ident).mkString(",")}]}"""
+          }
+        }
+      case (HttpMethod.GET, Seq("v1", "namespaces", ns, "tables", t)) =>
+        val parts = nsParts(ns)
+        if (!nsExists(catalog, parts)) nsNotFound(parts)
+        else if (!catalog.tables().contains(catName(parts, t)))
+          HttpResponseStatus.NOT_FOUND ->
+            errorJson(s"Table does not exist: ${dotted(parts, t)}",
+              "NoSuchTableException", 404)
+        else HttpResponseStatus.OK -> tableJson(catalog, catName(parts, t))
+      case (HttpMethod.DELETE, Seq("v1", "namespaces", ns, "tables", t)) =>
+        val parts = nsParts(ns)
+        if (!nsExists(catalog, parts)) nsNotFound(parts)
+        else if (!catalog.tables().contains(catName(parts, t)))
+          HttpResponseStatus.NOT_FOUND ->
+            errorJson(s"Table does not exist: ${dotted(parts, t)}",
+              "NoSuchTableException", 404)
+        else
+          try { catalog.dropTable(catName(parts, t)); HttpResponseStatus.NO_CONTENT -> "" }
           catch {
             // live forks etc. — the caller's ordering problem, not a 500
             case e: IllegalArgumentException =>
@@ -230,19 +303,126 @@ object RestCatalogServer {
                 errorJson(Option(e.getMessage).getOrElse("drop refused"),
                   "CommitFailedException", 409)
           }
-      case (HttpMethod.POST, Seq("v1", "namespaces", "default", "tables")) =>
-        createTable(catalog, body)
+      case (HttpMethod.POST, Seq("v1", "namespaces", ns, "tables")) =>
+        val parts = nsParts(ns)
+        if (!nsExists(catalog, parts)) nsNotFound(parts)
+        else createTable(catalog, parts, body)
       case (HttpMethod.POST, Seq("v1", "tables", "rename")) =>
         renameTable(catalog, body)
-      case (HttpMethod.POST, Seq("v1", "namespaces", "default", "tables", t)) =>
-        commitTable(catalog, t, body)
-      case (_, Seq("v1", "namespaces", ns, _*)) if ns != "default" =>
-        HttpResponseStatus.NOT_FOUND ->
-          errorJson(s"Namespace does not exist: $ns", "NoSuchNamespaceException", 404)
+      case (HttpMethod.POST, Seq("v1", "namespaces", ns, "tables", t)) =>
+        val parts = nsParts(ns)
+        if (!nsExists(catalog, parts)) nsNotFound(parts)
+        else commitTable(catalog, parts, t, body)
       case _ =>
         HttpResponseStatus.NOT_FOUND ->
           errorJson(s"No route for ${method.name} $path", "NotFoundException", 404)
     }
+  }
+
+  // ---- namespace plumbing ------------------------------------------------
+
+  /** URL namespace segment → parts: the spec separates multi-level
+    * namespaces with the 0x1F unit separator inside one path segment.
+    */
+  private def nsParts(seg: String): Seq[String] =
+    seg.split('\u001f').toSeq
+
+  /** REST parts → catalog name: the implicit `default` namespace is the
+    * catalog's flat root, every other namespace prefixes `/`-joined.
+    */
+  private def catName(parts: Seq[String], t: String): String =
+    if (parts == Seq("default")) t else (parts :+ t).mkString("/")
+
+  private def dotted(parts: Seq[String], t: String): String =
+    (parts :+ t).mkString(".")
+
+  private def nsJson(parts: Seq[String]): String =
+    "[" + parts.map(q).mkString(",") + "]"
+
+  private def nsExists(catalog: GraftCatalog, parts: Seq[String]): Boolean =
+    parts == Seq("default") || catalog.namespaceExists(parts.mkString("/"))
+
+  private def nsNotFound(parts: Seq[String]): (HttpResponseStatus, String) =
+    HttpResponseStatus.NOT_FOUND ->
+      errorJson(s"Namespace does not exist: ${parts.mkString(".")}",
+        "NoSuchNamespaceException", 404)
+
+  /** `POST /v1/namespaces` — CreateNamespace: body carries `namespace`
+    * (array of parts) and optional `properties`. Nested creation requires
+    * the parent to exist; 409 `AlreadyExistsException` on an existing
+    * namespace, 400 for reserved/invalid names (including `default`).
+    */
+  private def createNamespace(
+      catalog: GraftCatalog, body: String): (HttpResponseStatus, String) = {
+    val req = try mapper.readTree(body) catch { case e: Exception =>
+      return badRequest(s"malformed JSON body: ${e.getMessage}")
+    }
+    val nsNode = if (req == null) null else req.get("namespace")
+    if (nsNode == null || !nsNode.isArray || nsNode.size == 0)
+      return badRequest("create request requires a non-empty 'namespace' array")
+    val parts = nsNode.elements().asScala.map(_.asText).toSeq
+    if (parts.exists(_.isEmpty))
+      return badRequest("namespace parts must be non-empty")
+    if (parts.headOption.contains("default"))
+      return badRequest("'default' is the implicit root namespace and cannot be created")
+    val props = Option(req.get("properties")).filter(_.isObject)
+      .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty[String, String])
+    val name = parts.mkString("/")
+    try {
+      catalog.createNamespace(name, props)
+      val propJson = props.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}:${q(v)}" }.mkString(",")
+      HttpResponseStatus.OK ->
+        s"""{"namespace":${nsJson(parts)},"properties":{$propJson}}"""
+    } catch {
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("already exists")) =>
+        HttpResponseStatus.CONFLICT ->
+          errorJson(s"Namespace already exists: ${parts.mkString(".")}",
+            "AlreadyExistsException", 409)
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("does not exist")) =>
+        HttpResponseStatus.NOT_FOUND ->
+          errorJson(Option(e.getMessage).get, "NoSuchNamespaceException", 404)
+      case e: IllegalArgumentException =>
+        badRequest(Option(e.getMessage).getOrElse("invalid namespace"))
+    }
+  }
+
+  /** `POST /v1/namespaces/{ns}/properties` — UpdateNamespaceProperties:
+    * `updates` map + `removals` array, answered with the spec's
+    * updated/removed/missing report.
+    */
+  private def updateNamespaceProps(
+      catalog: GraftCatalog, parts: Seq[String],
+      body: String): (HttpResponseStatus, String) = {
+    if (parts == Seq("default"))
+      return badRequest("the implicit 'default' namespace carries no properties")
+    if (!catalog.namespaceExists(parts.mkString("/"))) return nsNotFound(parts)
+    val req = try mapper.readTree(body) catch { case e: Exception =>
+      return badRequest(s"malformed JSON body: ${e.getMessage}")
+    }
+    val updates = Option(if (req == null) null else req.get("updates"))
+      .filter(_.isObject)
+      .map(_.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap)
+      .getOrElse(Map.empty[String, String])
+    val removals = Option(if (req == null) null else req.get("removals"))
+      .filter(_.isArray)
+      .map(_.elements().asScala.map(_.asText).toSet)
+      .getOrElse(Set.empty[String])
+    val overlap = updates.keySet.intersect(removals)
+    if (overlap.nonEmpty)
+      return badRequest(
+        s"keys in both updates and removals: ${overlap.toSeq.sorted.mkString(", ")}")
+    val ns = parts.mkString("/")
+    val before = catalog.namespaceProperties(ns)
+    catalog.updateNamespaceProperties(ns, updates, removals)
+    def arr(xs: Iterable[String]) = "[" + xs.toSeq.sorted.map(q).mkString(",") + "]"
+    HttpResponseStatus.OK ->
+      (s"""{"updated":${arr(updates.keys)},""" +
+        s""""removed":${arr(removals.filter(before.contains))},""" +
+        s""""missing":${arr(removals.filterNot(before.contains))}}""")
   }
 
   // ---- write side --------------------------------------------------------
@@ -251,40 +431,47 @@ object RestCatalogServer {
     HttpResponseStatus.BAD_REQUEST -> errorJson(msg, "BadRequestException", 400)
 
   /** `POST /v1/tables/rename` — the spec's RenameTable: body carries
-    * `source`/`destination` TableIdentifiers (single flat namespace, so
-    * both must be `["default"]`). 204 on success, 404 missing source,
-    * 409 existing destination or live-fork block.
+    * `source`/`destination` TableIdentifiers; cross-namespace moves are
+    * allowed (the destination namespace must exist). 204 on success, 404
+    * missing source/namespace, 409 existing destination or live-fork
+    * block.
     */
   private def renameTable(
       catalog: GraftCatalog, body: String): (HttpResponseStatus, String) = {
     val req = try mapper.readTree(body) catch { case e: Exception =>
       return badRequest(s"malformed JSON body: ${e.getMessage}")
     }
-    def ident(field: String): Either[String, String] = {
+    def ident(field: String): Either[String, (Seq[String], String)] = {
       val node = if (req == null) null else req.get(field)
       val name = if (node == null) null else node.get("name")
       val ns = if (node == null) null else node.get("namespace")
       if (name == null || !name.isTextual || name.asText.isEmpty)
         Left(s"rename request requires $field.name")
-      else if (ns != null && !(ns.isArray && ns.size == 1 &&
-          ns.get(0).asText == "default"))
-        Left(s"$field namespace must be [\"default\"]")
-      else Right(name.asText)
+      else {
+        val parts =
+          if (ns == null) Seq("default")
+          else if (ns.isArray && ns.size > 0)
+            ns.elements().asScala.map(_.asText).toSeq
+          else return Left(s"$field namespace must be a non-empty array")
+        Right(parts -> name.asText)
+      }
     }
     (ident("source"), ident("destination")) match {
       case (Left(e), _) => badRequest(e)
       case (_, Left(e)) => badRequest(e)
-      case (Right(src), Right(dst)) =>
-        if (!catalog.tables().contains(src))
+      case (Right((sp, sn)), Right((dp, dn))) =>
+        if (!nsExists(catalog, sp)) nsNotFound(sp)
+        else if (!nsExists(catalog, dp)) nsNotFound(dp)
+        else if (!catalog.tables().contains(catName(sp, sn)))
           HttpResponseStatus.NOT_FOUND ->
-            errorJson(s"Table does not exist: default.$src",
+            errorJson(s"Table does not exist: ${dotted(sp, sn)}",
               "NoSuchTableException", 404)
-        else if (catalog.tables().contains(dst))
+        else if (catalog.tables().contains(catName(dp, dn)))
           HttpResponseStatus.CONFLICT ->
-            errorJson(s"Table already exists: default.$dst",
+            errorJson(s"Table already exists: ${dotted(dp, dn)}",
               "AlreadyExistsException", 409)
         else try {
-          catalog.renameTable(src, dst)
+          catalog.renameTable(catName(sp, sn), catName(dp, dn))
           HttpResponseStatus.NO_CONTENT -> ""
         } catch {
           case e: IllegalArgumentException =>
@@ -301,7 +488,8 @@ object RestCatalogServer {
     * — the ids are the column identity every later commit resolves by.
     */
   private def createTable(
-      catalog: GraftCatalog, body: String): (HttpResponseStatus, String) = {
+      catalog: GraftCatalog, nsp: Seq[String],
+      body: String): (HttpResponseStatus, String) = {
     val req = try mapper.readTree(body) catch { case e: Exception =>
       return badRequest(s"malformed JSON body: ${e.getMessage}")
     }
@@ -311,6 +499,7 @@ object RestCatalogServer {
     val name = nameNode.asText
     if (name.contains("/") || name.contains("@"))
       return badRequest(s"invalid table name '$name'")
+    val cn = catName(nsp, name)
     val schema = Option(req.get("schema")) match {
       case None => None
       case Some(s) => parseIcebergSchema(s) match {
@@ -318,20 +507,20 @@ object RestCatalogServer {
         case Left(err) => return badRequest(err)
       }
     }
-    if (catalog.tables().contains(name))
+    if (catalog.tables().contains(cn))
       HttpResponseStatus.CONFLICT ->
-        errorJson(s"Table already exists: default.$name",
+        errorJson(s"Table already exists: ${dotted(nsp, name)}",
           "AlreadyExistsException", 409)
     else {
-      try catalog.createTable(name, Nil, schema)
+      try catalog.createTable(cn, Nil, schema)
       catch { case e: IllegalArgumentException if e.getMessage != null &&
           e.getMessage.contains("already exists") =>
         // lost a concurrent-create race after the listing check
         return HttpResponseStatus.CONFLICT ->
-          errorJson(s"Table already exists: default.$name",
+          errorJson(s"Table already exists: ${dotted(nsp, name)}",
             "AlreadyExistsException", 409)
       }
-      HttpResponseStatus.OK -> tableJson(catalog, name)
+      HttpResponseStatus.OK -> tableJson(catalog, cn)
     }
   }
 
@@ -342,11 +531,13 @@ object RestCatalogServer {
     * and re-checks via the head-store CAS where one is configured.
     */
   private def commitTable(
-      catalog: GraftCatalog, table: String,
+      catalog: GraftCatalog, nsp: Seq[String], name: String,
       body: String): (HttpResponseStatus, String) = {
+    val table = catName(nsp, name)
     if (!catalog.tables().contains(table))
       return HttpResponseStatus.NOT_FOUND ->
-        errorJson(s"Table does not exist: default.$table", "NoSuchTableException", 404)
+        errorJson(s"Table does not exist: ${dotted(nsp, name)}",
+          "NoSuchTableException", 404)
     val req = try mapper.readTree(body) catch { case e: Exception =>
       return badRequest(s"malformed JSON body: ${e.getMessage}")
     }

@@ -157,13 +157,72 @@ object WireQueries {
 
   private val q129Sql = "SELECT r_regionkey, r_name FROM region"
 
+  /** Q142: the REST facade's NAMESPACE surface end-to-end — create a
+    * namespace over HTTP, create a table inside it, commit data files into
+    * it, verify the namespace listing carries the identifier, then read
+    * the committed rows back through the namespaced catalog name
+    * (`demo_db/nation` — the ecosystem deployment's `demo_db.table` shape,
+    * `core/src/compaction/mod.rs:204-218` in the reference).
+    */
+  private def q142(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files.createTempDirectory("graft-q142").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      def call(method: String, path: String, body: String): (Int, String) = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod(method)
+        if (body.nonEmpty) {
+          conn.setDoOutput(true)
+          conn.setRequestProperty("Content-Type", "application/json")
+          val out = conn.getOutputStream
+          out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+        }
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val resp = if (in == null) ""
+          else new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        if (in != null) in.close()
+        (code, resp)
+      }
+      val (cNs, _) = call("POST", "/v1/namespaces",
+        """{"namespace":["demo_db"],"properties":{"owner":"graft"}}""")
+      require(cNs == 200, s"namespace create failed: HTTP $cNs")
+      val (cT, _) = call("POST", "/v1/namespaces/demo_db/tables",
+        """{"name":"nation","schema":{"type":"struct","fields":[
+          |{"id":1,"name":"n_nationkey","required":false,"type":"int"},
+          |{"id":2,"name":"n_name","required":false,"type":"string"},
+          |{"id":3,"name":"n_regionkey","required":false,"type":"int"}]}}""".stripMargin)
+      require(cT == 200, s"table create failed: HTTP $cT")
+      val (cC, _) = call("POST", "/v1/namespaces/demo_db/tables/nation",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+           |"updates":[{"action":"add-data-files","data-files":[
+           |{"file-path":"$sfDir/nation.parquet","file-format":"parquet"}]}]}""".stripMargin)
+      require(cC == 200, s"commit failed: HTTP $cC")
+      val (cL, listing) = call("GET", "/v1/namespaces/demo_db/tables", "")
+      require(cL == 200 && listing.contains("\"nation\""),
+        s"namespaced listing missing the table: $listing")
+      cat.scanTable(spark, "demo_db/nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    } finally server.close()
+  }
+
+  private val q142Sql =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_wire_tasks" -> (q73 _),
     "q74_wire_literals" -> (q74 _),
-    "q129_rest_commit" -> (q129 _))
+    "q129_rest_commit" -> (q129 _),
+    "q142_rest_namespace" -> (q142 _))
 
   def oracleSql: Map[String, String] = Map(
     "q73_wire_tasks" -> q73Sql,
     "q74_wire_literals" -> q74Sql,
-    "q129_rest_commit" -> q129Sql)
+    "q129_rest_commit" -> q129Sql,
+    "q142_rest_namespace" -> q142Sql)
 }

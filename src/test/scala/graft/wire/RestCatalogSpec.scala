@@ -444,10 +444,12 @@ class RestCatalogSpec extends SparkSpec {
       assert(c2 == 404 && miss.contains("NoSuchTableException"), miss)
       val (c3, clash) = ren("b", "c")
       assert(c3 == 409 && clash.contains("AlreadyExistsException"), clash)
+      // an unknown namespace on either side is the spec's 404 (rename is
+      // namespaced now; it used to be a 400 under the default-only facade)
       val (c4, badNs) = post(port, "/v1/tables/rename",
         """{"source":{"namespace":["other"],"name":"b"},""" +
           """"destination":{"namespace":["default"],"name":"d"}}""")
-      assert(c4 == 400 && badNs.contains("namespace"), badNs)
+      assert(c4 == 404 && badNs.contains("NoSuchNamespaceException"), badNs)
     } finally server.close()
   }
 
@@ -496,6 +498,87 @@ class RestCatalogSpec extends SparkSpec {
       assert(cBad == 400 && bad.contains("BadRequestException"), bad)
       val (cZero, _) = get(port, "/v1/namespaces/default/tables?pageSize=0")
       assert(cZero == 400)
+    } finally server.close()
+  }
+
+  test("namespace CRUD: create-ns -> create-table -> commit -> list -> drop") {
+    val root = Files.createTempDirectory("graft-rest-ns").toString
+    val out = Files.createTempDirectory("graft-rest-ns-out").toString
+    val cat = new GraftCatalog(root)
+    val server = new RestCatalogServer(cat, port = 0)
+    try {
+      val port = server.boundPort
+      def del(path: String): (Int, String) = {
+        val conn = new java.net.URI(s"http://127.0.0.1:$port$path").toURL
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("DELETE")
+        val code = conn.getResponseCode
+        val in = if (code < 400) conn.getInputStream else conn.getErrorStream
+        val body = if (in == null) ""
+          else new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        if (in != null) in.close()
+        (code, body)
+      }
+      // create a namespace with properties; duplicates 409, bad names 400
+      val (c1, created) = post(port, "/v1/namespaces",
+        """{"namespace":["demo_db"],"properties":{"owner":"pipeline"}}""")
+      assert(c1 == 200 && created.contains("\"demo_db\""), created)
+      val (cDup, dup) = post(port, "/v1/namespaces",
+        """{"namespace":["demo_db"]}""")
+      assert(cDup == 409 && dup.contains("AlreadyExistsException"), dup)
+      val (cRes, _) = post(port, "/v1/namespaces", """{"namespace":["default"]}""")
+      assert(cRes == 400)
+      val (cOrphan, orphan) = post(port, "/v1/namespaces",
+        """{"namespace":["nope","child"]}""")
+      assert(cOrphan == 404 && orphan.contains("NoSuchNamespaceException"), orphan)
+      // listing shows default + the new namespace; GET returns properties
+      val (_, listing) = get(port, "/v1/namespaces")
+      assert(listing.contains("[\"default\"]") && listing.contains("[\"demo_db\"]"), listing)
+      val (cNs, nsBody) = get(port, "/v1/namespaces/demo_db")
+      assert(cNs == 200 && nsBody.contains("\"owner\":\"pipeline\""), nsBody)
+      // nested namespace + parent listing
+      val (cKid, _) = post(port, "/v1/namespaces",
+        """{"namespace":["demo_db","curated"]}""")
+      assert(cKid == 200)
+      val (_, kids) = get(port, "/v1/namespaces?parent=demo_db")
+      assert(kids.contains("[\"demo_db\",\"curated\"]"), kids)
+      // table inside the namespace: create, commit files, load, list
+      val (cT, _) = post(port, "/v1/namespaces/demo_db/tables",
+        """{"name":"events","schema":{"type":"struct","fields":[
+          |{"id":1,"name":"k","required":false,"type":"long"},
+          |{"id":2,"name":"v","required":false,"type":"string"}]}}""".stripMargin)
+      assert(cT == 200)
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1).write.parquet(s"$out/f1")
+      val file = graft.sources.CompactionRunner.listParquet(s"$out/f1").head
+      val (cC, _) = post(port, "/v1/namespaces/demo_db/tables/events",
+        s"""{"requirements":[{"type":"assert-ref-snapshot-id","ref":"main","snapshot-id":1}],
+           |"updates":[{"action":"add-data-files","data-files":[
+           |{"file-path":"$file","file-format":"parquet"}]}]}""".stripMargin)
+      assert(cC == 200)
+      val (cL, loaded) = get(port, "/v1/namespaces/demo_db/tables/events")
+      assert(cL == 200, loaded)
+      assert(cat.scanTable(spark, "demo_db/events").count() == 2)
+      val (_, tList) = get(port, "/v1/namespaces/demo_db/tables")
+      assert(tList.contains("\"events\"") &&
+        tList.contains("\"namespace\":[\"demo_db\"]"), tList)
+      // the default listing does NOT leak namespaced tables
+      val (_, defList) = get(port, "/v1/namespaces/default/tables")
+      assert(!defList.contains("events"), defList)
+      // namespace properties update with the spec's report
+      val (cP, report) = post(port, "/v1/namespaces/demo_db/properties",
+        """{"updates":{"retention":"30d"},"removals":["owner","ghost"]}""")
+      assert(cP == 200 && report.contains("\"updated\":[\"retention\"]") &&
+        report.contains("\"removed\":[\"owner\"]") &&
+        report.contains("\"missing\":[\"ghost\"]"), report)
+      // drop rules: non-empty 409, then bottom-up drops succeed; default undroppable
+      val (cNE, ne) = del("/v1/namespaces/demo_db")
+      assert(cNE == 409 && ne.contains("NamespaceNotEmptyException"), ne)
+      assert(del("/v1/namespaces/demo_db/tables/events")._1 == 204)
+      assert(del(s"/v1/namespaces/demo_db%1Fcurated")._1 == 204)
+      assert(del("/v1/namespaces/demo_db")._1 == 204)
+      assert(del("/v1/namespaces/default")._1 == 400)
+      val (cGone, _) = get(port, "/v1/namespaces/demo_db")
+      assert(cGone == 404)
     } finally server.close()
   }
 }
