@@ -217,11 +217,27 @@ object GraftTableFunctions {
     GraftMaintenancePlan(root, table, MaintenanceOp.RemoveOrphans(grace))
   }
 
+  /** `SELECT * FROM graft_rewrite_eq_deletes('root','t')` — equality→
+    * position delete conversion ([[GraftCatalog.rewriteEqDeletes]], the
+    * `CALL rewrite_position_delete_files` sibling for eq-delete debt):
+    * one row with the committed snapshot and retired/added file counts,
+    * executed when the query runs.
+    */
+  private def graftRewriteEqDeletes(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 2,
+      s"graft_rewrite_eq_deletes takes (root, table), got ${args.length} arguments")
+    val root = strLit(args(0), "graft_rewrite_eq_deletes", 1)
+    val table = strLit(args(1), "graft_rewrite_eq_deletes", 2)
+    requireTable(new GraftCatalog(root), table, "graft_rewrite_eq_deletes")
+    GraftMaintenancePlan(root, table, MaintenanceOp.RewriteEqDeletes)
+  }
+
   private val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =
     Seq("graft_table" -> (graftTable _), "graft_meta" -> (graftMeta _),
       "graft_changes" -> (graftChanges _), "graft_compact" -> (graftCompact _),
       "graft_expire" -> (graftExpire _), "graft_rollback" -> (graftRollback _),
       "graft_remove_orphans" -> (graftRemoveOrphans _),
+      "graft_rewrite_eq_deletes" -> (graftRewriteEqDeletes _),
       "graft_tables" -> (graftTables _))
 
   private[graft] def injectInto(

@@ -472,9 +472,45 @@ object MorQueries {
          |      WHERE content <> 'data') m""".stripMargin)
   }
 
+  /** Q143: equality→position delete conversion end-to-end through the SQL
+    * maintenance surface — eq-delete debt lands via `deleteWhereEq` (the
+    * streaming-upsert delete shape), `graft_rewrite_eq_deletes` converts
+    * it to position deletes WITHOUT touching data files, and the final
+    * SELECT proves the composed state from SQL alone: the scan result is
+    * unchanged (the oracle states the eq-delete view directly), zero
+    * eq-delete files remain, and exactly one converted pos-delete file
+    * exists (targetFiles=1 is the TVF's layout invariant).
+    */
+  private def q143(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q143").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    val keys = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") <= 60000 && col("l_orderkey") % 321 === 0)
+      .select(col("l_orderkey")).distinct()
+    cat.deleteWhereEq(spark, "lineitem", keys, s"$root/d")
+    spark.sql(
+      s"SELECT snapshot_id FROM graft_rewrite_eq_deletes('$root/cat','lineitem')")
+      .head()
+    spark.sql(
+      s"""SELECT agg.l_returnflag, agg.n, agg.sum_qty,
+         |       m.n_eq_files, m.n_pos_files
+         |FROM (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |      FROM graft_table('$root/cat', 'lineitem')
+         |      GROUP BY l_returnflag) agg
+         |CROSS JOIN
+         |     (SELECT CAST(sum(CASE WHEN content = 'eqdel' THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS n_eq_files,
+         |             CAST(sum(CASE WHEN content = 'posdel' THEN 1 ELSE 0 END) AS BIGINT)
+         |               AS n_pos_files
+         |      FROM graft_meta('$root/cat', 'lineitem', 'files')) m""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_time_travel" -> (q128 _),
     "q138_sql_maintenance" -> (q138 _),
+    "q143_rewrite_eq_deletes" -> (q143 _),
     "q130_eq_point_delete" -> (q130 _),
     "q136_sql_dml" -> (q136 _),
     "q137_sql_tvf" -> (q137 _),
@@ -519,6 +555,14 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q143_rewrite_eq_deletes" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       CAST(0 AS BIGINT) AS n_eq_files,
+        |       CAST(1 AS BIGINT) AS n_pos_files
+        |FROM lineitem
+        |WHERE l_orderkey <= 60000 AND l_orderkey % 321 <> 0
+        |GROUP BY 1""".stripMargin,
     "q138_sql_maintenance" ->
       """SELECT
         |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem

@@ -81,6 +81,16 @@ object MaintenanceOp {
     override def outputNames: Seq[String] = Seq("orphan_path")
     override def outputTypes: Seq[DataType] = Seq(StringType)
   }
+
+  /** `graft_rewrite_eq_deletes`: equality-delete → position-delete
+    * conversion ([[GraftCatalog.rewriteEqDeletes]]) — the cheap
+    * maintenance step that bounds MoR read amplification between full
+    * compactions. Row: the committed snapshot + retired/added counts.
+    */
+  case object RewriteEqDeletes extends MaintenanceOp {
+    override def outputNames: Seq[String] =
+      Seq("snapshot_id", "retired_eq_files", "added_pos_files")
+  }
 }
 
 /** Logical leaf: the operation, deferred. All columns are non-null; longs
@@ -188,6 +198,13 @@ object GraftMaintenanceExec {
         cat.expireSnapshots(table, keepLast).map(Seq(_))
       case MaintenanceOp.Rollback(sid) =>
         Seq(Seq(cat.rollbackTo(table, sid)))
+      case MaintenanceOp.RewriteEqDeletes =>
+        val eqBefore = cat.loadEntries(table).count(_.kind == "eqdel").toLong
+        val posBefore = cat.loadEntries(table).count(_.kind == "posdel").toLong
+        val out = s"$root/_data/$table/eqrw-${java.util.UUID.randomUUID()}"
+        val sid = cat.rewriteEqDeletes(spark, table, out)
+        val posAfter = cat.loadEntries(table).count(_.kind == "posdel").toLong
+        Seq(Seq(sid, eqBefore, posAfter - posBefore))
       case MaintenanceOp.RemoveOrphans(graceSeconds) =>
         // candidates = recursive listing of the catalog-managed data
         // location; a driver-side walk over file metadata (Iceberg's

@@ -2959,6 +2959,79 @@ final class GraftCatalog(root: String,
     * [[removeOrphanFiles]]. No-op (current head returned) when the table
     * has fewer than two position-delete files and nothing would shrink.
     */
+  /** Equality-delete → position-delete conversion (Iceberg's
+    * `rewrite_position_delete_files` sibling for eq-deletes, the
+    * `convert-equality-deletes` maintenance step): ONE scan of the
+    * affected data files finds every row each eq-delete group would
+    * suppress (same equi keys + `data.seq < delete.seq` guard the MoR read
+    * applies, [[graft.operators.MorPlanner.applyEqualityDeletes]]), emits
+    * those rows' (file_path, pos) pairs as position-delete files at the
+    * eq-deletes' max sequence, and retires the eq-delete entries — data
+    * files untouched.
+    *
+    * Why it matters at scale: every MoR read pays the eq-delete join
+    * against EVERY older data row until a full compaction retires the
+    * deletes; this conversion is the cheap intermediate step (scan the
+    * affected files once, write a few KB of pos-deletes) that bounds read
+    * amplification between compactions — pos-delete application is a
+    * (file_path, pos) hash anti join with a broadcastable build side.
+    * Exactness: pos-deletes apply seq-independently, and only rows with
+    * `seq < eqSeq` can match, so data appended after the eq-delete commit
+    * is untouched before AND after; the scan-visible row set is identical.
+    */
+  def rewriteEqDeletes(
+      spark: SparkSession,
+      table: String,
+      outDir: String,
+      targetFiles: Int = 1): Long = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.MorPlanner
+    val entries = loadEntries(table)
+    val eqs = entries.filter(_.kind == "eqdel")
+    if (eqs.isEmpty) return currentSnapshotId(table)
+    val maxEqSeq = eqs.map(_.seqNum).max
+    val affected = entries.filter(e => e.kind == "data" && e.seqNum < maxEqSeq)
+    if (affected.isEmpty)
+      // nothing the deletes can hit — retire them outright
+      return withTableLock(table) {
+        commitRewriteLocked(table, Nil, eqs.map(_.path))
+      }
+    val schema = currentSchema(table)
+    val scan = CompactionRunner.scanWithHiddenCols(spark,
+      affected.map(e => DataFileTask(e.path, e.seqNum, e.format)), schema)
+    val groups = CompactionRunner.readEqualityDeletes(spark,
+      eqs.map(e => EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)), schema)
+    // rows ANY group suppresses — per-group semi join with that group's
+    // own seq guard (groups at different sequences hit different file
+    // subsets); the union dedups to one (file_path, pos) set. The delete
+    // side is driver-small by MoR construction and broadcasts under AQE.
+    val doomed = groups.map { g =>
+      val d = scan.as("graft_rw_d")
+      val del = g.df.as("graft_rw_del")
+      val equi = g.equalityCols
+        .map(c => col(s"graft_rw_d.$c") === col(s"graft_rw_del.$c"))
+        .reduce(_ && _)
+      val cond = equi && (col(s"graft_rw_d.${MorPlanner.SeqNumCol}") <
+        col(s"graft_rw_del.${MorPlanner.SeqNumCol}"))
+      d.join(del, cond, "left_semi")
+        .select(col(MorPlanner.FilePathCol).as("file_path"),
+          col(MorPlanner.PosCol).as("pos"))
+    }.reduce(_ unionAll _).distinct()
+    val token = java.util.UUID.randomUUID().toString
+    val dir = s"$outDir/eqdel-rewrite-$token"
+    doomed.coalesce(math.max(targetFiles, 1))
+      .write.mode("errorifexists").parquet(dir)
+    val written = CompactionRunner.listParquet(dir)
+    // an all-miss delete set writes an empty file; commit no entry for it
+    val nonEmpty = written.filter(p =>
+      spark.read.parquet(p).limit(1).count() > 0)
+    withTableLock(table) {
+      commitRewriteLocked(table,
+        nonEmpty.map(p => TableEntry("posdel", p, maxEqSeq, "parquet", Nil)),
+        eqs.map(_.path))
+    }
+  }
+
   def compactDeleteFiles(
       spark: SparkSession,
       table: String,

@@ -101,4 +101,65 @@ class DeleteFileCompactionSpec extends SparkSpec {
     assert(cat.compactDeleteFiles(spark, "t", s"$base/out") == h1,
       "one delete file at targetFiles=1: nothing would shrink")
   }
+
+  test("rewriteEqDeletes: eq entries become pos-deletes, scan identical, seq guard exact") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-eqrw-base").toString
+    val f0 = writeParquet((1L to 50L).map(k => (k, s"v$k")), s"$base/b0")
+    cat.createTable("t", f0.map(DataFileTask(_, 1L)))
+    // eq-delete keys 5, 6, 7 at seq 2
+    cat.deleteWhereEq(spark, "t", Seq(5L, 6L, 7L).toDF("k"), s"$base/d1")
+    // APPEND key 5 back at seq 3 — newer than the delete, must survive
+    // the conversion exactly as it survives the MoR read (seq guard)
+    cat.appendFiles(spark, "t", Seq((5L, "reborn")).toDF("k", "v"), s"$base/a1")
+    // a second eq-delete at seq 4 for keys 40, 41
+    cat.deleteWhereEq(spark, "t", Seq(40L, 41L).toDF("k"), s"$base/d2")
+    val expect = keys(cat, "t")
+    assert(expect.contains(5L) && !expect.contains(6L) && !expect.contains(40L),
+      s"fixture sanity: $expect")
+    val before = cat.loadEntries("t")
+    assert(before.count(_.kind == "eqdel") == 2)
+    val dataBefore = before.filter(_.kind == "data").map(_.path).toSet
+    val headBefore = cat.currentSnapshotId("t")
+
+    val next = cat.rewriteEqDeletes(spark, "t", s"$base/out")
+    assert(next == headBefore + 1)
+    val after = cat.loadEntries("t")
+    assert(after.count(_.kind == "eqdel") == 0, "eq-delete entries must retire")
+    assert(after.count(_.kind == "posdel") >= 1, "converted pos-deletes must land")
+    assert(after.filter(_.kind == "data").map(_.path).toSet == dataBefore,
+      "data files untouched")
+    assert(keys(cat, "t") == expect, "conversion changed scan answers")
+    // the re-appended key 5 still reads: its row was NOT pos-deleted
+    assert(cat.scanTable(spark, "t").filter(col("k") === 5L).count() == 1)
+    // time travel to the pre-conversion snapshot still applies eq semantics
+    assert(cat.scanTableAt(spark, "t", headBefore)
+      .select("k").as[Long].collect().toSeq.sorted == expect)
+    // converted pos-deletes then merge through the ordinary pos-delete
+    // compaction path (the two maintenance steps compose)
+    cat.deleteWhere(spark, "t", col("k") === 20L, s"$base/d3")
+    val expect2 = keys(cat, "t")
+    cat.compactDeleteFiles(spark, "t", s"$base/out2")
+    assert(cat.loadEntries("t").count(_.kind == "posdel") == 1)
+    assert(keys(cat, "t") == expect2)
+  }
+
+  test("rewriteEqDeletes no-ops without eq debt; retires all-miss deletes without pos files") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-eqrw-miss").toString
+    val f0 = writeParquet((1L to 10L).map(k => (k, s"v$k")), s"$base/b0")
+    cat.createTable("t", f0.map(DataFileTask(_, 1L)))
+    val h0 = cat.currentSnapshotId("t")
+    assert(cat.rewriteEqDeletes(spark, "t", s"$base/out") == h0,
+      "no eq-deletes: head unchanged, no commit")
+    // an eq-delete that hits NOTHING retires without writing pos entries
+    cat.deleteWhereEq(spark, "t", Seq(999L).toDF("k"), s"$base/d1")
+    val expect = keys(cat, "t")
+    cat.rewriteEqDeletes(spark, "t", s"$base/out")
+    val after = cat.loadEntries("t")
+    assert(after.count(_.kind == "eqdel") == 0)
+    assert(after.count(_.kind == "posdel") == 0,
+      s"all-miss delete must not leave an empty pos file entry: $after")
+    assert(keys(cat, "t") == expect)
+  }
 }
