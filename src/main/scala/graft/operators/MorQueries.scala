@@ -380,17 +380,27 @@ object MorQueries {
     * effect (delete → update → merge with ordered matched actions) as
     * nested CASE/filter SQL; physical file layout cancels out.
     */
+  /** Q136: SQL DML through the DSv2 catalog doorway
+    * ([[graft.sources.dsv2.GraftSparkCatalog]]) — DELETE, UPDATE, and
+    * MERGE on a `catalog.table` identifier planned by Spark's NATIVE
+    * row-level-operation rules (no injected analyzer rules in the path;
+    * the extensions' TVF-DML surface keeps its own unit coverage in
+    * SqlDmlSpec). Each statement is a copy-on-write ReplaceData commit;
+    * the final read proves the composed state. The catalog name is
+    * per-invocation: catalog plugin instances are cached by name, so a
+    * reused name would pin the FIRST run's temp root.
+    */
   private def q136(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q136").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
     cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
-    spark.read.format("graft")
-      .option("root", s"$root/cat").option("table", "lineitem")
-      .load().createOrReplaceTempView("q136_t")
+    val g = s"g136_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", s"$root/cat")
     spark.sql(
-      "DELETE FROM q136_t WHERE l_returnflag = 'A' AND l_quantity < 25")
+      s"DELETE FROM $g.lineitem WHERE l_returnflag = 'A' AND l_quantity < 25")
     spark.sql(
-      "UPDATE q136_t SET l_quantity = l_quantity + 100 WHERE l_returnflag = 'R'")
+      s"UPDATE $g.lineitem SET l_quantity = l_quantity + 100 WHERE l_returnflag = 'R'")
     // distinct: the synthetic lineitem repeats (orderkey, linenumber), and
     // SQL MERGE requires at most one source row per target key
     spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -399,7 +409,7 @@ object MorQueries {
       .distinct()
       .createOrReplaceTempView("q136_src")
     spark.sql(
-      """MERGE INTO q136_t t USING q136_src s
+      s"""MERGE INTO $g.lineitem t USING q136_src s
         |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
         |WHEN MATCHED AND t.l_quantity > 120 THEN DELETE
         |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + 7""".stripMargin)
@@ -409,12 +419,15 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
-  /** Q137: SQL-string time travel through the table-valued function
-    * ([[graft.functions.GraftTableFunctions]]) — both the current MoR
-    * state and a tagged pre-delete version addressed in ONE SQL statement,
-    * `FROM graft_table(root, t [, tag])`, with no view registration and no
-    * graft imports between the tag commit and the read. The sibling of
-    * q128 (API time travel): same oracle shape, different doorway.
+  /** Q137: SQL-string time travel through the DSv2 catalog — the current
+    * MoR state and a tagged pre-delete version addressed in ONE SQL
+    * statement, `FROM catalog.table [VERSION AS OF tag]`, resolved by the
+    * engine's native time-travel analysis
+    * ([[graft.sources.dsv2.GraftSparkCatalog]]`.loadTable(ident, version)`),
+    * with no view registration and no graft imports between the tag
+    * commit and the read. The sibling of q128 (API time travel): same
+    * oracle shape, the ecosystem's doorway. (The TVF spelling
+    * `graft_table(root, t, tag)` remains covered by SqlTimeTravelSpec.)
     */
   private def q137(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q137").toString
@@ -422,15 +435,18 @@ object MorQueries {
     cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
     cat.tagSnapshot("lineitem", "pre", cat.currentSnapshotId("lineitem"))
     cat.deleteWhere(spark, "lineitem", col("l_linestatus") === "F", s"$root/out")
+    val g = s"g137_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", s"$root/cat")
     spark.sql(
       s"""SELECT now.n_now, now.sum_now, was.n_was, was.sum_was
          |FROM (SELECT CAST(count(*) AS BIGINT) AS n_now,
          |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_now
-         |      FROM graft_table('$root/cat', 'lineitem')) now
+         |      FROM $g.lineitem) now
          |CROSS JOIN
          |     (SELECT CAST(count(*) AS BIGINT) AS n_was,
          |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_was
-         |      FROM graft_table('$root/cat', 'lineitem', 'pre')) was""".stripMargin)
+         |      FROM $g.lineitem VERSION AS OF 'pre') was""".stripMargin)
   }
 
   /** Q138: SQL-addressable table MAINTENANCE end-to-end — the lifecycle a
@@ -507,10 +523,38 @@ object MorQueries {
          |      FROM graft_meta('$root/cat', 'lineitem', 'files')) m""".stripMargin)
   }
 
+  /** Q144: the DSv2 doorway END-TO-END from bare SQL — CREATE NAMESPACE,
+    * CREATE TABLE (schema stamped with fresh field ids), INSERT INTO
+    * (native parquet BatchWrite, one append commit), DELETE (native
+    * copy-on-write ReplaceData), SELECT — all on `catalog.ns.table`
+    * identifiers with zero graft API calls after the conf. This is the
+    * "a user of the reference could switch" gate: the exact statement
+    * sequence an Iceberg-Spark deployment runs on day one.
+    */
+  private def q144(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q144").toString
+    val g = s"g144_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE NAMESPACE $g.demo_db")
+    spark.sql(
+      s"""CREATE TABLE $g.demo_db.nation
+         |(n_nationkey INT, n_name STRING, n_regionkey INT)""".stripMargin)
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .createOrReplaceTempView("q144_src")
+    spark.sql(
+      s"""INSERT INTO $g.demo_db.nation
+         |SELECT n_nationkey, n_name, n_regionkey FROM q144_src""".stripMargin)
+    spark.sql(s"DELETE FROM $g.demo_db.nation WHERE n_regionkey = 2")
+    spark.sql(
+      s"SELECT n_nationkey, n_name, n_regionkey FROM $g.demo_db.nation")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_time_travel" -> (q128 _),
     "q138_sql_maintenance" -> (q138 _),
     "q143_rewrite_eq_deletes" -> (q143 _),
+    "q144_dsv2_catalog" -> (q144 _),
     "q130_eq_point_delete" -> (q130 _),
     "q136_sql_dml" -> (q136 _),
     "q137_sql_tvf" -> (q137 _),
@@ -555,6 +599,9 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q144_dsv2_catalog" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <> 2""".stripMargin,
     "q143_rewrite_eq_deletes" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

@@ -2266,6 +2266,28 @@ final class GraftCatalog(root: String,
       files: Seq[GraftCatalog.AddedFile]): Long =
     commitAppendFiles(table, Some(expectedHead), files)
 
+  /** Copy-on-write REPLACEMENT commit: retire every entry (data + delete
+    * files) of the snapshot the caller read, land `files` as the new data
+    * file set — the commit shape of a DSv2 `ReplaceData` (row-level
+    * DELETE/UPDATE/MERGE in copy-on-write mode) and of TRUNCATE (empty
+    * `files`). The base is asserted UNDER the table lock: a concurrent
+    * commit between the caller's scan and this replace throws the
+    * retryable conflict instead of having its rows silently dropped by a
+    * replacement that never read them.
+    */
+  def commitReplaceAt(
+      table: String,
+      expectedHead: Long,
+      files: Seq[GraftCatalog.AddedFile]): Long = withTableLock(table) {
+    assertBaseLocked(table, Some(expectedHead))
+    val entries = loadEntries(table)
+    val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+    val added = files.map(f => TableEntry("data",
+      CompactionRunner.canonPath(f.path), seq, f.format, Nil,
+      recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+    commitRewriteLocked(table, added, entries.map(_.path))
+  }
+
   /** [[commitAppendAt]] WITHOUT a base assertion — the commit shape for a
     * caller that asserted nothing (Iceberg-REST: an empty `requirements`
     * list means no validation): the append lands at whatever head holds

@@ -1,0 +1,147 @@
+package graft.sources.dsv2
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.execution.datasources.OutputWriterFactory
+import org.apache.spark.sql.graftbridge.ParquetWriteBridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.GraftCatalog
+
+/** Distributed parquet write for the DSv2 doorway: each task streams its
+  * rows through Spark's own parquet `OutputWriter` (identical bytes to
+  * `df.write.parquet`) into a fresh generation directory under the
+  * catalog-managed data location; the driver-side [[commit]] lands every
+  * non-empty file in ONE catalog commit.
+  *
+  *  - `replaceAt = None`: append (AppendData / INSERT INTO) —
+  *    [[GraftCatalog.commitAppend]].
+  *  - `replaceAt = Some(base)`: copy-on-write replacement (ReplaceData
+  *    from DELETE/UPDATE/MERGE) — [[GraftCatalog.commitReplaceAt]]
+  *    retires EVERY entry of the pinned base snapshot (the scan read all
+  *    of them) and asserts the base under the table lock, so a
+  *    concurrent commit conflicts instead of losing rows.
+  *
+  * Scale shape: writers are per-task (no driver data path), file count =
+  * task count (AQE coalescing upstream controls it), and the commit is
+  * O(files) driver metadata — the same contract every other catalog
+  * commit has.
+  */
+final class GraftBatchWrite(
+    root: String,
+    table: String,
+    schema: StructType,
+    replaceAt: Option[Long])
+    extends BatchWrite {
+
+  private val dir =
+    s"$root/_data/$table/v2-${java.util.UUID.randomUUID()}"
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    Files.createDirectories(Paths.get(dir))
+    val (factory, conf) = ParquetWriteBridge.prepare(
+      spark, schema, ParquetWriteBridge.hadoopConfOf(spark))
+    GraftDataWriterFactory(dir, schema, factory, conf)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftFileCommit(path, rows, bytes) =>
+        GraftCatalog.AddedFile(path, "parquet", rows, bytes)
+    }
+    val cat = new GraftCatalog(root)
+    replaceAt match {
+      case Some(base) => cat.commitReplaceAt(table, base, files)
+      case None => if (files.nonEmpty) cat.commitAppend(table, files)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    messages.foreach {
+      case GraftFileCommit(path, _, _) =>
+        Files.deleteIfExists(Paths.get(path.stripPrefix("file:")))
+      case _ => ()
+    }
+  }
+}
+
+/** One parquet file per committed task; empty tasks commit no file. */
+final case class GraftDataWriterFactory(
+    dir: String,
+    schema: StructType,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration)
+    extends DataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(dir, schema, factory, conf, partitionId, taskId)
+}
+
+final class GraftDataWriter(
+    dir: String,
+    schema: StructType,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration,
+    partitionId: Int,
+    taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val path =
+    f"$dir/part-$partitionId%05d-$taskId.parquet"
+  private lazy val writer =
+    ParquetWriteBridge.newWriter(factory, conf, schema, path, partitionId, taskId)
+  private var rows = 0L
+
+  /** Strips the leading `__row_operation` marker Spark 4's group-based
+    * `ReplaceData` prepends to every written row (the plain
+    * `DataWritingSparkTask` hands rows through UNPROJECTED when the
+    * operation declares no metadata attributes — the marker is field 0,
+    * the data columns follow in write-schema order).
+    */
+  private lazy val stripMarker =
+    org.apache.spark.sql.catalyst.expressions.UnsafeProjection.create(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        org.apache.spark.sql.catalyst.expressions.BoundReference(
+          i + 1, f.dataType, f.nullable): org.apache.spark.sql.catalyst.expressions.Expression
+      }.toIndexedSeq)
+
+  override def write(record: InternalRow): Unit = {
+    val row =
+      if (record.numFields == schema.length) record
+      else {
+        require(record.numFields == schema.length + 1,
+          s"row width ${record.numFields} matches neither the write schema " +
+            s"(${schema.length}) nor schema+operation-marker (${schema.length + 1})")
+        stripMarker(record)
+      }
+    writer.write(row)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (rows == 0) GraftEmptyCommit // never opened (lazy) — nothing on disk
+    else {
+      writer.close()
+      GraftFileCommit(path, rows,
+        Files.size(Paths.get(path.stripPrefix("file:"))))
+    }
+  }
+
+  override def abort(): Unit = {
+    if (rows > 0) writer.close()
+    Files.deleteIfExists(Paths.get(path.stripPrefix("file:")))
+  }
+
+  override def close(): Unit = ()
+}
+
+final case class GraftFileCommit(path: String, rows: Long, bytes: Long)
+    extends WriterCommitMessage
+case object GraftEmptyCommit extends WriterCommitMessage

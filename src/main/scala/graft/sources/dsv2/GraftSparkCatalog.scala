@@ -1,0 +1,241 @@
+package graft.sources.dsv2
+
+import java.util
+
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{FieldIds, GraftCatalog}
+
+import scala.jdk.CollectionConverters._
+
+/** Spark DSv2 `TableCatalog` over [[GraftCatalog]] — the doorway the
+  * Iceberg-Spark ecosystem itself uses to mount tables
+  * (`spark.sql.catalog.<name>`; the reference deploys into exactly this
+  * shape, `core/src/compaction/mod.rs:183-202`):
+  *
+  * {{{
+  * spark.conf.set("spark.sql.catalog.graft", "graft.sources.dsv2.GraftSparkCatalog")
+  * spark.conf.set("spark.sql.catalog.graft.root", "/path/to/catalog")
+  * spark.sql("SELECT * FROM graft.demo_db.events")
+  * spark.sql("DELETE FROM graft.demo_db.events WHERE k = 1")
+  * }}}
+  *
+  * Identifiers map onto the catalog's names: `graft.t` is the flat root
+  * (the implicit `default` namespace), `graft.ns.t` is the namespaced
+  * table `ns/t`. SELECT plans through a [[GraftV2Table]] scan; INSERT
+  * appends through a native parquet `BatchWrite`; DELETE/UPDATE/MERGE go
+  * through Spark's OWN row-level-operation planning
+  * (`RewriteDeleteFromTable` / `RewriteUpdateTable` /
+  * `RewriteMergeIntoTable` — core analyzer rules, NO session extensions
+  * required) against [[GraftV2Table]]'s copy-on-write
+  * `SupportsRowLevelOperations` implementation. `VERSION AS OF` time
+  * travel resolves snapshot ids and tags via `loadTable(ident, version)`.
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: String = _
+
+  private[dsv2] def cat = new GraftCatalog(root)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    root = options.get("root")
+    require(root != null && root.nonEmpty,
+      s"catalog '$name' requires spark.sql.catalog.$name.root=<catalog dir>")
+  }
+
+  override def name(): String = catalogName
+
+  /** Spark identifier → catalog table name (`ns/t`). An empty or
+    * `default` namespace addresses the flat root.
+    */
+  private def toName(ident: Identifier): String = {
+    val ns = ident.namespace.toSeq
+    if (ns.isEmpty || ns == Seq("default")) ident.name
+    else (ns :+ ident.name).mkString("/")
+  }
+
+  private def isRootNs(ns: Array[String]): Boolean =
+    ns.isEmpty || ns.toSeq == Seq("default")
+
+  private def requireNs(ns: Array[String]): Unit =
+    if (!isRootNs(ns) && !cat.namespaceExists(ns.mkString("/")))
+      throw new NoSuchNamespaceException(ns)
+
+  // ---- tables ------------------------------------------------------------
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    requireNs(ns)
+    val prefix = if (isRootNs(ns)) "" else ns.mkString("/") + "/"
+    cat.tables()
+      .filter(t => t.startsWith(prefix) && !t.drop(prefix.length).contains("/"))
+      .map(t => Identifier.of(ns, t.drop(prefix.length)))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    cat.tables().contains(toName(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val t = toName(ident)
+    if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
+    new GraftV2Table(root, t, asOf = None)
+  }
+
+  /** `VERSION AS OF` — a snapshot id, or a tag name. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = toName(ident)
+    if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
+    val sid = version.toLongOption
+      .orElse(cat.tags(t).get(version))
+      .getOrElse(throw new IllegalArgumentException(
+        s"version '$version' of $t is neither a snapshot id nor a tag " +
+          s"(tags: ${cat.tags(t).keys.toSeq.sorted.mkString(", ")})"))
+    require(cat.snapshotIds(t).contains(sid),
+      s"snapshot $sid of $t does not exist (expired or never committed)")
+    new GraftV2Table(root, t, asOf = Some(sid))
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "graft v2 tables use the catalog's hidden partition specs " +
+          "(GraftCatalog.setPartitionSpec), not CREATE TABLE PARTITIONED BY")
+    val t = toName(ident)
+    requireNs(ident.namespace)
+    if (cat.tables().contains(t)) throw new TableAlreadyExistsException(ident)
+    // field ids are the catalog's column identity; a DSv2 CREATE has none,
+    // so stamp fresh sequential ids exactly like the library's create path
+    try cat.createTable(t, Nil, Some(FieldIds.stamp(schema)))
+    catch { case e: IllegalArgumentException
+        if Option(e.getMessage).exists(_.contains("already exists")) =>
+      throw new TableAlreadyExistsException(ident)
+    }
+    val user = properties.asScala.toMap -- GraftSparkCatalog.ReservedProps
+    if (user.nonEmpty) cat.updateTableProperties(t, user)
+    new GraftV2Table(root, t, asOf = None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val t = toName(ident)
+    if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }.toMap
+    val removes = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }.toSet
+    val unsupported = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])
+    if (unsupported.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE changes for graft: ${unsupported.mkString(", ")} " +
+          "(schema evolution goes through the catalog's field-id-checked " +
+          "evolveSchema — GraftCatalog.evolveSchema)")
+    if (sets.nonEmpty || removes.nonEmpty)
+      cat.updateTableProperties(t, sets, removes)
+    new GraftV2Table(root, t, asOf = None)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val t = toName(ident)
+    if (!cat.tables().contains(t)) false
+    else { cat.dropTable(t); true }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    requireNs(to.namespace)
+    cat.renameTable(toName(from), toName(to))
+  }
+
+  // ---- namespaces --------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] =
+    Array(Array("default")) ++
+      cat.namespaces().filterNot(_.contains("/")).map(n => Array(n))
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    if (isRootNs(ns)) return Array.empty // `default` has no children
+    requireNs(ns)
+    val prefix = ns.mkString("/") + "/"
+    cat.namespaces()
+      .filter(n => n.startsWith(prefix) && !n.drop(prefix.length).contains("/"))
+      .map(_.split('/')).toArray
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    isRootNs(ns) || cat.namespaceExists(ns.mkString("/"))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (isRootNs(ns)) return Map.empty[String, String].asJava
+    requireNs(ns)
+    cat.namespaceProperties(ns.mkString("/")).asJava
+  }
+
+  override def createNamespace(
+      ns: Array[String], metadata: util.Map[String, String]): Unit = {
+    if (isRootNs(ns))
+      throw new NamespaceAlreadyExistsException(ns)
+    try cat.createNamespace(ns.mkString("/"), metadata.asScala.toMap)
+    catch {
+      case e: IllegalArgumentException
+          if Option(e.getMessage).exists(_.contains("already exists")) =>
+        throw new NamespaceAlreadyExistsException(ns)
+    }
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit = {
+    requireNs(ns)
+    if (isRootNs(ns))
+      throw new UnsupportedOperationException(
+        "the implicit 'default' namespace carries no properties")
+    val sets = changes.collect {
+      case s: NamespaceChange.SetProperty => s.property -> s.value
+    }.toMap
+    val removes = changes.collect {
+      case r: NamespaceChange.RemoveProperty => r.property
+    }.toSet
+    cat.updateNamespaceProperties(ns.mkString("/"), sets, removes)
+  }
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (isRootNs(ns))
+      throw new UnsupportedOperationException(
+        "the implicit 'default' namespace cannot be dropped")
+    if (!cat.namespaceExists(ns.mkString("/"))) return false
+    val name = ns.mkString("/")
+    if (cascade) {
+      // bottom-up: tables first, then child namespaces deepest-first
+      cat.tables().filter(_.startsWith(name + "/")).foreach(cat.dropTable)
+      cat.namespaces().filter(_.startsWith(name + "/"))
+        .sortBy(-_.count(_ == '/')).foreach(cat.dropNamespace)
+    }
+    try { cat.dropNamespace(name); true }
+    catch { case e: IllegalArgumentException =>
+      throw new NonEmptyNamespaceException(ns)
+    }
+  }
+}
+
+object GraftSparkCatalog {
+  /** DSv2 engine-managed properties that must not leak into the catalog's
+    * user property map.
+    */
+  private val ReservedProps: Set[String] = Set(
+    TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+    TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
+    TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
+    TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+}

@@ -1,0 +1,308 @@
+package graft.sources.dsv2
+
+import java.util
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.{FieldIds, GraftCatalog}
+
+import scala.jdk.CollectionConverters._
+
+/** DSv2 `Table` over one [[GraftCatalog]] table.
+  *
+  * READ: a [[V1Scan]] whose relation materializes the catalog's full MoR
+  * read (`GraftCatalog.scanTable` — pos/eq delete anti joins, field-id
+  * schema resolution, stats pruning all included) as an `RDD[Row]` — the
+  * migration doorway Spark's own JDBC V2 source uses. Column pruning is
+  * pushed into the inner plan (so the parquet scan reads only the
+  * projected columns); translated filters are pushed too but ALWAYS
+  * reported residual, so Spark re-applies them post-scan — pushdown is a
+  * pure IO reduction, never a correctness dependency.
+  *
+  * WRITE: a native parquet `BatchWrite` ([[GraftBatchWrite]]) — each task
+  * writes through Spark's own `OutputWriterFactory`
+  * ([[org.apache.spark.sql.graftbridge.ParquetWriteBridge]]), the driver
+  * commit lands the files atomically via the catalog's locked commit.
+  *
+  * DML: [[SupportsRowLevelOperations]] in COPY_ON_WRITE mode — Spark's
+  * core `RewriteDeleteFromTable`/`RewriteUpdateTable`/
+  * `RewriteMergeIntoTable` rules plan `ReplaceData` over this table with
+  * no session extensions; the replacement write commits against the
+  * snapshot pinned at operation creation (stale base → conflict, the
+  * same optimistic contract every other commit path has).
+  */
+final class GraftV2Table(
+    root: String,
+    tableName: String,
+    asOf: Option[Long])
+    extends Table
+    with SupportsRead
+    with SupportsWrite
+    with SupportsRowLevelOperations
+    with TruncatableTable {
+
+  private def cat = new GraftCatalog(root)
+  private def spark = SparkSession.active
+
+  override def name(): String = tableName
+
+  override lazy val schema: StructType = asOf match {
+    case Some(sid) => cat.scanTableAt(spark, tableName, sid).schema
+    case None => cat.currentSchema(tableName)
+      .getOrElse(cat.scanTable(spark, tableName).schema)
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def properties(): util.Map[String, String] =
+    cat.tableProperties(tableName).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, tableName, asOf, FieldIds.stripIds(schema))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftBatchWrite(root, tableName, info.schema(), replaceAt = None)
+      }
+    }
+  }
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    require(asOf.isEmpty, s"cannot modify $tableName at a pinned snapshot")
+    () => new GraftRowLevelOperation(root, tableName, info.command())
+  }
+
+  override def truncateTable(): Boolean = {
+    cat.commitReplaceAt(tableName, cat.currentSnapshotId(tableName), Nil)
+    true
+  }
+}
+
+/** Column pruning + best-effort filter pushdown into the inner MoR plan.
+  *
+  * `rowLevel = true` (the scan behind a copy-on-write ReplaceData) REFUSES
+  * filter pushdown entirely: there, Spark pushes the DML condition so the
+  * source can prune GROUPS (files) — a source that applies it to ROWS
+  * drops exactly the keep-set the rewrite must write back (a DELETE would
+  * silently erase the whole table's non-matching rows). This scan has no
+  * file-granularity pruning hook, so it takes no filters and reads every
+  * group; correctness first, group pruning is a later optimization.
+  */
+final class GraftScanBuilder(
+    root: String,
+    table: String,
+    asOf: Option[Long],
+    tableSchema: StructType,
+    rowLevel: Boolean = false)
+    extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = tableSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!rowLevel)
+      pushed = filters.filter(f => V1FilterColumns.toColumn(f).isDefined)
+    // EVERYTHING stays residual: the pushed copies shrink the inner scan's
+    // IO (parquet row-group skipping through the MoR plan), Spark's
+    // post-scan Filter keeps correctness independent of the translation
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GraftV1Scan(root, table, asOf, required, pushed)
+}
+
+final class GraftV1Scan(
+    root: String,
+    table: String,
+    asOf: Option[Long],
+    required: StructType,
+    filters: Array[Filter])
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftV1Relation(context, root, table, asOf, required, filters)
+      .asInstanceOf[T]
+
+  /** The row-level-operation rewrite plans (`ReplaceData` from
+    * DELETE/UPDATE/MERGE) consume the scan through `BatchScanExec`
+    * directly — the V1 wrapper applies only on the plain read path. Serve
+    * that shape by executing the inner MoR query into its final-stage
+    * `RDD[InternalRow]` (AQE/broadcast stages materialize here, driver
+    * side, exactly as they would under an action) and exposing its
+    * partitions: shuffle outputs and broadcasts registered by those
+    * stages are readable from ANY later task, so each `InputPartition`
+    * just iterates its slice.
+    */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    val spark = SparkSession.active
+    val cat = new GraftCatalog(root)
+    val base = asOf.fold(cat.scanTable(spark, table))(
+      sid => cat.scanTableAt(spark, table, sid))
+    val filtered = filters.flatMap(V1FilterColumns.toColumn)
+      .foldLeft(base)(_.filter(_))
+    val projected =
+      filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    val rdd = org.apache.spark.sql.graftbridge.DatasetBridge
+      .internalRowRdd(projected)
+    new GraftRddBatch(rdd)
+  }
+
+  override def description(): String =
+    s"GraftScan(table=$table${asOf.fold("")(s => s", asOf=$s")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+}
+
+/** Batch over a driver-planned `RDD[InternalRow]`: one input partition
+  * per RDD partition, reader = the RDD's own iterator.
+  */
+final class GraftRddBatch(rdd: RDD[org.apache.spark.sql.catalyst.InternalRow])
+    extends org.apache.spark.sql.connector.read.Batch {
+
+  override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    rdd.partitions.map(p => GraftRddInputPartition(rdd, p))
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftRddReaderFactory
+}
+
+final case class GraftRddInputPartition(
+    rdd: RDD[org.apache.spark.sql.catalyst.InternalRow],
+    partition: org.apache.spark.Partition)
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+final class GraftRddReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def createReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] = {
+    val gp = partition.asInstanceOf[GraftRddInputPartition]
+    val it = gp.rdd.iterator(gp.partition, org.apache.spark.TaskContext.get())
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.catalyst.InternalRow] {
+      private var current: org.apache.spark.sql.catalyst.InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): org.apache.spark.sql.catalyst.InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+final class GraftV1Relation(
+    context: SQLContext,
+    root: String,
+    table: String,
+    asOf: Option[Long],
+    required: StructType,
+    filters: Array[Filter])
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = context
+  override def schema: StructType = required
+
+  override def buildScan(): RDD[Row] = {
+    val spark = context.sparkSession
+    val cat = new GraftCatalog(root)
+    val base = asOf.fold(cat.scanTable(spark, table))(
+      sid => cat.scanTableAt(spark, table, sid))
+    val filtered = filters.flatMap(V1FilterColumns.toColumn)
+      .foldLeft(base)(_.filter(_))
+    // zero-column projections (COUNT(*)) are legal: select() keeps the
+    // row count with an empty schema, matching readSchema()
+    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+  }
+}
+
+/** V1 `sources.Filter` → `Column` for the subset with exact Column
+  * equivalents; anything else simply doesn't push (it stays residual).
+  */
+private[dsv2] object V1FilterColumns {
+  def toColumn(f: Filter): Option[Column] = f match {
+    case sources.EqualTo(a, v) => Some(col(a) === v)
+    case sources.EqualNullSafe(a, v) => Some(col(a) <=> v)
+    case sources.GreaterThan(a, v) => Some(col(a) > v)
+    case sources.GreaterThanOrEqual(a, v) => Some(col(a) >= v)
+    case sources.LessThan(a, v) => Some(col(a) < v)
+    case sources.LessThanOrEqual(a, v) => Some(col(a) <= v)
+    case sources.In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case sources.IsNull(a) => Some(col(a).isNull)
+    case sources.IsNotNull(a) => Some(col(a).isNotNull)
+    case sources.StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case sources.StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case sources.StringContains(a, v) => Some(col(a).contains(v))
+    case sources.And(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case sources.Or(l, r) =>
+      for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case sources.Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}
+
+/** Copy-on-write row-level operation: the snapshot is pinned at CREATION
+  * (analysis time), the scan reads exactly that snapshot, and the
+  * replacement commit asserts it under the table lock — a concurrent
+  * commit between planning and execution conflicts instead of being
+  * silently clobbered.
+  */
+final class GraftRowLevelOperation(
+    root: String,
+    table: String,
+    cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+
+  private val baseSnapshot =
+    new GraftCatalog(root).currentSnapshotId(table)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val cat = new GraftCatalog(root)
+    val schema = FieldIds.stripIds(cat.currentSchema(table)
+      .getOrElse(cat.scanTable(SparkSession.active, table).schema))
+    new GraftScanBuilder(root, table, Some(baseSnapshot), schema,
+      rowLevel = true)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftBatchWrite(root, table, info.schema(),
+            replaceAt = Some(baseSnapshot))
+      }
+    }
+
+  override def description(): String =
+    s"GraftRowLevelOperation($cmd, $table @ $baseSnapshot, copy-on-write)"
+}

@@ -26,6 +26,17 @@ object DatasetBridge {
       ds.queryExecution.toRdd.map(_.copy()), ds.schema, isStreaming = false)
   }
 
+  /** The frame's EXECUTED final-stage `RDD[InternalRow]` — planning side
+    * effects included (AQE runs intermediate stages, broadcasts
+    * materialize), so the returned RDD's partitions are iterable from any
+    * later task. The DSv2 doorway's row-level scan path serves
+    * `BatchScanExec` from this.
+    */
+  def internalRowRdd(
+      df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.toRdd
+
   /** The inverse of [[asBatch]] for a V1 streaming SOURCE's `getBatch`:
     * the engine requires the returned frame to be streaming-tagged, while
     * the rows come from an ordinary batch read of the delta files.

@@ -1,0 +1,154 @@
+package graft.sources.dsv2
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.SparkSession
+
+/** The DSv2 doorway (`spark.sql.catalog.graft`) — SELECT, INSERT, and all
+  * three row-level DML statements on `graft.ns.t` identifiers through
+  * Spark's NATIVE planning, on a session with NO graft extensions
+  * installed (the rules the extensions inject are for the V1/TVF surface;
+  * this path must not need them).
+  */
+class GraftSparkCatalogSpec extends SparkSpec {
+
+  /** A separate SparkSession on the shared context with the graft DSv2
+    * catalog mounted and extensions EMPTIED — proves the native-planning
+    * claim (the shared test session's extensions conf would otherwise be
+    * inherited from the SparkContext conf).
+    */
+  private def withCatalogSession(root: String)(body: SparkSession => Unit): Unit = {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val clean = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.extensions", "")
+      .config("spark.sql.catalog.graft", "graft.sources.dsv2.GraftSparkCatalog")
+      .config("spark.sql.catalog.graft.root", root)
+      .getOrCreate()
+    try {
+      assert(clean ne old, "must get a FRESH session, not the shared one")
+      body(clean)
+    } finally {
+      clean.catalog.clearCache()
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
+  test("namespace DDL + CREATE + INSERT + SELECT round-trip, library interop") {
+    val root = Files.createTempDirectory("graft-dsv2").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE NAMESPACE graft.db")
+      val namespaces = s.sql("SHOW NAMESPACES IN graft")
+        .collect().map(_.getString(0)).toSet
+      assert(namespaces == Set("default", "db"), namespaces)
+      s.sql("CREATE TABLE graft.db.t (k BIGINT, v STRING)")
+      assert(s.sql("SHOW TABLES IN graft.db").collect()
+        .map(_.getString(1)).toSeq == Seq("t"))
+      s.sql("INSERT INTO graft.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+      assert(s.sql("SELECT * FROM graft.db.t ORDER BY k")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      // column pruning + filter reach the doorway scan
+      assert(s.sql("SELECT v FROM graft.db.t WHERE k = 2").collect()
+        .map(_.getString(0)).toSeq == Seq("b"))
+      assert(s.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 3L)
+      // the SAME table reads through the library API (one catalog)
+      val cat = new GraftCatalog(root)
+      assert(cat.scanTable(s, "db/t").count() == 3)
+      // and a library-created FLAT table reads as graft.default
+      import s.implicits._
+      cat.createTable("flat", Nil)
+      cat.appendFiles(s, "flat", Seq((9L, "z")).toDF("k", "v"),
+        s"$root/_stage")
+      assert(s.sql("SELECT v FROM graft.flat").head().getString(0) == "z")
+      assert(s.sql("SELECT v FROM graft.default.flat").head().getString(0) == "z")
+    }
+  }
+
+  test("DELETE / UPDATE / MERGE via native row-level planning, no extensions") {
+    val root = Files.createTempDirectory("graft-dsv2-dml").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.t (k BIGINT, qty BIGINT)")
+      s.sql("INSERT INTO graft.db.t SELECT id, id * 10 FROM range(1, 11)")
+      // DELETE plans as a DSv2 ReplaceData (copy-on-write), not a graft rule
+      val deletePlan = s.sql("EXPLAIN EXTENDED DELETE FROM graft.db.t WHERE k > 8")
+        .head().getString(0)
+      assert(deletePlan.contains("ReplaceData"), deletePlan)
+      s.sql("DELETE FROM graft.db.t WHERE k > 8")
+      assert(s.sql("SELECT count(*), sum(qty) FROM graft.db.t").head()
+        .toSeq == Seq(8L, 360L))
+      // UPDATE
+      s.sql("UPDATE graft.db.t SET qty = qty + 1 WHERE k <= 2")
+      assert(s.sql("SELECT sum(qty) FROM graft.db.t").head().getLong(0) == 362L)
+      // MERGE: update one row, insert one row
+      s.sql("CREATE TABLE graft.db.src (k BIGINT, qty BIGINT)")
+      s.sql("INSERT INTO graft.db.src VALUES (1, 1000), (99, 990)")
+      s.sql(
+        """MERGE INTO graft.db.t AS t USING graft.db.src AS s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET qty = s.qty
+          |WHEN NOT MATCHED THEN INSERT (k, qty) VALUES (s.k, s.qty)""".stripMargin)
+      val rows = s.sql("SELECT k, qty FROM graft.db.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.contains((1L, 1000L)) && rows.contains((99L, 990L)), rows)
+      assert(rows.size == 9, rows)
+      // every DML committed a snapshot; history is linear and readable
+      val cat = new GraftCatalog(root)
+      assert(cat.currentSnapshotId("db/t") >= 5)
+      // TRUNCATE
+      s.sql("TRUNCATE TABLE graft.db.t")
+      assert(s.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 0L)
+    }
+  }
+
+  test("VERSION AS OF time travel by snapshot id and tag") {
+    val root = Files.createTempDirectory("graft-dsv2-tt").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT)")
+      s.sql("INSERT INTO graft.t VALUES (1)")
+      s.sql("INSERT INTO graft.t VALUES (2)")
+      val cat = new GraftCatalog(root)
+      val mid = cat.currentSnapshotId("t") - 1 // after the first insert
+      cat.tagSnapshot("t", "first", mid)
+      assert(s.sql(s"SELECT count(*) FROM graft.t VERSION AS OF $mid")
+        .head().getLong(0) == 1L)
+      assert(s.sql("SELECT count(*) FROM graft.t VERSION AS OF 'first'")
+        .head().getLong(0) == 1L)
+      assert(s.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 2L)
+    }
+  }
+
+  test("DDL edges: drop, rename across namespaces, properties, errors") {
+    val root = Files.createTempDirectory("graft-dsv2-ddl").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE NAMESPACE graft.a")
+      s.sql("CREATE TABLE graft.a.t (k BIGINT)")
+      s.sql("INSERT INTO graft.a.t VALUES (7)")
+      s.sql("ALTER TABLE graft.a.t SET TBLPROPERTIES ('team' = 'pipeline')")
+      assert(new GraftCatalog(root).tableProperties("a/t")("team") == "pipeline")
+      s.sql("ALTER TABLE graft.a.t RENAME TO a.u")
+      assert(s.sql("SELECT k FROM graft.a.u").head().getLong(0) == 7L)
+      intercept[Exception](s.sql("SELECT * FROM graft.a.t").collect())
+      s.sql("DROP TABLE graft.a.u")
+      assert(s.sql("SHOW TABLES IN graft.a").collect().isEmpty)
+      s.sql("DROP NAMESPACE graft.a")
+      intercept[Exception](s.sql("CREATE TABLE graft.missing.t (k BIGINT)"))
+      // replace-commit conflict surface: a stale base throws the
+      // retryable metadata conflict
+      s.sql("CREATE TABLE graft.c (k BIGINT)")
+      val cat = new GraftCatalog(root)
+      val head = cat.currentSnapshotId("c")
+      intercept[graft.sources.GraftError.Metadata](
+        cat.commitReplaceAt("c", head - 1, Nil))
+    }
+  }
+}
