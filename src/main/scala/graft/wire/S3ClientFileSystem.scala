@@ -1,0 +1,322 @@
+package graft.wire
+
+import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, InputStream, OutputStream}
+import java.net.{HttpURLConnection, URI, URL}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+import scala.util.matching.Regex
+
+/** Hadoop `FileSystem` for the `s3://` scheme speaking the S3 REST
+  * protocol over plain HTTP — the client half of the FileIO seam (the
+  * container has no `hadoop-aws`, so the protocol is implemented here
+  * directly; the server half is [[S3StubServer]] in tests, but any
+  * path-style S3-compatible endpoint serves). Resolution is the standard
+  * Hadoop contract: `fs.s3.impl = graft.wire.S3ClientFileSystem` plus the
+  * endpoint under the Iceberg-mapped key `fs.s3a.endpoint` (exactly what
+  * [[WireBridge.applyFileIo]] sets from a wire request's `s3.endpoint`
+  * FileIO prop) or `fs.s3.endpoint`.
+  *
+  * Semantics, mapped the same way S3A maps them:
+  *   - objects are files; directories are key prefixes. `mkdirs` writes a
+  *     zero-byte `key/` marker so EMPTY directories are visible (the
+  *     committer's `_temporary` tree needs this).
+  *   - `open` reads via ranged GETs ([[S3Input]]) — parquet footer +
+  *     column-chunk access patterns map to exactly the ranges requested.
+  *   - `create` buffers and PUTs on close (objects are immutable).
+  *   - `rename` is LIST + server-side COPY + DELETE per object — S3 has
+  *     no rename; this is the same client-side emulation S3A performs,
+  *     and it makes the classic `FileOutputCommitter` work unchanged.
+  */
+final class S3ClientFileSystem extends FileSystem {
+
+  private var fsUri: URI = _
+  private var endpoint: String = _
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
+    endpoint = Option(conf.get("fs.s3a.endpoint"))
+      .orElse(Option(conf.get("fs.s3.endpoint")))
+      .getOrElse(throw new IOException(
+        "s3 filesystem requires fs.s3a.endpoint (or fs.s3.endpoint) — " +
+          "the FileIO 's3.endpoint' property maps onto it"))
+  }
+
+  override def getScheme: String = "s3"
+  override def getUri: URI = fsUri
+
+  private var workingDir: Path = _
+  override def getWorkingDirectory: Path = {
+    if (workingDir == null) workingDir = new Path(fsUri.toString + "/")
+    workingDir
+  }
+  override def setWorkingDirectory(dir: Path): Unit = workingDir = dir
+
+  // ---- key plumbing ------------------------------------------------------
+
+  /** (bucket, key) of an s3 path; key has no leading slash. */
+  private def split(f: Path): (String, String) = {
+    val u = f.toUri
+    val bucket = Option(u.getAuthority).getOrElse(fsUri.getAuthority)
+    (bucket, Option(u.getPath).getOrElse("").stripPrefix("/"))
+  }
+
+  private def enc(s: String): String =
+    s.split("/", -1).map(java.net.URLEncoder.encode(_, "UTF-8")
+      .replace("+", "%20")).mkString("/")
+
+  private def objectUrl(bucket: String, key: String): URL =
+    new URL(s"$endpoint/$bucket/${enc(key)}")
+
+  private def conn(method: String, url: URL): HttpURLConnection = {
+    val c = url.openConnection().asInstanceOf[HttpURLConnection]
+    c.setRequestMethod(method)
+    c
+  }
+
+  private def drain(c: HttpURLConnection): Unit = {
+    val in = if (c.getResponseCode < 400) c.getInputStream else c.getErrorStream
+    if (in != null) { in.readAllBytes(); in.close() }
+  }
+
+  /** HEAD → object length, None when absent. */
+  private def headLength(bucket: String, key: String): Option[Long] = {
+    val c = conn("HEAD", objectUrl(bucket, key))
+    try {
+      if (c.getResponseCode == 200) Some(c.getContentLengthLong)
+      else None
+    } finally c.disconnect()
+  }
+
+  private val keyRe: Regex = "<Key>(.*?)</Key><Size>(\\d+)</Size>".r
+  // anchored on the wrapper element: the result header carries its own
+  // top-level <Prefix> that must not match
+  private val prefixRe: Regex = "<CommonPrefixes><Prefix>(.*?)</Prefix>".r
+
+  private def unxml(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  /** ListObjectsV2: (objects as key→size, common prefixes). */
+  private def listRaw(
+      bucket: String, prefix: String,
+      delimited: Boolean): (Seq[(String, Long)], Seq[String]) = {
+    val d = if (delimited) "&delimiter=%2F" else ""
+    val url = new URL(s"$endpoint/$bucket?list-type=2&prefix=" +
+      java.net.URLEncoder.encode(prefix, "UTF-8") + d)
+    val c = conn("GET", url)
+    try {
+      if (c.getResponseCode != 200)
+        throw new IOException(s"LIST $bucket?prefix=$prefix: HTTP ${c.getResponseCode}")
+      val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
+      val objs = keyRe.findAllMatchIn(body)
+        .map(m => unxml(m.group(1)) -> m.group(2).toLong).toSeq
+      val prefixes = prefixRe.findAllMatchIn(body)
+        .map(m => unxml(m.group(1))).toSeq
+      (objs, prefixes)
+    } finally c.disconnect()
+  }
+
+  private def pathOf(bucket: String, key: String): Path =
+    new Path(s"s3://$bucket/$key")
+
+  private def fileStatus(bucket: String, key: String, len: Long): FileStatus =
+    new FileStatus(len, false, 1, 32 * 1024 * 1024, 0L, pathOf(bucket, key))
+
+  private def dirStatus(bucket: String, key: String): FileStatus =
+    new FileStatus(0, true, 1, 0, 0L,
+      if (key.isEmpty) new Path(s"s3://$bucket/") else pathOf(bucket, key))
+
+  // ---- FileSystem contract ----------------------------------------------
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val (bucket, key) = split(f)
+    if (key.isEmpty) return dirStatus(bucket, key)
+    headLength(bucket, key) match {
+      case Some(len) => fileStatus(bucket, key, len)
+      case None =>
+        val (objs, prefixes) = listRaw(bucket, key + "/", delimited = true)
+        if (objs.nonEmpty || prefixes.nonEmpty) dirStatus(bucket, key)
+        else throw new FileNotFoundException(f.toString)
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] = {
+    val (bucket, key) = split(f)
+    if (key.nonEmpty && headLength(bucket, key).isDefined)
+      return Array(getFileStatus(f))
+    val prefix = if (key.isEmpty) "" else key + "/"
+    val (objs, prefixes) = listRaw(bucket, prefix, delimited = true)
+    if (key.nonEmpty && objs.isEmpty && prefixes.isEmpty)
+      throw new FileNotFoundException(f.toString)
+    val files = objs
+      .filter(_._1 != prefix) // the empty-dir marker is not a child
+      .map { case (k, len) =>
+        if (k.endsWith("/")) dirStatus(bucket, k.stripSuffix("/"))
+        else fileStatus(bucket, k, len)
+      }
+    val dirs = prefixes.map(p => dirStatus(bucket, p.stripSuffix("/")))
+    (files ++ dirs).toArray
+  }
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val (bucket, key) = split(f)
+    val len = headLength(bucket, key)
+      .getOrElse(throw new FileNotFoundException(f.toString))
+    new FSDataInputStream(new S3Input(bucket, key, len))
+  }
+
+  override def create(
+      f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val (bucket, key) = split(f)
+    if (!overwrite && headLength(bucket, key).isDefined)
+      throw new IOException(s"$f already exists")
+    new FSDataOutputStream(new BufferedPut(bucket, key), statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException("s3 objects are immutable — no append")
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val (bucket, key) = split(f)
+    if (key.isEmpty) return true
+    // zero-byte `key/` marker: makes the EMPTY directory visible to
+    // getFileStatus/listStatus (committers probe _temporary before writing)
+    val c = conn("PUT", objectUrl(bucket, key + "/"))
+    c.setDoOutput(true)
+    c.getOutputStream.close()
+    try { c.getResponseCode == 200 } finally drain(c)
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val (bucket, key) = split(f)
+    if (headLength(bucket, key).isDefined) { deleteKey(bucket, key); true }
+    else {
+      val (objs, _) = listRaw(bucket, key + "/", delimited = false)
+      if (objs.isEmpty) false
+      else if (!recursive && objs.exists(_._1 != key + "/"))
+        throw new IOException(s"$f is a non-empty directory (recursive=false)")
+      else { objs.foreach { case (k, _) => deleteKey(bucket, k) }; true }
+    }
+  }
+
+  private def deleteKey(bucket: String, key: String): Unit = {
+    val c = conn("DELETE", objectUrl(bucket, key))
+    try drain(c) finally c.disconnect()
+  }
+
+  private def copyKey(bucket: String, from: String, to: String): Unit = {
+    val c = conn("PUT", objectUrl(bucket, to))
+    c.setRequestProperty("x-amz-copy-source", s"/$bucket/$from")
+    c.setDoOutput(true)
+    c.getOutputStream.close()
+    try {
+      if (c.getResponseCode != 200)
+        throw new IOException(s"copy $from -> $to: HTTP ${c.getResponseCode}")
+      drain(c)
+    } finally c.disconnect()
+  }
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val (bucket, srcKey) = split(src)
+    val (dstBucket, dstKey0) = split(dst)
+    require(bucket == dstBucket, "cross-bucket rename unsupported")
+    // Hadoop semantics: renaming ONTO an existing directory moves src
+    // INTO it (FileOutputCommitter's merge relies on this)
+    val dstKey =
+      if (headLength(bucket, dstKey0).isEmpty && {
+        val (o, p) = listRaw(bucket, dstKey0 + "/", delimited = true)
+        o.nonEmpty || p.nonEmpty
+      }) s"$dstKey0/${src.getName}"
+      else dstKey0
+    if (headLength(bucket, srcKey).isDefined) {
+      copyKey(bucket, srcKey, dstKey)
+      deleteKey(bucket, srcKey)
+      true
+    } else {
+      val (objs, _) = listRaw(bucket, srcKey + "/", delimited = false)
+      if (objs.isEmpty) false
+      else {
+        objs.foreach { case (k, _) =>
+          copyKey(bucket, k, dstKey + k.stripPrefix(srcKey))
+          deleteKey(bucket, k)
+        }
+        true
+      }
+    }
+  }
+
+  // ---- streams -----------------------------------------------------------
+
+  /** Seekable ranged-GET reader. Each read issues one ranged request for
+    * exactly the bytes asked — parquet's own IO planning already batches
+    * column chunks, so no extra readahead layer is needed here.
+    */
+  private final class S3Input(bucket: String, key: String, len: Long)
+      extends FSInputStream {
+
+    private var pos = 0L
+
+    override def seek(newPos: Long): Unit = {
+      if (newPos < 0 || newPos > len)
+        throw new IOException(s"seek $newPos out of [0, $len]")
+      pos = newPos
+    }
+    override def getPos: Long = pos
+    override def seekToNewSource(targetPos: Long): Boolean = false
+
+    override def read(): Int = {
+      val one = new Array[Byte](1)
+      val n = read(one, 0, 1)
+      if (n <= 0) -1 else one(0) & 0xff
+    }
+
+    override def read(buf: Array[Byte], off: Int, wanted: Int): Int = {
+      if (pos >= len) return -1
+      val n = math.min(wanted.toLong, len - pos).toInt
+      if (n <= 0) return 0
+      val c = conn("GET", objectUrl(bucket, key))
+      c.setRequestProperty("Range", s"bytes=$pos-${pos + n - 1}")
+      try {
+        val code = c.getResponseCode
+        if (code != 206 && code != 200)
+          throw new IOException(s"GET $bucket/$key range $pos+$n: HTTP $code")
+        val in = c.getInputStream
+        var read = 0
+        var r = 0
+        while (read < n && { r = in.read(buf, off + read, n - read); r > 0 })
+          read += r
+        in.close()
+        pos += read
+        read
+      } finally c.disconnect()
+    }
+  }
+
+  /** Buffer-then-PUT writer (objects are immutable; size is test-bounded). */
+  private final class BufferedPut(bucket: String, key: String) extends OutputStream {
+    private val buf = new ByteArrayOutputStream()
+    override def write(b: Int): Unit = buf.write(b)
+    override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      buf.write(b, off, len)
+    override def close(): Unit = {
+      val c = conn("PUT", objectUrl(bucket, key))
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(buf.size())
+      val out = c.getOutputStream
+      buf.writeTo(out)
+      out.close()
+      try {
+        if (c.getResponseCode != 200)
+          throw new IOException(s"PUT $bucket/$key: HTTP ${c.getResponseCode}")
+        drain(c)
+      } finally c.disconnect()
+    }
+  }
+}
