@@ -23,6 +23,27 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.ScalingProbe"      # writes SCALING.md
   */
+/** Accumulates shuffle-write and input bytes across completed stages —
+  * the "what moved" counters behind SCALING.md's shuffle-shape section.
+  */
+final class ShapeMetricsListener
+    extends org.apache.spark.scheduler.SparkListener {
+  private val shuffleWrite = new java.util.concurrent.atomic.LongAdder
+  private val input = new java.util.concurrent.atomic.LongAdder
+
+  override def onStageCompleted(
+      e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val tm = e.stageInfo.taskMetrics
+    if (tm != null) {
+      shuffleWrite.add(tm.shuffleWriteMetrics.bytesWritten)
+      input.add(tm.inputMetrics.bytesRead)
+    }
+  }
+
+  /** (total shuffle bytes written, total input bytes read) so far. */
+  def snapshot(): (Long, Long) = (shuffleWrite.sum, input.sum)
+}
+
 object ScalingProbe {
 
   def main(args: Array[String]): Unit = {
@@ -35,6 +56,11 @@ object ScalingProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // stage-metric accumulator for the shuffle-shape section: bytes
+    // shuffled and read per measured run (snapshot deltas around each)
+    val probeMetrics = new ShapeMetricsListener
+    spark.sparkContext.addSparkListener(probeMetrics)
 
     val base = Tables.documents(spark, sfDir)
     // warmup (session + codegen + per-query planning off the clock): run
@@ -91,6 +117,40 @@ object ScalingProbe {
         f"q90=$t90%6.2f q132=$t132%6.2f q133=$t133%6.2f q139=$t139%6.2f " +
         f"q140=$t140%6.2f")
       (mult, nDocs, t40, t41, t90, t132, t133, t139, t140)
+    }
+
+    // ---- shuffle/input SHAPE of the pipeline tier -----------------------
+    // Wall time shows the trend but not the MECHANISM; the listener-backed
+    // byte counters show WHAT moved. One clean run per (query, size):
+    // shuffle bytes written + input bytes read across all its stages.
+    // Shapes under a corpus that grows 1x -> 16x:
+    //   q132 span inventory:   shuffle ∝ corpus (8-byte span keys + the
+    //                          hash-partitioned join-back) — LINEAR is the
+    //                          design; quadratic would blow up here first
+    //   q133 shard packing:    shuffle ~FLAT (two-level prefix sum ships
+    //                          per-partition token summaries, not docs)
+    //   q139 boilerplate:      shuffle ∝ corpus (per-(domain, line-hash)
+    //                          counts; CCNet's aggregation is line-keyed)
+    //   q140 bloom decontam:   shuffle ~FLAT (only the eval set exchanges;
+    //                          the corpus is gated map-side by the bloom)
+    val shapeQueries = Seq("q132_span_dedup", "q133_shard_pack",
+      "q139_boilerplate", "q140_bloom_decontam")
+    val shapeRows = Seq(1, 4, 16).map { mult =>
+      val dir = s"/tmp/graft_scale_$mult"
+      val cells = shapeQueries.map { name =>
+        spark.catalog.clearCache()
+        org.apache.spark.sql.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        val before = probeMetrics.snapshot()
+        graft.pipeline.PipelineQueries.queries(name)(spark, dir)
+          .write.mode("overwrite").format("noop").save()
+        org.apache.spark.sql.graftbridge.ListenerBridge.drain(spark.sparkContext)
+        val after = probeMetrics.snapshot()
+        (after._1 - before._1, after._2 - before._2) // (shuffle, input)
+      }
+      println(s"shape mult=$mult " + shapeQueries.zip(cells).map {
+        case (q, (s, i)) => f"$q=${s / 1e6}%.1f/${i / 1e6}%.1fMB"
+      }.mkString(" "))
+      (mult, mult * 5000L, cells)
     }
 
     // ---- incremental vs full compaction over the same corpus sizes ------
@@ -251,6 +311,48 @@ object ScalingProbe {
     sb.append("\nmin-of-3 wall times (the box shows sporadic multi-second stalls —\n")
     sb.append("an r9 probe caught both of two 16x q41 samples stalled at once);\n")
     sb.append("read the TREND: flat-ish ms/doc = linear scaling, the design claim.\n")
+
+    sb.append("\n## Pipeline-tier shuffle shape (what MOVED, not just how long)\n\n")
+    sb.append("Listener-accumulated per-run stage counters: shuffle bytes\n")
+    sb.append("written / input bytes read, one clean run per cell. Wall time\n")
+    sb.append("can hide a wrong plan behind a fast box; bytes cannot.\n\n")
+    sb.append("| mult | docs | q132 shuf/in MB | q133 shuf/in MB | q139 shuf/in MB | q140 shuf/in MB |\n")
+    sb.append("|---|---|---|---|---|---|\n")
+    shapeRows.foreach { case (m, n, cells) =>
+      sb.append(f"| ${m}x | $n |")
+      cells.foreach { case (s, i) =>
+        sb.append(f" ${s / 1e6}%.1f / ${i / 1e6}%.1f |")
+      }
+      sb.append("\n")
+    }
+    def ratio16(idx: Int): (Double, Double) = {
+      val c1 = shapeRows.head._3(idx)
+      val c16 = shapeRows.last._3(idx)
+      (c16._1.toDouble / math.max(c1._1, 1L),
+        c16._2.toDouble / math.max(c1._2, 1L))
+    }
+    val Seq(r132, r139) = Seq(0, 2).map(ratio16)
+    val mb133 = shapeRows.last._3(1)._1 / 1e6
+    val mb140 = shapeRows.last._3(3)._1 / 1e6
+    val in140 = Seq(0, 2).map(i => shapeRows(i)._3(3)._2)
+    sb.append(f"""
+                 |Claims, against the measured bytes (ratios only where the 1x
+                 |baseline is big enough to make a ratio meaningful):
+                 |- q132 span inventory: shuffle grows WITH the corpus (${r132._1}%.1fx at
+                 |  16x data) — ~linear by design: every span key is counted once in a
+                 |  partial+final hash agg and the join-back shares the partitioning;
+                 |  a quadratic pairing stage would blow this row up first.
+                 |- q133 shard packing: shuffle stays TINY at every size ($mb133%.1f MB at
+                 |  16x, vs q132's ${shapeRows.last._3.head._1 / 1e6}%.1f MB over the same
+                 |  corpus) — the two-level prefix sum exchanges per-partition token
+                 |  summaries, never documents; no global-window single-reducer.
+                 |- q139 boilerplate removal: shuffle grows WITH the corpus (${r139._1}%.1fx)
+                 |  — CCNet's per-(domain, line-hash) counts are line-keyed; linear.
+                 |- q140 bloom decontamination: corpus rows NEVER shuffle ($mb140%.2f MB
+                 |  of shuffle at 16x — eval-set-sized) while input read grows
+                 |  ${in140.last / math.max(in140.head, 1L)}%d-fold with the corpus: the
+                 |  broadcast bloom gates MAP-SIDE. The zero-corpus-shuffle claim, measured.
+                 |""".stripMargin)
 
     sb.append("\n## Incremental vs full compaction\n\n")
     sb.append("Same corpora; a FIXED 500-doc / 4-file delta appended after the\n")

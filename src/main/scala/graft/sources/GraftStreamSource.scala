@@ -53,6 +53,44 @@ final class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(longOf).getOrElse(0L)
     val e = longOf(end)
+    val tasks = GraftStreamSource.deltaTasks(catalog, table, s, e, skipRewrites)
+    val batch =
+      if (tasks.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else {
+        val scan = CompactionRunner.scanWithHiddenCols(spark, tasks,
+          catalog.currentSchema(table))
+        scan.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+      }
+    org.apache.spark.sql.graftbridge.DatasetBridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object GraftStreamSource {
+
+  /** The data-file tasks whose rows constitute the stream delta
+    * `(s, e]` — the shared offset semantics behind BOTH streaming
+    * doorways (the V1 `format("graft")` source above and the DSv2
+    * micro-batch stream, [[graft.sources.dsv2.GraftMicroBatchStream]]).
+    *
+    * Rules (documented on the class): `append` snapshots stream their
+    * delta exactly once; the first retained snapshot of a FRESH stream
+    * (s == 0) is the initial load; a fresh stream over a NON-CONTIGUOUS
+    * retained set (tag-island retention) falls back to a full load at
+    * `e`; a RESUMED stream that fell behind expiry fails loudly (both
+    * reload and skip would corrupt downstream exactly-once); rewrite
+    * snapshots fail loudly unless `skipRewrites`.
+    */
+  private[graft] def deltaTasks(
+      catalog: GraftCatalog,
+      table: String,
+      s: Long,
+      e: Long,
+      skipRewrites: Boolean): Seq[CompactionRunner.DataFileTask] = {
     val retained = catalog.snapshotIds(table).sorted
     val first = retained.headOption.getOrElse(0L)
     val ids = retained.filter(id => id > s && id <= e)
@@ -73,9 +111,8 @@ final class GraftStreamSource(
     // (rows before s were already consumed — a full reload would duplicate).
     val contiguous = ids.isEmpty ||
       ids.zip(ids.tail).forall { case (a, b) => b == a + 1 }
-    val tasks =
-      if (freshStart && !contiguous) catalog.loadTableAt(table, e)
-      else ids.flatMap { id =>
+    if (freshStart && !contiguous) catalog.loadTableAt(table, e)
+    else ids.flatMap { id =>
       val initial = freshStart && id == first
       // the diff-base check comes FIRST, before the summary is consulted:
       // an expired predecessor also makes the summary underivable
@@ -108,18 +145,5 @@ final class GraftStreamSource(
             "to the stream)")
       }
     }
-    val batch =
-      if (tasks.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else {
-        val scan = CompactionRunner.scanWithHiddenCols(spark, tasks,
-          catalog.currentSchema(table))
-        scan.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*)
-      }
-    org.apache.spark.sql.graftbridge.DatasetBridge.asStreaming(batch)
   }
-
-  override def stop(): Unit = ()
 }

@@ -63,13 +63,14 @@ final class GraftV2Table(
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
 
   override def properties(): util.Map[String, String] =
     cat.tableProperties(tableName).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, tableName, asOf, FieldIds.stripIds(schema))
+    new GraftScanBuilder(root, tableName, asOf, FieldIds.stripIds(schema),
+      skipRewrites = options.getBoolean("skipRewrites", false))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
@@ -108,7 +109,8 @@ final class GraftScanBuilder(
     table: String,
     asOf: Option[Long],
     tableSchema: StructType,
-    rowLevel: Boolean = false)
+    rowLevel: Boolean = false,
+    skipRewrites: Boolean = false)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -131,7 +133,7 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GraftV1Scan(root, table, asOf, required, pushed)
+    new GraftV1Scan(root, table, asOf, required, pushed, skipRewrites)
 }
 
 final class GraftV1Scan(
@@ -139,7 +141,8 @@ final class GraftV1Scan(
     table: String,
     asOf: Option[Long],
     required: StructType,
-    filters: Array[Filter])
+    filters: Array[Filter],
+    skipRewrites: Boolean = false)
     extends V1Scan {
 
   override def readSchema(): StructType = required
@@ -171,6 +174,15 @@ final class GraftV1Scan(
     val rdd = org.apache.spark.sql.graftbridge.DatasetBridge
       .internalRowRdd(projected)
     new GraftRddBatch(rdd)
+  }
+
+  /** `spark.readStream.table(...)` — the DSv2 streaming doorway, sharing
+    * the V1 source's snapshot-offset semantics.
+    */
+  override def toMicroBatchStream(
+      checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(asOf.isEmpty, s"cannot stream $table at a pinned snapshot")
+    new GraftMicroBatchStream(root, table, required, skipRewrites)
   }
 
   override def description(): String =

@@ -9,6 +9,15 @@ import org.apache.spark.sql.classic
   * join) as a public DataFrame. Same narrow-access rationale as
   * [[ColumnBridge]].
   */
+/** Bridge to `private[spark]` listener-bus draining — lets measurement
+  * code (ScalingProbe) read listener-accumulated stage metrics
+  * deterministically after a job completes.
+  */
+object ListenerBridge {
+  def drain(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(30000)
+}
+
 object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
