@@ -68,9 +68,15 @@ object Bench {
     "q121" -> 0.93, "q122" -> 1.03, "q123" -> 0.46, "q124" -> 0.29,
     "q125" -> 0.06, "q126" -> 0.79, "q127" -> 1.2, "q128" -> 1.59,
     "q129" -> 0.46, "q130" -> 0.96, "q131" -> 0.29, "q132" -> 1.66,
-    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 3.73,
-    "q137" -> 1.34, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
-    "q141" -> 0.18)
+    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 3.61,
+    "q137" -> 1.5, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
+    "q141" -> 0.18,
+    // round-11 gates, levels from this round's clean 104 s full idle-box
+    // run: q142 REST namespace round-trip; q143 eq->pos delete conversion
+    // lifecycle; q144 DSv2 CREATE/INSERT/DELETE/SELECT; q136/q137
+    // re-measured on their re-pointed DSv2 implementations (three COW
+    // ReplaceData lifecycles / two aggregate scans through the doorway)
+    "q142" -> 0.29, "q143" -> 2.27, "q144" -> 0.86)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

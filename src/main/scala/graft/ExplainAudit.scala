@@ -196,17 +196,17 @@ object ExplainAudit {
         "window PARTITIONED by block — no full-corpus sort into a single " +
         "reducer anywhere in the plan."),
     "q136_sql_dml" ->
-      ("Final read after three plain-SQL DML commits (DELETE/UPDATE/MERGE " +
-        "rewritten by the injected rule into the catalog's MoR DML): the " +
-        "plan is the standard MoR scan — data files anti-joined with the " +
-        "committed pos-delete and eq-delete sets (hash joins, delete sides " +
-        "broadcastable), then one keyed aggregate. The SQL doorway leaves " +
-        "zero plan-level residue vs the API path."),
+      ("Final read after three SQL DML statements on a DSv2 catalog " +
+        "identifier (graft.<t>), each planned by Spark's NATIVE row-level " +
+        "rules into a copy-on-write ReplaceData commit (no injected rules " +
+        "in the path): the audited read is the catalog's standard scan of " +
+        "the replacement files, then one keyed aggregate — the DML cost is " +
+        "the three rewrite commits, never the read plan."),
     "q137_sql_tvf" ->
-      ("Two table-function-addressed versions in one statement: each " +
-        "graft_table() call resolves (at analysis) to its own snapshot's " +
-        "file set, both sides reduce to 1-row aggregates, and the cross " +
-        "join of two scalar frames is the only BNLJ — the same " +
+      ("Two DSv2-addressed versions in one statement (head + VERSION AS " +
+        "OF 'pre', resolved by loadTable(ident, version)): each side " +
+        "reduces to a 1-row aggregate over its own snapshot's scan, and " +
+        "the cross join of two scalar frames is the only BNLJ — the same " +
         "1-row-broadcast shape the TPC-H scalar-subquery plans pin."),
     "q138_sql_maintenance" ->
       ("Final read after SQL-addressed maintenance (graft_compact + " +
@@ -215,6 +215,18 @@ object ExplainAudit {
         "pruned scan (no delete anti joins left — full compaction retired " +
         "them), cross-joined with the 1-row metadata count. Maintenance " +
         "cost is the operation itself, never the read plan."),
+    "q143_rewrite_eq_deletes" ->
+      ("Final read after eq->pos delete conversion: the scan applies the " +
+        "CONVERTED position deletes as one (file_path, pos) hash anti " +
+        "join with a broadcastable build side — the eq-delete equality " +
+        "probe (equi join + seq residual per row) is gone from the read " +
+        "plan entirely; that retirement is the operation's point."),
+    "q144_dsv2_catalog" ->
+      ("The DSv2 doorway read after CREATE/INSERT/DELETE from bare SQL: " +
+        "a V1ScanWrapper over the catalog scan with the projection pruned " +
+        "into the inner plan; the DELETE that preceded it was a native " +
+        "ReplaceData (copy-on-write) — the served rows are plain data " +
+        "files, no delete joins at read."),
     "q139_boilerplate" ->
       ("CCNet-style boilerplate removal: segment explode is map-side, the " +
         "frequency pass is a partial+final hash aggregate over segment " +
@@ -308,6 +320,21 @@ object ExplainAudit {
     sb.append("quartet, and the review-fix wave): 110 s over ALL 134 queries,\n")
     sb.append("zero errors, slowest q136 5.05 s — the suite's best recorded\n")
     sb.append("number (r9: 142 s over 121 queries).\n")
+    sb.append("\n")
+    sb.append("r11 q108 disposition: the r10 recorded run's only regression\n")
+    sb.append("(q108 TPC-H Q15, 0.78->1.77 s, 2.27x) was re-probed min-of-3 on an\n")
+    sb.append("idle box: samples 1.13/0.55/0.53 s — host stall, no plan cause\n")
+    sb.append("(the plan is unchanged: broadcast scalar max joined back, see\n")
+    sb.append("the q108 section). Level re-recorded at 0.53 s; the per-query\n")
+    sb.append("retry trigger tightened from 3x to 2x recorded (Bench.shouldRetry)\n")
+    sb.append("so a recurrence retries inside the bench instead of passing\n")
+    sb.append("unexamined. recordedSec refreshed to the per-key min of r7/r9/r10\n")
+    sb.append("— 74 stale post-staging-rework ceilings (e.g. q122 7.22->1.03)\n")
+    sb.append("now arm the 2x net at the real healthy levels.\n")
+    sb.append("r11 full idle-box run: 104 s over ALL 140 queries, zero errors,\n")
+    sb.append("slowest q136 3.8 s (three DSv2 copy-on-write DML lifecycles);\n")
+    sb.append("q108 back at 0.64 s. New gates: q142 0.29 / q143 2.27 / q144\n")
+    sb.append("1.12 s (levels recorded in Bench.recordedSec).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.{SupportsTruncate => WriteSupportsTruncate}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
@@ -48,6 +49,7 @@ final class GraftV2Table(
     with SupportsRead
     with SupportsWrite
     with SupportsRowLevelOperations
+    with SupportsDelete
     with TruncatableTable {
 
   private def cat = new GraftCatalog(root)
@@ -74,12 +76,36 @@ final class GraftV2Table(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
-    new WriteBuilder {
+    new WriteBuilder with WriteSupportsTruncate {
+      // INSERT INTO appends; INSERT OVERWRITE (OverwriteByExpression with
+      // a TRUE condition) replaces the table content in ONE commit —
+      // truncate-then-append would leave a observable empty snapshot
+      private var replaceAll = false
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): Write = new Write {
-        override def toBatch: BatchWrite =
-          new GraftBatchWrite(root, tableName, info.schema(), replaceAt = None)
+        override def toBatch: BatchWrite = new GraftBatchWrite(
+          root, tableName, info.schema(),
+          replaceAt = if (replaceAll) Some(cat.currentSnapshotId(tableName))
+            else None)
       }
     }
+  }
+
+  /** Metadata-path DELETE: a fully-translatable condition commits MoR
+    * position-delete files through the catalog's native `deleteWhere` —
+    * no data rewrite, the 100 TB shape. Untranslatable conditions return
+    * false from [[canDeleteWhere]] and Spark falls back to the
+    * copy-on-write row-level rewrite.
+    */
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    asOf.isEmpty && filters.forall(f => V1FilterColumns.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit = {
+    val cond = filters.flatMap(V1FilterColumns.toColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    cat.deleteWhere(spark, tableName, cond,
+      s"$root/_data/$tableName/v2del-${java.util.UUID.randomUUID()}")
   }
 
   override def newRowLevelOperationBuilder(

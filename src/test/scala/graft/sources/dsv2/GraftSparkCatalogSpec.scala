@@ -80,16 +80,31 @@ class GraftSparkCatalogSpec extends SparkSpec {
       s.sql("CREATE NAMESPACE graft.db")
       s.sql("CREATE TABLE graft.db.t (k BIGINT, qty BIGINT)")
       s.sql("INSERT INTO graft.db.t SELECT id, id * 10 FROM range(1, 11)")
-      // DELETE plans as a DSv2 ReplaceData (copy-on-write), not a graft rule
-      val deletePlan = s.sql("EXPLAIN EXTENDED DELETE FROM graft.db.t WHERE k > 8")
-        .head().getString(0)
-      assert(deletePlan.contains("ReplaceData"), deletePlan)
+      val cat0 = new GraftCatalog(root)
+      val dataBefore = cat0.loadEntries("db/t").filter(_.kind == "data")
+        .map(_.path).toSet
+      // a TRANSLATABLE condition takes the metadata path: MoR position-
+      // delete commit via SupportsDelete — data files untouched, no rewrite
       s.sql("DELETE FROM graft.db.t WHERE k > 8")
       assert(s.sql("SELECT count(*), sum(qty) FROM graft.db.t").head()
         .toSeq == Seq(8L, 360L))
+      assert(cat0.loadEntries("db/t").filter(_.kind == "data")
+        .map(_.path).toSet == dataBefore,
+        "translatable DELETE must be merge-on-read: data files unchanged")
+      assert(cat0.loadEntries("db/t").exists(_.kind == "posdel"),
+        "translatable DELETE must commit position-delete files")
+      // an UNTRANSLATABLE condition (modulo) falls back to the native
+      // copy-on-write ReplaceData rewrite
+      val cowPlan = s.sql(
+        "EXPLAIN EXTENDED DELETE FROM graft.db.t WHERE k % 7 = 0")
+        .head().getString(0)
+      assert(cowPlan.contains("ReplaceData"), cowPlan)
+      s.sql("DELETE FROM graft.db.t WHERE k % 7 = 0")
+      assert(s.sql("SELECT count(*), sum(qty) FROM graft.db.t").head()
+        .toSeq == Seq(7L, 290L))
       // UPDATE
       s.sql("UPDATE graft.db.t SET qty = qty + 1 WHERE k <= 2")
-      assert(s.sql("SELECT sum(qty) FROM graft.db.t").head().getLong(0) == 362L)
+      assert(s.sql("SELECT sum(qty) FROM graft.db.t").head().getLong(0) == 292L)
       // MERGE: update one row, insert one row
       s.sql("CREATE TABLE graft.db.src (k BIGINT, qty BIGINT)")
       s.sql("INSERT INTO graft.db.src VALUES (1, 1000), (99, 990)")
@@ -100,10 +115,14 @@ class GraftSparkCatalogSpec extends SparkSpec {
       val rows = s.sql("SELECT k, qty FROM graft.db.t ORDER BY k").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       assert(rows.contains((1L, 1000L)) && rows.contains((99L, 990L)), rows)
-      assert(rows.size == 9, rows)
+      assert(rows.size == 8, rows) // {1..6, 8} + inserted 99
       // every DML committed a snapshot; history is linear and readable
       val cat = new GraftCatalog(root)
       assert(cat.currentSnapshotId("db/t") >= 5)
+      // INSERT OVERWRITE replaces the content in one commit
+      s.sql("INSERT OVERWRITE graft.db.t VALUES (100, 1), (200, 2)")
+      assert(s.sql("SELECT count(*), sum(qty) FROM graft.db.t").head()
+        .toSeq == Seq(2L, 3L))
       // TRUNCATE
       s.sql("TRUNCATE TABLE graft.db.t")
       assert(s.sql("SELECT count(*) FROM graft.db.t").head().getLong(0) == 0L)
