@@ -76,7 +76,11 @@ object Bench {
     // lifecycle; q144 DSv2 CREATE/INSERT/DELETE/SELECT; q136/q137
     // re-measured on their re-pointed DSv2 implementations (three COW
     // ReplaceData lifecycles / two aggregate scans through the doorway)
-    "q142" -> 0.29, "q143" -> 2.27, "q144" -> 0.86)
+    "q142" -> 0.29, "q143" -> 2.27, "q144" -> 0.86,
+    // q145 merge-on-read DSv2 DML: three WriteDelta lifecycles (identity
+    // scan + pos-delete/data pair per statement) on the 60k slice —
+    // idle-box min-of-3
+    "q145" -> 4.39)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

@@ -550,11 +550,60 @@ object MorQueries {
       s"SELECT n_nationkey, n_name, n_regionkey FROM $g.demo_db.nation")
   }
 
+  /** Q145: the DSv2 doorway's MERGE-ON-READ row-level path — the same
+    * three DML statements as q136, but with the Iceberg
+    * `write.*.mode = merge-on-read` properties set, so Spark's native
+    * planning emits `WriteDelta` and every statement commits
+    * position-delete files + new data files WITHOUT rewriting the
+    * originals (asserted: the create-time data files survive all three
+    * statements). The 100 TB DML shape: a row update costs KBs of
+    * deletes, not a table rewrite. Same oracle as q136 — layout choices
+    * must be invisible to readers.
+    */
+  private def q145(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q145").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    cat.updateTableProperties("lineitem", Map(
+      "write.delete.mode" -> "merge-on-read",
+      "write.update.mode" -> "merge-on-read",
+      "write.merge.mode" -> "merge-on-read"))
+    val originals = cat.loadEntries("lineitem")
+      .filter(_.kind == "data").map(_.path).toSet
+    val g = s"g145_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", s"$root/cat")
+    spark.sql(
+      s"DELETE FROM $g.lineitem WHERE l_returnflag = 'A' AND l_quantity < 25")
+    spark.sql(
+      s"UPDATE $g.lineitem SET l_quantity = l_quantity + 100 WHERE l_returnflag = 'R'")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .filter(col("l_orderkey") <= 2000)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .distinct()
+      .createOrReplaceTempView("q145_src")
+    spark.sql(
+      s"""MERGE INTO $g.lineitem t USING q145_src s
+        |ON t.l_orderkey = s.l_orderkey AND t.l_linenumber = s.l_linenumber
+        |WHEN MATCHED AND t.l_quantity > 120 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET l_quantity = t.l_quantity + 7""".stripMargin)
+    val after = cat.loadEntries("lineitem")
+    require(originals.subsetOf(after.filter(_.kind == "data").map(_.path).toSet),
+      "merge-on-read DML must never rewrite the original data files")
+    require(after.exists(_.kind == "posdel"),
+      "merge-on-read DML must commit position-delete files")
+    cat.scanTable(spark, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_time_travel" -> (q128 _),
     "q138_sql_maintenance" -> (q138 _),
     "q143_rewrite_eq_deletes" -> (q143 _),
     "q144_dsv2_catalog" -> (q144 _),
+    "q145_dsv2_mor_dml" -> (q145 _),
     "q130_eq_point_delete" -> (q130 _),
     "q136_sql_dml" -> (q136 _),
     "q137_sql_tvf" -> (q137 _),
@@ -636,6 +685,24 @@ object MorQueries {
         |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
         |   WHERE l_orderkey <= 60000) AS sum_was""".stripMargin,
     "q136_sql_dml" ->
+      """WITH s2 AS (
+        |  SELECT l_returnflag, l_linestatus, l_orderkey,
+        |         CASE WHEN l_returnflag = 'R' THEN l_quantity + 100
+        |              ELSE l_quantity END AS qty
+        |  FROM lineitem
+        |  WHERE l_orderkey <= 60000
+        |    AND NOT (l_returnflag = 'A' AND l_quantity < 25)
+        |)
+        |SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(CASE WHEN l_orderkey <= 2000 THEN qty + 7
+        |                          ELSE qty END AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS sum_qty
+        |FROM s2
+        |WHERE NOT (l_orderkey <= 2000 AND qty > 120)
+        |GROUP BY 1, 2""".stripMargin,
+    // q145 = q136's statements under merge-on-read layout: the SAME
+    // logical view (layout must be reader-invisible)
+    "q145_dsv2_mor_dml" ->
       """WITH s2 AS (
         |  SELECT l_returnflag, l_linestatus, l_orderkey,
         |         CASE WHEN l_returnflag = 'R' THEN l_quantity + 100

@@ -639,6 +639,82 @@ final class GraftCatalog(root: String,
       readSnapshot(table, snapshotId), schemaAt(table, snapshotId))
   }
 
+  /** MoR scan that ALSO exposes each surviving row's physical identity —
+    * `_file` (the data file's canonical path) and `_pos` (its ordinal in
+    * that file) — the Iceberg metadata columns row-level engines key
+    * deletes on. Same delete-file processing as [[scanTable]]; only the
+    * final projection differs (identity kept instead of dropped). This is
+    * the read side of the DSv2 DELTA write path: a MERGE/UPDATE scans
+    * with identity, and the committed position-deletes reference exactly
+    * these (file, pos) pairs.
+    */
+  def scanTableWithRowId(
+      spark: SparkSession,
+      table: String,
+      snapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.MorPlanner
+    val entries = snapshotId.fold(loadEntries(table))(readSnapshot(table, _))
+    val schema = snapshotId.fold(currentSchema(table))(schemaAt(table, _))
+    if (dataTasks(entries).isEmpty) {
+      val base = schema.getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: table $table has no data files; " +
+          "an empty table has no schema to scan"))
+      val withId = org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_file",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_pos",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withId)
+    }
+    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries),
+      schema)
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
+    val eq = entries.collect { case e if e.kind == "eqdel" =>
+      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+    }
+    val afterPos = CompactionRunner.readPositionDeletes(spark, pos)
+      .fold(data)(pd => MorPlanner.applyPositionDeletes(data, pd))
+    val afterEq = CompactionRunner.readEqualityDeletes(spark, eq, Some(data.schema))
+      .foldLeft(afterPos)(MorPlanner.applyEqualityDeletes)
+    val userCols = afterEq.columns.filterNot(MorPlanner.HiddenCols.contains)
+    afterEq.select(userCols.map(col).toIndexedSeq :+
+      col(MorPlanner.FilePathCol).as("_file") :+
+      col(MorPlanner.PosCol).as("_pos"): _*)
+  }
+
+  /** One-commit ROW DELTA: new data files + position-delete files land
+    * together at the next sequence, base-asserted under the table lock —
+    * the commit shape of a DSv2 `WriteDelta` (merge-on-read UPDATE/MERGE:
+    * deletes suppress the old row versions, the data files carry the new
+    * ones). The pos-deletes reference files scanned at `expectedHead`, so
+    * the base assertion is also what keeps them pointing at live entries.
+    */
+  def commitRowDelta(
+      table: String,
+      expectedHead: Long,
+      dataFiles: Seq[GraftCatalog.AddedFile],
+      posDeleteFiles: Seq[GraftCatalog.AddedFile]): Long = withTableLock(table) {
+    assertBaseLocked(table, Some(expectedHead))
+    require(dataFiles.nonEmpty || posDeleteFiles.nonEmpty,
+      "row-delta commit carries no files")
+    val entries = loadEntries(table)
+    val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+    val added =
+      dataFiles.map(f => TableEntry("data",
+        CompactionRunner.canonPath(f.path), seq, f.format, Nil,
+        recordCount = f.recordCount, sizeBytes = f.sizeBytes)) ++
+      posDeleteFiles.map(f => TableEntry("posdel",
+        CompactionRunner.canonPath(f.path), seq, f.format, Nil,
+        recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+    val nextId = currentSnapshotId(table) + 1
+    writeSnapshot(table, nextId, entries ++ added)
+    carrySchema(table, nextId - 1, nextId)
+    advanceHead(table, nextId - 1, nextId)
+    nextId
+  }
+
   private def scanEntries(
       spark: SparkSession,
       table: String,

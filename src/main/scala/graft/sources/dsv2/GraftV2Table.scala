@@ -50,6 +50,7 @@ final class GraftV2Table(
     with SupportsWrite
     with SupportsRowLevelOperations
     with SupportsDelete
+    with SupportsMetadataColumns
     with TruncatableTable {
 
   private def cat = new GraftCatalog(root)
@@ -108,10 +109,48 @@ final class GraftV2Table(
       s"$root/_data/$tableName/v2del-${java.util.UUID.randomUUID()}")
   }
 
+  /** Iceberg's metadata columns: every row's physical identity — also
+    * the rowId the DELTA write path keys position-deletes on.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = "_file"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "data file path of the row"
+    },
+    new MetadataColumn {
+      override def name: String = "_pos"
+      override def dataType: org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "ordinal position of the row in its file"
+    })
+
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"cannot modify $tableName at a pinned snapshot")
-    () => new GraftRowLevelOperation(root, tableName, info.command())
+    () => {
+      // per-statement layout choice via the Iceberg table properties,
+      // exactly like the TVF/extension DML path: copy-on-write rewrites
+      // the affected files (the default, Iceberg's too), merge-on-read
+      // commits position-deletes + new data files through WriteDelta
+      val key = info.command() match {
+        case RowLevelOperation.Command.DELETE => "write.delete.mode"
+        case RowLevelOperation.Command.UPDATE => "write.update.mode"
+        case RowLevelOperation.Command.MERGE => "write.merge.mode"
+      }
+      cat.tableProperties(tableName).getOrElse(key, "copy-on-write") match {
+        case "copy-on-write" =>
+          new GraftRowLevelOperation(root, tableName, info.command())
+        case "merge-on-read" =>
+          new GraftDeltaRowLevelOperation(root, tableName, info.command())
+        case other => throw new IllegalArgumentException(
+          s"unknown $key '$other' for $tableName " +
+            "(copy-on-write | merge-on-read)")
+      }
+    }
   }
 
   override def truncateTable(): Boolean = {
@@ -189,14 +228,8 @@ final class GraftV1Scan(
     * just iterates its slice.
     */
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
-    val spark = SparkSession.active
-    val cat = new GraftCatalog(root)
-    val base = asOf.fold(cat.scanTable(spark, table))(
-      sid => cat.scanTableAt(spark, table, sid))
-    val filtered = filters.flatMap(V1FilterColumns.toColumn)
-      .foldLeft(base)(_.filter(_))
-    val projected =
-      filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    val projected = GraftInnerFrame(
+      SparkSession.active, root, table, asOf, required, filters)
     val rdd = org.apache.spark.sql.graftbridge.DatasetBridge
       .internalRowRdd(projected)
     new GraftRddBatch(rdd)
@@ -268,16 +301,36 @@ final class GraftV1Relation(
   override def sqlContext: SQLContext = context
   override def schema: StructType = required
 
-  override def buildScan(): RDD[Row] = {
-    val spark = context.sparkSession
+  override def buildScan(): RDD[Row] = GraftInnerFrame(
+    context.sparkSession, root, table, asOf, required, filters).rdd
+}
+
+/** The one inner-plan builder both serving shapes share: the catalog MoR
+  * read, with the row-identity variant (`scanTableWithRowId`) selected
+  * automatically when the projection asks for the `_file`/`_pos`
+  * metadata columns (plain SELECTs of metadata columns and the DELTA
+  * row-level scan both land here).
+  */
+private[dsv2] object GraftInnerFrame {
+  def apply(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      asOf: Option[Long],
+      required: StructType,
+      filters: Array[Filter]): DataFrame = {
     val cat = new GraftCatalog(root)
-    val base = asOf.fold(cat.scanTable(spark, table))(
-      sid => cat.scanTableAt(spark, table, sid))
+    val needsRowId =
+      required.fieldNames.exists(n => n == "_file" || n == "_pos")
+    val base =
+      if (needsRowId) cat.scanTableWithRowId(spark, table, asOf)
+      else asOf.fold(cat.scanTable(spark, table))(
+        sid => cat.scanTableAt(spark, table, sid))
     val filtered = filters.flatMap(V1FilterColumns.toColumn)
       .foldLeft(base)(_.filter(_))
     // zero-column projections (COUNT(*)) are legal: select() keeps the
     // row count with an empty schema, matching readSchema()
-    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*).rdd
+    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
   }
 }
 

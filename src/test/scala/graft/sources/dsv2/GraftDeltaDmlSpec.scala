@@ -1,0 +1,145 @@
+package graft.sources.dsv2
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.SparkSession
+
+/** The DELTA (merge-on-read) row-level path: with
+  * `write.update.mode / write.merge.mode / write.delete.mode =
+  * merge-on-read`, UPDATE/MERGE/DELETE commit position-delete files plus
+  * new data files through Spark's native `WriteDelta` planning — the
+  * original data files are NEVER rewritten. Plus the `_file`/`_pos`
+  * metadata columns the delta path keys on, as a user-visible surface.
+  */
+class GraftDeltaDmlSpec extends SparkSpec {
+
+  private def withCatalogSession(root: String)(body: SparkSession => Unit): Unit = {
+    val old = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val clean = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.catalog.graft", "graft.sources.dsv2.GraftSparkCatalog")
+      .config("spark.sql.catalog.graft.root", root)
+      .getOrCreate()
+    try body(clean)
+    finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
+  private def dataPaths(cat: GraftCatalog, t: String): Set[String] =
+    cat.loadEntries(t).filter(_.kind == "data").map(_.path).toSet
+
+  test("merge-on-read UPDATE: pos-deletes + new file, originals untouched") {
+    val root = Files.createTempDirectory("graft-delta-upd").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT, qty BIGINT)")
+      s.sql("INSERT INTO graft.t SELECT id, id * 10 FROM range(1, 101)")
+      s.sql("ALTER TABLE graft.t SET TBLPROPERTIES " +
+        "('write.update.mode' = 'merge-on-read')")
+      val cat = new GraftCatalog(root)
+      val before = dataPaths(cat, "t")
+      val plan = s.sql(
+        "EXPLAIN EXTENDED UPDATE graft.t SET qty = qty + 1 WHERE k <= 3")
+        .head().getString(0)
+      assert(plan.contains("WriteDelta"), plan)
+      s.sql("UPDATE graft.t SET qty = qty + 1 WHERE k <= 3")
+      // logical result
+      assert(s.sql("SELECT sum(qty) FROM graft.t").head().getLong(0) ==
+        (1L to 100L).map(_ * 10).sum + 3)
+      // physical shape: originals intact, one delta commit added
+      val entries = cat.loadEntries("t")
+      assert(before.subsetOf(dataPaths(cat, "t")),
+        "merge-on-read must not rewrite existing data files")
+      assert(entries.exists(_.kind == "posdel"),
+        "update must commit position-delete files")
+      val newData = dataPaths(cat, "t") -- before
+      assert(newData.nonEmpty, "updated versions land in new data files")
+      // the new files hold exactly the 3 updated rows
+      assert(entries.filter(e => newData(e.path)).map(_.recordCount).sum == 3)
+    }
+  }
+
+  test("merge-on-read MERGE: matched update + delete + insert in one delta commit") {
+    val root = Files.createTempDirectory("graft-delta-merge").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT, qty BIGINT)")
+      s.sql("INSERT INTO graft.t SELECT id, id * 10 FROM range(1, 11)")
+      s.sql("ALTER TABLE graft.t SET TBLPROPERTIES " +
+        "('write.merge.mode' = 'merge-on-read')")
+      s.sql("CREATE TABLE graft.src (k BIGINT, qty BIGINT)")
+      s.sql("INSERT INTO graft.src VALUES (1, 1000), (2, -1), (99, 990)")
+      val cat = new GraftCatalog(root)
+      val before = dataPaths(cat, "t")
+      val head = cat.currentSnapshotId("t")
+      s.sql(
+        """MERGE INTO graft.t AS t USING graft.src AS s ON t.k = s.k
+          |WHEN MATCHED AND s.qty < 0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET qty = s.qty
+          |WHEN NOT MATCHED THEN INSERT (k, qty) VALUES (s.k, s.qty)""".stripMargin)
+      val rows = s.sql("SELECT k, qty FROM graft.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(rows.contains((1L, 1000L)) && rows.contains((99L, 990L)), rows)
+      assert(!rows.exists(_._1 == 2L), s"k=2 must be deleted: $rows")
+      assert(rows.size == 10, rows) // 10 - 1 deleted + 1 inserted
+      // ONE delta snapshot; originals untouched
+      assert(cat.currentSnapshotId("t") == head + 1)
+      assert(before.subsetOf(dataPaths(cat, "t")))
+      assert(cat.loadEntries("t").exists(_.kind == "posdel"))
+      // and a later full compaction retires the delta debt
+      cat.compactTable(s, "t", s"$root/_data/t/gen1")
+      assert(cat.loadEntries("t").count(_.kind != "data") == 0)
+      assert(s.sql("SELECT k, qty FROM graft.t ORDER BY k").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq == rows)
+    }
+  }
+
+  test("merge-on-read DELETE via an untranslatable condition uses WriteDelta too") {
+    val root = Files.createTempDirectory("graft-delta-del").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT)")
+      s.sql("INSERT INTO graft.t SELECT id FROM range(0, 20)")
+      s.sql("ALTER TABLE graft.t SET TBLPROPERTIES " +
+        "('write.delete.mode' = 'merge-on-read')")
+      val cat = new GraftCatalog(root)
+      val before = dataPaths(cat, "t")
+      // modulo is not a source filter: the metadata SupportsDelete path
+      // declines, and the row-level plan must come out as WriteDelta
+      val plan = s.sql("EXPLAIN EXTENDED DELETE FROM graft.t WHERE k % 3 = 0")
+        .head().getString(0)
+      assert(plan.contains("WriteDelta"), plan)
+      s.sql("DELETE FROM graft.t WHERE k % 3 = 0")
+      assert(s.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 13L)
+      assert(before.subsetOf(dataPaths(cat, "t")))
+      assert(cat.loadEntries("t").exists(_.kind == "posdel"))
+      // a delete-only delta writes NO data files
+      assert(dataPaths(cat, "t") == before)
+    }
+  }
+
+  test("_file and _pos metadata columns are selectable and delete-consistent") {
+    val root = Files.createTempDirectory("graft-delta-meta").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT)")
+      s.sql("INSERT INTO graft.t SELECT id FROM range(0, 10)")
+      val withMeta = s.sql("SELECT k, _file, _pos FROM graft.t").collect()
+      assert(withMeta.length == 10)
+      assert(withMeta.forall(_.getString(1).endsWith(".parquet")), "real paths")
+      val positions = withMeta.map(r => (r.getString(1), r.getLong(2))).toSet
+      assert(positions.size == 10, "identity must be unique per row")
+      // rows suppressed by a MoR delete disappear from the identity view too
+      s.sql("ALTER TABLE graft.t SET TBLPROPERTIES " +
+        "('write.delete.mode' = 'merge-on-read')")
+      s.sql("DELETE FROM graft.t WHERE k % 2 = 0")
+      assert(s.sql("SELECT _pos FROM graft.t").collect().length == 5)
+    }
+  }
+}
