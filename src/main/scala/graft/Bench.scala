@@ -80,7 +80,10 @@ object Bench {
     // q145 merge-on-read DSv2 DML: three WriteDelta lifecycles (identity
     // scan + pos-delete/data pair per statement) on the 60k slice —
     // idle-box min-of-3
-    "q145" -> 4.39)
+    "q145" -> 4.39,
+    // q146 CALL-procedure lifecycle (compact + expire through the native
+    // ProcedureCatalog) — idle-box min-of-3
+    "q146" -> 2.3)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

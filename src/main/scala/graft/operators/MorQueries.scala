@@ -598,12 +598,42 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q146: q138's maintenance lifecycle through `CALL` — Iceberg's ACTUAL
+    * procedure spelling (`CALL catalog.system.rewrite_data_files(...)`,
+    * `expire_snapshots`) served by Spark 4's native ProcedureCatalog
+    * ([[graft.sources.dsv2.GraftProcedures]]); same composed state, same
+    * oracle, the ecosystem's doorway instead of the TVF workaround.
+    */
+  private def q146(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q146").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    cat.deleteWhere(spark, "lineitem", col("l_quantity") >= 30, s"$root/d")
+    val g = s"g146_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", s"$root/cat")
+    spark.sql(s"CALL $g.system.rewrite_data_files('lineitem', 'full')").head()
+    val nExpired = spark.sql(
+      s"CALL $g.system.expire_snapshots('lineitem', 1)").count()
+    spark.sql(
+      s"""SELECT agg.n, agg.sum_qty, m.n_delete_files,
+         |       CAST($nExpired AS BIGINT) AS n_expired
+         |FROM (SELECT CAST(count(*) AS BIGINT) AS n,
+         |             CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         |      FROM $g.lineitem) agg
+         |CROSS JOIN
+         |     (SELECT CAST(count(*) AS BIGINT) AS n_delete_files
+         |      FROM graft_meta('$root/cat', 'lineitem', 'files')
+         |      WHERE content <> 'data') m""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_time_travel" -> (q128 _),
     "q138_sql_maintenance" -> (q138 _),
     "q143_rewrite_eq_deletes" -> (q143 _),
     "q144_dsv2_catalog" -> (q144 _),
     "q145_dsv2_mor_dml" -> (q145 _),
+    "q146_call_procedures" -> (q146 _),
     "q130_eq_point_delete" -> (q130 _),
     "q136_sql_dml" -> (q136 _),
     "q137_sql_tvf" -> (q137 _),
@@ -648,6 +678,15 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // q146 = q138's lifecycle through CALL procedures: identical oracle
+    "q146_call_procedures" ->
+      """SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        |   WHERE l_orderkey <= 60000 AND NOT (l_quantity >= 30)) AS n,
+        |  (SELECT CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) FROM lineitem
+        |   WHERE l_orderkey <= 60000 AND NOT (l_quantity >= 30)) AS sum_qty,
+        |  CAST(0 AS BIGINT) AS n_delete_files,
+        |  CAST(2 AS BIGINT) AS n_expired""".stripMargin,
     "q144_dsv2_catalog" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey <> 2""".stripMargin,

@@ -91,6 +91,15 @@ object MaintenanceOp {
     override def outputNames: Seq[String] =
       Seq("snapshot_id", "retired_eq_files", "added_pos_files")
   }
+
+  /** Position-delete file compaction ([[GraftCatalog.compactDeleteFiles]],
+    * Iceberg's `rewrite_position_delete_files`): per-commit small delete
+    * files merge into few, dangling rows drop, data untouched. Row: the
+    * resulting head (unchanged head = nothing to shrink).
+    */
+  case object CompactDeleteFiles extends MaintenanceOp {
+    override def outputNames: Seq[String] = Seq("snapshot_id")
+  }
 }
 
 /** Logical leaf: the operation, deferred. All columns are non-null; longs
@@ -165,7 +174,7 @@ object GraftMaintenanceExec {
         size() > 256
     }
 
-  private[plans] def memoized(
+  private[graft] def memoized(
       token: Long, body: () => Seq[InternalRow]): Seq[InternalRow] = {
     val holder = cache.synchronized {
       cache.computeIfAbsent(token, _ => { lazy val r = body(); () => r })
@@ -173,8 +182,12 @@ object GraftMaintenanceExec {
     holder()
   }
 
-  /** One driver-side execution of the operation, rendered as unsafe rows. */
-  private[plans] def run(
+  /** One driver-side execution of the operation, rendered as unsafe rows.
+    * `private[graft]`: the CALL-procedure surface
+    * ([[graft.sources.dsv2.GraftProcedures]]) executes the same operations
+    * through this body.
+    */
+  private[graft] def run(
       root: String,
       table: String,
       op: MaintenanceOp,
@@ -205,6 +218,9 @@ object GraftMaintenanceExec {
         val sid = cat.rewriteEqDeletes(spark, table, out)
         val posAfter = cat.loadEntries(table).count(_.kind == "posdel").toLong
         Seq(Seq(sid, eqBefore, posAfter - posBefore))
+      case MaintenanceOp.CompactDeleteFiles =>
+        val out = s"$root/_data/$table/pdrw-${java.util.UUID.randomUUID()}"
+        Seq(Seq(cat.compactDeleteFiles(spark, table, out)))
       case MaintenanceOp.RemoveOrphans(graceSeconds) =>
         // candidates = recursive listing of the catalog-managed data
         // location; a driver-side walk over file metadata (Iceberg's

@@ -35,7 +35,7 @@ import scala.jdk.CollectionConverters._
   * `SupportsRowLevelOperations` implementation. `VERSION AS OF` time
   * travel resolves snapshot ids and tags via `loadTable(ident, version)`.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -158,6 +158,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(to)) throw new TableAlreadyExistsException(to)
     requireNs(to.namespace)
     cat.renameTable(toName(from), toName(to))
+  }
+
+  // ---- procedures (CALL graft.system.<proc>) ----------------------------
+
+  override def listProcedures(
+      ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(GraftProcedures.SystemNamespace))
+      GraftProcedures.names.map(Identifier.of(ns, _)).toArray
+    else Array.empty
+
+  override def loadProcedure(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace.sameElements(GraftProcedures.SystemNamespace))
+      throw new UnsupportedOperationException(
+        s"procedures live in the 'system' namespace " +
+          s"(CALL $catalogName.system.<proc>), got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(root, ident.name).getOrElse(
+      throw new UnsupportedOperationException(
+        s"unknown procedure '${ident.name}' " +
+          s"(available: ${GraftProcedures.names.mkString(", ")})"))
   }
 
   // ---- namespaces --------------------------------------------------------
