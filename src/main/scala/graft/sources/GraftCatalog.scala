@@ -2364,6 +2364,34 @@ final class GraftCatalog(root: String,
     commitRewriteLocked(table, added, entries.map(_.path))
   }
 
+  /** [[commitReplaceAt]] restricted to a SUBSET of data files — the
+    * commit shape of a group-FILTERED copy-on-write `ReplaceData`
+    * (runtime group filtering found the files containing matching rows;
+    * only they were read, only they are replaced). Delete entries stay:
+    * pos/eq-deletes still suppress rows of the UNTOUCHED files, and ones
+    * referencing replaced files dangle harmlessly (their (file, pos)
+    * pairs match nothing) until delete-file compaction drops them.
+    */
+  def commitReplaceFilesAt(
+      table: String,
+      expectedHead: Long,
+      replacedDataFiles: Set[String],
+      files: Seq[GraftCatalog.AddedFile]): Long = withTableLock(table) {
+    assertBaseLocked(table, Some(expectedHead))
+    val entries = loadEntries(table)
+    val canon = replacedDataFiles.map(CompactionRunner.canonPath)
+    val victims = entries.filter(e =>
+      e.kind == "data" && canon(CompactionRunner.canonPath(e.path)))
+    require(victims.size == canon.size,
+      s"group-filtered replace names ${canon.size} data files but only " +
+        s"${victims.size} are entries of $table's current snapshot")
+    val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+    val added = files.map(f => TableEntry("data",
+      CompactionRunner.canonPath(f.path), seq, f.format, Nil,
+      recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+    commitRewriteLocked(table, added, victims.map(_.path))
+  }
+
   /** [[commitAppendAt]] WITHOUT a base assertion — the commit shape for a
     * caller that asserted nothing (Iceberg-REST: an empty `requirements`
     * list means no validation): the append lands at whatever head holds

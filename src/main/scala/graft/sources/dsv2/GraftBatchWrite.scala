@@ -35,7 +35,8 @@ final class GraftBatchWrite(
     root: String,
     table: String,
     schema: StructType,
-    replaceAt: Option[Long])
+    replaceAt: Option[Long],
+    replaceOnly: () => Option[Set[String]] = () => None)
     extends BatchWrite {
 
   private val dir =
@@ -57,7 +58,15 @@ final class GraftBatchWrite(
     }
     val cat = new GraftCatalog(root)
     replaceAt match {
-      case Some(base) => cat.commitReplaceAt(table, base, files)
+      case Some(base) => replaceOnly() match {
+        case Some(group) =>
+          // runtime group filtering pruned the scan to these files; the
+          // commit retires exactly them (an empty group = the statement
+          // matched nothing — no files read, nothing to commit)
+          if (group.nonEmpty || files.nonEmpty)
+            cat.commitReplaceFilesAt(table, base, group, files)
+        case None => cat.commitReplaceAt(table, base, files)
+      }
       case None => if (files.nonEmpty) cat.commitAppend(table, files)
     }
   }

@@ -51,8 +51,12 @@ final class GraftDeltaRowLevelOperation(
     val cat = new GraftCatalog(root)
     val schema = FieldIds.stripIds(cat.currentSchema(table)
       .getOrElse(cat.scanTable(SparkSession.active, table).schema))
+    // rowLevel = false: DELTA queries only touch MATCHING rows (plus the
+    // residual Spark re-applies), so row-level filter application is SAFE
+    // here — unlike copy-on-write, where the pushed condition is a group
+    // hint and applying it to rows would drop the keep-set
     new GraftScanBuilder(root, table, Some(baseSnapshot), schema,
-      rowLevel = true)
+      rowLevel = false)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =

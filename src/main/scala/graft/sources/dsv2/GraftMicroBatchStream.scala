@@ -55,8 +55,7 @@ final class GraftMicroBatchStream(
     val scan = CompactionRunner.scanWithHiddenCols(
       spark, tasks, cat.currentSchema(table))
     val projected = scan.select(required.fieldNames.map(col).toIndexedSeq: _*)
-    val rdd =
-      org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRdd(projected)
+    val rdd = GraftInnerFrame.servableRdd(projected)
     rdd.partitions.map(p =>
       GraftRddInputPartition(rdd, p): InputPartition)
   }

@@ -175,7 +175,8 @@ final class GraftScanBuilder(
     asOf: Option[Long],
     tableSchema: StructType,
     rowLevel: Boolean = false,
-    skipRewrites: Boolean = false)
+    skipRewrites: Boolean = false,
+    host: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
@@ -197,17 +198,22 @@ final class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan =
-    new GraftV1Scan(root, table, asOf, required, pushed, skipRewrites)
+  override def build(): Scan = host match {
+    case Some(op) =>
+      new GraftRowLevelScan(root, table, asOf, required, op)
+    case None =>
+      new GraftV1Scan(root, table, asOf, required, pushed, skipRewrites)
+  }
 }
 
-final class GraftV1Scan(
+class GraftV1Scan(
     root: String,
     table: String,
     asOf: Option[Long],
     required: StructType,
     filters: Array[Filter],
-    skipRewrites: Boolean = false)
+    skipRewrites: Boolean = false,
+    host: Option[GraftRowLevelOperation] = None)
     extends V1Scan {
 
   override def readSchema(): StructType = required
@@ -227,13 +233,11 @@ final class GraftV1Scan(
     * stages are readable from ANY later task, so each `InputPartition`
     * just iterates its slice.
     */
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
-    val projected = GraftInnerFrame(
-      SparkSession.active, root, table, asOf, required, filters)
-    val rdd = org.apache.spark.sql.graftbridge.DatasetBridge
-      .internalRowRdd(projected)
-    new GraftRddBatch(rdd)
-  }
+  override def toBatch: org.apache.spark.sql.connector.read.Batch =
+    new GraftRddBatch(() =>
+      GraftInnerFrame.servableRdd(GraftInnerFrame(
+        SparkSession.active, root, table, asOf, required, filters,
+        host.flatMap(_.groupFilter))))
 
   /** `spark.readStream.table(...)` — the DSv2 streaming doorway, sharing
     * the V1 source's snapshot-offset semantics.
@@ -250,14 +254,22 @@ final class GraftV1Scan(
 }
 
 /** Batch over a driver-planned `RDD[InternalRow]`: one input partition
-  * per RDD partition, reader = the RDD's own iterator.
+  * per RDD partition, reader = the RDD's own iterator. The RDD is built
+  * PER planInputPartitions CALL through `mk` — `BatchScanExec` re-plans
+  * partitions after runtime filters arrive (`scan.filter(...)`), and a
+  * frozen RDD would serve the pre-filter file set.
   */
-final class GraftRddBatch(rdd: RDD[org.apache.spark.sql.catalyst.InternalRow])
+final class GraftRddBatch(mk: () => RDD[org.apache.spark.sql.catalyst.InternalRow])
     extends org.apache.spark.sql.connector.read.Batch {
 
+  def this(rdd: RDD[org.apache.spark.sql.catalyst.InternalRow]) =
+    this(() => rdd)
+
   override def planInputPartitions()
-      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val rdd = mk()
     rdd.partitions.map(p => GraftRddInputPartition(rdd, p))
+  }
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -318,19 +330,54 @@ private[dsv2] object GraftInnerFrame {
       table: String,
       asOf: Option[Long],
       required: StructType,
-      filters: Array[Filter]): DataFrame = {
+      filters: Array[Filter],
+      fileFilter: Option[Set[String]] = None): DataFrame = {
     val cat = new GraftCatalog(root)
-    val needsRowId =
+    val needsRowId = fileFilter.isDefined ||
       required.fieldNames.exists(n => n == "_file" || n == "_pos")
     val base =
       if (needsRowId) cat.scanTableWithRowId(spark, table, asOf)
       else asOf.fold(cat.scanTable(spark, table))(
         sid => cat.scanTableAt(spark, table, sid))
+    // runtime GROUP filter (copy-on-write ReplaceData): restrict to the
+    // files the dynamic-pruning subquery found matching rows in — the
+    // exact set the replacement commit will retire
+    val grouped = fileFilter.fold(base)(fs =>
+      if (fs.isEmpty) base.limit(0)
+      else base.filter(col("_file").isInCollection(fs)))
     val filtered = filters.flatMap(V1FilterColumns.toColumn)
-      .foldLeft(base)(_.filter(_))
+      .foldLeft(grouped)(_.filter(_))
     // zero-column projections (COUNT(*)) are legal: select() keeps the
     // row count with an empty schema, matching readSchema()
     filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** An `InternalRow` RDD of `df` that is safe to iterate from FOREIGN
+    * tasks (the DSv2 batch/stream serving shape). Most final-stage chains
+    * are: file scans, codegen maps, shuffle reads, broadcast consumers —
+    * all of which compute from the carried Partition alone. `UnionRDD` is
+    * the exception: its `compute` re-derives parent PARTITION OFFSETS via
+    * `getDependencies`, which calls `parent.partitions` — and
+    * `FileScanRDD.filePartitions` is `@transient`, so a deserialized
+    * union NPEs on the executor. A multi-schema-group table scan plans
+    * exactly such an inline union. When the lineage (walked driver-side,
+    * stopping at shuffle boundaries — shuffle READS are safe) contains a
+    * union, rebuild the frame behind an explicit repartition: the final
+    * stage is then a pure shuffle read.
+    */
+  def servableRdd(
+      df: DataFrame): RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    def unionFree(r: org.apache.spark.rdd.RDD[_]): Boolean = r match {
+      case _: org.apache.spark.rdd.UnionRDD[_] => false
+      case _ => r.dependencies.forall {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => true
+        case d => unionFree(d.rdd)
+      }
+    }
+    val rdd = org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRdd(df)
+    if (unionFree(rdd)) rdd
+    else org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRdd(
+      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions))
   }
 }
 
@@ -375,14 +422,32 @@ final class GraftRowLevelOperation(
   private val baseSnapshot =
     new GraftCatalog(root).currentSnapshotId(table)
 
+  /** Runtime GROUP filter, installed by [[GraftRowLevelScan.filter]] when
+    * Spark's `RowLevelOperationRuntimeGroupFiltering` finds the files
+    * containing matching rows: the scan then reads ONLY those files and
+    * the replacement commit retires ONLY them. `None` = no filter arrived
+    * (or it wasn't parseable) — full-table replace, always correct.
+    */
+  @volatile private[dsv2] var groupFilter: Option[Set[String]] = None
+
   override def command(): RowLevelOperation.Command = cmd
+
+  /** `_file` rides the rewrite as a metadata attribute so the runtime
+    * group-filtering rule can resolve it against the row-level relation
+    * (its subquery projects `_file` from the matching rows). Side effect:
+    * the ReplaceData write then receives PROJECTED data rows (the
+    * metadata-projection task), which the writer handles uniformly.
+    */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val cat = new GraftCatalog(root)
     val schema = FieldIds.stripIds(cat.currentSchema(table)
       .getOrElse(cat.scanTable(SparkSession.active, table).schema))
     new GraftScanBuilder(root, table, Some(baseSnapshot), schema,
-      rowLevel = true)
+      rowLevel = true, host = Some(this))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -390,10 +455,79 @@ final class GraftRowLevelOperation(
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
           new GraftBatchWrite(root, table, info.schema(),
-            replaceAt = Some(baseSnapshot))
+            replaceAt = Some(baseSnapshot),
+            // read at COMMIT time — the runtime filter lands during
+            // execution, long after this builder runs
+            replaceOnly = () => groupFilter)
       }
     }
 
   override def description(): String =
     s"GraftRowLevelOperation($cmd, $table @ $baseSnapshot, copy-on-write)"
+}
+
+/** The copy-on-write row-level scan: a [[GraftV1Scan]] that ALSO accepts
+  * Spark's runtime group filter (`SupportsRuntimeV2Filtering`) keyed on
+  * the `_file` metadata column. Predicates that do not parse to a file
+  * set are ignored — the scan then reads (and the commit replaces) the
+  * whole table, which is always correct, just unpruned.
+  */
+final class GraftRowLevelScan(
+    root: String,
+    table: String,
+    asOf: Option[Long],
+    required: StructType,
+    op: GraftRowLevelOperation)
+    extends GraftV1Scan(root, table, asOf, required, Array.empty,
+      skipRewrites = false, host = Some(op))
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    GraftRowLevelScan.extractFileSet(predicates)
+      .foreach(fs => op.groupFilter = Some(fs))
+}
+
+private[dsv2] object GraftRowLevelScan {
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal, NamedReference => V2Ref}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private def refIsFile(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case r: V2Ref => r.fieldNames().mkString(".") == "_file"
+      case _ => false
+    }
+
+  private def literalString(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case l: V2Literal[_] => l.value() match {
+        case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
+        case s: String => Some(s)
+        case _ => None
+      }
+      case _ => None
+    }
+
+  /** `IN(_file, v...)` / `=(_file, v)` predicates → the allowed file set;
+    * None when nothing parseable arrived (conservative full scan).
+    */
+  def extractFileSet(predicates: Array[Predicate]): Option[Set[String]] = {
+    val sets = predicates.flatMap { p =>
+      val children = p.children()
+      p.name() match {
+        case "IN" if children.nonEmpty && refIsFile(children.head) =>
+          val vals = children.tail.flatMap(literalString)
+          // every value must parse, or the set would silently DROP files
+          if (vals.length == children.length - 1) Some(vals.toSet) else None
+        case "=" if children.length == 2 && refIsFile(children.head) =>
+          literalString(children(1)).map(Set(_))
+        case _ => None
+      }
+    }
+    sets.reduceOption(_ intersect _)
+  }
 }

@@ -125,6 +125,44 @@ class GraftDeltaDmlSpec extends SparkSpec {
     }
   }
 
+  test("copy-on-write with runtime group filtering replaces ONLY affected files") {
+    val root = Files.createTempDirectory("graft-cow-group").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT, v STRING)")
+      // two single-partition inserts -> two data files with disjoint keys
+      s.sql("""INSERT INTO graft.t
+               SELECT /*+ REPARTITION(1) */ * FROM VALUES (1, 'a'), (3, 'b'), (5, 'c')""")
+      s.sql("""INSERT INTO graft.t
+               SELECT /*+ REPARTITION(1) */ * FROM VALUES (101, 'x'), (103, 'y')""")
+      val cat = new GraftCatalog(root)
+      val before = dataPaths(cat, "t")
+      assert(before.size == 2, s"fixture needs two files: $before")
+      // untranslatable condition (modulo) -> row-level COW; matching rows
+      // live ONLY in the first file, so group filtering must confine the
+      // rewrite to it
+      s.sql("DELETE FROM graft.t WHERE k % 5 = 0")
+      assert(s.sql("SELECT k FROM graft.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 3L, 101L, 103L))
+      val after = dataPaths(cat, "t")
+      val survivors = before.intersect(after)
+      assert(survivors.size == 1,
+        s"exactly one original file must survive untouched: before=$before after=$after")
+      val replaced = before -- after
+      assert(replaced.size == 1, s"exactly one file replaced: $replaced")
+      // the surviving file is the one with no matching rows (k=100,102)
+      val keptRows = s.sql("SELECT k, _file FROM graft.t WHERE k >= 100")
+        .collect().map(_.getString(1)).toSet
+      assert(keptRows.subsetOf(survivors.map(p =>
+        graft.sources.CompactionRunner.canonPath(p))),
+        s"rows of the untouched file must still read from it: $keptRows vs $survivors")
+      // a DELETE matching NOTHING must leave the table head untouched
+      val head = cat.currentSnapshotId("t")
+      s.sql("DELETE FROM graft.t WHERE k % 97 = 45")
+      assert(cat.currentSnapshotId("t") == head,
+        "no-match group-filtered DELETE must not commit")
+    }
+  }
+
   test("_file and _pos metadata columns are selectable and delete-consistent") {
     val root = Files.createTempDirectory("graft-delta-meta").toString
     withCatalogSession(root) { s =>
