@@ -221,6 +221,19 @@ object ExplainAudit {
         "join with a broadcastable build side — the eq-delete equality " +
         "probe (equi join + seq residual per row) is gone from the read " +
         "plan entirely; that retirement is the operation's point."),
+    "q145_dsv2_mor_dml" ->
+      ("Final read after three MERGE-ON-READ DSv2 DML statements " +
+        "(WriteDelta: pos-delete + data-file pairs, originals untouched): " +
+        "the scan applies the accumulated position deletes as hash anti " +
+        "joins with broadcastable delete sides, then one keyed aggregate " +
+        "- the delta layout's read cost, which rewrite_equality_deletes/" +
+        "compaction bound between maintenance runs."),
+    "q146_call_procedures" ->
+      ("Final read after CALL-procedure maintenance (rewrite_data_files + " +
+        "expire_snapshots through the native ProcedureCatalog): a plain " +
+        "pruned scan of the compacted files cross-joined with the 1-row " +
+        "metadata count - identical plan residue to the TVF spelling " +
+        "(q138), which is the point."),
     "q144_dsv2_catalog" ->
       ("The DSv2 doorway read after CREATE/INSERT/DELETE from bare SQL: " +
         "a V1ScanWrapper over the catalog scan with the projection pruned " +

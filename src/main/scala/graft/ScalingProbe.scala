@@ -255,6 +255,39 @@ object ScalingProbe {
       (mult, kept, total, tFull, tBloom)
     }
 
+    // ---- group-filtered copy-on-write DML over a growing table ----------
+    // A FIXED narrow DELETE (id range + modulo, untranslatable to source
+    // filters -> row-level copy-on-write) against a range-clustered table
+    // that grows 1x -> 16x. Runtime group filtering must confine the
+    // rewrite to the files containing matching rows, so FILES REPLACED
+    // stays ~flat while the table grows — without it every statement
+    // would rewrite all 8x-mult files.
+    val cowRows = Seq(1, 4, 16).map { mult =>
+      val dir = s"/tmp/graft_scale_cow_$mult"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val corpus = spark.read.parquet(s"/tmp/graft_scale_$mult/documents.parquet")
+        .select(col("doc_id"), col("n_chars"))
+      corpus.repartitionByRange(8 * mult, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val cat = new GraftCatalog(s"$dir/cat")
+      cat.createTable("t", parquetsIn(s"$dir/base").map(DataFileTask(_, 1L)))
+      val g = s"gcow$mult"
+      spark.conf.set(s"spark.sql.catalog.$g",
+        "graft.sources.dsv2.GraftSparkCatalog")
+      spark.conf.set(s"spark.sql.catalog.$g.root", s"$dir/cat")
+      val before = cat.loadEntries("t").filter(_.kind == "data")
+        .map(_.path).toSet
+      val t0 = System.nanoTime()
+      spark.sql(s"DELETE FROM $g.t WHERE doc_id % 2 = 0 " +
+        "AND doc_id BETWEEN 100 AND 600")
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = cat.loadEntries("t").filter(_.kind == "data")
+        .map(_.path).toSet
+      val replaced = (before -- after).size
+      println(f"cow mult=$mult%2d replaced=$replaced/${before.size} sec=$sec%6.2f")
+      (mult, replaced, before.size, sec)
+    }
+
     // ---- metadata-only range delete vs scan-based delete ----------------
     // A FIXED partition-aligned range is deleted from a growing
     // truncate-partitioned table. `deleteWhereRange` proves the drop from
@@ -391,6 +424,21 @@ object ScalingProbe {
     sb.append("|---|---|---|---|\n")
     bloomRows.foreach { case (m, k, tot, tF, tB) =>
       sb.append(f"| ${m}x | $k/$tot | $tF%.2f | $tB%.2f |\n")
+    }
+
+    sb.append("\n## Group-filtered copy-on-write DML (DSv2 doorway)\n\n")
+    sb.append("A FIXED narrow DELETE (id range + modulo — untranslatable, so it\n")
+    sb.append("plans as row-level copy-on-write ReplaceData) on a range-clustered\n")
+    sb.append("table growing 1x -> 16x. Runtime group filtering\n")
+    sb.append("(SupportsRuntimeV2Filtering on _file) must confine the rewrite to\n")
+    sb.append("the files holding matching rows: FILES REPLACED stays ~flat while\n")
+    sb.append("total files grow 16x — without it every statement rewrites the\n")
+    sb.append("whole table, the difference between a KB-sized commit and a\n")
+    sb.append("table rewrite at 100 TB.\n\n")
+    sb.append("| mult | files replaced / total | delete (s) |\n")
+    sb.append("|---|---|---|\n")
+    cowRows.foreach { case (m, r, tot, sec) =>
+      sb.append(f"| ${m}x | $r/$tot | $sec%.2f |\n")
     }
 
     sb.append("\n## Metadata-only vs scan-based range delete\n\n")
