@@ -374,7 +374,11 @@ object ScalingProbe {
                  |- q132 span inventory: shuffle grows WITH the corpus (${r132._1}%.1fx at
                  |  16x data) — ~linear by design: every span key is counted once in a
                  |  partial+final hash agg and the join-back shares the partitioning;
-                 |  a quadratic pairing stage would blow this row up first.
+                 |  a quadratic pairing stage would blow this row up first. The
+                 |  modest over-linear excess is partial-agg hash-fallback flushing
+                 |  duplicate keys per partition under memory pressure — bounded by
+                 |  INPUT size (never pair count), and it shrinks as executors/
+                 |  partitions scale with the data.
                  |- q133 shard packing: shuffle stays TINY at every size ($mb133%.1f MB at
                  |  16x, vs q132's ${shapeRows.last._3.head._1 / 1e6}%.1f MB over the same
                  |  corpus) — the two-level prefix sum exchanges per-partition token

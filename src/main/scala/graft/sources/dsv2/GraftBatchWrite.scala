@@ -12,6 +12,43 @@ import org.apache.spark.util.SerializableConfiguration
 
 import graft.sources.GraftCatalog
 
+/** [[GraftBatchWrite]] as a `Write`, requesting the table's declared sort
+  * order (Iceberg's `write-order`, `GraftCatalog.sortOrder`) from the
+  * ENGINE: Spark range-partitions and sorts the incoming rows BEFORE they
+  * reach the writers (`RequiresDistributionAndOrdering`), so an INSERT
+  * into a sort-ordered table lands range-clustered files whose per-column
+  * bounds immediately feed stats pruning — the ingest-time half of the
+  * clustering story (compaction enforces it for pre-existing layouts).
+  * Tables without a declared order skip both requirements (no extra
+  * exchange on the hot append path).
+  */
+final class GraftOrderedWrite(
+    batch: GraftBatchWrite,
+    sortCols: Seq[String])
+    extends Write
+    with RequiresDistributionAndOrdering {
+
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+
+  private def orders: Array[SortOrder] =
+    sortCols.map(c => Expressions.sort(Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+
+  override def requiredDistribution(): Distribution =
+    if (sortCols.isEmpty) Distributions.unspecified()
+    else Distributions.ordered(orders)
+
+  // clustering is an OPTIMIZATION, not a correctness need: let AQE pick
+  // partition counts and fall back freely
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[SortOrder] =
+    if (sortCols.isEmpty) Array.empty else orders
+
+  override def toBatch: BatchWrite = batch
+}
+
 /** Distributed parquet write for the DSv2 doorway: each task streams its
   * rows through Spark's own parquet `OutputWriter` (identical bytes to
   * `df.write.parquet`) into a fresh generation directory under the

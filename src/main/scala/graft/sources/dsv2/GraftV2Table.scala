@@ -83,12 +83,13 @@ final class GraftV2Table(
       // truncate-then-append would leave a observable empty snapshot
       private var replaceAll = false
       override def truncate(): WriteBuilder = { replaceAll = true; this }
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = new GraftBatchWrite(
-          root, tableName, info.schema(),
+      override def build(): Write = new GraftOrderedWrite(
+        new GraftBatchWrite(root, tableName, info.schema(),
           replaceAt = if (replaceAll) Some(cat.currentSnapshotId(tableName))
-            else None)
-      }
+            else None),
+        // the table's declared write-order drives engine-side clustering;
+        // only columns the write actually carries can be ordered by
+        cat.sortOrder(tableName).filter(info.schema().fieldNames.contains))
     }
   }
 

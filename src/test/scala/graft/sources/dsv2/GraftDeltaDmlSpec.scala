@@ -163,6 +163,42 @@ class GraftDeltaDmlSpec extends SparkSpec {
     }
   }
 
+  test("INSERT into a sort-ordered table lands range-clustered files") {
+    val root = Files.createTempDirectory("graft-ordered-w").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT, v STRING)")
+      val cat = new GraftCatalog(root)
+      cat.setSortOrder("t", Seq("k"))
+      // rows arrive SHUFFLED; the declared write-order must make the
+      // engine range-partition + sort them before the writers (AQE
+      // coalescing off so the tiny fixture keeps several partitions —
+      // at real scale the range exchange produces many)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s.sql("""INSERT INTO graft.t
+               SELECT /*+ REPARTITION(4) */ id * 37 % 1000 AS k,
+                      CAST(id AS STRING) AS v
+               FROM range(0, 1000)""")
+      val files = cat.loadEntries("t").filter(_.kind == "data").map(_.path)
+      assert(files.size > 1, s"need several files to prove clustering: $files")
+      // per-file [min, max] of k must be pairwise DISJOINT (range
+      // clustering), which unordered round-robin writes would never give
+      val bounds = files.map { p =>
+        val r = s.read.parquet(p.stripPrefix("file:"))
+          .agg(org.apache.spark.sql.functions.min("k"),
+            org.apache.spark.sql.functions.max("k")).head()
+        (r.getLong(0), r.getLong(1))
+      }.sortBy(_._1)
+      bounds.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi <= lo2, s"overlapping file ranges: $bounds")
+        case _ => ()
+      }
+      // and the rows all arrived
+      assert(s.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 1000L)
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    }
+  }
+
   test("_file and _pos metadata columns are selectable and delete-consistent") {
     val root = Files.createTempDirectory("graft-delta-meta").toString
     withCatalogSession(root) { s =>
