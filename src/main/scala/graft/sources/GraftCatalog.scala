@@ -684,6 +684,45 @@ final class GraftCatalog(root: String,
       col(MorPlanner.PosCol).as("_pos"): _*)
   }
 
+  /** Atomic filter-OVERWRITE (`df.writeTo(t).overwrite(cond)` /
+    * `INSERT INTO t REPLACE WHERE cond`): rows matching `predicate` at
+    * the base snapshot are suppressed via freshly-computed position
+    * deletes, and `dataFiles` (already written by the engine) land as the
+    * replacement — ONE commit, so readers never observe the
+    * deleted-but-not-yet-replaced intermediate state a delete+append
+    * sequence would expose. The pos-delete scan prunes to the predicate
+    * columns + row identity; data files are untouched.
+    */
+  def overwriteWhere(
+      spark: SparkSession,
+      table: String,
+      expectedHead: Long,
+      predicate: org.apache.spark.sql.Column,
+      dataFiles: Seq[GraftCatalog.AddedFile],
+      outDir: String): Long = {
+    import org.apache.spark.sql.functions.col
+    val entries = readSnapshot(table, expectedHead)
+    val posFiles: Seq[GraftCatalog.AddedFile] =
+      if (dataTasks(entries).isEmpty) Nil
+      else {
+        val data = CompactionRunner.scanWithHiddenCols(spark,
+          dataTasks(entries), schemaAt(table, expectedHead))
+        val matched = data.filter(predicate)
+          .select(col(graft.operators.MorPlanner.FilePathCol).as("file_path"),
+            col(graft.operators.MorPlanner.PosCol).as("pos"))
+        val delDir = s"$outDir/overwrite-pos-${java.util.UUID.randomUUID()}"
+        matched.write.mode("errorifexists").parquet(delDir)
+        listParquetsIn(spark, delDir).flatMap { p =>
+          val n = spark.read.parquet(p).count()
+          if (n == 0) None
+          else Some(GraftCatalog.AddedFile(p, "parquet", n,
+            Files.size(java.nio.file.Paths.get(p.stripPrefix("file:")))))
+        }
+      }
+    if (dataFiles.isEmpty && posFiles.isEmpty) currentSnapshotId(table)
+    else commitRowDelta(table, expectedHead, dataFiles, posFiles)
+  }
+
   /** One-commit ROW DELTA: new data files + position-delete files land
     * together at the next sequence, base-asserted under the table lock —
     * the commit shape of a DSv2 `WriteDelta` (merge-on-read UPDATE/MERGE:

@@ -73,7 +73,8 @@ final class GraftBatchWrite(
     table: String,
     schema: StructType,
     replaceAt: Option[Long],
-    replaceOnly: () => Option[Set[String]] = () => None)
+    replaceOnly: () => Option[Set[String]] = () => None,
+    overwriteWhere: Option[(Array[org.apache.spark.sql.sources.Filter], Long)] = None)
     extends BatchWrite {
 
   private val dir =
@@ -94,6 +95,17 @@ final class GraftBatchWrite(
         GraftCatalog.AddedFile(path, "parquet", rows, bytes)
     }
     val cat = new GraftCatalog(root)
+    overwriteWhere match {
+      case Some((filters, base)) =>
+        // atomic filter-overwrite: suppression pos-deletes + the written
+        // replacement files in ONE base-asserted commit
+        val cond = filters.flatMap(V1FilterColumns.toColumn)
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        cat.overwriteWhere(SparkSession.active, table, base, cond, files, dir)
+        return
+      case None => ()
+    }
     replaceAt match {
       case Some(base) => replaceOnly() match {
         case Some(group) =>

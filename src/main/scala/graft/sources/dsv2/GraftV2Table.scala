@@ -66,7 +66,8 @@ final class GraftV2Table(
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def properties(): util.Map[String, String] =
     cat.tableProperties(tableName).asJava
@@ -77,16 +78,30 @@ final class GraftV2Table(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
-    new WriteBuilder with WriteSupportsTruncate {
+    new WriteBuilder with SupportsOverwrite {
       // INSERT INTO appends; INSERT OVERWRITE (OverwriteByExpression with
       // a TRUE condition) replaces the table content in ONE commit —
-      // truncate-then-append would leave a observable empty snapshot
+      // truncate-then-append would leave an observable empty snapshot;
+      // a FILTER overwrite (df.writeTo(t).overwrite(cond) / INSERT INTO t
+      // REPLACE WHERE cond) suppresses matching rows via pos-deletes and
+      // lands the replacement files in the same commit
       private var replaceAll = false
+      private var filterOverwrite: Option[Array[Filter]] = None
       override def truncate(): WriteBuilder = { replaceAll = true; this }
+      override def canOverwrite(filters: Array[Filter]): Boolean =
+        filters.forall(f => f.isInstanceOf[sources.AlwaysTrue] ||
+          V1FilterColumns.toColumn(f).isDefined)
+      override def overwrite(filters: Array[Filter]): WriteBuilder = {
+        if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) replaceAll = true
+        else filterOverwrite = Some(filters)
+        this
+      }
       override def build(): Write = new GraftOrderedWrite(
         new GraftBatchWrite(root, tableName, info.schema(),
           replaceAt = if (replaceAll) Some(cat.currentSnapshotId(tableName))
-            else None),
+            else None,
+          overwriteWhere = filterOverwrite.map(f =>
+            (f, cat.currentSnapshotId(tableName)))),
         // the table's declared write-order drives engine-side clustering;
         // only columns the write actually carries can be ordered by
         cat.sortOrder(tableName).filter(info.schema().fieldNames.contains))

@@ -163,6 +163,39 @@ class GraftDeltaDmlSpec extends SparkSpec {
     }
   }
 
+  test("filter overwrite (REPLACE WHERE) is one atomic pos-delete + append commit") {
+    val root = Files.createTempDirectory("graft-repl-where").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT, v STRING)")
+      s.sql("INSERT INTO graft.t VALUES (1, 'old1'), (2, 'old2'), (9, 'keep')")
+      val cat = new GraftCatalog(root)
+      val head = cat.currentSnapshotId("t")
+      val before = dataPaths(cat, "t")
+      // SQL REPLACE WHERE: rows with k < 5 replaced by the new slice
+      s.sql("""INSERT INTO graft.t REPLACE WHERE k < 5
+               VALUES (1, 'new1'), (3, 'new3')""")
+      val rows = s.sql("SELECT k, v FROM graft.t ORDER BY k, v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "new1"), (3L, "new3"), (9L, "keep")), rows)
+      // ONE commit: pos-deletes suppress the old matching rows, originals
+      // untouched, replacement files added
+      assert(cat.currentSnapshotId("t") == head + 1, "atomic: one snapshot")
+      assert(before.subsetOf(dataPaths(cat, "t")), "no data-file rewrite")
+      assert(cat.loadEntries("t").exists(_.kind == "posdel"))
+      // DataFrameWriterV2 spelling of the same operation
+      import s.implicits._
+      Seq((9L, "replaced9")).toDF("k", "v").writeTo("graft.t")
+        .overwrite($"k" > 5)
+      assert(s.sql("SELECT v FROM graft.t WHERE k = 9").head().getString(0)
+        == "replaced9")
+      // stale-base safety: a concurrent commit between plan and commit
+      // conflicts instead of overwriting blind
+      intercept[graft.sources.GraftError.Metadata](
+        cat.commitRowDelta("t", head, Nil,
+          Seq(graft.sources.GraftCatalog.AddedFile("nope.parquet", "parquet", 1, 1))))
+    }
+  }
+
   test("INSERT into a sort-ordered table lands range-clustered files") {
     val root = Files.createTempDirectory("graft-ordered-w").toString
     withCatalogSession(root) { s =>
