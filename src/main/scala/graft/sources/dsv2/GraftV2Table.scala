@@ -369,20 +369,36 @@ private[dsv2] object GraftInnerFrame {
   }
 
   /** An `InternalRow` RDD of `df` that is safe to iterate from FOREIGN
-    * tasks (the DSv2 batch/stream serving shape). Most final-stage chains
-    * are: file scans, codegen maps, shuffle reads, broadcast consumers —
-    * all of which compute from the carried Partition alone. `UnionRDD` is
-    * the exception: its `compute` re-derives parent PARTITION OFFSETS via
-    * `getDependencies`, which calls `parent.partitions` — and
-    * `FileScanRDD.filePartitions` is `@transient`, so a deserialized
-    * union NPEs on the executor. A multi-schema-group table scan plans
-    * exactly such an inline union. When the lineage (walked driver-side,
-    * stopping at shuffle boundaries — shuffle READS are safe) contains a
-    * union, rebuild the frame behind an explicit repartition: the final
-    * stage is then a pure shuffle read.
+    * tasks (the DSv2 batch/stream serving shape), chosen by plan shape:
+    *
+    *  1. NARROW plans (file scans + maps + broadcast joins — the common
+    *     MoR read) are built with AQE OFF: the rdd is LAZY, so nothing
+    *     executes at plan time — `BatchScanExec` probes partitions BEFORE
+    *     runtime filters arrive, and an eager build here would execute
+    *     the unfiltered scan once per probe (measured: q136's COW gate
+    *     doubled under the eager build) — and every partition computes
+    *     from its carried `FilePartition` alone.
+    *  2. Chains with a shuffle dependency need their map stages
+    *     materialized first → the eager AQE build (toRdd runs
+    *     intermediate stages; the final shuffle-read rdd is
+    *     foreign-task-safe).
+    *  3. Chains containing a `UnionRDD` are NEVER foreign-task-safe (its
+    *     `compute` re-derives parent partition offsets via
+    *     `getDependencies` → `parent.partitions`, and
+    *     `FileScanRDD.filePartitions` is `@transient`, so a deserialized
+    *     union NPEs on the executor — a multi-schema-group table scan
+    *     plans exactly such an inline union) → rebuild behind an explicit
+    *     repartition so the final stage is a pure shuffle read.
     */
   def servableRdd(
       df: DataFrame): RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    def narrowSafe(r: org.apache.spark.rdd.RDD[_]): Boolean = r match {
+      case _: org.apache.spark.rdd.UnionRDD[_] => false
+      case _ => r.dependencies.forall {
+        case _: org.apache.spark.ShuffleDependency[_, _, _] => false
+        case d => narrowSafe(d.rdd)
+      }
+    }
     def unionFree(r: org.apache.spark.rdd.RDD[_]): Boolean = r match {
       case _: org.apache.spark.rdd.UnionRDD[_] => false
       case _ => r.dependencies.forall {
@@ -390,10 +406,16 @@ private[dsv2] object GraftInnerFrame {
         case d => unionFree(d.rdd)
       }
     }
-    val rdd = org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRdd(df)
-    if (unionFree(rdd)) rdd
-    else org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRdd(
-      df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions))
+    val lazyRdd =
+      org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRddNoAqe(df)
+    if (narrowSafe(lazyRdd)) lazyRdd
+    else {
+      val eager =
+        org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRdd(df)
+      if (unionFree(eager)) eager
+      else org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRdd(
+        df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions))
+    }
   }
 }
 
@@ -446,6 +468,19 @@ final class GraftRowLevelOperation(
     */
   @volatile private[dsv2] var groupFilter: Option[Set[String]] = None
 
+  /** Group filtering costs a matching-rows subquery scan per statement
+    * and an extra string column through the rewrite; it pays that back by
+    * SKIPPING files. A single-file table can never benefit (opt out
+    * automatically), and `write.cow.group-filter=false` opts a table out
+    * explicitly (e.g. small hot tables whose statements always touch
+    * every file — the q136 gate measures the default-ON cost).
+    */
+  private lazy val groupFilteringEnabled: Boolean = {
+    val cat = new GraftCatalog(root)
+    cat.loadTableAt(table, baseSnapshot).size > 1 &&
+      !cat.tableProperties(table).get("write.cow.group-filter").contains("false")
+  }
+
   override def command(): RowLevelOperation.Command = cmd
 
   /** `_file` rides the rewrite as a metadata attribute so the runtime
@@ -456,14 +491,16 @@ final class GraftRowLevelOperation(
     */
   override def requiredMetadataAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+    if (!groupFilteringEnabled) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val cat = new GraftCatalog(root)
     val schema = FieldIds.stripIds(cat.currentSchema(table)
       .getOrElse(cat.scanTable(SparkSession.active, table).schema))
     new GraftScanBuilder(root, table, Some(baseSnapshot), schema,
-      rowLevel = true, host = Some(this))
+      rowLevel = true,
+      host = if (groupFilteringEnabled) Some(this) else None)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

@@ -46,6 +46,27 @@ object DatasetBridge {
     df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
       .queryExecution.toRdd
 
+  /** As [[internalRowRdd]] but planned with AQE DISABLED (thread-local
+    * conf override, fresh execution over the same logical plan): for
+    * NARROW plans (file scans + maps + broadcasts) this returns a LAZY
+    * rdd — no driver-side stage execution at build time, each partition
+    * computes where it is iterated. Broadcast sides still materialize
+    * (small driver collects). The caller must verify the chain is narrow
+    * before serving it to foreign tasks — a shuffle dependency here has
+    * NO materialized map outputs.
+    */
+  def internalRowRddNoAqe(
+      df: DataFrame): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val conf = ds.sparkSession.sessionState.conf.clone()
+    conf.setConf(
+      org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED, false)
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(conf) {
+      classic.Dataset.ofRows(ds.sparkSession, ds.queryExecution.logical)
+        .queryExecution.toRdd
+    }
+  }
+
   /** The inverse of [[asBatch]] for a V1 streaming SOURCE's `getBatch`:
     * the engine requires the returned frame to be streaming-tagged, while
     * the rows come from an ordinary batch read of the delta files.
