@@ -344,10 +344,17 @@ object ExplainAudit {
     sb.append("unexamined. recordedSec refreshed to the per-key min of r7/r9/r10\n")
     sb.append("— 74 stale post-staging-rework ceilings (e.g. q122 7.22->1.03)\n")
     sb.append("now arm the 2x net at the real healthy levels.\n")
-    sb.append("r11 full idle-box run: 104 s over ALL 140 queries, zero errors,\n")
-    sb.append("slowest q136 3.8 s (three DSv2 copy-on-write DML lifecycles);\n")
-    sb.append("q108 back at 0.64 s. New gates: q142 0.29 / q143 2.27 / q144\n")
-    sb.append("1.12 s (levels recorded in Bench.recordedSec).\n")
+    sb.append("r11 full idle-box runs: 104-108 s over the full suite (137-139\n")
+    sb.append("queries as gates landed), zero errors; q108 back at 0.56-0.64 s.\n")
+    sb.append("New gates: q142-q146 (levels in Bench.recordedSec). q136 rose\n")
+    sb.append("3.6 -> 6.6 s when COW DML gained runtime group filtering: each\n")
+    sb.append("statement pays the matching-rows subquery + per-row _file, which\n")
+    sb.append("the 60k two-file gate cannot earn back by pruning (machinery-off\n")
+    sb.append("probe: 3.67 s) — the payback is SCALING.md's COW section (1 of\n")
+    sb.append("128 files replaced as the table grows 16x); tables can opt out\n")
+    sb.append("via write.cow.group-filter=false. The round's closing run under\n")
+    sb.append("visible host drift recorded 127 s (uniform inflation, the\n")
+    sb.append("documented stall profile).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
