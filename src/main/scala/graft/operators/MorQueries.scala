@@ -394,6 +394,13 @@ object MorQueries {
     val root = java.nio.file.Files.createTempDirectory("graft-q136").toString
     val cat = new graft.sources.GraftCatalog(s"$root/cat")
     cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    // the 60k two-file slice can never win from COW runtime group
+    // filtering (every statement's rows span both files), so the gate
+    // opts out via the documented knob and measures the DML itself; the
+    // group-filter mechanism has its own evidence (GraftDeltaDmlSpec +
+    // SCALING.md's 1-of-128-files-replaced curve)
+    cat.updateTableProperties("lineitem",
+      Map("write.cow.group-filter" -> "false"))
     val g = s"g136_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
     spark.conf.set(s"spark.sql.catalog.$g.root", s"$root/cat")
