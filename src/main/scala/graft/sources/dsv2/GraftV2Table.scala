@@ -230,9 +230,42 @@ class GraftV1Scan(
     filters: Array[Filter],
     skipRewrites: Boolean = false,
     host: Option[GraftRowLevelOperation] = None)
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Metadata-answered size/row estimate (the per-file sizes and counts
+    * every commit path stamps into the manifest) so a SMALL catalog table
+    * mounted through the DSv2 doorway AUTO-BROADCASTS in joins — without
+    * this Spark assumes the conservative default and every dim-to-fact
+    * join on a doorway table would shuffle at 100 TB. Any unknown size
+    * (-1, e.g. REST-appended externals) poisons the estimate back to
+    * unknown: never risk mis-broadcasting an unbounded table.
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val cat = new GraftCatalog(root)
+    val entries = asOf match {
+      case Some(sid) => cat.loadEntriesAt(table, sid)
+      case None => cat.loadEntries(table)
+    }
+    val data = entries.filter(_.kind == "data")
+    val sizes = data.map(_.sizeBytes)
+    val counts = data.map(_.recordCount)
+    val hasDeletes = entries.exists(_.kind != "data")
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (data.nonEmpty && sizes.forall(_ >= 0L))
+          java.util.OptionalLong.of(math.max(1L, sizes.sum))
+        else java.util.OptionalLong.empty()
+      // pending deletes suppress an unknown number of rows at read time;
+      // the manifest sum would OVERCOUNT — report size only then
+      override def numRows(): java.util.OptionalLong =
+        if (data.nonEmpty && !hasDeletes && counts.forall(_ >= 0L))
+          java.util.OptionalLong.of(counts.sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

@@ -146,6 +146,22 @@ class GraftSparkCatalogSpec extends SparkSpec {
     }
   }
 
+  test("a small doorway table auto-broadcasts in joins from manifest sizes") {
+    val root = Files.createTempDirectory("graft-dsv2-stats").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.dim (k BIGINT, name STRING)")
+      s.sql("INSERT INTO graft.dim SELECT id, concat('n', id) FROM range(0, 50)")
+      s.range(0, 100000).createOrReplaceTempView("fact")
+      val joined = s.sql(
+        """SELECT f.id, d.name FROM fact f
+          |JOIN graft.dim d ON f.id % 50 = d.k""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        s"a KB-sized catalog table must broadcast without a hint:\n${plan.take(1500)}")
+      assert(joined.count() == 100000L)
+    }
+  }
+
   test("DDL edges: drop, rename across namespaces, properties, errors") {
     val root = Files.createTempDirectory("graft-dsv2-ddl").toString
     withCatalogSession(root) { s =>
