@@ -29,6 +29,12 @@ object FieldIds {
   private def withId(m: Metadata, id: Int): Metadata =
     new MetadataBuilder().withMetadata(m).putLong(MetaKey, id.toLong).build()
 
+  /** `f` stamped with exactly `id` (schema-evolution helpers mint fresh
+    * ids for ADDED columns; renames keep theirs).
+    */
+  def withFieldId(f: StructField, id: Int): StructField =
+    f.copy(metadata = withId(f.metadata, id))
+
   /** Stamp sequential 1-based ids onto top-level fields that lack one;
     * fields that already carry an id keep it.
     */

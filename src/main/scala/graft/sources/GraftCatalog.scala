@@ -334,6 +334,18 @@ final class GraftCatalog(root: String,
   private def carrySchema(table: String, fromId: Long, toId: Long): Unit =
     schemaAt(table, fromId).foreach(s => writeSchema(table, toId, s))
 
+  /** The next UNUSED field id for `table`: 1 + the max id across every
+    * retained snapshot's schema — dropped ids must never return (old
+    * files still bind them), so fresh ids mint past the historical high
+    * water mark, not just the current schema's.
+    */
+  def nextFieldId(table: String): Int = {
+    val ids = (snapshotIds(table).flatMap(id => schemaAt(table, id)) ++
+      currentSchema(table).toSeq)
+      .flatMap(_.fields.flatMap(FieldIds.idOf))
+    ids.foldLeft(0)(math.max) + 1
+  }
+
   /** Metadata-only schema-evolution commit: same files, new canonical
     * schema. Renames keep their field ids (invisible to readers), new
     * fields get fresh ids (old files read them as nulls), removed fields'

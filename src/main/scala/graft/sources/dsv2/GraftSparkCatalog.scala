@@ -134,14 +134,77 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     val removes = changes.collect {
       case r: TableChange.RemoveProperty => r.property
     }.toSet
+    val columnChanges = changes.collect {
+      case c: TableChange.ColumnChange => c
+    }
     val unsupported = changes.filterNot(c =>
       c.isInstanceOf[TableChange.SetProperty] ||
-        c.isInstanceOf[TableChange.RemoveProperty])
+        c.isInstanceOf[TableChange.RemoveProperty] ||
+        c.isInstanceOf[TableChange.ColumnChange])
     if (unsupported.nonEmpty)
       throw new UnsupportedOperationException(
-        s"unsupported ALTER TABLE changes for graft: ${unsupported.mkString(", ")} " +
-          "(schema evolution goes through the catalog's field-id-checked " +
-          "evolveSchema — GraftCatalog.evolveSchema)")
+        s"unsupported ALTER TABLE changes for graft: ${unsupported.mkString(", ")}")
+    if (columnChanges.nonEmpty) {
+      // column DDL maps onto the catalog's field-id-checked evolveSchema:
+      // ADD mints a fresh id past the historical high-water mark (old
+      // files read the column as nulls), RENAME keeps its id (invisible
+      // to id-resolving readers), DROP removes it (the id never returns),
+      // type/nullability changes go through the same legal-promotion
+      // checks every other evolution does
+      val cur = cat.currentSchema(t).getOrElse(
+        throw new UnsupportedOperationException(
+          s"$t has no canonical schema to evolve — column DDL needs one " +
+            "(tables created through this catalog always have it; register " +
+            "one on externally-created tables via GraftCatalog.evolveSchema)"))
+      var fields = cur.fields.toVector
+      var nextId = cat.nextFieldId(t)
+      def top(names: Array[String], what: String): String = {
+        if (names.length != 1) throw new UnsupportedOperationException(
+          s"$what: nested column paths are not supported " +
+            s"(got ${names.mkString(".")})")
+        names.head
+      }
+      def idx(name: String): Int = {
+        val i = fields.indexWhere(_.name == name)
+        if (i < 0) throw new IllegalArgumentException(
+          s"column '$name' does not exist in $t " +
+            s"(columns: ${fields.map(_.name).mkString(", ")})")
+        i
+      }
+      columnChanges.foreach {
+        case a: TableChange.AddColumn =>
+          val name = top(a.fieldNames(), "ADD COLUMNS")
+          if (fields.exists(_.name == name))
+            throw new IllegalArgumentException(s"column '$name' already exists in $t")
+          val base = org.apache.spark.sql.types.StructField(
+            name, a.dataType(), a.isNullable)
+          fields = fields :+ FieldIds.withFieldId(base, nextId)
+          nextId += 1
+        case r: TableChange.RenameColumn =>
+          val i = idx(top(r.fieldNames(), "RENAME COLUMN"))
+          fields = fields.updated(i, fields(i).copy(name = r.newName()))
+        case d: TableChange.DeleteColumn =>
+          val name = top(d.fieldNames(), "DROP COLUMN")
+          val i = fields.indexWhere(_.name == name)
+          if (i < 0) {
+            if (d.ifExists() == null || !d.ifExists())
+              throw new IllegalArgumentException(
+                s"column '$name' does not exist in $t")
+          } else fields = fields.patch(i, Nil, 1)
+        case u: TableChange.UpdateColumnType =>
+          val i = idx(top(u.fieldNames(), "ALTER COLUMN TYPE"))
+          fields = fields.updated(i, fields(i).copy(dataType = u.newDataType()))
+        case n: TableChange.UpdateColumnNullability =>
+          val i = idx(top(n.fieldNames(), "ALTER COLUMN NULLABILITY"))
+          fields = fields.updated(i, fields(i).copy(nullable = n.nullable()))
+        case other =>
+          throw new UnsupportedOperationException(
+            s"unsupported column change for graft: $other")
+      }
+      // illegal evolutions (narrowing, nullability tightening, id reuse)
+      // fail HERE with the catalog's named reasons
+      cat.evolveSchema(t, org.apache.spark.sql.types.StructType(fields))
+    }
     if (sets.nonEmpty || removes.nonEmpty)
       cat.updateTableProperties(t, sets, removes)
     new GraftV2Table(root, t, asOf = None)
