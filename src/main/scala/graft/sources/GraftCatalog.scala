@@ -1417,6 +1417,35 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** [[appendStreamBatch]] for files ALREADY WRITTEN by the engine's own
+    * streaming writers (the DSv2 `writeStream.toTable` path — executors
+    * stream rows straight into parquet, the driver commits): one
+    * exactly-once commit per epoch under the same per-query batch marks,
+    * replays skip, empty epochs publish nothing.
+    */
+  def commitStreamFiles(
+      table: String,
+      queryId: String,
+      batchId: Long,
+      files: Seq[GraftCatalog.AddedFile]): Option[Long] = withTableLock(table) {
+    val marks = readStreamMarks(table)
+    if (marks.get(queryId).exists(_._1 >= batchId)) None // replayed epoch
+    else if (files.isEmpty) None // empty batch: nothing to publish
+    else {
+      val entries = loadEntries(table)
+      val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+      val added = files.map(f => TableEntry("data",
+        CompactionRunner.canonPath(f.path), seq, f.format, Nil,
+        recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+      val nextId = currentSnapshotId(table) + 1
+      writeSnapshot(table, nextId, entries ++ added)
+      writeStreamMarks(table, marks + (queryId -> (batchId, nextId)))
+      carrySchema(table, nextId - 1, nextId)
+      advanceHead(table, nextId - 1, nextId)
+      Some(nextId)
+    }
+  }
+
   /** Start a streaming ingestion query draining `stream` into the table —
     * the production shape: a document/event stream lands as committed
     * catalog snapshots, one per micro-batch, restart-safe via the

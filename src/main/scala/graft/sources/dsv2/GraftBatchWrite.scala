@@ -24,7 +24,8 @@ import graft.sources.GraftCatalog
   */
 final class GraftOrderedWrite(
     batch: GraftBatchWrite,
-    sortCols: Seq[String])
+    sortCols: Seq[String],
+    streaming: Option[() => org.apache.spark.sql.connector.write.streaming.StreamingWrite] = None)
     extends Write
     with RequiresDistributionAndOrdering {
 
@@ -47,6 +48,10 @@ final class GraftOrderedWrite(
     if (sortCols.isEmpty) Array.empty else orders
 
   override def toBatch: BatchWrite = batch
+
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    streaming.fold(super.toStreaming)(_.apply())
 }
 
 /** Distributed parquet write for the DSv2 doorway: each task streams its
@@ -153,8 +158,12 @@ final class GraftDataWriter(
 
   private val path =
     f"$dir/part-$partitionId%05d-$taskId.parquet"
-  private lazy val writer =
+  private lazy val writer = {
+    // streaming epochs write under per-epoch subdirs the driver has not
+    // pre-created; local-FS runs need the mkdir (object stores do not)
+    Files.createDirectories(Paths.get(dir.stripPrefix("file:")))
     ParquetWriteBridge.newWriter(factory, conf, schema, path, partitionId, taskId)
+  }
   private var rows = 0L
 
   /** Strips the leading `__row_operation` marker Spark 4's group-based
@@ -198,6 +207,68 @@ final class GraftDataWriter(
   }
 
   override def close(): Unit = ()
+}
+
+/** `writeStream.toTable("graft.t")` — the DSv2 streaming SINK: executor
+  * tasks stream rows straight into parquet files (same
+  * `OutputWriterFactory` plumbing as the batch writers, one file per
+  * non-empty task per epoch), and the driver lands each epoch as ONE
+  * exactly-once catalog commit keyed by (queryId, epochId) through the
+  * same per-query batch marks the V1 `format("graft")` sink uses —
+  * replayed epochs after a restart skip, torn commits roll forward at
+  * the next lock entry. Append output mode only (the catalog is an
+  * append-of-immutable-files store; complete/update modes are refused by
+  * the engine because the table declares no streaming truncate).
+  */
+final class GraftStreamingWrite(
+    root: String,
+    table: String,
+    schema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val dir =
+    s"$root/_data/$table/v2stream-${java.util.UUID.randomUUID()}"
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    Files.createDirectories(Paths.get(dir))
+    val (factory, conf) = ParquetWriteBridge.prepare(
+      spark, schema, ParquetWriteBridge.hadoopConfOf(spark))
+    GraftStreamingWriterFactory(dir, schema, factory, conf)
+  }
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect {
+      case GraftFileCommit(path, rows, bytes) =>
+        GraftCatalog.AddedFile(path, "parquet", rows, bytes)
+    }
+    new GraftCatalog(root).commitStreamFiles(table, queryId, epochId, files.toSeq)
+  }
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case GraftFileCommit(path, _, _) =>
+        Files.deleteIfExists(Paths.get(path.stripPrefix("file:")))
+      case _ => ()
+    }
+}
+
+final case class GraftStreamingWriterFactory(
+    dir: String,
+    schema: StructType,
+    factory: OutputWriterFactory,
+    conf: SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(s"$dir/epoch-$epochId", schema, factory, conf,
+      partitionId, taskId)
 }
 
 final case class GraftFileCommit(path: String, rows: Long, bytes: Long)

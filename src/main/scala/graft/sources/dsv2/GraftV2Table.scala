@@ -66,8 +66,8 @@ final class GraftV2Table(
 
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
 
   override def properties(): util.Map[String, String] =
     cat.tableProperties(tableName).asJava
@@ -104,7 +104,9 @@ final class GraftV2Table(
             (f, cat.currentSnapshotId(tableName)))),
         // the table's declared write-order drives engine-side clustering;
         // only columns the write actually carries can be ordered by
-        cat.sortOrder(tableName).filter(info.schema().fieldNames.contains))
+        cat.sortOrder(tableName).filter(info.schema().fieldNames.contains),
+        streaming = Some(() => new GraftStreamingWrite(
+          root, tableName, info.schema(), info.queryId())))
     }
   }
 

@@ -73,6 +73,69 @@ class GraftV2StreamSpec extends SparkSpec {
     }
   }
 
+  test("writeStream.toTable lands exactly-once epoch commits; restart replays skip") {
+    val root = Files.createTempDirectory("graft-v2sw").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.sink (k BIGINT, v STRING)")
+      val cat = new GraftCatalog(root)
+      val srcDir = Files.createTempDirectory("graft-v2sw-src").toString
+      val ckpt = Files.createTempDirectory("graft-v2sw-ckpt").toString
+      import s.implicits._
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$srcDir/b1")
+      def drainOnce(): Unit = {
+        val q = s.readStream.schema("k BIGINT, v STRING")
+          .parquet(s"$srcDir/*")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft.sink")
+        q.awaitTermination()
+      }
+      drainOnce()
+      assert(s.sql("SELECT count(*) FROM graft.sink").head().getLong(0) == 2L)
+      val headAfterFirst = cat.currentSnapshotId("sink")
+      // a RESTART with nothing new: replayed/empty epochs commit nothing
+      drainOnce()
+      assert(cat.currentSnapshotId("sink") == headAfterFirst,
+        "restart with no new data must not commit")
+      assert(s.sql("SELECT count(*) FROM graft.sink").head().getLong(0) == 2L)
+      // new source data: exactly the delta lands, one commit
+      Seq((3L, "c")).toDF("k", "v").write.mode("append").parquet(s"$srcDir/b2")
+      drainOnce()
+      assert(s.sql("SELECT k FROM graft.sink ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+      // the sink table is a full catalog citizen: MoR delete + read back
+      cat.deleteWhere(s, "sink",
+        org.apache.spark.sql.functions.col("k") === 2L, s"$root/_d")
+      assert(s.sql("SELECT count(*) FROM graft.sink").head().getLong(0) == 2L)
+    }
+  }
+
+  test("stream round-trip: readStream.table of one graft table into another") {
+    val root = Files.createTempDirectory("graft-v2rt").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.src (k BIGINT, v STRING)")
+      s.sql("CREATE TABLE graft.dst (k BIGINT, v STRING)")
+      s.sql("INSERT INTO graft.src VALUES (1, 'a'), (2, 'b')")
+      val ckpt = Files.createTempDirectory("graft-v2rt-ckpt").toString
+      def pump(): Unit = {
+        val q = s.readStream.table("graft.src")
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable("graft.dst")
+        q.awaitTermination()
+      }
+      pump()
+      assert(s.sql("SELECT count(*) FROM graft.dst").head().getLong(0) == 2L)
+      s.sql("INSERT INTO graft.src VALUES (3, 'c')")
+      pump()
+      assert(s.sql("SELECT k FROM graft.dst ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L),
+        "second pump must move ONLY the delta")
+    }
+  }
+
   test("a rewrite snapshot fails the stream loudly by default") {
     val root = Files.createTempDirectory("graft-v2s-rw").toString
     val out = Files.createTempDirectory("graft-v2s-rw-out").toString
