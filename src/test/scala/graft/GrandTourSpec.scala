@@ -11,10 +11,12 @@ import graft.wire.RestCatalogServer
   * single lifecycle — REST create (external engine shape), SQL INSERT
   * (temp view over the data source), SQL row-level DML (injected rule),
   * tag + TVF time travel, SQL maintenance (compact + expire), REST schema
-  * evolution, and the REST read surface reflecting all of it. This is the
-  * switch-over story in one spec: a reference user can reach this catalog
-  * through whichever doorway their stack already speaks, and the doorways
-  * compose on the same table.
+  * evolution, the REST read surface reflecting all of it, and finally the
+  * DSv2 doorway (round 11) mounting the SAME root for engine-native
+  * SELECT, row-level DML, and CALL maintenance. This is the switch-over
+  * story in one spec: a reference user can reach this catalog through
+  * whichever doorway their stack already speaks, and the doorways compose
+  * on the same table.
   */
 class GrandTourSpec extends SparkSpec {
 
@@ -134,6 +136,28 @@ class GrandTourSpec extends SparkSpec {
         s"SELECT current_snapshot_id FROM graft_tables('$root') WHERE table_name = 'tour'")
         .head().getLong(0)
       assert(sqlHead == cat.currentSnapshotId("tour"))
+
+      // 9. the DSv2 doorway mounts the SAME root: engine-native SELECT,
+      //    row-level DML through Spark's own planning, a CALL procedure —
+      //    and the REST surface sees the doorway's commits
+      val g = s"gtour_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$g",
+        "graft.sources.dsv2.GraftSparkCatalog")
+      spark.conf.set(s"spark.sql.catalog.$g.root", root)
+      assert(spark.sql(s"SELECT count(*) FROM $g.tour").head().getLong(0) == 90)
+      val expectAfter = 90 - spark.sql(
+        s"SELECT count(*) FROM $g.tour WHERE k % 10 = 1").head().getLong(0)
+      spark.sql(s"DELETE FROM $g.tour WHERE k % 10 = 1") // native row-level COW
+      val afterDml = spark.sql(s"SELECT count(*) FROM $g.tour").head().getLong(0)
+      assert(afterDml == expectAfter, s"doorway DELETE must land: $afterDml")
+      spark.sql(s"CALL $g.system.rewrite_data_files('tour', 'full')").collect()
+      assert(cat.loadEntries("tour").count(_.kind != "data") == 0)
+      assert(spark.sql(s"SELECT count(*) FROM $g.tour").head().getLong(0) == expectAfter)
+      // the REST listing reflects the doorway's commits (one shared head)
+      val (cFinal, finalLoad) = get(port, "/v1/namespaces/default/tables/tour")
+      assert(cFinal == 200)
+      assert(finalLoad.contains(s""""current-snapshot-id":${cat.currentSnapshotId("tour")}"""),
+        finalLoad.take(300))
     } finally server.close()
   }
 }
