@@ -160,14 +160,27 @@ final case class GraftMaintenanceExec(logical: GraftMaintenancePlan)
 
 object GraftMaintenanceExec {
 
-  /** Once-only holders per invocation token, bounded LRU (maintenance
-    * calls are rare and rows metadata-sized; 256 retained invocations is
-    * generous). The map lock covers only holder install — the operation
-    * itself runs under the holder's own `lazy val` lock, so two threads
-    * racing the SAME invocation's first action still execute once, while
-    * maintenance on OTHER tokens proceeds concurrently.
+  /** COMPLETED invocations' rows, per token — never evicted: a completed
+    * maintenance operation (a rollback commit, an orphan-file delete) must
+    * replay its recorded rows on every later action of the same DataFrame,
+    * however many other invocations ran in between — an evict-and-re-run
+    * would be the exact double execution this memoization exists to
+    * prevent. Unbounded is safe: rows are metadata-sized (one per
+    * compaction / expired snapshot) and entries accrue only one per
+    * `spark.sql` maintenance call in this driver's lifetime.
     */
-  private val cache =
+  private val completed =
+    new java.util.concurrent.ConcurrentHashMap[java.lang.Long, Seq[InternalRow]]()
+
+  /** IN-FLIGHT once-only holders, bounded LRU (only tokens that never
+    * completed can be evicted — e.g. a TVF frame that was planned but
+    * whose action failed before the operation finished). The map lock
+    * covers only holder install — the operation itself runs under the
+    * holder's own `lazy val` lock, so two threads racing the SAME
+    * invocation's first action still execute once, while maintenance on
+    * OTHER tokens proceeds concurrently.
+    */
+  private val pending =
     new java.util.LinkedHashMap[java.lang.Long, () => Seq[InternalRow]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[java.lang.Long, () => Seq[InternalRow]]): Boolean =
@@ -176,10 +189,15 @@ object GraftMaintenanceExec {
 
   private[graft] def memoized(
       token: Long, body: () => Seq[InternalRow]): Seq[InternalRow] = {
-    val holder = cache.synchronized {
-      cache.computeIfAbsent(token, _ => { lazy val r = body(); () => r })
+    val done = completed.get(token)
+    if (done != null) return done
+    val holder = pending.synchronized {
+      pending.computeIfAbsent(token, _ => { lazy val r = body(); () => r })
     }
-    holder()
+    val rows = holder()
+    completed.putIfAbsent(token, rows)
+    pending.synchronized { pending.remove(token) }
+    completed.get(token)
   }
 
   /** One driver-side execution of the operation, rendered as unsafe rows.

@@ -295,7 +295,11 @@ final class GraftCatalog(root: String,
           s"duplicate field ids: ${ids.mkString(",")}")
       }
       writeSnapshot(table, 1L, files.map(toEntry))
-      schema.foreach(s => writeSchema(table, 1L, s))
+      schema.foreach { s =>
+        writeSchema(table, 1L, s)
+        advanceLastFieldId(table,
+          s.fields.flatMap(FieldIds.idOf).foldLeft(0)(math.max))
+      }
       createHead(table, 1L)
     }
   }
@@ -334,17 +338,57 @@ final class GraftCatalog(root: String,
   private def carrySchema(table: String, fromId: Long, toId: Long): Unit =
     schemaAt(table, fromId).foreach(s => writeSchema(table, toId, s))
 
-  /** The next UNUSED field id for `table`: 1 + the max id across every
-    * retained snapshot's schema — dropped ids must never return (old
-    * files still bind them), so fresh ids mint past the historical high
-    * water mark, not just the current schema's.
+  // Iceberg's `last-column-id`: a MONOTONIC high-water mark of every field
+  // id ever assigned, persisted in table metadata and advanced on every
+  // schema commit. Recomputing the mark from RETAINED snapshot schemas
+  // alone is unsound: expire_snapshots deletes expired snapshots' schema
+  // files, so after add-column(id N) → drop → expire, nothing retained
+  // remembers N — a later ADD COLUMN would re-mint N while old data files
+  // in the current snapshot still physically bind it to the dropped
+  // column, silently resurrecting its stale values under the new name.
+  private def lastFieldIdPath(table: String) =
+    tableDir(table).resolve("last-field-id")
+
+  /** The persisted high-water mark (0 when none was ever recorded —
+    * pre-existing tables fall back to the retained-schema scan).
     */
-  def nextFieldId(table: String): Int = {
-    val ids = (snapshotIds(table).flatMap(id => schemaAt(table, id)) ++
+  private def persistedLastFieldId(table: String): Int = {
+    val p = lastFieldIdPath(table)
+    if (!Files.exists(p)) 0 else Files.readString(p).trim.toInt
+  }
+
+  /** Advance the mark to at least `candidate` (monotonic — never moves
+    * backwards). Callers hold the table lock.
+    */
+  private def advanceLastFieldId(table: String, candidate: Int): Unit = {
+    val next = math.max(persistedLastFieldId(table), candidate)
+    val tmp = tableDir(table)
+      .resolve(s".last-field-id.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp, next.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, lastFieldIdPath(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Every field id `table` is known to have assigned: the persisted
+    * monotonic mark, floored by the retained-schema scan (covers tables
+    * created before the mark existed).
+    */
+  private def fieldIdHighWater(table: String): Int = {
+    val retained = (snapshotIds(table).flatMap(id => schemaAt(table, id)) ++
       currentSchema(table).toSeq)
       .flatMap(_.fields.flatMap(FieldIds.idOf))
-    ids.foldLeft(0)(math.max) + 1
+      .foldLeft(0)(math.max)
+    math.max(retained, persistedLastFieldId(table))
   }
+
+  /** The next UNUSED field id for `table`: 1 + the high-water mark of
+    * every id EVER assigned — dropped ids must never return (old files
+    * still bind them), so fresh ids mint past the persisted monotonic
+    * mark, not just the retained schemas' (which expiry can forget).
+    */
+  def nextFieldId(table: String): Int = fieldIdHighWater(table) + 1
 
   /** Metadata-only schema-evolution commit: same files, new canonical
     * schema. Renames keep their field ids (invisible to readers), new
@@ -364,13 +408,15 @@ final class GraftCatalog(root: String,
     require(ids.distinct.length == ids.length, s"duplicate field ids: ${ids.mkString(",")}")
     // an id may carry forward (renames) but a DROPPED id must never return:
     // old files still bind it to the old column, so a reused id would
-    // silently resurface that data under the new name at evolved scans
+    // silently resurface that data under the new name at evolved scans.
+    // "Dropped" is judged against the PERSISTED monotonic mark, not just
+    // retained schemas — expire_snapshots deletes old schema files, and an
+    // id below the mark that isn't in the current schema was assigned once
+    // and has left, wherever its schema document went
     val currentIds = currentSchema(table)
       .map(_.fields.flatMap(FieldIds.idOf).toSet).getOrElse(Set.empty[Int])
-    val historicalIds = snapshotIds(table)
-      .flatMap(id => schemaAt(table, id))
-      .flatMap(_.fields.flatMap(FieldIds.idOf)).toSet
-    val resurrected = ids.toSet.intersect(historicalIds -- currentIds)
+    val assignedEver = fieldIdHighWater(table)
+    val resurrected = (ids.toSet -- currentIds).filter(_ <= assignedEver)
     require(resurrected.isEmpty,
       s"field ids ${resurrected.mkString(",")} were dropped in an earlier schema " +
         "and cannot be reused (old files would resurface their data under the new column)")
@@ -431,6 +477,10 @@ final class GraftCatalog(root: String,
     val nextId = currentSnapshotId(table) + 1
     writeSnapshot(table, nextId, loadEntries(table))
     writeSchema(table, nextId, newSchema)
+    // advance the monotonic mark BEFORE the head moves: a crash between
+    // the two leaves the mark ahead of the schema (safe — ids are merely
+    // skipped), never behind (unsafe — ids could be re-minted)
+    advanceLastFieldId(table, ids.foldLeft(0)(math.max))
     advanceHead(table, nextId - 1, nextId)
     nextId
   }

@@ -59,8 +59,11 @@ final class GraftStreamSource(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else {
+        // schema AS OF the end offset (see GraftMicroBatchStream: a schema
+        // evolution landing between offset capture and batch planning must
+        // not re-bind the batch's columns)
         val scan = CompactionRunner.scanWithHiddenCols(spark, tasks,
-          catalog.currentSchema(table))
+          catalog.schemaAt(table, e).orElse(catalog.currentSchema(table)))
         scan.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*)
       }

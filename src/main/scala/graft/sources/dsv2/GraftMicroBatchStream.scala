@@ -52,8 +52,14 @@ final class GraftMicroBatchStream(
     val tasks = GraftStreamSource.deltaTasks(cat, table, s, e, skipRewrites)
     if (tasks.isEmpty) return Array.empty
     val spark = SparkSession.active
+    // resolve columns against the schema AS OF the end offset, not the
+    // live head: a schema evolution committed between offset capture and
+    // batch planning (a dropped/renamed column) would otherwise fail the
+    // projection below or bind columns differently from the stream's
+    // analyzed schema — a batch must be planned against the snapshot
+    // range it reads
     val scan = CompactionRunner.scanWithHiddenCols(
-      spark, tasks, cat.currentSchema(table))
+      spark, tasks, cat.schemaAt(table, e).orElse(cat.currentSchema(table)))
     val projected = scan.select(required.fieldNames.map(col).toIndexedSeq: _*)
     val rdd = GraftInnerFrame.servableRdd(projected)
     rdd.partitions.map(p =>

@@ -101,6 +101,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
     new GraftV2Table(root, t, asOf = Some(sid))
   }
 
+  /** `TIMESTAMP AS OF` — Spark hands the instant as MICROseconds since
+    * epoch; resolve it to the latest snapshot committed at or before it
+    * (the same lookup the library's `loadTableAsOf`/REST surface uses).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val t = toName(ident)
+    if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
+    val sid = cat.snapshotIdAsOf(t, timestampMicros / 1000L)
+    new GraftV2Table(root, t, asOf = Some(sid))
+  }
+
   override def createTable(
       ident: Identifier,
       schema: StructType,

@@ -288,6 +288,22 @@ final class S3ClientFileSystem extends FileSystem {
         if (code != 206 && code != 200)
           throw new IOException(s"GET $bucket/$key range $pos+$n: HTTP $code")
         val in = c.getInputStream
+        // HTTP 200 on a ranged GET = the endpoint ignored the Range header
+        // and is serving the WHOLE object from offset 0; treating that body
+        // as bytes-at-pos would hand parquet silently shifted data. Skip to
+        // `pos` first (the stream is still correct, just unpruned IO).
+        if (code == 200) {
+          var toSkip = pos
+          while (toSkip > 0) {
+            val s = in.skip(toSkip)
+            if (s <= 0) {
+              if (in.read() < 0) throw new IOException(
+                s"GET $bucket/$key: HTTP 200 full-object response ended " +
+                  s"before offset $pos (object shorter than expected)")
+              toSkip -= 1
+            } else toSkip -= s
+          }
+        }
         var read = 0
         var r = 0
         while (read < n && { r = in.read(buf, off + read, n - read); r > 0 })

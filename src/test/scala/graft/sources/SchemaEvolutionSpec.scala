@@ -169,6 +169,33 @@ class SchemaEvolutionSpec extends SparkSpec {
       field("fresh", StringType, 5)))
   }
 
+  test("dropped ids stay dropped after expiry forgets their schemas (monotonic mark)") {
+    val work = Files.createTempDirectory("graft-evo-mark").toString
+    val cat = new GraftCatalog(s"$work/cat")
+    val f1 = writeRows(s"$work/g1", schemaV1, Seq(Seq(1L, 10L, "a")))
+    cat.createTable("t", Seq(CompactionRunner.DataFileTask(f1, 1L)), Some(schemaV1))
+    // add note (id 4), then drop it again — the only schema retaining id 4
+    // is the middle snapshot's
+    cat.evolveSchema("t", StructType(schemaV1.fields :+
+      field("note", StringType, 4)))
+    cat.evolveSchema("t", schemaV1)
+    // expiry deletes the middle snapshot AND its schema file: retained
+    // schemas now carry only ids 1..3, but the persisted monotonic mark
+    // still remembers 4
+    cat.expireSnapshots("t", keepLast = 1)
+    assert(cat.snapshotIds("t").flatMap(cat.schemaAt("t", _))
+      .flatMap(_.fields.flatMap(FieldIds.idOf)).toSet == Set(1, 2, 3),
+      "test setup: expiry must have dropped the schema that carried id 4")
+    assert(cat.nextFieldId("t") == 5,
+      "fresh ids must mint past the persisted mark, not the retained scan")
+    val e = intercept[IllegalArgumentException](cat.evolveSchema("t",
+      StructType(schemaV1.fields :+ field("resurrected", StringType, 4))))
+    assert(e.getMessage.contains("cannot be reused"))
+    // id 5 (past the mark) is fine
+    cat.evolveSchema("t", StructType(schemaV1.fields :+
+      field("fresh", StringType, 5)))
+  }
+
   test("type widening reads old files under the promoted type; narrowing rejected") {
     val work = Files.createTempDirectory("graft-evo-widen").toString
     val cat = new GraftCatalog(s"$work/cat")

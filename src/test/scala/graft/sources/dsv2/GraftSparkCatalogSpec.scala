@@ -146,6 +146,41 @@ class GraftSparkCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP AS OF time travel on catalog identifiers") {
+    val root = Files.createTempDirectory("graft-dsv2-ts").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT)")
+      s.sql("INSERT INTO graft.t VALUES (1)")
+      Thread.sleep(1100) // snapshot timestamps are mtime-derived; separate them
+      s.sql("INSERT INTO graft.t VALUES (2)")
+      val cat = new GraftCatalog(root)
+      val head = cat.currentSnapshotId("t")
+      val midTs = cat.snapshotTimestampMs("t", head - 1)
+      assert(cat.snapshotTimestampMs("t", head) > midTs,
+        "snapshots must have distinguishable commit timestamps for this test")
+      def tsLit(ms: Long): String =
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(ms))
+      // an instant between the two commits resolves to the FIRST snapshot
+      assert(s.sql(
+        s"SELECT count(*) FROM graft.t TIMESTAMP AS OF '${tsLit(midTs)}'")
+        .head().getLong(0) == 1L)
+      // an instant after the head resolves to the head
+      assert(s.sql(
+        s"SELECT count(*) FROM graft.t TIMESTAMP AS OF '${tsLit(System.currentTimeMillis() + 1000)}'")
+        .head().getLong(0) == 2L)
+      // an instant before the table existed errors (Iceberg's contract)
+      val e = intercept[Exception] {
+        s.sql(
+          s"SELECT count(*) FROM graft.t TIMESTAMP AS OF '${tsLit(midTs - 3600 * 1000)}'")
+          .collect()
+      }
+      assert(e.getMessage.contains("no snapshot"), e.getMessage)
+    }
+  }
+
   test("a small doorway table auto-broadcasts in joins from manifest sizes") {
     val root = Files.createTempDirectory("graft-dsv2-stats").toString
     withCatalogSession(root) { s =>
