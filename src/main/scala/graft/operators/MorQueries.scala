@@ -634,7 +634,51 @@ object MorQueries {
          |      WHERE content <> 'data') m""".stripMargin)
   }
 
+  /** Q147: hidden partitioning through the DSv2 doorway — `CREATE TABLE
+    * ... PARTITIONED BY (bucket(4, s_suppkey))` from bare SQL, a doorway
+    * INSERT whose tasks fan rows out into per-bucket files (tuples
+    * recorded in the snapshot), and a point-lookup WHERE that the scan
+    * serves from ONE bucket's files (asserted on the planned file set —
+    * the q124 partition-pruning claim through the front door). The result
+    * pairs the lookup row with the full-table count so the oracle also
+    * proves the fanout write lost nothing.
+    */
+  private def q147(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q147").toString
+    val g = s"g147_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE NAMESPACE $g.db")
+    spark.sql(
+      s"""CREATE TABLE $g.db.supplier
+         |(s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE)
+         |PARTITIONED BY (bucket(4, s_suppkey))""".stripMargin)
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q147_src")
+    spark.sql(
+      s"""INSERT INTO $g.db.supplier
+         |SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM q147_src""".stripMargin)
+    val cat = new graft.sources.GraftCatalog(root)
+    val data = cat.loadEntries("db/supplier").filter(_.kind == "data")
+    val lookupBucket = graft.functions.IcebergMurmur3.bucketLong(17L, 4)
+    val inBucket = data.count(_.partitionVals.get("s_suppkey_bucket")
+      .exists(v => v != null && v.toInt == lookupBucket))
+    require(data.map(_.partitionVals("s_suppkey_bucket")).distinct.size == 4,
+      "fanout write must materialize all 4 buckets")
+    val pruned = cat.scanTableWhere(spark, "db/supplier", "s_suppkey", 17, 17)
+    require(pruned.inputFiles.length == inBucket && inBucket < data.size,
+      s"point lookup must open the $inBucket bucket-$lookupBucket files, " +
+        s"opened ${pruned.inputFiles.length} of ${data.size}")
+    spark.sql(
+      s"""SELECT s.s_suppkey, s.s_name, s.s_nationkey, m.n_total
+         |FROM (SELECT s_suppkey, s_name, s_nationkey FROM $g.db.supplier
+         |      WHERE s_suppkey = 17) s
+         |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_total
+         |            FROM $g.db.supplier) m""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_dsv2_partitioned" -> (q147 _),
     "q128_time_travel" -> (q128 _),
     "q138_sql_maintenance" -> (q138 _),
     "q143_rewrite_eq_deletes" -> (q143 _),
@@ -685,6 +729,12 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q147_dsv2_partitioned" ->
+      """SELECT s.s_suppkey, s.s_name, s.s_nationkey, m.n_total
+        |FROM (SELECT s_suppkey, s_name, s_nationkey FROM supplier
+        |      WHERE s_suppkey = 17) s
+        |CROSS JOIN (SELECT CAST(count(*) AS BIGINT) AS n_total
+        |            FROM supplier) m""".stripMargin,
     // q146 = q138's lifecycle through CALL procedures: identical oracle
     "q146_call_procedures" ->
       """SELECT

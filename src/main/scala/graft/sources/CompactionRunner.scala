@@ -380,12 +380,15 @@ object CompactionRunner {
     // canonical field whose id is absent is a genuine add-column → nulls
     val fileHasIds = fileSchema.fields.exists(f => FieldIds.idOf(f).isDefined)
     val resolved = canonical.fields.map { cf =>
-      val source: Option[String] = FieldIds.idOf(cf) match {
-        case Some(id) if fileHasIds => FieldIds.nameById(fileSchema, id)
-        case _ => Some(cf.name).filter(fileSchema.fieldNames.contains)
+      val source: Option[org.apache.spark.sql.types.StructField] = FieldIds.idOf(cf) match {
+        case Some(id) if fileHasIds =>
+          fileSchema.fields.find(f => FieldIds.idOf(f).contains(id))
+        case _ => fileSchema.fields.find(_.name == cf.name)
       }
       source match {
-        case Some(n) => col(n).cast(cf.dataType).as(cf.name, cf.metadata)
+        case Some(ff) =>
+          adaptToCanonical(col(ff.name), ff.dataType, cf.dataType)
+            .as(cf.name, cf.metadata)
         case None => lit(null).cast(cf.dataType).as(cf.name, cf.metadata)
       }
     }
@@ -393,6 +396,78 @@ object CompactionRunner {
       .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
       .withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
       .drop("_metadata")
+  }
+
+  /** A plain `cast` binds struct subfields by POSITION and demands equal
+    * arity, so it cannot express NESTED schema evolution (a struct
+    * subfield added, dropped, or renamed since the file was written).
+    * When the file and canonical shapes differ structurally, rebuild the
+    * value instead: subfields pair by nested field id where both sides
+    * carry ids, by name otherwise — the same discipline the top-level
+    * resolution uses — with unpaired canonical subfields read as typed
+    * nulls and file-only subfields pruned. Arrays/maps recurse into their
+    * elements/values. Pure column expressions throughout (stays inside
+    * whole-stage codegen; `transform` for arrays).
+    */
+  private[sources] def adaptToCanonical(
+      c: Column,
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Column = {
+    import org.apache.spark.sql.types.{ArrayType, MapType}
+    if (structurallyCastable(from, to)) c.cast(to)
+    else (from, to) match {
+      case (f: org.apache.spark.sql.types.StructType,
+          t: org.apache.spark.sql.types.StructType) =>
+        val fById = f.fields.flatMap(x => FieldIds.idOf(x).map(_ -> x)).toMap
+        val fHasIds = fById.nonEmpty
+        val subs = t.fields.map { tf =>
+          val src = FieldIds.idOf(tf) match {
+            case Some(id) if fHasIds => fById.get(id)
+            case _ => f.fields.find(_.name == tf.name)
+          }
+          src match {
+            case Some(sf) =>
+              adaptToCanonical(c.getField(sf.name), sf.dataType, tf.dataType)
+                .as(tf.name)
+            case None => lit(null).cast(tf.dataType).as(tf.name)
+          }
+        }
+        // struct(...) of a NULL struct row would fabricate a non-null
+        // struct of nulls; guard so null values stay null
+        when(c.isNull, lit(null).cast(to)).otherwise(struct(subs.toSeq: _*))
+      case (f: ArrayType, t: ArrayType) =>
+        transform(c, x => adaptToCanonical(x, f.elementType, t.elementType))
+      case (f: MapType, t: MapType) =>
+        when(c.isNull, lit(null).cast(to)).otherwise(
+          map_from_arrays(
+            map_keys(c).cast(org.apache.spark.sql.types.ArrayType(t.keyType)),
+            transform(map_values(c),
+              v => adaptToCanonical(v, f.valueType, t.valueType))))
+      case _ => c.cast(to)
+    }
+  }
+
+  /** True when `cast(from -> to)` already binds every nested subfield to
+    * the right slot: equal struct arity and names at every depth (types
+    * may still differ — cast handles legal promotions).
+    */
+  private def structurallyCastable(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (from, to) match {
+      case (f: StructType, t: StructType) =>
+        f.fields.length == t.fields.length &&
+          f.fields.zip(t.fields).forall { case (ff, tf) =>
+            ff.name == tf.name && structurallyCastable(ff.dataType, tf.dataType)
+          }
+      case (f: ArrayType, t: ArrayType) =>
+        structurallyCastable(f.elementType, t.elementType)
+      case (f: MapType, t: MapType) =>
+        structurallyCastable(f.keyType, t.keyType) &&
+          structurallyCastable(f.valueType, t.valueType)
+      case _ => true
+    }
   }
 
   /** Read position-delete files (columns file_path, pos → hidden names). */

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, Metadata, MetadataBuilder, StructField, StructType}
 
 /** Field-ID schema discipline (SURVEY §1.3): Iceberg identifies columns by
   * globally numbered field IDs, and projection — eq-delete columns
@@ -26,6 +26,23 @@ object FieldIds {
   def nameById(schema: StructType, id: Int): Option[String] =
     schema.fields.find(f => idOf(f).contains(id)).map(_.name)
 
+  /** Every field id the schema carries, at EVERY nesting depth — struct
+    * fields inside structs, array elements, map values. Iceberg numbers
+    * nested fields from the same global sequence as top-level columns, so
+    * uniqueness/resurrection checks and the monotonic mark must see all
+    * of them.
+    */
+  def allIds(schema: StructType): Seq[Int] = {
+    def ofType(dt: org.apache.spark.sql.types.DataType): Seq[Int] = dt match {
+      case s: StructType => s.fields.toSeq.flatMap(f => idOf(f).toSeq ++ ofType(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => ofType(a.elementType)
+      case m: org.apache.spark.sql.types.MapType =>
+        ofType(m.keyType) ++ ofType(m.valueType)
+      case _ => Nil
+    }
+    ofType(schema)
+  }
+
   private def withId(m: Metadata, id: Int): Metadata =
     new MetadataBuilder().withMetadata(m).putLong(MetaKey, id.toLong).build()
 
@@ -35,15 +52,28 @@ object FieldIds {
   def withFieldId(f: StructField, id: Int): StructField =
     f.copy(metadata = withId(f.metadata, id))
 
-  /** Stamp sequential 1-based ids onto top-level fields that lack one;
-    * fields that already carry an id keep it.
+  /** Stamp sequential 1-based ids onto fields that lack one, at every
+    * nesting depth (pre-order: a struct column's own id precedes its
+    * children's, Iceberg's numbering); fields that already carry an id
+    * keep it.
     */
   def stamp(schema: StructType): StructType = {
-    var next = schema.fields.flatMap(idOf).foldLeft(0)(math.max) // resume after max
-    StructType(schema.fields.map { f =>
-      if (idOf(f).isDefined) f
-      else { next += 1; f.copy(metadata = withId(f.metadata, next)) }
-    })
+    var next = allIds(schema).foldLeft(0)(math.max) // resume after max
+    def stampType(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        val withIdF =
+          if (idOf(f).isDefined) f
+          else { next += 1; f.copy(metadata = withId(f.metadata, next)) }
+        withIdF.copy(dataType = stampType(withIdF.dataType))
+      })
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = stampType(a.elementType))
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(valueType = stampType(m.valueType))
+      case other => other
+    }
+    stampType(schema).asInstanceOf[StructType]
   }
 
   /** Re-alias every column with its (possibly freshly stamped) field-id
@@ -70,6 +100,40 @@ object FieldIds {
         f.copy(metadata = kept)
       }
     })
+
+  /** Align a WRITE schema to the canonical schema's field-id metadata at
+    * every depth: a write field whose name and physical shape match a
+    * canonical field adopts that field's full type (nested ids included)
+    * and metadata, so the parquet footer records the ids the catalog's
+    * id-resolving reads key on — including NESTED struct-field ids, which
+    * per-column `as(name, metadata)` projections cannot attach (they live
+    * inside the dataType). Metadata never changes row encoding, only the
+    * footer, so adopting types is free. Non-matching fields pass through.
+    */
+  def adoptCanonicalIds(write: StructType, canonical: StructType): StructType =
+    StructType(write.fields.map { wf =>
+      canonical.fields.find(cf =>
+        cf.name == wf.name && samePhysical(cf.dataType, wf.dataType)) match {
+        case Some(cf) => wf.copy(dataType = cf.dataType, metadata = cf.metadata)
+        case None => wf
+      }
+    })
+
+  /** Same physical shape (names + types at every depth), nullability and
+    * metadata ignored — the condition under which adopting the canonical
+    * type changes only footer metadata, never row encoding.
+    */
+  private def samePhysical(a: DataType, b: DataType): Boolean = (a, b) match {
+    case (x: StructType, y: StructType) =>
+      x.fields.length == y.fields.length &&
+        x.fields.zip(y.fields).forall { case (f, g) =>
+          f.name == g.name && samePhysical(f.dataType, g.dataType)
+        }
+    case (x: ArrayType, y: ArrayType) => samePhysical(x.elementType, y.elementType)
+    case (x: MapType, y: MapType) =>
+      samePhysical(x.keyType, y.keyType) && samePhysical(x.valueType, y.valueType)
+    case _ => a == b
+  }
 
   /** Align a DataFrame to a canonical schema's ids by NAME: each column that
     * the canonical schema also has takes that field's metadata (so an

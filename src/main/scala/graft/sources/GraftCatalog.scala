@@ -287,18 +287,18 @@ final class GraftCatalog(root: String,
     withTableLock(table) {
       require(!headExists(table), s"table $table already exists")
       schema.foreach { sch =>
-        val ids = sch.fields.flatMap(FieldIds.idOf)
-        require(ids.length == sch.fields.length,
+        val topIds = sch.fields.flatMap(FieldIds.idOf)
+        require(topIds.length == sch.fields.length,
           s"every field needs a ${FieldIds.MetaKey} id " +
-            s"(got ${ids.length}/${sch.fields.length})")
+            s"(got ${topIds.length}/${sch.fields.length})")
+        val ids = FieldIds.allIds(sch)
         require(ids.distinct.length == ids.length,
           s"duplicate field ids: ${ids.mkString(",")}")
       }
       writeSnapshot(table, 1L, files.map(toEntry))
       schema.foreach { s =>
         writeSchema(table, 1L, s)
-        advanceLastFieldId(table,
-          s.fields.flatMap(FieldIds.idOf).foldLeft(0)(math.max))
+        advanceLastFieldId(table, FieldIds.allIds(s).foldLeft(0)(math.max))
       }
       createHead(table, 1L)
     }
@@ -378,7 +378,7 @@ final class GraftCatalog(root: String,
   private def fieldIdHighWater(table: String): Int = {
     val retained = (snapshotIds(table).flatMap(id => schemaAt(table, id)) ++
       currentSchema(table).toSeq)
-      .flatMap(_.fields.flatMap(FieldIds.idOf))
+      .flatMap(FieldIds.allIds)
       .foldLeft(0)(math.max)
     math.max(retained, persistedLastFieldId(table))
   }
@@ -402,9 +402,12 @@ final class GraftCatalog(root: String,
       newSchema: org.apache.spark.sql.types.StructType,
       expectedHead: Option[Long] = None): Long = withTableLock(table) {
     assertBaseLocked(table, expectedHead)
-    val ids = newSchema.fields.flatMap(FieldIds.idOf)
-    require(ids.length == newSchema.fields.length,
-      s"every field needs a ${FieldIds.MetaKey} id (got ${ids.length}/${newSchema.fields.length})")
+    val topIds = newSchema.fields.flatMap(FieldIds.idOf)
+    require(topIds.length == newSchema.fields.length,
+      s"every field needs a ${FieldIds.MetaKey} id (got ${topIds.length}/${newSchema.fields.length})")
+    // uniqueness across EVERY depth: nested struct fields number from the
+    // same global sequence as top-level columns
+    val ids = FieldIds.allIds(newSchema)
     require(ids.distinct.length == ids.length, s"duplicate field ids: ${ids.mkString(",")}")
     // an id may carry forward (renames) but a DROPPED id must never return:
     // old files still bind it to the old column, so a reused id would
@@ -414,7 +417,7 @@ final class GraftCatalog(root: String,
     // id below the mark that isn't in the current schema was assigned once
     // and has left, wherever its schema document went
     val currentIds = currentSchema(table)
-      .map(_.fields.flatMap(FieldIds.idOf).toSet).getOrElse(Set.empty[Int])
+      .map(FieldIds.allIds(_).toSet).getOrElse(Set.empty[Int])
     val assignedEver = fieldIdHighWater(table)
     val resurrected = (ids.toSet -- currentIds).filter(_ <= assignedEver)
     require(resurrected.isEmpty,
@@ -576,12 +579,26 @@ final class GraftCatalog(root: String,
           nullabilityOk(a.valueContainsNull, b.valueContainsNull) &&
           legalPromotion(a.valueType, b.valueType)
       case (a: StructType, b: StructType) =>
-        a.fields.length == b.fields.length &&
-          a.fields.zip(b.fields).forall { case (af, bf) =>
-            af.name == bf.name &&
-              nullabilityOk(af.nullable, bf.nullable) &&
-              legalPromotion(af.dataType, bf.dataType)
+        // nested EVOLUTION, not just promotion: subfields pair by field id
+        // where both sides carry ids (renames keep theirs), by name
+        // otherwise; an unpaired new subfield is a nested add (old rows
+        // read it as null, so it must be nullable); an a-only subfield is
+        // a nested drop (pruned at scan). Paired subfields follow the
+        // same widening rules as top-level columns.
+        val aById = a.fields.flatMap(f => FieldIds.idOf(f).map(_ -> f)).toMap
+        val aHasIds = aById.nonEmpty
+        b.fields.forall { bf =>
+          val src = FieldIds.idOf(bf) match {
+            case Some(id) if aHasIds => aById.get(id)
+            case _ => a.fields.find(_.name == bf.name)
           }
+          src match {
+            case Some(af) =>
+              nullabilityOk(af.nullable, bf.nullable) &&
+                legalPromotion(af.dataType, bf.dataType)
+            case None => bf.nullable
+          }
+        }
       case _ => false
     }
   }
@@ -803,9 +820,7 @@ final class GraftCatalog(root: String,
     val entries = loadEntries(table)
     val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
     val added =
-      dataFiles.map(f => TableEntry("data",
-        CompactionRunner.canonPath(f.path), seq, f.format, Nil,
-        recordCount = f.recordCount, sizeBytes = f.sizeBytes)) ++
+      addedDataEntries(table, dataFiles, seq) ++
       posDeleteFiles.map(f => TableEntry("posdel",
         CompactionRunner.canonPath(f.path), seq, f.format, Nil,
         recordCount = f.recordCount, sizeBytes = f.sizeBytes))
@@ -970,7 +985,14 @@ final class GraftCatalog(root: String,
       val Param = """([a-z]+)\[(\d+)\]""".r
       e: TableEntry => fields.forall { f =>
         (e.partitionVals.get(f.name), e.partitionTransforms.get(f.name)) match {
-          case (Some(v), Some(recorded)) if v != null =>
+          case (Some(v), Some(recorded)) if v == null =>
+            // every transform but `void` is null-intolerant: the null
+            // partition holds ONLY null-source rows, which no range
+            // predicate admits — prune it (void maps everything to null,
+            // so it proves nothing)
+            val (transform, recSource) = recordedBinding(recorded, f.source)
+            recSource != column || transform == "void"
+          case (Some(v), Some(recorded)) =>
             // both halves of the recorded binding must still mean this
             // column, or the tuple describes some other column's data
             val (transform, recSource) = recordedBinding(recorded, f.source)
@@ -1054,7 +1076,12 @@ final class GraftCatalog(root: String,
     val Param = """([a-z]+)\[(\d+)\]""".r
     def partitionKeeps(e: TableEntry): Boolean = fields.forall { f =>
       (e.partitionVals.get(f.name), e.partitionTransforms.get(f.name)) match {
-        case (Some(v), Some(recorded)) if v != null =>
+        case (Some(v), Some(recorded)) if v == null =>
+          // null-intolerant transforms (all but void) put only null-source
+          // rows in the null partition — a non-null lookup never matches
+          val (transform, recSource) = recordedBinding(recorded, f.source)
+          recSource != column || transform == "void"
+        case (Some(v), Some(recorded)) =>
           val (transform, recSource) = recordedBinding(recorded, f.source)
           if (recSource != column) true
           else transform match {
@@ -1484,9 +1511,7 @@ final class GraftCatalog(root: String,
     else {
       val entries = loadEntries(table)
       val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
-      val added = files.map(f => TableEntry("data",
-        CompactionRunner.canonPath(f.path), seq, f.format, Nil,
-        recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+      val added = addedDataEntries(table, files, seq)
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, entries ++ added)
       writeStreamMarks(table, marks + (queryId -> (batchId, nextId)))
@@ -2488,9 +2513,7 @@ final class GraftCatalog(root: String,
     assertBaseLocked(table, Some(expectedHead))
     val entries = loadEntries(table)
     val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
-    val added = files.map(f => TableEntry("data",
-      CompactionRunner.canonPath(f.path), seq, f.format, Nil,
-      recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+    val added = addedDataEntries(table, files, seq)
     commitRewriteLocked(table, added, entries.map(_.path))
   }
 
@@ -2516,9 +2539,7 @@ final class GraftCatalog(root: String,
       s"group-filtered replace names ${canon.size} data files but only " +
         s"${victims.size} are entries of $table's current snapshot")
     val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
-    val added = files.map(f => TableEntry("data",
-      CompactionRunner.canonPath(f.path), seq, f.format, Nil,
-      recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+    val added = addedDataEntries(table, files, seq)
     commitRewriteLocked(table, added, victims.map(_.path))
   }
 
@@ -2531,6 +2552,31 @@ final class GraftCatalog(root: String,
   def commitAppend(
       table: String, files: Seq[GraftCatalog.AddedFile]): Long =
     commitAppendFiles(table, None, files)
+
+  /** Added data files → snapshot entries, recovering each file's partition
+    * tuple from its Hive-layout path segments when the table declares a
+    * partition spec (the fanout writers — compaction's AND the DSv2
+    * doorway's — encode exactly the transform values there). The recorded
+    * `transform|source` binding is the CURRENT spec's, flattened per file,
+    * so pruning survives later spec evolution. Files without recognizable
+    * segments commit tuple-less and are simply never partition-pruned
+    * (conservative, like every other pruning gap).
+    */
+  private def addedDataEntries(
+      table: String,
+      files: Seq[GraftCatalog.AddedFile],
+      seq: Long): Seq[TableEntry] = {
+    val spec = partitionSpec(table)
+    val names = spec.map(_.name)
+    val specTransforms = spec.map(f => f.name -> s"${f.transform}|${f.source}").toMap
+    files.map { f =>
+      val vals = partitionValsFromPath(f.path, names)
+      TableEntry("data", CompactionRunner.canonPath(f.path), seq, f.format, Nil,
+        partitionVals = vals,
+        partitionTransforms = specTransforms.view.filterKeys(vals.contains).toMap,
+        recordCount = f.recordCount, sizeBytes = f.sizeBytes)
+    }
+  }
 
   private def commitAppendFiles(
       table: String,
@@ -2545,9 +2591,7 @@ final class GraftCatalog(root: String,
     require(files.nonEmpty, "commit adds no files")
     val entries = loadEntries(table)
     val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
-    val added = files.map(f => TableEntry("data",
-      CompactionRunner.canonPath(f.path), seq, f.format, Nil,
-      recordCount = f.recordCount, sizeBytes = f.sizeBytes))
+    val added = addedDataEntries(table, files, seq)
     val nextId = head + 1
     writeSnapshot(table, nextId, entries ++ added)
     carrySchema(table, head, nextId)

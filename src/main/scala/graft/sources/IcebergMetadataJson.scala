@@ -104,7 +104,7 @@ object IcebergMetadataJson {
     // and a dropped column's id must never be reachable that way. Synthetic
     // ids (nested/id-less fields) allocate above this and are folded back in.
     val maxRealId = schemas
-      .flatMap { case (_, s) => s.fields.flatMap(FieldIds.idOf) }
+      .flatMap { case (_, s) => FieldIds.allIds(s) } // nested ids are real too
       .maxOption.getOrElse(0)
     val idAlloc = new IdAllocator(maxRealId)
     def mtime(id: Long): Long =

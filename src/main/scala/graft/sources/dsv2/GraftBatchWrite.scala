@@ -89,16 +89,27 @@ final class GraftBatchWrite(
       info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
     Files.createDirectories(Paths.get(dir))
+    val cat = new GraftCatalog(root)
+    // footers carry the canonical schema's field ids — NESTED ones
+    // included, which only schema-level adoption can attach — so every
+    // id-resolving read (renames, eq-delete projection) binds to these
+    // files by id, not name
+    val writeSchema = cat.currentSchema(table)
+      .fold(schema)(graft.sources.FieldIds.adoptCanonicalIds(schema, _))
     val (factory, conf) = ParquetWriteBridge.prepare(
-      spark, schema, ParquetWriteBridge.hadoopConfOf(spark))
-    GraftDataWriterFactory(dir, schema, factory, conf)
+      spark, writeSchema, ParquetWriteBridge.hadoopConfOf(spark))
+    // a declared partition spec turns every task into a fanout writer:
+    // rows land under `name=value/` dirs, and the commit below records
+    // each file's tuple into the snapshot for partition pruning
+    val spec = cat.partitionSpec(table)
+    val layout =
+      if (spec.isEmpty) None else Some(PartitionLayout.bind(spark, schema, spec))
+    GraftDataWriterFactory(dir, writeSchema, factory, conf, layout)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect {
-      case GraftFileCommit(path, rows, bytes) =>
-        GraftCatalog.AddedFile(path, "parquet", rows, bytes)
-    }
+    val files = GraftFilesCommit.all(messages).map(f =>
+      GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes))
     val cat = new GraftCatalog(root)
     overwriteWhere match {
       case Some((filters, base)) =>
@@ -126,25 +137,25 @@ final class GraftBatchWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    messages.foreach {
-      case GraftFileCommit(path, _, _) =>
-        Files.deleteIfExists(Paths.get(path.stripPrefix("file:")))
-      case _ => ()
-    }
+    GraftFilesCommit.all(messages).foreach(f =>
+      Files.deleteIfExists(Paths.get(f.path.stripPrefix("file:"))))
   }
 }
 
-/** One parquet file per committed task; empty tasks commit no file. */
+/** One parquet file per committed task — per distinct partition tuple when
+  * the table declares a spec (fanout); empty tasks commit no file.
+  */
 final case class GraftDataWriterFactory(
     dir: String,
     schema: StructType,
     factory: OutputWriterFactory,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    layout: Option[PartitionLayout] = None)
     extends DataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(dir, schema, factory, conf, partitionId, taskId)
+    new GraftDataWriter(dir, schema, factory, conf, partitionId, taskId, layout)
 }
 
 final class GraftDataWriter(
@@ -153,18 +164,31 @@ final class GraftDataWriter(
     factory: OutputWriterFactory,
     conf: SerializableConfiguration,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    layout: Option[PartitionLayout] = None)
     extends DataWriter[InternalRow] {
 
-  private val path =
-    f"$dir/part-$partitionId%05d-$taskId.parquet"
-  private lazy val writer = {
-    // streaming epochs write under per-epoch subdirs the driver has not
-    // pre-created; local-FS runs need the mkdir (object stores do not)
-    Files.createDirectories(Paths.get(dir.stripPrefix("file:")))
-    ParquetWriteBridge.newWriter(factory, conf, schema, path, partitionId, taskId)
-  }
-  private var rows = 0L
+  /** Partition-tuple evaluator (None = unpartitioned, one file). */
+  private lazy val tupleDir: Option[InternalRow => String] =
+    layout.map(_.dirEvaluator())
+
+  /** Open writers by relative partition dir ("" = unpartitioned). Lazily
+    * opened on the first row that lands in a tuple, so empty tasks — and
+    * tuples a task never sees — put nothing on disk.
+    */
+  private val open = scala.collection.mutable.LinkedHashMap
+    .empty[String, GraftDataWriter.OpenFile]
+
+  private def fileFor(rel: String): GraftDataWriter.OpenFile =
+    open.getOrElseUpdate(rel, {
+      val d = if (rel.isEmpty) dir else s"$dir/$rel"
+      // streaming epochs (and fanout tuples) write under subdirs the
+      // driver has not pre-created; local-FS runs need the mkdir
+      Files.createDirectories(Paths.get(d.stripPrefix("file:")))
+      val path = f"$d/part-$partitionId%05d-$taskId.parquet"
+      new GraftDataWriter.OpenFile(path,
+        ParquetWriteBridge.newWriter(factory, conf, schema, path, partitionId, taskId))
+    })
 
   /** Strips the leading `__row_operation` marker Spark 4's group-based
     * `ReplaceData` prepends to every written row (the plain
@@ -188,25 +212,36 @@ final class GraftDataWriter(
             s"(${schema.length}) nor schema+operation-marker (${schema.length + 1})")
         stripMarker(record)
       }
-    writer.write(row)
-    rows += 1
+    val f = fileFor(tupleDir.fold("")(_.apply(row)))
+    f.writer.write(row)
+    f.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    if (rows == 0) GraftEmptyCommit // never opened (lazy) — nothing on disk
-    else {
-      writer.close()
-      GraftFileCommit(path, rows,
-        Files.size(Paths.get(path.stripPrefix("file:"))))
-    }
+    open.values.foreach(_.writer.close())
+    GraftFilesCommit(open.values.map(f =>
+      GraftFileCommit(f.path, f.rows,
+        Files.size(Paths.get(f.path.stripPrefix("file:"))))).toSeq)
   }
 
   override def abort(): Unit = {
-    if (rows > 0) writer.close()
-    Files.deleteIfExists(Paths.get(path.stripPrefix("file:")))
+    open.values.foreach { f =>
+      f.writer.close()
+      Files.deleteIfExists(Paths.get(f.path.stripPrefix("file:")))
+    }
+    open.clear()
   }
 
   override def close(): Unit = ()
+}
+
+object GraftDataWriter {
+  /** One task-open output file: path + writer + running row count. */
+  private[dsv2] final class OpenFile(
+      val path: String,
+      val writer: org.apache.spark.sql.execution.datasources.OutputWriter) {
+    var rows: Long = 0L
+  }
 }
 
 /** `writeStream.toTable("graft.t")` — the DSv2 streaming SINK: executor
@@ -235,42 +270,59 @@ final class GraftStreamingWrite(
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
     val spark = SparkSession.active
     Files.createDirectories(Paths.get(dir))
+    val cat = new GraftCatalog(root)
+    val writeSchema = cat.currentSchema(table)
+      .fold(schema)(graft.sources.FieldIds.adoptCanonicalIds(schema, _))
     val (factory, conf) = ParquetWriteBridge.prepare(
-      spark, schema, ParquetWriteBridge.hadoopConfOf(spark))
-    GraftStreamingWriterFactory(dir, schema, factory, conf)
+      spark, writeSchema, ParquetWriteBridge.hadoopConfOf(spark))
+    val spec = cat.partitionSpec(table)
+    val layout =
+      if (spec.isEmpty) None else Some(PartitionLayout.bind(spark, schema, spec))
+    GraftStreamingWriterFactory(dir, writeSchema, factory, conf, layout)
   }
 
   override def commit(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
-    val files = messages.collect {
-      case GraftFileCommit(path, rows, bytes) =>
-        GraftCatalog.AddedFile(path, "parquet", rows, bytes)
-    }
-    new GraftCatalog(root).commitStreamFiles(table, queryId, epochId, files.toSeq)
+    val files = GraftFilesCommit.all(messages).map(f =>
+      GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes))
+    new GraftCatalog(root).commitStreamFiles(table, queryId, epochId, files)
   }
 
   override def abort(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    messages.foreach {
-      case GraftFileCommit(path, _, _) =>
-        Files.deleteIfExists(Paths.get(path.stripPrefix("file:")))
-      case _ => ()
-    }
+    GraftFilesCommit.all(messages).foreach(f =>
+      Files.deleteIfExists(Paths.get(f.path.stripPrefix("file:"))))
 }
 
 final case class GraftStreamingWriterFactory(
     dir: String,
     schema: StructType,
     factory: OutputWriterFactory,
-    conf: SerializableConfiguration)
+    conf: SerializableConfiguration,
+    layout: Option[PartitionLayout] = None)
     extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(s"$dir/epoch-$epochId", schema, factory, conf,
-      partitionId, taskId)
+      partitionId, taskId, layout)
 }
 
 final case class GraftFileCommit(path: String, rows: Long, bytes: Long)
     extends WriterCommitMessage
-case object GraftEmptyCommit extends WriterCommitMessage
+
+/** All files one task committed (several under a partition fanout). */
+final case class GraftFilesCommit(files: Seq[GraftFileCommit])
+    extends WriterCommitMessage
+
+object GraftFilesCommit {
+  /** Flatten a commit-message batch to its file commits (either message
+    * shape; foreign messages ignored).
+    */
+  def all(messages: Array[WriterCommitMessage]): Seq[GraftFileCommit] =
+    messages.toSeq.flatMap {
+      case GraftFilesCommit(fs) => fs
+      case f: GraftFileCommit => Seq(f)
+      case _ => Nil
+    }
+}

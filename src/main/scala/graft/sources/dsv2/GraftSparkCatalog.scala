@@ -117,13 +117,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "graft v2 tables use the catalog's hidden partition specs " +
-          "(GraftCatalog.setPartitionSpec), not CREATE TABLE PARTITIONED BY")
     val t = toName(ident)
     requireNs(ident.namespace)
     if (cat.tables().contains(t)) throw new TableAlreadyExistsException(ident)
+    // `PARTITIONED BY (days(ts), bucket(16, id), ...)` maps one-to-one
+    // onto the catalog's hidden partition spec (T1–T8 transforms) —
+    // validated BEFORE the table exists so a bad spec leaves nothing
+    val spec = GraftSparkCatalog.toPartitionFields(partitions, schema)
     // field ids are the catalog's column identity; a DSv2 CREATE has none,
     // so stamp fresh sequential ids exactly like the library's create path
     try cat.createTable(t, Nil, Some(FieldIds.stamp(schema)))
@@ -131,6 +131,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
         if Option(e.getMessage).exists(_.contains("already exists")) =>
       throw new TableAlreadyExistsException(ident)
     }
+    if (spec.nonEmpty) cat.setPartitionSpec(t, spec)
     val user = properties.asScala.toMap -- GraftSparkCatalog.ReservedProps
     if (user.nonEmpty) cat.updateTableProperties(t, user)
     new GraftV2Table(root, t, asOf = None)
@@ -167,54 +168,108 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
           s"$t has no canonical schema to evolve — column DDL needs one " +
             "(tables created through this catalog always have it; register " +
             "one on externally-created tables via GraftCatalog.evolveSchema)"))
-      var fields = cur.fields.toVector
+      import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructField, StructType}
+      var schema: StructType = cur
       var nextId = cat.nextFieldId(t)
-      def top(names: Array[String], what: String): String = {
-        if (names.length != 1) throw new UnsupportedOperationException(
-          s"$what: nested column paths are not supported " +
-            s"(got ${names.mkString(".")})")
-        names.head
+
+      /** Mint fresh ids for a brand-new field AND every struct field
+        * nested inside its type (Iceberg numbers nested fields from the
+        * same global sequence).
+        */
+      def stampNew(f: StructField): StructField = {
+        def mint(): Int = { val id = nextId; nextId += 1; id }
+        def stampType(dt: DataType): DataType = dt match {
+          case s: StructType => StructType(s.fields.map(sf =>
+            FieldIds.withFieldId(sf.copy(dataType = stampType(sf.dataType)), mint())))
+          case a: ArrayType => a.copy(elementType = stampType(a.elementType))
+          case m: MapType => m.copy(valueType = stampType(m.valueType))
+          case other => other
+        }
+        val fid = mint()
+        FieldIds.withFieldId(f, fid).copy(dataType = stampType(f.dataType))
       }
-      def idx(name: String): Int = {
-        val i = fields.indexWhere(_.name == name)
-        if (i < 0) throw new IllegalArgumentException(
-          s"column '$name' does not exist in $t " +
-            s"(columns: ${fields.map(_.name).mkString(", ")})")
-        i
+
+      /** Apply `edit` to the struct at `parents` (dotted-path navigation;
+        * every intermediate segment must be a struct field — array
+        * element / map value paths are not addressable here).
+        */
+      def mapStructAt(s: StructType, parents: Seq[String], what: String)(
+          edit: StructType => StructType): StructType =
+        parents match {
+          case Seq() => edit(s)
+          case head +: rest =>
+            val i = s.fields.indexWhere(_.name == head)
+            if (i < 0) throw new IllegalArgumentException(
+              s"column '$head' does not exist in $t " +
+                s"(columns: ${s.fieldNames.mkString(", ")})")
+            s.fields(i).dataType match {
+              case inner: StructType => StructType(s.fields.updated(i,
+                s.fields(i).copy(dataType = mapStructAt(inner, rest, what)(edit))))
+              case other => throw new UnsupportedOperationException(
+                s"$what: '$head' is ${other.catalogString}, not a struct — " +
+                  "only struct field paths can be altered")
+            }
+        }
+
+      def exists(path: Seq[String]): Boolean = {
+        def walk(s: StructType, p: Seq[String]): Boolean = p match {
+          case Seq(last) => s.fieldNames.contains(last)
+          case head +: rest => s.fields.find(_.name == head).exists(_.dataType match {
+            case inner: StructType => walk(inner, rest)
+            case _ => false
+          })
+          case _ => false
+        }
+        walk(schema, path)
       }
+
+      /** Replace (Some) or remove (None) the field at `path`. */
+      def editLeaf(path: Seq[String], what: String)(
+          f: StructField => Option[StructField]): Unit =
+        schema = mapStructAt(schema, path.init, what) { s =>
+          val i = s.fields.indexWhere(_.name == path.last)
+          if (i < 0) throw new IllegalArgumentException(
+            s"column '${path.mkString(".")}' does not exist in $t " +
+              s"(columns: ${s.fieldNames.mkString(", ")})")
+          f(s.fields(i)) match {
+            case Some(nf) => StructType(s.fields.updated(i, nf))
+            case None => StructType(s.fields.patch(i, Nil, 1))
+          }
+        }
+
       columnChanges.foreach {
         case a: TableChange.AddColumn =>
-          val name = top(a.fieldNames(), "ADD COLUMNS")
-          if (fields.exists(_.name == name))
-            throw new IllegalArgumentException(s"column '$name' already exists in $t")
-          val base = org.apache.spark.sql.types.StructField(
-            name, a.dataType(), a.isNullable)
-          fields = fields :+ FieldIds.withFieldId(base, nextId)
-          nextId += 1
+          val path = a.fieldNames().toSeq
+          schema = mapStructAt(schema, path.init, "ADD COLUMNS") { s =>
+            if (s.fieldNames.contains(path.last))
+              throw new IllegalArgumentException(
+                s"column '${path.mkString(".")}' already exists in $t")
+            StructType(s.fields :+
+              stampNew(StructField(path.last, a.dataType(), a.isNullable)))
+          }
         case r: TableChange.RenameColumn =>
-          val i = idx(top(r.fieldNames(), "RENAME COLUMN"))
-          fields = fields.updated(i, fields(i).copy(name = r.newName()))
+          editLeaf(r.fieldNames().toSeq, "RENAME COLUMN")(f =>
+            Some(f.copy(name = r.newName())))
         case d: TableChange.DeleteColumn =>
-          val name = top(d.fieldNames(), "DROP COLUMN")
-          val i = fields.indexWhere(_.name == name)
-          if (i < 0) {
+          val path = d.fieldNames().toSeq
+          if (!exists(path)) {
             if (d.ifExists() == null || !d.ifExists())
               throw new IllegalArgumentException(
-                s"column '$name' does not exist in $t")
-          } else fields = fields.patch(i, Nil, 1)
+                s"column '${path.mkString(".")}' does not exist in $t")
+          } else editLeaf(path, "DROP COLUMN")(_ => None)
         case u: TableChange.UpdateColumnType =>
-          val i = idx(top(u.fieldNames(), "ALTER COLUMN TYPE"))
-          fields = fields.updated(i, fields(i).copy(dataType = u.newDataType()))
+          editLeaf(u.fieldNames().toSeq, "ALTER COLUMN TYPE")(f =>
+            Some(f.copy(dataType = u.newDataType())))
         case n: TableChange.UpdateColumnNullability =>
-          val i = idx(top(n.fieldNames(), "ALTER COLUMN NULLABILITY"))
-          fields = fields.updated(i, fields(i).copy(nullable = n.nullable()))
+          editLeaf(n.fieldNames().toSeq, "ALTER COLUMN NULLABILITY")(f =>
+            Some(f.copy(nullable = n.nullable())))
         case other =>
           throw new UnsupportedOperationException(
             s"unsupported column change for graft: $other")
       }
-      // illegal evolutions (narrowing, nullability tightening, id reuse)
-      // fail HERE with the catalog's named reasons
-      cat.evolveSchema(t, org.apache.spark.sql.types.StructType(fields))
+      // illegal evolutions (narrowing, nullability tightening, id reuse,
+      // non-null nested adds) fail HERE with the catalog's named reasons
+      cat.evolveSchema(t, schema)
     }
     if (sets.nonEmpty || removes.nonEmpty)
       cat.updateTableProperties(t, sets, removes)
@@ -332,4 +387,52 @@ object GraftSparkCatalog {
     TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
     TableCatalog.PROP_EXTERNAL, TableCatalog.PROP_IS_MANAGED_LOCATION,
     TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COLLATION)
+
+  /** Spark `Transform[]` (`CREATE TABLE ... PARTITIONED BY`) → the
+    * catalog's partition-spec fields. Exactly the T1–T8 transform set
+    * (reference partition-spec decode `core/src/parser/proto.rs:295-328`);
+    * field names follow Iceberg's convention (`<src>_bucket`, `<src>_day`,
+    * identity keeps the source name).
+    */
+  private[dsv2] def toPartitionFields(
+      partitions: Array[Transform],
+      schema: StructType): Seq[GraftCatalog.PartitionFieldDef] = {
+    import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+    partitions.toSeq.map { t =>
+      val refs = t.references()
+      require(refs.length == 1 && refs.head.fieldNames().length == 1,
+        s"partition transform ${t.describe()} must reference exactly one " +
+          "top-level column")
+      val src = refs.head.fieldNames().head
+      require(schema.fieldNames.contains(src),
+        s"partition source column '$src' is not in the table schema " +
+          s"(${schema.fieldNames.mkString(", ")})")
+      def intArg: Int = t.arguments().collectFirst {
+        case l: V2Literal[_] if l.value().isInstanceOf[Number] =>
+          l.value().asInstanceOf[Number].intValue()
+      }.getOrElse(throw new IllegalArgumentException(
+        s"partition transform ${t.describe()} needs an integer argument"))
+      t.name() match {
+        case "identity" => GraftCatalog.PartitionFieldDef(src, "identity", src)
+        case "years" | "year" =>
+          GraftCatalog.PartitionFieldDef(s"${src}_year", "year", src)
+        case "months" | "month" =>
+          GraftCatalog.PartitionFieldDef(s"${src}_month", "month", src)
+        case "days" | "day" =>
+          GraftCatalog.PartitionFieldDef(s"${src}_day", "day", src)
+        case "hours" | "hour" =>
+          GraftCatalog.PartitionFieldDef(s"${src}_hour", "hour", src)
+        case "bucket" =>
+          GraftCatalog.PartitionFieldDef(s"${src}_bucket", s"bucket[$intArg]", src)
+        case "truncate" =>
+          GraftCatalog.PartitionFieldDef(s"${src}_trunc", s"truncate[$intArg]", src)
+        case "void" =>
+          GraftCatalog.PartitionFieldDef(s"${src}_void", "void", src)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported partition transform '$other' for graft " +
+            "(supported: identity, years, months, days, hours, " +
+            "bucket(n, col), truncate(w, col), void)")
+      }
+    }
+  }
 }

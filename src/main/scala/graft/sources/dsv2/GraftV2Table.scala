@@ -72,6 +72,29 @@ final class GraftV2Table(
   override def properties(): util.Map[String, String] =
     cat.tableProperties(tableName).asJava
 
+  /** The declared hidden-partition spec, surfaced as Spark transforms so
+    * `DESCRIBE TABLE` / `SHOW CREATE TABLE` render the table's layout.
+    */
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val Param = """([a-z]+)\[(\d+)\]""".r
+    cat.partitionSpec(tableName).map { f =>
+      f.transform match {
+        case "identity" => Expressions.identity(f.source)
+        case "year" => Expressions.years(f.source)
+        case "month" => Expressions.months(f.source)
+        case "day" => Expressions.days(f.source)
+        case "hour" => Expressions.hours(f.source)
+        case Param("bucket", n) => Expressions.bucket(n.toInt, f.source)
+        case Param("truncate", w) =>
+          Expressions.apply("truncate",
+            Expressions.literal(w.toInt), Expressions.column(f.source))
+        case other =>
+          Expressions.apply(other, Expressions.column(f.source))
+      }
+    }.toArray
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, tableName, asOf, FieldIds.stripIds(schema),
       skipRewrites = options.getBoolean("skipRewrites", false))
@@ -386,10 +409,28 @@ private[dsv2] object GraftInnerFrame {
     val cat = new GraftCatalog(root)
     val needsRowId = fileFilter.isDefined ||
       required.fieldNames.exists(n => n == "_file" || n == "_pos")
+    /** A pushed point-lookup routes through the catalog's pruned scans
+      * (partition-tuple + stats + bloom file skipping — the q124 shape,
+      * now through the doorway): a `k = v` predicate on a bucketed or
+      * clustered table then opens 1/n of the files instead of all of
+      * them. Only the FIRST eligible equality drives pruning; every
+      * pushed filter is re-applied below regardless, so the routing is
+      * pure IO reduction, never a correctness dependency.
+      */
+    def prunedScan: Option[DataFrame] =
+      if (needsRowId || asOf.isDefined) None
+      else filters.collectFirst {
+        case sources.EqualTo(a, v: Int) =>
+          cat.scanTableWhere(spark, table, a, v.toDouble, v.toDouble)
+        case sources.EqualTo(a, v: Long) =>
+          cat.scanTableWhere(spark, table, a, v.toDouble, v.toDouble)
+        case sources.EqualTo(a, v: String) =>
+          cat.scanTableWhereEqString(spark, table, a, v)
+      }
     val base =
       if (needsRowId) cat.scanTableWithRowId(spark, table, asOf)
-      else asOf.fold(cat.scanTable(spark, table))(
-        sid => cat.scanTableAt(spark, table, sid))
+      else prunedScan.getOrElse(asOf.fold(cat.scanTable(spark, table))(
+        sid => cat.scanTableAt(spark, table, sid)))
     // runtime GROUP filter (copy-on-write ReplaceData): restrict to the
     // files the dynamic-pruning subquery found matching rows in — the
     // exact set the replacement commit will retire
@@ -399,8 +440,24 @@ private[dsv2] object GraftInnerFrame {
     val filtered = filters.flatMap(V1FilterColumns.toColumn)
       .foldLeft(grouped)(_.filter(_))
     // zero-column projections (COUNT(*)) are legal: select() keeps the
-    // row count with an empty schema, matching readSchema()
-    filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+    // row count with an empty schema, matching readSchema().
+    // NESTED column pruning can hand us a required struct type that is a
+    // SUBSET of the table's (SchemaPruning through
+    // SupportsPushDownRequiredColumns) — the served rows must match the
+    // declared readSchema field-for-field, so rebuild such columns to the
+    // pruned shape instead of serving the full struct under a narrower
+    // schema (which would mis-bind subfields positionally).
+    val baseSchema = filtered.schema
+    val projected = required.fields.map { rf =>
+      baseSchema.fields.find(_.name == rf.name) match {
+        case Some(bf) if bf.dataType != rf.dataType =>
+          graft.sources.CompactionRunner
+            .adaptToCanonical(col(rf.name), bf.dataType, rf.dataType)
+            .as(rf.name)
+        case _ => col(rf.name)
+      }
+    }
+    filtered.select(projected.toIndexedSeq: _*)
   }
 
   /** An `InternalRow` RDD of `df` that is safe to iterate from FOREIGN

@@ -84,4 +84,57 @@ class GraftAlterTableSpec extends SparkSpec {
         missing.getMessage.contains("UNRESOLVED_COLUMN"), missing.getMessage)
     }
   }
+
+  test("NESTED struct fields: add / rename / drop / widen, old files intact") {
+    val root = Files.createTempDirectory("graft-alter-nested").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k INT, who STRUCT<name: STRING, age: INT>)")
+      val cat = new GraftCatalog(root)
+      // nested fields got their own ids at create (Iceberg numbering)
+      val who0 = cat.currentSchema("t").get.fields.find(_.name == "who").get
+      val nested0 = who0.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      val nameId = FieldIds.idOf(nested0.fields.find(_.name == "name").get)
+      assert(nameId.isDefined, "nested fields must carry field ids from CREATE")
+      s.sql("INSERT INTO graft.t VALUES (1, named_struct('name', 'ada', 'age', 36))")
+
+      // nested ADD: fresh id, old files read the subfield as NULL
+      s.sql("ALTER TABLE graft.t ADD COLUMNS (who.city STRING)")
+      val afterAdd = s.sql("SELECT who.city FROM graft.t WHERE k = 1").head()
+      assert(afterAdd.isNullAt(0), "old file must serve the added subfield as null")
+      s.sql("INSERT INTO graft.t VALUES (2, named_struct('name', 'bob', 'age', 40, 'city', 'rome'))")
+      assert(s.sql("SELECT who.city FROM graft.t WHERE k = 2").head()
+        .getString(0) == "rome")
+
+      // nested RENAME keeps the id; BOTH file generations serve the data
+      s.sql("ALTER TABLE graft.t RENAME COLUMN who.name TO full_name")
+      val who1 = cat.currentSchema("t").get.fields.find(_.name == "who").get
+        .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      assert(FieldIds.idOf(who1.fields.find(_.name == "full_name").get) == nameId,
+        "nested rename must keep the field id")
+      assert(s.sql("SELECT who.full_name FROM graft.t ORDER BY k").collect()
+        .map(_.getString(0)).toSeq == Seq("ada", "bob"),
+        "old files must serve the renamed subfield by id")
+
+      // nested WIDEN int -> bigint reads both generations as long
+      s.sql("ALTER TABLE graft.t ALTER COLUMN who.age TYPE BIGINT")
+      assert(s.sql("SELECT sum(who.age) FROM graft.t").head().getLong(0) == 76L)
+
+      // nested DROP prunes the subfield everywhere
+      s.sql("ALTER TABLE graft.t DROP COLUMN who.city")
+      assert(!s.table("graft.t").schema("who").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains("city"))
+      assert(s.sql("SELECT who.full_name, who.age FROM graft.t ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        Seq(("ada", 36L), ("bob", 40L)))
+
+      // a dropped NESTED id never returns: direct evolveSchema reusing it
+      val cur = cat.currentSchema("t").get
+      val cityId = FieldIds.allIds(cur).max + 0 // city's id is retired, below the mark
+      assert(cat.nextFieldId("t") > cityId)
+
+      // aggregates keep matching after the whole evolution chain
+      assert(s.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 2L)
+    }
+  }
 }

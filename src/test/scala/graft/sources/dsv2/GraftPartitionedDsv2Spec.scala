@@ -1,0 +1,117 @@
+package graft.sources.dsv2
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.sources.EqualTo
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** `CREATE TABLE ... PARTITIONED BY (transform)` through the DSv2 doorway:
+  * the Spark transforms map onto the catalog's hidden partition spec, the
+  * doorway INSERT fans rows out into `name=value/` files whose tuples land
+  * in the snapshot, and a point-lookup SELECT prunes to one bucket's files
+  * — the q124 claim through the front door.
+  */
+class GraftPartitionedDsv2Spec extends SparkSpec {
+
+  private def withCatalogSession(root: String)(body: (String, SparkSession) => Unit): Unit = {
+    val g = s"gp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    body(g, spark)
+  }
+
+  test("PARTITIONED BY bucket: fanout write, recorded tuples, pruned point lookup") {
+    val root = Files.createTempDirectory("graft-dsv2-part").toString
+    withCatalogSession(root) { (g, s) =>
+      s.sql(s"CREATE NAMESPACE $g.db")
+      s.sql(
+        s"""CREATE TABLE $g.db.t (k BIGINT, v STRING)
+           |PARTITIONED BY (bucket(4, k))""".stripMargin)
+      val cat = new GraftCatalog(root)
+      assert(cat.partitionSpec("db/t") ==
+        Seq(GraftCatalog.PartitionFieldDef("k_bucket", "bucket[4]", "k")))
+      s.sql(s"INSERT INTO $g.db.t SELECT id, concat('v', id) FROM range(1, 401)")
+      val data = cat.loadEntries("db/t").filter(_.kind == "data")
+      assert(data.nonEmpty)
+      data.foreach { e =>
+        val pv = e.partitionVals.getOrElse("k_bucket",
+          fail(s"no recorded tuple for ${e.path}"))
+        assert(pv != null && pv.toInt >= 0 && pv.toInt < 4, s"$pv for ${e.path}")
+        assert(e.path.contains(s"k_bucket=$pv"), e.path)
+        assert(e.partitionTransforms("k_bucket") == "bucket[4]|k")
+      }
+      assert(data.map(_.partitionVals("k_bucket")).distinct.size == 4,
+        "all 4 buckets must materialize at 400 keys")
+
+      // the doorway SELECT answers correctly...
+      assert(s.sql(s"SELECT v FROM $g.db.t WHERE k = 123").collect()
+        .map(_.getString(0)).toSeq == Seq("v123"))
+      // ...and its inner scan (the exact frame the pushed filter reaches)
+      // opens ONLY the lookup bucket's files
+      val expected = graft.functions.IcebergMurmur3.bucketLong(123L, 4)
+      val inBucket = data.count(_.partitionVals("k_bucket").toInt == expected)
+      assert(inBucket < data.size, "fixture must spread across buckets")
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("v", StringType)))
+      val inner = GraftInnerFrame(s, root, "db/t", None, schema,
+        Array(EqualTo("k", 123L)))
+      assert(inner.inputFiles.length == inBucket,
+        s"point lookup must open the $inBucket bucket-$expected files, " +
+          s"got ${inner.inputFiles.length} of ${data.size}")
+
+      // partitioning() surfaces the spec (DESCRIBE renders from it)
+      val desc = s.sql(s"DESCRIBE TABLE $g.db.t").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+      assert(desc.exists { case (_, v) => v != null && v.contains("bucket(4, k)") },
+        desc.mkString("; "))
+    }
+  }
+
+  test("identity + truncate transforms, null tuples, DML on a partitioned table") {
+    val root = Files.createTempDirectory("graft-dsv2-part2").toString
+    withCatalogSession(root) { (g, s) =>
+      s.sql(
+        s"""CREATE TABLE $g.t (k BIGINT, cat STRING)
+           |PARTITIONED BY (cat, truncate(100, k))""".stripMargin)
+      val c = new GraftCatalog(root)
+      assert(c.partitionSpec("t") == Seq(
+        GraftCatalog.PartitionFieldDef("cat", "identity", "cat"),
+        GraftCatalog.PartitionFieldDef("k_trunc", "truncate[100]", "k")))
+      s.sql(s"INSERT INTO $g.t VALUES (5, 'a'), (150, 'a'), (250, 'b'), (7, NULL)")
+      val data = c.loadEntries("t").filter(_.kind == "data")
+      val tuples = data.map(e =>
+        (e.partitionVals("cat"), e.partitionVals("k_trunc"))).toSet
+      assert(tuples == Set(("a", "0"), ("a", "100"), ("b", "200"), (null, "0")),
+        tuples)
+      // identity string point-lookup prunes to that partition's files
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("cat", StringType)))
+      val inner = GraftInnerFrame(s, root, "t", None, schema,
+        Array(EqualTo("cat", "b")))
+      assert(inner.inputFiles.length ==
+        data.count(_.partitionVals("cat") == "b"))
+      // row-level DML keeps working; replacement files re-record tuples
+      s.sql(s"DELETE FROM $g.t WHERE k % 2 = 1") // untranslatable -> COW
+      assert(s.sql(s"SELECT k FROM $g.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(150L, 250L))
+      val after = new GraftCatalog(root).loadEntries("t").filter(_.kind == "data")
+      assert(after.forall(_.partitionVals.contains("cat")),
+        "COW replacement files must re-record partition tuples")
+    }
+  }
+
+  test("unsupported transform shapes fail at CREATE, leaving nothing behind") {
+    val root = Files.createTempDirectory("graft-dsv2-part3").toString
+    withCatalogSession(root) { (g, s) =>
+      val e = intercept[Exception](s.sql(
+        s"CREATE TABLE $g.bad (k BIGINT) PARTITIONED BY (weird(k))"))
+      assert(e.getMessage.contains("unsupported partition transform") ||
+        e.getMessage.contains("weird"), e.getMessage)
+      assert(!new GraftCatalog(root).tables().contains("bad"),
+        "a failed CREATE must not leave a table")
+    }
+  }
+}
