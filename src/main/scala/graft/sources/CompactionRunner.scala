@@ -178,7 +178,23 @@ object CompactionRunner {
   def scanWithHiddenCols(
       spark: SparkSession,
       tasks: Seq[DataFileTask],
-      canonicalSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      canonicalSchema: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    scanWithHiddenColsGroups(spark, tasks, canonicalSchema)
+      .reduce(_.unionByName(_))
+
+  /** [[scanWithHiddenCols]] WITHOUT the final union: one frame per
+    * physical-schema/format group, each already seq-joined and projected
+    * to the canonical shape (so the frames union cleanly — and, more
+    * importantly, each plans NARROW on its own file tasks). The DSv2
+    * serving path consumes the groups individually: an inline `UnionRDD`
+    * is never safe to iterate from foreign tasks, so group-wise serving
+    * is what lets a multi-generation table stream file-task partitions
+    * without a shuffle barrier.
+    */
+  def scanWithHiddenColsGroups(
+      spark: SparkSession,
+      tasks: Seq[DataFileTask],
+      canonicalSchema: Option[org.apache.spark.sql.types.StructType]): Seq[DataFrame] = {
     val dedup = dedupByPath(tasks)(_.path)
     require(dedup.nonEmpty, "no data files to compact")
     val seqRows = dedup.map(t => (canonPath(t.path), t.seqNum))
@@ -188,13 +204,12 @@ object CompactionRunner {
     val scans = byFormat.flatMap {
       case ("parquet", ts) if canonicalSchema.isDefined =>
         val byPath = ts.map(t => t.path -> t).toMap
-        schemaGroups(spark, ts.map(_.path)).map { groupPaths =>
+        schemaGroups(spark, ts.map(_.path)).map { case (fileSchema, groupPaths) =>
           // one driver-side schema resolution per DISTINCT physical
           // schema (bounded by the table's evolution history), not per
-          // file — footers were read AND grouped distributed above
-          val group = groupPaths.map(byPath)
-          val fileSchema = spark.read.parquet(group.head.path).schema
-          evolvedParquetScan(spark, group, fileSchema, canonicalSchema.get)
+          // file — footer digests and Spark schemas are cached by path
+          evolvedParquetScan(spark, groupPaths.map(byPath), fileSchema,
+            canonicalSchema.get)
         }
       case ("avro", ts) =>
         Seq(AvroScan.readWithHiddenCols(spark, ts.map(_.path)))
@@ -244,16 +259,17 @@ object CompactionRunner {
       withPos
     }
     }
-    val seqJoined = scans.reduce { (a, b) => a.unionByName(b) }
-      .join(broadcast(seqDf), Seq(MorPlanner.FilePathCol), "left_outer")
+    // per-group seq join (the broadcast side is the same driver-local seq
+    // list either way, so joining before or after the union is identical).
     // A scanned file whose canonical path fails to match its task entry must
     // fail LOUDLY — an inner join here would silently drop the file's rows
     // while the manifest still removed it (data loss at commit).
-    seqJoined.withColumn(MorPlanner.SeqNumCol,
-      when(col(MorPlanner.SeqNumCol).isNull,
-        raise_error(concat(lit("no seq-number task entry for scanned file "),
-          col(MorPlanner.FilePathCol))))
-        .otherwise(col(MorPlanner.SeqNumCol)))
+    scans.map(_.join(broadcast(seqDf), Seq(MorPlanner.FilePathCol), "left_outer")
+      .withColumn(MorPlanner.SeqNumCol,
+        when(col(MorPlanner.SeqNumCol).isNull,
+          raise_error(concat(lit("no seq-number task entry for scanned file "),
+            col(MorPlanner.FilePathCol))))
+          .otherwise(col(MorPlanner.SeqNumCol))))
   }
 
   /** Z-order the MoR-merged output: range-normalize the 2–4 cluster
@@ -331,32 +347,81 @@ object CompactionRunner {
           .exists(_.getId != null)
         finally reader.close()
       }
-    } else schemaGroups(spark, paths).exists { g =>
-      !spark.read.parquet(g.head).schema.fields
-        .exists(FieldIds.idOf(_).isDefined)
+    } else schemaGroups(spark, paths).exists { case (fileSchema, _) =>
+      !fileSchema.fields.exists(FieldIds.idOf(_).isDefined)
     }
 
+  /** Driver-side footer caches, keyed by file path. Data files are
+    * IMMUTABLE once committed (UUID-named, never rewritten in place), so a
+    * path's physical schema never changes — caching turns repeated scan
+    * planning (the DSv2 batch re-plans partitions per runtime-filter
+    * probe, and every statement of a DML gate re-reads the same files)
+    * into pure driver lookups: zero planning jobs after first contact.
+    * Bounded LRU so a long-lived driver streaming new files forever
+    * cannot grow them without limit.
+    */
+  private val pathSchemaDigest: java.util.Map[String, String] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, String](1024, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, String]): Boolean = size() > 65536
+      })
+  private val digestSparkSchema
+      : java.util.Map[String, org.apache.spark.sql.types.StructType] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, org.apache.spark.sql.types.StructType](
+        64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, org.apache.spark.sql.types.StructType])
+            : Boolean = size() > 4096
+      })
+
+  private def footerDigest(p: String, conf: org.apache.hadoop.conf.Configuration): String = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val schemaStr =
+      try reader.getFooter.getFileMetaData.getSchema.toString
+      finally reader.close()
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(schemaStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    digest.map("%02x".format(_)).mkString
+  }
+
+  /** Partition `paths` by physical parquet schema; each group returns with
+    * its Spark-converted file schema. Footer digests come from the
+    * driver cache; misses are read driver-side when few (milliseconds
+    * each, NO job) and by one distributed metadata job when a big table
+    * is planned cold. One schema-inference read per DISTINCT physical
+    * schema ever seen (bounded by evolution history), also cached.
+    */
   private def schemaGroups(
-      spark: SparkSession, paths: Seq[String]): Seq[Seq[String]] = {
-    val conf = new org.apache.spark.util.SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
-    val slices = math.max(1, math.min(paths.length,
-      spark.sparkContext.defaultParallelism * 4))
-    spark.sparkContext.parallelize(paths, slices).map { p =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(p), conf.value)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val schemaStr =
-        try reader.getFooter.getFileMetaData.getSchema.toString
-        finally reader.close()
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(schemaStr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      digest.map("%02x".format(_)).mkString -> p
-    }.aggregateByKey(List.empty[String])((acc, p) => p :: acc, _ ::: _)
-      .values.map(_.sorted)
-      .collect() // one element per distinct schema, not per file
-      .sortBy(_.head)
-      .map(_.toSeq).toSeq
+      spark: SparkSession, paths: Seq[String])
+      : Seq[(org.apache.spark.sql.types.StructType, Seq[String])] = {
+    val missing = paths.filterNot(pathSchemaDigest.containsKey)
+    if (missing.nonEmpty) {
+      if (missing.length <= 64) {
+        val conf = spark.sessionState.newHadoopConf()
+        missing.foreach(p => pathSchemaDigest.put(p, footerDigest(p, conf)))
+      } else {
+        val conf = new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val slices = math.max(1, math.min(missing.length,
+          spark.sparkContext.defaultParallelism * 4))
+        spark.sparkContext.parallelize(missing, slices)
+          .map(p => p -> footerDigest(p, conf.value))
+          .collect() // one (path, digest) pair per file — metadata-sized
+          .foreach { case (p, d) => pathSchemaDigest.put(p, d) }
+      }
+    }
+    paths.groupBy(pathSchemaDigest.get).toSeq
+      .map { case (digest, ps) =>
+        val sorted = ps.sorted
+        val schema = digestSparkSchema.computeIfAbsent(digest,
+          _ => spark.read.parquet(sorted.head).schema)
+        (schema, sorted.toSeq)
+      }
+      .sortBy(_._2.head)
   }
 
   /** One distributed scan of a group of parquet files sharing a physical
@@ -369,7 +434,10 @@ object CompactionRunner {
       group: Seq[DataFileTask],
       fileSchema: org.apache.spark.sql.types.StructType,
       canonical: org.apache.spark.sql.types.StructType): DataFrame = {
-    val reader = spark.read.parquet(group.map(_.path): _*)
+    // explicit schema (the group's OWN, cache-served) — skips per-plan
+    // schema inference; ids in it resolve by name against these same
+    // files, so the read is identical to the inferred one
+    val reader = spark.read.schema(fileSchema).parquet(group.map(_.path): _*)
     val taskPaths = group.map(t => canonPath(t.path)).toSet
     val unmatched = reader.inputFiles.map(canonPath).filterNot(taskPaths)
     require(unmatched.isEmpty,

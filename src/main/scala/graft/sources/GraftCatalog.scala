@@ -703,6 +703,35 @@ final class GraftCatalog(root: String,
   def scanTable(spark: SparkSession, table: String): DataFrame =
     scanEntries(spark, table, loadEntries(table), currentSchema(table))
 
+  /** The MoR read as PER-SCHEMA-GROUP frames — [[scanTable]] decomposed so
+    * each frame plans NARROW over its own file tasks (pos/eq deletes
+    * applied per group via the same broadcast anti joins; deletes are
+    * row-local, so per-group application ≡ applying them above the union).
+    * The DSv2 batch serving path consumes these: file-task partitions
+    * stream straight from each group's lazy plan, with no inline
+    * `UnionRDD` (never foreign-task-safe) and no shuffle-barrier rebuild.
+    */
+  def scanTableFrames(
+      spark: SparkSession,
+      table: String,
+      asOf: Option[Long]): Seq[DataFrame] = {
+    asOf.foreach(sid => require(snapshotIds(table).contains(sid),
+      s"snapshot $sid of $table does not exist (expired or never " +
+        s"committed); retained: ${snapshotIds(table).mkString(", ")}"))
+    val entries = asOf.fold(loadEntries(table))(readSnapshot(table, _))
+    val schema = asOf.fold(currentSchema(table))(schemaAt(table, _))
+    if (dataTasks(entries).isEmpty)
+      return Seq(scanEntries(spark, table, entries, schema))
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
+    val eq = entries.collect { case e if e.kind == "eqdel" =>
+      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+    }
+    CompactionRunner.scanWithHiddenColsGroups(spark, dataTasks(entries), schema)
+      .map(g => graft.operators.MorPlanner.merge(g,
+        CompactionRunner.readPositionDeletes(spark, pos),
+        CompactionRunner.readEqualityDeletes(spark, eq, Some(g.schema))))
+  }
+
   /** [[scanTable]] as of a retained snapshot — time travel WITH delete-file
     * processing: the MoR state the table showed at `snapshotId`, pending
     * deletes of THAT snapshot applied, resolved against THAT snapshot's

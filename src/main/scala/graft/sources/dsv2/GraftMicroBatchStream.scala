@@ -58,12 +58,13 @@ final class GraftMicroBatchStream(
     // projection below or bind columns differently from the stream's
     // analyzed schema — a batch must be planned against the snapshot
     // range it reads
-    val scan = CompactionRunner.scanWithHiddenCols(
+    val groups = CompactionRunner.scanWithHiddenColsGroups(
       spark, tasks, cat.schemaAt(table, e).orElse(cat.currentSchema(table)))
-    val projected = scan.select(required.fieldNames.map(col).toIndexedSeq: _*)
-    val rdd = GraftInnerFrame.servableRdd(projected)
-    rdd.partitions.map(p =>
-      GraftRddInputPartition(rdd, p): InputPartition)
+    val projected = groups.map(
+      _.select(required.fieldNames.map(col).toIndexedSeq: _*))
+    GraftInnerFrame.servableRdds(projected).flatMap(rdd =>
+      rdd.partitions.map(p =>
+        GraftRddInputPartition(rdd, p): InputPartition)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

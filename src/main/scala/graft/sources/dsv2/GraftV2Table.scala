@@ -299,17 +299,18 @@ class GraftV1Scan(
 
   /** The row-level-operation rewrite plans (`ReplaceData` from
     * DELETE/UPDATE/MERGE) consume the scan through `BatchScanExec`
-    * directly — the V1 wrapper applies only on the plain read path. Serve
-    * that shape by executing the inner MoR query into its final-stage
-    * `RDD[InternalRow]` (AQE/broadcast stages materialize here, driver
-    * side, exactly as they would under an action) and exposing its
-    * partitions: shuffle outputs and broadcasts registered by those
-    * stages are readable from ANY later task, so each `InputPartition`
-    * just iterates its slice.
+    * directly — the V1 wrapper applies only on the plain read path. The
+    * served partitions are the per-schema-group LAZY narrow rdds
+    * ([[GraftInnerFrame.servableRdds]]): each `InputPartition` is a
+    * file-task slice computed on the executor (parquet scan + codegen'd
+    * delete anti joins against broadcast delete sets), nothing
+    * pre-executes on the driver. Only a genuinely shuffle-bearing plan
+    * (e.g. sort-merge-sized delete sets) falls back to the eager
+    * materialize-then-serve shape.
     */
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new GraftRddBatch(() =>
-      GraftInnerFrame.servableRdd(GraftInnerFrame(
+      GraftInnerFrame.servableRdds(GraftInnerFrame.frames(
         SparkSession.active, root, table, asOf, required, filters,
         host.flatMap(_.groupFilter))))
 
@@ -327,23 +328,25 @@ class GraftV1Scan(
       s"columns=${required.fieldNames.mkString(",")})"
 }
 
-/** Batch over a driver-planned `RDD[InternalRow]`: one input partition
-  * per RDD partition, reader = the RDD's own iterator. The RDD is built
-  * PER planInputPartitions CALL through `mk` — `BatchScanExec` re-plans
-  * partitions after runtime filters arrive (`scan.filter(...)`), and a
-  * frozen RDD would serve the pre-filter file set.
+/** Batch over driver-planned `RDD[InternalRow]`s (one per schema group —
+  * usually one): one input partition per RDD partition, reader = the
+  * RDD's own iterator. The RDDs are built PER planInputPartitions CALL
+  * through `mk` — `BatchScanExec` re-plans partitions after runtime
+  * filters arrive (`scan.filter(...)`), and a frozen RDD would serve the
+  * pre-filter file set.
   */
-final class GraftRddBatch(mk: () => RDD[org.apache.spark.sql.catalyst.InternalRow])
+final class GraftRddBatch(mk: () => Seq[RDD[org.apache.spark.sql.catalyst.InternalRow]])
     extends org.apache.spark.sql.connector.read.Batch {
 
   def this(rdd: RDD[org.apache.spark.sql.catalyst.InternalRow]) =
-    this(() => rdd)
+    this(() => Seq(rdd))
 
   override def planInputPartitions()
-      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
-    val rdd = mk()
-    rdd.partitions.map(p => GraftRddInputPartition(rdd, p))
-  }
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    mk().flatMap(rdd =>
+      rdd.partitions.map(p =>
+        GraftRddInputPartition(rdd, p)
+          : org.apache.spark.sql.connector.read.InputPartition)).toArray
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -405,7 +408,23 @@ private[dsv2] object GraftInnerFrame {
       asOf: Option[Long],
       required: StructType,
       filters: Array[Filter],
-      fileFilter: Option[Set[String]] = None): DataFrame = {
+      fileFilter: Option[Set[String]] = None): DataFrame =
+    frames(spark, root, table, asOf, required, filters, fileFilter)
+      .reduce(_.unionByName(_))
+
+  /** The MoR read as one frame PER SCHEMA GROUP (single-element for
+    * row-identity reads and pruned point lookups): each group plans
+    * narrow over its own file tasks, so the batch serving path can stream
+    * file-task partitions per group with no inline union.
+    */
+  def frames(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      asOf: Option[Long],
+      required: StructType,
+      filters: Array[Filter],
+      fileFilter: Option[Set[String]] = None): Seq[DataFrame] = {
     val cat = new GraftCatalog(root)
     val needsRowId = fileFilter.isDefined ||
       required.fieldNames.exists(n => n == "_file" || n == "_pos")
@@ -427,37 +446,39 @@ private[dsv2] object GraftInnerFrame {
         case sources.EqualTo(a, v: String) =>
           cat.scanTableWhereEqString(spark, table, a, v)
       }
-    val base =
-      if (needsRowId) cat.scanTableWithRowId(spark, table, asOf)
-      else prunedScan.getOrElse(asOf.fold(cat.scanTable(spark, table))(
-        sid => cat.scanTableAt(spark, table, sid)))
-    // runtime GROUP filter (copy-on-write ReplaceData): restrict to the
-    // files the dynamic-pruning subquery found matching rows in — the
-    // exact set the replacement commit will retire
-    val grouped = fileFilter.fold(base)(fs =>
-      if (fs.isEmpty) base.limit(0)
-      else base.filter(col("_file").isInCollection(fs)))
-    val filtered = filters.flatMap(V1FilterColumns.toColumn)
-      .foldLeft(grouped)(_.filter(_))
-    // zero-column projections (COUNT(*)) are legal: select() keeps the
-    // row count with an empty schema, matching readSchema().
-    // NESTED column pruning can hand us a required struct type that is a
-    // SUBSET of the table's (SchemaPruning through
-    // SupportsPushDownRequiredColumns) — the served rows must match the
-    // declared readSchema field-for-field, so rebuild such columns to the
-    // pruned shape instead of serving the full struct under a narrower
-    // schema (which would mis-bind subfields positionally).
-    val baseSchema = filtered.schema
-    val projected = required.fields.map { rf =>
-      baseSchema.fields.find(_.name == rf.name) match {
-        case Some(bf) if bf.dataType != rf.dataType =>
-          graft.sources.CompactionRunner
-            .adaptToCanonical(col(rf.name), bf.dataType, rf.dataType)
-            .as(rf.name)
-        case _ => col(rf.name)
+    val bases: Seq[DataFrame] =
+      if (needsRowId) Seq(cat.scanTableWithRowId(spark, table, asOf))
+      else prunedScan.map(Seq(_))
+        .getOrElse(cat.scanTableFrames(spark, table, asOf))
+    bases.map { base =>
+      // runtime GROUP filter (copy-on-write ReplaceData): restrict to the
+      // files the dynamic-pruning subquery found matching rows in — the
+      // exact set the replacement commit will retire
+      val grouped = fileFilter.fold(base)(fs =>
+        if (fs.isEmpty) base.limit(0)
+        else base.filter(col("_file").isInCollection(fs)))
+      val filtered = filters.flatMap(V1FilterColumns.toColumn)
+        .foldLeft(grouped)(_.filter(_))
+      // zero-column projections (COUNT(*)) are legal: select() keeps the
+      // row count with an empty schema, matching readSchema().
+      // NESTED column pruning can hand us a required struct type that is a
+      // SUBSET of the table's (SchemaPruning through
+      // SupportsPushDownRequiredColumns) — the served rows must match the
+      // declared readSchema field-for-field, so rebuild such columns to the
+      // pruned shape instead of serving the full struct under a narrower
+      // schema (which would mis-bind subfields positionally).
+      val baseSchema = filtered.schema
+      val projected = required.fields.map { rf =>
+        baseSchema.fields.find(_.name == rf.name) match {
+          case Some(bf) if bf.dataType != rf.dataType =>
+            graft.sources.CompactionRunner
+              .adaptToCanonical(col(rf.name), bf.dataType, rf.dataType)
+              .as(rf.name)
+          case _ => col(rf.name)
+        }
       }
+      filtered.select(projected.toIndexedSeq: _*)
     }
-    filtered.select(projected.toIndexedSeq: _*)
   }
 
   /** An `InternalRow` RDD of `df` that is safe to iterate from FOREIGN
@@ -482,15 +503,34 @@ private[dsv2] object GraftInnerFrame {
     *     plans exactly such an inline union) → rebuild behind an explicit
     *     repartition so the final stage is a pure shuffle read.
     */
+  /** The serving shape for a GROUP-DECOMPOSED read ([[frames]]): when
+    * every group's plan is narrow (file scans + codegen'd maps +
+    * broadcast anti joins — the common MoR read, deletes included), serve
+    * each group's LAZY rdd directly — the batch's InputPartitions then
+    * carry file-task slices computed entirely on the executors, with no
+    * job before the consuming action and no union/shuffle layer (the
+    * reference's file-task scan shape, `iceberg_file_task_scan.rs:224-314`).
+    * Any shuffle-bearing group falls the whole read back to the
+    * single-frame [[servableRdd]] disposition.
+    */
+  def servableRdds(
+      frames: Seq[DataFrame]): Seq[RDD[org.apache.spark.sql.catalyst.InternalRow]] = {
+    val lazyRdds = frames.map(
+      org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRddNoAqe)
+    if (lazyRdds.forall(narrowSafe)) lazyRdds
+    else Seq(servableRdd(frames.reduce(_.unionByName(_))))
+  }
+
+  private def narrowSafe(r: org.apache.spark.rdd.RDD[_]): Boolean = r match {
+    case _: org.apache.spark.rdd.UnionRDD[_] => false
+    case _ => r.dependencies.forall {
+      case _: org.apache.spark.ShuffleDependency[_, _, _] => false
+      case d => narrowSafe(d.rdd)
+    }
+  }
+
   def servableRdd(
       df: DataFrame): RDD[org.apache.spark.sql.catalyst.InternalRow] = {
-    def narrowSafe(r: org.apache.spark.rdd.RDD[_]): Boolean = r match {
-      case _: org.apache.spark.rdd.UnionRDD[_] => false
-      case _ => r.dependencies.forall {
-        case _: org.apache.spark.ShuffleDependency[_, _, _] => false
-        case d => narrowSafe(d.rdd)
-      }
-    }
     def unionFree(r: org.apache.spark.rdd.RDD[_]): Boolean = r match {
       case _: org.apache.spark.rdd.UnionRDD[_] => false
       case _ => r.dependencies.forall {
