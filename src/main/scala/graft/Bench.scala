@@ -85,7 +85,12 @@ object Bench {
     "q145" -> 3.83,
     // q146 CALL-procedure lifecycle (compact + expire through the native
     // ProcedureCatalog) — idle-box min-of-3
-    "q146" -> 2.3)
+    "q146" -> 2.3,
+    // round-12 gates (idle-box first recording): q147 PARTITIONED BY +
+    // bucket-pruned point lookup through the doorway; q148 default-on COW
+    // group filter (stage 8 clustered files + compaction + DELETE + read
+    // — gate cost, the filter itself replaces 1-2 of 8 files)
+    "q147" -> 0.8, "q148" -> 2.76)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

@@ -240,6 +240,23 @@ object ExplainAudit {
         "into the inner plan; the DELETE that preceded it was a native " +
         "ReplaceData (copy-on-write) — the served rows are plain data " +
         "files, no delete joins at read."),
+    "q147_dsv2_partitioned" ->
+      ("PARTITIONED BY (bucket(4, s_suppkey)) through the doorway: the " +
+        "INSERT fanned rows into per-bucket files (tuples recorded at " +
+        "commit), and the point-lookup half of the result routes the " +
+        "pushed s_suppkey = 17 through scanTableWhere — partition-tuple " +
+        "pruning opens 1 of 4 buckets' files (asserted in-gate on the " +
+        "planned file set) before the residual filter re-applies. The " +
+        "full-count half scans all files once; both halves are plain " +
+        "narrow parquet scans, no delete joins."),
+    "q148_cow_group_filter" ->
+      ("DEFAULT-ON runtime group filtering: the DELETE's untranslatable " +
+        "condition plans as copy-on-write ReplaceData, Spark's " +
+        "group-filtering rule runs the matching-rows subquery (stats-" +
+        "pruned through the doorway's range routing — covering files " +
+        "only, not the table), and the commit replaces the 1-2 files " +
+        "holding the narrow l_orderkey band out of 8 (asserted in-gate). " +
+        "The final read is a pruned scan + keyed aggregate over 6 groups."),
     "q139_boilerplate" ->
       ("CCNet-style boilerplate removal: segment explode is map-side, the " +
         "frequency pass is a partial+final hash aggregate over segment " +
@@ -355,6 +372,18 @@ object ExplainAudit {
     sb.append("via write.cow.group-filter=false. The round's closing run under\n")
     sb.append("visible host drift recorded 127 s (uniform inflation, the\n")
     sb.append("documented stall profile).\n")
+    sb.append("r12: DSv2 batch reads re-serve as PER-GROUP lazy file-task\n")
+    sb.append("partitions (GraftBatchServingSpec asserts zero data rows read\n")
+    sb.append("at planning; footer/schema caches make re-planning job-free);\n")
+    sb.append("pushed numeric RANGES route through the stats/partition-pruned\n")
+    sb.append("scans — the cause of r11's COW 16x jump was the group-filter\n")
+    sb.append("subquery scanning the whole table (stats absent on the probe's\n")
+    sb.append("staged entries AND ranges bypassing pruning; both fixed, see\n")
+    sb.append("SCALING.md's COW row). New gates: q147 (PARTITIONED BY +\n")
+    sb.append("bucket-pruned lookup), q148 (default-on group filter, proper-\n")
+    sb.append("subset file replacement asserted in-gate). Key-equality DELETEs\n")
+    sb.append("through the doorway now commit eq-delete keys (zero data files\n")
+    sb.append("read).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

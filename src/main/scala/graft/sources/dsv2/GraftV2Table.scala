@@ -138,16 +138,30 @@ final class GraftV2Table(
     * no data rewrite, the 100 TB shape. Untranslatable conditions return
     * false from [[canDeleteWhere]] and Spark falls back to the
     * copy-on-write row-level rewrite.
+    *
+    * Pure KEY-EQUALITY conditions (`k = 5`, `a = 1 AND b = 'x'`,
+    * `k IN (...)`) take the even cheaper eq-delete fast path
+    * ([[GraftCatalog.deleteWhereEq]]): the keys themselves become the
+    * delete file — a metadata-sized commit that reads ZERO data files,
+    * where the pos-delete path must scan for matching positions first.
+    * The 100 TB point-delete: cost is O(keys), not O(table).
     */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     asOf.isEmpty && filters.forall(f => V1FilterColumns.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
-    val cond = filters.flatMap(V1FilterColumns.toColumn)
-      .reduceOption(_ && _)
-      .getOrElse(org.apache.spark.sql.functions.lit(true))
-    cat.deleteWhere(spark, tableName, cond,
-      s"$root/_data/$tableName/v2del-${java.util.UUID.randomUUID()}")
+    val dir = s"$root/_data/$tableName/v2del-${java.util.UUID.randomUUID()}"
+    GraftV2Table.equalityKeyRows(filters, schema) match {
+      case Some((keySchema, rows)) =>
+        val keys = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), keySchema)
+        cat.deleteWhereEq(spark, tableName, keys, dir)
+      case None =>
+        val cond = filters.flatMap(V1FilterColumns.toColumn)
+          .reduceOption(_ && _)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        cat.deleteWhere(spark, tableName, cond, dir)
+    }
   }
 
   /** Iceberg's metadata columns: every row's physical identity — also
@@ -439,12 +453,48 @@ private[dsv2] object GraftInnerFrame {
     def prunedScan: Option[DataFrame] =
       if (needsRowId || asOf.isDefined) None
       else filters.collectFirst {
-        case sources.EqualTo(a, v: Int) =>
-          cat.scanTableWhere(spark, table, a, v.toDouble, v.toDouble)
-        case sources.EqualTo(a, v: Long) =>
-          cat.scanTableWhere(spark, table, a, v.toDouble, v.toDouble)
         case sources.EqualTo(a, v: String) =>
           cat.scanTableWhereEqString(spark, table, a, v)
+      }.orElse {
+        // numeric point AND RANGE predicates route through the stats/
+        // partition-pruned scan: gather per-column [lo, hi] bounds from
+        // the pushed conjuncts (strict bounds widen to inclusive — the
+        // residual re-filter keeps exactness) and prune on the tightest
+        // bounded column. This is what keeps a runtime-group-filtering
+        // subquery (`DELETE ... WHERE key BETWEEN ...` on a clustered
+        // table) O(covering files) instead of O(table).
+        def num(v: Any): Option[Double] = v match {
+          case i: java.lang.Integer => Some(i.toDouble)
+          case l: java.lang.Long => Some(l.toDouble)
+          case s: java.lang.Short => Some(s.toDouble)
+          case b: java.lang.Byte => Some(b.toDouble)
+          case f: java.lang.Float => Some(f.toDouble)
+          case d: java.lang.Double => Some(d)
+          case _ => None
+        }
+        val bounds = scala.collection.mutable.LinkedHashMap
+          .empty[String, (Double, Double)]
+        def tighten(a: String, lo: Double, hi: Double): Unit = {
+          val (l0, h0) = bounds.getOrElse(a,
+            (Double.NegativeInfinity, Double.PositiveInfinity))
+          bounds(a) = (math.max(l0, lo), math.min(h0, hi))
+        }
+        filters.foreach {
+          case sources.EqualTo(a, v) => num(v).foreach(d => tighten(a, d, d))
+          case sources.GreaterThan(a, v) =>
+            num(v).foreach(d => tighten(a, d, Double.PositiveInfinity))
+          case sources.GreaterThanOrEqual(a, v) =>
+            num(v).foreach(d => tighten(a, d, Double.PositiveInfinity))
+          case sources.LessThan(a, v) =>
+            num(v).foreach(d => tighten(a, Double.NegativeInfinity, d))
+          case sources.LessThanOrEqual(a, v) =>
+            num(v).foreach(d => tighten(a, Double.NegativeInfinity, d))
+          case _ => ()
+        }
+        bounds.collectFirst { case (a, (lo, hi))
+            if lo > Double.NegativeInfinity || hi < Double.PositiveInfinity =>
+          cat.scanTableWhere(spark, table, a, lo, hi)
+        }
       }
     val bases: Seq[DataFrame] =
       if (needsRowId) Seq(cat.scanTableWithRowId(spark, table, asOf))
@@ -547,6 +597,69 @@ private[dsv2] object GraftInnerFrame {
       if (unionFree(eager)) eager
       else org.apache.spark.sql.graftbridge.DatasetBridge.internalRowRdd(
         df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions))
+    }
+  }
+}
+
+private[dsv2] object GraftV2Table {
+
+  /** Recognize a DELETE condition that is PURE key equality and render it
+    * as literal key rows for the eq-delete fast path:
+    *
+    *  - a conjunction of `EqualTo` on distinct columns → one key tuple;
+    *  - a single `In(col, values)` → one single-column tuple per value.
+    *
+    * Anything else (ranges, OR, nulls, repeated columns) returns None and
+    * takes the positional path. Values must round-trip exactly — a
+    * literal whose runtime class doesn't match the column type falls back
+    * rather than risking a silently-non-matching delete key.
+    */
+  def equalityKeyRows(
+      filters: Array[sources.Filter],
+      tableSchema: StructType): Option[(StructType, Seq[Row])] = {
+    def fieldOf(name: String): Option[org.apache.spark.sql.types.StructField] =
+      tableSchema.fields.find(_.name == name)
+    def typeOk(v: Any, dt: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      v != null && (dt match {
+        case IntegerType => v.isInstanceOf[java.lang.Integer]
+        case LongType => v.isInstanceOf[java.lang.Long]
+        case StringType => v.isInstanceOf[String] ||
+          v.isInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        case DoubleType => v.isInstanceOf[java.lang.Double]
+        case FloatType => v.isInstanceOf[java.lang.Float]
+        case BooleanType => v.isInstanceOf[java.lang.Boolean]
+        case ShortType => v.isInstanceOf[java.lang.Short]
+        case ByteType => v.isInstanceOf[java.lang.Byte]
+        case DateType => v.isInstanceOf[java.sql.Date] ||
+          v.isInstanceOf[java.time.LocalDate]
+        case _: DecimalType => v.isInstanceOf[java.math.BigDecimal] ||
+          v.isInstanceOf[scala.math.BigDecimal]
+        case _ => false
+      })
+    }
+    def norm(v: Any): Any = v match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    filters.toSeq match {
+      case Seq(sources.In(a, vs)) =>
+        for {
+          f <- fieldOf(a)
+          if vs.nonEmpty && vs.forall(typeOk(_, f.dataType))
+        } yield (StructType(Seq(f.copy(nullable = false))),
+          vs.toSeq.map(v => Row(norm(v))))
+      case fs if fs.nonEmpty && fs.forall(_.isInstanceOf[sources.EqualTo]) =>
+        val eqs = fs.map { case sources.EqualTo(a, v) => a -> v }
+        val cols = eqs.map(_._1)
+        val resolved = eqs.flatMap { case (a, v) =>
+          fieldOf(a).filter(f => typeOk(v, f.dataType)).map(_ -> norm(v))
+        }
+        if (cols.distinct.length == cols.length && resolved.length == eqs.length)
+          Some((StructType(resolved.map(_._1.copy(nullable = false))),
+            Seq(Row(resolved.map(_._2): _*))))
+        else None
+      case _ => None
     }
   }
 }

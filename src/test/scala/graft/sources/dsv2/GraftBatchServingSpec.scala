@@ -112,4 +112,42 @@ class GraftBatchServingSpec extends SparkSpec {
         s"(<= $deleted rows), read $records")
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 900L)
   }
+
+  test("key-equality DELETE commits an eq-delete reading ZERO data files") {
+    val root = Files.createTempDirectory("graft-serve-eqdel").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, grp STRING, v STRING)")
+    spark.sql(
+      s"INSERT INTO $g.t SELECT id, concat('g', id % 7), concat('v', id) FROM range(0, 5000)")
+    val cat = new GraftCatalog(root)
+    val dataBefore = cat.loadEntries("t").filter(_.kind == "data").map(_.path).toSet
+
+    // single-key point delete: the 100 TB shape — the KEY becomes the
+    // delete file, no data file is opened to find positions
+    val (_, records) = probe {
+      spark.sql(s"DELETE FROM $g.t WHERE k = 4321")
+    }
+    val entries = cat.loadEntries("t")
+    assert(entries.filter(_.kind == "data").map(_.path).toSet == dataBefore)
+    val eqdels = entries.filter(_.kind == "eqdel")
+    assert(eqdels.nonEmpty && eqdels.last.eqCols == Seq("k"),
+      eqdels.map(e => (e.path, e.eqCols)).mkString("; "))
+    assert(records <= 5,
+      s"eq-delete commit must not read data files (read $records records)")
+
+    // multi-column equality and IN take the same path
+    spark.sql(s"DELETE FROM $g.t WHERE k = 17 AND grp = 'g3'")
+    spark.sql(s"DELETE FROM $g.t WHERE k IN (1, 2, 3)")
+    val kinds = new GraftCatalog(root).loadEntries("t")
+    assert(kinds.count(_.kind == "eqdel") == 3)
+    assert(kinds.count(_.kind == "posdel") == 0,
+      "pure key-equality DELETEs must never take the positional path")
+    // 5000 - (4321) - (17, g3 matches since 17 % 7 == 3) - (1,2,3)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 4995L)
+    // a RANGE delete still takes the positional path
+    spark.sql(s"DELETE FROM $g.t WHERE k >= 4990")
+    val after = new GraftCatalog(root).loadEntries("t")
+    assert(after.exists(_.kind == "posdel"))
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 4985L)
+  }
 }
