@@ -2572,6 +2572,39 @@ final class GraftCatalog(root: String,
     commitRewriteLocked(table, added, victims.map(_.path))
   }
 
+  /** DYNAMIC partition overwrite (`partitionOverwriteMode=dynamic`):
+    * retire exactly the data files whose partition tuple matches one the
+    * written files carry, land the written files, ONE base-asserted
+    * commit. Iceberg's `ReplacePartitions`. Pre-spec files (no recorded
+    * tuple) are never matched — like Iceberg across a spec change, they
+    * belong to no addressable partition and survive untouched; delete
+    * entries stay pending (they still suppress rows of untouched files;
+    * pairs referencing retired files dangle harmlessly).
+    */
+  def commitDynamicOverwrite(
+      table: String,
+      expectedHead: Long,
+      files: Seq[GraftCatalog.AddedFile]): Long = withTableLock(table) {
+    assertBaseLocked(table, Some(expectedHead))
+    val spec = partitionSpec(table)
+    require(spec.nonEmpty,
+      s"dynamic partition overwrite needs a partition spec on $table")
+    val names = spec.map(_.name)
+    val entries = loadEntries(table)
+    val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
+    val added = addedDataEntries(table, files, seq)
+    val partial = added.filterNot(a => names.forall(a.partitionVals.contains))
+    require(partial.isEmpty,
+      s"dynamic overwrite files must carry full partition tuples " +
+        s"(${names.mkString(", ")}); missing on: " +
+        partial.map(_.path).take(3).mkString(", "))
+    val written = added.map(a => names.map(a.partitionVals(_))).toSet
+    val victims = entries.filter(e => e.kind == "data" &&
+      names.forall(e.partitionVals.contains) &&
+      written.contains(names.map(e.partitionVals(_))))
+    commitRewriteLocked(table, added, victims.map(_.path))
+  }
+
   /** [[commitAppendAt]] WITHOUT a base assertion — the commit shape for a
     * caller that asserted nothing (Iceberg-REST: an empty `requirements`
     * list means no validation): the append lands at whatever head holds

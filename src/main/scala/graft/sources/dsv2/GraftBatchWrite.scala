@@ -25,7 +25,8 @@ import graft.sources.GraftCatalog
 final class GraftOrderedWrite(
     batch: GraftBatchWrite,
     sortCols: Seq[String],
-    streaming: Option[() => org.apache.spark.sql.connector.write.streaming.StreamingWrite] = None)
+    streaming: Option[() => org.apache.spark.sql.connector.write.streaming.StreamingWrite] = None,
+    clusterCols: Seq[String] = Nil)
     extends Write
     with RequiresDistributionAndOrdering {
 
@@ -36,9 +37,21 @@ final class GraftOrderedWrite(
     sortCols.map(c => Expressions.sort(Expressions.column(c),
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
+  /** Declared write-order wins (range clustering feeds stats pruning); a
+    * PARTITIONED table without one clusters by the transforms' SOURCE
+    * columns instead — rows sharing source values land in one task, so
+    * the fanout writer's per-task open-file count stays bounded (Iceberg's
+    * hash write distribution; without it every task can touch every
+    * partition tuple and a 1000-task insert into bucket(16) writes 16k
+    * files).
+    */
   override def requiredDistribution(): Distribution =
-    if (sortCols.isEmpty) Distributions.unspecified()
-    else Distributions.ordered(orders)
+    if (sortCols.nonEmpty) Distributions.ordered(orders)
+    else if (clusterCols.nonEmpty)
+      Distributions.clustered(
+        clusterCols.map(c => Expressions.column(c)
+          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else Distributions.unspecified()
 
   // clustering is an OPTIMIZATION, not a correctness need: let AQE pick
   // partition counts and fall back freely
@@ -79,7 +92,8 @@ final class GraftBatchWrite(
     schema: StructType,
     replaceAt: Option[Long],
     replaceOnly: () => Option[Set[String]] = () => None,
-    overwriteWhere: Option[(Array[org.apache.spark.sql.sources.Filter], Long)] = None)
+    overwriteWhere: Option[(Array[org.apache.spark.sql.sources.Filter], Long)] = None,
+    dynamicOverwriteAt: Option[Long] = None)
     extends BatchWrite {
 
   private val dir =
@@ -111,6 +125,14 @@ final class GraftBatchWrite(
     val files = GraftFilesCommit.all(messages).map(f =>
       GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes))
     val cat = new GraftCatalog(root)
+    dynamicOverwriteAt match {
+      case Some(base) =>
+        // replace exactly the partition tuples the written files carry
+        // (empty data = no-op, Spark's dynamic-overwrite semantics)
+        if (files.nonEmpty) cat.commitDynamicOverwrite(table, base, files)
+        return
+      case None => ()
+    }
     overwriteWhere match {
       case Some((filters, base)) =>
         // atomic filter-overwrite: suppression pos-deletes + the written

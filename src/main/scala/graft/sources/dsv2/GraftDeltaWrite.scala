@@ -86,14 +86,24 @@ final class GraftDeltaBatchWrite(
       info: PhysicalWriteInfo): DeltaWriterFactory = {
     val spark = SparkSession.active
     Files.createDirectories(Paths.get(dir))
+    val cat = new GraftCatalog(root)
+    // footers carry the canonical ids; a declared partition spec fans the
+    // NEW row versions out per tuple so they stay partition-prunable
+    // (the delete half is position-keyed — no tuple applies)
+    val writeSchema = cat.currentSchema(table)
+      .fold(dataSchema)(graft.sources.FieldIds.adoptCanonicalIds(dataSchema, _))
+    val spec = cat.partitionSpec(table)
+    val layout =
+      if (spec.isEmpty) None
+      else Some(PartitionLayout.bind(spark, writeSchema, spec))
     val conf = ParquetWriteBridge.hadoopConfOf(spark)
     val (dataFactory, dataConf) =
-      ParquetWriteBridge.prepare(spark, dataSchema, conf)
+      ParquetWriteBridge.prepare(spark, writeSchema, conf)
     val (posFactory, posConf) = ParquetWriteBridge.prepare(
       spark, GraftDeltaBatchWrite.PosDeleteSchema,
       ParquetWriteBridge.hadoopConfOf(spark))
-    GraftDeltaWriterFactory(dir, dataSchema,
-      dataFactory, dataConf, posFactory, posConf)
+    GraftDeltaWriterFactory(dir, writeSchema,
+      dataFactory, dataConf, posFactory, posConf, layout)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -131,13 +141,14 @@ final case class GraftDeltaWriterFactory(
     dataFactory: OutputWriterFactory,
     dataConf: SerializableConfiguration,
     posFactory: OutputWriterFactory,
-    posConf: SerializableConfiguration)
+    posConf: SerializableConfiguration,
+    layout: Option[PartitionLayout] = None)
     extends DeltaWriterFactory {
 
   override def createWriter(
       partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(dir, dataSchema,
-      dataFactory, dataConf, posFactory, posConf, partitionId, taskId)
+      dataFactory, dataConf, posFactory, posConf, partitionId, taskId, layout)
 }
 
 /** Streams inserts into a data file and deletes into a position-delete
@@ -153,17 +164,27 @@ final class GraftDeltaWriter(
     posFactory: OutputWriterFactory,
     posConf: SerializableConfiguration,
     partitionId: Int,
-    taskId: Long)
+    taskId: Long,
+    layout: Option[PartitionLayout] = None)
     extends DeltaWriter[InternalRow] {
 
-  private val dataPath = f"$dir/part-$partitionId%05d-$taskId-data.parquet"
+  private lazy val tupleDir: Option[InternalRow => String] =
+    layout.map(_.dirEvaluator())
+  /** Open DATA writers by relative partition dir ("" = unpartitioned). */
+  private val openData = scala.collection.mutable.LinkedHashMap
+    .empty[String, GraftDataWriter.OpenFile]
+  private def dataFileFor(rel: String): GraftDataWriter.OpenFile =
+    openData.getOrElseUpdate(rel, {
+      val d = if (rel.isEmpty) dir else s"$dir/$rel"
+      Files.createDirectories(Paths.get(d.stripPrefix("file:")))
+      val path = f"$d/part-$partitionId%05d-$taskId-data.parquet"
+      new GraftDataWriter.OpenFile(path, ParquetWriteBridge.newWriter(
+        dataFactory, dataConf, dataSchema, path, partitionId, taskId))
+    })
   private val posPath = f"$dir/part-$partitionId%05d-$taskId-deletes.parquet"
-  private lazy val dataWriter = ParquetWriteBridge.newWriter(
-    dataFactory, dataConf, dataSchema, dataPath, partitionId, taskId)
   private lazy val posWriter = ParquetWriteBridge.newWriter(
     posFactory, posConf, GraftDeltaBatchWrite.PosDeleteSchema, posPath,
     partitionId, taskId)
-  private var dataRows = 0L
   private var posRows = 0L
 
   /** `id` rows arrive in [[GraftDeltaRowLevelOperation.rowId]] order —
@@ -181,18 +202,16 @@ final class GraftDeltaWriter(
   }
 
   override def insert(row: InternalRow): Unit = {
-    dataWriter.write(row)
-    dataRows += 1
+    val f = dataFileFor(tupleDir.fold("")(_.apply(row)))
+    f.writer.write(row)
+    f.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
-    val d =
-      if (dataRows == 0) None
-      else {
-        dataWriter.close()
-        Some(GraftFileCommit(dataPath, dataRows,
-          Files.size(Paths.get(dataPath.stripPrefix("file:")))))
-      }
+    openData.values.foreach(_.writer.close())
+    val d = openData.values.map(f =>
+      GraftFileCommit(f.path, f.rows,
+        Files.size(Paths.get(f.path.stripPrefix("file:"))))).toSeq
     val p =
       if (posRows == 0) None
       else {
@@ -204,9 +223,11 @@ final class GraftDeltaWriter(
   }
 
   override def abort(): Unit = {
-    if (dataRows > 0) dataWriter.close()
+    openData.values.foreach { f =>
+      f.writer.close()
+      Files.deleteIfExists(Paths.get(f.path.stripPrefix("file:")))
+    }
     if (posRows > 0) posWriter.close()
-    Files.deleteIfExists(Paths.get(dataPath.stripPrefix("file:")))
     Files.deleteIfExists(Paths.get(posPath.stripPrefix("file:")))
   }
 
@@ -214,6 +235,6 @@ final class GraftDeltaWriter(
 }
 
 final case class GraftDeltaCommit(
-    data: Option[GraftFileCommit],
+    data: Seq[GraftFileCommit],
     deletes: Option[GraftFileCommit])
     extends WriterCommitMessage

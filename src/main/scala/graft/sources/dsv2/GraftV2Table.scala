@@ -67,7 +67,8 @@ final class GraftV2Table(
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.MICRO_BATCH_READ, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC).asJava
 
   override def properties(): util.Map[String, String] =
     cat.tableProperties(tableName).asJava
@@ -101,14 +102,17 @@ final class GraftV2Table(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
-    new WriteBuilder with SupportsOverwrite {
+    new WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
       // INSERT INTO appends; INSERT OVERWRITE (OverwriteByExpression with
       // a TRUE condition) replaces the table content in ONE commit —
       // truncate-then-append would leave an observable empty snapshot;
       // a FILTER overwrite (df.writeTo(t).overwrite(cond) / INSERT INTO t
       // REPLACE WHERE cond) suppresses matching rows via pos-deletes and
-      // lands the replacement files in the same commit
+      // lands the replacement files in the same commit; DYNAMIC partition
+      // overwrite (partitionOverwriteMode=dynamic) replaces exactly the
+      // partition tuples the written data touches
       private var replaceAll = false
+      private var dynamic = false
       private var filterOverwrite: Option[Array[Filter]] = None
       override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def canOverwrite(filters: Array[Filter]): Boolean =
@@ -119,17 +123,31 @@ final class GraftV2Table(
         else filterOverwrite = Some(filters)
         this
       }
+      override def overwriteDynamicPartitions(): WriteBuilder = {
+        // on an UNPARTITIONED table the whole content is one "partition"
+        // — Spark's own semantics: replace everything
+        if (cat.partitionSpec(tableName).isEmpty) replaceAll = true
+        else dynamic = true
+        this
+      }
       override def build(): Write = new GraftOrderedWrite(
         new GraftBatchWrite(root, tableName, info.schema(),
           replaceAt = if (replaceAll) Some(cat.currentSnapshotId(tableName))
             else None,
           overwriteWhere = filterOverwrite.map(f =>
-            (f, cat.currentSnapshotId(tableName)))),
+            (f, cat.currentSnapshotId(tableName))),
+          dynamicOverwriteAt =
+            if (dynamic) Some(cat.currentSnapshotId(tableName)) else None),
         // the table's declared write-order drives engine-side clustering;
         // only columns the write actually carries can be ordered by
         cat.sortOrder(tableName).filter(info.schema().fieldNames.contains),
         streaming = Some(() => new GraftStreamingWrite(
-          root, tableName, info.schema(), info.queryId())))
+          root, tableName, info.schema(), info.queryId())),
+        // partitioned tables without a write-order cluster by the
+        // transforms' source columns to bound the fanout (see
+        // GraftOrderedWrite.requiredDistribution)
+        clusterCols = cat.partitionSpec(tableName).map(_.source).distinct
+          .filter(info.schema().fieldNames.contains))
     }
   }
 
@@ -234,10 +252,12 @@ final class GraftScanBuilder(
     host: Option[GraftRowLevelOperation] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  private var aggAnswer: Option[(StructType, Seq[Any])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -253,12 +273,151 @@ final class GraftScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = host match {
-    case Some(op) =>
+  /** Manifest-answered aggregates — Iceberg's metadata COUNT/MIN/MAX:
+    * an unfiltered, ungrouped `COUNT(*)` / `MIN(col)` / `MAX(col)` whose
+    * exactness is PROVABLE from the snapshot (every data file counted /
+    * bounded, no pending delete that could suppress the extreme row, no
+    * sentinel bounds) is answered without opening a single data file —
+    * at 100 TB the difference between a metadata lookup and a full scan.
+    * Anything less provable refuses the pushdown and scans; Spark only
+    * attempts this when NO filter survives (ours all stay residual), so
+    * a WHERE automatically disables it.
+    */
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataAnswer(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    metadataAnswer(agg) match {
+      case Some(a) => aggAnswer = Some(a); true
+      case None => false
+    }
+
+  private def metadataAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (rowLevel || asOf.isDefined || pushed.nonEmpty ||
+        agg.groupByExpressions.nonEmpty) return None
+    val cat = new GraftCatalog(root)
+    val entries = cat.loadEntries(table)
+    val data = entries.filter(_.kind == "data")
+    val noDeletes = entries.forall(_.kind == "data")
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[org.apache.spark.sql.types.StructField] = e match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.length == 1 =>
+        tableSchema.fields.find(_.name == r.fieldNames.head)
+      case _ => None
+    }
+    /** Fold of per-file long bounds — Some only when EVERY data file has
+      * parseable bounds for the column (sentinels/missing stats refuse)
+      * and no delete could have suppressed the extreme row.
+      */
+    def longBounds(name: String): Option[(Long, Long)] =
+      if (!noDeletes || data.isEmpty) None
+      else {
+        val bs = data.map(e => e.stats.flatMap(s =>
+          (s.colMins.get(name), s.colMaxs.get(name)) match {
+            case (Some(mn), Some(mx)) =>
+              (mn.toLongOption, mx.toLongOption) match {
+                case (Some(a), Some(b)) => Some((a, b))
+                case _ => None
+              }
+            case _ => None
+          }))
+        if (bs.exists(_.isEmpty)) None
+        else Some((bs.flatten.map(_._1).min, bs.flatten.map(_._2).max))
+      }
+    val answered = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        // exact iff every row is counted and none is delete-suppressed
+        if (noDeletes && data.forall(_.recordCount >= 0L))
+          Some(("count(*)", LongType: org.apache.spark.sql.types.DataType,
+            data.map(_.recordCount).sum: Any, false))
+        else None
+      case m: Min => colOf(m.column).flatMap { f =>
+        // a recorded bound covers non-null values only — exact for SQL
+        // MIN/MAX (which ignore nulls) whenever every file is bounded
+        f.dataType match {
+          case LongType => longBounds(f.name).map(b =>
+            (s"min(${f.name})", LongType: org.apache.spark.sql.types.DataType,
+              b._1: Any, true))
+          case IntegerType => longBounds(f.name).map(b =>
+            (s"min(${f.name})", IntegerType: org.apache.spark.sql.types.DataType,
+              b._1.toInt: Any, true))
+          case _ => None
+        }
+      }
+      case m: Max => colOf(m.column).flatMap { f =>
+        f.dataType match {
+          case LongType => longBounds(f.name).map(b =>
+            (s"max(${f.name})", LongType: org.apache.spark.sql.types.DataType,
+              b._2: Any, true))
+          case IntegerType => longBounds(f.name).map(b =>
+            (s"max(${f.name})", IntegerType: org.apache.spark.sql.types.DataType,
+              b._2.toInt: Any, true))
+          case _ => None
+        }
+      }
+      case c: Count if !c.isDistinct =>
+        // COUNT(col) = rows minus the column's nulls — exact when counts
+        // AND null counts are recorded everywhere and nothing is deleted
+        colOf(c.column).flatMap { f =>
+          if (noDeletes && data.nonEmpty &&
+              data.forall(e => e.recordCount >= 0L &&
+                e.stats.exists(_.nullCounts.contains(f.name))))
+            Some((s"count(${f.name})",
+              LongType: org.apache.spark.sql.types.DataType,
+              data.map(e => e.recordCount -
+                e.stats.get.nullCounts(f.name)).sum: Any, false))
+          else None
+        }
+      case _ => None
+    }
+    if (answered.exists(_.isEmpty)) None
+    else {
+      // an EMPTY table answers count = 0 and min/max = NULL
+      val cols = answered.flatten
+      val schema = StructType(cols.map { case (n, t, _, nullable) =>
+        org.apache.spark.sql.types.StructField(n, t, nullable)
+      })
+      val values = cols.map { case (_, _, v, _) => v }
+      Some((schema, values))
+    }
+  }
+
+  override def build(): Scan = (host, aggAnswer) match {
+    case (Some(op), _) =>
       new GraftRowLevelScan(root, table, asOf, required, op)
-    case None =>
+    case (None, Some((schema, values))) =>
+      new GraftMetadataAggScan(table, schema, values)
+    case (None, None) =>
       new GraftV1Scan(root, table, asOf, required, pushed, skipRewrites)
   }
+}
+
+/** The single pre-computed row of a metadata-answered aggregate. */
+final class GraftMetadataAggScan(
+    table: String,
+    schema: StructType,
+    values: Seq[Any])
+    extends org.apache.spark.sql.connector.read.LocalScan {
+
+  override def readSchema(): StructType = schema
+
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val converted = values.zip(schema.fields).map { case (v, f) =>
+      org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .convertToCatalyst(v)
+    }
+    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(converted))
+  }
+
+  override def description(): String =
+    s"GraftMetadataAggScan(table=$table, ${schema.fieldNames.mkString(", ")})"
 }
 
 class GraftV1Scan(

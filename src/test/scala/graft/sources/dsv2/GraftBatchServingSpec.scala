@@ -150,4 +150,40 @@ class GraftBatchServingSpec extends SparkSpec {
     assert(after.exists(_.kind == "posdel"))
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 4985L)
   }
+
+  test("COUNT/MIN/MAX answer from the manifest; pending deletes fall back exactly") {
+    val root = Files.createTempDirectory("graft-serve-agg").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id + 10, concat('v', id) FROM range(0, 5000)")
+    // COUNT(*) from recorded file counts: zero data rows read
+    val (_, cntRecords) = probe {
+      assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 5000L)
+    }
+    assert(cntRecords == 0L,
+      s"metadata COUNT(*) must open no data file (read $cntRecords rows)")
+
+    // MIN/MAX need per-file bounds: compact with stats, then both answer
+    // from the manifest fold
+    val cat = new GraftCatalog(root)
+    cat.compactTable(spark, "t", s"$root/staged",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 4,
+        clusterBy = Seq("k"), statsCols = Seq("k")))
+    val (_, mmRecords) = probe {
+      assert(spark.sql(s"SELECT min(k), max(k), count(*) FROM $g.t").head()
+        .toSeq == Seq(10L, 5009L, 5000L))
+    }
+    assert(mmRecords == 0L,
+      s"metadata MIN/MAX must open no data file (read $mmRecords rows)")
+
+    // a pending delete could have suppressed the extreme row / any row:
+    // the pushdown must REFUSE and the scan still answers exactly
+    spark.sql(s"DELETE FROM $g.t WHERE k = 10") // eq-delete fast path
+    val r = spark.sql(s"SELECT count(*), min(k), max(k) FROM $g.t").head()
+    assert(r.toSeq == Seq(4999L, 11L, 5009L), r.toSeq)
+
+    // a WHERE disables the metadata answer (filters survive residual)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t WHERE k > 5000").head()
+      .getLong(0) == 9L)
+  }
 }

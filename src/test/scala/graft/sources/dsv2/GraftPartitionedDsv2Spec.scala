@@ -103,6 +103,85 @@ class GraftPartitionedDsv2Spec extends SparkSpec {
     }
   }
 
+  test("dynamic partition overwrite replaces exactly the written tuples") {
+    val root = Files.createTempDirectory("graft-dsv2-dynover").toString
+    withCatalogSession(root) { (g, s) =>
+      s.sql(s"CREATE TABLE $g.t (k BIGINT, grp STRING) PARTITIONED BY (grp)")
+      s.sql(s"INSERT INTO $g.t VALUES (1, 'a'), (2, 'a'), (3, 'b'), (4, 'c')")
+      val cat = new GraftCatalog(root)
+      val before = cat.loadEntries("t").filter(_.kind == "data")
+      val untouchedBefore = before.filter(e =>
+        Set("b", "c")(e.partitionVals("grp"))).map(_.path).toSet
+
+      val old = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $g.t VALUES (10, 'a'), (11, 'a'), (12, 'd')")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+      // partition 'a' replaced, 'd' added, 'b'/'c' files physically intact
+      assert(s.sql(s"SELECT k FROM $g.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(3L, 4L, 10L, 11L, 12L))
+      val after = cat.loadEntries("t").filter(_.kind == "data")
+      assert(untouchedBefore.subsetOf(after.map(_.path).toSet),
+        "untouched partitions' files must survive physically")
+      assert(!after.exists(e => e.partitionVals("grp") == "a" &&
+        before.map(_.path).contains(e.path)),
+        "the overwritten partition's old files must be retired")
+
+      // STATIC overwrite (the default) still replaces everything
+      s.sql(s"INSERT OVERWRITE $g.t VALUES (100, 'z')")
+      assert(s.sql(s"SELECT k, grp FROM $g.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((100L, "z")))
+    }
+  }
+
+  test("partitioned INSERT clusters by source columns: bounded files per tuple") {
+    val root = Files.createTempDirectory("graft-dsv2-clus").toString
+    withCatalogSession(root) { (g, s) =>
+      s.sql(s"CREATE TABLE $g.t (k BIGINT, grp STRING) PARTITIONED BY (grp)")
+      // 4 distinct groups across MANY input partitions: without the
+      // clustered write distribution every task would write every group
+      s.sql(
+        s"""INSERT INTO $g.t
+           |SELECT /*+ REPARTITION(8) */ id, concat('g', id % 4)
+           |FROM range(0, 4000)""".stripMargin)
+      val data = new GraftCatalog(root).loadEntries("t").filter(_.kind == "data")
+      val perTuple = data.groupBy(_.partitionVals("grp")).view.mapValues(_.size)
+      assert(perTuple.keys.toSet == Set("g0", "g1", "g2", "g3"))
+      // clustered distribution puts each group in one task -> 1 file per
+      // tuple (vs up to 8 without it)
+      assert(data.size <= 4 + 1,
+        s"clustered partitioned insert must bound files per tuple, " +
+          s"got ${data.size}: ${perTuple.toMap}")
+      assert(s.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 4000L)
+    }
+  }
+
+  test("merge-on-read UPDATE fans new row versions into partition tuples") {
+    val root = Files.createTempDirectory("graft-dsv2-mor-part").toString
+    withCatalogSession(root) { (g, s) =>
+      s.sql(
+        s"""CREATE TABLE $g.t (k BIGINT, grp STRING)
+           |PARTITIONED BY (grp)
+           |TBLPROPERTIES ('write.update.mode' = 'merge-on-read')""".stripMargin)
+      s.sql(s"INSERT INTO $g.t SELECT id, concat('g', id % 3) FROM range(0, 300)")
+      val cat = new GraftCatalog(root)
+      val originals = cat.loadEntries("t").filter(_.kind == "data").map(_.path).toSet
+      s.sql(s"UPDATE $g.t SET k = k + 1000 WHERE k % 10 = 7") // untranslatable -> MoR
+      val after = cat.loadEntries("t")
+      assert(originals.subsetOf(after.filter(_.kind == "data").map(_.path).toSet),
+        "merge-on-read must not rewrite originals")
+      assert(after.exists(_.kind == "posdel"))
+      val fresh = after.filter(e => e.kind == "data" && !originals(e.path))
+      assert(fresh.nonEmpty &&
+        fresh.forall(e => Set("g0", "g1", "g2")(e.partitionVals.getOrElse("grp", null))),
+        s"delta data files must carry partition tuples: " +
+          fresh.map(e => (e.path, e.partitionVals)).mkString("; "))
+      assert(s.sql(s"SELECT count(*), sum(k) FROM $g.t").head().toSeq ==
+        Seq(300L, (0L until 300L).map(k => if (k % 10 == 7) k + 1000 else k).sum))
+    }
+  }
+
   test("unsupported transform shapes fail at CREATE, leaving nothing behind") {
     val root = Files.createTempDirectory("graft-dsv2-part3").toString
     withCatalogSession(root) { (g, s) =>
