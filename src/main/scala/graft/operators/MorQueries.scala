@@ -719,7 +719,78 @@ object MorQueries {
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
   }
 
+  /** Q149: metadata-answered aggregates through the doorway — after a
+    * stats-recording compaction, `COUNT(*) / MIN / MAX` on the mounted
+    * table plan as a single pre-computed row (`SupportsPushDownAggregates`
+    * → LocalTableScan, asserted on the physical plan) with ZERO data
+    * files opened; the oracle proves the manifest fold is exact.
+    */
+  private def q149(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q149").toString
+    val g = s"g149_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"CREATE TABLE $g.s (s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)")
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q149_src")
+    spark.sql(
+      s"INSERT INTO $g.s SELECT s_suppkey, s_nationkey, s_acctbal FROM q149_src")
+    val cat = new graft.sources.GraftCatalog(root)
+    cat.compactTable(spark, "s", s"$root/staged",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 4,
+        clusterBy = Seq("s_suppkey"), statsCols = Seq("s_suppkey")))
+    val df = spark.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |       min(s_suppkey) AS mn, max(s_suppkey) AS mx
+         |FROM $g.s""".stripMargin)
+    require(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "COUNT/MIN/MAX must be manifest-answered (LocalTableScan), got:\n" +
+        df.queryExecution.executedPlan)
+    df
+  }
+
+  /** Q150: dynamic partition overwrite through bare SQL — an
+    * identity-partitioned doorway table, one partition's content replaced
+    * under `partitionOverwriteMode=dynamic`, every other partition's
+    * files PHYSICALLY untouched (asserted on the entry lists); the oracle
+    * states the logical CASE view the replacement must equal.
+    */
+  private def q150(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q150").toString
+    val g = s"g150_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.s
+         |(s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE)
+         |PARTITIONED BY (s_nationkey)""".stripMargin)
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q150_src")
+    spark.sql(
+      s"""INSERT INTO $g.s
+         |SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM q150_src""".stripMargin)
+    val cat = new graft.sources.GraftCatalog(root)
+    val untouchedBefore = cat.loadEntries("s").filter(e =>
+      e.kind == "data" && e.partitionVals.get("s_nationkey").exists(_ != "3"))
+      .map(_.path).toSet
+    val mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(
+      s"""INSERT OVERWRITE $g.s
+         |SELECT s_suppkey, s_name, s_nationkey, s_acctbal + 1000
+         |FROM q150_src WHERE s_nationkey = 3""".stripMargin)
+    finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+    require(untouchedBefore.subsetOf(
+      cat.loadEntries("s").filter(_.kind == "data").map(_.path).toSet),
+      "dynamic overwrite must leave every other partition's files untouched")
+    spark.sql(
+      s"SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM $g.s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_metadata_agg" -> (q149 _),
+    "q150_dynamic_overwrite" -> (q150 _),
     "q148_cow_group_filter" -> (q148 _),
     "q147_dsv2_partitioned" -> (q147 _),
     "q128_time_travel" -> (q128 _),
@@ -772,6 +843,15 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q149_metadata_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       min(s_suppkey) AS mn, max(s_suppkey) AS mx
+        |FROM supplier""".stripMargin,
+    "q150_dynamic_overwrite" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |       CASE WHEN s_nationkey = 3 THEN s_acctbal + 1000
+        |            ELSE s_acctbal END AS s_acctbal
+        |FROM supplier""".stripMargin,
     "q148_cow_group_filter" ->
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

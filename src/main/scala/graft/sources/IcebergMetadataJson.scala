@@ -103,9 +103,13 @@ object IcebergMetadataJson {
     // — an external writer allocates last-column-id + 1 for its next column,
     // and a dropped column's id must never be reachable that way. Synthetic
     // ids (nested/id-less fields) allocate above this and are folded back in.
-    val maxRealId = schemas
-      .flatMap { case (_, s) => FieldIds.allIds(s) } // nested ids are real too
-      .maxOption.getOrElse(0)
+    val maxRealId = math.max(
+      schemas.flatMap { case (_, s) => FieldIds.allIds(s) } // nested too
+        .maxOption.getOrElse(0),
+      // the persisted monotonic mark — expiry can delete schemas that
+      // carried the true high-water id, and an external writer allocating
+      // last-column-id + 1 must never re-mint a dropped id
+      catalog.nextFieldId(table) - 1)
     val idAlloc = new IdAllocator(maxRealId)
     def mtime(id: Long): Long =
       try Files.getLastModifiedTime(dir.resolve(s"snap-$id.tsv")).toMillis
