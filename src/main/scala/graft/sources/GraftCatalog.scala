@@ -714,12 +714,18 @@ final class GraftCatalog(root: String,
   def scanTableFrames(
       spark: SparkSession,
       table: String,
-      asOf: Option[Long]): Seq[DataFrame] = {
+      asOf: Option[Long],
+      dataKeep: TableEntry => Boolean = _ => true): Seq[DataFrame] = {
     asOf.foreach(sid => require(snapshotIds(table).contains(sid),
       s"snapshot $sid of $table does not exist (expired or never " +
         s"committed); retained: ${snapshotIds(table).mkString(", ")}"))
-    val entries = asOf.fold(loadEntries(table))(readSnapshot(table, _))
+    val all = asOf.fold(loadEntries(table))(readSnapshot(table, _))
     val schema = asOf.fold(currentSchema(table))(schemaAt(table, _))
+    // runtime file pruning (`dataKeep`) needs a schema to represent a
+    // pruned-to-empty result; a schema-less table scans unpruned
+    val entries =
+      if (schema.isEmpty) all
+      else all.filter(e => e.kind != "data" || dataKeep(e))
     if (dataTasks(entries).isEmpty)
       return Seq(scanEntries(spark, table, entries, schema))
     val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
@@ -730,6 +736,57 @@ final class GraftCatalog(root: String,
       .map(g => graft.operators.MorPlanner.merge(g,
         CompactionRunner.readPositionDeletes(spark, pos),
         CompactionRunner.readEqualityDeletes(spark, eq, Some(g.schema))))
+  }
+
+  /** The data-file paths a runtime `column IN (values)` filter cannot
+    * rule out — the DPP planning primitive: per value, a file survives if
+    * its partition tuple MAY hold it (transform projection, same proofs
+    * as [[scanTableWhere]]/[[scanTableWhereEqString]]) AND its recorded
+    * [min,max] bounds straddle it; a file survives overall if ANY value
+    * survives. Conservative everywhere: missing stats/tuples keep, mixed
+    * or unexpected value types keep everything (never risk dropping a
+    * row on a type-coercion guess).
+    */
+  private[graft] def inKeepPaths(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      values: Seq[Any]): Set[String] = {
+    // an EMPTY value list is Spark telling us the build side had no
+    // surviving keys: no row can match, no file needs reading
+    if (values.isEmpty) return Set.empty
+    val data = loadEntries(table).filter(_.kind == "data")
+    def statsNumKeep(e: TableEntry, v: Double): Boolean = e.stats.forall { s =>
+      (s.colMins.get(column).flatMap(_.toDoubleOption),
+        s.colMaxs.get(column).flatMap(_.toDoubleOption)) match {
+        case (Some(mn), Some(mx)) => mn <= v && v <= mx
+        case _ => true
+      }
+    }
+    val longs = values.collect {
+      case i: java.lang.Integer => i.longValue()
+      case l: java.lang.Long => l.longValue()
+      case s: java.lang.Short => s.longValue()
+      case b: java.lang.Byte => b.longValue()
+    }
+    val strings = values.collect {
+      case s: String => s
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    }
+    if (longs.length == values.length && values.nonEmpty) {
+      // one pruner per VALUE (each reads the spec once), applied per entry
+      val pruners = longs.map(v =>
+        (partitionPruner(spark, table, column, v.toDouble, v.toDouble),
+          v.toDouble))
+      data.filter(e => pruners.exists { case (p, v) =>
+        p(e) && statsNumKeep(e, v)
+      }).map(_.path).toSet
+    }
+    else if (strings.length == values.length && values.nonEmpty) {
+      val entries = loadEntries(table)
+      strings.flatMap(v =>
+        eqStringKeptEntries(spark, table, column, v, entries).map(_.path)).toSet
+    } else data.map(_.path).toSet
   }
 
   /** [[scanTable]] as of a retained snapshot — time travel WITH delete-file

@@ -3,14 +3,14 @@ package graft.sources.dsv2
 import java.util
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.connector.catalog._
-import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.connector.write.{SupportsTruncate => WriteSupportsTruncate}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{BaseRelation, Filter, TableScan}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -20,14 +20,15 @@ import scala.jdk.CollectionConverters._
 
 /** DSv2 `Table` over one [[GraftCatalog]] table.
   *
-  * READ: a [[V1Scan]] whose relation materializes the catalog's full MoR
-  * read (`GraftCatalog.scanTable` — pos/eq delete anti joins, field-id
-  * schema resolution, stats pruning all included) as an `RDD[Row]` — the
-  * migration doorway Spark's own JDBC V2 source uses. Column pruning is
-  * pushed into the inner plan (so the parquet scan reads only the
-  * projected columns); translated filters are pushed too but ALWAYS
-  * reported residual, so Spark re-applies them post-scan — pushdown is a
-  * pure IO reduction, never a correctness dependency.
+  * READ: a native `Batch` over the catalog's full MoR read — per-schema-
+  * group LAZY plans whose `InputPartition`s are file-task slices (pos/eq
+  * delete anti joins, field-id schema resolution, stats pruning all
+  * included), served through `BatchScanExec` so runtime filters (DPP)
+  * and metadata-answered aggregates apply. Column pruning is pushed into
+  * the inner plan (so the parquet scan reads only the projected columns);
+  * translated filters are pushed too but ALWAYS reported residual, so
+  * Spark re-applies them post-scan — pushdown is a pure IO reduction,
+  * never a correctness dependency.
   *
   * WRITE: a native parquet `BatchWrite` ([[GraftBatchWrite]]) — each task
   * writes through Spark's own `OutputWriterFactory`
@@ -428,10 +429,55 @@ class GraftV1Scan(
     filters: Array[Filter],
     skipRewrites: Boolean = false,
     host: Option[GraftRowLevelOperation] = None)
-    extends V1Scan
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    extends Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = required
+
+  /** Files a runtime `IN`/`=` filter could not rule out — installed by
+    * [[filter]] between the engine's partition probes, consumed by the
+    * next [[toBatch]] re-plan. None = no (parseable) runtime filter
+    * arrived; full file set, always correct.
+    */
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+
+  /** Dynamic partition pruning / runtime row-group filters: the engine
+    * may push the build side of a join as `col IN (values)` at RUNTIME
+    * (Spark's DPP on DSv2 scans). Accept them on every column the
+    * snapshot can actually prune by — partition-transform sources,
+    * declared sort-order columns, and stats-carrying columns — so a
+    * dim-filtered star join reads only the fact files whose tuples or
+    * bounds may hold the surviving keys. The row-level subclass
+    * overrides this with its `_file` group-filter semantics.
+    */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    if (asOf.isDefined) Array.empty
+    else {
+      val cat = new GraftCatalog(root)
+      val statCols = cat.loadEntries(table)
+        .collectFirst { case e if e.kind == "data" && e.stats.isDefined =>
+          e.stats.get.colMins.keys.toSeq
+        }.getOrElse(Nil)
+      (cat.partitionSpec(table).map(_.source) ++ cat.sortOrder(table) ++
+        statCols).distinct
+        .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
+          : org.apache.spark.sql.connector.expressions.NamedReference)
+        .toArray
+    }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val sets = GraftRowLevelScan.extractColumnInSets(predicates)
+    if (sets.nonEmpty) {
+      val cat = new GraftCatalog(root)
+      val keep = sets.map { case (c, vs) =>
+        cat.inKeepPaths(SparkSession.active, table, c, vs)
+      }.reduce(_ intersect _)
+      runtimeKeep = Some(keep)
+    }
+  }
 
   /** Metadata-answered size/row estimate (the per-file sizes and counts
     * every commit path stamps into the manifest) so a SMALL catalog table
@@ -465,27 +511,21 @@ class GraftV1Scan(
     }
   }
 
-  override def toV1TableScan[T <: BaseRelation with TableScan](
-      context: SQLContext): T =
-    new GraftV1Relation(context, root, table, asOf, required, filters)
-      .asInstanceOf[T]
-
-  /** The row-level-operation rewrite plans (`ReplaceData` from
-    * DELETE/UPDATE/MERGE) consume the scan through `BatchScanExec`
-    * directly — the V1 wrapper applies only on the plain read path. The
-    * served partitions are the per-schema-group LAZY narrow rdds
-    * ([[GraftInnerFrame.servableRdds]]): each `InputPartition` is a
-    * file-task slice computed on the executor (parquet scan + codegen'd
-    * delete anti joins against broadcast delete sets), nothing
-    * pre-executes on the driver. Only a genuinely shuffle-bearing plan
-    * (e.g. sort-merge-sized delete sets) falls back to the eager
-    * materialize-then-serve shape.
+  /** EVERY batch read — plain SELECTs and the row-level-operation
+    * rewrites alike — serves through `BatchScanExec` as the
+    * per-schema-group LAZY narrow rdds ([[GraftInnerFrame.servableRdds]]):
+    * each `InputPartition` is a file-task slice computed on the executor
+    * (parquet scan + codegen'd delete anti joins against broadcast delete
+    * sets), nothing pre-executes on the driver, and runtime filters
+    * ([[filter]]) prune the file set between partition probes. Only a
+    * genuinely shuffle-bearing plan (e.g. sort-merge-sized delete sets)
+    * falls back to the eager materialize-then-serve shape.
     */
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     new GraftRddBatch(() =>
       GraftInnerFrame.servableRdds(GraftInnerFrame.frames(
         SparkSession.active, root, table, asOf, required, filters,
-        host.flatMap(_.groupFilter))))
+        host.flatMap(_.groupFilter), keepPaths = runtimeKeep)))
 
   /** `spark.readStream.table(...)` — the DSv2 streaming doorway, sharing
     * the V1 source's snapshot-offset semantics.
@@ -551,22 +591,6 @@ final class GraftRddReaderFactory
   }
 }
 
-final class GraftV1Relation(
-    context: SQLContext,
-    root: String,
-    table: String,
-    asOf: Option[Long],
-    required: StructType,
-    filters: Array[Filter])
-    extends BaseRelation with TableScan {
-
-  override def sqlContext: SQLContext = context
-  override def schema: StructType = required
-
-  override def buildScan(): RDD[Row] = GraftInnerFrame(
-    context.sparkSession, root, table, asOf, required, filters).rdd
-}
-
 /** The one inner-plan builder both serving shapes share: the catalog MoR
   * read, with the row-identity variant (`scanTableWithRowId`) selected
   * automatically when the projection asks for the `_file`/`_pos`
@@ -597,7 +621,8 @@ private[dsv2] object GraftInnerFrame {
       asOf: Option[Long],
       required: StructType,
       filters: Array[Filter],
-      fileFilter: Option[Set[String]] = None): Seq[DataFrame] = {
+      fileFilter: Option[Set[String]] = None,
+      keepPaths: Option[Set[String]] = None): Seq[DataFrame] = {
     val cat = new GraftCatalog(root)
     val needsRowId = fileFilter.isDefined ||
       required.fieldNames.exists(n => n == "_file" || n == "_pos")
@@ -658,7 +683,11 @@ private[dsv2] object GraftInnerFrame {
     val bases: Seq[DataFrame] =
       if (needsRowId) Seq(cat.scanTableWithRowId(spark, table, asOf))
       else prunedScan.map(Seq(_))
-        .getOrElse(cat.scanTableFrames(spark, table, asOf))
+        .getOrElse(cat.scanTableFrames(spark, table, asOf,
+          // runtime (DPP) file pruning — an unrestricted membership test
+          // when no parseable filter arrived
+          dataKeep = keepPaths.fold((_: cat.TableEntry) => true)(
+            kp => (e: cat.TableEntry) => kp.contains(e.path))))
     bases.map { base =>
       // runtime GROUP filter (copy-on-write ReplaceData): restrict to the
       // files the dynamic-pruning subquery found matching rows in — the
@@ -987,4 +1016,43 @@ private[dsv2] object GraftRowLevelScan {
     }
     sets.reduceOption(_ intersect _)
   }
+
+  private def refName(
+      e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case r: V2Ref if r.fieldNames().length == 1 => Some(r.fieldNames().head)
+      case _ => None
+    }
+
+  /** Runtime `IN(col, v...)` / `=(col, v)` predicates → per-column value
+    * lists (raw catalyst literal values). A predicate with any
+    * non-literal value is dropped WHOLE (keeping a partial list would
+    * wrongly prune files holding the unparsed values); multiple
+    * predicates on one column keep their value lists concatenated — the
+    * consumer's per-value OR stays conservative under AND semantics.
+    */
+  def extractColumnInSets(predicates: Array[Predicate]): Map[String, Seq[Any]] =
+    predicates.toSeq.flatMap { p =>
+      val children = p.children()
+      p.name() match {
+        case "IN" if children.nonEmpty =>
+          refName(children.head).flatMap { c =>
+            val vals = children.tail.flatMap {
+              case l: V2Literal[_] => Option(l.value())
+              case _ => None
+            }
+            if (vals.length == children.length - 1) Some(c -> vals.toSeq)
+            else None
+          }
+        case "=" if children.length == 2 =>
+          for {
+            c <- refName(children.head)
+            l <- children(1) match {
+              case l: V2Literal[_] => Option(l.value())
+              case _ => None
+            }
+          } yield c -> Seq(l)
+        case _ => None
+      }
+    }.groupBy(_._1).view.mapValues(_.flatMap(_._2)).toMap
 }

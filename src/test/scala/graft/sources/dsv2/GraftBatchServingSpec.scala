@@ -151,6 +151,45 @@ class GraftBatchServingSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 4985L)
   }
 
+  test("a dim-filtered join runtime-prunes the fact table's bucket files") {
+    val root = Files.createTempDirectory("graft-serve-dpp").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.fact (k BIGINT, v STRING) PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $g.fact SELECT id, concat('v', id) FROM range(0, 8000)")
+    val cat = new GraftCatalog(root)
+    val data = cat.loadEntries("fact").filter(_.kind == "data")
+    assert(data.map(_.partitionVals("k_bucket")).distinct.size == 8)
+    val total = 8000L
+
+    // two surviving dim keys -> at most two buckets' files may hold
+    // matches. The dim must be FILE-backed with a real Filter: Spark only
+    // inserts DPP when the build side has a selective predicate, and a
+    // local relation's filter constant-folds away before that check
+    import spark.implicits._
+    (0L until 100L).map(i => (i, if (i == 41 || i == 42) "x" else "y"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(s"$root/dim")
+    spark.read.parquet(s"$root/dim").createOrReplaceTempView("dpp_dim")
+    val joined = spark.sql(
+      s"SELECT f.k, f.v FROM $g.fact f JOIN dpp_dim d ON f.k = d.k WHERE d.tag = 'x'")
+    assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      "the join must plan a runtime filter on the fact scan")
+    val (_, records) = probe {
+      assert(joined.collect().map(_.getLong(0)).sorted.toSeq == Seq(41L, 42L))
+    }
+    val matchBuckets = Seq(41L, 42L)
+      .map(graft.functions.IcebergMurmur3.bucketLong(_, 8)).distinct
+    val boundRows = data.filter(e =>
+      matchBuckets.contains(e.partitionVals("k_bucket").toInt))
+      .map(_.recordCount).sum
+    // DataSourceRDD double-counts: the V2 reader wrapper AND the inner
+    // FileScanRDD both register each row as read, so the pruned scan
+    // reports 2x its rows; the dim adds its ~100 (subquery + build)
+    assert(records <= 2 * boundRows + 300,
+      s"runtime join pruning must read only the ${matchBuckets.size} " +
+        s"matching buckets' rows (2x-counted <= ${2 * boundRows} of " +
+        s"${2 * total}), read $records")
+  }
+
   test("COUNT/MIN/MAX answer from the manifest; pending deletes fall back exactly") {
     val root = Files.createTempDirectory("graft-serve-agg").toString
     val g = mountCatalog(root)
