@@ -89,8 +89,9 @@ object Bench {
     // round-12 gates (idle-box first recording): q147 PARTITIONED BY +
     // bucket-pruned point lookup through the doorway; q148 default-on COW
     // group filter (stage 8 clustered files + compaction + DELETE + read
-    // — gate cost, the filter itself replaces 1-2 of 8 files)
-    "q147" -> 0.8, "q148" -> 2.76)
+    // — gate cost, the filter itself replaces 1-2 of 8 files); q149
+    // metadata aggregates; q150 dynamic partition overwrite
+    "q147" -> 0.8, "q148" -> 2.76, "q149" -> 0.57, "q150" -> 0.92)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

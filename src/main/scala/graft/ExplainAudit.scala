@@ -236,10 +236,10 @@ object ExplainAudit {
         "(q138), which is the point."),
     "q144_dsv2_catalog" ->
       ("The DSv2 doorway read after CREATE/INSERT/DELETE from bare SQL: " +
-        "a V1ScanWrapper over the catalog scan with the projection pruned " +
-        "into the inner plan; the DELETE that preceded it was a native " +
-        "ReplaceData (copy-on-write) — the served rows are plain data " +
-        "files, no delete joins at read."),
+        "a BatchScan serving per-group file-task partitions with the " +
+        "projection pruned into the inner plan; the DELETE that preceded " +
+        "it was a native ReplaceData (copy-on-write) — the served rows " +
+        "are plain data files, no delete joins at read."),
     "q147_dsv2_partitioned" ->
       ("PARTITIONED BY (bucket(4, s_suppkey)) through the doorway: the " +
         "INSERT fanned rows into per-bucket files (tuples recorded at " +
@@ -384,6 +384,15 @@ object ExplainAudit {
     sb.append("subset file replacement asserted in-gate). Key-equality DELETEs\n")
     sb.append("through the doorway now commit eq-delete keys (zero data files\n")
     sb.append("read).\n")
+    sb.append("r12 later: the V1 scan bridge is RETIRED — plain doorway SELECTs\n")
+    sb.append("serve through BatchScanExec's file-task partitions too, which\n")
+    sb.append("unlocks runtime join pruning (DPP) and metadata aggregates\n")
+    sb.append("(q149) on ordinary reads. The doorway pays a ~0.3 s per-read\n")
+    sb.append("PLANNING constant (measured flat across 16x data, SCALING.md's\n")
+    sb.append("doorway section) — visible on multi-statement gates at the 60k\n")
+    sb.append("test scale (q137 2.05 -> 2.56 s: two time-travel reads; q144\n")
+    sb.append("0.81 -> 1.11 s), invisible at real table sizes. 143 queries in\n")
+    sb.append("117 s on the idle box, nothing above 2x its recorded level.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
