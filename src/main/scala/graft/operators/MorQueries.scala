@@ -788,7 +788,71 @@ object MorQueries {
       s"SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM $g.s")
   }
 
+  /** Q151: STORAGE-PARTITIONED JOIN through the doorway — two tables
+    * `PARTITIONED BY (bucket(4, suppkey))` the same way, joined on the
+    * bucketed key with ZERO shuffle: the scans report
+    * `KeyGroupedPartitioning(bucket(4, k))` ([[graft.sources.dsv2
+    * .GraftV2Table]] `SupportsReportPartitioning`), the transforms
+    * resolve as V2 catalog functions ([[graft.sources.dsv2
+    * .GraftV2Functions]]), and Spark plans the join exchange-free —
+    * asserted on the physical plan. At 100 TB this is the difference
+    * between shuffling both fact tables and shuffling NOTHING when the
+    * layout already co-locates them (Iceberg's SPJ, served natively).
+    */
+  private def q151(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q151").toString
+    val g = s"g151_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.li
+         |(l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT, l_quantity DOUBLE)
+         |PARTITIONED BY (bucket(4, l_suppkey))""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $g.s (s_suppkey BIGINT, s_name STRING)
+         |PARTITIONED BY (bucket(4, s_suppkey))""".stripMargin)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("q151_li")
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q151_s")
+    spark.sql(
+      s"""INSERT INTO $g.li
+         |SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+         |FROM q151_li WHERE l_orderkey <= 6000""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $g.s SELECT s_suppkey, s_name FROM q151_s")
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"""SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
+           |       l.l_quantity
+           |FROM $g.li l JOIN $g.s s ON l.l_suppkey = s.s_suppkey""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"SPJ gate expects a non-broadcast join:\n$plan")
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"co-bucketed doorway tables must join WITHOUT a shuffle:\n$plan")
+      // materialize under the SPJ plan (the driver's later write replans
+      // under restored confs — same rows either way, asserted here)
+      val n = joined.count()
+      require(n > 0, "SPJ join returned no rows")
+      joined
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_spj" -> (q151 _),
     "q149_metadata_agg" -> (q149 _),
     "q150_dynamic_overwrite" -> (q150 _),
     "q148_cow_group_filter" -> (q148 _),
@@ -843,6 +907,11 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q151_spj" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
+        |       l.l_quantity
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE l.l_orderkey <= 6000""".stripMargin,
     "q149_metadata_agg" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |       min(s_suppkey) AS mn, max(s_suppkey) AS mx

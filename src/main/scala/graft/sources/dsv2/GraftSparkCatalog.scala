@@ -35,7 +35,8 @@ import scala.jdk.CollectionConverters._
   * `SupportsRowLevelOperations` implementation. `VERSION AS OF` time
   * travel resolves snapshot ids and tags via `loadTable(ident, version)`.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
+    with ProcedureCatalog with FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -307,6 +308,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Proced
       throw new UnsupportedOperationException(
         s"unknown procedure '${ident.name}' " +
           s"(available: ${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  // ---- functions (the partition transforms as V2 catalog functions) ------
+
+  /** Transforms resolve from the `system` namespace (the Iceberg-Spark
+    * spelling, `graft.system.bucket(4, k)`) AND the empty namespace —
+    * which is where the engine itself looks them up when resolving a
+    * reported `KeyGroupedPartitioning` for storage-partitioned joins.
+    */
+  override def listFunctions(ns: Array[String]): Array[Identifier] =
+    if (ns.isEmpty || ns.sameElements(GraftProcedures.SystemNamespace))
+      GraftV2Functions.names.map(Identifier.of(ns, _)).toArray
+    else if (namespaceExists(ns)) Array.empty
+    else throw new NoSuchNamespaceException(ns)
+
+  override def loadFunction(
+      ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val inScope = ident.namespace.isEmpty ||
+      ident.namespace.sameElements(GraftProcedures.SystemNamespace)
+    if (inScope) GraftV2Functions.load(ident.name).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
   }
 
   // ---- namespaces --------------------------------------------------------

@@ -431,9 +431,37 @@ class GraftV1Scan(
     host: Option[GraftRowLevelOperation] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   override def readSchema(): StructType = required
+
+  /** STORAGE-PARTITIONED-JOIN layout: when every data file of a
+    * partitioned table carries a full tuple under the CURRENT spec (and
+    * no delete is pending — a delete could suppress rows asymmetrically
+    * across a claimed co-partitioning), report
+    * `KeyGroupedPartitioning(transforms, distinct tuples)` and serve one
+    * keyed partition group per tuple — two graft tables bucketed the same
+    * way then JOIN WITH NO SHUFFLE (Spark's V2 bucketing, the transforms
+    * resolving through [[GraftV2Functions]]). Anything unprovable reports
+    * unknown and plans exactly as before.
+    */
+  private lazy val keyedLayout: Option[GraftKeyedLayout] =
+    // gated on the engine's OWN storage-partitioned-join switch: keyed
+    // serving plans one frame per tuple, a price only worth paying when
+    // the join planner can use the keys (Iceberg's posture exactly)
+    if (asOf.isDefined || host.isDefined ||
+        !SparkSession.active.conf.get(
+          "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
+    else GraftKeyedLayout.of(root, table)
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedLayout.fold(
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+        : org.apache.spark.sql.connector.read.partitioning.Partitioning)(kl =>
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        kl.clustering, kl.tuples.size))
 
   /** Files a runtime `IN`/`=` filter could not rule out — installed by
     * [[filter]] between the engine's partition probes, consumed by the
@@ -522,10 +550,26 @@ class GraftV1Scan(
     * falls back to the eager materialize-then-serve shape.
     */
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
-    new GraftRddBatch(() =>
-      GraftInnerFrame.servableRdds(GraftInnerFrame.frames(
-        SparkSession.active, root, table, asOf, required, filters,
-        host.flatMap(_.groupFilter), keepPaths = runtimeKeep)))
+    keyedLayout match {
+      case Some(kl) =>
+        // keyed serving: one frame per partition tuple, every partition
+        // tagged with its key so the engine can group and co-locate.
+        // Runtime filters are NOT applied here — dropping a tuple would
+        // desync the reported numPartitions from the planned keys
+        new GraftRddBatch(() =>
+          kl.tuples.flatMap { case (key, files) =>
+            GraftInnerFrame.servableRdds(GraftInnerFrame.frames(
+              SparkSession.active, root, table, asOf, required, filters,
+              keepPaths = Some(files)))
+              .map(rdd => (key, rdd))
+          })
+      case None =>
+        new GraftRddBatch(() =>
+          GraftInnerFrame.servableRdds(GraftInnerFrame.frames(
+            SparkSession.active, root, table, asOf, required, filters,
+            host.flatMap(_.groupFilter), keepPaths = runtimeKeep))
+            .map(rdd => (null: org.apache.spark.sql.catalyst.InternalRow, rdd)))
+    }
 
   /** `spark.readStream.table(...)` — the DSv2 streaming doorway, sharing
     * the V1 source's snapshot-offset semantics.
@@ -548,18 +592,22 @@ class GraftV1Scan(
   * filters arrive (`scan.filter(...)`), and a frozen RDD would serve the
   * pre-filter file set.
   */
-final class GraftRddBatch(mk: () => Seq[RDD[org.apache.spark.sql.catalyst.InternalRow]])
+final class GraftRddBatch(
+    mk: () => Seq[(org.apache.spark.sql.catalyst.InternalRow,
+      RDD[org.apache.spark.sql.catalyst.InternalRow])])
     extends org.apache.spark.sql.connector.read.Batch {
 
   def this(rdd: RDD[org.apache.spark.sql.catalyst.InternalRow]) =
-    this(() => Seq(rdd))
+    this(() => Seq((null, rdd)))
 
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    mk().flatMap(rdd =>
+    mk().flatMap { case (key, rdd) =>
       rdd.partitions.map(p =>
-        GraftRddInputPartition(rdd, p)
-          : org.apache.spark.sql.connector.read.InputPartition)).toArray
+        (if (key == null) GraftRddInputPartition(rdd, p)
+         else new GraftKeyedRddInputPartition(rdd, p, key))
+          : org.apache.spark.sql.connector.read.InputPartition)
+    }.toArray
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
@@ -571,6 +619,18 @@ final case class GraftRddInputPartition(
     partition: org.apache.spark.Partition)
     extends org.apache.spark.sql.connector.read.InputPartition
 
+/** [[GraftRddInputPartition]] carrying its partition TUPLE as the key the
+  * engine groups and co-locates storage-partitioned joins by.
+  */
+final class GraftKeyedRddInputPartition(
+    val rdd: RDD[org.apache.spark.sql.catalyst.InternalRow],
+    val partition: org.apache.spark.Partition,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
+
 final class GraftRddReaderFactory
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
@@ -578,8 +638,11 @@ final class GraftRddReaderFactory
       partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] = {
-    val gp = partition.asInstanceOf[GraftRddInputPartition]
-    val it = gp.rdd.iterator(gp.partition, org.apache.spark.TaskContext.get())
+    val (rdd, part) = partition match {
+      case GraftRddInputPartition(r, p) => (r, p)
+      case k: GraftKeyedRddInputPartition => (k.rdd, k.partition)
+    }
+    val it = rdd.iterator(part, org.apache.spark.TaskContext.get())
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.catalyst.InternalRow] {
       private var current: org.apache.spark.sql.catalyst.InternalRow = _
@@ -635,7 +698,9 @@ private[dsv2] object GraftInnerFrame {
       * pure IO reduction, never a correctness dependency.
       */
     def prunedScan: Option[DataFrame] =
-      if (needsRowId || asOf.isDefined) None
+      // keyed (per-tuple) serving passes keepPaths: the shortcut would
+      // serve the SAME pruned result once per tuple — duplication
+      if (needsRowId || asOf.isDefined || keepPaths.isDefined) None
       else filters.collectFirst {
         case sources.EqualTo(a, v: String) =>
           cat.scanTableWhereEqString(spark, table, a, v)
@@ -849,6 +914,98 @@ private[dsv2] object GraftV2Table {
         else None
       case _ => None
     }
+  }
+}
+
+/** The storage-partitioned-join layout of a table: the partition
+  * transforms as V2 clustering expressions plus the distinct partition
+  * tuples (as catalyst key rows) with the files holding each.
+  */
+private[dsv2] final case class GraftKeyedLayout(
+    clustering: Array[org.apache.spark.sql.connector.expressions.Expression],
+    tuples: Seq[(org.apache.spark.sql.catalyst.InternalRow, Set[String])])
+
+private[dsv2] object GraftKeyedLayout {
+
+  /** Cap on distinct tuples served as keyed partitions — past this,
+    * per-tuple frame planning costs more than the avoided shuffle.
+    */
+  private val MaxTuples = 128
+
+  /** Some only when the layout is PROVABLE from the snapshot: a declared
+    * spec, no pending deletes (a delete could suppress rows asymmetrically
+    * under a claimed co-partitioning), every data file carrying a full
+    * tuple recorded under the CURRENT spec's binding, every value parsing
+    * to the transform's output type, and a bounded tuple count.
+    */
+  def of(root: String, table: String): Option[GraftKeyedLayout] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+    val cat = new GraftCatalog(root)
+    val spec = cat.partitionSpec(table)
+    if (spec.isEmpty) return None
+    val schema = cat.currentSchema(table).getOrElse(return None)
+    val entries = cat.loadEntries(table)
+    if (entries.isEmpty || entries.exists(_.kind != "data")) return None
+    val Param = """([a-z]+)\[(\d+)\]""".r
+    def srcType(source: String): Option[DataType] =
+      schema.fields.find(_.name == source).map(_.dataType)
+        .filter(t => t == IntegerType || t == LongType || t == StringType)
+    // (output type, clustering expression) per spec field
+    val fields: Seq[(GraftCatalog.PartitionFieldDef, DataType,
+        org.apache.spark.sql.connector.expressions.Expression)] =
+      spec.map { f =>
+        val resolved = f.transform match {
+          case "identity" =>
+            srcType(f.source).map(t => (t, Expressions.identity(f.source)
+              : org.apache.spark.sql.connector.expressions.Expression))
+          case Param("bucket", n) =>
+            Some((IntegerType, Expressions.bucket(n.toInt, f.source)))
+          case Param("truncate", w) =>
+            srcType(f.source).map(t => (t, Expressions.apply("truncate",
+              Expressions.literal(w.toInt), Expressions.column(f.source))))
+          case "year" => Some((IntegerType, Expressions.years(f.source)))
+          case "month" => Some((IntegerType, Expressions.months(f.source)))
+          case "day" => Some((IntegerType, Expressions.days(f.source)))
+          case "hour" => Some((IntegerType, Expressions.hours(f.source)))
+          case _ => None
+        }
+        resolved match {
+          case Some((t, e)) => (f, t, e)
+          case None => return None
+        }
+      }
+    def parse(v: String, t: DataType): Option[Any] =
+      if (v == null) Some(null)
+      else t match {
+        case IntegerType => v.toIntOption.map(Integer.valueOf)
+        case LongType => v.toLongOption.map(java.lang.Long.valueOf)
+        case StringType =>
+          Some(org.apache.spark.unsafe.types.UTF8String.fromString(v))
+        case _ => None
+      }
+    val byTuple = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Any], scala.collection.mutable.Set[String]]
+    entries.foreach { e =>
+      val tuple = fields.map { case (f, t, _) =>
+        val binding = s"${f.transform}|${f.source}"
+        if (!e.partitionTransforms.get(f.name).contains(binding)) return None
+        e.partitionVals.get(f.name) match {
+          case Some(v) => parse(v, t).getOrElse(return None)
+          case None => return None
+        }
+      }
+      byTuple.getOrElseUpdate(tuple, scala.collection.mutable.Set.empty) += e.path
+    }
+    if (byTuple.size > MaxTuples) return None
+    val tuples = byTuple.toSeq
+      .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000"))
+      .map { case (vals, files) =>
+        (new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          vals.toArray): org.apache.spark.sql.catalyst.InternalRow,
+          files.toSet)
+      }
+    Some(GraftKeyedLayout(fields.map(_._3).toArray, tuples))
   }
 }
 

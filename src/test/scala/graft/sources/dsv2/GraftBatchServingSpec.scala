@@ -190,6 +190,43 @@ class GraftBatchServingSpec extends SparkSpec {
         s"${2 * total}), read $records")
   }
 
+  test("co-bucketed tables storage-partition join with ZERO shuffles") {
+    val root = Files.createTempDirectory("graft-serve-spj").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.a (k BIGINT, va STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $g.b (k BIGINT, vb STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $g.a SELECT id, concat('a', id) FROM range(0, 2000)")
+    spark.sql(s"INSERT INTO $g.b SELECT id * 2, concat('b', id * 2) FROM range(0, 1000)")
+
+    // the transforms are real catalog functions too (Iceberg's spelling)
+    assert(spark.sql(s"SELECT $g.system.bucket(4, 41)").head().getInt(0) ==
+      graft.functions.IcebergMurmur3.bucketLong(41L, 4))
+
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"SELECT a.k, a.va, b.vb FROM $g.a a JOIN $g.b b ON a.k = b.k")
+      val rows = joined.collect()
+      assert(rows.length == 1000 &&
+        rows.forall(r => r.getLong(0) % 2 == 0 && r.getLong(0) < 2000),
+        s"got ${rows.length}")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        plan)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "co-bucketed doorway tables must join WITHOUT a shuffle:\n" + plan)
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("COUNT/MIN/MAX answer from the manifest; pending deletes fall back exactly") {
     val root = Files.createTempDirectory("graft-serve-agg").toString
     val g = mountCatalog(root)
