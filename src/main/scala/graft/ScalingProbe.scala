@@ -347,6 +347,61 @@ object ScalingProbe {
         doorNarrowS, doorNarrowB, libNarrowS, libNarrowB)
     }
 
+    // ---- storage-partitioned join vs shuffle join (co-bucketed doorway) -
+    // Two doorway tables PARTITIONED BY (bucket(8, doc_id)) over the same
+    // growing corpus, joined on doc_id with broadcast disabled. With SPJ
+    // on, the scans report KeyGroupedPartitioning and the join plans
+    // WITHOUT an exchange — join shuffle bytes must stay ~zero while the
+    // shuffle-join baseline moves both tables.
+    val spjRows = Seq(1, 4, 16).map { mult =>
+      val dir = s"/tmp/graft_scale_spj_$mult"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val g = s"gspj$mult"
+      spark.conf.set(s"spark.sql.catalog.$g",
+        "graft.sources.dsv2.GraftSparkCatalog")
+      spark.conf.set(s"spark.sql.catalog.$g.root", s"$dir/cat")
+      spark.sql(s"CREATE TABLE $g.a (doc_id BIGINT, n_chars BIGINT) " +
+        "PARTITIONED BY (bucket(8, doc_id))")
+      spark.sql(s"CREATE TABLE $g.b (doc_id BIGINT, lang STRING) " +
+        "PARTITIONED BY (bucket(8, doc_id))")
+      spark.read.parquet(s"/tmp/graft_scale_$mult/documents.parquet")
+        .createOrReplaceTempView(s"spj_src_$mult")
+      spark.sql(s"INSERT INTO $g.a SELECT doc_id, n_chars FROM spj_src_$mult")
+      spark.sql(s"INSERT INTO $g.b SELECT doc_id, lang FROM spj_src_$mult")
+      def cell(spj: Boolean): (Double, Long) = {
+        val olds = Seq(
+          "spark.sql.sources.v2.bucketing.enabled",
+          "spark.sql.autoBroadcastJoinThreshold",
+          "spark.sql.adaptive.autoBroadcastJoinThreshold")
+          .map(k => k -> spark.conf.getOption(k))
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", spj.toString)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try {
+          val runs = (1 to 2).map { _ =>
+            val (s0, _) = probeMetrics.snapshot()
+            val t0 = System.nanoTime()
+            spark.sql(s"SELECT a.doc_id, a.n_chars, b.lang " +
+              s"FROM $g.a a JOIN $g.b b ON a.doc_id = b.doc_id")
+              .write.mode("overwrite").format("noop").save()
+            val sec = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.graftbridge.ListenerBridge
+              .drain(spark.sparkContext)
+            val (s1, _) = probeMetrics.snapshot()
+            (sec, s1 - s0)
+          }
+          runs.minBy(_._1)
+        } finally olds.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        }
+      }
+      val (spjS, spjB) = cell(spj = true)
+      val (shufS, shufB) = cell(spj = false)
+      println(f"spj mult=$mult%2d spj=$spjS%5.2fs/${spjB / 1e6}%.1fMB " +
+        f"shuffle=$shufS%5.2fs/${shufB / 1e6}%.1fMB")
+      (mult, spjS, spjB, shufS, shufB)
+    }
+
     // ---- metadata-only range delete vs scan-based delete ----------------
     // A FIXED partition-aligned range is deleted from a growing
     // truncate-partitioned table. `deleteWhereRange` proves the drop from
@@ -507,7 +562,24 @@ object ScalingProbe {
     sb.append("The doorway's wall-time delta is a ~0.3 s per-query PLANNING\n")
     sb.append("constant (scan build + partition planning), flat across 16x data\n")
     sb.append("— not a data-path multiplier; at real table sizes it vanishes\n")
-    sb.append("into the scan time.\n")
+    sb.append("into the scan time. Delete-free reads additionally serve the\n")
+    sb.append("scans' own ColumnarBatches (the vectorized handoff) over a bare\n")
+    sb.append("join-free plan — no hidden-column fabrication, no seq broadcast.\n")
+
+    sb.append("\n## Storage-partitioned join vs shuffle join (DSv2 doorway)\n\n")
+    sb.append("Two doorway tables PARTITIONED BY (bucket(8, doc_id)) over the\n")
+    sb.append("same growing corpus, joined on doc_id (broadcast disabled). With\n")
+    sb.append("`spark.sql.sources.v2.bucketing.enabled` the scans report\n")
+    sb.append("KeyGroupedPartitioning and the join plans WITHOUT an exchange:\n")
+    sb.append("join-side shuffle bytes stay ZERO at every size while the\n")
+    sb.append("shuffle-join baseline moves both tables with the corpus — at\n")
+    sb.append("100 TB, the difference between shuffling nothing and shuffling\n")
+    sb.append("the two tables.\n\n")
+    sb.append("| mult | SPJ s / shuffle MB | shuffle join s / shuffle MB |\n")
+    sb.append("|---|---|---|\n")
+    spjRows.foreach { case (m, ss, sbB, hs, hb) =>
+      sb.append(f"| ${m}x | $ss%.2f / ${sbB / 1e6}%.2f | $hs%.2f / ${hb / 1e6}%.2f |\n")
+    }
 
     sb.append("\n## Group-filtered copy-on-write DML (DSv2 doorway)\n\n")
     sb.append("A FIXED narrow DELETE (id range + modulo — untranslatable, so it\n")

@@ -434,6 +434,22 @@ object CompactionRunner {
       group: Seq[DataFileTask],
       fileSchema: org.apache.spark.sql.types.StructType,
       canonical: org.apache.spark.sql.types.StructType): DataFrame = {
+    val (reader, resolved) =
+      evolvedParquetReader(spark, group, fileSchema, canonical)
+    reader.select(resolved.toSeq :+ col("_metadata"): _*)
+      .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
+      .withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
+      .drop("_metadata")
+  }
+
+  /** The shared core of the evolved parquet scans: the schema-pinned
+    * reader plus the field-id-resolved canonical projection.
+    */
+  private def evolvedParquetReader(
+      spark: SparkSession,
+      group: Seq[DataFileTask],
+      fileSchema: org.apache.spark.sql.types.StructType,
+      canonical: org.apache.spark.sql.types.StructType): (DataFrame, Array[Column]) = {
     // explicit schema (the group's OWN, cache-served) — skips per-plan
     // schema inference; ids in it resolve by name against these same
     // files, so the read is identical to the inferred one
@@ -460,10 +476,43 @@ object CompactionRunner {
         case None => lit(null).cast(cf.dataType).as(cf.name, cf.metadata)
       }
     }
-    reader.select(resolved.toSeq :+ col("_metadata"): _*)
-      .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
-      .withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
-      .drop("_metadata")
+    (reader, resolved)
+  }
+
+  /** [[scanWithHiddenColsGroups]] for the DELETE-FREE read: the same
+    * per-schema-group field-id evolution, but NO hidden-column
+    * fabrication and NO seq broadcast — nothing downstream consumes them
+    * when the snapshot carries no deletes, and without them each group
+    * plans as a BARE vectorized file scan (a join-free plan the DSv2
+    * doorway serves batch-for-batch through its columnar handoff, and a
+    * cheaper row path everywhere else).
+    */
+  def scanPlainGroups(
+      spark: SparkSession,
+      tasks: Seq[DataFileTask],
+      canonicalSchema: Option[org.apache.spark.sql.types.StructType]): Seq[DataFrame] = {
+    val dedup = dedupByPath(tasks)(_.path)
+    require(dedup.nonEmpty, "no data files to scan")
+    val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
+    byFormat.flatMap {
+      case ("parquet", ts) if canonicalSchema.isDefined =>
+        val byPath = ts.map(t => t.path -> t).toMap
+        schemaGroups(spark, ts.map(_.path)).map { case (fileSchema, groupPaths) =>
+          val (reader, resolved) = evolvedParquetReader(
+            spark, groupPaths.map(byPath), fileSchema, canonicalSchema.get)
+          reader.select(resolved.toSeq: _*)
+        }
+      case (fmt, ts) => Seq {
+        // same mixed-id fallback as the hidden-col generic branch
+        val inferred = spark.read.format(fmt).load(ts.map(_.path): _*)
+        if (fmt == "parquet" &&
+            inferred.schema.fields.exists(FieldIds.idOf(_).isDefined) &&
+            anyIdlessFooter(spark, ts.map(_.path)))
+          spark.read.schema(FieldIds.stripIds(inferred.schema))
+            .parquet(ts.map(_.path): _*)
+        else inferred
+      }
+    }
   }
 
   /** A plain `cast` binds struct subfields by POSITION and demands equal

@@ -732,6 +732,10 @@ final class GraftCatalog(root: String,
     val eq = entries.collect { case e if e.kind == "eqdel" =>
       EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
     }
+    // delete-free snapshots skip the hidden-column fabrication and seq
+    // broadcast entirely: each group is a bare (join-free) vectorized scan
+    if (pos.isEmpty && eq.isEmpty)
+      return CompactionRunner.scanPlainGroups(spark, dataTasks(entries), schema)
     CompactionRunner.scanWithHiddenColsGroups(spark, dataTasks(entries), schema)
       .map(g => graft.operators.MorPlanner.merge(g,
         CompactionRunner.readPositionDeletes(spark, pos),
@@ -939,14 +943,18 @@ final class GraftCatalog(root: String,
               "an empty table has no schema to scan")
       }
     }
-    // with a recorded canonical schema, data files resolve BY FIELD ID —
-    // renames/adds/drops between file generations are handled at the scan
-    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries),
-      schema)
     val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
       EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
     }
+    // delete-free snapshots read without hidden cols or the seq broadcast
+    if (pos.isEmpty && eq.isEmpty)
+      return CompactionRunner.scanPlainGroups(spark, dataTasks(entries), schema)
+        .reduce(_.unionByName(_))
+    // with a recorded canonical schema, data files resolve BY FIELD ID —
+    // renames/adds/drops between file generations are handled at the scan
+    val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries),
+      schema)
     graft.operators.MorPlanner.merge(data,
       CompactionRunner.readPositionDeletes(spark, pos),
       CompactionRunner.readEqualityDeletes(spark, eq, Some(data.schema)))
@@ -991,6 +999,10 @@ final class GraftCatalog(root: String,
     else {
       val kept = dataEntries.filter(e => keptPaths(e.path))
         .map(e => DataFileTask(e.path, e.seqNum, e.format))
+      // delete-free: no hidden cols, no seq broadcast — a bare pruned scan
+      if (!entries.exists(e => e.kind == "posdel" || e.kind == "eqdel"))
+        return CompactionRunner.scanPlainGroups(spark, kept,
+          currentSchema(table)).reduce(_.unionByName(_)).filter(exact)
       val data = CompactionRunner.scanWithHiddenCols(spark, kept,
         currentSchema(table))
       graft.operators.MorPlanner.merge(data,
@@ -1130,6 +1142,11 @@ final class GraftCatalog(root: String,
     val kept = eqStringKeptEntries(spark, table, column, value, entries)
     val exact = col(column) === lit(value)
     if (kept.isEmpty) scanTable(spark, table).filter(exact).limit(0)
+    else if (!entries.exists(e => e.kind == "posdel" || e.kind == "eqdel"))
+      // delete-free: no hidden cols, no seq broadcast — a bare pruned scan
+      CompactionRunner.scanPlainGroups(spark,
+        kept.map(e => DataFileTask(e.path, e.seqNum, e.format)),
+        currentSchema(table)).reduce(_.unionByName(_)).filter(exact)
     else {
       val data = CompactionRunner.scanWithHiddenCols(spark,
         kept.map(e => DataFileTask(e.path, e.seqNum, e.format)),

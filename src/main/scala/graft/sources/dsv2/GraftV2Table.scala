@@ -561,14 +561,32 @@ class GraftV1Scan(
             GraftInnerFrame.servableRdds(GraftInnerFrame.frames(
               SparkSession.active, root, table, asOf, required, filters,
               keepPaths = Some(files)))
-              .map(rdd => (key, rdd))
+              .map(rdd => GraftRowGroup(key, rdd): GraftServedGroup)
           })
       case None =>
-        new GraftRddBatch(() =>
-          GraftInnerFrame.servableRdds(GraftInnerFrame.frames(
+        new GraftRddBatch(() => {
+          val fs = GraftInnerFrame.frames(
             SparkSession.active, root, table, asOf, required, filters,
-            host.flatMap(_.groupFilter), keepPaths = runtimeKeep))
-            .map(rdd => (null: org.apache.spark.sql.catalyst.InternalRow, rdd)))
+            host.flatMap(_.groupFilter), keepPaths = runtimeKeep)
+          // VECTORIZED HANDOFF: when every group's plan is a bare
+          // columnar scan (no residual filter/cast/join — the plain
+          // no-delete read), serve the scans' own ColumnarBatch rdds and
+          // let the CONSUMING query do the one row conversion — one
+          // row-materialization layer instead of two. All-or-nothing:
+          // BatchScanExec forbids mixing row and columnar partitions.
+          val columnar =
+            if (fs.isEmpty) None
+            else {
+              val cols = fs.map(
+                org.apache.spark.sql.graftbridge.DatasetBridge.columnarRddNoAqe)
+              if (cols.forall(_.isDefined)) Some(cols.flatten) else None
+            }
+          columnar match {
+            case Some(crdds) => crdds.map(GraftColumnarGroup(_): GraftServedGroup)
+            case None => GraftInnerFrame.servableRdds(fs)
+              .map(GraftRowGroup(null, _): GraftServedGroup)
+          }
+        })
     }
 
   /** `spark.readStream.table(...)` — the DSv2 streaming doorway, sharing
@@ -592,27 +610,50 @@ class GraftV1Scan(
   * filters arrive (`scan.filter(...)`), and a frozen RDD would serve the
   * pre-filter file set.
   */
-final class GraftRddBatch(
-    mk: () => Seq[(org.apache.spark.sql.catalyst.InternalRow,
-      RDD[org.apache.spark.sql.catalyst.InternalRow])])
+final class GraftRddBatch(mk: () => Seq[GraftServedGroup])
     extends org.apache.spark.sql.connector.read.Batch {
 
   def this(rdd: RDD[org.apache.spark.sql.catalyst.InternalRow]) =
-    this(() => Seq((null, rdd)))
+    this(() => Seq(GraftRowGroup(null, rdd)))
 
   override def planInputPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
-    mk().flatMap { case (key, rdd) =>
-      rdd.partitions.map(p =>
-        (if (key == null) GraftRddInputPartition(rdd, p)
-         else new GraftKeyedRddInputPartition(rdd, p, key))
-          : org.apache.spark.sql.connector.read.InputPartition)
+    mk().flatMap {
+      case GraftRowGroup(key, rdd) =>
+        rdd.partitions.map(p =>
+          (if (key == null) GraftRddInputPartition(rdd, p)
+           else new GraftKeyedRddInputPartition(rdd, p, key))
+            : org.apache.spark.sql.connector.read.InputPartition)
+      case GraftColumnarGroup(rdd) =>
+        rdd.partitions.map(p =>
+          GraftColumnarRddInputPartition(rdd, p)
+            : org.apache.spark.sql.connector.read.InputPartition)
     }.toArray
 
   override def createReaderFactory()
       : org.apache.spark.sql.connector.read.PartitionReaderFactory =
     new GraftRddReaderFactory
 }
+
+/** One served slice of a doorway batch read: a (possibly keyed) row rdd
+  * or a columnar rdd (the vectorized handoff for bare-scan reads).
+  */
+private[dsv2] sealed trait GraftServedGroup
+private[dsv2] final case class GraftRowGroup(
+    key: org.apache.spark.sql.catalyst.InternalRow,
+    rdd: RDD[org.apache.spark.sql.catalyst.InternalRow])
+    extends GraftServedGroup
+private[dsv2] final case class GraftColumnarGroup(
+    rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch])
+    extends GraftServedGroup
+
+/** An input partition serving the scan's own `ColumnarBatch`es — the
+  * consuming query's `ColumnarToRow` is then the ONLY row conversion.
+  */
+final case class GraftColumnarRddInputPartition(
+    rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch],
+    partition: org.apache.spark.Partition)
+    extends org.apache.spark.sql.connector.read.InputPartition
 
 final case class GraftRddInputPartition(
     rdd: RDD[org.apache.spark.sql.catalyst.InternalRow],
@@ -633,6 +674,27 @@ final class GraftKeyedRddInputPartition(
 
 final class GraftRddReaderFactory
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+
+  override def supportColumnarReads(
+      partition: org.apache.spark.sql.connector.read.InputPartition): Boolean =
+    partition.isInstanceOf[GraftColumnarRddInputPartition]
+
+  override def createColumnarReader(
+      partition: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val cp = partition.asInstanceOf[GraftColumnarRddInputPartition]
+    val it = cp.rdd.iterator(cp.partition, org.apache.spark.TaskContext.get())
+    new org.apache.spark.sql.connector.read.PartitionReader[
+        org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = current
+      // batches/vectors are owned by the scan's task-completion cleanup
+      override def close(): Unit = ()
+    }
+  }
 
   override def createReader(
       partition: org.apache.spark.sql.connector.read.InputPartition)

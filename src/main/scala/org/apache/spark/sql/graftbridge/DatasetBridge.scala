@@ -67,6 +67,38 @@ object DatasetBridge {
     }
   }
 
+  /** The frame's final-stage COLUMNAR rdd, when — planned with AQE off —
+    * the physical plan is a BARE vectorized scan under pure row-conversion
+    * plumbing (`WholeStageCodegen` / `ColumnarToRow` / `InputAdapter`
+    * wrappers only, each of which passes its child's output through
+    * unchanged). The returned rdd is the scan's own lazy
+    * `executeColumnar()`: a narrow chain of `ColumnarBatch`es the DSv2
+    * doorway can hand to the consuming query WITHOUT materializing rows
+    * in between — the vectorized handoff for plain no-delete reads. Any
+    * other plan shape (residual filter, projection with casts, joins —
+    * anything whose output is not bit-identical to the scan's) returns
+    * None and the caller serves rows.
+    */
+  def columnarRddNoAqe(df: DataFrame)
+      : Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.vectorized.ColumnarBatch]] = {
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val conf = ds.sparkSession.sessionState.conf.clone()
+    conf.setConf(
+      org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED, false)
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(conf) {
+      def peel(p: SparkPlan): Option[SparkPlan] = p match {
+        case w: WholeStageCodegenExec => peel(w.child)
+        case c: ColumnarToRowExec => peel(c.child)
+        case i: InputAdapter => peel(i.child)
+        case leaf if leaf.children.isEmpty && leaf.supportsColumnar => Some(leaf)
+        case _ => None
+      }
+      peel(classic.Dataset.ofRows(ds.sparkSession, ds.queryExecution.logical)
+        .queryExecution.executedPlan).map(_.executeColumnar())
+    }
+  }
+
   /** The inverse of [[asBatch]] for a V1 streaming SOURCE's `getBatch`:
     * the engine requires the returned frame to be streaming-tagged, while
     * the rows come from an ordinary batch read of the delta files.

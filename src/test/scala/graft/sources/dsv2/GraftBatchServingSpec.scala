@@ -86,6 +86,43 @@ class GraftBatchServingSpec extends SparkSpec {
       .toSeq == Seq(2000L, "a0", 1999L))
   }
 
+  test("plain reads serve COLUMNAR batches; deletes and filters fall back to rows") {
+    val root = Files.createTempDirectory("graft-serve-col").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 2000)")
+
+    def batchScan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+      }.getOrElse(fail("no BatchScanExec in plan:\n" +
+        df.queryExecution.executedPlan))
+
+    // a bare projection read is served as the scan's own ColumnarBatches —
+    // the consuming query's ColumnarToRow is the only row conversion
+    val plain = spark.sql(s"SELECT k, v FROM $g.t")
+    assert(batchScan(plain).supportsColumnar,
+      "plain no-delete doorway read must serve columnar:\n" +
+        plain.queryExecution.executedPlan)
+    assert(plain.count() == 2000L)
+    assert(spark.sql(s"SELECT sum(k) FROM $g.t").head().getLong(0) ==
+      1999L * 2000L / 2)
+
+    // a pushed filter leaves a residual FilterExec in the inner plan —
+    // must fall back to row serving (columnar would skip the residual)
+    val filtered = spark.sql(s"SELECT k FROM $g.t WHERE v = 'v7'")
+    assert(!batchScan(filtered).supportsColumnar,
+      "residual-filter read must serve rows")
+    assert(filtered.head().getLong(0) == 7L)
+
+    // pending deletes plan anti joins — row serving, same exact rows
+    spark.sql(s"DELETE FROM $g.t WHERE k >= 1000")
+    val afterDelete = spark.sql(s"SELECT k, v FROM $g.t")
+    assert(!batchScan(afterDelete).supportsColumnar,
+      "MoR read must serve rows")
+    assert(afterDelete.count() == 1000L)
+  }
+
   test("MoR SELECT stays lazy: planning runs only the delete-side broadcasts") {
     val root = Files.createTempDirectory("graft-serve-del").toString
     val g = mountCatalog(root)
