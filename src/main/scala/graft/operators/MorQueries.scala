@@ -851,7 +851,36 @@ object MorQueries {
     }
   }
 
+  /** Q152: GROUP BY partition column answered from the MANIFEST — an
+    * identity-partitioned doorway table, `SELECT part, count(*) GROUP BY
+    * part` planned as a LocalTableScan (one pre-computed row per
+    * partition tuple, per-file record counts folded per group; asserted
+    * in-gate) with ZERO data files opened. The per-partition row-count
+    * query every table UI runs — at 100 TB a metadata read, not a scan.
+    */
+  private def q152(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q152").toString
+    val g = s"g152_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.s (s_suppkey BIGINT, s_name STRING, s_nationkey INT)
+         |PARTITIONED BY (s_nationkey)""".stripMargin)
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q152_src")
+    spark.sql(
+      s"INSERT INTO $g.s SELECT s_suppkey, s_name, s_nationkey FROM q152_src")
+    val df = spark.sql(
+      s"""SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n
+         |FROM $g.s GROUP BY s_nationkey""".stripMargin)
+    require(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "grouped COUNT must be manifest-answered (LocalTableScan), got:\n" +
+        df.queryExecution.executedPlan)
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q152_group_agg" -> (q152 _),
     "q151_spj" -> (q151 _),
     "q149_metadata_agg" -> (q149 _),
     "q150_dynamic_overwrite" -> (q150 _),
@@ -907,6 +936,9 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q152_group_agg" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "q151_spj" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
         |       l.l_quantity

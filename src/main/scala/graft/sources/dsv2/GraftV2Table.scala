@@ -258,7 +258,7 @@ final class GraftScanBuilder(
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
-  private var aggAnswer: Option[(StructType, Seq[Any])] = None
+  private var aggAnswer: Option[(StructType, Seq[Seq[Any]])] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -275,14 +275,18 @@ final class GraftScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   /** Manifest-answered aggregates — Iceberg's metadata COUNT/MIN/MAX:
-    * an unfiltered, ungrouped `COUNT(*)` / `MIN(col)` / `MAX(col)` whose
+    * an unfiltered `COUNT(*)` / `COUNT(col)` / `MIN(col)` / `MAX(col)`,
+    * optionally GROUPED BY identity-partition source columns, whose
     * exactness is PROVABLE from the snapshot (every data file counted /
-    * bounded, no pending delete that could suppress the extreme row, no
-    * sentinel bounds) is answered without opening a single data file —
-    * at 100 TB the difference between a metadata lookup and a full scan.
-    * Anything less provable refuses the pushdown and scans; Spark only
-    * attempts this when NO filter survives (ours all stay residual), so
-    * a WHERE automatically disables it.
+    * bounded / tuple-carrying, no pending delete that could suppress a
+    * row, no sentinel bounds) is answered without opening a single data
+    * file — at 100 TB the difference between a metadata lookup and a
+    * full scan. `GROUP BY part_col` folds per-file record counts and
+    * bounds per recorded partition tuple (one output row per tuple —
+    * `SELECT part, count(*) ... GROUP BY part` and `SELECT DISTINCT part`
+    * become manifest reads). Anything less provable refuses the pushdown
+    * and scans; Spark only attempts this when NO filter survives (ours
+    * all stay residual), so a WHERE automatically disables it.
     */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
@@ -297,14 +301,13 @@ final class GraftScanBuilder(
 
   private def metadataAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Seq[Any])] = {
+      : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    if (rowLevel || asOf.isDefined || pushed.nonEmpty ||
-        agg.groupByExpressions.nonEmpty) return None
+    import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+    if (rowLevel || asOf.isDefined || pushed.nonEmpty) return None
     val cat = new GraftCatalog(root)
     val entries = cat.loadEntries(table)
-    val data = entries.filter(_.kind == "data")
+    val allData = entries.filter(_.kind == "data")
     val noDeletes = entries.forall(_.kind == "data")
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[org.apache.spark.sql.types.StructField] = e match {
@@ -313,11 +316,50 @@ final class GraftScanBuilder(
         tableSchema.fields.find(_.name == r.fieldNames.head)
       case _ => None
     }
-    /** Fold of per-file long bounds — Some only when EVERY data file has
-      * parseable bounds for the column (sentinels/missing stats refuse)
-      * and no delete could have suppressed the extreme row.
+    // ---- grouping: every groupBy column must be an IDENTITY-partition
+    // source under the current spec, every data file must carry its tuple
+    // under that binding with a parseable value, and record counts must
+    // be known (an unknown count can't even prove group membership mass;
+    // empty files are dropped so they never fabricate a distinct group)
+    val groupCols = agg.groupByExpressions.toSeq.map(e =>
+      colOf(e).getOrElse(return None))
+    def parseKey(v: String, t: DataType): Option[Any] =
+      if (v == null) Some(null)
+      else t match {
+        case IntegerType => v.toIntOption
+        case LongType => v.toLongOption
+        case StringType => Some(v)
+        case _ => None
+      }
+    val groups: Seq[(Seq[Any], Seq[cat.TableEntry])] =
+      if (groupCols.isEmpty) Seq((Nil, allData))
+      else {
+        if (!noDeletes || allData.exists(_.recordCount < 0L)) return None
+        val spec = cat.partitionSpec(table)
+        val fields = groupCols.map(f =>
+          spec.find(p => p.transform == "identity" && p.source == f.name)
+            .getOrElse(return None))
+        val keyed = allData.filter(_.recordCount > 0L).map { e =>
+          val key = groupCols.zip(fields).map { case (f, pf) =>
+            if (!e.partitionTransforms.get(pf.name)
+                .contains(s"identity|${pf.source}")) return None
+            e.partitionVals.get(pf.name) match {
+              case Some(v) => parseKey(v, f.dataType).getOrElse(return None)
+              case None => return None
+            }
+          }
+          (key, e)
+        }
+        keyed.groupBy(_._1).toSeq
+          .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000"))
+          .map { case (k, es) => (k, es.map(_._2)) }
+      }
+    /** Fold of per-file long bounds over one group — Some only when EVERY
+      * file has parseable bounds (sentinels/missing stats refuse) and no
+      * delete could have suppressed the extreme row.
       */
-    def longBounds(name: String): Option[(Long, Long)] =
+    def longBounds(data: Seq[cat.TableEntry], name: String)
+        : Option[(Long, Long)] =
       if (!noDeletes || data.isEmpty) None
       else {
         val bs = data.map(e => e.stats.flatMap(s =>
@@ -332,34 +374,39 @@ final class GraftScanBuilder(
         if (bs.exists(_.isEmpty)) None
         else Some((bs.flatten.map(_._1).min, bs.flatten.map(_._2).max))
       }
-    val answered = agg.aggregateExpressions.toSeq.map {
+    // each aggregate resolves to (name, type, nullable, per-group value);
+    // None anywhere refuses the whole pushdown
+    type AggCol = (String, DataType, Boolean,
+      Seq[cat.TableEntry] => Option[Any])
+    val answered: Seq[Option[AggCol]] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         // exact iff every row is counted and none is delete-suppressed
-        if (noDeletes && data.forall(_.recordCount >= 0L))
-          Some(("count(*)", LongType: org.apache.spark.sql.types.DataType,
-            data.map(_.recordCount).sum: Any, false))
+        if (noDeletes && allData.forall(_.recordCount >= 0L))
+          Some(("count(*)", LongType: DataType, false,
+            (d: Seq[cat.TableEntry]) =>
+              Some(d.map(_.recordCount).sum: Any)): AggCol)
         else None
       case m: Min => colOf(m.column).flatMap { f =>
         // a recorded bound covers non-null values only — exact for SQL
         // MIN/MAX (which ignore nulls) whenever every file is bounded
         f.dataType match {
-          case LongType => longBounds(f.name).map(b =>
-            (s"min(${f.name})", LongType: org.apache.spark.sql.types.DataType,
-              b._1: Any, true))
-          case IntegerType => longBounds(f.name).map(b =>
-            (s"min(${f.name})", IntegerType: org.apache.spark.sql.types.DataType,
-              b._1.toInt: Any, true))
+          case LongType => Some((s"min(${f.name})", LongType: DataType, true,
+            (d: Seq[cat.TableEntry]) =>
+              longBounds(d, f.name).map(_._1: Any)): AggCol)
+          case IntegerType => Some((s"min(${f.name})", IntegerType: DataType,
+            true, (d: Seq[cat.TableEntry]) =>
+              longBounds(d, f.name).map(_._1.toInt: Any)): AggCol)
           case _ => None
         }
       }
       case m: Max => colOf(m.column).flatMap { f =>
         f.dataType match {
-          case LongType => longBounds(f.name).map(b =>
-            (s"max(${f.name})", LongType: org.apache.spark.sql.types.DataType,
-              b._2: Any, true))
-          case IntegerType => longBounds(f.name).map(b =>
-            (s"max(${f.name})", IntegerType: org.apache.spark.sql.types.DataType,
-              b._2.toInt: Any, true))
+          case LongType => Some((s"max(${f.name})", LongType: DataType, true,
+            (d: Seq[cat.TableEntry]) =>
+              longBounds(d, f.name).map(_._2: Any)): AggCol)
+          case IntegerType => Some((s"max(${f.name})", IntegerType: DataType,
+            true, (d: Seq[cat.TableEntry]) =>
+              longBounds(d, f.name).map(_._2.toInt: Any)): AggCol)
           case _ => None
         }
       }
@@ -367,55 +414,67 @@ final class GraftScanBuilder(
         // COUNT(col) = rows minus the column's nulls — exact when counts
         // AND null counts are recorded everywhere and nothing is deleted
         colOf(c.column).flatMap { f =>
-          if (noDeletes && data.nonEmpty &&
-              data.forall(e => e.recordCount >= 0L &&
+          if (noDeletes && allData.nonEmpty &&
+              allData.forall(e => e.recordCount >= 0L &&
                 e.stats.exists(_.nullCounts.contains(f.name))))
-            Some((s"count(${f.name})",
-              LongType: org.apache.spark.sql.types.DataType,
-              data.map(e => e.recordCount -
-                e.stats.get.nullCounts(f.name)).sum: Any, false))
+            Some((s"count(${f.name})", LongType: DataType, false,
+              (d: Seq[cat.TableEntry]) =>
+                Some(d.map(e => e.recordCount -
+                  e.stats.get.nullCounts(f.name)).sum: Any)): AggCol)
           else None
         }
       case _ => None
     }
     if (answered.exists(_.isEmpty)) None
     else {
-      // an EMPTY table answers count = 0 and min/max = NULL
       val cols = answered.flatten
-      val schema = StructType(cols.map { case (n, t, _, nullable) =>
-        org.apache.spark.sql.types.StructField(n, t, nullable)
-      })
-      val values = cols.map { case (_, _, v, _) => v }
-      Some((schema, values))
+      val schema = StructType(
+        groupCols.map(f => org.apache.spark.sql.types.StructField(
+          f.name, f.dataType, nullable = true)) ++
+        cols.map { case (n, t, nullable, _) =>
+          org.apache.spark.sql.types.StructField(n, t, nullable)
+        })
+      // an ungrouped EMPTY table still answers count(*) = 0 (min/max
+      // refuse on empty data and fall back to the scan, which computes
+      // the SQL NULLs); a grouped empty table answers zero rows. ANY
+      // per-group refusal (e.g. a group whose files lack bounds) refuses
+      // the whole pushdown.
+      val rows = groups.map { case (key, d) =>
+        val vals = cols.map { case (_, _, _, of) =>
+          of(d).getOrElse(return None)
+        }
+        key ++ vals
+      }
+      Some((schema, rows))
     }
   }
 
   override def build(): Scan = (host, aggAnswer) match {
     case (Some(op), _) =>
       new GraftRowLevelScan(root, table, asOf, required, op)
-    case (None, Some((schema, values))) =>
-      new GraftMetadataAggScan(table, schema, values)
+    case (None, Some((schema, rows))) =>
+      new GraftMetadataAggScan(table, schema, rows)
     case (None, None) =>
       new GraftV1Scan(root, table, asOf, required, pushed, skipRewrites)
   }
 }
 
-/** The single pre-computed row of a metadata-answered aggregate. */
+/** The pre-computed rows of a metadata-answered aggregate — one row for
+  * the ungrouped fold, one per partition tuple for `GROUP BY part_col`.
+  */
 final class GraftMetadataAggScan(
     table: String,
     schema: StructType,
-    values: Seq[Any])
+    rowsData: Seq[Seq[Any]])
     extends org.apache.spark.sql.connector.read.LocalScan {
 
   override def readSchema(): StructType = schema
 
-  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
-    val converted = values.zip(schema.fields).map { case (v, f) =>
-      org.apache.spark.sql.catalyst.CatalystTypeConverters
-        .convertToCatalyst(v)
-    }
-    Array(org.apache.spark.sql.catalyst.InternalRow.fromSeq(converted))
-  }
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+    rowsData.map { values =>
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values.map(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst))
+    }.toArray
 
   override def description(): String =
     s"GraftMetadataAggScan(table=$table, ${schema.fieldNames.mkString(", ")})"
@@ -555,14 +614,30 @@ class GraftV1Scan(
         // keyed serving: one frame per partition tuple, every partition
         // tagged with its key so the engine can group and co-locate.
         // Runtime filters are NOT applied here — dropping a tuple would
-        // desync the reported numPartitions from the planned keys
-        new GraftRddBatch(() =>
-          kl.tuples.flatMap { case (key, files) =>
-            GraftInnerFrame.servableRdds(GraftInnerFrame.frames(
+        // desync the reported numPartitions from the planned keys.
+        // A keyed layout is PROVABLY delete-free, so the tuple frames are
+        // bare scans — serve them columnar when every one peels (same
+        // all-or-nothing rule), keyed rows otherwise.
+        new GraftRddBatch(() => {
+          val perTuple = kl.tuples.map { case (key, files) =>
+            (key, GraftInnerFrame.frames(
               SparkSession.active, root, table, asOf, required, filters,
               keepPaths = Some(files)))
+          }
+          val columnar = perTuple.map { case (key, fs) =>
+            val cols = fs.map(f => org.apache.spark.sql.graftbridge
+              .DatasetBridge.columnarRddNoAqe(f, peelFilters = true))
+            if (fs.nonEmpty && cols.forall(_.isDefined))
+              Some(cols.flatten.map(GraftKeyedColumnarGroup(key, _)
+                : GraftServedGroup))
+            else None
+          }
+          if (columnar.forall(_.isDefined)) columnar.flatten.flatten
+          else perTuple.flatMap { case (key, fs) =>
+            GraftInnerFrame.servableRdds(fs)
               .map(rdd => GraftRowGroup(key, rdd): GraftServedGroup)
-          })
+          }
+        })
       case None =>
         new GraftRddBatch(() => {
           val fs = GraftInnerFrame.frames(
@@ -577,8 +652,8 @@ class GraftV1Scan(
           val columnar =
             if (fs.isEmpty) None
             else {
-              val cols = fs.map(
-                org.apache.spark.sql.graftbridge.DatasetBridge.columnarRddNoAqe)
+              val cols = fs.map(f => org.apache.spark.sql.graftbridge
+                .DatasetBridge.columnarRddNoAqe(f, peelFilters = true))
               if (cols.forall(_.isDefined)) Some(cols.flatten) else None
             }
           columnar match {
@@ -628,6 +703,10 @@ final class GraftRddBatch(mk: () => Seq[GraftServedGroup])
         rdd.partitions.map(p =>
           GraftColumnarRddInputPartition(rdd, p)
             : org.apache.spark.sql.connector.read.InputPartition)
+      case GraftKeyedColumnarGroup(key, rdd) =>
+        rdd.partitions.map(p =>
+          new GraftKeyedColumnarRddInputPartition(rdd, p, key)
+            : org.apache.spark.sql.connector.read.InputPartition)
     }.toArray
 
   override def createReaderFactory()
@@ -646,6 +725,10 @@ private[dsv2] final case class GraftRowGroup(
 private[dsv2] final case class GraftColumnarGroup(
     rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch])
     extends GraftServedGroup
+private[dsv2] final case class GraftKeyedColumnarGroup(
+    key: org.apache.spark.sql.catalyst.InternalRow,
+    rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch])
+    extends GraftServedGroup
 
 /** An input partition serving the scan's own `ColumnarBatch`es — the
   * consuming query's `ColumnarToRow` is then the ONLY row conversion.
@@ -654,6 +737,18 @@ final case class GraftColumnarRddInputPartition(
     rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch],
     partition: org.apache.spark.Partition)
     extends org.apache.spark.sql.connector.read.InputPartition
+
+/** [[GraftColumnarRddInputPartition]] carrying its partition TUPLE — the
+  * storage-partitioned-join serving shape, vectorized.
+  */
+final class GraftKeyedColumnarRddInputPartition(
+    val rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch],
+    val partition: org.apache.spark.Partition,
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow = key
+}
 
 final case class GraftRddInputPartition(
     rdd: RDD[org.apache.spark.sql.catalyst.InternalRow],
@@ -677,14 +772,18 @@ final class GraftRddReaderFactory
 
   override def supportColumnarReads(
       partition: org.apache.spark.sql.connector.read.InputPartition): Boolean =
-    partition.isInstanceOf[GraftColumnarRddInputPartition]
+    partition.isInstanceOf[GraftColumnarRddInputPartition] ||
+      partition.isInstanceOf[GraftKeyedColumnarRddInputPartition]
 
   override def createColumnarReader(
       partition: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val cp = partition.asInstanceOf[GraftColumnarRddInputPartition]
-    val it = cp.rdd.iterator(cp.partition, org.apache.spark.TaskContext.get())
+    val (rdd, part) = partition match {
+      case GraftColumnarRddInputPartition(r, p) => (r, p)
+      case k: GraftKeyedColumnarRddInputPartition => (k.rdd, k.partition)
+    }
+    val it = rdd.iterator(part, org.apache.spark.TaskContext.get())
     new org.apache.spark.sql.connector.read.PartitionReader[
         org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var current: org.apache.spark.sql.vectorized.ColumnarBatch = _

@@ -75,13 +75,22 @@ object DatasetBridge {
     * `executeColumnar()`: a narrow chain of `ColumnarBatch`es the DSv2
     * doorway can hand to the consuming query WITHOUT materializing rows
     * in between — the vectorized handoff for plain no-delete reads. Any
-    * other plan shape (residual filter, projection with casts, joins —
-    * anything whose output is not bit-identical to the scan's) returns
-    * None and the caller serves rows.
+    * other plan shape (projection with casts, joins — anything whose
+    * output is not bit-identical to the scan's) returns None and the
+    * caller serves rows.
+    *
+    * `peelFilters = true` additionally skips `FilterExec` nodes above the
+    * scan, serving the scan's UNFILTERED batches. ONLY legal when the
+    * caller re-applies every dropped predicate downstream — the DSv2
+    * doorway qualifies because its `pushFilters` keeps EVERY filter
+    * residual on the Spark side (the engine's post-scan Filter re-checks
+    * each pushed predicate), and the scan's own data filters (row-group
+    * skipping) live in the leaf and survive the peel. A Filter's output
+    * attribute set equals its child's, so the served schema is unchanged.
     */
-  def columnarRddNoAqe(df: DataFrame)
+  def columnarRddNoAqe(df: DataFrame, peelFilters: Boolean = false)
       : Option[org.apache.spark.rdd.RDD[org.apache.spark.sql.vectorized.ColumnarBatch]] = {
-    import org.apache.spark.sql.execution.{ColumnarToRowExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, InputAdapter, SparkPlan, WholeStageCodegenExec}
     val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
     val conf = ds.sparkSession.sessionState.conf.clone()
     conf.setConf(
@@ -91,6 +100,7 @@ object DatasetBridge {
         case w: WholeStageCodegenExec => peel(w.child)
         case c: ColumnarToRowExec => peel(c.child)
         case i: InputAdapter => peel(i.child)
+        case f: FilterExec if peelFilters => peel(f.child)
         case leaf if leaf.children.isEmpty && leaf.supportsColumnar => Some(leaf)
         case _ => None
       }

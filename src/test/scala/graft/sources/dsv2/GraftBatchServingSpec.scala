@@ -108,12 +108,15 @@ class GraftBatchServingSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(k) FROM $g.t").head().getLong(0) ==
       1999L * 2000L / 2)
 
-    // a pushed filter leaves a residual FilterExec in the inner plan —
-    // must fall back to row serving (columnar would skip the residual)
-    val filtered = spark.sql(s"SELECT k FROM $g.t WHERE v = 'v7'")
-    assert(!batchScan(filtered).supportsColumnar,
-      "residual-filter read must serve rows")
-    assert(filtered.head().getLong(0) == 7L)
+    // a pushed filter peels too (the doorway keeps EVERY filter residual
+    // on the Spark side, so the engine's post-scan Filter re-checks it —
+    // serving the scan's unfiltered batches is correct and vectorized)
+    val filtered = spark.sql(s"SELECT k, v FROM $g.t WHERE v = 'v7'")
+    assert(batchScan(filtered).supportsColumnar,
+      "filtered delete-free read should still serve columnar:\n" +
+        filtered.queryExecution.executedPlan)
+    assert(filtered.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+      == Seq((7L, "v7")))
 
     // pending deletes plan anti joins — row serving, same exact rows
     spark.sql(s"DELETE FROM $g.t WHERE k >= 1000")
@@ -259,9 +262,66 @@ class GraftBatchServingSpec extends SparkSpec {
         plan)
       assert(!plan.contains("Exchange hashpartitioning"),
         "co-bucketed doorway tables must join WITHOUT a shuffle:\n" + plan)
+      // the keyed tuple frames are provably delete-free bare scans —
+      // SPJ serving must be vectorized too (the scan sits under the
+      // already-final AdaptiveSparkPlan and its query stages, both
+      // collect-opaque leaves)
+      def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] =
+        p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scansOf(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scansOf(q.plan)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            Seq(b)
+          case other => other.children.flatMap(scansOf)
+        }
+      val scans = scansOf(joined.queryExecution.executedPlan)
+      assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+        "keyed (SPJ) serving of delete-free tables must be columnar:\n" + plan)
     } finally olds.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
+  }
+
+  test("GROUP BY partition column answers from the manifest: one row per tuple") {
+    val root = Files.createTempDirectory("graft-serve-gagg").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, grp INT) PARTITIONED BY (grp)")
+    spark.sql(
+      s"INSERT INTO $g.t SELECT id, CAST(id % 5 AS INT) FROM range(0, 1000)")
+
+    val grouped = spark.sql(
+      s"SELECT grp, count(*) AS n FROM $g.t GROUP BY grp ORDER BY grp")
+    assert(grouped.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "grouped COUNT must be manifest-answered (LocalTableScan), got:\n" +
+        grouped.queryExecution.executedPlan)
+    assert(grouped.collect().toSeq.map(r => (r.getInt(0), r.getLong(1)))
+      == (0 until 5).map(g => (g, 200L)))
+
+    // SELECT DISTINCT part_col is the same pushdown with no aggregates
+    val distinct = spark.sql(s"SELECT DISTINCT grp FROM $g.t ORDER BY grp")
+    assert(distinct.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "DISTINCT on the partition column must be manifest-answered:\n" +
+        distinct.queryExecution.executedPlan)
+    assert(distinct.collect().map(_.getInt(0)).toSeq == (0 until 5))
+
+    // grouping by a NON-partition column must scan (and stay exact)
+    val byK = spark.sql(
+      s"SELECT k % 2 AS b, count(*) AS n FROM $g.t GROUP BY 1 ORDER BY 1")
+    assert(!byK.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(byK.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      == Seq((0L, 500L), (1L, 500L)))
+
+    // a pending delete makes per-group counts unprovable — falls back
+    spark.sql(s"DELETE FROM $g.t WHERE k < 10")
+    val after = spark.sql(
+      s"SELECT grp, count(*) AS n FROM $g.t GROUP BY grp ORDER BY grp")
+    assert(!after.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "pending deletes must refuse the grouped metadata answer")
+    assert(after.collect().toSeq.map(r => (r.getInt(0), r.getLong(1)))
+      == (0 until 5).map(g => (g, 198L)))
   }
 
   test("COUNT/MIN/MAX answer from the manifest; pending deletes fall back exactly") {
