@@ -30,8 +30,13 @@ final class GraftMicroBatchStream(
     root: String,
     table: String,
     required: StructType,
-    skipRewrites: Boolean)
-    extends MicroBatchStream {
+    skipRewrites: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles}
 
   private def cat = new GraftCatalog(root)
 
@@ -39,6 +44,67 @@ final class GraftMicroBatchStream(
 
   override def latestOffset(): Offset =
     GraftStreamOffset(cat.currentSnapshotId(table))
+
+  // ---- admission control: `.option("maxFilesPerTrigger", n)` ------------
+
+  /** Trigger.AvailableNow pins the run's end snapshot here; without this
+    * the engine would wrap the stream in its AvailableNow wrapper, whose
+    * `latestOffset(start, limit)` returns the captured offset DIRECTLY —
+    * silently discarding the read limit (one giant catch-up batch).
+    * Implementing the trigger natively keeps the budget honored: each
+    * batch advances snapshot-aligned within the limit until the pinned
+    * head is reached.
+    */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(cat.currentSnapshotId(table))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxFiles)
+
+  override def reportLatestOffset(): Offset =
+    GraftStreamOffset(cat.currentSnapshotId(table))
+
+  private def maxFilesOf(l: ReadLimit): Option[Int] = l match {
+    case m: ReadMaxFiles => Some(m.maxFiles)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxFilesOf).minOption
+    case _ => None
+  }
+
+  /** A catching-up stream must not plan one giant batch: advance the end
+    * offset only as far as the file budget allows, SNAPSHOT-ALIGNED (an
+    * offset is a snapshot id, so a batch can never split a commit — the
+    * batch that exceeds the budget is the one containing the first
+    * oversized commit, Iceberg's own semantics). The candidate counts use
+    * the REAL batch planner (`deltaTasks` from the held start), so the
+    * admitted count is exactly what the batch will read — including the
+    * fresh-start full-load shape. Always admits at least one snapshot so
+    * the stream makes progress.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = availableNowCap
+      .fold(cat.currentSnapshotId(table))(math.min(_, cat.currentSnapshotId(table)))
+    val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+    maxFilesOf(limit) match {
+      case None => GraftStreamOffset(head)
+      case Some(budget) =>
+        val ids = cat.snapshotIds(table).filter(id => id > s && id <= head)
+        if (ids.isEmpty) return GraftStreamOffset(head)
+        var end = ids.head // at least one snapshot — progress guarantee
+        var rest = ids.tail
+        // cumulative file counts are monotone in the end id, so extend
+        // until the first candidate that would blow the budget
+        while (rest.nonEmpty &&
+            GraftStreamSource.deltaTasks(cat, table, s, rest.head,
+              skipRewrites).size <= budget) {
+          end = rest.head
+          rest = rest.tail
+        }
+        GraftStreamOffset(end)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     GraftStreamOffset(json.trim.toLong)

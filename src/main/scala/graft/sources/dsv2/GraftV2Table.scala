@@ -99,7 +99,9 @@ final class GraftV2Table(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(root, tableName, asOf, FieldIds.stripIds(schema),
-      skipRewrites = options.getBoolean("skipRewrites", false))
+      skipRewrites = options.getBoolean("skipRewrites", false),
+      maxFilesPerTrigger =
+        Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
@@ -250,7 +252,8 @@ final class GraftScanBuilder(
     tableSchema: StructType,
     rowLevel: Boolean = false,
     skipRewrites: Boolean = false,
-    host: Option[GraftRowLevelOperation] = None)
+    host: Option[GraftRowLevelOperation] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -455,7 +458,8 @@ final class GraftScanBuilder(
     case (None, Some((schema, rows))) =>
       new GraftMetadataAggScan(table, schema, rows)
     case (None, None) =>
-      new GraftV1Scan(root, table, asOf, required, pushed, skipRewrites)
+      new GraftV1Scan(root, table, asOf, required, pushed, skipRewrites,
+        maxFilesPerTrigger = maxFilesPerTrigger)
   }
 }
 
@@ -487,7 +491,8 @@ class GraftV1Scan(
     required: StructType,
     filters: Array[Filter],
     skipRewrites: Boolean = false,
-    host: Option[GraftRowLevelOperation] = None)
+    host: Option[GraftRowLevelOperation] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -670,7 +675,8 @@ class GraftV1Scan(
   override def toMicroBatchStream(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(asOf.isEmpty, s"cannot stream $table at a pinned snapshot")
-    new GraftMicroBatchStream(root, table, required, skipRewrites)
+    new GraftMicroBatchStream(root, table, required, skipRewrites,
+      maxFilesPerTrigger)
   }
 
   override def description(): String =

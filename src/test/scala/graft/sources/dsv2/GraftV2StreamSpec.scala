@@ -50,6 +50,43 @@ class GraftV2StreamSpec extends SparkSpec {
     q.awaitTermination()
   }
 
+  test("maxFilesPerTrigger paces a catching-up stream snapshot-aligned") {
+    val root = Files.createTempDirectory("graft-v2s-rate").toString
+    val out = Files.createTempDirectory("graft-v2s-rate-out").toString
+    withCatalogSession(root) { s =>
+      val cat = new GraftCatalog(root)
+      cat.createTable("t", Nil)
+      // three append commits BEFORE the stream starts — a catching-up
+      // stream with a 1-file budget must NOT plan one giant batch
+      (1 to 3).foreach { i =>
+        cat.appendFiles(s, "t",
+          Seq((i.toLong, s"v$i")).toDF("k", "v").repartition(1), out)
+      }
+      val ckpt = Files.createTempDirectory("graft-v2s-rate-ckpt").toString
+      val batches = scala.collection.mutable.ListBuffer[(Long, Seq[Long])]()
+      val q = s.readStream.option("maxFilesPerTrigger", "1").table("graft.t")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+          batches += ((id, b.select("k")
+            .as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().toSeq))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val nonEmpty = batches.filter(_._2.nonEmpty)
+      assert(nonEmpty.size == 3,
+        s"1-file budget must pace the 3 single-file commits into 3 " +
+          s"batches, got ${batches.map(_._2)}")
+      assert(nonEmpty.flatMap(_._2).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"paced batches must still stream exactly once: $batches")
+      assert(nonEmpty.forall(_._2.size == 1),
+        s"no batch may exceed the file budget's rows here: $batches")
+    }
+  }
+
   test("initial load + append deltas stream exactly once across runs") {
     val root = Files.createTempDirectory("graft-v2s").toString
     val out = Files.createTempDirectory("graft-v2s-out").toString
