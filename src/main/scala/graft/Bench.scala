@@ -200,10 +200,11 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else {
-        // precision scales with magnitude (2dp under 10 s, 1dp under 100,
+        // precision scales with magnitude (2dp under 1 s, 1dp under 100,
         // whole seconds above): ≤4 chars per value keeps the growing suite
-        // inside the tail window without losing grading-relevant precision
-        val scale = if (v >= 100) 0 else if (v >= 10) 1 else 2
+        // (147 queries in r12) inside the tail window; 1dp on 1–10 s
+        // values is ≤5% rounding — far inside the 2x drift-retry band
+        val scale = if (v >= 100) 0 else if (v >= 1) 1 else 2
         val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
           .underlying.stripTrailingZeros.toPlainString
         if (s == "0") "0.01" else s // a sub-5ms query still shows nonzero

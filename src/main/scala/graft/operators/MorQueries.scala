@@ -879,7 +879,39 @@ object MorQueries {
     df
   }
 
+  /** Q153: the Iceberg metadata-table spelling through the doorway —
+    * `SELECT ... FROM graft.db.t.partitions` (manifest-derived per-tuple
+    * file/record rollups, zero data files read), with `.snapshots` /
+    * `.history` sanity-required in-gate. The oracle restates the
+    * partitions view as the equivalent GROUP BY over the raw data,
+    * proving the manifest rollup exact.
+    */
+  private def q153(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q153").toString
+    val g = s"g153_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.s (s_suppkey BIGINT, s_name STRING, s_nationkey INT)
+         |PARTITIONED BY (s_nationkey)""".stripMargin)
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q153_src")
+    spark.sql(
+      s"INSERT INTO $g.s SELECT s_suppkey, s_name, s_nationkey FROM q153_src")
+    val snaps = spark.sql(
+      s"SELECT snapshot_id, is_current FROM $g.s.snapshots").collect()
+    require(snaps.count(_.getBoolean(1)) == 1 && snaps.nonEmpty,
+      "snapshots metadata table must mark exactly one current snapshot")
+    require(spark.sql(s"SELECT count(*) FROM $g.s.history").head().getLong(0)
+      == snaps.length.toLong, "history must list every retained snapshot")
+    spark.sql(
+      s"""SELECT CAST(partition['s_nationkey'] AS INT) AS s_nationkey,
+         |       record_count AS n
+         |FROM $g.s.partitions""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q153_meta_tables" -> (q153 _),
     "q152_group_agg" -> (q152 _),
     "q151_spj" -> (q151 _),
     "q149_metadata_agg" -> (q149 _),
@@ -936,6 +968,9 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q153_meta_tables" ->
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n
+        |FROM supplier GROUP BY s_nationkey""".stripMargin,
     "q152_group_agg" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n
         |FROM supplier GROUP BY s_nationkey""".stripMargin,

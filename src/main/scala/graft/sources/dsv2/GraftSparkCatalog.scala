@@ -84,8 +84,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val t = toName(ident)
-    if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
-    new GraftV2Table(root, t, asOf = None)
+    if (cat.tables().contains(t)) new GraftV2Table(root, t, asOf = None)
+    else {
+      // Iceberg's metadata-table spelling: `graft.db.t.files` /
+      // `.partitions` / `.snapshots` / `.history` — the trailing name
+      // selects the metadata view of the PARENT table (a real table of
+      // the full name, checked above, always wins)
+      val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+      val parent = ident.namespace.lastOption.map(last =>
+        toName(Identifier.of(ident.namespace.init, last)))
+      if (GraftMetadataV2Table.Kinds(kind) &&
+          parent.exists(cat.tables().contains))
+        new GraftMetadataV2Table(root, parent.get, kind)
+      else throw new NoSuchTableException(ident)
+    }
   }
 
   /** `VERSION AS OF` — a snapshot id, or a tag name. */

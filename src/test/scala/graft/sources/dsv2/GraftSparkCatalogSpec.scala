@@ -197,6 +197,42 @@ class GraftSparkCatalogSpec extends SparkSpec {
     }
   }
 
+  test("metadata tables: graft.db.t.files/partitions/snapshots/history") {
+    val root = Files.createTempDirectory("graft-dsv2-meta").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE NAMESPACE graft.db")
+      s.sql("CREATE TABLE graft.db.t (k BIGINT, grp INT) PARTITIONED BY (grp)")
+      s.sql("INSERT INTO graft.db.t SELECT id, CAST(id % 3 AS INT) FROM range(0, 300)")
+      s.sql("INSERT INTO graft.db.t SELECT id, CAST(id % 3 AS INT) FROM range(300, 600)")
+
+      val files = s.sql("SELECT content, record_count FROM graft.db.t.files")
+        .collect()
+      assert(files.nonEmpty && files.forall(_.getString(0) == "data"))
+      assert(files.map(_.getLong(1)).sum == 600L)
+
+      val parts = s.sql(
+        """SELECT CAST(partition['grp'] AS INT) AS grp, record_count
+          |FROM graft.db.t.partitions ORDER BY grp""".stripMargin).collect()
+      assert(parts.map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+        (0 until 3).map(g => (g, 200L)),
+        s"partitions view: ${parts.mkString(",")}")
+
+      val snaps = s.sql(
+        "SELECT snapshot_id, is_current, operation FROM graft.db.t.snapshots")
+        .collect()
+      assert(snaps.count(_.getBoolean(1)) == 1 && snaps.length >= 3)
+
+      assert(s.sql("SELECT count(*) FROM graft.db.t.history").head().getLong(0)
+        == snaps.length.toLong)
+
+      // a real table always wins over the metadata suffix; a bogus kind
+      // stays a missing table
+      intercept[Exception] {
+        s.sql("SELECT * FROM graft.db.t.nope").collect()
+      }
+    }
+  }
+
   test("DDL edges: drop, rename across namespaces, properties, errors") {
     val root = Files.createTempDirectory("graft-dsv2-ddl").toString
     withCatalogSession(root) { s =>
