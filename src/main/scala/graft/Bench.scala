@@ -98,7 +98,11 @@ object Bench {
     // INSERTs + the SPJ join + the oracle materialization — gate cost,
     // the join itself is exchange-free, asserted in-gate)
     "q147" -> 0.46, "q148" -> 2.87, "q149" -> 0.59, "q150" -> 0.81,
-    "q151" -> 2.65)
+    "q151" -> 2.65,
+    // q152 grouped metadata aggregate (CREATE + INSERT + LocalTableScan
+    // answer); q153 metadata tables (partitions rollup + snapshots/
+    // history requires) — idle-box first recordings
+    "q152" -> 0.41, "q153" -> 0.65)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

@@ -249,6 +249,27 @@ object ExplainAudit {
         "planned file set) before the residual filter re-applies. The " +
         "full-count half scans all files once; both halves are plain " +
         "narrow parquet scans, no delete joins."),
+    "q151_spj" ->
+      ("Storage-partitioned join: both doorway scans report " +
+        "KeyGroupedPartitioning(bucket(4, suppkey)) from their provable " +
+        "tuple layouts, the transforms resolve as V2 catalog functions, " +
+        "and the join plans SortMergeJoin with ZERO Exchange (asserted " +
+        "in-gate) — keyed tuple frames served as the scans' own " +
+        "ColumnarBatches. At 100 TB this shuffles NOTHING where the " +
+        "baseline shuffles both fact tables (SCALING.md: SPJ shuffle " +
+        "bytes 0.00 MB at 1x/4x/16x vs a growing baseline)."),
+    "q152_group_agg" ->
+      ("GROUP BY partition column answered from the MANIFEST: one " +
+        "pre-computed row per recorded identity tuple (per-file record " +
+        "counts folded per group), planned as LocalTableScan — asserted " +
+        "in-gate; zero data files opened. Refuses (and scans) on pending " +
+        "deletes, unknown counts, or non-identity grouping."),
+    "q153_meta_tables" ->
+      ("Iceberg metadata tables through the doorway: .partitions serves " +
+        "the per-tuple file/record rollup straight from snapshot " +
+        "documents (driver-sized rows, no data files), with .snapshots/" +
+        ".history sanity-required in-gate; the oracle proves the rollup " +
+        "equals the GROUP BY over raw data."),
     "q148_cow_group_filter" ->
       ("DEFAULT-ON runtime group filtering: the DELETE's untranslatable " +
         "condition plans as copy-on-write ReplaceData, Spark's " +
