@@ -39,10 +39,23 @@ object IcebergTransforms {
   def bucketT(n: Int, c: Column): Column =
     ColumnBridge.column(IcebergBucket(ColumnBridge.expression(c), n))
 
-  /** T7 Truncate(w): string prefix / integral floor-to-width. */
+  /** T7 Truncate(w): string prefix / integral floor-to-width. The final
+    * subtraction uses LEGACY (wrapping) semantics: for source values
+    * within w of Long.MinValue the true floor is unrepresentable and
+    * Iceberg's own Java impl wraps — an ANSI subtract would instead FAIL
+    * the whole write for one extreme row. The wrap is consistent across
+    * the fanout writer, the lookup projection ([[graft.sources.dsv2
+    * .GraftV2Functions]]), and the pruner's near-wrap keep-guard.
+    */
   def truncateT(w: Int, c: Column, isString: Boolean): Column =
     if (isString) substring(c, 1, w)
-    else c - (((c % w) + w) % w)
+    else {
+      val m = ((c % w) + w) % w
+      ColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.Subtract(
+          ColumnBridge.expression(c), ColumnBridge.expression(m),
+          org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+    }
 
   /** T8 Void: always null, typed as the source column (Iceberg's void keeps
     * the source type so partitioned writes stay schema-stable).

@@ -1100,7 +1100,16 @@ final class GraftCatalog(root: String,
               (transform, pv) match {
                 case ("identity", Some(p)) => p >= lo && p <= hi
                 case (Param("truncate", w), Some(p)) if intSource =>
-                  p <= hi && p + w.toInt > lo
+                  // source values within w of Long.MinValue WRAP in the
+                  // truncate projection (on the write side and in every
+                  // lookup — the Iceberg truncate edge): a tuple near
+                  // +Long.MaxValue may be such a wrap, and a query
+                  // touching the wrap-source region can match rows filed
+                  // under a wrapped tuple — both prove nothing, keep
+                  val wInt = w.toInt
+                  val nearWrap = p >= Long.MaxValue.toDouble - wInt ||
+                    lo <= Long.MinValue.toDouble + wInt
+                  nearWrap || (p <= hi && p + wInt > lo)
                 case (Param("bucket", n), Some(p))
                     if intSource && lo == hi && lo.isWhole =>
                   p == graft.functions.IcebergMurmur3.bucketLong(lo.toLong, n.toInt)

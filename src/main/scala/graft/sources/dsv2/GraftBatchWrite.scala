@@ -26,7 +26,7 @@ final class GraftOrderedWrite(
     batch: GraftBatchWrite,
     sortCols: Seq[String],
     streaming: Option[() => org.apache.spark.sql.connector.write.streaming.StreamingWrite] = None,
-    clusterCols: Seq[String] = Nil)
+    clusterExprs: Seq[org.apache.spark.sql.connector.expressions.Expression] = Nil)
     extends Write
     with RequiresDistributionAndOrdering {
 
@@ -38,19 +38,19 @@ final class GraftOrderedWrite(
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
 
   /** Declared write-order wins (range clustering feeds stats pruning); a
-    * PARTITIONED table without one clusters by the transforms' SOURCE
-    * columns instead — rows sharing source values land in one task, so
-    * the fanout writer's per-task open-file count stays bounded (Iceberg's
-    * hash write distribution; without it every task can touch every
-    * partition tuple and a 1000-task insert into bucket(16) writes 16k
-    * files).
+    * PARTITIONED table without one clusters by its partition TRANSFORMS —
+    * rows sharing a partition tuple land in one task, so the fanout
+    * writer's per-task open-file count is ~1 (Iceberg's hash write
+    * distribution; without it every task can touch every partition tuple
+    * and a 1000-task insert into bucket(16) writes 16k files). The
+    * transforms resolve through the catalog's V2 FunctionCatalog
+    * ([[GraftV2Functions]] — bit-equal to the fanout writer's own
+    * projection, so the clustering and the file layout agree).
     */
   override def requiredDistribution(): Distribution =
     if (sortCols.nonEmpty) Distributions.ordered(orders)
-    else if (clusterCols.nonEmpty)
-      Distributions.clustered(
-        clusterCols.map(c => Expressions.column(c)
-          : org.apache.spark.sql.connector.expressions.Expression).toArray)
+    else if (clusterExprs.nonEmpty)
+      Distributions.clustered(clusterExprs.toArray)
     else Distributions.unspecified()
 
   // clustering is an OPTIMIZATION, not a correctness need: let AQE pick

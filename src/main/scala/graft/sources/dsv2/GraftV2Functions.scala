@@ -143,6 +143,13 @@ object GraftV2Functions {
         override def isResultNullable: Boolean = true
         override def produceResult(input: InternalRow): Integer = {
           if (input.isNullAt(0)) return null
+          // hours must FLOOR (the write side is floor(unix/3600)):
+          // Duration.toHours truncates toward zero, which would put a
+          // pre-epoch 23:30 in the wrong hour partition
+          if (unit == "hours") return java.lang.Math.toIntExact(colType match {
+            case DateType => input.getInt(0).toLong * 24L
+            case _ => java.lang.Math.floorDiv(input.getLong(0), 3_600_000_000L)
+          })
           val local: java.time.LocalDateTime = colType match {
             case DateType => java.time.LocalDate
               .ofEpochDay(input.getInt(0).toLong).atStartOfDay()
@@ -154,10 +161,6 @@ object GraftV2Functions {
             case "months" => (local.getYear - 1970) * 12 + local.getMonthValue - 1
             case "days" => java.lang.Math.toIntExact(
               local.toLocalDate.toEpochDay)
-            case "hours" => java.lang.Math.toIntExact(
-              java.time.Duration.between(
-                java.time.LocalDateTime.of(1970, 1, 1, 0, 0),
-                local).toHours)
           }
         }
       }

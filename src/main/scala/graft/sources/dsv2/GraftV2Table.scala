@@ -147,10 +147,12 @@ final class GraftV2Table(
         streaming = Some(() => new GraftStreamingWrite(
           root, tableName, info.schema(), info.queryId())),
         // partitioned tables without a write-order cluster by the
-        // transforms' source columns to bound the fanout (see
-        // GraftOrderedWrite.requiredDistribution)
-        clusterCols = cat.partitionSpec(tableName).map(_.source).distinct
-          .filter(info.schema().fieldNames.contains))
+        // partition TRANSFORMS themselves (resolved through the V2
+        // FunctionCatalog) to bound the fanout to ~1 file per task (see
+        // GraftOrderedWrite.requiredDistribution); transforms over
+        // columns the write doesn't carry can't cluster
+        clusterExprs = partitioning().toSeq.filter(_.references()
+          .forall(_.fieldNames().forall(info.schema().fieldNames.contains))))
     }
   }
 
@@ -302,7 +304,27 @@ final class GraftScanBuilder(
       case None => false
     }
 
+  /** Spark probes `supportCompletePushDown` then `pushAggregation` with
+    * the SAME Aggregation instance — memoize by identity so the manifest
+    * is read once per pushdown attempt, not once per probe (a
+    * million-file table's entry list is a real driver-side parse).
+    */
+  private var answerMemo
+      : Option[(org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+        Option[(StructType, Seq[Seq[Any]])])] = None
+
   private def metadataAnswer(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Seq[Any]])] =
+    answerMemo match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = computeMetadataAnswer(agg)
+        answerMemo = Some((agg, r))
+        r
+    }
+
+  private def computeMetadataAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Seq[Any]])] = {
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
