@@ -421,7 +421,13 @@ object ExplainAudit {
     sb.append("conversion) — q147 0.8 -> 0.46 s from this. Storage-partitioned\n")
     sb.append("joins land (q151: co-bucketed doorway tables join exchange-free,\n")
     sb.append("SPJ shuffle bytes ZERO at 1x/4x/16x in SCALING.md). Closing\n")
-    sb.append("idle-box run: 145 queries / 114 s, zero errors.\n")
+    sb.append("idle-box runs: 145 queries / 114 s, then 147 queries /\n")
+    sb.append("126 s under mild host drift — zero errors in both. Late\n")
+    sb.append("round-12 additions: GROUP BY partition column answered from\n")
+    sb.append("the manifest (q152, LocalTableScan), metadata tables (q153),\n")
+    sb.append("maxFilesPerTrigger streaming admission control, writes\n")
+    sb.append("clustered by partition TRANSFORMS, and the truncate wrap-edge\n")
+    sb.append("fix caught by the new write/read transform-equivalence spec.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
