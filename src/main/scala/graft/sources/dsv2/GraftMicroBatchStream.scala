@@ -31,12 +31,13 @@ final class GraftMicroBatchStream(
     table: String,
     required: StructType,
     skipRewrites: Boolean,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxFiles, ReadMaxRows}
 
   private def cat = new GraftCatalog(root)
 
@@ -61,7 +62,13 @@ final class GraftMicroBatchStream(
     availableNowCap = Some(cat.currentSnapshotId(table))
 
   override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.fold(ReadLimit.allAvailable())(ReadLimit.maxFiles)
+    (maxFilesPerTrigger, maxRowsPerTrigger) match {
+      case (Some(f), Some(r)) => ReadLimit.compositeLimit(
+        Array(ReadLimit.maxFiles(f), ReadLimit.maxRows(r)))
+      case (Some(f), None) => ReadLimit.maxFiles(f)
+      case (None, Some(r)) => ReadLimit.maxRows(r)
+      case _ => ReadLimit.allAvailable()
+    }
 
   override def reportLatestOffset(): Offset =
     GraftStreamOffset(cat.currentSnapshotId(table))
@@ -70,6 +77,13 @@ final class GraftMicroBatchStream(
     case m: ReadMaxFiles => Some(m.maxFiles)
     case c: CompositeReadLimit =>
       c.getReadLimits.toSeq.flatMap(maxFilesOf).minOption
+    case _ => None
+  }
+
+  private def maxRowsOf(l: ReadLimit): Option[Long] = l match {
+    case m: ReadMaxRows => Some(m.maxRows)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.toSeq.flatMap(maxRowsOf).minOption
     case _ => None
   }
 
@@ -87,23 +101,35 @@ final class GraftMicroBatchStream(
     val head = availableNowCap
       .fold(cat.currentSnapshotId(table))(math.min(_, cat.currentSnapshotId(table)))
     val s = start.asInstanceOf[GraftStreamOffset].snapshotId
-    maxFilesOf(limit) match {
-      case None => GraftStreamOffset(head)
-      case Some(budget) =>
-        val ids = cat.snapshotIds(table).filter(id => id > s && id <= head)
-        if (ids.isEmpty) return GraftStreamOffset(head)
-        var end = ids.head // at least one snapshot — progress guarantee
-        var rest = ids.tail
-        // cumulative file counts are monotone in the end id, so extend
-        // until the first candidate that would blow the budget
-        while (rest.nonEmpty &&
-            GraftStreamSource.deltaTasks(cat, table, s, rest.head,
-              skipRewrites).size <= budget) {
-          end = rest.head
-          rest = rest.tail
-        }
-        GraftStreamOffset(end)
+    val fileBudget = maxFilesOf(limit)
+    val rowBudget = maxRowsOf(limit)
+    if (fileBudget.isEmpty && rowBudget.isEmpty) return GraftStreamOffset(head)
+    val ids = cat.snapshotIds(table).filter(id => id > s && id <= head)
+    if (ids.isEmpty) return GraftStreamOffset(head)
+    /** The candidate's cumulative cost, priced by the REAL batch planner.
+      * Rows come from the end snapshot's entry list; a task whose file
+      * left that snapshot (or carries an unknown count) prices as
+      * over-budget — conservative, never a bigger batch than asked.
+      */
+    def withinBudget(e: Long): Boolean = {
+      val tasks = GraftStreamSource.deltaTasks(cat, table, s, e, skipRewrites)
+      fileBudget.forall(tasks.size <= _) && rowBudget.forall { rb =>
+        val counts = cat.loadEntriesAt(table, e)
+          .collect { case en if en.kind == "data" => en.path -> en.recordCount }
+          .toMap
+        val rows = tasks.map(t => counts.getOrElse(t.path, -1L))
+        rows.forall(_ >= 0L) && rows.sum <= rb
+      }
     }
+    var end = ids.head // at least one snapshot — progress guarantee
+    var rest = ids.tail
+    // cumulative costs are monotone in the end id, so extend until the
+    // first candidate that would blow a budget
+    while (rest.nonEmpty && withinBudget(rest.head)) {
+      end = rest.head
+      rest = rest.tail
+    }
+    GraftStreamOffset(end)
   }
 
   override def deserializeOffset(json: String): Offset =

@@ -101,7 +101,9 @@ final class GraftV2Table(
     new GraftScanBuilder(root, tableName, asOf, FieldIds.stripIds(schema),
       skipRewrites = options.getBoolean("skipRewrites", false),
       maxFilesPerTrigger =
-        Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt))
+        Option(options.get("maxFilesPerTrigger")).map(_.trim.toInt),
+      maxRowsPerTrigger =
+        Option(options.get("maxRowsPerTrigger")).map(_.trim.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
@@ -255,7 +257,8 @@ final class GraftScanBuilder(
     rowLevel: Boolean = false,
     skipRewrites: Boolean = false,
     host: Option[GraftRowLevelOperation] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters
@@ -481,7 +484,8 @@ final class GraftScanBuilder(
       new GraftMetadataAggScan(table, schema, rows)
     case (None, None) =>
       new GraftV1Scan(root, table, asOf, required, pushed, skipRewrites,
-        maxFilesPerTrigger = maxFilesPerTrigger)
+        maxFilesPerTrigger = maxFilesPerTrigger,
+        maxRowsPerTrigger = maxRowsPerTrigger)
   }
 }
 
@@ -514,7 +518,8 @@ class GraftV1Scan(
     filters: Array[Filter],
     skipRewrites: Boolean = false,
     host: Option[GraftRowLevelOperation] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxRowsPerTrigger: Option[Long] = None)
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
@@ -698,7 +703,7 @@ class GraftV1Scan(
       checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(asOf.isEmpty, s"cannot stream $table at a pinned snapshot")
     new GraftMicroBatchStream(root, table, required, skipRewrites,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxRowsPerTrigger)
   }
 
   override def description(): String =

@@ -87,6 +87,43 @@ class GraftV2StreamSpec extends SparkSpec {
     }
   }
 
+  test("maxRowsPerTrigger paces by row budget from recorded counts") {
+    val root = Files.createTempDirectory("graft-v2s-rows").toString
+    val out = Files.createTempDirectory("graft-v2s-rows-out").toString
+    withCatalogSession(root) { s =>
+      import s.implicits._
+      val cat = new GraftCatalog(root)
+      cat.createTable("t", Nil)
+      // three 5-row single-file commits before the stream starts
+      (0 until 3).foreach { i =>
+        cat.appendFiles(s, "t",
+          (0 until 5).map(j => (i * 5L + j, s"v$i-$j")).toDF("k", "v")
+            .repartition(1), out)
+      }
+      def batchSizes(rowBudget: Long): Seq[Int] = {
+        val ckpt = Files.createTempDirectory("graft-v2s-rows-ckpt").toString
+        val sizes = scala.collection.mutable.ListBuffer[Int]()
+        val q = s.readStream
+          .option("maxRowsPerTrigger", rowBudget.toString).table("graft.t")
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val n = b.count().toInt
+            if (n > 0) sizes += n
+            ()
+          }
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        sizes.toSeq
+      }
+      // a 5-row budget admits one commit per batch; 10 rows packs two
+      assert(batchSizes(5L) == Seq(5, 5, 5))
+      assert(batchSizes(10L) == Seq(10, 5))
+    }
+  }
+
   test("initial load + append deltas stream exactly once across runs") {
     val root = Files.createTempDirectory("graft-v2s").toString
     val out = Files.createTempDirectory("graft-v2s-out").toString
