@@ -669,7 +669,7 @@ class GraftV1Scan(
             GraftInnerFrame.servableRdds(fs)
               .map(rdd => GraftRowGroup(key, rdd): GraftServedGroup)
           }
-        })
+        }, token = () => "keyed")
       case None =>
         new GraftRddBatch(() => {
           val fs = GraftInnerFrame.frames(
@@ -693,7 +693,7 @@ class GraftV1Scan(
             case None => GraftInnerFrame.servableRdds(fs)
               .map(GraftRowGroup(null, _): GraftServedGroup)
           }
-        })
+        }, token = () => (runtimeKeep, host.flatMap(_.groupFilter)))
     }
 
   /** `spark.readStream.table(...)` — the DSv2 streaming doorway, sharing
@@ -713,18 +713,41 @@ class GraftV1Scan(
 
 /** Batch over driver-planned `RDD[InternalRow]`s (one per schema group —
   * usually one): one input partition per RDD partition, reader = the
-  * RDD's own iterator. The RDDs are built PER planInputPartitions CALL
-  * through `mk` — `BatchScanExec` re-plans partitions after runtime
+  * RDD's own iterator. The RDDs are rebuilt through `mk` whenever the
+  * `token` changes — `BatchScanExec` re-plans partitions after runtime
   * filters arrive (`scan.filter(...)`), and a frozen RDD would serve the
-  * pre-filter file set.
+  * pre-filter file set; between filter arrivals the plan is MEMOIZED
+  * (the engine probes planInputPartitions 2-3× per execution for
+  * partitioning/columnar checks, and each un-memoized probe repeated the
+  * whole inner Catalyst planning — the bulk of the doorway's per-read
+  * planning constant). Memoizing also pins one snapshot per execution:
+  * a commit landing between probes can no longer split the read.
   */
-final class GraftRddBatch(mk: () => Seq[GraftServedGroup])
+final class GraftRddBatch(
+    mk: () => Seq[GraftServedGroup],
+    token: () => Any = () => None)
     extends org.apache.spark.sql.connector.read.Batch {
 
   def this(rdd: RDD[org.apache.spark.sql.catalyst.InternalRow]) =
     this(() => Seq(GraftRowGroup(null, rdd)))
 
+  private var memo: Option[(Any,
+    Array[org.apache.spark.sql.connector.read.InputPartition])] = None
+
   override def planInputPartitions()
+      : Array[org.apache.spark.sql.connector.read.InputPartition] =
+    synchronized {
+      val t = token()
+      memo match {
+        case Some((mt, ps)) if mt == t => ps
+        case _ =>
+          val ps = buildPartitions()
+          memo = Some((t, ps))
+          ps
+      }
+    }
+
+  private def buildPartitions()
       : Array[org.apache.spark.sql.connector.read.InputPartition] =
     mk().flatMap {
       case GraftRowGroup(key, rdd) =>

@@ -70,8 +70,18 @@ object PartitionLayout {
       case other => throw new IllegalStateException(
         s"partition transform projection analyzed to ${other.nodeName}, expected Project")
     }
+    // RuntimeReplaceable nodes (to_date/datediff inside the temporal
+    // transforms) are only rewritten by the OPTIMIZER, which never runs
+    // over this hand-bound projection — eval/codegen on the wrapper
+    // asserts. Substitute each with its replacement here (recursively:
+    // transformDown re-visits the substituted tree), exactly what the
+    // optimizer's ReplaceExpressions rule would do.
     val bound = analyzed.projectList.map(e =>
-      BindReferences.bindReference(e, analyzed.child.output): Expression)
+      BindReferences.bindReference(e, analyzed.child.output)
+        .transformDown {
+          case r: org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable =>
+            r.replacement
+        }: Expression)
     PartitionLayout(spec.map(_.name), bound, analyzed.projectList.map(_.dataType))
   }
 

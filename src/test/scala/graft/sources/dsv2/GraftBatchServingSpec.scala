@@ -285,6 +285,39 @@ class GraftBatchServingSpec extends SparkSpec {
     }
   }
 
+  test("days()-partitioned tables storage-partition join shuffle-free too") {
+    val root = Files.createTempDirectory("graft-serve-spjd").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.a (ts TIMESTAMP, va STRING) PARTITIONED BY (days(ts))")
+    spark.sql(s"CREATE TABLE $g.b (ts TIMESTAMP, vb STRING) PARTITIONED BY (days(ts))")
+    spark.sql(s"""INSERT INTO $g.a SELECT
+      timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 96 AS INT),0,0),
+      concat('a', id) FROM range(0, 400)""")
+    spark.sql(s"""INSERT INTO $g.b SELECT
+      timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 96 AS INT),0,0),
+      concat('b', id) FROM range(0, 200)""")
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"SELECT a.ts, a.va, b.vb FROM $g.a a JOIN $g.b b ON a.ts = b.ts")
+      // every b row matches ~2 a rows with the same (id % 96) timestamp
+      assert(joined.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "co-day-partitioned doorway tables must join WITHOUT a shuffle:\n" +
+          plan)
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("GROUP BY partition column answers from the manifest: one row per tuple") {
     val root = Files.createTempDirectory("graft-serve-gagg").toString
     val g = mountCatalog(root)
