@@ -285,6 +285,30 @@ class GraftBatchServingSpec extends SparkSpec {
     }
   }
 
+  test("GROUP BY the bucketed key aggregates with ZERO shuffles (keyed scan)") {
+    val root = Files.createTempDirectory("graft-serve-spja").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v DOUBLE) PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $g.t SELECT id % 50, id * 0.5 FROM range(0, 2000)")
+    val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val agg = spark.sql(s"SELECT k, sum(v) AS s FROM $g.t GROUP BY k")
+      val rows = agg.collect()
+      assert(rows.length == 50 &&
+        rows.map(_.getDouble(1)).sum == (0 until 2000).map(_ * 0.5).sum)
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate") && !plan.contains("Exchange"),
+        "grouping by the bucketed key must aggregate WITHOUT a shuffle " +
+          "(KeyGroupedPartitioning satisfies the aggregate's " +
+          "distribution):\n" + plan)
+      assert(plan.contains("ColumnarToRow"),
+        "keyed serving should be vectorized:\n" + plan)
+    } finally old.fold(
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+  }
+
   test("days()-partitioned tables storage-partition join shuffle-free too") {
     val root = Files.createTempDirectory("graft-serve-spjd").toString
     val g = mountCatalog(root)
