@@ -398,11 +398,24 @@ object CompactionRunner {
   private def schemaGroups(
       spark: SparkSession, paths: Seq[String])
       : Seq[(org.apache.spark.sql.types.StructType, Seq[String])] = {
-    val missing = paths.filterNot(pathSchemaDigest.containsKey)
+    // Group from a call-local map seeded from the cache: a scan that plans
+    // more paths than the LRU cap must not have its own early entries
+    // evicted before the groupBy (files would silently merge under a null
+    // digest and be read with the wrong pinned schema). The LRU is only a
+    // best-effort cross-call cache.
+    val local = new java.util.HashMap[String, String](paths.length * 2)
+    paths.foreach { p =>
+      val cached = pathSchemaDigest.get(p)
+      if (cached != null) local.put(p, cached)
+    }
+    val missing = paths.filterNot(local.containsKey)
     if (missing.nonEmpty) {
       if (missing.length <= 64) {
         val conf = spark.sessionState.newHadoopConf()
-        missing.foreach(p => pathSchemaDigest.put(p, footerDigest(p, conf)))
+        missing.foreach { p =>
+          val d = footerDigest(p, conf)
+          local.put(p, d); pathSchemaDigest.put(p, d)
+        }
       } else {
         val conf = new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf())
@@ -411,10 +424,10 @@ object CompactionRunner {
         spark.sparkContext.parallelize(missing, slices)
           .map(p => p -> footerDigest(p, conf.value))
           .collect() // one (path, digest) pair per file — metadata-sized
-          .foreach { case (p, d) => pathSchemaDigest.put(p, d) }
+          .foreach { case (p, d) => local.put(p, d); pathSchemaDigest.put(p, d) }
       }
     }
-    paths.groupBy(pathSchemaDigest.get).toSeq
+    paths.groupBy(local.get).toSeq
       .map { case (digest, ps) =>
         val sorted = ps.sorted
         val schema = digestSparkSchema.computeIfAbsent(digest,

@@ -2682,8 +2682,16 @@ final class GraftCatalog(root: String,
         s"(${names.mkString(", ")}); missing on: " +
         partial.map(_.path).take(3).mkString(", "))
     val written = added.map(a => names.map(a.partitionVals(_))).toSet
+    // Victims must match the CURRENT spec's transform|source binding per
+    // field, not just the field names/values: after spec evolution that
+    // keeps a name (bucket[4] -> bucket[8], same k_bucket), an old-spec
+    // file's tuple string can collide with a written tuple while holding
+    // rows of OTHER new-spec partitions — retiring it would lose data.
+    // Iceberg's ReplacePartitions is per-spec for the same reason.
+    val bindings = spec.map(f => f.name -> s"${f.transform}|${f.source}").toMap
     val victims = entries.filter(e => e.kind == "data" &&
       names.forall(e.partitionVals.contains) &&
+      names.forall(n => e.partitionTransforms.get(n).contains(bindings(n))) &&
       written.contains(names.map(e.partitionVals(_))))
     commitRewriteLocked(table, added, victims.map(_.path))
   }

@@ -106,28 +106,58 @@ final class GraftMicroBatchStream(
     if (fileBudget.isEmpty && rowBudget.isEmpty) return GraftStreamOffset(head)
     val ids = cat.snapshotIds(table).filter(id => id > s && id <= head)
     if (ids.isEmpty) return GraftStreamOffset(head)
-    /** The candidate's cumulative cost, priced by the REAL batch planner.
-      * Rows come from the end snapshot's entry list; a task whose file
-      * left that snapshot (or carries an unknown count) prices as
-      * over-budget — conservative, never a bigger batch than asked.
-      */
-    def withinBudget(e: Long): Boolean = {
-      val tasks = GraftStreamSource.deltaTasks(cat, table, s, e, skipRewrites)
-      fileBudget.forall(tasks.size <= _) && rowBudget.forall { rb =>
-        val counts = cat.loadEntriesAt(table, e)
+    val freshStart = s == 0L
+    val contiguous = ids.zip(ids.tail).forall { case (a, b) => b == a + 1 }
+    if (freshStart && !contiguous) {
+      // tag-island retention: deltaTasks' fresh-start fallback makes every
+      // candidate a FULL load at that snapshot — costs are not additive,
+      // so price each candidate directly (rare shape; backlog = retained
+      // islands, one manifest parse each)
+      def withinBudget(e: Long): Boolean = {
+        val tasks = GraftStreamSource.deltaTasks(cat, table, s, e, skipRewrites)
+        fileBudget.forall(tasks.size <= _) && rowBudget.forall { rb =>
+          val counts = cat.loadEntriesAt(table, e)
+            .collect { case en if en.kind == "data" => en.path -> en.recordCount }
+            .toMap
+          val rows = tasks.map(t => counts.getOrElse(t.path, -1L))
+          rows.forall(_ >= 0L) && rows.sum <= rb
+        }
+      }
+      var end = ids.head // at least one snapshot — progress guarantee
+      var rest = ids.tail
+      while (rest.nonEmpty && withinBudget(rest.head)) {
+        end = rest.head
+        rest = rest.tail
+      }
+      return GraftStreamOffset(end)
+    }
+    // Contiguous walk: per-snapshot deltas are additive (deltaTasks over
+    // (a, b] is the union of the per-snapshot appends), so accumulate the
+    // cumulative cost incrementally — O(backlog) manifest parses per
+    // trigger, not O(backlog^2) for a catching-up stream. Rows priced from
+    // each segment's OWN snapshot entries (a file appended at `id` always
+    // has its count there); unknown counts price as over-budget.
+    var end = ids.head
+    var segStart = s
+    var cumFiles = 0
+    var cumRows = 0L
+    var rowsKnown = true
+    var admitted = 0
+    var stop = false
+    for (id <- ids if !stop) {
+      val tasks = GraftStreamSource.deltaTasks(cat, table, segStart, id, skipRewrites)
+      cumFiles += tasks.size
+      if (rowBudget.nonEmpty && tasks.nonEmpty && rowsKnown) {
+        val counts = cat.loadEntriesAt(table, id)
           .collect { case en if en.kind == "data" => en.path -> en.recordCount }
           .toMap
         val rows = tasks.map(t => counts.getOrElse(t.path, -1L))
-        rows.forall(_ >= 0L) && rows.sum <= rb
+        if (rows.exists(_ < 0L)) rowsKnown = false else cumRows += rows.sum
       }
-    }
-    var end = ids.head // at least one snapshot — progress guarantee
-    var rest = ids.tail
-    // cumulative costs are monotone in the end id, so extend until the
-    // first candidate that would blow a budget
-    while (rest.nonEmpty && withinBudget(rest.head)) {
-      end = rest.head
-      rest = rest.tail
+      val fits = fileBudget.forall(cumFiles <= _) &&
+        rowBudget.forall(rb => rowsKnown && cumRows <= rb)
+      if (admitted == 0 || fits) { end = id; admitted += 1; segStart = id }
+      if (!fits) stop = true
     }
     GraftStreamOffset(end)
   }

@@ -144,9 +144,19 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
         if Option(e.getMessage).exists(_.contains("already exists")) =>
       throw new TableAlreadyExistsException(ident)
     }
-    if (spec.nonEmpty) cat.setPartitionSpec(t, spec)
-    val user = properties.asScala.toMap -- GraftSparkCatalog.ReservedProps
-    if (user.nonEmpty) cat.updateTableProperties(t, user)
+    // CREATE must be all-or-nothing: a failure applying the spec or
+    // properties after the table committed would otherwise leave a
+    // created-but-unpartitioned table behind, and later INSERTs would
+    // silently write unpartitioned data instead of failing
+    try {
+      if (spec.nonEmpty) cat.setPartitionSpec(t, spec)
+      val user = properties.asScala.toMap -- GraftSparkCatalog.ReservedProps
+      if (user.nonEmpty) cat.updateTableProperties(t, user)
+    } catch { case e: Throwable =>
+      try cat.dropTable(t)
+      catch { case cleanup: Throwable => e.addSuppressed(cleanup) }
+      throw e
+    }
     new GraftV2Table(root, t, asOf = None)
   }
 

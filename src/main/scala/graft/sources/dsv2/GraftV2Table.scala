@@ -153,7 +153,13 @@ final class GraftV2Table(
         // FunctionCatalog) to bound the fanout to ~1 file per task (see
         // GraftOrderedWrite.requiredDistribution); transforms over
         // columns the write doesn't carry can't cluster
-        clusterExprs = partitioning().toSeq.filter(_.references()
+        // `void` (and any transform GraftV2Functions can't resolve) must
+        // not reach the clustered distribution: DistributionAndOrderingUtils
+        // would fail analysis with NoSuchFunctionException, and void maps
+        // every row to one partition so it contributes nothing to clustering
+        clusterExprs = partitioning().toSeq
+          .filter(t => GraftV2Table.ClusterableTransforms.contains(t.name()))
+          .filter(_.references()
           .forall(_.fieldNames().forall(info.schema().fieldNames.contains))))
     }
   }
@@ -1072,6 +1078,13 @@ private[dsv2] object GraftInnerFrame {
 }
 
 private[dsv2] object GraftV2Table {
+
+  /** Transform names resolvable through [[GraftV2Functions]] (plus
+    * Spark-native `identity`) — the only ones a clustered write
+    * distribution can reference without failing analysis.
+    */
+  private[dsv2] val ClusterableTransforms: Set[String] =
+    Set("identity", "bucket", "truncate", "years", "months", "days", "hours")
 
   /** Recognize a DELETE condition that is PURE key equality and render it
     * as literal key rows for the eq-delete fast path:

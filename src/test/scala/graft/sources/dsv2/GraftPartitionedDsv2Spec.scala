@@ -182,6 +182,77 @@ class GraftPartitionedDsv2Spec extends SparkSpec {
     }
   }
 
+  test("dynamic overwrite after spec evolution never retires old-binding files") {
+    val root = Files.createTempDirectory("graft-dsv2-dynover-evo").toString
+    withCatalogSession(root) { (g, s) =>
+      s.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING) PARTITIONED BY (bucket(4, k))")
+      s.sql(s"INSERT INTO $g.t SELECT id, concat('old', id) FROM range(0, 200)")
+      val cat = new GraftCatalog(root)
+      val oldFiles = cat.loadEntries("t").filter(_.kind == "data").map(_.path).toSet
+      assert(oldFiles.nonEmpty)
+      // evolve the spec keeping the field NAME: bucket[4] -> bucket[8].
+      // Old files' tuple strings (0..3) collide with new-spec tuples, but
+      // they hold rows of OTHER new-spec partitions — they must survive a
+      // dynamic overwrite (Iceberg's per-spec ReplacePartitions semantics).
+      cat.setPartitionSpec("t",
+        Seq(GraftCatalog.PartitionFieldDef("k_bucket", "bucket[8]", "k")))
+      val old = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT INTO $g.t SELECT id, concat('new', id) FROM range(1000, 1200)")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+      // (plain INSERT above primes new-binding files; now the overwrite)
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $g.t SELECT id, concat('ow', id) FROM range(2000, 2200)")
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+      val after = cat.loadEntries("t").filter(_.kind == "data")
+      assert(oldFiles.subsetOf(after.map(_.path).toSet),
+        "old-spec-binding files must survive a dynamic overwrite whose " +
+          "written tuple strings collide with theirs")
+      // new-binding files written pre-overwrite with colliding tuples ARE
+      // retired: every surviving new-binding row is from the overwrite
+      val rows = s.sql(s"SELECT v FROM $g.t").collect().map(_.getString(0))
+      assert(rows.count(_.startsWith("old")) == 200)
+      assert(rows.count(_.startsWith("ow")) == 200)
+      assert(!rows.exists(_.startsWith("new")),
+        "same-binding colliding tuples must still be replaced")
+    }
+  }
+
+  test("PARTITIONED BY void: INSERT clusters without resolving 'void', reads work") {
+    val root = Files.createTempDirectory("graft-dsv2-void").toString
+    withCatalogSession(root) { (g, s) =>
+      s.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING) PARTITIONED BY (void(k))")
+      val cat = new GraftCatalog(root)
+      assert(cat.partitionSpec("t") ==
+        Seq(GraftCatalog.PartitionFieldDef("k_void", "void", "k")))
+      // the regression: clusterExprs used to surface an unresolvable
+      // 'void' function and every INSERT failed analysis
+      s.sql(s"INSERT INTO $g.t VALUES (1, 'a'), (2, 'b')")
+      assert(s.sql(s"SELECT k FROM $g.t ORDER BY k").collect()
+        .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+      val data = cat.loadEntries("t").filter(_.kind == "data")
+      assert(data.nonEmpty && data.forall(_.partitionVals("k_void") == null),
+        "void maps every row to the null partition")
+    }
+  }
+
+  test("CREATE rolls back the table when applying the spec fails") {
+    val root = Files.createTempDirectory("graft-dsv2-create-atomic").toString
+    withCatalogSession(root) { (g, s) =>
+      // distinct source columns whose DERIVED field names collide
+      // (identity(k_bucket) and bucket(4, k) both name 'k_bucket'): passes
+      // Spark's duplicate-column check and toPartitionFields, fails
+      // setPartitionSpec's duplicate-name check AFTER the table commits —
+      // the catch must drop the half-created table
+      val e = intercept[Exception](s.sql(
+        s"CREATE TABLE $g.bad2 (k BIGINT, k_bucket INT) " +
+          "PARTITIONED BY (k_bucket, bucket(4, k))"))
+      assert(e.getMessage.contains("duplicate partition field names"), e.getMessage)
+      assert(!new GraftCatalog(root).tables().contains("bad2"),
+        "a CREATE whose spec failed to apply must leave no table behind")
+    }
+  }
+
   test("unsupported transform shapes fail at CREATE, leaving nothing behind") {
     val root = Files.createTempDirectory("graft-dsv2-part3").toString
     withCatalogSession(root) { (g, s) =>
