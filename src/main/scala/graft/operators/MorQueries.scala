@@ -910,7 +910,168 @@ object MorQueries {
          |FROM $g.s.partitions""".stripMargin)
   }
 
+  /** Q154: storage-partitioned join WITH PENDING MoR DELETES — the q151
+    * shape on a production-looking table: one side carries a pending
+    * position-delete (rows gone, files untouched). Deletes are row-local
+    * to their tuples, so the co-partitioning claim survives and the join
+    * still plans with ZERO shuffle (asserted in-gate) while the rows
+    * hash-match the post-delete oracle. Iceberg's SPJ posture exactly; at
+    * 100 TB the fact-fact join keeps its best plan even mid-compaction.
+    */
+  private def q154(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q154").toString
+    val g = s"g154_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.li
+         |(l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT, l_quantity DOUBLE)
+         |PARTITIONED BY (bucket(4, l_suppkey))
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $g.s (s_suppkey BIGINT, s_name STRING)
+         |PARTITIONED BY (bucket(4, s_suppkey))""".stripMargin)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("q154_li")
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q154_s")
+    spark.sql(
+      s"""INSERT INTO $g.li
+         |SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+         |FROM q154_li WHERE l_orderkey <= 6000""".stripMargin)
+    spark.sql(
+      s"INSERT INTO $g.s SELECT s_suppkey, s_name FROM q154_s")
+    // untranslatable predicate -> merge-on-read WriteDelta: a pending
+    // position delete, originals untouched
+    spark.sql(s"DELETE FROM $g.li WHERE l_orderkey % 7 = 3")
+    val cat = new graft.sources.GraftCatalog(root)
+    require(cat.loadEntries("li").exists(_.kind == "posdel"),
+      "the q154 fixture must leave a pending position delete")
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"""SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
+           |       l.l_quantity
+           |FROM $g.li l JOIN $g.s s ON l.l_suppkey = s.s_suppkey""".stripMargin)
+      val plan = joined.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning"),
+        s"a pending MoR delete must not cost the join its storage " +
+          s"partitioning:\n$plan")
+      val n = joined.count()
+      require(n > 0, "q154 join returned no rows")
+      joined
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  /** Q155: partition-spec evolution IN SQL — `ALTER TABLE … REPLACE
+    * PARTITION FIELD bucket(4,k) WITH bucket(8,k)` (the Iceberg DDL,
+    * parsed by [[graft.plans.GraftSqlParser]]). Writes land under each
+    * era's spec; the in-gate requires prove (a) both binding generations
+    * coexist in the snapshot and (b) a point lookup prunes through BOTH —
+    * old files via their recorded bucket[4] binding, new via bucket[8].
+    * The oracle is the full content: evolution loses nothing.
+    */
+  private def q155(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q155").toString
+    val g = s"g155_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.s (s_suppkey BIGINT, s_name STRING, s_acctbal DOUBLE)
+         |PARTITIONED BY (bucket(4, s_suppkey))""".stripMargin)
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q155_src")
+    spark.sql(
+      s"""INSERT INTO $g.s SELECT s_suppkey, s_name, s_acctbal
+         |FROM q155_src WHERE s_suppkey % 2 = 0""".stripMargin)
+    spark.sql(
+      s"ALTER TABLE $g.s REPLACE PARTITION FIELD bucket(4, s_suppkey) " +
+        "WITH bucket(8, s_suppkey)")
+    val cat = new graft.sources.GraftCatalog(root)
+    require(cat.partitionSpec("s") == Seq(graft.sources.GraftCatalog
+        .PartitionFieldDef("s_suppkey_bucket", "bucket[8]", "s_suppkey")),
+      s"SQL evolution must land the new spec, got ${cat.partitionSpec("s")}")
+    spark.sql(
+      s"""INSERT INTO $g.s SELECT s_suppkey, s_name, s_acctbal
+         |FROM q155_src WHERE s_suppkey % 2 = 1""".stripMargin)
+    val data = cat.loadEntries("s").filter(_.kind == "data")
+    val oldGen = data.filter(_.partitionTransforms.get("s_suppkey_bucket")
+      .contains("bucket[4]|s_suppkey"))
+    val newGen = data.filter(_.partitionTransforms.get("s_suppkey_bucket")
+      .contains("bucket[8]|s_suppkey"))
+    require(oldGen.nonEmpty && newGen.nonEmpty,
+      "both spec generations must coexist after the evolution")
+    val key = 42L // even -> lives in the old generation
+    val b4 = graft.functions.IcebergMurmur3.bucketLong(key, 4)
+    val b8 = graft.functions.IcebergMurmur3.bucketLong(key, 8)
+    val expect = oldGen.count(_.partitionVals("s_suppkey_bucket").toInt == b4) +
+      newGen.count(_.partitionVals("s_suppkey_bucket").toInt == b8)
+    require(expect < data.size, "the q155 fixture must actually prune")
+    val pruned = cat.scanTableWhere(spark, "s", "s_suppkey",
+      key.toDouble, key.toDouble)
+    require(pruned.inputFiles.length == expect,
+      s"point lookup must prune through BOTH spec generations " +
+        s"($expect files), opened ${pruned.inputFiles.length} of ${data.size}")
+    spark.sql(s"SELECT s_suppkey, s_name, s_acctbal FROM $g.s")
+  }
+
+  /** Q156: the NEGATIVE twin of q149 — the same COUNT/MIN/MAX on a table
+    * with a PENDING eq-delete must REFUSE the manifest answer (no
+    * LocalTableScan, asserted in-gate: a deleted row may carry the
+    * recorded extreme, and the committed counts overcount) yet still
+    * hash-match the post-delete oracle through the real MoR scan. Pins
+    * the `computeMetadataAnswer` delete guards against refactors that
+    * would silently serve stale counts.
+    */
+  private def q156(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q156").toString
+    val g = s"g156_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"CREATE TABLE $g.s (s_suppkey BIGINT, s_nationkey INT, s_acctbal DOUBLE)")
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q156_src")
+    spark.sql(
+      s"INSERT INTO $g.s SELECT s_suppkey, s_nationkey, s_acctbal FROM q156_src")
+    val cat = new graft.sources.GraftCatalog(root)
+    cat.compactTable(spark, "s", s"$root/staged",
+      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 4,
+        clusterBy = Seq("s_suppkey"), statsCols = Seq("s_suppkey")))
+    // sanity: WITHOUT deletes this exact query IS manifest-answered
+    val before = spark.sql(s"SELECT CAST(count(*) AS BIGINT) AS n FROM $g.s")
+    require(before.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "q156 precondition: the delete-free count must be manifest-answered")
+    // key-equality DELETE -> pending eq-delete file, zero data files read;
+    // key 1 is the recorded MIN, so a stale manifest answer would be wrong
+    spark.sql(s"DELETE FROM $g.s WHERE s_suppkey IN (1, 17)")
+    require(cat.loadEntries("s").exists(_.kind == "eqdel"),
+      "the q156 fixture must leave a pending equality delete")
+    val df = spark.sql(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |       min(s_suppkey) AS mn, max(s_suppkey) AS mx
+         |FROM $g.s""".stripMargin)
+    require(!df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "pending deletes must REFUSE the manifest aggregate answer, got:\n" +
+        df.queryExecution.executedPlan)
+    df
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_spj_deletes" -> (q154 _),
+    "q155_partition_evolution" -> (q155 _),
+    "q156_metadata_agg_refusal" -> (q156 _),
     "q153_meta_tables" -> (q153 _),
     "q152_group_agg" -> (q152 _),
     "q151_spj" -> (q151 _),
@@ -968,6 +1129,17 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q154_spj_deletes" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
+        |       l.l_quantity
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE l.l_orderkey <= 6000 AND l.l_orderkey % 7 <> 3""".stripMargin,
+    "q155_partition_evolution" ->
+      "SELECT s_suppkey, s_name, s_acctbal FROM supplier",
+    "q156_metadata_agg_refusal" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |       min(s_suppkey) AS mn, max(s_suppkey) AS mx
+        |FROM supplier WHERE s_suppkey NOT IN (1, 17)""".stripMargin,
     "q153_meta_tables" ->
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n
         |FROM supplier GROUP BY s_nationkey""".stripMargin,

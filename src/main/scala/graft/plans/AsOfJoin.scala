@@ -194,6 +194,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectPlannerStrategy(_ => MaintenanceStrategy)
+    // Iceberg's ALTER TABLE ... ADD/DROP/REPLACE PARTITION FIELD spelling
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
     ext.injectResolutionRule(spark => new GraftSqlDml(spark))
     // hint batch = BEFORE the resolver that rejects v1 time travel
     ext.injectHintResolutionRule(spark => new GraftSqlTimeTravel(spark))

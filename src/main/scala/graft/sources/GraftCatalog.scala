@@ -632,6 +632,15 @@ final class GraftCatalog(root: String,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Drop the table's partition spec entirely (evolving to unpartitioned
+    * — the DROP of the last partition field). Existing files keep their
+    * recorded tuples and stay prunable; subsequent writes land
+    * unpartitioned.
+    */
+  def clearPartitionSpec(table: String): Unit = withTableLock(table) {
+    Files.deleteIfExists(pspecPath(table))
+  }
+
   def partitionSpec(table: String): Seq[GraftCatalog.PartitionFieldDef] = {
     val p = pspecPath(table)
     if (!Files.exists(p)) Nil

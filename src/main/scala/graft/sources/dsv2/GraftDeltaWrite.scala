@@ -93,8 +93,12 @@ final class GraftDeltaBatchWrite(
     val writeSchema = cat.currentSchema(table)
       .fold(dataSchema)(graft.sources.FieldIds.adoptCanonicalIds(dataSchema, _))
     val spec = cat.partitionSpec(table)
+    // a pure-DELETE delta carries NO data columns (only row ids for the
+    // position-delete half) — nothing to fan out, so don't bind a layout
+    // that would fail resolving the spec sources against an empty schema
     val layout =
-      if (spec.isEmpty) None
+      if (spec.isEmpty ||
+          !spec.forall(f => writeSchema.fieldNames.contains(f.source))) None
       else Some(PartitionLayout.bind(spark, writeSchema, spec))
     val conf = ParquetWriteBridge.hadoopConfOf(spark)
     val (dataFactory, dataConf) =

@@ -43,6 +43,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   private[dsv2] def cat = new GraftCatalog(root)
 
+  /** The configured catalog root — the partition-evolution DDL
+    * ([[graft.plans.GraftSqlParser]]) resolves its target table's
+    * library catalog through this.
+    */
+  private[graft] def catalogRoot: String = root
+
+  /** Spark name parts (after the catalog name) → library table name,
+    * the same mapping [[toName]] applies to resolved identifiers.
+    */
+  private[graft] def tableNameOf(parts: Seq[String]): String =
+    toName(Identifier.of(parts.init.toArray, parts.last))
+
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     root = options.get("root")
@@ -452,32 +464,42 @@ object GraftSparkCatalog {
       require(schema.fieldNames.contains(src),
         s"partition source column '$src' is not in the table schema " +
           s"(${schema.fieldNames.mkString(", ")})")
-      def intArg: Int = t.arguments().collectFirst {
+      val intArg: Option[Int] = t.arguments().collectFirst {
         case l: V2Literal[_] if l.value().isInstanceOf[Number] =>
           l.value().asInstanceOf[Number].intValue()
-      }.getOrElse(throw new IllegalArgumentException(
-        s"partition transform ${t.describe()} needs an integer argument"))
-      t.name() match {
-        case "identity" => GraftCatalog.PartitionFieldDef(src, "identity", src)
-        case "years" | "year" =>
-          GraftCatalog.PartitionFieldDef(s"${src}_year", "year", src)
-        case "months" | "month" =>
-          GraftCatalog.PartitionFieldDef(s"${src}_month", "month", src)
-        case "days" | "day" =>
-          GraftCatalog.PartitionFieldDef(s"${src}_day", "day", src)
-        case "hours" | "hour" =>
-          GraftCatalog.PartitionFieldDef(s"${src}_hour", "hour", src)
-        case "bucket" =>
-          GraftCatalog.PartitionFieldDef(s"${src}_bucket", s"bucket[$intArg]", src)
-        case "truncate" =>
-          GraftCatalog.PartitionFieldDef(s"${src}_trunc", s"truncate[$intArg]", src)
-        case "void" =>
-          GraftCatalog.PartitionFieldDef(s"${src}_void", "void", src)
-        case other => throw new UnsupportedOperationException(
-          s"unsupported partition transform '$other' for graft " +
-            "(supported: identity, years, months, days, hours, " +
-            "bucket(n, col), truncate(w, col), void)")
       }
+      partitionFieldOf(t.name(), intArg, src)
+    }
+  }
+
+  /** One transform spelling → its catalog `PartitionFieldDef`, shared by
+    * CREATE-time `PARTITIONED BY` and the partition-evolution DDL
+    * ([[graft.plans.GraftSqlParser]]) so both derive the SAME field names.
+    */
+  private[graft] def partitionFieldOf(
+      fn: String, arg: Option[Int], src: String): GraftCatalog.PartitionFieldDef = {
+    def need: Int = arg.getOrElse(throw new IllegalArgumentException(
+      s"partition transform $fn needs an integer argument"))
+    fn.toLowerCase match {
+      case "identity" => GraftCatalog.PartitionFieldDef(src, "identity", src)
+      case "years" | "year" =>
+        GraftCatalog.PartitionFieldDef(s"${src}_year", "year", src)
+      case "months" | "month" =>
+        GraftCatalog.PartitionFieldDef(s"${src}_month", "month", src)
+      case "days" | "day" =>
+        GraftCatalog.PartitionFieldDef(s"${src}_day", "day", src)
+      case "hours" | "hour" =>
+        GraftCatalog.PartitionFieldDef(s"${src}_hour", "hour", src)
+      case "bucket" =>
+        GraftCatalog.PartitionFieldDef(s"${src}_bucket", s"bucket[$need]", src)
+      case "truncate" =>
+        GraftCatalog.PartitionFieldDef(s"${src}_trunc", s"truncate[$need]", src)
+      case "void" =>
+        GraftCatalog.PartitionFieldDef(s"${src}_void", "void", src)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other' for graft " +
+          "(supported: identity, years, months, days, hours, " +
+          "bucket(n, col), truncate(w, col), void)")
     }
   }
 }

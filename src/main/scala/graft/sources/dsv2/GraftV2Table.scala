@@ -534,23 +534,32 @@ class GraftV1Scan(
   override def readSchema(): StructType = required
 
   /** STORAGE-PARTITIONED-JOIN layout: when every data file of a
-    * partitioned table carries a full tuple under the CURRENT spec (and
-    * no delete is pending — a delete could suppress rows asymmetrically
-    * across a claimed co-partitioning), report
-    * `KeyGroupedPartitioning(transforms, distinct tuples)` and serve one
-    * keyed partition group per tuple — two graft tables bucketed the same
-    * way then JOIN WITH NO SHUFFLE (Spark's V2 bucketing, the transforms
-    * resolving through [[GraftV2Functions]]). Anything unprovable reports
-    * unknown and plans exactly as before.
+    * partitioned table carries a full tuple under the CURRENT spec,
+    * report `KeyGroupedPartitioning(transforms, distinct tuples)` and
+    * serve one keyed partition group per tuple — two graft tables
+    * bucketed the same way then JOIN WITH NO SHUFFLE (Spark's V2
+    * bucketing, the transforms resolving through [[GraftV2Functions]]).
+    * PENDING DELETES don't break the claim: pos/eq deletes are row-local
+    * (they only REMOVE rows from their tuples, never move them), so the
+    * MoR anti joins apply inside each keyed group — Iceberg's SPJ keeps
+    * working with deletes for the same reason. Time-travel reads keep the
+    * layout too: historical entries carry their own tuple bindings, and
+    * any entry recorded under a different spec binding refuses the
+    * layout. Anything unprovable reports unknown and plans as before.
     */
   private lazy val keyedLayout: Option[GraftKeyedLayout] =
-    // gated on the engine's OWN storage-partitioned-join switch: keyed
-    // serving plans one frame per tuple, a price only worth paying when
-    // the join planner can use the keys (Iceberg's posture exactly)
-    if (asOf.isDefined || host.isDefined ||
+    // gated on the engine's OWN storage-partitioned-join switch
+    // (Iceberg's posture exactly). ROW-ID scans (_file/_pos required —
+    // the row-level DML shape) never serve keyed: the WriteDelta above
+    // them gains nothing from a claimed clustering, and the row-id read
+    // path plans one whole-table frame (frames' needsRowId branch), so a
+    // per-tuple regroup would re-serve that frame once per tuple —
+    // measured as N× duplicated UPDATE rows on an N-tuple table.
+    if (host.isDefined ||
+        required.fieldNames.exists(n => n == "_file" || n == "_pos") ||
         !SparkSession.active.conf.get(
           "spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
-    else GraftKeyedLayout.of(root, table)
+    else GraftKeyedLayout.of(root, table, asOf)
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -649,32 +658,44 @@ class GraftV1Scan(
   override def toBatch: org.apache.spark.sql.connector.read.Batch =
     keyedLayout match {
       case Some(kl) =>
-        // keyed serving: one frame per partition tuple, every partition
-        // tagged with its key so the engine can group and co-locate.
-        // Runtime filters are NOT applied here — dropping a tuple would
-        // desync the reported numPartitions from the planned keys.
-        // A keyed layout is PROVABLY delete-free, so the tuple frames are
-        // bare scans — serve them columnar when every one peels (same
-        // all-or-nothing rule), keyed rows otherwise.
+        // keyed serving: ONE planned frame for the whole snapshot, its
+        // file partitions regrouped tuple-pure and each tagged with its
+        // key — O(files) planning however many tuples the spec has.
+        // Runtime filters prune files INSIDE the regroup (tuple groups
+        // survive, possibly empty), so a DPP-filtered keyed scan reads
+        // only the matching buckets without desyncing the key count.
         new GraftRddBatch(() => {
-          val perTuple = kl.tuples.map { case (key, files) =>
-            (key, GraftInnerFrame.frames(
-              SparkSession.active, root, table, asOf, required, filters,
-              keepPaths = Some(files)))
-          }
-          val columnar = perTuple.map { case (key, fs) =>
-            val cols = fs.map(f => org.apache.spark.sql.graftbridge
-              .DatasetBridge.columnarRddNoAqe(f, peelFilters = true))
-            if (fs.nonEmpty && cols.forall(_.isDefined))
-              Some(cols.flatten.map(GraftKeyedColumnarGroup(key, _)
-                : GraftServedGroup))
-            else None
-          }
-          if (columnar.forall(_.isDefined)) columnar.flatten.flatten
-          else perTuple.flatMap { case (key, fs) =>
-            GraftInnerFrame.servableRdds(fs)
-              .map(rdd => GraftRowGroup(key, rdd): GraftServedGroup)
-          }
+          val spark = SparkSession.active
+          GraftKeyedServing.groups(
+              spark, root, table, asOf, required, filters, kl, runtimeKeep)
+            .map { gs => GraftKeyedServing.onePlanServed.incrementAndGet(); gs }
+            .getOrElse {
+              GraftKeyedServing.fallbackServed.incrementAndGet()
+              // fallback when the shared plan refuses the regroup (chain
+              // not foreign-split-safe, e.g. sort-merge-sized delete
+              // sets): one frame per tuple — correct at any count,
+              // O(tuples) planning. Serve columnar when every tuple frame
+              // peels to a bare scan (all-or-nothing rule), keyed rows
+              // otherwise.
+              val perTuple = kl.tuples.map { case (key, files) =>
+                (key, GraftInnerFrame.frames(
+                  spark, root, table, asOf, required, filters,
+                  keepPaths = Some(files)))
+              }
+              val columnar = perTuple.map { case (key, fs) =>
+                val cols = fs.map(f => org.apache.spark.sql.graftbridge
+                  .DatasetBridge.columnarRddNoAqe(f, peelFilters = true))
+                if (fs.nonEmpty && cols.forall(_.isDefined))
+                  Some(cols.flatten.map(GraftKeyedColumnarGroup(key, _)
+                    : GraftServedGroup))
+                else None
+              }
+              if (columnar.forall(_.isDefined)) columnar.flatten.flatten
+              else perTuple.flatMap { case (key, fs) =>
+                GraftInnerFrame.servableRdds(fs)
+                  .map(rdd => GraftRowGroup(key, rdd): GraftServedGroup)
+              }
+            }
         }, token = () => "keyed")
       case None =>
         new GraftRddBatch(() => {
@@ -769,6 +790,14 @@ final class GraftRddBatch(
         rdd.partitions.map(p =>
           new GraftKeyedColumnarRddInputPartition(rdd, p, key)
             : org.apache.spark.sql.connector.read.InputPartition)
+      case GraftKeyedSlices(key, rdd, parts) =>
+        parts.map(p =>
+          new GraftKeyedRddInputPartition(rdd, p, key)
+            : org.apache.spark.sql.connector.read.InputPartition)
+      case GraftKeyedColumnarSlices(key, rdd, parts) =>
+        parts.map(p =>
+          new GraftKeyedColumnarRddInputPartition(rdd, p, key)
+            : org.apache.spark.sql.connector.read.InputPartition)
     }.toArray
 
   override def createReaderFactory()
@@ -790,6 +819,21 @@ private[dsv2] final case class GraftColumnarGroup(
 private[dsv2] final case class GraftKeyedColumnarGroup(
     key: org.apache.spark.sql.catalyst.InternalRow,
     rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch])
+    extends GraftServedGroup
+
+/** One tuple's SLICE of a single shared plan — the one-plan keyed serving
+  * shape: `parts` are tuple-pure `FilePartition`s regrouped from the ONE
+  * planned scan's file set, served as foreign splits of that scan's rdd.
+  */
+private[dsv2] final case class GraftKeyedSlices(
+    key: org.apache.spark.sql.catalyst.InternalRow,
+    rdd: RDD[org.apache.spark.sql.catalyst.InternalRow],
+    parts: Seq[org.apache.spark.Partition])
+    extends GraftServedGroup
+private[dsv2] final case class GraftKeyedColumnarSlices(
+    key: org.apache.spark.sql.catalyst.InternalRow,
+    rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch],
+    parts: Seq[org.apache.spark.Partition])
     extends GraftServedGroup
 
 /** An input partition serving the scan's own `ColumnarBatch`es — the
@@ -969,7 +1013,15 @@ private[dsv2] object GraftInnerFrame {
         }
       }
     val bases: Seq[DataFrame] =
-      if (needsRowId) Seq(cat.scanTableWithRowId(spark, table, asOf))
+      if (needsRowId) {
+        // the row-id scan plans the WHOLE table (one frame); a keepPaths
+        // restriction must still hold — filter on the fabricated file
+        // path so a caller regrouping by file set never sees rows from
+        // outside its group (served N× otherwise)
+        val full = cat.scanTableWithRowId(spark, table, asOf)
+        Seq(keepPaths.fold(full)(kp =>
+          full.filter(col("_file").isInCollection(kp))))
+      }
       else prunedScan.map(Seq(_))
         .getOrElse(cat.scanTableFrames(spark, table, asOf,
           // runtime (DPP) file pruning — an unrestricted membership test
@@ -1077,6 +1129,106 @@ private[dsv2] object GraftInnerFrame {
   }
 }
 
+/** ONE-PLAN keyed (storage-partitioned) serving: plan the snapshot's
+  * files ONCE (per schema group — usually one Catalyst pass total),
+  * regroup the planned scan's `PartitionedFile`s by recorded partition
+  * tuple, and serve each tuple's files as foreign splits of the shared
+  * plan's rdd — planning cost O(files), not O(tuples × Catalyst). The
+  * reference serves one stream per task group from one planned scan the
+  * same way (`iceberg_file_task_scan.rs:196-213`). Returns None when a
+  * frame's chain refuses the foreign-split validation ([[
+  * org.apache.spark.sql.graftbridge.DatasetBridge.columnarFileScan]]) or
+  * a planned file maps to no layout tuple; the caller then falls back to
+  * per-tuple frames.
+  */
+private[dsv2] object GraftKeyedServing {
+
+  /** Diagnostics for tests/scaling probes: keyed reads served through the
+    * one-plan regroup vs the per-tuple fallback.
+    */
+  val onePlanServed = new java.util.concurrent.atomic.AtomicLong
+  val fallbackServed = new java.util.concurrent.atomic.AtomicLong
+
+  def groups(
+      spark: SparkSession,
+      root: String,
+      table: String,
+      asOf: Option[Long],
+      required: StructType,
+      filters: Array[Filter],
+      kl: GraftKeyedLayout,
+      runtimeKeep: Option[Set[String]] = None): Option[Seq[GraftServedGroup]] = {
+    import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    val pathTuple: Map[String, Int] = kl.tuples.zipWithIndex.iterator.flatMap {
+      case ((_, files), i) => files.iterator.map(_ -> i)
+    }.toMap
+    // keepPaths pins the read to the layout's snapshot AND disables the
+    // pruned-scan shortcut (pruning here would desync the key count)
+    val fs = GraftInnerFrame.frames(spark, root, table, asOf, required,
+      filters, keepPaths = Some(pathTuple.keySet))
+    if (fs.isEmpty) return None
+
+    /** The frame's planned FilePartitions regrouped tuple-pure. A tuple
+      * the frame planned no files for still serves one EMPTY partition so
+      * the engine sees every reported key (an empty `FilePartition`
+      * computes an empty iterator). None when a planned file is not in
+      * the layout (snapshot advanced between layout and plan).
+      */
+    def regroup(parts: Seq[FilePartition])
+        : Option[IndexedSeq[Seq[org.apache.spark.Partition]]] = {
+      val buckets = Array.fill(kl.tuples.size)(
+        scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
+      parts.iterator.flatMap(_.files.iterator).foreach { pf =>
+        val canon = graft.sources.CompactionRunner.canonPath(pf.filePath.toString)
+        pathTuple.get(canon) match {
+          // runtime (DPP) file pruning applies INSIDE the regroup: a
+          // pruned file is skipped but its tuple's group survives (empty
+          // groups serve an empty FilePartition), so the reported key
+          // count never desyncs from the planned partitions
+          case Some(i) => if (runtimeKeep.forall(_.contains(canon))) buckets(i) += pf
+          case None => return None
+        }
+      }
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      Some(buckets.iterator.map { b =>
+        if (b.isEmpty)
+          Seq(FilePartition(0, Array.empty): org.apache.spark.Partition)
+        else FilePartition.getFilePartitions(spark, b.toSeq, maxSplit)
+          .map(p => p: org.apache.spark.Partition)
+      }.toIndexedSeq)
+    }
+
+    def serve[R](
+        plans: Seq[(R, Seq[FilePartition])],
+        mk: (org.apache.spark.sql.catalyst.InternalRow, R,
+          Seq[org.apache.spark.Partition]) => GraftServedGroup)
+        : Option[Seq[GraftServedGroup]] = {
+      val perFrame = plans.map { case (rdd, parts) =>
+        regroup(parts).map(_.zipWithIndex.map {
+          case (ps, i) => mk(kl.tuples(i)._1, rdd, ps)
+        })
+      }
+      if (perFrame.forall(_.isDefined)) Some(perFrame.flatten.flatten)
+      else None
+    }
+
+    val bridge = org.apache.spark.sql.graftbridge.DatasetBridge
+    // all-or-nothing columnar: BatchScanExec forbids mixing row and
+    // columnar partitions in one scan
+    val colPlans = fs.map(f => bridge.columnarFileScan(f, peelFilters = true))
+    if (colPlans.forall(_.isDefined))
+      serve(colPlans.flatten, (k, rdd: RDD[org.apache.spark.sql.vectorized.ColumnarBatch],
+        ps) => GraftKeyedColumnarSlices(k, rdd, ps))
+    else {
+      val rowPlans = fs.map(f => bridge.rowFileScan(f))
+      if (rowPlans.forall(_.isDefined))
+        serve(rowPlans.flatten, (k, rdd: RDD[org.apache.spark.sql.catalyst.InternalRow],
+          ps) => GraftKeyedSlices(k, rdd, ps))
+      else None
+    }
+  }
+}
+
 private[dsv2] object GraftV2Table {
 
   /** Transform names resolvable through [[GraftV2Functions]] (plus
@@ -1157,26 +1309,40 @@ private[dsv2] final case class GraftKeyedLayout(
 
 private[dsv2] object GraftKeyedLayout {
 
-  /** Cap on distinct tuples served as keyed partitions — past this,
-    * per-tuple frame planning costs more than the avoided shuffle.
+  /** Cap on distinct tuples served as keyed partitions. One-plan serving
+    * ([[GraftKeyedServing]]) plans O(files) regardless of tuple count, so
+    * the bound exists only to keep the layout's driver-side tuple table
+    * and the per-tuple FALLBACK path (taken when a plan refuses the
+    * foreign-split regroup) within reason — wide production specs
+    * (bucket(256)+, daily×bucket composites) all fit.
     */
-  private val MaxTuples = 128
+  private val MaxTuples = 16384
 
   /** Some only when the layout is PROVABLE from the snapshot: a declared
-    * spec, no pending deletes (a delete could suppress rows asymmetrically
-    * under a claimed co-partitioning), every data file carrying a full
-    * tuple recorded under the CURRENT spec's binding, every value parsing
-    * to the transform's output type, and a bounded tuple count.
+    * spec, every data file carrying a full tuple recorded under the
+    * CURRENT spec's binding, every value parsing to the transform's
+    * output type, and a bounded tuple count. Pending deletes are ALLOWED
+    * — they are row-local to their tuples, so the keyed groups apply them
+    * as MoR anti joins without breaking the claimed co-partitioning. For
+    * a time-travel read the tuples come from the pinned snapshot's
+    * entries and values parse against that snapshot's schema.
     */
-  def of(root: String, table: String): Option[GraftKeyedLayout] = {
+  def of(root: String, table: String,
+      asOf: Option[Long] = None): Option[GraftKeyedLayout] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
     val cat = new GraftCatalog(root)
     val spec = cat.partitionSpec(table)
     if (spec.isEmpty) return None
-    val schema = cat.currentSchema(table).getOrElse(return None)
-    val entries = cat.loadEntries(table)
-    if (entries.isEmpty || entries.exists(_.kind != "data")) return None
+    val schema = asOf.fold(cat.currentSchema(table))(cat.schemaAt(table, _))
+      .getOrElse(return None)
+    val entries = (asOf match {
+      case Some(sid) =>
+        if (cat.snapshotIds(table).contains(sid)) cat.loadEntriesAt(table, sid)
+        else return None
+      case None => cat.loadEntries(table)
+    }).filter(_.kind == "data")
+    if (entries.isEmpty) return None
     val Param = """([a-z]+)\[(\d+)\]""".r
     def srcType(source: String): Option[DataType] =
       schema.fields.find(_.name == source).map(_.dataType)

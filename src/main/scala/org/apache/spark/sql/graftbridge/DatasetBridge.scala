@@ -109,6 +109,56 @@ object DatasetBridge {
     }
   }
 
+  /** The planned chain's leaf [[org.apache.spark.sql.execution.datasources.FileScanRDD]]
+    * when every level above it is a OneToOne `MapPartitionsRDD` — i.e. the
+    * chain passes the split OBJECT through unchanged, so computing the TOP
+    * rdd with a foreign `FilePartition` reads exactly that partition's
+    * files. The regrouped keyed (storage-partitioned) serving depends on
+    * this property; any other chain shape returns None.
+    */
+  private def fileScanLeaf(r: org.apache.spark.rdd.RDD[_])
+      : Option[org.apache.spark.sql.execution.datasources.FileScanRDD] = r match {
+    case f: org.apache.spark.sql.execution.datasources.FileScanRDD => Some(f)
+    // SQLExecutionRDD (the execution-id wrapper internalRowRddNoAqe leaves
+    // on top) computes its ONE parent with the split unchanged — as
+    // split-transparent as a OneToOne MapPartitionsRDD
+    case m @ (_: org.apache.spark.rdd.MapPartitionsRDD[_, _] |
+              _: org.apache.spark.sql.execution.SQLExecutionRDD) =>
+      m.dependencies match {
+        case scala.collection.Seq(d: org.apache.spark.OneToOneDependency[_]) =>
+          fileScanLeaf(d.rdd)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  /** As [[columnarRddNoAqe]], but additionally requiring the scan to be a
+    * V1 file scan whose `FileScanRDD` the caller may RE-PARTITION: returns
+    * the servable columnar rdd plus the leaf's planned `FilePartition`s.
+    * The caller regroups the contained `PartitionedFile`s (e.g. one group
+    * per partition tuple for storage-partitioned serving) and serves the
+    * TOP rdd with the regrouped `FilePartition`s as foreign splits — ONE
+    * Catalyst planning pass however many groups there are.
+    */
+  def columnarFileScan(df: DataFrame, peelFilters: Boolean = false)
+      : Option[(org.apache.spark.rdd.RDD[org.apache.spark.sql.vectorized.ColumnarBatch],
+        Seq[org.apache.spark.sql.execution.datasources.FilePartition])] =
+    columnarRddNoAqe(df, peelFilters).flatMap(rdd =>
+      fileScanLeaf(rdd).map(leaf => (rdd, leaf.filePartitions)))
+
+  /** The ROW twin of [[columnarFileScan]]: the frame's lazy no-AQE row rdd
+    * (file scan + codegen'd narrow work above it) plus the leaf's planned
+    * `FilePartition`s, when the chain is foreign-split-safe. Covers keyed
+    * serving of plans the columnar peel refuses (projections with casts,
+    * row-based readers).
+    */
+  def rowFileScan(df: DataFrame)
+      : Option[(org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+        Seq[org.apache.spark.sql.execution.datasources.FilePartition])] = {
+    val rdd = internalRowRddNoAqe(df)
+    fileScanLeaf(rdd).map(leaf => (rdd, leaf.filePartitions))
+  }
+
   /** The inverse of [[asBatch]] for a V1 streaming SOURCE's `getBatch`:
     * the engine requires the returned frame to be streaming-tagged, while
     * the rows come from an ordinary batch read of the delta files.

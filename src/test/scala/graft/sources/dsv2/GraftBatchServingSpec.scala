@@ -285,6 +285,183 @@ class GraftBatchServingSpec extends SparkSpec {
     }
   }
 
+  test("keyed serving regroups ONE plan per scan — never the per-tuple fallback") {
+    val root = Files.createTempDirectory("graft-serve-oneplan").toString
+    val g = mountCatalog(root)
+    // bucket(256): 200+ materialized tuples — over the RETIRED 128-tuple
+    // cap, so this join only stays shuffle-free because one-plan serving
+    // made keyed planning O(files) instead of O(tuples × Catalyst)
+    spark.sql(s"CREATE TABLE $g.wa (k BIGINT, va STRING) PARTITIONED BY (bucket(256, k))")
+    spark.sql(s"CREATE TABLE $g.wb (k BIGINT, vb STRING) PARTITIONED BY (bucket(256, k))")
+    spark.sql(s"INSERT INTO $g.wa SELECT id, concat('a', id) FROM range(0, 4000)")
+    spark.sql(s"INSERT INTO $g.wb SELECT id * 2, concat('b', id * 2) FROM range(0, 2000)")
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val onePlan0 = GraftKeyedServing.onePlanServed.get()
+    val fallback0 = GraftKeyedServing.fallbackServed.get()
+    try {
+      val joined = spark.sql(
+        s"SELECT a.k, a.va, b.vb FROM $g.wa a JOIN $g.wb b ON a.k = b.k")
+      val rows = joined.collect()
+      assert(rows.length == 2000 &&
+        rows.forall(r => r.getLong(0) % 2 == 0 && r.getLong(0) < 4000),
+        s"got ${rows.length}")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "co-bucketed(256) tables must join WITHOUT a shuffle:\n" + plan)
+      assert(GraftKeyedServing.onePlanServed.get() > onePlan0,
+        "keyed reads must serve through the one-plan regroup")
+      assert(GraftKeyedServing.fallbackServed.get() == fallback0,
+        "a delete-free bucketed read must never hit the per-tuple fallback")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("SPJ survives pending MoR deletes: exchange-free AND post-delete rows") {
+    val root = Files.createTempDirectory("graft-serve-spj-del").toString
+    val g = mountCatalog(root)
+    spark.sql(
+      s"""CREATE TABLE $g.a (k BIGINT, va STRING) PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"CREATE TABLE $g.b (k BIGINT, vb STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $g.a SELECT id, concat('a', id) FROM range(0, 2000)")
+    spark.sql(s"INSERT INTO $g.b SELECT id * 2, concat('b', id * 2) FROM range(0, 1000)")
+    // a PENDING MoR delete on one side: rows leave, files stay; the
+    // delete is row-local to its tuples, so the co-partitioning claim
+    // must survive and the join stays exchange-free (Iceberg's posture)
+    spark.sql(s"DELETE FROM $g.a WHERE k % 10 = 4") // untranslatable % -> MoR
+    val cat = new GraftCatalog(root)
+    assert(cat.loadEntries("a").exists(_.kind == "posdel"),
+      "fixture must leave a pending position delete")
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"SELECT a.k, a.va, b.vb FROM $g.a a JOIN $g.b b ON a.k = b.k")
+      val rows = joined.collect()
+      val expect = (0 until 2000 by 2).filter(_ % 10 != 4)
+      assert(rows.map(_.getLong(0)).sorted.toSeq == expect.map(_.toLong),
+        s"post-delete join rows wrong: got ${rows.length}, want ${expect.length}")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "a pending MoR delete must not cost the join its storage " +
+          "partitioning:\n" + plan)
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("runtime join pruning still prunes files under keyed serving") {
+    // DPP file pruning applies INSIDE the keyed regroup: pruned files are
+    // skipped but their tuple groups survive (served empty), so the keyed
+    // scan reads only the matching buckets AND keeps its key count.
+    val root = Files.createTempDirectory("graft-serve-dpp-keyed").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.fact (k BIGINT, v STRING) PARTITIONED BY (bucket(8, k))")
+    spark.sql(s"INSERT INTO $g.fact SELECT id, concat('v', id) FROM range(0, 8000)")
+    val data = new GraftCatalog(root).loadEntries("fact").filter(_.kind == "data")
+    import spark.implicits._
+    (0L until 100L).map(i => (i, if (i == 41 || i == 42) "x" else "y"))
+      .toDF("k", "tag").write.mode("overwrite").parquet(s"$root/dim")
+    spark.read.parquet(s"$root/dim").createOrReplaceTempView("dpp_dim_k")
+    val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      val joined = spark.sql(
+        s"SELECT f.k, f.v FROM $g.fact f JOIN dpp_dim_k d ON f.k = d.k WHERE d.tag = 'x'")
+      assert(joined.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+        "the join must plan a runtime filter on the fact scan")
+      val (_, records) = probe {
+        assert(joined.collect().map(_.getLong(0)).sorted.toSeq == Seq(41L, 42L))
+      }
+      val matchBuckets = Seq(41L, 42L)
+        .map(graft.functions.IcebergMurmur3.bucketLong(_, 8)).distinct
+      val boundRows = data.filter(e =>
+        matchBuckets.contains(e.partitionVals("k_bucket").toInt))
+        .map(_.recordCount).sum
+      assert(records <= 2 * boundRows + 300,
+        s"keyed serving must apply runtime file pruning " +
+          s"(2x-counted <= ${2 * boundRows} of 16000), read $records")
+    } finally old.fold(
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+  }
+
+  test("MoR UPDATE is exactly-once with storage-partitioned serving on") {
+    // regression: with v2 bucketing enabled the UPDATE's row-id scan used
+    // to serve keyed — one whole-table frame re-served once per tuple, so
+    // every updated row was written N× on an N-tuple table. Row-id scans
+    // must refuse the keyed layout.
+    val root = Files.createTempDirectory("graft-serve-mor-upd").toString
+    val g = mountCatalog(root)
+    val old = spark.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $g.u (k BIGINT, grp STRING)
+           |PARTITIONED BY (grp)
+           |TBLPROPERTIES ('write.update.mode' = 'merge-on-read')""".stripMargin)
+      spark.sql(s"INSERT INTO $g.u SELECT id, concat('g', id % 3) FROM range(0, 300)")
+      spark.sql(s"UPDATE $g.u SET k = k + 1000 WHERE k % 10 = 7")
+      val dataRows = new GraftCatalog(root).loadEntries("u")
+        .filter(_.kind == "data").map(_.recordCount).sum
+      assert(dataRows == 330L, // 300 originals + exactly 30 new versions
+        s"MoR UPDATE must write each new row version once, got $dataRows")
+      assert(spark.sql(s"SELECT count(*), sum(k) FROM $g.u").head().toSeq ==
+        Seq(300L, (0L until 300L).map(k => if (k % 10 == 7) k + 1000 else k).sum))
+    } finally old.fold(
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled"))(
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", _))
+  }
+
+  test("SPJ survives time travel: as-of join on co-bucketed tables is exchange-free") {
+    val root = Files.createTempDirectory("graft-serve-spj-asof").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.a (k BIGINT, va STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"CREATE TABLE $g.b (k BIGINT, vb STRING) PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $g.a SELECT id, concat('a', id) FROM range(0, 1000)")
+    spark.sql(s"INSERT INTO $g.b SELECT id, concat('b', id) FROM range(0, 1000)")
+    val pinA = new GraftCatalog(root).currentSnapshotId("a")
+    // rows landing AFTER the pinned snapshot must not appear in the
+    // as-of read — and must not cost it the keyed layout either
+    spark.sql(s"INSERT INTO $g.a SELECT id, concat('late', id) FROM range(5000, 6000)")
+    val olds = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.sql(
+        s"""SELECT a.k, a.va, b.vb
+           |FROM $g.a VERSION AS OF $pinA a JOIN $g.b b ON a.k = b.k""".stripMargin)
+      val rows = joined.collect()
+      assert(rows.length == 1000 && rows.forall(_.getLong(0) < 1000),
+        s"as-of join must see only the pinned snapshot: got ${rows.length}")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "historical snapshots carry the same tuple bindings — time " +
+          "travel must keep the storage-partitioned join:\n" + plan)
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("GROUP BY the bucketed key aggregates with ZERO shuffles (keyed scan)") {
     val root = Files.createTempDirectory("graft-serve-spja").toString
     val g = mountCatalog(root)
