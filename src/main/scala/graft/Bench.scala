@@ -98,11 +98,20 @@ object Bench {
     // INSERTs + the SPJ join + the oracle materialization — gate cost,
     // the join itself is exchange-free, asserted in-gate)
     "q147" -> 0.46, "q148" -> 2.87, "q149" -> 0.59, "q150" -> 0.81,
-    "q151" -> 2.65,
+    // q151 re-recorded after round-13's one-plan keyed serving (2.65 ->
+    // 1.4: the per-tuple Catalyst passes left the gate's planning cost)
+    "q151" -> 1.4,
     // q152 grouped metadata aggregate (CREATE + INSERT + LocalTableScan
     // answer); q153 metadata tables (partitions rollup + snapshots/
     // history requires) — idle-box first recordings
-    "q152" -> 0.41, "q153" -> 0.65)
+    "q152" -> 0.41, "q153" -> 0.65,
+    // round-13 gates (idle-box first recordings): q154 SPJ with pending
+    // MoR deletes — gate cost is the lifecycle (2 CREATEs, a fanout
+    // INSERT slicing sf0.1 lineitem, the MoR WriteDelta DELETE, and the
+    // join evaluated for the in-gate require and again by the sink);
+    // q155 partition-evolution DDL; q156 metadata-agg refusal (INSERT +
+    // eq-delete + two aggregate plans probed in-gate)
+    "q154" -> 8.7, "q155" -> 0.67, "q156" -> 1.9)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

@@ -1068,7 +1068,94 @@ object MorQueries {
     df
   }
 
+  /** Q157: write-order DDL + writer-side stats — `ALTER TABLE … WRITE
+    * ORDERED BY l_orderkey` (parsed by [[graft.plans.GraftSqlParser]])
+    * makes the doorway INSERT range-cluster its files, and the writers
+    * stamp exact per-file bounds into the commit ([[
+    * graft.sources.dsv2.WriterStats]]), so a point lookup on the FRESH
+    * table prunes from the manifest with NO compaction ever run — the
+    * in-gate require. The oracle is the full content plus the lookup row.
+    */
+  private def q157(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q157").toString
+    val g = s"g157_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.o (o_orderkey BIGINT, o_custkey BIGINT,
+         |o_totalprice DOUBLE)""".stripMargin)
+    spark.sql(s"ALTER TABLE $g.o WRITE ORDERED BY o_orderkey")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("q157_src")
+    // AQE's size-based coalesce would fold the toy shuffle to one file;
+    // the gate needs several range-clustered files to prove pruning
+    val oldCoalesce = spark.conf.getOption(
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql(
+      s"""INSERT INTO $g.o
+         |SELECT /*+ REPARTITION(8) */ o_orderkey, o_custkey, o_totalprice
+         |FROM q157_src WHERE o_orderkey <= 60000""".stripMargin)
+    finally oldCoalesce.fold(
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled"))(
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", _))
+    val cat = new graft.sources.GraftCatalog(root)
+    val data = cat.loadEntries("o").filter(_.kind == "data")
+    require(data.size > 1 && data.forall(_.stats.isDefined),
+      s"every doorway-written file must carry writer bounds, " +
+        s"got ${data.size} files, stats: ${data.map(_.stats.isDefined)}")
+    val pruned = cat.scanTableWhere(spark, "o", "o_orderkey", 7.0, 7.0)
+    require(pruned.inputFiles.length < data.size,
+      s"fresh writer bounds must prune the lookup with no compaction: " +
+        s"opened ${pruned.inputFiles.length} of ${data.size}")
+    spark.sql(
+      s"""SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, m.hit_price
+         |FROM $g.o o
+         |CROSS JOIN (SELECT o_totalprice AS hit_price FROM $g.o
+         |            WHERE o_orderkey = 7) m""".stripMargin)
+  }
+
+  /** Q158: snapshot-ref DDL — `ALTER TABLE … CREATE TAG` pins the
+    * first-load snapshot, later INSERTs move the head, and `VERSION AS OF
+    * 'tag'` reads exactly the pinned subset (hash-matched); DROP TAG then
+    * removes the handle (in-gate require). The WAP spelling every
+    * promote-after-audit pipeline runs.
+    */
+  private def q158(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q158").toString
+    val g = s"g158_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.n (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .createOrReplaceTempView("q158_src")
+    spark.sql(
+      s"""INSERT INTO $g.n SELECT n_nationkey, n_name, n_regionkey
+         |FROM q158_src WHERE n_regionkey <> 2""".stripMargin)
+    spark.sql(s"ALTER TABLE $g.n CREATE TAG validated")
+    spark.sql(
+      s"""INSERT INTO $g.n SELECT n_nationkey, n_name, n_regionkey
+         |FROM q158_src WHERE n_regionkey = 2""".stripMargin)
+    val cat = new graft.sources.GraftCatalog(root)
+    require(cat.tags("n").contains("validated"), "tag must be recorded")
+    val full = spark.sql(s"SELECT count(*) FROM $g.n").head().getLong(0)
+    val tagged = spark.sql(
+      s"SELECT count(*) FROM $g.n VERSION AS OF 'validated'").head().getLong(0)
+    require(tagged < full, s"the tag must pin the pre-insert snapshot " +
+      s"($tagged rows) against the moved head ($full rows)")
+    val out = spark.sql(
+      s"""SELECT n_nationkey, n_name, n_regionkey
+         |FROM $g.n VERSION AS OF 'validated'""".stripMargin)
+    val rows = out.collect() // materialize before the tag is dropped
+    spark.sql(s"ALTER TABLE $g.n DROP TAG validated")
+    require(!cat.tags("n").contains("validated"), "DROP TAG must remove it")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q157_write_order_stats" -> (q157 _),
+    "q158_snapshot_tags" -> (q158 _),
     "q154_spj_deletes" -> (q154 _),
     "q155_partition_evolution" -> (q155 _),
     "q156_metadata_agg_refusal" -> (q156 _),
@@ -1129,6 +1216,15 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q157_write_order_stats" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, m.hit_price
+        |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |      WHERE o_orderkey <= 60000) o
+        |CROSS JOIN (SELECT o_totalprice AS hit_price FROM orders
+        |            WHERE o_orderkey = 7) m""".stripMargin,
+    "q158_snapshot_tags" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |WHERE n_regionkey <> 2""".stripMargin,
     "q154_spj_deletes" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
         |       l.l_quantity

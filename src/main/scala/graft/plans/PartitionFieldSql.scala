@@ -79,6 +79,23 @@ object GraftPartitionFieldSql {
   private val ReplaceRe =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+$Table\\s+REPLACE\\s+PARTITION\\s+FIELD\\s+(.+?)\\s+WITH\\s+(.+?)\\s*;?\\s*""".r
 
+  // snapshot refs + write order (Iceberg's extension DDL): tag/branch
+  // names are identifiers, optionally backtick- or single-quoted
+  private val Ref = """(?:`([^`]+)`|'([^']+)'|([A-Za-z_][\w.-]*))"""
+  private val CreateTagRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Table\\s+CREATE\\s+TAG\\s+$Ref(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*;?\\s*""".r
+  private val DropTagRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Table\\s+DROP\\s+TAG\\s+$Ref\\s*;?\\s*""".r
+  private val CreateBranchRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Table\\s+CREATE\\s+BRANCH\\s+$Ref\\s*;?\\s*""".r
+  private val WriteOrderedRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Table\\s+WRITE\\s+ORDERED\\s+BY\\s+(.+?)\\s*;?\\s*""".r
+  private val WriteUnorderedRe =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$Table\\s+WRITE\\s+UNORDERED\\s*;?\\s*""".r
+
+  private def refName(a: String, b: String, c: String): String =
+    Option(a).orElse(Option(b)).getOrElse(c)
+
   private def nameParts(ident: String): Seq[String] =
     // split on dots OUTSIDE backticks, then strip the quoting
     ident.split("""\.(?=(?:[^`]*`[^`]*`)*[^`]*$)""").toSeq
@@ -101,8 +118,103 @@ object GraftPartitionFieldSql {
         nameParts(t), "add", transform(tr), None))
       case DropRe(t, tr) => Some(GraftAlterPartitionFieldCommand(
         nameParts(t), "drop", transform(tr), None))
+      case CreateTagRe(t, a, b, c, ver) => Some(GraftAlterRefCommand(
+        nameParts(t), "create_tag", refName(a, b, c),
+        Option(ver).map(_.toLong)))
+      case DropTagRe(t, a, b, c) => Some(GraftAlterRefCommand(
+        nameParts(t), "drop_tag", refName(a, b, c), None))
+      case CreateBranchRe(t, a, b, c) => Some(GraftAlterRefCommand(
+        nameParts(t), "create_branch", refName(a, b, c), None))
+      case WriteOrderedRe(t, cols) => Some(GraftAlterWriteOrderCommand(
+        nameParts(t),
+        cols.split(",").toSeq.map(_.trim.stripPrefix("`").stripSuffix("`"))
+          .filter(_.nonEmpty)))
+      case WriteUnorderedRe(t) =>
+        Some(GraftAlterWriteOrderCommand(nameParts(t), Nil))
       case _ => None
     }
+  }
+
+  /** Resolve `nameParts` through the session's V2 catalog manager to the
+    * owning [[GraftSparkCatalog]] and the catalog-internal table name —
+    * shared by every command this parser produces.
+    */
+  private[plans] def resolveGraftTable(
+      spark: SparkSession, nameParts: Seq[String], what: String)
+      : (GraftSparkCatalog, String) = {
+    val cm = spark.sessionState.catalogManager
+    val (plugin, tableParts) =
+      if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
+        (cm.catalog(nameParts.head), nameParts.tail)
+      else (cm.currentCatalog, nameParts)
+    val gcat = plugin match {
+      case g: GraftSparkCatalog => g
+      case other => throw new UnsupportedOperationException(
+        s"$what targets a graft catalog table; " +
+          s"'${other.name()}' is ${other.getClass.getName}")
+    }
+    val table = gcat.tableNameOf(tableParts)
+    require(new GraftCatalog(gcat.catalogRoot).tables().contains(table),
+      s"table $table does not exist in catalog '${gcat.name()}'")
+    (gcat, table)
+  }
+}
+
+/** Snapshot-ref DDL: `ALTER TABLE t CREATE TAG name [AS OF VERSION n]` /
+  * `DROP TAG name` / `CREATE BRANCH name` — tags pin retained snapshots
+  * against expiry ([[GraftCatalog.tagSnapshot]], readable via `VERSION AS
+  * OF 'name'`); a branch is a WAP fork ([[GraftCatalog.forkTable]],
+  * `<table>@<branch>`) taking normal reads/writes until published.
+  */
+final case class GraftAlterRefCommand(
+    nameParts: Seq[String],
+    action: String,
+    refName: String,
+    asOfVersion: Option[Long])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (gcat, table) = GraftPartitionFieldSql.resolveGraftTable(
+      spark, nameParts, "ALTER TABLE ... TAG/BRANCH")
+    val cat = new GraftCatalog(gcat.catalogRoot)
+    action match {
+      case "create_tag" =>
+        cat.tagSnapshot(table, refName,
+          asOfVersion.getOrElse(cat.currentSnapshotId(table)))
+      case "drop_tag" => cat.dropTag(table, refName)
+      case "create_branch" => cat.forkTable(table, refName)
+    }
+    Nil
+  }
+}
+
+/** Write-order DDL: `ALTER TABLE t WRITE ORDERED BY c1, c2` declares the
+  * table's write order ([[GraftCatalog.setSortOrder]] — subsequent doorway
+  * INSERTs range-cluster on it via `RequiresDistributionAndOrdering`, which
+  * feeds stats pruning); `WRITE UNORDERED` clears it. Metadata only:
+  * existing files keep their layout until the next rewrite.
+  */
+final case class GraftAlterWriteOrderCommand(
+    nameParts: Seq[String],
+    cols: Seq[String])
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (gcat, table) = GraftPartitionFieldSql.resolveGraftTable(
+      spark, nameParts, "ALTER TABLE ... WRITE ORDERED BY")
+    val cat = new GraftCatalog(gcat.catalogRoot)
+    cat.currentSchema(table).foreach { s =>
+      cols.foreach(c => require(s.fieldNames.contains(c),
+        s"sort column '$c' is not in $table's schema " +
+          s"(${s.fieldNames.mkString(", ")})"))
+    }
+    cat.setSortOrder(table, cols)
+    spark.catalog.refreshTable(nameParts.mkString("."))
+    Nil
   }
 }
 
@@ -121,21 +233,9 @@ final case class GraftAlterPartitionFieldCommand(
   override def output: Seq[Attribute] = Nil
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val cm = spark.sessionState.catalogManager
-    val (plugin, tableParts) =
-      if (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head))
-        (cm.catalog(nameParts.head), nameParts.tail)
-      else (cm.currentCatalog, nameParts)
-    val gcat = plugin match {
-      case g: GraftSparkCatalog => g
-      case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE ... PARTITION FIELD targets a graft catalog table; " +
-          s"'${other.name()}' is ${other.getClass.getName}")
-    }
-    val table = gcat.tableNameOf(tableParts)
+    val (gcat, table) = GraftPartitionFieldSql.resolveGraftTable(
+      spark, nameParts, "ALTER TABLE ... PARTITION FIELD")
     val cat = new GraftCatalog(gcat.catalogRoot)
-    require(cat.tables().contains(table),
-      s"table $table does not exist in catalog '${gcat.name()}'")
     val cur = cat.partitionSpec(table)
     def resolved(t: GraftPartitionFieldSql.RawTransform): GraftCatalog.PartitionFieldDef = {
       val f = t.toField

@@ -601,11 +601,46 @@ object CompactionRunner {
   }
 
   /** Read position-delete files (columns file_path, pos → hidden names). */
+  /** Cap under which a delete set is EXPLICITLY broadcast into its anti
+    * join. The reference materializes delete sets per task for the same
+    * reason (`datafusion_processor.rs` builds them into the stream); here
+    * the driver KNOWS the delete files' sizes, so the decision must not
+    * depend on the session's `autoBroadcastJoinThreshold` — SPJ setups set
+    * that to -1 to stop the engine broadcasting a TABLE side, and without
+    * the hint the delete anti join degrades to a sort-merge whose shuffle
+    * both costs at scale and breaks the narrow-chain serving shape (keyed
+    * one-plan regroup, columnar handoff).
+    */
+  private val DeleteBroadcastCap = 64L << 20
+
+  /** Summed on-storage size of `paths`, or -1 when any is unstattable
+    * (unknown must never qualify for a broadcast hint).
+    */
+  private def statSum(spark: SparkSession, paths: Seq[String]): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    var sum = 0L
+    paths.foreach { p =>
+      try {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        sum += hp.getFileSystem(conf).getFileStatus(hp).getLen
+      } catch { case _: Throwable => return -1L }
+    }
+    sum
+  }
+
+  private def hintSmall(spark: SparkSession, df: DataFrame, paths: Seq[String]): DataFrame = {
+    val s = statSum(spark, paths)
+    if (s >= 0L && s <= DeleteBroadcastCap) broadcast(df) else df
+  }
+
   def readPositionDeletes(spark: SparkSession, tasks: Seq[PosDeleteTask]): Option[DataFrame] =
     if (tasks.isEmpty) None
-    else Some(spark.read.parquet(dedupByPath(tasks)(_.path).map(_.path): _*)
-      .select(canonCol(col("file_path")).as(MorPlanner.FilePathCol),
-        col("pos").as(MorPlanner.PosCol)))
+    else {
+      val paths = dedupByPath(tasks)(_.path).map(_.path)
+      Some(hintSmall(spark, spark.read.parquet(paths: _*)
+        .select(canonCol(col("file_path")).as(MorPlanner.FilePathCol),
+          col("pos").as(MorPlanner.PosCol)), paths))
+    }
 
   /** Read equality-delete files projected to their equality columns (P4),
     * each with its per-file seq num attached by broadcast. Tasks sharing an
@@ -666,7 +701,7 @@ object CompactionRunner {
           canonCol(col("_metadata.file_path")).as("graft_eq_path"): _*)
         .join(broadcast(seqDf), "graft_eq_path")
         .drop("graft_eq_path")
-      EqualityDeleteGroup(df, resolved.map(_._2))
+      EqualityDeleteGroup(hintSmall(spark, df, ts.map(_.path)), resolved.map(_._2))
     }
   }
 

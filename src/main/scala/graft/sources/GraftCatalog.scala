@@ -2734,6 +2734,9 @@ final class GraftCatalog(root: String,
     files.map { f =>
       val vals = partitionValsFromPath(f.path, names)
       TableEntry("data", CompactionRunner.canonPath(f.path), seq, f.format, Nil,
+        stats =
+          if (f.colMins.isEmpty && f.colMaxs.isEmpty && f.nullCounts.isEmpty) None
+          else Some(EntryStats(f.colMins, f.colMaxs, f.nullCounts)),
         partitionVals = vals,
         partitionTransforms = specTransforms.view.filterKeys(vals.contains).toMap,
         recordCount = f.recordCount, sizeBytes = f.sizeBytes)
@@ -4234,7 +4237,13 @@ object GraftCatalog {
       path: String,
       format: String = "parquet",
       recordCount: Long = -1L,
-      sizeBytes: Long = -1L)
+      sizeBytes: Long = -1L,
+      // per-file column bounds the writer accumulated (DSv2 doorway
+      // writers stream them in the commit message); empty = no stats —
+      // the file simply never prunes
+      colMins: Map[String, String] = Map.empty,
+      colMaxs: Map[String, String] = Map.empty,
+      nullCounts: Map[String, Long] = Map.empty)
 
   /** Iceberg-style snapshot summary (operation + file/record deltas),
     * derived by [[GraftCatalog.snapshotSummary]]. Record deltas are None

@@ -123,7 +123,8 @@ final class GraftBatchWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val files = GraftFilesCommit.all(messages).map(f =>
-      GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes))
+      GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes,
+        f.colMins, f.colMaxs, f.nullCounts))
     val cat = new GraftCatalog(root)
     dynamicOverwriteAt match {
       case Some(base) =>
@@ -209,7 +210,8 @@ final class GraftDataWriter(
       Files.createDirectories(Paths.get(d.stripPrefix("file:")))
       val path = f"$d/part-$partitionId%05d-$taskId.parquet"
       new GraftDataWriter.OpenFile(path,
-        ParquetWriteBridge.newWriter(factory, conf, schema, path, partitionId, taskId))
+        ParquetWriteBridge.newWriter(factory, conf, schema, path, partitionId, taskId),
+        new WriterStats(schema))
     })
 
   /** Strips the leading `__row_operation` marker Spark 4's group-based
@@ -236,14 +238,18 @@ final class GraftDataWriter(
       }
     val f = fileFor(tupleDir.fold("")(_.apply(row)))
     f.writer.write(row)
+    f.stats.observe(row)
     f.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     open.values.foreach(_.writer.close())
-    GraftFilesCommit(open.values.map(f =>
+    GraftFilesCommit(open.values.map { f =>
+      val (mins, maxs, nulls) = f.stats.result()
       GraftFileCommit(f.path, f.rows,
-        Files.size(Paths.get(f.path.stripPrefix("file:"))))).toSeq)
+        Files.size(Paths.get(f.path.stripPrefix("file:"))),
+        mins, maxs, nulls)
+    }.toSeq)
   }
 
   override def abort(): Unit = {
@@ -258,10 +264,13 @@ final class GraftDataWriter(
 }
 
 object GraftDataWriter {
-  /** One task-open output file: path + writer + running row count. */
+  /** One task-open output file: path + writer + running row count +
+    * streaming column-bounds accumulator.
+    */
   private[dsv2] final class OpenFile(
       val path: String,
-      val writer: org.apache.spark.sql.execution.datasources.OutputWriter) {
+      val writer: org.apache.spark.sql.execution.datasources.OutputWriter,
+      val stats: WriterStats) {
     var rows: Long = 0L
   }
 }
@@ -306,7 +315,8 @@ final class GraftStreamingWrite(
   override def commit(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val files = GraftFilesCommit.all(messages).map(f =>
-      GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes))
+      GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes,
+        f.colMins, f.colMaxs, f.nullCounts))
     new GraftCatalog(root).commitStreamFiles(table, queryId, epochId, files)
   }
 
@@ -330,7 +340,11 @@ final case class GraftStreamingWriterFactory(
       partitionId, taskId, layout)
 }
 
-final case class GraftFileCommit(path: String, rows: Long, bytes: Long)
+final case class GraftFileCommit(
+    path: String, rows: Long, bytes: Long,
+    colMins: Map[String, String] = Map.empty,
+    colMaxs: Map[String, String] = Map.empty,
+    nullCounts: Map[String, Long] = Map.empty)
     extends WriterCommitMessage
 
 /** All files one task committed (several under a partition fanout). */

@@ -113,7 +113,8 @@ final class GraftDeltaBatchWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val deltas = messages.collect { case d: GraftDeltaCommit => d }
     val dataFiles = deltas.flatMap(_.data).map(f =>
-      GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes))
+      GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes,
+        f.colMins, f.colMaxs, f.nullCounts))
     val posFiles = deltas.flatMap(_.deletes).map(f =>
       GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes))
     // a no-match statement produces an EMPTY delta: nothing to commit,
@@ -183,7 +184,8 @@ final class GraftDeltaWriter(
       Files.createDirectories(Paths.get(d.stripPrefix("file:")))
       val path = f"$d/part-$partitionId%05d-$taskId-data.parquet"
       new GraftDataWriter.OpenFile(path, ParquetWriteBridge.newWriter(
-        dataFactory, dataConf, dataSchema, path, partitionId, taskId))
+        dataFactory, dataConf, dataSchema, path, partitionId, taskId),
+        new WriterStats(dataSchema))
     })
   private val posPath = f"$dir/part-$partitionId%05d-$taskId-deletes.parquet"
   private lazy val posWriter = ParquetWriteBridge.newWriter(
@@ -208,14 +210,18 @@ final class GraftDeltaWriter(
   override def insert(row: InternalRow): Unit = {
     val f = dataFileFor(tupleDir.fold("")(_.apply(row)))
     f.writer.write(row)
+    f.stats.observe(row)
     f.rows += 1
   }
 
   override def commit(): WriterCommitMessage = {
     openData.values.foreach(_.writer.close())
-    val d = openData.values.map(f =>
+    val d = openData.values.map { f =>
+      val (mins, maxs, nulls) = f.stats.result()
       GraftFileCommit(f.path, f.rows,
-        Files.size(Paths.get(f.path.stripPrefix("file:"))))).toSeq
+        Files.size(Paths.get(f.path.stripPrefix("file:"))),
+        mins, maxs, nulls)
+    }.toSeq
     val p =
       if (posRows == 0) None
       else {

@@ -596,6 +596,11 @@ class GraftV1Scan(
         }.getOrElse(Nil)
       (cat.partitionSpec(table).map(_.source) ++ cat.sortOrder(table) ++
         statCols).distinct
+        // Spark's PartitionPruning resolveRefs THROWS (not refuses) on a
+        // filter attribute missing from the scan output — and writer-side
+        // stats now cover every primitive column, so restrict to columns
+        // this scan actually reads
+        .filter(required.fieldNames.contains)
         .map(c => org.apache.spark.sql.connector.expressions.Expressions.column(c)
           : org.apache.spark.sql.connector.expressions.NamedReference)
         .toArray
@@ -1141,15 +1146,17 @@ private[dsv2] object GraftInnerFrame {
   * a planned file maps to no layout tuple; the caller then falls back to
   * per-tuple frames.
   */
-private[dsv2] object GraftKeyedServing {
+object GraftKeyedServing {
 
   /** Diagnostics for tests/scaling probes: keyed reads served through the
-    * one-plan regroup vs the per-tuple fallback.
+    * one-plan regroup vs the per-tuple fallback. (The object is public
+    * only for these counters — ScalingProbe reads them from package
+    * graft; the serving machinery stays package-private.)
     */
   val onePlanServed = new java.util.concurrent.atomic.AtomicLong
   val fallbackServed = new java.util.concurrent.atomic.AtomicLong
 
-  def groups(
+  private[dsv2] def groups(
       spark: SparkSession,
       root: String,
       table: String,

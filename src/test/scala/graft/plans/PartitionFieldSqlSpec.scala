@@ -88,16 +88,23 @@ class PartitionFieldSqlSpec extends SparkSpec {
     val key = 123L
     val b4 = graft.functions.IcebergMurmur3.bucketLong(key, 4)
     val b8 = graft.functions.IcebergMurmur3.bucketLong(key, 8)
+    // tuple pruning binds each file against ITS recorded spec generation;
+    // writer-side stats (doorway INSERTs stamp per-file k bounds) then
+    // drop bucket-matching files whose [min,max] excludes the key
+    def covers(e: cat.TableEntry): Boolean = e.stats.forall(s =>
+      (s.colMins.get("k").flatMap(_.toDoubleOption),
+        s.colMaxs.get("k").flatMap(_.toDoubleOption)) match {
+        case (Some(mn), Some(mx)) => mn <= key && key <= mx
+        case _ => true
+      })
     val expected =
-      oldFiles.count(_.partitionVals("k_bucket").toInt == b4) +
-        newFiles.count(_.partitionVals("k_bucket").toInt == b8)
+      oldFiles.count(e => e.partitionVals("k_bucket").toInt == b4 && covers(e)) +
+        newFiles.count(e => e.partitionVals("k_bucket").toInt == b8 && covers(e))
     assert(expected < data.size, "fixture must actually prune")
-    // the library pruner the doorway's point lookups route through must
-    // bind each file against ITS recorded spec generation
     val pruned = cat.scanTableWhere(spark, "t", "k", key.toDouble, key.toDouble)
     assert(pruned.inputFiles.length == expected,
       s"lookup must open $expected files (old-spec bucket $b4 + new-spec " +
-        s"bucket $b8), got ${pruned.inputFiles.length} of ${data.size}")
+        s"bucket $b8, stats-covered), got ${pruned.inputFiles.length} of ${data.size}")
     assert(spark.sql(s"SELECT v FROM $g.t WHERE k = $key").head().getString(0)
       == "old123")
   }
@@ -136,5 +143,111 @@ class PartitionFieldSqlSpec extends SparkSpec {
     // writes keep working unpartitioned; earlier tuples still recorded
     spark.sql(s"INSERT INTO $g.t VALUES (3, 'c')")
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 3L)
+  }
+
+  test("ref/write-order DDL parse shapes; everything else delegates") {
+    def ref(sql: String) = GraftPartitionFieldSql.parse(sql)
+    assert(ref("ALTER TABLE g.t CREATE TAG v1").exists {
+      case GraftAlterRefCommand(p, "create_tag", "v1", None) => p == Seq("g", "t")
+      case _ => false
+    })
+    assert(ref("alter table g.db.t create tag 'prod-2026-01-01' as of version 3").exists {
+      case GraftAlterRefCommand(p, "create_tag", "prod-2026-01-01", Some(3L)) =>
+        p == Seq("g", "db", "t")
+      case _ => false
+    })
+    assert(ref("ALTER TABLE g.t DROP TAG `v1`").exists {
+      case GraftAlterRefCommand(_, "drop_tag", "v1", None) => true
+      case _ => false
+    })
+    assert(ref("ALTER TABLE g.t CREATE BRANCH audit").exists {
+      case GraftAlterRefCommand(_, "create_branch", "audit", None) => true
+      case _ => false
+    })
+    assert(ref("ALTER TABLE g.t WRITE ORDERED BY k, `v`").exists {
+      case GraftAlterWriteOrderCommand(_, cols) => cols == Seq("k", "v")
+      case _ => false
+    })
+    assert(ref("ALTER TABLE g.t WRITE UNORDERED").exists {
+      case GraftAlterWriteOrderCommand(_, Nil) => true
+      case _ => false
+    })
+    // near-misses stay with the delegate parser
+    assert(ref("ALTER TABLE g.t DROP COLUMN v").isEmpty)
+    assert(ref("ALTER TABLE g.t SET TBLPROPERTIES ('a'='b')").isEmpty)
+  }
+
+  test("CREATE TAG pins a snapshot readable via VERSION AS OF; DROP removes it") {
+    val root = Files.createTempDirectory("graft-pfsql-tag").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('a', id) FROM range(0, 100)")
+    spark.sql(s"ALTER TABLE $g.t CREATE TAG v1")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('b', id) FROM range(100, 250)")
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 250L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'v1'")
+      .head().getLong(0) == 100L)
+    // AS OF VERSION pins an explicit retained snapshot
+    val cat = new GraftCatalog(root)
+    val head = cat.currentSnapshotId("t")
+    spark.sql(s"ALTER TABLE $g.t CREATE TAG v2 AS OF VERSION $head")
+    assert(cat.tags("t") == Map("v1" -> (head - 1), "v2" -> head))
+    // tags are immutable; re-creating fails loudly
+    val dup = intercept[Exception](spark.sql(s"ALTER TABLE $g.t CREATE TAG v1"))
+    assert(dup.getMessage.contains("immutable"), dup.getMessage)
+    spark.sql(s"ALTER TABLE $g.t DROP TAG v1")
+    assert(cat.tags("t") == Map("v2" -> head))
+    val gone = intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'v1'").collect())
+    assert(gone.getMessage.contains("v1"), gone.getMessage)
+  }
+
+  test("CREATE BRANCH forks a WAP staging table; main stays undisturbed") {
+    val root = Files.createTempDirectory("graft-pfsql-branch").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('a', id) FROM range(0, 100)")
+    spark.sql(s"ALTER TABLE $g.t CREATE BRANCH audit")
+    // the fork reads as its own doorway table and takes normal writes
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@audit`").head().getLong(0) == 100L)
+    spark.sql(s"INSERT INTO $g.`t@audit` SELECT id, concat('x', id) FROM range(500, 600)")
+    assert(spark.sql(s"SELECT count(*) FROM $g.`t@audit`").head().getLong(0) == 200L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 100L,
+      "branch writes must never disturb main")
+  }
+
+  test("WRITE ORDERED BY declares the write order; UNORDERED clears it") {
+    val root = Files.createTempDirectory("graft-pfsql-order").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    val cat = new GraftCatalog(root)
+    assert(cat.sortOrder("t").isEmpty)
+    spark.sql(s"ALTER TABLE $g.t WRITE ORDERED BY k, v")
+    assert(cat.sortOrder("t") == Seq("k", "v"))
+    // subsequent INSERTs range-cluster on the declared order: disjoint
+    // per-file k-ranges make the point lookup stats-prunable (AQE's
+    // size-based coalesce would fold the toy-sized shuffle into ONE file
+    // and hide the clustering — disable it for the fixture write only)
+    val oldCoalesce =
+      spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try spark.sql(
+      s"""INSERT INTO $g.t
+         |SELECT /*+ REPARTITION(4) */ id, concat('v', id)
+         |FROM range(0, 4000)""".stripMargin)
+    finally oldCoalesce.fold(
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled"))(
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", _))
+    val files = cat.loadEntries("t").filter(_.kind == "data")
+    assert(files.size > 1, "fixture must write multiple files")
+    val pruned = cat.scanTableWhere(spark, "t", "k", 7.0, 7.0)
+    assert(pruned.inputFiles.length < files.size,
+      s"range-clustered write must stats-prune the lookup, " +
+        s"opened ${pruned.inputFiles.length} of ${files.size}")
+    val bad = intercept[Exception](
+      spark.sql(s"ALTER TABLE $g.t WRITE ORDERED BY nope"))
+    assert(bad.getMessage.contains("nope"), bad.getMessage)
+    spark.sql(s"ALTER TABLE $g.t WRITE UNORDERED")
+    assert(cat.sortOrder("t").isEmpty)
   }
 }

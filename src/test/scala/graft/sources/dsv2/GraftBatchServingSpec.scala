@@ -348,6 +348,7 @@ class GraftBatchServingSpec extends SparkSpec {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    val fallback0 = GraftKeyedServing.fallbackServed.get()
     try {
       val joined = spark.sql(
         s"SELECT a.k, a.va, b.vb FROM $g.a a JOIN $g.b b ON a.k = b.k")
@@ -359,6 +360,12 @@ class GraftBatchServingSpec extends SparkSpec {
       assert(!plan.contains("Exchange hashpartitioning"),
         "a pending MoR delete must not cost the join its storage " +
           "partitioning:\n" + plan)
+      // the delete side is explicitly broadcast (sized from the manifest,
+      // independent of the -1 threshold), so the MoR chain stays narrow
+      // and keyed serving takes the ONE-PLAN path — the per-tuple
+      // fallback would plan width × Catalyst on a production-wide spec
+      assert(GraftKeyedServing.fallbackServed.get() == fallback0,
+        "SPJ with pending deletes must serve through the one-plan regroup")
     } finally olds.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
