@@ -376,6 +376,25 @@ object CompactionRunner {
             : Boolean = size() > 4096
       })
 
+  /** (rowCount, sizeBytes) of a parquet file from its footer + status —
+    * the manifest metadata Iceberg stamps at commit time, read driver-side
+    * (one footer per file, milliseconds). (-1, -1) when unreadable: an
+    * unknown count must stay unknown, never a guess.
+    */
+  def parquetFooterCounts(
+      p: String,
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long) =
+    try {
+      val path = new org.apache.hadoop.fs.Path(p)
+      val size = path.getFileSystem(conf).getFileStatus(path).getLen
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val rows =
+        try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+        finally reader.close()
+      (rows, size)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   private def footerDigest(p: String, conf: org.apache.hadoop.conf.Configuration): String = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p), conf)
@@ -395,7 +414,7 @@ object CompactionRunner {
     * is planned cold. One schema-inference read per DISTINCT physical
     * schema ever seen (bounded by evolution history), also cached.
     */
-  private def schemaGroups(
+  private[graft] def schemaGroups(
       spark: SparkSession, paths: Seq[String])
       : Seq[(org.apache.spark.sql.types.StructType, Seq[String])] = {
     // Group from a call-local map seeded from the cache: a scan that plans

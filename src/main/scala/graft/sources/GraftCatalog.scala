@@ -908,6 +908,21 @@ final class GraftCatalog(root: String,
     * ones). The pos-deletes reference files scanned at `expectedHead`, so
     * the base assertion is also what keeps them pointing at live entries.
     */
+  /** Pos-delete snapshot entries with manifest counts stamped from the
+    * parquet footers (driver-side, one footer per file — the record_count
+    * / file_size_in_bytes Iceberg stamps at commit; the vectorized mask
+    * path and the broadcast-hint sizing both read them back).
+    */
+  private def posDeleteEntries(
+      spark: SparkSession, paths: Seq[String], seq: Long): Seq[TableEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { p =>
+      val (rows, bytes) = CompactionRunner.parquetFooterCounts(p, conf)
+      TableEntry("posdel", p, seq, "parquet", Nil,
+        recordCount = rows, sizeBytes = bytes)
+    }
+  }
+
   def commitRowDelta(
       table: String,
       expectedHead: Long,
@@ -1835,8 +1850,7 @@ final class GraftCatalog(root: String,
               s"${stale.take(3).mkString(", ")} were rewritten by a concurrent " +
               "commit after the delete scan; re-run against the new snapshot")
         val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
-        val newEntries =
-          written.map(p => TableEntry("posdel", p, seq, "parquet", Nil))
+        val newEntries = posDeleteEntries(spark, written, seq)
         val nextId = currentSnapshotId(table) + 1
         writeSnapshot(table, nextId, entries ++ newEntries)
         carrySchema(table, nextId - 1, nextId)
@@ -2004,7 +2018,7 @@ final class GraftCatalog(root: String,
       // part files — registering them would tax every future MoR read
       val posdel =
         if (referenced.isEmpty) Nil
-        else written.map(p => TableEntry("posdel", p, seq, "parquet", Nil))
+        else posDeleteEntries(spark, written, seq)
       val kept = entries.filterNot(e => e.kind == "data" && droppedSet(e.path))
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, kept ++ posdel)
@@ -2272,7 +2286,7 @@ final class GraftCatalog(root: String,
                 "commit after the update scan; re-run against the new snapshot")
           val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
           val newEntries =
-            delFiles.map(p => TableEntry("posdel", p, seq, "parquet", Nil)) ++
+            posDeleteEntries(spark, delFiles, seq) ++
               listParquetsIn(spark, dataDir)
                 .map(p => TableEntry("data", p, seq, "parquet", Nil))
           val nextId = currentSnapshotId(table) + 1
@@ -3492,7 +3506,7 @@ final class GraftCatalog(root: String,
       spark.read.parquet(p).limit(1).count() > 0)
     withTableLock(table) {
       commitRewriteLocked(table,
-        nonEmpty.map(p => TableEntry("posdel", p, maxEqSeq, "parquet", Nil)),
+        posDeleteEntries(spark, nonEmpty, maxEqSeq),
         eqs.map(_.path))
     }
   }
@@ -3527,7 +3541,7 @@ final class GraftCatalog(root: String,
     val seq = pos.map(_.seqNum).max
     withTableLock(table) {
       commitRewriteLocked(table,
-        written.map(p => TableEntry("posdel", p, seq, "parquet", Nil)),
+        posDeleteEntries(spark, written, seq),
         pos.map(_.path))
     }
   }

@@ -128,6 +128,23 @@ final class GraftV2Table(
         else filterOverwrite = Some(filters)
         this
       }
+      // V2-predicate entry points with the STRICT conversion — Spark's
+      // default bridging weakens boolean compounds (see canDeleteWhere),
+      // and an overwrite condition weakened to one Or-branch would
+      // suppress the wrong row set. Refusal here fails the statement
+      // loudly instead of corrupting the table.
+      override def canOverwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+        org.apache.spark.sql.graftbridge.DatasetBridge.strictToV1(predicates)
+          .exists(canOverwrite)
+      override def overwrite(
+          predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): WriteBuilder =
+        overwrite(org.apache.spark.sql.graftbridge.DatasetBridge
+          .strictToV1(predicates)
+          .getOrElse(throw new UnsupportedOperationException(
+            "REPLACE WHERE condition has no exact filter form " +
+              "(e.g. an OR with a non-translatable side); rewrite the " +
+              "condition or use row-level DML: " + predicates.mkString(", "))))
       override def overwriteDynamicPartitions(): WriteBuilder = {
         // on an UNPARTITIONED table the whole content is one "partition"
         // — Spark's own semantics: replace everything
@@ -179,6 +196,26 @@ final class GraftV2Table(
     */
   override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
     asOf.isEmpty && filters.forall(f => V1FilterColumns.toColumn(f).isDefined)
+
+  /** V2-predicate entry points overridden with the STRICT conversion:
+    * Spark's default bridging weakens boolean compounds (an Or with one
+    * untranslatable side becomes the other side ALONE — sound for scan
+    * pushdown, silent wrong-row DELETEs here, measured: `DELETE WHERE
+    * k = 0 OR k % 101 = 50` reached deleteWhere as `k = 0`). Refusing
+    * sends Spark to the row-level rewrite, which is always exact.
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    org.apache.spark.sql.graftbridge.DatasetBridge.strictToV1(predicates)
+      .exists(canDeleteWhere)
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    deleteWhere(org.apache.spark.sql.graftbridge.DatasetBridge
+      .strictToV1(predicates)
+      .getOrElse(throw new UnsupportedOperationException(
+        "deleteWhere predicates have no exact V1 form; canDeleteWhere " +
+          "should have refused: " + predicates.mkString(", "))))
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
     val dir = s"$root/_data/$tableName/v2del-${java.util.UUID.randomUUID()}"
@@ -704,6 +741,21 @@ class GraftV1Scan(
         }, token = () => "keyed")
       case None =>
         new GraftRddBatch(() => {
+          // VECTORIZED pos-delete masking: when the pending deletes are
+          // position-only and driver-bounded, serve the scans' own
+          // ColumnarBatches with deleted positions masked per batch —
+          // no anti join, ColumnarToRow stays at the consumer. Refuses
+          // (None) back to the row path on anything unprovable.
+          val masked: Option[Seq[GraftServedGroup]] =
+            if (host.nonEmpty ||
+                required.fieldNames.exists(n => n == "_file" || n == "_pos")) None
+            else GraftColumnarMask.serve(SparkSession.active, root, table,
+                asOf, required, filters, runtimeKeep)
+              .map { crdds =>
+                GraftColumnarMask.maskedServed.incrementAndGet()
+                crdds.map(GraftColumnarGroup(_): GraftServedGroup)
+              }
+          masked.getOrElse {
           val fs = GraftInnerFrame.frames(
             SparkSession.active, root, table, asOf, required, filters,
             host.flatMap(_.groupFilter), keepPaths = runtimeKeep)
@@ -724,6 +776,7 @@ class GraftV1Scan(
             case Some(crdds) => crdds.map(GraftColumnarGroup(_): GraftServedGroup)
             case None => GraftInnerFrame.servableRdds(fs)
               .map(GraftRowGroup(null, _): GraftServedGroup)
+          }
           }
         }, token = () => (runtimeKeep, host.flatMap(_.groupFilter)))
     }

@@ -109,6 +109,77 @@ object DatasetBridge {
     }
   }
 
+  /** STRICT V2-predicate → V1-filter conversion: every node must convert
+    * EXACTLY or the whole predicate refuses. Spark's own
+    * `PredicateUtils.toV1` deliberately WEAKENS boolean compounds — an
+    * `Or` whose one side cannot convert returns the OTHER side alone
+    * (sound for scan pushdown, where a residual filter re-checks rows) —
+    * but `SupportsDelete.deleteWhere` / `SupportsOverwrite.overwrite`
+    * treat the converted filter as the COMPLETE condition, so the default
+    * V2→V1 bridging silently deletes/overwrites the wrong row set (e.g.
+    * `DELETE WHERE k = 0 OR k % 101 = 50` reaches the table as
+    * `k = 0`). The doorway overrides the V2 entry points with this strict
+    * conversion and refuses (falling back to the row-level plan) instead.
+    */
+  def strictToV1(p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] = {
+    import org.apache.spark.sql.connector.expressions.{filter => v2}
+    import org.apache.spark.sql.{sources => v1}
+    p match {
+      case a: v2.And =>
+        for { l <- strictToV1(a.left()); r <- strictToV1(a.right()) }
+          yield v1.And(l, r)
+      case o: v2.Or =>
+        for { l <- strictToV1(o.left()); r <- strictToV1(o.right()) }
+          yield v1.Or(l, r)
+      case n: v2.Not => strictToV1(n.child()).map(v1.Not)
+      case leaf =>
+        // leaf shapes (=, <, IN, IS NULL, LIKE-prefix, …) convert exactly
+        // or not at all — only the boolean compounds above weaken
+        org.apache.spark.sql.internal.connector.PredicateUtils.toV1(leaf)
+    }
+  }
+
+  def strictToV1(ps: Array[org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Option[Array[org.apache.spark.sql.sources.Filter]] = {
+    val out = ps.map(strictToV1(_: org.apache.spark.sql.connector.expressions.filter.Predicate))
+    if (out.forall(_.isDefined)) Some(out.flatten) else None
+  }
+
+  /** The BARE scan's columnar rdd plus the scan's OWN output column
+    * names, peeling (and deliberately IGNORING) any `ProjectExec` above
+    * it. For the caller this means: the served batches carry the leaf
+    * scan's raw columns in scan-output order, NOT the frame's projected
+    * schema — the caller must locate the columns it wants by the returned
+    * names. The masked-columnar delete path uses this because selecting
+    * `_metadata` subfields plans a struct-building Project over a scan
+    * whose output already carries the FLAT metadata columns (file_path,
+    * row_index); the raw scan batches are exactly what masking needs.
+    */
+  def columnarScanRaw(df: DataFrame, peelFilters: Boolean = false)
+      : Option[(org.apache.spark.rdd.RDD[org.apache.spark.sql.vectorized.ColumnarBatch],
+        Seq[String])] = {
+    import org.apache.spark.sql.execution.{ColumnarToRowExec, FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+    val ds = df.asInstanceOf[classic.Dataset[org.apache.spark.sql.Row]]
+    val conf = ds.sparkSession.sessionState.conf.clone()
+    conf.setConf(
+      org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED, false)
+    org.apache.spark.sql.internal.SQLConf.withExistingConf(conf) {
+      def peel(p: SparkPlan): Option[SparkPlan] = p match {
+        case w: WholeStageCodegenExec => peel(w.child)
+        case c: ColumnarToRowExec => peel(c.child)
+        case i: InputAdapter => peel(i.child)
+        case pr: ProjectExec => peel(pr.child)
+        case f: FilterExec if peelFilters => peel(f.child)
+        case leaf if leaf.children.isEmpty && leaf.supportsColumnar => Some(leaf)
+        case _ => None
+      }
+      peel(classic.Dataset.ofRows(ds.sparkSession, ds.queryExecution.logical)
+        .queryExecution.executedPlan)
+        .map(leaf => (leaf.executeColumnar(), leaf.output.map(_.name)))
+    }
+  }
+
   /** The planned chain's leaf [[org.apache.spark.sql.execution.datasources.FileScanRDD]]
     * when every level above it is a OneToOne `MapPartitionsRDD` — i.e. the
     * chain passes the split OBJECT through unchanged, so computing the TOP

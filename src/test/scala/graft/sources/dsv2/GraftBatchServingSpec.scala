@@ -118,12 +118,28 @@ class GraftBatchServingSpec extends SparkSpec {
     assert(filtered.collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
       == Seq((7L, "v7")))
 
-    // pending deletes plan anti joins — row serving, same exact rows
+    // pending POSITION deletes stay columnar: deleted positions are
+    // masked inside each batch (zero-copy for untouched batches) instead
+    // of planning a row anti join — same exact rows
     spark.sql(s"DELETE FROM $g.t WHERE k >= 1000")
+    val masked0 = GraftColumnarMask.maskedServed.get()
     val afterDelete = spark.sql(s"SELECT k, v FROM $g.t")
-    assert(!batchScan(afterDelete).supportsColumnar,
-      "MoR read must serve rows")
+    assert(batchScan(afterDelete).supportsColumnar,
+      "pos-delete-bearing read must serve masked columnar:\n" +
+        afterDelete.queryExecution.executedPlan)
     assert(afterDelete.count() == 1000L)
+    assert(spark.sql(s"SELECT sum(k), min(k), max(k) FROM $g.t").head().toSeq ==
+      Seq(999L * 1000L / 2, 0L, 999L))
+    assert(GraftColumnarMask.maskedServed.get() > masked0,
+      "the read must go through the vectorized mask path")
+
+    // an EQUALITY delete needs value comparison — row anti join, exact
+    spark.sql(s"DELETE FROM $g.t WHERE k IN (1, 3)") // key-equality -> eqdel
+    assert(new GraftCatalog(root).loadEntries("t").exists(_.kind == "eqdel"))
+    val afterEq = spark.sql(s"SELECT k, v FROM $g.t")
+    assert(!batchScan(afterEq).supportsColumnar,
+      "eq-delete-bearing read must fall back to the row anti join")
+    assert(afterEq.count() == 998L)
   }
 
   test("MoR SELECT stays lazy: planning runs only the delete-side broadcasts") {

@@ -249,4 +249,31 @@ class GraftDeltaDmlSpec extends SparkSpec {
       assert(s.sql("SELECT _pos FROM graft.t").collect().length == 5)
     }
   }
+
+  test("partially-translatable OR conditions never weaken DELETE or REPLACE WHERE") {
+    // regression: Spark's default V2->V1 predicate bridging converts an
+    // Or whose one side has no V1 form into the OTHER SIDE ALONE (sound
+    // for scan pushdown, where residual filters re-check rows) — routed
+    // into SupportsDelete.deleteWhere that silently deleted the wrong
+    // row set (`k = 0 OR k % 101 = 50` arrived as `k = 0`). The strict
+    // conversion refuses, and the row-level rewrite executes exactly.
+    val root = Files.createTempDirectory("graft-delta-strictor").toString
+    withCatalogSession(root) { s =>
+      s.sql("CREATE TABLE graft.t (k BIGINT, v STRING)")
+      s.sql("INSERT INTO graft.t SELECT id, concat('v', id) FROM range(0, 3000)")
+      s.sql("DELETE FROM graft.t WHERE k = 0 OR k = 2999 OR k % 101 = 50")
+      val expect = (0L until 3000L)
+        .filterNot(k => k == 0 || k == 2999 || k % 101 == 50)
+      assert(s.sql("SELECT count(*) FROM graft.t").head().getLong(0)
+        == expect.length.toLong,
+        "the OR's untranslatable disjunct must not be dropped")
+      assert(s.sql("SELECT sum(k) FROM graft.t").head().getLong(0) == expect.sum)
+      // REPLACE WHERE with the same shape must fail LOUDLY, not weaken
+      val e = intercept[Exception](s.sql(
+        """INSERT INTO graft.t REPLACE WHERE k = 1 OR k % 7 = 3
+          |SELECT id, concat('r', id) FROM range(0, 5)""".stripMargin))
+      assert(e.getMessage.contains("REPLACE WHERE") ||
+        e.getMessage.contains("overwrite"), e.getMessage)
+    }
+  }
 }
