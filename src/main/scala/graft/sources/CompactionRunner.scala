@@ -656,9 +656,27 @@ object CompactionRunner {
     if (tasks.isEmpty) None
     else {
       val paths = dedupByPath(tasks)(_.path).map(_.path)
-      Some(hintSmall(spark, spark.read.parquet(paths: _*)
-        .select(canonCol(col("file_path")).as(MorPlanner.FilePathCol),
-          col("pos").as(MorPlanner.PosCol)), paths))
+      // deletion-vector sidecars (magic-sniffed) decode driver-side —
+      // they are compressed bitmaps, small by construction — and always
+      // broadcast; parquet row files read distributed as before
+      val conf = spark.sessionState.newHadoopConf()
+      val (dvPaths, pqPaths) = paths.partition(DeletionVectors.isDv(_, conf))
+      val pq =
+        if (pqPaths.isEmpty) None
+        else Some(hintSmall(spark, spark.read.parquet(pqPaths: _*)
+          .select(canonCol(col("file_path")).as(MorPlanner.FilePathCol),
+            col("pos").as(MorPlanner.PosCol)), pqPaths))
+      val dv =
+        if (dvPaths.isEmpty) None
+        else {
+          import spark.implicits._
+          val rows = dvPaths.flatMap(p =>
+            DeletionVectors.read(p, conf).iterator.flatMap {
+              case (f, ps) => ps.iterator.map(pos => (canonPath(f), pos))
+            })
+          Some(broadcast(rows.toDF(MorPlanner.FilePathCol, MorPlanner.PosCol)))
+        }
+      (pq.toSeq ++ dv.toSeq).reduceOption(_ unionByName _)
     }
 
   /** Read equality-delete files projected to their equality columns (P4),

@@ -3511,16 +3511,26 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** Rewrite the table's accumulated position-delete files into
+    * `targetFiles` merged ones (Iceberg's rewrite_position_delete_files),
+    * dropping dangling rows whose data file left the snapshot. With
+    * `asDeletionVectors = true` the merged deletes land as ONE compressed
+    * per-file-bitmap sidecar ([[DeletionVectors]] — the Iceberg-v3 shape)
+    * instead of parquet rows: readers sniff the magic, so both formats
+    * coexist in a snapshot and this call is the migration path.
+    */
   def compactDeleteFiles(
       spark: SparkSession,
       table: String,
       outDir: String,
-      targetFiles: Int = 1): Long = {
+      targetFiles: Int = 1,
+      asDeletionVectors: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val entries = loadEntries(table)
     val pos = entries.filter(_.kind == "posdel")
-    if (pos.size <= math.max(targetFiles, 1))
+    if (pos.size <= math.max(targetFiles, 1) && !asDeletionVectors)
       return currentSnapshotId(table)
+    if (pos.isEmpty) return currentSnapshotId(table)
     val merged = CompactionRunner.readPositionDeletes(spark,
       pos.map(p => PosDeleteTask(p.path))).get
     val livePaths = entries.filter(_.kind == "data")
@@ -3534,15 +3544,40 @@ final class GraftCatalog(root: String,
       .select(col(graft.operators.MorPlanner.FilePathCol).as("file_path"),
         col(graft.operators.MorPlanner.PosCol).as("pos"))
     val token = java.util.UUID.randomUUID().toString
-    val dir = s"$outDir/posdel-compact-$token"
-    alive.coalesce(math.max(targetFiles, 1))
-      .write.mode("errorifexists").parquet(dir)
-    val written = CompactionRunner.listParquet(dir)
     val seq = pos.map(_.seqNum).max
-    withTableLock(table) {
-      commitRewriteLocked(table,
-        posDeleteEntries(spark, written, seq),
-        pos.map(_.path))
+    if (asDeletionVectors) {
+      // driver-sized by the same bound the vectorized mask path uses:
+      // delete sets are manifest-counted; refuse (keep parquet) past it
+      val known = pos.map(_.recordCount)
+      require(known.forall(_ >= 0L) && known.sum <= 16L * 1000 * 1000,
+        s"delete set too large or uncounted for a deletion vector " +
+          s"(${known.mkString(",")}); compact to parquet instead")
+      val byFile = alive.collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
+      val dvPath = s"$outDir/posdel-dv-$token.gdv"
+      val conf = spark.sessionState.newHadoopConf()
+      val total = DeletionVectors.write(dvPath, byFile, conf)
+      val size =
+        try new java.io.File(dvPath.stripPrefix("file:")).length()
+        catch { case _: Throwable => -1L }
+      withTableLock(table) {
+        commitRewriteLocked(table,
+          if (total == 0L) Nil
+          else Seq(TableEntry("posdel", CompactionRunner.canonPath(dvPath),
+            seq, "dv", Nil, recordCount = total, sizeBytes = size)),
+          pos.map(_.path))
+      }
+    } else {
+      val dir = s"$outDir/posdel-compact-$token"
+      alive.coalesce(math.max(targetFiles, 1))
+        .write.mode("errorifexists").parquet(dir)
+      val written = CompactionRunner.listParquet(dir)
+      withTableLock(table) {
+        commitRewriteLocked(table,
+          posDeleteEntries(spark, written, seq),
+          pos.map(_.path))
+      }
     }
   }
 

@@ -116,14 +116,25 @@ private[dsv2] object GraftColumnarMask {
 
     // driver-side delete set: canonical path -> sorted positions (bounded
     // by MaxDeleteRows above — the same driver-sized metadata posture as
-    // the reference's in-memory delete vector)
-    val delRows = spark.read
-      .parquet(pos.map(_.path): _*)
-      .select(col("file_path"), col("pos"))
-      .collect()
-    val byFile: Map[String, Array[Long]] = delRows
-      .groupBy(r => CompactionRunner.canonPath(r.getString(0)))
-      .map { case (p, rs) => p -> rs.map(_.getLong(1)).distinct.sorted }
+    // the reference's in-memory delete vector). Deletion-vector sidecars
+    // ARE this structure on disk — decode them directly; parquet row
+    // files collect through one scan.
+    val conf = spark.sessionState.newHadoopConf()
+    val (dvFiles, pqFiles) = pos.map(_.path)
+      .partition(graft.sources.DeletionVectors.isDv(_, conf))
+    val pqRows: Seq[(String, Long)] =
+      if (pqFiles.isEmpty) Nil
+      else spark.read.parquet(pqFiles: _*)
+        .select(col("file_path"), col("pos"))
+        .collect().toSeq
+        .map(r => (CompactionRunner.canonPath(r.getString(0)), r.getLong(1)))
+    val dvRows: Seq[(String, Long)] = dvFiles.flatMap(p =>
+      graft.sources.DeletionVectors.read(p, conf).iterator.flatMap {
+        case (f, ps) => ps.iterator.map(x => (CompactionRunner.canonPath(f), x))
+      })
+    val byFile: Map[String, Array[Long]] = (pqRows ++ dvRows)
+      .groupBy(_._1)
+      .map { case (p, rs) => p -> rs.map(_._2).distinct.sorted.toArray }
     val bc = spark.sparkContext.broadcast(byFile)
 
     Some(colRdds.flatten.zip(located.flatten).map { case ((rdd, _), loc) =>

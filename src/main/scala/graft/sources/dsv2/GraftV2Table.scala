@@ -741,6 +741,23 @@ class GraftV1Scan(
         }, token = () => "keyed")
       case None =>
         new GraftRddBatch(() => {
+          // SERVED-PLAN CACHE: repeat reads of an UNCHANGED snapshot with
+          // the same projection/filters reuse the previously planned
+          // groups — the doorway's per-statement planning constant (one
+          // Catalyst pass + catalog loads, ~0.3 s) drops to a head-file
+          // read on every re-read, the shape a dashboard or a
+          // multi-statement session actually has. Keyed by snapshot id,
+          // so any commit naturally misses; runtime-filtered and
+          // group-filtered reads are never cached (their file sets are
+          // query-local).
+          val cacheKey: Option[Any] =
+            if (host.nonEmpty || runtimeKeep.nonEmpty) None
+            else scala.util.Try((System.identityHashCode(SparkSession.active),
+              root, table,
+              asOf.getOrElse(new GraftCatalog(root).currentSnapshotId(table)),
+              required.catalogString, filters.toSeq.map(_.toString))).toOption
+          cacheKey.flatMap(GraftV2Table.servedCacheGet).getOrElse {
+          val served: Seq[GraftServedGroup] = {
           // VECTORIZED pos-delete masking: when the pending deletes are
           // position-only and driver-bounded, serve the scans' own
           // ColumnarBatches with deleted positions masked per batch —
@@ -777,6 +794,10 @@ class GraftV1Scan(
             case None => GraftInnerFrame.servableRdds(fs)
               .map(GraftRowGroup(null, _): GraftServedGroup)
           }
+          }
+          }
+          cacheKey.foreach(GraftV2Table.servedCachePut(_, served))
+          served
           }
         }, token = () => (runtimeKeep, host.flatMap(_.groupFilter)))
     }
@@ -1290,6 +1311,24 @@ object GraftKeyedServing {
 }
 
 private[dsv2] object GraftV2Table {
+
+  /** Cross-statement served-plan cache: (session, root, table, snapshot,
+    * projection, filters) → planned groups. Snapshot id in the key makes
+    * staleness impossible (a commit changes the key); the LRU bound keeps
+    * retained RDD references small. The groups are LAZY rdds — caching
+    * them re-serves the plan, it never re-serves data.
+    */
+  private[dsv2] val servedCache =
+    new java.util.LinkedHashMap[Any, Seq[GraftServedGroup]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Any, Seq[GraftServedGroup]]): Boolean =
+        size() > 64
+    }
+  private[dsv2] object servedCacheLock
+  private[dsv2] def servedCacheGet(k: Any): Option[Seq[GraftServedGroup]] =
+    servedCacheLock.synchronized(Option(servedCache.get(k)))
+  private[dsv2] def servedCachePut(k: Any, v: Seq[GraftServedGroup]): Unit =
+    servedCacheLock.synchronized { servedCache.put(k, v); () }
 
   /** Transform names resolvable through [[GraftV2Functions]] (plus
     * Spark-native `identity`) — the only ones a clustered write

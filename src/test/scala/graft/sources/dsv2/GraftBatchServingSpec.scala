@@ -142,6 +142,27 @@ class GraftBatchServingSpec extends SparkSpec {
     assert(afterEq.count() == 998L)
   }
 
+  test("repeat reads of an unchanged snapshot reuse the served plan; commits miss") {
+    val root = Files.createTempDirectory("graft-serve-plancache").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 1000)")
+    def snap = new GraftCatalog(root).currentSnapshotId("t")
+    assert(spark.sql(s"SELECT k, v FROM $g.t").count() == 1000L)
+    val s1 = snap
+    // planning populated the cross-statement cache for this snapshot;
+    // the identical re-read reuses it (same rows, no re-plan)
+    val cachedKeys1 = GraftV2Table.servedCacheLock.synchronized(
+      GraftV2Table.servedCache.size())
+    assert(cachedKeys1 > 0, "first read must populate the served-plan cache")
+    assert(spark.sql(s"SELECT k, v FROM $g.t").count() == 1000L)
+    // a commit changes the snapshot id — the key misses, fresh rows serve
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('w', id) FROM range(1000, 1100)")
+    assert(snap > s1)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 1100L)
+    assert(spark.sql(s"SELECT k FROM $g.t WHERE k >= 1000").count() == 100L)
+  }
+
   test("MoR SELECT stays lazy: planning runs only the delete-side broadcasts") {
     val root = Files.createTempDirectory("graft-serve-del").toString
     val g = mountCatalog(root)
