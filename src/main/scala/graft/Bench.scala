@@ -67,11 +67,11 @@ object Bench {
     "q117" -> 2.08, "q118" -> 0.57, "q119" -> 0.4, "q120" -> 2.91,
     "q121" -> 0.93, "q122" -> 1.03, "q123" -> 0.46, "q124" -> 0.29,
     "q125" -> 0.06, "q126" -> 0.79, "q127" -> 1.2, "q128" -> 1.59,
-    "q129" -> 0.46, "q130" -> 0.96, "q131" -> 0.29, "q132" -> 1.66,
-    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 4.01,
+    "q129" -> 0.29, "q130" -> 0.96, "q131" -> 0.29, "q132" -> 1.66,
+    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 2.4,
     // q137 level re-recorded after its r11 re-pointing through the DSv2
     // doorway (1.57 was the pre-doorway level)
-    "q137" -> 2.46, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
+    "q137" -> 1.4, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
     "q141" -> 0.18,
     // round-11 gates (idle-box min-of-3): q142 REST namespace round-trip;
     // q143 eq->pos conversion; q144 DSv2 CREATE/INSERT/DELETE/SELECT;
@@ -80,11 +80,11 @@ object Bench {
     // (the 2-file slice can never win from the group-filter subquery;
     // the mechanism's own evidence is GraftDeltaDmlSpec + SCALING.md's
     // COW curve); probed 4.01 min-of-3 on a drifting box
-    "q142" -> 0.29, "q143" -> 2.27, "q144" -> 1.06,
+    "q142" -> 0.29, "q143" -> 2.27, "q144" -> 0.86,
     // q145 merge-on-read DSv2 DML: three WriteDelta lifecycles (identity
     // scan + pos-delete/data pair per statement) on the 60k slice —
     // settled at 4.5-4.8 across r11/r12 idle-box runs
-    "q145" -> 4.77,
+    "q145" -> 3.5,
     // q146 CALL-procedure lifecycle (compact + expire through the native
     // ProcedureCatalog) — idle-box min-of-3
     "q146" -> 2.3,
@@ -105,13 +105,17 @@ object Bench {
     // answer); q153 metadata tables (partitions rollup + snapshots/
     // history requires) — idle-box first recordings
     "q152" -> 0.41, "q153" -> 0.65,
-    // round-13 gates (idle-box first recordings): q154 SPJ with pending
-    // MoR deletes — gate cost is the lifecycle (2 CREATEs, a fanout
-    // INSERT slicing sf0.1 lineitem, the MoR WriteDelta DELETE, and the
-    // join evaluated for the in-gate require and again by the sink);
-    // q155 partition-evolution DDL; q156 metadata-agg refusal (INSERT +
-    // eq-delete + two aggregate plans probed in-gate)
-    "q154" -> 8.7, "q155" -> 0.67, "q156" -> 1.9)
+    // round-13 gates (idle-box recordings, refreshed after the closing
+    // perf work): q154 SPJ with pending MoR deletes fell 8.7 -> 2.9 from
+    // the manifest-sized delete broadcast + vectorized masking; q155
+    // partition-evolution DDL; q156 metadata-agg refusal; q157
+    // write-order DDL + writer-stats pruning; q158 tag lifecycle; q159
+    // deletion-vector migration through CALL. Re-recorded after the
+    // same work: q136 4.01 -> 2.4, q137 2.46 -> 1.4 (served-plan cache),
+    // q145 4.77 -> 3.5 (masked MoR reads), q144 1.06 -> 0.86,
+    // q129 0.46 -> 0.29
+    "q154" -> 2.9, "q155" -> 0.61, "q156" -> 1.2,
+    "q157" -> 0.94, "q158" -> 0.51, "q159" -> 1.4)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded

@@ -428,6 +428,33 @@ object ExplainAudit {
     sb.append("maxFilesPerTrigger streaming admission control, writes\n")
     sb.append("clustered by partition TRANSFORMS, and the truncate wrap-edge\n")
     sb.append("fix caught by the new write/read transform-equivalence spec.\n")
+    sb.append("r13: keyed (SPJ) serving regroups ONE planned scan into\n")
+    sb.append("tuple-pure foreign splits — planning O(files) not O(tuples ×\n")
+    sb.append("Catalyst), the 128-tuple cap lifts to 16384, and the layout\n")
+    sb.append("survives pending MoR deletes (row-local) and time travel; q151\n")
+    sb.append("2.65 -> 1.4 s from this. Row-id scans refuse the layout (an\n")
+    sb.append("UPDATE re-served one whole-table frame per tuple — caught,\n")
+    sb.append("fixed, regression-tested). DPP file pruning applies INSIDE the\n")
+    sb.append("keyed regroup. Delete-side anti joins carry a manifest-sized\n")
+    sb.append("explicit broadcast hint (SPJ setups disable the session\n")
+    sb.append("threshold; without the hint the sort-merge chain forced the\n")
+    sb.append("per-tuple fallback — 477 s at bucket(256), now 3.1 s).\n")
+    sb.append("Writer-side per-file column bounds: every doorway write stamps\n")
+    sb.append("exact min/max/null counts, so fresh INSERTs stats-prune with no\n")
+    sb.append("compaction (q157). Pos-delete-bearing SELECTs serve MASKED\n")
+    sb.append("COLUMNAR (positions masked per batch from the broadcast delete\n")
+    sb.append("set; untouched batches pass zero-copy) — no anti join in the\n")
+    sb.append("plan; eq-deletes and nested types keep the exact row path.\n")
+    sb.append("Deletion vectors (q159): pos-deletes migrate to per-file\n")
+    sb.append("compressed bitmaps behind the same posdel surface. The served-\n")
+    sb.append("plan cache closes the doorway planning constant on re-reads of\n")
+    sb.append("an unchanged snapshot (door ~= lib at every probed size).\n")
+    sb.append("SQL spellings landed: ALTER TABLE ADD/DROP/REPLACE PARTITION\n")
+    sb.append("FIELD (q155), CREATE/DROP TAG + CREATE BRANCH (q158), WRITE\n")
+    sb.append("ORDERED BY / UNORDERED. Strict V2->V1 predicate conversion\n")
+    sb.append("fixes a silent wrong-rows DELETE reachable through vanilla\n")
+    sb.append("Spark (an Or with one untranslatable side was weakened to the\n")
+    sb.append("other side alone inside SupportsDelete's default bridging).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

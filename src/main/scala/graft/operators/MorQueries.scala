@@ -661,14 +661,24 @@ object MorQueries {
     val cat = new graft.sources.GraftCatalog(root)
     val data = cat.loadEntries("db/supplier").filter(_.kind == "data")
     val lookupBucket = graft.functions.IcebergMurmur3.bucketLong(17L, 4)
-    val inBucket = data.count(_.partitionVals.get("s_suppkey_bucket")
-      .exists(v => v != null && v.toInt == lookupBucket))
+    // tuple pruning opens only the lookup bucket's files; writer-side
+    // stats (round 13) then drop bucket files whose bounds exclude the
+    // key — at sf0.001 the key does not exist at all and the lookup
+    // correctly opens ZERO files
+    def covers(e: cat.TableEntry): Boolean = e.stats.forall(st =>
+      (st.colMins.get("s_suppkey").flatMap(_.toDoubleOption),
+        st.colMaxs.get("s_suppkey").flatMap(_.toDoubleOption)) match {
+        case (Some(mn), Some(mx)) => mn <= 17d && 17d <= mx
+        case _ => true
+      })
+    val inBucket = data.count(e => e.partitionVals.get("s_suppkey_bucket")
+      .exists(v => v != null && v.toInt == lookupBucket) && covers(e))
     require(data.map(_.partitionVals("s_suppkey_bucket")).distinct.size == 4,
       "fanout write must materialize all 4 buckets")
     val pruned = cat.scanTableWhere(spark, "db/supplier", "s_suppkey", 17, 17)
     require(pruned.inputFiles.length == inBucket && inBucket < data.size,
-      s"point lookup must open the $inBucket bucket-$lookupBucket files, " +
-        s"opened ${pruned.inputFiles.length} of ${data.size}")
+      s"point lookup must open the $inBucket bucket-$lookupBucket " +
+        s"stats-covered files, opened ${pruned.inputFiles.length} of ${data.size}")
     spark.sql(
       s"""SELECT s.s_suppkey, s.s_name, s.s_nationkey, m.n_total
          |FROM (SELECT s_suppkey, s_name, s_nationkey FROM $g.db.supplier
@@ -1015,8 +1025,16 @@ object MorQueries {
     val key = 42L // even -> lives in the old generation
     val b4 = graft.functions.IcebergMurmur3.bucketLong(key, 4)
     val b8 = graft.functions.IcebergMurmur3.bucketLong(key, 8)
-    val expect = oldGen.count(_.partitionVals("s_suppkey_bucket").toInt == b4) +
-      newGen.count(_.partitionVals("s_suppkey_bucket").toInt == b8)
+    // per-generation tuple pruning narrowed further by writer stats
+    def covers(e: cat.TableEntry): Boolean = e.stats.forall(st =>
+      (st.colMins.get("s_suppkey").flatMap(_.toDoubleOption),
+        st.colMaxs.get("s_suppkey").flatMap(_.toDoubleOption)) match {
+        case (Some(mn), Some(mx)) => mn <= key.toDouble && key.toDouble <= mx
+        case _ => true
+      })
+    val expect =
+      oldGen.count(e => e.partitionVals("s_suppkey_bucket").toInt == b4 && covers(e)) +
+        newGen.count(e => e.partitionVals("s_suppkey_bucket").toInt == b8 && covers(e))
     require(expect < data.size, "the q155 fixture must actually prune")
     val pruned = cat.scanTableWhere(spark, "s", "s_suppkey",
       key.toDouble, key.toDouble)
@@ -1153,9 +1171,57 @@ object MorQueries {
       spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
   }
 
+  /** Q159: deletion-vector migration through `CALL` — accumulate parquet
+    * pos-deletes via translatable DELETEs, `CALL cat.system.
+    * rewrite_position_delete_files(t, as_deletion_vectors => true)`, and
+    * require (a) exactly one counted DV posdel entry remains and (b) the
+    * post-migration read serves MASKED COLUMNAR (the DV decodes straight
+    * into the mask's per-file position arrays). Oracle = the post-delete
+    * content: migration loses nothing.
+    */
+  private def q159(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q159").toString
+    val g = s"g159_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.o (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("q159_src")
+    spark.sql(
+      s"""INSERT INTO $g.o
+         |SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM q159_src WHERE o_orderkey <= 60000""".stripMargin)
+    // three untranslatable MoR DELETEs -> three appended parquet
+    // pos-delete commits (translatable ranges take the metadata path,
+    // which MERGES pos-deletes into one file; equality keys take the
+    // eq-delete fast path — neither accumulates)
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderkey % 97 = 13")
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderkey % 89 = 7")
+    spark.sql(s"DELETE FROM $g.o WHERE o_custkey % 53 = 11")
+    val cat = new graft.sources.GraftCatalog(root)
+    require(cat.loadEntries("o").count(_.kind == "posdel") >= 3,
+      "the q159 fixture must accumulate parquet pos-delete files")
+    spark.sql(s"CALL $g.system.rewrite_position_delete_files('o', " +
+      "as_deletion_vectors => true)").collect()
+    val pos = cat.loadEntries("o").filter(_.kind == "posdel")
+    require(pos.size == 1 && pos.head.format == "dv" && pos.head.recordCount > 0,
+      s"migration must leave one counted deletion vector, got $pos")
+    val out = spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM $g.o")
+    val scan = out.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    require(scan.exists(_.supportsColumnar),
+      "the DV-bearing read must serve masked columnar:\n" +
+        out.queryExecution.executedPlan)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q157_write_order_stats" -> (q157 _),
     "q158_snapshot_tags" -> (q158 _),
+    "q159_deletion_vectors" -> (q159 _),
     "q154_spj_deletes" -> (q154 _),
     "q155_partition_evolution" -> (q155 _),
     "q156_metadata_agg_refusal" -> (q156 _),
@@ -1225,6 +1291,11 @@ object MorQueries {
     "q158_snapshot_tags" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation
         |WHERE n_regionkey <> 2""".stripMargin,
+    "q159_deletion_vectors" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 60000
+        |  AND o_orderkey % 97 <> 13 AND o_orderkey % 89 <> 7
+        |  AND o_custkey % 53 <> 11""".stripMargin,
     "q154_spj_deletes" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, s.s_name,
         |       l.l_quantity

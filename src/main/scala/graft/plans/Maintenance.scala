@@ -97,7 +97,8 @@ object MaintenanceOp {
     * files merge into few, dangling rows drop, data untouched. Row: the
     * resulting head (unchanged head = nothing to shrink).
     */
-  case object CompactDeleteFiles extends MaintenanceOp {
+  final case class CompactDeleteFiles(asDeletionVectors: Boolean = false)
+      extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("snapshot_id")
   }
 }
@@ -236,9 +237,10 @@ object GraftMaintenanceExec {
         val sid = cat.rewriteEqDeletes(spark, table, out)
         val posAfter = cat.loadEntries(table).count(_.kind == "posdel").toLong
         Seq(Seq(sid, eqBefore, posAfter - posBefore))
-      case MaintenanceOp.CompactDeleteFiles =>
+      case MaintenanceOp.CompactDeleteFiles(asDv) =>
         val out = s"$root/_data/$table/pdrw-${java.util.UUID.randomUUID()}"
-        Seq(Seq(cat.compactDeleteFiles(spark, table, out)))
+        Seq(Seq(cat.compactDeleteFiles(spark, table, out,
+          asDeletionVectors = asDv)))
       case MaintenanceOp.RemoveOrphans(graceSeconds) =>
         // candidates = recursive listing of the catalog-managed data
         // location; a driver-side walk over file metadata (Iceberg's

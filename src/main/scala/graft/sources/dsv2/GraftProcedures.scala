@@ -92,9 +92,12 @@ object GraftProcedures {
         (tableArg(in, 0), MaintenanceOp.RemoveOrphans(grace))
       }),
     Spec("rewrite_position_delete_files",
-      "merge small position-delete files and drop dangling delete rows",
-      Seq(p("table", StringType)),
-      (cat, in) => (tableArg(in, 0), MaintenanceOp.CompactDeleteFiles)),
+      "merge small position-delete files and drop dangling delete rows; " +
+        "as_deletion_vectors lands them as one compressed bitmap sidecar",
+      Seq(p("table", StringType),
+        pDefault("as_deletion_vectors", BooleanType, "false")),
+      (cat, in) => (tableArg(in, 0),
+        MaintenanceOp.CompactDeleteFiles(in.getBoolean(1)))),
     Spec("rewrite_equality_deletes",
       "convert equality deletes to position deletes (data files untouched)",
       Seq(p("table", StringType)),
