@@ -21,7 +21,11 @@ import graft.sources.dsv2.GraftSparkCatalog
   * }}}
   *
   * Injected AHEAD of the delegate parser by [[GraftExtensions]]; any
-  * statement that is not exactly this shape delegates untouched. The
+  * statement that is not exactly this shape delegates untouched. Known
+  * limitation (shared with other extension-provided grammars): the parse
+  * claims these spellings for EVERY catalog — executing one against a
+  * non-graft catalog fails at run time with a named error rather than
+  * delegating, because catalog resolution happens after parsing. The
   * evolution itself is the library's [[GraftCatalog.setPartitionSpec]]:
   * existing files keep the tuple binding they were recorded under and
   * stay prunable through it (per-file old-spec pruning —

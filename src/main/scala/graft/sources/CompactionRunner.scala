@@ -48,8 +48,12 @@ object CompactionRunner {
     */
   final case class DataFileTask(path: String, seqNum: Long, format: String = "parquet")
 
-  /** A position-delete file (columns `file_path`, `pos`). */
-  final case class PosDeleteTask(path: String)
+  /** A position-delete file: parquet rows (`file_path`, `pos`) or a
+    * deletion-vector sidecar. `format` carries the snapshot entry's
+    * recorded value ("parquet" / "dv") so readers dispatch without a
+    * per-file magic sniff; "" (externally-sourced tasks) sniffs.
+    */
+  final case class PosDeleteTask(path: String, format: String = "")
 
   /** An equality-delete file: path, its sequence number, and the equality
     * columns — preferably as field IDs (`equalityIds`, the reference's
@@ -655,22 +659,26 @@ object CompactionRunner {
   def readPositionDeletes(spark: SparkSession, tasks: Seq[PosDeleteTask]): Option[DataFrame] =
     if (tasks.isEmpty) None
     else {
-      val paths = dedupByPath(tasks)(_.path).map(_.path)
-      // deletion-vector sidecars (magic-sniffed) decode driver-side —
-      // they are compressed bitmaps, small by construction — and always
-      // broadcast; parquet row files read distributed as before
+      val dedup = dedupByPath(tasks)(_.path)
+      // deletion-vector sidecars decode driver-side — they are compressed
+      // bitmaps, small by construction — and always broadcast; parquet
+      // row files read distributed as before. The recorded entry format
+      // dispatches; only format-less (external) tasks pay a magic sniff.
       val conf = spark.sessionState.newHadoopConf()
-      val (dvPaths, pqPaths) = paths.partition(DeletionVectors.isDv(_, conf))
+      val (dvPaths, pqPaths) = dedup.partition(t =>
+        t.format == "dv" ||
+          (t.format != "parquet" && DeletionVectors.isDv(t.path, conf)))
+      def paths(ts: Seq[PosDeleteTask]) = ts.map(_.path)
       val pq =
         if (pqPaths.isEmpty) None
-        else Some(hintSmall(spark, spark.read.parquet(pqPaths: _*)
+        else Some(hintSmall(spark, spark.read.parquet(paths(pqPaths): _*)
           .select(canonCol(col("file_path")).as(MorPlanner.FilePathCol),
-            col("pos").as(MorPlanner.PosCol)), pqPaths))
+            col("pos").as(MorPlanner.PosCol)), paths(pqPaths)))
       val dv =
         if (dvPaths.isEmpty) None
         else {
           import spark.implicits._
-          val rows = dvPaths.flatMap(p =>
+          val rows = paths(dvPaths).flatMap(p =>
             DeletionVectors.read(p, conf).iterator.flatMap {
               case (f, ps) => ps.iterator.map(pos => (canonPath(f), pos))
             })

@@ -737,7 +737,7 @@ final class GraftCatalog(root: String,
       else all.filter(e => e.kind != "data" || dataKeep(e))
     if (dataTasks(entries).isEmpty)
       return Seq(scanEntries(spark, table, entries, schema))
-    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
       EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
     }
@@ -848,7 +848,7 @@ final class GraftCatalog(root: String,
     }
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries),
       schema)
-    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
       EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
     }
@@ -967,7 +967,7 @@ final class GraftCatalog(root: String,
               "an empty table has no schema to scan")
       }
     }
-    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
       EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
     }
@@ -1031,7 +1031,7 @@ final class GraftCatalog(root: String,
         currentSchema(table))
       graft.operators.MorPlanner.merge(data,
         CompactionRunner.readPositionDeletes(spark,
-          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }),
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }),
         CompactionRunner.readEqualityDeletes(spark,
           entries.collect { case e if e.kind == "eqdel" =>
             EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
@@ -1186,7 +1186,7 @@ final class GraftCatalog(root: String,
         currentSchema(table))
       graft.operators.MorPlanner.merge(data,
         CompactionRunner.readPositionDeletes(spark,
-          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }),
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }),
         CompactionRunner.readEqualityDeletes(spark,
           entries.collect { case e if e.kind == "eqdel" =>
             EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
@@ -1884,7 +1884,7 @@ final class GraftCatalog(root: String,
       val scan = CompactionRunner.scanWithHiddenCols(spark, affTasks, schema)
       val merged = graft.operators.MorPlanner.merge(scan,
         CompactionRunner.readPositionDeletes(spark,
-          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }),
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }),
         CompactionRunner.readEqualityDeletes(spark,
           entries.collect { case e if e.kind == "eqdel" =>
             EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
@@ -2185,7 +2185,7 @@ final class GraftCatalog(root: String,
     }
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries), schema)
     val afterPos = CompactionRunner.readPositionDeletes(spark,
-      entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) })
+      entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) })
       .fold(data)(graft.operators.MorPlanner.applyPositionDeletes(data, _))
     CompactionRunner.readEqualityDeletes(spark,
       entries.collect { case e if e.kind == "eqdel" =>
@@ -2471,7 +2471,7 @@ final class GraftCatalog(root: String,
     val schema = schemaAt(table, toSnapshotId)
 
     def pos(es: Seq[TableEntry]) =
-      es.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) }
+      es.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }
     def eq(es: Seq[TableEntry]) =
       es.collect { case e if e.kind == "eqdel" =>
         EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
@@ -3532,7 +3532,7 @@ final class GraftCatalog(root: String,
       return currentSnapshotId(table)
     if (pos.isEmpty) return currentSnapshotId(table)
     val merged = CompactionRunner.readPositionDeletes(spark,
-      pos.map(p => PosDeleteTask(p.path))).get
+      pos.map(p => PosDeleteTask(p.path, p.format))).get
     val livePaths = entries.filter(_.kind == "data")
       .map(e => CompactionRunner.canonPath(e.path))
     import spark.implicits._
@@ -3616,7 +3616,7 @@ final class GraftCatalog(root: String,
           statsCols = (effective.statsCols ++ so).distinct)
       val manifest = CompactionRunner.compact(spark,
         dataTasks(entries),
-        entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
+        entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) },
         entries.collect { case e if e.kind == "eqdel" =>
           EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
         },
@@ -3752,7 +3752,7 @@ final class GraftCatalog(root: String,
               statsCols = (config.statsCols ++ so).distinct)
           val manifest = CompactionRunner.compact(spark,
             delta,
-            entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path) },
+            entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) },
             entries.collect { case e if e.kind == "eqdel" =>
               EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
             },

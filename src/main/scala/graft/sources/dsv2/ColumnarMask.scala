@@ -58,6 +58,12 @@ private[dsv2] object GraftColumnarMask {
       filters: Array[Filter],
       runtimeKeep: Option[Set[String]]): Option[Seq[RDD[ColumnarBatch]]] = {
     if (required.isEmpty) return None // COUNT(*) zero-column reads: row path
+    // FILTERED reads keep the row path: its pruned-scan routing opens
+    // only tuple/stats/bloom-covered files, while this path plans the
+    // whole snapshot — masking a point lookup would silently trade one
+    // anti join for reading every file. Unfiltered SELECTs (the
+    // scan-everything shape masking is for) lose nothing.
+    if (filters.nonEmpty) return None
     if (!required.fields.forall(f => maskable(f.dataType))) return None
     val cat = new GraftCatalog(root)
     val entries = asOf match {
@@ -105,10 +111,15 @@ private[dsv2] object GraftColumnarMask {
     final case class Located(dataIdx: Array[Int], fileIdx: Int, rowIdx: Int)
     val located: Seq[Option[Located]] = colRdds.flatten.map { case (_, names) =>
       val dataIdx = required.fields.map(f => names.indexOf(f.name))
-      val fileIdx = names.indexOf("file_path")
+      // the leaf scan appends the flat metadata columns AFTER the data
+      // columns; search only past the data region so a USER column named
+      // file_path / row_index can never be mistaken for the metadata one
+      // (masking against user values would silently resurrect deleted rows)
+      val metaFrom = required.length
+      val fileIdx = names.indexOf("file_path", metaFrom)
       val rowIdx = names.indexWhere(n =>
-        n == "row_index" || n == "_tmp_metadata_row_index")
-      if (dataIdx.forall(_ >= 0) && fileIdx >= 0 && rowIdx >= 0)
+        n == "row_index" || n == "_tmp_metadata_row_index", metaFrom)
+      if (dataIdx.forall(i => i >= 0 && i < metaFrom) && fileIdx >= 0 && rowIdx >= 0)
         Some(Located(dataIdx, fileIdx, rowIdx))
       else None
     }
@@ -120,8 +131,10 @@ private[dsv2] object GraftColumnarMask {
     // ARE this structure on disk — decode them directly; parquet row
     // files collect through one scan.
     val conf = spark.sessionState.newHadoopConf()
-    val (dvFiles, pqFiles) = pos.map(_.path)
-      .partition(graft.sources.DeletionVectors.isDv(_, conf))
+    // dispatch on the RECORDED entry format (no per-file sniff; entries
+    // always carry it — commits stamp "parquet" or "dv")
+    val (dvEntries, pqEntries) = pos.partition(_.format == "dv")
+    val (dvFiles, pqFiles) = (dvEntries.map(_.path), pqEntries.map(_.path))
     val pqRows: Seq[(String, Long)] =
       if (pqFiles.isEmpty) Nil
       else spark.read.parquet(pqFiles: _*)

@@ -750,10 +750,15 @@ class GraftV1Scan(
           // so any commit naturally misses; runtime-filtered and
           // group-filtered reads are never cached (their file sets are
           // query-local).
+          // asOf.isDefined is part of the key: a commit racing a HEAD
+          // read's planning can cache the newer snapshot's groups under
+          // the pre-commit id — harmless for head reads (any later read
+          // keys the new head) but a VERSION AS OF <old> must never hit
+          // that entry, so pinned and head reads never share keys
           val cacheKey: Option[Any] =
             if (host.nonEmpty || runtimeKeep.nonEmpty) None
             else scala.util.Try((System.identityHashCode(SparkSession.active),
-              root, table,
+              root, table, asOf.isDefined,
               asOf.getOrElse(new GraftCatalog(root).currentSnapshotId(table)),
               required.catalogString, filters.toSeq.map(_.toString))).toOption
           cacheKey.flatMap(GraftV2Table.servedCacheGet).getOrElse {
@@ -1417,6 +1422,14 @@ private[dsv2] object GraftKeyedLayout {
     */
   private val MaxTuples = 16384
 
+  /** Tuple count up to which the per-tuple FALLBACK (one Catalyst pass
+    * per tuple, taken only when the one-plan regroup refuses) stays an
+    * acceptable worst case. Past it, a layout whose pending delete sets
+    * cannot provably broadcast (the refusal trigger) is refused up front
+    * — an ordinary shuffle join beats minutes of driver planning.
+    */
+  private val FallbackSafeTuples = 128
+
   /** Some only when the layout is PROVABLE from the snapshot: a declared
     * spec, every data file carrying a full tuple recorded under the
     * CURRENT spec's binding, every value parsing to the transform's
@@ -1435,13 +1448,22 @@ private[dsv2] object GraftKeyedLayout {
     if (spec.isEmpty) return None
     val schema = asOf.fold(cat.currentSchema(table))(cat.schemaAt(table, _))
       .getOrElse(return None)
-    val entries = (asOf match {
+    val allEntries = asOf match {
       case Some(sid) =>
         if (cat.snapshotIds(table).contains(sid)) cat.loadEntriesAt(table, sid)
         else return None
       case None => cat.loadEntries(table)
-    }).filter(_.kind == "data")
+    }
+    val entries = allEntries.filter(_.kind == "data")
     if (entries.isEmpty) return None
+    // a WIDE spec only keeps the layout when the pending delete sets
+    // provably BROADCAST (manifest sizes under the anti-join hint cap):
+    // past it the MoR delete join plans a shuffle, the one-plan regroup
+    // refuses the chain, and the per-tuple fallback costs O(tuples ×
+    // Catalyst) — the measured 477 s cliff at 256 tuples. Narrow specs
+    // keep the layout (the fallback is bounded); wide ones degrade to an
+    // ordinary shuffle join, which is strictly cheaper than the fallback.
+    val deleteBytes = allEntries.filter(_.kind != "data").map(_.sizeBytes)
     val Param = """([a-z]+)\[(\d+)\]""".r
     def srcType(source: String): Option[DataType] =
       schema.fields.find(_.name == source).map(_.dataType)
@@ -1493,6 +1515,8 @@ private[dsv2] object GraftKeyedLayout {
       byTuple.getOrElseUpdate(tuple, scala.collection.mutable.Set.empty) += e.path
     }
     if (byTuple.size > MaxTuples) return None
+    if (byTuple.size > FallbackSafeTuples && deleteBytes.nonEmpty &&
+        (deleteBytes.exists(_ < 0L) || deleteBytes.sum > (64L << 20))) return None
     val tuples = byTuple.toSeq
       .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000"))
       .map { case (vals, files) =>

@@ -48,9 +48,12 @@ final class WriterStats(schema: StructType) {
     var i = 0
     while (i < cols.length) {
       val c = cols(i)
-      if (!c.dropped) {
-        if (row.isNullAt(c.ordinal)) c.nulls += 1
-        else c.dt match {
+      // null counting NEVER stops: the manifest COUNT(col) pushdown
+      // consumes nullCounts without a bounds check, so an undercount
+      // would serve a wrong aggregate — `dropped` only disables bounds
+      if (row.isNullAt(c.ordinal)) c.nulls += 1
+      else if (!c.dropped) {
+        c.dt match {
           case ByteType | ShortType | IntegerType | LongType =>
             val v = c.dt match {
               case ByteType => row.getByte(c.ordinal).toLong

@@ -248,7 +248,7 @@ class CompactionRunnerSpec extends SparkSpec {
       .select(col(MorPlanner.FilePathCol).as("file_path"),
         col(MorPlanner.PosCol).as("pos"))
       .write.mode("overwrite").parquet(s"$dir/posdel")
-    val posTasks = filesIn(s"$dir/posdel", ".parquet").map(PosDeleteTask)
+    val posTasks = filesIn(s"$dir/posdel", ".parquet").map(PosDeleteTask(_))
     val manifest = compact(spark, tasks, posTasks, Nil, out,
       CompactionConfig(targetPartitions = 2, statsCols = Seq("l_orderkey")))
     val expected = scanWithHiddenCols(spark, tasks)
@@ -345,7 +345,7 @@ class CompactionRunnerSpec extends SparkSpec {
         .filter(f => f.getName.endsWith(".parquet")).map(_.getPath).toSeq
 
     val manifest = compact(spark, dataTasks,
-      parquetsIn(s"$deletes/pos").map(PosDeleteTask),
+      parquetsIn(s"$deletes/pos").map(PosDeleteTask(_)),
       parquetsIn(s"$deletes/eq").map(EqDeleteTask(_, 10L, Seq("l_orderkey", "l_linenumber"))),
       out,
       CompactionConfig(
@@ -357,7 +357,7 @@ class CompactionRunnerSpec extends SparkSpec {
     // independent expectation: planner applied directly to the same scan
     val expected = MorPlanner.merge(
       scanWithHiddenCols(spark, dataTasks),
-      readPositionDeletes(spark, parquetsIn(s"$deletes/pos").map(PosDeleteTask)),
+      readPositionDeletes(spark, parquetsIn(s"$deletes/pos").map(PosDeleteTask(_))),
       readEqualityDeletes(spark, parquetsIn(s"$deletes/eq")
         .map(EqDeleteTask(_, 10L, Seq("l_orderkey", "l_linenumber"))))).count()
     assert(manifest.outputRecordCount == expected)

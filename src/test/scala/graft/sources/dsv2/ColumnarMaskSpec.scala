@@ -100,6 +100,50 @@ class ColumnarMaskSpec extends SparkSpec {
       (0L until 1000L).count(k => k % 10 != 3 && k % 10 != 7))
   }
 
+  test("a user column named file_path can never be mistaken for the metadata one") {
+    // regression guard: the mask locates the flat metadata columns by
+    // name PAST the data region — a data column literally named
+    // file_path (a file-inventory table) must not desync the mask
+    val root = Files.createTempDirectory("graft-mask-collide").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (k BIGINT, file_path STRING, row_index BIGINT)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $g.t
+         |SELECT id, concat('/user/path/', id), id * 100 FROM range(0, 500)""".stripMargin)
+    spark.sql(s"DELETE FROM $g.t WHERE k % 7 = 2") // untranslatable -> pos-deletes
+    val expect = (0L until 500L).filterNot(_ % 7 == 2)
+    val out = spark.sql(s"SELECT k, file_path, row_index FROM $g.t")
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == expect,
+      "deleted rows must never resurface under a colliding column name")
+    rows.foreach { r =>
+      assert(r.getString(1) == s"/user/path/${r.getLong(0)}")
+      assert(r.getLong(2) == r.getLong(0) * 100)
+    }
+  }
+
+  test("filtered reads keep the row path's file pruning (mask refuses)") {
+    val root = Files.createTempDirectory("graft-mask-filter").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 1000)")
+    spark.sql(s"DELETE FROM $g.t WHERE k % 10 = 3")
+    val masked0 = GraftColumnarMask.maskedServed.get()
+    // a pushed filter routes through the row path's pruned-scan machinery
+    // (tuple/stats/bloom file skipping) — masking would plan every file
+    val out = spark.sql(s"SELECT k, v FROM $g.t WHERE k = 42")
+    assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((42L, "v42")))
+    assert(GraftColumnarMask.maskedServed.get() == masked0,
+      "filtered reads must refuse the masked path")
+    // the unfiltered read still masks
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 900L)
+  }
+
   test("unmaskable shapes refuse: eq-deletes and non-primitive columns") {
     val root = Files.createTempDirectory("graft-mask-refuse").toString
     val g = mount(root)

@@ -43,13 +43,21 @@ class WriterStatsSpec extends SparkSpec {
     val st = new WriterStats(schema)
     st.observe(row(1.0, "café", "x" * 100, null))
     st.observe(row(Double.NaN, "abc", "y", null))
+    // nulls AFTER the NaN drop: bounds stay dropped but null counting
+    // must continue — the manifest COUNT(col) pushdown consumes
+    // nullCounts with no bounds check, so an undercount would serve a
+    // wrong aggregate
+    st.observe(row(null, "abc", "y", null))
+    st.observe(row(null, "abc", "y", null))
     val (mins, maxs, nulls) = st.result()
     assert(!mins.contains("d") && !maxs.contains("d"),
       "a NaN-bearing double column must drop its bounds")
+    assert(nulls("d") == 2L,
+      "null counting must survive the NaN bounds drop")
     assert(!mins.contains("s"), "non-ASCII bounds are dropped (the " +
       "eq-string pruner compares java-lexically, UTF8 binary order diverges)")
     assert(!mins.contains("big"), "oversized string bounds are dropped")
-    assert(!mins.contains("n") && nulls("n") == 2L,
+    assert(!mins.contains("n") && nulls("n") == 4L,
       "an all-null column records its null count but no bounds")
   }
 
