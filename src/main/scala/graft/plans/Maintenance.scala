@@ -101,6 +101,22 @@ object MaintenanceOp {
       extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("snapshot_id")
   }
+
+  /** Publish a WAP branch (`<table>@<branch>`, created by `ALTER TABLE
+    * ... CREATE BRANCH` or [[graft.sources.GraftCatalog.forkTable]]):
+    * main atomically adopts the fork's audited state, or the publish
+    * conflicts if main moved since the fork.
+    */
+  final case class PublishBranch(branch: String) extends MaintenanceOp {
+    override def outputNames: Seq[String] = Seq("snapshot_id")
+  }
+
+  /** Drop a WAP branch: the fork table and its chain are removed; main
+    * is untouched.
+    */
+  final case class DropBranch(branch: String) extends MaintenanceOp {
+    override def outputNames: Seq[String] = Seq("dropped")
+  }
 }
 
 /** Logical leaf: the operation, deferred. All columns are non-null; longs
@@ -241,6 +257,11 @@ object GraftMaintenanceExec {
         val out = s"$root/_data/$table/pdrw-${java.util.UUID.randomUUID()}"
         Seq(Seq(cat.compactDeleteFiles(spark, table, out,
           asDeletionVectors = asDv)))
+      case MaintenanceOp.PublishBranch(branch) =>
+        Seq(Seq(cat.publishFork(s"$table@$branch")))
+      case MaintenanceOp.DropBranch(branch) =>
+        cat.dropFork(s"$table@$branch")
+        Seq(Seq(1L))
       case MaintenanceOp.RemoveOrphans(graceSeconds) =>
         // candidates = recursive listing of the catalog-managed data
         // location; a driver-side walk over file metadata (Iceberg's

@@ -26,6 +26,8 @@ import graft.sources.GraftCatalog
   *  - `remove_orphan_files(table, older_than_seconds = 86400)`
   *  - `rewrite_position_delete_files(table)`
   *  - `rewrite_equality_deletes(table)` (graft's eq→pos conversion)
+  *  - `publish_branch(table, branch)` / `drop_branch(table, branch)`
+  *    (the WAP close: main adopts the audited fork, or the fork drops)
   */
 object GraftProcedures {
 
@@ -101,7 +103,17 @@ object GraftProcedures {
     Spec("rewrite_equality_deletes",
       "convert equality deletes to position deletes (data files untouched)",
       Seq(p("table", StringType)),
-      (cat, in) => (tableArg(in, 0), MaintenanceOp.RewriteEqDeletes)))
+      (cat, in) => (tableArg(in, 0), MaintenanceOp.RewriteEqDeletes)),
+    Spec("publish_branch",
+      "atomically adopt a WAP branch's audited state as main's next snapshot",
+      Seq(p("table", StringType), p("branch", StringType)),
+      (cat, in) => (tableArg(in, 0),
+        MaintenanceOp.PublishBranch(in.getUTF8String(1).toString))),
+    Spec("drop_branch",
+      "remove a WAP branch (the fork table and its chain); main untouched",
+      Seq(p("table", StringType), p("branch", StringType)),
+      (cat, in) => (tableArg(in, 0),
+        MaintenanceOp.DropBranch(in.getUTF8String(1).toString))))
 
   def names: Seq[String] = specs.map(_.name)
 

@@ -214,6 +214,21 @@ class PartitionFieldSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $g.`t@audit`").head().getLong(0) == 200L)
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 100L,
       "branch writes must never disturb main")
+    // the write-audit-publish close: main atomically adopts the branch
+    spark.sql(s"CALL $g.system.publish_branch('t', 'audit')").collect()
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 200L,
+      "publish must adopt the branch state as main's next snapshot")
+    spark.sql(s"CALL $g.system.drop_branch('t', 'audit')").collect()
+    assert(!new GraftCatalog(root).tables().contains("t@audit"),
+      "drop_branch must remove the fork")
+    // a publish against a MOVED main conflicts instead of losing commits
+    spark.sql(s"ALTER TABLE $g.t CREATE BRANCH b2")
+    spark.sql(s"INSERT INTO $g.t VALUES (9999, 'late')") // main moves
+    val e = intercept[Exception](
+      spark.sql(s"CALL $g.system.publish_branch('t', 'b2')").collect())
+    assert(e.getMessage.contains("publish conflict") ||
+      Option(e.getCause).exists(_.getMessage.contains("publish conflict")),
+      e.getMessage)
   }
 
   test("WRITE ORDERED BY declares the write order; UNORDERED clears it") {
