@@ -118,9 +118,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
     val sid = version.toLongOption
       .orElse(cat.tags(t).get(version))
-      .getOrElse(throw new IllegalArgumentException(
-        s"version '$version' of $t is neither a snapshot id nor a tag " +
-          s"(tags: ${cat.tags(t).keys.toSeq.sorted.mkString(", ")})"))
+      .getOrElse {
+        // a BRANCH name reads the fork's current state (Iceberg's
+        // `VERSION AS OF 'branch'` — the branch head, not a pinned id)
+        if (cat.tables().contains(s"$t@$version"))
+          return new GraftV2Table(root, s"$t@$version", asOf = None)
+        throw new IllegalArgumentException(
+          s"version '$version' of $t is neither a snapshot id, a tag, " +
+            s"nor a branch (tags: " +
+            s"${cat.tags(t).keys.toSeq.sorted.mkString(", ")})")
+      }
     require(cat.snapshotIds(t).contains(sid),
       s"snapshot $sid of $t does not exist (expired or never committed)")
     new GraftV2Table(root, t, asOf = Some(sid))

@@ -214,6 +214,10 @@ class PartitionFieldSqlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $g.`t@audit`").head().getLong(0) == 200L)
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 100L,
       "branch writes must never disturb main")
+    // VERSION AS OF '<branch>' reads the branch head by name (Iceberg's
+    // branch-read spelling) — same rows as the fork-table identifier
+    assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'audit'")
+      .head().getLong(0) == 200L)
     // the write-audit-publish close: main atomically adopts the branch
     spark.sql(s"CALL $g.system.publish_branch('t', 'audit')").collect()
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 200L,
