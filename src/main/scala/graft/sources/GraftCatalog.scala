@@ -2847,6 +2847,18 @@ final class GraftCatalog(root: String,
         val head = currentSnapshotId(table)
         snapshotIds(table).map(id => (id, id == head))
           .toDF("snapshot_id", "is_current")
+      case "refs" =>
+        // Iceberg's `refs` metadata table: named references — the main
+        // branch (the head), every tag (immutable pinned snapshot), and
+        // every WAP branch fork (its own head; the fork reads/writes as
+        // `table@branch` until published)
+        val main = Seq(("main", "BRANCH", currentSnapshotId(table)))
+        val tagRows = tags(table).toSeq.sorted
+          .map { case (n, sid) => (n, "TAG", sid) }
+        val branchRows = tables().filter(_.startsWith(s"$table@")).sorted
+          .map(f => (f.drop(table.length + 1), "BRANCH", currentSnapshotId(f)))
+        (main ++ tagRows ++ branchRows)
+          .toDF("name", "type", "snapshot_id")
       case "tables" =>
         // catalog-LEVEL listing (the REST /tables route's SQL twin): the
         // row set spans the whole catalog, one row per table with its head
@@ -2865,7 +2877,8 @@ final class GraftCatalog(root: String,
       case other =>
         throw GraftError.Metadata(
           s"unknown metadata table '$other' (files|partitions|snapshots|" +
-            "history; the catalog-wide 'tables' listing is graft_tables(root))")
+            "history|refs; the catalog-wide 'tables' listing is " +
+            "graft_tables(root))")
     }
   }
 

@@ -13,7 +13,7 @@ import graft.sources.GraftCatalog
 import scala.jdk.CollectionConverters._
 
 /** Iceberg's metadata tables through the DSv2 doorway:
-  * `SELECT * FROM graft.db.t.files | .partitions | .snapshots | .history`
+  * `SELECT * FROM graft.db.t.files | .partitions | .snapshots | .history | .refs`
   * — read-only views over the catalog's snapshot documents
   * ([[GraftCatalog.metadataTable]], the same rows the `graft_meta` TVF
   * and the REST routes serve), rebuilt from metadata on every scan so
@@ -55,5 +55,5 @@ private[dsv2] object GraftMetadataV2Table {
   /** The metadata views servable per table (the catalog-level `tables`
     * listing stays a TVF — it has no parent table to hang off).
     */
-  val Kinds: Set[String] = Set("files", "partitions", "snapshots", "history")
+  val Kinds: Set[String] = Set("files", "partitions", "snapshots", "history", "refs")
 }

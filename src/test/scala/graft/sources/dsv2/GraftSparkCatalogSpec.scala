@@ -225,6 +225,16 @@ class GraftSparkCatalogSpec extends SparkSpec {
       assert(s.sql("SELECT count(*) FROM graft.db.t.history").head().getLong(0)
         == snaps.length.toLong)
 
+      // refs: main + every tag + every WAP branch, typed
+      val cat = new GraftCatalog(root)
+      cat.tagSnapshot("db/t", "v1", cat.currentSnapshotId("db/t"))
+      cat.forkTable("db/t", "audit")
+      val refs = s.sql("SELECT name, type, snapshot_id FROM graft.db.t.refs")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(refs.contains(("main", "BRANCH", cat.currentSnapshotId("db/t"))))
+      assert(refs.contains(("v1", "TAG", cat.currentSnapshotId("db/t"))))
+      assert(refs.exists { case (n, t, _) => n == "audit" && t == "BRANCH" })
+
       // a real table always wins over the metadata suffix; a bogus kind
       // stays a missing table
       intercept[Exception] {
