@@ -1218,7 +1218,178 @@ object MorQueries {
     out
   }
 
+  /** Q160: VECTORIZED equality-delete reads — the continuously-upserted
+    * CDC shape. Key-equality DELETEs commit eq-delete files (metadata-
+    * sized, zero data files read); the SELECT between compactions must
+    * still serve masked COLUMNAR (broadcast key-set probe with the
+    * `data.seq < delete.seq` guard, r13's one perf-weak item), and a
+    * re-inserted key must escape older deletes through the seq guard.
+    * Oracle = the post-delete + re-insert content.
+    */
+  private def q160(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q160").toString
+    val g = s"g160_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.c (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE)")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .createOrReplaceTempView("q160_src")
+    spark.sql(
+      s"""INSERT INTO $g.c SELECT c_custkey, c_name, c_acctbal
+         |FROM q160_src WHERE c_custkey <= 5000""".stripMargin)
+    // pure key-equality DELETEs take the eq-delete fast path
+    spark.sql(s"DELETE FROM $g.c WHERE c_custkey IN (5, 500, 4999)")
+    spark.sql(s"DELETE FROM $g.c WHERE c_custkey = 1234")
+    val cat = new graft.sources.GraftCatalog(root)
+    require(cat.loadEntries("c").count(_.kind == "eqdel") >= 2,
+      "the q160 fixture must accumulate eq-delete files")
+    // the seq guard: this row is NEWER than the deletes and must survive
+    spark.sql(s"INSERT INTO $g.c VALUES (500, 'reborn', 1.5)")
+    val eq0 = graft.sources.dsv2.GraftColumnarMask.maskedEqServed.get()
+    val out = spark.sql(s"SELECT c_custkey, c_name, c_acctbal FROM $g.c")
+    val scan = out.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    require(scan.exists(_.supportsColumnar),
+      "the eq-delete-bearing read must serve masked columnar:\n" +
+        out.queryExecution.executedPlan)
+    val rows = out.collect()
+    require(graft.sources.dsv2.GraftColumnarMask.maskedEqServed.get() > eq0,
+      "the read must go through the vectorized eq-delete mask")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
+  /** Q161: session-scoped write-audit-publish (`spark.wap.branch`):
+    * with the conf set, the second INSERT lands on the branch fork (main
+    * provably unchanged), `VERSION AS OF 'branch'` audits it, and
+    * `publish_branch` adopts it into main — Iceberg's WAP contract
+    * through the doorway. Oracle = the full published content.
+    */
+  private def q161(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q161").toString
+    val g = s"g161_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.n (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)")
+    spark.read.parquet(s"$sfDir/nation.parquet")
+      .createOrReplaceTempView("q161_src")
+    spark.sql(
+      s"""INSERT INTO $g.n SELECT n_nationkey, n_name, n_regionkey
+         |FROM q161_src WHERE n_regionkey <> 2""".stripMargin)
+    val base = spark.sql(s"SELECT count(*) FROM $g.n").head().getLong(0)
+    val cat = new graft.sources.GraftCatalog(root)
+    try {
+      spark.conf.set("spark.wap.branch", "audit")
+      spark.sql(
+        s"""INSERT INTO $g.n SELECT n_nationkey, n_name, n_regionkey
+           |FROM q161_src WHERE n_regionkey = 2""".stripMargin)
+      require(cat.tables().contains("n@audit"),
+        "the wap.branch write must create the branch fork")
+      val mainN = spark.sql(s"SELECT count(*) FROM $g.n VERSION AS OF 'main'")
+        .head().getLong(0)
+      require(mainN == base,
+        s"main must not see unpublished wap writes ($mainN vs $base)")
+      val branchN = spark.sql(s"SELECT count(*) FROM $g.n VERSION AS OF 'audit'")
+        .head().getLong(0)
+      require(branchN > base, "the branch must hold the staged rows")
+      spark.sql(s"CALL $g.system.publish_branch('n', 'audit')").collect()
+    } finally spark.conf.unset("spark.wap.branch")
+    spark.sql(s"SELECT n_nationkey, n_name, n_regionkey FROM $g.n")
+  }
+
+  /** Q162: branch tables as first-class DML + maintenance targets: an
+    * untranslatable MoR DELETE against `o@fix` commits delete files on
+    * the FORK's chain (main's head provably unmoved), branch compaction
+    * retires them, publish adopts the audited state. Oracle = the
+    * post-publish content.
+    */
+  private def q162(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q162").toString
+    val g = s"g162_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.o (o_orderkey BIGINT, o_custkey BIGINT)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("q162_src")
+    spark.sql(
+      s"""INSERT INTO $g.o SELECT o_orderkey, o_custkey
+         |FROM q162_src WHERE o_orderkey <= 30000""".stripMargin)
+    spark.sql(s"ALTER TABLE $g.o CREATE BRANCH fix")
+    val cat = new graft.sources.GraftCatalog(root)
+    val mainHead = cat.currentSnapshotId("o")
+    // untranslatable condition -> MoR WriteDelta on the fork
+    spark.sql(s"DELETE FROM $g.`o@fix` WHERE o_orderkey % 13 = 5 OR o_custkey % 41 = 3")
+    require(cat.currentSnapshotId("o") == mainHead,
+      "branch DML must never move main's head")
+    require(cat.loadEntries("o@fix").exists(_.kind == "posdel"),
+      "the branch DELETE must commit MoR delete files on the fork")
+    require(!cat.loadEntries("o").exists(_.kind == "posdel"),
+      "main must hold no delete files from branch DML")
+    // branch maintenance: compaction retires the fork's delete debt
+    spark.sql(s"CALL $g.system.rewrite_data_files('o@fix')").collect()
+    require(!cat.loadEntries("o@fix").exists(_.kind == "posdel"),
+      "branch compaction must retire the fork's delete files")
+    require(cat.currentSnapshotId("o") == mainHead)
+    spark.sql(s"CALL $g.system.publish_branch('o', 'fix')").collect()
+    spark.sql(s"SELECT o_orderkey, o_custkey FROM $g.o")
+  }
+
+  /** Q163: filtered reads KEEP the vectorized mask: a pushed range
+    * filter over a deletion-vector-bearing table serves masked columnar
+    * over the PRUNED file set (r13 refused every filtered read to the
+    * row path; the mask now routes the same stats/partition skipping the
+    * pruned row scan used). Oracle = the filtered post-delete content.
+    */
+  private def q163(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q163").toString
+    val g = s"g163_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.o (o_orderkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("q163_src")
+    // two generations with disjoint key ranges: writer-stamped bounds
+    // make the upper file prunable under the pushed filter
+    spark.sql(
+      s"""INSERT INTO $g.o SELECT o_orderkey, o_totalprice
+         |FROM q163_src WHERE o_orderkey <= 30000""".stripMargin)
+    spark.sql(
+      s"""INSERT INTO $g.o SELECT o_orderkey, o_totalprice
+         |FROM q163_src WHERE o_orderkey > 30000 AND o_orderkey <= 60000""".stripMargin)
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderkey % 97 = 13") // pos-deletes
+    // migrate to Puffin deletion vectors (the distributed DV writer)
+    spark.sql(s"CALL $g.system.rewrite_position_delete_files('o', " +
+      "as_deletion_vectors => true)").collect()
+    val cat = new graft.sources.GraftCatalog(root)
+    val dv = cat.loadEntries("o").filter(_.kind == "posdel")
+    require(dv.nonEmpty && dv.forall(_.format == "dv"),
+      s"migration must leave deletion vectors, got $dv")
+    val masked0 = graft.sources.dsv2.GraftColumnarMask.maskedServed.get()
+    val out = spark.sql(
+      s"SELECT o_orderkey, o_totalprice FROM $g.o WHERE o_orderkey <= 30000")
+    val scan = out.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    require(scan.exists(_.supportsColumnar),
+      "the filtered DV-bearing read must stay masked columnar:\n" +
+        out.queryExecution.executedPlan)
+    val rows = out.collect()
+    require(graft.sources.dsv2.GraftColumnarMask.maskedServed.get() > masked0,
+      "the filtered read must go through the vectorized mask")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_eq_delete_mask" -> (q160 _),
+    "q161_wap_branch" -> (q161 _),
+    "q162_branch_dml" -> (q162 _),
+    "q163_filtered_mask" -> (q163 _),
     "q157_write_order_stats" -> (q157 _),
     "q158_snapshot_tags" -> (q158 _),
     "q159_deletion_vectors" -> (q159 _),
@@ -1282,6 +1453,22 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q160_eq_delete_mask" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE c_custkey <= 5000
+        |  AND c_custkey NOT IN (5, 500, 4999, 1234)
+        |UNION ALL
+        |SELECT CAST(500 AS BIGINT) AS c_custkey, 'reborn' AS c_name,
+        |       CAST(1.5 AS DOUBLE) AS c_acctbal""".stripMargin,
+    "q161_wap_branch" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q162_branch_dml" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_orderkey <= 30000
+        |  AND o_orderkey % 13 <> 5 AND o_custkey % 41 <> 3""".stripMargin,
+    "q163_filtered_mask" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 30000 AND o_orderkey % 97 <> 13""".stripMargin,
     "q157_write_order_stats" ->
       """SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, m.hit_price
         |FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders

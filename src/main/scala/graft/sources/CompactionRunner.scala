@@ -678,11 +678,33 @@ object CompactionRunner {
         if (dvPaths.isEmpty) None
         else {
           import spark.implicits._
-          val rows = paths(dvPaths).flatMap(p =>
-            DeletionVectors.read(p, conf).iterator.flatMap {
-              case (f, ps) => ps.iterator.map(pos => (canonPath(f), pos))
-            })
-          Some(broadcast(rows.toDF(MorPlanner.FilePathCol, MorPlanner.PosCol)))
+          // small sidecars (the common case) decode driver-side and
+          // broadcast; past the size gate — possible now that the DV
+          // writer is distributed and uncapped — they decode on the
+          // executors instead, one task per sidecar, and join like any
+          // other delete frame (no driver materialization)
+          val totalBytes = paths(dvPaths).map { p =>
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              hp.getFileSystem(conf).getFileStatus(hp).getLen
+            } catch { case _: Throwable => Long.MaxValue / 1024 }
+          }.sum
+          if (totalBytes <= (32L << 20)) {
+            val rows = paths(dvPaths).flatMap(p =>
+              DeletionVectors.read(p, conf).iterator.flatMap {
+                case (f, ps) => ps.iterator.map(pos => (canonPath(f), pos))
+              })
+            Some(broadcast(rows.toDF(MorPlanner.FilePathCol, MorPlanner.PosCol)))
+          } else {
+            val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+            val ps = paths(dvPaths)
+            val rdd = spark.sparkContext
+              .parallelize(ps, math.max(1, ps.length))
+              .flatMap(p => DeletionVectors.read(p, sconf.value).iterator.flatMap {
+                case (f, arr) => arr.iterator.map(pos => (canonPath(f), pos))
+              })
+            Some(rdd.toDF(MorPlanner.FilePathCol, MorPlanner.PosCol))
+          }
         }
       (pq.toSeq ++ dv.toSeq).reduceOption(_ unionByName _)
     }

@@ -24,9 +24,11 @@ object DeletionVectors {
 
   private val Magic: Array[Byte] = Array('G', 'D', 'V', '1').map(_.toByte)
 
-  /** True iff `path` starts with the DV magic — how every reader
-    * dispatches a posdel entry between the parquet rows format and this
-    * one (no format threading through task lists).
+  /** True iff `path` starts with a deletion-vector magic — the legacy
+    * GDV1 encoding or an Iceberg-v3 Puffin sidecar ([[Puffin]], what the
+    * writer emits now) — how every reader dispatches a posdel entry
+    * between the parquet rows format and the sidecar formats (no format
+    * threading through task lists).
     */
   def isDv(path: String, conf: Configuration): Boolean =
     try {
@@ -35,7 +37,8 @@ object DeletionVectors {
       try {
         val head = new Array[Byte](4)
         in.readFully(0, head)
-        java.util.Arrays.equals(head, Magic)
+        java.util.Arrays.equals(head, Magic) ||
+          java.util.Arrays.equals(head, Puffin.Magic)
       } finally in.close()
     } catch { case _: Throwable => false }
 
@@ -70,8 +73,11 @@ object DeletionVectors {
     total
   }
 
-  /** Decode a DV file to (canonical data file path → sorted positions). */
+  /** Decode a DV file — Puffin (the written format) or legacy GDV1 — to
+    * (canonical data file path → sorted positions).
+    */
   def read(path: String, conf: Configuration): Map[String, Array[Long]] = {
+    if (Puffin.isPuffin(path, conf)) return Puffin.readDv(path, conf)
     val p = new Path(path)
     val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
       p.getFileSystem(conf).open(p)))

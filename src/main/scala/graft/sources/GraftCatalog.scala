@@ -237,6 +237,28 @@ final class GraftCatalog(root: String,
   private def createHead(table: String, id: Long): Unit =
     headStore.fold(writeHeadFile(table, id))(_.create(table, id))
 
+  private def uuidPath(table: String) = tableDir(table).resolve("UUID")
+
+  /** The table's creation UUID (Iceberg's `table-uuid`): minted once per
+    * CREATE, copied by rename, deleted by drop — the generation
+    * discriminator that tells "the same name re-created" apart from "the
+    * same table". Snapshot ids restart at 1 on re-create, so any cache
+    * keyed by (name, snapshot id) alone would serve a dropped table's
+    * state; keying by this UUID makes that impossible. None only for
+    * tables created before UUIDs were minted (any re-create mints one, so
+    * the old/new generations still never share a key).
+    */
+  def tableUuid(table: String): Option[String] = {
+    val p = uuidPath(table)
+    if (Files.exists(p)) Some(Files.readString(p).trim).filter(_.nonEmpty)
+    else None
+  }
+
+  /** Mint the creation UUID — called exactly once, at table/fork create. */
+  private def writeTableUuid(table: String): Unit =
+    Files.writeString(uuidPath(table), java.util.UUID.randomUUID().toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
   /** Advance the pointer `from → to` — THE commit point. File-backed: a
     * plain atomic write (the table lock already serializes committers on
     * one filesystem). Store-backed: a compare-and-swap — if another driver
@@ -300,6 +322,7 @@ final class GraftCatalog(root: String,
         writeSchema(table, 1L, s)
         advanceLastFieldId(table, FieldIds.allIds(s).foldLeft(0)(math.max))
       }
+      writeTableUuid(table)
       createHead(table, 1L)
     }
   }
@@ -477,8 +500,39 @@ final class GraftCatalog(root: String,
               "adopted schema requires it; widen the field to nullable")
         }
     }
+    // RENAME hazard for name-keyed file metadata: per-file stats and null
+    // counts are keyed by column NAME (the snapshot's stats encoding) but
+    // column identity is the field id. After a rename — especially one
+    // that REUSES a name (rename a→c, then b→a) — a name-keyed stat can
+    // describe a DIFFERENT column's data, and stats pruning / COUNT(col)
+    // metadata answers would consult wrong bounds, silently skipping
+    // files that hold matches. Strip stats for every name on either side
+    // of a rename from the carried-forward entries: conservative (those
+    // columns lose pruning until their files are rewritten under the new
+    // names — compaction restores it), never wrong. New writes stamp
+    // stats under the new names immediately. Old snapshots keep their
+    // old-name stats, which match their own schemas under time travel.
+    val renamedNames: Set[String] = currentSchema(table) match {
+      case Some(cur) =>
+        val curNameById = cur.fields
+          .flatMap(f => FieldIds.idOf(f).map(_ -> f.name)).toMap
+        newSchema.fields.flatMap { nf =>
+          FieldIds.idOf(nf).flatMap(curNameById.get) match {
+            case Some(oldName) if oldName != nf.name => Seq(oldName, nf.name)
+            case _ => Nil
+          }
+        }.toSet
+      case None => Set.empty
+    }
+    val carried = loadEntries(table).map { e =>
+      if (renamedNames.isEmpty || e.stats.isEmpty) e
+      else e.copy(stats = e.stats.map(s => EntryStats(
+          s.colMins -- renamedNames, s.colMaxs -- renamedNames,
+          s.nullCounts -- renamedNames))
+        .filter(s => s.colMins.nonEmpty || s.nullCounts.nonEmpty))
+    }
     val nextId = currentSnapshotId(table) + 1
-    writeSnapshot(table, nextId, loadEntries(table))
+    writeSnapshot(table, nextId, carried)
     writeSchema(table, nextId, newSchema)
     // advance the monotonic mark BEFORE the head moves: a crash between
     // the two leaves the mark ahead of the schema (safe — ids are merely
@@ -760,6 +814,28 @@ final class GraftCatalog(root: String,
     * or unexpected value types keep everything (never risk dropping a
     * row on a type-coercion guess).
     */
+  /** Data-file paths a `column ∈ [lo, hi]` predicate cannot rule out —
+    * the same hidden-partition + per-file-stats file skipping
+    * [[scanTableWhere]] routes through, exposed as a path set so the
+    * vectorized mask path can prune its file list under pushed filters
+    * without re-deriving the pruning rules. Conservative by construction:
+    * entries without stats or an applicable transform always keep.
+    */
+  private[graft] def rangeKeepPaths(
+      spark: SparkSession,
+      table: String,
+      column: String,
+      lo: Double,
+      hi: Double): Set[String] = {
+    val dataEntries = loadEntries(table).filter(_.kind == "data")
+      .filter(partitionPruner(spark, table, column, lo, hi))
+    CompactionRunner.pruneByStats(
+      dataEntries.map(e => CompactionRunner.DataFileStats(e.path, 0L, 0L,
+        e.stats.fold(Map.empty[String, String])(_.colMins),
+        e.stats.fold(Map.empty[String, String])(_.colMaxs), Map.empty)),
+      column, lo, hi).map(_.path).toSet
+  }
+
   private[graft] def inKeepPaths(
       spark: SparkSession,
       table: String,
@@ -919,6 +995,21 @@ final class GraftCatalog(root: String,
     paths.map { p =>
       val (rows, bytes) = CompactionRunner.parquetFooterCounts(p, conf)
       TableEntry("posdel", p, seq, "parquet", Nil,
+        recordCount = rows, sizeBytes = bytes)
+    }
+  }
+
+  /** Eq-delete snapshot entries with the same footer-stamped manifest
+    * counts as [[posDeleteEntries]] — the bound the vectorized eq-delete
+    * mask checks before broadcasting the key set.
+    */
+  private def eqDeleteEntries(
+      spark: SparkSession, paths: Seq[String], seq: Long,
+      keyCols: Seq[String], keyIds: Seq[Int]): Seq[TableEntry] = {
+    val conf = spark.sessionState.newHadoopConf()
+    paths.map { p =>
+      val (rows, bytes) = CompactionRunner.parquetFooterCounts(p, conf)
+      TableEntry("eqdel", p, seq, "parquet", keyCols, keyIds,
         recordCount = rows, sizeBytes = bytes)
     }
   }
@@ -1423,8 +1514,7 @@ final class GraftCatalog(root: String,
       val recordedIds = if (keyIds.length == keyCols.length) keyIds else Nil
       val newEntries =
         parquetsIn(dataDir).map(p => TableEntry("data", p, seq, "parquet", Nil)) ++
-          parquetsIn(delDir).map(p =>
-            TableEntry("eqdel", p, seq, "parquet", keyCols, recordedIds))
+          eqDeleteEntries(spark, parquetsIn(delDir), seq, keyCols, recordedIds)
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, entries ++ newEntries)
       carrySchema(table, nextId - 1, nextId)
@@ -1797,8 +1887,7 @@ final class GraftCatalog(root: String,
         case None => Nil
       }
       val recordedIds = if (keyIds.length == keyCols.length) keyIds else Nil
-      val newEntries = written.map(p =>
-        TableEntry("eqdel", p, seq, "parquet", keyCols, recordedIds))
+      val newEntries = eqDeleteEntries(spark, written, seq, keyCols, recordedIds)
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, entries ++ newEntries)
       carrySchema(table, nextId - 1, nextId)
@@ -2141,8 +2230,7 @@ final class GraftCatalog(root: String,
       val recordedIds = if (keyIds.length == keyCols.length) keyIds else Nil
       val newEntries =
         (if (nothingDeleted) Nil
-         else delFiles.map(p =>
-           TableEntry("eqdel", p, seq, "parquet", keyCols, recordedIds))) ++
+         else eqDeleteEntries(spark, delFiles, seq, keyCols, recordedIds)) ++
           (if (nothingWritten) Nil
            else dataFiles.map(p => TableEntry("data", p, seq, "parquet", Nil)))
       val nextId = currentSnapshotId(table) + 1
@@ -3019,6 +3107,7 @@ final class GraftCatalog(root: String,
     withTableLock(fork) {
       writeSnapshot(fork, 1L, entries)
       schemaAt(table, baseId).foreach(s => writeSchema(fork, 1L, s))
+      writeTableUuid(fork)
       createHead(fork, 1L)
       writeForkBase(fork, table, baseId)
     }
@@ -3559,27 +3648,59 @@ final class GraftCatalog(root: String,
     val token = java.util.UUID.randomUUID().toString
     val seq = pos.map(_.seqNum).max
     if (asDeletionVectors) {
-      // driver-sized by the same bound the vectorized mask path uses:
-      // delete sets are manifest-counted; refuse (keep parquet) past it
-      val known = pos.map(_.recordCount)
-      require(known.forall(_ >= 0L) && known.sum <= 16L * 1000 * 1000,
-        s"delete set too large or uncounted for a deletion vector " +
-          s"(${known.mkString(",")}); compact to parquet instead")
-      val byFile = alive.collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rs) => f -> rs.map(_.getLong(1)) }
-      val dvPath = s"$outDir/posdel-dv-$token.gdv"
-      val conf = spark.sessionState.newHadoopConf()
-      val total = DeletionVectors.write(dvPath, byFile, conf)
-      val size =
-        try new java.io.File(dvPath.stripPrefix("file:")).length()
-        catch { case _: Throwable => -1L }
+      // DISTRIBUTED per-data-file DV write (Iceberg-v3 Puffin sidecars):
+      // the alive delete set shuffles by data file, each task streams its
+      // sorted slice into one Puffin file — one `deletion-vector-v1` blob
+      // per data file, one file's positions in memory at a time — and the
+      // driver only commits the returned (path, count) manifest rows.
+      // No driver-side position materialization, no size cap (r13's 16M
+      // driver-collect bound is gone); `targetFiles` bounds the sidecar
+      // count exactly like the parquet branch.
+      val conf = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      val parts = math.max(targetFiles, 1)
+      val outPrefix = s"$outDir/posdel-dv-$token"
+      val written: Array[(String, Long)] = alive
+        .repartition(parts, col("file_path"))
+        .sortWithinPartitions(col("file_path"), col("pos"))
+        .rdd.mapPartitionsWithIndex { (pid, it) =>
+          if (it.isEmpty) Iterator.empty
+          else {
+            val dvPath = s"$outPrefix-p$pid.puffin"
+            val p = new org.apache.hadoop.fs.Path(dvPath)
+            val out = new java.io.BufferedOutputStream(
+              p.getFileSystem(conf.value).create(p, false))
+            val total =
+              try {
+                val w = new Puffin.DvWriter(out)
+                var curFile: String = null
+                val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+                def flush(): Unit = if (curFile != null) {
+                  w.add(curFile, buf.toArray) // sorted + distinct upstream
+                  buf.clear()
+                }
+                it.foreach { r =>
+                  val f = r.getString(0)
+                  if (f != curFile) { flush(); curFile = f }
+                  buf += r.getLong(1)
+                }
+                flush()
+                w.finish()
+              } finally out.close()
+            Iterator.single((dvPath, total))
+          }
+        }.collect() // one (path, count) row per task — metadata-sized
+      val hconf = spark.sessionState.newHadoopConf()
+      val entries2 = written.toSeq.filter(_._2 > 0L).map { case (dvPath, total) =>
+        val hp = new org.apache.hadoop.fs.Path(dvPath)
+        val size =
+          try hp.getFileSystem(hconf).getFileStatus(hp).getLen
+          catch { case _: Throwable => -1L }
+        TableEntry("posdel", CompactionRunner.canonPath(dvPath),
+          seq, "dv", Nil, recordCount = total, sizeBytes = size)
+      }
       withTableLock(table) {
-        commitRewriteLocked(table,
-          if (total == 0L) Nil
-          else Seq(TableEntry("posdel", CompactionRunner.canonPath(dvPath),
-            seq, "dv", Nil, recordCount = total, sizeBytes = size)),
-          pos.map(_.path))
+        commitRewriteLocked(table, entries2, pos.map(_.path))
       }
     } else {
       val dir = s"$outDir/posdel-compact-$token"

@@ -1,0 +1,382 @@
+package graft.sources
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.CRC32
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Iceberg-v3 Puffin deletion-vector sidecars — the PUBLIC interchange
+  * format for position deletes (Puffin spec + the v3 table spec's
+  * `deletion-vector-v1` blob; the reference's roadmap carries DV support
+  * as its MoR endgame). A stock Iceberg v3 reader can consume these
+  * files, closing the interop gap the custom GDV1 encoding left open
+  * (GDV1 stays read-compatible behind [[DeletionVectors.read]]).
+  *
+  * File layout (Puffin spec, offline byte-shape tested):
+  * {{{
+  *   "PFA1" | blob₁ … blobₙ |
+  *   "PFA1" | footer-payload (UTF-8 JSON) | payload-size (i32 LE) |
+  *   flags (4 bytes, 0 = uncompressed) | "PFA1"
+  * }}}
+  *
+  * Footer payload: `{"blobs": [{type, fields, snapshot-id,
+  * sequence-number, offset, length, properties}], "properties": {...}}`.
+  *
+  * Each `deletion-vector-v1` blob (one per referenced data file):
+  * {{{
+  *   len (i32 BE, = |magic| + |vector|) | magic D1 D3 39 64 |
+  *   vector (64-bit roaring bitmap, portable) | crc32(magic + vector) (i32 BE)
+  * }}}
+  * with blob properties `referenced-data-file` and `cardinality`.
+  *
+  * The 64-bit roaring portable serialization (what Iceberg's
+  * `deletion-vector-v1` requires): `i64 LE bucket count`, then per bucket
+  * `i32 LE high-key` + a 32-bit roaring bitmap in the portable format
+  * (cookie 12346 no-run-container variant: `i32 LE cookie`, `i32 LE
+  * container count`, per-container `u16 LE key`/`u16 LE cardinality-1`
+  * descriptors, `i32 LE` container offsets, then array containers
+  * (sorted u16 LE values, card ≤ 4096) or bitmap containers (1024 × u64
+  * LE words)). Runs are never written — always a legal portable bitmap —
+  * and never expected back (only this writer's files are read).
+  */
+object Puffin {
+
+  val Magic: Array[Byte] = Array('P', 'F', 'A', '1').map(_.toByte)
+
+  /** The v3 spec's `deletion-vector-v1` blob magic. */
+  private val DvMagic: Array[Byte] =
+    Array(0xD1.toByte, 0xD3.toByte, 0x39.toByte, 0x64.toByte)
+
+  val DvBlobType = "deletion-vector-v1"
+
+  /** Iceberg's `MetadataColumns.DELETE_FILE_POS` field id
+    * (`Integer.MAX_VALUE - 102`): the one field a deletion vector stores.
+    */
+  val DeleteFilePosFieldId: Int = Int.MaxValue - 102
+
+  final case class BlobMeta(
+      blobType: String,
+      fields: Seq[Int],
+      snapshotId: Long,
+      sequenceNumber: Long,
+      offset: Long,
+      length: Long,
+      properties: Map[String, String])
+
+  /** True iff `path` starts with the Puffin magic. */
+  def isPuffin(path: String, conf: Configuration): Boolean =
+    try {
+      val p = new Path(path)
+      val in = p.getFileSystem(conf).open(p)
+      try {
+        val head = new Array[Byte](4)
+        in.readFully(0, head)
+        java.util.Arrays.equals(head, Magic)
+      } finally in.close()
+    } catch { case _: Throwable => false }
+
+  /** Write one Puffin DV file: one `deletion-vector-v1` blob per data
+    * file (positions deduped + sorted here), footer indexed. Returns the
+    * total position count (the snapshot entry's record_count).
+    */
+  def writeDv(
+      path: String,
+      byFile: Seq[(String, Array[Long])],
+      conf: Configuration): Long = {
+    val p = new Path(path)
+    val out = new java.io.BufferedOutputStream(
+      p.getFileSystem(conf).create(p, false))
+    try writeDvTo(out, byFile) finally out.close()
+  }
+
+  /** [[writeDv]] against an already-open stream (the distributed DV
+    * writer opens per-task files itself).
+    */
+  def writeDvTo(
+      out: java.io.OutputStream,
+      byFile: Seq[(String, Array[Long])]): Long = {
+    val w = new DvWriter(out)
+    byFile.sortBy(_._1).foreach { case (file, raw) =>
+      w.add(file, raw.distinct.sorted)
+    }
+    w.finish()
+  }
+
+  /** Streaming Puffin DV writer: blobs emit as files arrive (one file's
+    * positions in memory at a time — the distributed writer's memory
+    * bound), the footer lands on [[finish]].
+    */
+  final class DvWriter(out: java.io.OutputStream) {
+    private val mapper = new ObjectMapper()
+    private var offset = 0L
+    private var total = 0L
+    private val blobs = scala.collection.mutable.ArrayBuffer.empty[BlobMeta]
+    private def emit(bytes: Array[Byte]): Unit = {
+      out.write(bytes); offset += bytes.length
+    }
+    emit(Magic)
+
+    /** Emit one `deletion-vector-v1` blob; `sorted` must be deduped. */
+    def add(file: String, sorted: Array[Long]): Unit = {
+      total += sorted.length
+      val vector = serializeBitmap64(sorted)
+      val body = new ByteArrayOutputStream(vector.length + 12)
+      val d = new DataOutputStream(body)
+      d.writeInt(DvMagic.length + vector.length) // i32 BE
+      d.write(DvMagic)
+      d.write(vector)
+      val crc = new CRC32()
+      crc.update(DvMagic)
+      crc.update(vector)
+      d.writeInt(crc.getValue.toInt) // i32 BE (low 32 bits)
+      d.flush()
+      val bytes = body.toByteArray
+      blobs += BlobMeta(DvBlobType, Seq(DeleteFilePosFieldId), -1L, -1L,
+        offset, bytes.length,
+        Map("referenced-data-file" -> file,
+          "cardinality" -> sorted.length.toString))
+      emit(bytes)
+    }
+
+    /** Footer: Magic | payload | payloadSize (i32 LE) | flags | Magic.
+      * Returns the total position count across all blobs.
+      */
+    def finish(): Long = {
+      def q(s: String): String = mapper.writeValueAsString(
+        mapper.getNodeFactory.textNode(s))
+      val payload = ("{\"blobs\":[" + blobs.map { b =>
+        s"""{"type":${q(b.blobType)},"fields":[${b.fields.mkString(",")}],""" +
+          s""""snapshot-id":${b.snapshotId},"sequence-number":${b.sequenceNumber},""" +
+          s""""offset":${b.offset},"length":${b.length},"properties":{""" +
+          b.properties.toSeq.sorted.map { case (k, v) => s"${q(k)}:${q(v)}" }
+            .mkString(",") + "}}"
+      }.mkString(",") + "],\"properties\":{}}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      emit(Magic)
+      emit(payload)
+      val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      tail.putInt(payload.length)
+      tail.putInt(0) // flags: payload uncompressed
+      emit(tail.array())
+      emit(Magic)
+      total
+    }
+  }
+
+  /** Parse the footer: blob metadata + file properties. */
+  def readFooter(
+      path: String, conf: Configuration): (Seq[BlobMeta], Map[String, String]) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
+    try {
+      require(len >= 4 + 4 + 12, s"$path too short for a Puffin file")
+      val head = new Array[Byte](4)
+      in.readFully(0, head)
+      require(java.util.Arrays.equals(head, Magic), s"$path is not Puffin")
+      val tail = new Array[Byte](12)
+      in.readFully(len - 12, tail)
+      val bb = ByteBuffer.wrap(tail).order(ByteOrder.LITTLE_ENDIAN)
+      val payloadSize = bb.getInt(0)
+      val flags = bb.getInt(4)
+      require(java.util.Arrays.equals(tail.slice(8, 12), Magic),
+        s"$path: trailing Puffin magic missing")
+      require((flags & 1) == 0,
+        s"$path: compressed footer payloads are not written by this library")
+      val payload = new Array[Byte](payloadSize)
+      in.readFully(len - 12 - payloadSize, payload)
+      val fmagic = new Array[Byte](4)
+      in.readFully(len - 12 - payloadSize - 4, fmagic)
+      require(java.util.Arrays.equals(fmagic, Magic),
+        s"$path: footer-open Puffin magic missing")
+      val mapper = new ObjectMapper()
+      val node = mapper.readTree(payload)
+      import scala.jdk.CollectionConverters._
+      val blobs = Option(node.get("blobs")).toSeq
+        .flatMap(_.elements().asScala).map { b =>
+          BlobMeta(
+            b.get("type").asText(),
+            Option(b.get("fields")).toSeq
+              .flatMap(_.elements().asScala).map(_.asInt()).toSeq,
+            Option(b.get("snapshot-id")).map(_.asLong()).getOrElse(-1L),
+            Option(b.get("sequence-number")).map(_.asLong()).getOrElse(-1L),
+            b.get("offset").asLong(),
+            b.get("length").asLong(),
+            Option(b.get("properties")).map(pn =>
+              pn.fields().asScala.map(e =>
+                e.getKey -> e.getValue.asText()).toMap)
+              .getOrElse(Map.empty))
+        }.toSeq
+      val props = Option(node.get("properties")).map(pn =>
+        pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty[String, String])
+      (blobs, props)
+    } finally in.close()
+  }
+
+  /** Decode every DV blob: referenced data file → sorted positions. */
+  def readDv(path: String, conf: Configuration): Map[String, Array[Long]] = {
+    val (blobs, _) = readFooter(path, conf)
+    val p = new Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      blobs.filter(_.blobType == DvBlobType).map { b =>
+        val file = b.properties.getOrElse("referenced-data-file",
+          throw new IllegalArgumentException(
+            s"$path: DV blob at ${b.offset} lacks referenced-data-file"))
+        val bytes = new Array[Byte](b.length.toInt)
+        in.readFully(b.offset, bytes)
+        val bb = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+        val vlen = bb.getInt(0)
+        require(vlen == b.length - 8,
+          s"$path: DV blob length mismatch ($vlen vs ${b.length - 8})")
+        require(java.util.Arrays.equals(bytes.slice(4, 8), DvMagic),
+          s"$path: DV blob magic mismatch")
+        val vector = bytes.slice(8, bytes.length - 4)
+        val crc = new CRC32()
+        crc.update(bytes, 4, bytes.length - 8) // magic + vector
+        val stored = bb.getInt(bytes.length - 4)
+        require(crc.getValue.toInt == stored,
+          s"$path: DV blob CRC mismatch")
+        file -> deserializeBitmap64(vector)
+      }.toMap
+    } finally in.close()
+  }
+
+  // ---- 64-bit roaring bitmap, portable serialization ----------------------
+
+  private val CookieNoRun = 12346
+
+  /** Serialize sorted distinct non-negative positions as a portable
+    * 64-bit roaring bitmap.
+    */
+  def serializeBitmap64(sorted: Array[Long]): Array[Byte] = {
+    require(sorted.forall(_ >= 0L), "positions are non-negative")
+    // bucket by high 32 bits (input sorted => buckets and their values in order)
+    val buckets = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    sorted.foreach { v =>
+      buckets.getOrElseUpdate((v >>> 32).toInt,
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += (v & 0xffffffffL).toInt
+    }
+    val out = new ByteArrayOutputStream()
+    val header = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    header.putLong(buckets.size.toLong)
+    out.write(header.array())
+    buckets.foreach { case (high, lows) =>
+      val hb = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+      hb.putInt(high)
+      out.write(hb.array())
+      out.write(serializeBitmap32(lows.toArray))
+    }
+    out.toByteArray
+  }
+
+  def deserializeBitmap64(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val nBuckets = bb.getLong
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var i = 0L
+    while (i < nBuckets) {
+      val high = bb.getInt.toLong & 0xffffffffL
+      deserializeBitmap32(bb).foreach(low =>
+        acc += (high << 32) | (low.toLong & 0xffffffffL))
+      i += 1
+    }
+    acc.toArray
+  }
+
+  /** 32-bit portable roaring bitmap over sorted unsigned-int values. */
+  private def serializeBitmap32(sorted: Array[Int]): Array[Byte] = {
+    // containers by high 16 bits, values' low 16 bits within
+    val containers = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[Int]]
+    sorted.foreach { v =>
+      containers.getOrElseUpdate(v >>> 16,
+        scala.collection.mutable.ArrayBuffer.empty[Int]) += (v & 0xffff)
+    }
+    val n = containers.size
+    val bodies = containers.map { case (_, vals) =>
+      if (vals.length <= 4096) {
+        val bb = ByteBuffer.allocate(vals.length * 2)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        vals.foreach(v => bb.putShort(v.toShort))
+        bb.array()
+      } else {
+        val words = new Array[Long](1024)
+        vals.foreach(v => words(v >>> 6) |= 1L << (v & 63))
+        val bb = ByteBuffer.allocate(8192).order(ByteOrder.LITTLE_ENDIAN)
+        words.foreach(bb.putLong)
+        bb.array()
+      }
+    }.toSeq
+    val headerLen = 8 + 4 * n + 4 * n // cookie+size, descriptors, offsets
+    val total = headerLen + bodies.map(_.length).sum
+    val bb = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(CookieNoRun)
+    bb.putInt(n)
+    containers.foreach { case (key, vals) =>
+      bb.putShort(key.toShort)
+      bb.putShort((vals.length - 1).toShort)
+    }
+    var off = headerLen
+    bodies.foreach { b => bb.putInt(off); off += b.length }
+    bodies.foreach(bb.put)
+    bb.array()
+  }
+
+  /** Consume one 32-bit portable bitmap from `bb` (positioned at its
+    * cookie); returns sorted values.
+    */
+  private def deserializeBitmap32(bb: ByteBuffer): Array[Int] = {
+    val start = bb.position()
+    val cookie = bb.getInt
+    require(cookie == CookieNoRun,
+      s"unsupported roaring cookie $cookie (this library writes " +
+        s"only the no-run portable variant $CookieNoRun)")
+    val n = bb.getInt
+    val keys = new Array[Int](n)
+    val cards = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      keys(i) = bb.getShort.toInt & 0xffff
+      cards(i) = (bb.getShort.toInt & 0xffff) + 1
+      i += 1
+    }
+    val offsets = new Array[Int](n)
+    i = 0
+    while (i < n) { offsets(i) = bb.getInt; i += 1 }
+    val acc = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var end = bb.position()
+    i = 0
+    while (i < n) {
+      bb.position(start + offsets(i))
+      val key = keys(i) << 16
+      if (cards(i) <= 4096) {
+        var j = 0
+        while (j < cards(i)) { acc += key | (bb.getShort.toInt & 0xffff); j += 1 }
+      } else {
+        var w = 0
+        while (w < 1024) {
+          val word = bb.getLong
+          if (word != 0L) {
+            var bit = 0
+            while (bit < 64) {
+              if ((word & (1L << bit)) != 0L) acc += key | (w << 6) | bit
+              bit += 1
+            }
+          }
+          w += 1
+        }
+      }
+      if (bb.position() > end) end = bb.position()
+      i += 1
+    }
+    bb.position(end)
+    acc.toArray
+  }
+}

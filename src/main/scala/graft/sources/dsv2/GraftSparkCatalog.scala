@@ -94,9 +94,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   override def tableExists(ident: Identifier): Boolean =
     cat.tables().contains(toName(ident))
 
+  /** The session's `spark.wap.branch` — Iceberg's write-audit-publish
+    * session routing: when set, loads of a MAIN table serve its branch
+    * fork if one exists (reads audit the branch), and otherwise serve
+    * main with lazy fork-on-write (the first write creates the branch;
+    * pure reads never do). `VERSION AS OF 'main'` always bypasses it.
+    */
+  private def wapBranchConf(): Option[String] =
+    try Option(org.apache.spark.sql.SparkSession.active.conf
+      .get("spark.wap.branch", null)).map(_.trim).filter(_.nonEmpty)
+    catch { case _: Throwable => None }
+
   override def loadTable(ident: Identifier): Table = {
     val t = toName(ident)
-    if (cat.tables().contains(t)) new GraftV2Table(root, t, asOf = None)
+    if (cat.tables().contains(t)) {
+      wapBranchConf() match {
+        case Some(b) if !t.contains("@") =>
+          if (cat.tables().contains(s"$t@$b"))
+            new GraftV2Table(root, s"$t@$b", asOf = None)
+          else new GraftV2Table(root, t, asOf = None, wapBranch = Some(b))
+        case _ => new GraftV2Table(root, t, asOf = None)
+      }
+    }
     else {
       // Iceberg's metadata-table spelling: `graft.db.t.files` /
       // `.partitions` / `.snapshots` / `.history` — the trailing name
@@ -112,10 +131,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     }
   }
 
-  /** `VERSION AS OF` — a snapshot id, or a tag name. */
+  /** `VERSION AS OF` — a snapshot id, a tag name, or a branch name
+    * (`'main'` is the reserved name for the main branch itself — the
+    * escape hatch for reading main while `spark.wap.branch` is set).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = toName(ident)
     if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
+    if (version == "main") return new GraftV2Table(root, t, asOf = None)
     val sid = version.toLongOption
       .orElse(cat.tags(t).get(version))
       .getOrElse {

@@ -45,7 +45,8 @@ import scala.jdk.CollectionConverters._
 final class GraftV2Table(
     root: String,
     tableName: String,
-    asOf: Option[Long])
+    asOf: Option[Long],
+    wapBranch: Option[String] = None)
     extends Table
     with SupportsRead
     with SupportsWrite
@@ -56,6 +57,20 @@ final class GraftV2Table(
 
   private def cat = new GraftCatalog(root)
   private def spark = SparkSession.active
+
+  /** The table WRITES land on. Plain loads write `tableName` itself;
+    * when the session's `spark.wap.branch` routed this load
+    * ([[GraftSparkCatalog.loadTable]]) and the branch fork doesn't exist
+    * yet, the first write CREATES it (a metadata-only fork of main's
+    * head) and targets it — Iceberg's write-audit-publish contract:
+    * reads fall back to main until the branch exists, writes never touch
+    * main, `publish_branch` adopts the audited state atomically.
+    */
+  private def writeTable: String = wapBranch.fold(tableName) { b =>
+    val fork = s"$tableName@$b"
+    if (!cat.tables().contains(fork)) cat.forkTable(tableName, b)
+    fork
+  }
 
   override def name(): String = tableName
 
@@ -107,6 +122,10 @@ final class GraftV2Table(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
+    // resolved ONCE per write plan: a wap.branch session forks here (the
+    // write is committed to happen), and every snapshot read below pins
+    // against the branch the write will land on
+    val target = writeTable
     new WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
       // INSERT INTO appends; INSERT OVERWRITE (OverwriteByExpression with
       // a TRUE condition) replaces the table content in ONE commit —
@@ -148,23 +167,23 @@ final class GraftV2Table(
       override def overwriteDynamicPartitions(): WriteBuilder = {
         // on an UNPARTITIONED table the whole content is one "partition"
         // — Spark's own semantics: replace everything
-        if (cat.partitionSpec(tableName).isEmpty) replaceAll = true
+        if (cat.partitionSpec(target).isEmpty) replaceAll = true
         else dynamic = true
         this
       }
       override def build(): Write = new GraftOrderedWrite(
-        new GraftBatchWrite(root, tableName, info.schema(),
-          replaceAt = if (replaceAll) Some(cat.currentSnapshotId(tableName))
+        new GraftBatchWrite(root, target, info.schema(),
+          replaceAt = if (replaceAll) Some(cat.currentSnapshotId(target))
             else None,
           overwriteWhere = filterOverwrite.map(f =>
-            (f, cat.currentSnapshotId(tableName))),
+            (f, cat.currentSnapshotId(target))),
           dynamicOverwriteAt =
-            if (dynamic) Some(cat.currentSnapshotId(tableName)) else None),
+            if (dynamic) Some(cat.currentSnapshotId(target)) else None),
         // the table's declared write-order drives engine-side clustering;
         // only columns the write actually carries can be ordered by
-        cat.sortOrder(tableName).filter(info.schema().fieldNames.contains),
+        cat.sortOrder(target).filter(info.schema().fieldNames.contains),
         streaming = Some(() => new GraftStreamingWrite(
-          root, tableName, info.schema(), info.queryId())),
+          root, target, info.schema(), info.queryId())),
         // partitioned tables without a write-order cluster by the
         // partition TRANSFORMS themselves (resolved through the V2
         // FunctionCatalog) to bound the fanout to ~1 file per task (see
@@ -218,17 +237,18 @@ final class GraftV2Table(
           "should have refused: " + predicates.mkString(", "))))
 
   override def deleteWhere(filters: Array[sources.Filter]): Unit = {
-    val dir = s"$root/_data/$tableName/v2del-${java.util.UUID.randomUUID()}"
+    val target = writeTable
+    val dir = s"$root/_data/$target/v2del-${java.util.UUID.randomUUID()}"
     GraftV2Table.equalityKeyRows(filters, schema) match {
       case Some((keySchema, rows)) =>
         val keys = spark.createDataFrame(
           spark.sparkContext.parallelize(rows, 1), keySchema)
-        cat.deleteWhereEq(spark, tableName, keys, dir)
+        cat.deleteWhereEq(spark, target, keys, dir)
       case None =>
         val cond = filters.flatMap(V1FilterColumns.toColumn)
           .reduceOption(_ && _)
           .getOrElse(org.apache.spark.sql.functions.lit(true))
-        cat.deleteWhere(spark, tableName, cond, dir)
+        cat.deleteWhere(spark, target, cond, dir)
     }
   }
 
@@ -264,20 +284,25 @@ final class GraftV2Table(
         case RowLevelOperation.Command.UPDATE => "write.update.mode"
         case RowLevelOperation.Command.MERGE => "write.merge.mode"
       }
-      cat.tableProperties(tableName).getOrElse(key, "copy-on-write") match {
+      // wap.branch routing: the whole row-level operation — scan AND
+      // replacement commit — runs against the branch fork, so main's
+      // files are never retired by an unpublished audit
+      val target = writeTable
+      cat.tableProperties(target).getOrElse(key, "copy-on-write") match {
         case "copy-on-write" =>
-          new GraftRowLevelOperation(root, tableName, info.command())
+          new GraftRowLevelOperation(root, target, info.command())
         case "merge-on-read" =>
-          new GraftDeltaRowLevelOperation(root, tableName, info.command())
+          new GraftDeltaRowLevelOperation(root, target, info.command())
         case other => throw new IllegalArgumentException(
-          s"unknown $key '$other' for $tableName " +
+          s"unknown $key '$other' for $target " +
             "(copy-on-write | merge-on-read)")
       }
     }
   }
 
   override def truncateTable(): Boolean = {
-    cat.commitReplaceAt(tableName, cat.currentSnapshotId(tableName), Nil)
+    val target = writeTable
+    cat.commitReplaceAt(target, cat.currentSnapshotId(target), Nil)
     true
   }
 }
@@ -754,13 +779,26 @@ class GraftV1Scan(
           // read's planning can cache the newer snapshot's groups under
           // the pre-commit id — harmless for head reads (any later read
           // keys the new head) but a VERSION AS OF <old> must never hit
-          // that entry, so pinned and head reads never share keys
+          // that entry, so pinned and head reads never share keys.
+          // The table's creation UUID is part of the key too: snapshot
+          // ids restart at 1 on DROP + CREATE of the same name, so
+          // without it a repeat SELECT after a re-create would hit the
+          // dropped generation's planned groups and silently serve its
+          // rows. sessionUUID (not identityHashCode) keys the session: a
+          // stopped-and-GC'd session's identity hash can be reused by a
+          // new one, whose hit would serve RDDs bound to a dead context.
           val cacheKey: Option[Any] =
             if (host.nonEmpty || runtimeKeep.nonEmpty) None
-            else scala.util.Try((System.identityHashCode(SparkSession.active),
-              root, table, asOf.isDefined,
-              asOf.getOrElse(new GraftCatalog(root).currentSnapshotId(table)),
-              required.catalogString, filters.toSeq.map(_.toString))).toOption
+            else scala.util.Try({
+              val c = new GraftCatalog(root)
+              val sessionKey = org.apache.spark.sql.graftbridge.DatasetBridge
+                .sessionUUID(SparkSession.active)
+              (sessionKey,
+                root, table, c.tableUuid(table).getOrElse(""), asOf.isDefined,
+                asOf.getOrElse(c.currentSnapshotId(table)),
+                required.catalogString, filters.toSeq.map(_.toString),
+                GraftColumnarMask.disableForProbes)
+            }).toOption
           cacheKey.flatMap(GraftV2Table.servedCacheGet).getOrElse {
           val served: Seq[GraftServedGroup] = {
           // VECTORIZED pos-delete masking: when the pending deletes are

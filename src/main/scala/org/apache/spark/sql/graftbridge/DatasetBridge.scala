@@ -22,6 +22,15 @@ object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** The session's `private[sql]` random UUID — a cache key component
+    * that, unlike `System.identityHashCode`, can never be reused by a new
+    * session after the old one is stopped and GC'd.
+    */
+  def sessionUUID(spark: SparkSession): String = spark match {
+    case cl: classic.SparkSession => cl.sessionUUID
+    case other => String.valueOf(System.identityHashCode(other))
+  }
+
   /** Re-wrap a V1 streaming sink's per-batch frame as a BATCH frame over
     * the SAME executed rows — `internalCreateDataFrame(isStreaming =
     * false)` on the batch's own physical plan, the doorway every V1 sink

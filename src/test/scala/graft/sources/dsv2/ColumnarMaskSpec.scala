@@ -124,27 +124,116 @@ class ColumnarMaskSpec extends SparkSpec {
     }
   }
 
-  test("filtered reads keep the row path's file pruning (mask refuses)") {
+  test("filtered reads serve masked columnar over the PRUNED file set") {
     val root = Files.createTempDirectory("graft-mask-filter").toString
     val g = mount(root)
     spark.sql(
       s"""CREATE TABLE $g.t (k BIGINT, v STRING)
          |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
-    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 1000)")
+    // two files with disjoint key ranges — writer-stamped bounds make them
+    // individually prunable
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 500)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(500, 1000)")
     spark.sql(s"DELETE FROM $g.t WHERE k % 10 = 3")
     val masked0 = GraftColumnarMask.maskedServed.get()
-    // a pushed filter routes through the row path's pruned-scan machinery
-    // (tuple/stats/bloom file skipping) — masking would plan every file
     val out = spark.sql(s"SELECT k, v FROM $g.t WHERE k = 42")
+    assert(scansColumnar(out),
+      "a filtered pos-delete read must keep the vectorized mask")
     assert(out.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((42L, "v42")))
-    assert(GraftColumnarMask.maskedServed.get() == masked0,
-      "filtered reads must refuse the masked path")
-    // the unfiltered read still masks
-    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 900L)
+    assert(GraftColumnarMask.maskedServed.get() > masked0,
+      "filtered reads must serve through the masked path now")
+    // pruning proof: the mask consults the stats/partition keep set, so a
+    // filter excluding EVERY file leaves no data files and the serve
+    // refuses (None) — if pruning were skipped it would happily plan all
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val req = StructType(Seq(StructField("k", LongType)))
+    assert(GraftColumnarMask.serve(spark, root, "t", None, req,
+      Array(EqualTo("k", 5000L)), None).isEmpty,
+      "a filter with no covering file must prune the mask to nothing")
+    assert(GraftColumnarMask.serve(spark, root, "t", None, req,
+      Array(EqualTo("k", 42L)), None).nonEmpty,
+      "a covered point lookup must serve masked")
+    // range filters prune and mask too
+    assert(spark.sql(s"SELECT count(*) FROM $g.t WHERE k >= 500")
+      .head().getLong(0) == (500L until 1000L).count(_ % 10 != 3))
   }
 
-  test("unmaskable shapes refuse: eq-deletes and non-primitive columns") {
+  test("equality-delete reads serve masked columnar with the seq guard") {
+    val root = Files.createTempDirectory("graft-mask-eq").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 1000)")
+    // pure key-equality DELETEs take the eq-delete fast path (metadata-
+    // sized commits, no data scan) — the CDC shape between compactions
+    spark.sql(s"DELETE FROM $g.t WHERE k IN (3, 400, 999)")
+    spark.sql(s"DELETE FROM $g.t WHERE k = 500")
+    val cat = new GraftCatalog(root)
+    assert(cat.loadEntries("t").count(_.kind == "eqdel") >= 2,
+      "fixture must accumulate eq-delete files")
+    val eq0 = GraftColumnarMask.maskedEqServed.get()
+    val out = spark.sql(s"SELECT k, v FROM $g.t")
+    assert(scansColumnar(out),
+      "an eq-delete-bearing SELECT must stay columnar:\n" +
+        out.queryExecution.executedPlan)
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 1000L).filterNot(Set(3L, 400L, 500L, 999L)))
+    assert(GraftColumnarMask.maskedEqServed.get() > eq0)
+    // the seq guard: rows INSERTED AFTER the delete with the same key
+    // survive (data.seq < delete.seq only drops strictly older rows)
+    spark.sql(s"INSERT INTO $g.t VALUES (500, 'reborn')")
+    val back = spark.sql(s"SELECT v FROM $g.t WHERE k = 500")
+    assert(back.collect().map(_.getString(0)).toSeq == Seq("reborn"),
+      "a re-inserted key must survive older equality deletes")
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 997L)
+  }
+
+  test("eq mask composes with pos-deletes and strips probe-only key columns") {
+    val root = Files.createTempDirectory("graft-mask-eqpos").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 1000)")
+    spark.sql(s"DELETE FROM $g.t WHERE k % 10 = 3") // untranslatable -> pos-deletes
+    spark.sql(s"DELETE FROM $g.t WHERE k = 500")    // key equality -> eq-delete
+    val out = spark.sql(s"SELECT v FROM $g.t") // k NOT projected: probe-only
+    assert(scansColumnar(out))
+    val expect = (0L until 1000L)
+      .filterNot(k => k % 10 == 3 || k == 500).map(k => s"v$k").sorted
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == expect,
+      "the mask must read the key column for the probe and strip it after")
+  }
+
+  test("a rename that reuses a name refuses the mask (field-id binding check)") {
+    // after `a -> c` then `b -> a`, a footer binds the name "a" (and type
+    // BIGINT) verbatim — but to the ORIGINAL a's field id. A name-matched
+    // mask would serve old-a's data as the current a while the row path
+    // id-resolves to old-b: silent wrong results. The binding check
+    // refuses and the row anti join serves, rows exact.
+    val root = Files.createTempDirectory("graft-mask-rename").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (a BIGINT, b BIGINT)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.t SELECT id, id + 100000 FROM range(0, 1000)")
+    spark.sql(s"DELETE FROM $g.t WHERE a % 10 = 3 OR b % 101 = 7") // pos-deletes
+    val expectA = (0L until 1000L)
+      .filterNot(k => k % 10 == 3 || (k + 100000) % 101 == 7)
+    spark.sql(s"ALTER TABLE $g.t RENAME COLUMN a TO c")
+    spark.sql(s"ALTER TABLE $g.t RENAME COLUMN b TO a")
+    val out = spark.sql(s"SELECT c, a FROM $g.t")
+    assert(!scansColumnar(out),
+      "a reused-name binding must refuse the mask path")
+    val rows = out.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == expectA,
+      "c must serve the ORIGINAL a's surviving values")
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(0) + 100000,
+      "a must serve the ORIGINAL b's values"))
+  }
+
+  test("unmaskable shapes refuse: non-primitive columns") {
     val root = Files.createTempDirectory("graft-mask-refuse").toString
     val g = mount(root)
     spark.sql(s"CREATE TABLE $g.t (k BIGINT, tags ARRAY<STRING>)")

@@ -133,13 +133,20 @@ class GraftBatchServingSpec extends SparkSpec {
     assert(GraftColumnarMask.maskedServed.get() > masked0,
       "the read must go through the vectorized mask path")
 
-    // an EQUALITY delete needs value comparison — row anti join, exact
+    // EQUALITY deletes stay columnar too: the bounded key set broadcasts
+    // as a hash probe on the key columns with the `seq <` guard — the
+    // continuously-upserted CDC read keeps vectorization between
+    // compactions (the r13 verdict's one perf-weak item, closed)
     spark.sql(s"DELETE FROM $g.t WHERE k IN (1, 3)") // key-equality -> eqdel
     assert(new GraftCatalog(root).loadEntries("t").exists(_.kind == "eqdel"))
+    val eq0 = GraftColumnarMask.maskedEqServed.get()
     val afterEq = spark.sql(s"SELECT k, v FROM $g.t")
-    assert(!batchScan(afterEq).supportsColumnar,
-      "eq-delete-bearing read must fall back to the row anti join")
+    assert(batchScan(afterEq).supportsColumnar,
+      "eq-delete-bearing read must serve masked columnar:\n" +
+        afterEq.queryExecution.executedPlan)
     assert(afterEq.count() == 998L)
+    assert(GraftColumnarMask.maskedEqServed.get() > eq0,
+      "the read must go through the vectorized eq mask")
   }
 
   test("repeat reads of an unchanged snapshot reuse the served plan; commits miss") {
@@ -161,6 +168,29 @@ class GraftBatchServingSpec extends SparkSpec {
     assert(snap > s1)
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 1100L)
     assert(spark.sql(s"SELECT k FROM $g.t WHERE k >= 1000").count() == 100L)
+  }
+
+  test("DROP + CREATE of the same name never serves the dropped table's cache") {
+    // snapshot ids restart at 1 on re-create and dropTable leaves data
+    // files on disk, so without a table-generation discriminator (the
+    // creation UUID) the re-created table's reads would reproduce the
+    // dropped generation's cache key exactly — and silently serve its rows
+    val root = Files.createTempDirectory("graft-serve-recreate").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('old', id) FROM range(0, 100)")
+    assert(spark.sql(s"SELECT k, v FROM $g.t").count() == 100L)
+    // repeat read: the served-plan cache holds this generation's groups
+    assert(spark.sql(s"SELECT k, v FROM $g.t").count() == 100L)
+    spark.sql(s"DROP TABLE $g.t")
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)") // same name, same schema
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('new', id) FROM range(0, 50)")
+    // same name, same snapshot id (CREATE=1, INSERT=2), same projection:
+    // only the creation UUID distinguishes the generations
+    val rows = spark.sql(s"SELECT k, v FROM $g.t").collect()
+    assert(rows.length == 50, s"must serve the NEW table, got ${rows.length} rows")
+    assert(rows.forall(_.getString(1).startsWith("new")),
+      "a cache hit on the dropped generation would serve 'old' rows")
   }
 
   test("MoR SELECT stays lazy: planning runs only the delete-side broadcasts") {

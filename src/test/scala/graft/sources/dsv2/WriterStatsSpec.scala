@@ -100,4 +100,43 @@ class WriterStatsSpec extends SparkSpec {
       "MoR delta data files must carry writer stats")
     assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 2000L)
   }
+
+  test("a rename that REUSES a name never prunes with the old column's bounds") {
+    // stats are keyed by column NAME but identity is the field id: after
+    // `a -> c` then `b -> a`, a stat recorded for old-a under key "a"
+    // describes a column the name no longer binds to. The rename commit
+    // strips stats for every name on either side, so pruning goes
+    // conservative instead of silently skipping files that hold matches.
+    val root = Files.createTempDirectory("graft-wstats-rename").toString
+    val g = s"gwr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.t (a BIGINT, b BIGINT)")
+    // disjoint ranges: old-a in [0, 1000), old-b in [100000, 101000)
+    spark.sql(s"INSERT INTO $g.t SELECT id, id + 100000 FROM range(0, 1000)")
+    val cat = new GraftCatalog(root)
+    assert(cat.loadEntries("t").filter(_.kind == "data")
+      .forall(_.stats.exists(_.colMins.contains("a"))),
+      "fixture needs writer-stamped bounds under the original names")
+    spark.sql(s"ALTER TABLE $g.t RENAME COLUMN a TO c")
+    spark.sql(s"ALTER TABLE $g.t RENAME COLUMN b TO a")
+    // column `a` is now OLD B: a lookup inside old-b's range must find
+    // its row — with stale name-keyed bounds ([0, 999] under key "a")
+    // stats pruning would skip every file and serve zero rows
+    assert(spark.sql(s"SELECT c FROM $g.t WHERE a = 100500").collect()
+      .map(_.getLong(0)).toSeq == Seq(500L),
+      "pruning must not consult the renamed-away column's bounds")
+    assert(cat.loadEntries("t").filter(_.kind == "data").forall(e =>
+      e.stats.forall(s => Seq("a", "b", "c").forall(n =>
+        !s.colMins.contains(n) && !s.nullCounts.contains(n)))),
+      "the rename commits must strip stats for every affected name")
+    // COUNT(col) stays exact too (nullCounts for the stripped names gone)
+    assert(spark.sql(s"SELECT count(a) FROM $g.t").head().getLong(0) == 1000L)
+    // fresh writes stamp stats under the NEW names immediately
+    spark.sql(s"INSERT INTO $g.t SELECT id + 2000, id + 200000 FROM range(0, 10)")
+    val newest = cat.loadEntries("t").filter(_.kind == "data")
+      .maxBy(_.seqNum)
+    assert(newest.stats.exists(s =>
+      s.colMins.contains("a") && s.colMins.contains("c")))
+  }
 }
