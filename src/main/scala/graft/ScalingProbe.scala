@@ -426,7 +426,7 @@ object ScalingProbe {
         s"PARTITIONED BY (bucket($w, doc_id))")
       spark.sql(s"INSERT INTO $g.a SELECT doc_id, n_chars FROM spj_src_4")
       spark.sql(s"INSERT INTO $g.b SELECT doc_id, lang FROM spj_src_4")
-      def cell(): (Double, Long, Long, Long) = {
+      def cell(): (Double, Long, Long) = {
         val olds = Seq(
           "spark.sql.sources.v2.bucketing.enabled",
           "spark.sql.autoBroadcastJoinThreshold",
@@ -439,7 +439,6 @@ object ScalingProbe {
           val runs = (1 to 2).map { _ =>
             val (s0, _) = probeMetrics.snapshot()
             val one0 = GraftKeyedServing.onePlanServed.get()
-            val fb0 = GraftKeyedServing.fallbackServed.get()
             val t0 = System.nanoTime()
             spark.sql(s"SELECT a.doc_id, a.n_chars, b.lang " +
               s"FROM $g.a a JOIN $g.b b ON a.doc_id = b.doc_id")
@@ -448,25 +447,29 @@ object ScalingProbe {
             org.apache.spark.sql.graftbridge.ListenerBridge
               .drain(spark.sparkContext)
             val (s1, _) = probeMetrics.snapshot()
-            (sec, s1 - s0, GraftKeyedServing.onePlanServed.get() - one0,
-              GraftKeyedServing.fallbackServed.get() - fb0)
+            (sec, s1 - s0, GraftKeyedServing.onePlanServed.get() - one0)
           }
           runs.minBy(_._1)
         } finally olds.foreach { case (k, v) =>
           v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
         }
       }
-      val (sec, bytes, onePlan, fallback) = cell()
+      val (sec, bytes, onePlan) = cell()
+      require(onePlan > 0,
+        s"width-$w keyed read must take the one-plan path (it is the " +
+          "ONLY keyed path since the fallback retirement)")
       val withDel = if (w == 256) {
         // untranslatable predicate -> pending MoR position delete
         spark.sql(s"DELETE FROM $g.a WHERE doc_id % 10 = 4")
         Some(cell())
       } else None
+      withDel.foreach(d => require(d._3 > 0,
+        "the pending-delete keyed read must stay one-plan-served"))
       println(f"spjw width=$w%4d spj=$sec%5.2fs/${bytes / 1e6}%.1fMB " +
-        f"onePlan=$onePlan fallback=$fallback" +
+        f"onePlan=$onePlan" +
         withDel.fold("")(d => f" +del=${d._1}%5.2fs/${d._2 / 1e6}%.1fMB " +
-          f"onePlan=${d._3} fallback=${d._4}"))
-      (w, sec, bytes, onePlan, fallback, withDel)
+          f"onePlan=${d._3}"))
+      (w, sec, bytes, onePlan, withDel)
     }
 
     // ---- vectorized eq-delete reads on an upserted table (round 14) -----
@@ -703,35 +706,41 @@ object ScalingProbe {
     sb.append("why the layout is gated on Spark's own SPJ switch rather than\n")
     sb.append("always on.\n")
 
-    sb.append("\n## Keyed serving vs spec width (one-plan regroup, round 13)\n\n")
+    sb.append("\n## Keyed serving vs spec width (one-plan regroup)\n\n")
     sb.append("Fixed corpus (20k docs), co-bucketed DSv2 pairs at widening\n")
     sb.append("specs. Round 12 planned one frame PER TUPLE (O(width) Catalyst\n")
     sb.append("passes, hard-capped at 128 tuples — bucket(256)+ lost SPJ\n")
     sb.append("entirely); round 13's one-plan serving plans each scan ONCE and\n")
-    sb.append("slices its planned file partitions tuple-pure: every keyed read\n")
-    sb.append("must take the one-plan path (counters printed — fallback 0) and\n")
-    sb.append("join-side shuffle stays zero at every width. Wall time still\n")
-    sb.append("grows with width HERE because the fanout fixture's FILE COUNT\n")
-    sb.append("is the width (bucket(1024) = ~1024 tiny files per table — real\n")
-    sb.append("tables hold many files per bucket, so per-file constants\n")
-    sb.append("amortize); the claim is the absent per-tuple Catalyst tax, not\n")
-    sb.append("flat tiny-file IO. The width-256 pair then takes a pending MoR\n")
-    sb.append("DELETE: deletes are row-local to their tuples, the delete side\n")
-    sb.append("is explicitly broadcast (manifest-sized, independent of the\n")
-    sb.append("SPJ setup's autoBroadcastJoinThreshold=-1), so the join must\n")
-    sb.append("STAY exchange-free, one-plan-served, with ~zero join-side\n")
-    sb.append("shuffle — production tables always have deletes in flight, and\n")
-    sb.append("at 100 TB this is exactly when the fact-fact join must not\n")
-    sb.append("lose its best plan. (The first probe of this section caught\n")
-    sb.append("exactly that cliff: without the explicit delete broadcast, the\n")
-    sb.append("threshold=-1 setup planned the anti join sort-merge, the\n")
-    sb.append("shuffle-bearing chain refused the one-plan regroup, and the\n")
-    sb.append("per-tuple fallback cost 477 s / 455 MB at width 256.)\n\n")
-    sb.append("| spec | SPJ s / shuffle MB | one-plan / fallback | +pending-delete s / MB (one-plan / fallback) |\n")
+    sb.append("slices its planned file partitions tuple-pure. Round 14 DELETED\n")
+    sb.append("the per-tuple fallback outright: the layout admission now\n")
+    sb.append("refuses any snapshot whose delete sets cannot provably\n")
+    sb.append("broadcast (at EVERY width — such reads degrade to an ordinary\n")
+    sb.append("shuffle join, strictly cheaper than per-tuple planning), so the\n")
+    sb.append("one-plan regroup is the only keyed path and the probe ASSERTS\n")
+    sb.append("it (require onePlan > 0 per cell). Join-side shuffle stays zero\n")
+    sb.append("at every width. Wall time still grows with width HERE because\n")
+    sb.append("the fanout fixture's FILE COUNT is the width (bucket(1024) =\n")
+    sb.append("~1024 tiny files per table — real tables hold many files per\n")
+    sb.append("bucket, so per-file constants amortize); the claim is the\n")
+    sb.append("absent per-tuple Catalyst tax, not flat tiny-file IO. The\n")
+    sb.append("width-256 pair then takes a pending MoR DELETE: deletes are\n")
+    sb.append("row-local to their tuples, the delete side is explicitly\n")
+    sb.append("broadcast (manifest-sized, independent of the SPJ setup's\n")
+    sb.append("autoBroadcastJoinThreshold=-1), so the join must STAY\n")
+    sb.append("exchange-free, one-plan-served, with ~zero join-side shuffle —\n")
+    sb.append("production tables always have deletes in flight, and at 100 TB\n")
+    sb.append("this is exactly when the fact-fact join must not lose its best\n")
+    sb.append("plan. (The r13 probe of this section caught the cliff that\n")
+    sb.append("motivated the retirement: without the explicit delete\n")
+    sb.append("broadcast, the threshold=-1 setup planned the anti join\n")
+    sb.append("sort-merge, the shuffle-bearing chain refused the one-plan\n")
+    sb.append("regroup, and the then-extant per-tuple fallback cost\n")
+    sb.append("477 s / 455 MB at width 256.)\n\n")
+    sb.append("| spec | SPJ s / shuffle MB | one-plan served | +pending-delete s / MB (one-plan) |\n")
     sb.append("|---|---|---|---|\n")
-    widthRows.foreach { case (w, s, b, op, fb, del) =>
-      sb.append(f"| bucket($w) | $s%.2f / ${b / 1e6}%.2f | $op / $fb | " +
-        del.fold("—")(d => f"${d._1}%.2f / ${d._2 / 1e6}%.2f (${d._3} / ${d._4})") +
+    widthRows.foreach { case (w, s, b, op, del) =>
+      sb.append(f"| bucket($w) | $s%.2f / ${b / 1e6}%.2f | $op | " +
+        del.fold("—")(d => f"${d._1}%.2f / ${d._2 / 1e6}%.2f (${d._3})") +
         " |\n")
     }
 

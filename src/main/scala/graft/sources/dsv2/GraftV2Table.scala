@@ -736,33 +736,22 @@ class GraftV1Scan(
           GraftKeyedServing.groups(
               spark, root, table, asOf, required, filters, kl, runtimeKeep)
             .map { gs => GraftKeyedServing.onePlanServed.incrementAndGet(); gs }
-            .getOrElse {
-              GraftKeyedServing.fallbackServed.incrementAndGet()
-              // fallback when the shared plan refuses the regroup (chain
-              // not foreign-split-safe, e.g. sort-merge-sized delete
-              // sets): one frame per tuple — correct at any count,
-              // O(tuples) planning. Serve columnar when every tuple frame
-              // peels to a bare scan (all-or-nothing rule), keyed rows
-              // otherwise.
-              val perTuple = kl.tuples.map { case (key, files) =>
-                (key, GraftInnerFrame.frames(
-                  spark, root, table, asOf, required, filters,
-                  keepPaths = Some(files)))
-              }
-              val columnar = perTuple.map { case (key, fs) =>
-                val cols = fs.map(f => org.apache.spark.sql.graftbridge
-                  .DatasetBridge.columnarRddNoAqe(f, peelFilters = true))
-                if (fs.nonEmpty && cols.forall(_.isDefined))
-                  Some(cols.flatten.map(GraftKeyedColumnarGroup(key, _)
-                    : GraftServedGroup))
-                else None
-              }
-              if (columnar.forall(_.isDefined)) columnar.flatten.flatten
-              else perTuple.flatMap { case (key, fs) =>
-                GraftInnerFrame.servableRdds(fs)
-                  .map(rdd => GraftRowGroup(key, rdd): GraftServedGroup)
-              }
-            }
+            .getOrElse(
+              // UNREACHABLE by construction since the layout admission
+              // moved the delete-broadcast check to every width
+              // (GraftKeyedLayout.of): a claimed layout implies
+              // broadcastable delete sets, whose MoR chains plan narrow
+              // over one FileScanRDD per schema group, and the regroup's
+              // keepPaths pins the planned files to the layout's own set
+              // — the r13 per-tuple Catalyst fallback (O(tuples) planning,
+              // the measured 477 s cliff at width 256) is deleted, not
+              // just avoided. Failing LOUDLY here beats serving unkeyed
+              // partitions under a reported KeyGroupedPartitioning.
+              throw new IllegalStateException(
+                s"keyed serving could not regroup $table's planned scan " +
+                  "as foreign splits of one plan; the layout admission " +
+                  "should have refused this snapshot (file a bug with " +
+                  "the table's snapshot entries and this read's plan)"))
         }, token = () => "keyed")
       case None =>
         new GraftRddBatch(() => {
@@ -1257,21 +1246,21 @@ private[dsv2] object GraftInnerFrame {
   * tuple, and serve each tuple's files as foreign splits of the shared
   * plan's rdd — planning cost O(files), not O(tuples × Catalyst). The
   * reference serves one stream per task group from one planned scan the
-  * same way (`iceberg_file_task_scan.rs:196-213`). Returns None when a
-  * frame's chain refuses the foreign-split validation ([[
-  * org.apache.spark.sql.graftbridge.DatasetBridge.columnarFileScan]]) or
-  * a planned file maps to no layout tuple; the caller then falls back to
-  * per-tuple frames.
+  * same way (`iceberg_file_task_scan.rs:196-213`). This is the ONLY
+  * keyed serving path: the layout admission ([[GraftKeyedLayout.of]])
+  * refuses any snapshot whose delete sets cannot provably broadcast, so
+  * the chain is always narrow over one `FileScanRDD` per schema group
+  * and the regroup cannot fail (None here is a bug, thrown loudly by the
+  * caller — the r13 per-tuple fallback loop is gone).
   */
 object GraftKeyedServing {
 
-  /** Diagnostics for tests/scaling probes: keyed reads served through the
-    * one-plan regroup vs the per-tuple fallback. (The object is public
-    * only for these counters — ScalingProbe reads them from package
-    * graft; the serving machinery stays package-private.)
+  /** Diagnostic for tests/scaling probes: keyed reads served through the
+    * one-plan regroup. (The object is public only for this counter —
+    * ScalingProbe reads it from package graft; the serving machinery
+    * stays package-private.)
     */
   val onePlanServed = new java.util.concurrent.atomic.AtomicLong
-  val fallbackServed = new java.util.concurrent.atomic.AtomicLong
 
   private[dsv2] def groups(
       spark: SparkSession,
@@ -1454,19 +1443,10 @@ private[dsv2] object GraftKeyedLayout {
   /** Cap on distinct tuples served as keyed partitions. One-plan serving
     * ([[GraftKeyedServing]]) plans O(files) regardless of tuple count, so
     * the bound exists only to keep the layout's driver-side tuple table
-    * and the per-tuple FALLBACK path (taken when a plan refuses the
-    * foreign-split regroup) within reason — wide production specs
-    * (bucket(256)+, daily×bucket composites) all fit.
+    * within reason — wide production specs (bucket(256)+, daily×bucket
+    * composites) all fit.
     */
   private val MaxTuples = 16384
-
-  /** Tuple count up to which the per-tuple FALLBACK (one Catalyst pass
-    * per tuple, taken only when the one-plan regroup refuses) stays an
-    * acceptable worst case. Past it, a layout whose pending delete sets
-    * cannot provably broadcast (the refusal trigger) is refused up front
-    * — an ordinary shuffle join beats minutes of driver planning.
-    */
-  private val FallbackSafeTuples = 128
 
   /** Some only when the layout is PROVABLE from the snapshot: a declared
     * spec, every data file carrying a full tuple recorded under the
@@ -1494,13 +1474,15 @@ private[dsv2] object GraftKeyedLayout {
     }
     val entries = allEntries.filter(_.kind == "data")
     if (entries.isEmpty) return None
-    // a WIDE spec only keeps the layout when the pending delete sets
-    // provably BROADCAST (manifest sizes under the anti-join hint cap):
-    // past it the MoR delete join plans a shuffle, the one-plan regroup
-    // refuses the chain, and the per-tuple fallback costs O(tuples ×
-    // Catalyst) — the measured 477 s cliff at 256 tuples. Narrow specs
-    // keep the layout (the fallback is bounded); wide ones degrade to an
-    // ordinary shuffle join, which is strictly cheaper than the fallback.
+    // the layout holds only when the pending delete sets provably
+    // BROADCAST (manifest sizes under the anti-join hint cap): past it
+    // the MoR delete join plans a shuffle, which cannot be served as
+    // foreign splits of one plan. Such snapshots degrade to an ordinary
+    // shuffle join — strictly cheaper than r13's per-tuple Catalyst
+    // fallback (the measured 477 s cliff at width 256), which this
+    // universal admission check made deletable. The check applies at
+    // EVERY width; it is the invariant that makes the one-plan regroup
+    // the only keyed serving path.
     val deleteBytes = allEntries.filter(_.kind != "data").map(_.sizeBytes)
     val Param = """([a-z]+)\[(\d+)\]""".r
     def srcType(source: String): Option[DataType] =
@@ -1553,7 +1535,7 @@ private[dsv2] object GraftKeyedLayout {
       byTuple.getOrElseUpdate(tuple, scala.collection.mutable.Set.empty) += e.path
     }
     if (byTuple.size > MaxTuples) return None
-    if (byTuple.size > FallbackSafeTuples && deleteBytes.nonEmpty &&
+    if (deleteBytes.nonEmpty &&
         (deleteBytes.exists(_ < 0L) || deleteBytes.sum > (64L << 20))) return None
     val tuples = byTuple.toSeq
       .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000"))

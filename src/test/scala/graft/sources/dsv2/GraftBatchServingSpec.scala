@@ -371,7 +371,6 @@ class GraftBatchServingSpec extends SparkSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     val onePlan0 = GraftKeyedServing.onePlanServed.get()
-    val fallback0 = GraftKeyedServing.fallbackServed.get()
     try {
       val joined = spark.sql(
         s"SELECT a.k, a.va, b.vb FROM $g.wa a JOIN $g.wb b ON a.k = b.k")
@@ -383,9 +382,48 @@ class GraftBatchServingSpec extends SparkSpec {
       assert(!plan.contains("Exchange hashpartitioning"),
         "co-bucketed(256) tables must join WITHOUT a shuffle:\n" + plan)
       assert(GraftKeyedServing.onePlanServed.get() > onePlan0,
-        "keyed reads must serve through the one-plan regroup")
-      assert(GraftKeyedServing.fallbackServed.get() == fallback0,
-        "a delete-free bucketed read must never hit the per-tuple fallback")
+        "keyed reads must serve through the one-plan regroup " +
+          "(the per-tuple fallback no longer exists)")
+    } finally olds.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("unbroadcastable delete sets refuse the keyed layout up front") {
+    // the invariant that made the per-tuple fallback deletable: a
+    // snapshot whose delete sets cannot PROVABLY broadcast (here: an
+    // unknown manifest size) never claims KeyGroupedPartitioning at ANY
+    // width — the read degrades to an ordinary (shuffled) join, which is
+    // strictly cheaper than r13's per-tuple Catalyst loop, and the rows
+    // stay exact
+    val root = Files.createTempDirectory("graft-serve-nokeyed").toString
+    val g = mountCatalog(root)
+    spark.sql(
+      s"""CREATE TABLE $g.a (k BIGINT, va STRING) PARTITIONED BY (bucket(4, k))
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.a SELECT id, concat('a', id) FROM range(0, 1000)")
+    val cat = new GraftCatalog(root)
+    // a pos-delete whose manifest SIZE is unknown (-1): provability gone
+    val target = cat.loadEntries("a").find(_.kind == "data").get.path
+    val delDir = s"$root/_data/a/nokeyed-del"
+    import spark.implicits._
+    Seq((target, 0L)).toDF("file_path", "pos")
+      .coalesce(1).write.parquet(delDir)
+    val delPath = graft.sources.CompactionRunner.listParquet(delDir).head
+    cat.commitRowDelta("a", cat.currentSnapshotId("a"), Nil,
+      Seq(GraftCatalog.AddedFile(delPath, "parquet",
+        recordCount = 1L, sizeBytes = -1L)))
+    val olds = Seq("spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val onePlan0 = GraftKeyedServing.onePlanServed.get()
+    try {
+      val out = spark.sql(s"SELECT k, va FROM $g.a")
+      val rows = out.collect()
+      // the first row of the target file is suppressed; everything else serves
+      assert(rows.length == 999, s"got ${rows.length}")
+      assert(GraftKeyedServing.onePlanServed.get() == onePlan0,
+        "an unprovable delete set must refuse the keyed layout entirely")
     } finally olds.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
@@ -415,7 +453,7 @@ class GraftBatchServingSpec extends SparkSpec {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
-    val fallback0 = GraftKeyedServing.fallbackServed.get()
+    val onePlanDel0 = GraftKeyedServing.onePlanServed.get()
     try {
       val joined = spark.sql(
         s"SELECT a.k, a.va, b.vb FROM $g.a a JOIN $g.b b ON a.k = b.k")
@@ -428,10 +466,10 @@ class GraftBatchServingSpec extends SparkSpec {
         "a pending MoR delete must not cost the join its storage " +
           "partitioning:\n" + plan)
       // the delete side is explicitly broadcast (sized from the manifest,
-      // independent of the -1 threshold), so the MoR chain stays narrow
-      // and keyed serving takes the ONE-PLAN path — the per-tuple
-      // fallback would plan width × Catalyst on a production-wide spec
-      assert(GraftKeyedServing.fallbackServed.get() == fallback0,
+      // independent of the -1 threshold; the layout admission REFUSES
+      // snapshots whose delete sets can't broadcast), so the MoR chain
+      // stays narrow and keyed serving takes the one-plan path
+      assert(GraftKeyedServing.onePlanServed.get() > onePlanDel0,
         "SPJ with pending deletes must serve through the one-plan regroup")
     } finally olds.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
