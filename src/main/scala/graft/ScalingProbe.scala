@@ -488,9 +488,11 @@ object ScalingProbe {
         "graft.sources.dsv2.GraftSparkCatalog")
       spark.conf.set(s"spark.sql.catalog.$g.root", s"$dir/cat")
       spark.sql(s"CREATE TABLE $g.t (doc_id BIGINT, n_chars BIGINT)")
-      spark.read.parquet(s"/tmp/graft_scale_$mult/documents.parquet")
-        .createOrReplaceTempView(s"eqm_src_$mult")
-      spark.sql(s"INSERT INTO $g.t SELECT doc_id, n_chars FROM eqm_src_$mult")
+      // synthetic rows at REAL scan sizes (1M -> 16M rows): the document
+      // corpus tops out at 80k rows, where both dispositions finish in
+      // hundredths of a second and the comparison measures nothing
+      spark.sql(s"INSERT INTO $g.t SELECT id, id * 7 FROM " +
+        s"range(0, ${mult}000000L)")
       // key-equality DELETEs take the eq-delete fast path: two pending
       // eq-delete files, no compaction — the between-compactions read
       val keys = (0 until 64).map(i => i.toLong * 137L + 11L)
@@ -773,12 +775,13 @@ object ScalingProbe {
     sb.append(":281-304). Round 13 dropped every such read to the row-based anti\n")
     sb.append("join; round 14 masks eq-deletes inside the scan's ColumnarBatches\n")
     sb.append("(broadcast key->maxSeq probe with the `data.seq < delete.seq`\n")
-    sb.append("guard), so the read stays vectorized. Same read measured masked\n")
-    sb.append("vs with the mask force-disabled (row anti join serves):\n\n")
-    sb.append("| mult | masked read (s) | row-path read (s) |\n")
+    sb.append("guard), so the read stays vectorized. Same read (1M -> 16M\n")
+    sb.append("synthetic rows, 65 pending eq-delete keys) measured masked vs\n")
+    sb.append("with the mask force-disabled (row anti join serves):\n\n")
+    sb.append("| rows | masked read (s) | row-path read (s) |\n")
     sb.append("|---|---|---|\n")
     eqMaskRows.foreach { case (m, tMask, tRow) =>
-      sb.append(f"| ${m}x | $tMask%.2f | $tRow%.2f |\n")
+      sb.append(f"| ${m}M | $tMask%.2f | $tRow%.2f |\n")
     }
     sb.append("\nmin-of-3 per cell; files newer than every delete skip the probe\n")
     sb.append("entirely (zero-copy passthrough), so a freshly-compacted table\n")

@@ -123,8 +123,13 @@ object IcebergMetadataJson {
     }.mkString(",")
     val snapshotLog = ids.map(id =>
       s"""{"timestamp-ms":${mtime(id)},"snapshot-id":$id}""").mkString(",")
-    val uuid = java.util.UUID.nameUUIDFromBytes(
-      s"graft:$root/$table".getBytes("UTF-8"))
+    // the table's REAL creation UUID when the catalog minted one (every
+    // table created since round 14; also the served-plan cache's
+    // generation discriminator) — the name-derived fallback only covers
+    // older tables, where re-creates were already indistinguishable
+    val uuid = catalog.tableUuid(table).getOrElse(
+      java.util.UUID.nameUUIDFromBytes(
+        s"graft:$root/$table".getBytes("UTF-8")).toString)
     // render schemas BEFORE last-column-id: rendering allocates the
     // synthetic nested/id-less ids that last-column-id must cover
     val schemasJson = schemas.map { case (id, s) => schemaJson(id, s, idAlloc) }.mkString(",")
