@@ -97,7 +97,9 @@ object MaintenanceOp {
     * files merge into few, dangling rows drop, data untouched. Row: the
     * resulting head (unchanged head = nothing to shrink).
     */
-  final case class CompactDeleteFiles(asDeletionVectors: Boolean = false)
+  final case class CompactDeleteFiles(
+      asDeletionVectors: Boolean = false,
+      targetFiles: Int = 1)
       extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("snapshot_id")
   }
@@ -253,10 +255,10 @@ object GraftMaintenanceExec {
         val sid = cat.rewriteEqDeletes(spark, table, out)
         val posAfter = cat.loadEntries(table).count(_.kind == "posdel").toLong
         Seq(Seq(sid, eqBefore, posAfter - posBefore))
-      case MaintenanceOp.CompactDeleteFiles(asDv) =>
+      case MaintenanceOp.CompactDeleteFiles(asDv, targetFiles) =>
         val out = s"$root/_data/$table/pdrw-${java.util.UUID.randomUUID()}"
         Seq(Seq(cat.compactDeleteFiles(spark, table, out,
-          asDeletionVectors = asDv)))
+          targetFiles = targetFiles, asDeletionVectors = asDv)))
       case MaintenanceOp.PublishBranch(branch) =>
         Seq(Seq(cat.publishFork(s"$table@$branch")))
       case MaintenanceOp.DropBranch(branch) =>

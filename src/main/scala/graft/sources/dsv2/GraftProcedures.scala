@@ -95,11 +95,14 @@ object GraftProcedures {
       }),
     Spec("rewrite_position_delete_files",
       "merge small position-delete files and drop dangling delete rows; " +
-        "as_deletion_vectors lands them as one compressed bitmap sidecar",
+        "as_deletion_vectors lands them as Puffin deletion-vector " +
+        "sidecars (target_files bounds the sidecar count — each is " +
+        "written by its own task, so N > 1 parallelizes the rewrite)",
       Seq(p("table", StringType),
-        pDefault("as_deletion_vectors", BooleanType, "false")),
+        pDefault("as_deletion_vectors", BooleanType, "false"),
+        pDefault("target_files", IntegerType, "1")),
       (cat, in) => (tableArg(in, 0),
-        MaintenanceOp.CompactDeleteFiles(in.getBoolean(1)))),
+        MaintenanceOp.CompactDeleteFiles(in.getBoolean(1), in.getInt(2)))),
     Spec("rewrite_equality_deletes",
       "convert equality deletes to position deletes (data files untouched)",
       Seq(p("table", StringType)),

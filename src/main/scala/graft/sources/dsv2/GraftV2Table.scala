@@ -1123,6 +1123,19 @@ private[dsv2] object GraftInnerFrame {
           cat.scanTableWhere(spark, table, a, lo, hi)
         }
       }
+    // STATIC `IN` pruning (the doorway's `k IN (...)` point lookups):
+    // each parseable IN conjunct intersects the partition/stats/bloom
+    // keep set — the same file skipping DPP runtime filters route
+    // through ([[GraftCatalog.inKeepPaths]]), applied at PLAN time for
+    // filters the query carries statically. Pure IO reduction: every
+    // pushed filter is re-applied above the scan. Head reads only
+    // (the pruning helpers consult head metadata).
+    val inKeep: Option[Set[String]] =
+      if (needsRowId || asOf.isDefined) None
+      else filters.collect {
+        case sources.In(a, vs) if vs.nonEmpty =>
+          cat.inKeepPaths(spark, table, a, vs.toIndexedSeq)
+      }.reduceOption(_ intersect _)
     val bases: Seq[DataFrame] =
       if (needsRowId) {
         // the row-id scan plans the WHOLE table (one frame); a keepPaths
@@ -1134,11 +1147,17 @@ private[dsv2] object GraftInnerFrame {
           full.filter(col("_file").isInCollection(kp))))
       }
       else prunedScan.map(Seq(_))
-        .getOrElse(cat.scanTableFrames(spark, table, asOf,
-          // runtime (DPP) file pruning — an unrestricted membership test
-          // when no parseable filter arrived
-          dataKeep = keepPaths.fold((_: cat.TableEntry) => true)(
-            kp => (e: cat.TableEntry) => kp.contains(e.path))))
+        .getOrElse {
+          // runtime (DPP) keepPaths ∩ static IN pruning — an
+          // unrestricted membership test when neither arrived
+          val keep: Option[Set[String]] = (keepPaths, inKeep) match {
+            case (Some(a), Some(b)) => Some(a intersect b)
+            case (a, b) => a.orElse(b)
+          }
+          cat.scanTableFrames(spark, table, asOf,
+            dataKeep = keep.fold((_: cat.TableEntry) => true)(
+              kp => (e: cat.TableEntry) => kp.contains(e.path)))
+        }
     bases.map { base =>
       // runtime GROUP filter (copy-on-write ReplaceData): restrict to the
       // files the dynamic-pruning subquery found matching rows in — the

@@ -67,6 +67,40 @@ class DeletionVectorsSpec extends SparkSpec {
       .head().getLong(0) == expect.length.toLong)
   }
 
+  test("distributed DV write: target_files sidecars, one task each, reads exact") {
+    // the driver never materializes positions: each task streams its
+    // file_path-partitioned slice into its own Puffin sidecar (one
+    // deletion-vector-v1 blob per data file), the driver only commits the
+    // returned (path, count) rows — the shape that lifts r13's 16M
+    // driver-collect cap
+    val root = Files.createTempDirectory("graft-dv-dist").toString
+    val g = s"gv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    // several files so the file_path repartition actually spreads
+    spark.sql(s"INSERT INTO $g.t SELECT /*+ REPARTITION(8) */ id, " +
+      "concat('v', id) FROM range(0, 8000)")
+    // a translatable range takes the metadata pos-delete path; the
+    // REPARTITION spread means every data file holds matching rows
+    spark.sql(s"DELETE FROM $g.t WHERE k >= 1000 AND k < 2600")
+    val cat = new GraftCatalog(root)
+    assert(cat.loadEntries("t").exists(_.kind == "posdel"))
+    // doorway spelling with the sidecar-count knob
+    spark.sql(s"CALL $g.system.rewrite_position_delete_files('t', " +
+      "as_deletion_vectors => true, target_files => 4)").collect()
+    val dv = cat.loadEntries("t").filter(_.kind == "posdel")
+    assert(dv.size > 1 && dv.size <= 4,
+      s"target_files=4 must land multiple DV sidecars, got ${dv.size}")
+    assert(dv.forall(e => e.format == "dv" && e.recordCount > 0 &&
+      e.sizeBytes > 0 && Puffin.isPuffin(e.path, conf)))
+    assert(dv.map(_.recordCount).sum == 1600L)
+    val expect = (0L until 8000L).filterNot(k => k >= 1000 && k < 2600)
+    assert(spark.sql(s"SELECT k FROM $g.t").collect()
+      .map(_.getLong(0)).sorted.toSeq == expect)
+    assert(spark.sql(s"SELECT sum(k) FROM $g.t").head().getLong(0) == expect.sum)
+  }
+
   test("full compaction consumes and retires a DV like any delete file") {
     val root = Files.createTempDirectory("graft-dv-compact").toString
     val g = s"gv_${java.util.UUID.randomUUID().toString.replace("-", "")}"

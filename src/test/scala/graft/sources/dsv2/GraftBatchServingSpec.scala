@@ -389,6 +389,36 @@ class GraftBatchServingSpec extends SparkSpec {
     }
   }
 
+  test("a static IN point lookup prunes to the covering files") {
+    // `k IN (...)` carried STATICALLY by the query routes through the
+    // same partition/stats/bloom keep set DPP runtime filters use —
+    // without this, only single-equality and range shapes pruned and an
+    // IN lookup read the whole table
+    val root = Files.createTempDirectory("graft-serve-instatic").toString
+    val g = mountCatalog(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    // range-partitioned write: each file gets tight disjoint
+    // writer-stamped bounds, so the keep set is provably small
+    spark.sql(s"INSERT INTO $g.t SELECT /*+ REPARTITION_BY_RANGE(8, id) */ " +
+      "id, concat('v', id) FROM range(0, 1000)")
+    val keep = new GraftCatalog(root)
+      .inKeepPaths(spark, "t", "k", Seq(7L, 13L, 700L))
+    assert(keep.nonEmpty && keep.size <= 3,
+      s"fixture must prune to a small keep set, got ${keep.size}")
+    // the records-read metric over-counts uniformly on this serving path,
+    // so compare the filtered read against a baseline measured the same way
+    val (_, recordsAll) = probe {
+      spark.sql(s"SELECT k, v FROM $g.t").collect()
+    }
+    val (_, records) = probe {
+      val out = spark.sql(s"SELECT k, v FROM $g.t WHERE k IN (7, 13, 700)")
+      assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(7L, 13L, 700L))
+    }
+    assert(records * 2 < recordsAll,
+      s"the IN lookup must open only covering files, read $records " +
+        s"vs unfiltered $recordsAll")
+  }
+
   test("unbroadcastable delete sets refuse the keyed layout up front") {
     // the invariant that made the per-tuple fallback deletable: a
     // snapshot whose delete sets cannot PROVABLY broadcast (here: an
