@@ -1385,7 +1385,37 @@ object MorQueries {
       spark.sparkContext.parallelize(rows.toIndexedSeq), out.schema)
   }
 
+  /** Q164: STATIC `IN` point lookups prune to covering files through the
+    * doorway — the plan-time twin of DPP's runtime IN pruning: each
+    * parseable IN conjunct intersects the partition/stats/bloom keep set,
+    * so a point lookup on a range-clustered table opens O(values) files,
+    * not O(table). In-gate: the keep set is required strictly smaller
+    * than the data file count. Oracle = the filtered content.
+    */
+  private def q164(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q164").toString
+    val g = s"g164_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.c (c_custkey BIGINT, c_name STRING)")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .createOrReplaceTempView("q164_src")
+    // range-clustered write: disjoint writer-stamped bounds per file
+    spark.sql(
+      s"""INSERT INTO $g.c
+         |SELECT /*+ REPARTITION_BY_RANGE(8, c_custkey) */ c_custkey, c_name
+         |FROM q164_src""".stripMargin)
+    val cat = new graft.sources.GraftCatalog(root)
+    val files = cat.loadEntries("c").count(_.kind == "data")
+    val keep = cat.inKeepPaths(spark, "c", "c_custkey", Seq(5L, 40L, 77L))
+    require(keep.nonEmpty && keep.size < files,
+      s"the IN keep set must prune (kept ${keep.size} of $files files)")
+    spark.sql(
+      s"SELECT c_custkey, c_name FROM $g.c WHERE c_custkey IN (5, 40, 77)")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_static_in_prune" -> (q164 _),
     "q160_eq_delete_mask" -> (q160 _),
     "q161_wap_branch" -> (q161 _),
     "q162_branch_dml" -> (q162 _),
@@ -1453,6 +1483,9 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q164_static_in_prune" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (5, 40, 77)""".stripMargin,
     "q160_eq_delete_mask" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
         |WHERE c_custkey <= 5000

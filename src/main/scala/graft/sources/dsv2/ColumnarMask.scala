@@ -97,14 +97,23 @@ object GraftColumnarMask {
     case _ => false
   }
 
+  /** SQL join equality treats -0.0 = 0.0 as TRUE (and Spark treats
+    * NaN = NaN as true); boxed-Double `equals` disagrees on the first
+    * (and agrees on the second), so floating keys normalize -0.0 → 0.0
+    * on BOTH probe sides or a -0.0 delete key would silently fail to
+    * mask a 0.0 row the anti join drops.
+    */
+  private def normFloating(d: Double): java.lang.Double =
+    java.lang.Double.valueOf(if (d == 0.0d) 0.0d else d)
+
   private def normDriver(v: Any): Option[Any] = v match {
     case null => Some(null)
     case b: java.lang.Byte => Some(java.lang.Long.valueOf(b.longValue))
     case s: java.lang.Short => Some(java.lang.Long.valueOf(s.longValue))
     case i: java.lang.Integer => Some(java.lang.Long.valueOf(i.longValue))
     case l: java.lang.Long => Some(l)
-    case f: java.lang.Float => Some(java.lang.Double.valueOf(f.doubleValue))
-    case d: java.lang.Double => Some(d)
+    case f: java.lang.Float => Some(normFloating(f.doubleValue))
+    case d: java.lang.Double => Some(normFloating(d.doubleValue))
     case s: String => Some(s)
     case u: org.apache.spark.unsafe.types.UTF8String => Some(u.toString)
     case b: java.lang.Boolean => Some(b)
@@ -543,8 +552,8 @@ object GraftColumnarMask {
               case IntegerType | DateType =>
                 java.lang.Long.valueOf(c.getInt(r).toLong)
               case LongType => java.lang.Long.valueOf(c.getLong(r))
-              case FloatType => java.lang.Double.valueOf(c.getFloat(r).toDouble)
-              case DoubleType => java.lang.Double.valueOf(c.getDouble(r))
+              case FloatType => normFloating(c.getFloat(r).toDouble)
+              case DoubleType => normFloating(c.getDouble(r))
               case BooleanType => java.lang.Boolean.valueOf(c.getBoolean(r))
               case StringType => c.getUTF8String(r).toString
               case other => throw new IllegalStateException(

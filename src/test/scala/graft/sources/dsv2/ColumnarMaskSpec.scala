@@ -206,6 +206,26 @@ class ColumnarMaskSpec extends SparkSpec {
       "the mask must read the key column for the probe and strip it after")
   }
 
+  test("floating eq keys: -0.0 deletes 0.0 rows exactly like the SQL anti join") {
+    // SQL join equality says -0.0 = 0.0 (and the row path's anti join
+    // honors it); a boxed-Double probe map would disagree and silently
+    // resurrect the 0.0 row — the probe normalizes both sides
+    val root = Files.createTempDirectory("graft-mask-negzero").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k DOUBLE, v STRING)")
+    import spark.implicits._
+    Seq((0.0d, "pos"), (-0.0d, "neg"), (1.5d, "keep"))
+      .toDF("k", "v").writeTo(s"$g.t").append()
+    val cat = new GraftCatalog(root)
+    cat.deleteWhereEq(spark, "t", Seq(-0.0d).toDF("k"),
+      s"$root/_data/t/negzero-del")
+    assert(cat.loadEntries("t").exists(_.kind == "eqdel"))
+    val out = spark.sql(s"SELECT v FROM $g.t")
+    assert(scansColumnar(out), "the eq-delete read must stay masked")
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("keep"),
+      "-0.0 and 0.0 keys must unify under the probe like the SQL join")
+  }
+
   test("a rename that reuses a name refuses the mask (field-id binding check)") {
     // after `a -> c` then `b -> a`, a footer binds the name "a" (and type
     // BIGINT) verbatim — but to the ORIGINAL a's field id. A name-matched
