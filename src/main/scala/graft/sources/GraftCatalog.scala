@@ -3666,7 +3666,13 @@ final class GraftCatalog(root: String,
         .rdd.mapPartitionsWithIndex { (pid, it) =>
           if (it.isEmpty) Iterator.empty
           else {
-            val dvPath = s"$outPrefix-p$pid.puffin"
+            // attempt id in the name: a retried/speculated task writes a
+            // FRESH file instead of failing on create(overwrite=false);
+            // only the winning attempt's path is committed, losers stay
+            // orphans for removeOrphanFiles
+            val attempt = Option(org.apache.spark.TaskContext.get())
+              .map(_.taskAttemptId()).getOrElse(0L)
+            val dvPath = s"$outPrefix-p$pid-a$attempt.puffin"
             val p = new org.apache.hadoop.fs.Path(dvPath)
             val out = new java.io.BufferedOutputStream(
               p.getFileSystem(conf.value).create(p, false))

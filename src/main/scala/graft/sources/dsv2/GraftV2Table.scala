@@ -68,7 +68,16 @@ final class GraftV2Table(
     */
   private def writeTable: String = wapBranch.fold(tableName) { b =>
     val fork = s"$tableName@$b"
-    if (!cat.tables().contains(fork)) cat.forkTable(tableName, b)
+    if (!cat.tables().contains(fork)) {
+      // two wap writes can race the first fork; the loser's create fails
+      // under the table lock — if the branch exists by then, proceed
+      // (both writes target the same fork, ordinary commit serialization
+      // takes over)
+      try cat.forkTable(tableName, b)
+      catch {
+        case e: Exception if cat.tables().contains(fork) => ()
+      }
+    }
     fork
   }
 
