@@ -836,6 +836,27 @@ final class GraftCatalog(root: String,
       column, lo, hi).map(_.path).toSet
   }
 
+  /** [[rangeKeepPaths]] for a PINNED snapshot — the time-travel pruning
+    * primitive: per-file bounds live in the pinned snapshot's OWN entries
+    * (snapshot-exact, unlike the partition spec and bloom sidecars, which
+    * are head state and stay head-only), so a `VERSION AS OF` point
+    * lookup skips non-covering files exactly like a head read. Entries
+    * without stats always keep.
+    */
+  private[graft] def rangeKeepPathsAt(
+      table: String,
+      snapshotId: Long,
+      column: String,
+      lo: Double,
+      hi: Double): Set[String] = {
+    val data = loadEntriesAt(table, snapshotId).filter(_.kind == "data")
+    CompactionRunner.pruneByStats(
+      data.map(e => CompactionRunner.DataFileStats(e.path, 0L, 0L,
+        e.stats.fold(Map.empty[String, String])(_.colMins),
+        e.stats.fold(Map.empty[String, String])(_.colMaxs), Map.empty)),
+      column, lo, hi).map(_.path).toSet
+  }
+
   private[graft] def inKeepPaths(
       spark: SparkSession,
       table: String,

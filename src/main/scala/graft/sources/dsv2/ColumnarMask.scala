@@ -244,9 +244,13 @@ object GraftColumnarMask {
       case None => cat.currentSchema(table)
     }
 
-    // pruning consults HEAD metadata (spec, blooms) — pinned reads skip it
-    val filterKeep: Option[Set[String]] =
-      if (asOf.isDefined) None else prunedKeep(spark, cat, table, filters)
+    // head reads prune through the full spec/stats/bloom machinery;
+    // pinned reads prune on the snapshot's OWN per-file stats bounds
+    // (snapshot-exact; spec and bloom metadata are head state)
+    val filterKeep: Option[Set[String]] = asOf match {
+      case None => prunedKeep(spark, cat, table, filters)
+      case Some(sid) => PinnedPrune.keep(cat, table, sid, filters)
+    }
     val data = entries.filter(e => e.kind == "data" &&
       runtimeKeep.forall(_.contains(e.path)) &&
       filterKeep.forall(_.contains(e.path)))

@@ -1145,6 +1145,13 @@ private[dsv2] object GraftInnerFrame {
         case sources.In(a, vs) if vs.nonEmpty =>
           cat.inKeepPaths(spark, table, a, vs.toIndexedSeq)
       }.reduceOption(_ intersect _)
+    // TIME-TRAVEL pruning: per-file stats bounds live in the pinned
+    // snapshot's own entries, so numeric conjuncts prune pinned reads
+    // too (the PRUNED-SCAN shortcut above is head-only — spec and bloom
+    // metadata are head state)
+    val pinnedKeep: Option[Set[String]] =
+      if (needsRowId || asOf.isEmpty) None
+      else asOf.flatMap(sid => PinnedPrune.keep(cat, table, sid, filters))
     val bases: Seq[DataFrame] =
       if (needsRowId) {
         // the row-id scan plans the WHOLE table (one frame); a keepPaths
@@ -1157,12 +1164,11 @@ private[dsv2] object GraftInnerFrame {
       }
       else prunedScan.map(Seq(_))
         .getOrElse {
-          // runtime (DPP) keepPaths ∩ static IN pruning — an
-          // unrestricted membership test when neither arrived
-          val keep: Option[Set[String]] = (keepPaths, inKeep) match {
-            case (Some(a), Some(b)) => Some(a intersect b)
-            case (a, b) => a.orElse(b)
-          }
+          // runtime (DPP) keepPaths ∩ static IN pruning ∩ pinned stats
+          // pruning — an unrestricted membership test when none arrived
+          val keep: Option[Set[String]] =
+            Seq(keepPaths, inKeep, pinnedKeep).flatten
+              .reduceOption(_ intersect _)
           cat.scanTableFrames(spark, table, asOf,
             dataKeep = keep.fold((_: cat.TableEntry) => true)(
               kp => (e: cat.TableEntry) => kp.contains(e.path)))
@@ -1573,6 +1579,87 @@ private[dsv2] object GraftKeyedLayout {
           files.toSet)
       }
     Some(GraftKeyedLayout(fields.map(_._3).toArray, tuples))
+  }
+}
+
+/** Numeric pruning shapes extracted from pushed V1 filters: per-column
+  * inclusive `[lo, hi]` bounds from the range/equality conjuncts (strict
+  * bounds widen to inclusive — pruning is IO reduction only, the engine
+  * re-applies the exact filters above the scan) and per-column `IN` value
+  * lists where EVERY value parses numerically (a partial parse would
+  * wrongly prune files holding the unparsed values).
+  */
+private[dsv2] object FilterBounds {
+  def num(v: Any): Option[Double] = v match {
+    case i: java.lang.Integer => Some(i.toDouble)
+    case l: java.lang.Long => Some(l.toDouble)
+    case s: java.lang.Short => Some(s.toDouble)
+    case b: java.lang.Byte => Some(b.toDouble)
+    case f: java.lang.Float => Some(f.toDouble)
+    case d: java.lang.Double => Some(d)
+    case _ => None
+  }
+
+  def of(filters: Array[Filter])
+      : (Seq[(String, Double, Double)], Seq[(String, Seq[Double])]) = {
+    val bounds = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Double, Double)]
+    def tighten(a: String, lo: Double, hi: Double): Unit = {
+      val (l0, h0) = bounds.getOrElse(a,
+        (Double.NegativeInfinity, Double.PositiveInfinity))
+      bounds(a) = (math.max(l0, lo), math.min(h0, hi))
+    }
+    val ins = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Double])]
+    filters.foreach {
+      case sources.EqualTo(a, v) => num(v).foreach(d => tighten(a, d, d))
+      case sources.GreaterThan(a, v) =>
+        num(v).foreach(d => tighten(a, d, Double.PositiveInfinity))
+      case sources.GreaterThanOrEqual(a, v) =>
+        num(v).foreach(d => tighten(a, d, Double.PositiveInfinity))
+      case sources.LessThan(a, v) =>
+        num(v).foreach(d => tighten(a, Double.NegativeInfinity, d))
+      case sources.LessThanOrEqual(a, v) =>
+        num(v).foreach(d => tighten(a, Double.NegativeInfinity, d))
+      case sources.In(a, vs) if vs.nonEmpty =>
+        val ds = vs.flatMap(num)
+        if (ds.length == vs.length) ins += a -> ds.toSeq
+      case _ => ()
+    }
+    (bounds.collect { case (a, (lo, hi))
+        if lo > Double.NegativeInfinity || hi < Double.PositiveInfinity =>
+      (a, lo, hi)
+    }.toSeq, ins.toSeq)
+  }
+}
+
+/** Stats-only file pruning for TIME-TRAVEL reads: the per-file bounds are
+  * in the pinned snapshot's own entries (snapshot-exact), so a pinned
+  * point lookup or range scan skips non-covering files like a head read —
+  * partition-transform and bloom pruning stay head-only (their metadata
+  * is head state, not snapshot-versioned). None = no numeric conjunct
+  * arrived (full file set, always correct).
+  */
+private[dsv2] object PinnedPrune {
+  def keep(
+      cat: GraftCatalog,
+      table: String,
+      snapshotId: Long,
+      filters: Array[Filter]): Option[Set[String]] = {
+    val (bounds, ins) = FilterBounds.of(filters)
+    if (bounds.isEmpty && ins.isEmpty) None
+    else {
+      var keep: Option[Set[String]] = None
+      def inter(s: Set[String]): Unit = keep = Some(keep.fold(s)(_ intersect s))
+      bounds.foreach { case (a, lo, hi) =>
+        inter(cat.rangeKeepPathsAt(table, snapshotId, a, lo, hi))
+      }
+      // IN keeps a file if ANY value's point range covers it
+      ins.foreach { case (a, vs) =>
+        inter(vs.map(v => cat.rangeKeepPathsAt(table, snapshotId, a, v, v))
+          .reduce(_ union _))
+      }
+      keep
+    }
   }
 }
 

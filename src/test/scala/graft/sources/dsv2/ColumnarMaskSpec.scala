@@ -206,6 +206,43 @@ class ColumnarMaskSpec extends SparkSpec {
       "the mask must read the key column for the probe and strip it after")
   }
 
+  test("time-travel reads prune on the pinned snapshot's own stats bounds") {
+    // per-file bounds live in the pinned snapshot's entries, so VERSION
+    // AS OF point lookups and range scans skip non-covering files like
+    // head reads do (r14 — before this, pinned reads scanned every file)
+    val root = Files.createTempDirectory("graft-mask-asof-prune").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 500)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(500, 1000)")
+    spark.sql(s"DELETE FROM $g.t WHERE k % 10 = 3") // pos-deletes
+    val pinned = new GraftCatalog(root).currentSnapshotId("t")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(5000, 5100)")
+    import org.apache.spark.sql.sources.EqualTo
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val req = StructType(Seq(StructField("k", LongType)))
+    // k=5000 exists at HEAD but no pinned file's bounds cover it: the
+    // pinned mask prunes to nothing (proof the keep set is snapshot-exact)
+    assert(GraftColumnarMask.serve(spark, root, "t", Some(pinned), req,
+      Array(EqualTo("k", 5000L)), None).isEmpty,
+      "a pinned lookup outside the snapshot's bounds must prune everything")
+    assert(GraftColumnarMask.serve(spark, root, "t", Some(pinned), req,
+      Array(EqualTo("k", 42L)), None).nonEmpty,
+      "a covered pinned lookup must serve masked")
+    // the SQL read stays exact and columnar
+    val out = spark.sql(
+      s"SELECT k FROM $g.t VERSION AS OF $pinned WHERE k >= 500")
+    assert(scansColumnar(out))
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq ==
+      (500L until 1000L).filterNot(_ % 10 == 3))
+    assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF $pinned " +
+      "WHERE k = 5000").head().getLong(0) == 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t WHERE k = 5000")
+      .head().getLong(0) == 1L, "the head read still sees the newer row")
+  }
+
   test("floating eq keys: -0.0 deletes 0.0 rows exactly like the SQL anti join") {
     // SQL join equality says -0.0 = 0.0 (and the row path's anti join
     // honors it); a boxed-Double probe map would disagree and silently
