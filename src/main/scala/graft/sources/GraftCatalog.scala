@@ -826,8 +826,10 @@ final class GraftCatalog(root: String,
       table: String,
       column: String,
       lo: Double,
-      hi: Double): Set[String] = {
-    val dataEntries = loadEntries(table).filter(_.kind == "data")
+      hi: Double,
+      entriesOpt: Option[Seq[TableEntry]] = None): Set[String] = {
+    val dataEntries = entriesOpt.getOrElse(loadEntries(table))
+      .filter(_.kind == "data")
       .filter(partitionPruner(spark, table, column, lo, hi))
     CompactionRunner.pruneByStats(
       dataEntries.map(e => CompactionRunner.DataFileStats(e.path, 0L, 0L,
@@ -836,36 +838,24 @@ final class GraftCatalog(root: String,
       column, lo, hi).map(_.path).toSet
   }
 
-  /** [[rangeKeepPaths]] for a PINNED snapshot — the time-travel pruning
-    * primitive: per-file bounds live in the pinned snapshot's OWN entries
-    * (snapshot-exact, unlike the partition spec and bloom sidecars, which
-    * are head state and stay head-only), so a `VERSION AS OF` point
-    * lookup skips non-covering files exactly like a head read. Entries
-    * without stats always keep.
+  /** Pruning keep sets consult catalog metadata; callers that already
+    * hold an entry list (a read pinned to one snapshot) pass it via
+    * `entriesOpt` so the keep set and the scanned file list come from the
+    * SAME snapshot — re-loading head here would let a commit racing the
+    * read's planning exclude files the scan still holds (silent row
+    * loss). None = load head (callers with no prior load).
     */
-  private[graft] def rangeKeepPathsAt(
-      table: String,
-      snapshotId: Long,
-      column: String,
-      lo: Double,
-      hi: Double): Set[String] = {
-    val data = loadEntriesAt(table, snapshotId).filter(_.kind == "data")
-    CompactionRunner.pruneByStats(
-      data.map(e => CompactionRunner.DataFileStats(e.path, 0L, 0L,
-        e.stats.fold(Map.empty[String, String])(_.colMins),
-        e.stats.fold(Map.empty[String, String])(_.colMaxs), Map.empty)),
-      column, lo, hi).map(_.path).toSet
-  }
-
   private[graft] def inKeepPaths(
       spark: SparkSession,
       table: String,
       column: String,
-      values: Seq[Any]): Set[String] = {
+      values: Seq[Any],
+      entriesOpt: Option[Seq[TableEntry]] = None): Set[String] = {
     // an EMPTY value list is Spark telling us the build side had no
     // surviving keys: no row can match, no file needs reading
     if (values.isEmpty) return Set.empty
-    val data = loadEntries(table).filter(_.kind == "data")
+    val all = entriesOpt.getOrElse(loadEntries(table))
+    val data = all.filter(_.kind == "data")
     def statsNumKeep(e: TableEntry, v: Double): Boolean = e.stats.forall { s =>
       (s.colMins.get(column).flatMap(_.toDoubleOption),
         s.colMaxs.get(column).flatMap(_.toDoubleOption)) match {
@@ -893,9 +883,8 @@ final class GraftCatalog(root: String,
       }).map(_.path).toSet
     }
     else if (strings.length == values.length && values.nonEmpty) {
-      val entries = loadEntries(table)
       strings.flatMap(v =>
-        eqStringKeptEntries(spark, table, column, v, entries).map(_.path)).toSet
+        eqStringKeptEntries(spark, table, column, v, all).map(_.path)).toSet
     } else data.map(_.path).toSet
   }
 

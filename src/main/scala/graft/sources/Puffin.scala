@@ -185,6 +185,11 @@ object Puffin {
       val flags = bb.getInt(4)
       require(java.util.Arrays.equals(tail.slice(8, 12), Magic),
         s"$path: trailing Puffin magic missing")
+      // corrupt/truncated footers must fail with THIS diagnostic, not a
+      // NegativeArraySizeException or a negative-offset read in the FS
+      // layer (head magic 4 + footer-open magic 4 + payload + tail 12)
+      require(payloadSize >= 0 && payloadSize <= len - 20,
+        s"$path: corrupt footer payload size $payloadSize (file length $len)")
       require((flags & 1) == 0,
         s"$path: compressed footer payloads are not written by this library")
       val payload = new Array[Byte](payloadSize)

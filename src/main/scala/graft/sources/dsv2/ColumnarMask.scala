@@ -163,54 +163,36 @@ object GraftColumnarMask {
 
   /** Static file pruning from the pushed filters — the same
     * partition/stats/bloom skipping the row path's pruned-scan routing
-    * performs, as a keep-path set. None = no parseable conjunct arrived
-    * (full file set, always correct). Conjuncts that don't parse prune
-    * nothing; strict bounds widen to inclusive (the engine re-applies the
-    * exact filters above the scan).
+    * performs, as a keep-path set computed against the SAME entry list
+    * the mask scans (never a fresh head load — a commit racing the
+    * planning would otherwise exclude files this read still holds).
+    * None = no parseable conjunct arrived (full file set, always
+    * correct). Conjuncts that don't parse prune nothing; strict bounds
+    * widen to inclusive (the engine re-applies the exact filters above
+    * the scan). Numeric-conjunct parsing is [[FilterBounds]]'s — one
+    * implementation for the mask and the row path.
     */
   private def prunedKeep(
       spark: SparkSession,
       cat: GraftCatalog,
       table: String,
-      filters: Array[Filter]): Option[Set[String]] = {
+      filters: Array[Filter],
+      entries: Seq[GraftCatalog#TableEntry]): Option[Set[String]] = {
     if (filters.isEmpty) return None
     var keep: Option[Set[String]] = None
     def inter(s: Set[String]): Unit = keep = Some(keep.fold(s)(_ intersect s))
-    def num(v: Any): Option[Double] = v match {
-      case i: java.lang.Integer => Some(i.toDouble)
-      case l: java.lang.Long => Some(l.toDouble)
-      case s: java.lang.Short => Some(s.toDouble)
-      case b: java.lang.Byte => Some(b.toDouble)
-      case f: java.lang.Float => Some(f.toDouble)
-      case d: java.lang.Double => Some(d)
-      case _ => None
-    }
-    val bounds = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Double, Double)]
-    def tighten(a: String, lo: Double, hi: Double): Unit = {
-      val (l0, h0) = bounds.getOrElse(a,
-        (Double.NegativeInfinity, Double.PositiveInfinity))
-      bounds(a) = (math.max(l0, lo), math.min(h0, hi))
+    val ents = Some(entries.asInstanceOf[Seq[cat.TableEntry]])
+    val (bounds, _) = FilterBounds.of(filters)
+    bounds.foreach { case (a, lo, hi) =>
+      inter(cat.rangeKeepPaths(spark, table, a, lo, hi, ents))
     }
     filters.foreach {
       case sources.EqualTo(a, v: String) =>
-        inter(cat.inKeepPaths(spark, table, a, Seq(v)))
-      case sources.EqualTo(a, v) => num(v).foreach(d => tighten(a, d, d))
-      case sources.GreaterThan(a, v) =>
-        num(v).foreach(d => tighten(a, d, Double.PositiveInfinity))
-      case sources.GreaterThanOrEqual(a, v) =>
-        num(v).foreach(d => tighten(a, d, Double.PositiveInfinity))
-      case sources.LessThan(a, v) =>
-        num(v).foreach(d => tighten(a, Double.NegativeInfinity, d))
-      case sources.LessThanOrEqual(a, v) =>
-        num(v).foreach(d => tighten(a, Double.NegativeInfinity, d))
+        inter(cat.inKeepPaths(spark, table, a, Seq(v), ents))
       case sources.In(a, vs) if vs.nonEmpty =>
-        inter(cat.inKeepPaths(spark, table, a, ArraySeq.unsafeWrapArray(vs)))
+        inter(cat.inKeepPaths(spark, table, a,
+          ArraySeq.unsafeWrapArray(vs), ents))
       case _ => ()
-    }
-    bounds.foreach { case (a, (lo, hi)) =>
-      if (lo > Double.NegativeInfinity || hi < Double.PositiveInfinity)
-        inter(cat.rangeKeepPaths(spark, table, a, lo, hi))
     }
     keep
   }
@@ -227,6 +209,9 @@ object GraftColumnarMask {
     if (required.isEmpty) return None // COUNT(*) zero-column reads: row path
     if (!required.fields.forall(f => maskable(f.dataType))) return None
     val cat = new GraftCatalog(root)
+    // pin the snapshot ONCE: every keep-set consultation below and the
+    // scanned file list come from the same entry list, so a commit
+    // racing the planning can never drop files from the masked result
     val entries = asOf match {
       case Some(sid) =>
         if (!cat.snapshotIds(table).contains(sid)) return None
@@ -244,12 +229,13 @@ object GraftColumnarMask {
       case None => cat.currentSchema(table)
     }
 
-    // head reads prune through the full spec/stats/bloom machinery;
-    // pinned reads prune on the snapshot's OWN per-file stats bounds
-    // (snapshot-exact; spec and bloom metadata are head state)
+    // head reads prune through the full spec/stats/bloom machinery
+    // (against THIS read's entry list); pinned reads prune on the
+    // snapshot's OWN per-file stats bounds (snapshot-exact; spec and
+    // bloom metadata are head state)
     val filterKeep: Option[Set[String]] = asOf match {
-      case None => prunedKeep(spark, cat, table, filters)
-      case Some(sid) => PinnedPrune.keep(cat, table, sid, filters)
+      case None => prunedKeep(spark, cat, table, filters, entries)
+      case Some(_) => PinnedPrune.keep(filters, entries)
     }
     val data = entries.filter(e => e.kind == "data" &&
       runtimeKeep.forall(_.contains(e.path)) &&

@@ -93,7 +93,14 @@ final class GraftBatchWrite(
     replaceAt: Option[Long],
     replaceOnly: () => Option[Set[String]] = () => None,
     overwriteWhere: Option[(Array[org.apache.spark.sql.sources.Filter], Long)] = None,
-    dynamicOverwriteAt: Option[Long] = None)
+    dynamicOverwriteAt: Option[Long] = None,
+    // wap.branch's DEFERRED fork: `table` may not exist until commit time
+    // — `prepare` creates it first thing in commit() (never at plan time,
+    // so EXPLAIN mutates nothing), and `metaTable` names where to read
+    // schema/spec metadata until then (main — the fork is created as a
+    // copy of exactly that state, so the answers are identical)
+    prepare: () => Unit = () => (),
+    metaTable: Option[String] = None)
     extends BatchWrite {
 
   private val dir =
@@ -104,24 +111,28 @@ final class GraftBatchWrite(
     val spark = SparkSession.active
     Files.createDirectories(Paths.get(dir))
     val cat = new GraftCatalog(root)
+    val metaT =
+      if (metaTable.isDefined && !cat.tables().contains(table)) metaTable.get
+      else table
     // footers carry the canonical schema's field ids — NESTED ones
     // included, which only schema-level adoption can attach — so every
     // id-resolving read (renames, eq-delete projection) binds to these
     // files by id, not name
-    val writeSchema = cat.currentSchema(table)
+    val writeSchema = cat.currentSchema(metaT)
       .fold(schema)(graft.sources.FieldIds.adoptCanonicalIds(schema, _))
     val (factory, conf) = ParquetWriteBridge.prepare(
       spark, writeSchema, ParquetWriteBridge.hadoopConfOf(spark))
     // a declared partition spec turns every task into a fanout writer:
     // rows land under `name=value/` dirs, and the commit below records
     // each file's tuple into the snapshot for partition pruning
-    val spec = cat.partitionSpec(table)
+    val spec = cat.partitionSpec(metaT)
     val layout =
       if (spec.isEmpty) None else Some(PartitionLayout.bind(spark, schema, spec))
     GraftDataWriterFactory(dir, writeSchema, factory, conf, layout)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    prepare()
     val files = GraftFilesCommit.all(messages).map(f =>
       GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes,
         f.colMins, f.colMaxs, f.nullCounts))

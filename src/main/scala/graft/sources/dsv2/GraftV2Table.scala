@@ -131,10 +131,16 @@ final class GraftV2Table(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(asOf.isEmpty, s"cannot write to $tableName at a pinned snapshot")
-    // resolved ONCE per write plan: a wap.branch session forks here (the
-    // write is committed to happen), and every snapshot read below pins
-    // against the branch the write will land on
-    val target = writeTable
+    // the wap.branch target NAME — the fork itself is created LAZILY:
+    // plain appends defer it to the batch commit (so EXPLAIN INSERT
+    // never mutates the catalog; until then metadata reads consult main,
+    // whose state the fork is created as a copy of), while overwrite
+    // shapes fork at build (their replace-base snapshot id must be the
+    // fork's)
+    val target = wapBranch.map(b => s"$tableName@$b").getOrElse(tableName)
+    def metaTarget: String =
+      if (wapBranch.isDefined && !cat.tables().contains(target)) tableName
+      else target
     new WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
       // INSERT INTO appends; INSERT OVERWRITE (OverwriteByExpression with
       // a TRUE condition) replaces the table content in ONE commit —
@@ -176,23 +182,31 @@ final class GraftV2Table(
       override def overwriteDynamicPartitions(): WriteBuilder = {
         // on an UNPARTITIONED table the whole content is one "partition"
         // — Spark's own semantics: replace everything
-        if (cat.partitionSpec(target).isEmpty) replaceAll = true
+        if (cat.partitionSpec(metaTarget).isEmpty) replaceAll = true
         else dynamic = true
         this
       }
-      override def build(): Write = new GraftOrderedWrite(
-        new GraftBatchWrite(root, target, info.schema(),
-          replaceAt = if (replaceAll) Some(cat.currentSnapshotId(target))
+      override def build(): Write = {
+        // overwrite shapes pin their replace base against the branch's
+        // own head, so they fork NOW; plain appends fork at commit
+        val forkedTarget =
+          if (replaceAll || filterOverwrite.isDefined || dynamic) writeTable
+          else target
+        new GraftOrderedWrite(
+        new GraftBatchWrite(root, forkedTarget, info.schema(),
+          replaceAt = if (replaceAll) Some(cat.currentSnapshotId(forkedTarget))
             else None,
           overwriteWhere = filterOverwrite.map(f =>
-            (f, cat.currentSnapshotId(target))),
+            (f, cat.currentSnapshotId(forkedTarget))),
           dynamicOverwriteAt =
-            if (dynamic) Some(cat.currentSnapshotId(target)) else None),
+            if (dynamic) Some(cat.currentSnapshotId(forkedTarget)) else None,
+          prepare = () => { writeTable; () },
+          metaTable = wapBranch.map(_ => tableName)),
         // the table's declared write-order drives engine-side clustering;
         // only columns the write actually carries can be ordered by
-        cat.sortOrder(target).filter(info.schema().fieldNames.contains),
+        cat.sortOrder(metaTarget).filter(info.schema().fieldNames.contains),
         streaming = Some(() => new GraftStreamingWrite(
-          root, target, info.schema(), info.queryId())),
+          root, writeTable, info.schema(), info.queryId())),
         // partitioned tables without a write-order cluster by the
         // partition TRANSFORMS themselves (resolved through the V2
         // FunctionCatalog) to bound the fanout to ~1 file per task (see
@@ -206,6 +220,7 @@ final class GraftV2Table(
           .filter(t => GraftV2Table.ClusterableTransforms.contains(t.name()))
           .filter(_.references()
           .forall(_.fieldNames().forall(info.schema().fieldNames.contains))))
+      }
     }
   }
 
@@ -743,24 +758,27 @@ class GraftV1Scan(
         new GraftRddBatch(() => {
           val spark = SparkSession.active
           GraftKeyedServing.groups(
-              spark, root, table, asOf, required, filters, kl, runtimeKeep)
+              spark, root, table, required, filters, kl, runtimeKeep)
             .map { gs => GraftKeyedServing.onePlanServed.incrementAndGet(); gs }
             .getOrElse(
-              // UNREACHABLE by construction since the layout admission
-              // moved the delete-broadcast check to every width
-              // (GraftKeyedLayout.of): a claimed layout implies
-              // broadcastable delete sets, whose MoR chains plan narrow
-              // over one FileScanRDD per schema group, and the regroup's
-              // keepPaths pins the planned files to the layout's own set
-              // — the r13 per-tuple Catalyst fallback (O(tuples) planning,
-              // the measured 477 s cliff at width 256) is deleted, not
-              // just avoided. Failing LOUDLY here beats serving unkeyed
-              // partitions under a reported KeyGroupedPartitioning.
+              // a claimed layout implies broadcastable delete sets
+              // (admission checks them at every width, DV decode gate
+              // included), whose MoR chains plan narrow over one
+              // FileScanRDD per schema group, and the regroup's keepPaths
+              // pins the planned files to the layout's own set — so the
+              // only way here is a COMMIT RACING between layout admission
+              // and frame planning (the optimistic-concurrency window
+              // every commit path also has). Failing loudly and
+              // retryably beats serving unkeyed partitions under a
+              // reported KeyGroupedPartitioning; the r13 per-tuple
+              // Catalyst fallback (O(tuples) planning, the measured
+              // 477 s cliff at width 256) is deleted, not just avoided.
               throw new IllegalStateException(
-                s"keyed serving could not regroup $table's planned scan " +
-                  "as foreign splits of one plan; the layout admission " +
-                  "should have refused this snapshot (file a bug with " +
-                  "the table's snapshot entries and this read's plan)"))
+                s"keyed read of $table could not regroup its planned scan " +
+                  "as foreign splits of one plan — a commit raced this " +
+                  "read's planning; re-run the query (it will admit the " +
+                  "new snapshot). If this persists without concurrent " +
+                  "commits, file a bug with the snapshot entries and plan"))
         }, token = () => "keyed")
       case None =>
         new GraftRddBatch(() => {
@@ -1137,21 +1155,33 @@ private[dsv2] object GraftInnerFrame {
     // keep set — the same file skipping DPP runtime filters route
     // through ([[GraftCatalog.inKeepPaths]]), applied at PLAN time for
     // filters the query carries statically. Pure IO reduction: every
-    // pushed filter is re-applied above the scan. Head reads only
-    // (the pruning helpers consult head metadata).
-    val inKeep: Option[Set[String]] =
+    // pushed filter is re-applied above the scan. The read PINS the head
+    // snapshot it pruned against (the keep set and the scanned file list
+    // must come from the same snapshot — a commit racing the planning
+    // could otherwise drop freshly-committed files from the result).
+    val pinnedHead: Option[(Long, Seq[cat.TableEntry])] =
       if (needsRowId || asOf.isDefined) None
-      else filters.collect {
+      else if (filters.exists {
+        case sources.In(_, vs) => vs.nonEmpty
+        case _ => false
+      }) {
+        val sid = cat.currentSnapshotId(table)
+        Some(sid -> cat.loadEntriesAt(table, sid))
+      } else None
+    val inKeep: Option[Set[String]] = pinnedHead.flatMap { case (_, ents) =>
+      filters.collect {
         case sources.In(a, vs) if vs.nonEmpty =>
-          cat.inKeepPaths(spark, table, a, vs.toIndexedSeq)
+          cat.inKeepPaths(spark, table, a, vs.toIndexedSeq, Some(ents))
       }.reduceOption(_ intersect _)
+    }
     // TIME-TRAVEL pruning: per-file stats bounds live in the pinned
     // snapshot's own entries, so numeric conjuncts prune pinned reads
     // too (the PRUNED-SCAN shortcut above is head-only — spec and bloom
     // metadata are head state)
     val pinnedKeep: Option[Set[String]] =
       if (needsRowId || asOf.isEmpty) None
-      else asOf.flatMap(sid => PinnedPrune.keep(cat, table, sid, filters))
+      else asOf.flatMap(sid =>
+        PinnedPrune.keep(filters, cat.loadEntriesAt(table, sid)))
     val bases: Seq[DataFrame] =
       if (needsRowId) {
         // the row-id scan plans the WHOLE table (one frame); a keepPaths
@@ -1165,11 +1195,14 @@ private[dsv2] object GraftInnerFrame {
       else prunedScan.map(Seq(_))
         .getOrElse {
           // runtime (DPP) keepPaths ∩ static IN pruning ∩ pinned stats
-          // pruning — an unrestricted membership test when none arrived
+          // pruning — an unrestricted membership test when none arrived.
+          // An IN-pruned head read scans the SNAPSHOT IT PRUNED (the
+          // pinned head), never a fresh head load.
           val keep: Option[Set[String]] =
             Seq(keepPaths, inKeep, pinnedKeep).flatten
               .reduceOption(_ intersect _)
-          cat.scanTableFrames(spark, table, asOf,
+          cat.scanTableFrames(spark, table,
+            pinnedHead.map(_._1).orElse(asOf),
             dataKeep = keep.fold((_: cat.TableEntry) => true)(
               kp => (e: cat.TableEntry) => kp.contains(e.path)))
         }
@@ -1300,7 +1333,6 @@ object GraftKeyedServing {
       spark: SparkSession,
       root: String,
       table: String,
-      asOf: Option[Long],
       required: StructType,
       filters: Array[Filter],
       kl: GraftKeyedLayout,
@@ -1309,9 +1341,13 @@ object GraftKeyedServing {
     val pathTuple: Map[String, Int] = kl.tuples.zipWithIndex.iterator.flatMap {
       case ((_, files), i) => files.iterator.map(_ -> i)
     }.toMap
-    // keepPaths pins the read to the layout's snapshot AND disables the
-    // pruned-scan shortcut (pruning here would desync the key count)
-    val fs = GraftInnerFrame.frames(spark, root, table, asOf, required,
+    // the frames plan AT the layout's snapshot (keepPaths alone would
+    // intersect the layout's files with a FRESH head load — a commit
+    // racing the planning could then silently drop rewritten files);
+    // keepPaths still disables the pruned-scan shortcut (pruning there
+    // would desync the key count)
+    val fs = GraftInnerFrame.frames(spark, root, table,
+      Some(kl.snapshotId), required,
       filters, keepPaths = Some(pathTuple.keySet))
     if (fs.isEmpty) return None
 
@@ -1466,11 +1502,15 @@ private[dsv2] object GraftV2Table {
 
 /** The storage-partitioned-join layout of a table: the partition
   * transforms as V2 clustering expressions plus the distinct partition
-  * tuples (as catalyst key rows) with the files holding each.
+  * tuples (as catalyst key rows) with the files holding each, and the
+  * SNAPSHOT the layout was admitted from — the one-plan serving plans
+  * its frames AT that snapshot, so a commit racing between admission and
+  * planning can never silently drop (or split) the served file set.
   */
 private[dsv2] final case class GraftKeyedLayout(
     clustering: Array[org.apache.spark.sql.connector.expressions.Expression],
-    tuples: Seq[(org.apache.spark.sql.catalyst.InternalRow, Set[String])])
+    tuples: Seq[(org.apache.spark.sql.catalyst.InternalRow, Set[String])],
+    snapshotId: Long)
 
 private[dsv2] object GraftKeyedLayout {
 
@@ -1498,14 +1538,16 @@ private[dsv2] object GraftKeyedLayout {
     val cat = new GraftCatalog(root)
     val spec = cat.partitionSpec(table)
     if (spec.isEmpty) return None
-    val schema = asOf.fold(cat.currentSchema(table))(cat.schemaAt(table, _))
-      .getOrElse(return None)
-    val allEntries = asOf match {
-      case Some(sid) =>
-        if (cat.snapshotIds(table).contains(sid)) cat.loadEntriesAt(table, sid)
-        else return None
-      case None => cat.loadEntries(table)
+    // capture the snapshot id FIRST and read everything at it — the
+    // layout's entries, schema, and (later, via the layout's snapshotId)
+    // the served frames all come from one snapshot
+    val sid = asOf match {
+      case Some(s) =>
+        if (cat.snapshotIds(table).contains(s)) s else return None
+      case None => cat.currentSnapshotId(table)
     }
+    val schema = cat.schemaAt(table, sid).getOrElse(return None)
+    val allEntries = cat.loadEntriesAt(table, sid)
     val entries = allEntries.filter(_.kind == "data")
     if (entries.isEmpty) return None
     // the layout holds only when the pending delete sets provably
@@ -1569,8 +1611,17 @@ private[dsv2] object GraftKeyedLayout {
       byTuple.getOrElseUpdate(tuple, scala.collection.mutable.Set.empty) += e.path
     }
     if (byTuple.size > MaxTuples) return None
+    // deletion-vector sidecars decode driver-side (and broadcast) only up
+    // to readPositionDeletes' 32 MB size gate — past it they read
+    // DISTRIBUTED with no broadcast hint and the anti join shuffles, so
+    // the admission must refuse before that gate, not at the parquet
+    // hint cap (a 32–64 MB DV would otherwise be admitted and then fail
+    // the one-plan regroup)
+    val dvBytes = allEntries
+      .filter(e => e.kind != "data" && e.format == "dv").map(_.sizeBytes)
     if (deleteBytes.nonEmpty &&
-        (deleteBytes.exists(_ < 0L) || deleteBytes.sum > (64L << 20))) return None
+        (deleteBytes.exists(_ < 0L) || deleteBytes.sum > (64L << 20) ||
+          dvBytes.sum > (32L << 20))) return None
     val tuples = byTuple.toSeq
       .sortBy(_._1.map(String.valueOf(_)).mkString("\u0000"))
       .map { case (vals, files) =>
@@ -1578,7 +1629,7 @@ private[dsv2] object GraftKeyedLayout {
           vals.toArray): org.apache.spark.sql.catalyst.InternalRow,
           files.toSet)
       }
-    Some(GraftKeyedLayout(fields.map(_._3).toArray, tuples))
+    Some(GraftKeyedLayout(fields.map(_._3).toArray, tuples, sid))
   }
 }
 
@@ -1636,27 +1687,31 @@ private[dsv2] object FilterBounds {
   * in the pinned snapshot's own entries (snapshot-exact), so a pinned
   * point lookup or range scan skips non-covering files like a head read —
   * partition-transform and bloom pruning stay head-only (their metadata
-  * is head state, not snapshot-versioned). None = no numeric conjunct
-  * arrived (full file set, always correct).
+  * is head state, not snapshot-versioned). Operates on the CALLER's
+  * already-loaded entry list (one load per read, consistent with the
+  * scanned file set). None = no numeric conjunct arrived (full file set,
+  * always correct).
   */
 private[dsv2] object PinnedPrune {
   def keep(
-      cat: GraftCatalog,
-      table: String,
-      snapshotId: Long,
-      filters: Array[Filter]): Option[Set[String]] = {
+      filters: Array[Filter],
+      entries: Seq[GraftCatalog#TableEntry]): Option[Set[String]] = {
     val (bounds, ins) = FilterBounds.of(filters)
     if (bounds.isEmpty && ins.isEmpty) None
     else {
+      val stats = entries.filter(_.kind == "data").map(e =>
+        graft.sources.CompactionRunner.DataFileStats(e.path, 0L, 0L,
+          e.stats.fold(Map.empty[String, String])(_.colMins),
+          e.stats.fold(Map.empty[String, String])(_.colMaxs), Map.empty))
+      def covering(a: String, lo: Double, hi: Double): Set[String] =
+        graft.sources.CompactionRunner.pruneByStats(stats, a, lo, hi)
+          .map(_.path).toSet
       var keep: Option[Set[String]] = None
       def inter(s: Set[String]): Unit = keep = Some(keep.fold(s)(_ intersect s))
-      bounds.foreach { case (a, lo, hi) =>
-        inter(cat.rangeKeepPathsAt(table, snapshotId, a, lo, hi))
-      }
+      bounds.foreach { case (a, lo, hi) => inter(covering(a, lo, hi)) }
       // IN keeps a file if ANY value's point range covers it
       ins.foreach { case (a, vs) =>
-        inter(vs.map(v => cat.rangeKeepPathsAt(table, snapshotId, a, v, v))
-          .reduce(_ union _))
+        inter(vs.map(v => covering(a, v, v)).reduce(_ union _))
       }
       keep
     }
