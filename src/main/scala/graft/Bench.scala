@@ -16,11 +16,17 @@ object Bench {
     * collides across the suite (q23_cube/q23_rollup). BenchKeySpec asserts
     * the result stays unique as queries are added — a silent fallback to
     * full names would blow the driver's ~2 KB output window again.
+    * A bare "q" first segment (q_grp_lpt) identifies nothing — such keys
+    * keep their full name so round-over-round bench diffs stay readable.
     */
   private[graft] def shortKeys(names: Seq[String]): Seq[String] = {
     def seg(k: String, n: Int): String = k.split('_').take(n).mkString("_")
     val firstCounts = names.groupBy(seg(_, 1)).view.mapValues(_.size).toMap
-    names.map(k => if (firstCounts(seg(k, 1)) == 1) seg(k, 1) else seg(k, 2))
+    names.map { k =>
+      if (seg(k, 1) == "q") k
+      else if (firstCounts(seg(k, 1)) == 1) seg(k, 1)
+      else seg(k, 2)
+    }
   }
 
   /** Best-known healthy per-query levels (seconds, sf0.1 local[32]) —
@@ -37,7 +43,7 @@ object Bench {
     * global threshold.
     */
   private[graft] val recordedSec: Map[String, Double] = Map(
-    "q" -> 0.27, "q1" -> 0.62, "q2" -> 0.35, "q3" -> 0.86, "q4" -> 1,
+    "q_grp_lpt" -> 0.27, "q1" -> 0.62, "q2" -> 0.35, "q3" -> 0.86, "q4" -> 1,
     "q5_bucket" -> 0.24, "q5_transforms" -> 1.07, "q10" -> 0.43,
     "q11" -> 0.45, "q12" -> 0.33, "q13" -> 0.26, "q14" -> 0.22,
     "q15" -> 0.58, "q16" -> 0.32, "q17" -> 0.31, "q20" -> 1.15,

@@ -52,8 +52,14 @@ object CompactionRunner {
     * deletion-vector sidecar. `format` carries the snapshot entry's
     * recorded value ("parquet" / "dv") so readers dispatch without a
     * per-file magic sniff; "" (externally-sourced tasks) sniffs.
+    * `sizeBytes` is the snapshot entry's recorded file size (-1 unknown):
+    * broadcast/decode gates consult it FIRST so their decisions agree
+    * with the keyed-layout admission (which reads the same entry sizes) —
+    * a transient stat failure must never flip a previously-admitted plan
+    * shape at runtime.
     */
-  final case class PosDeleteTask(path: String, format: String = "")
+  final case class PosDeleteTask(
+      path: String, format: String = "", sizeBytes: Long = -1L)
 
   /** An equality-delete file: path, its sequence number, and the equality
     * columns — preferably as field IDs (`equalityIds`, the reference's
@@ -65,7 +71,8 @@ object CompactionRunner {
       path: String,
       seqNum: Long,
       equalityCols: Seq[String],
-      equalityIds: Seq[Int] = Nil)
+      equalityIds: Seq[Int] = Nil,
+      sizeBytes: Long = -1L)
 
   final case class CompactionConfig(
       targetPartitions: Int = 4,
@@ -636,23 +643,36 @@ object CompactionRunner {
     */
   private val DeleteBroadcastCap = 64L << 20
 
-  /** Summed on-storage size of `paths`, or -1 when any is unstattable
-    * (unknown must never qualify for a broadcast hint).
+  /** Summed size of `files` (path, recordedBytes) — the snapshot entry's
+    * recorded size when known, one stat only for unknowns (-1), and -1 for
+    * the whole sum when any file stays unknown or the sum overflows
+    * (unknown must never qualify for a broadcast hint). Recorded sizes
+    * FIRST keeps this gate's verdict identical to the keyed-layout
+    * admission's (which reads the same entry sizes): a transient stat
+    * failure on a file the manifest already sized cannot flip a
+    * previously-admitted broadcast plan into a shuffle at runtime.
     */
-  private def statSum(spark: SparkSession, paths: Seq[String]): Long = {
+  private def statSum(spark: SparkSession, files: Seq[(String, Long)]): Long = {
     val conf = spark.sessionState.newHadoopConf()
     var sum = 0L
-    paths.foreach { p =>
-      try {
-        val hp = new org.apache.hadoop.fs.Path(p)
-        sum += hp.getFileSystem(conf).getFileStatus(hp).getLen
-      } catch { case _: Throwable => return -1L }
+    files.foreach { case (p, recorded) =>
+      val len =
+        if (recorded >= 0L) recorded
+        else
+          try {
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(conf).getFileStatus(hp).getLen
+          } catch { case _: Throwable => return -1L }
+      sum =
+        try Math.addExact(sum, len)
+        catch { case _: ArithmeticException => return -1L }
     }
     sum
   }
 
-  private def hintSmall(spark: SparkSession, df: DataFrame, paths: Seq[String]): DataFrame = {
-    val s = statSum(spark, paths)
+  private def hintSmall(
+      spark: SparkSession, df: DataFrame, files: Seq[(String, Long)]): DataFrame = {
+    val s = statSum(spark, files)
     if (s >= 0L && s <= DeleteBroadcastCap) broadcast(df) else df
   }
 
@@ -669,11 +689,12 @@ object CompactionRunner {
         t.format == "dv" ||
           (t.format != "parquet" && DeletionVectors.isDv(t.path, conf)))
       def paths(ts: Seq[PosDeleteTask]) = ts.map(_.path)
+      def sized(ts: Seq[PosDeleteTask]) = ts.map(t => (t.path, t.sizeBytes))
       val pq =
         if (pqPaths.isEmpty) None
         else Some(hintSmall(spark, spark.read.parquet(paths(pqPaths): _*)
           .select(canonCol(col("file_path")).as(MorPlanner.FilePathCol),
-            col("pos").as(MorPlanner.PosCol)), paths(pqPaths)))
+            col("pos").as(MorPlanner.PosCol)), sized(pqPaths)))
       val dv =
         if (dvPaths.isEmpty) None
         else {
@@ -682,14 +703,15 @@ object CompactionRunner {
           // broadcast; past the size gate — possible now that the DV
           // writer is distributed and uncapped — they decode on the
           // executors instead, one task per sidecar, and join like any
-          // other delete frame (no driver materialization)
-          val totalBytes = paths(dvPaths).map { p =>
-            try {
-              val hp = new org.apache.hadoop.fs.Path(p)
-              hp.getFileSystem(conf).getFileStatus(hp).getLen
-            } catch { case _: Throwable => Long.MaxValue / 1024 }
-          }.sum
-          if (totalBytes <= (32L << 20)) {
+          // other delete frame (no driver materialization). The gate
+          // reads the entry-recorded sizes (same data the keyed-layout
+          // admission checked — a stat hiccup cannot flip an admitted
+          // broadcast decode into the shuffled one); -1 = genuinely
+          // unknown or unstattable → distributed, never a sentinel sum
+          // (summed sentinels overflowed Long past ~1024 failures and
+          // sailed NEGATIVE under the cap)
+          val totalBytes = statSum(spark, sized(dvPaths))
+          if (totalBytes >= 0L && totalBytes <= (32L << 20)) {
             val rows = paths(dvPaths).flatMap(p =>
               DeletionVectors.read(p, conf).iterator.flatMap {
                 case (f, ps) => ps.iterator.map(pos => (canonPath(f), pos))
@@ -768,7 +790,9 @@ object CompactionRunner {
           canonCol(col("_metadata.file_path")).as("graft_eq_path"): _*)
         .join(broadcast(seqDf), "graft_eq_path")
         .drop("graft_eq_path")
-      EqualityDeleteGroup(hintSmall(spark, df, ts.map(_.path)), resolved.map(_._2))
+      EqualityDeleteGroup(
+        hintSmall(spark, df, ts.map(t => (t.path, t.sizeBytes))),
+        resolved.map(_._2))
     }
   }
 

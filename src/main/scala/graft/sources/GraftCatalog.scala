@@ -791,9 +791,9 @@ final class GraftCatalog(root: String,
       else all.filter(e => e.kind != "data" || dataKeep(e))
     if (dataTasks(entries).isEmpty)
       return Seq(scanEntries(spark, table, entries, schema))
-    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
-      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
     }
     // delete-free snapshots skip the hidden-column fabrication and seq
     // broadcast entirely: each group is a bare (join-free) vectorized scan
@@ -934,9 +934,9 @@ final class GraftCatalog(root: String,
     }
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries),
       schema)
-    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
-      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
     }
     val afterPos = CompactionRunner.readPositionDeletes(spark, pos)
       .fold(data)(pd => MorPlanner.applyPositionDeletes(data, pd))
@@ -1068,9 +1068,9 @@ final class GraftCatalog(root: String,
               "an empty table has no schema to scan")
       }
     }
-    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }
+    val pos = entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) }
     val eq = entries.collect { case e if e.kind == "eqdel" =>
-      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
     }
     // delete-free snapshots read without hidden cols or the seq broadcast
     if (pos.isEmpty && eq.isEmpty)
@@ -1132,10 +1132,10 @@ final class GraftCatalog(root: String,
         currentSchema(table))
       graft.operators.MorPlanner.merge(data,
         CompactionRunner.readPositionDeletes(spark,
-          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }),
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) }),
         CompactionRunner.readEqualityDeletes(spark,
           entries.collect { case e if e.kind == "eqdel" =>
-            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
           }, Some(data.schema))).filter(exact)
     }
   }
@@ -1287,10 +1287,10 @@ final class GraftCatalog(root: String,
         currentSchema(table))
       graft.operators.MorPlanner.merge(data,
         CompactionRunner.readPositionDeletes(spark,
-          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }),
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) }),
         CompactionRunner.readEqualityDeletes(spark,
           entries.collect { case e if e.kind == "eqdel" =>
-            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
           }, Some(data.schema))).filter(exact)
     }
   }
@@ -1983,10 +1983,10 @@ final class GraftCatalog(root: String,
       val scan = CompactionRunner.scanWithHiddenCols(spark, affTasks, schema)
       val merged = graft.operators.MorPlanner.merge(scan,
         CompactionRunner.readPositionDeletes(spark,
-          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }),
+          entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) }),
         CompactionRunner.readEqualityDeletes(spark,
           entries.collect { case e if e.kind == "eqdel" =>
-            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+            EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
           }, Some(scan.schema)))
       val kept = merged.filter(not(coalesce(predicate, lit(false))))
       val token = java.util.UUID.randomUUID().toString
@@ -2283,11 +2283,11 @@ final class GraftCatalog(root: String,
     }
     val data = CompactionRunner.scanWithHiddenCols(spark, dataTasks(entries), schema)
     val afterPos = CompactionRunner.readPositionDeletes(spark,
-      entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) })
+      entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) })
       .fold(data)(graft.operators.MorPlanner.applyPositionDeletes(data, _))
     CompactionRunner.readEqualityDeletes(spark,
       entries.collect { case e if e.kind == "eqdel" =>
-        EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+        EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
       }, Some(data.schema))
       .foldLeft(afterPos)(graft.operators.MorPlanner.applyEqualityDeletes)
   }
@@ -2569,10 +2569,10 @@ final class GraftCatalog(root: String,
     val schema = schemaAt(table, toSnapshotId)
 
     def pos(es: Seq[TableEntry]) =
-      es.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) }
+      es.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) }
     def eq(es: Seq[TableEntry]) =
       es.collect { case e if e.kind == "eqdel" =>
-        EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+        EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
       }
     // MoR application KEEPING the hidden identity columns (merge() projects
     // them away; the delete diff below joins on them)
@@ -3083,6 +3083,21 @@ final class GraftCatalog(root: String,
 
   private def forkBasePath(table: String) = tableDir(table).resolve("FORK_BASE")
 
+  /** The (main table, main snapshot id) a fork was created from; None when
+    * `table` is not a fork. The deferred `spark.wap.branch` row-level
+    * commit asserts this against the snapshot its scan pinned — a fork
+    * raced into existence from a LATER main head must conflict, not
+    * silently adopt a replacement computed from older data.
+    */
+  def forkBaseOf(table: String): Option[(String, Long)] = {
+    val bp = forkBasePath(table)
+    if (!Files.exists(bp)) None
+    else Files.readString(bp).trim.split("\t", 2) match {
+      case Array(t, b) => b.toLongOption.map(t -> _)
+      case _ => None
+    }
+  }
+
   // temp + ATOMIC_MOVE like every other pointer file (HEAD, pspec,
   // snapshots): a torn FORK_BASE would turn publishFork into a MatchError
   private def writeForkBase(fork: String, table: String, baseId: Long): Unit = {
@@ -3591,7 +3606,7 @@ final class GraftCatalog(root: String,
     val scan = CompactionRunner.scanWithHiddenCols(spark,
       affected.map(e => DataFileTask(e.path, e.seqNum, e.format)), schema)
     val groups = CompactionRunner.readEqualityDeletes(spark,
-      eqs.map(e => EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)), schema)
+      eqs.map(e => EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)), schema)
     // rows ANY group suppresses — per-group semi join with that group's
     // own seq guard (groups at different sequences hit different file
     // subsets); the union dedups to one (file_path, pos) set. The delete
@@ -3644,7 +3659,7 @@ final class GraftCatalog(root: String,
       return currentSnapshotId(table)
     if (pos.isEmpty) return currentSnapshotId(table)
     val merged = CompactionRunner.readPositionDeletes(spark,
-      pos.map(p => PosDeleteTask(p.path, p.format))).get
+      pos.map(p => PosDeleteTask(p.path, p.format, p.sizeBytes))).get
     val livePaths = entries.filter(_.kind == "data")
       .map(e => CompactionRunner.canonPath(e.path))
     import spark.implicits._
@@ -3766,9 +3781,9 @@ final class GraftCatalog(root: String,
           statsCols = (effective.statsCols ++ so).distinct)
       val manifest = CompactionRunner.compact(spark,
         dataTasks(entries),
-        entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) },
+        entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) },
         entries.collect { case e if e.kind == "eqdel" =>
-          EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+          EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
         },
         outDir,
         targetSizedConfig(table, layout, entries.filter(_.kind == "data")),
@@ -3902,9 +3917,9 @@ final class GraftCatalog(root: String,
               statsCols = (config.statsCols ++ so).distinct)
           val manifest = CompactionRunner.compact(spark,
             delta,
-            entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format) },
+            entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) },
             entries.collect { case e if e.kind == "eqdel" =>
-              EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds)
+              EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
             },
             outDir,
             targetSizedConfig(table,

@@ -444,8 +444,16 @@ object GraftColumnarMask {
           val keys = scala.collection.mutable.HashMap.empty[Seq[Any], Long]
           var bad = false
           collected.foreach { r =>
+            // a delete row whose _metadata.file_path matches no entry's
+            // canonical path is UNPROVABLE (a canonicalization divergence
+            // — URI scheme, symlink — between the entry list and the scan)
+            // and refuses the whole set back to the row-based anti join:
+            // defaulting it to the group max seq would apply the delete
+            // with an INFLATED sequence and silently drop rows re-inserted
+            // between the real delete and the group max
             val seq = seqByPath.getOrElse(
-              CompactionRunner.canonPath(r.getString(delCols.length)), maxSeq)
+              CompactionRunner.canonPath(r.getString(delCols.length)),
+              { bad = true; maxSeq })
             val vals = new Array[Any](delCols.length)
             var i = 0
             var anyNull = false

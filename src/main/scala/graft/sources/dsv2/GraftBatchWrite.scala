@@ -90,10 +90,17 @@ final class GraftBatchWrite(
     root: String,
     table: String,
     schema: StructType,
-    replaceAt: Option[Long],
+    // base snapshots arrive as THUNKS evaluated inside commit() after
+    // `prepare` runs: non-WAP writes pass an eagerly-captured constant
+    // (the plan-time pinning the optimistic contract wants), wap.branch
+    // overwrites pass a deferred read of the fork's head — the fork
+    // itself only exists once prepare() creates it, so resolving the
+    // base any earlier would force the fork at plan time (EXPLAIN
+    // INSERT OVERWRITE would mutate the catalog)
+    replaceAt: Option[() => Long],
     replaceOnly: () => Option[Set[String]] = () => None,
-    overwriteWhere: Option[(Array[org.apache.spark.sql.sources.Filter], Long)] = None,
-    dynamicOverwriteAt: Option[Long] = None,
+    overwriteWhere: Option[(Array[org.apache.spark.sql.sources.Filter], () => Long)] = None,
+    dynamicOverwriteAt: Option[() => Long] = None,
     // wap.branch's DEFERRED fork: `table` may not exist until commit time
     // — `prepare` creates it first thing in commit() (never at plan time,
     // so EXPLAIN mutates nothing), and `metaTable` names where to read
@@ -141,7 +148,7 @@ final class GraftBatchWrite(
       case Some(base) =>
         // replace exactly the partition tuples the written files carry
         // (empty data = no-op, Spark's dynamic-overwrite semantics)
-        if (files.nonEmpty) cat.commitDynamicOverwrite(table, base, files)
+        if (files.nonEmpty) cat.commitDynamicOverwrite(table, base(), files)
         return
       case None => ()
     }
@@ -152,7 +159,7 @@ final class GraftBatchWrite(
         val cond = filters.flatMap(V1FilterColumns.toColumn)
           .reduceOption(_ && _)
           .getOrElse(org.apache.spark.sql.functions.lit(true))
-        cat.overwriteWhere(SparkSession.active, table, base, cond, files, dir)
+        cat.overwriteWhere(SparkSession.active, table, base(), cond, files, dir)
         return
       case None => ()
     }
@@ -163,8 +170,8 @@ final class GraftBatchWrite(
           // commit retires exactly them (an empty group = the statement
           // matched nothing — no files read, nothing to commit)
           if (group.nonEmpty || files.nonEmpty)
-            cat.commitReplaceFilesAt(table, base, group, files)
-        case None => cat.commitReplaceAt(table, base, files)
+            cat.commitReplaceFilesAt(table, base(), group, files)
+        case None => cat.commitReplaceAt(table, base(), files)
       }
       case None => if (files.nonEmpty) cat.commitAppend(table, files)
     }

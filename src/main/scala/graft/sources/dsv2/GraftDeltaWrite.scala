@@ -35,11 +35,21 @@ import graft.sources.{FieldIds, GraftCatalog}
 final class GraftDeltaRowLevelOperation(
     root: String,
     table: String,
-    cmd: RowLevelOperation.Command)
+    cmd: RowLevelOperation.Command,
+    wapFork: Option[GraftWapFork] = None)
     extends RowLevelOperation with SupportsDelta {
 
   private val baseSnapshot =
     new GraftCatalog(root).currentSnapshotId(table)
+
+  /** wap.branch's deferred fork ([[GraftWapFork]]): the scan reads
+    * `table` (main, pinned), the delta commits onto the branch fork the
+    * commit itself creates — resolved lazily so EXPLAIN of MoR DML never
+    * mutates the catalog.
+    */
+  private lazy val commitBase: Long =
+    wapFork.fold(baseSnapshot)(_.fork(baseSnapshot))
+  private def commitTable: String = wapFork.fold(table)(_.commitTable)
 
   override def command(): RowLevelOperation.Command = cmd
 
@@ -63,7 +73,10 @@ final class GraftDeltaRowLevelOperation(
     new DeltaWriteBuilder {
       override def build(): DeltaWrite = new DeltaWrite {
         override def toBatch: DeltaBatchWrite =
-          new GraftDeltaBatchWrite(root, table, info.schema(), baseSnapshot)
+          new GraftDeltaBatchWrite(root, commitTable, info.schema(),
+            () => commitBase,
+            prepare = () => { commitBase; () },
+            metaTable = wapFork.map(_ => table))
       }
     }
 
@@ -71,12 +84,19 @@ final class GraftDeltaRowLevelOperation(
     s"GraftDeltaRowLevelOperation($cmd, $table @ $baseSnapshot, merge-on-read)"
 }
 
-/** Per-task parquet pair (data + position deletes), one locked commit. */
+/** Per-task parquet pair (data + position deletes), one locked commit.
+  * `base` is a thunk evaluated inside [[commit]] after `prepare` runs —
+  * the deferred wap.branch fork's head only exists by then; `metaTable`
+  * names where schema/spec metadata reads go until the fork exists
+  * (main — the fork is created as a copy of exactly that state).
+  */
 final class GraftDeltaBatchWrite(
     root: String,
     table: String,
     dataSchema: StructType,
-    base: Long)
+    base: () => Long,
+    prepare: () => Unit = () => (),
+    metaTable: Option[String] = None)
     extends DeltaBatchWrite {
 
   private val dir =
@@ -87,12 +107,15 @@ final class GraftDeltaBatchWrite(
     val spark = SparkSession.active
     Files.createDirectories(Paths.get(dir))
     val cat = new GraftCatalog(root)
+    val metaT =
+      if (metaTable.isDefined && !cat.tables().contains(table)) metaTable.get
+      else table
     // footers carry the canonical ids; a declared partition spec fans the
     // NEW row versions out per tuple so they stay partition-prunable
     // (the delete half is position-keyed — no tuple applies)
-    val writeSchema = cat.currentSchema(table)
+    val writeSchema = cat.currentSchema(metaT)
       .fold(dataSchema)(graft.sources.FieldIds.adoptCanonicalIds(dataSchema, _))
-    val spec = cat.partitionSpec(table)
+    val spec = cat.partitionSpec(metaT)
     // a pure-DELETE delta carries NO data columns (only row ids for the
     // position-delete half) — nothing to fan out, so don't bind a layout
     // that would fail resolving the spec sources against an empty schema
@@ -118,10 +141,14 @@ final class GraftDeltaBatchWrite(
     val posFiles = deltas.flatMap(_.deletes).map(f =>
       GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes))
     // a no-match statement produces an EMPTY delta: nothing to commit,
-    // the table stays at its head (no empty snapshot)
-    if (dataFiles.nonEmpty || posFiles.nonEmpty)
-      new GraftCatalog(root).commitRowDelta(table, base,
+    // the table stays at its head (no empty snapshot) — and the deferred
+    // wap fork is NOT created for it either (prepare only runs when a
+    // commit actually lands)
+    if (dataFiles.nonEmpty || posFiles.nonEmpty) {
+      prepare()
+      new GraftCatalog(root).commitRowDelta(table, base(),
         dataFiles.toSeq, posFiles.toSeq)
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -187,19 +187,27 @@ final class GraftV2Table(
         this
       }
       override def build(): Write = {
-        // overwrite shapes pin their replace base against the branch's
-        // own head, so they fork NOW; plain appends fork at commit
-        val forkedTarget =
-          if (replaceAll || filterOverwrite.isDefined || dynamic) writeTable
-          else target
+        // overwrite shapes pin a replace BASE. Non-WAP writes capture it
+        // NOW (plan time — the optimistic contract: a commit landing
+        // between planning and execution conflicts); wap.branch writes
+        // defer BOTH the fork and the base read to commit time (inside
+        // the base thunk, after prepare() forks), so EXPLAIN of any
+        // write shape never mutates the catalog — the contract the
+        // maintenance TVFs honor (EXPLAIN-no-commit)
+        val overwriteShape = replaceAll || filterOverwrite.isDefined || dynamic
+        val eagerBase: Option[Long] =
+          if (overwriteShape &&
+              (wapBranch.isEmpty || cat.tables().contains(target)))
+            Some(cat.currentSnapshotId(target)) // reading pins, never forks
+          else None
+        def base(): Long = eagerBase.getOrElse {
+          cat.currentSnapshotId(writeTable) // forks first if needed
+        }
         new GraftOrderedWrite(
-        new GraftBatchWrite(root, forkedTarget, info.schema(),
-          replaceAt = if (replaceAll) Some(cat.currentSnapshotId(forkedTarget))
-            else None,
-          overwriteWhere = filterOverwrite.map(f =>
-            (f, cat.currentSnapshotId(forkedTarget))),
-          dynamicOverwriteAt =
-            if (dynamic) Some(cat.currentSnapshotId(forkedTarget)) else None,
+        new GraftBatchWrite(root, target, info.schema(),
+          replaceAt = if (replaceAll) Some(() => base()) else None,
+          overwriteWhere = filterOverwrite.map(f => (f, () => base())),
+          dynamicOverwriteAt = if (dynamic) Some(() => base()) else None,
           prepare = () => { writeTable; () },
           metaTable = wapBranch.map(_ => tableName)),
         // the table's declared write-order drives engine-side clustering;
@@ -308,17 +316,40 @@ final class GraftV2Table(
         case RowLevelOperation.Command.UPDATE => "write.update.mode"
         case RowLevelOperation.Command.MERGE => "write.merge.mode"
       }
-      // wap.branch routing: the whole row-level operation — scan AND
-      // replacement commit — runs against the branch fork, so main's
-      // files are never retired by an unpublished audit
-      val target = writeTable
-      cat.tableProperties(target).getOrElse(key, "copy-on-write") match {
+      // wap.branch routing with a DEFERRED fork: when the branch fork
+      // already exists the whole operation — scan AND replacement
+      // commit — targets it exactly as before; when it doesn't, the
+      // operation plans and scans MAIN at a pinned snapshot (metadata
+      // only, so EXPLAIN DELETE/UPDATE/MERGE creates no branch) and its
+      // COMMIT forks first, proving the fork's recorded base is that
+      // pinned snapshot — a fork raced in from a later main head
+      // conflicts like any other stale-base commit
+      val forkName = wapBranch.map(b => s"$tableName@$b")
+      val existingFork = forkName.filter(cat.tables().contains)
+      val opTable = existingFork.getOrElse(tableName)
+      val wapFork: Option[GraftWapFork] =
+        if (wapBranch.isEmpty || existingFork.isDefined) None
+        else Some(GraftWapFork(forkName.get, pinned => {
+          val fork = writeTable // creates the fork unless one raced in
+          val c = new GraftCatalog(root)
+          val base = c.forkBaseOf(fork)
+          if (!base.contains((tableName, pinned)))
+            throw new IllegalStateException(
+              s"wap.branch commit conflict: $fork was forked from $base " +
+                s"but this statement scanned ($tableName,$pinned) — " +
+                "re-run the statement (it will plan against the branch)")
+          // the fork's creation head: a commit racing onto the fresh
+          // fork advances past it and the base-asserted replacement
+          // commit conflicts instead of clobbering it
+          1L
+        }))
+      cat.tableProperties(opTable).getOrElse(key, "copy-on-write") match {
         case "copy-on-write" =>
-          new GraftRowLevelOperation(root, target, info.command())
+          new GraftRowLevelOperation(root, opTable, info.command(), wapFork)
         case "merge-on-read" =>
-          new GraftDeltaRowLevelOperation(root, target, info.command())
+          new GraftDeltaRowLevelOperation(root, opTable, info.command(), wapFork)
         case other => throw new IllegalArgumentException(
-          s"unknown $key '$other' for $target " +
+          s"unknown $key '$other' for $opTable " +
             "(copy-on-write | merge-on-read)")
       }
     }
@@ -1744,20 +1775,41 @@ private[dsv2] object V1FilterColumns {
   }
 }
 
+/** `spark.wap.branch`'s deferred fork for row-level DML: the operation
+  * plans and scans against MAIN (pinned), and `fork` — run first inside
+  * the replacement commit — creates `commitTable` (the branch fork) and
+  * returns the commit's base snapshot on it, after proving the fork was
+  * created from exactly the pinned main snapshot.
+  */
+private[dsv2] final case class GraftWapFork(
+    commitTable: String,
+    fork: Long => Long)
+
 /** Copy-on-write row-level operation: the snapshot is pinned at CREATION
   * (analysis time), the scan reads exactly that snapshot, and the
   * replacement commit asserts it under the table lock — a concurrent
   * commit between planning and execution conflicts instead of being
-  * silently clobbered.
+  * silently clobbered. With `wapFork`, the scan side reads `table`
+  * (main) while the commit lands on the branch fork the commit itself
+  * creates — EXPLAIN never mutates the catalog.
   */
 final class GraftRowLevelOperation(
     root: String,
     table: String,
-    cmd: RowLevelOperation.Command)
+    cmd: RowLevelOperation.Command,
+    wapFork: Option[GraftWapFork] = None)
     extends RowLevelOperation {
 
   private val baseSnapshot =
     new GraftCatalog(root).currentSnapshotId(table)
+
+  /** Where (and against which base) the replacement commits. Resolved
+    * lazily INSIDE the commit — resolving it any earlier would create
+    * the wap fork at plan time.
+    */
+  private lazy val commitBase: Long =
+    wapFork.fold(baseSnapshot)(_.fork(baseSnapshot))
+  private def commitTable: String = wapFork.fold(table)(_.commitTable)
 
   /** Runtime GROUP filter, installed by [[GraftRowLevelScan.filter]] when
     * Spark's `RowLevelOperationRuntimeGroupFiltering` finds the files
@@ -1806,11 +1858,13 @@ final class GraftRowLevelOperation(
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftBatchWrite(root, table, info.schema(),
-            replaceAt = Some(baseSnapshot),
+          new GraftBatchWrite(root, commitTable, info.schema(),
+            replaceAt = Some(() => commitBase),
             // read at COMMIT time — the runtime filter lands during
             // execution, long after this builder runs
-            replaceOnly = () => groupFilter)
+            replaceOnly = () => groupFilter,
+            prepare = () => { commitBase; () },
+            metaTable = wapFork.map(_ => table))
       }
     }
 

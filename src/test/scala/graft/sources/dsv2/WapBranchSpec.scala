@@ -104,6 +104,82 @@ class WapBranchSpec extends SparkSpec {
       == "extra")
   }
 
+  test("EXPLAIN of any write shape under wap.branch creates no branch") {
+    val root = Files.createTempDirectory("graft-wap-explain").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 50)")
+    spark.sql(
+      s"""CREATE TABLE $g.src (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.src VALUES (1, 'x'), (999, 'y')")
+    val cat = new GraftCatalog(root)
+    try {
+      spark.conf.set("spark.wap.branch", "audit")
+      // every write shape: plain append, whole/filter/dynamic overwrite,
+      // and row-level DML in BOTH modes — planning (EXPLAIN) must be a
+      // pure metadata read, the contract the maintenance TVFs honor
+      for (stmt <- Seq(
+          s"INSERT INTO $g.t VALUES (100, 'a')",
+          s"INSERT OVERWRITE $g.t VALUES (101, 'b')",
+          s"INSERT INTO $g.t REPLACE WHERE k < 10 VALUES (102, 'c')",
+          s"DELETE FROM $g.t WHERE k % 7 = 0",
+          s"UPDATE $g.t SET v = 'u' WHERE k = 3",
+          s"MERGE INTO $g.t USING $g.src s ON $g.t.k = s.k " +
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")) {
+        spark.sql(s"EXPLAIN EXTENDED $stmt").collect()
+        assert(!cat.tables().contains("t@audit"),
+          s"EXPLAIN of [$stmt] must not create the branch")
+      }
+      // merge-on-read row-level DML defers too
+      spark.sql(s"EXPLAIN EXTENDED DELETE FROM $g.src WHERE v = 'x'")
+        .collect()
+      assert(!cat.tables().contains("src@audit"))
+      // ...and the REAL statements still fork on commit and land on the
+      // branch with main untouched (the deferred-fork path end-to-end)
+      val mainHead = cat.currentSnapshotId("t")
+      spark.sql(s"DELETE FROM $g.t WHERE k % 7 = 0")
+      assert(cat.tables().contains("t@audit"),
+        "the executed DML must create the branch at commit")
+      assert(cat.currentSnapshotId("t") == mainHead, "main must not move")
+      assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'main'")
+        .head().getLong(0) == 50L)
+      assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'audit'")
+        .head().getLong(0) == 50L - 8L)
+      // an overwrite after the fork exists pins its base eagerly and
+      // still lands on the branch
+      spark.sql(s"INSERT OVERWRITE $g.t VALUES (7, 'only')")
+      assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'audit'")
+        .head().getLong(0) == 1L)
+      assert(cat.currentSnapshotId("t") == mainHead)
+    } finally spark.conf.unset("spark.wap.branch")
+  }
+
+  test("deferred wap fork: MoR row-level DML lands its delta on the fork") {
+    val root = Files.createTempDirectory("graft-wap-defer-mor").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 200)")
+    val cat = new GraftCatalog(root)
+    val mainHead = cat.currentSnapshotId("t")
+    try {
+      spark.conf.set("spark.wap.branch", "audit")
+      // untranslatable condition -> WriteDelta; the fork is created by
+      // the delta COMMIT, not the planning
+      spark.sql(s"DELETE FROM $g.t WHERE k % 13 = 5 OR k % 17 = 2")
+      assert(cat.tables().contains("t@audit"))
+      assert(cat.loadEntries("t@audit").exists(_.kind == "posdel"),
+        "the deferred MoR DELETE must commit delete files on the fork")
+      assert(cat.currentSnapshotId("t") == mainHead)
+      assert(!cat.loadEntries("t").exists(_.kind == "posdel"))
+      val expect = (0L until 200L).filterNot(k => k % 13 == 5 || k % 17 == 2)
+      assert(spark.sql(s"SELECT k FROM $g.t VERSION AS OF 'audit'").collect()
+        .map(_.getLong(0)).sorted.toSeq == expect)
+    } finally spark.conf.unset("spark.wap.branch")
+  }
+
   test("VERSION AS OF 'main' and explicit branch writes bypass wap routing") {
     val root = Files.createTempDirectory("graft-wap-bypass").toString
     val g = mount(root)
