@@ -494,10 +494,15 @@ object ScalingProbe {
       spark.sql(s"INSERT INTO $g.t SELECT id, id * 7 FROM " +
         s"range(0, ${mult}000000L)")
       // key-equality DELETEs take the eq-delete fast path: two pending
-      // eq-delete files, no compaction — the between-compactions read
-      val keys = (0 until 64).map(i => i.toLong * 137L + 11L)
-      spark.sql(s"DELETE FROM $g.t WHERE doc_id IN (${keys.mkString(",")})")
-      spark.sql(s"DELETE FROM $g.t WHERE doc_id = 1")
+      // eq-delete files, no compaction — the between-compactions read.
+      // 100k pending keys (r14 measured 65, which barely exercised the
+      // probe): the per-row verdict now binary-searches a 100k-entry
+      // sorted long array — the single-integral-key fast path — so this
+      // measures the probe at a realistic CDC delete cardinality
+      val keyDf = spark.range(0, 100000).selectExpr("id * 9 + 1 AS doc_id")
+      new GraftCatalog(s"$dir/cat").deleteWhereEq(spark, "t", keyDf,
+        s"$dir/eqdel-bulk")
+      spark.sql(s"DELETE FROM $g.t WHERE doc_id = 2")
       require(new GraftCatalog(s"$dir/cat").loadEntries("t")
         .exists(_.kind == "eqdel"), "eq-mask probe fixture must hold eq-deletes")
       def run(): Double = (1 to 3).map { _ =>

@@ -1414,7 +1414,68 @@ object MorQueries {
       s"SELECT c_custkey, c_name FROM $g.c WHERE c_custkey IN (5, 40, 77)")
   }
 
+  /** Q165: the Iceberg-v3 delete-file EXPORT chain — after a DV migration
+    * plus a pending eq-delete, `IcebergMetadataJson.export` must emit
+    * `format-version` 3 metadata whose manifest list discovers a delete
+    * manifest carrying one entry per Puffin DV blob (`referenced_data_file`
+    * / `content_offset` / `content_size_in_bytes`, byte-resolvable) and a
+    * `content` = 2 entry with `equality_ids` — a stock v3 reader's
+    * discovery path, closing r14's one-hop-short interop gap. Oracle =
+    * the table content both delete families leave behind.
+    */
+  private def q165(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q165").toString
+    val g = s"g165_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.o (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("q165_src")
+    spark.sql(
+      s"""INSERT INTO $g.o SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM q165_src WHERE o_orderkey <= 60000""".stripMargin)
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderkey % 101 = 17") // -> pos-deletes
+    spark.sql(s"CALL $g.system.rewrite_position_delete_files('o', " +
+      "as_deletion_vectors => true)").collect()
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderkey IN (3, 777)") // -> eq-delete
+    val cat = new graft.sources.GraftCatalog(root)
+    val dvTotal = cat.loadEntries("o")
+      .filter(e => e.kind == "posdel" && e.format == "dv")
+      .map(_.recordCount).sum
+    require(dvTotal > 0, "the q165 fixture must hold deletion vectors")
+    val metaPath = graft.sources.IcebergMetadataJson.export(cat, root, "o")
+    require(java.nio.file.Files.readString(metaPath)
+      .contains("\"format-version\":3"),
+      "a DV-bearing export must declare format-version 3")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // walk the exported chain exactly like a stock reader: head snapshot
+    // -> manifest list -> delete manifest -> per-blob DV entries
+    val listPath = s"$root/o/snap-${cat.currentSnapshotId("o")}-manifest-list.avro"
+    val manifests = graft.sources.IcebergManifest.readList(listPath, conf)
+    val delManifest = manifests.find(_.content == 1).getOrElse(
+      throw new IllegalStateException(
+        s"export must carry a delete manifest, got $manifests"))
+    val entries = graft.sources.IcebergManifest.read(
+      delManifest.manifestPath, cat.currentSchema("o").get, conf)
+    val dvs = entries.filter(_.format == "puffin")
+    require(dvs.nonEmpty && dvs.forall(e =>
+      e.content == graft.sources.IcebergManifest.ContentPositionDeletes &&
+        e.referencedDataFile.isDefined && e.contentOffset.isDefined &&
+        e.contentSizeInBytes.isDefined),
+      s"every DV blob must export a referenced manifest entry: $entries")
+    require(dvs.map(_.file.recordCount).sum == dvTotal,
+      "exported DV cardinalities must sum to the pending delete count")
+    require(entries.exists(e =>
+      e.content == graft.sources.IcebergManifest.ContentEqualityDeletes &&
+        e.equalityIds.nonEmpty),
+      "the pending eq-delete must export with its equality_ids")
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM $g.o")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_v3_manifest_export" -> (q165 _),
     "q164_static_in_prune" -> (q164 _),
     "q160_eq_delete_mask" -> (q160 _),
     "q161_wap_branch" -> (q161 _),
@@ -1483,6 +1544,11 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q165_v3_manifest_export" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 60000
+        |  AND o_orderkey % 101 <> 17
+        |  AND o_orderkey NOT IN (3, 777)""".stripMargin,
     "q164_static_in_prune" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN (5, 40, 77)""".stripMargin,

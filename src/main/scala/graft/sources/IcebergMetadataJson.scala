@@ -4,17 +4,28 @@ import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.types._
 
-/** Iceberg v2 `metadata.json` EXPORT for [[GraftCatalog]] tables — the
+/** Iceberg `metadata.json` EXPORT for [[GraftCatalog]] tables — the
   * interop doorway for external Iceberg tooling: the catalog's snapshot
   * chain, per-snapshot canonical schemas (field ids included), and HEAD
   * render as a spec-shaped table-metadata document
   * (format per the public Iceberg table spec, "Table Metadata" fields;
   * the reference consumes the same structures through `iceberg-rust`).
   *
-  * Deviations, documented: the `manifest-list` of each snapshot points at
-  * the catalog's `snap-N.tsv` (this catalog's manifest-list stand-in;
-  * [[IcebergManifest]] covers the Avro manifest shape separately), and
-  * `sequence-number` equals the snapshot id (commits are totally ordered).
+  * Every snapshot also exports the full DISCOVERY chain a stock reader
+  * walks: `metadata.json` → the snapshot's `manifest-list` (Avro,
+  * [[IcebergManifest.writeList]]) → data/delete manifests
+  * ([[IcebergManifest.write]]) → files. Delete manifests carry the v3
+  * `content` discriminator, eq-delete `equality_ids`, and — for Puffin
+  * deletion vectors — one entry PER DV BLOB with `referenced_data_file` /
+  * `content_offset` / `content_size_in_bytes` resolved from the sidecar's
+  * own footer, so an external reader can locate and decode every vector
+  * without this library. The document declares `format-version` 3 exactly
+  * when deletion vectors are present (they are a v3 feature); delete-free
+  * and row-file-delete tables stay v2.
+  *
+  * Deviations, documented: `sequence-number` equals the snapshot id
+  * (commits are totally ordered), and manifest bound values are string
+  * renderings (see [[IcebergManifest]]).
   */
 object IcebergMetadataJson {
 
@@ -114,11 +125,15 @@ object IcebergMetadataJson {
     def mtime(id: Long): Long =
       try Files.getLastModifiedTime(dir.resolve(s"snap-$id.tsv")).toMillis
       catch { case _: Exception => 0L }
+    // the discovery chain: per-snapshot Avro manifests + manifest list;
+    // tracks whether ANY snapshot references a Puffin deletion vector
+    // (the v3 trigger)
+    val (listPathOf, anyDv) = exportManifests(catalog, dir, table, ids, schemas)
     val snapshots = ids.map { id =>
       val schemaRef = schemas.collect { case (sid, _) if sid <= id => sid }
         .maxOption.map(sid => s""","schema-id":$sid""").getOrElse("")
       s"""{"snapshot-id":$id,"sequence-number":$id,"timestamp-ms":${mtime(id)},""" +
-        s""""manifest-list":"${esc(dir.resolve(s"snap-$id.tsv").toString)}",""" +
+        s""""manifest-list":"${esc(listPathOf(id))}",""" +
         s""""summary":{"operation":"append"}$schemaRef}"""
     }.mkString(",")
     val snapshotLog = ids.map(id =>
@@ -155,8 +170,12 @@ object IcebergMetadataJson {
     }.mkString(",")
     val lastPartitionId = 999 + renderedFields.length
     val lastColumnId = idAlloc.last
+    // deletion vectors are an Iceberg v3 feature; everything else this
+    // export writes is v2-legal, so delete-free (and row-file-delete)
+    // tables stay readable by v2 tooling
+    val formatVersion = if (anyDv) 3 else 2
     val json =
-      s"""{"format-version":2,
+      s"""{"format-version":$formatVersion,
          |"table-uuid":"$uuid",
          |"location":"${esc(dir.toString)}",
          |"last-sequence-number":$head,
@@ -176,5 +195,104 @@ object IcebergMetadataJson {
     val out = dir.resolve(s"v$head.metadata.json")
     Files.writeString(out, json)
     out
+  }
+
+  /** Write each snapshot's Avro manifests (data, and — when delete files
+    * exist — a separate delete manifest, the spec's required split) plus
+    * its manifest list. Returns (snapshot id → manifest-list path, any
+    * Puffin DV referenced). Puffin footers are read once per sidecar
+    * across all snapshots.
+    */
+  private def exportManifests(
+      catalog: GraftCatalog,
+      dir: Path,
+      table: String,
+      ids: Seq[Long],
+      schemas: Seq[(Long, StructType)]): (Map[Long, String], Boolean) = {
+    import graft.sources.IcebergManifest.{ManifestEntry, ManifestFile}
+    val conf = new org.apache.hadoop.conf.Configuration()
+    // blob metadata per Puffin sidecar, memoized (snapshots share files);
+    // None = not Puffin (legacy GDV1) or unreadable — exports as a plain
+    // content-1 entry without reference fields
+    val blobCache = scala.collection.mutable.HashMap
+      .empty[String, Option[Seq[Puffin.BlobMeta]]]
+    def dvBlobs(path: String): Option[Seq[Puffin.BlobMeta]] =
+      blobCache.getOrElseUpdate(path,
+        try {
+          if (!Puffin.isPuffin(path, conf)) None
+          else Some(Puffin.readFooter(path, conf)._1
+            .filter(_.blobType == Puffin.DvBlobType))
+        } catch { case _: Exception => None })
+    var anyDv = false
+    val listPaths = ids.map { id =>
+      val entries = catalog.loadEntriesAt(table, id)
+      val schema = schemas.collect { case (sid, s) if sid <= id => s }
+        .lastOption.getOrElse(StructType(Nil))
+      val known = schema.fieldNames.toSet
+      // stats keyed by columns the snapshot's schema can resolve to field
+      // ids; everything else drops (bounds are an optimization, and an
+      // unresolvable key would mint a colliding negative id on read)
+      def stats(e: GraftCatalog#TableEntry): CompactionRunner.DataFileStats =
+        CompactionRunner.DataFileStats(e.path, e.sizeBytes, e.recordCount,
+          e.stats.map(_.colMins.filter(kv => known(kv._1))).getOrElse(Map.empty),
+          e.stats.map(_.colMaxs.filter(kv => known(kv._1))).getOrElse(Map.empty),
+          e.stats.map(_.nullCounts.filter(kv => known(kv._1))).getOrElse(Map.empty))
+      val dataEntries = entries.filter(_.kind == "data").map(e =>
+        ManifestEntry(IcebergManifest.StatusAdded, stats(e), e.format,
+          content = IcebergManifest.ContentData, sequenceNumber = e.seqNum))
+      val deleteEntries = entries.filter(_.kind != "data").flatMap { e =>
+        if (e.kind == "eqdel")
+          Seq(ManifestEntry(IcebergManifest.StatusAdded, stats(e), e.format,
+            content = IcebergManifest.ContentEqualityDeletes,
+            sequenceNumber = e.seqNum, equalityIds = e.eqIds))
+        else dvBlobs(e.path) match {
+          case Some(blobs) if e.format == "dv" =>
+            // one manifest entry per DV blob — each names its referenced
+            // data file and locates the blob inside the sidecar, the v3
+            // deletion-vector manifest shape
+            anyDv = true
+            blobs.map { b =>
+              ManifestEntry(IcebergManifest.StatusAdded,
+                CompactionRunner.DataFileStats(e.path, e.sizeBytes,
+                  b.properties.get("cardinality")
+                    .flatMap(_.toLongOption).getOrElse(-1L),
+                  Map.empty, Map.empty, Map.empty),
+                format = "puffin",
+                content = IcebergManifest.ContentPositionDeletes,
+                sequenceNumber = e.seqNum,
+                referencedDataFile = b.properties.get("referenced-data-file"),
+                contentOffset = Some(b.offset),
+                contentSizeInBytes = Some(b.length))
+            }
+          case _ =>
+            Seq(ManifestEntry(IcebergManifest.StatusAdded, stats(e), e.format,
+              content = IcebergManifest.ContentPositionDeletes,
+              sequenceNumber = e.seqNum))
+        }
+      }
+      def writeOne(suffix: String, content: Int,
+          es: Seq[ManifestEntry]): Option[ManifestFile] =
+        if (es.isEmpty) None
+        else {
+          val p = dir.resolve(s"snap-$id-$suffix.avro")
+          IcebergManifest.write(p.toString, es, schema, conf)
+          val seqs = es.map(_.sequenceNumber)
+          Some(ManifestFile(p.toString, Files.size(p),
+            partitionSpecId = 0, content = content,
+            sequenceNumber = seqs.max, minSequenceNumber = seqs.min,
+            addedSnapshotId = id,
+            addedFilesCount = es.size, existingFilesCount = 0,
+            deletedFilesCount = 0,
+            addedRowsCount = es.map(e => math.max(0L, e.file.recordCount)).sum,
+            existingRowsCount = 0L, deletedRowsCount = 0L))
+        }
+      val manifests =
+        writeOne("m0", 0, dataEntries).toSeq ++
+          writeOne("m1", 1, deleteEntries).toSeq
+      val listPath = dir.resolve(s"snap-$id-manifest-list.avro")
+      IcebergManifest.writeList(listPath.toString, manifests, conf)
+      id -> listPath.toString
+    }.toMap
+    (listPaths, anyDv)
   }
 }

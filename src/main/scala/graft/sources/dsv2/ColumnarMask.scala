@@ -128,12 +128,21 @@ object GraftColumnarMask {
     * greater than the row's file seq — exactly the chained anti joins'
     * semantics, since "matched by any delete newer than the row" is
     * "matched by the newest delete for that key").
+    *
+    * `longKeys`/`longSeqs` are the single-integral-key fast path — the
+    * dominant CDC shape (one long PK): the same probe as sorted parallel
+    * arrays, binary-searched per row with ZERO allocation (the generic
+    * map probe boxes every key value into an `Array[Any]` + `ArraySeq`
+    * per row). Built in [[serve]] once the scanned types are known; null
+    * for composite or non-integral keys.
     */
   private final case class EqSet(
       cols: Seq[String],
       types: Seq[DataType],
       keys: Map[Seq[Any], Long],
-      maxSeq: Long)
+      maxSeq: Long,
+      longKeys: Array[Long] = null,
+      longSeqs: Array[Long] = null)
 
   /** Per-group column locations inside the raw leaf-scan batches. */
   private final case class Located(
@@ -270,7 +279,22 @@ object GraftColumnarMask {
     // dispatch matches the vectors it reads
     val typeByName = scanFields.map(f => f.name -> f.dataType).toMap
     val eqProbe: Seq[EqSet] = eqSets.get.map { s =>
-      s.copy(types = s.cols.map(typeByName))
+      val typed = s.copy(types = s.cols.map(typeByName))
+      // single integral key (the CDC PK shape): sorted parallel arrays
+      // for the allocation-free per-row probe. normDriver already boxed
+      // every integral/date key value as java.lang.Long, so the map's
+      // keys unbox directly.
+      val integral = typed.types match {
+        case Seq(ByteType | ShortType | IntegerType | LongType | DateType) => true
+        case _ => false
+      }
+      if (!integral || typed.keys.isEmpty) typed
+      else {
+        val sorted = typed.keys.toArray.map { case (k, seq) =>
+          (k.head.asInstanceOf[java.lang.Long].longValue, seq)
+        }.sortBy(_._1)
+        typed.copy(longKeys = sorted.map(_._1), longSeqs = sorted.map(_._2))
+      }
     }
     if (!eqProbe.forall(_.types.forall(probeable))) return None
 
@@ -538,6 +562,23 @@ object GraftColumnarMask {
         while (!drop && it.hasNext) {
           val (set, si) = it.next()
           val idxs = loc.eqIdx(si)
+          if (set.longKeys != null) {
+            // single-integral-key fast path: read the physical value,
+            // binary-search the sorted key array — no boxing, no tuple
+            val c = batch.column(idxs(0))
+            if (!c.isNullAt(r)) {
+              val k = set.types(0) match {
+                case LongType => c.getLong(r)
+                case IntegerType | DateType => c.getInt(r).toLong
+                case ShortType => c.getShort(r).toLong
+                case ByteType => c.getByte(r).toLong
+                case other => throw new IllegalStateException(
+                  s"non-integral type $other built a long probe")
+              }
+              val pos = java.util.Arrays.binarySearch(set.longKeys, k)
+              drop = pos >= 0 && set.longSeqs(pos) > fileSeq
+            }
+          } else {
           val vals = new Array[Any](idxs.length)
           var i = 0
           var anyNull = false
@@ -562,6 +603,7 @@ object GraftColumnarMask {
           if (!anyNull) {
             val key = ArraySeq.unsafeWrapArray(vals): Seq[Any]
             drop = set.keys.get(key).exists(_ > fileSeq)
+          }
           }
         }
       }

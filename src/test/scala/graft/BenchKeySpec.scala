@@ -24,8 +24,11 @@ class BenchKeySpec extends AnyFunSuite {
     // this all-4-char projection overstates it. Threshold recalibrated
     // r12: the driver's observed window is ~2000 chars (r1–r6 truncated
     // past it) and the wrapper + sbt [success] trailer are counted here
+    // wrapper re-measured r15 (sf now records its basename, not the full
+    // testdata path): metric/value/unit ~45 + empty errors 12 + sf 14 +
+    // sbt [success] trailer ~35 ≈ 105
     val line = Bench.shortKeys(names).map(k => "\"" + k + "\":99.9")
-      .mkString("{", ",", "}").length + 120 // metric/value/unit/sf wrapper
+      .mkString("{", ",", "}").length + 105 // metric/value/unit/sf wrapper
     assert(line < 1950, s"projected bench line $line bytes — shrink keys")
   }
 

@@ -243,6 +243,55 @@ class ColumnarMaskSpec extends SparkSpec {
       .head().getLong(0) == 1L, "the head read still sees the newer row")
   }
 
+  test("single-long-key fast probe matches the row path on a large key set") {
+    // the CDC PK shape: ONE integral key column routes the per-row probe
+    // through the sorted-long-array fast path (no boxing, no tuple); its
+    // verdicts must be bit-identical to the row-based anti join's
+    val root = Files.createTempDirectory("graft-mask-eqfast").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 20000)")
+    val doomed = (0 until 20000 by 7).map(_.toLong)
+    spark.sql(s"DELETE FROM $g.t WHERE k IN (${doomed.mkString(",")})")
+    spark.sql(s"DELETE FROM $g.t WHERE k IN (11, 23, 19999)")
+    // seq guard inside the fast path: re-inserted keys survive
+    spark.sql(s"INSERT INTO $g.t VALUES (7, 'reborn7'), (14, 'reborn14')")
+    val eq0 = GraftColumnarMask.maskedEqServed.get()
+    val out = spark.sql(s"SELECT k, v FROM $g.t")
+    assert(scansColumnar(out), "large single-long-key set must stay masked")
+    val masked = out.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(GraftColumnarMask.maskedEqServed.get() > eq0)
+    GraftColumnarMask.disableForProbes = true
+    try {
+      val row = spark.sql(s"SELECT k, v FROM $g.t").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(masked.toSeq == row.toSeq,
+        "fast-path mask and row-path anti join must agree exactly")
+    } finally GraftColumnarMask.disableForProbes = false
+    assert(masked.count(_._2.startsWith("reborn")) == 2)
+    assert(!masked.exists(t => t._1 == 21 || t._1 == 11))
+  }
+
+  test("composite eq keys keep the generic probe and stay masked") {
+    val root = Files.createTempDirectory("graft-mask-eqcomposite").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 1000)")
+    // two-column key equality -> a composite eq-delete file (string key
+    // column means no long fast path; the generic tuple probe serves)
+    spark.sql(s"DELETE FROM $g.t WHERE k = 5 AND v = 'v5'")
+    spark.sql(s"DELETE FROM $g.t WHERE k = 7 AND v = 'nope'") // matches nothing
+    val cat = new GraftCatalog(root)
+    assert(cat.loadEntries("t").exists(e =>
+      e.kind == "eqdel" && e.eqCols.size == 2),
+      "fixture must commit a composite-key eq-delete")
+    val out = spark.sql(s"SELECT k, v FROM $g.t")
+    assert(scansColumnar(out))
+    val got = out.collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 1000L).filterNot(_ == 5L),
+      "only the fully-matching composite key row is deleted")
+  }
+
   test("floating eq keys: -0.0 deletes 0.0 rows exactly like the SQL anti join") {
     // SQL join equality says -0.0 = 0.0 (and the row path's anti join
     // honors it); a boxed-Double probe map would disagree and silently
