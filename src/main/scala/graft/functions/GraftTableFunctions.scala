@@ -217,19 +217,27 @@ object GraftTableFunctions {
     GraftMaintenancePlan(root, table, MaintenanceOp.RemoveOrphans(grace))
   }
 
-  /** `SELECT * FROM graft_rewrite_eq_deletes('root','t')` — equality→
-    * position delete conversion ([[GraftCatalog.rewriteEqDeletes]], the
+  /** `SELECT * FROM graft_rewrite_eq_deletes('root','t'[, asDv])` —
+    * equality→position delete conversion
+    * ([[GraftCatalog.rewriteEqDeletes]], the
     * `CALL rewrite_position_delete_files` sibling for eq-delete debt):
     * one row with the committed snapshot and retired/added file counts,
-    * executed when the query runs.
+    * executed when the query runs. The optional boolean lands the doomed
+    * positions directly as Puffin deletion vectors.
     */
   private def graftRewriteEqDeletes(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 2,
-      s"graft_rewrite_eq_deletes takes (root, table), got ${args.length} arguments")
+    require(args.length == 2 || args.length == 3,
+      s"graft_rewrite_eq_deletes takes (root, table[, as_deletion_vectors]), " +
+        s"got ${args.length} arguments")
     val root = strLit(args(0), "graft_rewrite_eq_deletes", 1)
     val table = strLit(args(1), "graft_rewrite_eq_deletes", 2)
+    val asDv = args.lift(2).exists {
+      case org.apache.spark.sql.catalyst.expressions.Literal(b: Boolean, _) => b
+      case other => throw new IllegalArgumentException(
+        s"graft_rewrite_eq_deletes argument 3 must be a boolean literal, got $other")
+    }
     requireTable(new GraftCatalog(root), table, "graft_rewrite_eq_deletes")
-    GraftMaintenancePlan(root, table, MaintenanceOp.RewriteEqDeletes)
+    GraftMaintenancePlan(root, table, MaintenanceOp.RewriteEqDeletes(asDv))
   }
 
   private val tableFunctions: Seq[(String, Seq[Expression] => LogicalPlan)] =

@@ -85,9 +85,13 @@ object MaintenanceOp {
   /** `graft_rewrite_eq_deletes`: equality-delete → position-delete
     * conversion ([[GraftCatalog.rewriteEqDeletes]]) — the cheap
     * maintenance step that bounds MoR read amplification between full
-    * compactions. Row: the committed snapshot + retired/added counts.
+    * compactions. With `asDeletionVectors` the doomed positions land
+    * directly as Puffin deletion vectors (one commit, no intermediate
+    * parquet posdel generation). Row: the committed snapshot +
+    * retired/added counts.
     */
-  case object RewriteEqDeletes extends MaintenanceOp {
+  final case class RewriteEqDeletes(asDeletionVectors: Boolean = false)
+      extends MaintenanceOp {
     override def outputNames: Seq[String] =
       Seq("snapshot_id", "retired_eq_files", "added_pos_files")
   }
@@ -248,11 +252,12 @@ object GraftMaintenanceExec {
         cat.expireSnapshots(table, keepLast).map(Seq(_))
       case MaintenanceOp.Rollback(sid) =>
         Seq(Seq(cat.rollbackTo(table, sid)))
-      case MaintenanceOp.RewriteEqDeletes =>
+      case MaintenanceOp.RewriteEqDeletes(asDv) =>
         val eqBefore = cat.loadEntries(table).count(_.kind == "eqdel").toLong
         val posBefore = cat.loadEntries(table).count(_.kind == "posdel").toLong
         val out = s"$root/_data/$table/eqrw-${java.util.UUID.randomUUID()}"
-        val sid = cat.rewriteEqDeletes(spark, table, out)
+        val sid = cat.rewriteEqDeletes(spark, table, out,
+          asDeletionVectors = asDv)
         val posAfter = cat.loadEntries(table).count(_.kind == "posdel").toLong
         Seq(Seq(sid, eqBefore, posAfter - posBefore))
       case MaintenanceOp.CompactDeleteFiles(asDv, targetFiles) =>

@@ -3584,12 +3584,20 @@ final class GraftCatalog(root: String,
     * Exactness: pos-deletes apply seq-independently, and only rows with
     * `seq < eqSeq` can match, so data appended after the eq-delete commit
     * is untouched before AND after; the scan-visible row set is identical.
+    *
+    * With `asDeletionVectors = true` the doomed `(file_path, pos)` pairs
+    * land directly as Iceberg-v3 Puffin deletion vectors (the distributed
+    * per-file writer, [[writeDvEntries]]) instead of parquet pos-delete
+    * rows — eq→DV in ONE commit, skipping the intermediate parquet
+    * generation a separate `rewrite_position_delete_files` migration
+    * would rewrite again.
     */
   def rewriteEqDeletes(
       spark: SparkSession,
       table: String,
       outDir: String,
-      targetFiles: Int = 1): Long = {
+      targetFiles: Int = 1,
+      asDeletionVectors: Boolean = false): Long = {
     import org.apache.spark.sql.functions.col
     import graft.operators.MorPlanner
     val entries = loadEntries(table)
@@ -3624,17 +3632,25 @@ final class GraftCatalog(root: String,
           col(MorPlanner.PosCol).as("pos"))
     }.reduce(_ unionAll _).distinct()
     val token = java.util.UUID.randomUUID().toString
-    val dir = s"$outDir/eqdel-rewrite-$token"
-    doomed.coalesce(math.max(targetFiles, 1))
-      .write.mode("errorifexists").parquet(dir)
-    val written = CompactionRunner.listParquet(dir)
-    // an all-miss delete set writes an empty file; commit no entry for it
-    val nonEmpty = written.filter(p =>
-      spark.read.parquet(p).limit(1).count() > 0)
-    withTableLock(table) {
-      commitRewriteLocked(table,
-        posDeleteEntries(spark, nonEmpty, maxEqSeq),
-        eqs.map(_.path))
+    if (asDeletionVectors) {
+      val entries2 = writeDvEntries(spark, doomed,
+        s"$outDir/eqdel-dv-$token", targetFiles, maxEqSeq)
+      withTableLock(table) {
+        commitRewriteLocked(table, entries2, eqs.map(_.path))
+      }
+    } else {
+      val dir = s"$outDir/eqdel-rewrite-$token"
+      doomed.coalesce(math.max(targetFiles, 1))
+        .write.mode("errorifexists").parquet(dir)
+      val written = CompactionRunner.listParquet(dir)
+      // an all-miss delete set writes an empty file; commit no entry for it
+      val nonEmpty = written.filter(p =>
+        spark.read.parquet(p).limit(1).count() > 0)
+      withTableLock(table) {
+        commitRewriteLocked(table,
+          posDeleteEntries(spark, nonEmpty, maxEqSeq),
+          eqs.map(_.path))
+      }
     }
   }
 
@@ -3673,63 +3689,8 @@ final class GraftCatalog(root: String,
     val token = java.util.UUID.randomUUID().toString
     val seq = pos.map(_.seqNum).max
     if (asDeletionVectors) {
-      // DISTRIBUTED per-data-file DV write (Iceberg-v3 Puffin sidecars):
-      // the alive delete set shuffles by data file, each task streams its
-      // sorted slice into one Puffin file — one `deletion-vector-v1` blob
-      // per data file, one file's positions in memory at a time — and the
-      // driver only commits the returned (path, count) manifest rows.
-      // No driver-side position materialization, no size cap (r13's 16M
-      // driver-collect bound is gone); `targetFiles` bounds the sidecar
-      // count exactly like the parquet branch.
-      val conf = new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf())
-      val parts = math.max(targetFiles, 1)
-      val outPrefix = s"$outDir/posdel-dv-$token"
-      val written: Array[(String, Long)] = alive
-        .repartition(parts, col("file_path"))
-        .sortWithinPartitions(col("file_path"), col("pos"))
-        .rdd.mapPartitionsWithIndex { (pid, it) =>
-          if (it.isEmpty) Iterator.empty
-          else {
-            // attempt id in the name: a retried/speculated task writes a
-            // FRESH file instead of failing on create(overwrite=false);
-            // only the winning attempt's path is committed, losers stay
-            // orphans for removeOrphanFiles
-            val attempt = Option(org.apache.spark.TaskContext.get())
-              .map(_.taskAttemptId()).getOrElse(0L)
-            val dvPath = s"$outPrefix-p$pid-a$attempt.puffin"
-            val p = new org.apache.hadoop.fs.Path(dvPath)
-            val out = new java.io.BufferedOutputStream(
-              p.getFileSystem(conf.value).create(p, false))
-            val total =
-              try {
-                val w = new Puffin.DvWriter(out)
-                var curFile: String = null
-                val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-                def flush(): Unit = if (curFile != null) {
-                  w.add(curFile, buf.toArray) // sorted + distinct upstream
-                  buf.clear()
-                }
-                it.foreach { r =>
-                  val f = r.getString(0)
-                  if (f != curFile) { flush(); curFile = f }
-                  buf += r.getLong(1)
-                }
-                flush()
-                w.finish()
-              } finally out.close()
-            Iterator.single((dvPath, total))
-          }
-        }.collect() // one (path, count) row per task — metadata-sized
-      val hconf = spark.sessionState.newHadoopConf()
-      val entries2 = written.toSeq.filter(_._2 > 0L).map { case (dvPath, total) =>
-        val hp = new org.apache.hadoop.fs.Path(dvPath)
-        val size =
-          try hp.getFileSystem(hconf).getFileStatus(hp).getLen
-          catch { case _: Throwable => -1L }
-        TableEntry("posdel", CompactionRunner.canonPath(dvPath),
-          seq, "dv", Nil, recordCount = total, sizeBytes = size)
-      }
+      val entries2 = writeDvEntries(spark, alive,
+        s"$outDir/posdel-dv-$token", targetFiles, seq)
       withTableLock(table) {
         commitRewriteLocked(table, entries2, pos.map(_.path))
       }
@@ -3743,6 +3704,75 @@ final class GraftCatalog(root: String,
           posDeleteEntries(spark, written, seq),
           pos.map(_.path))
       }
+    }
+  }
+
+  /** DISTRIBUTED per-data-file Puffin DV write of a `(file_path, pos)`
+    * frame (Iceberg-v3 sidecars): the delete set shuffles by data file,
+    * each task streams its sorted slice into one Puffin file — one
+    * `deletion-vector-v1` blob per data file, one file's positions in
+    * memory at a time — and only metadata-sized `(path, count)` rows
+    * return to the driver. No driver-side position materialization, no
+    * size cap (r13's 16M driver-collect bound is gone); `targetFiles`
+    * bounds the sidecar count exactly like the parquet branches. Returns
+    * the committable posdel entries at sequence `seq`. Shared by the
+    * pos-delete migration ([[compactDeleteFiles]]) and the direct eq→DV
+    * rewrite ([[rewriteEqDeletes]]).
+    */
+  private def writeDvEntries(
+      spark: SparkSession,
+      alive: DataFrame,
+      outPrefix: String,
+      targetFiles: Int,
+      seq: Long): Seq[TableEntry] = {
+    import org.apache.spark.sql.functions.col
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val parts = math.max(targetFiles, 1)
+    val written: Array[(String, Long)] = alive
+      .repartition(parts, col("file_path"))
+      .sortWithinPartitions(col("file_path"), col("pos"))
+      .rdd.mapPartitionsWithIndex { (pid, it) =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          // attempt id in the name: a retried/speculated task writes a
+          // FRESH file instead of failing on create(overwrite=false);
+          // only the winning attempt's path is committed, losers stay
+          // orphans for removeOrphanFiles
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val dvPath = s"$outPrefix-p$pid-a$attempt.puffin"
+          val p = new org.apache.hadoop.fs.Path(dvPath)
+          val out = new java.io.BufferedOutputStream(
+            p.getFileSystem(conf.value).create(p, false))
+          val total =
+            try {
+              val w = new Puffin.DvWriter(out)
+              var curFile: String = null
+              val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+              def flush(): Unit = if (curFile != null) {
+                w.add(curFile, buf.toArray) // sorted + distinct upstream
+                buf.clear()
+              }
+              it.foreach { r =>
+                val f = r.getString(0)
+                if (f != curFile) { flush(); curFile = f }
+                buf += r.getLong(1)
+              }
+              flush()
+              w.finish()
+            } finally out.close()
+          Iterator.single((dvPath, total))
+        }
+      }.collect() // one (path, count) row per task — metadata-sized
+    val hconf = spark.sessionState.newHadoopConf()
+    written.toSeq.filter(_._2 > 0L).map { case (dvPath, total) =>
+      val hp = new org.apache.hadoop.fs.Path(dvPath)
+      val size =
+        try hp.getFileSystem(hconf).getFileStatus(hp).getLen
+        catch { case _: Throwable => -1L }
+      TableEntry("posdel", CompactionRunner.canonPath(dvPath),
+        seq, "dv", Nil, recordCount = total, sizeBytes = size)
     }
   }
 

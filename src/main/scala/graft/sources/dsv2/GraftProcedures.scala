@@ -104,9 +104,13 @@ object GraftProcedures {
       (cat, in) => (tableArg(in, 0),
         MaintenanceOp.CompactDeleteFiles(in.getBoolean(1), in.getInt(2)))),
     Spec("rewrite_equality_deletes",
-      "convert equality deletes to position deletes (data files untouched)",
-      Seq(p("table", StringType)),
-      (cat, in) => (tableArg(in, 0), MaintenanceOp.RewriteEqDeletes)),
+      "convert equality deletes to position deletes (data files " +
+        "untouched); as_deletion_vectors lands them directly as Puffin " +
+        "deletion-vector sidecars in the same single commit",
+      Seq(p("table", StringType),
+        pDefault("as_deletion_vectors", BooleanType, "false")),
+      (cat, in) => (tableArg(in, 0),
+        MaintenanceOp.RewriteEqDeletes(in.getBoolean(1)))),
     Spec("publish_branch",
       "atomically adopt a WAP branch's audited state as main's next snapshot",
       Seq(p("table", StringType), p("branch", StringType)),

@@ -144,6 +144,42 @@ class DeleteFileCompactionSpec extends SparkSpec {
     assert(keys(cat, "t") == expect2)
   }
 
+  test("rewriteEqDeletes(asDeletionVectors): eq debt lands directly as Puffin DVs") {
+    val cat = newCatalog()
+    val base = Files.createTempDirectory("graft-eqrw-dv").toString
+    val f0 = writeParquet((1L to 200L).map(k => (k, s"v$k")), s"$base/b0")
+    cat.createTable("t", f0.map(DataFileTask(_, 1L)))
+    cat.deleteWhereEq(spark, "t", Seq(5L, 6L, 7L).toDF("k"), s"$base/d1")
+    cat.appendFiles(spark, "t", Seq((5L, "reborn")).toDF("k", "v"), s"$base/a1")
+    cat.deleteWhereEq(spark, "t", (100L to 140L).toDF("k"), s"$base/d2")
+    val expect = keys(cat, "t")
+    val dataBefore = cat.loadEntries("t").filter(_.kind == "data").map(_.path).toSet
+
+    // ONE commit: eq entries out, Puffin deletion vectors in — no
+    // intermediate parquet pos-delete generation to migrate later
+    cat.rewriteEqDeletes(spark, "t", s"$base/out", asDeletionVectors = true)
+    val after = cat.loadEntries("t")
+    assert(after.count(_.kind == "eqdel") == 0, "eq-delete entries must retire")
+    val pos = after.filter(_.kind == "posdel")
+    assert(pos.nonEmpty && pos.forall(_.format == "dv"),
+      s"eq->DV must leave ONLY dv-format posdel entries: $pos")
+    assert(pos.forall(e => e.recordCount > 0 && e.sizeBytes > 0),
+      s"DV entries must carry counted manifests: $pos")
+    // the sidecars are real Puffin files whose blob totals match the
+    // entry-recorded counts
+    val conf = new org.apache.hadoop.conf.Configuration()
+    pos.foreach { e =>
+      assert(Puffin.isPuffin(e.path, conf), s"${e.path} is not Puffin")
+      assert(Puffin.readDv(e.path, conf).values.map(_.length.toLong).sum ==
+        e.recordCount)
+    }
+    assert(after.filter(_.kind == "data").map(_.path).toSet == dataBefore,
+      "data files untouched")
+    assert(keys(cat, "t") == expect, "eq->DV conversion changed scan answers")
+    // the seq guard carried: the re-appended key 5 still reads
+    assert(cat.scanTable(spark, "t").filter(col("k") === 5L).count() == 1)
+  }
+
   test("rewriteEqDeletes no-ops without eq debt; retires all-miss deletes without pos files") {
     val cat = newCatalog()
     val base = Files.createTempDirectory("graft-eqrw-miss").toString

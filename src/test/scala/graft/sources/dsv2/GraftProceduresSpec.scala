@@ -84,6 +84,16 @@ class GraftProceduresSpec extends SparkSpec {
       assert(conv.getLong(1) == 1L, s"one eq file retired: $conv")
       assert(cat.loadEntries("t").count(_.kind == "eqdel") == 0)
       assert(!keys().contains(11L))
+
+      // ...and straight to deletion vectors in one commit
+      cat.deleteWhereEq(s, "t", Seq(17L, 19L).toDF("k"), s"$root/_eqd2")
+      s.sql("CALL graft.system.rewrite_equality_deletes(table => 't', " +
+        "as_deletion_vectors => true)").collect()
+      assert(cat.loadEntries("t").count(_.kind == "eqdel") == 0)
+      val dv = cat.loadEntries("t").filter(_.kind == "posdel")
+      assert(dv.exists(_.format == "dv"),
+        s"eq->DV CALL must land deletion vectors: $dv")
+      assert(!keys().contains(17L) && !keys().contains(19L))
     }
   }
 
