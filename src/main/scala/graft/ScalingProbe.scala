@@ -773,16 +773,21 @@ object ScalingProbe {
     sb.append("scanTableWhere — so the subquery reads covering files only and\n")
     sb.append("the 4x -> 16x step flattens to ~1.1x.\n")
 
-    sb.append("\n## Vectorized eq-delete reads on an upserted table (round 14)\n\n")
+    sb.append("\n## Vectorized eq-delete reads on an upserted table (rounds 14-15)\n\n")
     sb.append("A table upserted through key-equality DELETEs holds pending\n")
     sb.append("EQUALITY delete files between compactions — the CDC norm, and the\n")
     sb.append("reference's most elaborate code path (datafusion_processor.rs\n")
     sb.append(":281-304). Round 13 dropped every such read to the row-based anti\n")
     sb.append("join; round 14 masks eq-deletes inside the scan's ColumnarBatches\n")
     sb.append("(broadcast key->maxSeq probe with the `data.seq < delete.seq`\n")
-    sb.append("guard), so the read stays vectorized. Same read (1M -> 16M\n")
-    sb.append("synthetic rows, 65 pending eq-delete keys) measured masked vs\n")
-    sb.append("with the mask force-disabled (row anti join serves):\n\n")
+    sb.append("guard), so the read stays vectorized; round 15 makes the\n")
+    sb.append("single-integral-key probe allocation-free (sorted long array +\n")
+    sb.append("parallel seq array, binary-searched per row) and raises the\n")
+    sb.append("staged delete cardinality from 65 to 100,000 pending keys — a\n")
+    sb.append("realistic CDC backlog that actually exercises the probe. Same\n")
+    sb.append("read (1M -> 16M synthetic rows, 100k pending eq-delete keys)\n")
+    sb.append("measured masked vs with the mask force-disabled (row anti join\n")
+    sb.append("serves):\n\n")
     sb.append("| rows | masked read (s) | row-path read (s) |\n")
     sb.append("|---|---|---|\n")
     eqMaskRows.foreach { case (m, tMask, tRow) =>
