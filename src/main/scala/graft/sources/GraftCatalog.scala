@@ -51,7 +51,15 @@ import scala.jdk.CollectionConverters._
   * not a filesystem lock, is what serializes concurrent drivers.
   */
 final class GraftCatalog(root: String,
-    headStore: Option[GraftCatalog.HeadStore] = None) {
+    explicitHeadStore: Option[GraftCatalog.HeadStore] = None) {
+
+  /** The pointer store this instance uses: the caller's explicit store,
+    * else the process-wide binding for this root (a doorway catalog
+    * mounted with `headstore=pg|jdbc` binds at initialize —
+    * [[GraftCatalog.bindHeadStore]]), else the HEAD file.
+    */
+  private val headStore: Option[GraftCatalog.HeadStore] =
+    explicitHeadStore.orElse(GraftCatalog.headStoreFor(root))
 
   /** Catalog root path (read-only; the REST façade renders snapshot
     * document mtimes as commit timestamps from it). */
@@ -4521,5 +4529,61 @@ object GraftCatalog {
       * after a crash between pointer removal and metadata deletion.
       */
     def remove(table: String): Unit
+  }
+
+  // ---- process-wide head-store bindings by catalog root -------------------
+  // `new GraftCatalog(root)` happens per statement all over the DSv2
+  // doorway; a doorway catalog mounted with a SQL-backed pointer
+  // (spark.sql.catalog.<g>.headstore=pg|jdbc) binds its root here once at
+  // initialize, and every subsequent construction resolves the store from
+  // the registry — no threading through the dozens of construction sites.
+  // ONE store instance per root (stores hold a live DB connection; their
+  // methods self-synchronize, and cross-process safety comes from the
+  // database row, not this JVM). Re-binding with the same config key is a
+  // no-op; a DIFFERENT key replaces the factory and closes the old store.
+
+  private final case class StoreBinding(key: Any, factory: () => HeadStore)
+  private val storeBindings =
+    new java.util.concurrent.ConcurrentHashMap[String, StoreBinding]()
+  private val storeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, HeadStore]()
+
+  private def normRoot(root: String): String = root.stripSuffix("/")
+
+  /** Bind `root`'s pointer store. `key` identifies the CONFIGURATION (host/
+    * port/url/catalog-name tuple): same key = idempotent re-initialize,
+    * different key = replace (old memoized store closed when closeable).
+    */
+  def bindHeadStore(root: String, key: Any, factory: () => HeadStore): Unit =
+    storeBindings.synchronized {
+      val r = normRoot(root)
+      Option(storeBindings.get(r)) match {
+        case Some(b) if b.key == key => ()
+        case _ =>
+          storeBindings.put(r, StoreBinding(key, factory))
+          closeMemo(r)
+      }
+    }
+
+  /** Remove `root`'s binding and close its memoized store — test/teardown
+    * hygiene; subsequent constructions fall back to the file pointer.
+    */
+  def unbindHeadStore(root: String): Unit = storeBindings.synchronized {
+    storeBindings.remove(normRoot(root))
+    closeMemo(normRoot(root))
+  }
+
+  private def closeMemo(r: String): Unit =
+    Option(storeMemo.remove(r)).foreach {
+      case c: AutoCloseable =>
+        try c.close() catch { case _: Exception => () }
+      case _ => ()
+    }
+
+  private[sources] def headStoreFor(root: String): Option[HeadStore] = {
+    val r = normRoot(root)
+    if (!storeBindings.containsKey(r)) None
+    else Some(storeMemo.computeIfAbsent(r,
+      _ => storeBindings.get(r).factory()))
   }
 }

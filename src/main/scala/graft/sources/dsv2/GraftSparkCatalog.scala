@@ -60,6 +60,37 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     root = options.get("root")
     require(root != null && root.nonEmpty,
       s"catalog '$name' requires spark.sql.catalog.$name.root=<catalog dir>")
+    // pluggable current-snapshot POINTER (the production deployment knob):
+    //   spark.sql.catalog.<g>.headstore = pg | jdbc   (absent = HEAD file)
+    //   pg:   .pg.host/.pg.port/.pg.user/.pg.database/.pg.catalog
+    //   jdbc: .jdbc.url/.jdbc.catalog
+    // bound process-wide by root, so every internal `new GraftCatalog(root)`
+    // — per-statement, all over the doorway — resolves the same store; the
+    // config tuple is the idempotence key (same mount re-initializes free)
+    def opt(k: String, default: String): String =
+      Option(options.get(k)).map(_.trim).filter(_.nonEmpty).getOrElse(default)
+    Option(options.get("headstore")).map(_.trim.toLowerCase).foreach {
+      case "pg" | "postgres" | "postgresql" =>
+        val host = opt("pg.host", "127.0.0.1")
+        val port = opt("pg.port", "5432").toInt
+        val user = opt("pg.user", "postgres")
+        val db = opt("pg.database", "postgres")
+        val cat = opt("pg.catalog", name)
+        graft.sources.GraftCatalog.bindHeadStore(root,
+          ("pg", host, port, user, db, cat),
+          () => new graft.sources.PgHeadStore(host, port, user, db, cat))
+      case "jdbc" | "derby" =>
+        val url = Option(options.get("jdbc.url")).filter(_.nonEmpty)
+          .getOrElse(throw new IllegalArgumentException(
+            s"catalog '$name' headstore=jdbc requires " +
+              s"spark.sql.catalog.$name.jdbc.url"))
+        val cat = opt("jdbc.catalog", name)
+        graft.sources.GraftCatalog.bindHeadStore(root, ("jdbc", url, cat),
+          () => new graft.sources.JdbcHeadStore(url, cat))
+      case "file" => graft.sources.GraftCatalog.unbindHeadStore(root)
+      case other => throw new IllegalArgumentException(
+        s"catalog '$name': unknown headstore '$other' (pg | jdbc | file)")
+    }
   }
 
   override def name(): String = catalogName

@@ -106,6 +106,40 @@ class PgHeadStoreSpec extends SparkSpec
     assert(!Files.exists(java.nio.file.Paths.get(pgRoot, "t", "HEAD")))
   }
 
+  test("doorway mount with headstore=pg: SQL lifecycle commits through postgres") {
+    assume(server.isDefined, "no runnable postgres in this environment")
+    val s = server.get
+    val root = Files.createTempDirectory("graft-pgdoor").toString
+    val g = s"gpg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.conf.set(s"spark.sql.catalog.$g.headstore", "pg")
+    spark.conf.set(s"spark.sql.catalog.$g.pg.port", s.port.toString)
+    spark.conf.set(s"spark.sql.catalog.$g.pg.catalog", "door")
+    try {
+      spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+      spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 100)")
+      spark.sql(s"DELETE FROM $g.t WHERE k >= 90")
+      assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 90L)
+      // the pointer LIVES in postgres: no HEAD file, and the row advanced
+      assert(!Files.exists(java.nio.file.Paths.get(root, "t", "HEAD")),
+        "a pg-pointed doorway table must not write a HEAD file")
+      val reader = store("door")
+      assert(reader.read("t") >= 3L,
+        "CREATE + INSERT + DELETE must advance the postgres pointer")
+      // a second session-independent catalog over the same root + store
+      // reads the same state (cross-driver shape)
+      val cat2 = new GraftCatalog(root, Some(store("door")))
+      assert(cat2.scanTable(spark, "t").count() == 90L)
+      spark.sql(s"DROP TABLE $g.t")
+      assert(!reader.exists("t"), "DROP must deregister the postgres pointer")
+    } finally {
+      GraftCatalog.unbindHeadStore(root)
+      Seq("", ".root", ".headstore", ".pg.port", ".pg.catalog")
+        .foreach(k => spark.conf.unset(s"spark.sql.catalog.$g$k"))
+    }
+  }
+
   test("commit storm through two catalog instances on postgres loses no commit") {
     assume(server.isDefined, "no runnable postgres in this environment")
     val root = Files.createTempDirectory("graft-pgstorm-cat").toString
