@@ -201,7 +201,10 @@ object IcebergMetadataJson {
     * exist — a separate delete manifest, the spec's required split) plus
     * its manifest list. Returns (snapshot id → manifest-list path, any
     * Puffin DV referenced). Puffin footers are read once per sidecar
-    * across all snapshots.
+    * across all snapshots. Re-exports rewrite deterministically (snapshot
+    * entries are immutable per id) — per-export cost is O(total entries
+    * across retained snapshots), bounded in practice by snapshot expiry;
+    * export is an explicit interop operation, not a commit-path cost.
     */
   private def exportManifests(
       catalog: GraftCatalog,

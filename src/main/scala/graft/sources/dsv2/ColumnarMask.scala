@@ -293,7 +293,10 @@ object GraftColumnarMask {
         val sorted = typed.keys.toArray.map { case (k, seq) =>
           (k.head.asInstanceOf[java.lang.Long].longValue, seq)
         }.sortBy(_._1)
-        typed.copy(longKeys = sorted.map(_._1), longSeqs = sorted.map(_._2))
+        // the arrays fully replace the boxed map for this set — drop it
+        // so the broadcast carries each key once, not twice
+        typed.copy(longKeys = sorted.map(_._1), longSeqs = sorted.map(_._2),
+          keys = Map.empty)
       }
     }
     if (!eqProbe.forall(_.types.forall(probeable))) return None
