@@ -108,7 +108,11 @@ class WapBranchSpec extends SparkSpec {
     val root = Files.createTempDirectory("graft-wap-explain").toString
     val g = mount(root)
     spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    // TWO files, so the executed COW DELETE below also exercises runtime
+    // group filtering (single-file tables opt out automatically) against
+    // the deferred fork
     spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(50, 100)")
     spark.sql(
       s"""CREATE TABLE $g.src (k BIGINT, v STRING)
          |TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')""".stripMargin)
@@ -143,9 +147,9 @@ class WapBranchSpec extends SparkSpec {
         "the executed DML must create the branch at commit")
       assert(cat.currentSnapshotId("t") == mainHead, "main must not move")
       assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'main'")
-        .head().getLong(0) == 50L)
+        .head().getLong(0) == 100L)
       assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'audit'")
-        .head().getLong(0) == 50L - 8L)
+        .head().getLong(0) == 100L - 15L)
       // an overwrite after the fork exists pins its base eagerly and
       // still lands on the branch
       spark.sql(s"INSERT OVERWRITE $g.t VALUES (7, 'only')")
