@@ -140,6 +140,37 @@ class PgHeadStoreSpec extends SparkSpec
     }
   }
 
+  test("registry-bound store: storm over per-statement catalogs shares one socket safely") {
+    assume(server.isDefined, "no runnable postgres in this environment")
+    val s = server.get
+    val root = Files.createTempDirectory("graft-pgreg").toString
+    val base = Files.createTempDirectory("graft-pgreg-base").toString
+    // the doorway shape: one binding per root, every `new GraftCatalog`
+    // resolves the SAME memoized store (one socket; per-call synchronized)
+    GraftCatalog.bindHeadStore(root, ("spec", s.port),
+      () => new PgHeadStore("127.0.0.1", s.port, "postgres", "postgres", "reg"))
+    try {
+      new GraftCatalog(root).createTable("t",
+        writeParquet(Seq((0L, "v0")), s"$base/b0").map(DataFileTask(_, 1L)))
+      val commits = 12
+      val threads = (1 to commits).map { i =>
+        new Thread(() => {
+          // a FRESH catalog per statement, like the doorway constructs
+          val files = writeParquet(Seq((i.toLong, s"v$i")), s"$base/b$i")
+          new GraftCatalog(root)
+            .commitRewrite("t", files.map(DataFileTask(_, i + 1L)), Nil)
+        })
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      val cat = new GraftCatalog(root)
+      assert(cat.currentSnapshotId("t") == 1L + commits)
+      assert(cat.snapshotIds("t") == (1L to (1L + commits)))
+      // the pointer really is the postgres row
+      assert(store("reg").read("t") == 1L + commits)
+    } finally GraftCatalog.unbindHeadStore(root)
+  }
+
   test("commit storm through two catalog instances on postgres loses no commit") {
     assume(server.isDefined, "no runnable postgres in this environment")
     val root = Files.createTempDirectory("graft-pgstorm-cat").toString
