@@ -1,6 +1,6 @@
 package graft.wire
 
-import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, InputStream, OutputStream}
+import java.io.{ByteArrayOutputStream, FileNotFoundException, IOException, OutputStream}
 import java.net.{HttpURLConnection, URI, URL}
 
 import org.apache.hadoop.conf.Configuration
@@ -10,44 +10,65 @@ import org.apache.hadoop.util.Progressable
 
 import scala.util.matching.Regex
 
-/** Hadoop `FileSystem` for the `s3://` scheme speaking the S3 REST
-  * protocol over plain HTTP — the client half of the FileIO seam (the
-  * container has no `hadoop-aws`, so the protocol is implemented here
-  * directly; the server half is [[S3StubServer]] in tests, but any
-  * path-style S3-compatible endpoint serves). Resolution is the standard
-  * Hadoop contract: `fs.s3.impl = graft.wire.S3ClientFileSystem` plus the
-  * endpoint under the Iceberg-mapped key `fs.s3a.endpoint` (exactly what
-  * [[WireBridge.applyFileIo]] sets from a wire request's `s3.endpoint`
-  * FileIO prop) or `fs.s3.endpoint`.
+/** Hadoop `FileSystem` mechanics shared by every object-store protocol
+  * this library speaks (S3, GCS-XML, Azure Blob — the container ships no
+  * connector jars, so the protocols are implemented directly; each store's
+  * in-process stub exercises them end-to-end in tests). Subclasses supply
+  * only the PROTOCOL layer (HEAD/PUT/ranged-GET/DELETE/server-side
+  * copy/LIST); the FileSystem contract mapping lives here once:
   *
-  * Semantics, mapped the same way S3A maps them:
   *   - objects are files; directories are key prefixes. `mkdirs` writes a
   *     zero-byte `key/` marker so EMPTY directories are visible (the
   *     committer's `_temporary` tree needs this).
-  *   - `open` reads via ranged GETs ([[S3Input]]) — parquet footer +
+  *   - `open` reads via ranged GETs ([[RangeInput]]) — parquet footer +
   *     column-chunk access patterns map to exactly the ranges requested.
   *   - `create` buffers and PUTs on close (objects are immutable).
-  *   - `rename` is LIST + server-side COPY + DELETE per object — S3 has
-  *     no rename; this is the same client-side emulation S3A performs,
-  *     and it makes the classic `FileOutputCommitter` work unchanged.
+  *   - `rename` is LIST + server-side COPY + DELETE per object — object
+  *     stores have no rename; this is the same client-side emulation the
+  *     stock connectors perform, and it makes the classic
+  *     `FileOutputCommitter` work unchanged.
   */
-final class S3ClientFileSystem extends FileSystem {
+abstract class ObjectStoreFileSystem extends FileSystem {
+
+  /** URI scheme this filesystem serves (`s3`, `gs`, `wasb`). */
+  protected def schemeName: String
+
+  /** Conf keys resolved (first hit wins) to the HTTP endpoint. */
+  protected def endpointKeys: Seq[String]
+
+  // ---- protocol layer (one subclass per wire dialect) ----------------------
+
+  protected def headLength(bucket: String, key: String): Option[Long]
+  protected def putBytes(bucket: String, key: String, bytes: Array[Byte]): Unit
+  protected def readRange(
+      bucket: String, key: String, pos: Long, buf: Array[Byte],
+      off: Int, n: Int): Int
+  protected def deleteKey(bucket: String, key: String): Unit
+  protected def copyKey(bucket: String, from: String, to: String): Unit
+
+  /** (objects as key→size, common prefixes). */
+  protected def listRaw(
+      bucket: String, prefix: String,
+      delimited: Boolean): (Seq[(String, Long)], Seq[String])
+
+  // ---- shared plumbing ------------------------------------------------------
 
   private var fsUri: URI = _
-  private var endpoint: String = _
+  protected var endpoint: String = _
 
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     setConf(conf)
     fsUri = URI.create(s"${name.getScheme}://${name.getAuthority}")
-    endpoint = Option(conf.get("fs.s3a.endpoint"))
-      .orElse(Option(conf.get("fs.s3.endpoint")))
+    endpoint = endpointKeys.iterator.flatMap(k => Option(conf.get(k)))
+      .nextOption()
       .getOrElse(throw new IOException(
-        "s3 filesystem requires fs.s3a.endpoint (or fs.s3.endpoint) — " +
-          "the FileIO 's3.endpoint' property maps onto it"))
+        s"$schemeName filesystem requires one of " +
+          endpointKeys.mkString(" / ") + " — the FileIO endpoint property " +
+          "maps onto it"))
   }
 
-  override def getScheme: String = "s3"
+  override def getScheme: String = schemeName
   override def getUri: URI = fsUri
 
   private var workingDir: Path = _
@@ -57,79 +78,38 @@ final class S3ClientFileSystem extends FileSystem {
   }
   override def setWorkingDirectory(dir: Path): Unit = workingDir = dir
 
-  // ---- key plumbing ------------------------------------------------------
-
-  /** (bucket, key) of an s3 path; key has no leading slash. */
-  private def split(f: Path): (String, String) = {
+  /** (bucket/container, key) of a store path; key has no leading slash. */
+  protected def split(f: Path): (String, String) = {
     val u = f.toUri
     val bucket = Option(u.getAuthority).getOrElse(fsUri.getAuthority)
     (bucket, Option(u.getPath).getOrElse("").stripPrefix("/"))
   }
 
-  private def enc(s: String): String =
+  protected def enc(s: String): String =
     s.split("/", -1).map(java.net.URLEncoder.encode(_, "UTF-8")
       .replace("+", "%20")).mkString("/")
 
-  private def objectUrl(bucket: String, key: String): URL =
-    new URL(s"$endpoint/$bucket/${enc(key)}")
-
-  private def conn(method: String, url: URL): HttpURLConnection = {
+  protected def conn(method: String, url: URL): HttpURLConnection = {
     val c = url.openConnection().asInstanceOf[HttpURLConnection]
     c.setRequestMethod(method)
     c
   }
 
-  private def drain(c: HttpURLConnection): Unit = {
+  protected def drain(c: HttpURLConnection): Unit = {
     val in = if (c.getResponseCode < 400) c.getInputStream else c.getErrorStream
     if (in != null) { in.readAllBytes(); in.close() }
   }
 
-  /** HEAD → object length, None when absent. */
-  private def headLength(bucket: String, key: String): Option[Long] = {
-    val c = conn("HEAD", objectUrl(bucket, key))
-    try {
-      if (c.getResponseCode == 200) Some(c.getContentLengthLong)
-      else None
-    } finally c.disconnect()
-  }
-
-  private val keyRe: Regex = "<Key>(.*?)</Key><Size>(\\d+)</Size>".r
-  // anchored on the wrapper element: the result header carries its own
-  // top-level <Prefix> that must not match
-  private val prefixRe: Regex = "<CommonPrefixes><Prefix>(.*?)</Prefix>".r
-
-  private def unxml(s: String): String =
-    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
-
-  /** ListObjectsV2: (objects as key→size, common prefixes). */
-  private def listRaw(
-      bucket: String, prefix: String,
-      delimited: Boolean): (Seq[(String, Long)], Seq[String]) = {
-    val d = if (delimited) "&delimiter=%2F" else ""
-    val url = new URL(s"$endpoint/$bucket?list-type=2&prefix=" +
-      java.net.URLEncoder.encode(prefix, "UTF-8") + d)
-    val c = conn("GET", url)
-    try {
-      if (c.getResponseCode != 200)
-        throw new IOException(s"LIST $bucket?prefix=$prefix: HTTP ${c.getResponseCode}")
-      val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
-      val objs = keyRe.findAllMatchIn(body)
-        .map(m => unxml(m.group(1)) -> m.group(2).toLong).toSeq
-      val prefixes = prefixRe.findAllMatchIn(body)
-        .map(m => unxml(m.group(1))).toSeq
-      (objs, prefixes)
-    } finally c.disconnect()
-  }
-
   private def pathOf(bucket: String, key: String): Path =
-    new Path(s"s3://$bucket/$key")
+    new Path(s"$schemeName://$bucket/$key")
 
   private def fileStatus(bucket: String, key: String, len: Long): FileStatus =
     new FileStatus(len, false, 1, 32 * 1024 * 1024, 0L, pathOf(bucket, key))
 
   private def dirStatus(bucket: String, key: String): FileStatus =
     new FileStatus(0, true, 1, 0, 0L,
-      if (key.isEmpty) new Path(s"s3://$bucket/") else pathOf(bucket, key))
+      if (key.isEmpty) new Path(s"$schemeName://$bucket/")
+      else pathOf(bucket, key))
 
   // ---- FileSystem contract ----------------------------------------------
 
@@ -167,7 +147,7 @@ final class S3ClientFileSystem extends FileSystem {
     val (bucket, key) = split(f)
     val len = headLength(bucket, key)
       .getOrElse(throw new FileNotFoundException(f.toString))
-    new FSDataInputStream(new S3Input(bucket, key, len))
+    new FSDataInputStream(new RangeInput(bucket, key, len))
   }
 
   override def create(
@@ -181,17 +161,16 @@ final class S3ClientFileSystem extends FileSystem {
   }
 
   override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
-    throw new UnsupportedOperationException("s3 objects are immutable — no append")
+    throw new UnsupportedOperationException(
+      s"$schemeName objects are immutable — no append")
 
   override def mkdirs(f: Path, permission: FsPermission): Boolean = {
     val (bucket, key) = split(f)
     if (key.isEmpty) return true
     // zero-byte `key/` marker: makes the EMPTY directory visible to
     // getFileStatus/listStatus (committers probe _temporary before writing)
-    val c = conn("PUT", objectUrl(bucket, key + "/"))
-    c.setDoOutput(true)
-    c.getOutputStream.close()
-    try { c.getResponseCode == 200 } finally drain(c)
+    putBytes(bucket, key + "/", Array.emptyByteArray)
+    true
   }
 
   override def delete(f: Path, recursive: Boolean): Boolean = {
@@ -204,23 +183,6 @@ final class S3ClientFileSystem extends FileSystem {
         throw new IOException(s"$f is a non-empty directory (recursive=false)")
       else { objs.foreach { case (k, _) => deleteKey(bucket, k) }; true }
     }
-  }
-
-  private def deleteKey(bucket: String, key: String): Unit = {
-    val c = conn("DELETE", objectUrl(bucket, key))
-    try drain(c) finally c.disconnect()
-  }
-
-  private def copyKey(bucket: String, from: String, to: String): Unit = {
-    val c = conn("PUT", objectUrl(bucket, to))
-    c.setRequestProperty("x-amz-copy-source", s"/$bucket/$from")
-    c.setDoOutput(true)
-    c.getOutputStream.close()
-    try {
-      if (c.getResponseCode != 200)
-        throw new IOException(s"copy $from -> $to: HTTP ${c.getResponseCode}")
-      drain(c)
-    } finally c.disconnect()
   }
 
   override def rename(src: Path, dst: Path): Boolean = {
@@ -258,7 +220,7 @@ final class S3ClientFileSystem extends FileSystem {
     * exactly the bytes asked — parquet's own IO planning already batches
     * column chunks, so no extra readahead layer is needed here.
     */
-  private final class S3Input(bucket: String, key: String, len: Long)
+  private final class RangeInput(bucket: String, key: String, len: Long)
       extends FSInputStream {
 
     private var pos = 0L
@@ -281,37 +243,9 @@ final class S3ClientFileSystem extends FileSystem {
       if (pos >= len) return -1
       val n = math.min(wanted.toLong, len - pos).toInt
       if (n <= 0) return 0
-      val c = conn("GET", objectUrl(bucket, key))
-      c.setRequestProperty("Range", s"bytes=$pos-${pos + n - 1}")
-      try {
-        val code = c.getResponseCode
-        if (code != 206 && code != 200)
-          throw new IOException(s"GET $bucket/$key range $pos+$n: HTTP $code")
-        val in = c.getInputStream
-        // HTTP 200 on a ranged GET = the endpoint ignored the Range header
-        // and is serving the WHOLE object from offset 0; treating that body
-        // as bytes-at-pos would hand parquet silently shifted data. Skip to
-        // `pos` first (the stream is still correct, just unpruned IO).
-        if (code == 200) {
-          var toSkip = pos
-          while (toSkip > 0) {
-            val s = in.skip(toSkip)
-            if (s <= 0) {
-              if (in.read() < 0) throw new IOException(
-                s"GET $bucket/$key: HTTP 200 full-object response ended " +
-                  s"before offset $pos (object shorter than expected)")
-              toSkip -= 1
-            } else toSkip -= s
-          }
-        }
-        var read = 0
-        var r = 0
-        while (read < n && { r = in.read(buf, off + read, n - read); r > 0 })
-          read += r
-        in.close()
-        pos += read
-        read
-      } finally c.disconnect()
+      val read = readRange(bucket, key, pos, buf, off, n)
+      pos += read
+      read
     }
   }
 
@@ -321,18 +255,146 @@ final class S3ClientFileSystem extends FileSystem {
     override def write(b: Int): Unit = buf.write(b)
     override def write(b: Array[Byte], off: Int, len: Int): Unit =
       buf.write(b, off, len)
-    override def close(): Unit = {
-      val c = conn("PUT", objectUrl(bucket, key))
-      c.setDoOutput(true)
-      c.setFixedLengthStreamingMode(buf.size())
-      val out = c.getOutputStream
-      buf.writeTo(out)
-      out.close()
-      try {
-        if (c.getResponseCode != 200)
-          throw new IOException(s"PUT $bucket/$key: HTTP ${c.getResponseCode}")
-        drain(c)
-      } finally c.disconnect()
-    }
+    override def close(): Unit = putBytes(bucket, key, buf.toByteArray)
   }
+}
+
+/** Hadoop `FileSystem` for the `s3://` scheme speaking the S3 REST
+  * protocol over plain HTTP — the client half of the FileIO seam (the
+  * container has no `hadoop-aws`, so the protocol is implemented here
+  * directly; the server half is [[S3StubServer]] in tests, but any
+  * path-style S3-compatible endpoint serves). Resolution is the standard
+  * Hadoop contract: `fs.s3.impl = graft.wire.S3ClientFileSystem` plus the
+  * endpoint under the Iceberg-mapped key `fs.s3a.endpoint` (exactly what
+  * [[WireBridge.applyFileIo]] sets from a wire request's `s3.endpoint`
+  * FileIO prop) or `fs.s3.endpoint`.
+  */
+class S3ClientFileSystem extends ObjectStoreFileSystem {
+
+  override protected def schemeName: String = "s3"
+  override protected def endpointKeys: Seq[String] =
+    Seq("fs.s3a.endpoint", "fs.s3.endpoint")
+
+  protected def objectUrl(bucket: String, key: String): URL =
+    new URL(s"$endpoint/$bucket/${enc(key)}")
+
+  /** HEAD → object length, None when absent. */
+  override protected def headLength(bucket: String, key: String): Option[Long] = {
+    val c = conn("HEAD", objectUrl(bucket, key))
+    try {
+      if (c.getResponseCode == 200) Some(c.getContentLengthLong)
+      else None
+    } finally c.disconnect()
+  }
+
+  override protected def putBytes(
+      bucket: String, key: String, bytes: Array[Byte]): Unit = {
+    val c = conn("PUT", objectUrl(bucket, key))
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(bytes.length)
+    val out = c.getOutputStream
+    out.write(bytes)
+    out.close()
+    try {
+      if (c.getResponseCode != 200)
+        throw new IOException(s"PUT $bucket/$key: HTTP ${c.getResponseCode}")
+      drain(c)
+    } finally c.disconnect()
+  }
+
+  override protected def readRange(
+      bucket: String, key: String, pos: Long, buf: Array[Byte],
+      off: Int, n: Int): Int = {
+    val c = conn("GET", objectUrl(bucket, key))
+    c.setRequestProperty("Range", s"bytes=$pos-${pos + n - 1}")
+    try {
+      val code = c.getResponseCode
+      if (code != 206 && code != 200)
+        throw new IOException(s"GET $bucket/$key range $pos+$n: HTTP $code")
+      val in = c.getInputStream
+      // HTTP 200 on a ranged GET = the endpoint ignored the Range header
+      // and is serving the WHOLE object from offset 0; treating that body
+      // as bytes-at-pos would hand parquet silently shifted data. Skip to
+      // `pos` first (the stream is still correct, just unpruned IO).
+      if (code == 200) {
+        var toSkip = pos
+        while (toSkip > 0) {
+          val s = in.skip(toSkip)
+          if (s <= 0) {
+            if (in.read() < 0) throw new IOException(
+              s"GET $bucket/$key: HTTP 200 full-object response ended " +
+                s"before offset $pos (object shorter than expected)")
+            toSkip -= 1
+          } else toSkip -= s
+        }
+      }
+      var read = 0
+      var r = 0
+      while (read < n && { r = in.read(buf, off + read, n - read); r > 0 })
+        read += r
+      in.close()
+      read
+    } finally c.disconnect()
+  }
+
+  override protected def deleteKey(bucket: String, key: String): Unit = {
+    val c = conn("DELETE", objectUrl(bucket, key))
+    try drain(c) finally c.disconnect()
+  }
+
+  override protected def copyKey(bucket: String, from: String, to: String): Unit = {
+    val c = conn("PUT", objectUrl(bucket, to))
+    c.setRequestProperty("x-amz-copy-source", s"/$bucket/$from")
+    c.setDoOutput(true)
+    c.getOutputStream.close()
+    try {
+      if (c.getResponseCode != 200)
+        throw new IOException(s"copy $from -> $to: HTTP ${c.getResponseCode}")
+      drain(c)
+    } finally c.disconnect()
+  }
+
+  private val keyRe: Regex = "<Key>(.*?)</Key><Size>(\\d+)</Size>".r
+  // anchored on the wrapper element: the result header carries its own
+  // top-level <Prefix> that must not match
+  private val prefixRe: Regex = "<CommonPrefixes><Prefix>(.*?)</Prefix>".r
+
+  private def unxml(s: String): String =
+    s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
+
+  /** ListObjectsV2: (objects as key→size, common prefixes). */
+  override protected def listRaw(
+      bucket: String, prefix: String,
+      delimited: Boolean): (Seq[(String, Long)], Seq[String]) = {
+    val d = if (delimited) "&delimiter=%2F" else ""
+    val url = new URL(s"$endpoint/$bucket?list-type=2&prefix=" +
+      java.net.URLEncoder.encode(prefix, "UTF-8") + d)
+    val c = conn("GET", url)
+    try {
+      if (c.getResponseCode != 200)
+        throw new IOException(s"LIST $bucket?prefix=$prefix: HTTP ${c.getResponseCode}")
+      val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
+      val objs = keyRe.findAllMatchIn(body)
+        .map(m => unxml(m.group(1)) -> m.group(2).toLong).toSeq
+      val prefixes = prefixRe.findAllMatchIn(body)
+        .map(m => unxml(m.group(1))).toSeq
+      (objs, prefixes)
+    } finally c.disconnect()
+  }
+}
+
+/** Hadoop `FileSystem` for the `gs://` scheme. Google Cloud Storage's XML
+  * API is DELIBERATELY S3-interoperable (public GCS documentation, "XML
+  * API overview" — same path-style object verbs, ranged GETs, and
+  * ListObjectsV2-shaped listing), so the protocol layer IS the S3 one;
+  * only the scheme and endpoint keys differ. Mount with
+  * `fs.gs.impl = graft.wire.GcsClientFileSystem` +
+  * `fs.gs.endpoint = https://storage.googleapis.com` (or any
+  * XML-API-compatible endpoint; tests use [[S3StubServer]], which speaks
+  * exactly this subset).
+  */
+final class GcsClientFileSystem extends S3ClientFileSystem {
+  override protected def schemeName: String = "gs"
+  override protected def endpointKeys: Seq[String] =
+    Seq("fs.gs.endpoint", "fs.gcs.endpoint")
 }

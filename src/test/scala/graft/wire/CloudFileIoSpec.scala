@@ -1,0 +1,122 @@
+package graft.wire
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.CompactionRunner
+import graft.sources.CompactionRunner.{DataFileTask, PosDeleteTask}
+
+/** The Azure Blob and GCS halves of the FileIO seam, end-to-end against
+  * real PROTOCOL implementations (the reference's roadmap carries both;
+  * the container ships no connector jars, so the protocols are spoken
+  * directly — [[AzureBlobFileSystem]] + [[AzureBlobStubServer]] for Blob
+  * REST, and [[GcsClientFileSystem]] for GCS's S3-interoperable XML API,
+  * which [[S3StubServer]] already serves byte-for-byte).
+  */
+class CloudFileIoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def put(
+      url: String, bytes: Array[Byte],
+      headers: Seq[(String, String)], expect: Int): Unit = {
+    val c = new java.net.URI(url).toURL
+      .openConnection().asInstanceOf[java.net.HttpURLConnection]
+    c.setRequestMethod("PUT")
+    headers.foreach { case (k, v) => c.setRequestProperty(k, v) }
+    c.setDoOutput(true)
+    c.getOutputStream.write(bytes)
+    c.getOutputStream.close()
+    assert(c.getResponseCode == expect, s"PUT $url: ${c.getResponseCode}")
+    c.getInputStream.close()
+  }
+
+  private def stageParquet(rows: Seq[(Long, String)]): Array[Byte] = {
+    val local = Files.createTempDirectory("graft-cloud-stage").toString
+    rows.toDF("id", "v").coalesce(1).write.parquet(s"$local/p")
+    Files.readAllBytes(java.nio.file.Paths.get(
+      CompactionRunner.listParquet(s"$local/p").head))
+  }
+
+  test("azure blob: parquet read + committer write through the wasb protocol") {
+    val az = new AzureBlobStubServer()
+    try {
+      WireBridge.applyFileIo(spark, Map(
+        "fs.wasb.impl" -> "graft.wire.AzureBlobFileSystem",
+        "fs.azure.endpoint" -> az.endpoint,
+        // fresh stub per test; the FileSystem cache keys scheme+authority
+        "fs.wasb.impl.disable.cache" -> "true"))
+      put(s"${az.endpoint}/warehouse/data/d1.parquet",
+        stageParquet((1L to 100L).map(k => (k, s"v$k"))),
+        Seq("x-ms-blob-type" -> "BlockBlob", "x-ms-version" -> "2021-08-06"),
+        expect = 201)
+      // ranged-GET read path (footer + column chunks; container@account URI)
+      val back = spark.read.parquet("wasb://warehouse@acct/data/d1.parquet")
+      assert(back.count() == 100)
+      assert(back.filter($"id" <= 10).agg(
+        org.apache.spark.sql.functions.sum($"id")).head().getLong(0) == 55L)
+      // committer write path (mkdirs + _temporary renames + _SUCCESS)
+      back.filter($"id" <= 50).write.parquet("wasb://warehouse@acct/out1")
+      assert(spark.read.parquet("wasb://warehouse@acct/out1").count() == 50)
+      assert(az.keys.exists(_.startsWith("warehouse/out1/part-")), az.keys)
+      assert(az.keys.contains("warehouse/out1/_SUCCESS"), az.keys)
+      assert(!az.keys.exists(_.contains("_temporary")),
+        s"committer must clean its temporary tree: ${az.keys}")
+    } finally az.close()
+  }
+
+  test("azure blob: MoR compaction with wasb:// tasks and output, zero local paths") {
+    val az = new AzureBlobStubServer()
+    try {
+      WireBridge.applyFileIo(spark, Map(
+        "fs.wasb.impl" -> "graft.wire.AzureBlobFileSystem",
+        "fs.azure.endpoint" -> az.endpoint,
+        "fs.wasb.impl.disable.cache" -> "true"))
+      val hdrs = Seq("x-ms-blob-type" -> "BlockBlob")
+      put(s"${az.endpoint}/warehouse/data/g1.parquet",
+        stageParquet((1L to 60L).map(k => (k, s"a$k"))), hdrs, 201)
+      put(s"${az.endpoint}/warehouse/data/g2.parquet",
+        stageParquet((61L to 100L).map(k => (k, s"b$k"))), hdrs, 201)
+      val local = Files.createTempDirectory("graft-cloud-pd").toString
+      Seq(("wasb://warehouse@acct/data/g1.parquet", 0L),
+        ("wasb://warehouse@acct/data/g1.parquet", 1L))
+        .toDF("file_path", "pos").coalesce(1).write.parquet(s"$local/pd")
+      put(s"${az.endpoint}/warehouse/deletes/pd1.parquet",
+        Files.readAllBytes(java.nio.file.Paths.get(
+          CompactionRunner.listParquet(s"$local/pd").head)), hdrs, 201)
+
+      val manifest = CompactionRunner.compact(spark,
+        Seq(DataFileTask("wasb://warehouse@acct/data/g1.parquet", 1L),
+          DataFileTask("wasb://warehouse@acct/data/g2.parquet", 2L)),
+        Seq(PosDeleteTask("wasb://warehouse@acct/deletes/pd1.parquet")),
+        Nil,
+        "wasb://warehouse@acct/out2",
+        CompactionRunner.CompactionConfig(targetPartitions = 1))
+      val added = manifest.addedFiles.map(_.path)
+      assert(added.nonEmpty &&
+        added.forall(_.startsWith("wasb://warehouse@acct/out2")), added)
+      val out = spark.read.parquet(added: _*)
+      assert(out.count() == 98, "100 rows minus the 2 position-deleted")
+      assert(out.filter($"id".isin(1L, 2L)).count() == 0,
+        "g1 positions 0 and 1 (ids 1, 2) must be suppressed")
+    } finally az.close()
+  }
+
+  test("gcs: the XML-interop API serves gs:// reads and writes (S3 dialect)") {
+    val store = new S3StubServer() // GCS's XML API is S3-interoperable
+    try {
+      WireBridge.applyFileIo(spark, Map(
+        "fs.gs.impl" -> "graft.wire.GcsClientFileSystem",
+        "fs.gs.endpoint" -> store.endpoint,
+        "fs.gs.impl.disable.cache" -> "true"))
+      put(s"${store.endpoint}/warehouse/data/d1.parquet",
+        stageParquet((1L to 100L).map(k => (k, s"v$k"))), Nil, 200)
+      val back = spark.read.parquet("gs://warehouse/data/d1.parquet")
+      assert(back.count() == 100)
+      back.filter($"id" > 90).write.parquet("gs://warehouse/out1")
+      assert(spark.read.parquet("gs://warehouse/out1").count() == 10)
+      assert(store.keys.contains("warehouse/out1/_SUCCESS"), store.keys)
+      assert(!store.keys.exists(_.contains("_temporary")), store.keys)
+    } finally store.close()
+  }
+}
