@@ -305,7 +305,11 @@ object WireBridge {
     "s3.secret-access-key" -> "fs.s3a.secret.key",
     "s3.session-token" -> "fs.s3a.session.token",
     "s3.region" -> "fs.s3a.endpoint.region",
-    "s3.path-style-access" -> "fs.s3a.path.style.access")
+    "s3.path-style-access" -> "fs.s3a.path.style.access",
+    // the GCS / Azure FileIO property names (public Iceberg gcp/azure
+    // modules) mapped onto the keys this library's own clients resolve
+    "gcs.service.host" -> "fs.gs.endpoint",
+    "adls.endpoint" -> "fs.azure.endpoint")
 
   /** Apply a request's FileIO props to the session's Hadoop configuration.
     * Mutates session state by design — file systems are resolved per
