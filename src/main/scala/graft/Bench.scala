@@ -122,12 +122,12 @@ object Bench {
     // q129 0.46 -> 0.29
     "q154" -> 2.9, "q155" -> 0.61, "q156" -> 1.2,
     "q157" -> 0.94, "q158" -> 0.51, "q159" -> 1.4,
-    // round-14/15 gates (min of the r14 driver run and an r15 idle-box
-    // run that carried mild uniform drift): q160 eq-delete mask, q161
-    // session WAP, q162 branch DML, q163 filtered mask, q164 static-IN
-    // pruning, q165 v3 manifest export
-    "q160" -> 1.1, "q161" -> 0.36, "q162" -> 1.1, "q163" -> 1.0,
-    "q164" -> 0.34, "q165" -> 1.7)
+    // round-14/15 gates (per-key min of the r14 driver run and two r15
+    // idle-box runs; the clean closing run measured 125 s / 158 queries):
+    // q160 eq-delete mask, q161 session WAP, q162 branch DML, q163
+    // filtered mask, q164 static-IN pruning, q165 v3 manifest export
+    "q160" -> 1.0, "q161" -> 0.33, "q162" -> 1.1, "q163" -> 1.0,
+    "q164" -> 0.32, "q165" -> 1.3)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded
