@@ -3137,11 +3137,12 @@ final class GraftCatalog(root: String,
     require(!headExists(fork), s"fork $fork already exists")
     val baseId = currentSnapshotId(table)
     val entries = loadEntries(table)
+    val init = GraftCatalog.ForkInitialSnapshotId
     withTableLock(fork) {
-      writeSnapshot(fork, 1L, entries)
-      schemaAt(table, baseId).foreach(s => writeSchema(fork, 1L, s))
+      writeSnapshot(fork, init, entries)
+      schemaAt(table, baseId).foreach(s => writeSchema(fork, init, s))
       writeTableUuid(fork)
-      createHead(fork, 1L)
+      createHead(fork, init)
       writeForkBase(fork, table, baseId)
     }
     // separate acquisition (the table lock is non-reentrant); still under
@@ -4582,8 +4583,21 @@ object GraftCatalog {
 
   private[sources] def headStoreFor(root: String): Option[HeadStore] = {
     val r = normRoot(root)
-    if (!storeBindings.containsKey(r)) None
-    else Some(storeMemo.computeIfAbsent(r,
-      _ => storeBindings.get(r).factory()))
+    // single null-safe computeIfAbsent: an unbind racing between a
+    // containsKey probe and the compute would otherwise NPE out of
+    // catalog construction instead of falling back to the HEAD file
+    // (a null mapping result records nothing in the memo)
+    Option(storeMemo.computeIfAbsent(r, _ => {
+      val b = storeBindings.get(r)
+      if (b == null) null else b.factory()
+    }))
   }
+
+  /** A fresh fork's creation head — the one snapshot id [[forkTable]]
+    * seeds ([[GraftCatalog.forkTable]] `createHead`) and the deferred
+    * `spark.wap.branch` row-level commit asserts as its base. ONE
+    * definition: the two must never drift apart, or every deferred wap
+    * commit would assert (or retire) the wrong snapshot.
+    */
+  val ForkInitialSnapshotId: Long = 1L
 }

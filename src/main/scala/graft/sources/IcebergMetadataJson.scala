@@ -214,18 +214,24 @@ object IcebergMetadataJson {
       schemas: Seq[(Long, StructType)]): (Map[Long, String], Boolean) = {
     import graft.sources.IcebergManifest.{ManifestEntry, ManifestFile}
     val conf = new org.apache.hadoop.conf.Configuration()
-    // blob metadata per Puffin sidecar, memoized (snapshots share files);
-    // None = not Puffin (legacy GDV1) or unreadable — exports as a plain
-    // content-1 entry without reference fields
+    // blob metadata per Puffin sidecar, memoized (snapshots share files).
+    // None = provably NOT Puffin (the legacy GDV1 encoding — exports as a
+    // plain content-1 entry without reference fields). IO/parse errors
+    // PROPAGATE and fail the export loudly: silently downgrading an
+    // unreadable Puffin sidecar would export metadata a stock reader
+    // decodes to the WRONG row set (and could even claim format-version 2)
     val blobCache = scala.collection.mutable.HashMap
       .empty[String, Option[Seq[Puffin.BlobMeta]]]
     def dvBlobs(path: String): Option[Seq[Puffin.BlobMeta]] =
-      blobCache.getOrElseUpdate(path,
-        try {
-          if (!Puffin.isPuffin(path, conf)) None
-          else Some(Puffin.readFooter(path, conf)._1
-            .filter(_.blobType == Puffin.DvBlobType))
-        } catch { case _: Exception => None })
+      blobCache.getOrElseUpdate(path, {
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val in = hp.getFileSystem(conf).open(hp)
+        val head = new Array[Byte](4)
+        try in.readFully(0, head) finally in.close()
+        if (!java.util.Arrays.equals(head, Puffin.Magic)) None
+        else Some(Puffin.readFooter(path, conf)._1
+          .filter(_.blobType == Puffin.DvBlobType))
+      })
     var anyDv = false
     val listPaths = ids.map { id =>
       val entries = catalog.loadEntriesAt(table, id)
@@ -248,8 +254,8 @@ object IcebergMetadataJson {
           Seq(ManifestEntry(IcebergManifest.StatusAdded, stats(e), e.format,
             content = IcebergManifest.ContentEqualityDeletes,
             sequenceNumber = e.seqNum, equalityIds = e.eqIds))
-        else dvBlobs(e.path) match {
-          case Some(blobs) if e.format == "dv" =>
+        else (if (e.format == "dv") dvBlobs(e.path) else None) match {
+          case Some(blobs) =>
             // one manifest entry per DV blob — each names its referenced
             // data file and locates the blob inside the sidecar, the v3
             // deletion-vector manifest shape

@@ -338,10 +338,11 @@ final class GraftV2Table(
               s"wap.branch commit conflict: $fork was forked from $base " +
                 s"but this statement scanned ($tableName,$pinned) — " +
                 "re-run the statement (it will plan against the branch)")
-          // the fork's creation head: a commit racing onto the fresh
-          // fork advances past it and the base-asserted replacement
-          // commit conflicts instead of clobbering it
-          1L
+          // the fork's creation head (the shared constant forkTable
+          // seeds): a commit racing onto the fresh fork advances past it
+          // and the base-asserted replacement commit conflicts instead
+          // of clobbering it
+          GraftCatalog.ForkInitialSnapshotId
         }))
       cat.tableProperties(opTable).getOrElse(key, "copy-on-write") match {
         case "copy-on-write" =>

@@ -107,7 +107,16 @@ final class AzureBlobFileSystem extends ObjectStoreFileSystem {
   override protected def deleteKey(bucket: String, key: String): Unit = {
     val c = conn("DELETE", blobUrl(bucket, key))
     c.setRequestProperty("x-ms-version", Version)
-    try drain(c) finally c.disconnect() // 202 / 404 — both fine (idempotent)
+    try {
+      // 202 = deleted, 404 = already gone (idempotent); anything else
+      // (403, 500, 503 throttling) must FAIL — rename() is LIST + COPY +
+      // DELETE, and a swallowed delete failure leaves BOTH objects behind,
+      // double-counting the committer's output on the next list
+      val code = c.getResponseCode
+      if (code != 202 && code != 404 && code != 200 && code != 204)
+        throw new IOException(s"DELETE $bucket/$key: HTTP $code")
+      drain(c)
+    } finally c.disconnect()
   }
 
   override protected def copyKey(bucket: String, from: String, to: String): Unit = {
@@ -142,9 +151,11 @@ final class AzureBlobFileSystem extends ObjectStoreFileSystem {
       bucket: String, prefix: String,
       delimited: Boolean): (Seq[(String, Long)], Seq[String]) = {
     val d = if (delimited) "&delimiter=%2F" else ""
+    // %20 for spaces, never '+': query-string '+' is ambiguous and the
+    // object-key encoder (enc) already made the same choice for paths
     val url = new URL(s"$endpoint/${container(bucket)}" +
       "?restype=container&comp=list&prefix=" +
-      java.net.URLEncoder.encode(prefix, "UTF-8") + d)
+      java.net.URLEncoder.encode(prefix, "UTF-8").replace("+", "%20") + d)
     val c = conn("GET", url)
     c.setRequestProperty("x-ms-version", Version)
     try {

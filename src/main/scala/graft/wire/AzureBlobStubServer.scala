@@ -132,10 +132,11 @@ final class AzureBlobStubServer(port: Int = 0) {
         case (HttpMethod.PUT, false) =>
           Option(req.headers().get("x-ms-copy-source")) match {
             case Some(srcUrl) =>
-              // the copy source is an absolute URL; resolve its
-              // /container/blob path against this store
-              val srcPath = java.net.URLDecoder.decode(
-                java.net.URI.create(srcUrl).getPath.stripPrefix("/"), "UTF-8")
+              // the copy source is an absolute URL; URI.getPath already
+              // percent-DECODES it exactly once — a second decode would
+              // corrupt keys containing '+' or literal '%'
+              val srcPath =
+                java.net.URI.create(srcUrl).getPath.stripPrefix("/")
               Option(blobs.get(srcPath)) match {
                 case None => notFound()
                 case Some(bytes) =>

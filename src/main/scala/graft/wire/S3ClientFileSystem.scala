@@ -339,12 +339,22 @@ class S3ClientFileSystem extends ObjectStoreFileSystem {
 
   override protected def deleteKey(bucket: String, key: String): Unit = {
     val c = conn("DELETE", objectUrl(bucket, key))
-    try drain(c) finally c.disconnect()
+    try {
+      // 204/200 = deleted, 404 = already gone (idempotent); a swallowed
+      // failure (403, 500, 503) would leave the source of a rename behind
+      // and double-count committer output on the next list
+      val code = c.getResponseCode
+      if (code != 204 && code != 200 && code != 202 && code != 404)
+        throw new IOException(s"DELETE $bucket/$key: HTTP $code")
+      drain(c)
+    } finally c.disconnect()
   }
 
   override protected def copyKey(bucket: String, from: String, to: String): Unit = {
     val c = conn("PUT", objectUrl(bucket, to))
-    c.setRequestProperty("x-amz-copy-source", s"/$bucket/$from")
+    // the copy source is URL-encoded per the S3 API (the server decodes
+    // it once) — a raw '+'/'%' in the key would otherwise decode wrong
+    c.setRequestProperty("x-amz-copy-source", s"/$bucket/${enc(from)}")
     c.setDoOutput(true)
     c.getOutputStream.close()
     try {
@@ -367,8 +377,10 @@ class S3ClientFileSystem extends ObjectStoreFileSystem {
       bucket: String, prefix: String,
       delimited: Boolean): (Seq[(String, Long)], Seq[String]) = {
     val d = if (delimited) "&delimiter=%2F" else ""
+    // %20 for spaces, never '+': query-string '+' is ambiguous and the
+    // object-key encoder (enc) already made the same choice for paths
     val url = new URL(s"$endpoint/$bucket?list-type=2&prefix=" +
-      java.net.URLEncoder.encode(prefix, "UTF-8") + d)
+      java.net.URLEncoder.encode(prefix, "UTF-8").replace("+", "%20") + d)
     val c = conn("GET", url)
     try {
       if (c.getResponseCode != 200)

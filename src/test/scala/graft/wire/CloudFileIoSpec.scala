@@ -102,6 +102,44 @@ class CloudFileIoSpec extends SparkSpec {
     } finally az.close()
   }
 
+  test("keys with spaces and '+' survive create/list/rename/delete on both dialects") {
+    // regression: list prefixes must encode spaces as %20 (the stubs'
+    // query decoders preserve '+'), and copy sources must be URL-encoded
+    // exactly once — a miss on either silently "renames" nothing
+    val az = new AzureBlobStubServer()
+    val s3 = new S3StubServer()
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.wasb.impl", "graft.wire.AzureBlobFileSystem")
+      conf.set("fs.azure.endpoint", az.endpoint)
+      conf.set("fs.wasb.impl.disable.cache", "true")
+      conf.set("fs.s3.impl", "graft.wire.S3ClientFileSystem")
+      conf.set("fs.s3.endpoint", s3.endpoint)
+      conf.set("fs.s3.impl.disable.cache", "true")
+      import org.apache.hadoop.fs.Path
+      for (base <- Seq("wasb://c@acct", "s3://bucket")) {
+        val dir = new Path(s"$base/dir with space")
+        val fs = dir.getFileSystem(conf)
+        val f = new Path(dir, "a+b c.bin")
+        val out = fs.create(f, true)
+        out.write(Array[Byte](1, 2, 3))
+        out.close()
+        assert(fs.getFileStatus(f).getLen == 3, s"$base HEAD")
+        assert(fs.listStatus(dir).map(_.getPath.getName).toSeq ==
+          Seq("a+b c.bin"), s"$base LIST under a spaced prefix")
+        val dst = new Path(s"$base/renamed dir")
+        assert(fs.rename(dir, dst), s"$base rename")
+        val in = fs.open(new Path(dst, "a+b c.bin"))
+        val got = in.readAllBytes()
+        in.close()
+        assert(got.toSeq == Seq[Byte](1, 2, 3), s"$base content after rename")
+        assert(!fs.exists(f), s"$base rename must remove the source")
+        assert(fs.delete(dst, true), s"$base recursive delete")
+        assert(!fs.exists(new Path(dst, "a+b c.bin")))
+      }
+    } finally { az.close(); s3.close() }
+  }
+
   test("gcs: the XML-interop API serves gs:// reads and writes (S3 dialect)") {
     val store = new S3StubServer() // GCS's XML API is S3-interoperable
     try {
