@@ -1122,7 +1122,14 @@ private[dsv2] object GraftInnerFrame {
       required: StructType,
       filters: Array[Filter],
       fileFilter: Option[Set[String]] = None,
-      keepPaths: Option[Set[String]] = None): Seq[DataFrame] = {
+      keepPaths: Option[Set[String]] = None,
+      // keyed (one-plan regroup) callers prune INSIDE the regroup instead
+      // (tuple groups must survive, possibly empty): letting the frame's
+      // own stats pruning empty the file list would collapse the plan
+      // into a local relation the regroup cannot slice — an absent-key
+      // point lookup on a keyed table then hard-failed instead of
+      // serving zero rows
+      statsPrune: Boolean = true): Seq[DataFrame] = {
     val cat = new GraftCatalog(root)
     val needsRowId = fileFilter.isDefined ||
       required.fieldNames.exists(n => n == "_file" || n == "_pos")
@@ -1211,7 +1218,7 @@ private[dsv2] object GraftInnerFrame {
     // too (the PRUNED-SCAN shortcut above is head-only — spec and bloom
     // metadata are head state)
     val pinnedKeep: Option[Set[String]] =
-      if (needsRowId || asOf.isEmpty) None
+      if (needsRowId || asOf.isEmpty || !statsPrune) None
       else asOf.flatMap(sid =>
         PinnedPrune.keep(filters, cat.loadEntriesAt(table, sid)))
     val bases: Seq[DataFrame] =
@@ -1373,6 +1380,17 @@ object GraftKeyedServing {
     val pathTuple: Map[String, Int] = kl.tuples.zipWithIndex.iterator.flatMap {
       case ((_, files), i) => files.iterator.map(_ -> i)
     }.toMap
+    // STATIC stats pruning applies INSIDE the regroup, exactly like DPP
+    // runtime pruning (statsPrune = false below): pruned files are
+    // skipped from their tuple's bucket but the tuple's group SURVIVES —
+    // possibly empty — so the reported key count never desyncs, and a
+    // point lookup for an ABSENT key (every file pruned) serves all
+    // tuples empty instead of collapsing the planned frame into a local
+    // relation the regroup cannot slice (which hard-failed the read).
+    val statKeep: Option[Set[String]] = PinnedPrune.keep(filters,
+      new graft.sources.GraftCatalog(root).loadEntriesAt(table, kl.snapshotId))
+    val keep: Option[Set[String]] =
+      Seq(runtimeKeep, statKeep).flatten.reduceOption(_ intersect _)
     // the frames plan AT the layout's snapshot (keepPaths alone would
     // intersect the layout's files with a FRESH head load — a commit
     // racing the planning could then silently drop rewritten files);
@@ -1380,7 +1398,7 @@ object GraftKeyedServing {
     // would desync the key count)
     val fs = GraftInnerFrame.frames(spark, root, table,
       Some(kl.snapshotId), required,
-      filters, keepPaths = Some(pathTuple.keySet))
+      filters, keepPaths = Some(pathTuple.keySet), statsPrune = false)
     if (fs.isEmpty) return None
 
     /** The frame's planned FilePartitions regrouped tuple-pure. A tuple
@@ -1396,11 +1414,11 @@ object GraftKeyedServing {
       parts.iterator.flatMap(_.files.iterator).foreach { pf =>
         val canon = graft.sources.CompactionRunner.canonPath(pf.filePath.toString)
         pathTuple.get(canon) match {
-          // runtime (DPP) file pruning applies INSIDE the regroup: a
-          // pruned file is skipped but its tuple's group survives (empty
-          // groups serve an empty FilePartition), so the reported key
-          // count never desyncs from the planned partitions
-          case Some(i) => if (runtimeKeep.forall(_.contains(canon))) buckets(i) += pf
+          // runtime (DPP) AND static stats file pruning apply INSIDE the
+          // regroup: a pruned file is skipped but its tuple's group
+          // survives (empty groups serve an empty FilePartition), so the
+          // reported key count never desyncs from the planned partitions
+          case Some(i) => if (keep.forall(_.contains(canon))) buckets(i) += pf
           case None => return None
         }
       }
