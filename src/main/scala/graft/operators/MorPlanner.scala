@@ -48,16 +48,32 @@ object MorPlanner {
   def applyPositionDeletes(data: DataFrame, posDeletes: DataFrame): DataFrame =
     data.join(posDeletes, Seq(FilePathCol, PosCol), "left_anti")
 
+  /** `col()` PARSES its argument (dots select struct fields), so every
+    * data-column name interpolated into a reference must be backtick-quoted
+    * — a column literally named `a.b` (legal through the DataFrame API)
+    * would otherwise resolve as field `b` of column `a`, failing the read
+    * or silently joining the wrong column. Names never contain backticks
+    * (the writer path rejects them); the doubling keeps even those exact.
+    */
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** Drop data rows equal on the group's equality columns AND strictly older
     * than the delete (`seq_num <` guard). Reference: `datafusion_processor.rs:281-304`.
     */
   def applyEqualityDeletes(data: DataFrame, group: EqualityDeleteGroup): DataFrame = {
+    // a delete group with NO equality columns is corrupt metadata (Iceberg
+    // requires equality_ids non-empty); matching "every row" would be
+    // silent data loss and reduce() would throw an unnamed error mid-plan
+    require(group.equalityCols.nonEmpty,
+      "equality-delete group with no equality columns — corrupt delete " +
+        "metadata (Iceberg requires non-empty equality_ids)")
     // Alias both sides so the join resolves even when the delete frame shares
     // lineage with the data frame (e.g. deletes derived from the same scan).
     val d = data.as("graft_mor_d")
     val del = group.df.as("graft_mor_del")
     val equi: Column = group.equalityCols
-      .map(c => col(s"graft_mor_d.$c") === col(s"graft_mor_del.$c"))
+      .map(c => col(s"graft_mor_d.${quoted(c)}") === col(s"graft_mor_del.${quoted(c)}"))
       .reduce(_ && _)
     val cond = equi &&
       (col(s"graft_mor_d.$SeqNumCol") < col(s"graft_mor_del.$SeqNumCol"))
@@ -75,6 +91,6 @@ object MorPlanner {
     val afterPos = posDeletes.fold(data)(pd => applyPositionDeletes(data, pd))
     val afterEq = eqDeleteGroups.foldLeft(afterPos)(applyEqualityDeletes)
     val userCols = afterEq.columns.filterNot(HiddenCols.contains)
-    afterEq.select(userCols.map(col).toSeq: _*)
+    afterEq.select(userCols.map(c => col(quoted(c))).toSeq: _*)
   }
 }

@@ -770,21 +770,15 @@ object CompactionRunner {
         .toDF("graft_eq_path", MorPlanner.SeqNumCol)
       val raw = spark.read.parquet(ts.map(_.path): _*)
       val head = ts.head
-      // (delete-file column, data-side join name) per equality column
-      val resolved: Seq[(String, String)] =
-        if (head.equalityIds.nonEmpty)
-          head.equalityIds.zipWithIndex.map { case (id, i) =>
-            val fallback = head.equalityCols.lift(i)
-            val delName = FieldIds.nameById(raw.schema, id)
-              .orElse(fallback)
-              .getOrElse(throw new IllegalArgumentException(
-                s"equality id $id not found in ${head.path} and no name fallback"))
-            val dataName = dataSchema.flatMap(FieldIds.nameById(_, id))
-              .orElse(fallback)
-              .getOrElse(delName)
-            (delName, dataName)
-          }
-        else head.equalityCols.map(c => (c, c))
+      // (delete-file column, data-side join name) per equality column —
+      // the SAME resolution the vectorized mask applies
+      // ([[FieldIds.resolveEqColumns]], one shared implementation so the
+      // two serving paths can never drift apart)
+      val resolved: Seq[(String, String)] = FieldIds.resolveEqColumns(
+        raw.schema, head.equalityCols, head.equalityIds, dataSchema)
+        .getOrElse(throw new IllegalArgumentException(
+          s"an equality id of ${head.path} resolves to no column " +
+            s"(ids ${head.equalityIds.mkString(",")}) and no name fallback"))
       val df = raw
         .select(resolved.map { case (d, n) => col(d).as(n) } :+
           canonCol(col("_metadata.file_path")).as("graft_eq_path"): _*)

@@ -147,4 +147,31 @@ object FieldIds {
         case None => col(f.name)
       }
     }.toSeq: _*)
+
+  /** The equality-delete key resolution BOTH serving paths share (the
+    * row-path anti join, `CompactionRunner.readEqualityDeletes`, and the
+    * vectorized mask, `GraftColumnarMask.collectEqSets` — ONE
+    * implementation so they can never drift and delete different row
+    * sets): each recorded field id binds to the DELETE file's column via
+    * its footer id metadata and re-aliases to the DATA schema's name for
+    * that id; per-id name fallback covers id-less footers. Returns
+    * `(delete-file column, data-side name)` pairs; None when an id
+    * resolves nowhere (the caller refuses or fails loudly).
+    */
+  def resolveEqColumns(
+      delSchema: StructType,
+      eqCols: Seq[String],
+      eqIds: Seq[Int],
+      dataSchema: Option[StructType]): Option[Seq[(String, String)]] =
+    if (eqIds.nonEmpty) {
+      val rs = eqIds.zipWithIndex.map { case (id, i) =>
+        val fallback = eqCols.lift(i)
+        for {
+          delName <- nameById(delSchema, id).orElse(fallback)
+          dataName <- dataSchema.flatMap(nameById(_, id))
+            .orElse(fallback).orElse(Some(delName))
+        } yield (delName, dataName)
+      }
+      if (rs.forall(_.isDefined)) Some(rs.flatten) else None
+    } else Some(eqCols.map(c => (c, c)))
 }

@@ -119,8 +119,17 @@ object Puffin {
     }
     emit(Magic)
 
-    /** Emit one `deletion-vector-v1` blob; `sorted` must be deduped. */
+    private val seenFiles = scala.collection.mutable.HashSet.empty[String]
+
+    /** Emit one `deletion-vector-v1` blob; `sorted` must be deduped.
+      * One blob PER referenced data file: a second blob for the same file
+      * would be silently dropped by [[readDv]]'s map collapse — deleted
+      * positions resurrected — so duplicates fail loudly at write.
+      */
     def add(file: String, sorted: Array[Long]): Unit = {
+      require(seenFiles.add(file),
+        s"duplicate deletion-vector blob for data file $file — merge the " +
+          "positions before writing (one blob per referenced file)")
       total += sorted.length
       val vector = serializeBitmap64(sorted)
       val body = new ByteArrayOutputStream(vector.length + 12)
@@ -173,7 +182,18 @@ object Puffin {
     val fs = p.getFileSystem(conf)
     val len = fs.getFileStatus(p).getLen
     val in = fs.open(p)
-    try {
+    try readFooterFrom(in, len, path) finally in.close()
+  }
+
+  /** [[readFooter]] against an already-open stream — [[readDv]] reads the
+    * footer AND every blob through ONE open (on an object store each open
+    * is a round trip; the driver's planning path decodes every sidecar).
+    */
+  private def readFooterFrom(
+      in: org.apache.hadoop.fs.FSDataInputStream,
+      len: Long,
+      path: String): (Seq[BlobMeta], Map[String, String]) = {
+    {
       require(len >= 4 + 4 + 12, s"$path too short for a Puffin file")
       val head = new Array[Byte](4)
       in.readFully(0, head)
@@ -220,15 +240,28 @@ object Puffin {
         pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty[String, String])
       (blobs, props)
-    } finally in.close()
+    }
   }
 
-  /** Decode every DV blob: referenced data file → sorted positions. */
+  /** Decode every DV blob: referenced data file → sorted positions.
+    * Footer and blobs read through ONE file open (each open is a round
+    * trip on an object store, and the driver's planning path decodes
+    * every sidecar). Externally-written files carrying TWO blobs for one
+    * data file are rejected (the map collapse would silently drop all
+    * but the last blob's positions, resurrecting deleted rows).
+    */
   def readDv(path: String, conf: Configuration): Map[String, Array[Long]] = {
-    val (blobs, _) = readFooter(path, conf)
     val p = new Path(path)
-    val in = p.getFileSystem(conf).open(p)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val in = fs.open(p)
     try {
+      val (blobs, _) = readFooterFrom(in, len, path)
+      val dvFiles = blobs.filter(_.blobType == DvBlobType)
+        .flatMap(_.properties.get("referenced-data-file"))
+      require(dvFiles.distinct.size == dvFiles.size,
+        s"$path carries multiple deletion-vector blobs for one data file — " +
+          "refusing a read that would silently drop positions")
       blobs.filter(_.blobType == DvBlobType).map { b =>
         val file = b.properties.getOrElse("referenced-data-file",
           throw new IllegalArgumentException(

@@ -278,12 +278,33 @@ object GraftColumnarMask {
     // probe types come from the SCANNED fields so the executor-side
     // dispatch matches the vectors it reads
     val typeByName = scanFields.map(f => f.name -> f.dataType).toMap
-    val eqProbe: Seq[EqSet] = eqSets.get.map { s =>
-      val typed = s.copy(types = s.cols.map(typeByName))
+    val typedSets: Seq[EqSet] =
+      eqSets.get.map(s => s.copy(types = s.cols.map(typeByName)))
+    if (!typedSets.forall(_.types.forall(probeable))) return None
+    // the DRIVER-collected key values must have normalized to exactly the
+    // class the executor-side probe produces for the SCANNED column type.
+    // A delete file whose key column diverges in type FAMILY (double keys
+    // against a long data column, say) must refuse to the row path —
+    // whose anti join inserts a Catalyst cast and still applies the
+    // delete — instead of crashing planning (the long fast path's unbox)
+    // or silently matching nothing (boxed Double vs boxed Long).
+    def classOk(v: Any, dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        v.isInstanceOf[java.lang.Long]
+      case FloatType | DoubleType => v.isInstanceOf[java.lang.Double]
+      case BooleanType => v.isInstanceOf[java.lang.Boolean]
+      case StringType => v.isInstanceOf[String]
+      case _ => false
+    }
+    if (!typedSets.forall(s => s.keys.keysIterator.forall(k =>
+        k.iterator.zip(s.types.iterator).forall {
+          case (v, t) => classOk(v, t)
+        }))) return None
+    val eqProbe: Seq[EqSet] = typedSets.map { typed =>
       // single integral key (the CDC PK shape): sorted parallel arrays
-      // for the allocation-free per-row probe. normDriver already boxed
-      // every integral/date key value as java.lang.Long, so the map's
-      // keys unbox directly.
+      // for the allocation-free per-row probe. normDriver boxed every
+      // integral/date key value as java.lang.Long (validated above), so
+      // the map's keys unbox directly.
       val integral = typed.types match {
         case Seq(ByteType | ShortType | IntegerType | LongType | DateType) => true
         case _ => false
@@ -299,7 +320,6 @@ object GraftColumnarMask {
           keys = Map.empty)
       }
     }
-    if (!eqProbe.forall(_.types.forall(probeable))) return None
 
     // one bare pinned-schema scan per footer-schema group; every group
     // must carry the scanned columns verbatim — and under the canonical
@@ -380,6 +400,10 @@ object GraftColumnarMask {
       data.map(e => CompactionRunner.canonPath(e.path) -> e.seqNum).toMap
     val eqMaxSeq: Long = eqProbe.map(_.maxSeq).foldLeft(Long.MinValue)(math.max)
     val bc = spark.sparkContext.broadcast((byFile, eqProbe, seqByFile))
+    // both diagnostic counters increment HERE, at the moment serving is
+    // decided — a caller-side increment would silently desync the gates'
+    // counter requires if a second call site ever appeared
+    maskedServed.incrementAndGet()
     if (eqEntries.nonEmpty) maskedEqServed.incrementAndGet()
 
     Some(colRdds.flatten.zip(located.flatten).map { case ((rdd, _), loc) =>
@@ -442,24 +466,20 @@ object GraftColumnarMask {
     val bySig = eqEntries.groupBy(e => (e.eqCols, e.eqIds)).toSeq
       .sortBy(_._2.head.path)
     val sets = bySig.map { case ((eqCols, eqIds), es) =>
+      // a key-less eq-delete entry is corrupt metadata: an EMPTY key tuple
+      // would match every older row here while the row path fails loudly
+      // — refuse so the row path's named error surfaces instead of the
+      // two serving paths diverging on the same snapshot
+      if (eqCols.isEmpty && eqIds.isEmpty) return None
       val paths = es.map(_.path).distinct
       val seqByPath = es.map(e =>
         CompactionRunner.canonPath(e.path) -> e.seqNum).toMap
       val raw = spark.read.parquet(paths: _*)
-      // (delete-file column, data-side name) — the readEqualityDeletes
-      // resolution: ids bind to footer columns, names are the fallback
+      // (delete-file column, data-side name) — the SAME resolution the
+      // row path applies ([[FieldIds.resolveEqColumns]], one shared
+      // implementation): ids bind to footer columns, names fall back
       val resolved: Option[Seq[(String, String)]] =
-        if (eqIds.nonEmpty) {
-          val rs = eqIds.zipWithIndex.map { case (id, i) =>
-            val fallback = eqCols.lift(i)
-            for {
-              delName <- FieldIds.nameById(raw.schema, id).orElse(fallback)
-              dataName <- canonical.flatMap(FieldIds.nameById(_, id))
-                .orElse(fallback).orElse(Some(delName))
-            } yield (delName, dataName)
-          }
-          if (rs.forall(_.isDefined)) Some(rs.flatten) else None
-        } else Some(eqCols.map(c => (c, c)))
+        FieldIds.resolveEqColumns(raw.schema, eqCols, eqIds, canonical)
       resolved.flatMap { rs =>
         val delCols = rs.map(_._1)
         if (!delCols.forall(raw.schema.fieldNames.contains)) None
@@ -642,28 +662,30 @@ object GraftColumnarMask {
     while (c < dataIdx.length) {
       val src = batch.column(dataIdx(c))
       val dst = out(c)
-      val dt = schema.fields(c).dataType
+      // type dispatch hoisted PER COLUMN (one branch each), not per kept
+      // cell — the masked-copy hot loop stays monomorphic
+      val copyCell: (Int, Int) => Unit = schema.fields(c).dataType match {
+        case BooleanType => (i, o) => dst.putBoolean(o, src.getBoolean(i))
+        case ByteType => (i, o) => dst.putByte(o, src.getByte(i))
+        case ShortType => (i, o) => dst.putShort(o, src.getShort(i))
+        case IntegerType | DateType => (i, o) => dst.putInt(o, src.getInt(i))
+        case LongType | TimestampType | TimestampNTZType =>
+          (i, o) => dst.putLong(o, src.getLong(i))
+        case FloatType => (i, o) => dst.putFloat(o, src.getFloat(i))
+        case DoubleType => (i, o) => dst.putDouble(o, src.getDouble(i))
+        case StringType => (i, o) => {
+          val b = src.getUTF8String(i).getBytes
+          dst.putByteArray(o, b, 0, b.length)
+        }
+        case other => throw new IllegalStateException(
+          s"unmaskable type $other escaped the plan-time guard")
+      }
       var i = 0
       var o = 0
       while (i < n) {
         if (keep(i)) {
           if (src.isNullAt(i)) dst.putNull(o)
-          else dt match {
-            case BooleanType => dst.putBoolean(o, src.getBoolean(i))
-            case ByteType => dst.putByte(o, src.getByte(i))
-            case ShortType => dst.putShort(o, src.getShort(i))
-            case IntegerType | DateType => dst.putInt(o, src.getInt(i))
-            case LongType | TimestampType | TimestampNTZType =>
-              dst.putLong(o, src.getLong(i))
-            case FloatType => dst.putFloat(o, src.getFloat(i))
-            case DoubleType => dst.putDouble(o, src.getDouble(i))
-            case StringType =>
-              val s = src.getUTF8String(i)
-              val b = s.getBytes
-              dst.putByteArray(o, b, 0, b.length)
-            case other => throw new IllegalStateException(
-              s"unmaskable type $other escaped the plan-time guard")
-          }
+          else copyCell(i, o)
           o += 1
         }
         i += 1

@@ -859,10 +859,7 @@ class GraftV1Scan(
                 required.fieldNames.exists(n => n == "_file" || n == "_pos")) None
             else GraftColumnarMask.serve(SparkSession.active, root, table,
                 asOf, required, filters, runtimeKeep)
-              .map { crdds =>
-                GraftColumnarMask.maskedServed.incrementAndGet()
-                crdds.map(GraftColumnarGroup(_): GraftServedGroup)
-              }
+              .map(_.map(GraftColumnarGroup(_): GraftServedGroup))
           masked.getOrElse {
           val fs = GraftInnerFrame.frames(
             SparkSession.active, root, table, asOf, required, filters,
