@@ -125,12 +125,22 @@ final class GraftCatalog(root: String,
   // must survive a delete.
   private def encodeStats(s: EntryStats): String = {
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
-    s.colMins.keys.toSeq.sorted.flatMap { c =>
+    val bounded = s.colMins.keys.toSeq.sorted.flatMap { c =>
       s.colMaxs.get(c).map { mx =>
         val base = s"${enc(c)}:${enc(s.colMins(c))}:${enc(mx)}"
         s.nullCounts.get(c).fold(base)(n => s"$base:$n")
       }
-    }.mkString(";")
+    }
+    // nullCount-ONLY columns (an all-null file, or a rename-strip that
+    // kept counts while dropping bounds) persist as `col:::n` — the
+    // paths that deliberately preserve these counts (COUNT(col)
+    // answers, whole-file-delete null proofs) would otherwise lose them
+    // after one snapshot round-trip. Empty bound slots decode back to
+    // ABSENT bounds, never empty-string bounds.
+    val countOnly = s.nullCounts.keys.toSeq.sorted
+      .filterNot(c => s.colMins.contains(c) && s.colMaxs.contains(c))
+      .map(c => s"${enc(c)}:::${s.nullCounts(c)}")
+    (bounded ++ countOnly).mkString(";")
   }
 
   private def decodeStats(field: String): Option[EntryStats] =
@@ -143,9 +153,10 @@ final class GraftCatalog(root: String,
           case Array(c, mn, mx) => (dec(c), dec(mn), dec(mx), None)
         }
       }
+      val bounded = parts.filter(p => p._2.nonEmpty || p._3.nonEmpty)
       Some(EntryStats(
-        parts.map(p => p._1 -> p._2).toMap,
-        parts.map(p => p._1 -> p._3).toMap,
+        bounded.map(p => p._1 -> p._2).toMap,
+        bounded.map(p => p._1 -> p._3).toMap,
         parts.collect { case (c, _, _, Some(n)) => c -> n }.toMap))
     }
 
@@ -241,6 +252,14 @@ final class GraftCatalog(root: String,
   private def headExists(table: String): Boolean =
     headStore.fold(Files.exists(headPath(table)))(_.exists(table))
 
+  /** O(1) existence probe — exactly [[tables]]' membership criterion (a
+    * registered head pointer) without the recursive catalog walk. The
+    * doorway's per-statement paths (wap fork resolution, write-factory
+    * metadata fallback) probe existence constantly; `tables().contains`
+    * there is O(catalog) filesystem IO per statement.
+    */
+  def tableExists(table: String): Boolean = headExists(table)
+
   /** Register a brand-new table's pointer at snapshot `id`. */
   private def createHead(table: String, id: Long): Unit =
     headStore.fold(writeHeadFile(table, id))(_.create(table, id))
@@ -305,11 +324,16 @@ final class GraftCatalog(root: String,
       table: String,
       files: Seq[DataFileTask],
       schema: Option[org.apache.spark.sql.types.StructType]): Unit = {
-    // namespaced names ("ns/t"): validated BEFORE the lock, which would
-    // otherwise create the directory chain for a namespace that doesn't
-    // exist (a typo'd namespace must fail, not come into implicit being)
+    // EVERY name validates BEFORE the lock (which would otherwise create
+    // directories for the bad name): flat names too — '..' would write
+    // metadata into the PARENT of the catalog root (path traversal,
+    // reachable through the REST CreateTable endpoint), '.' into the
+    // root itself, '_data' shadows the managed data tree, and 'a@b'
+    // collides with fork naming (forks are minted only by forkTable,
+    // which bypasses this entry point by design)
+    validateSegments("table", table)
     if (table.contains("/")) {
-      validateSegments("table", table)
+      // a typo'd namespace must fail, not come into implicit being
       val parent = table.substring(0, table.lastIndexOf('/'))
       require(namespaceExists(parent), s"namespace $parent does not exist")
     }
@@ -771,8 +795,13 @@ final class GraftCatalog(root: String,
     * `with_delete_file_processing_enabled(true)`). This is how a reader
     * sees a table that has pending row-level deletes.
     */
-  def scanTable(spark: SparkSession, table: String): DataFrame =
-    scanEntries(spark, table, loadEntries(table), currentSchema(table))
+  def scanTable(spark: SparkSession, table: String): DataFrame = {
+    // entries and schema from ONE pinned head read: two separate head
+    // loads would let a racing schema-evolution commit pair one
+    // snapshot's file list with another's schema
+    val sid = currentSnapshotId(table)
+    scanEntries(spark, table, readSnapshot(table, sid), schemaAt(table, sid))
+  }
 
   /** The MoR read as PER-SCHEMA-GROUP frames — [[scanTable]] decomposed so
     * each frame plans NARROW over its own file tasks (pos/eq deletes
@@ -790,8 +819,13 @@ final class GraftCatalog(root: String,
     asOf.foreach(sid => require(snapshotIds(table).contains(sid),
       s"snapshot $sid of $table does not exist (expired or never " +
         s"committed); retained: ${snapshotIds(table).mkString(", ")}"))
-    val all = asOf.fold(loadEntries(table))(readSnapshot(table, _))
-    val schema = asOf.fold(currentSchema(table))(schemaAt(table, _))
+    // ONE pinned snapshot for entries AND schema (a racing
+    // schema-evolution commit must never pair one snapshot's file list
+    // with another's names — the same discipline the keep-set doc below
+    // demands for file lists)
+    val sid = asOf.getOrElse(currentSnapshotId(table))
+    val all = readSnapshot(table, sid)
+    val schema = schemaAt(table, sid)
     // runtime file pruning (`dataKeep`) needs a schema to represent a
     // pruned-to-empty result; a schema-less table scans unpruned
     val entries =
@@ -882,6 +916,13 @@ final class GraftCatalog(root: String,
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
     }
     if (longs.length == values.length && values.nonEmpty) {
+      // a Long that does not survive the Double round-trip (|v| > 2^53)
+      // must not prune: the pruner works in Doubles, and its BUCKET
+      // branch HASHES the rounded-back long — a different murmur3 bucket
+      // than the true value's, silently dropping the covering file (the
+      // monotone min/max compares would be conservative; a hash is not)
+      if (longs.exists(v => v.toDouble.toLong != v))
+        return data.map(_.path).toSet
       // one pruner per VALUE (each reads the spec once), applied per entry
       val pruners = longs.map(v =>
         (partitionPruner(spark, table, column, v.toDouble, v.toDouble),
@@ -926,8 +967,11 @@ final class GraftCatalog(root: String,
       snapshotId: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     import graft.operators.MorPlanner
-    val entries = snapshotId.fold(loadEntries(table))(readSnapshot(table, _))
-    val schema = snapshotId.fold(currentSchema(table))(schemaAt(table, _))
+    // ONE pinned snapshot for entries AND schema (same race discipline
+    // as scanTable/scanTableFrames)
+    val sid = snapshotId.getOrElse(currentSnapshotId(table))
+    val entries = readSnapshot(table, sid)
+    val schema = schemaAt(table, sid)
     if (dataTasks(entries).isEmpty) {
       val base = schema.getOrElse(throw new IllegalArgumentException(
         s"requirement failed: table $table has no data files; " +
@@ -2079,7 +2123,16 @@ final class GraftCatalog(root: String,
                   if numericSource && recSource == column => p >= lo && p <= hi
               case (Param("truncate", w), Some(p))
                   if intSource && recSource == column =>
-                p >= lo && p + w.toInt - 1 <= hi
+                // the SAME wrap guard partitionPruner applies: source
+                // values within w of Long.MinValue WRAP to a tuple near
+                // +Long.MaxValue — proving "all rows in [lo, hi]" from a
+                // wrapped tuple would metadata-drop a whole file whose
+                // rows the predicate never matched (silent data loss);
+                // such tuples prove NOTHING here
+                val wInt = w.toInt
+                val nearWrap = p >= Long.MaxValue.toDouble - wInt ||
+                  lo <= Long.MinValue.toDouble + wInt
+                !nearWrap && p >= lo && p + wInt - 1 <= hi
               case _ => false
             }
           case _ => false
@@ -3178,10 +3231,16 @@ final class GraftCatalog(root: String,
           s"publish conflict on $fork: $table advanced $baseId -> $mainHead " +
             "since the fork; the audit validated stale state — re-fork from " +
             "the new head, re-apply, re-audit, re-publish")
-      val entries = loadEntries(fork)
+      // ONE pinned fork head for BOTH reads: entries and schema read in
+      // two separate head loads would let a commit landing on the fork
+      // mid-publish pair snapshot-N's file list with snapshot-N+1's
+      // schema on main (e.g. a rename whose stats-strip never applied to
+      // the published entries)
+      val forkHead = currentSnapshotId(fork)
+      val entries = readSnapshot(fork, forkHead)
       val nextId = baseId + 1
       writeSnapshot(table, nextId, entries)
-      schemaAt(fork, currentSnapshotId(fork)) match {
+      schemaAt(fork, forkHead) match {
         case Some(s) => writeSchema(table, nextId, s)
         case None => carrySchema(table, baseId, nextId)
       }
@@ -3707,7 +3766,13 @@ final class GraftCatalog(root: String,
       val dir = s"$outDir/posdel-compact-$token"
       alive.coalesce(math.max(targetFiles, 1))
         .write.mode("errorifexists").parquet(dir)
-      val written = CompactionRunner.listParquet(dir)
+      // an ALL-DANGLING delete set (every referenced data file already
+      // replaced) writes an empty part file — committing an entry for it
+      // would wedge the table: the next run's `pos.size <= targetFiles`
+      // early return can never retire it, and the zero-row posdel entry
+      // disables the metadata COUNT(*) fast path forever
+      val written = CompactionRunner.listParquet(dir).filter(p =>
+        spark.read.parquet(p).limit(1).count() > 0)
       withTableLock(table) {
         commitRewriteLocked(table,
           posDeleteEntries(spark, written, seq),

@@ -129,7 +129,7 @@ final class GraftDataSource extends RelationProvider
     val cat = new GraftCatalog(root)
     val spark = sqlContext.sparkSession
     val outDir = parameters.getOrElse("outDir", s"$root/_data/$table")
-    val exists = cat.tables().contains(table)
+    val exists = cat.tableExists(table)
     mode match {
       case SaveMode.ErrorIfExists if exists =>
         throw new IllegalArgumentException(
@@ -184,7 +184,7 @@ final class GraftDataSource extends RelationProvider
         val batch =
           org.apache.spark.sql.graftbridge.DatasetBridge.asBatch(data)
         val cat = new GraftCatalog(root)
-        if (!cat.tables().contains(table))
+        if (!cat.tableExists(table))
           cat.createTable(table, Nil, Some(FieldIds.stamp(batch.schema)))
         cat.appendStreamBatch(spark, table, batch, outDir, queryId, batchId)
         ()

@@ -119,7 +119,7 @@ final class GraftBatchWrite(
     Files.createDirectories(Paths.get(dir))
     val cat = new GraftCatalog(root)
     val metaT =
-      if (metaTable.isDefined && !cat.tables().contains(table)) metaTable.get
+      if (metaTable.isDefined && !cat.tableExists(table)) metaTable.get
       else table
     // footers carry the canonical schema's field ids — NESTED ones
     // included, which only schema-level adoption can attach — so every

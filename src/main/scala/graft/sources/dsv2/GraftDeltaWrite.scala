@@ -59,8 +59,12 @@ final class GraftDeltaRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val cat = new GraftCatalog(root)
-    val schema = FieldIds.stripIds(cat.currentSchema(table)
-      .getOrElse(cat.scanTable(SparkSession.active, table).schema))
+    // schema from the PINNED snapshot, never the head: a schema-evolution
+    // commit racing this statement would otherwise pair snapshot-N files
+    // with snapshot-N+1's names (a rename then resolves to nulls and the
+    // delta commits new row versions computed from them)
+    val schema = FieldIds.stripIds(cat.schemaAt(table, baseSnapshot)
+      .getOrElse(cat.scanTableAt(SparkSession.active, table, baseSnapshot).schema))
     // rowLevel = false: DELTA queries only touch MATCHING rows (plus the
     // residual Spark re-applies), so row-level filter application is SAFE
     // here — unlike copy-on-write, where the pushed condition is a group
@@ -108,7 +112,7 @@ final class GraftDeltaBatchWrite(
     Files.createDirectories(Paths.get(dir))
     val cat = new GraftCatalog(root)
     val metaT =
-      if (metaTable.isDefined && !cat.tables().contains(table)) metaTable.get
+      if (metaTable.isDefined && !cat.tableExists(table)) metaTable.get
       else table
     // footers carry the canonical ids; a declared partition spec fans the
     // NEW row versions out per tuple so they stay partition-prunable

@@ -142,7 +142,7 @@ object GraftProcedures {
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val cat = new GraftCatalog(root)
         val (table, op) = spec.mk(cat, input)
-        require(cat.tables().contains(table),
+        require(cat.tableExists(table),
           s"${spec.name}: table $table does not exist in this catalog " +
             s"(tables: ${cat.tables().mkString(", ")})")
         val attrs = op.outputNames.zip(op.outputTypes).map { case (n, t) =>

@@ -123,7 +123,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def tableExists(ident: Identifier): Boolean =
-    cat.tables().contains(toName(ident))
+    cat.tableExists(toName(ident))
 
   /** The session's `spark.wap.branch` — Iceberg's write-audit-publish
     * session routing: when set, loads of a MAIN table serve its branch
@@ -138,10 +138,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = {
     val t = toName(ident)
-    if (cat.tables().contains(t)) {
+    if (cat.tableExists(t)) {
       wapBranchConf() match {
         case Some(b) if !t.contains("@") =>
-          if (cat.tables().contains(s"$t@$b"))
+          if (cat.tableExists(s"$t@$b"))
             new GraftV2Table(root, s"$t@$b", asOf = None)
           else new GraftV2Table(root, t, asOf = None, wapBranch = Some(b))
         case _ => new GraftV2Table(root, t, asOf = None)
@@ -156,7 +156,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       val parent = ident.namespace.lastOption.map(last =>
         toName(Identifier.of(ident.namespace.init, last)))
       if (GraftMetadataV2Table.Kinds(kind) &&
-          parent.exists(cat.tables().contains))
+          parent.exists(cat.tableExists))
         new GraftMetadataV2Table(root, parent.get, kind)
       else throw new NoSuchTableException(ident)
     }
@@ -168,14 +168,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     val t = toName(ident)
-    if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
+    if (!cat.tableExists(t)) throw new NoSuchTableException(ident)
     if (version == "main") return new GraftV2Table(root, t, asOf = None)
     val sid = version.toLongOption
       .orElse(cat.tags(t).get(version))
       .getOrElse {
         // a BRANCH name reads the fork's current state (Iceberg's
         // `VERSION AS OF 'branch'` — the branch head, not a pinned id)
-        if (cat.tables().contains(s"$t@$version"))
+        if (cat.tableExists(s"$t@$version"))
           return new GraftV2Table(root, s"$t@$version", asOf = None)
         throw new IllegalArgumentException(
           s"version '$version' of $t is neither a snapshot id, a tag, " +
@@ -193,7 +193,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
     */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val t = toName(ident)
-    if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
+    if (!cat.tableExists(t)) throw new NoSuchTableException(ident)
     val sid = cat.snapshotIdAsOf(t, timestampMicros / 1000L)
     new GraftV2Table(root, t, asOf = Some(sid))
   }
@@ -205,7 +205,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       properties: util.Map[String, String]): Table = {
     val t = toName(ident)
     requireNs(ident.namespace)
-    if (cat.tables().contains(t)) throw new TableAlreadyExistsException(ident)
+    if (cat.tableExists(t)) throw new TableAlreadyExistsException(ident)
     // `PARTITIONED BY (days(ts), bucket(16, id), ...)` maps one-to-one
     // onto the catalog's hidden partition spec (T1–T8 transforms) —
     // validated BEFORE the table exists so a bad spec leaves nothing
@@ -235,7 +235,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val t = toName(ident)
-    if (!cat.tables().contains(t)) throw new NoSuchTableException(ident)
+    if (!cat.tableExists(t)) throw new NoSuchTableException(ident)
     val sets = changes.collect {
       case s: TableChange.SetProperty => s.property -> s.value
     }.toMap
@@ -374,7 +374,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val t = toName(ident)
-    if (!cat.tables().contains(t)) false
+    if (!cat.tableExists(t)) false
     else { cat.dropTable(t); true }
   }
 

@@ -68,14 +68,14 @@ final class GraftV2Table(
     */
   private def writeTable: String = wapBranch.fold(tableName) { b =>
     val fork = s"$tableName@$b"
-    if (!cat.tables().contains(fork)) {
+    if (!cat.tableExists(fork)) {
       // two wap writes can race the first fork; the loser's create fails
       // under the table lock — if the branch exists by then, proceed
       // (both writes target the same fork, ordinary commit serialization
       // takes over)
       try cat.forkTable(tableName, b)
       catch {
-        case e: Exception if cat.tables().contains(fork) => ()
+        case e: Exception if cat.tableExists(fork) => ()
       }
     }
     fork
@@ -139,7 +139,7 @@ final class GraftV2Table(
     // fork's)
     val target = wapBranch.map(b => s"$tableName@$b").getOrElse(tableName)
     def metaTarget: String =
-      if (wapBranch.isDefined && !cat.tables().contains(target)) tableName
+      if (wapBranch.isDefined && !cat.tableExists(target)) tableName
       else target
     new WriteBuilder with SupportsOverwrite with SupportsDynamicOverwrite {
       // INSERT INTO appends; INSERT OVERWRITE (OverwriteByExpression with
@@ -197,7 +197,7 @@ final class GraftV2Table(
         val overwriteShape = replaceAll || filterOverwrite.isDefined || dynamic
         val eagerBase: Option[Long] =
           if (overwriteShape &&
-              (wapBranch.isEmpty || cat.tables().contains(target)))
+              (wapBranch.isEmpty || cat.tableExists(target)))
             Some(cat.currentSnapshotId(target)) // reading pins, never forks
           else None
         def base(): Long = eagerBase.getOrElse {
@@ -325,7 +325,7 @@ final class GraftV2Table(
       // pinned snapshot — a fork raced in from a later main head
       // conflicts like any other stale-base commit
       val forkName = wapBranch.map(b => s"$tableName@$b")
-      val existingFork = forkName.filter(cat.tables().contains)
+      val existingFork = forkName.filter(cat.tableExists)
       val opTable = existingFork.getOrElse(tableName)
       val wapFork: Option[GraftWapFork] =
         if (wapBranch.isEmpty || existingFork.isDefined) None
@@ -1863,8 +1863,11 @@ final class GraftRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val cat = new GraftCatalog(root)
-    val schema = FieldIds.stripIds(cat.currentSchema(table)
-      .getOrElse(cat.scanTable(SparkSession.active, table).schema))
+    // schema from the PINNED snapshot, never the head: a schema-evolution
+    // commit racing this statement would otherwise pair snapshot-N files
+    // with snapshot-N+1's names (the delta operation applies the same rule)
+    val schema = FieldIds.stripIds(cat.schemaAt(table, baseSnapshot)
+      .getOrElse(cat.scanTableAt(SparkSession.active, table, baseSnapshot).schema))
     new GraftScanBuilder(root, table, Some(baseSnapshot), schema,
       rowLevel = true,
       host = if (groupFilteringEnabled) Some(this) else None)
