@@ -4648,14 +4648,22 @@ object GraftCatalog {
 
   private[sources] def headStoreFor(root: String): Option[HeadStore] = {
     val r = normRoot(root)
-    // single null-safe computeIfAbsent: an unbind racing between a
-    // containsKey probe and the compute would otherwise NPE out of
-    // catalog construction instead of falling back to the HEAD file
-    // (a null mapping result records nothing in the memo)
-    Option(storeMemo.computeIfAbsent(r, _ => {
-      val b = storeBindings.get(r)
-      if (b == null) null else b.factory()
-    }))
+    // memoize UNDER the same lock bind/unbind take: a lock-free
+    // computeIfAbsent racing a rebind could memoize a store built from the
+    // STALE factory after closeMemo already ran (that store then outlives
+    // its binding — use-after-close for every later pointer read), and a
+    // rebind could close a store a racing construction was about to hand
+    // out. Inside the lock, the binding read, factory call, and memo write
+    // are atomic with respect to bind/unbind; the memo hit path is a map
+    // get on an uncontended monitor — negligible at statement rate.
+    storeBindings.synchronized {
+      Option(storeMemo.get(r)).orElse(
+        Option(storeBindings.get(r)).map { b =>
+          val s = b.factory()
+          storeMemo.put(r, s)
+          s
+        })
+    }
   }
 
   /** A fresh fork's creation head — the one snapshot id [[forkTable]]

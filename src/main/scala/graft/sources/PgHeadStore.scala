@@ -18,8 +18,16 @@ import graft.wire.PgWireClient
   *
   * Speaks the public v3 wire protocol directly ([[PgWireClient]] — the
   * sandbox has postgres but no JDBC driver jar). All methods synchronize
-  * on the single connection, exactly like the Derby store; cross-process
-  * safety comes from the database, not this lock.
+  * on this store (one live connection at a time, exactly like the Derby
+  * store); cross-process safety comes from the database, not this lock.
+  *
+  * Connection loss is RECOVERABLE: the store is memoized process-wide per
+  * catalog root, so a dropped socket (postgres restart, idle timeout,
+  * network blip) that permanently failed every subsequent call would brick
+  * the root until JVM restart. Instead each operation reopens the socket
+  * and retries ONCE on IOException. The two non-idempotent retries resolve
+  * their own ambiguity ("did the lost first attempt apply?") from the
+  * database state — see [[create]] and [[cas]].
   */
 final class PgHeadStore(
     host: String,
@@ -29,10 +37,24 @@ final class PgHeadStore(
     catalogName: String,
     namespace: String = "default") extends GraftCatalog.HeadStore {
 
-  private val conn = new PgWireClient(host, port, user, database)
+  private var conn = new PgWireClient(host, port, user, database)
 
-  conn.synchronized {
-    conn.query(
+  /** Run `body` on the live connection; on IOException reopen and retry
+    * once. Synchronized on the store — the connection swap and the query
+    * serialize together.
+    */
+  private def retried[A](body: PgWireClient => A): A = synchronized {
+    try body(conn)
+    catch {
+      case _: java.io.IOException =>
+        try conn.close() catch { case _: Exception => () }
+        conn = new PgWireClient(host, port, user, database)
+        body(conn)
+    }
+  }
+
+  retried { c =>
+    c.query(
       "CREATE TABLE IF NOT EXISTS iceberg_tables (" +
         "catalog_name VARCHAR(255) NOT NULL, " +
         "table_namespace VARCHAR(255) NOT NULL, " +
@@ -57,29 +79,48 @@ final class PgHeadStore(
     s"catalog_name = ${lit(catalogName)} AND " +
       s"table_namespace = ${lit(namespace)} AND table_name = ${lit(table)}"
 
-  override def exists(table: String): Boolean = conn.synchronized {
-    conn.query(
+  private def locationOf(c: PgWireClient, table: String): Option[String] =
+    c.query(
+      s"SELECT metadata_location FROM iceberg_tables " +
+        s"WHERE ${keyWhere(table)}").rows.headOption.flatMap(_.head)
+
+  override def exists(table: String): Boolean = retried { c =>
+    c.query(
       s"SELECT 1 FROM iceberg_tables WHERE ${keyWhere(table)}").rows.nonEmpty
   }
 
-  override def create(table: String, id: Long): Unit = conn.synchronized {
-    try {
-      conn.query(
+  override def create(table: String, id: Long): Unit = synchronized {
+    def insert(c: PgWireClient): Unit = {
+      c.query(
         "INSERT INTO iceberg_tables (catalog_name, table_namespace, " +
           "table_name, metadata_location, previous_metadata_location) " +
           s"VALUES (${lit(catalogName)}, ${lit(namespace)}, ${lit(table)}, " +
           s"${lit(location(id))}, NULL)")
       ()
-    } catch {
+    }
+    def exists(e: PgWireClient.PgError): Nothing =
       // unique_violation — the same "already exists" contract the file
       // store's require() and the Derby store's 23505 mapping give
-      case e: PgWireClient.PgError if e.sqlState == "23505" =>
-        throw new IllegalArgumentException(s"table $table already exists", e)
+      throw new IllegalArgumentException(s"table $table already exists", e)
+    try insert(conn)
+    catch {
+      case e: PgWireClient.PgError if e.sqlState == "23505" => exists(e)
+      case _: java.io.IOException =>
+        try conn.close() catch { case _: Exception => () }
+        conn = new PgWireClient(host, port, user, database)
+        // the lost first attempt may have applied before its response was
+        // read: a retry 23505 whose row already points at OUR location is
+        // our own insert landing — success, not "already exists"
+        try insert(conn)
+        catch {
+          case e: PgWireClient.PgError if e.sqlState == "23505" =>
+            if (!locationOf(conn, table).contains(location(id))) exists(e)
+        }
     }
   }
 
-  override def read(table: String): Long = conn.synchronized {
-    val rows = conn.query(
+  override def read(table: String): Long = retried { c =>
+    val rows = c.query(
       s"SELECT metadata_location FROM iceberg_tables " +
         s"WHERE ${keyWhere(table)}").rows
     require(rows.nonEmpty, s"table $table not found in catalog $catalogName")
@@ -88,20 +129,33 @@ final class PgHeadStore(
   }
 
   override def cas(table: String, expected: Long, next: Long): Boolean =
-    conn.synchronized {
-      conn.query(
-        s"UPDATE iceberg_tables SET metadata_location = ${lit(location(next))}, " +
-          s"previous_metadata_location = ${lit(location(expected))} " +
-          s"WHERE ${keyWhere(table)} AND " +
-          s"metadata_location = ${lit(location(expected))}")
-        .commandTag == "UPDATE 1"
+    synchronized {
+      def upd(c: PgWireClient): Boolean =
+        c.query(
+          s"UPDATE iceberg_tables SET metadata_location = ${lit(location(next))}, " +
+            s"previous_metadata_location = ${lit(location(expected))} " +
+            s"WHERE ${keyWhere(table)} AND " +
+            s"metadata_location = ${lit(location(expected))}")
+          .commandTag == "UPDATE 1"
+      try upd(conn)
+      catch {
+        case _: java.io.IOException =>
+          try conn.close() catch { case _: Exception => () }
+          conn = new PgWireClient(host, port, user, database)
+          // the lost first attempt may have applied: a retry UPDATE 0
+          // where the pointer now reads `next` means OUR swap landed —
+          // no other driver can have committed the same id, because the
+          // snap-`next` document install is first-writer-wins and ours
+          // won before this cas was reached
+          upd(conn) || locationOf(conn, table).contains(location(next))
+      }
     }
 
-  override def remove(table: String): Unit = conn.synchronized {
+  override def remove(table: String): Unit = retried { c =>
     // 0 rows = already gone: drops are replayable
-    conn.query(s"DELETE FROM iceberg_tables WHERE ${keyWhere(table)}")
+    c.query(s"DELETE FROM iceberg_tables WHERE ${keyWhere(table)}")
     ()
   }
 
-  def close(): Unit = conn.synchronized(conn.close())
+  def close(): Unit = synchronized(conn.close())
 }

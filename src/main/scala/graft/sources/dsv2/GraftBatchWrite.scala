@@ -139,26 +139,34 @@ final class GraftBatchWrite(
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    prepare()
     val files = GraftFilesCommit.all(messages).map(f =>
       GraftCatalog.AddedFile(f.path, "parquet", f.rows, f.bytes,
         f.colMins, f.colMaxs, f.nullCounts))
     val cat = new GraftCatalog(root)
+    // the no-op conditions decide FIRST: `prepare` (the deferred wap-branch
+    // fork) runs only on paths that actually land a commit — the same
+    // contract as GraftDeltaWrite, where a match-nothing statement leaves
+    // no empty snapshot AND no spurious branch fork
     dynamicOverwriteAt match {
       case Some(base) =>
         // replace exactly the partition tuples the written files carry
         // (empty data = no-op, Spark's dynamic-overwrite semantics)
-        if (files.nonEmpty) cat.commitDynamicOverwrite(table, base(), files)
+        if (files.nonEmpty) {
+          prepare()
+          cat.commitDynamicOverwrite(table, base(), files)
+        }
         return
       case None => ()
     }
     overwriteWhere match {
       case Some((filters, base)) =>
         // atomic filter-overwrite: suppression pos-deletes + the written
-        // replacement files in ONE base-asserted commit
+        // replacement files in ONE base-asserted commit (always a commit —
+        // the suppression scan is part of the commit itself)
         val cond = filters.flatMap(V1FilterColumns.toColumn)
           .reduceOption(_ && _)
           .getOrElse(org.apache.spark.sql.functions.lit(true))
+        prepare()
         cat.overwriteWhere(SparkSession.active, table, base(), cond, files, dir)
         return
       case None => ()
@@ -169,11 +177,18 @@ final class GraftBatchWrite(
           // runtime group filtering pruned the scan to these files; the
           // commit retires exactly them (an empty group = the statement
           // matched nothing — no files read, nothing to commit)
-          if (group.nonEmpty || files.nonEmpty)
+          if (group.nonEmpty || files.nonEmpty) {
+            prepare()
             cat.commitReplaceFilesAt(table, base(), group, files)
-        case None => cat.commitReplaceAt(table, base(), files)
+          }
+        case None =>
+          prepare()
+          cat.commitReplaceAt(table, base(), files)
       }
-      case None => if (files.nonEmpty) cat.commitAppend(table, files)
+      case None => if (files.nonEmpty) {
+        prepare()
+        cat.commitAppend(table, files)
+      }
     }
   }
 

@@ -147,30 +147,50 @@ final class AzureBlobFileSystem extends ObjectStoreFileSystem {
   private def unxml(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
+  private val nextMarkerRe: Regex = "<NextMarker>(.+?)</NextMarker>".r
+
+  /** List Blobs: (blobs as name→size, blob prefixes). PAGED — the real
+    * service returns at most 5,000 results per response; reading only the
+    * first page would silently truncate large prefixes, and rename()
+    * (LIST+COPY+DELETE, the committer's primitive) would then move only
+    * part of a directory, losing committed output. The loop follows a
+    * non-empty `NextMarker` until the service stops returning one.
+    */
   override protected def listRaw(
       bucket: String, prefix: String,
       delimited: Boolean): (Seq[(String, Long)], Seq[String]) = {
     val d = if (delimited) "&delimiter=%2F" else ""
     // %20 for spaces, never '+': query-string '+' is ambiguous and the
     // object-key encoder (enc) already made the same choice for paths
-    val url = new URL(s"$endpoint/${container(bucket)}" +
-      "?restype=container&comp=list&prefix=" +
-      java.net.URLEncoder.encode(prefix, "UTF-8").replace("+", "%20") + d)
-    val c = conn("GET", url)
-    c.setRequestProperty("x-ms-version", Version)
-    try {
-      if (c.getResponseCode != 200)
-        throw new IOException(
-          s"LIST $bucket?prefix=$prefix: HTTP ${c.getResponseCode}")
-      val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
+    def q(s: String) =
+      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    val base = s"$endpoint/${container(bucket)}" +
+      s"?restype=container&comp=list&prefix=${q(prefix)}$d"
+    val objs = Seq.newBuilder[(String, Long)]
+    val prefixes = Seq.newBuilder[String]
+    var marker: Option[String] = None
+    var more = true
+    while (more) {
+      val url = new URL(base + marker.fold("")(m => s"&marker=${q(m)}"))
+      val c = conn("GET", url)
+      c.setRequestProperty("x-ms-version", Version)
+      val body =
+        try {
+          if (c.getResponseCode != 200)
+            throw new IOException(
+              s"LIST $bucket?prefix=$prefix: HTTP ${c.getResponseCode}")
+          new String(c.getInputStream.readAllBytes(), "UTF-8")
+        } finally c.disconnect()
       // the regex is non-greedy per Blob element; split on </Blob> so one
       // blob's Name can never pair with a LATER blob's Content-Length
-      val objs = body.split("</Blob>").toSeq.flatMap(seg =>
+      objs ++= body.split("</Blob>").toSeq.flatMap(seg =>
         blobRe.findFirstMatchIn(seg).map(m =>
           unxml(m.group(1)) -> m.group(2).toLong))
-      val prefixes = blobPrefixRe.findAllMatchIn(body)
-        .map(m => unxml(m.group(1))).toSeq
-      (objs, prefixes)
-    } finally c.disconnect()
+      prefixes ++= blobPrefixRe.findAllMatchIn(body).map(m => unxml(m.group(1)))
+      marker = nextMarkerRe.findFirstMatchIn(body).map(m => unxml(m.group(1)))
+        .filter(_.nonEmpty)
+      more = marker.isDefined
+    }
+    (objs.result(), prefixes.result().distinct)
   }
 }

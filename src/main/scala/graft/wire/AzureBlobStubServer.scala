@@ -26,13 +26,20 @@ import scala.jdk.CollectionConverters._
   *   - `HEAD /container/blob` (Get Blob Properties) → 200 / 404
   *   - `DELETE /container/blob` (Delete Blob) → 202; 404 when absent
   *   - `GET /container?restype=container&comp=list&prefix=…[&delimiter=/]`
-  *     (List Blobs) → `EnumerationResults` XML, `Blob` + `BlobPrefix`
+  *     (List Blobs) → `EnumerationResults` XML, `Blob` + `BlobPrefix`,
+  *     PAGED like the real service: at most `pageSize` items (further
+  *     capped by a `maxresults` query param) per response, a non-empty
+  *     `NextMarker` when more remain, and a `marker` request param
+  *     resuming at the marked item. Real Azure pages at 5,000 — a client
+  *     that reads only the first page silently truncates large prefixes,
+  *     so tests construct the stub with a tiny `pageSize` to force the
+  *     loop.
   *
   * Auth headers are accepted and ignored — the stub validates protocol
   * shape, not signatures. Blobs live in one in-JVM map keyed
   * `container/blob`.
   */
-final class AzureBlobStubServer(port: Int = 0) {
+final class AzureBlobStubServer(port: Int = 0, pageSize: Int = 5000) {
 
   private val blobs = new ConcurrentHashMap[String, Array[Byte]]()
 
@@ -192,7 +199,7 @@ final class AzureBlobStubServer(port: Int = 0) {
       }
     }
 
-    /** List Blobs, single page (test-sized store). */
+    /** List Blobs with real paging semantics (see class doc). */
     private def list(cont: String, query: Map[String, String]): FullHttpResponse = {
       val prefix = query.getOrElse("prefix", "")
       val delimiter = query.get("delimiter").filter(_.nonEmpty)
@@ -208,20 +215,34 @@ final class AzureBlobStubServer(port: Int = 0) {
             k.take(prefix.length + k.drop(prefix.length).indexOf(d) + 1))
             .distinct)
       }
-      val entries = direct.map { k =>
+      // blobs and prefixes share one lexicographic item stream (the real
+      // service interleaves them); the marker names the item the next
+      // page STARTS at (Azure's resume-at semantics)
+      val items: Seq[(String, Boolean)] =
+        (direct.map(_ -> false) ++ rolled.map(_ -> true)).sortBy(_._1)
+      val marker = query.get("marker").filter(_.nonEmpty)
+      val remaining = marker.fold(items)(m => items.dropWhile(_._1 < m))
+      val cap = math.min(pageSize,
+        query.get("maxresults").flatMap(_.toIntOption).getOrElse(Int.MaxValue))
+      val page = remaining.take(math.max(cap, 1))
+      val next = remaining.drop(page.length).headOption.map(_._1)
+      val entries = page.collect { case (k, false) =>
         val size = Option(blobs.get(s"$cont/$k")).fold(0)(_.length)
         s"<Blob><Name>${xml(k)}</Name><Properties>" +
           s"<Content-Length>$size</Content-Length>" +
           "<BlobType>BlockBlob</BlobType></Properties></Blob>"
       }.mkString
-      val prefixes = rolled.map(p =>
-        s"<BlobPrefix><Name>${xml(p)}</Name></BlobPrefix>").mkString
+      val prefixes = page.collect { case (p, true) =>
+        s"<BlobPrefix><Name>${xml(p)}</Name></BlobPrefix>"
+      }.mkString
+      val nextMarker =
+        next.fold("<NextMarker/>")(m => s"<NextMarker>${xml(m)}</NextMarker>")
       val body =
         s"""<?xml version="1.0" encoding="utf-8"?>""" +
           s"""<EnumerationResults ContainerName="${xml(cont)}">""" +
           s"<Prefix>${xml(prefix)}</Prefix><Blobs>" +
           entries + prefixes +
-          "</Blobs><NextMarker/></EnumerationResults>"
+          s"</Blobs>$nextMarker</EnumerationResults>"
       response(HttpResponseStatus.OK,
         body.getBytes(StandardCharsets.UTF_8), "application/xml")
     }

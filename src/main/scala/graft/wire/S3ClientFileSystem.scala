@@ -372,26 +372,53 @@ class S3ClientFileSystem extends ObjectStoreFileSystem {
   private def unxml(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&amp;", "&")
 
-  /** ListObjectsV2: (objects as key→size, common prefixes). */
+  private val tokenRe: Regex =
+    "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+
+  /** ListObjectsV2: (objects as key→size, common prefixes). PAGED — the
+    * real service returns at most 1,000 items per response; reading only
+    * the first page would silently truncate large prefixes, and rename()
+    * (LIST+COPY+DELETE, the committer's primitive) would then move only
+    * part of a directory, losing committed output. The loop follows
+    * `NextContinuationToken` while `IsTruncated` and fails loudly on a
+    * truncated response that carries no token.
+    */
   override protected def listRaw(
       bucket: String, prefix: String,
       delimited: Boolean): (Seq[(String, Long)], Seq[String]) = {
     val d = if (delimited) "&delimiter=%2F" else ""
     // %20 for spaces, never '+': query-string '+' is ambiguous and the
     // object-key encoder (enc) already made the same choice for paths
-    val url = new URL(s"$endpoint/$bucket?list-type=2&prefix=" +
-      java.net.URLEncoder.encode(prefix, "UTF-8").replace("+", "%20") + d)
-    val c = conn("GET", url)
-    try {
-      if (c.getResponseCode != 200)
-        throw new IOException(s"LIST $bucket?prefix=$prefix: HTTP ${c.getResponseCode}")
-      val body = new String(c.getInputStream.readAllBytes(), "UTF-8")
-      val objs = keyRe.findAllMatchIn(body)
-        .map(m => unxml(m.group(1)) -> m.group(2).toLong).toSeq
-      val prefixes = prefixRe.findAllMatchIn(body)
-        .map(m => unxml(m.group(1))).toSeq
-      (objs, prefixes)
-    } finally c.disconnect()
+    def q(s: String) =
+      java.net.URLEncoder.encode(s, "UTF-8").replace("+", "%20")
+    val base = s"$endpoint/$bucket?list-type=2&prefix=${q(prefix)}$d"
+    val objs = Seq.newBuilder[(String, Long)]
+    val prefixes = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var more = true
+    while (more) {
+      val url = new URL(base + token.fold("")(t => s"&continuation-token=${q(t)}"))
+      val c = conn("GET", url)
+      val body =
+        try {
+          if (c.getResponseCode != 200)
+            throw new IOException(
+              s"LIST $bucket?prefix=$prefix: HTTP ${c.getResponseCode}")
+          new String(c.getInputStream.readAllBytes(), "UTF-8")
+        } finally c.disconnect()
+      objs ++= keyRe.findAllMatchIn(body)
+        .map(m => unxml(m.group(1)) -> m.group(2).toLong)
+      prefixes ++= prefixRe.findAllMatchIn(body).map(m => unxml(m.group(1)))
+      more = body.contains("<IsTruncated>true</IsTruncated>")
+      token =
+        if (!more) None
+        else Some(tokenRe.findFirstMatchIn(body).map(m => unxml(m.group(1)))
+          .filter(_.nonEmpty)
+          .getOrElse(throw new IOException(
+            s"LIST $bucket?prefix=$prefix: truncated response without " +
+              "NextContinuationToken — cannot enumerate completely")))
+    }
+    (objs.result(), prefixes.result().distinct)
   }
 }
 

@@ -32,14 +32,20 @@ import scala.jdk.CollectionConverters._
   *   - `HEAD /bucket/key` — length probe, 404 when absent
   *   - `DELETE /bucket/key` — remove, 204 (idempotent like S3)
   *   - `GET /bucket?list-type=2&prefix=…[&delimiter=/]` — ListObjectsV2
-  *     XML with `Contents` and `CommonPrefixes` (single page; the store
-  *     is test-sized)
+  *     XML with `Contents` and `CommonPrefixes`, PAGED like the real
+  *     service: at most `pageSize` items (keys + rolled-up prefixes
+  *     combined, further capped by a `max-keys` query param) per response,
+  *     `IsTruncated=true` + `NextContinuationToken` when more remain, and
+  *     a `continuation-token` request param resuming strictly after the
+  *     token. Real S3 pages at 1000 — a client that reads only the first
+  *     page silently truncates large prefixes, so tests construct the stub
+  *     with a tiny `pageSize` to force the loop.
   *
   * Auth headers are accepted and ignored — the stub validates protocol
   * shape, not signatures. Objects live in one in-JVM map keyed
   * `bucket/key`.
   */
-final class S3StubServer(port: Int = 0) {
+final class S3StubServer(port: Int = 0, pageSize: Int = 1000) {
 
   private val objects = new ConcurrentHashMap[String, Array[Byte]]()
 
@@ -193,7 +199,7 @@ final class S3StubServer(port: Int = 0) {
       }
     }
 
-    /** ListObjectsV2, single page (test-sized store). */
+    /** ListObjectsV2 with real paging semantics (see class doc). */
     private def list(bucket: String, query: Map[String, String]): FullHttpResponse = {
       val prefix = query.getOrElse("prefix", "")
       val delimiter = query.get("delimiter").filter(_.nonEmpty)
@@ -209,18 +215,35 @@ final class S3StubServer(port: Int = 0) {
             k.take(prefix.length + k.drop(prefix.length).indexOf(d) + 1))
             .distinct)
       }
-      val contents = direct.map { k =>
+      // keys and rolled-up prefixes share one lexicographic item stream
+      // (the real service interleaves them); the continuation token is the
+      // last item of the previous page, resumed strictly-after
+      val items: Seq[(String, Boolean)] =
+        (direct.map(_ -> false) ++ rolled.map(_ -> true)).sortBy(_._1)
+      val after = query.get("continuation-token").filter(_.nonEmpty)
+      val remaining = after.fold(items)(t => items.dropWhile(_._1 <= t))
+      val cap = math.min(pageSize,
+        query.get("max-keys").flatMap(_.toIntOption).getOrElse(Int.MaxValue))
+      val page = remaining.take(math.max(cap, 1))
+      val truncated = remaining.lengthCompare(page.length) > 0
+      val contents = page.collect { case (k, false) =>
         val size = Option(objects.get(s"$bucket/$k")).fold(0)(_.length)
         s"<Contents><Key>${xml(k)}</Key><Size>$size</Size>" +
           "<LastModified>2026-01-01T00:00:00.000Z</LastModified></Contents>"
       }.mkString
-      val prefixes = rolled.map(p =>
-        s"<CommonPrefixes><Prefix>${xml(p)}</Prefix></CommonPrefixes>").mkString
+      val prefixes = page.collect { case (p, true) =>
+        s"<CommonPrefixes><Prefix>${xml(p)}</Prefix></CommonPrefixes>"
+      }.mkString
+      val nextToken =
+        if (truncated)
+          s"<NextContinuationToken>${xml(page.last._1)}</NextContinuationToken>"
+        else ""
       val body =
         s"""<?xml version="1.0" encoding="UTF-8"?>""" +
           s"<ListBucketResult><Name>${xml(bucket)}</Name>" +
-          s"<Prefix>${xml(prefix)}</Prefix><IsTruncated>false</IsTruncated>" +
-          s"<KeyCount>${direct.size + rolled.size}</KeyCount>" +
+          s"<Prefix>${xml(prefix)}</Prefix><IsTruncated>$truncated</IsTruncated>" +
+          nextToken +
+          s"<KeyCount>${page.size}</KeyCount>" +
           contents + prefixes + "</ListBucketResult>"
       response(HttpResponseStatus.OK,
         body.getBytes(StandardCharsets.UTF_8), "application/xml")

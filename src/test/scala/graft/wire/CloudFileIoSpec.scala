@@ -140,6 +140,57 @@ class CloudFileIoSpec extends SparkSpec {
     } finally { az.close(); s3.close() }
   }
 
+  test("paged listings: a prefix larger than one page lists and renames completely") {
+    // regression (advice r15): a single-page listRaw silently truncated
+    // prefixes beyond the service page size (S3: 1,000, Azure: 5,000) —
+    // rename(), the committer's primitive, would then move only the first
+    // page and LOSE committed output. Tiny stub pages force the
+    // continuation loop on both dialects.
+    val az = new AzureBlobStubServer(pageSize = 3)
+    val s3 = new S3StubServer(pageSize = 3)
+    try {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      conf.set("fs.wasb.impl", "graft.wire.AzureBlobFileSystem")
+      conf.set("fs.azure.endpoint", az.endpoint)
+      conf.set("fs.wasb.impl.disable.cache", "true")
+      conf.set("fs.s3.impl", "graft.wire.S3ClientFileSystem")
+      conf.set("fs.s3.endpoint", s3.endpoint)
+      conf.set("fs.s3.impl.disable.cache", "true")
+      import org.apache.hadoop.fs.Path
+      for (base <- Seq("wasb://c@acct", "s3://bucket")) {
+        val dir = new Path(s"$base/big")
+        val fs = dir.getFileSystem(conf)
+        val names = (0 until 10).map(i => f"f$i%02d.bin")
+        names.foreach { n =>
+          val out = fs.create(new Path(dir, n), true)
+          out.write(Array[Byte](7))
+          out.close()
+        }
+        assert(fs.listStatus(dir).map(_.getPath.getName).toSeq.sorted == names,
+          s"$base flat list must cross page boundaries")
+        // delimited list: >page subdirectories must all surface
+        (0 until 7).foreach { i =>
+          val out = fs.create(new Path(s"$base/tree/sub$i/x.bin"), true)
+          out.write(Array[Byte](1)); out.close()
+        }
+        assert(fs.listStatus(new Path(s"$base/tree"))
+          .map(_.getPath.getName).toSeq.sorted ==
+          (0 until 7).map(i => s"sub$i"),
+          s"$base delimited list must cross page boundaries")
+        // the committer primitive: rename must move EVERY page
+        val dst = new Path(s"$base/moved")
+        assert(fs.rename(dir, dst), s"$base rename")
+        assert(fs.listStatus(dst).map(_.getPath.getName).toSeq.sorted == names,
+          s"$base rename must carry all files across pages")
+        assert(!fs.exists(dir), s"$base rename must empty the source")
+        // recursive delete is the other LIST consumer
+        assert(fs.delete(dst, true), s"$base recursive delete")
+        assert(fs.listStatus(new Path(s"$base/")).forall(
+          _.getPath.getName != "moved"), s"$base delete must clear every page")
+      }
+    } finally { az.close(); s3.close() }
+  }
+
   test("gcs: the XML-interop API serves gs:// reads and writes (S3 dialect)") {
     val store = new S3StubServer() // GCS's XML API is S3-interoperable
     try {
