@@ -17,26 +17,46 @@ import scala.jdk.CollectionConverters._
   *
   *   - `status` 1 = ADDED, 2 = DELETED (existing files don't occur in a
   *     full-compaction commit);
+  *   - `snapshot_id`, the snapshot that ADDED the file (spec field 1) —
+  *     in a re-rendered full-inventory manifest this is the snapshot the
+  *     path FIRST appeared in, not the manifest's own;
   *   - `data_file` with the spec's field names (`file_path`, `file_format`,
   *     `record_count`, `file_size_in_bytes`, `null_value_counts`,
   *     `lower_bounds`, `upper_bounds`), bounds/counts keyed by **field id**
   *     as arrays of `{key, value}` structs exactly like the spec's k/v maps;
+  *   - `partition`, the file's partition tuple — rendered as an array of
+  *     `{name, transform, value}` records mirroring the catalog's
+  *     name-keyed tuple + the transform that produced each value (the
+  *     spec's `partition_spec_id` binding, flattened per file exactly like
+  *     [[GraftCatalog.TableEntry.partitionTransforms]]);
   *   - v3 delete-file fields: `content` (0 = data, 1 = position deletes,
   *     2 = equality deletes), `equality_ids` for eq-delete files, and the
   *     deletion-vector reference triple `referenced_data_file` /
   *     `content_offset` / `content_size_in_bytes` locating one DV blob
   *     inside its Puffin sidecar — so a stock v3 reader can DISCOVER the
   *     vectors through exported metadata, not merely decode them;
+  *   - v3 row lineage: `first_row_id` on data-file entries (spec field
+  *     142) and on the manifest-list row (spec field 520);
   *   - `sequence_number`, the entry's data sequence number (delete
   *     applicability: a delete applies to strictly older data files).
   *
-  * All v3 fields carry Avro defaults, so manifests written before round 15
-  * read back unchanged (schema resolution fills content = 0).
+  * Every Avro field carries the spec's `field-id` attribute (manifest
+  * entry fields 0-3, data_file fields 100-145, manifest-list fields
+  * 500-520), so id-driven external tooling can bind columns positionally
+  * by id, not name.
   *
-  * Documented deviation: bound values are the column's string rendering,
+  * All post-v2 fields carry Avro defaults, so manifests written before
+  * round 15/16 read back unchanged (schema resolution fills content = 0,
+  * empty partition, null snapshot_id/first_row_id).
+  *
+  * Documented deviations: bound values are the column's string rendering,
   * not Iceberg's single-value binary serialization — the pruning contract
   * ([[CompactionRunner.pruneByStats]]) consumes the same numbers either
-  * way, and the dump stays engine/debugger-readable.
+  * way, and the dump stays engine/debugger-readable; the partition tuple
+  * is likewise the name-keyed `{name, transform, value-string}` array
+  * above, not a positional struct typed by the partition spec (the
+  * transform travels WITH each value, which a spec-id indirection would
+  * need a second lookup for).
   */
 object IcebergManifest {
 
@@ -49,7 +69,11 @@ object IcebergManifest {
       equalityIds: Seq[Int] = Nil,
       referencedDataFile: Option[String] = None,
       contentOffset: Option[Long] = None,
-      contentSizeInBytes: Option[Long] = None)
+      contentSizeInBytes: Option[Long] = None,
+      snapshotId: Option[Long] = None,
+      firstRowId: Option[Long] = None,
+      partitionVals: Map[String, String] = Map.empty,
+      partitionTransforms: Map[String, String] = Map.empty)
 
   val StatusAdded = 1
   val StatusDeleted = 2
@@ -60,9 +84,10 @@ object IcebergManifest {
   val ContentEqualityDeletes = 2
 
   /** One manifest file's row in a manifest list (spec "Manifest Lists",
-    * the v2 required fields): where the manifest is, whether it inventories
-    * data or delete files, and its summary counts — what a planner reads
-    * to decide whether to open the manifest at all.
+    * the v2 required fields plus v3 `first_row_id`): where the manifest
+    * is, whether it inventories data or delete files, and its summary
+    * counts — what a planner reads to decide whether to open the manifest
+    * at all.
     */
   final case class ManifestFile(
       manifestPath: String,
@@ -77,7 +102,8 @@ object IcebergManifest {
       deletedFilesCount: Int,
       addedRowsCount: Long,
       existingRowsCount: Long,
-      deletedRowsCount: Long)
+      deletedRowsCount: Long,
+      firstRowId: Option[Long] = None)
 
   private def kvSchema(name: String, valueType: Schema): Schema =
     SchemaBuilder.array().items(
@@ -86,48 +112,108 @@ object IcebergManifest {
         .name("value").`type`(valueType).noDefault()
         .endRecord())
 
+  /** Stamp the spec's `field-id` attribute onto `rec`'s fields (and the
+    * kv-element `key`/`value` fields where the spec numbers them) —
+    * mutates and returns the schema; Avro serializes attributes into the
+    * container header where id-driven readers resolve them.
+    */
+  private def stampFieldIds(rec: Schema, ids: Map[String, Int]): Schema = {
+    rec.getFields.asScala.foreach { f =>
+      ids.get(f.name).foreach(id => f.addProp("field-id", id: Integer))
+    }
+    rec
+  }
+
+  private def stampKv(arr: Schema, keyId: Int, valueId: Int): Unit = {
+    val elem = arr.getElementType
+    elem.getField("key").addProp("field-id", keyId: Integer)
+    elem.getField("value").addProp("field-id", valueId: Integer)
+  }
+
   private val EntrySchema: Schema = {
     val str = Schema.create(Schema.Type.STRING)
     val lng = Schema.create(Schema.Type.LONG)
-    SchemaBuilder.record("manifest_entry").fields()
-      .requiredInt("status")
-      // v3 additions default so pre-round-15 manifests resolve cleanly
-      .name("sequence_number").`type`().longType().longDefault(0L)
-      .name("data_file").`type`(SchemaBuilder.record("data_file").fields()
+    // the flattened partition tuple: name + producing transform + value
+    // string (null value = null partition slot) — see the class doc's
+    // documented deviation
+    val partitionSchema = SchemaBuilder.array().items(
+      SchemaBuilder.record("partition_field").fields()
+        .requiredString("name")
+        .name("transform").`type`().optional().stringType()
+        .name("value").`type`().optional().stringType()
+        .endRecord())
+    val nulls = kvSchema("null_count_kv", lng)
+    val lowers = kvSchema("lower_bound_kv", str)
+    val uppers = kvSchema("upper_bound_kv", str)
+    stampKv(nulls, 121, 122)
+    stampKv(lowers, 126, 127)
+    stampKv(uppers, 129, 130)
+    val dataFile = stampFieldIds(
+      SchemaBuilder.record("data_file").fields()
         .name("content").`type`().intType().intDefault(ContentData)
         .requiredString("file_path")
         .requiredString("file_format")
+        .name("partition").`type`(partitionSchema)
+        .withDefault(java.util.Collections.emptyList[GenericRecord]())
         .requiredLong("record_count")
         .requiredLong("file_size_in_bytes")
-        .name("null_value_counts").`type`(kvSchema("null_count_kv", lng)).noDefault()
-        .name("lower_bounds").`type`(kvSchema("lower_bound_kv", str)).noDefault()
-        .name("upper_bounds").`type`(kvSchema("upper_bound_kv", str)).noDefault()
+        .name("null_value_counts").`type`(nulls).noDefault()
+        .name("lower_bounds").`type`(lowers).noDefault()
+        .name("upper_bounds").`type`(uppers).noDefault()
         .name("equality_ids").`type`().array().items().intType()
         .arrayDefault(java.util.Collections.emptyList[Integer]())
+        .name("first_row_id").`type`().optional().longType()
         .name("referenced_data_file").`type`().optional().stringType()
         .name("content_offset").`type`().optional().longType()
         .name("content_size_in_bytes").`type`().optional().longType()
-        .endRecord()).noDefault()
-      .endRecord()
+        .endRecord(),
+      Map("content" -> 134, "file_path" -> 100, "file_format" -> 101,
+        "partition" -> 102, "record_count" -> 103,
+        "file_size_in_bytes" -> 104, "null_value_counts" -> 110,
+        "lower_bounds" -> 125, "upper_bounds" -> 128,
+        "equality_ids" -> 135, "first_row_id" -> 142,
+        "referenced_data_file" -> 143, "content_offset" -> 144,
+        "content_size_in_bytes" -> 145))
+    stampFieldIds(
+      SchemaBuilder.record("manifest_entry").fields()
+        .requiredInt("status")
+        .name("snapshot_id").`type`().optional().longType()
+        // v3 additions default so pre-round-15 manifests resolve cleanly
+        .name("sequence_number").`type`().longType().longDefault(0L)
+        .name("data_file").`type`(dataFile).noDefault()
+        .endRecord(),
+      Map("status" -> 0, "snapshot_id" -> 1, "sequence_number" -> 3,
+        "data_file" -> 2))
   }
 
-  /** Manifest-list rows (spec "Manifest Lists", v2 required fields). */
+  /** Manifest-list rows (spec "Manifest Lists", v2 required fields +
+    * v3 `first_row_id`).
+    */
   private val ListSchema: Schema =
-    SchemaBuilder.record("manifest_file").fields()
-      .requiredString("manifest_path")
-      .requiredLong("manifest_length")
-      .requiredInt("partition_spec_id")
-      .name("content").`type`().intType().intDefault(0)
-      .name("sequence_number").`type`().longType().longDefault(0L)
-      .name("min_sequence_number").`type`().longType().longDefault(0L)
-      .requiredLong("added_snapshot_id")
-      .requiredInt("added_files_count")
-      .requiredInt("existing_files_count")
-      .requiredInt("deleted_files_count")
-      .requiredLong("added_rows_count")
-      .requiredLong("existing_rows_count")
-      .requiredLong("deleted_rows_count")
-      .endRecord()
+    stampFieldIds(
+      SchemaBuilder.record("manifest_file").fields()
+        .requiredString("manifest_path")
+        .requiredLong("manifest_length")
+        .requiredInt("partition_spec_id")
+        .name("content").`type`().intType().intDefault(0)
+        .name("sequence_number").`type`().longType().longDefault(0L)
+        .name("min_sequence_number").`type`().longType().longDefault(0L)
+        .requiredLong("added_snapshot_id")
+        .requiredInt("added_files_count")
+        .requiredInt("existing_files_count")
+        .requiredInt("deleted_files_count")
+        .requiredLong("added_rows_count")
+        .requiredLong("existing_rows_count")
+        .requiredLong("deleted_rows_count")
+        .name("first_row_id").`type`().optional().longType()
+        .endRecord(),
+      Map("manifest_path" -> 500, "manifest_length" -> 501,
+        "partition_spec_id" -> 502, "content" -> 517,
+        "sequence_number" -> 515, "min_sequence_number" -> 516,
+        "added_snapshot_id" -> 503, "added_files_count" -> 504,
+        "existing_files_count" -> 505, "deleted_files_count" -> 506,
+        "added_rows_count" -> 512, "existing_rows_count" -> 513,
+        "deleted_rows_count" -> 514, "first_row_id" -> 520))
 
   /** Resolve each stats column to its field id via the written schema's
     * `parquet.field.id` metadata. Id-less fields fall back to NEGATIVE
@@ -159,6 +245,15 @@ object IcebergManifest {
         r.put("value", v)
         r: GenericRecord
       }.asJava
+    val partElem = dfSchema.getField("partition").schema().getElementType
+    def partitionRecords(e: ManifestEntry): java.util.List[GenericRecord] =
+      e.partitionVals.toSeq.sortBy(_._1).map { case (name, v) =>
+        val r = new GenericData.Record(partElem)
+        r.put("name", name)
+        r.put("transform", e.partitionTransforms.get(name).orNull)
+        r.put("value", v) // null stays null (a null partition slot)
+        r: GenericRecord
+      }.asJava
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](EntrySchema))
     // scheme-aware: the manifest must land wherever the data files did
     val hp = new org.apache.hadoop.fs.Path(path)
@@ -168,6 +263,7 @@ object IcebergManifest {
       df.put("content", e.content)
       df.put("file_path", e.file.path)
       df.put("file_format", e.format)
+      df.put("partition", partitionRecords(e))
       df.put("record_count", e.file.recordCount)
       df.put("file_size_in_bytes", e.file.sizeBytes)
       df.put("null_value_counts", kvRecords("null_value_counts", e.file.nullCounts))
@@ -175,6 +271,8 @@ object IcebergManifest {
       df.put("upper_bounds", kvRecords("upper_bounds", e.file.colMaxs))
       df.put("equality_ids",
         e.equalityIds.map(Integer.valueOf).asJava)
+      df.put("first_row_id",
+        e.firstRowId.map(java.lang.Long.valueOf).orNull)
       df.put("referenced_data_file", e.referencedDataFile.orNull)
       df.put("content_offset",
         e.contentOffset.map(java.lang.Long.valueOf).orNull)
@@ -182,6 +280,7 @@ object IcebergManifest {
         e.contentSizeInBytes.map(java.lang.Long.valueOf).orNull)
       val rec = new GenericData.Record(EntrySchema)
       rec.put("status", e.status)
+      rec.put("snapshot_id", e.snapshotId.map(java.lang.Long.valueOf).orNull)
       rec.put("sequence_number", e.sequenceNumber)
       rec.put("data_file", df)
       w.append(rec)
@@ -214,8 +313,15 @@ object IcebergManifest {
             idToName(e.get("key").asInstanceOf[Int]) ->
               e.get("value").asInstanceOf[Long]
           }.toMap
-      def optLong(field: String): Option[Long] =
-        Option(df.get(field)).map(_.asInstanceOf[Long])
+      val partition =
+        df.get("partition").asInstanceOf[java.util.List[GenericRecord]]
+          .asScala.map { p =>
+            (p.get("name").toString,
+              Option(p.get("transform")).map(_.toString),
+              Option(p.get("value")).map(_.toString))
+          }.toSeq
+      def optLong(rec: GenericRecord, field: String): Option[Long] =
+        Option(rec.get(field)).map(_.asInstanceOf[Long])
       ManifestEntry(
         status = rec.get("status").asInstanceOf[Int],
         file = DataFileStats(
@@ -231,8 +337,13 @@ object IcebergManifest {
         equalityIds = df.get("equality_ids")
           .asInstanceOf[java.util.List[Integer]].asScala.map(_.intValue).toSeq,
         referencedDataFile = Option(df.get("referenced_data_file")).map(_.toString),
-        contentOffset = optLong("content_offset"),
-        contentSizeInBytes = optLong("content_size_in_bytes"))
+        contentOffset = optLong(df, "content_offset"),
+        contentSizeInBytes = optLong(df, "content_size_in_bytes"),
+        snapshotId = optLong(rec, "snapshot_id"),
+        firstRowId = optLong(df, "first_row_id"),
+        partitionVals = partition.map(p => p._1 -> p._3.orNull).toMap,
+        partitionTransforms =
+          partition.collect { case (n, Some(t), _) => n -> t }.toMap)
     }.toList
     finally r.close()
   }
@@ -263,6 +374,7 @@ object IcebergManifest {
       rec.put("added_rows_count", m.addedRowsCount)
       rec.put("existing_rows_count", m.existingRowsCount)
       rec.put("deleted_rows_count", m.deletedRowsCount)
+      rec.put("first_row_id", m.firstRowId.map(java.lang.Long.valueOf).orNull)
       w.append(rec)
     } finally w.close()
   }
@@ -287,7 +399,8 @@ object IcebergManifest {
         deletedFilesCount = rec.get("deleted_files_count").asInstanceOf[Int],
         addedRowsCount = rec.get("added_rows_count").asInstanceOf[Long],
         existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Long],
-        deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long])
+        deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long],
+        firstRowId = Option(rec.get("first_row_id")).map(_.asInstanceOf[Long]))
     }.toList
     finally r.close()
   }

@@ -127,14 +127,20 @@ object IcebergMetadataJson {
       catch { case _: Exception => 0L }
     // the discovery chain: per-snapshot Avro manifests + manifest list;
     // tracks whether ANY snapshot references a Puffin deletion vector
-    // (the v3 trigger)
-    val (listPathOf, anyDv) = exportManifests(catalog, dir, table, ids, schemas)
+    // (the v3 trigger) and the row-lineage high-water mark
+    val (listPathOf, anyDv, nextRowId) =
+      exportManifests(catalog, dir, table, ids, schemas)
     val snapshots = ids.map { id =>
       val schemaRef = schemas.collect { case (sid, _) if sid <= id => sid }
         .maxOption.map(sid => s""","schema-id":$sid""").getOrElse("")
+      // the snapshot's REAL operation (append/overwrite/delete/replace/
+      // metadata) from the catalog's entry diff — external tooling uses
+      // it to classify history (e.g. changelog scans skip `replace`)
+      val op = catalog.snapshotSummary(table, id)
+        .map(_.operation).getOrElse("append")
       s"""{"snapshot-id":$id,"sequence-number":$id,"timestamp-ms":${mtime(id)},""" +
         s""""manifest-list":"${esc(listPathOf(id))}",""" +
-        s""""summary":{"operation":"append"}$schemaRef}"""
+        s""""summary":{"operation":"${esc(op)}"}$schemaRef}"""
     }.mkString(",")
     val snapshotLog = ids.map(id =>
       s"""{"timestamp-ms":${mtime(id)},"snapshot-id":$id}""").mkString(",")
@@ -169,11 +175,35 @@ object IcebergMetadataJson {
         s""""source-id":$sourceId,"field-id":${1000 + i}}"""
     }.mkString(",")
     val lastPartitionId = 999 + renderedFields.length
+    // the table's DECLARED sort order (write-order) renders as Iceberg
+    // sort-order JSON: identity transform, ascending, nulls-first — the
+    // order maintenance compaction applies. Same all-or-nothing rule as
+    // the partition spec: a column that can't bind to a schema field id
+    // keeps the export at the empty order rather than misdescribing it.
+    val sortCols = catalog.sortOrder(table)
+    val sortable = sortCols.nonEmpty &&
+      sortCols.forall(c => currentFields.exists(_.name == c))
+    val sortOrders =
+      if (!sortable) """{"order-id":0,"fields":[]}"""
+      else {
+        val fields = sortCols.map { c =>
+          val src = currentFields.find(_.name == c).get
+          val sid = FieldIds.idOf(src).getOrElse(idAlloc.id(s".${src.name}"))
+          s"""{"transform":"identity","source-id":$sid,""" +
+            """"direction":"asc","null-order":"nulls-first"}"""
+        }.mkString(",")
+        s"""{"order-id":0,"fields":[]},{"order-id":1,"fields":[$fields]}"""
+      }
+    val defaultSortOrderId = if (sortable) 1 else 0
     val lastColumnId = idAlloc.last
     // deletion vectors are an Iceberg v3 feature; everything else this
     // export writes is v2-legal, so delete-free (and row-file-delete)
-    // tables stay readable by v2 tooling
+    // tables stay readable by v2 tooling. v3 requires row lineage, so
+    // `next-row-id` (the first-row-id high-water mark the manifests
+    // assigned) travels exactly when the version does.
     val formatVersion = if (anyDv) 3 else 2
+    val rowLineage =
+      if (formatVersion >= 3) s""""next-row-id":$nextRowId,""" + "\n" else ""
     val json =
       s"""{"format-version":$formatVersion,
          |"table-uuid":"$uuid",
@@ -181,13 +211,13 @@ object IcebergMetadataJson {
          |"last-sequence-number":$head,
          |"last-updated-ms":${mtime(head)},
          |"last-column-id":$lastColumnId,
-         |"current-schema-id":$currentSchemaId,
+         |$rowLineage"current-schema-id":$currentSchemaId,
          |"schemas":[$schemasJson],
          |"default-spec-id":0,
          |"partition-specs":[{"spec-id":0,"fields":[$specJson]}],
          |"last-partition-id":$lastPartitionId,
-         |"default-sort-order-id":0,
-         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"default-sort-order-id":$defaultSortOrderId,
+         |"sort-orders":[$sortOrders],
          |"current-snapshot-id":$head,
          |"snapshots":[$snapshots],
          |"snapshot-log":[$snapshotLog],
@@ -200,18 +230,26 @@ object IcebergMetadataJson {
   /** Write each snapshot's Avro manifests (data, and — when delete files
     * exist — a separate delete manifest, the spec's required split) plus
     * its manifest list. Returns (snapshot id → manifest-list path, any
-    * Puffin DV referenced). Puffin footers are read once per sidecar
-    * across all snapshots. Re-exports rewrite deterministically (snapshot
-    * entries are immutable per id) — per-export cost is O(total entries
-    * across retained snapshots), bounded in practice by snapshot expiry;
-    * export is an explicit interop operation, not a commit-path cost.
+    * Puffin DV referenced, next-row-id). Puffin footers are read once per
+    * sidecar across all snapshots. Re-exports rewrite deterministically
+    * (snapshot entries are immutable per id) — per-export cost is O(total
+    * entries across retained snapshots), bounded in practice by snapshot
+    * expiry; export is an explicit interop operation, not a commit-path
+    * cost.
+    *
+    * Row lineage (v3): each data file is assigned a `first_row_id` block
+    * of `record_count` ids the first time its path appears (ascending
+    * snapshot order — the order the catalog added them); later snapshots
+    * re-render the same value, and the returned next-row-id is the
+    * high-water mark `metadata.json` publishes. Entry `snapshot_id` is
+    * likewise the snapshot the path FIRST appeared in.
     */
   private def exportManifests(
       catalog: GraftCatalog,
       dir: Path,
       table: String,
       ids: Seq[Long],
-      schemas: Seq[(Long, StructType)]): (Map[Long, String], Boolean) = {
+      schemas: Seq[(Long, StructType)]): (Map[Long, String], Boolean, Long) = {
     import graft.sources.IcebergManifest.{ManifestEntry, ManifestFile}
     val conf = new org.apache.hadoop.conf.Configuration()
     // blob metadata per Puffin sidecar, memoized (snapshots share files).
@@ -233,7 +271,17 @@ object IcebergMetadataJson {
           .filter(_.blobType == Puffin.DvBlobType))
       })
     var anyDv = false
-    val listPaths = ids.map { id =>
+    // row lineage: one id block per unique data-file path, minted in
+    // ascending snapshot order; snapshot_id records the minting snapshot
+    var nextRowId = 0L
+    val lineage = scala.collection.mutable.HashMap.empty[String, (Long, Long)]
+    def lineageOf(id: Long, path: String, recordCount: Long): (Long, Long) =
+      lineage.getOrElseUpdate(path, {
+        val first = nextRowId
+        nextRowId += math.max(0L, recordCount)
+        (first, id)
+      })
+    val listPaths = ids.sorted.map { id =>
       val entries = catalog.loadEntriesAt(table, id)
       val schema = schemas.collect { case (sid, s) if sid <= id => s }
         .lastOption.getOrElse(StructType(Nil))
@@ -246,14 +294,20 @@ object IcebergMetadataJson {
           e.stats.map(_.colMins.filter(kv => known(kv._1))).getOrElse(Map.empty),
           e.stats.map(_.colMaxs.filter(kv => known(kv._1))).getOrElse(Map.empty),
           e.stats.map(_.nullCounts.filter(kv => known(kv._1))).getOrElse(Map.empty))
-      val dataEntries = entries.filter(_.kind == "data").map(e =>
+      val dataEntries = entries.filter(_.kind == "data").map { e =>
+        val (firstRowId, addedAt) = lineageOf(id, e.path, e.recordCount)
         ManifestEntry(IcebergManifest.StatusAdded, stats(e), e.format,
-          content = IcebergManifest.ContentData, sequenceNumber = e.seqNum))
+          content = IcebergManifest.ContentData, sequenceNumber = e.seqNum,
+          snapshotId = Some(addedAt), firstRowId = Some(firstRowId),
+          partitionVals = e.partitionVals,
+          partitionTransforms = e.partitionTransforms)
+      }
       val deleteEntries = entries.filter(_.kind != "data").flatMap { e =>
         if (e.kind == "eqdel")
           Seq(ManifestEntry(IcebergManifest.StatusAdded, stats(e), e.format,
             content = IcebergManifest.ContentEqualityDeletes,
-            sequenceNumber = e.seqNum, equalityIds = e.eqIds))
+            sequenceNumber = e.seqNum, equalityIds = e.eqIds,
+            snapshotId = Some(id)))
         else (if (e.format == "dv") dvBlobs(e.path) else None) match {
           case Some(blobs) =>
             // one manifest entry per DV blob — each names its referenced
@@ -271,12 +325,13 @@ object IcebergMetadataJson {
                 sequenceNumber = e.seqNum,
                 referencedDataFile = b.properties.get("referenced-data-file"),
                 contentOffset = Some(b.offset),
-                contentSizeInBytes = Some(b.length))
+                contentSizeInBytes = Some(b.length),
+                snapshotId = Some(id))
             }
           case _ =>
             Seq(ManifestEntry(IcebergManifest.StatusAdded, stats(e), e.format,
               content = IcebergManifest.ContentPositionDeletes,
-              sequenceNumber = e.seqNum))
+              sequenceNumber = e.seqNum, snapshotId = Some(id)))
         }
       }
       def writeOne(suffix: String, content: Int,
@@ -293,7 +348,11 @@ object IcebergMetadataJson {
             addedFilesCount = es.size, existingFilesCount = 0,
             deletedFilesCount = 0,
             addedRowsCount = es.map(e => math.max(0L, e.file.recordCount)).sum,
-            existingRowsCount = 0L, deletedRowsCount = 0L))
+            existingRowsCount = 0L, deletedRowsCount = 0L,
+            // the manifest's row-id block starts at its lowest entry block
+            // (a re-rendered full inventory spans every block it carries)
+            firstRowId =
+              if (content == 0) es.flatMap(_.firstRowId).minOption else None))
         }
       val manifests =
         writeOne("m0", 0, dataEntries).toSeq ++
@@ -302,6 +361,6 @@ object IcebergMetadataJson {
       IcebergManifest.writeList(listPath.toString, manifests, conf)
       id -> listPath.toString
     }.toMap
-    (listPaths, anyDv)
+    (listPaths, anyDv, nextRowId)
   }
 }

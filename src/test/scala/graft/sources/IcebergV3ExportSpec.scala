@@ -107,6 +107,111 @@ class IcebergV3ExportSpec extends SparkSpec {
     assert(dataEntries.forall(_.content == IcebergManifest.ContentData))
   }
 
+  test("v3 export carries row lineage, real operations, sort order, and spec field ids") {
+    val root = Files.createTempDirectory("graft-v3exp4").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 500)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(500, 900)")
+    spark.sql(s"ALTER TABLE $g.t WRITE ORDERED BY k")
+    spark.sql(s"DELETE FROM $g.t WHERE k % 11 = 3")
+    spark.sql(s"CALL $g.system.rewrite_position_delete_files('t', " +
+      "as_deletion_vectors => true)").collect()
+    val cat = new GraftCatalog(root)
+    val metaPath = IcebergMetadataJson.export(cat, root, "t")
+    val text = Files.readString(metaPath)
+    assert(text.contains("\"format-version\":3"))
+
+    // v3 row lineage: next-row-id covers every data row ever added
+    val meta = spark.read.option("multiLine", "true").json(metaPath.toString)
+    import org.apache.spark.sql.functions._
+    val nextRowId = meta.head().getAs[Long]("next-row-id")
+    assert(nextRowId >= 900L, s"next-row-id must cover all added rows: $nextRowId")
+
+    // real per-snapshot operations, not a hardcoded "append"
+    val ops = meta.select(explode(col("snapshots")).as("s"))
+      .select(col("s.summary.operation")).collect().map(_.getString(0)).toSeq
+    // create = metadata, two inserts = append, the DELETE and the DV
+    // migration (delete files swapped, data untouched) = delete
+    assert(ops == Seq("metadata", "append", "append", "delete", "delete"),
+      s"operations must reflect the commit history: $ops")
+
+    // declared write order exports as sort-order 1, identity asc
+    assert(text.contains("\"default-sort-order-id\":1"), text)
+    assert(text.contains("\"transform\":\"identity\"") &&
+      text.contains("\"direction\":\"asc\""), text)
+
+    // manifests: first_row_id blocks are disjoint and monotonic; every
+    // entry records the snapshot that added its file
+    val head = meta.head().getAs[Long]("current-snapshot-id")
+    val listPath = meta.select(explode(col("snapshots")).as("s"))
+      .select(col("s.snapshot-id").as("id"), col("s.manifest-list").as("ml"))
+      .collect().find(_.getAs[Long]("id") == head).get.getAs[String]("ml")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val manifests = IcebergManifest.readList(listPath, conf)
+    val dataManifest = manifests.find(_.content == 0).get
+    val schema = cat.currentSchema("t").get
+    val dataEntries = IcebergManifest.read(dataManifest.manifestPath, schema, conf)
+    assert(dataEntries.forall(e => e.firstRowId.isDefined && e.snapshotId.isDefined))
+    val blocks = dataEntries
+      .map(e => (e.firstRowId.get, e.firstRowId.get + e.file.recordCount))
+      .sortBy(_._1)
+    blocks.sliding(2).foreach {
+      case Seq((_, end), (start, _)) =>
+        assert(start >= end, s"row-id blocks must not overlap: $blocks")
+      case _ => ()
+    }
+    assert(blocks.forall(_._1 < nextRowId) &&
+      blocks.map(_._2).max <= nextRowId)
+    assert(dataManifest.firstRowId.contains(blocks.map(_._1).min),
+      "the manifest-list row carries its lowest entry block")
+    // entries added by DIFFERENT commits carry different snapshot ids
+    assert(dataEntries.map(_.snapshotId.get).distinct.size >= 1 &&
+      dataEntries.forall(_.snapshotId.get <= head))
+
+    // the Avro schema carries the spec's field-id attributes
+    val avroReader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(dataManifest.manifestPath),
+      new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    val writerSchema = avroReader.getSchema
+    avroReader.close()
+    assert(writerSchema.getField("status").getObjectProp("field-id") == (0: Integer))
+    assert(writerSchema.getField("snapshot_id").getObjectProp("field-id") == (1: Integer))
+    assert(writerSchema.getField("data_file").getObjectProp("field-id") == (2: Integer))
+    val df = writerSchema.getField("data_file").schema()
+    assert(df.getField("file_path").getObjectProp("field-id") == (100: Integer))
+    assert(df.getField("partition").getObjectProp("field-id") == (102: Integer))
+    assert(df.getField("first_row_id").getObjectProp("field-id") == (142: Integer))
+    assert(df.getField("referenced_data_file").getObjectProp("field-id") == (143: Integer))
+  }
+
+  test("partition tuples round-trip through the manifest export") {
+    val root = Files.createTempDirectory("graft-v3exp5").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO $g.t VALUES (1, 'a'), (2, 'a'), (3, 'b')")
+    val cat = new GraftCatalog(root)
+    IcebergMetadataJson.export(cat, root, "t")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val head = cat.currentSnapshotId("t")
+    val manifests = IcebergManifest.readList(
+      s"$root/t/snap-$head-manifest-list.avro", conf)
+    val entries = IcebergManifest.read(
+      manifests.find(_.content == 0).get.manifestPath,
+      cat.currentSchema("t").get, conf)
+    val tuples = entries.map(_.partitionVals)
+    assert(tuples.forall(_.keySet == Set("cat")), s"tuples: $tuples")
+    assert(tuples.flatMap(_.values).toSet == Set("a", "b"))
+    // ...and match what the catalog itself recorded per file
+    val own = cat.loadEntries("t").filter(_.kind == "data")
+      .map(e => CompactionRunner.canonPath(e.path) -> e.partitionVals).toMap
+    entries.foreach { e =>
+      assert(own(CompactionRunner.canonPath(e.file.path)) == e.partitionVals)
+    }
+  }
+
   test("delete-free exports stay format-version 2 with a data-only list") {
     val root = Files.createTempDirectory("graft-v3exp2").toString
     val g = mount(root)
