@@ -229,11 +229,16 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else {
-        // precision scales with magnitude (2dp under 1 s, 1dp under 100,
-        // whole seconds above): ≤4 chars per value keeps the growing suite
-        // (147 queries in r12) inside the tail window; 1dp on 1–10 s
-        // values is ≤5% rounding — far inside the 2x drift-retry band
-        val scale = if (v >= 100) 0 else if (v >= 1) 1 else 2
+        // precision scales with magnitude (whole seconds from 10 s, 1dp
+        // down to 0.1 s, 2dp below): ≤3 chars for every healthy value
+        // keeps the growing suite (160 queries in r16) inside the
+        // driver's MEASURED 2000-char tail window — r15's recorded tail
+        // shows the full line + sbt's ~75-byte [success] trailer landing
+        // exactly inside it, ~68 bytes of headroom at 4-char sub-second
+        // values. 1dp on sub-second values is display only (the in-
+        // process drift retry compares full-precision doubles, and
+        // recordedSec keeps 2dp); ±0.5 s on a 10+ s query is <5%.
+        val scale = if (v >= 10) 0 else if (v >= 0.095) 1 else 2
         val s = BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
           .underlying.stripTrailingZeros.toPlainString
         if (s == "0") "0.01" else s // a sub-5ms query still shows nonzero

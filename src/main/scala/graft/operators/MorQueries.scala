@@ -1474,7 +1474,92 @@ object MorQueries {
     spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM $g.o")
   }
 
+  /** The q166/q167 shared fixture: a DV + eq-delete MoR orders table under
+    * `root`, exported to a `metadata.json` chain. Returns the export path.
+    */
+  private def importFixture(
+      spark: SparkSession, sfDir: String, root: String): java.nio.file.Path = {
+    val g = s"gimp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.o (o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView(s"${g}_src")
+    spark.sql(
+      s"""INSERT INTO $g.o SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM ${g}_src WHERE o_orderkey <= 60000""".stripMargin)
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderkey % 101 = 17") // -> pos-deletes
+    spark.sql(s"CALL $g.system.rewrite_position_delete_files('o', " +
+      "as_deletion_vectors => true)").collect()
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderkey IN (3, 777)") // -> eq-delete
+    val cat = new graft.sources.GraftCatalog(root)
+    graft.sources.IcebergMetadataJson.export(cat, root, "o")
+  }
+
+  /** Q166: the Iceberg metadata IMPORT path — the reference's upstream half
+    * (load a table OTHER writers produced: `Catalog::load_table` + the
+    * delete-file-processing snapshot scan, `core/src/compaction/mod.rs:44,
+    * 90-171`). Export a DV + eq-delete table's `metadata.json` chain, then
+    * `GraftCatalog.importTable` it into a FRESH catalog root and MoR-read
+    * the imported table through a second doorway mount. The import doubles
+    * as the second-implementation check of the export: nothing of the
+    * original catalog's in-memory state reaches the new root — only the
+    * exported document chain does — yet the scan must hash-match the same
+    * oracle the original answers.
+    */
+  private def q166(spark: SparkSession, sfDir: String): DataFrame = {
+    val rootA = java.nio.file.Files.createTempDirectory("graft-q166a").toString
+    val metaPath = importFixture(spark, sfDir, rootA)
+    val rootB = java.nio.file.Files.createTempDirectory("graft-q166b").toString
+    val catB = new graft.sources.GraftCatalog(rootB)
+    catB.importTable("o", metaPath.toString)
+    // the deletes must import AS delete files (MoR-served, not baked in)
+    val ents = catB.loadEntries("o")
+    require(ents.exists(e => e.kind == "posdel" && e.format == "dv"),
+      s"the import must carry the deletion vectors: $ents")
+    require(ents.exists(e => e.kind == "eqdel" && e.eqIds.nonEmpty),
+      s"the import must carry the eq-delete with its ids: $ents")
+    // ...and the full snapshot history must be time-travelable
+    require(catB.snapshotIds("o").size >= 4,
+      s"every lineage snapshot must import: ${catB.snapshotIds("o")}")
+    val h = s"gq166_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$h", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$h.root", rootB)
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM $h.o")
+  }
+
+  /** Q167: compact an IMPORTED table — the reference's one job, on a table
+    * it did not write (scan with delete processing → merge → write →
+    * commit, `core/src/compaction/mod.rs:90-171`). After q166's import,
+    * `compactTable` must retire every foreign delete file, land its output
+    * under the importing root, and leave the content identical — the scan
+    * answers the same oracle as q166, now from plain data files.
+    */
+  private def q167(spark: SparkSession, sfDir: String): DataFrame = {
+    val rootA = java.nio.file.Files.createTempDirectory("graft-q167a").toString
+    val metaPath = importFixture(spark, sfDir, rootA)
+    val rootB = java.nio.file.Files.createTempDirectory("graft-q167b").toString
+    val catB = new graft.sources.GraftCatalog(rootB)
+    catB.importTable("o", metaPath.toString)
+    require(catB.loadEntries("o").exists(_.kind != "data"),
+      "the imported table must hold pending delete files")
+    catB.compactTable(spark, "o", s"$rootB/o/_data/compacted")
+    val after = catB.loadEntries("o")
+    require(after.forall(_.kind == "data"),
+      s"compaction must retire every imported delete file: $after")
+    require(after.forall(_.path.contains(rootB)),
+      s"compaction output must land under the importing root: ${after.map(_.path)}")
+    val h = s"gq167_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$h", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$h.root", rootB)
+    spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM $h.o")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_iceberg_import" -> (q166 _),
+    "q167_import_compact" -> (q167 _),
     "q165_v3_manifest_export" -> (q165 _),
     "q164_static_in_prune" -> (q164 _),
     "q160_eq_delete_mask" -> (q160 _),
@@ -1544,6 +1629,16 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q166_iceberg_import" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 60000
+        |  AND o_orderkey % 101 <> 17
+        |  AND o_orderkey NOT IN (3, 777)""".stripMargin,
+    "q167_import_compact" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey <= 60000
+        |  AND o_orderkey % 101 <> 17
+        |  AND o_orderkey NOT IN (3, 777)""".stripMargin,
     "q165_v3_manifest_export" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 60000

@@ -359,6 +359,156 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** IMPORT a foreign Iceberg table by metadata location — the reference's
+    * upstream half (`Catalog::load_table` + the delete-file-processing
+    * snapshot scan, `core/src/compaction/mod.rs:44,90-171`): parse the
+    * `metadata.json`, walk each snapshot's manifest list → manifests →
+    * data/delete files, and register the chain as a catalog table. Import
+    * is BY REFERENCE: data, delete, and Puffin files stay at their
+    * original locations (Iceberg's `register_table` semantics); only
+    * catalog metadata is written under this root. The result serves every
+    * read path a native table does — MoR scan with position/equality
+    * deletes and deletion vectors, time travel over the imported
+    * snapshots, pruning from the manifests' bounds — and every write path
+    * ([[compactTable]] retires the imported delete files exactly like
+    * native ones; its outputs land under THIS root).
+    *
+    * Snapshot mapping: the main lineage (snapshots at or before
+    * `current-snapshot-id` in sequence-number order) renumbers to local
+    * ids 1..N — foreign ids are arbitrary longs, local ids are this
+    * catalog's commit counter, and the foreign id/sequence pair is
+    * preserved where it matters: each entry keeps its manifest
+    * `sequence_number`, which is what governs delete applicability.
+    * Snapshots AFTER the current one (staged/branch state) do not import.
+    * Schemas import with their field ids intact (the identity eq-delete
+    * binding and rename robustness key on); the foreign `last-column-id`
+    * seeds the monotonic field-id mark so later evolution here never
+    * re-mints a foreign dropped id. Foreign table properties are adopted,
+    * with `import.*` provenance keys layered on top; a fresh table UUID is
+    * minted (the UUID is THIS catalog's generation discriminator — the
+    * foreign one is recorded as `import.source-table-uuid`).
+    *
+    * Returns the local HEAD snapshot id (= the number of imported
+    * snapshots).
+    */
+  def importTable(
+      table: String,
+      metadataLocation: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): Long = {
+    validateSegments("table", table)
+    if (table.contains("/")) {
+      val parent = table.substring(0, table.lastIndexOf('/'))
+      require(namespaceExists(parent), s"namespace $parent does not exist")
+    }
+    require(!namespaceExists(table), s"$table is a namespace, not a table")
+    val meta = IcebergImport.read(metadataLocation, conf)
+    val head = meta.currentSnapshotId.getOrElse(throw GraftError.Metadata(
+      s"$metadataLocation has no current snapshot to import"))
+    val ordered = meta.snapshots.sortBy(s => (s.sequenceNumber, s.snapshotId))
+    val headAt = ordered.indexWhere(_.snapshotId == head)
+    if (headAt < 0)
+      throw GraftError.Metadata(
+        s"$metadataLocation: current-snapshot-id $head is not in 'snapshots'")
+    val lineage = ordered.take(headAt + 1)
+    val schemaById = meta.schemas.toMap
+    // walk the ENTIRE manifest chain before writing anything: the walk is
+    // the error-prone half (remote IO, unbindable eq-deletes, malformed
+    // manifests), and snapshot documents are write-once — a refusal after
+    // a partial write would wedge the retry on the conflict guard. Also
+    // keeps the (possibly object-store) IO outside the table lock.
+    val prepared = lineage.zipWithIndex.map { case (snap, i) =>
+      // the schema the snapshot was committed under; snapshots without
+      // a schema-id read under the document's current schema (the spec's
+      // resolution rule for pre-v2 history)
+      val schema = snap.schemaId.flatMap(schemaById.get)
+        .orElse(schemaById.get(meta.currentSchemaId))
+        .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      (i + 1L, schema, importEntries(snap, schema, conf))
+    }
+    withTableLock(table) {
+      require(!headExists(table), s"table $table already exists")
+      prepared.foreach { case (lid, schema, entries) =>
+        writeSnapshot(table, lid, entries)
+        if (schema.nonEmpty) writeSchema(table, lid, schema)
+      }
+      advanceLastFieldId(table, math.max(meta.lastColumnId,
+        meta.schemas.flatMap(s => FieldIds.allIds(s._2)).foldLeft(0)(math.max)))
+      if (meta.partitionFields.nonEmpty)
+        writePspecFile(table, meta.partitionFields)
+      if (meta.sortColumns.nonEmpty) {
+        val tmp = tableDir(table).resolve(
+          s".sortorder.tmp-${Thread.currentThread().getId}")
+        Files.writeString(tmp,
+          meta.sortColumns.map(java.net.URLEncoder.encode(_, "UTF-8"))
+            .mkString("\n"),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        Files.move(tmp, sortOrderPath(table),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      writePropsFile(table, meta.properties ++ Map(
+        "import.metadata-location" -> metadataLocation,
+        "import.format-version" -> meta.formatVersion.toString) ++
+        meta.tableUuid.map("import.source-table-uuid" -> _))
+      writeTableUuid(table)
+      createHead(table, lineage.length.toLong)
+      lineage.length.toLong
+    }
+  }
+
+  /** One imported snapshot's entry list: manifest list → manifests →
+    * entries, `DELETED` rows skipped (`EXISTING`/`ADDED` both live), each
+    * mapped onto this catalog's [[TableEntry]] model. Puffin deletion
+    * vectors arrive as one manifest entry PER BLOB (the v3 shape the
+    * exporter writes); they regroup to one `posdel`/`dv` entry per sidecar
+    * — the shape [[scanTableFrames]] probes. An equality-delete whose
+    * `equality_ids` cannot bind to the snapshot's schema REFUSES the whole
+    * import: dropping the delete would resurrect rows.
+    */
+  private def importEntries(
+      snap: IcebergImport.SnapshotRef,
+      schema: org.apache.spark.sql.types.StructType,
+      conf: org.apache.hadoop.conf.Configuration): Seq[TableEntry] = {
+    def fmt(f: String) = f.toLowerCase(java.util.Locale.ROOT)
+    val raw = IcebergManifest.readList(snap.manifestList, conf).flatMap { m =>
+      IcebergManifest.read(m.manifestPath, schema, conf)
+    }.filter(_.status != IcebergManifest.StatusDeleted)
+    val data = raw.filter(_.content == IcebergManifest.ContentData).map { e =>
+      TableEntry("data", e.file.path, e.sequenceNumber, fmt(e.format), Nil,
+        stats = statsOf(e.file),
+        partitionVals = e.partitionVals,
+        partitionTransforms = e.partitionTransforms,
+        recordCount = e.file.recordCount, sizeBytes = e.file.sizeBytes)
+    }
+    val posRaw = raw.filter(_.content == IcebergManifest.ContentPositionDeletes)
+    val (dvBlobs, posFiles) =
+      posRaw.partition(e => fmt(e.format) == "puffin")
+    val dvs = dvBlobs.groupBy(_.file.path).toSeq.sortBy(_._1)
+      .map { case (p, blobs) =>
+        val counts = blobs.map(_.file.recordCount)
+        TableEntry("posdel", p, blobs.map(_.sequenceNumber).max, "dv", Nil,
+          recordCount = if (counts.forall(_ >= 0)) counts.sum else -1L,
+          sizeBytes = blobs.map(_.file.sizeBytes).max)
+      }
+    val pos = posFiles.map { e =>
+      TableEntry("posdel", e.file.path, e.sequenceNumber, fmt(e.format), Nil,
+        recordCount = e.file.recordCount, sizeBytes = e.file.sizeBytes)
+    }
+    val eq = raw.filter(_.content == IcebergManifest.ContentEqualityDeletes)
+      .map { e =>
+        val names = e.equalityIds.map(id =>
+          FieldIds.nameById(schema, id).getOrElse(throw GraftError.Metadata(
+            s"equality-delete ${e.file.path} keys on field id $id, which " +
+              s"the snapshot's schema cannot resolve — refusing the import " +
+              s"(dropping the delete would resurrect rows)")))
+        TableEntry("eqdel", e.file.path, e.sequenceNumber, fmt(e.format),
+          names, e.equalityIds, stats = statsOf(e.file),
+          recordCount = e.file.recordCount, sizeBytes = e.file.sizeBytes)
+      }
+    data ++ dvs ++ pos ++ eq
+  }
+
   // ---- per-snapshot canonical schema (§1.3 schema evolution) -------------
 
   private def schemaPath(table: String, id: Long) =
@@ -705,6 +855,14 @@ final class GraftCatalog(root: String,
   def setPartitionSpec(table: String,
       fields: Seq[GraftCatalog.PartitionFieldDef]): Unit = withTableLock(table) {
     require(fields.nonEmpty, "empty partition spec; use clearPartitionSpec")
+    writePspecFile(table, fields)
+  }
+
+  /** The spec write itself, caller already holding the table lock —
+    * [[importTable]] writes it mid-registration, before the head exists.
+    */
+  private def writePspecFile(table: String,
+      fields: Seq[GraftCatalog.PartitionFieldDef]): Unit = {
     require(fields.map(_.name).distinct.length == fields.length,
       s"duplicate partition field names in ${fields.map(_.name).mkString(",")}")
     def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
@@ -3416,12 +3574,19 @@ final class GraftCatalog(root: String,
       expectedHead: Option[Long] = None): Unit = withTableLock(table) {
     require(headExists(table), s"table $table does not exist")
     assertBaseLocked(table, expectedHead)
+    writePropsFile(table, (tableProperties(table) ++ updates) -- removals)
+  }
+
+  /** The property-file write itself, caller already holding the table
+    * lock — [[importTable]] writes the adopted foreign properties before
+    * the head exists.
+    */
+  private def writePropsFile(table: String, props: Map[String, String]): Unit = {
     def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
-    val next = (tableProperties(table) ++ updates) -- removals
     val tmp = tableDir(table).resolve(
       s".props.tmp-${Thread.currentThread().getId}")
     Files.writeString(tmp,
-      next.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+      props.toSeq.sortBy(_._1).map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
         .mkString("\n"),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, propsPath(table),

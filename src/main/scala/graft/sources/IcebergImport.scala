@@ -1,0 +1,270 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Iceberg `metadata.json` IMPORT parsing — the inverse of
+  * [[IcebergMetadataJson]] and the upstream half of the reference's
+  * runtime: load a table OTHER writers produced (the reference's
+  * `Catalog::load_table` + delete-file-processing snapshot scan,
+  * `core/src/compaction/mod.rs:44,90-171`, both served by `iceberg-rust`'s
+  * metadata reader). This object parses the table-metadata DOCUMENT into
+  * typed structures; [[GraftCatalog.importTable]] walks the manifest chain
+  * it names and registers the result as a mountable, MoR-readable table.
+  *
+  * The parser accepts spec-shaped v1/v2/v3 documents (fields per the
+  * public Iceberg table spec, "Table Metadata"). The downstream manifest
+  * walk additionally expects manifests matching [[IcebergManifest]]'s
+  * documented deviations (string-rendered bounds, name-keyed partition
+  * tuples), i.e. chains this library's exporter wrote — a stock binary
+  * manifest fails loudly at the Avro resolution step, never silently.
+  */
+object IcebergImport {
+
+  /** One snapshot reference from the document's `snapshots` array. */
+  final case class SnapshotRef(
+      snapshotId: Long,
+      sequenceNumber: Long,
+      timestampMs: Long,
+      manifestList: String,
+      schemaId: Option[Long],
+      operation: String)
+
+  /** The parsed table-metadata document — everything
+    * [[GraftCatalog.importTable]] needs to rebuild the snapshot chain.
+    */
+  final case class TableMetadata(
+      formatVersion: Int,
+      tableUuid: Option[String],
+      location: String,
+      lastColumnId: Int,
+      schemas: Seq[(Long, StructType)],
+      currentSchemaId: Long,
+      partitionFields: Seq[GraftCatalog.PartitionFieldDef],
+      sortColumns: Seq[String],
+      currentSnapshotId: Option[Long],
+      snapshots: Seq[SnapshotRef],
+      properties: Map[String, String])
+
+  private val mapper = new ObjectMapper
+
+  /** Read and parse a `metadata.json` through the Hadoop FileSystem for
+    * its scheme — a document on s3/wasb/gs imports exactly like a local
+    * one (the reference's deployment shape: catalog pointer + object-store
+    * FileIO). Size-capped: table metadata is KB–MB sized; a multi-GB
+    * "document" is a wrong path, not a big table.
+    */
+  def read(
+      metadataLocation: String,
+      conf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): TableMetadata = {
+    val hp = new org.apache.hadoop.fs.Path(metadataLocation)
+    val fs = hp.getFileSystem(conf)
+    val len = fs.getFileStatus(hp).getLen
+    if (len > (64L << 20))
+      throw GraftError.Metadata(
+        s"$metadataLocation is ${len} bytes — not a table-metadata document")
+    val buf = new Array[Byte](len.toInt)
+    val in = fs.open(hp)
+    try in.readFully(0, buf) finally in.close()
+    parse(new String(buf, java.nio.charset.StandardCharsets.UTF_8),
+      metadataLocation)
+  }
+
+  /** Parse a table-metadata document (already in memory). */
+  def parse(json: String, where: String = "<inline>"): TableMetadata = {
+    val root =
+      try mapper.readTree(json)
+      catch {
+        case e: Exception =>
+          throw GraftError.Metadata(s"$where is not JSON: ${e.getMessage}")
+      }
+    if (root == null || !root.isObject)
+      throw GraftError.Metadata(s"$where is not a JSON object")
+    def opt(name: String): Option[JsonNode] =
+      Option(root.get(name)).filterNot(_.isNull)
+    val version = opt("format-version").map(_.asInt).getOrElse(
+      throw GraftError.Metadata(s"$where lacks 'format-version'"))
+    if (version < 1 || version > 3)
+      throw GraftError.Metadata(
+        s"$where declares format-version $version (supported: 1–3)")
+
+    // schemas: v2/v3 `schemas` array; v1 documents may carry a single
+    // bare `schema` (assigned schema-id 0 per spec migration rules)
+    val schemas: Seq[(Long, StructType)] = opt("schemas") match {
+      case Some(arr) if arr.isArray =>
+        arr.elements().asScala.toSeq.map { s =>
+          val sid = Option(s.get("schema-id")).map(_.asLong).getOrElse(
+            throw GraftError.Metadata(s"$where: schema without 'schema-id'"))
+          sid -> parseStruct(s, where)
+        }
+      case _ =>
+        opt("schema").toSeq.map(s => 0L -> parseStruct(s, where))
+    }
+    val currentSchemaId = opt("current-schema-id").map(_.asLong)
+      .orElse(schemas.lastOption.map(_._1)).getOrElse(0L)
+    val currentSchema = schemas.collectFirst {
+      case (id, s) if id == currentSchemaId => s
+    }
+
+    // default partition spec: bind each field's source-id to a CURRENT
+    // schema column; all-or-nothing (same discipline as the exporter — a
+    // partially-bound spec would misdescribe the layout)
+    val defaultSpecId = opt("default-spec-id").map(_.asInt).getOrElse(0)
+    val partitionFields: Seq[GraftCatalog.PartitionFieldDef] =
+      (for {
+        specs <- opt("partition-specs").filter(_.isArray).toSeq
+        spec <- specs.elements().asScala
+        if Option(spec.get("spec-id")).exists(_.asInt == defaultSpecId)
+        fieldsNode <- Option(spec.get("fields")).filter(_.isArray).toSeq
+      } yield {
+        val fields = fieldsNode.elements().asScala.toSeq.flatMap { f =>
+          for {
+            name <- Option(f.get("name")).map(_.asText)
+            transform <- Option(f.get("transform")).map(_.asText)
+            sourceId <- Option(f.get("source-id")).map(_.asInt)
+            source <- currentSchema.flatMap(FieldIds.nameById(_, sourceId))
+          } yield GraftCatalog.PartitionFieldDef(name, transform, source)
+        }
+        val declared = fieldsNode.elements().asScala.size
+        if (fields.length == declared) fields else Nil
+      }).flatten
+
+    // default sort order: only the shape this catalog declares (identity
+    // transform over schema columns) imports; anything else → no declared
+    // order (metadata-only intent — never affects correctness)
+    val defaultOrderId = opt("default-sort-order-id").map(_.asInt).getOrElse(0)
+    val sortColumns: Seq[String] =
+      if (defaultOrderId == 0) Nil
+      else (for {
+        orders <- opt("sort-orders").filter(_.isArray).toSeq
+        order <- orders.elements().asScala
+        if Option(order.get("order-id")).exists(_.asInt == defaultOrderId)
+        fieldsNode <- Option(order.get("fields")).filter(_.isArray).toSeq
+      } yield {
+        val cols = fieldsNode.elements().asScala.toSeq.flatMap { f =>
+          val identity =
+            Option(f.get("transform")).map(_.asText).contains("identity")
+          if (!identity) None
+          else Option(f.get("source-id")).map(_.asInt)
+            .flatMap(id => currentSchema.flatMap(FieldIds.nameById(_, id)))
+        }
+        val declared = fieldsNode.elements().asScala.size
+        if (cols.length == declared) cols else Nil
+      }).flatten
+
+    val snapshots = opt("snapshots").filter(_.isArray).toSeq
+      .flatMap(_.elements().asScala).map { s =>
+        val sid = Option(s.get("snapshot-id")).map(_.asLong).getOrElse(
+          throw GraftError.Metadata(s"$where: snapshot without 'snapshot-id'"))
+        val list = Option(s.get("manifest-list")).map(_.asText).getOrElse(
+          throw GraftError.Metadata(
+            s"$where: snapshot $sid lacks 'manifest-list'"))
+        SnapshotRef(
+          snapshotId = sid,
+          sequenceNumber =
+            Option(s.get("sequence-number")).map(_.asLong).getOrElse(sid),
+          timestampMs =
+            Option(s.get("timestamp-ms")).map(_.asLong).getOrElse(0L),
+          manifestList = list,
+          schemaId = Option(s.get("schema-id")).map(_.asLong),
+          operation = Option(s.get("summary"))
+            .flatMap(n => Option(n.get("operation"))).map(_.asText)
+            .getOrElse("append"))
+      }
+
+    val props = opt("properties").filter(_.isObject).map { p =>
+      p.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+    }.getOrElse(Map.empty[String, String])
+
+    TableMetadata(
+      formatVersion = version,
+      tableUuid = opt("table-uuid").map(_.asText).filter(_.nonEmpty),
+      location = opt("location").map(_.asText).getOrElse(""),
+      lastColumnId = opt("last-column-id").map(_.asInt).getOrElse(0),
+      schemas = schemas,
+      currentSchemaId = currentSchemaId,
+      partitionFields = partitionFields,
+      sortColumns = sortColumns,
+      currentSnapshotId =
+        opt("current-snapshot-id").map(_.asLong).filter(_ >= 0),
+      snapshots = snapshots,
+      properties = props)
+  }
+
+  /** An Iceberg struct schema node → Spark StructType with every field id
+    * preserved as `parquet.field.id` metadata at every nesting depth — the
+    * column identity all id-driven resolution (eq-delete binding, rename
+    * robustness) keys on after import.
+    */
+  private[sources] def parseStruct(node: JsonNode, where: String): StructType = {
+    if (Option(node.get("type")).map(_.asText).getOrElse("") != "struct")
+      throw GraftError.Metadata(s"$where: schema is not an Iceberg struct")
+    val fields = Option(node.get("fields")).filter(_.isArray).toSeq
+      .flatMap(_.elements().asScala).map { f =>
+        val name = Option(f.get("name")).map(_.asText).getOrElse(
+          throw GraftError.Metadata(s"$where: schema field without 'name'"))
+        val required = Option(f.get("required")).exists(_.asBoolean)
+        val dt = parseType(Option(f.get("type")).getOrElse(
+          throw GraftError.Metadata(
+            s"$where: field '$name' lacks a 'type'")), where, name)
+        val meta = Option(f.get("id")).map(_.asLong).fold(Metadata.empty)(id =>
+          new MetadataBuilder().putLong(FieldIds.MetaKey, id).build())
+        StructField(name, dt, nullable = !required, metadata = meta)
+      }
+    StructType(fields)
+  }
+
+  /** One Iceberg type node (primitive name string or nested object) →
+    * Spark type — the inverse of the exporter's rendering. Unknown types
+    * fail loudly: silently mapping one would misdecode every file.
+    */
+  private def parseType(node: JsonNode, where: String, field: String): DataType =
+    if (node.isTextual) node.asText match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case d if d.startsWith("decimal(") && d.endsWith(")") =>
+        d.stripPrefix("decimal(").stripSuffix(")").split(",") match {
+          case Array(p, s) => DecimalType(p.trim.toInt, s.trim.toInt)
+          case _ => throw GraftError.Metadata(
+            s"$where: malformed decimal type '$d' on '$field'")
+        }
+      case other => throw GraftError.Metadata(
+        s"$where: unsupported Iceberg type '$other' on '$field'")
+    } else if (node.isObject)
+      Option(node.get("type")).map(_.asText).getOrElse("") match {
+        case "struct" => parseStruct(node, where)
+        case "list" =>
+          ArrayType(
+            parseType(Option(node.get("element")).getOrElse(
+              throw GraftError.Metadata(
+                s"$where: list type on '$field' lacks 'element'")),
+              where, field),
+            containsNull =
+              !Option(node.get("element-required")).exists(_.asBoolean))
+        case "map" =>
+          MapType(
+            parseType(Option(node.get("key")).getOrElse(
+              throw GraftError.Metadata(
+                s"$where: map type on '$field' lacks 'key'")), where, field),
+            parseType(Option(node.get("value")).getOrElse(
+              throw GraftError.Metadata(
+                s"$where: map type on '$field' lacks 'value'")), where, field),
+            valueContainsNull =
+              !Option(node.get("value-required")).exists(_.asBoolean))
+        case other => throw GraftError.Metadata(
+          s"$where: unsupported nested type '$other' on '$field'")
+      }
+    else throw GraftError.Metadata(
+      s"$where: malformed type node on '$field'")
+}

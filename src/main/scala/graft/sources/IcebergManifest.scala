@@ -303,15 +303,21 @@ object IcebergManifest {
     val r = openReader(path, conf, EntrySchema)
     try r.iterator().asScala.map { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]
+      // a field id the schema can't resolve (a foreign manifest's bounds
+      // for a since-dropped column) DROPS: bounds and null counts are a
+      // pruning optimization, and every pruning consumer treats absence
+      // as "cannot skip" — failing the whole read over them would make
+      // dropped-column history unimportable
       def kv(field: String): Map[String, String] =
-        df.get(field).asInstanceOf[java.util.List[GenericRecord]].asScala.map { e =>
-          idToName(e.get("key").asInstanceOf[Int]) -> e.get("value").toString
+        df.get(field).asInstanceOf[java.util.List[GenericRecord]].asScala.flatMap { e =>
+          idToName.get(e.get("key").asInstanceOf[Int])
+            .map(_ -> e.get("value").toString)
         }.toMap
       val nulls =
         df.get("null_value_counts").asInstanceOf[java.util.List[GenericRecord]]
-          .asScala.map { e =>
-            idToName(e.get("key").asInstanceOf[Int]) ->
-              e.get("value").asInstanceOf[Long]
+          .asScala.flatMap { e =>
+            idToName.get(e.get("key").asInstanceOf[Int])
+              .map(_ -> e.get("value").asInstanceOf[Long])
           }.toMap
       val partition =
         df.get("partition").asInstanceOf[java.util.List[GenericRecord]]

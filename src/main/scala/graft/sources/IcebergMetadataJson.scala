@@ -204,10 +204,16 @@ object IcebergMetadataJson {
     val formatVersion = if (anyDv) 3 else 2
     val rowLineage =
       if (formatVersion >= 3) s""""next-row-id":$nextRowId,""" + "\n" else ""
+    // the catalog's table properties travel in the document (spec
+    // "Table Metadata" optional `properties`) — import adopts them, so
+    // behavior-bearing keys like write.delete.mode survive the round trip
+    val propsJson = catalog.tableProperties(table).toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     val json =
       s"""{"format-version":$formatVersion,
          |"table-uuid":"$uuid",
          |"location":"${esc(dir.toString)}",
+         |"properties":{$propsJson},
          |"last-sequence-number":$head,
          |"last-updated-ms":${mtime(head)},
          |"last-column-id":$lastColumnId,

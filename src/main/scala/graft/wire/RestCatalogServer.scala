@@ -12,7 +12,7 @@ import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioServerSocketChannel
 import io.netty.handler.codec.http._
 
-import graft.sources.{FieldIds, GraftCatalog, GraftError}
+import graft.sources.{FieldIds, GraftCatalog, GraftError, IcebergMetadataJson}
 
 import scala.jdk.CollectionConverters._
 
@@ -89,7 +89,9 @@ import scala.jdk.CollectionConverters._
   * opens them (Iceberg catalog semantics: the catalog swaps pointers,
   * engines move data).
   */
-final class RestCatalogServer(catalog: GraftCatalog, port: Int = 0) {
+final class RestCatalogServer(
+    catalog: GraftCatalog, port: Int = 0,
+    exportOnLoad: Boolean = false) {
 
   import RestCatalogServer._
 
@@ -105,7 +107,7 @@ final class RestCatalogServer(catalog: GraftCatalog, port: Int = 0) {
         ch.pipeline().addLast(
           new HttpServerCodec(),
           new HttpObjectAggregator(1 << 20),
-          new Handler(catalog))
+          new Handler(catalog, exportOnLoad))
     })
     .bind(InetAddress.getLoopbackAddress, port).sync().channel()
 
@@ -122,13 +124,13 @@ object RestCatalogServer {
 
   private val mapper = new ObjectMapper()
 
-  private final class Handler(catalog: GraftCatalog)
+  private final class Handler(catalog: GraftCatalog, exportOnLoad: Boolean)
       extends SimpleChannelInboundHandler[FullHttpRequest] {
 
     override def channelRead0(ctx: ChannelHandlerContext, req: FullHttpRequest): Unit = {
       val (status, body) =
         try route(catalog, req.method(), req.uri(),
-          req.content().toString(StandardCharsets.UTF_8))
+          req.content().toString(StandardCharsets.UTF_8), exportOnLoad)
         catch { case e: Exception =>
           // e.getMessage may be null (bare NPEs): the envelope must still
           // render or the client sees a reset instead of the 500
@@ -161,7 +163,8 @@ object RestCatalogServer {
       catalog: GraftCatalog,
       method: HttpMethod,
       uri: String,
-      body: String = ""): (HttpResponseStatus, String) = {
+      body: String = "",
+      exportOnLoad: Boolean = false): (HttpResponseStatus, String) = {
     val path = uri.takeWhile(_ != '?')
     // percent-decode ONLY: URLDecoder is form decoding, where '+' means
     // space — but '+' is a legal literal path character (RFC 3986), so a
@@ -286,7 +289,8 @@ object RestCatalogServer {
           HttpResponseStatus.NOT_FOUND ->
             errorJson(s"Table does not exist: ${dotted(parts, t)}",
               "NoSuchTableException", 404)
-        else HttpResponseStatus.OK -> tableJson(catalog, catName(parts, t))
+        else HttpResponseStatus.OK ->
+          tableJson(catalog, catName(parts, t), exportOnLoad)
       case (HttpMethod.DELETE, Seq("v1", "namespaces", ns, "tables", t)) =>
         val parts = nsParts(ns)
         if (!nsExists(catalog, parts)) nsNotFound(parts)
@@ -757,7 +761,9 @@ object RestCatalogServer {
     * documents' mtimes, and `metadata-location` points at the catalog's
     * current snapshot document — this catalog's metadata root object.
     */
-  private def tableJson(catalog: GraftCatalog, table: String): String = {
+  private def tableJson(
+      catalog: GraftCatalog, table: String,
+      exportOnLoad: Boolean = false): String = {
     val head = catalog.currentSnapshotId(table)
     val snaps = catalog.snapshotIds(table).map { id =>
       val summary = catalog.snapshotSummary(table, id).map { s =>
@@ -812,8 +818,22 @@ object RestCatalogServer {
       else ""
     val lastPartitionId = 999 + (if (renderedSpec.isEmpty) 0 else specFields.length)
     val location = java.nio.file.Paths.get(catalog.rootDir, table).toString
-    s"""{"metadata-location":${q(
-        java.nio.file.Paths.get(catalog.rootDir, table, s"snap-$head.tsv").toString)},""" +
+    // `metadata-location` points at the REAL exported `vN.metadata.json`
+    // when one exists for the CURRENT head — a stock client can then mount
+    // the table and walk manifest list → manifests → files with zero graft
+    // code. `exportOnLoad` writes the export on demand (an explicit interop
+    // deployment choice: export cost is O(retained entries) per load at a
+    // new head; re-loads at the same head hit the existing document). The
+    // fallback stays the catalog's own snapshot document.
+    val exported = java.nio.file.Paths.get(
+      catalog.rootDir, table, s"v$head.metadata.json")
+    val metadataLocation =
+      if (java.nio.file.Files.exists(exported)) exported.toString
+      else if (exportOnLoad)
+        IcebergMetadataJson.export(catalog, catalog.rootDir, table).toString
+      else java.nio.file.Paths.get(
+        catalog.rootDir, table, s"snap-$head.tsv").toString
+    s"""{"metadata-location":${q(metadataLocation)},""" +
       s""""metadata":{"format-version":2,"table-uuid":${q(uuidOf(table))},""" +
       s""""location":${q(location)},""" +
       s""""last-sequence-number":$head,""" +

@@ -18,18 +18,20 @@ class BenchKeySpec extends AnyFunSuite {
   }
 
   test("the projected bench line fits the driver's tail window") {
-    // worst-case value rendering is 4 chars ("0.45"/"99.9" — Bench.fmt
-    // scales precision with magnitude, r12 tightened 1–10 s values to
-    // 1dp); the r12 REAL line measured 1737 bytes at 144 queries, and
-    // this all-4-char projection overstates it. Threshold recalibrated
-    // r12: the driver's observed window is ~2000 chars (r1–r6 truncated
-    // past it) and the wrapper + sbt [success] trailer are counted here
-    // wrapper re-measured r15 (sf now records its basename, not the full
-    // testdata path): metric/value/unit ~45 + empty errors 12 + sf 14 +
-    // sbt [success] trailer ~35 ≈ 105
-    val line = Bench.shortKeys(names).map(k => "\"" + k + "\":99.9")
-      .mkString("{", ",", "}").length + 105 // metric/value/unit/sf wrapper
-    assert(line < 1950, s"projected bench line $line bytes — shrink keys")
+    // budget re-measured r16 from the r15 BENCH tail: the window is
+    // EXACTLY 2000 chars and sbt's "[success] Total time: …" trailer
+    // (~75 bytes) lands inside it after the line — so the line itself
+    // must stay under ~1925. Bench.fmt renders every healthy value in
+    // ≤3 chars (0dp from 10 s, 1dp to 0.1 s, 2dp below); the projection
+    // uses 3-char values plus a 40-byte allowance for a handful of
+    // 4-char outliers (sub-0.1 s gates like q74, or a 10+ s stall — a
+    // run where MANY values exceed 10 s is already garbage and its
+    // truncation loses nothing). Wrapper: metric/value/unit ~45 + empty
+    // errors 12 + sf 14 ≈ 71.
+    val line = Bench.shortKeys(names).map(k => "\"" + k + "\":9.9")
+      .mkString("{", ",", "}").length + 71 + 40
+    assert(line < 1925, s"projected bench line $line bytes — shrink keys " +
+      "or compress values further")
   }
 
   test("recorded per-query levels bind to live short keys only") {

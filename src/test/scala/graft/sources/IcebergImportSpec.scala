@@ -1,0 +1,391 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.CompactionRunner.DataFileStats
+import org.apache.spark.sql.types._
+
+/** The Iceberg metadata IMPORT path — the upstream half the reference gets
+  * from `iceberg-rust` (`core/src/compaction/mod.rs:44,90-171`): parse a
+  * foreign `metadata.json` → manifest list → manifests into a mountable
+  * table, MoR-read it (position deletes, equality deletes, Puffin DVs),
+  * time-travel it, and compact it. The export → import round trip is also
+  * the second-implementation check of the export: everything the exporter
+  * writes must be reconstructible by a parser that shares none of the
+  * catalog's in-memory state.
+  */
+class IcebergImportSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mount(root: String): String = {
+    val g = s"gimp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    g
+  }
+
+  /** A DV + eq-delete MoR fixture with 3+ snapshots under `root`. */
+  private def buildFixture(root: String): String = {
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 2000)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(2000, 4000)")
+    spark.sql(s"DELETE FROM $g.t WHERE k % 31 = 4") // -> pos-deletes
+    spark.sql(s"CALL $g.system.rewrite_position_delete_files('t', " +
+      "as_deletion_vectors => true)").collect()
+    spark.sql(s"DELETE FROM $g.t WHERE k IN (1, 1000, 3999)") // -> eq-delete
+    g
+  }
+
+  test("export -> import into a fresh root serves the identical MoR scan") {
+    val rootA = Files.createTempDirectory("graft-imp-a").toString
+    buildFixture(rootA)
+    val catA = new GraftCatalog(rootA)
+    assert(catA.loadEntries("t").exists(e => e.kind == "posdel" && e.format == "dv"))
+    assert(catA.loadEntries("t").exists(_.kind == "eqdel"))
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "t")
+
+    val rootB = Files.createTempDirectory("graft-imp-b").toString
+    val catB = new GraftCatalog(rootB)
+    val localHead = catB.importTable("t", metaPath.toString)
+    assert(localHead == catA.currentSnapshotId("t"),
+      "the imported chain must have one local snapshot per foreign one")
+
+    // delete files imported as delete files, DV blobs regrouped per sidecar
+    val entsB = catB.loadEntries("t")
+    val entsA = catA.loadEntries("t")
+    assert(entsB.filter(e => e.kind == "posdel" && e.format == "dv")
+      .map(_.path).toSet ==
+      entsA.filter(e => e.kind == "posdel" && e.format == "dv")
+        .map(_.path).toSet)
+    val eqB = entsB.filter(_.kind == "eqdel")
+    assert(eqB.nonEmpty && eqB.forall(e =>
+      e.eqCols.nonEmpty && e.eqIds.nonEmpty),
+      s"imported eq-deletes must carry bound columns AND ids: $eqB")
+    // data entries keep their stats (pruning survives the import)
+    assert(entsB.filter(_.kind == "data").forall(e =>
+      e.stats.exists(_.colMins.contains("k")) && e.recordCount > 0 &&
+        e.sizeBytes > 0))
+    // schema round-trips with field ids
+    val idsA = catA.currentSchema("t").get.fields.flatMap(FieldIds.idOf).toSeq
+    val idsB = catB.currentSchema("t").get.fields.flatMap(FieldIds.idOf).toSeq
+    assert(idsA == idsB && idsA.nonEmpty)
+    // provenance
+    val props = catB.tableProperties("t")
+    assert(props.get("import.metadata-location").contains(metaPath.toString))
+    assert(props.contains("import.source-table-uuid"))
+    assert(props.get("write.delete.mode").contains("merge-on-read"),
+      "foreign table properties must be adopted")
+
+    // THE check: identical MoR scans, current and time-travelled
+    def rows(cat: GraftCatalog, asOf: Option[Long]) = {
+      val df = asOf.fold(cat.scanTable(spark, "t"))(id =>
+        cat.scanTableAt(spark, "t", id))
+      df.as[(Long, String)].collect().toSet
+    }
+    assert(rows(catB, None) == rows(catA, None))
+    assert(rows(catB, None).size == 4000 - 129 - 3) // 129 multiples-of-31+4 in [0,4000)
+    for (sid <- catA.snapshotIds("t"))
+      assert(rows(catB, Some(sid)) == rows(catA, Some(sid)),
+        s"time travel to snapshot $sid must match")
+  }
+
+  test("an imported table compacts: deletes retire, content identical") {
+    val rootA = Files.createTempDirectory("graft-impc-a").toString
+    buildFixture(rootA)
+    val catA = new GraftCatalog(rootA)
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "t")
+    val rootB = Files.createTempDirectory("graft-impc-b").toString
+    val catB = new GraftCatalog(rootB)
+    catB.importTable("t", metaPath.toString)
+    val before = catB.scanTable(spark, "t").as[(Long, String)].collect().toSet
+    assert(catB.loadEntries("t").exists(_.kind != "data"),
+      "fixture must hold pending delete files before compaction")
+    catB.compactTable(spark, "t", s"$rootB/t/_data/compacted")
+    val after = catB.loadEntries("t")
+    assert(after.forall(_.kind == "data"),
+      s"compaction must retire every imported delete file: $after")
+    assert(after.forall(_.path.contains(rootB)), // paths may carry file://
+      "compaction outputs must land under the importing root")
+    assert(catB.scanTable(spark, "t").as[(Long, String)].collect().toSet == before)
+  }
+
+  test("partition spec and sort order import with their source bindings") {
+    val rootA = Files.createTempDirectory("graft-impp-a").toString
+    val g = mount(rootA)
+    spark.sql(
+      s"""CREATE TABLE $g.p (k BIGINT, cat STRING, v DOUBLE)
+         |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $g.p SELECT id, concat('c', id % 3), id * 0.5 " +
+      "FROM range(0, 500)")
+    val catA = new GraftCatalog(rootA)
+    catA.setSortOrder("p", Seq("k"))
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "p")
+    val rootB = Files.createTempDirectory("graft-impp-b").toString
+    val catB = new GraftCatalog(rootB)
+    catB.importTable("p", metaPath.toString)
+    assert(catB.partitionSpec("p") == catA.partitionSpec("p"))
+    assert(catB.sortOrder("p") == Seq("k"))
+    // partition tuples on the entries survive (partition pruning works)
+    assert(catB.loadEntries("p").filter(_.kind == "data")
+      .forall(_.partitionVals.nonEmpty))
+    assert(catB.scanTable(spark, "p").count() == 500)
+  }
+
+  test("schema evolution history imports: renamed column reads at every snapshot") {
+    val rootA = Files.createTempDirectory("graft-impe-a").toString
+    val g = mount(rootA)
+    spark.sql(s"CREATE TABLE $g.e (a BIGINT, b STRING)")
+    spark.sql(s"INSERT INTO $g.e SELECT id, concat('x', id) FROM range(0, 100)")
+    spark.sql(s"ALTER TABLE $g.e RENAME COLUMN b TO label")
+    spark.sql(s"INSERT INTO $g.e SELECT id, concat('y', id) FROM range(100, 200)")
+    val catA = new GraftCatalog(rootA)
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "e")
+    val rootB = Files.createTempDirectory("graft-impe-b").toString
+    val catB = new GraftCatalog(rootB)
+    catB.importTable("e", metaPath.toString)
+    // current schema carries the rename; old files still resolve by id
+    assert(catB.currentSchema("e").get.fieldNames.toSeq == Seq("a", "label"))
+    assert(catB.scanTable(spark, "e").count() == 200)
+    assert(catB.scanTable(spark, "e")
+      .filter($"label" === "x5" || $"label" === "y150").count() == 2)
+    // the pre-rename snapshot still reads under its OWN schema
+    val preRename = catB.scanTableAt(spark, "e", 2L)
+    assert(preRename.schema.fieldNames.toSeq == Seq("a", "b"))
+    assert(preRename.count() == 100)
+  }
+
+  // ---- hand-built foreign chains (shapes our exporter never writes) ------
+
+  private def handChain(
+      dir: String,
+      entries: Seq[IcebergManifest.ManifestEntry],
+      schema: StructType,
+      schemaJsonFields: String): String = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val mPath = s"$dir/m0.avro"
+    IcebergManifest.write(mPath, entries, schema, conf)
+    val listPath = s"$dir/list1.avro"
+    IcebergManifest.writeList(listPath, Seq(IcebergManifest.ManifestFile(
+      mPath, Files.size(java.nio.file.Paths.get(mPath)),
+      partitionSpecId = 0, content = 0, sequenceNumber = 1,
+      minSequenceNumber = 1, addedSnapshotId = 1, addedFilesCount = entries.size,
+      existingFilesCount = 0, deletedFilesCount = 0,
+      addedRowsCount = entries.map(e => math.max(0L, e.file.recordCount)).sum,
+      existingRowsCount = 0, deletedRowsCount = 0)), conf)
+    val meta =
+      s"""{"format-version":2,"table-uuid":"hand-1","location":"$dir",
+         |"last-sequence-number":1,"last-updated-ms":0,"last-column-id":2,
+         |"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[$schemaJsonFields]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"last-partition-id":999,"default-sort-order-id":0,
+         |"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+         |"manifest-list":"$listPath","summary":{"operation":"append"},
+         |"schema-id":0}],
+         |"snapshot-log":[],"metadata-log":[]}""".stripMargin
+    val mp = s"$dir/v1.metadata.json"
+    Files.writeString(java.nio.file.Paths.get(mp), meta)
+    mp
+  }
+
+  private val handSchemaFields =
+    """{"id":1,"name":"k","required":false,"type":"long"},
+      |{"id":2,"name":"v","required":false,"type":"string"}""".stripMargin
+
+  private def handSchema: StructType = StructType(Seq(
+    FieldIds.withFieldId(StructField("k", LongType), 1),
+    FieldIds.withFieldId(StructField("v", StringType), 2)))
+
+  private def stagedFile(dir: String, n: Long): (String, Long) = {
+    (0L until n).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/stage")
+    val p = CompactionRunner.listParquet(s"$dir/stage").head
+    (p, Files.size(java.nio.file.Paths.get(p)))
+  }
+
+  test("DELETED manifest entries do not import; EXISTING and ADDED do") {
+    val dir = Files.createTempDirectory("graft-impd").toString
+    val (p, sz) = stagedFile(dir, 50)
+    def entry(status: Int, path: String) = IcebergManifest.ManifestEntry(
+      status, DataFileStats(path, sz, 50, Map.empty, Map.empty, Map.empty),
+      sequenceNumber = 1)
+    val mp = handChain(dir, Seq(
+      entry(0, p), // EXISTING — a stock writer's carried-forward entry
+      entry(IcebergManifest.StatusDeleted, s"$dir/ghost.parquet")),
+      handSchema, handSchemaFields)
+    val root = Files.createTempDirectory("graft-impd-r").toString
+    val cat = new GraftCatalog(root)
+    cat.importTable("d", mp)
+    val ents = cat.loadEntries("d")
+    assert(ents.map(_.path) == Seq(p),
+      s"DELETED entries must not import: $ents")
+    assert(cat.scanTable(spark, "d").count() == 50)
+  }
+
+  test("an equality delete keyed on an unresolvable field id refuses the import") {
+    val dir = Files.createTempDirectory("graft-impq").toString
+    val (p, sz) = stagedFile(dir, 10)
+    val mp = handChain(dir, Seq(
+      IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+        DataFileStats(p, sz, 10, Map.empty, Map.empty, Map.empty),
+        sequenceNumber = 1),
+      IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+        DataFileStats(s"$dir/eq.parquet", 1, 1, Map.empty, Map.empty, Map.empty),
+        content = IcebergManifest.ContentEqualityDeletes,
+        sequenceNumber = 2, equalityIds = Seq(999))),
+      handSchema, handSchemaFields)
+    val root = Files.createTempDirectory("graft-impq-r").toString
+    val cat = new GraftCatalog(root)
+    val e = intercept[GraftError.Metadata](cat.importTable("q", mp))
+    assert(e.getMessage.contains("999"), e.getMessage)
+    assert(!cat.tableExists("q"), "a refused import must not register the table")
+    // ...and must write NOTHING (snapshot docs are write-once; a partial
+    // write would wedge the retry after the upstream document is fixed)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "q", "snap-1.tsv")),
+      "a refused import must leave no snapshot documents behind")
+  }
+
+  test("import a chain living entirely on s3://, MoR-read and compact it there") {
+    // the reference's exact deployment shape: catalog pointer local,
+    // metadata.json + manifests + data + delete files all in the object
+    // store, compaction output landing back in the store
+    val s3 = new graft.wire.S3StubServer()
+    try {
+      val props = Map(
+        "fs.s3.impl" -> "graft.wire.S3ClientFileSystem",
+        "fs.s3.endpoint" -> s3.endpoint,
+        "fs.s3.impl.disable.cache" -> "true")
+      graft.wire.WireBridge.applyFileIo(spark, props)
+      val conf = spark.sessionState.newHadoopConf()
+      def putS3(key: String, bytes: Array[Byte]): Unit = {
+        val p = new org.apache.hadoop.fs.Path(s"s3://bucket/$key")
+        val out = p.getFileSystem(conf).create(p, true)
+        try out.write(bytes) finally out.close()
+      }
+      val local = Files.createTempDirectory("graft-imps-stage").toString
+      val (dp, _) = stagedFile(local, 100)
+      putS3("w/data/d1.parquet", Files.readAllBytes(java.nio.file.Paths.get(dp)))
+      // a position-delete row file for d1 positions 0 and 7 (ks 0 and 7)
+      Seq(("s3://bucket/w/data/d1.parquet", 0L),
+        ("s3://bucket/w/data/d1.parquet", 7L))
+        .toDF("file_path", "pos").coalesce(1).write.parquet(s"$local/pd")
+      putS3("w/data/pd1.parquet", Files.readAllBytes(java.nio.file.Paths.get(
+        CompactionRunner.listParquet(s"$local/pd").head)))
+      val dSize = s3.keys.size // just to touch the stub's state
+      assert(dSize >= 2)
+      val entries = Seq(
+        IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+          DataFileStats("s3://bucket/w/data/d1.parquet", 1, 100,
+            Map("k" -> "0"), Map("k" -> "99"), Map.empty),
+          sequenceNumber = 1),
+        IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+          DataFileStats("s3://bucket/w/data/pd1.parquet", 1, 2,
+            Map.empty, Map.empty, Map.empty),
+          content = IcebergManifest.ContentPositionDeletes,
+          sequenceNumber = 2))
+      IcebergManifest.write("s3://bucket/w/meta/m0.avro", entries, handSchema, conf)
+      val mLen = new org.apache.hadoop.fs.Path("s3://bucket/w/meta/m0.avro")
+        .getFileSystem(conf)
+        .getFileStatus(new org.apache.hadoop.fs.Path("s3://bucket/w/meta/m0.avro"))
+        .getLen
+      IcebergManifest.writeList("s3://bucket/w/meta/list1.avro",
+        Seq(IcebergManifest.ManifestFile("s3://bucket/w/meta/m0.avro", mLen,
+          partitionSpecId = 0, content = 0, sequenceNumber = 2,
+          minSequenceNumber = 1, addedSnapshotId = 1, addedFilesCount = 2,
+          existingFilesCount = 0, deletedFilesCount = 0, addedRowsCount = 102,
+          existingRowsCount = 0, deletedRowsCount = 0)), conf)
+      putS3("w/meta/v1.metadata.json",
+        s"""{"format-version":2,"table-uuid":"s3-hand","location":"s3://bucket/w",
+           |"last-column-id":2,"current-schema-id":0,
+           |"schemas":[{"schema-id":0,"type":"struct","fields":[$handSchemaFields]}],
+           |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+           |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+           |"current-snapshot-id":1,
+           |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+           |"manifest-list":"s3://bucket/w/meta/list1.avro",
+           |"summary":{"operation":"append"},"schema-id":0}]}""".stripMargin
+          .getBytes("UTF-8"))
+      val root = Files.createTempDirectory("graft-imps-r").toString
+      val cat = new GraftCatalog(root)
+      cat.importTable("s", "s3://bucket/w/meta/v1.metadata.json", conf)
+      // MoR read straight off the store: 100 rows minus 2 deleted positions
+      val scan = cat.scanTable(spark, "s")
+      assert(scan.count() == 98)
+      assert(scan.filter($"k".isin(0L, 7L)).count() == 0)
+      // compact INTO the store: delete file retired, output keys on s3
+      cat.compactTable(spark, "s", "s3://bucket/w/compacted")
+      val after = cat.loadEntries("s")
+      assert(after.forall(_.kind == "data"))
+      assert(after.forall(_.path.startsWith("s3://bucket/w/compacted")),
+        s"compaction output must land in the store: ${after.map(_.path)}")
+      assert(cat.scanTable(spark, "s").count() == 98)
+    } finally s3.close()
+  }
+
+  test("the parser rejects malformed and unsupported documents loudly") {
+    intercept[GraftError.Metadata](IcebergImport.parse("not json at all"))
+    intercept[GraftError.Metadata](IcebergImport.parse("""{"no-version":true}"""))
+    intercept[GraftError.Metadata](
+      IcebergImport.parse("""{"format-version":7}"""))
+    // unknown types must fail, not silently coerce
+    intercept[GraftError.Metadata](IcebergImport.parse(
+      """{"format-version":2,"schemas":[{"schema-id":0,"type":"struct",
+        |"fields":[{"id":1,"name":"u","required":false,"type":"uuid"}]}],
+        |"current-schema-id":0}""".stripMargin))
+  }
+
+  test("parser: nested types, partition spec, and sort order bind by field id") {
+    val meta = IcebergImport.parse(
+      """{"format-version":2,"table-uuid":"u","location":"/x",
+        |"last-column-id":9,
+        |"current-schema-id":3,
+        |"schemas":[{"schema-id":3,"type":"struct","fields":[
+        |  {"id":1,"name":"k","required":true,"type":"long"},
+        |  {"id":2,"name":"tags","required":false,"type":
+        |    {"type":"list","element-id":7,"element":"string","element-required":false}},
+        |  {"id":3,"name":"attrs","required":false,"type":
+        |    {"type":"map","key-id":8,"key":"string","value-id":9,
+        |     "value":"double","value-required":true}},
+        |  {"id":4,"name":"pt","required":false,"type":
+        |    {"type":"struct","fields":[
+        |      {"id":5,"name":"x","required":false,"type":"double"}]}}]}],
+        |"default-spec-id":2,
+        |"partition-specs":[
+        |  {"spec-id":0,"fields":[]},
+        |  {"spec-id":2,"fields":[{"name":"k_bucket","transform":"bucket[8]",
+        |    "source-id":1,"field-id":1000}]}],
+        |"default-sort-order-id":4,
+        |"sort-orders":[{"order-id":0,"fields":[]},
+        |  {"order-id":4,"fields":[{"transform":"identity","source-id":1,
+        |    "direction":"asc","null-order":"nulls-first"}]}],
+        |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
+    assert(meta.currentSnapshotId.isEmpty)
+    val s = meta.schemas.head._2
+    assert(s("k").dataType == LongType && !s("k").nullable)
+    assert(s("tags").dataType == ArrayType(StringType, containsNull = true))
+    assert(s("attrs").dataType ==
+      MapType(StringType, DoubleType, valueContainsNull = false))
+    assert(s("pt").dataType.asInstanceOf[StructType]("x").dataType == DoubleType)
+    assert(FieldIds.allIds(s).sorted == Seq(1, 2, 3, 4, 5))
+    assert(meta.partitionFields ==
+      Seq(GraftCatalog.PartitionFieldDef("k_bucket", "bucket[8]", "k")))
+    assert(meta.sortColumns == Seq("k"))
+    // a spec whose source id cannot bind imports as NO spec (all-or-nothing)
+    val noBind = IcebergImport.parse(
+      """{"format-version":2,"current-schema-id":0,
+        |"schemas":[{"schema-id":0,"type":"struct","fields":[
+        |  {"id":1,"name":"k","required":false,"type":"long"}]}],
+        |"default-spec-id":0,
+        |"partition-specs":[{"spec-id":0,"fields":[
+        |  {"name":"gone","transform":"identity","source-id":42,"field-id":1000}]}],
+        |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
+    assert(noBind.partitionFields.isEmpty)
+  }
+}

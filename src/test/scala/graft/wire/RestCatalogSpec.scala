@@ -581,4 +581,43 @@ class RestCatalogSpec extends SparkSpec {
       assert(cGone == 404)
     } finally server.close()
   }
+
+  test("exportOnLoad serves a metadata-location a stock client can mount") {
+    // the full interop story stitched: REST loadTable -> a REAL exported
+    // metadata.json -> manifest chain -> import into a FRESH catalog root
+    // reproduces the table, MoR deletes included, with zero shared state
+    val root = Files.createTempDirectory("graft-rest-exp").toString
+    val g = s"grest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""CREATE TABLE $g.t (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 300)")
+    spark.sql(s"DELETE FROM $g.t WHERE k % 7 = 3")
+    val cat = new GraftCatalog(root)
+    val server = new RestCatalogServer(cat, port = 0, exportOnLoad = true)
+    try {
+      val port = server.boundPort
+      val (c1, loaded) = get(port, "/v1/namespaces/default/tables/t")
+      assert(c1 == 200, loaded)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+      val loc = mapper.readTree(loaded).get("metadata-location").asText
+      assert(loc.endsWith(".metadata.json"), loc)
+      assert(Files.exists(java.nio.file.Paths.get(loc)), loc)
+      // a second load at the same head reuses the document (no re-export)
+      val mtime = Files.getLastModifiedTime(java.nio.file.Paths.get(loc))
+      val (_, again) = get(port, "/v1/namespaces/default/tables/t")
+      assert(mapper.readTree(again).get("metadata-location").asText == loc)
+      assert(Files.getLastModifiedTime(java.nio.file.Paths.get(loc)) == mtime)
+      // the location mounts: import into a fresh root and match the scan
+      val fresh = Files.createTempDirectory("graft-rest-exp-b").toString
+      val catB = new GraftCatalog(fresh)
+      catB.importTable("t", loc)
+      assert(catB.loadEntries("t").exists(_.kind != "data"),
+        "the mounted chain must carry the pending MoR deletes")
+      assert(catB.scanTable(spark, "t").as[(Long, String)].collect().toSet ==
+        cat.scanTable(spark, "t").as[(Long, String)].collect().toSet)
+    } finally server.close()
+  }
 }
