@@ -123,6 +123,16 @@ object MaintenanceOp {
   final case class DropBranch(branch: String) extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("dropped")
   }
+
+  /** Register a FOREIGN Iceberg table by metadata location
+    * ([[graft.sources.GraftCatalog.importTable]]): parse the
+    * `metadata.json`, walk its manifest chain, and mount the result as a
+    * catalog table by reference. The one op whose target table must NOT
+    * exist yet.
+    */
+  final case class ImportTable(metadataLocation: String) extends MaintenanceOp {
+    override def outputNames: Seq[String] = Seq("snapshot_id")
+  }
 }
 
 /** Logical leaf: the operation, deferred. All columns are non-null; longs
@@ -269,6 +279,11 @@ object GraftMaintenanceExec {
       case MaintenanceOp.DropBranch(branch) =>
         cat.dropFork(s"$table@$branch")
         Seq(Seq(1L))
+      case MaintenanceOp.ImportTable(metadataLocation) =>
+        // the SESSION's Hadoop conf, so fs.s3/wasb/gs FileIO mappings the
+        // user configured apply to the metadata/manifest walk too
+        Seq(Seq(cat.importTable(table, metadataLocation,
+          spark.sessionState.newHadoopConf())))
       case MaintenanceOp.RemoveOrphans(graceSeconds) =>
         // candidates = recursive listing of the catalog-managed data
         // location; a driver-side walk over file metadata (Iceberg's

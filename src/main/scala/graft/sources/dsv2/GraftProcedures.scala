@@ -28,6 +28,9 @@ import graft.sources.GraftCatalog
   *  - `rewrite_equality_deletes(table)` (graft's eq→pos conversion)
   *  - `publish_branch(table, branch)` / `drop_branch(table, branch)`
   *    (the WAP close: main adopts the audited fork, or the fork drops)
+  *  - `import_table(table, metadata_location)` (register a foreign
+  *    Iceberg table by metadata.json location — the one procedure whose
+  *    target must NOT exist yet)
   */
 object GraftProcedures {
 
@@ -47,7 +50,9 @@ object GraftProcedures {
       name: String,
       description: String,
       params: Seq[ProcedureParameter],
-      mk: (GraftCatalog, InternalRow) => (String, MaintenanceOp))
+      mk: (GraftCatalog, InternalRow) => (String, MaintenanceOp),
+      // import_table is the one procedure whose target must NOT exist yet
+      requiresTable: Boolean = true)
 
   private val specs: Seq[Spec] = Seq(
     Spec("rewrite_data_files",
@@ -120,7 +125,15 @@ object GraftProcedures {
       "remove a WAP branch (the fork table and its chain); main untouched",
       Seq(p("table", StringType), p("branch", StringType)),
       (cat, in) => (tableArg(in, 0),
-        MaintenanceOp.DropBranch(in.getUTF8String(1).toString))))
+        MaintenanceOp.DropBranch(in.getUTF8String(1).toString))),
+    Spec("import_table",
+      "register a foreign Iceberg table by metadata.json location: walk " +
+        "its manifest chain and mount it BY REFERENCE as a new catalog " +
+        "table (data/delete/Puffin files stay in place)",
+      Seq(p("table", StringType), p("metadata_location", StringType)),
+      (cat, in) => (tableArg(in, 0),
+        MaintenanceOp.ImportTable(in.getUTF8String(1).toString)),
+      requiresTable = false))
 
   def names: Seq[String] = specs.map(_.name)
 
@@ -142,9 +155,12 @@ object GraftProcedures {
       override def call(input: InternalRow): util.Iterator[Scan] = {
         val cat = new GraftCatalog(root)
         val (table, op) = spec.mk(cat, input)
-        require(cat.tableExists(table),
-          s"${spec.name}: table $table does not exist in this catalog " +
-            s"(tables: ${cat.tables().mkString(", ")})")
+        if (spec.requiresTable)
+          require(cat.tableExists(table),
+            s"${spec.name}: table $table does not exist in this catalog " +
+              s"(tables: ${cat.tables().mkString(", ")})")
+        else require(!cat.tableExists(table),
+          s"${spec.name}: table $table already exists in this catalog")
         val attrs = op.outputNames.zip(op.outputTypes).map { case (n, t) =>
           AttributeReference(n, t, nullable = false)()
         }

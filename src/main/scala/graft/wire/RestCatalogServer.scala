@@ -53,6 +53,10 @@ import scala.jdk.CollectionConverters._
   *   - `POST /v1/tables/rename` → RENAME: `source`/`destination`
   *     TableIdentifiers; 204 / 404 missing source / 409 existing
   *     destination.
+  *   - `POST /v1/namespaces/{ns}/register` → RegisterTable: mount an
+  *     existing Iceberg table by `metadata-location`
+  *     ([[GraftCatalog.importTable]] walks the chain, registers by
+  *     reference); 409 taken name, 400 unwalkable chain.
   *   - `POST /v1/namespaces/default/tables` → CREATE: body carries `name`
   *     and optionally an Iceberg struct `schema` (field ids preserved into
   *     the catalog's canonical schema). 409 `AlreadyExistsException` when
@@ -311,6 +315,10 @@ object RestCatalogServer {
         val parts = nsParts(ns)
         if (!nsExists(catalog, parts)) nsNotFound(parts)
         else createTable(catalog, parts, body)
+      case (HttpMethod.POST, Seq("v1", "namespaces", ns, "register")) =>
+        val parts = nsParts(ns)
+        if (!nsExists(catalog, parts)) nsNotFound(parts)
+        else registerTable(catalog, parts, body)
       case (HttpMethod.POST, Seq("v1", "tables", "rename")) =>
         renameTable(catalog, body)
       case (HttpMethod.POST, Seq("v1", "namespaces", ns, "tables", t)) =>
@@ -526,6 +534,47 @@ object RestCatalogServer {
       }
       HttpResponseStatus.OK -> tableJson(catalog, cn)
     }
+  }
+
+  /** `POST …/{ns}/register` — the spec's RegisterTable: mount an EXISTING
+    * Iceberg table by its `metadata-location` (no data movement — the
+    * catalog's [[GraftCatalog.importTable]] walks the document's manifest
+    * chain and registers it by reference). 409 when the name is taken,
+    * 400 for malformed bodies or an unwalkable chain.
+    */
+  private def registerTable(
+      catalog: GraftCatalog, nsp: Seq[String],
+      body: String): (HttpResponseStatus, String) = {
+    val req = try mapper.readTree(body) catch { case e: Exception =>
+      return badRequest(s"malformed JSON body: ${e.getMessage}")
+    }
+    val name = Option(if (req == null) null else req.get("name"))
+      .filter(_.isTextual).map(_.asText).filter(_.nonEmpty).getOrElse(
+        return badRequest("register request requires a non-empty 'name'"))
+    if (name.contains("/") || name.contains("@"))
+      return badRequest(s"invalid table name '$name'")
+    val loc = Option(req.get("metadata-location"))
+      .filter(_.isTextual).map(_.asText).filter(_.nonEmpty).getOrElse(
+        return badRequest("register request requires 'metadata-location'"))
+    val cn = catName(nsp, name)
+    if (catalog.tableExists(cn))
+      return HttpResponseStatus.CONFLICT ->
+        errorJson(s"Table already exists: ${dotted(nsp, name)}",
+          "AlreadyExistsException", 409)
+    try catalog.importTable(cn, loc)
+    catch {
+      case e: GraftError =>
+        return badRequest(Option(e.getMessage).getOrElse("import refused"))
+      case e: java.io.IOException => // unreadable/absent metadata-location
+        return badRequest(s"cannot read metadata-location '$loc': " +
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("already exists") =>
+        return HttpResponseStatus.CONFLICT ->
+          errorJson(s"Table already exists: ${dotted(nsp, name)}",
+            "AlreadyExistsException", 409)
+    }
+    HttpResponseStatus.OK -> tableJson(catalog, cn)
   }
 
   /** `POST …/tables/{t}` — CommitTable: requirements then updates, the

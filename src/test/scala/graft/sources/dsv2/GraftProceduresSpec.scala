@@ -122,6 +122,32 @@ class GraftProceduresSpec extends SparkSpec {
     }
   }
 
+  test("import_table through CALL registers a foreign chain and MoR-reads it") {
+    val rootA = Files.createTempDirectory("graft-proc-impa").toString
+    val rootB = Files.createTempDirectory("graft-proc-impb").toString
+    // source table with a pending MoR delete, exported
+    val catA = new GraftCatalog(rootA)
+    (0L until 200L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$rootA/_stage")
+    catA.createTable("src",
+      CompactionRunner.listParquet(s"$rootA/_stage").map(DataFileTask(_, 1L)))
+    catA.deleteWhere(spark, "src", col("k") % 10 === 3, s"$rootA/_del")
+    val metaPath = graft.sources.IcebergMetadataJson.export(catA, rootA, "src")
+    withCatalogSession(rootB) { s =>
+      val rows = s.sql(
+        s"CALL graft.system.import_table('t', '${metaPath}')").collect()
+      assert(rows.length == 1 && rows.head.getLong(0) >= 1L)
+      // the imported table serves through the SAME doorway, deletes applied
+      assert(s.sql("SELECT count(*) FROM graft.t").head().getLong(0) == 180L)
+      assert(s.sql("SELECT count(*) FROM graft.t WHERE k % 10 = 3")
+        .head().getLong(0) == 0L)
+      // re-import over an existing name is refused with a named error
+      val e = intercept[Exception](
+        s.sql(s"CALL graft.system.import_table('t', '${metaPath}')").collect())
+      assert(e.getMessage.contains("already exists"), e.getMessage)
+    }
+  }
+
   test("errors are named: unknown procedure, bad namespace, missing table, bad args") {
     val root = Files.createTempDirectory("graft-proc-err").toString
     withCatalogSession(root) { s =>

@@ -582,6 +582,48 @@ class RestCatalogSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("POST register mounts a foreign table by metadata-location") {
+    // the spec's RegisterTable: a stock client hands the catalog an
+    // existing table's metadata.json and gets a served table back
+    val rootA = Files.createTempDirectory("graft-rest-rega").toString
+    val g = s"greg_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", rootA)
+    spark.sql(
+      s"""CREATE TABLE $g.src (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.src SELECT id, concat('v', id) FROM range(0, 250)")
+    spark.sql(s"DELETE FROM $g.src WHERE k % 9 = 4")
+    val catA = new GraftCatalog(rootA)
+    val metaPath =
+      graft.sources.IcebergMetadataJson.export(catA, rootA, "src").toString
+    val rootB = Files.createTempDirectory("graft-rest-regb").toString
+    val catB = new GraftCatalog(rootB)
+    val server = new RestCatalogServer(catB, port = 0)
+    try {
+      val port = server.boundPort
+      val (c1, loaded) = post(port, "/v1/namespaces/default/register",
+        s"""{"name":"mounted","metadata-location":"$metaPath"}""")
+      assert(c1 == 200, loaded)
+      assert(loaded.contains("\"current-snapshot-id\""), loaded)
+      // the registered table serves the foreign content, deletes applied
+      assert(catB.scanTable(spark, "mounted").count() ==
+        catA.scanTable(spark, "src").count())
+      // duplicate name: the spec's 409 envelope
+      val (c2, dup) = post(port, "/v1/namespaces/default/register",
+        s"""{"name":"mounted","metadata-location":"$metaPath"}""")
+      assert(c2 == 409 && dup.contains("AlreadyExistsException"), dup)
+      // malformed requests and unwalkable chains are the client's 400
+      val (c3, _) = post(port, "/v1/namespaces/default/register",
+        """{"name":"x"}""")
+      assert(c3 == 400)
+      val (c4, bad) = post(port, "/v1/namespaces/default/register",
+        s"""{"name":"x","metadata-location":"$rootB/nope.metadata.json"}""")
+      assert(c4 == 400, bad)
+      assert(!catB.tableExists("x"))
+    } finally server.close()
+  }
+
   test("exportOnLoad serves a metadata-location a stock client can mount") {
     // the full interop story stitched: REST loadTable -> a REAL exported
     // metadata.json -> manifest chain -> import into a FRESH catalog root
