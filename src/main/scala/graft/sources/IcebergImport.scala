@@ -46,7 +46,10 @@ object IcebergImport {
       sortColumns: Seq[String],
       currentSnapshotId: Option[Long],
       snapshots: Seq[SnapshotRef],
-      properties: Map[String, String])
+      properties: Map[String, String],
+      // tag name → FOREIGN snapshot id (type "tag" refs only; branches
+      // other than main have no single-document representation to import)
+      tags: Map[String, Long])
 
   private val mapper = new ObjectMapper
 
@@ -179,6 +182,14 @@ object IcebergImport {
       p.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
     }.getOrElse(Map.empty[String, String])
 
+    val tags = opt("refs").filter(_.isObject).map { r =>
+      r.fields().asScala.flatMap { e =>
+        val isTag = Option(e.getValue.get("type")).map(_.asText).contains("tag")
+        val sid = Option(e.getValue.get("snapshot-id")).map(_.asLong)
+        if (isTag && e.getKey != "main") sid.map(e.getKey -> _) else None
+      }.toMap
+    }.getOrElse(Map.empty[String, Long])
+
     TableMetadata(
       formatVersion = version,
       tableUuid = opt("table-uuid").map(_.asText).filter(_.nonEmpty),
@@ -191,7 +202,8 @@ object IcebergImport {
       currentSnapshotId =
         opt("current-snapshot-id").map(_.asLong).filter(_ >= 0),
       snapshots = snapshots,
-      properties = props)
+      properties = props,
+      tags = tags)
   }
 
   /** An Iceberg struct schema node → Spark StructType with every field id

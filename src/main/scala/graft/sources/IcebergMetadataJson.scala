@@ -144,6 +144,19 @@ object IcebergMetadataJson {
     }.mkString(",")
     val snapshotLog = ids.map(id =>
       s"""{"timestamp-ms":${mtime(id)},"snapshot-id":$id}""").mkString(",")
+    // the spec's `refs` object: the main branch plus every tag whose
+    // snapshot is retained (an expired tag target would dangle; the
+    // catalog's tagSnapshot/expiry already maintain that invariant, the
+    // filter just refuses to export a broken pointer). A tag literally
+    // named 'main' would duplicate the branch key and is skipped (same
+    // rule as the REST facade).
+    val retained = ids.toSet
+    val refsJson = (s""""main":{"snapshot-id":$head,"type":"branch"}""" +:
+      catalog.tags(table).toSeq
+        .filter { case (n, sid) => n != "main" && retained(sid) }
+        .sortBy(_._1).map { case (n, sid) =>
+          s""""${esc(n)}":{"snapshot-id":$sid,"type":"tag"}"""
+        }).mkString(",")
     // the table's REAL creation UUID when the catalog minted one (every
     // table created since round 14; also the served-plan cache's
     // generation discriminator) — the name-derived fallback only covers
@@ -225,6 +238,7 @@ object IcebergMetadataJson {
          |"default-sort-order-id":$defaultSortOrderId,
          |"sort-orders":[$sortOrders],
          |"current-snapshot-id":$head,
+         |"refs":{$refsJson},
          |"snapshots":[$snapshots],
          |"snapshot-log":[$snapshotLog],
          |"metadata-log":[]}""".stripMargin

@@ -92,6 +92,12 @@ class IcebergImportSpec extends SparkSpec {
     for (sid <- catA.snapshotIds("t"))
       assert(rows(catB, Some(sid)) == rows(catA, Some(sid)),
         s"time travel to snapshot $sid must match")
+    // foreign commit times carry over (TIMESTAMP AS OF sees the original
+    // history, not the moment of import)
+    for (sid <- catA.snapshotIds("t"))
+      assert(catB.snapshotTimestampMs("t", sid) ==
+        catA.snapshotTimestampMs("t", sid),
+        s"snapshot $sid must keep its foreign commit time")
   }
 
   test("an imported table compacts: deletes retire, content identical") {
@@ -134,6 +140,29 @@ class IcebergImportSpec extends SparkSpec {
     assert(catB.loadEntries("p").filter(_.kind == "data")
       .forall(_.partitionVals.nonEmpty))
     assert(catB.scanTable(spark, "p").count() == 500)
+  }
+
+  test("snapshot tags export in refs and import remapped to local ids") {
+    val rootA = Files.createTempDirectory("graft-impt-a").toString
+    val g = mount(rootA)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(50, 80)")
+    val catA = new GraftCatalog(rootA)
+    catA.tagSnapshot("t", "validated", 2L) // the first-insert snapshot
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "t")
+    assert(Files.readString(metaPath).contains(
+      """"validated":{"snapshot-id":2,"type":"tag"}"""),
+      "the export must render the tag in refs")
+    val rootB = Files.createTempDirectory("graft-impt-b").toString
+    val catB = new GraftCatalog(rootB)
+    catB.importTable("t", metaPath.toString)
+    assert(catB.tags("t") == Map("validated" -> 2L))
+    // the tag reads: 50 rows at the tagged snapshot, 80 at head
+    assert(catB.loadTableAtTag("t", "validated").nonEmpty)
+    assert(catB.scanTableAt(spark, "t", catB.tags("t")("validated"))
+      .count() == 50)
+    assert(catB.scanTable(spark, "t").count() == 80)
   }
 
   test("schema evolution history imports: renamed column reads at every snapshot") {
