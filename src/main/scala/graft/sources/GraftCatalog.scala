@@ -494,7 +494,10 @@ final class GraftCatalog(root: String,
       conf: org.apache.hadoop.conf.Configuration): Seq[TableEntry] = {
     def fmt(f: String) = f.toLowerCase(java.util.Locale.ROOT)
     val live = IcebergManifest.readList(snap.manifestList, conf).flatMap { m =>
-      IcebergManifest.read(m.manifestPath, schema, conf)
+      // entries whose sequence_number is null INHERIT the manifest-list
+      // row's (the spec's inheritance rule stock writers rely on)
+      IcebergManifest.read(m.manifestPath, schema, conf,
+        inheritedSeq = m.sequenceNumber)
     }.filter(_.status != IcebergManifest.StatusDeleted)
     // a well-formed snapshot lists each file once across its manifests; a
     // malformed one must not make the scan read a file twice (doubled

@@ -49,14 +49,20 @@ import scala.jdk.CollectionConverters._
   * round 15/16 read back unchanged (schema resolution fills content = 0,
   * empty partition, null snapshot_id/first_row_id).
   *
-  * Documented deviations: bound values are the column's string rendering,
-  * not Iceberg's single-value binary serialization — the pruning contract
-  * ([[CompactionRunner.pruneByStats]]) consumes the same numbers either
-  * way, and the dump stays engine/debugger-readable; the partition tuple
-  * is likewise the name-keyed `{name, transform, value-string}` array
-  * above, not a positional struct typed by the partition spec (the
-  * transform travels WITH each value, which a spec-id indirection would
-  * need a second lookup for).
+  * Bound values serialize per the spec's BINARY single-value encoding for
+  * the column's type ([[IcebergSingleValue]]) — stock-consumable; the
+  * read side also still decodes this library's pre-round-16 string
+  * bounds. Reading is DYNAMIC (by name against the file's own writer
+  * schema), so spec-shaped manifests stock writers produced decode too:
+  * binary bounds, positional partition structs, v1 field names,
+  * sequence-number inheritance (`inheritedSeq`), and extra fields this
+  * model doesn't carry are all handled or skipped.
+  *
+  * Documented deviation (write side): the partition tuple is the
+  * name-keyed `{name, transform, value-string}` array above, not a
+  * positional struct typed by the partition spec — the transform travels
+  * WITH each value, which a spec-id indirection would need a second
+  * lookup for; the READ side accepts both shapes.
   */
 object IcebergManifest {
 
@@ -131,7 +137,7 @@ object IcebergManifest {
   }
 
   private val EntrySchema: Schema = {
-    val str = Schema.create(Schema.Type.STRING)
+    val bin = Schema.create(Schema.Type.BYTES)
     val lng = Schema.create(Schema.Type.LONG)
     // the flattened partition tuple: name + producing transform + value
     // string (null value = null partition slot) — see the class doc's
@@ -143,8 +149,8 @@ object IcebergManifest {
         .name("value").`type`().optional().stringType()
         .endRecord())
     val nulls = kvSchema("null_count_kv", lng)
-    val lowers = kvSchema("lower_bound_kv", str)
-    val uppers = kvSchema("upper_bound_kv", str)
+    val lowers = kvSchema("lower_bound_kv", bin)
+    val uppers = kvSchema("upper_bound_kv", bin)
     stampKv(nulls, 121, 122)
     stampKv(lowers, 126, 127)
     stampKv(uppers, 129, 130)
@@ -235,16 +241,29 @@ object IcebergManifest {
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Unit = {
     val dfSchema = EntrySchema.getField("data_file").schema()
-    // one helper for all three k/v lists — avro's put accepts both long and
-    // string values; the id resolution and ordering must not drift apart
-    def kvRecords(field: String, m: Map[String, Any]): java.util.List[GenericRecord] =
-      m.toSeq.sortBy(_._1).map { case (col, v) =>
-        val r = new GenericData.Record(
-          dfSchema.getField(field).schema().getElementType)
-        r.put("key", idFor(schema, col))
-        r.put("value", v)
-        r: GenericRecord
+    val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    // null counts ride as longs; BOUNDS serialize per the spec's binary
+    // single-value encoding for the column's type ([[IcebergSingleValue]])
+    // — a bound whose type can't encode (or whose column left the schema)
+    // DROPS, never corrupts: bounds are a pruning optimization
+    def kvRecords(field: String, m: Map[String, Any]): java.util.List[GenericRecord] = {
+      val binary = field != "null_value_counts"
+      m.toSeq.sortBy(_._1).flatMap { case (col, v) =>
+        val value: Option[Any] =
+          if (!binary) Some(v)
+          else typeOf.get(col)
+            .flatMap(t => IcebergSingleValue.encode(t, String.valueOf(v)))
+            .map(java.nio.ByteBuffer.wrap)
+        value.map { vv =>
+          val r = new GenericData.Record(
+            dfSchema.getField(field).schema().getElementType)
+          r.put("key", idFor(schema, col))
+          r.put("value", vv)
+          r: GenericRecord
+        }
       }.asJava
+    }
     val partElem = dfSchema.getField("partition").schema().getElementType
     def partitionRecords(e: ManifestEntry): java.util.List[GenericRecord] =
       e.partitionVals.toSeq.sortBy(_._1).map { case (name, v) =>
@@ -287,66 +306,135 @@ object IcebergManifest {
     } finally w.close()
   }
 
-  /** Read a manifest back into entries, resolving field ids to names via
-    * `schema` — the inverse of [[write]], and the structure
-    * [[CompactionRunner.pruneByStats]] consumes.
+  // ---- dynamic (writer-schema) reading ------------------------------------
+  // The read side resolves every field BY NAME against the file's own
+  // embedded writer schema, not a fixed expected schema: manifests written
+  // by THIS library (any round — string bounds pre-r16, bytes after),
+  // and spec-shaped manifests written by STOCK Iceberg writers (binary
+  // single-value bounds, positional partition structs typed by the spec,
+  // extra fields like value_counts/split_offsets/sort_order_id) all
+  // decode through one path. Unknown extra fields are simply never asked
+  // for; absent fields fill their documented defaults.
+
+  private def field(g: GenericRecord, n: String): Option[AnyRef] =
+    if (g.getSchema.getField(n) == null) None else Option(g.get(n))
+
+  private def optLongF(g: GenericRecord, n: String): Option[Long] =
+    field(g, n).collect { case x: Number => x.longValue }
+
+  private def optIntF(g: GenericRecord, n: String): Option[Int] =
+    field(g, n).collect { case x: Number => x.intValue }
+
+  private def optStrF(g: GenericRecord, n: String): Option[String] =
+    field(g, n).map(_.toString)
+
+  private def bytesOf(bb: java.nio.ByteBuffer): Array[Byte] = {
+    val b = new Array[Byte](bb.remaining())
+    bb.duplicate().get(b)
+    b
+  }
+
+  /** Read a manifest back into entries, resolving field ids to names (and
+    * binary bounds to this catalog's string renderings) via `schema` —
+    * the inverse of [[write]], and the structure
+    * [[CompactionRunner.pruneByStats]] consumes. `inheritedSeq` fills
+    * entries whose `sequence_number` is null/absent — the spec's
+    * sequence-number INHERITANCE from the manifest-list row (stock
+    * writers rely on it; this library always stamps explicit numbers).
     */
   def read(
       path: String,
       schema: StructType,
       conf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): Seq[ManifestEntry] = {
+        new org.apache.hadoop.conf.Configuration(),
+      inheritedSeq: Long = 0L): Seq[ManifestEntry] = {
     val idToName: Map[Int, String] =
       schema.fields.zipWithIndex.map { case (f, i) =>
         FieldIds.idOf(f).getOrElse(-(i + 1)) -> f.name
       }.toMap
-    val r = openReader(path, conf, EntrySchema)
+    val typeOfId: Map[Int, org.apache.spark.sql.types.DataType] =
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        FieldIds.idOf(f).getOrElse(-(i + 1)) -> f.dataType
+      }.toMap
+    val r = openReader(path, conf)
     try r.iterator().asScala.map { rec =>
       val df = rec.get("data_file").asInstanceOf[GenericRecord]
+      // k/v maps arrive as arrays of {key, value} records (both dialects)
+      // or genuine Avro maps (string keys = rendered ids) — normalize
+      def kvPairs(name: String): Seq[(Int, AnyRef)] = field(df, name) match {
+        case Some(l: java.util.List[_]) =>
+          l.asScala.toSeq.collect { case e: GenericRecord =>
+            (e.get("key").asInstanceOf[Number].intValue, e.get("value"))
+          }
+        case Some(m: java.util.Map[_, _]) =>
+          m.asScala.toSeq.flatMap { case (k, v) =>
+            k.toString.toIntOption.map(_ -> v.asInstanceOf[AnyRef])
+          }
+        case _ => Nil
+      }
       // a field id the schema can't resolve (a foreign manifest's bounds
-      // for a since-dropped column) DROPS: bounds and null counts are a
+      // for a since-dropped column), a bound whose bytes can't decode for
+      // the column's type, or a null value DROPS: bounds and counts are a
       // pruning optimization, and every pruning consumer treats absence
       // as "cannot skip" — failing the whole read over them would make
       // dropped-column history unimportable
-      def kv(field: String): Map[String, String] =
-        df.get(field).asInstanceOf[java.util.List[GenericRecord]].asScala.flatMap { e =>
-          idToName.get(e.get("key").asInstanceOf[Int])
-            .map(_ -> e.get("value").toString)
+      def bounds(name: String): Map[String, String] =
+        kvPairs(name).flatMap { case (id, v) =>
+          val rendered = v match {
+            case null => None
+            case bb: java.nio.ByteBuffer =>
+              typeOfId.get(id).flatMap(t => IcebergSingleValue.decode(t, bytesOf(bb)))
+            case other => Some(other.toString) // pre-r16 string bounds
+          }
+          for (n <- idToName.get(id); s <- rendered) yield n -> s
         }.toMap
-      val nulls =
-        df.get("null_value_counts").asInstanceOf[java.util.List[GenericRecord]]
-          .asScala.flatMap { e =>
-            idToName.get(e.get("key").asInstanceOf[Int])
-              .map(_ -> e.get("value").asInstanceOf[Long])
-          }.toMap
-      val partition =
-        df.get("partition").asInstanceOf[java.util.List[GenericRecord]]
-          .asScala.map { p =>
-            (p.get("name").toString,
-              Option(p.get("transform")).map(_.toString),
-              Option(p.get("value")).map(_.toString))
-          }.toSeq
-      def optLong(rec: GenericRecord, field: String): Option[Long] =
-        Option(rec.get(field)).map(_.asInstanceOf[Long])
+      val nulls = kvPairs("null_value_counts").flatMap { case (id, v) =>
+        for (n <- idToName.get(id); c <- Option(v).collect {
+          case x: Number => x.longValue
+        }) yield n -> c
+      }.toMap
+      // partition: this library's name-keyed {name, transform, value}
+      // array, or a stock POSITIONAL struct whose field names are the
+      // partition field names (values stringify; transforms unknown —
+      // such tuples are simply never pruned by transform projection)
+      val partition: Seq[(String, Option[String], Option[String])] =
+        field(df, "partition") match {
+          case Some(l: java.util.List[_]) =>
+            l.asScala.toSeq.collect { case p: GenericRecord =>
+              (p.get("name").toString,
+                Option(p.get("transform")).map(_.toString),
+                Option(p.get("value")).map(_.toString))
+            }
+          case Some(g: GenericRecord) =>
+            g.getSchema.getFields.asScala.toSeq.map { f =>
+              (f.name, None, Option(g.get(f.name)).map(_.toString))
+            }
+          case _ => Nil
+        }
       ManifestEntry(
-        status = rec.get("status").asInstanceOf[Int],
+        status = optIntF(rec, "status").getOrElse(StatusAdded),
         file = DataFileStats(
-          path = df.get("file_path").toString,
-          sizeBytes = df.get("file_size_in_bytes").asInstanceOf[Long],
-          recordCount = df.get("record_count").asInstanceOf[Long],
-          colMins = kv("lower_bounds"),
-          colMaxs = kv("upper_bounds"),
+          path = optStrF(df, "file_path").getOrElse(
+            throw new IllegalArgumentException(
+              s"$path: manifest entry without data_file.file_path")),
+          sizeBytes = optLongF(df, "file_size_in_bytes").getOrElse(-1L),
+          recordCount = optLongF(df, "record_count").getOrElse(-1L),
+          colMins = bounds("lower_bounds"),
+          colMaxs = bounds("upper_bounds"),
           nullCounts = nulls),
-        format = df.get("file_format").toString,
-        content = df.get("content").asInstanceOf[Int],
-        sequenceNumber = rec.get("sequence_number").asInstanceOf[Long],
-        equalityIds = df.get("equality_ids")
-          .asInstanceOf[java.util.List[Integer]].asScala.map(_.intValue).toSeq,
-        referencedDataFile = Option(df.get("referenced_data_file")).map(_.toString),
-        contentOffset = optLong(df, "content_offset"),
-        contentSizeInBytes = optLong(df, "content_size_in_bytes"),
-        snapshotId = optLong(rec, "snapshot_id"),
-        firstRowId = optLong(df, "first_row_id"),
+        format = optStrF(df, "file_format").getOrElse("parquet"),
+        content = optIntF(df, "content").getOrElse(ContentData),
+        sequenceNumber = optLongF(rec, "sequence_number").getOrElse(inheritedSeq),
+        equalityIds = field(df, "equality_ids") match {
+          case Some(l: java.util.List[_]) =>
+            l.asScala.toSeq.collect { case n: Number => n.intValue }
+          case _ => Nil
+        },
+        referencedDataFile = optStrF(df, "referenced_data_file"),
+        contentOffset = optLongF(df, "content_offset"),
+        contentSizeInBytes = optLongF(df, "content_size_in_bytes"),
+        snapshotId = optLongF(rec, "snapshot_id"),
+        firstRowId = optLongF(df, "first_row_id"),
         partitionVals = partition.map(p => p._1 -> p._3.orNull).toMap,
         partitionTransforms =
           partition.collect { case (n, Some(t), _) => n -> t }.toMap)
@@ -385,42 +473,51 @@ object IcebergManifest {
     } finally w.close()
   }
 
-  /** Read a manifest list back — the inverse of [[writeList]]. */
+  /** Read a manifest list back — the inverse of [[writeList]], dynamic
+    * like [[read]]: stock lists decode too, including the v1 field names
+    * (`added_data_files_count` family) as fallbacks for the v2 ones.
+    */
   def readList(
       path: String,
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Seq[ManifestFile] = {
-    val r = openReader(path, conf, ListSchema)
+    val r = openReader(path, conf)
     try r.iterator().asScala.map { rec =>
+      def intOr(n: String, v1Name: String, d: Int): Int =
+        optIntF(rec, n).orElse(optIntF(rec, v1Name)).getOrElse(d)
       ManifestFile(
-        manifestPath = rec.get("manifest_path").toString,
-        manifestLength = rec.get("manifest_length").asInstanceOf[Long],
-        partitionSpecId = rec.get("partition_spec_id").asInstanceOf[Int],
-        content = rec.get("content").asInstanceOf[Int],
-        sequenceNumber = rec.get("sequence_number").asInstanceOf[Long],
-        minSequenceNumber = rec.get("min_sequence_number").asInstanceOf[Long],
-        addedSnapshotId = rec.get("added_snapshot_id").asInstanceOf[Long],
-        addedFilesCount = rec.get("added_files_count").asInstanceOf[Int],
-        existingFilesCount = rec.get("existing_files_count").asInstanceOf[Int],
-        deletedFilesCount = rec.get("deleted_files_count").asInstanceOf[Int],
-        addedRowsCount = rec.get("added_rows_count").asInstanceOf[Long],
-        existingRowsCount = rec.get("existing_rows_count").asInstanceOf[Long],
-        deletedRowsCount = rec.get("deleted_rows_count").asInstanceOf[Long],
-        firstRowId = Option(rec.get("first_row_id")).map(_.asInstanceOf[Long]))
+        manifestPath = optStrF(rec, "manifest_path").getOrElse(
+          throw new IllegalArgumentException(
+            s"$path: manifest-list row without manifest_path")),
+        manifestLength = optLongF(rec, "manifest_length").getOrElse(-1L),
+        partitionSpecId = optIntF(rec, "partition_spec_id").getOrElse(0),
+        content = optIntF(rec, "content").getOrElse(0),
+        sequenceNumber = optLongF(rec, "sequence_number").getOrElse(0L),
+        minSequenceNumber = optLongF(rec, "min_sequence_number").getOrElse(0L),
+        addedSnapshotId = optLongF(rec, "added_snapshot_id").getOrElse(-1L),
+        addedFilesCount = intOr("added_files_count", "added_data_files_count", 0),
+        existingFilesCount =
+          intOr("existing_files_count", "existing_data_files_count", 0),
+        deletedFilesCount =
+          intOr("deleted_files_count", "deleted_data_files_count", 0),
+        addedRowsCount = optLongF(rec, "added_rows_count").getOrElse(0L),
+        existingRowsCount = optLongF(rec, "existing_rows_count").getOrElse(0L),
+        deletedRowsCount = optLongF(rec, "deleted_rows_count").getOrElse(0L),
+        firstRowId = optLongF(rec, "first_row_id"))
     }.toList
     finally r.close()
   }
 
   /** Scheme-aware Avro container reader over a Hadoop FileSystem — a
     * manifest the compactor lands on s3a/hdfs must be readable back
-    * through the same FileSystem, not java.io.File. The file's embedded
-    * writer schema resolves against `expected` (the CURRENT schema), so
-    * pre-v3 manifests fill the new fields from their defaults.
+    * through the same FileSystem, not java.io.File. Records decode under
+    * the file's own embedded WRITER schema (no expected-schema
+    * resolution): the dynamic by-name extraction above is what makes
+    * every dialect — ours across rounds, and stock writers' — readable.
     */
   private def openReader(
       path: String,
-      conf: org.apache.hadoop.conf.Configuration,
-      expected: Schema): DataFileReader[GenericRecord] = {
+      conf: org.apache.hadoop.conf.Configuration): DataFileReader[GenericRecord] = {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(conf)
     val fileLen = fs.getFileStatus(hp).getLen
@@ -432,6 +529,6 @@ object IcebergManifest {
       override def length(): Long = fileLen
       override def close(): Unit = in.close()
     }
-    new DataFileReader(seekable, new GenericDatumReader[GenericRecord](expected))
+    new DataFileReader(seekable, new GenericDatumReader[GenericRecord]())
   }
 }

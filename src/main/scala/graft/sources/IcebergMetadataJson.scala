@@ -24,8 +24,10 @@ import org.apache.spark.sql.types._
   * and row-file-delete tables stay v2.
   *
   * Deviations, documented: `sequence-number` equals the snapshot id
-  * (commits are totally ordered), and manifest bound values are string
-  * renderings (see [[IcebergManifest]]).
+  * (commits are totally ordered), and manifest partition tuples are
+  * name-keyed arrays rather than positional structs (see
+  * [[IcebergManifest]]; bound values are spec-exact binary single-value
+  * serializations as of round 16).
   */
 object IcebergMetadataJson {
 

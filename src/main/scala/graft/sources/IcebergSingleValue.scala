@@ -1,0 +1,136 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.types._
+
+/** Iceberg's "Binary single-value serialization" (table spec, Appendix D)
+  * — the byte encoding manifest `lower_bounds`/`upper_bounds` carry, keyed
+  * by field id:
+  *
+  *   - boolean: 1 byte, 0x00 false / 0x01 true
+  *   - int (+ date, as days from epoch): 4-byte little-endian
+  *   - long (+ timestamp/timestamptz, as micros from epoch): 8-byte LE
+  *   - float / double: IEEE-754 bits, little-endian
+  *   - string: UTF-8 bytes
+  *   - decimal(p, s): minimal two's-complement BIG-endian unscaled value
+  *     at the type's scale
+  *
+  * This catalog's stats travel internally as STRINGS (the exact renderings
+  * the pruners parse back — [[graft.sources.dsv2.WriterStats]]); this
+  * codec converts between that string domain and the spec bytes so
+  * exported manifests are stock-consumable and stock manifests import.
+  * Both directions are total functions onto Option: an unparseable string
+  * or an unmappable type drops the bound (bounds are a pruning
+  * optimization — a dropped bound only costs a file open, a WRONG bound
+  * silently prunes matching rows).
+  */
+object IcebergSingleValue {
+
+  private def le(n: Long, width: Int): Array[Byte] =
+    Array.tabulate(width)(i => ((n >>> (8 * i)) & 0xff).toByte)
+
+  private def leLong(b: Array[Byte]): Option[Long] =
+    if (b.length < 1 || b.length > 8) None
+    else {
+      var v = 0L
+      var i = b.length - 1
+      while (i >= 0) { v = (v << 8) | (b(i) & 0xffL); i -= 1 }
+      // sign-extend from the declared width
+      val shift = 64 - 8 * b.length
+      Some((v << shift) >> shift)
+    }
+
+  // timestamps render in the session's UTC domain like Spark's
+  // cast-to-string: "yyyy-MM-dd HH:mm:ss[.fraction]" (parse also accepts
+  // the ISO 'T' separator and a raw micros long)
+  private def parseMicros(s: String): Option[Long] =
+    s.toLongOption.orElse {
+      try {
+        val iso = s.trim.replace(' ', 'T')
+        val ldt =
+          if (iso.contains("T")) java.time.LocalDateTime.parse(iso)
+          else java.time.LocalDate.parse(iso).atStartOfDay()
+        val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+        Some(Math.addExact(
+          Math.multiplyExact(inst.getEpochSecond, 1000000L),
+          inst.getNano / 1000L))
+      } catch { case _: RuntimeException => None }
+    }
+
+  private def renderMicros(us: Long): String = {
+    val secs = Math.floorDiv(us, 1000000L)
+    val frac = Math.floorMod(us, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      secs, frac.toInt * 1000, java.time.ZoneOffset.UTC)
+    val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+      f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:${ldt.getMinute}%02d:" +
+      f"${ldt.getSecond}%02d"
+    if (frac == 0L) base
+    else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
+  }
+
+  /** String rendering → spec bytes for `dt`. Lenient on integrals ("1.0"
+    * accepted — [[graft.wire.WireBridge]]'s historical coercion) and on
+    * dates/timestamps (ISO strings or raw epoch numbers).
+    */
+  def encode(dt: DataType, s: String): Option[Array[Byte]] =
+    try dt match {
+      case BooleanType => s.toBooleanOption.map(b =>
+        Array[Byte](if (b) 1 else 0))
+      case ByteType | ShortType | IntegerType =>
+        // exact integer parse first; the double coercion ("1.0") is a
+        // lenient fallback and must never cost large values their low bits
+        s.toIntOption.map(_.toLong)
+          .orElse(Some(s.toDouble.toInt.toLong)).map(le(_, 4))
+      case LongType =>
+        s.toLongOption.orElse(Some(s.toDouble.toLong)).map(le(_, 8))
+      case FloatType =>
+        Some(le(java.lang.Float.floatToIntBits(s.toFloat).toLong, 4))
+      case DoubleType =>
+        Some(le(java.lang.Double.doubleToLongBits(s.toDouble), 8))
+      case StringType => Some(s.getBytes(StandardCharsets.UTF_8))
+      case DateType =>
+        s.toIntOption.map(_.toLong)
+          .orElse(try Some(java.time.LocalDate.parse(s).toEpochDay)
+            catch { case _: RuntimeException => None })
+          .map(le(_, 4))
+      case TimestampType | TimestampNTZType => parseMicros(s).map(le(_, 8))
+      case d: DecimalType =>
+        val bd = new java.math.BigDecimal(s)
+          .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
+        Some(bd.unscaledValue.toByteArray) // minimal two's-complement BE
+      case _ => None // binary/nested: no string rendering exists to encode
+    } catch { case _: RuntimeException => None }
+
+  /** Spec bytes → the string rendering this catalog's pruners parse. */
+  def decode(dt: DataType, b: Array[Byte]): Option[String] =
+    try dt match {
+      case BooleanType =>
+        if (b.length != 1) None else Some((b(0) != 0).toString)
+      case ByteType | ShortType | IntegerType =>
+        if (b.length != 4) None else leLong(b).map(_.toInt.toString)
+      case LongType =>
+        if (b.length != 8) None else leLong(b).map(_.toString)
+      case FloatType =>
+        if (b.length != 4) None
+        else leLong(b).map(v =>
+          java.lang.Float.intBitsToFloat(v.toInt).toString)
+      case DoubleType =>
+        if (b.length != 8) None
+        else leLong(b).map(v =>
+          java.lang.Double.longBitsToDouble(v).toString)
+      case StringType => Some(new String(b, StandardCharsets.UTF_8))
+      case DateType =>
+        if (b.length != 4) None
+        else leLong(b).map(d =>
+          java.time.LocalDate.ofEpochDay(d.toInt.toLong).toString)
+      case TimestampType | TimestampNTZType =>
+        if (b.length != 8) None else leLong(b).map(renderMicros)
+      case d: DecimalType =>
+        if (b.isEmpty) None
+        else Some(new java.math.BigDecimal(
+          new java.math.BigInteger(b), d.scale).toPlainString)
+      case _ => None
+    } catch { case _: RuntimeException => None }
+}

@@ -215,19 +215,8 @@ object WireBridge {
     * type; unparseable values are omitted (a missing bound is always safe —
     * readers treat it as unbounded).
     */
-  private[wire] def boundBytes(tpe: DataType, s: String): Option[Array[Byte]] = {
-    def le(n: Long, width: Int): Array[Byte] =
-      (0 until width).map(i => ((n >>> (8 * i)) & 0xff).toByte).toArray
-    try tpe match {
-      case IntegerType => Some(le(s.toDouble.toInt.toLong, 4))
-      case LongType => Some(le(s.toDouble.toLong, 8))
-      case FloatType => Some(le(java.lang.Float.floatToIntBits(s.toFloat).toLong, 4))
-      case DoubleType => Some(le(java.lang.Double.doubleToLongBits(s.toDouble), 8))
-      case StringType => Some(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      case DateType => Some(le(java.time.LocalDate.parse(s).toEpochDay, 4))
-      case _ => None
-    } catch { case _: RuntimeException => None }
-  }
+  private[wire] def boundBytes(tpe: DataType, s: String): Option[Array[Byte]] =
+    graft.sources.IcebergSingleValue.encode(tpe, s)
 
   /** Commit manifest → wire `RewriteFilesResponse`: one DataFile per added
     * file with record count, size, and per-column bounds keyed BY FIELD ID

@@ -290,6 +290,11 @@ class IcebergImportSpec extends SparkSpec {
       val props = Map(
         "fs.s3.impl" -> "graft.wire.S3ClientFileSystem",
         "fs.s3.endpoint" -> s3.endpoint,
+        // endpoint resolution prefers the Iceberg-mapped fs.s3a.endpoint:
+        // a prior suite's wire request leaves its (now dead) stub port
+        // there on the SHARED session conf — set both so this test's
+        // store wins regardless of suite order
+        "fs.s3a.endpoint" -> s3.endpoint,
         "fs.s3.impl.disable.cache" -> "true")
       graft.wire.WireBridge.applyFileIo(spark, props)
       val conf = spark.sessionState.newHadoopConf()
@@ -356,6 +361,107 @@ class IcebergImportSpec extends SparkSpec {
         s"compaction output must land in the store: ${after.map(_.path)}")
       assert(cat.scanTable(spark, "s").count() == 98)
     } finally s3.close()
+  }
+
+  test("a STOCK-shaped manifest decodes: binary bounds, positional partition, inherited seq") {
+    // hand-built with the STOCK writer's Avro shape (the spec's field
+    // names/types as a real Iceberg writer produces them): binary
+    // single-value bounds, a positional partition struct typed by the
+    // spec, nullable sequence_number relying on manifest-list
+    // inheritance, and extra fields (value_counts, split_offsets,
+    // sort_order_id) this model doesn't carry — same spec-vector posture
+    // as the Puffin and pg-wire suites, since no stock writer ships in
+    // this environment
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val kvLong = SchemaBuilder.array().items(
+      SchemaBuilder.record("k117_v118").fields()
+        .requiredInt("key").requiredLong("value").endRecord())
+    val kvBytes = SchemaBuilder.array().items(
+      SchemaBuilder.record("k126_v127").fields()
+        .requiredInt("key").requiredBytes("value").endRecord())
+    val partStruct = SchemaBuilder.record("r102").fields()
+      .name("k_bucket").`type`().optional().intType()
+      .endRecord()
+    val dataFile = SchemaBuilder.record("r2").fields()
+      .requiredInt("content")
+      .requiredString("file_path")
+      .requiredString("file_format")
+      .name("partition").`type`(partStruct).noDefault()
+      .requiredLong("record_count")
+      .requiredLong("file_size_in_bytes")
+      .name("value_counts").`type`().optional().`type`(kvLong)
+      .name("null_value_counts").`type`().optional().`type`(kvLong)
+      .name("lower_bounds").`type`().optional().`type`(kvBytes)
+      .name("upper_bounds").`type`().optional().`type`(kvBytes)
+      .name("split_offsets").`type`().optional().array().items().longType()
+      .name("equality_ids").`type`().optional().array().items().intType()
+      .name("sort_order_id").`type`().optional().intType()
+      .endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .name("snapshot_id").`type`().optional().longType()
+      .name("sequence_number").`type`().optional().longType()
+      .name("file_sequence_number").`type`().optional().longType()
+      .name("data_file").`type`(dataFile).noDefault()
+      .endRecord()
+    val dir = Files.createTempDirectory("graft-stockman").toString
+    val path = s"$dir/stock-m0.avro"
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, new java.io.File(path))
+    def kvRec(arr: org.apache.avro.Schema, key: Int, v: Any): GenericRecord = {
+      val r = new GenericData.Record(arr.getElementType)
+      r.put("key", key)
+      r.put("value", v)
+      r
+    }
+    val part = new GenericData.Record(partStruct)
+    part.put("k_bucket", 3)
+    val df = new GenericData.Record(dataFile)
+    df.put("content", 0)
+    df.put("file_path", "s3://bucket/w/d1.parquet")
+    df.put("file_format", "PARQUET")
+    df.put("partition", part)
+    df.put("record_count", 100L)
+    df.put("file_size_in_bytes", 2048L)
+    df.put("value_counts", java.util.List.of(kvRec(kvLong, 1, 100L)))
+    df.put("null_value_counts", java.util.List.of(kvRec(kvLong, 1, 4L)))
+    df.put("lower_bounds", java.util.List.of(
+      kvRec(kvBytes, 1, java.nio.ByteBuffer.wrap(
+        IcebergSingleValue.encode(LongType, "5").get)),
+      // a bound for a DROPPED column (no schema binding) must drop, not fail
+      kvRec(kvBytes, 99, java.nio.ByteBuffer.wrap(Array[Byte](1, 0, 0, 0)))))
+    df.put("upper_bounds", java.util.List.of(
+      kvRec(kvBytes, 1, java.nio.ByteBuffer.wrap(
+        IcebergSingleValue.encode(LongType, "104").get)),
+      kvRec(kvBytes, 2, java.nio.ByteBuffer.wrap(
+        IcebergSingleValue.encode(StringType, "zz").get))))
+    df.put("split_offsets", java.util.List.of(java.lang.Long.valueOf(4L)))
+    df.put("sort_order_id", 0)
+    val rec = new GenericData.Record(entrySchema)
+    rec.put("status", 0) // EXISTING
+    rec.put("snapshot_id", 42L)
+    rec.put("sequence_number", null) // inherited from the list row
+    rec.put("data_file", df)
+    w.append(rec)
+    w.close()
+
+    val entries = IcebergManifest.read(path, handSchema,
+      new org.apache.hadoop.conf.Configuration(), inheritedSeq = 7L)
+    assert(entries.length == 1)
+    val e = entries.head
+    assert(e.status == 0 && e.snapshotId.contains(42L))
+    assert(e.sequenceNumber == 7L, "null sequence_number must inherit")
+    assert(e.file.path == "s3://bucket/w/d1.parquet" && e.format == "PARQUET")
+    assert(e.file.recordCount == 100L && e.file.sizeBytes == 2048L)
+    // binary bounds decode to the catalog's string renderings by field id
+    assert(e.file.colMins == Map("k" -> "5"), e.file.colMins)
+    assert(e.file.colMaxs == Map("k" -> "104", "v" -> "zz"))
+    assert(e.file.nullCounts == Map("k" -> 4L))
+    // the positional partition struct binds by its field names
+    assert(e.partitionVals == Map("k_bucket" -> "3"))
+    assert(e.partitionTransforms.isEmpty)
   }
 
   test("the parser rejects malformed and unsupported documents loudly") {
