@@ -127,7 +127,12 @@ object Bench {
     // q160 eq-delete mask, q161 session WAP, q162 branch DML, q163
     // filtered mask, q164 static-IN pruning, q165 v3 manifest export
     "q160" -> 1.0, "q161" -> 0.33, "q162" -> 1.1, "q163" -> 1.0,
-    "q164" -> 0.32, "q165" -> 1.3)
+    "q164" -> 0.32, "q165" -> 1.3,
+    // round-16 gates (first recording, from the closing run that measured
+    // uniform ~1.2-1.4x box inflation — see PLANS.md r16 adjudication —
+    // so these levels are ceilings on the healthy cost): q166 export ->
+    // import round trip, q167 import + compaction
+    "q166" -> 1.6, "q167" -> 2.4)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded
