@@ -412,36 +412,52 @@ final class GraftCatalog(root: String,
         s"$metadataLocation: current-snapshot-id $head is not in 'snapshots'")
     val lineage = ordered.take(headAt + 1)
     val schemaById = meta.schemas.toMap
-    // walk the ENTIRE manifest chain before writing anything: the walk is
-    // the error-prone half (remote IO, unbindable eq-deletes, malformed
-    // manifests), and snapshot documents are write-once — a refusal after
-    // a partial write would wedge the retry on the conflict guard. Also
-    // keeps the (possibly object-store) IO outside the table lock.
-    val prepared = lineage.zipWithIndex.map { case (snap, i) =>
-      // the schema the snapshot was committed under; snapshots without
-      // a schema-id read under the document's current schema (the spec's
-      // resolution rule for pre-v2 history)
-      val schema = snap.schemaId.flatMap(schemaById.get)
-        .orElse(schemaById.get(meta.currentSchemaId))
-        .getOrElse(org.apache.spark.sql.types.StructType(Nil))
-      (i + 1L, schema, importEntries(snap, schema, conf))
-    }
     withTableLock(table) {
       require(!headExists(table), s"table $table already exists")
-      prepared.foreach { case (lid, schema, entries) =>
-        writeSnapshot(table, lid, entries)
+      // walk and write ONE snapshot at a time — O(one snapshot's entries)
+      // memory, which is what lets a long-history million-file table
+      // import at all (materializing every snapshot's full inventory
+      // first would be O(history x files)). Snapshot documents are
+      // write-once, so a mid-walk refusal (remote IO failure, unbindable
+      // eq-delete, malformed manifest) CLEANS UP everything it wrote:
+      // nothing is referenced yet (the head doesn't exist until the very
+      // end), and leaving partial documents would wedge the corrected
+      // retry on the write-once conflict guard.
+      try lineage.zipWithIndex.foreach { case (snap, i) =>
+        val lid = i + 1L
+        // the schema the snapshot was committed under; snapshots without
+        // a schema-id read under the document's current schema (the
+        // spec's resolution rule for pre-v2 history)
+        val schema = snap.schemaId.flatMap(schemaById.get)
+          .orElse(schemaById.get(meta.currentSchemaId))
+          .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+        writeSnapshot(table, lid,
+          importEntries(snap, schema, conf, meta.specsById))
         if (schema.nonEmpty) writeSchema(table, lid, schema)
         // carry the FOREIGN commit time onto the snapshot document —
         // snapshot mtime is this catalog's timestamp domain, so
         // TIMESTAMP AS OF (and a re-export's snapshot-log) reflect the
         // original history, not the moment of import
-        lineage(lid.toInt - 1).timestampMs match {
-          case ts if ts > 0 =>
-            try Files.setLastModifiedTime(snapPath(table, lid),
-              java.nio.file.attribute.FileTime.fromMillis(ts))
-            catch { case _: java.io.IOException => () } // best-effort
-          case _ => ()
-        }
+        if (snap.timestampMs > 0)
+          try Files.setLastModifiedTime(snapPath(table, lid),
+            java.nio.file.attribute.FileTime.fromMillis(snap.timestampMs))
+          catch { case _: java.io.IOException => () } // best-effort
+      } catch {
+        case e: Throwable =>
+          // the table never existed (no head): everything under its dir
+          // is this walk's partial state (snapshot/schema documents and
+          // their segments) plus the lock file we hold — remove the
+          // partial state so the name stays cleanly creatable
+          val dir = tableDir(table)
+          if (Files.isDirectory(dir)) {
+            val files = Files.list(dir)
+            try files.iterator().asScala
+              .filterNot(_.getFileName.toString == ".lock")
+              .foreach(p => try Files.deleteIfExists(p)
+                catch { case _: java.io.IOException => () })
+            finally files.close()
+          }
+          throw e
       }
       advanceLastFieldId(table, math.max(meta.lastColumnId,
         meta.schemas.flatMap(s => FieldIds.allIds(s._2)).foldLeft(0)(math.max)))
@@ -491,13 +507,55 @@ final class GraftCatalog(root: String,
   private def importEntries(
       snap: IcebergImport.SnapshotRef,
       schema: org.apache.spark.sql.types.StructType,
-      conf: org.apache.hadoop.conf.Configuration): Seq[TableEntry] = {
+      conf: org.apache.hadoop.conf.Configuration,
+      specsById: Map[Int, Seq[IcebergImport.RawSpecField]] = Map.empty)
+      : Seq[TableEntry] = {
     def fmt(f: String) = f.toLowerCase(java.util.Locale.ROOT)
     val live = IcebergManifest.readList(snap.manifestList, conf).flatMap { m =>
+      // the per-file transform bindings partition pruning keys on: stock
+      // manifests carry positional tuples with NO transform info — rebuild
+      // it from the MANIFEST's own partition spec (per-manifest spec id,
+      // the spec-evolution-safe binding), bound against the SNAPSHOT's
+      // schema, but ONLY where the tuple-value representation provably
+      // matches this catalog's conventions: identity/bucket/truncate over
+      // integral and string sources (plain number / string renderings in
+      // both dialects) and the date-ordinal family (year/month/day/hour —
+      // ints since epoch in both). identity over date/timestamp SKIPS:
+      // stock renders ordinals where this catalog records display strings,
+      // and a misread tuple silently prunes matching files.
+      val fillable: Map[String, String] =
+        specsById.getOrElse(m.partitionSpecId, Nil).flatMap { f =>
+          schema.fields.find(sf => FieldIds.idOf(sf).contains(f.sourceId))
+            .filter { sf =>
+              import org.apache.spark.sql.types._
+              val plain = sf.dataType match {
+                case ByteType | ShortType | IntegerType | LongType |
+                     StringType => true
+                case _ => false
+              }
+              val base = f.transform.takeWhile(_ != '[')
+              base match {
+                case "identity" | "bucket" | "truncate" => plain
+                case "year" | "month" | "day" | "hour" => true
+                case _ => false
+              }
+            }
+            .map(sf => f.name -> s"${f.transform}|${sf.name}")
+        }.toMap
       // entries whose sequence_number is null INHERIT the manifest-list
       // row's (the spec's inheritance rule stock writers rely on)
       IcebergManifest.read(m.manifestPath, schema, conf,
-        inheritedSeq = m.sequenceNumber)
+        inheritedSeq = m.sequenceNumber).map { e =>
+        if (e.content != IcebergManifest.ContentData ||
+            e.partitionVals.isEmpty || fillable.isEmpty) e
+        else {
+          val missing = fillable.view.filterKeys(n =>
+            e.partitionVals.contains(n) && !e.partitionTransforms.contains(n))
+          // a RECORDED transform always wins — it names the spec that
+          // actually wrote the file
+          e.copy(partitionTransforms = missing.toMap ++ e.partitionTransforms)
+        }
+      }
     }.filter(_.status != IcebergManifest.StatusDeleted)
     // a well-formed snapshot lists each file once across its manifests; a
     // malformed one must not make the scan read a file twice (doubled

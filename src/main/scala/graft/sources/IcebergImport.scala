@@ -23,6 +23,12 @@ import scala.jdk.CollectionConverters._
   */
 object IcebergImport {
 
+  /** One partition-spec field, UNBOUND (source referenced by field id —
+    * binding to a column name needs a schema, and the right schema is the
+    * SNAPSHOT's, resolved during the manifest walk).
+    */
+  final case class RawSpecField(name: String, transform: String, sourceId: Int)
+
   /** One snapshot reference from the document's `snapshots` array. */
   final case class SnapshotRef(
       snapshotId: Long,
@@ -43,6 +49,9 @@ object IcebergImport {
       schemas: Seq[(Long, StructType)],
       currentSchemaId: Long,
       partitionFields: Seq[GraftCatalog.PartitionFieldDef],
+      // EVERY declared spec by spec-id, unbound — the manifest walk fills
+      // per-file transform bindings from the manifest's own spec id
+      specsById: Map[Int, Seq[RawSpecField]],
       sortColumns: Seq[String],
       currentSnapshotId: Option[Long],
       snapshots: Seq[SnapshotRef],
@@ -112,28 +121,37 @@ object IcebergImport {
       case (id, s) if id == currentSchemaId => s
     }
 
-    // default partition spec: bind each field's source-id to a CURRENT
-    // schema column; all-or-nothing (same discipline as the exporter — a
-    // partially-bound spec would misdescribe the layout)
+    // every declared partition spec, UNBOUND (spec-id → raw fields); a
+    // spec with a malformed field drops whole (can't trust half a spec)
     val defaultSpecId = opt("default-spec-id").map(_.asInt).getOrElse(0)
-    val partitionFields: Seq[GraftCatalog.PartitionFieldDef] =
-      (for {
-        specs <- opt("partition-specs").filter(_.isArray).toSeq
-        spec <- specs.elements().asScala
-        if Option(spec.get("spec-id")).exists(_.asInt == defaultSpecId)
-        fieldsNode <- Option(spec.get("fields")).filter(_.isArray).toSeq
-      } yield {
-        val fields = fieldsNode.elements().asScala.toSeq.flatMap { f =>
+    val specsById: Map[Int, Seq[RawSpecField]] =
+      opt("partition-specs").filter(_.isArray).toSeq
+        .flatMap(_.elements().asScala).flatMap { spec =>
           for {
-            name <- Option(f.get("name")).map(_.asText)
-            transform <- Option(f.get("transform")).map(_.asText)
-            sourceId <- Option(f.get("source-id")).map(_.asInt)
-            source <- currentSchema.flatMap(FieldIds.nameById(_, sourceId))
-          } yield GraftCatalog.PartitionFieldDef(name, transform, source)
-        }
-        val declared = fieldsNode.elements().asScala.size
-        if (fields.length == declared) fields else Nil
-      }).flatten
+            sid <- Option(spec.get("spec-id")).map(_.asInt)
+            fieldsNode <- Option(spec.get("fields")).filter(_.isArray)
+          } yield {
+            val fields = fieldsNode.elements().asScala.toSeq.flatMap { f =>
+              for {
+                name <- Option(f.get("name")).map(_.asText)
+                transform <- Option(f.get("transform")).map(_.asText)
+                sourceId <- Option(f.get("source-id")).map(_.asInt)
+              } yield RawSpecField(name, transform, sourceId)
+            }
+            val declared = fieldsNode.elements().asScala.size
+            sid -> (if (fields.length == declared) fields else Nil)
+          }
+        }.filter(_._2.nonEmpty).toMap
+    // the DEFAULT spec additionally binds to the CURRENT schema (it
+    // becomes the imported table's declared spec); all-or-nothing — a
+    // partially-bound spec would misdescribe the layout
+    val partitionFields: Seq[GraftCatalog.PartitionFieldDef] =
+      specsById.get(defaultSpecId).toSeq.flatMap { fields =>
+        val bound = fields.flatMap(f =>
+          currentSchema.flatMap(FieldIds.nameById(_, f.sourceId))
+            .map(src => GraftCatalog.PartitionFieldDef(f.name, f.transform, src)))
+        if (bound.length == fields.length) bound else Nil
+      }
 
     // default sort order: only the shape this catalog declares (identity
     // transform over schema columns) imports; anything else → no declared
@@ -198,6 +216,7 @@ object IcebergImport {
       schemas = schemas,
       currentSchemaId = currentSchemaId,
       partitionFields = partitionFields,
+      specsById = specsById,
       sortColumns = sortColumns,
       currentSnapshotId =
         opt("current-snapshot-id").map(_.asLong).filter(_ >= 0),

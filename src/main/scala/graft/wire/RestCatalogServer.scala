@@ -95,7 +95,11 @@ import scala.jdk.CollectionConverters._
   */
 final class RestCatalogServer(
     catalog: GraftCatalog, port: Int = 0,
-    exportOnLoad: Boolean = false) {
+    exportOnLoad: Boolean = false,
+    // the FileSystem conf register-table walks foreign chains with — a
+    // metadata-location on s3://wasb://gs:// needs the FileIO mappings
+    hadoopConf: org.apache.hadoop.conf.Configuration =
+      new org.apache.hadoop.conf.Configuration()) {
 
   import RestCatalogServer._
 
@@ -111,7 +115,7 @@ final class RestCatalogServer(
         ch.pipeline().addLast(
           new HttpServerCodec(),
           new HttpObjectAggregator(1 << 20),
-          new Handler(catalog, exportOnLoad))
+          new Handler(catalog, exportOnLoad, hadoopConf))
     })
     .bind(InetAddress.getLoopbackAddress, port).sync().channel()
 
@@ -128,13 +132,16 @@ object RestCatalogServer {
 
   private val mapper = new ObjectMapper()
 
-  private final class Handler(catalog: GraftCatalog, exportOnLoad: Boolean)
+  private final class Handler(
+      catalog: GraftCatalog, exportOnLoad: Boolean,
+      hadoopConf: org.apache.hadoop.conf.Configuration)
       extends SimpleChannelInboundHandler[FullHttpRequest] {
 
     override def channelRead0(ctx: ChannelHandlerContext, req: FullHttpRequest): Unit = {
       val (status, body) =
         try route(catalog, req.method(), req.uri(),
-          req.content().toString(StandardCharsets.UTF_8), exportOnLoad)
+          req.content().toString(StandardCharsets.UTF_8), exportOnLoad,
+          hadoopConf)
         catch { case e: Exception =>
           // e.getMessage may be null (bare NPEs): the envelope must still
           // render or the client sees a reset instead of the 500
@@ -168,7 +175,9 @@ object RestCatalogServer {
       method: HttpMethod,
       uri: String,
       body: String = "",
-      exportOnLoad: Boolean = false): (HttpResponseStatus, String) = {
+      exportOnLoad: Boolean = false,
+      hadoopConf: org.apache.hadoop.conf.Configuration =
+        new org.apache.hadoop.conf.Configuration()): (HttpResponseStatus, String) = {
     val path = uri.takeWhile(_ != '?')
     // percent-decode ONLY: URLDecoder is form decoding, where '+' means
     // space — but '+' is a legal literal path character (RFC 3986), so a
@@ -318,7 +327,7 @@ object RestCatalogServer {
       case (HttpMethod.POST, Seq("v1", "namespaces", ns, "register")) =>
         val parts = nsParts(ns)
         if (!nsExists(catalog, parts)) nsNotFound(parts)
-        else registerTable(catalog, parts, body)
+        else registerTable(catalog, parts, body, hadoopConf)
       case (HttpMethod.POST, Seq("v1", "tables", "rename")) =>
         renameTable(catalog, body)
       case (HttpMethod.POST, Seq("v1", "namespaces", ns, "tables", t)) =>
@@ -544,7 +553,8 @@ object RestCatalogServer {
     */
   private def registerTable(
       catalog: GraftCatalog, nsp: Seq[String],
-      body: String): (HttpResponseStatus, String) = {
+      body: String,
+      hadoopConf: org.apache.hadoop.conf.Configuration): (HttpResponseStatus, String) = {
     val req = try mapper.readTree(body) catch { case e: Exception =>
       return badRequest(s"malformed JSON body: ${e.getMessage}")
     }
@@ -561,7 +571,7 @@ object RestCatalogServer {
       return HttpResponseStatus.CONFLICT ->
         errorJson(s"Table already exists: ${dotted(nsp, name)}",
           "AlreadyExistsException", 409)
-    try catalog.importTable(cn, loc)
+    try catalog.importTable(cn, loc, hadoopConf)
     catch {
       case e: GraftError =>
         return badRequest(Option(e.getMessage).getOrElse("import refused"))

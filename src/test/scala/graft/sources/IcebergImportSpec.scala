@@ -464,6 +464,89 @@ class IcebergImportSpec extends SparkSpec {
     assert(e.partitionTransforms.isEmpty)
   }
 
+  test("a stock chain's positional tuples become prunable via the manifest's spec") {
+    // stock manifests carry NO per-file transform info — the import
+    // rebuilds it from the manifest's own partition-spec id, so a foreign
+    // bucket-partitioned table point-prunes immediately after import
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("graft-stockprune").toString
+    val (p1, sz) = stagedFile(dir, 50)
+    val p2 = {
+      (50L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$dir/stage2")
+      CompactionRunner.listParquet(s"$dir/stage2").head
+    }
+    val partStruct = SchemaBuilder.record("r102").fields()
+      .name("k_bucket").`type`().optional().intType().endRecord()
+    val dataFile = SchemaBuilder.record("r2").fields()
+      .requiredInt("content").requiredString("file_path")
+      .requiredString("file_format")
+      .name("partition").`type`(partStruct).noDefault()
+      .requiredLong("record_count").requiredLong("file_size_in_bytes")
+      .endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .name("sequence_number").`type`().optional().longType()
+      .name("data_file").`type`(dataFile).noDefault()
+      .endRecord()
+    val mPath = s"$dir/m0.avro"
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, new java.io.File(mPath))
+    val probeBucket = graft.functions.IcebergMurmur3.bucketLong(5L, 8)
+    for ((p, bucket) <- Seq((p1, probeBucket), (p2, (probeBucket + 3) % 8))) {
+      val part = new GenericData.Record(partStruct)
+      part.put("k_bucket", bucket)
+      val df = new GenericData.Record(dataFile)
+      df.put("content", 0)
+      df.put("file_path", p)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", 50L)
+      df.put("file_size_in_bytes", sz)
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1)
+      rec.put("sequence_number", null) // inherited
+      rec.put("data_file", df)
+      w.append(rec)
+    }
+    w.close()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    IcebergManifest.writeList(s"$dir/list1.avro", Seq(IcebergManifest.ManifestFile(
+      mPath, Files.size(java.nio.file.Paths.get(mPath)),
+      partitionSpecId = 2, content = 0, sequenceNumber = 1,
+      minSequenceNumber = 1, addedSnapshotId = 1, addedFilesCount = 2,
+      existingFilesCount = 0, deletedFilesCount = 0, addedRowsCount = 100,
+      existingRowsCount = 0, deletedRowsCount = 0)), conf)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"sp-1","location":"$dir",
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[$handSchemaFields]}],
+         |"default-spec-id":2,
+         |"partition-specs":[{"spec-id":0,"fields":[]},
+         |  {"spec-id":2,"fields":[{"name":"k_bucket","transform":"bucket[8]",
+         |   "source-id":1,"field-id":1000}]}],
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+         |"manifest-list":"$dir/list1.avro","summary":{"operation":"append"},
+         |"schema-id":0}]}""".stripMargin)
+    val root = Files.createTempDirectory("graft-stockprune-r").toString
+    val cat = new GraftCatalog(root)
+    cat.importTable("t", s"$dir/v1.metadata.json")
+    // the declared spec binds; per-file transforms rebuilt from spec 2
+    assert(cat.partitionSpec("t") ==
+      Seq(GraftCatalog.PartitionFieldDef("k_bucket", "bucket[8]", "k")))
+    val ents = cat.loadEntries("t").filter(_.kind == "data")
+    assert(ents.forall(_.partitionTransforms == Map("k_bucket" -> "bucket[8]|k")),
+      ents.map(_.partitionTransforms).toString)
+    // the point lookup opens ONLY the covering bucket's file
+    val keep = cat.inKeepPaths(spark, "t", "k", Seq(5L))
+    assert(keep == Set(p1), s"bucket pruning must keep only $p1: $keep")
+    assert(cat.scanTable(spark, "t").count() == 100)
+  }
+
   test("the parser rejects malformed and unsupported documents loudly") {
     intercept[GraftError.Metadata](IcebergImport.parse("not json at all"))
     intercept[GraftError.Metadata](IcebergImport.parse("""{"no-version":true}"""))
