@@ -1911,6 +1911,58 @@ object PipelineQueries {
     }.toDF()
   }
 
+  /** Q168: VIDEO container routing metadata — the third multimodal
+    * modality, completing image (q50/q91) and audio (q141): synthesize a
+    * spec-shaped ISO-BMFF (MP4) prefix per document (`ftyp` + a
+    * 64-bit-largesize `free` pad + `moov{mvhd, trak{tkhd}}`, BOTH mvhd
+    * versions exercised) over the text bytes as fake media payload, then
+    * parse the REAL box structure back in typed `mapPartitions` batches —
+    * timescale/duration from mvhd, presentation size from tkhd's 16.16
+    * fixed-point fields. This is the per-object routing pass (duration
+    * buckets, aspect filters, corrupt quarantine) a 100 TB video ingest
+    * runs before any frame decode is scheduled: map-only, no shuffle.
+    */
+  private def q168(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.MediaHeadersMp4
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text").cast("binary").as("body"))
+      .as[(Long, Array[Byte])]
+    val payloads = d.map { case (docId, body) =>
+      val timescale = 600L + (docId % 5) * 100L
+      val ticks = body.length.toLong * 100L
+      val w = (320 + (docId % 4) * 160).toInt
+      val h = (240 + (docId % 4) * 120).toInt
+      (docId, MediaHeadersMp4.mp4Header(timescale, ticks, w, h,
+        mvhdVersion = (docId % 2).toInt,
+        freeLen = (docId % 16).toInt) ++ body)
+    }
+    payloads.mapPartitions { it =>
+      it.grouped(64).flatMap { batch =>
+        batch.iterator.map { case (docId, p) =>
+          val h = MediaHeadersMp4.parseMp4Header(p).getOrElse(
+            throw new IllegalStateException(
+              s"unparseable synthesized mp4 header for doc $docId"))
+          VideoMeta(docId, h.mime, h.timescale, h.durationTicks,
+            h.width, h.height, h.durationTicks * 1000L / h.timescale)
+        }
+      }
+    }.toDF()
+  }
+
+  private val q168Sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         CAST(600 + (doc_id % 5) * 100 AS BIGINT) AS timescale,
+      |         CAST(octet_length(encode(text)) * 100 AS BIGINT) AS ticks,
+      |         CAST(320 + (doc_id % 4) * 160 AS BIGINT) AS width,
+      |         CAST(240 + (doc_id % 4) * 120 AS BIGINT) AS height
+      |  FROM documents)
+      |SELECT doc_id, 'video/mp4' AS mime, timescale,
+      |       ticks AS duration_ticks, width, height,
+      |       CAST(ticks * 1000 // timescale AS BIGINT) AS duration_ms
+      |FROM p""".stripMargin
+
   private val q141Sql =
     """WITH p AS (
       |  SELECT doc_id,
@@ -2297,7 +2349,8 @@ object PipelineQueries {
     "q134_quality_filter" -> (q134 _),
     "q139_boilerplate" -> (q139 _),
     "q140_bloom_decontam" -> (q140 _),
-    "q141_audio_meta" -> (q141 _))
+    "q141_audio_meta" -> (q141 _),
+    "q168_video_meta" -> (q168 _))
 
   val oracleSql: Map[String, String] = Map(
     "q40_dedup_exact" ->
@@ -2341,7 +2394,8 @@ object PipelineQueries {
     "q102_ann_recall" -> q102Sql,
     "q139_boilerplate" -> q139Sql,
     "q140_bloom_decontam" -> q140Sql,
-    "q141_audio_meta" -> q141Sql)
+    "q141_audio_meta" -> q141Sql,
+    "q168_video_meta" -> q168Sql)
 }
 
 /** Typed output row of the q91 header decode — the geometry a real header
@@ -2355,3 +2409,9 @@ case class MediaHeader(doc_id: Long, mime: String, n_bytes: Long, width: Long,
   */
 case class AudioMeta(doc_id: Long, mime: String, sample_rate: Long,
     channels: Long, bits_per_sample: Long, n_samples: Long, duration_ms: Long)
+
+/** Typed output row of the q168 video container decode — movie clock and
+  * presentation geometry.
+  */
+case class VideoMeta(doc_id: Long, mime: String, timescale: Long,
+    duration_ticks: Long, width: Long, height: Long, duration_ms: Long)
