@@ -158,6 +158,25 @@ class GrandTourSpec extends SparkSpec {
       assert(cFinal == 200)
       assert(finalLoad.contains(s""""current-snapshot-id":${cat.currentSnapshotId("tour")}"""),
         finalLoad.take(300))
+
+      // 9. the interop exit (round 16): export the toured table's
+      //    metadata.json chain and REGISTER it over REST into a SECOND,
+      //    completely fresh catalog — the re-mounted table answers the
+      //    same content with zero shared state
+      val metaPath =
+        graft.sources.IcebergMetadataJson.export(cat, root, "tour").toString
+      val root2 = Files.createTempDirectory("graft-tour2").toString
+      val cat2 = new GraftCatalog(root2)
+      val server2 = new RestCatalogServer(cat2, port = 0)
+      try {
+        val (cReg, regLoad) = post(server2.boundPort,
+          "/v1/namespaces/default/register",
+          s"""{"name":"tour","metadata-location":"$metaPath"}""")
+        assert(cReg == 200, regLoad)
+        assert(cat2.scanTable(spark, "tour").count() == expectAfter)
+        assert(cat2.tableProperties("tour")
+          .get("import.metadata-location").contains(metaPath))
+      } finally server2.close()
     } finally server.close()
   }
 }
