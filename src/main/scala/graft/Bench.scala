@@ -132,7 +132,9 @@ object Bench {
     // uniform ~1.2-1.4x box inflation — see PLANS.md r16 adjudication —
     // so these levels are ceilings on the healthy cost): q166 export ->
     // import round trip, q167 import + compaction
-    "q166" -> 1.6, "q167" -> 2.4)
+    "q166" -> 1.6, "q167" -> 2.4,
+    // q168 video-container decode: map-only, corpus-linear
+    "q168" -> 0.2)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded
