@@ -423,31 +423,71 @@ final class GraftCatalog(root: String,
       // nothing is referenced yet (the head doesn't exist until the very
       // end), and leaving partial documents would wedge the corrected
       // retry on the write-once conflict guard.
-      try lineage.zipWithIndex.foreach { case (snap, i) =>
-        val lid = i + 1L
-        // the schema the snapshot was committed under; snapshots without
-        // a schema-id read under the document's current schema (the
-        // spec's resolution rule for pre-v2 history)
-        val schema = snap.schemaId.flatMap(schemaById.get)
-          .orElse(schemaById.get(meta.currentSchemaId))
-          .getOrElse(org.apache.spark.sql.types.StructType(Nil))
-        writeSnapshot(table, lid,
-          importEntries(snap, schema, conf, meta.specsById))
-        if (schema.nonEmpty) writeSchema(table, lid, schema)
-        // carry the FOREIGN commit time onto the snapshot document —
-        // snapshot mtime is this catalog's timestamp domain, so
-        // TIMESTAMP AS OF (and a re-export's snapshot-log) reflect the
-        // original history, not the moment of import
-        if (snap.timestampMs > 0)
-          try Files.setLastModifiedTime(snapPath(table, lid),
-            java.nio.file.attribute.FileTime.fromMillis(snap.timestampMs))
-          catch { case _: java.io.IOException => () } // best-effort
+      try {
+        lineage.zipWithIndex.foreach { case (snap, i) =>
+          val lid = i + 1L
+          // the schema the snapshot was committed under; snapshots without
+          // a schema-id read under the document's current schema (the
+          // spec's resolution rule for pre-v2 history)
+          val schema = snap.schemaId.flatMap(schemaById.get)
+            .orElse(schemaById.get(meta.currentSchemaId))
+            .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+          writeSnapshot(table, lid,
+            importEntries(snap, schema, conf, meta.specsById))
+          if (schema.nonEmpty) writeSchema(table, lid, schema)
+          // carry the FOREIGN commit time onto the snapshot document —
+          // snapshot mtime is this catalog's timestamp domain, so
+          // TIMESTAMP AS OF (and a re-export's snapshot-log) reflect the
+          // original history, not the moment of import
+          if (snap.timestampMs > 0)
+            try Files.setLastModifiedTime(snapPath(table, lid),
+              java.nio.file.attribute.FileTime.fromMillis(snap.timestampMs))
+            catch { case _: java.io.IOException => () } // best-effort
+        }
+        advanceLastFieldId(table, math.max(meta.lastColumnId,
+          meta.schemas.flatMap(s => FieldIds.allIds(s._2)).foldLeft(0)(math.max)))
+        if (meta.partitionFields.nonEmpty)
+          writePspecFile(table, meta.partitionFields)
+        if (meta.sortColumns.nonEmpty) {
+          val tmp = tableDir(table).resolve(
+            s".sortorder.tmp-${Thread.currentThread().getId}")
+          Files.writeString(tmp,
+            meta.sortColumns.map(java.net.URLEncoder.encode(_, "UTF-8"))
+              .mkString("\n"),
+            StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+          Files.move(tmp, sortOrderPath(table),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        writePropsFile(table, meta.properties ++ Map(
+          "import.metadata-location" -> metadataLocation,
+          "import.format-version" -> meta.formatVersion.toString) ++
+          meta.tableUuid.map("import.source-table-uuid" -> _))
+        // foreign tags whose target is an imported lineage snapshot,
+        // remapped to the local ids ([[tagSnapshot]]'s invariants hold by
+        // construction: targets retained, 'main' filtered at parse,
+        // tab/newline-bearing names skipped — a weird foreign tag must
+        // not block the data)
+        val localIdOf = lineage.zipWithIndex
+          .map { case (s, i) => s.snapshotId -> (i + 1L) }.toMap
+        val importedTags = meta.tags.flatMap { case (name, fid) =>
+          if (name.contains("\t") || name.contains("\n")) None
+          else localIdOf.get(fid).map(name -> _)
+        }
+        if (importedTags.nonEmpty) writeRefs(table, importedTags)
+        writeTableUuid(table)
+        createHead(table, lineage.length.toLong)
+        lineage.length.toLong
       } catch {
         case e: Throwable =>
-          // the table never existed (no head): everything under its dir
-          // is this walk's partial state (snapshot/schema documents and
-          // their segments) plus the lock file we hold — remove the
-          // partial state so the name stays cleanly creatable
+          // a failure ANYWHERE before the head exists (mid-walk refusal,
+          // or a spec/props/refs/uuid write hitting disk trouble) leaves
+          // nothing referenced: everything under the dir is this
+          // registration's partial state (snapshot/schema documents,
+          // segments, spec/sort/props/refs/uuid files) plus the lock file
+          // we hold — remove the partial state so the name stays cleanly
+          // creatable for the corrected retry (snapshot documents are
+          // write-once; leftovers would wedge it on the conflict guard)
           val dir = tableDir(table)
           if (Files.isDirectory(dir)) {
             val files = Files.list(dir)
@@ -459,39 +499,6 @@ final class GraftCatalog(root: String,
           }
           throw e
       }
-      advanceLastFieldId(table, math.max(meta.lastColumnId,
-        meta.schemas.flatMap(s => FieldIds.allIds(s._2)).foldLeft(0)(math.max)))
-      if (meta.partitionFields.nonEmpty)
-        writePspecFile(table, meta.partitionFields)
-      if (meta.sortColumns.nonEmpty) {
-        val tmp = tableDir(table).resolve(
-          s".sortorder.tmp-${Thread.currentThread().getId}")
-        Files.writeString(tmp,
-          meta.sortColumns.map(java.net.URLEncoder.encode(_, "UTF-8"))
-            .mkString("\n"),
-          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
-        Files.move(tmp, sortOrderPath(table),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-      writePropsFile(table, meta.properties ++ Map(
-        "import.metadata-location" -> metadataLocation,
-        "import.format-version" -> meta.formatVersion.toString) ++
-        meta.tableUuid.map("import.source-table-uuid" -> _))
-      // foreign tags whose target is an imported lineage snapshot, remapped
-      // to the local ids ([[tagSnapshot]]'s invariants hold by construction:
-      // targets retained, 'main' filtered at parse, tab/newline-bearing
-      // names skipped — a weird foreign tag must not block the data)
-      val localIdOf = lineage.zipWithIndex
-        .map { case (s, i) => s.snapshotId -> (i + 1L) }.toMap
-      val importedTags = meta.tags.flatMap { case (name, fid) =>
-        if (name.contains("\t") || name.contains("\n")) None
-        else localIdOf.get(fid).map(name -> _)
-      }
-      if (importedTags.nonEmpty) writeRefs(table, importedTags)
-      writeTableUuid(table)
-      createHead(table, lineage.length.toLong)
-      lineage.length.toLong
     }
   }
 

@@ -583,6 +583,8 @@ object RestCatalogServer {
         return HttpResponseStatus.CONFLICT ->
           errorJson(s"Table already exists: ${dotted(nsp, name)}",
             "AlreadyExistsException", 409)
+      case e: IllegalArgumentException => // e.g. the name is a namespace
+        return badRequest(Option(e.getMessage).getOrElse("register refused"))
     }
     HttpResponseStatus.OK -> tableJson(catalog, cn)
   }
