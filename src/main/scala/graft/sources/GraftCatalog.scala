@@ -403,17 +403,35 @@ final class GraftCatalog(root: String,
     }
     require(!namespaceExists(table), s"$table is a namespace, not a table")
     val meta = IcebergImport.read(metadataLocation, conf)
-    val head = meta.currentSnapshotId.getOrElse(throw GraftError.Metadata(
-      s"$metadataLocation has no current snapshot to import"))
-    val ordered = meta.snapshots.sortBy(s => (s.sequenceNumber, s.snapshotId))
-    val headAt = ordered.indexWhere(_.snapshotId == head)
-    if (headAt < 0)
-      throw GraftError.Metadata(
-        s"$metadataLocation: current-snapshot-id $head is not in 'snapshots'")
-    val lineage = ordered.take(headAt + 1)
+    // the main lineage, oldest-first: parent-snapshot-id walk when the
+    // document carries ancestry, else sequence order, else (v1 documents,
+    // which have no sequence numbers) timestamp order — never a raw
+    // snapshot-id sort, whose arbitrary ids would scramble v1 history
+    val lineage = IcebergImport.mainLineage(meta, metadataLocation)
     val schemaById = meta.schemas.toMap
     withTableLock(table) {
       require(!headExists(table), s"table $table already exists")
+      // refuse a NON-EMPTY directory up front: the failure cleanup below
+      // wipes the table dir (minus the lock), which is only safe when
+      // everything there is this registration's own partial state. A
+      // leftover from an interrupted drop (or user files colocated under
+      // the root) must not be silently destroyed by a failed import.
+      locally {
+        val dir = tableDir(table)
+        if (Files.isDirectory(dir)) {
+          val files = Files.list(dir)
+          val leftover =
+            try files.iterator().asScala
+              .map(_.getFileName.toString).filterNot(_ == ".lock").toSeq
+            finally files.close()
+          if (leftover.nonEmpty)
+            throw GraftError.Metadata(
+              s"refusing to import into non-empty directory $dir " +
+                s"(leftover files: ${leftover.take(5).mkString(", ")}" +
+                s"${if (leftover.size > 5) ", ..." else ""}) — " +
+                "remove them or drop the table first")
+        }
+      }
       // walk and write ONE snapshot at a time — O(one snapshot's entries)
       // memory, which is what lets a long-history million-file table
       // import at all (materializing every snapshot's full inventory

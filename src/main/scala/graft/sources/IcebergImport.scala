@@ -29,14 +29,22 @@ object IcebergImport {
     */
   final case class RawSpecField(name: String, transform: String, sourceId: Int)
 
-  /** One snapshot reference from the document's `snapshots` array. */
+  /** One snapshot reference from the document's `snapshots` array.
+    * `sequenceNumber` is absent on v1 documents (the field is v2+) —
+    * lineage ordering must then fall back to `timestampMs`, v1's only
+    * ordering signal. `parentSnapshotId` is the spec's ancestry pointer;
+    * when present it defines the main lineage exactly (a rolled-back
+    * snapshot is NOT an ancestor of the current head even if its
+    * sequence number is smaller).
+    */
   final case class SnapshotRef(
       snapshotId: Long,
-      sequenceNumber: Long,
+      sequenceNumber: Option[Long],
       timestampMs: Long,
       manifestList: String,
       schemaId: Option[Long],
-      operation: String)
+      operation: String,
+      parentSnapshotId: Option[Long] = None)
 
   /** The parsed table-metadata document — everything
     * [[GraftCatalog.importTable]] needs to rebuild the snapshot chain.
@@ -61,6 +69,46 @@ object IcebergImport {
       tags: Map[String, Long])
 
   private val mapper = new ObjectMapper
+
+  /** The MAIN LINEAGE to import, oldest-first: the snapshots that are
+    * ancestors of `current-snapshot-id`. Preference order:
+    *
+    *   1. `parent-snapshot-id` walk (when the document carries ancestry
+    *      pointers) — the spec's exact definition. A rolled-back snapshot
+    *      whose sequence number happens to sort below the head is NOT on
+    *      the walk and does not import. The walk stops at a parent that is
+    *      no longer in `snapshots` (expired history — the spec allows a
+    *      parent pointer to a removed snapshot).
+    *   2. Sequence-number order (v2+ documents without parent pointers,
+    *      e.g. this library's pre-round-17 exports), snapshots at or
+    *      before the head's position.
+    *   3. Timestamp order (v1 documents carry NO sequence numbers — a
+    *      snapshot-id sort would be random, silently excluding older
+    *      snapshots whose ids sort above the head's).
+    *
+    * Throws when the head is not present in `snapshots` at all.
+    */
+  def mainLineage(meta: TableMetadata, where: String = "<doc>"): Seq[SnapshotRef] = {
+    val head = meta.currentSnapshotId.getOrElse(throw GraftError.Metadata(
+      s"$where has no current snapshot to import"))
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    val headRef = byId.getOrElse(head, throw GraftError.Metadata(
+      s"$where: current-snapshot-id $head is not in 'snapshots'"))
+    if (meta.snapshots.exists(_.parentSnapshotId.isDefined)) {
+      // ancestry walk; cycle-guarded (a malformed document must not hang)
+      val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var cur: Option[SnapshotRef] = Some(headRef)
+      while (cur.isDefined && seen.add(cur.get.snapshotId))
+        cur = cur.get.parentSnapshotId.flatMap(byId.get)
+      seen.toSeq.reverse.map(byId)
+    } else {
+      val ordered =
+        if (meta.snapshots.forall(_.sequenceNumber.isDefined))
+          meta.snapshots.sortBy(s => (s.sequenceNumber.get, s.snapshotId))
+        else meta.snapshots.sortBy(s => (s.timestampMs, s.snapshotId))
+      ordered.take(ordered.indexWhere(_.snapshotId == head) + 1)
+    }
+  }
 
   /** Read and parse a `metadata.json` through the Hadoop FileSystem for
     * its scheme — a document on s3/wasb/gs imports exactly like a local
@@ -186,14 +234,16 @@ object IcebergImport {
         SnapshotRef(
           snapshotId = sid,
           sequenceNumber =
-            Option(s.get("sequence-number")).map(_.asLong).getOrElse(sid),
+            Option(s.get("sequence-number")).filterNot(_.isNull).map(_.asLong),
           timestampMs =
             Option(s.get("timestamp-ms")).map(_.asLong).getOrElse(0L),
           manifestList = list,
           schemaId = Option(s.get("schema-id")).map(_.asLong),
           operation = Option(s.get("summary"))
             .flatMap(n => Option(n.get("operation"))).map(_.asText)
-            .getOrElse("append"))
+            .getOrElse("append"),
+          parentSnapshotId = Option(s.get("parent-snapshot-id"))
+            .filterNot(_.isNull).map(_.asLong).filter(_ >= 0))
       }
 
     val props = opt("properties").filter(_.isObject).map { p =>

@@ -129,9 +129,24 @@ object IcebergMetadataJson {
       catch { case _: Exception => 0L }
     // the discovery chain: per-snapshot Avro manifests + manifest list;
     // tracks whether ANY snapshot references a Puffin deletion vector
-    // (the v3 trigger) and the row-lineage high-water mark
-    val (listPathOf, anyDv, nextRowId) =
+    // (the v3 trigger), the row-lineage high-water mark, and each
+    // snapshot's highest ENTRY sequence number
+    val (listPathOf, maxEntrySeqOf, anyDv, nextRowId) =
       exportManifests(catalog, dir, table, ids, schemas)
+    // snapshot sequence numbers: normally the snapshot id (commits are
+    // totally ordered), but an IMPORTED table's entries keep their foreign
+    // — often huge — sequence numbers, and the spec requires that no
+    // data/delete sequence number exceed its snapshot's (nor the
+    // document's last-sequence-number). Take the running max so both
+    // invariants hold; pure-local tables render exactly as before
+    // (entry seqs never exceed their commit id).
+    val sorted = ids.sorted
+    val seqOf: Map[Long, Long] = sorted.foldLeft((Map.empty[Long, Long], 0L)) {
+      case ((m, prev), id) =>
+        val seq = math.max(prev, math.max(id, maxEntrySeqOf.getOrElse(id, 0L)))
+        (m.updated(id, seq), seq)
+    }._1
+    val parentOf: Map[Long, Long] = sorted.zip(sorted.drop(1)).map(_.swap).toMap
     val snapshots = ids.map { id =>
       val schemaRef = schemas.collect { case (sid, _) if sid <= id => sid }
         .maxOption.map(sid => s""","schema-id":$sid""").getOrElse("")
@@ -140,7 +155,10 @@ object IcebergMetadataJson {
       // it to classify history (e.g. changelog scans skip `replace`)
       val op = catalog.snapshotSummary(table, id)
         .map(_.operation).getOrElse("append")
-      s"""{"snapshot-id":$id,"sequence-number":$id,"timestamp-ms":${mtime(id)},""" +
+      val parent = parentOf.get(id)
+        .map(p => s""","parent-snapshot-id":$p""").getOrElse("")
+      s"""{"snapshot-id":$id,"sequence-number":${seqOf(id)}$parent,""" +
+        s""""timestamp-ms":${mtime(id)},""" +
         s""""manifest-list":"${esc(listPathOf(id))}",""" +
         s""""summary":{"operation":"${esc(op)}"}$schemaRef}"""
     }.mkString(",")
@@ -229,7 +247,7 @@ object IcebergMetadataJson {
          |"table-uuid":"$uuid",
          |"location":"${esc(dir.toString)}",
          |"properties":{$propsJson},
-         |"last-sequence-number":$head,
+         |"last-sequence-number":${seqOf.getOrElse(head, head)},
          |"last-updated-ms":${mtime(head)},
          |"last-column-id":$lastColumnId,
          |$rowLineage"current-schema-id":$currentSchemaId,
@@ -271,7 +289,8 @@ object IcebergMetadataJson {
       dir: Path,
       table: String,
       ids: Seq[Long],
-      schemas: Seq[(Long, StructType)]): (Map[Long, String], Boolean, Long) = {
+      schemas: Seq[(Long, StructType)])
+      : (Map[Long, String], Map[Long, Long], Boolean, Long) = {
     import graft.sources.IcebergManifest.{ManifestEntry, ManifestFile}
     val conf = new org.apache.hadoop.conf.Configuration()
     // blob metadata per Puffin sidecar, memoized (snapshots share files).
@@ -303,6 +322,7 @@ object IcebergMetadataJson {
         nextRowId += math.max(0L, recordCount)
         (first, id)
       })
+    val maxSeqs = scala.collection.mutable.HashMap.empty[Long, Long]
     val listPaths = ids.sorted.map { id =>
       val entries = catalog.loadEntriesAt(table, id)
       val schema = schemas.collect { case (sid, s) if sid <= id => s }
@@ -379,10 +399,12 @@ object IcebergMetadataJson {
       val manifests =
         writeOne("m0", 0, dataEntries).toSeq ++
           writeOne("m1", 1, deleteEntries).toSeq
+      maxSeqs(id) = (dataEntries ++ deleteEntries)
+        .map(_.sequenceNumber).maxOption.getOrElse(0L)
       val listPath = dir.resolve(s"snap-$id-manifest-list.avro")
       IcebergManifest.writeList(listPath.toString, manifests, conf)
       id -> listPath.toString
     }.toMap
-    (listPaths, anyDv, nextRowId)
+    (listPaths, maxSeqs.toMap, anyDv, nextRowId)
   }
 }

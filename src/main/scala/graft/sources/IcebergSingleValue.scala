@@ -41,28 +41,45 @@ object IcebergSingleValue {
       Some((v << shift) >> shift)
     }
 
-  // timestamps render in the session's UTC domain like Spark's
-  // cast-to-string: "yyyy-MM-dd HH:mm:ss[.fraction]" (parse also accepts
-  // the ISO 'T' separator and a raw micros long)
-  private def parseMicros(s: String): Option[Long] =
+  // The catalog's timestamp stats strings come from Spark's
+  // cast-to-string ("yyyy-MM-dd HH:mm:ss[.fraction]"), which renders a
+  // TIMESTAMPTZ (TimestampType) instant in `spark.sql.session.timeZone`
+  // and a TIMESTAMP_NTZ wall-clock verbatim. The codec must convert
+  // through the SAME zone per type, or on a non-UTC session every
+  // exported binary timestamptz bound shifts by the zone offset — and a
+  // stock engine pruning on the shifted bound silently skips files that
+  // contain matching rows (the exact hazard the class doc warns about).
+  // NTZ wall-clocks convert via UTC by definition (zone-free domain).
+  private def sessionZone: java.time.ZoneId =
+    try java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    catch { case _: RuntimeException => java.time.ZoneOffset.UTC }
+
+  private def zoneFor(dt: DataType): java.time.ZoneId = dt match {
+    case TimestampType => sessionZone
+    case _ => java.time.ZoneOffset.UTC
+  }
+
+  // parse also accepts the ISO 'T' separator and a raw micros long
+  private def parseMicros(s: String, zone: java.time.ZoneId): Option[Long] =
     s.toLongOption.orElse {
       try {
         val iso = s.trim.replace(' ', 'T')
         val ldt =
           if (iso.contains("T")) java.time.LocalDateTime.parse(iso)
           else java.time.LocalDate.parse(iso).atStartOfDay()
-        val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+        val inst = ldt.atZone(zone).toInstant
         Some(Math.addExact(
           Math.multiplyExact(inst.getEpochSecond, 1000000L),
           inst.getNano / 1000L))
       } catch { case _: RuntimeException => None }
     }
 
-  private def renderMicros(us: Long): String = {
+  private def renderMicros(us: Long, zone: java.time.ZoneId): String = {
     val secs = Math.floorDiv(us, 1000000L)
     val frac = Math.floorMod(us, 1000000L)
-    val ldt = java.time.LocalDateTime.ofEpochSecond(
-      secs, frac.toInt * 1000, java.time.ZoneOffset.UTC)
+    val ldt = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochSecond(secs, frac * 1000L), zone)
     val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
       f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:${ldt.getMinute}%02d:" +
       f"${ldt.getSecond}%02d"
@@ -95,7 +112,8 @@ object IcebergSingleValue {
           .orElse(try Some(java.time.LocalDate.parse(s).toEpochDay)
             catch { case _: RuntimeException => None })
           .map(le(_, 4))
-      case TimestampType | TimestampNTZType => parseMicros(s).map(le(_, 8))
+      case TimestampType | TimestampNTZType =>
+        parseMicros(s, zoneFor(dt)).map(le(_, 8))
       case d: DecimalType =>
         val bd = new java.math.BigDecimal(s)
           .setScale(d.scale, java.math.RoundingMode.UNNECESSARY)
@@ -126,7 +144,8 @@ object IcebergSingleValue {
         else leLong(b).map(d =>
           java.time.LocalDate.ofEpochDay(d.toInt.toLong).toString)
       case TimestampType | TimestampNTZType =>
-        if (b.length != 8) None else leLong(b).map(renderMicros)
+        if (b.length != 8) None
+        else leLong(b).map(renderMicros(_, zoneFor(dt)))
       case d: DecimalType =>
         if (b.isEmpty) None
         else Some(new java.math.BigDecimal(

@@ -897,7 +897,13 @@ object RestCatalogServer {
     s"""{"metadata-location":${q(metadataLocation)},""" +
       s""""metadata":{"format-version":2,"table-uuid":${q(uuidOf(table))},""" +
       s""""location":${q(location)},""" +
-      s""""last-sequence-number":$head,""" +
+      // an imported table's entries keep their FOREIGN sequence numbers;
+      // the spec forbids any entry seq above last-sequence-number, so the
+      // header covers the head's highest entry (one head-snapshot load —
+      // pure-local tables render plain $head as before)
+      s""""last-sequence-number":${
+        math.max(head, catalog.loadEntries(table).map(_.seqNum)
+          .maxOption.getOrElse(0L))},""" +
       s""""last-updated-ms":${snapMtime(catalog, table, head)},""" +
       s""""last-column-id":$lastColumnId,""" +
       schemaPart +

@@ -547,6 +547,103 @@ class IcebergImportSpec extends SparkSpec {
     assert(cat.scanTable(spark, "t").count() == 100)
   }
 
+  test("v1 documents without sequence numbers import in timestamp order") {
+    // v1 snapshot ids are arbitrary longs — a snapshot-id sort would put
+    // 900 after the head and silently exclude it. timestamp-ms is v1's
+    // only ordering signal.
+    val meta = IcebergImport.parse(
+      """{"format-version":1,"current-schema-id":0,
+        |"schema":{"type":"struct","fields":[
+        |  {"id":1,"name":"k","required":false,"type":"long"}]},
+        |"current-snapshot-id":77,
+        |"snapshots":[
+        |  {"snapshot-id":77,"timestamp-ms":3000,"manifest-list":"/l3"},
+        |  {"snapshot-id":900,"timestamp-ms":1000,"manifest-list":"/l1"},
+        |  {"snapshot-id":5,"timestamp-ms":2000,"manifest-list":"/l2"}]}"""
+        .stripMargin)
+    assert(meta.snapshots.forall(_.sequenceNumber.isEmpty))
+    assert(IcebergImport.mainLineage(meta).map(_.snapshotId) ==
+      Seq(900L, 5L, 77L))
+  }
+
+  test("parent-snapshot-id walk excludes rolled-back non-ancestor snapshots") {
+    // 20 was committed after 10 (seq 2) then rolled back; head 30 forked
+    // from 10. A sequence-order import would wrongly include 20.
+    val meta = IcebergImport.parse(
+      """{"format-version":2,"current-schema-id":0,
+        |"schemas":[{"schema-id":0,"type":"struct","fields":[
+        |  {"id":1,"name":"k","required":false,"type":"long"}]}],
+        |"current-snapshot-id":30,
+        |"snapshots":[
+        |  {"snapshot-id":10,"sequence-number":1,"timestamp-ms":1,
+        |   "manifest-list":"/l1"},
+        |  {"snapshot-id":20,"sequence-number":2,"timestamp-ms":2,
+        |   "parent-snapshot-id":10,"manifest-list":"/l2"},
+        |  {"snapshot-id":30,"sequence-number":3,"timestamp-ms":3,
+        |   "parent-snapshot-id":10,"manifest-list":"/l3"}]}""".stripMargin)
+    assert(IcebergImport.mainLineage(meta).map(_.snapshotId) == Seq(10L, 30L))
+    // ...and a parent pointer to EXPIRED history starts the lineage at the
+    // oldest retained ancestor instead of failing
+    val truncated = IcebergImport.parse(
+      """{"format-version":2,"current-schema-id":0,
+        |"schemas":[{"schema-id":0,"type":"struct","fields":[
+        |  {"id":1,"name":"k","required":false,"type":"long"}]}],
+        |"current-snapshot-id":30,
+        |"snapshots":[
+        |  {"snapshot-id":30,"sequence-number":3,"timestamp-ms":3,
+        |   "parent-snapshot-id":9999,"manifest-list":"/l3"}]}""".stripMargin)
+    assert(IcebergImport.mainLineage(truncated).map(_.snapshotId) == Seq(30L))
+  }
+
+  test("import refuses a non-empty table directory and leaves it untouched") {
+    val dir = Files.createTempDirectory("graft-impne").toString
+    val (p, sz) = stagedFile(dir, 10)
+    val mp = handChain(dir, Seq(IcebergManifest.ManifestEntry(
+      IcebergManifest.StatusAdded,
+      DataFileStats(p, sz, 10, Map.empty, Map.empty, Map.empty),
+      sequenceNumber = 1)), handSchema, handSchemaFields)
+    val root = Files.createTempDirectory("graft-impne-r").toString
+    val leftover = java.nio.file.Paths.get(root, "n", "precious.txt")
+    Files.createDirectories(leftover.getParent)
+    Files.writeString(leftover, "user data the import must not wipe")
+    val e = intercept[GraftError.Metadata](
+      new GraftCatalog(root).importTable("n", mp))
+    assert(e.getMessage.contains("non-empty"), e.getMessage)
+    assert(Files.exists(leftover),
+      "a refused import must not destroy pre-existing files")
+    // the same chain imports cleanly once the directory is clean
+    Files.delete(leftover)
+    val cat = new GraftCatalog(root)
+    cat.importTable("n", mp)
+    assert(cat.scanTable(spark, "n").count() == 10)
+  }
+
+  test("re-export of an imported table keeps sequence-number invariants") {
+    // foreign entries carry a HUGE sequence number; the re-exported
+    // document must not publish a last-sequence-number below it (strict
+    // stock readers reject documents violating the invariant)
+    val dir = Files.createTempDirectory("graft-impseq").toString
+    val (p, sz) = stagedFile(dir, 20)
+    val mp = handChain(dir, Seq(IcebergManifest.ManifestEntry(
+      IcebergManifest.StatusAdded,
+      DataFileStats(p, sz, 20, Map.empty, Map.empty, Map.empty),
+      sequenceNumber = 5000000L)), handSchema, handSchemaFields)
+    val root = Files.createTempDirectory("graft-impseq-r").toString
+    val cat = new GraftCatalog(root)
+    cat.importTable("s", mp)
+    val out = IcebergMetadataJson.export(cat, root, "s")
+    val doc = Files.readString(out)
+    assert(doc.contains("\"last-sequence-number\":5000000"), doc.take(400))
+    assert(doc.contains("\"sequence-number\":5000000"),
+      "the snapshot's sequence-number must cover its entries")
+    // and the re-exported chain re-imports identically (now via the
+    // parent-snapshot-id walk the export emits)
+    val root2 = Files.createTempDirectory("graft-impseq-r2").toString
+    val cat2 = new GraftCatalog(root2)
+    cat2.importTable("s", out.toString)
+    assert(cat2.scanTable(spark, "s").count() == 20)
+  }
+
   test("the parser rejects malformed and unsupported documents loudly") {
     intercept[GraftError.Metadata](IcebergImport.parse("not json at all"))
     intercept[GraftError.Metadata](IcebergImport.parse("""{"no-version":true}"""))

@@ -79,6 +79,35 @@ class IcebergMetadataJsonSpec extends SparkSpec {
     assert(idPattern.findAllMatchIn(text2).map(_.group(1).toLong).toSeq == ids)
   }
 
+  test("timestamptz bounds encode through the session time zone") {
+    // The catalog's timestamp stats strings come from cast-to-string,
+    // which renders TIMESTAMPTZ in spark.sql.session.timeZone. On a
+    // non-UTC session the binary bound must still be the true UTC-instant
+    // micros — a zone-shifted bound would make a stock engine silently
+    // prune files containing matching rows.
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      // the instant 2017-11-16T22:31:08Z renders as 17:31:08 in New York
+      val rendered = spark.sql(
+        "SELECT cast(cast('2017-11-16 22:31:08Z' as timestamp) as string)")
+        .first().getString(0)
+      assert(rendered == "2017-11-16 17:31:08", rendered)
+      val bytes = IcebergSingleValue.encode(TimestampType, rendered).get
+      // spec vector: that instant is 1510871468000000 micros
+      assert(IcebergSingleValue.decode(LongType, bytes)
+        .contains("1510871468000000"))
+      // decode re-renders symmetrically in the session zone
+      assert(IcebergSingleValue.decode(TimestampType, bytes).contains(rendered))
+      // NTZ wall-clocks are zone-free: the same string encodes to the
+      // SAME bytes whatever the session zone
+      val ntz = IcebergSingleValue.encode(
+        TimestampNTZType, "2017-11-16 22:31:08").get
+      assert(IcebergSingleValue.decode(LongType, ntz)
+        .contains("1510871468000000"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("export reflects schema evolution: current-schema-id tracks HEAD") {
     val root = Files.createTempDirectory("graft-meta2").toString
     val cat = new GraftCatalog(root)
