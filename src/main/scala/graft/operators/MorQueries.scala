@@ -1557,7 +1557,127 @@ object MorQueries {
     spark.sql(s"SELECT o_orderkey, o_custkey, o_totalprice FROM $h.o")
   }
 
+  /** Q169: import a foreign chain whose schema carries the Iceberg types
+    * Spark has no native type for — `uuid`, `fixed[16]`, `time`,
+    * `timestamp_ns` (reference wire decode `core/src/parser/proto.rs:
+    * 205-239`) — under the library's documented conventions (SURVEY §1.2,
+    * proven by q36): uuid → canonical string, fixed → length-checked
+    * binary, time → µs-since-midnight long, ns → nanos long. The chain's
+    * manifest carries spec-exact BINARY bounds for the uuid column (16
+    * bytes big-endian, Appendix D) and an equality delete KEYED ON the
+    * uuid field id — in-gate requires prove the bound decodes to the
+    * canonical string and the eq-delete binds; the MoR scan then
+    * hash-matches the DuckDB oracle.
+    */
+  private def q169(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-q169").toString
+    val h = md5(concat(lit("graft:"), col("o_orderkey").cast("string")))
+    val src = spark.read.parquet(s"$sfDir/orders.parquet")
+      .filter(col("o_orderkey") <= 30000)
+      .select(
+        col("o_orderkey"),
+        concat_ws("-", substring(h, 1, 8), substring(h, 9, 4),
+          substring(h, 13, 4), substring(h, 17, 4), substring(h, 21, 12))
+          .as("uid"),
+        unhex(h).as("fp"),
+        (col("o_orderkey") * 977 % 86400000000L).as("t_us"),
+        (col("o_orderkey") * 1000000L + 123L).as("ts_ns"))
+    src.coalesce(1).write.parquet(s"$dir/data")
+    val dataPath = graft.sources.CompactionRunner.listParquet(s"$dir/data").head
+    // the eq-delete: the two smallest keys, BY uuid (the foreign table's
+    // key domain), keyed on the uid column's field id
+    src.orderBy("o_orderkey").limit(2).select("uid")
+      .coalesce(1).write.parquet(s"$dir/eq")
+    val eqPath = graft.sources.CompactionRunner.listParquet(s"$dir/eq").head
+    val stats = src.agg(
+      count(lit(1)), min("uid"), max("uid"),
+      min("o_orderkey"), max("o_orderkey"),
+      lower(min(hex(col("fp")))), lower(max(hex(col("fp"))))).head()
+    val nRows = stats.getLong(0)
+    // the annotated import schema comes from the PARSER itself — the same
+    // document the chain declares, so the manifest writer sees exactly
+    // what a re-import will see
+    val schemaFields =
+      """{"id":1,"name":"o_orderkey","required":false,"type":"long"},
+        |{"id":2,"name":"uid","required":false,"type":"uuid"},
+        |{"id":3,"name":"fp","required":false,"type":"fixed[16]"},
+        |{"id":4,"name":"t_us","required":false,"type":"time"},
+        |{"id":5,"name":"ts_ns","required":false,"type":"timestamp_ns"}"""
+        .stripMargin
+    val schema = graft.sources.IcebergImport.parse(
+      s"""{"format-version":2,"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[$schemaFields]}],
+         |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
+      .schemas.head._2
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def szOf(p: String) = java.nio.file.Files.size(java.nio.file.Paths.get(p))
+    val entries = Seq(
+      graft.sources.IcebergManifest.ManifestEntry(
+        graft.sources.IcebergManifest.StatusAdded,
+        graft.sources.CompactionRunner.DataFileStats(dataPath, szOf(dataPath),
+          nRows,
+          colMins = Map("uid" -> stats.getString(1),
+            "o_orderkey" -> stats.getLong(3).toString,
+            "fp" -> stats.getString(5)),
+          colMaxs = Map("uid" -> stats.getString(2),
+            "o_orderkey" -> stats.getLong(4).toString,
+            "fp" -> stats.getString(6)),
+          nullCounts = Map.empty),
+        sequenceNumber = 1),
+      graft.sources.IcebergManifest.ManifestEntry(
+        graft.sources.IcebergManifest.StatusAdded,
+        graft.sources.CompactionRunner.DataFileStats(eqPath, szOf(eqPath), 2,
+          Map.empty, Map.empty, Map.empty),
+        content = graft.sources.IcebergManifest.ContentEqualityDeletes,
+        sequenceNumber = 2, equalityIds = Seq(2)))
+    graft.sources.IcebergManifest.write(s"$dir/m0.avro", entries, schema, conf)
+    graft.sources.IcebergManifest.writeList(s"$dir/list1.avro",
+      Seq(graft.sources.IcebergManifest.ManifestFile(
+        s"$dir/m0.avro", szOf(s"$dir/m0.avro"),
+        partitionSpecId = 0, content = 0, sequenceNumber = 2,
+        minSequenceNumber = 1, addedSnapshotId = 1,
+        addedFilesCount = 2, existingFilesCount = 0, deletedFilesCount = 0,
+        addedRowsCount = nRows + 2, existingRowsCount = 0,
+        deletedRowsCount = 0)), conf)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"q169-wide-types","location":"$dir",
+         |"last-column-id":5,"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[$schemaFields]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+         |"manifest-list":"$dir/list1.avro","summary":{"operation":"append"},
+         |"schema-id":0}]}""".stripMargin)
+    val root = java.nio.file.Files.createTempDirectory("graft-q169-r").toString
+    val cat = new graft.sources.GraftCatalog(root)
+    cat.importTable("w", s"$dir/v1.metadata.json")
+    // the binary uuid bound must have decoded to the canonical string...
+    val dataEnt = cat.loadEntries("w").find(_.kind == "data").get
+    val uuidRe = "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"
+    require(dataEnt.stats.exists(_.colMins.get("uid")
+      .exists(_.matches(uuidRe))),
+      s"the uuid bound must decode to canonical form: ${dataEnt.stats}")
+    // ...the fixed bound to order-preserving hex...
+    require(dataEnt.stats.exists(_.colMins.get("fp")
+      .exists(_.matches("[0-9a-f]{32}"))),
+      s"the fixed[16] bound must decode to hex: ${dataEnt.stats}")
+    // ...and the eq-delete must bind its field id to the uuid column
+    require(cat.loadEntries("w").exists(e =>
+      e.kind == "eqdel" && e.eqIds == Seq(2) && e.eqCols == Seq("uid")),
+      s"the uuid-keyed eq-delete must bind: ${cat.loadEntries("w")}")
+    val g = s"gq169_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(
+      s"""SELECT o_orderkey, uid, hex(fp) AS fp_hex, t_us, ts_ns
+         |FROM $g.w""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_import_wide_types" -> (q169 _),
     "q166_iceberg_import" -> (q166 _),
     "q167_import_compact" -> (q167 _),
     "q165_v3_manifest_export" -> (q165 _),
@@ -1629,6 +1749,19 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q169_import_wide_types" ->
+      """SELECT o_orderkey,
+        |       concat_ws('-', substr(h, 1, 8), substr(h, 9, 4),
+        |                 substr(h, 13, 4), substr(h, 17, 4),
+        |                 substr(h, 21, 12)) AS uid,
+        |       upper(h) AS fp_hex,
+        |       (o_orderkey * 977) % 86400000000 AS t_us,
+        |       o_orderkey * 1000000 + 123 AS ts_ns
+        |FROM (SELECT *, md5('graft:' || CAST(o_orderkey AS VARCHAR)) AS h
+        |      FROM orders WHERE o_orderkey <= 30000) t
+        |WHERE o_orderkey NOT IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey <= 30000
+        |  ORDER BY o_orderkey LIMIT 2)""".stripMargin,
     "q166_iceberg_import" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey <= 60000

@@ -18,8 +18,29 @@ object FieldIds {
   /** Spark's parquet field-id metadata key (ParquetUtils contract). */
   val MetaKey = "parquet.field.id"
 
+  /** Metadata key recording a column's PHYSICAL Iceberg type when the
+    * Spark mapping is lossy (SURVEY §1.2's documented conventions:
+    * `uuid` → string canonical form, `fixed[n]` → length-n binary,
+    * `time` → µs-since-midnight long, `timestamp_ns`/`timestamptz_ns` →
+    * nanos-from-epoch long). The annotation is what lets the binary
+    * single-value codec encode/decode bounds per the SPEC's byte layout
+    * for these types (a uuid bound is 16 big-endian bytes, not UTF-8),
+    * and what the exporter renders back so round trips preserve the
+    * declared type. Parquet ignores unknown metadata keys — the
+    * annotation never changes row encoding.
+    */
+  val IcebergTypeKey = "graft.iceberg.type"
+
   def idOf(f: StructField): Option[Int] =
     if (f.metadata.contains(MetaKey)) Some(f.metadata.getLong(MetaKey).toInt)
+    else None
+
+  /** The field's physical Iceberg type annotation, if its Spark mapping
+    * is lossy (see [[IcebergTypeKey]]).
+    */
+  def physicalOf(f: StructField): Option[String] =
+    if (f.metadata.contains(IcebergTypeKey))
+      Some(f.metadata.getString(IcebergTypeKey))
     else None
 
   /** Name of the field carrying `id`, if any. */

@@ -551,6 +551,11 @@ final class GraftCatalog(root: String,
       val fillable: Map[String, String] =
         specsById.getOrElse(m.partitionSpecId, Nil).flatMap { f =>
           schema.fields.find(sf => FieldIds.idOf(sf).contains(f.sourceId))
+            // physically-annotated sources (uuid/fixed/time/ns) SKIP:
+            // their spec hash domain is the physical value (e.g. bucket
+            // over uuid hashes the 16 bytes), not the mapped Spark
+            // type's — a rebuilt transform would prune wrongly
+            .filterNot(sf => FieldIds.physicalOf(sf).isDefined)
             .filter { sf =>
               import org.apache.spark.sql.types._
               val plain = sf.dataType match {

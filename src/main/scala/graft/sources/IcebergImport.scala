@@ -288,14 +288,38 @@ object IcebergImport {
         val name = Option(f.get("name")).map(_.asText).getOrElse(
           throw GraftError.Metadata(s"$where: schema field without 'name'"))
         val required = Option(f.get("required")).exists(_.asBoolean)
-        val dt = parseType(Option(f.get("type")).getOrElse(
+        val typeNode = Option(f.get("type")).getOrElse(
           throw GraftError.Metadata(
-            s"$where: field '$name' lacks a 'type'")), where, name)
-        val meta = Option(f.get("id")).map(_.asLong).fold(Metadata.empty)(id =>
-          new MetadataBuilder().putLong(FieldIds.MetaKey, id).build())
-        StructField(name, dt, nullable = !required, metadata = meta)
+            s"$where: field '$name' lacks a 'type'"))
+        val dt = parseType(typeNode, where, name)
+        val mb = new MetadataBuilder()
+        Option(f.get("id")).map(_.asLong)
+          .foreach(id => mb.putLong(FieldIds.MetaKey, id))
+        // the types whose Spark mapping is lossy keep their PHYSICAL name
+        // as field metadata — the binary single-value codec branches on it
+        // (a uuid bound is 16 BE bytes, not UTF-8) and the exporter
+        // renders it back (see [[FieldIds.IcebergTypeKey]])
+        if (typeNode.isTextual && lossyMappings.isDefinedAt(typeNode.asText))
+          mb.putString(FieldIds.IcebergTypeKey, typeNode.asText)
+        StructField(name, dt, nullable = !required, metadata = mb.build())
       }
     StructType(fields)
+  }
+
+  /** Iceberg types Spark has no native type for, mapped per the library's
+    * documented wire conventions (SURVEY §1.2; proven by q36 and
+    * [[graft.wire.WireBridge.toSparkType]]): uuid → canonical string,
+    * fixed[n] → binary, time → µs-since-midnight long, the ns timestamps
+    * → nanos-from-epoch long (lossless — queries truncate with `div 1000`
+    * when µs semantics are wanted, q36's convention).
+    */
+  private def lossyMappings: PartialFunction[String, DataType] = {
+    case "uuid" => StringType
+    case "time" => LongType
+    case "timestamp_ns" | "timestamptz_ns" => LongType
+    case f if f.startsWith("fixed[") && f.endsWith("]") &&
+      f.stripPrefix("fixed[").stripSuffix("]").toIntOption.exists(_ > 0) =>
+      BinaryType
   }
 
   /** One Iceberg type node (primitive name string or nested object) →
@@ -320,6 +344,7 @@ object IcebergImport {
           case _ => throw GraftError.Metadata(
             s"$where: malformed decimal type '$d' on '$field'")
         }
+      case t if lossyMappings.isDefinedAt(t) => lossyMappings(t)
       case other => throw GraftError.Metadata(
         s"$where: unsupported Iceberg type '$other' on '$field'")
     } else if (node.isObject)

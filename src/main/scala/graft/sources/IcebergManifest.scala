@@ -241,8 +241,10 @@ object IcebergManifest {
       conf: org.apache.hadoop.conf.Configuration =
         new org.apache.hadoop.conf.Configuration()): Unit = {
     val dfSchema = EntrySchema.getField("data_file").schema()
-    val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
-      schema.fields.map(f => f.name -> f.dataType).toMap
+    // type + physical Iceberg annotation (uuid/fixed — lossy Spark
+    // mappings whose bound bytes differ from the Spark type's)
+    val typeOf: Map[String, (org.apache.spark.sql.types.DataType, Option[String])] =
+      schema.fields.map(f => f.name -> (f.dataType, FieldIds.physicalOf(f))).toMap
     // null counts ride as longs; BOUNDS serialize per the spec's binary
     // single-value encoding for the column's type ([[IcebergSingleValue]])
     // — a bound whose type can't encode (or whose column left the schema)
@@ -253,7 +255,9 @@ object IcebergManifest {
         val value: Option[Any] =
           if (!binary) Some(v)
           else typeOf.get(col)
-            .flatMap(t => IcebergSingleValue.encode(t, String.valueOf(v)))
+            .flatMap { case (t, phys) =>
+              IcebergSingleValue.encode(t, String.valueOf(v), phys)
+            }
             .map(java.nio.ByteBuffer.wrap)
         value.map { vv =>
           val r = new GenericData.Record(
@@ -352,9 +356,11 @@ object IcebergManifest {
       schema.fields.zipWithIndex.map { case (f, i) =>
         FieldIds.idOf(f).getOrElse(-(i + 1)) -> f.name
       }.toMap
-    val typeOfId: Map[Int, org.apache.spark.sql.types.DataType] =
+    val typeOfId
+        : Map[Int, (org.apache.spark.sql.types.DataType, Option[String])] =
       schema.fields.zipWithIndex.map { case (f, i) =>
-        FieldIds.idOf(f).getOrElse(-(i + 1)) -> f.dataType
+        FieldIds.idOf(f).getOrElse(-(i + 1)) ->
+          (f.dataType, FieldIds.physicalOf(f))
       }.toMap
     val r = openReader(path, conf)
     try r.iterator().asScala.map { rec =>
@@ -383,7 +389,9 @@ object IcebergManifest {
           val rendered = v match {
             case null => None
             case bb: java.nio.ByteBuffer =>
-              typeOfId.get(id).flatMap(t => IcebergSingleValue.decode(t, bytesOf(bb)))
+              typeOfId.get(id).flatMap { case (t, phys) =>
+                IcebergSingleValue.decode(t, bytesOf(bb), phys)
+              }
             case other => Some(other.toString) // pre-r16 string bounds
           }
           for (n <- idToName.get(id); s <- rendered) yield n -> s

@@ -95,8 +95,13 @@ object IcebergMetadataJson {
     s.fields.map { f =>
       val fpath = s"$path.${f.name}"
       val id = FieldIds.idOf(f).getOrElse(ids.id(fpath))
+      // a field annotated with its PHYSICAL Iceberg type (uuid/fixed/
+      // time/ns — lossy Spark mappings, from an import) renders that
+      // type back, so export→import round trips preserve the declaration
+      val t = FieldIds.physicalOf(f).map(p => s""""${esc(p)}"""")
+        .getOrElse(icebergType(f.dataType, fpath, ids))
       s"""{"id":$id,"name":"${esc(f.name)}","required":${!f.nullable},""" +
-        s""""type":${icebergType(f.dataType, fpath, ids)}}"""
+        s""""type":$t}"""
     }.mkString(",")
 
   private def schemaJson(id: Long, s: StructType, ids: IdAllocator): String =

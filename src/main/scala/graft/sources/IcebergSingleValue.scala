@@ -87,6 +87,59 @@ object IcebergSingleValue {
     else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
   }
 
+  /** Encode honoring the column's PHYSICAL Iceberg type annotation
+    * ([[FieldIds.IcebergTypeKey]]) where the Spark mapping is lossy:
+    *
+    *   - `uuid` (Spark string, canonical 8-4-4-4-12 form): 16 bytes
+    *     big-endian, per Appendix D
+    *   - `fixed[n]` (Spark binary, hex string rendering): the raw n
+    *     bytes, length-checked — hex is the catalog's string domain for
+    *     fixed because it is total AND order-preserving (lowercase hex of
+    *     bytes sorts like unsigned bytes, so lexical pruning stays sound)
+    *   - `time` / `timestamp_ns` / `timestamptz_ns` (Spark long of µs /
+    *     ns): the plain long path already matches the spec's 8-byte LE
+    *     layout — no branch needed
+    */
+  def encode(dt: DataType, s: String, physical: Option[String]): Option[Array[Byte]] =
+    physical match {
+      case Some("uuid") =>
+        try {
+          val u = java.util.UUID.fromString(s.trim)
+          val bb = java.nio.ByteBuffer.allocate(16)
+          bb.putLong(u.getMostSignificantBits)
+          bb.putLong(u.getLeastSignificantBits)
+          Some(bb.array())
+        } catch { case _: RuntimeException => None }
+      case Some(fx) if fx.startsWith("fixed[") =>
+        val n = fx.stripPrefix("fixed[").stripSuffix("]").toIntOption
+        val hex = s.trim.toLowerCase(java.util.Locale.ROOT)
+        if (hex.length % 2 != 0 || !hex.forall(c =>
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))) None
+        else {
+          val bytes = hex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+          if (n.contains(bytes.length)) Some(bytes) else None
+        }
+      case _ => encode(dt, s)
+    }
+
+  /** Spec bytes → string rendering, honoring the physical annotation —
+    * the inverse of the 3-arg [[encode]].
+    */
+  def decode(dt: DataType, b: Array[Byte], physical: Option[String]): Option[String] =
+    physical match {
+      case Some("uuid") =>
+        if (b.length != 16) None
+        else {
+          val bb = java.nio.ByteBuffer.wrap(b)
+          Some(new java.util.UUID(bb.getLong, bb.getLong).toString)
+        }
+      case Some(fx) if fx.startsWith("fixed[") =>
+        val n = fx.stripPrefix("fixed[").stripSuffix("]").toIntOption
+        if (!n.contains(b.length)) None
+        else Some(b.map(x => f"${x & 0xff}%02x").mkString)
+      case _ => decode(dt, b)
+    }
+
   /** String rendering → spec bytes for `dt`. Lenient on integrals ("1.0"
     * accepted — [[graft.wire.WireBridge]]'s historical coercion) and on
     * dates/timestamps (ISO strings or raw epoch numbers).

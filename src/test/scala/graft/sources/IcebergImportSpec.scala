@@ -652,8 +652,65 @@ class IcebergImportSpec extends SparkSpec {
     // unknown types must fail, not silently coerce
     intercept[GraftError.Metadata](IcebergImport.parse(
       """{"format-version":2,"schemas":[{"schema-id":0,"type":"struct",
-        |"fields":[{"id":1,"name":"u","required":false,"type":"uuid"}]}],
+        |"fields":[{"id":1,"name":"g","required":false,"type":"geometry"}]}],
         |"current-schema-id":0}""".stripMargin))
+    // ...including a malformed fixed length
+    intercept[GraftError.Metadata](IcebergImport.parse(
+      """{"format-version":2,"schemas":[{"schema-id":0,"type":"struct",
+        |"fields":[{"id":1,"name":"f","required":false,"type":"fixed[zero]"}]}],
+        |"current-schema-id":0}""".stripMargin))
+  }
+
+  test("uuid/fixed/time/ns types import with their physical annotations") {
+    val meta = IcebergImport.parse(
+      """{"format-version":2,"current-schema-id":0,
+        |"schemas":[{"schema-id":0,"type":"struct","fields":[
+        |  {"id":1,"name":"u","required":false,"type":"uuid"},
+        |  {"id":2,"name":"fp","required":false,"type":"fixed[16]"},
+        |  {"id":3,"name":"t","required":false,"type":"time"},
+        |  {"id":4,"name":"tn","required":false,"type":"timestamp_ns"},
+        |  {"id":5,"name":"tzn","required":false,"type":"timestamptz_ns"}]}],
+        |"current-snapshot-id":-1,"snapshots":[]}""".stripMargin)
+    val s = meta.schemas.head._2
+    // SURVEY §1.2's documented conventions (the wire bridge's mappings)
+    assert(s("u").dataType == StringType)
+    assert(s("fp").dataType == BinaryType)
+    assert(s("t").dataType == LongType)
+    assert(s("tn").dataType == LongType && s("tzn").dataType == LongType)
+    assert(Seq("u", "fp", "t", "tn", "tzn").flatMap(n =>
+      FieldIds.physicalOf(s(n))) ==
+      Seq("uuid", "fixed[16]", "time", "timestamp_ns", "timestamptz_ns"))
+    // physical annotations survive an export rendering (round trip)
+    val root = Files.createTempDirectory("graft-impuu").toString
+    val cat = new GraftCatalog(root)
+    cat.createTable("u",
+      Seq(CompactionRunner.DataFileTask("/a.parquet", 1)), Some(s))
+    val doc = Files.readString(IcebergMetadataJson.export(cat, root, "u"))
+    for (t <- Seq("\"uuid\"", "\"fixed[16]\"", "\"time\"",
+      "\"timestamp_ns\"", "\"timestamptz_ns\""))
+      assert(doc.contains(t), s"export must render $t: ${doc.take(600)}")
+  }
+
+  test("uuid and fixed bounds encode/decode per the spec's byte layout") {
+    // Appendix D: uuid serializes as 16 bytes big-endian
+    val u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
+    val ub = IcebergSingleValue.encode(StringType, u, Some("uuid")).get
+    assert(ub.map(b => f"${b & 0xff}%02x").mkString ==
+      u.replace("-", ""), "uuid bytes must be the canonical digits, BE")
+    assert(IcebergSingleValue.decode(StringType, ub, Some("uuid")).contains(u))
+    // WITHOUT the annotation the same string is UTF-8 (36 bytes) — the
+    // annotation is what keeps the two domains apart
+    assert(IcebergSingleValue.encode(StringType, u).get.length == 36)
+    // fixed[4]: raw length-checked bytes, hex string domain
+    val fb = IcebergSingleValue.encode(BinaryType, "DEADBEEF", Some("fixed[4]")).get
+    assert(fb.toSeq == Seq(0xde, 0xad, 0xbe, 0xef).map(_.toByte))
+    assert(IcebergSingleValue.decode(BinaryType, fb, Some("fixed[4]"))
+      .contains("deadbeef"))
+    // wrong length drops, never corrupts
+    assert(IcebergSingleValue.encode(BinaryType, "DEADBEEF", Some("fixed[8]")).isEmpty)
+    assert(IcebergSingleValue.decode(BinaryType, fb, Some("fixed[8]")).isEmpty)
+    assert(IcebergSingleValue.decode(StringType,
+      Array[Byte](1, 2, 3), Some("uuid")).isEmpty)
   }
 
   test("parser: nested types, partition spec, and sort order bind by field id") {
