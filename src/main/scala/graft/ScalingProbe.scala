@@ -879,6 +879,101 @@ object ScalingProbe {
       }
     }
 
+    // ---- foreign-table import scale: wall time + metadata bytes vs
+    // snapshot count, full history vs a fixed historyDepth ---------------
+    // The walk cost lower bound is reading every imported snapshot's
+    // manifest list (stock appends re-list all prior manifests, so a
+    // FULL-history import of an S-snapshot chain reads O(S) inventories
+    // of a growing table). The two controls under test: (a) the segment
+    // prefix-carry keeps metadata WRITES O(total entries + deltas), not
+    // O(S x inventory); (b) historyDepth bounds the walk to a constant
+    // number of inventories — the flat row is the 100 TB claim for
+    // thousand-snapshot production tables.
+    locally {
+      import graft.sources.{GraftCatalog, IcebergManifest}
+      import graft.sources.CompactionRunner.DataFileStats
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val totalFiles = 2048 // constant corpus; only the snapshot split varies
+      val snapCounts = Seq(4, 16, 64)
+      val depth = 4
+      def buildChain(s: Int): String = {
+        val dir = Files.createTempDirectory(s"graft-impscale-$s").toString
+        val per = totalFiles / s
+        val manifests = (1 to s).map { i =>
+          val entries = (0 until per).map { j =>
+            IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+              DataFileStats(s"$dir/data/f-$i-$j.parquet", 1024L, 100L,
+                Map.empty, Map.empty, Map.empty),
+              sequenceNumber = i.toLong)
+          }
+          val p = s"$dir/m$i.avro"
+          IcebergManifest.write(p, entries,
+            org.apache.spark.sql.types.StructType(Seq(
+              graft.sources.FieldIds.withFieldId(
+                org.apache.spark.sql.types.StructField("k",
+                  org.apache.spark.sql.types.LongType), 1))), conf)
+          IcebergManifest.ManifestFile(p, Files.size(Paths.get(p)),
+            partitionSpecId = 0, content = 0, sequenceNumber = i.toLong,
+            minSequenceNumber = i.toLong, addedSnapshotId = i.toLong,
+            addedFilesCount = per, existingFilesCount = 0,
+            deletedFilesCount = 0, addedRowsCount = per * 100L,
+            existingRowsCount = 0L, deletedRowsCount = 0L)
+        }
+        val snaps = (1 to s).map { i =>
+          // the stock append shape: snapshot i re-lists manifests 1..i
+          val lp = s"$dir/list$i.avro"
+          IcebergManifest.writeList(lp, manifests.take(i), conf)
+          s"""{"snapshot-id":$i,"sequence-number":$i,"timestamp-ms":${i * 1000},
+             |${if (i > 1) s""""parent-snapshot-id":${i - 1},""" else ""}
+             |"manifest-list":"$lp","summary":{"operation":"append"}}"""
+            .stripMargin.replace("\n", "")
+        }.mkString(",")
+        val mp = s"$dir/v$s.metadata.json"
+        Files.writeString(Paths.get(mp),
+          s"""{"format-version":2,"table-uuid":"impscale-$s","location":"$dir",
+             |"last-column-id":1,"current-schema-id":0,
+             |"schemas":[{"schema-id":0,"type":"struct","fields":[
+             |  {"id":1,"name":"k","required":false,"type":"long"}]}],
+             |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+             |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+             |"current-snapshot-id":$s,"snapshots":[$snaps]}""".stripMargin)
+        mp
+      }
+      def importCost(mp: String, d: Option[Int]): (Double, Long) = {
+        val root = Files.createTempDirectory("graft-impscale-r").toString
+        val cat = new GraftCatalog(root)
+        val t0 = System.nanoTime()
+        cat.importTable("t", mp, conf, d)
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        val stream = Files.list(Paths.get(root, "t"))
+        val bytes =
+          try {
+            import scala.jdk.CollectionConverters._
+            stream.iterator().asScala.filter { p =>
+              val n = p.getFileName.toString
+              n.startsWith("snap-") || n.startsWith("seg-")
+            }.map(Files.size).sum
+          } finally stream.close()
+        (wallMs, bytes)
+      }
+      sb.append("\n## Foreign-table import scale (wall + metadata vs snapshots)\n\n")
+      sb.append(s"One $totalFiles-file corpus split into S append snapshots\n")
+      sb.append("(stock shape: snapshot i re-lists manifests 1..i). Full-history\n")
+      sb.append("import must read O(S) growing inventories — linear-in-S wall is\n")
+      sb.append("the lower bound — but the prefix-carry keeps metadata bytes\n")
+      sb.append(s"near-flat; at historyDepth=$depth both columns go FLAT in S,\n")
+      sb.append("which is what lets a thousand-snapshot production table mount\n")
+      sb.append("in head-plus-recent time.\n\n")
+      sb.append(s"| snapshots | full wall (ms) | full metadata (KB) | depth=$depth wall (ms) | depth=$depth metadata (KB) |\n")
+      sb.append("|---|---|---|---|---|\n")
+      snapCounts.foreach { s =>
+        val mp = buildChain(s)
+        val (fw, fb) = importCost(mp, None)
+        val (dw, db) = importCost(mp, Some(depth))
+        sb.append(f"| $s | $fw%.0f | ${fb / 1024}%d | $dw%.0f | ${db / 1024}%d |\n")
+      }
+    }
+
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
     println("SCALING.md written")
     spark.stop()

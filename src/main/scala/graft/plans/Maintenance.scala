@@ -130,7 +130,9 @@ object MaintenanceOp {
     * catalog table by reference. The one op whose target table must NOT
     * exist yet.
     */
-  final case class ImportTable(metadataLocation: String) extends MaintenanceOp {
+  final case class ImportTable(
+      metadataLocation: String,
+      historyDepth: Option[Int] = None) extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("snapshot_id")
   }
 }
@@ -279,11 +281,11 @@ object GraftMaintenanceExec {
       case MaintenanceOp.DropBranch(branch) =>
         cat.dropFork(s"$table@$branch")
         Seq(Seq(1L))
-      case MaintenanceOp.ImportTable(metadataLocation) =>
+      case MaintenanceOp.ImportTable(metadataLocation, historyDepth) =>
         // the SESSION's Hadoop conf, so fs.s3/wasb/gs FileIO mappings the
         // user configured apply to the metadata/manifest walk too
         Seq(Seq(cat.importTable(table, metadataLocation,
-          spark.sessionState.newHadoopConf())))
+          spark.sessionState.newHadoopConf(), historyDepth)))
       case MaintenanceOp.RemoveOrphans(graceSeconds) =>
         // candidates = recursive listing of the catalog-managed data
         // location; a driver-side walk over file metadata (Iceberg's

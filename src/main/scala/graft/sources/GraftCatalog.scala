@@ -395,19 +395,30 @@ final class GraftCatalog(root: String,
       table: String,
       metadataLocation: String,
       conf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): Long = {
+        new org.apache.hadoop.conf.Configuration(),
+      historyDepth: Option[Int] = None): Long = {
     validateSegments("table", table)
     if (table.contains("/")) {
       val parent = table.substring(0, table.lastIndexOf('/'))
       require(namespaceExists(parent), s"namespace $parent does not exist")
     }
     require(!namespaceExists(table), s"$table is a namespace, not a table")
+    historyDepth.foreach(d => require(d >= 1,
+      s"historyDepth must be >= 1 (got $d)"))
     val meta = IcebergImport.read(metadataLocation, conf)
     // the main lineage, oldest-first: parent-snapshot-id walk when the
     // document carries ancestry, else sequence order, else (v1 documents,
     // which have no sequence numbers) timestamp order — never a raw
-    // snapshot-id sort, whose arbitrary ids would scramble v1 history
-    val lineage = IcebergImport.mainLineage(meta, metadataLocation)
+    // snapshot-id sort, whose arbitrary ids would scramble v1 history.
+    // `historyDepth` caps the WALK COST for thousand-snapshot tables:
+    // reading every snapshot's manifests is O(history × files); depth N
+    // imports the head plus its N-1 nearest ancestors (the head's CONTENT
+    // is always complete — depth only limits how far time travel reaches;
+    // travel past the horizon fails loudly on the missing snapshot).
+    val lineage = {
+      val full = IcebergImport.mainLineage(meta, metadataLocation)
+      historyDepth.filter(_ < full.length).fold(full)(full.takeRight)
+    }
     val schemaById = meta.schemas.toMap
     withTableLock(table) {
       require(!headExists(table), s"table $table already exists")
@@ -442,6 +453,15 @@ final class GraftCatalog(root: String,
       // end), and leaving partial documents would wedge the corrected
       // retry on the write-once conflict guard.
       try {
+        // entry ordering across the walk: each snapshot lists the entries
+        // it SHARES with its predecessor first, in the predecessor's
+        // order, then its own additions — so the segment prefix-carry
+        // fires on appends whatever order the foreign manifests listed
+        // files in. Without this, an append whose paths interleave the
+        // previous inventory's sort order breaks the prefix and every
+        // snapshot pays a full O(files) segment (the O(history × files)
+        // metadata blowup ScalingProbe's import section measures).
+        var prevOrder: Seq[TableEntry] = Nil
         lineage.zipWithIndex.foreach { case (snap, i) =>
           val lid = i + 1L
           // the schema the snapshot was committed under; snapshots without
@@ -450,8 +470,16 @@ final class GraftCatalog(root: String,
           val schema = snap.schemaId.flatMap(schemaById.get)
             .orElse(schemaById.get(meta.currentSchemaId))
             .getOrElse(org.apache.spark.sql.types.StructType(Nil))
-          writeSnapshot(table, lid,
-            importEntries(snap, schema, conf, meta.specsById))
+          val cur = importEntries(snap, schema, conf, meta.specsById)
+          // (kind, path) is unique per snapshot: data/eqdel entries are
+          // path-deduped, DV blobs regroup to one entry per sidecar
+          val byKey = cur.map(e => (e.kind, e.path) -> e).toMap
+          val carried = prevOrder.flatMap(p => byKey.get((p.kind, p.path)))
+          val carriedKeys = carried.map(e => (e.kind, e.path)).toSet
+          val ordered =
+            carried ++ cur.filterNot(e => carriedKeys((e.kind, e.path)))
+          writeSnapshot(table, lid, ordered)
+          prevOrder = ordered
           if (schema.nonEmpty) writeSchema(table, lid, schema)
           // carry the FOREIGN commit time onto the snapshot document —
           // snapshot mtime is this catalog's timestamp domain, so
@@ -480,7 +508,8 @@ final class GraftCatalog(root: String,
         writePropsFile(table, meta.properties ++ Map(
           "import.metadata-location" -> metadataLocation,
           "import.format-version" -> meta.formatVersion.toString) ++
-          meta.tableUuid.map("import.source-table-uuid" -> _))
+          meta.tableUuid.map("import.source-table-uuid" -> _) ++
+          historyDepth.map("import.history-depth" -> _.toString))
         // foreign tags whose target is an imported lineage snapshot,
         // remapped to the local ids ([[tagSnapshot]]'s invariants hold by
         // construction: targets retained, 'main' filtered at parse,

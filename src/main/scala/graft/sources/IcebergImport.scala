@@ -172,24 +172,33 @@ object IcebergImport {
     // every declared partition spec, UNBOUND (spec-id → raw fields); a
     // spec with a malformed field drops whole (can't trust half a spec)
     val defaultSpecId = opt("default-spec-id").map(_.asInt).getOrElse(0)
-    val specsById: Map[Int, Seq[RawSpecField]] =
+    def specFields(fieldsNode: JsonNode): Seq[RawSpecField] = {
+      val fields = fieldsNode.elements().asScala.toSeq.flatMap { f =>
+        for {
+          name <- Option(f.get("name")).map(_.asText)
+          transform <- Option(f.get("transform")).map(_.asText)
+          sourceId <- Option(f.get("source-id")).map(_.asInt)
+        } yield RawSpecField(name, transform, sourceId)
+      }
+      if (fields.length == fieldsNode.elements().asScala.size) fields else Nil
+    }
+    val declaredSpecs: Map[Int, Seq[RawSpecField]] =
       opt("partition-specs").filter(_.isArray).toSeq
         .flatMap(_.elements().asScala).flatMap { spec =>
           for {
             sid <- Option(spec.get("spec-id")).map(_.asInt)
             fieldsNode <- Option(spec.get("fields")).filter(_.isArray)
-          } yield {
-            val fields = fieldsNode.elements().asScala.toSeq.flatMap { f =>
-              for {
-                name <- Option(f.get("name")).map(_.asText)
-                transform <- Option(f.get("transform")).map(_.asText)
-                sourceId <- Option(f.get("source-id")).map(_.asInt)
-              } yield RawSpecField(name, transform, sourceId)
-            }
-            val declared = fieldsNode.elements().asScala.size
-            sid -> (if (fields.length == declared) fields else Nil)
-          }
+          } yield sid -> specFields(fieldsNode)
         }.filter(_._2.nonEmpty).toMap
+    // v1's deprecated bare `partition-spec` (a flat field array, no
+    // spec-id wrapper): per the spec's v1→v2 migration rules it becomes
+    // spec 0. Only consulted when no `partition-specs` array binds —
+    // a v1-only document would otherwise import unpartitioned and lose
+    // pruning on every file.
+    val specsById: Map[Int, Seq[RawSpecField]] =
+      if (declaredSpecs.nonEmpty) declaredSpecs
+      else opt("partition-spec").filter(_.isArray)
+        .map(specFields).filter(_.nonEmpty).map(0 -> _).toMap
     // the DEFAULT spec additionally binds to the CURRENT schema (it
     // becomes the imported table's declared spec); all-or-nothing — a
     // partially-bound spec would misdescribe the layout

@@ -129,10 +129,18 @@ object GraftProcedures {
     Spec("import_table",
       "register a foreign Iceberg table by metadata.json location: walk " +
         "its manifest chain and mount it BY REFERENCE as a new catalog " +
-        "table (data/delete/Puffin files stay in place)",
-      Seq(p("table", StringType), p("metadata_location", StringType)),
-      (cat, in) => (tableArg(in, 0),
-        MaintenanceOp.ImportTable(in.getUTF8String(1).toString)),
+        "table (data/delete/Puffin files stay in place); history_depth " +
+        "limits the walk to the head plus its N-1 nearest ancestors " +
+        "(0 = full history)",
+      Seq(p("table", StringType), p("metadata_location", StringType),
+        pDefault("history_depth", IntegerType, "0")),
+      (cat, in) => {
+        val depth = in.getInt(2)
+        require(depth >= 0, s"history_depth must be >= 0, got $depth")
+        (tableArg(in, 0),
+          MaintenanceOp.ImportTable(in.getUTF8String(1).toString,
+            Some(depth).filter(_ > 0)))
+      },
       requiresTable = false))
 
   def names: Seq[String] = specs.map(_.name)

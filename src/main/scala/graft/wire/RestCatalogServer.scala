@@ -566,12 +566,17 @@ object RestCatalogServer {
     val loc = Option(req.get("metadata-location"))
       .filter(_.isTextual).map(_.asText).filter(_.nonEmpty).getOrElse(
         return badRequest("register request requires 'metadata-location'"))
+    // optional extension field: cap the history walk (head + N-1 nearest
+    // ancestors) for thousand-snapshot tables — same contract as the
+    // import_table procedure's history_depth
+    val depth = Option(req.get("history-depth")).filter(_.isInt)
+      .map(_.asInt).filter(_ > 0)
     val cn = catName(nsp, name)
     if (catalog.tableExists(cn))
       return HttpResponseStatus.CONFLICT ->
         errorJson(s"Table already exists: ${dotted(nsp, name)}",
           "AlreadyExistsException", 409)
-    try catalog.importTable(cn, loc, hadoopConf)
+    try catalog.importTable(cn, loc, hadoopConf, depth)
     catch {
       case e: GraftError =>
         return badRequest(Option(e.getMessage).getOrElse("import refused"))

@@ -120,6 +120,50 @@ class IcebergImportSpec extends SparkSpec {
     assert(catB.scanTable(spark, "t").as[(Long, String)].collect().toSet == before)
   }
 
+  test("historyDepth imports the head plus its nearest ancestors only") {
+    val rootA = Files.createTempDirectory("graft-impd-a").toString
+    buildFixture(rootA)
+    val catA = new GraftCatalog(rootA)
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "t")
+    val rootB = Files.createTempDirectory("graft-impd-b").toString
+    val catB = new GraftCatalog(rootB)
+    val head = catB.importTable("t", metaPath.toString, historyDepth = Some(2))
+    assert(head == 2L && catB.snapshotIds("t") == Seq(1L, 2L),
+      "depth 2 must import exactly two snapshots")
+    assert(catB.tableProperties("t").get("import.history-depth").contains("2"))
+    // the HEAD's content is complete — depth only limits time travel
+    assert(catB.scanTable(spark, "t").as[(Long, String)].collect().toSet ==
+      catA.scanTable(spark, "t").as[(Long, String)].collect().toSet)
+    // travel past the horizon fails loudly (no such local snapshot)
+    intercept[Exception](catB.scanTableAt(spark, "t", 4L).collect())
+  }
+
+  test("imported appends carry the previous snapshot's segments by reference") {
+    // the entry-order contract: each imported snapshot lists the entries
+    // it shares with its predecessor FIRST, in the predecessor's order —
+    // so additive commits (appends, delete-file adds) reference the prior
+    // segments instead of paying a full O(files) segment per snapshot
+    val rootA = Files.createTempDirectory("graft-impsg-a").toString
+    buildFixture(rootA)
+    val catA = new GraftCatalog(rootA)
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "t")
+    val rootB = Files.createTempDirectory("graft-impsg-b").toString
+    val catB = new GraftCatalog(rootB)
+    catB.importTable("t", metaPath.toString)
+    def refs(id: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(
+        java.nio.file.Paths.get(rootB, "t", s"snap-$id.tsv"))
+        .asScala.toSeq.drop(1) // header line
+    }
+    // snapshot 2 (append) and 3 (delete-file add) extend their
+    // predecessors' reference lists as strict prefixes
+    assert(refs(2).startsWith(refs(1)),
+      s"append must carry: ${refs(1)} vs ${refs(2)}")
+    assert(refs(3).startsWith(refs(2)),
+      s"delete add must carry: ${refs(2)} vs ${refs(3)}")
+  }
+
   test("partition spec and sort order import with their source bindings") {
     val rootA = Files.createTempDirectory("graft-impp-a").toString
     val g = mount(rootA)
@@ -544,6 +588,77 @@ class IcebergImportSpec extends SparkSpec {
     // the point lookup opens ONLY the covering bucket's file
     val keep = cat.inKeepPaths(spark, "t", "k", Seq(5L))
     assert(keep == Set(p1), s"bucket pruning must keep only $p1: $keep")
+    assert(cat.scanTable(spark, "t").count() == 100)
+  }
+
+  test("a v1 document's bare partition-spec binds: imported files prune") {
+    // v1's deprecated flat `partition-spec` array (no spec-id wrapper,
+    // no `partition-specs`) must bind as spec 0 per the migration rules —
+    // otherwise a v1-era table imports unpartitioned and every point
+    // lookup opens every file
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = Files.createTempDirectory("graft-v1spec").toString
+    val (p1, sz) = stagedFile(dir, 50)
+    val p2 = {
+      (50L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$dir/stage2")
+      CompactionRunner.listParquet(s"$dir/stage2").head
+    }
+    val partStruct = SchemaBuilder.record("r102").fields()
+      .name("k_bucket").`type`().optional().intType().endRecord()
+    val dataFile = SchemaBuilder.record("r2").fields()
+      .requiredString("file_path").requiredString("file_format")
+      .name("partition").`type`(partStruct).noDefault()
+      .requiredLong("record_count").requiredLong("file_size_in_bytes")
+      .endRecord()
+    val entrySchema = SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .name("data_file").`type`(dataFile).noDefault()
+      .endRecord() // v1: no content, no sequence_number anywhere
+    val mPath = s"$dir/m0.avro"
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](entrySchema))
+    w.create(entrySchema, new java.io.File(mPath))
+    val probeBucket = graft.functions.IcebergMurmur3.bucketLong(5L, 8)
+    for ((p, bucket) <- Seq((p1, probeBucket), (p2, (probeBucket + 3) % 8))) {
+      val part = new GenericData.Record(partStruct)
+      part.put("k_bucket", bucket)
+      val df = new GenericData.Record(dataFile)
+      df.put("file_path", p)
+      df.put("file_format", "PARQUET")
+      df.put("partition", part)
+      df.put("record_count", 50L)
+      df.put("file_size_in_bytes", sz)
+      val rec = new GenericData.Record(entrySchema)
+      rec.put("status", 1)
+      rec.put("data_file", df)
+      w.append(rec)
+    }
+    w.close()
+    val conf = new org.apache.hadoop.conf.Configuration()
+    IcebergManifest.writeList(s"$dir/list1.avro", Seq(IcebergManifest.ManifestFile(
+      mPath, Files.size(java.nio.file.Paths.get(mPath)),
+      partitionSpecId = 0, content = 0, sequenceNumber = 0,
+      minSequenceNumber = 0, addedSnapshotId = 1, addedFilesCount = 2,
+      existingFilesCount = 0, deletedFilesCount = 0, addedRowsCount = 100,
+      existingRowsCount = 0, deletedRowsCount = 0)), conf)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/v1.metadata.json"),
+      s"""{"format-version":1,"table-uuid":"v1-legacy","location":"$dir",
+         |"last-column-id":2,
+         |"schema":{"type":"struct","fields":[$handSchemaFields]},
+         |"partition-spec":[{"name":"k_bucket","transform":"bucket[8]",
+         |  "source-id":1,"field-id":1000}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"timestamp-ms":1000,
+         |"manifest-list":"$dir/list1.avro"}]}""".stripMargin)
+    val root = Files.createTempDirectory("graft-v1spec-r").toString
+    val cat = new GraftCatalog(root)
+    cat.importTable("t", s"$dir/v1.metadata.json")
+    assert(cat.partitionSpec("t") ==
+      Seq(GraftCatalog.PartitionFieldDef("k_bucket", "bucket[8]", "k")))
+    val keep = cat.inKeepPaths(spark, "t", "k", Seq(5L))
+    assert(keep == Set(p1), s"v1 bucket pruning must keep only $p1: $keep")
     assert(cat.scanTable(spark, "t").count() == 100)
   }
 

@@ -145,6 +145,13 @@ class GraftProceduresSpec extends SparkSpec {
       val e = intercept[Exception](
         s.sql(s"CALL graft.system.import_table('t', '${metaPath}')").collect())
       assert(e.getMessage.contains("already exists"), e.getMessage)
+      // history_depth caps the imported lineage (head + nearest ancestors)
+      s.sql(s"CALL graft.system.import_table('t2', '${metaPath}', " +
+        "history_depth => 1)").collect()
+      val catB2 = new GraftCatalog(
+        s.conf.get("spark.sql.catalog.graft.root"))
+      assert(catB2.snapshotIds("t2") == Seq(1L))
+      assert(s.sql("SELECT count(*) FROM graft.t2").head().getLong(0) == 180L)
     }
   }
 
