@@ -1676,7 +1676,60 @@ object MorQueries {
          |FROM $g.w""".stripMargin)
   }
 
+  /** Q170: ANALYZE — `CALL system.compute_table_stats` runs one
+    * distributed NDV pass (HLL++ partial-merge, no raw-value shuffle) and
+    * records Puffin theta blobs (estimate in the spec's `ndv` property)
+    * the doorway's `estimateStatistics` then serves as per-column
+    * distinct counts — the planner input stock engines read from the
+    * `statistics` metadata surface. In-gate requires prove the sketch is
+    * within HLL tolerance of exact and that the scan REPORTS it; the
+    * oracle-compared output is the exact distinct counts (cross-engine
+    * deterministic — sketch internals are not).
+    */
+  private def q170(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q170").toString
+    val g = s"g170_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.c (c_custkey BIGINT, c_mktsegment STRING, " +
+      "c_nationkey BIGINT)")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .createOrReplaceTempView("q170_src")
+    spark.sql(s"INSERT INTO $g.c SELECT c_custkey, c_mktsegment, c_nationkey " +
+      "FROM q170_src")
+    spark.sql(s"CALL $g.system.compute_table_stats('c')").collect()
+    val cat = new graft.sources.GraftCatalog(root)
+    val ndv = cat.columnNdv("c")
+    val exact = spark.sql(
+      """SELECT count(DISTINCT c_custkey) AS ck,
+        |       count(DISTINCT c_mktsegment) AS seg,
+        |       count(DISTINCT c_nationkey) AS nat FROM q170_src""".stripMargin)
+      .head()
+    for ((c, e) <- Seq("c_custkey" -> exact.getLong(0),
+      "c_mktsegment" -> exact.getLong(1), "c_nationkey" -> exact.getLong(2)))
+      require(ndv.get(c).exists(n => math.abs(n - e) <= math.max(2L, e / 10)),
+        s"sketch NDV for $c (${ndv.get(c)}) must be within HLL tolerance " +
+          s"of exact $e")
+    // the doorway scan must REPORT the sketch as column statistics
+    val scanStats = new graft.sources.dsv2.GraftV2Table(root, "c", asOf = None)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    require(!scanStats.columnStats().isEmpty,
+      "estimateStatistics must serve the recorded NDV as column stats")
+    spark.sql(
+      """SELECT 'c_custkey' AS col, count(DISTINCT c_custkey) AS exact_ndv
+        |FROM q170_src
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) FROM q170_src
+        |UNION ALL
+        |SELECT 'c_nationkey', count(DISTINCT c_nationkey) FROM q170_src"""
+        .stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_table_stats" -> (q170 _),
     "q169_import_wide_types" -> (q169 _),
     "q166_iceberg_import" -> (q166 _),
     "q167_import_compact" -> (q167 _),
@@ -1749,6 +1802,14 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q170_table_stats" ->
+      """SELECT 'c_custkey' AS col, count(DISTINCT c_custkey) AS exact_ndv
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment', count(DISTINCT c_mktsegment) FROM customer
+        |UNION ALL
+        |SELECT 'c_nationkey', count(DISTINCT c_nationkey) FROM customer"""
+        .stripMargin,
     "q169_import_wide_types" ->
       """SELECT o_orderkey,
         |       concat_ws('-', substr(h, 1, 8), substr(h, 9, 4),

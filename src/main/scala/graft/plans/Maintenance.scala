@@ -135,6 +135,16 @@ object MaintenanceOp {
       historyDepth: Option[Int] = None) extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("snapshot_id")
   }
+
+  /** ANALYZE ([[graft.sources.GraftCatalog.computeTableStats]]): one
+    * distributed NDV pass, recorded as a Puffin statistics file (plus the
+    * partition-statistics file on partitioned tables). One row per
+    * analyzed column.
+    */
+  case object ComputeStats extends MaintenanceOp {
+    override def outputNames: Seq[String] = Seq("column", "ndv")
+    override def outputTypes: Seq[DataType] = Seq(StringType, LongType)
+  }
 }
 
 /** Logical leaf: the operation, deferred. All columns are non-null; longs
@@ -281,6 +291,9 @@ object GraftMaintenanceExec {
       case MaintenanceOp.DropBranch(branch) =>
         cat.dropFork(s"$table@$branch")
         Seq(Seq(1L))
+      case MaintenanceOp.ComputeStats =>
+        cat.computeTableStats(spark, table).toSeq.sortBy(_._1)
+          .map { case (c, n) => Seq(c, n) }
       case MaintenanceOp.ImportTable(metadataLocation, historyDepth) =>
         // the SESSION's Hadoop conf, so fs.s3/wasb/gs FileIO mappings the
         // user configured apply to the metadata/manifest walk too

@@ -158,8 +158,30 @@ object CompactionRunner {
       // Hadoop Path rendering does not)
       "file://" + new java.io.File(p).getAbsolutePath
 
+  /** BOTH canonical renderings of a task path: [[canonPath]]'s literal
+    * one, plus the percent-encoded URI rendering `_metadata.file_path` /
+    * `inputFiles` produce when the path carries URI-significant
+    * characters (e.g. a space in a Hive-layout partition value —
+    * `seg=NOT SPECIFIED/part-0.parquet` scans back as `NOT%20SPECIFIED`).
+    * Every map that keys scanned paths back to task entries must cover
+    * both forms, or such files fail their seq-number lookup loudly.
+    */
+  def canonForms(p: String): Seq[String] = {
+    val c = canonPath(p)
+    val enc =
+      try canonPath(new org.apache.hadoop.fs.Path(c).toUri.toString)
+      catch { case _: IllegalArgumentException => c }
+    Seq(c, enc).distinct
+  }
+
   private def canonCol(c: Column): Column =
-    regexp_replace(c, "^file:/+", "file:///")
+    // mirror canonPath's three cases column-side: URI schemes pass
+    // through, file: slash counts normalize, and BARE absolute paths
+    // (a foreign writer's pos-delete rows may record them) gain the
+    // scheme — without this a stock chain's position deletes silently
+    // match nothing against `_metadata.file_path`'s URI rendering
+    when(c.rlike("^/"), concat(lit("file://"), c))
+      .otherwise(regexp_replace(c, "^file:/+", "file:///"))
 
   /** S1+S3: scan data files and fabricate the three hidden columns. For
     * parquet the positions come from `_metadata.row_index` — zero shuffle.
@@ -208,7 +230,7 @@ object CompactionRunner {
       canonicalSchema: Option[org.apache.spark.sql.types.StructType]): Seq[DataFrame] = {
     val dedup = dedupByPath(tasks)(_.path)
     require(dedup.nonEmpty, "no data files to compact")
-    val seqRows = dedup.map(t => (canonPath(t.path), t.seqNum))
+    val seqRows = dedup.flatMap(t => canonForms(t.path).map((_, t.seqNum)))
     import spark.implicits._
     val seqDf = seqRows.toDF(MorPlanner.FilePathCol, MorPlanner.SeqNumCol)
     val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
@@ -247,7 +269,7 @@ object CompactionRunner {
       // entry under the SAME canonical path, or the broadcast seq join
       // would silently mismatch. inputFiles is driver-side metadata (no
       // data read) and uses the same Hadoop Path rendering as _metadata.
-      val taskPaths = ts.map(t => canonPath(t.path)).toSet
+      val taskPaths = ts.flatMap(t => canonForms(t.path)).toSet
       val unmatched = reader.inputFiles.map(canonPath).filterNot(taskPaths)
       require(unmatched.isEmpty,
         s"scanned files have no seq-number task entry (path mismatch?): " +
@@ -497,7 +519,7 @@ object CompactionRunner {
     // schema inference; ids in it resolve by name against these same
     // files, so the read is identical to the inferred one
     val reader = spark.read.schema(fileSchema).parquet(group.map(_.path): _*)
-    val taskPaths = group.map(t => canonPath(t.path)).toSet
+    val taskPaths = group.flatMap(t => canonForms(t.path)).toSet
     val unmatched = reader.inputFiles.map(canonPath).filterNot(taskPaths)
     require(unmatched.isEmpty,
       s"scanned files have no seq-number task entry (path mismatch?): " +
@@ -766,7 +788,7 @@ object CompactionRunner {
     import spark.implicits._
     val groups = groupConsecutive(dedupByPath(tasks)(_.path))
     groups.map { ts =>
-      val seqDf = ts.map(t => (canonPath(t.path), t.seqNum))
+      val seqDf = ts.flatMap(t => canonForms(t.path).map((_, t.seqNum)))
         .toDF("graft_eq_path", MorPlanner.SeqNumCol)
       val raw = spark.read.parquet(ts.map(_.path): _*)
       val head = ts.head

@@ -452,6 +452,7 @@ final class GraftCatalog(root: String,
       // nothing is referenced yet (the head doesn't exist until the very
       // end), and leaving partial documents would wedge the corrected
       // retry on the write-once conflict guard.
+      val createdForks = scala.collection.mutable.ListBuffer.empty[String]
       try {
         // entry ordering across the walk: each snapshot lists the entries
         // it SHARES with its predecessor first, in the predecessor's
@@ -522,6 +523,77 @@ final class GraftCatalog(root: String,
           else localIdOf.get(fid).map(name -> _)
         }
         if (importedTags.nonEmpty) writeRefs(table, importedTags)
+        // statistics pointers (NDV sketches / partition stats) whose
+        // snapshot imported: adopted by reference, remapped to local ids —
+        // the doorway's estimateStatistics serves distinct counts from the
+        // foreign sketches with zero data IO
+        meta.statistics.foreach { case (fid, p, size, footer) =>
+          localIdOf.get(fid).foreach(lid =>
+            adoptStatistics(table, lid, p, size, footer, partition = false))
+        }
+        meta.partitionStatistics.foreach { case (fid, p, size) =>
+          localIdOf.get(fid).foreach(lid =>
+            adoptStatistics(table, lid, p, size, -1L, partition = true))
+        }
+        // BRANCH refs register as `table@branch` forks (the WAP staging
+        // shape): an in-lineage target forks at its local snapshot; a
+        // STAGED target (a snapshot after the head — the classic WAP
+        // document) walks that snapshot's own manifests, and its fork
+        // base is its nearest imported ancestor, so `publishFork` adopts
+        // it exactly when the branch forked from the current head.
+        // Targets with no importable state (absent from `snapshots`, or
+        // staged with no ancestry into the lineage) skip like weird tags
+        // — a foreign branch must not block the data.
+        val snapById = meta.snapshots.map(s => s.snapshotId -> s).toMap
+        meta.branches.foreach { case (name, fid) =>
+          val ok = name.nonEmpty && !name.exists("@\t\n/".contains(_))
+          val fork = s"$table@$name"
+          if (ok && !headExists(fork)) {
+            val plan: Option[(Seq[TableEntry],
+                Option[org.apache.spark.sql.types.StructType], Long)] =
+              localIdOf.get(fid) match {
+                case Some(lid) =>
+                  Some((loadEntriesAt(table, lid), schemaAt(table, lid), lid))
+                case None =>
+                  for {
+                    snap <- snapById.get(fid)
+                    // nearest imported ancestor via the parent walk
+                    baseLid <- {
+                      var cur = snap.parentSnapshotId
+                      var found: Option[Long] = None
+                      var guard = meta.snapshots.length + 1
+                      while (cur.isDefined && found.isEmpty && guard > 0) {
+                        found = cur.flatMap(localIdOf.get)
+                        if (found.isEmpty)
+                          cur = cur.flatMap(snapById.get)
+                            .flatMap(_.parentSnapshotId)
+                        guard -= 1
+                      }
+                      found
+                    }
+                  } yield {
+                    val schema = snap.schemaId.flatMap(schemaById.get)
+                      .orElse(schemaById.get(meta.currentSchemaId))
+                    (importEntries(snap, schema.getOrElse(
+                      org.apache.spark.sql.types.StructType(Nil)),
+                      conf, meta.specsById), schema, baseLid)
+                  }
+              }
+            plan.foreach { case (entries, schema, baseLid) =>
+              createdForks += fork
+              val init = GraftCatalog.ForkInitialSnapshotId
+              withTableLock(fork) {
+                writeSnapshot(fork, init, entries)
+                schema.filter(_.nonEmpty).foreach(writeSchema(fork, init, _))
+                writeTableUuid(fork)
+                createHead(fork, init)
+                writeForkBase(fork, table, baseLid)
+              }
+              if (meta.partitionFields.nonEmpty)
+                writePspecFile(fork, meta.partitionFields)
+            }
+          }
+        }
         writeTableUuid(table)
         createHead(table, lineage.length.toLong)
         lineage.length.toLong
@@ -535,14 +607,16 @@ final class GraftCatalog(root: String,
           // we hold — remove the partial state so the name stays cleanly
           // creatable for the corrected retry (snapshot documents are
           // write-once; leftovers would wedge it on the conflict guard)
-          val dir = tableDir(table)
-          if (Files.isDirectory(dir)) {
-            val files = Files.list(dir)
-            try files.iterator().asScala
-              .filterNot(_.getFileName.toString == ".lock")
-              .foreach(p => try Files.deleteIfExists(p)
-                catch { case _: java.io.IOException => () })
-            finally files.close()
+          // fork dirs this registration created are partial state too
+          (tableDir(table) +: createdForks.toSeq.map(tableDir)).foreach { dir =>
+            if (Files.isDirectory(dir)) {
+              val files = Files.list(dir)
+              try files.iterator().asScala
+                .filterNot(_.getFileName.toString == ".lock")
+                .foreach(p => try Files.deleteIfExists(p)
+                  catch { case _: java.io.IOException => () })
+              finally files.close()
+            }
           }
           throw e
       }
@@ -658,6 +732,213 @@ final class GraftCatalog(root: String,
           recordCount = e.file.recordCount, sizeBytes = e.file.sizeBytes)
       }
     data ++ dvs ++ pos ++ eq
+  }
+
+  // ---- table statistics (the spec's `statistics` / `partition-statistics`
+  // metadata.json fields: Puffin NDV sketches + the partition-stats file) --
+
+  private def statsPointerPath(table: String, id: Long) =
+    tableDir(table).resolve(s"stats-$id.json")
+
+  private def pstatsPointerPath(table: String, id: Long) =
+    tableDir(table).resolve(s"pstats-$id.json")
+
+  private def writeStatsPointer(
+      path: java.nio.file.Path, snapshotId: Long, statsPath: String,
+      fileSize: Long, footerSize: Long): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val tmp = path.resolveSibling(
+      s".${path.getFileName}.tmp-${Thread.currentThread().getId}")
+    Files.writeString(tmp,
+      s"""{"snapshot-id":$snapshotId,"statistics-path":"${esc(statsPath)}",""" +
+        s""""file-size-in-bytes":$fileSize,""" +
+        s""""file-footer-size-in-bytes":$footerSize}""",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, path, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readStatsPointer(
+      path: java.nio.file.Path): Option[GraftCatalog.StatsFileRef] =
+    if (!Files.exists(path)) None
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(path))
+      for {
+        sid <- Option(n.get("snapshot-id")).map(_.asLong)
+        p <- Option(n.get("statistics-path")).map(_.asText)
+      } yield GraftCatalog.StatsFileRef(sid, p,
+        Option(n.get("file-size-in-bytes")).map(_.asLong).getOrElse(-1L),
+        Option(n.get("file-footer-size-in-bytes")).map(_.asLong).getOrElse(-1L))
+    }
+
+  private def newestPointer(
+      table: String, prefix: String,
+      asOf: Option[Long]): Option[java.nio.file.Path] = {
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return None
+    val bound = asOf.getOrElse(
+      if (headExists(table)) currentSnapshotId(table) else return None)
+    val stream = Files.list(dir)
+    val best =
+      try stream.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith(prefix) || !n.endsWith(".json")) Iterator.empty
+        else n.stripPrefix(prefix).stripSuffix(".json").toLongOption
+          .filter(_ <= bound).map(_ -> p).iterator
+      }.maxByOption(_._1)
+      finally stream.close()
+    best.map(_._2)
+  }
+
+  /** The newest recorded statistics file at or before `asOf` (stale stats
+    * are served per Iceberg convention — a planner estimate, never a
+    * correctness input).
+    */
+  def tableStatistics(
+      table: String, asOf: Option[Long] = None): Option[GraftCatalog.StatsFileRef] =
+    newestPointer(table, "stats-", asOf).flatMap(readStatsPointer)
+
+  def partitionStatistics(
+      table: String, asOf: Option[Long] = None): Option[GraftCatalog.StatsFileRef] =
+    newestPointer(table, "pstats-", asOf).flatMap(readStatsPointer)
+
+  /** Record a FOREIGN statistics pointer (import path — by reference,
+    * like data files).
+    */
+  private[sources] def adoptStatistics(
+      table: String, localId: Long, statsPath: String,
+      fileSize: Long, footerSize: Long, partition: Boolean): Unit =
+    writeStatsPointer(
+      if (partition) pstatsPointerPath(table, localId)
+      else statsPointerPath(table, localId),
+      localId, statsPath, fileSize, footerSize)
+
+  /** Per-column NDV for the newest statistics file at or before `asOf`,
+    * keyed by the CURRENT schema's column name (blobs key by field id, so
+    * renames stay bound). Footers are parsed once per stats file
+    * (write-once paths — process-wide cache).
+    */
+  def columnNdv(table: String, asOf: Option[Long] = None): Map[String, Long] =
+    tableStatistics(table, asOf).map { ref =>
+      // failures are not cached (a transient IO error must not pin an
+      // empty footer for the process lifetime)
+      val blobs = Option(GraftCatalog.statsFooterCache.get(ref.path))
+        .getOrElse {
+          try {
+            val b = Puffin.readFooter(ref.path,
+              new org.apache.hadoop.conf.Configuration())._1
+            GraftCatalog.statsFooterCache.put(ref.path, b)
+            b
+          } catch { case _: Exception => Nil }
+        }
+      val schema = currentSchema(table)
+      blobs.iterator
+        .filter(_.blobType == Puffin.ThetaBlobType)
+        .flatMap { b =>
+          for {
+            id <- b.fields.headOption
+            ndv <- b.properties.get("ndv").flatMap(_.toLongOption)
+            name <- schema.flatMap(FieldIds.nameById(_, id))
+          } yield name -> ndv
+        }.toMap
+    }.getOrElse(Map.empty)
+
+  /** ANALYZE: one distributed pass over the current snapshot computing an
+    * approximate NDV per atomic column (HLL++ — the map-side-combining
+    * sketch, no per-column shuffle of raw values), written as a Puffin
+    * statistics file (one theta blob per column, estimate in the standard
+    * `ndv` property) plus — for partitioned tables — the spec's
+    * partition-statistics file, computed driver-side from the entry
+    * inventory (counts/sizes per partition tuple: metadata-sized, no data
+    * IO). Returns column → NDV.
+    */
+  def computeTableStats(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String): Map[String, Long] = {
+    import org.apache.spark.sql.functions._
+    val head = currentSnapshotId(table)
+    val df = scanTable(spark, table)
+    val schema = currentSchema(table).getOrElse(
+      org.apache.spark.sql.types.StructType(df.schema.fields.toIndexedSeq))
+    val atomic = df.schema.fields.filter(_.dataType match {
+      case _: org.apache.spark.sql.types.ArrayType |
+           _: org.apache.spark.sql.types.MapType |
+           _: org.apache.spark.sql.types.StructType => false
+      case _ => true
+    }).map(_.name).toSeq
+    require(atomic.nonEmpty, s"$table has no atomic columns to analyze")
+    val aggs = atomic.map(c =>
+      approx_count_distinct(col(s"`${c.replace("`", "``")}`")).as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val ndvs: Seq[(String, Long)] = atomic.map(c => c -> row.getAs[Long](c))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val statsPath = tableDir(table).resolve(s"stats-$head.puffin").toString
+    val blobs = ndvs.flatMap { case (name, ndv) =>
+      schema.fields.find(_.name == name).flatMap(FieldIds.idOf).map(id =>
+        Puffin.BlobSpec(Puffin.ThetaBlobType, Seq(id), head, head,
+          Puffin.thetaPayload(ndv), Map("ndv" -> ndv.toString)))
+    }
+    require(blobs.nonEmpty,
+      s"$table: no analyzed column carries a field id — statistics blobs " +
+        "key by field id and would be unbindable")
+    Files.deleteIfExists(java.nio.file.Paths.get(statsPath)) // re-analyze
+    GraftCatalog.statsFooterCache.remove(statsPath) // rewrite invalidates
+    val (size, footerSize) = Puffin.writeBlobs(statsPath, blobs, conf)
+    writeStatsPointer(statsPointerPath(table, head), head, statsPath,
+      size, footerSize)
+    // partition statistics: per-tuple rollup of the entry inventory
+    val entries = loadEntries(table)
+    val specFields = partitionSpec(table).map(_.name)
+    if (specFields.nonEmpty) {
+      import org.apache.spark.sql.types._
+      val pstruct = StructType(specFields.map(StructField(_, StringType)))
+      val pschema = StructType(Seq(
+        StructField("partition", pstruct),
+        StructField("spec_id", IntegerType, nullable = false),
+        StructField("data_record_count", LongType, nullable = false),
+        StructField("data_file_count", IntegerType, nullable = false),
+        StructField("total_data_file_size_in_bytes", LongType, nullable = false),
+        StructField("position_delete_record_count", LongType, nullable = false),
+        StructField("position_delete_file_count", IntegerType, nullable = false),
+        StructField("equality_delete_record_count", LongType, nullable = false),
+        StructField("equality_delete_file_count", IntegerType, nullable = false),
+        StructField("total_record_count", LongType, nullable = false),
+        StructField("last_updated_at", LongType),
+        StructField("last_updated_snapshot_id", LongType)))
+      val rows = entries.filter(_.kind == "data")
+        .groupBy(e => specFields.map(f => e.partitionVals.getOrElse(f, null)))
+        .toSeq.sortBy(_._1.mkString(""))
+        .map { case (tuple, es) =>
+          org.apache.spark.sql.Row(
+            org.apache.spark.sql.Row(tuple: _*),
+            0,
+            es.map(e => math.max(0L, e.recordCount)).sum,
+            es.size,
+            es.map(e => math.max(0L, e.sizeBytes)).sum,
+            0L, 0, 0L, 0,
+            es.map(e => math.max(0L, e.recordCount)).sum,
+            null, head)
+        }
+      val tmpDir = tableDir(table).resolve(s".pstats-$head-tmp").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), pschema)
+        .coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val part = CompactionRunner.listParquet(tmpDir).head
+      val pPath = tableDir(table).resolve(s"partition-stats-$head.parquet")
+      Files.deleteIfExists(pPath)
+      Files.move(java.nio.file.Paths.get(
+        part.stripPrefix("file://").stripPrefix("file:")), pPath)
+      // best-effort temp cleanup (crc/_SUCCESS siblings)
+      val rest = Files.list(java.nio.file.Paths.get(tmpDir))
+      try rest.iterator().asScala.foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      finally rest.close()
+      Files.deleteIfExists(java.nio.file.Paths.get(tmpDir))
+      writeStatsPointer(pstatsPointerPath(table, head), head,
+        pPath.toString, Files.size(pPath), -1L)
+    }
+    ndvs.toMap
   }
 
   // ---- per-snapshot canonical schema (§1.3 schema evolution) -------------
@@ -4835,6 +5116,25 @@ object GraftCatalog {
     */
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** One recorded statistics file (the spec's `statistics` /
+    * `partition-statistics` entries): which snapshot it describes, where
+    * it lives (by reference — imports keep foreign paths), and the two
+    * sizes the metadata.json entry publishes (footer size -1 for
+    * partition-stats files, which have none).
+    */
+  final case class StatsFileRef(
+      snapshotId: Long,
+      path: String,
+      fileSizeInBytes: Long,
+      footerSizeInBytes: Long)
+
+  /** Parsed Puffin footers per statistics file, keyed by path — safe to
+    * share process-wide because stats files are write-once (re-analyze
+    * deletes and rewrites under a NEW head id).
+    */
+  private[sources] val statsFooterCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Puffin.BlobMeta]]()
 
   /** Marker file that makes a directory a namespace (and carries its
     * properties). Dot-prefixed so the table-document globs never see it.

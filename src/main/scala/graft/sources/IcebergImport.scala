@@ -64,9 +64,18 @@ object IcebergImport {
       currentSnapshotId: Option[Long],
       snapshots: Seq[SnapshotRef],
       properties: Map[String, String],
-      // tag name → FOREIGN snapshot id (type "tag" refs only; branches
-      // other than main have no single-document representation to import)
-      tags: Map[String, Long])
+      // tag name → FOREIGN snapshot id (type "tag" refs, 'main' excluded)
+      tags: Map[String, Long],
+      // branch name → FOREIGN snapshot id (type "branch" refs other than
+      // main — WAP-style staged state; [[GraftCatalog.importTable]]
+      // registers each as a `table@branch` fork when the target snapshot
+      // is importable)
+      branches: Map[String, Long] = Map.empty,
+      // the spec's `statistics` entries: (FOREIGN snapshot id, Puffin
+      // path, file size, footer size) — adopted by reference on import
+      statistics: Seq[(Long, String, Long, Long)] = Nil,
+      // `partition-statistics` entries: (FOREIGN snapshot id, path, size)
+      partitionStatistics: Seq[(Long, String, Long)] = Nil)
 
   private val mapper = new ObjectMapper
 
@@ -259,13 +268,41 @@ object IcebergImport {
       p.fields().asScala.map(e => e.getKey -> e.getValue.asText).toMap
     }.getOrElse(Map.empty[String, String])
 
-    val tags = opt("refs").filter(_.isObject).map { r =>
-      r.fields().asScala.flatMap { e =>
-        val isTag = Option(e.getValue.get("type")).map(_.asText).contains("tag")
-        val sid = Option(e.getValue.get("snapshot-id")).map(_.asLong)
-        if (isTag && e.getKey != "main") sid.map(e.getKey -> _) else None
-      }.toMap
-    }.getOrElse(Map.empty[String, Long])
+    def refsOfType(t: String): Map[String, Long] =
+      opt("refs").filter(_.isObject).map { r =>
+        r.fields().asScala.flatMap { e =>
+          val matches =
+            Option(e.getValue.get("type")).map(_.asText).contains(t)
+          val sid = Option(e.getValue.get("snapshot-id")).map(_.asLong)
+          if (matches && e.getKey != "main") sid.map(e.getKey -> _) else None
+        }.toMap
+      }.getOrElse(Map.empty[String, Long])
+    val tags = refsOfType("tag")
+    val branches = refsOfType("branch")
+
+    // statistics pointers travel BY REFERENCE (like data files); a
+    // malformed entry drops — stats are planner estimates, never a
+    // correctness input
+    val statistics = opt("statistics").filter(_.isArray).toSeq
+      .flatMap(_.elements().asScala).flatMap { s =>
+        for {
+          sid <- Option(s.get("snapshot-id")).map(_.asLong)
+          p <- Option(s.get("statistics-path")).map(_.asText).filter(_.nonEmpty)
+        } yield (sid, p,
+          Option(s.get("file-size-in-bytes")).map(_.asLong).getOrElse(-1L),
+          Option(s.get("file-footer-size-in-bytes")).map(_.asLong)
+            .getOrElse(-1L))
+      }
+    val partitionStatistics =
+      opt("partition-statistics").filter(_.isArray).toSeq
+        .flatMap(_.elements().asScala).flatMap { s =>
+          for {
+            sid <- Option(s.get("snapshot-id")).map(_.asLong)
+            p <- Option(s.get("statistics-path")).map(_.asText)
+              .filter(_.nonEmpty)
+          } yield (sid, p,
+            Option(s.get("file-size-in-bytes")).map(_.asLong).getOrElse(-1L))
+        }
 
     TableMetadata(
       formatVersion = version,
@@ -281,7 +318,10 @@ object IcebergImport {
         opt("current-snapshot-id").map(_.asLong).filter(_ >= 0),
       snapshots = snapshots,
       properties = props,
-      tags = tags)
+      tags = tags,
+      branches = branches,
+      statistics = statistics,
+      partitionStatistics = partitionStatistics)
   }
 
   /** An Iceberg struct schema node → Spark StructType with every field id

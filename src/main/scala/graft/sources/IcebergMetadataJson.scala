@@ -247,6 +247,39 @@ object IcebergMetadataJson {
     // behavior-bearing keys like write.delete.mode survive the round trip
     val propsJson = catalog.tableProperties(table).toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
+    // the spec's `statistics` (Puffin NDV sketches) and
+    // `partition-statistics` entries, one per retained snapshot that
+    // recorded a file — blob metadata re-read from the Puffin footer
+    // itself (by-reference fidelity, exactly what a stock planner reads)
+    val statsConf = new org.apache.hadoop.conf.Configuration()
+    val statsEntries = ids.flatMap(id =>
+      catalog.tableStatistics(table, Some(id)).filter(_.snapshotId == id))
+      .map { r =>
+        val blobs = Puffin.readFooter(r.path, statsConf)._1.map { b =>
+          s"""{"type":"${esc(b.blobType)}","snapshot-id":${r.snapshotId},""" +
+            s""""sequence-number":${seqOf.getOrElse(r.snapshotId, r.snapshotId)},""" +
+            s""""fields":[${b.fields.mkString(",")}],""" +
+            s""""properties":{${b.properties.toSeq.sorted.map { case (k, v) =>
+              s""""${esc(k)}":"${esc(v)}""""
+            }.mkString(",")}}}"""
+        }.mkString(",")
+        s"""{"snapshot-id":${r.snapshotId},"statistics-path":"${esc(r.path)}",""" +
+          s""""file-size-in-bytes":${r.fileSizeInBytes},""" +
+          s""""file-footer-size-in-bytes":${r.footerSizeInBytes},""" +
+          s""""blob-metadata":[$blobs]}"""
+      }
+    val pstatsEntries = ids.flatMap(id =>
+      catalog.partitionStatistics(table, Some(id)).filter(_.snapshotId == id))
+      .map(r =>
+        s"""{"snapshot-id":${r.snapshotId},""" +
+          s""""statistics-path":"${esc(r.path)}",""" +
+          s""""file-size-in-bytes":${r.fileSizeInBytes}}""")
+    val statsSection =
+      (if (statsEntries.isEmpty) ""
+       else s""""statistics":[${statsEntries.mkString(",")}],""" + "\n") +
+        (if (pstatsEntries.isEmpty) ""
+         else s""""partition-statistics":[${pstatsEntries.mkString(",")}],""" +
+           "\n")
     val json =
       s"""{"format-version":$formatVersion,
          |"table-uuid":"$uuid",
@@ -262,7 +295,7 @@ object IcebergMetadataJson {
          |"last-partition-id":$lastPartitionId,
          |"default-sort-order-id":$defaultSortOrderId,
          |"sort-orders":[$sortOrders],
-         |"current-snapshot-id":$head,
+         |$statsSection"current-snapshot-id":$head,
          |"refs":{$refsJson},
          |"snapshots":[$snapshots],
          |"snapshot-log":[$snapshotLog],

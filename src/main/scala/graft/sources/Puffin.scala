@@ -154,25 +154,93 @@ object Puffin {
       * Returns the total position count across all blobs.
       */
     def finish(): Long = {
-      def q(s: String): String = mapper.writeValueAsString(
-        mapper.getNodeFactory.textNode(s))
-      val payload = ("{\"blobs\":[" + blobs.map { b =>
-        s"""{"type":${q(b.blobType)},"fields":[${b.fields.mkString(",")}],""" +
-          s""""snapshot-id":${b.snapshotId},"sequence-number":${b.sequenceNumber},""" +
-          s""""offset":${b.offset},"length":${b.length},"properties":{""" +
-          b.properties.toSeq.sorted.map { case (k, v) => s"${q(k)}:${q(v)}" }
-            .mkString(",") + "}}"
-      }.mkString(",") + "],\"properties\":{}}")
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      emit(Magic)
-      emit(payload)
-      val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-      tail.putInt(payload.length)
-      tail.putInt(0) // flags: payload uncompressed
-      emit(tail.array())
-      emit(Magic)
+      emit(footerBytes(blobs.toSeq))
       total
     }
+  }
+
+  /** The footer's byte rendering (Magic | payload JSON | size | flags |
+    * Magic) — shared by the DV writer and the generic blob writer.
+    */
+  private def footerBytes(blobs: Seq[BlobMeta]): Array[Byte] = {
+    val mapper = new ObjectMapper()
+    def q(s: String): String = mapper.writeValueAsString(
+      mapper.getNodeFactory.textNode(s))
+    val payload = ("{\"blobs\":[" + blobs.map { b =>
+      s"""{"type":${q(b.blobType)},"fields":[${b.fields.mkString(",")}],""" +
+        s""""snapshot-id":${b.snapshotId},"sequence-number":${b.sequenceNumber},""" +
+        s""""offset":${b.offset},"length":${b.length},"properties":{""" +
+        b.properties.toSeq.sorted.map { case (k, v) => s"${q(k)}:${q(v)}" }
+          .mkString(",") + "}}"
+    }.mkString(",") + "],\"properties\":{}}")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new ByteArrayOutputStream(payload.length + 16)
+    out.write(Magic)
+    out.write(payload)
+    val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    tail.putInt(payload.length)
+    tail.putInt(0) // flags: payload uncompressed
+    out.write(tail.array())
+    out.write(Magic)
+    out.toByteArray
+  }
+
+  /** The statistics-file blob type (Iceberg spec `statistics` field):
+    * per-column NDV sketches. The standard consumption path reads the
+    * `ndv` PROPERTY from the blob metadata (what Trino/Spark planners
+    * use); the payload here is a graft-native encoding (magic "GTS1" +
+    * i64 LE estimate), documented deviation — a stock reader
+    * deserializing the DataSketches payload itself would refuse, loudly,
+    * never misread.
+    */
+  val ThetaBlobType = "apache-datasketches-theta-v1"
+
+  /** One generic blob to write: metadata minus offset/length (assigned
+    * at write time) plus its payload bytes.
+    */
+  final case class BlobSpec(
+      blobType: String,
+      fields: Seq[Int],
+      snapshotId: Long,
+      sequenceNumber: Long,
+      payload: Array[Byte],
+      properties: Map[String, String])
+
+  /** Write a generic Puffin file of `blobs` (e.g. theta NDV statistics).
+    * Returns (file size, footer size) — the two lengths the
+    * `metadata.json` `statistics` entry publishes.
+    */
+  def writeBlobs(
+      path: String,
+      blobs: Seq[BlobSpec],
+      conf: Configuration): (Long, Long) = {
+    val p = new Path(path)
+    val out = new java.io.BufferedOutputStream(
+      p.getFileSystem(conf).create(p, false))
+    try {
+      var offset = 0L
+      def emit(b: Array[Byte]): Unit = { out.write(b); offset += b.length }
+      emit(Magic)
+      val metas = blobs.map { b =>
+        val m = BlobMeta(b.blobType, b.fields, b.snapshotId,
+          b.sequenceNumber, offset, b.payload.length, b.properties)
+        emit(b.payload)
+        m
+      }
+      val footer = footerBytes(metas)
+      emit(footer)
+      (offset, footer.length.toLong)
+    } finally out.close()
+  }
+
+  /** The graft-native theta payload: magic + the estimate (see
+    * [[ThetaBlobType]]).
+    */
+  def thetaPayload(ndv: Long): Array[Byte] = {
+    val bb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("GTS1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    bb.putLong(ndv)
+    bb.array()
   }
 
   /** Parse the footer: blob metadata + file properties. */

@@ -392,12 +392,18 @@ object GraftColumnarMask {
       })
     val byFile: Map[String, Array[Long]] = (pqRows ++ dvRows)
       .groupBy(_._1)
-      .map { case (p, rs) => p -> rs.map(_._2).distinct.sorted.toArray }
+      // keyed under BOTH canonical renderings (literal + percent-encoded),
+      // so a spacey partition path still finds its delete positions
+      .flatMap { case (p, rs) =>
+        val arr = rs.map(_._2).distinct.sorted.toArray
+        CompactionRunner.canonForms(p).map(_ -> arr)
+      }
     // each data file's sequence number — what the eq-delete `seq <` guard
     // compares against (per-file constant, the reference's
     // `sys_hidden_seq_num` fabrication)
     val seqByFile: Map[String, Long] =
-      data.map(e => CompactionRunner.canonPath(e.path) -> e.seqNum).toMap
+      data.flatMap(e =>
+        CompactionRunner.canonForms(e.path).map(_ -> e.seqNum)).toMap
     val eqMaxSeq: Long = eqProbe.map(_.maxSeq).foldLeft(Long.MinValue)(math.max)
     val bc = spark.sparkContext.broadcast((byFile, eqProbe, seqByFile))
     // both diagnostic counters increment HERE, at the moment serving is

@@ -126,6 +126,13 @@ object GraftProcedures {
       Seq(p("table", StringType), p("branch", StringType)),
       (cat, in) => (tableArg(in, 0),
         MaintenanceOp.DropBranch(in.getUTF8String(1).toString))),
+    Spec("compute_table_stats",
+      "ANALYZE: one distributed NDV pass over the current snapshot, " +
+        "recorded as a Puffin statistics file (+ partition statistics " +
+        "on partitioned tables); the scan's estimateStatistics serves " +
+        "the distinct counts",
+      Seq(p("table", StringType)),
+      (cat, in) => (tableArg(in, 0), MaintenanceOp.ComputeStats)),
     Spec("import_table",
       "register a foreign Iceberg table by metadata.json location: walk " +
         "its manifest chain and mount it BY REFERENCE as a new catalog " +

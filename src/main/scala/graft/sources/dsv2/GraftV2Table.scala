@@ -754,6 +754,28 @@ class GraftV1Scan(
     val sizes = data.map(_.sizeBytes)
     val counts = data.map(_.recordCount)
     val hasDeletes = entries.exists(_.kind != "data")
+    // per-column distinct counts from the recorded statistics file (the
+    // Puffin NDV sketches — native ANALYZE or an import's adopted foreign
+    // blobs); newest-at-or-before the served snapshot, Iceberg's stale-
+    // stats convention. Zero data IO: one cached footer parse.
+    val ndv = cat.columnNdv(table, asOf)
+    val colStats: java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      ndv.foreach { case (name, n) =>
+        if (required.fieldNames.contains(name))
+          m.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def distinctCount(): java.util.OptionalLong =
+                java.util.OptionalLong.of(n)
+            })
+      }
+      m
+    }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         if (data.nonEmpty && sizes.forall(_ >= 0L))
@@ -765,6 +787,10 @@ class GraftV1Scan(
         if (data.nonEmpty && !hasDeletes && counts.forall(_ >= 0L))
           java.util.OptionalLong.of(counts.sum)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        colStats
     }
   }
 

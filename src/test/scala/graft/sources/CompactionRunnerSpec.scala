@@ -27,22 +27,32 @@ class CompactionRunnerSpec extends SparkSpec {
     assert(canonPath("/a/with space.parquet") == "file:///a/with space.parquet")
   }
 
-  test("scan fails loudly when a scanned file has no matching task entry") {
+  test("task paths that render differently from _metadata still bind their seq") {
     val table = tmpDir("graft-mismatch")
     Tables.lineitem(spark, sfDir).limit(10).write.mode("overwrite").parquet(table)
     val file = new java.io.File(table).listFiles()
       .filter(_.getName.endsWith(".parquet")).head.getPath
     assert(scanWithHiddenCols(spark, Seq(DataFileTask(file, 1L))).count() == 10)
-    // a task path that READS the same file but canonicalizes differently
-    // (redundant "./" survives canonPath, _metadata normalizes it away) —
-    // must raise, not silently drop all 10 rows
+    // a task path that READS the same file but RENDERS differently
+    // (redundant "./" survives canonPath; _metadata normalizes it away):
+    // canonForms' Hadoop-normalized alias binds the seq entry, so the
+    // scan serves all 10 rows instead of raising — and never silently
+    // drops them (the left-outer seq join raises on a TRUE mismatch)
     val dir = file.substring(0, file.lastIndexOf('/'))
     val name = file.substring(file.lastIndexOf('/') + 1)
-    val ex = intercept[IllegalArgumentException] {
-      scanWithHiddenCols(spark, Seq(DataFileTask(s"$dir/./$name", 1L)))
-    }
-    assert(ex.getMessage.contains("no seq-number task entry"),
-      s"expected loud seq-mismatch failure, got: ${ex.getMessage}")
+    val dotted = scanWithHiddenCols(spark, Seq(DataFileTask(s"$dir/./$name", 1L)))
+    assert(dotted.count() == 10)
+    assert(dotted.select(graft.operators.MorPlanner.SeqNumCol)
+      .distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("canonForms covers the percent-encoded rendering of spacey paths") {
+    assert(CompactionRunner.canonForms("/a/seg=NOT SPECIFIED/f.parquet") ==
+      Seq("file:///a/seg=NOT SPECIFIED/f.parquet",
+        "file:///a/seg=NOT%20SPECIFIED/f.parquet"))
+    // already-encoded (or space-free) paths collapse to one form
+    assert(CompactionRunner.canonForms("s3://b/seg=a/f.parquet") ==
+      Seq("s3://b/seg=a/f.parquet"))
   }
 
   test("pruning keeps files with sentinel, null, or unparseable bounds") {

@@ -759,6 +759,96 @@ class IcebergImportSpec extends SparkSpec {
     assert(cat2.scanTable(spark, "s").count() == 20)
   }
 
+  test("a WAP-style branch ref imports as a publishable fork") {
+    // the classic write-audit-publish document: main at snapshot 1, a
+    // staged snapshot 2 (parent 1, NOT in the main lineage) named by a
+    // branch ref. The import must register `t@audit`, expose it through
+    // VERSION AS OF 'audit', and let publish adopt it onto main.
+    val dir = Files.createTempDirectory("graft-impbr").toString
+    val (pA, szA) = stagedFile(dir, 60)
+    val pB = {
+      (60L until 100L).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1).write.parquet(s"$dir/stage2")
+      CompactionRunner.listParquet(s"$dir/stage2").head
+    }
+    val szB = Files.size(java.nio.file.Paths.get(pB))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def entry(p: String, sz: Long, n: Long, seq: Long) =
+      IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+        DataFileStats(p, sz, n, Map.empty, Map.empty, Map.empty),
+        sequenceNumber = seq)
+    IcebergManifest.write(s"$dir/m1.avro", Seq(entry(pA, szA, 60, 1)),
+      handSchema, conf)
+    IcebergManifest.write(s"$dir/m2.avro",
+      Seq(entry(pA, szA, 60, 1), entry(pB, szB, 40, 2)), handSchema, conf)
+    def list(lp: String, mp: String, seq: Long): Unit =
+      IcebergManifest.writeList(lp, Seq(IcebergManifest.ManifestFile(
+        mp, Files.size(java.nio.file.Paths.get(mp)),
+        partitionSpecId = 0, content = 0, sequenceNumber = seq,
+        minSequenceNumber = 1, addedSnapshotId = seq, addedFilesCount = 1,
+        existingFilesCount = 0, deletedFilesCount = 0, addedRowsCount = 0,
+        existingRowsCount = 0, deletedRowsCount = 0)), conf)
+    list(s"$dir/l1.avro", s"$dir/m1.avro", 1)
+    list(s"$dir/l2.avro", s"$dir/m2.avro", 2)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"wap-doc","location":"$dir",
+         |"last-sequence-number":2,"last-column-id":2,"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[$handSchemaFields]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":1,
+         |"refs":{"main":{"snapshot-id":1,"type":"branch"},
+         |        "audit":{"snapshot-id":2,"type":"branch"},
+         |        "lost":{"snapshot-id":999,"type":"branch"}},
+         |"snapshots":[
+         |  {"snapshot-id":1,"sequence-number":1,"timestamp-ms":1000,
+         |   "manifest-list":"$dir/l1.avro","summary":{"operation":"append"},
+         |   "schema-id":0},
+         |  {"snapshot-id":2,"sequence-number":2,"timestamp-ms":2000,
+         |   "parent-snapshot-id":1,
+         |   "manifest-list":"$dir/l2.avro","summary":{"operation":"append"},
+         |   "schema-id":0}]}""".stripMargin)
+    val root = Files.createTempDirectory("graft-impbr-r").toString
+    val cat = new GraftCatalog(root)
+    cat.importTable("t", s"$dir/v1.metadata.json")
+    // main imported at its head (60 rows); the staged branch rode along
+    assert(cat.scanTable(spark, "t").count() == 60)
+    assert(cat.tableExists("t@audit"), "the branch ref must register a fork")
+    assert(!cat.tableExists("t@lost"),
+      "a branch ref with no importable target must skip, not fail")
+    assert(cat.scanTable(spark, "t@audit").count() == 100)
+    // the doorway exposes it: VERSION AS OF 'audit' reads the staged state
+    val g = s"gbr_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t VERSION AS OF 'audit'")
+      .head().getLong(0) == 100L)
+    // ...and publish adopts the audited state onto main (base == head)
+    cat.publishFork("t@audit")
+    assert(cat.scanTable(spark, "t").count() == 100)
+  }
+
+  test("an in-lineage branch ref forks at its local snapshot") {
+    val rootA = Files.createTempDirectory("graft-impbl-a").toString
+    val g = mount(rootA)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(0, 50)")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(50, 80)")
+    val catA = new GraftCatalog(rootA)
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "t")
+    // hand-add a branch ref at the first-insert snapshot (id 2)
+    val doc = Files.readString(metaPath).replace(
+      """"refs":{""",
+      """"refs":{"stable":{"snapshot-id":2,"type":"branch"},""")
+    Files.writeString(metaPath, doc)
+    val rootB = Files.createTempDirectory("graft-impbl-b").toString
+    val catB = new GraftCatalog(rootB)
+    catB.importTable("t", metaPath.toString)
+    assert(catB.tableExists("t@stable"))
+    assert(catB.scanTable(spark, "t@stable").count() == 50)
+    assert(catB.scanTable(spark, "t").count() == 80)
+  }
+
   test("the parser rejects malformed and unsupported documents loudly") {
     intercept[GraftError.Metadata](IcebergImport.parse("not json at all"))
     intercept[GraftError.Metadata](IcebergImport.parse("""{"no-version":true}"""))

@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The spec's `statistics` / `partition-statistics` metadata surface:
+  * ANALYZE (one distributed NDV pass → Puffin theta blobs, estimate in
+  * the standard `ndv` property), the partition-statistics parquet file,
+  * export → import round-trip of the pointers by reference, and the
+  * doorway's `estimateStatistics` serving the distinct counts.
+  */
+class TableStatisticsSpec extends SparkSpec {
+
+  private def mount(root: String): String = {
+    val g = s"gsts_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    g
+  }
+
+  test("compute_table_stats records NDV blobs a scan serves as column stats") {
+    val root = Files.createTempDirectory("graft-stats").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.c (c_custkey BIGINT, c_mktsegment STRING)")
+    spark.read.parquet(s"$sfDir/customer.parquet")
+      .createOrReplaceTempView("gsts_src")
+    spark.sql(s"INSERT INTO $g.c SELECT c_custkey, c_mktsegment FROM gsts_src")
+    val rows = spark.sql(s"CALL $g.system.compute_table_stats('c')").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("c_custkey", "c_mktsegment"))
+    val exactKeys = spark.sql("SELECT count(DISTINCT c_custkey) FROM gsts_src")
+      .head().getLong(0)
+    val cat = new GraftCatalog(root)
+    val ndv = cat.columnNdv("c")
+    // HLL++ default error is ~2.3%; 10% is a generous correctness bound
+    assert(ndv.contains("c_custkey") &&
+      math.abs(ndv("c_custkey") - exactKeys) <= exactKeys / 10,
+      s"NDV ${ndv.get("c_custkey")} vs exact $exactKeys")
+    assert(ndv.get("c_mktsegment").exists(n => n >= 4 && n <= 6)) // 5 segments
+    // the stats file is real Puffin: footer lists one theta blob per
+    // column, keyed by field id, with the standard `ndv` property
+    val ref = cat.tableStatistics("c").get
+    assert(ref.snapshotId == cat.currentSnapshotId("c"))
+    val (blobs, _) = Puffin.readFooter(ref.path,
+      new org.apache.hadoop.conf.Configuration())
+    assert(blobs.forall(_.blobType == Puffin.ThetaBlobType))
+    assert(blobs.flatMap(_.fields).sorted == Seq(1, 2))
+    assert(blobs.forall(_.properties.get("ndv").exists(_.toLongOption.isDefined)))
+    // the doorway's estimateStatistics serves the distinct counts
+    val table = new graft.sources.dsv2.GraftV2Table(root, "c", asOf = None)
+    val scan = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    val stats = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    val cs = stats.columnStats()
+    assert(!cs.isEmpty, "estimateStatistics must carry column stats")
+    import scala.jdk.CollectionConverters._
+    val byName = cs.asScala.map { case (k, v) =>
+      k.fieldNames().mkString(".") -> v.distinctCount() }
+    assert(byName.get("c_custkey").exists(o =>
+      o.isPresent && o.getAsLong == ndv("c_custkey")))
+  }
+
+  test("partitioned ANALYZE writes the spec's partition-statistics file") {
+    val root = Files.createTempDirectory("graft-pstats").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.o (o_orderkey BIGINT, o_orderpriority STRING)
+         |PARTITIONED BY (o_orderpriority)""".stripMargin)
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("gsts_osrc")
+    spark.sql(s"INSERT INTO $g.o SELECT o_orderkey, o_orderpriority " +
+      "FROM gsts_osrc")
+    spark.sql(s"CALL $g.system.compute_table_stats('o')").collect()
+    val cat = new GraftCatalog(root)
+    val pref = cat.partitionStatistics("o").get
+    val pstats = spark.read.parquet(pref.path)
+    // the spec's column names, one row per partition tuple
+    for (c <- Seq("partition", "spec_id", "data_record_count",
+      "data_file_count", "total_data_file_size_in_bytes",
+      "last_updated_snapshot_id"))
+      assert(pstats.columns.contains(c), s"missing $c: ${pstats.columns.toSeq}")
+    val nParts = spark.sql(
+      "SELECT count(DISTINCT o_orderpriority) FROM gsts_osrc").head().getLong(0)
+    assert(pstats.count() == nParts)
+    val totalRecs = pstats.agg(sum("data_record_count")).head().getLong(0)
+    assert(totalRecs == spark.table("gsts_osrc").count())
+  }
+
+  test("statistics pointers survive export -> import by reference") {
+    val root = Files.createTempDirectory("graft-stats-exp").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.d (k BIGINT, seg STRING)
+         |PARTITIONED BY (seg)""".stripMargin)
+    spark.sql(s"INSERT INTO $g.d SELECT id, concat('s', id % 3) " +
+      "FROM range(0, 300)")
+    spark.sql(s"CALL $g.system.compute_table_stats('d')").collect()
+    val cat = new GraftCatalog(root)
+    val metaPath = IcebergMetadataJson.export(cat, root, "d")
+    val doc = Files.readString(metaPath)
+    assert(doc.contains("\"statistics\":["), doc.take(400))
+    assert(doc.contains("\"partition-statistics\":["))
+    assert(doc.contains(Puffin.ThetaBlobType))
+    val rootB = Files.createTempDirectory("graft-stats-imp").toString
+    val catB = new GraftCatalog(rootB)
+    catB.importTable("d", metaPath.toString)
+    // pointers adopted by reference: foreign paths, local snapshot ids
+    val refB = catB.tableStatistics("d").get
+    assert(refB.path == cat.tableStatistics("d").get.path,
+      "the import must reference the foreign stats file, not copy it")
+    assert(catB.columnNdv("d") == cat.columnNdv("d"))
+    assert(catB.partitionStatistics("d").map(_.path) ==
+      cat.partitionStatistics("d").map(_.path))
+    // and the imported table's scan serves the foreign distinct counts
+    val table = new graft.sources.dsv2.GraftV2Table(rootB, "d", asOf = None)
+    val stats = table.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    assert(!stats.columnStats().isEmpty)
+    // size/rows still estimate from manifests — the imported dim remains
+    // auto-broadcastable
+    assert(stats.sizeInBytes().isPresent && stats.sizeInBytes().getAsLong > 0)
+  }
+
+  test("re-analyze replaces the sketch; stale stats serve for later snapshots") {
+    val root = Files.createTempDirectory("graft-stats-re").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(0, 100)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    val cat = new GraftCatalog(root)
+    val ndv1 = cat.columnNdv("t")("k")
+    assert(math.abs(ndv1 - 100) <= 10)
+    // a later append: the OLD stats still serve (stale, Iceberg's rule)
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(100, 1000)")
+    assert(cat.columnNdv("t")("k") == ndv1)
+    // re-analyze at the new head replaces the estimate
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    val ndv2 = cat.columnNdv("t")("k")
+    assert(math.abs(ndv2 - 1000) <= 100, s"ndv2 = $ndv2")
+    // time travel to the old head still serves the OLD sketch
+    assert(cat.columnNdv("t", Some(2L)) == Map("k" -> ndv1))
+  }
+}
