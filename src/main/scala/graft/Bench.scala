@@ -134,7 +134,11 @@ object Bench {
     // import round trip, q167 import + compaction
     "q166" -> 1.6, "q167" -> 2.4,
     // q168 video-container decode: map-only, corpus-linear
-    "q168" -> 0.2)
+    "q168" -> 0.2,
+    // round-17 gates (idle-box min-of-3 first recordings): q169 wide-type
+    // import chain (fixture build + import + MoR scan), q170 ANALYZE
+    // (one distributed NDV pass + Puffin write)
+    "q169" -> 1.11, "q170" -> 0.9)
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded
