@@ -348,6 +348,24 @@ object ExplainAudit {
         "the keep set strictly smaller than the table's file count, so " +
         "the range-clustered 8-file fixture opens only covering files; " +
         "the residual IN re-applies above the scan."),
+    "q169_import_wide_types" ->
+      ("Wide-type import chain (uuid/fixed[16]/time/timestamp_ns under " +
+        "the documented wire conventions): the audited plan is the MoR " +
+        "read of the imported table — a bare columnar BatchScan; the " +
+        "uuid-keyed eq-delete applies through the VECTORIZED mask " +
+        "(broadcast key set, q160's shape), no join operator in the " +
+        "plan at all. Import itself is driver-side metadata walking, no " +
+        "cluster work. At 100 TB the plan is unchanged: delete " +
+        "applicability binds by field id, bounds pruned from the " +
+        "spec-exact binary manifests."),
+    "q170_table_stats" ->
+      ("ANALYZE: ONE distributed aggregation computing every column's " +
+        "HLL++ NDV in the same pass (partial sketches merge map-side — " +
+        "one exchange of sketch bytes, never raw values; at 100 TB this " +
+        "is the only shape that works). The Puffin write + pointer are " +
+        "driver-side metadata; partition statistics roll up from the " +
+        "entry inventory with zero data IO. The audited read then " +
+        "serves the NDVs through estimateStatistics as V2 column stats."),
     "q165_v3_manifest_export" ->
       ("Iceberg-v3 manifest/metadata EXPORT (r15): after a DV migration " +
         "plus a pending eq-delete, the export writes metadata.json " +
@@ -538,6 +556,45 @@ object ExplainAudit {
     sb.append("free (sorted long arrays), and the delete-set size gates read\n")
     sb.append("entry-recorded manifest sizes so a transient stat failure can\n")
     sb.append("never flip an admitted broadcast/keyed plan at runtime.\n")
+    sb.append("r16 drift adjudication (the r15 verdict's watch items, min-of-3\n")
+    sb.append("DriftProbe on the idle box): q117 2.29 s (level 2.08 — the\n")
+    sb.append("r15-driver 3.0 was drift), q62 0.48 s (level 0.49 — the 0.84\n")
+    sb.append("was drift). q154 did NOT return: min 3.7-4.1 across two probes\n")
+    sb.append("at HEAD, so it was BISECTED — a worktree probe of the SAME\n")
+    sb.append("gate at the r15 marker (7ca7e93) measured 3.34 and at the r14\n")
+    sb.append("marker (8f3e29c) 4.02: identical code that recorded 2.9 in the\n")
+    sb.append("r13/r14 era now measures 3.3-4.1, so the elevation is\n")
+    sb.append("host-level (the box runs this fixture-heavy gate slower now),\n")
+    sb.append("not a plan regression at any round boundary; the in-gate\n")
+    sb.append("exchange-free + broadcast-delete assertions still hold (the\n")
+    sb.append("gate passes). recordedSec keeps 2.9 — levels are retry\n")
+    sb.append("ceilings, and an understated level only arms the retry earlier.\n")
+    sb.append("r16 also compresses the bench line's VALUE rendering to <=3\n")
+    sb.append("chars per healthy value (0dp from 10 s, 1dp to 0.1 s); display\n")
+    sb.append("only — the in-process drift retry compares full-precision\n")
+    sb.append("doubles and recordedSec keeps 2dp. r16 closing run: 170 s over\n")
+    sb.append("all 160 queries, zero errors — uniform ~1.2-1.4x host\n")
+    sb.append("inflation (median per-query ratio ~1.25x; the r14-marker\n")
+    sb.append("worktree probe put IDENTICAL code at 1.4x its recorded level).\n")
+    sb.append("New r16 gates healthy: q166 1.6 s (export -> import -> MoR\n")
+    sb.append("round trip), q167 2.4 s (adds compaction of the imported\n")
+    sb.append("table); both are commit-lifecycle gate costs, not plan costs.\n")
+    sb.append("r17 drift adjudication (the r16 verdict's item #5, min-of-N\n")
+    sb.append("DriftProbe on the idle box, no code change on these paths):\n")
+    sb.append("q130 driver 2.9 -> probe 2.04/1.39/2.05 then min-of-5\n")
+    sb.append("1.97/1.18/0.98/1.03/1.02 — min 0.98 vs level 0.96: AT level\n")
+    sb.append("once warm, the 2.6-3.0x was a stall window, no bisect needed.\n")
+    sb.append("q128 driver 2.9 -> min 2.15 (level 1.59, 1.35x), q127 2.3 ->\n")
+    sb.append("min 1.72 (level 1.2, 1.43x), q131 0.7 -> min 0.40 (level 0.29,\n")
+    sb.append("1.38x) — all inside the bisect-proven 1.2-1.4x host envelope.\n")
+    sb.append("Disposition: all four host drift; recordedSec unchanged.\n")
+    sb.append("r17 surface: wide-type imports (q169 — uuid/fixed/time/ns\n")
+    sb.append("columns, binary bounds, uuid-keyed eq-delete), ANALYZE (q170 —\n")
+    sb.append("one HLL++ pass, Puffin theta NDV blobs served via\n")
+    sb.append("estimateStatistics), historyDepth + prefix-carry entry order\n")
+    sb.append("on import (SCALING.md's import table: depth=4 flat in snapshot\n")
+    sb.append("count), branch refs as publishable forks, and canonForms path\n")
+    sb.append("aliasing (spacey partition values scan + mask correctly).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

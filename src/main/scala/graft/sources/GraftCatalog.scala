@@ -4172,6 +4172,19 @@ final class GraftCatalog(root: String,
     expire.foreach { id =>
       Files.delete(snapPath(table, id))
       Files.deleteIfExists(schemaPath(table, id))
+      // an expired snapshot's statistics pointers go with it (the Puffin /
+      // partition-stats FILES too, when catalog-local — an imported
+      // pointer's foreign file stays, by-reference like data files);
+      // stale-stats serving only ever reads RETAINED pointers
+      Seq(statsPointerPath(table, id), pstatsPointerPath(table, id))
+        .foreach { pp =>
+          readStatsPointer(pp).foreach { ref =>
+            val local = tableDir(table).resolve(
+              java.nio.file.Paths.get(ref.path).getFileName.toString)
+            if (local.toString == ref.path) Files.deleteIfExists(local)
+          }
+          Files.deleteIfExists(pp)
+        }
     }
     // segment GC: entry segments are shared across the snapshot chain by
     // reference, so they outlive individual documents — reclaim the ones no

@@ -128,6 +128,26 @@ class TableStatisticsSpec extends SparkSpec {
     assert(stats.sizeInBytes().isPresent && stats.sizeInBytes().getAsLong > 0)
   }
 
+  test("expiry garbage-collects the expired snapshot's statistics files") {
+    val root = Files.createTempDirectory("graft-stats-gc").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(0, 50)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    val cat = new GraftCatalog(root)
+    val oldRef = cat.tableStatistics("t").get
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(50, 120)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    cat.expireSnapshots("t", keepLast = 1)
+    // the old pointer AND its catalog-local Puffin file are gone; the
+    // current one survives and still serves
+    assert(!Files.exists(java.nio.file.Paths.get(oldRef.path)),
+      s"expired stats file must be collected: ${oldRef.path}")
+    assert(cat.tableStatistics("t").exists(_.snapshotId ==
+      cat.currentSnapshotId("t")))
+    assert(cat.columnNdv("t").contains("k"))
+  }
+
   test("re-analyze replaces the sketch; stale stats serve for later snapshots") {
     val root = Files.createTempDirectory("graft-stats-re").toString
     val g = mount(root)

@@ -621,6 +621,15 @@ class RestCatalogSpec extends SparkSpec {
         s"""{"name":"x","metadata-location":"$rootB/nope.metadata.json"}""")
       assert(c4 == 400, bad)
       assert(!catB.tableExists("x"))
+      // the history-depth extension caps the imported lineage (head +
+      // nearest ancestors), same contract as import_table's parameter
+      val (c5, shallow) = post(port, "/v1/namespaces/default/register",
+        s"""{"name":"shallow","metadata-location":"$metaPath",
+           |"history-depth":1}""".stripMargin.replace("\n", ""))
+      assert(c5 == 200, shallow)
+      assert(catB.snapshotIds("shallow") == Seq(1L))
+      assert(catB.scanTable(spark, "shallow").count() ==
+        catA.scanTable(spark, "src").count())
     } finally server.close()
   }
 
