@@ -144,8 +144,10 @@ object CompactionRunner {
     tasks.filter(t => seen.add(path(t)))
   }
 
-  /** Canonical form of a task path, matching `_metadata.file_path`'s URI
-    * rendering (`file:///abs/path`).
+  /** Canonical LITERAL form of a task path (`file:///abs/path`, scheme
+    * added to bare local paths, file-scheme slash count normalized — no
+    * percent work in either direction; see [[canonDecoded]] for the
+    * domain contract).
     */
   def canonPath(p: String): String =
     if (p.contains("://") || p.startsWith("file:"))
@@ -158,30 +160,69 @@ object CompactionRunner {
       // Hadoop Path rendering does not)
       "file://" + new java.io.File(p).getAbsolutePath
 
-  /** BOTH canonical renderings of a task path: [[canonPath]]'s literal
-    * one, plus the percent-encoded URI rendering `_metadata.file_path` /
-    * `inputFiles` produce when the path carries URI-significant
-    * characters (e.g. a space in a Hive-layout partition value —
-    * `seg=NOT SPECIFIED/part-0.parquet` scans back as `NOT%20SPECIFIED`).
-    * Every map that keys scanned paths back to task entries must cover
-    * both forms, or such files fail their seq-number lookup loudly.
+  /** THE path-domain contract. Two renderings exist for one file:
+    *
+    *   - LITERAL: what catalog entries, manifests, and delete-file
+    *     `file_path` rows store (`.../seg=NOT SPECIFIED/part-0.parquet`)
+    *     — Iceberg locations are plain strings, never re-encoded.
+    *   - ENCODED: what `_metadata.file_path` / `inputFiles` render —
+    *     Hadoop's URI encoding (`NOT%20SPECIFIED`; a literal `%` becomes
+    *     `%25`, so one decode is always exact).
+    *
+    * Everything joins in the LITERAL domain: the scan side decodes its
+    * known-encoded rendering ONCE ([[canonColScan]] column-side,
+    * [[canonDecoded]] driver-side); entry paths and delete rows pass
+    * through [[canonPath]] untouched. Decoding a literal path would
+    * corrupt names that genuinely contain `%XX`, so only the scan side
+    * ever decodes.
     */
-  def canonForms(p: String): Seq[String] = {
+  def canonDecoded(p: String): String = {
     val c = canonPath(p)
-    val enc =
-      try canonPath(new org.apache.hadoop.fs.Path(c).toUri.toString)
-      catch { case _: IllegalArgumentException => c }
-    Seq(c, enc).distinct
+    // '+' is protected first: URLDecoder would turn a literal '+' into a
+    // space (query-string semantics paths don't share)
+    try java.net.URLDecoder.decode(c.replace("+", "%2B"), "UTF-8")
+    catch { case _: IllegalArgumentException => c }
   }
 
-  private def canonCol(c: Column): Column =
-    // mirror canonPath's three cases column-side: URI schemes pass
-    // through, file: slash counts normalize, and BARE absolute paths
-    // (a foreign writer's pos-delete rows may record them) gain the
-    // scheme — without this a stock chain's position deletes silently
-    // match nothing against `_metadata.file_path`'s URI rendering
+  /** Column-side [[canonDecoded]] for `_metadata.file_path`: normalize the
+    * file-scheme slash count, then percent-decode (malformed sequences
+    * fall back to the normalized form, mirroring the driver-side catch).
+    */
+  private def canonColScan(c: Column): Column = {
+    val norm = regexp_replace(c, "^file:/+", "file:///")
+    coalesce(try_url_decode(regexp_replace(norm, "\\+", "%2B")), norm)
+  }
+
+  /** Column-side scheme normalization for DELETE-file `file_path` rows —
+    * the LITERAL domain (see [[canonDecoded]]): no percent-decoding, but
+    * bare absolute paths (a foreign writer's rows) gain the scheme.
+    */
+  private def canonColDelete(c: Column): Column =
     when(c.rlike("^/"), concat(lit("file://"), c))
       .otherwise(regexp_replace(c, "^file:/+", "file:///"))
+
+  /** Literal-domain KEYS for looking a scanned path up by task path: the
+    * path as recorded, plus its Hadoop-NORMALIZED form (`"./"` segments,
+    * slash counts) — `_metadata.file_path` renders normalized, so a
+    * cosmetically-unnormalized task path still binds its entry.
+    * Normalization round-trips through the encoded rendering (probed:
+    * Hadoop treats input as literal and escapes `%` to `%25` on toUri,
+    * so encode-then-decode is exact for every literal path).
+    */
+  def canonKeys(p: String): Seq[String] = {
+    val c = canonPath(p)
+    val norm =
+      try canonDecoded(canonPath(
+        new org.apache.hadoop.fs.Path(c).toUri.toString))
+      catch { case _: IllegalArgumentException => c }
+    Seq(c, norm).distinct
+  }
+
+  /** THE canonical literal-normalized key ([[canonKeys]]' normalized
+    * form) — what single-key maps (the vectorized mask's) key on; the
+    * scan side's [[canonDecoded]] rendering equals it by construction.
+    */
+  def canonKey(p: String): String = canonKeys(p).last
 
   /** S1+S3: scan data files and fabricate the three hidden columns. For
     * parquet the positions come from `_metadata.row_index` — zero shuffle.
@@ -230,7 +271,7 @@ object CompactionRunner {
       canonicalSchema: Option[org.apache.spark.sql.types.StructType]): Seq[DataFrame] = {
     val dedup = dedupByPath(tasks)(_.path)
     require(dedup.nonEmpty, "no data files to compact")
-    val seqRows = dedup.flatMap(t => canonForms(t.path).map((_, t.seqNum)))
+    val seqRows = dedup.flatMap(t => canonKeys(t.path).map((_, t.seqNum)))
     import spark.implicits._
     val seqDf = seqRows.toDF(MorPlanner.FilePathCol, MorPlanner.SeqNumCol)
     val byFormat = dedup.groupBy(_.format.toLowerCase).toSeq.sortBy(_._1)
@@ -269,13 +310,13 @@ object CompactionRunner {
       // entry under the SAME canonical path, or the broadcast seq join
       // would silently mismatch. inputFiles is driver-side metadata (no
       // data read) and uses the same Hadoop Path rendering as _metadata.
-      val taskPaths = ts.flatMap(t => canonForms(t.path)).toSet
-      val unmatched = reader.inputFiles.map(canonPath).filterNot(taskPaths)
+      val taskPaths = ts.flatMap(t => canonKeys(t.path)).toSet
+      val unmatched = reader.inputFiles.map(canonDecoded).filterNot(taskPaths)
       require(unmatched.isEmpty,
         s"scanned files have no seq-number task entry (path mismatch?): " +
           unmatched.take(5).mkString(", "))
       val base = reader
-        .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
+        .withColumn(MorPlanner.FilePathCol, canonColScan(col("_metadata.file_path")))
       val withPos =
         if (fmt == "parquet")
           base.withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
@@ -502,7 +543,7 @@ object CompactionRunner {
     val (reader, resolved) =
       evolvedParquetReader(spark, group, fileSchema, canonical)
     reader.select(resolved.toSeq :+ col("_metadata"): _*)
-      .withColumn(MorPlanner.FilePathCol, canonCol(col("_metadata.file_path")))
+      .withColumn(MorPlanner.FilePathCol, canonColScan(col("_metadata.file_path")))
       .withColumn(MorPlanner.PosCol, col("_metadata.row_index"))
       .drop("_metadata")
   }
@@ -519,8 +560,8 @@ object CompactionRunner {
     // schema inference; ids in it resolve by name against these same
     // files, so the read is identical to the inferred one
     val reader = spark.read.schema(fileSchema).parquet(group.map(_.path): _*)
-    val taskPaths = group.flatMap(t => canonForms(t.path)).toSet
-    val unmatched = reader.inputFiles.map(canonPath).filterNot(taskPaths)
+    val taskPaths = group.flatMap(t => canonKeys(t.path)).toSet
+    val unmatched = reader.inputFiles.map(canonDecoded).filterNot(taskPaths)
     require(unmatched.isEmpty,
       s"scanned files have no seq-number task entry (path mismatch?): " +
         unmatched.take(5).mkString(", "))
@@ -715,7 +756,7 @@ object CompactionRunner {
       val pq =
         if (pqPaths.isEmpty) None
         else Some(hintSmall(spark, spark.read.parquet(paths(pqPaths): _*)
-          .select(canonCol(col("file_path")).as(MorPlanner.FilePathCol),
+          .select(canonColDelete(col("file_path")).as(MorPlanner.FilePathCol),
             col("pos").as(MorPlanner.PosCol)), sized(pqPaths)))
       val dv =
         if (dvPaths.isEmpty) None
@@ -736,7 +777,7 @@ object CompactionRunner {
           if (totalBytes >= 0L && totalBytes <= (32L << 20)) {
             val rows = paths(dvPaths).flatMap(p =>
               DeletionVectors.read(p, conf).iterator.flatMap {
-                case (f, ps) => ps.iterator.map(pos => (canonPath(f), pos))
+                case (f, ps) => ps.iterator.map(pos => (canonKey(f), pos))
               })
             Some(broadcast(rows.toDF(MorPlanner.FilePathCol, MorPlanner.PosCol)))
           } else {
@@ -745,7 +786,7 @@ object CompactionRunner {
             val rdd = spark.sparkContext
               .parallelize(ps, math.max(1, ps.length))
               .flatMap(p => DeletionVectors.read(p, sconf.value).iterator.flatMap {
-                case (f, arr) => arr.iterator.map(pos => (canonPath(f), pos))
+                case (f, arr) => arr.iterator.map(pos => (canonKey(f), pos))
               })
             Some(rdd.toDF(MorPlanner.FilePathCol, MorPlanner.PosCol))
           }
@@ -788,7 +829,7 @@ object CompactionRunner {
     import spark.implicits._
     val groups = groupConsecutive(dedupByPath(tasks)(_.path))
     groups.map { ts =>
-      val seqDf = ts.flatMap(t => canonForms(t.path).map((_, t.seqNum)))
+      val seqDf = ts.flatMap(t => canonKeys(t.path).map((_, t.seqNum)))
         .toDF("graft_eq_path", MorPlanner.SeqNumCol)
       val raw = spark.read.parquet(ts.map(_.path): _*)
       val head = ts.head
@@ -803,7 +844,7 @@ object CompactionRunner {
             s"(ids ${head.equalityIds.mkString(",")}) and no name fallback"))
       val df = raw
         .select(resolved.map { case (d, n) => col(d).as(n) } :+
-          canonCol(col("_metadata.file_path")).as("graft_eq_path"): _*)
+          canonColScan(col("_metadata.file_path")).as("graft_eq_path"): _*)
         .join(broadcast(seqDf), "graft_eq_path")
         .drop("graft_eq_path")
       EqualityDeleteGroup(

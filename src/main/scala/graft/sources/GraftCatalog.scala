@@ -803,6 +803,28 @@ final class GraftCatalog(root: String,
       table: String, asOf: Option[Long] = None): Option[GraftCatalog.StatsFileRef] =
     newestPointer(table, "pstats-", asOf).flatMap(readStatsPointer)
 
+  /** EVERY recorded statistics pointer of one kind, ascending by snapshot
+    * — ONE directory listing (the export path renders all of them; a
+    * per-snapshot newest-pointer probe would list the dir O(snapshots)
+    * times).
+    */
+  def statisticsFiles(
+      table: String, partition: Boolean = false): Seq[GraftCatalog.StatsFileRef] = {
+    val prefix = if (partition) "pstats-" else "stats-"
+    val dir = tableDir(table)
+    if (!Files.isDirectory(dir)) return Nil
+    val stream = Files.list(dir)
+    val paths =
+      try stream.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith(prefix) || !n.endsWith(".json")) Iterator.empty
+        else n.stripPrefix(prefix).stripSuffix(".json").toLongOption
+          .map(_ -> p).iterator
+      }.toSeq.sortBy(_._1)
+      finally stream.close()
+    paths.flatMap(p => readStatsPointer(p._2))
+  }
+
   /** Record a FOREIGN statistics pointer (import path — by reference,
     * like data files).
     */
@@ -815,9 +837,11 @@ final class GraftCatalog(root: String,
       localId, statsPath, fileSize, footerSize)
 
   /** Per-column NDV for the newest statistics file at or before `asOf`,
-    * keyed by the CURRENT schema's column name (blobs key by field id, so
-    * renames stay bound). Footers are parsed once per stats file
-    * (write-once paths — process-wide cache).
+    * keyed by the SERVED snapshot's column names (blobs key by field id;
+    * resolving against the asOf schema keeps a renamed column's sketch
+    * bound to the name that snapshot's scan actually exposes). Footers
+    * are parsed once per stats file (write-once paths — process-wide
+    * cache).
     */
   def columnNdv(table: String, asOf: Option[Long] = None): Map[String, Long] =
     tableStatistics(table, asOf).map { ref =>
@@ -832,7 +856,8 @@ final class GraftCatalog(root: String,
             b
           } catch { case _: Exception => Nil }
         }
-      val schema = currentSchema(table)
+      val schema = asOf.flatMap(schemaAt(table, _))
+        .orElse(currentSchema(table))
       blobs.iterator
         .filter(_.blobType == Puffin.ThetaBlobType)
         .flatMap { b =>
@@ -2621,7 +2646,7 @@ final class GraftCatalog(root: String,
     if (affected.isEmpty) currentSnapshotId(table)
     else {
       val affTasks = dataTasks(entries)
-        .filter(t => affected(CompactionRunner.canonPath(t.path)))
+        .filter(t => affected(CompactionRunner.canonKey(t.path)))
       val scan = CompactionRunner.scanWithHiddenCols(spark, affTasks, schema)
       val merged = graft.operators.MorPlanner.merge(scan,
         CompactionRunner.readPositionDeletes(spark,
@@ -3064,10 +3089,10 @@ final class GraftCatalog(root: String,
     if (affected.isEmpty) currentSnapshotId(table)
     else {
       val affTasks = dataTasks(entries)
-        .filter(t => affected(CompactionRunner.canonPath(t.path)))
+        .filter(t => affected(CompactionRunner.canonKey(t.path)))
       val affLive = scanLiveWithHidden(spark,
         entries.filterNot(e => e.kind == "data" &&
-          !affected(CompactionRunner.canonPath(e.path))), schema)
+          !affected(CompactionRunner.canonKey(e.path))), schema)
       val userCols = affLive.columns
         .filterNot(graft.operators.MorPlanner.HiddenCols.contains).toSeq
       requireSetColsExist(set, userCols)
@@ -3250,7 +3275,7 @@ final class GraftCatalog(root: String,
         // files dropped between the snapshots contribute NO live rows at
         // `to` — every from-live row of theirs lands in the delete diff
         val toCanon = toE.collect { case e if e.kind == "data" =>
-          CompactionRunner.canonPath(e.path)
+          CompactionRunner.canonKey(e.path)
         }
         val liveTo = liveWithHidden(scanOld, toE)
           .filter(col(graft.operators.MorPlanner.FilePathCol).isin(toCanon: _*))
@@ -4179,6 +4204,7 @@ final class GraftCatalog(root: String,
       Seq(statsPointerPath(table, id), pstatsPointerPath(table, id))
         .foreach { pp =>
           readStatsPointer(pp).foreach { ref =>
+            GraftCatalog.statsFooterCache.remove(ref.path)
             val local = tableDir(table).resolve(
               java.nio.file.Paths.get(ref.path).getFileName.toString)
             if (local.toString == ref.path) Files.deleteIfExists(local)

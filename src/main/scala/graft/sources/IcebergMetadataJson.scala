@@ -248,28 +248,42 @@ object IcebergMetadataJson {
     val propsJson = catalog.tableProperties(table).toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}":"${esc(v)}"""" }.mkString(",")
     // the spec's `statistics` (Puffin NDV sketches) and
-    // `partition-statistics` entries, one per retained snapshot that
-    // recorded a file — blob metadata re-read from the Puffin footer
-    // itself (by-reference fidelity, exactly what a stock planner reads)
+    // `partition-statistics` entries — one directory listing collects
+    // every pointer; blob metadata re-read from the Puffin footer itself
+    // (by-reference fidelity, cache-served — stats files are write-once).
+    // A pointer whose file has vanished (a foreign warehouse GC'd an
+    // adopted by-reference sketch) SKIPS its entry rather than failing
+    // the export: statistics are planner estimates, never a correctness
+    // input, and exportOnLoad must keep serving the table.
     val statsConf = new org.apache.hadoop.conf.Configuration()
-    val statsEntries = ids.flatMap(id =>
-      catalog.tableStatistics(table, Some(id)).filter(_.snapshotId == id))
-      .map { r =>
-        val blobs = Puffin.readFooter(r.path, statsConf)._1.map { b =>
-          s"""{"type":"${esc(b.blobType)}","snapshot-id":${r.snapshotId},""" +
-            s""""sequence-number":${seqOf.getOrElse(r.snapshotId, r.snapshotId)},""" +
-            s""""fields":[${b.fields.mkString(",")}],""" +
-            s""""properties":{${b.properties.toSeq.sorted.map { case (k, v) =>
-              s""""${esc(k)}":"${esc(v)}""""
-            }.mkString(",")}}}"""
-        }.mkString(",")
-        s"""{"snapshot-id":${r.snapshotId},"statistics-path":"${esc(r.path)}",""" +
-          s""""file-size-in-bytes":${r.fileSizeInBytes},""" +
-          s""""file-footer-size-in-bytes":${r.footerSizeInBytes},""" +
-          s""""blob-metadata":[$blobs]}"""
+    val statsEntries = catalog.statisticsFiles(table)
+      .filter(r => retained(r.snapshotId))
+      .flatMap { r =>
+        val blobsOpt =
+          Option(GraftCatalog.statsFooterCache.get(r.path)).orElse {
+            try {
+              val b = Puffin.readFooter(r.path, statsConf)._1
+              GraftCatalog.statsFooterCache.put(r.path, b)
+              Some(b)
+            } catch { case _: Exception => None }
+          }
+        blobsOpt.map { bs =>
+          val blobs = bs.map { b =>
+            s"""{"type":"${esc(b.blobType)}","snapshot-id":${r.snapshotId},""" +
+              s""""sequence-number":${seqOf.getOrElse(r.snapshotId, r.snapshotId)},""" +
+              s""""fields":[${b.fields.mkString(",")}],""" +
+              s""""properties":{${b.properties.toSeq.sorted.map { case (k, v) =>
+                s""""${esc(k)}":"${esc(v)}""""
+              }.mkString(",")}}}"""
+          }.mkString(",")
+          s"""{"snapshot-id":${r.snapshotId},"statistics-path":"${esc(r.path)}",""" +
+            s""""file-size-in-bytes":${r.fileSizeInBytes},""" +
+            s""""file-footer-size-in-bytes":${r.footerSizeInBytes},""" +
+            s""""blob-metadata":[$blobs]}"""
+        }
       }
-    val pstatsEntries = ids.flatMap(id =>
-      catalog.partitionStatistics(table, Some(id)).filter(_.snapshotId == id))
+    val pstatsEntries = catalog.statisticsFiles(table, partition = true)
+      .filter(r => retained(r.snapshotId))
       .map(r =>
         s"""{"snapshot-id":${r.snapshotId},""" +
           s""""statistics-path":"${esc(r.path)}",""" +

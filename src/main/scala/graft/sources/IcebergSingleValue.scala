@@ -60,7 +60,11 @@ object IcebergSingleValue {
     case _ => java.time.ZoneOffset.UTC
   }
 
-  // parse also accepts the ISO 'T' separator and a raw micros long
+  // parse also accepts the ISO 'T' separator and a raw micros long.
+  // A wall-clock that is AMBIGUOUS or SKIPPED in the zone (the DST
+  // fall-back / spring-forward hours) has no single instant — encoding
+  // either candidate offset could shift a bound across real rows, so the
+  // bound DROPS (absence never prunes; a wrong bound silently would).
   private def parseMicros(s: String, zone: java.time.ZoneId): Option[Long] =
     s.toLongOption.orElse {
       try {
@@ -68,10 +72,13 @@ object IcebergSingleValue {
         val ldt =
           if (iso.contains("T")) java.time.LocalDateTime.parse(iso)
           else java.time.LocalDate.parse(iso).atStartOfDay()
-        val inst = ldt.atZone(zone).toInstant
-        Some(Math.addExact(
-          Math.multiplyExact(inst.getEpochSecond, 1000000L),
-          inst.getNano / 1000L))
+        if (zone.getRules.getValidOffsets(ldt).size != 1) None
+        else {
+          val inst = ldt.atZone(zone).toInstant
+          Some(Math.addExact(
+            Math.multiplyExact(inst.getEpochSecond, 1000000L),
+            inst.getNano / 1000L))
+        }
       } catch { case _: RuntimeException => None }
     }
 

@@ -390,20 +390,18 @@ object GraftColumnarMask {
       graft.sources.DeletionVectors.read(p, conf).iterator.flatMap {
         case (f, ps) => ps.iterator.map(x => (CompactionRunner.canonPath(f), x))
       })
+    // keyed by the canonical literal-normalized form (canonKey) — the
+    // domain the scan-side lookup below decodes into; grouping BY the key
+    // merges positions recorded under cosmetically different renderings
+    // of one file instead of overwriting them
     val byFile: Map[String, Array[Long]] = (pqRows ++ dvRows)
-      .groupBy(_._1)
-      // keyed under BOTH canonical renderings (literal + percent-encoded),
-      // so a spacey partition path still finds its delete positions
-      .flatMap { case (p, rs) =>
-        val arr = rs.map(_._2).distinct.sorted.toArray
-        CompactionRunner.canonForms(p).map(_ -> arr)
-      }
+      .groupBy(r => CompactionRunner.canonKey(r._1))
+      .map { case (p, rs) => p -> rs.map(_._2).distinct.sorted.toArray }
     // each data file's sequence number — what the eq-delete `seq <` guard
     // compares against (per-file constant, the reference's
     // `sys_hidden_seq_num` fabrication)
     val seqByFile: Map[String, Long] =
-      data.flatMap(e =>
-        CompactionRunner.canonForms(e.path).map(_ -> e.seqNum)).toMap
+      data.map(e => CompactionRunner.canonKey(e.path) -> e.seqNum).toMap
     val eqMaxSeq: Long = eqProbe.map(_.maxSeq).foldLeft(Long.MinValue)(math.max)
     val bc = spark.sparkContext.broadcast((byFile, eqProbe, seqByFile))
     // both diagnostic counters increment HERE, at the moment serving is
@@ -420,7 +418,9 @@ object GraftColumnarMask {
           val n = batch.numRows()
           if (n == 0) strip(batch, loc.dataIdx)
           else {
-            val file = CompactionRunner.canonPath(
+            // the raw leaf renders the ENCODED form — decode once into
+            // the literal canonKey domain the maps above are keyed in
+            val file = CompactionRunner.canonDecoded(
               batch.column(loc.fileIdx).getUTF8String(0).toString)
             val fileSeq = seqOf.getOrElse(file,
               throw new IllegalStateException(

@@ -132,6 +132,20 @@ object RestCatalogServer {
 
   private val mapper = new ObjectMapper()
 
+  /** Memoized `last-sequence-number` per (root, table, uuid, head) —
+    * immutable at a given head (snapshot documents are write-once; the
+    * uuid discriminates drop-and-recreate). Crudely bounded by
+    * clear-on-overflow, like the catalog's segment cache.
+    */
+  private val lastSeqCache = {
+    val m = new java.util.concurrent.ConcurrentHashMap[
+      (String, String, String, Long), Long]()
+    m
+  }
+
+  private def lastSeqCacheGuard(): Unit =
+    if (lastSeqCache.size > 65536) lastSeqCache.clear()
+
   private final class Handler(
       catalog: GraftCatalog, exportOnLoad: Boolean,
       hadoopConf: org.apache.hadoop.conf.Configuration)
@@ -855,7 +869,12 @@ object RestCatalogServer {
     val schemaFields = schemaOpt.toSeq.flatMap(_.fields.toSeq).flatMap { f =>
       for {
         id <- FieldIds.idOf(f)
-        t <- icebergTypeName(f.dataType)
+        // a physically-annotated field (uuid/fixed/time/ns — lossy Spark
+        // mappings from an import) declares its PHYSICAL type, matching
+        // the exported metadata.json — a client trusting the inline
+        // schema must not see 'string' for a column whose manifest
+        // bounds are 16-byte uuids
+        t <- FieldIds.physicalOf(f).orElse(icebergTypeName(f.dataType))
       } yield s"""{"id":$id,"name":${q(f.name)},"required":${!f.nullable},"type":${q(t)}}"""
     }
     // the spec requires schemas/current-schema-id: a schema-less catalog
@@ -904,11 +923,16 @@ object RestCatalogServer {
       s""""location":${q(location)},""" +
       // an imported table's entries keep their FOREIGN sequence numbers;
       // the spec forbids any entry seq above last-sequence-number, so the
-      // header covers the head's highest entry (one head-snapshot load —
-      // pure-local tables render plain $head as before)
+      // header covers the head's highest entry. Memoized per (root,
+      // table, uuid, head): snapshot documents are write-once, so the
+      // value is immutable at a given head — a hot metadata poll on a
+      // million-file table must not re-scan the entry list per request.
       s""""last-sequence-number":${
-        math.max(head, catalog.loadEntries(table).map(_.seqNum)
-          .maxOption.getOrElse(0L))},""" +
+        RestCatalogServer.lastSeqCacheGuard()
+        RestCatalogServer.lastSeqCache.computeIfAbsent(
+          (catalog.rootDir, table, uuidOf(table), head),
+          _ => math.max(head, catalog.loadEntries(table).map(_.seqNum)
+            .maxOption.getOrElse(0L)))},""" +
       s""""last-updated-ms":${snapMtime(catalog, table, head)},""" +
       s""""last-column-id":$lastColumnId,""" +
       schemaPart +

@@ -46,13 +46,28 @@ class CompactionRunnerSpec extends SparkSpec {
       .distinct().collect().map(_.getLong(0)).toSeq == Seq(1L))
   }
 
-  test("canonForms covers the percent-encoded rendering of spacey paths") {
-    assert(CompactionRunner.canonForms("/a/seg=NOT SPECIFIED/f.parquet") ==
-      Seq("file:///a/seg=NOT SPECIFIED/f.parquet",
-        "file:///a/seg=NOT%20SPECIFIED/f.parquet"))
-    // already-encoded (or space-free) paths collapse to one form
-    assert(CompactionRunner.canonForms("s3://b/seg=a/f.parquet") ==
-      Seq("s3://b/seg=a/f.parquet"))
+  test("the literal path domain: canonDecoded / canonKeys renderings") {
+    // the scan side decodes Hadoop's encoding once, exactly
+    assert(CompactionRunner.canonDecoded(
+      "file:///a/seg=NOT%20SPECIFIED/f.parquet") ==
+      "file:///a/seg=NOT SPECIFIED/f.parquet")
+    // '+' is a literal path character, never a space
+    assert(CompactionRunner.canonDecoded("file:///a+b/f.parquet") ==
+      "file:///a+b/f.parquet")
+    // a literal '%' round-trips (Hadoop encodes it as %25)
+    assert(CompactionRunner.canonDecoded("file:///a%2520b/f.parquet") ==
+      "file:///a%20b/f.parquet")
+    // malformed sequences fall back to the normalized form, never throw
+    assert(CompactionRunner.canonDecoded("file:///x%zz/f.parquet") ==
+      "file:///x%zz/f.parquet")
+    // task keys: the literal path plus its Hadoop-normalized alias
+    assert(CompactionRunner.canonKeys("/a/./b/f.parquet") ==
+      Seq("file:///a/./b/f.parquet", "file:///a/b/f.parquet"))
+    // normalized spacey paths stay literal and collapse to one key
+    assert(CompactionRunner.canonKeys("/a/seg=NOT SPECIFIED/f.parquet") ==
+      Seq("file:///a/seg=NOT SPECIFIED/f.parquet"))
+    assert(CompactionRunner.canonKey("s3://b/seg=a/f.parquet") ==
+      "s3://b/seg=a/f.parquet")
   }
 
   test("pruning keeps files with sentinel, null, or unparseable bounds") {

@@ -759,6 +759,63 @@ class IcebergImportSpec extends SparkSpec {
     assert(cat2.scanTable(spark, "s").count() == 20)
   }
 
+  test("position deletes on spacey partition paths apply in every read path") {
+    // the literal/encoded domain seam: the data file lives under a
+    // Hive-layout dir with a SPACE (seg=NOT SPECIFIED), the pos-delete
+    // row file records the LITERAL path (what stock writers store), and
+    // the scan side renders percent-encoded — both the row-path MoR scan
+    // and the doorway's vectorized mask must still drop the positions
+    val dir = Files.createTempDirectory("graft-impspacey").toString
+    val dataDir = s"$dir/seg=NOT SPECIFIED"
+    (0L until 40L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(dataDir)
+    val dp = CompactionRunner.listParquet(dataDir).head
+    assert(dp.contains(" "), s"fixture must exercise a spacey path: $dp")
+    Seq((s"file://$dp", 3L), (s"file://$dp", 7L))
+      .toDF("file_path", "pos").coalesce(1).write.parquet(s"$dir/pd")
+    val pd = CompactionRunner.listParquet(s"$dir/pd").head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val sz = (p: String) => Files.size(java.nio.file.Paths.get(p))
+    IcebergManifest.write(s"$dir/m0.avro", Seq(
+      IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+        DataFileStats(dp, sz(dp), 40, Map.empty, Map.empty, Map.empty),
+        sequenceNumber = 1),
+      IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+        DataFileStats(pd, sz(pd), 2, Map.empty, Map.empty, Map.empty),
+        content = IcebergManifest.ContentPositionDeletes,
+        sequenceNumber = 2)), handSchema, conf)
+    IcebergManifest.writeList(s"$dir/l1.avro", Seq(IcebergManifest.ManifestFile(
+      s"$dir/m0.avro", sz(s"$dir/m0.avro"),
+      partitionSpecId = 0, content = 0, sequenceNumber = 2,
+      minSequenceNumber = 1, addedSnapshotId = 1, addedFilesCount = 2,
+      existingFilesCount = 0, deletedFilesCount = 0, addedRowsCount = 42,
+      existingRowsCount = 0, deletedRowsCount = 0)), conf)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/v1.metadata.json"),
+      s"""{"format-version":2,"table-uuid":"spacey","location":"$dir",
+         |"last-column-id":2,"current-schema-id":0,
+         |"schemas":[{"schema-id":0,"type":"struct","fields":[$handSchemaFields]}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":1,
+         |"snapshots":[{"snapshot-id":1,"sequence-number":1,"timestamp-ms":0,
+         |"manifest-list":"$dir/l1.avro","summary":{"operation":"append"},
+         |"schema-id":0}]}""".stripMargin)
+    val root = Files.createTempDirectory("graft-impspacey-r").toString
+    val cat = new GraftCatalog(root)
+    cat.importTable("t", s"$dir/v1.metadata.json")
+    // the ROW-path MoR scan
+    val scan = cat.scanTable(spark, "t")
+    assert(scan.count() == 38, "pos deletes on the spacey path must apply")
+    assert(scan.filter($"k".isin(3L, 7L)).count() == 0)
+    // ...and the doorway (vectorized-mask) read
+    val g = s"gsp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t").head().getLong(0) == 38L)
+    assert(spark.sql(s"SELECT count(*) FROM $g.t WHERE k IN (3, 7)")
+      .head().getLong(0) == 0L)
+  }
+
   test("a WAP-style branch ref imports as a publishable fork") {
     // the classic write-audit-publish document: main at snapshot 1, a
     // staged snapshot 2 (parent 1, NOT in the main lineage) named by a
