@@ -190,7 +190,11 @@ object CompactionRunner {
     */
   private def canonColScan(c: Column): Column = {
     val norm = regexp_replace(c, "^file:/+", "file:///")
-    coalesce(try_url_decode(regexp_replace(norm, "\\+", "%2B")), norm)
+    // decode only when '%' is present — it is the identity otherwise, and
+    // this column is fabricated PER ROW on the MoR read path
+    when(norm.contains("%"),
+      coalesce(try_url_decode(regexp_replace(norm, "\\+", "%2B")), norm))
+      .otherwise(norm)
   }
 
   /** Column-side scheme normalization for DELETE-file `file_path` rows —

@@ -869,14 +869,16 @@ final class GraftCatalog(root: String,
         }.toMap
     }.getOrElse(Map.empty)
 
-  /** ANALYZE: one distributed pass over the current snapshot computing an
-    * approximate NDV per atomic column (HLL++ — the map-side-combining
-    * sketch, no per-column shuffle of raw values), written as a Puffin
-    * statistics file (one theta blob per column, estimate in the standard
-    * `ndv` property) plus — for partitioned tables — the spec's
-    * partition-statistics file, computed driver-side from the entry
-    * inventory (counts/sizes per partition tuple: metadata-sized, no data
-    * IO). Returns column → NDV.
+  /** ANALYZE: one distributed pass over the current snapshot sketching
+    * every atomic column with a REAL Apache-DataSketches theta sketch
+    * ([[graft.functions.ThetaNdvSketch]] — map tasks keep bounded
+    * sketches, the exchange carries sketch bytes, never raw values),
+    * written as a Puffin statistics file whose blob payloads are the
+    * compact ordered sketches themselves (stock-heapifiable) with the
+    * estimate in the standard `ndv` property, plus — for partitioned
+    * tables — the spec's partition-statistics file, computed driver-side
+    * from the entry inventory (counts/sizes per partition tuple:
+    * metadata-sized, no data IO). Returns column → NDV estimate.
     */
   def computeTableStats(
       spark: org.apache.spark.sql.SparkSession,
@@ -894,15 +896,21 @@ final class GraftCatalog(root: String,
     }).map(_.name).toSeq
     require(atomic.nonEmpty, s"$table has no atomic columns to analyze")
     val aggs = atomic.map(c =>
-      approx_count_distinct(col(s"`${c.replace("`", "``")}`")).as(c))
+      graft.functions.ThetaNdvSketch.sketch(
+        col(s"`${c.replace("`", "``")}`"),
+        schema.fields.find(_.name == c)).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val ndvs: Seq[(String, Long)] = atomic.map(c => c -> row.getAs[Long](c))
+    val sketches: Seq[(String, Array[Byte])] =
+      atomic.map(c => c -> row.getAs[Array[Byte]](c))
+    val ndvs: Seq[(String, Long)] = sketches.map { case (c, payload) =>
+      c -> graft.functions.ThetaNdvSketch.estimate(payload)
+    }
     val conf = new org.apache.hadoop.conf.Configuration()
     val statsPath = tableDir(table).resolve(s"stats-$head.puffin").toString
-    val blobs = ndvs.flatMap { case (name, ndv) =>
+    val blobs = sketches.zip(ndvs).flatMap { case ((name, payload), (_, ndv)) =>
       schema.fields.find(_.name == name).flatMap(FieldIds.idOf).map(id =>
         Puffin.BlobSpec(Puffin.ThetaBlobType, Seq(id), head, head,
-          Puffin.thetaPayload(ndv), Map("ndv" -> ndv.toString)))
+          payload, Map("ndv" -> ndv.toString)))
     }
     require(blobs.nonEmpty,
       s"$table: no analyzed column carries a field id — statistics blobs " +

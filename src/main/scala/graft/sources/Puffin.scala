@@ -186,12 +186,11 @@ object Puffin {
   }
 
   /** The statistics-file blob type (Iceberg spec `statistics` field):
-    * per-column NDV sketches. The standard consumption path reads the
-    * `ndv` PROPERTY from the blob metadata (what Trino/Spark planners
-    * use); the payload here is a graft-native encoding (magic "GTS1" +
-    * i64 LE estimate), documented deviation — a stock reader
-    * deserializing the DataSketches payload itself would refuse, loudly,
-    * never misread.
+    * per-column NDV sketches. Payloads are REAL compact ordered theta
+    * sketches ([[graft.functions.ThetaNdvSketch]], built on the
+    * DataSketches library Spark ships) over the Appendix-D single-value
+    * bytes — a stock reader can heapify AND union them; the scalar
+    * estimate additionally rides the standard `ndv` blob property.
     */
   val ThetaBlobType = "apache-datasketches-theta-v1"
 
@@ -233,15 +232,6 @@ object Puffin {
     } finally out.close()
   }
 
-  /** The graft-native theta payload: magic + the estimate (see
-    * [[ThetaBlobType]]).
-    */
-  def thetaPayload(ndv: Long): Array[Byte] = {
-    val bb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-    bb.put("GTS1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    bb.putLong(ndv)
-    bb.array()
-  }
 
   /** Parse the footer: blob metadata + file properties. */
   def readFooter(

@@ -47,6 +47,23 @@ class TableStatisticsSpec extends SparkSpec {
     assert(blobs.forall(_.blobType == Puffin.ThetaBlobType))
     assert(blobs.flatMap(_.fields).sorted == Seq(1, 2))
     assert(blobs.forall(_.properties.get("ndv").exists(_.toLongOption.isDefined)))
+    // byte-compat: the payloads are REAL compact theta sketches — the
+    // STOCK DataSketches library heapifies them directly and its own
+    // estimate matches the published ndv property (what a foreign
+    // planner would compute from the blob)
+    val raf = new java.io.RandomAccessFile(
+      ref.path.stripPrefix("file://"), "r")
+    try blobs.foreach { b =>
+      val payload = new Array[Byte](b.length.toInt)
+      raf.seek(b.offset)
+      raf.readFully(payload)
+      val sk = org.apache.datasketches.theta.Sketches.heapifySketch(
+        org.apache.datasketches.memory.Memory.wrap(payload))
+      assert(math.round(sk.getEstimate) ==
+        b.properties("ndv").toLong,
+        s"stock heapify must reproduce the published ndv for fields ${b.fields}")
+      assert(sk.isOrdered, "the spec blob must be a compact ORDERED sketch")
+    } finally raf.close()
     // the doorway's estimateStatistics serves the distinct counts
     val table = new graft.sources.dsv2.GraftV2Table(root, "c", asOf = None)
     val scan = table.newScanBuilder(
