@@ -58,11 +58,15 @@ import scala.jdk.CollectionConverters._
   * sequence-number inheritance (`inheritedSeq`), and extra fields this
   * model doesn't carry are all handled or skipped.
   *
-  * Documented deviation (write side): the partition tuple is the
-  * name-keyed `{name, transform, value-string}` array above, not a
-  * positional struct typed by the partition spec — the transform travels
-  * WITH each value, which a spec-id indirection would need a second
-  * lookup for; the READ side accepts both shapes.
+  * Partition tuples write SPEC-EXACT as of round 17: when the caller
+  * supplies the partition spec ([[PartitionFieldSpec]] — the export path
+  * does), tuples serialize as the positional struct typed by the
+  * transforms' result types with 1000+ field ids, exactly like a stock
+  * writer. The name-keyed `{name, transform, value-string}` array (this
+  * library's historical dialect — the transform travels WITH each value)
+  * remains the fallback: no spec supplied, an untypeable shape, a value
+  * that doesn't parse into its slot, or tuples from an evolved-away
+  * spec. The READ side accepts both shapes from any writer.
   */
 object IcebergManifest {
 
@@ -136,18 +140,110 @@ object IcebergManifest {
     elem.getField("value").addProp("field-id", valueId: Integer)
   }
 
-  private val EntrySchema: Schema = {
-    val bin = Schema.create(Schema.Type.BYTES)
-    val lng = Schema.create(Schema.Type.LONG)
-    // the flattened partition tuple: name + producing transform + value
-    // string (null value = null partition slot) — see the class doc's
-    // documented deviation
-    val partitionSchema = SchemaBuilder.array().items(
+  /** One declared partition field for the SPEC-EXACT positional tuple
+    * write: spec field name, transform, and the SOURCE column's Spark
+    * type (what the transform's result type derives from).
+    */
+  final case class PartitionFieldSpec(
+      name: String, transform: String, sourceType: org.apache.spark.sql.types.DataType)
+
+  /** The transform's RESULT type (spec "Partition Transforms"): identity
+    * and truncate keep the source type, bucket and the date family
+    * produce ints. None = a shape this writer does not type positionally
+    * (the caller falls back to the name-keyed tuple).
+    */
+  private def resultType(
+      transform: String,
+      source: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    transform.takeWhile(_ != '[') match {
+      case "identity" | "truncate" => Some(source)
+      case "bucket" | "year" | "month" | "day" | "hour" | "void" =>
+        Some(IntegerType)
+      case _ => None
+    }
+  }
+
+  /** Avro slot type for a positional tuple field; None = unsupported →
+    * name-keyed fallback. Dates write their epoch-day ordinal as a plain
+    * int (the spec's physical representation).
+    */
+  private def avroSlot(dt: org.apache.spark.sql.types.DataType): Option[Schema] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | DateType =>
+        Some(Schema.create(Schema.Type.INT))
+      case LongType => Some(Schema.create(Schema.Type.LONG))
+      case StringType => Some(Schema.create(Schema.Type.STRING))
+      case BooleanType => Some(Schema.create(Schema.Type.BOOLEAN))
+      case DoubleType => Some(Schema.create(Schema.Type.DOUBLE))
+      case FloatType => Some(Schema.create(Schema.Type.FLOAT))
+      case _ => None
+    }
+  }
+
+  /** Parse the catalog's string-rendered tuple value into the typed slot.
+    * None = unparseable (the WHOLE manifest falls back — half a typed
+    * tuple would misdescribe the file).
+    */
+  private def slotValue(
+      dt: org.apache.spark.sql.types.DataType, s: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType => s.toIntOption
+      case DateType => s.toIntOption.orElse(
+        try Some(java.time.LocalDate.parse(s).toEpochDay.toInt)
+        catch { case _: RuntimeException => None })
+      case LongType => s.toLongOption
+      case StringType => Some(s)
+      case BooleanType => s.toBooleanOption
+      case DoubleType => s.toDoubleOption
+      case FloatType => s.toFloatOption
+      case _ => None
+    }
+  }
+
+  /** The spec-exact POSITIONAL partition record schema for `fields`
+    * (nullable slots, spec field-ids 1000+i), or None when any field's
+    * shape is untypeable.
+    */
+  private def positionalPartitionSchema(
+      fields: Seq[PartitionFieldSpec]): Option[Schema] = {
+    val slots = fields.map(f =>
+      resultType(f.transform, f.sourceType).flatMap(avroSlot))
+    if (fields.isEmpty || !slots.forall(_.isDefined)) None
+    else {
+      var b = SchemaBuilder.record("r102").fields()
+      fields.zip(slots).foreach { case (f, Some(slot)) =>
+        b = b.name(f.name).`type`(
+          Schema.createUnion(Schema.create(Schema.Type.NULL), slot))
+          .withDefault(null)
+      case _ => () // unreachable: forall(isDefined) above
+      }
+      val rec = b.endRecord()
+      fields.zipWithIndex.foreach { case (f, i) =>
+        rec.getField(f.name).addProp("field-id", (1000 + i): Integer)
+      }
+      Some(rec)
+    }
+  }
+
+  /** The name-keyed tuple dialect (this library's historical write shape
+    * and the universal fallback): name + producing transform + value
+    * string (null value = null partition slot).
+    */
+  private val NameKeyedPartitionSchema: Schema =
+    SchemaBuilder.array().items(
       SchemaBuilder.record("partition_field").fields()
         .requiredString("name")
         .name("transform").`type`().optional().stringType()
         .name("value").`type`().optional().stringType()
         .endRecord())
+
+  private def mkEntrySchema(partitionSchema: Schema): Schema = {
+    val bin = Schema.create(Schema.Type.BYTES)
+    val lng = Schema.create(Schema.Type.LONG)
     val nulls = kvSchema("null_count_kv", lng)
     val lowers = kvSchema("lower_bound_kv", bin)
     val uppers = kvSchema("upper_bound_kv", bin)
@@ -159,8 +255,9 @@ object IcebergManifest {
         .name("content").`type`().intType().intDefault(ContentData)
         .requiredString("file_path")
         .requiredString("file_format")
-        .name("partition").`type`(partitionSchema)
-        .withDefault(java.util.Collections.emptyList[GenericRecord]())
+        // no default: reads are dynamic (writer schema), so defaults
+        // never apply, and a record-typed partition has no list default
+        .name("partition").`type`(partitionSchema).noDefault()
         .requiredLong("record_count")
         .requiredLong("file_size_in_bytes")
         .name("null_value_counts").`type`(nulls).noDefault()
@@ -191,6 +288,11 @@ object IcebergManifest {
       Map("status" -> 0, "snapshot_id" -> 1, "sequence_number" -> 3,
         "data_file" -> 2))
   }
+
+  /** The name-keyed-dialect entry schema (the default write shape when no
+    * positional spec is supplied).
+    */
+  private val EntrySchema: Schema = mkEntrySchema(NameKeyedPartitionSchema)
 
   /** Manifest-list rows (spec "Manifest Lists", v2 required fields +
     * v3 `first_row_id`).
@@ -239,8 +341,28 @@ object IcebergManifest {
       entries: Seq[ManifestEntry],
       schema: StructType,
       conf: org.apache.hadoop.conf.Configuration =
-        new org.apache.hadoop.conf.Configuration()): Unit = {
-    val dfSchema = EntrySchema.getField("data_file").schema()
+        new org.apache.hadoop.conf.Configuration(),
+      partitionFields: Seq[PartitionFieldSpec] = Nil): Unit = {
+    // SPEC-EXACT positional tuples when a partition spec is supplied and
+    // every entry's every tuple value parses into its typed slot —
+    // otherwise the name-keyed dialect (all-or-nothing per manifest:
+    // half a typed tuple would misdescribe files to a stock reader)
+    val positional: Option[Schema] =
+      positionalPartitionSchema(partitionFields).filter { _ =>
+        val names = partitionFields.map(_.name).toSet
+        entries.forall(e =>
+          // tuples from an EVOLVED-AWAY spec (keys the current spec lacks)
+          // keep the name-keyed dialect — a positional write would null
+          // them out and lose their pruning on re-import
+          e.partitionVals.keySet.subsetOf(names) &&
+            partitionFields.forall { f =>
+              e.partitionVals.get(f.name).forall(v =>
+                v == null || resultType(f.transform, f.sourceType)
+                  .exists(t => slotValue(t, v).isDefined))
+            })
+      }
+    val entrySch = positional.fold(EntrySchema)(mkEntrySchema)
+    val dfSchema = entrySch.getField("data_file").schema()
     // type + physical Iceberg annotation (uuid/fixed — lossy Spark
     // mappings whose bound bytes differ from the Spark type's)
     val typeOf: Map[String, (org.apache.spark.sql.types.DataType, Option[String])] =
@@ -268,25 +390,39 @@ object IcebergManifest {
         }
       }.asJava
     }
-    val partElem = dfSchema.getField("partition").schema().getElementType
-    def partitionRecords(e: ManifestEntry): java.util.List[GenericRecord] =
-      e.partitionVals.toSeq.sortBy(_._1).map { case (name, v) =>
-        val r = new GenericData.Record(partElem)
-        r.put("name", name)
-        r.put("transform", e.partitionTransforms.get(name).orNull)
-        r.put("value", v) // null stays null (a null partition slot)
-        r: GenericRecord
-      }.asJava
-    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](EntrySchema))
+    val partSchema = dfSchema.getField("partition").schema()
+    def partitionValue(e: ManifestEntry): AnyRef = positional match {
+      case Some(rec) =>
+        val r = new GenericData.Record(rec)
+        partitionFields.foreach { f =>
+          val typed = for {
+            v <- e.partitionVals.get(f.name) if v != null
+            t <- resultType(f.transform, f.sourceType)
+            tv <- slotValue(t, v)
+          } yield tv
+          r.put(f.name, typed.map(_.asInstanceOf[AnyRef]).orNull)
+        }
+        r
+      case None =>
+        val partElem = partSchema.getElementType
+        e.partitionVals.toSeq.sortBy(_._1).map { case (name, v) =>
+          val r = new GenericData.Record(partElem)
+          r.put("name", name)
+          r.put("transform", e.partitionTransforms.get(name).orNull)
+          r.put("value", v) // null stays null (a null partition slot)
+          r: GenericRecord
+        }.asJava
+    }
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](entrySch))
     // scheme-aware: the manifest must land wherever the data files did
     val hp = new org.apache.hadoop.fs.Path(path)
-    w.create(EntrySchema, hp.getFileSystem(conf).create(hp, true))
+    w.create(entrySch, hp.getFileSystem(conf).create(hp, true))
     try entries.foreach { e =>
       val df = new GenericData.Record(dfSchema)
       df.put("content", e.content)
       df.put("file_path", e.file.path)
       df.put("file_format", e.format)
-      df.put("partition", partitionRecords(e))
+      df.put("partition", partitionValue(e))
       df.put("record_count", e.file.recordCount)
       df.put("file_size_in_bytes", e.file.sizeBytes)
       df.put("null_value_counts", kvRecords("null_value_counts", e.file.nullCounts))
@@ -301,7 +437,7 @@ object IcebergManifest {
         e.contentOffset.map(java.lang.Long.valueOf).orNull)
       df.put("content_size_in_bytes",
         e.contentSizeInBytes.map(java.lang.Long.valueOf).orNull)
-      val rec = new GenericData.Record(EntrySchema)
+      val rec = new GenericData.Record(entrySch)
       rec.put("status", e.status)
       rec.put("snapshot_id", e.snapshotId.map(java.lang.Long.valueOf).orNull)
       rec.put("sequence_number", e.sequenceNumber)

@@ -428,12 +428,23 @@ object IcebergMetadataJson {
               sequenceNumber = e.seqNum, snapshotId = Some(id)))
         }
       }
+      // the SPEC-EXACT positional tuple shape: the declared spec's fields
+      // typed by this snapshot's schema (all bound, or none — a partial
+      // binding would misdescribe the layout; the writer additionally
+      // falls back per manifest when any tuple doesn't fit)
+      val specDefs = catalog.partitionSpec(table)
+      val pFields = specDefs.flatMap(f =>
+        schema.fields.find(_.name == f.source).map(sf =>
+          IcebergManifest.PartitionFieldSpec(f.name, f.transform, sf.dataType)))
+      val partitionFields =
+        if (pFields.length == specDefs.length) pFields else Nil
       def writeOne(suffix: String, content: Int,
           es: Seq[ManifestEntry]): Option[ManifestFile] =
         if (es.isEmpty) None
         else {
           val p = dir.resolve(s"snap-$id-$suffix.avro")
-          IcebergManifest.write(p.toString, es, schema, conf)
+          IcebergManifest.write(p.toString, es, schema, conf,
+            partitionFields = partitionFields)
           val seqs = es.map(_.sequenceNumber)
           Some(ManifestFile(p.toString, Files.size(p),
             partitionSpecId = 0, content = content,

@@ -186,6 +186,51 @@ class IcebergImportSpec extends SparkSpec {
     assert(catB.scanTable(spark, "p").count() == 500)
   }
 
+  test("exported partition tuples are the spec's positional typed struct") {
+    // round 17 closes the last write-side dialect deviation: with the
+    // declared spec supplied, manifests serialize tuples as the
+    // positional struct typed by the transforms' result types (1000+
+    // field ids) — what a stock reader expects — and the re-import
+    // partition-prunes through the standard positional machinery
+    val rootA = Files.createTempDirectory("graft-expos-a").toString
+    val g = mount(rootA)
+    spark.sql(
+      s"""CREATE TABLE $g.p (k BIGINT, v STRING)
+         |PARTITIONED BY (bucket(4, k))""".stripMargin)
+    spark.sql(s"INSERT INTO $g.p SELECT id, concat('v', id) FROM range(0, 400)")
+    val catA = new GraftCatalog(rootA)
+    val metaPath = IcebergMetadataJson.export(catA, rootA, "p")
+    // raw-Avro read of the exported data manifest: partition must be a
+    // RECORD (not this library's name-keyed array), int-typed, id 1000
+    val head = catA.currentSnapshotId("p")
+    val reader = new org.apache.avro.file.DataFileReader(
+      new java.io.File(s"$rootA/p/snap-$head-m0.avro"),
+      new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      val rec = reader.next()
+      val df = rec.get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val part = df.get("partition")
+      assert(part.isInstanceOf[org.apache.avro.generic.GenericRecord],
+        s"partition must be a positional struct, got ${part.getClass}")
+      val pr = part.asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(pr.get("k_bucket").isInstanceOf[Integer],
+        s"bucket slot must be a typed int: ${pr.get("k_bucket")}")
+      assert(pr.getSchema.getField("k_bucket")
+        .getObjectProp("field-id") == (1000: Integer))
+    } finally reader.close()
+    // the re-imported table prunes a point lookup to the covering bucket
+    val rootB = Files.createTempDirectory("graft-expos-b").toString
+    val catB = new GraftCatalog(rootB)
+    catB.importTable("p", metaPath.toString)
+    val files = catB.loadEntries("p").count(_.kind == "data")
+    val keep = catB.inKeepPaths(spark, "p", "k", Seq(5L))
+    assert(keep.nonEmpty && keep.size < files,
+      s"positional round trip must keep pruning (kept ${keep.size}/$files)")
+    assert(catB.scanTable(spark, "p").count() == 400)
+  }
+
   test("snapshot tags export in refs and import remapped to local ids") {
     val rootA = Files.createTempDirectory("graft-impt-a").toString
     val g = mount(rootA)
