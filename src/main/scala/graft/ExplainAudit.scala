@@ -590,11 +590,26 @@ object ExplainAudit {
     sb.append("Disposition: all four host drift; recordedSec unchanged.\n")
     sb.append("r17 surface: wide-type imports (q169 — uuid/fixed/time/ns\n")
     sb.append("columns, binary bounds, uuid-keyed eq-delete), ANALYZE (q170 —\n")
-    sb.append("one HLL++ pass, Puffin theta NDV blobs served via\n")
+    sb.append("one distributed pass building REAL DataSketches compact theta\n")
+    sb.append("sketches per column, the Puffin blob payloads themselves;\n")
+    sb.append("exchange carries sketch bytes, never raw values; served via\n")
     sb.append("estimateStatistics), historyDepth + prefix-carry entry order\n")
     sb.append("on import (SCALING.md's import table: depth=4 flat in snapshot\n")
-    sb.append("count), branch refs as publishable forks, and canonForms path\n")
-    sb.append("aliasing (spacey partition values scan + mask correctly).\n")
+    sb.append("count), branch refs as publishable forks, spec-exact POSITIONAL\n")
+    sb.append("partition tuples in exported manifests (typed by transform\n")
+    sb.append("result types; name-keyed stays the fallback), and the literal/\n")
+    sb.append("encoded path-domain contract: _metadata renders Hadoop-encoded,\n")
+    sb.append("entries and delete rows are literal — the scan side decodes\n")
+    sb.append("ONCE ('%'-gated), so spacey partition paths scan, mask, AND\n")
+    sb.append("position-delete correctly in every read path (the r17\n")
+    sb.append("self-review's one silent-wrong-rows find, now regression-\n")
+    sb.append("gated in IcebergImportSpec).\n")
+    sb.append("r17 closing run: 167 s over all 163 queries, zero errors —\n")
+    sb.append("the documented ~1.2-1.4x host inflation (r16 driver: 160 s /\n")
+    sb.append("161). New gates healthy: q169 1.5 s, q170 1.3 s (idle min-of-3\n")
+    sb.append("levels 1.11 / 0.9 in recordedSec); the four adjudicated\n")
+    sb.append("queries measured q130 1.4, q128 2.1, q127 1.8, q131 0.4 —\n")
+    sb.append("all at/below their probe levels.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
