@@ -359,13 +359,14 @@ object ExplainAudit {
         "applicability binds by field id, bounds pruned from the " +
         "spec-exact binary manifests."),
     "q170_table_stats" ->
-      ("ANALYZE: ONE distributed aggregation computing every column's " +
-        "HLL++ NDV in the same pass (partial sketches merge map-side — " +
-        "one exchange of sketch bytes, never raw values; at 100 TB this " +
-        "is the only shape that works). The Puffin write + pointer are " +
-        "driver-side metadata; partition statistics roll up from the " +
-        "entry inventory with zero data IO. The audited read then " +
-        "serves the NDVs through estimateStatistics as V2 column stats."),
+      ("ANALYZE: ONE distributed aggregation building every column's " +
+        "DataSketches THETA sketch in the same pass (bounded partial " +
+        "sketches merge map-side — one exchange of sketch bytes, never " +
+        "raw values; at 100 TB this is the only shape that works). The " +
+        "compact sketches ARE the Puffin blob payloads (stock-" +
+        "heapifiable); partition statistics roll up from the entry " +
+        "inventory with zero data IO. The audited read then serves the " +
+        "NDVs through estimateStatistics as V2 column stats."),
     "q165_v3_manifest_export" ->
       ("Iceberg-v3 manifest/metadata EXPORT (r15): after a DV migration " +
         "plus a pending eq-delete, the export writes metadata.json " +

@@ -1677,7 +1677,7 @@ object MorQueries {
   }
 
   /** Q170: ANALYZE — `CALL system.compute_table_stats` runs one
-    * distributed NDV pass (HLL++ partial-merge, no raw-value shuffle) and
+    * distributed NDV pass (theta-sketch partial-merge, no raw-value shuffle) and
     * records Puffin theta blobs (estimate in the spec's `ndv` property)
     * the doorway's `estimateStatistics` then serves as per-column
     * distinct counts — the planner input stock engines read from the

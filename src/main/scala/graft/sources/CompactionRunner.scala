@@ -200,6 +200,13 @@ object CompactionRunner {
   /** Column-side scheme normalization for DELETE-file `file_path` rows —
     * the LITERAL domain (see [[canonDecoded]]): no percent-decoding, but
     * bare absolute paths (a foreign writer's rows) gain the scheme.
+    *
+    * Why no decode is safe for PRE-round-17 catalogs too: before the
+    * domain contract, a scan of any %-encodable path failed LOUDLY at
+    * the seq-number lookup, so no writer in this library could ever have
+    * recorded an encoded delete row — the write path was unreachable for
+    * exactly the paths a decode would matter for. Decoding here would
+    * instead corrupt literal paths that genuinely contain `%XX`.
     */
   private def canonColDelete(c: Column): Column =
     when(c.rlike("^/"), concat(lit("file://"), c))

@@ -141,11 +141,13 @@ object IcebergManifest {
   }
 
   /** One declared partition field for the SPEC-EXACT positional tuple
-    * write: spec field name, transform, and the SOURCE column's Spark
+    * write: spec field name, transform, the SOURCE column's name (what
+    * recorded per-entry transforms bind as `transform|source`) and Spark
     * type (what the transform's result type derives from).
     */
   final case class PartitionFieldSpec(
-      name: String, transform: String, sourceType: org.apache.spark.sql.types.DataType)
+      name: String, transform: String, sourceName: String,
+      sourceType: org.apache.spark.sql.types.DataType)
 
   /** The transform's RESULT type (spec "Partition Transforms"): identity
     * and truncate keep the source type, bucket and the date family
@@ -209,7 +211,7 @@ object IcebergManifest {
     * shape is untypeable.
     */
   private def positionalPartitionSchema(
-      fields: Seq[PartitionFieldSpec]): Option[Schema] = {
+      fields: Seq[PartitionFieldSpec]): Option[Schema] = try {
     val slots = fields.map(f =>
       resultType(f.transform, f.sourceType).flatMap(avroSlot))
     if (fields.isEmpty || !slots.forall(_.isDefined)) None
@@ -227,6 +229,11 @@ object IcebergManifest {
       }
       Some(rec)
     }
+  } catch {
+    // a spec field name Avro rejects (dashes, leading digits — legal in
+    // Iceberg specs) falls back to the name-keyed dialect, where the
+    // name is a string VALUE; the export must never crash over it
+    case _: org.apache.avro.SchemaParseException => None
   }
 
   /** The name-keyed tuple dialect (this library's historical write shape
@@ -355,10 +362,26 @@ object IcebergManifest {
           // keep the name-keyed dialect — a positional write would null
           // them out and lose their pruning on re-import
           e.partitionVals.keySet.subsetOf(names) &&
+            // ...and every entry must carry a COMPLETE tuple whose
+            // RECORDED transform matches the declared spec field exactly.
+            // Two hazards hide behind anything weaker: (a) an entry with
+            // NO tuple (delete files; pre-evolution data files) would
+            // serialize all-null — a stock reader scopes deletes by
+            // tuple, so a null-scoped delete silently stops applying;
+            // (b) a REPLACEd transform that kept its field name
+            // (bucket[4] -> bucket[8], the GraftCatalog.scala dynamic-
+            // overwrite hazard) parses fine as an int but means a
+            // DIFFERENT bucketing — a stock reader pruning on the
+            // declared transform would silently skip matching files.
             partitionFields.forall { f =>
-              e.partitionVals.get(f.name).forall(v =>
-                v == null || resultType(f.transform, f.sourceType)
-                  .exists(t => slotValue(t, v).isDefined))
+              val transformMatches = e.partitionTransforms.get(f.name)
+                .contains(s"${f.transform}|${f.sourceName}")
+              transformMatches && (e.partitionVals.get(f.name) match {
+                case Some(null) => true // an explicitly-null slot is legal
+                case Some(v) => resultType(f.transform, f.sourceType)
+                  .exists(t => slotValue(t, v).isDefined)
+                case None => false // incomplete tuple -> name-keyed
+              })
             })
       }
     val entrySch = positional.fold(EntrySchema)(mkEntrySchema)

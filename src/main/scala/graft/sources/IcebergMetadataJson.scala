@@ -435,7 +435,8 @@ object IcebergMetadataJson {
       val specDefs = catalog.partitionSpec(table)
       val pFields = specDefs.flatMap(f =>
         schema.fields.find(_.name == f.source).map(sf =>
-          IcebergManifest.PartitionFieldSpec(f.name, f.transform, sf.dataType)))
+          IcebergManifest.PartitionFieldSpec(
+            f.name, f.transform, f.source, sf.dataType)))
       val partitionFields =
         if (pFields.length == specDefs.length) pFields else Nil
       def writeOne(suffix: String, content: Int,

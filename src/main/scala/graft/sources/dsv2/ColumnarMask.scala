@@ -478,8 +478,12 @@ object GraftColumnarMask {
       // two serving paths diverging on the same snapshot
       if (eqCols.isEmpty && eqIds.isEmpty) return None
       val paths = es.map(_.path).distinct
+      // keyed canonKey like the pos-delete maps: the lookup below decodes
+      // the scanned rendering into the same literal-normalized domain
+      // (an eq-delete FILE under a spacey path would otherwise refuse the
+      // whole set and silently degrade every read to the row-path join)
       val seqByPath = es.map(e =>
-        CompactionRunner.canonPath(e.path) -> e.seqNum).toMap
+        CompactionRunner.canonKey(e.path) -> e.seqNum).toMap
       val raw = spark.read.parquet(paths: _*)
       // (delete-file column, data-side name) — the SAME resolution the
       // row path applies ([[FieldIds.resolveEqColumns]], one shared
@@ -505,7 +509,7 @@ object GraftColumnarMask {
             // with an INFLATED sequence and silently drop rows re-inserted
             // between the real delete and the group max
             val seq = seqByPath.getOrElse(
-              CompactionRunner.canonPath(r.getString(delCols.length)),
+              CompactionRunner.canonDecoded(r.getString(delCols.length)),
               { bad = true; maxSeq })
             val vals = new Array[Any](delCols.length)
             var i = 0

@@ -644,9 +644,9 @@ object RestCatalogServer {
           expected = sid
         case "assert-table-uuid" =>
           val want = Option(r.get("uuid")).map(_.asText).getOrElse("")
-          if (want != uuidOf(table))
+          if (want != uuidOf(catalog, table))
             return HttpResponseStatus.CONFLICT ->
-              errorJson(s"table uuid mismatch: requirement $want, table ${uuidOf(table)}",
+              errorJson(s"table uuid mismatch: requirement $want, table ${uuidOf(catalog, table)}",
                 "CommitFailedException", 409)
         case other =>
           return badRequest(s"unsupported requirement type '$other'")
@@ -919,7 +919,7 @@ object RestCatalogServer {
       else java.nio.file.Paths.get(
         catalog.rootDir, table, s"snap-$head.tsv").toString
     s"""{"metadata-location":${q(metadataLocation)},""" +
-      s""""metadata":{"format-version":2,"table-uuid":${q(uuidOf(table))},""" +
+      s""""metadata":{"format-version":2,"table-uuid":${q(uuidOf(catalog, table))},""" +
       s""""location":${q(location)},""" +
       // an imported table's entries keep their FOREIGN sequence numbers;
       // the spec forbids any entry seq above last-sequence-number, so the
@@ -930,7 +930,7 @@ object RestCatalogServer {
       s""""last-sequence-number":${
         RestCatalogServer.lastSeqCacheGuard()
         RestCatalogServer.lastSeqCache.computeIfAbsent(
-          (catalog.rootDir, table, uuidOf(table), head),
+          (catalog.rootDir, table, uuidOf(catalog, table), head),
           _ => math.max(head, catalog.loadEntries(table).map(_.seqNum)
             .maxOption.getOrElse(0L)))},""" +
       s""""last-updated-ms":${snapMtime(catalog, table, head)},""" +
@@ -998,12 +998,16 @@ object RestCatalogServer {
       java.nio.file.Paths.get(catalog.rootDir, table, s"snap-$id.tsv")).toMillis
     catch { case _: Exception => 0L }
 
-  /** Deterministic UUID from the table name (the catalog has no stored
-    * uuid; type-3 keeps repeat loads stable, which is all clients check).
+  /** The table's REAL creation UUID (the catalog mints one per create,
+    * and import re-mints — the generation discriminator drop-and-recreate
+    * depends on); the name-derived type-3 fallback covers only legacy
+    * tables created before uuids existed, where re-creates were already
+    * indistinguishable.
     */
-  private def uuidOf(table: String): String =
-    java.util.UUID.nameUUIDFromBytes(
-      s"graft:$table".getBytes(StandardCharsets.UTF_8)).toString
+  private def uuidOf(catalog: GraftCatalog, table: String): String =
+    catalog.tableUuid(table).getOrElse(
+      java.util.UUID.nameUUIDFromBytes(
+        s"graft:$table".getBytes(StandardCharsets.UTF_8)).toString)
 
   private def errorJson(message: String, errType: String, code: Int): String =
     s"""{"error":{"message":${q(message)},"type":${q(errType)},"code":$code}}"""

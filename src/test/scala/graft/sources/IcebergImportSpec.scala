@@ -231,6 +231,69 @@ class IcebergImportSpec extends SparkSpec {
     assert(catB.scanTable(spark, "p").count() == 400)
   }
 
+  test("positional tuples fall back where they would misdescribe files") {
+    import IcebergManifest.{ManifestEntry, PartitionFieldSpec}
+    val dir = Files.createTempDirectory("graft-posfall").toString
+    val (p, sz) = stagedFile(dir, 10)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def partitionShape(path: String): org.apache.avro.Schema.Type = {
+      val r = new org.apache.avro.file.DataFileReader(
+        new java.io.File(path),
+        new org.apache.avro.generic.GenericDatumReader[
+          org.apache.avro.generic.GenericRecord]())
+      try r.next().get("data_file")
+        .asInstanceOf[org.apache.avro.generic.GenericRecord]
+        .getSchema.getField("partition").schema().getType
+      finally r.close()
+    }
+    val spec = Seq(PartitionFieldSpec("k_bucket", "bucket[8]", "k", LongType))
+    // (1) matching recorded transform -> positional RECORD
+    IcebergManifest.write(s"$dir/m-pos.avro", Seq(ManifestEntry(
+      IcebergManifest.StatusAdded,
+      DataFileStats(p, sz, 10, Map.empty, Map.empty, Map.empty),
+      sequenceNumber = 1,
+      partitionVals = Map("k_bucket" -> "3"),
+      partitionTransforms = Map("k_bucket" -> "bucket[8]|k"))),
+      handSchema, conf, partitionFields = spec)
+    assert(partitionShape(s"$dir/m-pos.avro") ==
+      org.apache.avro.Schema.Type.RECORD)
+    // (2) an entry from a REPLACED transform that kept its name
+    // (bucket[4] ordinals are NOT bucket[8] ordinals) -> name-keyed
+    IcebergManifest.write(s"$dir/m-old.avro", Seq(ManifestEntry(
+      IcebergManifest.StatusAdded,
+      DataFileStats(p, sz, 10, Map.empty, Map.empty, Map.empty),
+      sequenceNumber = 1,
+      partitionVals = Map("k_bucket" -> "3"),
+      partitionTransforms = Map("k_bucket" -> "bucket[4]|k"))),
+      handSchema, conf, partitionFields = spec)
+    assert(partitionShape(s"$dir/m-old.avro") ==
+      org.apache.avro.Schema.Type.ARRAY,
+      "an evolved-away transform must not serialize as the current spec")
+    // (3) an entry with NO tuple (delete files) -> name-keyed: a stock
+    // reader scopes deletes by tuple, and an all-null tuple would scope
+    // them to the null partition (deletes silently stop applying)
+    IcebergManifest.write(s"$dir/m-del.avro", Seq(ManifestEntry(
+      IcebergManifest.StatusAdded,
+      DataFileStats(s"$dir/eq.parquet", 1, 1, Map.empty, Map.empty, Map.empty),
+      content = IcebergManifest.ContentEqualityDeletes,
+      sequenceNumber = 2, equalityIds = Seq(1))),
+      handSchema, conf, partitionFields = spec)
+    assert(partitionShape(s"$dir/m-del.avro") ==
+      org.apache.avro.Schema.Type.ARRAY)
+    // (4) a spec field name Avro rejects -> name-keyed, never a crash
+    IcebergManifest.write(s"$dir/m-dash.avro", Seq(ManifestEntry(
+      IcebergManifest.StatusAdded,
+      DataFileStats(p, sz, 10, Map.empty, Map.empty, Map.empty),
+      sequenceNumber = 1,
+      partitionVals = Map("k-bucket" -> "3"),
+      partitionTransforms = Map("k-bucket" -> "bucket[8]|k"))),
+      handSchema, conf,
+      partitionFields =
+        Seq(PartitionFieldSpec("k-bucket", "bucket[8]", "k", LongType)))
+    assert(partitionShape(s"$dir/m-dash.avro") ==
+      org.apache.avro.Schema.Type.ARRAY)
+  }
+
   test("snapshot tags export in refs and import remapped to local ids") {
     val rootA = Files.createTempDirectory("graft-impt-a").toString
     val g = mount(rootA)
