@@ -129,4 +129,14 @@ object ThetaNdvSketch {
     */
   def estimate(payload: Array[Byte]): Long =
     math.round(Sketches.heapifySketch(Memory.wrap(payload)).getEstimate)
+
+  /** Union two compact payloads into one — what lets incremental ANALYZE
+    * sketch only the files added since the last statistics snapshot.
+    */
+  def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    val u = SetOperation.builder().buildUnion()
+    u.union(Sketches.heapifySketch(Memory.wrap(a)))
+    u.union(Sketches.heapifySketch(Memory.wrap(b)))
+    u.getResult(true, null).toByteArray
+  }
 }

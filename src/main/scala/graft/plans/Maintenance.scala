@@ -141,7 +141,8 @@ object MaintenanceOp {
     * partition-statistics file on partitioned tables). One row per
     * analyzed column.
     */
-  case object ComputeStats extends MaintenanceOp {
+  final case class ComputeStats(incremental: Boolean = false)
+      extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("column", "ndv")
     override def outputTypes: Seq[DataType] = Seq(StringType, LongType)
   }
@@ -291,8 +292,8 @@ object GraftMaintenanceExec {
       case MaintenanceOp.DropBranch(branch) =>
         cat.dropFork(s"$table@$branch")
         Seq(Seq(1L))
-      case MaintenanceOp.ComputeStats =>
-        cat.computeTableStats(spark, table).toSeq.sortBy(_._1)
+      case MaintenanceOp.ComputeStats(incremental) =>
+        cat.computeTableStats(spark, table, incremental).toSeq.sortBy(_._1)
           .map { case (c, n) => Seq(c, n) }
       case MaintenanceOp.ImportTable(metadataLocation, historyDepth) =>
         // the SESSION's Hadoop conf, so fs.s3/wasb/gs FileIO mappings the

@@ -882,30 +882,87 @@ final class GraftCatalog(root: String,
     */
   def computeTableStats(
       spark: org.apache.spark.sql.SparkSession,
-      table: String): Map[String, Long] = {
+      table: String,
+      incremental: Boolean = false): Map[String, Long] = {
     import org.apache.spark.sql.functions._
+    val conf = new org.apache.hadoop.conf.Configuration()
     val head = currentSnapshotId(table)
-    val df = scanTable(spark, table)
     val schema = currentSchema(table).getOrElse(
-      org.apache.spark.sql.types.StructType(df.schema.fields.toIndexedSeq))
-    val atomic = df.schema.fields.filter(_.dataType match {
+      org.apache.spark.sql.types.StructType(
+        scanTable(spark, table).schema.fields.toIndexedSeq))
+    // INCREMENTAL mode — the 100 TB answer to per-snapshot statistics:
+    // theta sketches UNION exactly, so re-analysis sketches only the data
+    // files ADDED since the previous statistics snapshot and merges with
+    // the recorded per-column sketches. Rows deleted since then are not
+    // subtracted (theta cannot remove) — the estimate goes stale-high,
+    // the same convention stock Iceberg stats carry. Falls back to the
+    // full pass when no prior stats exist or they cannot be read.
+    val prior: Option[(Long, Map[Int, Array[Byte]])] =
+      if (!incremental) None
+      else tableStatistics(table).flatMap { ref =>
+        try {
+          val blobs = Puffin.readFooter(ref.path, conf)._1
+            .filter(_.blobType == Puffin.ThetaBlobType)
+          val payloads = blobs.flatMap(b => b.fields.headOption.map(
+            _ -> Puffin.readBlobPayload(ref.path, b, conf))).toMap
+          if (payloads.isEmpty) None else Some(ref.snapshotId -> payloads)
+        } catch { case _: Exception => None }
+      }
+    val newTasks: Option[Seq[CompactionRunner.DataFileTask]] =
+      prior.flatMap { case (sid, _) =>
+        try {
+          val before = loadEntriesAt(table, sid)
+            .filter(_.kind == "data").map(_.path).toSet
+          Some(loadEntries(table).filter(e =>
+            e.kind == "data" && !before(e.path)).map(e =>
+            CompactionRunner.DataFileTask(e.path, e.seqNum, e.format)))
+        } catch { case _: Exception => None } // expired base -> full pass
+      }
+    val atomic = schema.fields.filter(_.dataType match {
       case _: org.apache.spark.sql.types.ArrayType |
            _: org.apache.spark.sql.types.MapType |
            _: org.apache.spark.sql.types.StructType => false
       case _ => true
     }).map(_.name).toSeq
     require(atomic.nonEmpty, s"$table has no atomic columns to analyze")
-    val aggs = atomic.map(c =>
-      graft.functions.ThetaNdvSketch.sketch(
-        col(s"`${c.replace("`", "``")}`"),
-        schema.fields.find(_.name == c)).as(c))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val sketches: Seq[(String, Array[Byte])] =
-      atomic.map(c => c -> row.getAs[Array[Byte]](c))
+    def sketchOf(df: org.apache.spark.sql.DataFrame): Map[String, Array[Byte]] = {
+      val aggs = atomic.map(c =>
+        graft.functions.ThetaNdvSketch.sketch(
+          col(s"`${c.replace("`", "``")}`"),
+          schema.fields.find(_.name == c)).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).head()
+      atomic.map(c => c -> row.getAs[Array[Byte]](c)).toMap
+    }
+    val sketches: Seq[(String, Array[Byte])] = newTasks match {
+      case Some(tasks) =>
+        // the delta pass: scan ONLY the added files (empty delta = no
+        // scan at all), then union per column with the prior sketch
+        val fresh: Map[String, Array[Byte]] =
+          if (tasks.isEmpty) Map.empty
+          else sketchOf(CompactionRunner
+            .scanPlainGroups(spark, tasks, Some(schema))
+            .reduce(_ unionByName _))
+        val priorById = prior.get._2
+        atomic.flatMap { c =>
+          val prev = schema.fields.find(_.name == c)
+            .flatMap(FieldIds.idOf).flatMap(priorById.get)
+          (prev, fresh.get(c)) match {
+            case (Some(a), Some(b)) =>
+              Some(c -> graft.functions.ThetaNdvSketch.merge(a, b))
+            case (Some(a), None) => Some(c -> a)
+            case (None, Some(b)) => Some(c -> b) // column ADDED since:
+            // old files hold only nulls for it, so the delta sketch is
+            // already the whole truth
+            case (None, None) => None
+          }
+        }
+      case None =>
+        val all = sketchOf(scanTable(spark, table))
+        atomic.map(c => c -> all(c))
+    }
     val ndvs: Seq[(String, Long)] = sketches.map { case (c, payload) =>
       c -> graft.functions.ThetaNdvSketch.estimate(payload)
     }
-    val conf = new org.apache.hadoop.conf.Configuration()
     val statsPath = tableDir(table).resolve(s"stats-$head.puffin").toString
     val blobs = sketches.zip(ndvs).flatMap { case ((name, payload), (_, ndv)) =>
       schema.fields.find(_.name == name).flatMap(FieldIds.idOf).map(id =>

@@ -233,6 +233,20 @@ object Puffin {
   }
 
 
+  /** One blob's payload bytes, located by its footer metadata — what the
+    * incremental-ANALYZE union and byte-compat checks read back.
+    */
+  def readBlobPayload(
+      path: String, meta: BlobMeta, conf: Configuration): Array[Byte] = {
+    val p = new Path(path)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      val bytes = new Array[Byte](meta.length.toInt)
+      in.readFully(meta.offset, bytes)
+      bytes
+    } finally in.close()
+  }
+
   /** Parse the footer: blob metadata + file properties. */
   def readFooter(
       path: String, conf: Configuration): (Seq[BlobMeta], Map[String, String]) = {

@@ -127,12 +127,22 @@ object GraftProcedures {
       (cat, in) => (tableArg(in, 0),
         MaintenanceOp.DropBranch(in.getUTF8String(1).toString))),
     Spec("compute_table_stats",
-      "ANALYZE: one distributed NDV pass over the current snapshot, " +
-        "recorded as a Puffin statistics file (+ partition statistics " +
-        "on partitioned tables); the scan's estimateStatistics serves " +
-        "the distinct counts",
-      Seq(p("table", StringType)),
-      (cat, in) => (tableArg(in, 0), MaintenanceOp.ComputeStats)),
+      "ANALYZE: one distributed theta-sketch pass over the current " +
+        "snapshot, recorded as a Puffin statistics file (+ partition " +
+        "statistics on partitioned tables); the scan's " +
+        "estimateStatistics serves the distinct counts. mode " +
+        "'incremental' sketches only the files added since the last " +
+        "statistics snapshot and unions with its sketches",
+      Seq(p("table", StringType),
+        pDefault("mode", StringType, "'full'")),
+      (cat, in) => {
+        val mode = in.getUTF8String(1).toString
+        require(mode == "full" || mode == "incremental",
+          s"compute_table_stats mode must be 'full' or 'incremental', " +
+            s"got '$mode'")
+        (tableArg(in, 0),
+          MaintenanceOp.ComputeStats(incremental = mode == "incremental"))
+      }),
     Spec("import_table",
       "register a foreign Iceberg table by metadata.json location: walk " +
         "its manifest chain and mount it BY REFERENCE as a new catalog " +

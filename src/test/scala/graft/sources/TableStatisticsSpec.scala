@@ -145,6 +145,37 @@ class TableStatisticsSpec extends SparkSpec {
     assert(stats.sizeInBytes().isPresent && stats.sizeInBytes().getAsLong > 0)
   }
 
+  test("incremental ANALYZE sketches only the delta and unions exactly") {
+    val root = Files.createTempDirectory("graft-stats-inc").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('s', id % 7) " +
+      "FROM range(0, 300)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    val cat = new GraftCatalog(root)
+    val gen1 = cat.loadEntries("t").filter(_.kind == "data").map(_.path)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('s', id % 7) " +
+      "FROM range(300, 1300)")
+    // THE delta proof: delete the FIRST generation's data files from disk
+    // before the incremental pass — it must succeed anyway, because it
+    // only scans the files added since the last statistics snapshot and
+    // unions with the recorded sketches
+    gen1.foreach(p => Files.delete(java.nio.file.Paths.get(
+      p.stripPrefix("file://"))))
+    val rows = spark.sql(
+      s"CALL $g.system.compute_table_stats('t', mode => 'incremental')")
+      .collect()
+    assert(rows.map(_.getString(0)).toSet == Set("k", "seg"))
+    val ndv = cat.columnNdv("t")
+    // union of [0,300) and [300,1300) sketches ~= 1300 distinct keys
+    assert(math.abs(ndv("k") - 1300) <= 130, s"union ndv = ${ndv("k")}")
+    assert(ndv.get("seg").exists(n => n >= 6 && n <= 8)) // 7 segments
+    // a FULL re-analyze now would fail (gen1 files are gone) — proving
+    // the incremental pass really never touched them
+    intercept[Exception](
+      spark.sql(s"CALL $g.system.compute_table_stats('t')").collect())
+  }
+
   test("expiry garbage-collects the expired snapshot's statistics files") {
     val root = Files.createTempDirectory("graft-stats-gc").toString
     val g = mount(root)
