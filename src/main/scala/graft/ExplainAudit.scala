@@ -605,6 +605,12 @@ object ExplainAudit {
     sb.append("position-delete correctly in every read path (the r17\n")
     sb.append("self-review's one silent-wrong-rows find, now regression-\n")
     sb.append("gated in IcebergImportSpec).\n")
+    sb.append("r17 late: ANALYZE gains mode => 'incremental' — theta\n")
+    sb.append("sketches union exactly, so re-analysis scans ONLY the files\n")
+    sb.append("added since the previous statistics snapshot and merges with\n")
+    sb.append("the recorded payloads (per-snapshot stats cost scales with\n")
+    sb.append("the delta, not the table; delta-only proven by deleting the\n")
+    sb.append("base generation's files before the incremental pass).\n")
     sb.append("r17 closing run: 167 s over all 163 queries, zero errors —\n")
     sb.append("the documented ~1.2-1.4x host inflation (r16 driver: 160 s /\n")
     sb.append("161). New gates healthy: q169 1.5 s, q170 1.3 s (idle min-of-3\n")
