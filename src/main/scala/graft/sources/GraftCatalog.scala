@@ -903,6 +903,11 @@ final class GraftCatalog(root: String,
         try {
           val blobs = Puffin.readFooter(ref.path, conf)._1
             .filter(_.blobType == Puffin.ThetaBlobType)
+            // a spec-legal COMPRESSED foreign blob (lz4/zstd) would load
+            // as raw bytes here but blow up only later, inside the merge —
+            // treat any compression-codec property as "no usable prior"
+            // so the ANALYZE degrades to mode=full instead of failing
+            .filter(!_.properties.contains("compression-codec"))
           val payloads = blobs.flatMap(b => b.fields.headOption.map(
             _ -> Puffin.readBlobPayload(ref.path, b, conf))).toMap
           if (payloads.isEmpty) None else Some(ref.snapshotId -> payloads)
@@ -933,37 +938,67 @@ final class GraftCatalog(root: String,
       val row = df.agg(aggs.head, aggs.tail: _*).head()
       atomic.map(c => c -> row.getAs[Array[Byte]](c)).toMap
     }
+    def fullPass(): Seq[(String, Array[Byte])] = {
+      val all = sketchOf(scanTable(spark, table))
+      atomic.map(c => c -> all(c))
+    }
     val sketches: Seq[(String, Array[Byte])] = newTasks match {
       case Some(tasks) =>
         // the delta pass: scan ONLY the added files (empty delta = no
-        // scan at all), then union per column with the prior sketch
-        val fresh: Map[String, Array[Byte]] =
-          if (tasks.isEmpty) Map.empty
-          else sketchOf(CompactionRunner
-            .scanPlainGroups(spark, tasks, Some(schema))
-            .reduce(_ unionByName _))
-        val priorById = prior.get._2
-        atomic.flatMap { c =>
-          val prev = schema.fields.find(_.name == c)
-            .flatMap(FieldIds.idOf).flatMap(priorById.get)
-          (prev, fresh.get(c)) match {
-            case (Some(a), Some(b)) =>
-              Some(c -> graft.functions.ThetaNdvSketch.merge(a, b))
-            case (Some(a), None) => Some(c -> a)
-            case (None, Some(b)) => Some(c -> b) // column ADDED since:
-            // old files hold only nulls for it, so the delta sketch is
-            // already the whole truth
-            case (None, None) => None
+        // scan at all), then union per column with the prior sketch.
+        // Any failure HEAPIFYING or MERGING an adopted prior payload
+        // (a malformed or non-theta foreign blob that slipped the
+        // codec guard) degrades to the full pass, never fails ANALYZE.
+        try {
+          val fresh: Map[String, Array[Byte]] =
+            if (tasks.isEmpty) Map.empty
+            else sketchOf(CompactionRunner
+              .scanPlainGroups(spark, tasks, Some(schema))
+              .reduce(_ unionByName _))
+          val priorById = prior.get._2
+          atomic.flatMap { c =>
+            val prev = schema.fields.find(_.name == c)
+              .flatMap(FieldIds.idOf).flatMap(priorById.get)
+            (prev, fresh.get(c)) match {
+              case (Some(a), Some(b)) =>
+                Some(c -> graft.functions.ThetaNdvSketch.merge(a, b))
+              case (Some(a), None) => Some(c -> a)
+              case (None, Some(b)) => Some(c -> b) // column ADDED since:
+              // old files hold only nulls for it, so the delta sketch is
+              // already the whole truth
+              case (None, None) => None
+            }
           }
-        }
-      case None =>
-        val all = sketchOf(scanTable(spark, table))
-        atomic.map(c => c -> all(c))
+        } catch { case _: Exception => fullPass() }
+      case None => fullPass()
     }
     val ndvs: Seq[(String, Long)] = sketches.map { case (c, payload) =>
       c -> graft.functions.ThetaNdvSketch.estimate(payload)
     }
-    val statsPath = tableDir(table).resolve(s"stats-$head.puffin").toString
+    // Re-ANALYZE at an unchanged head must NOT rewrite the previous stats
+    // file in place: Puffin footers are cached process-wide BY PATH
+    // (statsFooterCache, justified by write-once paths), and ANOTHER
+    // process on the same root (e.g. a RestCatalogServer) may hold the
+    // old footer's blob offsets — reading a rewritten file through them
+    // yields silently-garbage sketch bytes. A per-write generation
+    // suffix (epoch millis, bumped on collision) keeps every stats file
+    // write-once; the pointer indirects, and superseded generations are
+    // deleted AFTER the pointer swap so a stale cross-process reader
+    // fails cleanly (FileNotFound -> "no stats") instead of decoding
+    // garbage. Millis never repeat after a delete unless the clock runs
+    // backwards, so a freed path is never reused.
+    val priorGenFiles: Seq[java.nio.file.Path] = {
+      val stream = Files.list(tableDir(table))
+      try stream.iterator().asScala.filter { p =>
+        val n = p.getFileName.toString
+        (n.startsWith(s"stats-$head-") || n == s"stats-$head.puffin") &&
+          n.endsWith(".puffin")
+      }.toSeq
+      finally stream.close()
+    }
+    val gen = Iterator.iterate(System.currentTimeMillis())(_ + 1).find(g =>
+      !Files.exists(tableDir(table).resolve(s"stats-$head-$g.puffin"))).get
+    val statsPath = tableDir(table).resolve(s"stats-$head-$gen.puffin").toString
     val blobs = sketches.zip(ndvs).flatMap { case ((name, payload), (_, ndv)) =>
       schema.fields.find(_.name == name).flatMap(FieldIds.idOf).map(id =>
         Puffin.BlobSpec(Puffin.ThetaBlobType, Seq(id), head, head,
@@ -972,17 +1007,50 @@ final class GraftCatalog(root: String,
     require(blobs.nonEmpty,
       s"$table: no analyzed column carries a field id — statistics blobs " +
         "key by field id and would be unbindable")
-    Files.deleteIfExists(java.nio.file.Paths.get(statsPath)) // re-analyze
-    GraftCatalog.statsFooterCache.remove(statsPath) // rewrite invalidates
     val (size, footerSize) = Puffin.writeBlobs(statsPath, blobs, conf)
     writeStatsPointer(statsPointerPath(table, head), head, statsPath,
       size, footerSize)
+    // superseded generations (and the legacy un-suffixed path) go AFTER
+    // the pointer swap — best-effort, the pointer no longer serves them
+    priorGenFiles.foreach { p =>
+      GraftCatalog.statsFooterCache.remove(p.toString)
+      try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+    }
     // partition statistics: per-tuple rollup of the entry inventory
     val entries = loadEntries(table)
-    val specFields = partitionSpec(table).map(_.name)
+    val specDefs = partitionSpec(table)
+    val specFields = specDefs.map(_.name)
     if (specFields.nonEmpty) {
       import org.apache.spark.sql.types._
-      val pstruct = StructType(specFields.map(StructField(_, StringType)))
+      // the spec requires the partition struct typed as the UNIFIED
+      // partition type (the transform's result type — int for bucket,
+      // date for day, source type for identity), not strings: a stock
+      // reader binds the typed struct derived from the exported spec.
+      // A slot keeps its type only if EVERY recorded value parses as it
+      // (catalog tuple values are strings); otherwise that slot falls
+      // back to string rather than corrupting the rollup.
+      val dataEntries = entries.filter(_.kind == "data")
+      val srcTypeOf: Map[String, DataType] =
+        schema.fields.map(f => f.name -> f.dataType).toMap
+      def extVal(dt: DataType, s: String): Option[Any] =
+        IcebergManifest.slotValue(dt, s).map {
+          case i: Int if dt == DateType =>
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.toLong))
+          case i: Int if dt == ByteType => i.toByte
+          case i: Int if dt == ShortType => i.toShort
+          case v => v
+        }
+      val slotType: Map[String, DataType] = specDefs.map { d =>
+        val rt = IcebergManifest
+          .resultType(d.transform, srcTypeOf.getOrElse(d.source, StringType))
+        d.name -> rt.filter(dt => dataEntries.forall(e =>
+          e.partitionVals.get(d.name) match {
+            case Some(v) if v != null => extVal(dt, v).isDefined
+            case _ => true // null/absent slots carry no value to type
+          })).getOrElse(StringType)
+      }.toMap
+      val pstruct = StructType(
+        specFields.map(f => StructField(f, slotType(f))))
       val pschema = StructType(Seq(
         StructField("partition", pstruct),
         StructField("spec_id", IntegerType, nullable = false),
@@ -996,12 +1064,18 @@ final class GraftCatalog(root: String,
         StructField("total_record_count", LongType, nullable = false),
         StructField("last_updated_at", LongType),
         StructField("last_updated_snapshot_id", LongType)))
-      val rows = entries.filter(_.kind == "data")
+      val rows = dataEntries
         .groupBy(e => specFields.map(f => e.partitionVals.getOrElse(f, null)))
         .toSeq.sortBy(_._1.mkString(""))
         .map { case (tuple, es) =>
+          val typed = specFields.zip(tuple).map { case (f, v) =>
+            if (v == null) null
+            else extVal(slotType(f), v).map(_.asInstanceOf[AnyRef]).orNull
+          }
           org.apache.spark.sql.Row(
-            org.apache.spark.sql.Row(tuple: _*),
+            org.apache.spark.sql.Row(typed: _*),
+            // matches the exported metadata.json, which renders the
+            // current spec as default-spec-id 0
             0,
             es.map(e => math.max(0L, e.recordCount)).sum,
             es.size,
@@ -1015,8 +1089,18 @@ final class GraftCatalog(root: String,
         spark.sparkContext.parallelize(rows, 1), pschema)
         .coalesce(1).write.mode("overwrite").parquet(tmpDir)
       val part = CompactionRunner.listParquet(tmpDir).head
-      val pPath = tableDir(table).resolve(s"partition-stats-$head.parquet")
-      Files.deleteIfExists(pPath)
+      // same write-once discipline as the Puffin file: re-analysis at an
+      // unchanged head writes a NEW generation, never rewrites in place
+      val priorP: Seq[java.nio.file.Path] = {
+        val stream = Files.list(tableDir(table))
+        try stream.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          (n.startsWith(s"partition-stats-$head-") ||
+            n == s"partition-stats-$head.parquet") && n.endsWith(".parquet")
+        }.toSeq
+        finally stream.close()
+      }
+      val pPath = tableDir(table).resolve(s"partition-stats-$head-$gen.parquet")
       Files.move(java.nio.file.Paths.get(
         part.stripPrefix("file://").stripPrefix("file:")), pPath)
       // best-effort temp cleanup (crc/_SUCCESS siblings)
@@ -1027,6 +1111,8 @@ final class GraftCatalog(root: String,
       Files.deleteIfExists(java.nio.file.Paths.get(tmpDir))
       writeStatsPointer(pstatsPointerPath(table, head), head,
         pPath.toString, Files.size(pPath), -1L)
+      priorP.foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
     }
     ndvs.toMap
   }

@@ -149,33 +149,37 @@ object IcebergManifest {
       name: String, transform: String, sourceName: String,
       sourceType: org.apache.spark.sql.types.DataType)
 
-  /** The transform's RESULT type (spec "Partition Transforms"): identity
-    * and truncate keep the source type, bucket and the date family
-    * produce ints. None = a shape this writer does not type positionally
-    * (the caller falls back to the name-keyed tuple).
+  /** The transform's RESULT type (spec "Partition Transforms"): identity,
+    * truncate AND void keep the source type (a void slot is always null,
+    * but its declared type must match what a stock reader derives from
+    * the exported spec); bucket/year/month/hour produce ints; day
+    * produces a DATE. None = a shape this writer does not type
+    * positionally (the caller falls back to the name-keyed tuple).
     */
-  private def resultType(
+  private[sources] def resultType(
       transform: String,
       source: org.apache.spark.sql.types.DataType)
       : Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     transform.takeWhile(_ != '[') match {
-      case "identity" | "truncate" => Some(source)
-      case "bucket" | "year" | "month" | "day" | "hour" | "void" =>
-        Some(IntegerType)
+      case "identity" | "truncate" | "void" => Some(source)
+      case "bucket" | "year" | "month" | "hour" => Some(IntegerType)
+      case "day" => Some(DateType)
       case _ => None
     }
   }
 
   /** Avro slot type for a positional tuple field; None = unsupported →
-    * name-keyed fallback. Dates write their epoch-day ordinal as a plain
-    * int (the spec's physical representation).
+    * name-keyed fallback. Dates write their epoch-day ordinal as an int
+    * carrying the `date` logical type (the spec's Avro mapping).
     */
   private def avroSlot(dt: org.apache.spark.sql.types.DataType): Option[Schema] = {
     import org.apache.spark.sql.types._
     dt match {
-      case ByteType | ShortType | IntegerType | DateType =>
+      case ByteType | ShortType | IntegerType =>
         Some(Schema.create(Schema.Type.INT))
+      case DateType => Some(org.apache.avro.LogicalTypes.date()
+        .addToSchema(Schema.create(Schema.Type.INT)))
       case LongType => Some(Schema.create(Schema.Type.LONG))
       case StringType => Some(Schema.create(Schema.Type.STRING))
       case BooleanType => Some(Schema.create(Schema.Type.BOOLEAN))
@@ -189,7 +193,7 @@ object IcebergManifest {
     * None = unparseable (the WHOLE manifest falls back — half a typed
     * tuple would misdescribe the file).
     */
-  private def slotValue(
+  private[sources] def slotValue(
       dt: org.apache.spark.sql.types.DataType, s: String): Option[Any] = {
     import org.apache.spark.sql.types._
     dt match {

@@ -142,13 +142,18 @@ object IcebergMetadataJson {
     // totally ordered), but an IMPORTED table's entries keep their foreign
     // — often huge — sequence numbers, and the spec requires that no
     // data/delete sequence number exceed its snapshot's (nor the
-    // document's last-sequence-number). Take the running max so both
-    // invariants hold; pure-local tables render exactly as before
-    // (entry seqs never exceed their commit id).
+    // document's last-sequence-number). Floor each snapshot at the
+    // PREDECESSOR'S seq + 1 (commit sequence numbers strictly increase —
+    // an equal-seq plateau after one huge foreign entry seq would let
+    // stock validators reject the chain or misorder delete applicability
+    // at equal-seq boundaries) while keeping the max(entrySeq) covering
+    // rule; pure-local tables render exactly as before (ids are strictly
+    // increasing, so the +1 floor never binds).
     val sorted = ids.sorted
     val seqOf: Map[Long, Long] = sorted.foldLeft((Map.empty[Long, Long], 0L)) {
       case ((m, prev), id) =>
-        val seq = math.max(prev, math.max(id, maxEntrySeqOf.getOrElse(id, 0L)))
+        val floor = if (m.isEmpty) 0L else prev + 1
+        val seq = math.max(floor, math.max(id, maxEntrySeqOf.getOrElse(id, 0L)))
         (m.updated(id, seq), seq)
     }._1
     val parentOf: Map[Long, Long] = sorted.zip(sorted.drop(1)).map(_.swap).toMap

@@ -865,6 +865,22 @@ class IcebergImportSpec extends SparkSpec {
     val cat2 = new GraftCatalog(root2)
     cat2.importTable("s", out.toString)
     assert(cat2.scanTable(spark, "s").count() == 20)
+    // commits AFTER the huge foreign seq must export STRICTLY INCREASING
+    // sequence numbers (an equal-seq plateau lets stock validators reject
+    // the chain or misorder delete applicability at equal-seq boundaries)
+    val (p2, sz2) = stagedFile(s"$dir/next", 5)
+    cat.commitAppend("s", Seq(GraftCatalog.AddedFile(p2, recordCount = 5,
+      sizeBytes = sz2)))
+    val (p3, sz3) = stagedFile(s"$dir/next2", 3)
+    cat.commitAppend("s", Seq(GraftCatalog.AddedFile(p3, recordCount = 3,
+      sizeBytes = sz3)))
+    val doc2 = Files.readString(IcebergMetadataJson.export(cat, root, "s"))
+    val seqs = "\"sequence-number\":(\\d+)".r
+      .findAllMatchIn(doc2).map(_.group(1).toLong).toSeq
+    assert(seqs.size >= 3 && seqs == seqs.sorted && seqs.distinct == seqs,
+      s"snapshot sequence numbers must strictly increase: $seqs")
+    assert(seqs.head == 5000000L && seqs.last == 5000002L, seqs.toString)
+    assert(doc2.contains("\"last-sequence-number\":5000002"), doc2.take(400))
   }
 
   test("position deletes on spacey partition paths apply in every read path") {

@@ -196,6 +196,102 @@ class TableStatisticsSpec extends SparkSpec {
     assert(cat.columnNdv("t").contains("k"))
   }
 
+  test("re-analyze at an unchanged head writes a NEW generation, in-place never") {
+    // Puffin footers cache process-wide BY PATH; another process on the
+    // same root may hold the old footer's blob offsets. A re-ANALYZE must
+    // therefore never rewrite a stats path in place — a stale reader must
+    // fail cleanly (file gone), not decode garbage byte ranges.
+    val root = Files.createTempDirectory("graft-stats-gen").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('s', id % 3) FROM range(0, 200)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    val cat = new GraftCatalog(root)
+    val ref1 = cat.tableStatistics("t").get
+    val pref1 = cat.partitionStatistics("t").get
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect() // same head
+    val ref2 = cat.tableStatistics("t").get
+    val pref2 = cat.partitionStatistics("t").get
+    assert(ref2.snapshotId == ref1.snapshotId, "head unchanged")
+    assert(ref2.path != ref1.path,
+      s"re-analyze must write a new generation, got ${ref2.path}")
+    assert(pref2.path != pref1.path)
+    // superseded generations are swept after the pointer swap
+    assert(!Files.exists(java.nio.file.Paths.get(ref1.path)), ref1.path)
+    assert(!Files.exists(java.nio.file.Paths.get(pref1.path)), pref1.path)
+    assert(cat.columnNdv("t").get("k").exists(n => math.abs(n - 200) <= 20))
+  }
+
+  test("an unusable prior degrades incremental ANALYZE to a full pass") {
+    val root = Files.createTempDirectory("graft-stats-degrade").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(0, 300)")
+    val cat = new GraftCatalog(root)
+    val head = cat.currentSnapshotId("t")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    def forge(props: Map[String, String]): Unit = {
+      // a spec-legal foreign stats file whose theta payload this engine
+      // cannot use: garbage bytes, optionally marked zstd-compressed
+      val fp = s"$root/t/foreign-${props.hashCode}.puffin"
+      val (sz, fsz) = Puffin.writeBlobs(fp, Seq(Puffin.BlobSpec(
+        Puffin.ThetaBlobType, Seq(1), head, head,
+        Array.fill[Byte](64)(0x5A), props)), conf)
+      cat.adoptStatistics("t", head, fp, sz, fsz, partition = false)
+    }
+    // variant 1: compressed blob — the codec guard must refuse it up front
+    forge(Map("ndv" -> "999999", "compression-codec" -> "zstd"))
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(300, 400)")
+    val r1 = spark.sql(
+      s"CALL $g.system.compute_table_stats('t', mode => 'incremental')").collect()
+    assert(r1.nonEmpty)
+    assert(cat.columnNdv("t").get("k").exists(n => math.abs(n - 400) <= 40),
+      s"full-pass NDV expected, got ${cat.columnNdv("t")}")
+    // variant 2: uncompressed garbage — heapify/merge fails mid-union and
+    // the pass must still degrade to full, not fail the ANALYZE
+    val head2 = cat.currentSnapshotId("t")
+    val fp2 = s"$root/t/foreign-garbage.puffin"
+    val (sz2, fsz2) = Puffin.writeBlobs(fp2, Seq(Puffin.BlobSpec(
+      Puffin.ThetaBlobType, Seq(1), head2, head2,
+      Array.fill[Byte](64)(0x3C), Map("ndv" -> "999999"))), conf)
+    cat.adoptStatistics("t", head2, fp2, sz2, fsz2, partition = false)
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(400, 500)")
+    val r2 = spark.sql(
+      s"CALL $g.system.compute_table_stats('t', mode => 'incremental')").collect()
+    assert(r2.nonEmpty)
+    assert(cat.columnNdv("t").get("k").exists(n => math.abs(n - 500) <= 50),
+      s"full-pass NDV expected, got ${cat.columnNdv("t")}")
+  }
+
+  test("partition-statistics types the partition struct by transform result") {
+    val root = Files.createTempDirectory("graft-pstats-typed").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.e (k BIGINT, d DATE, seg STRING)
+         |PARTITIONED BY (bucket(4, k), days(d), seg)""".stripMargin)
+    spark.sql(s"INSERT INTO $g.e SELECT id, date_add(date'2024-01-01', " +
+      "CAST(id % 3 AS INT)), concat('s', id % 2) FROM range(0, 60)")
+    spark.sql(s"CALL $g.system.compute_table_stats('e')").collect()
+    val cat = new GraftCatalog(root)
+    val pref = cat.partitionStatistics("e").get
+    val pstats = spark.read.parquet(pref.path)
+    import org.apache.spark.sql.types._
+    val pstruct = pstats.schema("partition").dataType.asInstanceOf[StructType]
+    val byTransform = cat.partitionSpec("e").map(f =>
+      f.transform.takeWhile(_ != '[') -> pstruct(f.name).dataType).toMap
+    // the spec's unified partition type: int for bucket, DATE for day,
+    // the source type for identity
+    assert(byTransform.get("bucket").contains(IntegerType), byTransform.toString)
+    assert(byTransform.get("day").contains(DateType), byTransform.toString)
+    assert(byTransform.get("identity").contains(StringType), byTransform.toString)
+    // values decode as the typed slots and the rollup still sums right
+    assert(pstats.agg(sum("data_record_count")).head().getLong(0) == 60L)
+    val days = pstats.select("partition.*").collect()
+      .map(r => r.get(pstruct.fieldIndex(
+        cat.partitionSpec("e").find(_.transform.startsWith("day")).get.name)))
+    assert(days.forall(_.isInstanceOf[java.sql.Date]), days.mkString(","))
+  }
+
   test("re-analyze replaces the sketch; stale stats serve for later snapshots") {
     val root = Files.createTempDirectory("graft-stats-re").toString
     val g = mount(root)
