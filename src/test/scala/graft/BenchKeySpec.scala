@@ -42,6 +42,17 @@ class BenchKeySpec extends AnyFunSuite {
     assert(stale.isEmpty, s"recordedSec keys with no live query: ${stale.mkString(", ")}")
   }
 
+  test("stall_windows renders compact, capped, and absent when empty") {
+    assert(Bench.stallField(Nil) == "")
+    assert(Bench.stallField(Seq("q15")) == ""","stall_windows":["q15"]""")
+    val eight = (1 to 8).map(i => s"q$i")
+    val r = Bench.stallField(eight)
+    assert(r.contains("\"q6\"") && !r.contains("\"q7\"") && r.contains("\"+2\""),
+      r)
+    // worst-case field stays small enough for the driver's tail window
+    assert(r.length <= 60, s"${r.length}: $r")
+  }
+
   test("per-query retry fires on drift the global threshold misses") {
     // r9's actual failure mode: q27 recorded 0.45 s, drifted to 2.50 s —
     // under the 3 s global threshold, >2x its healthy level
