@@ -88,6 +88,44 @@ final class CompactionScheduler(
         scala.concurrent.duration.Duration.Inf)
     } finally pool.shutdown()
   }
+
+  /** Statistics-maintenance twin of [[sweep]] — the 100 TB answer to
+    * sketches going silently stale: theta NDVs cannot subtract, so a
+    * planner consuming month-old estimates on a churned table gets
+    * silently-optimistic plans. For every ANALYZED table (statistics are
+    * opt-in; never-analyzed tables are skipped), a STALE sketch
+    * ([[GraftCatalog.statsChurn]]: rows removed by MoR deletes, COW
+    * rewrites, or compactions — or an expired, unprovable base) gets a
+    * FULL re-analyze; a fresh-but-behind sketch with at least
+    * `minAddedFiles` new data files gets the cheap INCREMENTAL union
+    * (delta files only). Outcomes: `re_analyzed` (full pass ran),
+    * `stats_refreshed` (incremental ran), `stats_fresh` (no debt),
+    * `analyze_failed` (kept sweeping — one sick table must not stop
+    * maintenance of the rest).
+    */
+  def statsSweep(
+      spark: SparkSession,
+      minAddedFiles: Int = 8): Seq[CompactionScheduler.Outcome] =
+    catalog.tables().filterNot(_.contains("@")).sorted.flatMap { table =>
+      catalog.statsChurn(table).map { churn =>
+        val fullDebt = churn.removedDataFiles + churn.addedDeleteFiles +
+          (if (churn.baseExpired) 1 else 0)
+        try {
+          if (churn.stale) {
+            catalog.computeTableStats(spark, table, incremental = false)
+            CompactionScheduler.Outcome(table, fullDebt, "re_analyzed",
+              Some(catalog.currentSnapshotId(table)))
+          } else if (churn.addedDataFiles >= minAddedFiles) {
+            catalog.computeTableStats(spark, table, incremental = true)
+            CompactionScheduler.Outcome(table, churn.addedDataFiles,
+              "stats_refreshed", Some(catalog.currentSnapshotId(table)))
+          } else CompactionScheduler.Outcome(table, 0, "stats_fresh", None)
+        } catch {
+          case _: Exception =>
+            CompactionScheduler.Outcome(table, fullDebt, "analyze_failed", None)
+        }
+      }
+    }
 }
 
 object CompactionScheduler {

@@ -4921,6 +4921,59 @@ final class GraftCatalog(root: String,
   def deleteFileDebt(table: String): Int =
     loadEntries(table).count(_.kind == "posdel")
 
+  /** Churn between the recorded statistics snapshot and the current head
+    * — the statistics LIFECYCLE signal. Theta sketches union but cannot
+    * subtract, so rows removed after an ANALYZE leave the recorded NDV
+    * stale-HIGH with no incremental repair: any removed data file (a
+    * compaction rewrite, a COW delete) or added delete file (MoR DML)
+    * means only a FULL re-analyze restores accuracy, while added data
+    * files alone are repairable by the cheap incremental union.
+    * Metadata-only (two snapshot reads, no data IO). None = the table
+    * was never analyzed (statistics are opt-in; schedulers skip it).
+    * An EXPIRED stats-base snapshot at a moved head reports stale
+    * conservatively — freshness is no longer provable.
+    */
+  def statsChurn(table: String): Option[GraftCatalog.StatsChurn] =
+    tableStatistics(table).map { ref =>
+      val head = currentSnapshotId(table)
+      if (ref.snapshotId == head)
+        GraftCatalog.StatsChurn(ref.snapshotId, 0, 0, 0, baseExpired = false)
+      else try {
+        val before = loadEntriesAt(table, ref.snapshotId)
+        val now = loadEntries(table)
+        val beforeData = before.filter(_.kind == "data").map(_.path).toSet
+        val nowData = now.filter(_.kind == "data").map(_.path).toSet
+        val beforeDel = before.filter(_.kind != "data").map(_.path).toSet
+        GraftCatalog.StatsChurn(
+          ref.snapshotId,
+          removedDataFiles = (beforeData -- nowData).size,
+          addedDeleteFiles =
+            now.count(e => e.kind != "data" && !beforeDel(e.path)),
+          addedDataFiles = (nowData -- beforeData).size,
+          baseExpired = false)
+      } catch {
+        case _: Exception =>
+          GraftCatalog.StatsChurn(ref.snapshotId, 0, 0, 0, baseExpired = true)
+      }
+    }
+
+  /** True when the recorded statistics can no longer be trusted as an
+    * UPPER-bound-accurate estimate (rows were removed since the ANALYZE,
+    * or the base snapshot expired unprovably). Iceberg convention still
+    * SERVES stale stats — this is the operations signal for when to
+    * re-analyze, not a serving gate.
+    */
+  def statsStale(table: String): Boolean = statsChurn(table).exists(_.stale)
+
+  /** Re-ANALYZE debt for the scheduler: how many snapshot entries moved
+    * in ways the recorded sketches cannot account for. 0 = fresh or
+    * never analyzed.
+    */
+  def analyzeDebt(table: String): Int =
+    statsChurn(table).map(c =>
+      c.removedDataFiles + c.addedDeleteFiles + (if (c.baseExpired) 1 else 0))
+      .getOrElse(0)
+
   /** All tables in this catalog (any directory with a registered head) —
     * forks ([[forkTable]]'s `name@branch`) included; schedulers filter.
     * Tables inside namespaces list as their `/`-joined catalog name
@@ -5357,6 +5410,20 @@ object GraftCatalog {
     * (the REST facade's commit body). Counts may be unknown (-1), like any
     * entry committed by a non-counting path.
     */
+  /** [[GraftCatalog.statsChurn]]'s report: entry movement since the
+    * recorded statistics snapshot. `stale` = the sketches are no longer
+    * an accurate estimate and only a full re-analyze repairs them.
+    */
+  final case class StatsChurn(
+      statsSnapshotId: Long,
+      removedDataFiles: Int,
+      addedDeleteFiles: Int,
+      addedDataFiles: Int,
+      baseExpired: Boolean) {
+    def stale: Boolean =
+      removedDataFiles > 0 || addedDeleteFiles > 0 || baseExpired
+  }
+
   final case class AddedFile(
       path: String,
       format: String = "parquet",

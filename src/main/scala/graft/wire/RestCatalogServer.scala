@@ -57,6 +57,10 @@ import scala.jdk.CollectionConverters._
   *     existing Iceberg table by `metadata-location`
   *     ([[GraftCatalog.importTable]] walks the chain, registers by
   *     reference); 409 taken name, 400 unwalkable chain.
+  *   - `POST /v1/namespaces/{ns}/tables/{t}/statistics` → ANALYZE
+  *     (extension; the REST spec has no such op): body
+  *     `{"mode":"full"|"incremental"}`, runs the catalog's distributed
+  *     theta-sketch pass — requires a SparkSession in this process.
   *   - `POST /v1/namespaces/default/tables` → CREATE: body carries `name`
   *     and optionally an Iceberg struct `schema` (field ids preserved into
   *     the catalog's canonical schema). 409 `AlreadyExistsException` when
@@ -348,6 +352,10 @@ object RestCatalogServer {
         val parts = nsParts(ns)
         if (!nsExists(catalog, parts)) nsNotFound(parts)
         else commitTable(catalog, parts, t, body)
+      case (HttpMethod.POST, Seq("v1", "namespaces", ns, "tables", t, "statistics")) =>
+        val parts = nsParts(ns)
+        if (!nsExists(catalog, parts)) nsNotFound(parts)
+        else analyzeTable(catalog, parts, t, body)
       case _ =>
         HttpResponseStatus.NOT_FOUND ->
           errorJson(s"No route for ${method.name} $path", "NotFoundException", 404)
@@ -606,6 +614,60 @@ object RestCatalogServer {
         return badRequest(Option(e.getMessage).getOrElse("register refused"))
     }
     HttpResponseStatus.OK -> tableJson(catalog, cn)
+  }
+
+  /** `POST …/tables/{t}/statistics` — maintenance EXTENSION (the REST
+    * spec defines no ANALYZE operation): run the catalog's distributed
+    * theta-sketch ANALYZE and record the Puffin statistics files. Body:
+    * optional `{"mode":"full"|"incremental"}` (default full; incremental
+    * sketches only files added since the last statistics snapshot and
+    * unions with its recorded sketches). Requires a SparkSession IN THIS
+    * PROCESS — the one deviation from the facade's O(metadata) contract,
+    * which is why it's an explicit operator-invoked POST (503 when no
+    * session exists; the job runs on the single event-loop thread, so
+    * concurrent metadata requests queue behind it — a maintenance
+    * endpoint, not a serving one). Responds with per-column NDVs, the
+    * stats snapshot, and the post-ANALYZE staleness flag.
+    */
+  private def analyzeTable(
+      catalog: GraftCatalog, nsp: Seq[String], name: String,
+      body: String): (HttpResponseStatus, String) = {
+    val table = catName(nsp, name)
+    if (!catalog.tables().contains(table))
+      return HttpResponseStatus.NOT_FOUND ->
+        errorJson(s"Table does not exist: ${dotted(nsp, name)}",
+          "NoSuchTableException", 404)
+    val req =
+      try { if (body == null || body.trim.isEmpty) null else mapper.readTree(body) }
+      catch { case e: Exception =>
+        return badRequest(s"malformed JSON body: ${e.getMessage}")
+      }
+    val mode = Option(if (req == null) null else req.get("mode"))
+      .filter(_.isTextual).map(_.asText).getOrElse("full")
+    if (mode != "full" && mode != "incremental")
+      return badRequest(s"mode must be 'full' or 'incremental', got '$mode'")
+    val spark = org.apache.spark.sql.SparkSession.getDefaultSession
+      .orElse(org.apache.spark.sql.SparkSession.getActiveSession).getOrElse(
+        return HttpResponseStatus.SERVICE_UNAVAILABLE ->
+          errorJson("ANALYZE is a compute operation and this catalog " +
+            "server's process has no SparkSession",
+            "ServiceUnavailableException", 503))
+    try {
+      val ndvs = catalog.computeTableStats(spark, table,
+        incremental = mode == "incremental")
+      val ref = catalog.tableStatistics(table)
+      val cols = ndvs.toSeq.sortBy(_._1)
+        .map { case (c, n) => s"${q(c)}:$n" }.mkString(",")
+      HttpResponseStatus.OK ->
+        (s"""{"columns":{$cols},""" +
+          s""""snapshot-id":${ref.map(_.snapshotId).getOrElse(-1L)},""" +
+          s""""statistics-path":${ref.map(r => q(r.path)).getOrElse("null")},""" +
+          s""""stale":${catalog.statsStale(table)}}""")
+    } catch {
+      case e: Exception =>
+        badRequest("analyze failed: " +
+          Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+    }
   }
 
   /** `POST …/tables/{t}` — CommitTable: requirements then updates, the

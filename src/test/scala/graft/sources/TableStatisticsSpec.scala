@@ -292,6 +292,101 @@ class TableStatisticsSpec extends SparkSpec {
     assert(days.forall(_.isInstanceOf[java.sql.Date]), days.mkString(","))
   }
 
+  test("lifecycle: delete -> compact -> scheduler re-analyze restores NDV") {
+    val root = Files.createTempDirectory("graft-stats-life").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, seg STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('s', id % 5) FROM range(0, 1000)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    val cat = new GraftCatalog(root)
+    assert(!cat.statsStale("t") && cat.analyzeDebt("t") == 0)
+    val ndv0 = cat.columnNdv("t")("k")
+    assert(math.abs(ndv0 - 1000) <= 100)
+    // a delete-heavy commit: theta cannot subtract, so the sketches are
+    // now stale-HIGH and only a full re-analyze repairs them
+    spark.sql(s"DELETE FROM $g.t WHERE k >= 200")
+    assert(cat.statsStale("t"), "rows removed must mark the stats stale")
+    assert(cat.analyzeDebt("t") > 0)
+    // stale stats still SERVE (Iceberg's convention — an estimate, never
+    // a correctness input)
+    assert(cat.columnNdv("t")("k") == ndv0)
+    // compaction rewrites files — still stale, still served
+    cat.compactTable(spark, "t", s"$root/t/_data/life-compacted")
+    assert(cat.statsStale("t"))
+    // the scheduler's statistics sweep: stale -> FULL re-analyze
+    val sched = new CompactionScheduler(cat, s"$root/_sweep")
+    val swept = sched.statsSweep(spark)
+    assert(swept.exists(o => o.table == "t" && o.outcome == "re_analyzed"),
+      swept.toString)
+    assert(!cat.statsStale("t"))
+    val ndv1 = cat.columnNdv("t")("k")
+    assert(math.abs(ndv1 - 200) <= 20,
+      s"re-analyze must drop the NDV to the surviving keys, got $ndv1")
+    // appends alone: not stale — the cheap INCREMENTAL union refreshes
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('s', id % 5) " +
+      "FROM range(1000, 1100)")
+    assert(!cat.statsStale("t"), "appends alone must not mark stale")
+    assert(cat.statsChurn("t").exists(_.addedDataFiles > 0))
+    val swept2 = sched.statsSweep(spark, minAddedFiles = 1)
+    assert(swept2.exists(o => o.table == "t" && o.outcome == "stats_refreshed"),
+      swept2.toString)
+    val ndv2 = cat.columnNdv("t")("k")
+    assert(math.abs(ndv2 - 300) <= 30, s"incremental union expected ~300: $ndv2")
+    // and a fresh table below the added-files threshold is left alone
+    val swept3 = sched.statsSweep(spark, minAddedFiles = 1000)
+    assert(swept3.exists(o => o.table == "t" && o.outcome == "stats_fresh"),
+      swept3.toString)
+    // never-analyzed tables are skipped entirely (statistics are opt-in)
+    spark.sql(s"CREATE TABLE $g.virgin (k BIGINT)")
+    spark.sql(s"INSERT INTO $g.virgin SELECT id FROM range(0, 10)")
+    assert(!sched.statsSweep(spark).exists(_.table == "virgin"))
+  }
+
+  test("REST statistics endpoint runs ANALYZE with mode and staleness") {
+    val root = Files.createTempDirectory("graft-stats-rest").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(0, 250)")
+    val cat = new GraftCatalog(root)
+    val server = new graft.wire.RestCatalogServer(cat)
+    try {
+      def post(path: String, body: String): (Int, String) = {
+        val url = java.net.URI.create(
+          s"http://127.0.0.1:${server.boundPort}$path").toURL
+        val c = url.openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("POST")
+        c.setDoOutput(true)
+        c.getOutputStream.write(body.getBytes("UTF-8"))
+        val code = c.getResponseCode
+        val in = if (code < 400) c.getInputStream else c.getErrorStream
+        val out = new String(in.readAllBytes(), "UTF-8")
+        in.close()
+        (code, out)
+      }
+      val (code, body) = post(
+        "/v1/namespaces/default/tables/t/statistics", """{"mode":"full"}""")
+      assert(code == 200, s"$code: $body")
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      val ndv = n.get("columns").get("k").asLong
+      assert(math.abs(ndv - 250) <= 25, body)
+      assert(!n.get("stale").asBoolean, body)
+      assert(cat.tableStatistics("t").isDefined)
+      // incremental mode unions with the recorded sketches
+      spark.sql(s"INSERT INTO $g.t SELECT id FROM range(250, 400)")
+      val (code2, body2) = post(
+        "/v1/namespaces/default/tables/t/statistics",
+        """{"mode":"incremental"}""")
+      assert(code2 == 200, s"$code2: $body2")
+      val n2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body2)
+      assert(math.abs(n2.get("columns").get("k").asLong - 400) <= 40, body2)
+      // contract errors: bad mode 400, unknown table 404
+      assert(post("/v1/namespaces/default/tables/t/statistics",
+        """{"mode":"sideways"}""")._1 == 400)
+      assert(post("/v1/namespaces/default/tables/nope/statistics", "{}")._1 == 404)
+    } finally server.close()
+  }
+
   test("re-analyze replaces the sketch; stale stats serve for later snapshots") {
     val root = Files.createTempDirectory("graft-stats-re").toString
     val g = mount(root)
