@@ -358,6 +358,24 @@ object ExplainAudit {
         "cluster work. At 100 TB the plan is unchanged: delete " +
         "applicability binds by field id, bounds pruned from the " +
         "spec-exact binary manifests."),
+    "q171_stats_lifecycle" ->
+      ("Statistics lifecycle (r18): ANALYZE -> MoR delete (stale: theta " +
+        "cannot subtract) -> scheduler statsSweep full re-analyze -> " +
+        "compaction rewrite (stale again) -> sweep (fresh), every " +
+        "transition asserted in-gate via the METADATA-ONLY statsChurn " +
+        "diff (two snapshot reads, no data IO — the 100 TB staleness " +
+        "signal). Each re-analyze is the same one-pass bounded-sketch " +
+        "aggregation as q170; the audited dump is the final exact-below-" +
+        "nominal NDVs."),
+    "q172_stats_planning" ->
+      ("Statistics CONSUMED in planning (r18): the same dim-filtered " +
+        "join planned before and after ANALYZE — before, both sides " +
+        "exceed the broadcast threshold and the join shuffles; after, " +
+        "CBO's equality selectivity (1/NDV from the served theta " +
+        "sketches) shrinks the filtered 20k-row dim under the threshold " +
+        "and the plan flips to BroadcastHashJoin (asserted in-gate). At " +
+        "100 TB this is the decision that removes the fact-side shuffle " +
+        "from every selective dim join on an imported table."),
     "q170_table_stats" ->
       ("ANALYZE: ONE distributed aggregation building every column's " +
         "DataSketches THETA sketch in the same pass (bounded partial " +

@@ -1728,7 +1728,99 @@ object MorQueries {
         .stripMargin)
   }
 
+  /** q171 — the statistics LIFECYCLE (r18): theta sketches cannot
+    * subtract, so delete-heavy commits and compaction rewrites leave the
+    * recorded NDVs silently stale-high. The gate drives the full
+    * operations loop — ANALYZE → MoR DELETE (stale) → scheduler
+    * statsSweep (full re-analyze) → compaction rewrite (stale again) →
+    * sweep (fresh) — asserting each staleness transition in-gate, and
+    * returns the final sketch NDVs plus the row count. Theta is EXACT
+    * below its nominal entry count, so the low-cardinality columns'
+    * sketch estimates hash-match DuckDB's exact distinct counts.
+    */
+  private def q171(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q171").toString
+    val g = s"g171_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.o (o_orderkey BIGINT, o_orderpriority STRING, " +
+      "o_orderstatus STRING) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("q171_src")
+    spark.sql(s"INSERT INTO $g.o SELECT o_orderkey, o_orderpriority, " +
+      "o_orderstatus FROM q171_src WHERE o_orderkey <= 30000")
+    spark.sql(s"CALL $g.system.compute_table_stats('o')").collect()
+    val cat = new graft.sources.GraftCatalog(root)
+    require(!cat.statsStale("o") && cat.analyzeDebt("o") == 0,
+      "a fresh ANALYZE at head must not report stale")
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderstatus = 'O'")
+    require(cat.statsStale("o"),
+      "a MoR delete must mark the sketches stale (theta cannot subtract)")
+    val sched = new graft.sources.CompactionScheduler(cat, s"$root/_sweep")
+    val s1 = sched.statsSweep(spark)
+    require(s1.exists(o => o.table == "o" && o.outcome == "re_analyzed"),
+      s"stale stats must trigger a full re-analyze: $s1")
+    require(!cat.statsStale("o"), "the sweep must leave the stats fresh")
+    // a compaction rewrite replaces files -> stale again -> sweep repairs
+    cat.compactTable(spark, "o", s"$root/o/_data/q171-compacted")
+    require(cat.statsStale("o"),
+      "a compaction rewrite must re-stale the sketches")
+    val s2 = sched.statsSweep(spark)
+    require(s2.exists(o => o.table == "o" && o.outcome == "re_analyzed"), s2.toString)
+    val ndv = cat.columnNdv("o")
+    val rows = spark.sql(s"SELECT count(*) FROM $g.o").head().getLong(0)
+    import spark.implicits._
+    Seq(("o_orderpriority", ndv("o_orderpriority")),
+      ("o_orderstatus", ndv("o_orderstatus")),
+      ("rows", rows)).toDF("col", "v")
+  }
+
+  /** q172 — statistics CONSUMED in planning (r18): the recorded theta
+    * NDVs, served as V2 column stats, flip a filtered dim join to
+    * broadcast under CBO where it previously shuffled — asserted
+    * in-gate by planning the SAME query before and after ANALYZE. The
+    * returned result is the join itself (plan-invariant rows).
+    */
+  private def q172(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q172").toString
+    val g = s"g172_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.dim (k BIGINT, seg BIGINT)")
+    spark.sql(s"INSERT INTO $g.dim SELECT id, id % 2000 FROM range(0, 20000)")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("q172_l")
+    val q =
+      s"""SELECT d.k AS k, count(*) AS cnt,
+         |CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
+         |FROM q172_l l JOIN $g.dim d ON l.l_orderkey % 20000 = d.k
+         |WHERE d.seg = 7
+         |GROUP BY d.k""".stripMargin
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (16 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def bhj(): Int = spark.sql(q).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+      require(bhj() == 0,
+        "without NDV stats the filtered 20k-row dim must not broadcast " +
+          "(both sides above the threshold)")
+      spark.sql(s"CALL $g.system.compute_table_stats('dim')").collect()
+      require(bhj() == 1,
+        "the served NDV must flip the filtered dim join to broadcast")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(q)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q171_stats_lifecycle" -> (q171 _),
+    "q172_stats_planning" -> (q172 _),
     "q170_table_stats" -> (q170 _),
     "q169_import_wide_types" -> (q169 _),
     "q166_iceberg_import" -> (q166 _),
@@ -1802,6 +1894,26 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q171_stats_lifecycle" ->
+      """SELECT 'o_orderpriority' AS col,
+        |       count(DISTINCT o_orderpriority) AS v
+        |FROM orders WHERE o_orderkey <= 30000 AND o_orderstatus <> 'O'
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(DISTINCT o_orderstatus)
+        |FROM orders WHERE o_orderkey <= 30000 AND o_orderstatus <> 'O'
+        |UNION ALL
+        |SELECT 'rows', count(*)
+        |FROM orders WHERE o_orderkey <= 30000 AND o_orderstatus <> 'O'"""
+        .stripMargin,
+    "q172_stats_planning" ->
+      """SELECT d.k AS k, count(*) AS cnt,
+        |CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
+        |FROM lineitem l JOIN (
+        |  SELECT CAST(range AS BIGINT) AS k, CAST(range % 2000 AS BIGINT) AS seg
+        |  FROM range(0, 20000)) d
+        |ON l.l_orderkey % 20000 = d.k
+        |WHERE d.seg = 7
+        |GROUP BY d.k""".stripMargin,
     "q170_table_stats" ->
       """SELECT 'c_custkey' AS col, count(DISTINCT c_custkey) AS exact_ndv
         |FROM customer

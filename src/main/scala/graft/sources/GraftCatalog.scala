@@ -836,6 +836,46 @@ final class GraftCatalog(root: String,
       else statsPointerPath(table, localId),
       localId, statsPath, fileSize, footerSize)
 
+  /** The partition-statistics rollup as a lookup: partition tuple
+    * (rendered in the catalog's string form, ordered by the CURRENT
+    * spec's fields) → (data rows, data bytes). What the doorway's
+    * `estimateStatistics` substitutes when manifest counts are unknown
+    * (imported/REST-appended files without record counts) — per-tuple
+    * sizing from the stats FILE instead of giving up on the estimate.
+    * One tiny parquet read per stats file per process (paths are
+    * write-once; cached), None when the table has no partition stats or
+    * the file is unreadable (estimates degrade, never fail).
+    */
+  def partitionStatsRollup(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      asOf: Option[Long] = None): Option[Map[Seq[String], (Long, Long)]] =
+    partitionStatistics(table, asOf).flatMap { ref =>
+      Option(GraftCatalog.pstatsRollupCache.get(ref.path)).orElse {
+        val specFields = partitionSpec(table).map(_.name)
+        if (specFields.isEmpty) None
+        else try {
+          def render(v: Any): String = v match {
+            case null => null
+            case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+            case x => String.valueOf(x)
+          }
+          val rows = spark.read.parquet(ref.path)
+            .select("partition", "data_record_count",
+              "total_data_file_size_in_bytes")
+            .collect() // one row per partition tuple — metadata-sized
+          val m = rows.map { r =>
+            val p = r.getStruct(0)
+            val tuple: Seq[String] = specFields.indices.toList.map(i =>
+              render(p.get(p.schema.fieldIndex(specFields(i)))))
+            tuple -> (r.getLong(1), r.getLong(2))
+          }.toMap
+          GraftCatalog.pstatsRollupCache.put(ref.path, m)
+          Some(m)
+        } catch { case _: Exception => None }
+      }
+    }
+
   /** Per-column NDV for the newest statistics file at or before `asOf`,
     * keyed by the SERVED snapshot's column names (blobs key by field id;
     * resolving against the asOf schema keeps a renamed column's sketch
@@ -5378,6 +5418,13 @@ object GraftCatalog {
     */
   private[sources] val statsFooterCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Puffin.BlobMeta]]()
+
+  /** Parsed partition-statistics rollups by file path (write-once paths —
+    * the generation suffix guarantees a path's content never changes).
+    */
+  private[sources] val pstatsRollupCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Map[Seq[String], (Long, Long)]]()
 
   /** Marker file that makes a directory a namespace (and carries its
     * properties). Dot-prefixed so the table-document globs never see it.

@@ -740,9 +740,22 @@ class GraftV1Scan(
     * every commit path stamps into the manifest) so a SMALL catalog table
     * mounted through the DSv2 doorway AUTO-BROADCASTS in joins — without
     * this Spark assumes the conservative default and every dim-to-fact
-    * join on a doorway table would shuffle at 100 TB. Any unknown size
-    * (-1, e.g. REST-appended externals) poisons the estimate back to
-    * unknown: never risk mis-broadcasting an unbounded table.
+    * join on a doorway table would shuffle at 100 TB.
+    *
+    * FILTER-AWARE (r18): the estimate prunes entries by the PUSHED
+    * conjuncts the same way the scan itself will — recorded stats bounds
+    * ([[PinnedPrune]]) plus identity-partition tuple matching — so a
+    * partition-filtered build side estimates at its post-prune size
+    * (what AQE/join selection actually needs), still an upper bound on
+    * the scan's real output.
+    *
+    * Unknown manifest sizes (-1, e.g. REST-appended or imported files
+    * without record counts) fall back PER PARTITION TUPLE to the
+    * partition-statistics rollup ([[GraftCatalog.partitionStatsRollup]]
+    * — the stats FILE, per-tuple rows and bytes); only when neither the
+    * manifests nor the stats file can size a surviving tuple does the
+    * estimate poison back to unknown: never risk mis-broadcasting an
+    * unbounded table.
     */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val cat = new GraftCatalog(root)
@@ -751,8 +764,44 @@ class GraftV1Scan(
       case None => cat.loadEntries(table)
     }
     val data = entries.filter(_.kind == "data")
-    val sizes = data.map(_.sizeBytes)
-    val counts = data.map(_.recordCount)
+    // stats-bounds pruning (numeric conjuncts over recorded min/max)
+    val statKeep: Option[Set[String]] = PinnedPrune.keep(filters, entries)
+    // identity-partition tuple pruning (string-exact, any type):
+    // EqualTo/In on an identity-transformed source column rules out
+    // every file whose recorded tuple value differs
+    val identField: Map[String, String] = cat.partitionSpec(table)
+      .filter(_.transform == "identity").map(f => f.source -> f.name).toMap
+    def tupleVal(e: cat.TableEntry, column: String): Option[String] =
+      identField.get(column).flatMap(n => e.partitionVals.get(n))
+        .filter(_ != null)
+    def tupleSurvives(e: cat.TableEntry): Boolean = filters.forall {
+      case org.apache.spark.sql.sources.EqualTo(a, v) =>
+        tupleVal(e, a).forall(_ == String.valueOf(v))
+      case org.apache.spark.sql.sources.In(a, vs) =>
+        tupleVal(e, a).forall(tv => vs.exists(v => tv == String.valueOf(v)))
+      case _ => true
+    }
+    val surviving = data.filter(e =>
+      statKeep.forall(_.contains(e.path)) && tupleSurvives(e))
+    // per-tuple sizing: manifest sums where known, the stats-file rollup
+    // where not; a tuple neither can size poisons the whole estimate
+    val specFields = cat.partitionSpec(table).map(_.name)
+    lazy val rollup: Option[Map[Seq[String], (Long, Long)]] =
+      cat.partitionStatsRollup(SparkSession.active, table, asOf)
+    val sized: Option[(Long, Long)] = // (rows, bytes) or None = unknown
+      if (surviving.forall(e => e.sizeBytes >= 0 && e.recordCount >= 0))
+        Some((surviving.map(_.recordCount).sum, surviving.map(_.sizeBytes).sum))
+      else if (specFields.isEmpty) None
+      else surviving.groupBy(e =>
+        specFields.map(f => e.partitionVals.getOrElse(f, null)): Seq[String])
+        .foldLeft(Option((0L, 0L))) { case (acc, (tuple, es)) =>
+          acc.flatMap { case (r0, b0) =>
+            if (es.forall(e => e.sizeBytes >= 0 && e.recordCount >= 0))
+              Some((r0 + es.map(_.recordCount).sum, b0 + es.map(_.sizeBytes).sum))
+            else rollup.flatMap(_.get(tuple))
+              .map { case (r, b) => (r0 + r, b0 + b) }
+          }
+        }
     val hasDeletes = entries.exists(_.kind != "data")
     // per-column distinct counts from the recorded statistics file (the
     // Puffin NDV sketches — native ANALYZE or an import's adopted foreign
@@ -778,15 +827,19 @@ class GraftV1Scan(
     }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        if (data.nonEmpty && sizes.forall(_ >= 0L))
-          java.util.OptionalLong.of(math.max(1L, sizes.sum))
-        else java.util.OptionalLong.empty()
+        sized match {
+          case Some((_, bytes)) if data.nonEmpty =>
+            java.util.OptionalLong.of(math.max(1L, bytes))
+          case _ => java.util.OptionalLong.empty()
+        }
       // pending deletes suppress an unknown number of rows at read time;
       // the manifest sum would OVERCOUNT — report size only then
       override def numRows(): java.util.OptionalLong =
-        if (data.nonEmpty && !hasDeletes && counts.forall(_ >= 0L))
-          java.util.OptionalLong.of(counts.sum)
-        else java.util.OptionalLong.empty()
+        sized match {
+          case Some((rows, _)) if data.nonEmpty && !hasDeletes =>
+            java.util.OptionalLong.of(rows)
+          case _ => java.util.OptionalLong.empty()
+        }
       override def columnStats(): java.util.Map[
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =

@@ -1,0 +1,133 @@
+package graft.sources.dsv2
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.sources.GraftCatalog
+import org.apache.spark.sql.sources
+
+/** Statistics CONSUMED in planning (round-18):
+  *
+  *  - `estimateStatistics` is filter-aware: pushed conjuncts prune the
+  *    estimate through recorded bounds and identity partition tuples, so
+  *    a partition-filtered build side estimates at its post-prune size;
+  *  - unknown manifest counts (imported/REST files without record
+  *    counts) fall back per tuple to the partition-statistics rollup —
+  *    the estimate comes from the stats FILE, not a guess;
+  *  - theta-sketch NDVs served as V2 column stats flip a filtered dim
+  *    join to broadcast under CBO where it would otherwise sort-merge.
+  */
+class StatsPlanningSpec extends SparkSpec {
+
+  private def mount(root: String): String = {
+    val g = s"gsp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    g
+  }
+
+  private def estimate(
+      root: String, table: String, filters: Array[sources.Filter])
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val tbl = new GraftV2Table(root, table, asOf = None)
+    val b = tbl.newScanBuilder(
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap()))
+    if (filters.nonEmpty)
+      b.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownFilters]
+        .pushFilters(filters)
+    b.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+  }
+
+  test("filter-aware estimate prunes by identity partition tuples") {
+    val root = Files.createTempDirectory("graft-splan").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    // skew: s0 tiny, s1 large — a seg='s0' filter must shrink the estimate
+    spark.sql(s"INSERT INTO $g.t SELECT id, 's0' FROM range(0, 10)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, 's1' FROM range(0, 10000)")
+    val full = estimate(root, "t", Array.empty)
+    val pruned = estimate(root, "t",
+      Array(sources.EqualTo("seg", "s0")))
+    assert(full.numRows().isPresent && full.numRows().getAsLong == 10010L)
+    assert(pruned.numRows().isPresent && pruned.numRows().getAsLong == 10L,
+      s"identity-tuple pruning must keep only s0: ${pruned.numRows()}")
+    assert(pruned.sizeInBytes().getAsLong * 10 < full.sizeInBytes().getAsLong,
+      s"${pruned.sizeInBytes()} vs ${full.sizeInBytes()}")
+    // IN prunes the same way; a non-matching value keeps nothing extra
+    val in = estimate(root, "t",
+      Array(sources.In("seg", Array("s0", "nope"))))
+    assert(in.numRows().getAsLong == 10L)
+  }
+
+  test("unknown manifest counts estimate from the partition-stats rollup") {
+    val root = Files.createTempDirectory("graft-splan-roll").toString
+    val g = mount(root)
+    // t1: the "foreign" table whose data files and partition-statistics
+    // exist; t2 mounts the same files BY REFERENCE with unknown counts
+    // (the imported/REST-appended shape) plus the adopted stats pointer
+    spark.sql(s"CREATE TABLE $g.t1 (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $g.t1 SELECT id, concat('s', id % 4) " +
+      "FROM range(0, 2000)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t1')").collect()
+    val cat = new GraftCatalog(root)
+    val pref = cat.partitionStatistics("t1").get
+    spark.sql(s"CREATE TABLE $g.t2 (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    val files = cat.loadEntries("t1").filter(_.kind == "data").map(e =>
+      GraftCatalog.AddedFile(e.path)) // recordCount/sizeBytes = -1: unknown
+    cat.commitAppend("t2", files)
+    // without the rollup the estimate is POISONED (the old conservative
+    // behavior — never mis-broadcast an unbounded table)
+    val blind = estimate(root, "t2", Array.empty)
+    assert(!blind.sizeInBytes().isPresent && !blind.numRows().isPresent)
+    // adopt the stats pointer: the estimate now comes from the stats file
+    cat.adoptStatistics("t2", cat.currentSnapshotId("t2"), pref.path,
+      pref.fileSizeInBytes, pref.footerSizeInBytes, partition = true)
+    val sized = estimate(root, "t2", Array.empty)
+    assert(sized.numRows().isPresent && sized.numRows().getAsLong == 2000L,
+      s"rollup-backed rows: ${sized.numRows()}")
+    assert(sized.sizeInBytes().isPresent && sized.sizeInBytes().getAsLong > 0)
+    // and the filter-aware path composes: one tuple's rollup numbers
+    val one = estimate(root, "t2", Array(sources.EqualTo("seg", "s1")))
+    assert(one.numRows().isPresent && one.numRows().getAsLong == 500L,
+      s"per-tuple rollup rows: ${one.numRows()}")
+  }
+
+  test("served NDV flips a filtered dim join to broadcast under CBO") {
+    val root = Files.createTempDirectory("graft-splan-bhj").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.dim (k BIGINT, seg BIGINT, pad STRING)")
+    spark.sql(s"INSERT INTO $g.dim SELECT id, id % 2000, repeat('x', 200) " +
+      "FROM range(0, 20000)")
+    spark.sql(s"CREATE TABLE $g.fact (k BIGINT, v BIGINT)")
+    spark.sql(s"INSERT INTO $g.fact SELECT id % 20000, id FROM range(0, 100000)")
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (64 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def joinPlan() = spark.sql(
+        s"""SELECT f.v, d.pad FROM $g.fact f JOIN $g.dim d ON f.k = d.k
+           |WHERE d.seg = 7""".stripMargin).queryExecution.sparkPlan
+      def bhjCount(p: org.apache.spark.sql.execution.SparkPlan): Int =
+        p.collect { case b: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => b }.size
+      // no column stats yet: the filtered dim still estimates at full
+      // size (conservative selectivity 1.0) — both sides exceed the
+      // threshold, the join sort-merges
+      assert(bhjCount(joinPlan()) == 0,
+        s"without NDV stats the join must not broadcast:\n${joinPlan()}")
+      // ANALYZE records seg's NDV (~2000); CBO's equality selectivity
+      // 1/ndv shrinks the filtered dim under the threshold -> broadcast
+      spark.sql(s"CALL $g.system.compute_table_stats('dim')").collect()
+      val after = joinPlan()
+      assert(bhjCount(after) == 1,
+        s"NDV stats must flip the filtered dim to broadcast:\n$after")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+}
