@@ -138,7 +138,12 @@ object Bench {
     // round-17 gates (idle-box min-of-3 first recordings): q169 wide-type
     // import chain (fixture build + import + MoR scan), q170 ANALYZE
     // (one distributed NDV pass + Puffin write)
-    "q169" -> 1.11, "q170" -> 0.9)
+    "q169" -> 1.11, "q170" -> 0.9,
+    // round-18 gates (idle-box min-of-3 first recordings): q171 stats
+    // lifecycle (2 ANALYZEs + MoR delete + compaction + 2 sweeps — gate
+    // cost is the fixture lifecycle), q172 NDV broadcast flip (2 plans +
+    // the broadcast join itself)
+    "q171" -> 2.33, "q172" -> 1.43)
 
   /** The self-adjudication field: queries still over their threshold
     * whose deferred recording happened under a hot canary — i.e. values

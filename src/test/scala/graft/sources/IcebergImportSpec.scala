@@ -1077,6 +1077,46 @@ class IcebergImportSpec extends SparkSpec {
       assert(doc.contains(t), s"export must render $t: ${doc.take(600)}")
   }
 
+  test("timestamp_ns values round-trip import -> export -> re-import bit-exact") {
+    // the ns mapping is a LONG of nanos-from-epoch (lossless, SURVEY
+    // §1.2); this proves the DATA keeps sub-microsecond digits through
+    // the whole import -> export -> re-import cycle, not just the
+    // schema declaration
+    val dir = Files.createTempDirectory("graft-impns").toString
+    val base = 1700000000000000000L
+    val vals = Seq(base + 123L, base + 1999L, base + 456789L)
+    assert(vals.forall(_ % 1000 != 0), "fixture must exercise sub-us digits")
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("k", "tn").coalesce(1).write.parquet(s"$dir/stage")
+    val p = CompactionRunner.listParquet(s"$dir/stage").head
+    val mp = handChain(dir, Seq(IcebergManifest.ManifestEntry(
+      IcebergManifest.StatusAdded,
+      DataFileStats(p, Files.size(java.nio.file.Paths.get(p)), 3,
+        Map.empty, Map.empty, Map.empty),
+      sequenceNumber = 1)),
+      StructType(Seq(StructField("k", LongType), StructField("tn", LongType))),
+      """{"id":1,"name":"k","required":false,"type":"long"},
+        |{"id":2,"name":"tn","required":false,"type":"timestamp_ns"}"""
+        .stripMargin)
+    val root = Files.createTempDirectory("graft-impns-r").toString
+    val cat = new GraftCatalog(root)
+    cat.importTable("t", mp)
+    def tns(c: GraftCatalog): Seq[Long] =
+      c.scanTable(spark, "t").select("tn").collect().map(_.getLong(0)).toSeq.sorted
+    assert(tns(cat) == vals, "import must keep every ns digit")
+    assert(cat.currentSchema("t").exists(s =>
+      FieldIds.physicalOf(s("tn")).contains("timestamp_ns")))
+    val out = IcebergMetadataJson.export(cat, root, "t")
+    assert(Files.readString(out).contains("\"timestamp_ns\""))
+    val root2 = Files.createTempDirectory("graft-impns-r2").toString
+    val cat2 = new GraftCatalog(root2)
+    cat2.importTable("t", out.toString)
+    assert(tns(cat2) == vals,
+      "export -> re-import must preserve ns precision bit-exact")
+    assert(cat2.currentSchema("t").exists(s =>
+      FieldIds.physicalOf(s("tn")).contains("timestamp_ns")))
+  }
+
   test("uuid and fixed bounds encode/decode per the spec's byte layout") {
     // Appendix D: uuid serializes as 16 bytes big-endian
     val u = "f79c3e09-677c-4bbd-a479-3f349cb785e7"
