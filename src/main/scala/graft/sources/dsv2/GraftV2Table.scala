@@ -808,6 +808,48 @@ class GraftV1Scan(
     // blobs); newest-at-or-before the served snapshot, Iceberg's stale-
     // stats convention. Zero data IO: one cached footer parse.
     val ndv = cat.columnNdv(table, asOf)
+    // min/max/nullCount from the SURVIVING entries' recorded writer
+    // bounds — range-predicate selectivity (CBO interpolates inside
+    // [min,max]) and IsNull estimates, on top of the sketch NDVs.
+    // Numeric columns only (string bound ordering is collation-fraught);
+    // a column reports only when EVERY surviving entry carries a
+    // parseable bound — a partial min would silently misestimate.
+    def numVal(dt: org.apache.spark.sql.types.DataType, s: String): Option[Any] = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case IntegerType => s.toIntOption
+        case LongType => s.toLongOption
+        case ShortType => s.toShortOption
+        case ByteType => s.toByteOption
+        case DoubleType => s.toDoubleOption
+        case FloatType => s.toFloatOption
+        case _ => None
+      }
+    }
+    val tblSchema = cat.currentSchema(table).getOrElse(required)
+    def boundsOf(name: String): (Option[Any], Option[Any], Option[Long]) =
+      tblSchema.fields.find(_.name == name).map(_.dataType) match {
+        case None => (None, None, None)
+        case Some(dt) =>
+          val mins = surviving.map(_.stats.flatMap(_.colMins.get(name))
+            .flatMap(numVal(dt, _)))
+          val maxs = surviving.map(_.stats.flatMap(_.colMaxs.get(name))
+            .flatMap(numVal(dt, _)))
+          val nulls = surviving.map(_.stats.flatMap(_.nullCounts.get(name)))
+          def agg(vs: Seq[Option[Any]], takeMax: Boolean): Option[Any] =
+            if (vs.isEmpty || vs.exists(_.isEmpty)) None
+            else Some(vs.flatten.reduce { (a, b) =>
+              val c = (a, b) match {
+                case (x: Number, y: Number) =>
+                  x.doubleValue.compareTo(y.doubleValue)
+                case _ => 0
+              }
+              if ((c >= 0) == takeMax) a else b
+            })
+          (agg(mins, takeMax = false), agg(maxs, takeMax = true),
+            if (nulls.isEmpty || nulls.exists(_.isEmpty)) None
+            else Some(nulls.flatten.sum))
+      }
     val colStats: java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -815,13 +857,24 @@ class GraftV1Scan(
         org.apache.spark.sql.connector.expressions.NamedReference,
         org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
       ndv.foreach { case (name, n) =>
-        if (required.fieldNames.contains(name))
+        if (required.fieldNames.contains(name)) {
+          val (lo, hi, nulls) = boundsOf(name)
           m.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
               override def distinctCount(): java.util.OptionalLong =
                 java.util.OptionalLong.of(n)
+              override def min(): java.util.Optional[Object] =
+                lo.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+              override def max(): java.util.Optional[Object] =
+                hi.fold(java.util.Optional.empty[Object]())(v =>
+                  java.util.Optional.of(v.asInstanceOf[Object]))
+              override def nullCount(): java.util.OptionalLong =
+                nulls.fold(java.util.OptionalLong.empty())(
+                  java.util.OptionalLong.of)
             })
+        }
       }
       m
     }

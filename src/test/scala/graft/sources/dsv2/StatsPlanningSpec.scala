@@ -95,6 +95,36 @@ class StatsPlanningSpec extends SparkSpec {
       s"per-tuple rollup rows: ${one.numRows()}")
   }
 
+  test("entry bounds serve as min/max/nullCount column stats") {
+    val root = Files.createTempDirectory("graft-splan-minmax").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 5000)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    val st = estimate(root, "t", Array.empty)
+    import scala.jdk.CollectionConverters._
+    val byName = st.columnStats().asScala.map { case (ref, cs) =>
+      ref.fieldNames().mkString(".") -> cs
+    }
+    val kcs = byName("k")
+    assert(kcs.min().isPresent && kcs.min().get == 0L, kcs.min().toString)
+    assert(kcs.max().isPresent && kcs.max().get == 4999L, kcs.max().toString)
+    assert(kcs.nullCount().isPresent && kcs.nullCount().getAsLong == 0L)
+    // strings: no numeric range — min/max stay absent, NDV still serves
+    assert(!byName("v").min().isPresent && !byName("v").max().isPresent)
+    assert(byName("v").distinctCount().isPresent)
+    // a range-pruned estimate composes with the bounds: the filter-aware
+    // surviving set shrinks min/max too (post-prune range, not global)
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) " +
+      "FROM range(100000, 105000)")
+    val pruned = estimate(root, "t",
+      Array(sources.GreaterThanOrEqual("k", 100000L)))
+    val pk = pruned.columnStats().asScala
+      .find(_._1.fieldNames().mkString(".") == "k").get._2
+    assert(pk.min().isPresent && pk.min().get.asInstanceOf[Long] >= 100000L,
+      s"post-prune min must come from surviving files: ${pk.min()}")
+  }
+
   test("served NDV flips a filtered dim join to broadcast under CBO") {
     val root = Files.createTempDirectory("graft-splan-bhj").toString
     val g = mount(root)
