@@ -35,7 +35,9 @@ import graft.sources.dsv2.GraftSparkCatalog
   */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftPartitionFieldSql.parse(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftPartitionFieldSql.parse(sqlText)
+      .orElse(GraftAnalyzeSql.parse(sqlText, delegate))
+      .getOrElse(delegate.parsePlan(sqlText))
   override def parseExpression(s: String): Expression =
     delegate.parseExpression(s)
   override def parseTableIdentifier(s: String): TableIdentifier =
@@ -161,6 +163,70 @@ object GraftPartitionFieldSql {
     require(new GraftCatalog(gcat.catalogRoot).tables().contains(table),
       s"table $table does not exist in catalog '${gcat.name()}'")
     (gcat, table)
+  }
+}
+
+/** `ANALYZE TABLE cat.db.t COMPUTE STATISTICS [INCREMENTAL]` — the SQL
+  * spelling of [[GraftCatalog.computeTableStats]] (stock Spark REFUSES
+  * ANALYZE on V2 tables, so without this the only surfaces are CALL and
+  * REST). Unlike the ALTER grammar above, the plain spelling is ALSO
+  * valid stock SQL on session-catalog tables — so the command captures
+  * the DELEGATE's parse as a thunk and runs it whenever the resolved
+  * catalog is not a graft one: `ANALYZE TABLE hive_t COMPUTE STATISTICS`
+  * keeps working exactly as before. `INCREMENTAL` (an extension word no
+  * stock grammar accepts) requires a graft table and runs the delta
+  * union.
+  */
+object GraftAnalyzeSql {
+  private val Table = """((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)"""
+  private val AnalyzeRe =
+    s"""(?is)\\s*ANALYZE\\s+TABLE\\s+$Table\\s+COMPUTE\\s+STATISTICS(\\s+INCREMENTAL)?\\s*;?\\s*""".r
+
+  def parse(sqlText: String, delegate: ParserInterface): Option[LogicalPlan] =
+    sqlText match {
+      case AnalyzeRe(t, inc) =>
+        Some(GraftAnalyzeTableCommand(
+          nameParts(t),
+          incremental = inc != null,
+          fallback = () => delegate.parsePlan(sqlText)))
+      case _ => None
+    }
+
+  private[plans] def nameParts(ident: String): Seq[String] =
+    ident.split("""\.(?=(?:[^`]*`[^`]*`)*[^`]*$)""").toSeq
+      .map(_.stripPrefix("`").stripSuffix("`"))
+}
+
+final case class GraftAnalyzeTableCommand(
+    nameParts: Seq[String],
+    incremental: Boolean,
+    fallback: () => LogicalPlan)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cm = spark.sessionState.catalogManager
+    val isGraft = nameParts.length > 1 &&
+      cm.isCatalogRegistered(nameParts.head) &&
+      cm.catalog(nameParts.head).isInstanceOf[GraftSparkCatalog]
+    if (isGraft) {
+      val (gcat, table) = GraftPartitionFieldSql.resolveGraftTable(
+        spark, nameParts, "ANALYZE TABLE")
+      new GraftCatalog(gcat.catalogRoot)
+        .computeTableStats(spark, table, incremental)
+      Nil
+    } else if (incremental)
+      throw new UnsupportedOperationException(
+        "ANALYZE TABLE ... COMPUTE STATISTICS INCREMENTAL requires a " +
+          "graft catalog table; stock ANALYZE has no incremental mode")
+    else {
+      // not ours: execute the delegate's own parse of the SAME statement
+      // (stock ANALYZE on session-catalog tables keeps working) —
+      // executedPlan forces the eager command execution chain
+      spark.sessionState.executePlan(fallback()).executedPlan.executeCollect()
+      Nil
+    }
   }
 }
 

@@ -38,9 +38,17 @@ final class CompactionScheduler(
 
   private val sweepCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** One full sweep. With `refreshStats` the sweep also scores
+    * re-ANALYZE debt alongside the compaction debts and appends
+    * [[statsSweep]]'s outcomes — one call runs the whole maintenance
+    * loop (compaction retires deletes, which STALES any recorded
+    * sketches; sweeping statistics after compaction repairs them in the
+    * same pass).
+    */
   def sweep(
       spark: SparkSession,
-      config: CompactionConfig = CompactionConfig())
+      config: CompactionConfig = CompactionConfig(),
+      refreshStats: Boolean = false)
       : Seq[CompactionScheduler.Outcome] = {
     val sweepId = sweepCounter.incrementAndGet()
     val scored = catalog.tables()
@@ -83,9 +91,11 @@ final class CompactionScheduler(
           }
         }
       }
-      scala.concurrent.Await.result(
+      val compacted = scala.concurrent.Await.result(
         scala.concurrent.Future.sequence(futures),
         scala.concurrent.duration.Duration.Inf)
+      if (refreshStats) compacted ++ statsSweep(spark, minAppendedFiles)
+      else compacted
     } finally pool.shutdown()
   }
 

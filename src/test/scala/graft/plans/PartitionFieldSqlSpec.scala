@@ -269,4 +269,41 @@ class PartitionFieldSqlSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $g.t WRITE UNORDERED")
     assert(cat.sortOrder("t").isEmpty)
   }
+
+  test("ANALYZE TABLE SQL runs computeTableStats; stock tables delegate") {
+    val root = java.nio.file.Files.createTempDirectory("graft-analyzesql").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(0, 400)")
+    spark.sql(s"ANALYZE TABLE $g.t COMPUTE STATISTICS")
+    val cat = new graft.sources.GraftCatalog(root)
+    assert(cat.columnNdv("t").get("k").exists(n => math.abs(n - 400) <= 40))
+    assert(!cat.statsStale("t"))
+    // the INCREMENTAL extension word runs the delta union
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('v', id) FROM range(400, 900)")
+    spark.sql(s"ANALYZE TABLE $g.t COMPUTE STATISTICS INCREMENTAL")
+    assert(cat.columnNdv("t").get("k").exists(n => math.abs(n - 900) <= 90))
+    // a SESSION-catalog table keeps stock ANALYZE semantics (the command
+    // re-executes the delegate's parse — the one extension grammar whose
+    // plain spelling is also valid stock SQL)
+    val loc = java.nio.file.Files.createTempDirectory("graft-analyzesql-v1")
+    spark.sql("CREATE TABLE spark_catalog.default.ganalyze_plain (k BIGINT) " +
+      s"USING parquet LOCATION '$loc'")
+    try {
+      spark.sql("INSERT INTO spark_catalog.default.ganalyze_plain " +
+        "SELECT id FROM range(0, 25)")
+      spark.sql("ANALYZE TABLE spark_catalog.default.ganalyze_plain " +
+        "COMPUTE STATISTICS")
+      val desc = spark.sql("DESCRIBE TABLE EXTENDED " +
+        "spark_catalog.default.ganalyze_plain").collect()
+        .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString("\n")
+      assert(desc.contains("25 rows") || desc.contains("Statistics"),
+        s"stock ANALYZE must still record stats:\n$desc")
+      // ...but INCREMENTAL is graft-only and refuses loudly there
+      val e = intercept[UnsupportedOperationException](spark.sql(
+        "ANALYZE TABLE spark_catalog.default.ganalyze_plain " +
+          "COMPUTE STATISTICS INCREMENTAL"))
+      assert(e.getMessage.contains("graft"), e.getMessage)
+    } finally spark.sql("DROP TABLE IF EXISTS spark_catalog.default.ganalyze_plain")
+  }
 }

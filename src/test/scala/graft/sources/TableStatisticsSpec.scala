@@ -340,6 +340,12 @@ class TableStatisticsSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE $g.virgin (k BIGINT)")
     spark.sql(s"INSERT INTO $g.virgin SELECT id FROM range(0, 10)")
     assert(!sched.statsSweep(spark).exists(_.table == "virgin"))
+    // one-call maintenance: sweep(refreshStats = true) appends the
+    // statistics pass to the compaction outcomes
+    val all = sched.sweep(spark, refreshStats = true)
+    assert(all.exists(o => o.table == "t" &&
+      Set("stats_fresh", "stats_refreshed", "re_analyzed")(o.outcome)),
+      all.toString)
   }
 
   test("REST statistics endpoint runs ANALYZE with mode and staleness") {
