@@ -207,9 +207,12 @@ final case class GraftAnalyzeTableCommand(
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cm = spark.sessionState.catalogManager
-    val isGraft = nameParts.length > 1 &&
-      cm.isCatalogRegistered(nameParts.head) &&
-      cm.catalog(nameParts.head).isInstanceOf[GraftSparkCatalog]
+    val isGraft =
+      (nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head) &&
+        cm.catalog(nameParts.head).isInstanceOf[GraftSparkCatalog]) ||
+        // a bare table name under a graft CURRENT catalog is ours too
+        (!(nameParts.length > 1 && cm.isCatalogRegistered(nameParts.head)) &&
+          cm.currentCatalog.isInstanceOf[GraftSparkCatalog])
     if (isGraft) {
       val (gcat, table) = GraftPartitionFieldSql.resolveGraftTable(
         spark, nameParts, "ANALYZE TABLE")

@@ -3839,11 +3839,40 @@ final class GraftCatalog(root: String,
             es.count(_.kind == "data").toLong,
             es.count(_.kind != "data").toLong)
         }.toDF("table_name", "current_snapshot_id", "data_files", "delete_files")
+      case "statistics" =>
+        // the statistics-lifecycle inspection surface: every recorded
+        // pointer of both kinds, plus the LIVE ones' staleness — what an
+        // operator checks before trusting an estimate or scheduling a
+        // re-analyze. Metadata-only (pointer files + one churn diff).
+        val head = currentSnapshotId(table)
+        val churn = statsChurn(table)
+        def rows(partition: Boolean) =
+          statisticsFiles(table, partition).map { ref =>
+            val live = (if (partition) partitionStatistics(table)
+                        else tableStatistics(table)).map(_.path)
+            (if (partition) "partition" else "column",
+              ref.snapshotId, ref.path, opt(ref.fileSizeInBytes),
+              live.contains(ref.path),
+              // staleness is a property of the LIVE pointer: column
+              // sketches stale per the theta rule (statsChurn — removed
+              // rows only), the partition rollup on ANY entry movement
+              // (its counts shift on adds too)
+              if (!live.contains(ref.path)) None
+              else if (partition) Some(ref.snapshotId != head)
+              else Some(churn.exists(_.stale)),
+              if (live.contains(ref.path) && !partition)
+                churn.map(c => c.addedDataFiles.toLong) else None)
+          }
+        (rows(partition = false) ++ rows(partition = true))
+          .toDF("type", "snapshot_id", "path", "file_size", "is_current",
+            "stale", "files_behind")
+          .withColumn("head_snapshot_id",
+            org.apache.spark.sql.functions.lit(head))
       case other =>
         throw GraftError.Metadata(
           s"unknown metadata table '$other' (files|partitions|snapshots|" +
-            "history|refs; the catalog-wide 'tables' listing is " +
-            "graft_tables(root))")
+            "history|refs|statistics; the catalog-wide 'tables' listing " +
+            "is graft_tables(root))")
     }
   }
 

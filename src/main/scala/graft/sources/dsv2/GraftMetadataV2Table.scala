@@ -55,5 +55,6 @@ private[dsv2] object GraftMetadataV2Table {
   /** The metadata views servable per table (the catalog-level `tables`
     * listing stays a TVF — it has no parent table to hang off).
     */
-  val Kinds: Set[String] = Set("files", "partitions", "snapshots", "history", "refs")
+  val Kinds: Set[String] =
+    Set("files", "partitions", "snapshots", "history", "refs", "statistics")
 }

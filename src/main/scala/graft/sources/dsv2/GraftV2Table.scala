@@ -766,19 +766,35 @@ class GraftV1Scan(
     val data = entries.filter(_.kind == "data")
     // stats-bounds pruning (numeric conjuncts over recorded min/max)
     val statKeep: Option[Set[String]] = PinnedPrune.keep(filters, entries)
-    // identity-partition tuple pruning (string-exact, any type):
-    // EqualTo/In on an identity-transformed source column rules out
-    // every file whose recorded tuple value differs
+    // identity-partition tuple pruning: EqualTo/In on an identity-
+    // transformed source column rules out every file whose recorded
+    // tuple value differs. ONLY for string/integral/boolean sources —
+    // their String.valueOf rendering provably matches the catalog's
+    // recorded tuple strings; date/timestamp/decimal identity values
+    // render differently per dialect, and a false exclusion here would
+    // UNDERESTIMATE (the scan returns rows the estimate dropped),
+    // risking a mis-broadcast. Excluded types simply don't tuple-prune
+    // the estimate (bounds pruning may still apply).
+    val stableRender: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(StringType, IntegerType, LongType, ShortType, ByteType, BooleanType)
+    }
+    val schemaTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      cat.currentSchema(table).map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
     val identField: Map[String, String] = cat.partitionSpec(table)
-      .filter(_.transform == "identity").map(f => f.source -> f.name).toMap
+      .filter(f => f.transform == "identity" &&
+        schemaTypes.get(f.source).exists(stableRender))
+      .map(f => f.source -> f.name).toMap
     def tupleVal(e: cat.TableEntry, column: String): Option[String] =
       identField.get(column).flatMap(n => e.partitionVals.get(n))
         .filter(_ != null)
     def tupleSurvives(e: cat.TableEntry): Boolean = filters.forall {
-      case org.apache.spark.sql.sources.EqualTo(a, v) =>
+      case org.apache.spark.sql.sources.EqualTo(a, v) if v != null =>
         tupleVal(e, a).forall(_ == String.valueOf(v))
       case org.apache.spark.sql.sources.In(a, vs) =>
-        tupleVal(e, a).forall(tv => vs.exists(v => tv == String.valueOf(v)))
+        tupleVal(e, a).forall(tv =>
+          vs.exists(v => v != null && tv == String.valueOf(v)))
       case _ => true
     }
     val surviving = data.filter(e =>

@@ -393,6 +393,29 @@ class TableStatisticsSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("the statistics metadata table reports pointers and staleness") {
+    val root = Files.createTempDirectory("graft-stats-meta").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $g.t SELECT id, concat('s', id % 2) FROM range(0, 100)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    def rows() = spark.sql(s"SELECT type, is_current, stale FROM $g.t.statistics")
+      .collect().map(r => (r.getString(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getBoolean(2)))).toSet
+    assert(rows() == Set(("column", true, Some(false)),
+      ("partition", true, Some(false))), rows().toString)
+    // a delete stales BOTH live pointers (theta rule for the sketches,
+    // any-entry-movement for the partition rollup)
+    spark.sql(s"DELETE FROM $g.t WHERE k < 10")
+    assert(rows() == Set(("column", true, Some(true)),
+      ("partition", true, Some(true))), rows().toString)
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    val all = spark.sql(s"SELECT is_current FROM $g.t.statistics WHERE " +
+      "type = 'column'").collect().map(_.getBoolean(0)).toSeq
+    assert(all.count(identity) == 1 && all.size == 2,
+      s"old pointer retained, one live: $all")
+  }
+
   test("re-analyze replaces the sketch; stale stats serve for later snapshots") {
     val root = Files.createTempDirectory("graft-stats-re").toString
     val g = mount(root)
