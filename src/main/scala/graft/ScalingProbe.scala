@@ -986,8 +986,6 @@ object ScalingProbe {
     locally {
       import graft.sources.GraftCatalog
       val gname = "gscaleprobe_stats"
-      spark.conf.set(s"spark.sql.catalog.$gname",
-        "graft.sources.dsv2.GraftSparkCatalog")
       // (1) churn-check wall vs synthetic entry count (no data IO at all)
       val churnRows = Seq(64, 256, 1024).map { n =>
         val dir = s"/tmp/graft_scale_churn_$n"

@@ -119,7 +119,7 @@ final class CompactionScheduler(
     catalog.tables().filterNot(_.contains("@")).sorted.flatMap { table =>
       catalog.statsChurn(table).map { churn =>
         val fullDebt = churn.removedDataFiles + churn.addedDeleteFiles +
-          (if (churn.baseExpired) 1 else 0)
+          churn.removedDeleteFiles + (if (churn.baseExpired) 1 else 0)
         try {
           if (churn.stale) {
             catalog.computeTableStats(spark, table, incremental = false)

@@ -1026,16 +1026,27 @@ final class GraftCatalog(root: String,
     // deleted AFTER the pointer swap so a stale cross-process reader
     // fails cleanly (FileNotFound -> "no stats") instead of decoding
     // garbage. Millis never repeat after a delete unless the clock runs
-    // backwards, so a freed path is never reused.
-    val priorGenFiles: Seq[java.nio.file.Path] = {
+    // backwards, so a freed path is never reused. The pointer swap and
+    // generation sweep run under the table lock: two same-process
+    // ANALYZEs otherwise interleave list/write/sweep and one can delete
+    // the generation the other's pointer just published (the distributed
+    // sketch pass above stays OUTSIDE the lock — only the metadata tail
+    // serializes).
+    withTableLock(table) {
+    // superseded generations of one stats kind (+ the legacy un-suffixed
+    // name) — shared by the Puffin and partition-stats sweeps so the two
+    // listings cannot drift
+    def generations(prefix: String, legacy: String, ext: String)
+        : Seq[java.nio.file.Path] = {
       val stream = Files.list(tableDir(table))
       try stream.iterator().asScala.filter { p =>
         val n = p.getFileName.toString
-        (n.startsWith(s"stats-$head-") || n == s"stats-$head.puffin") &&
-          n.endsWith(".puffin")
+        (n.startsWith(prefix) || n == legacy) && n.endsWith(ext)
       }.toSeq
       finally stream.close()
     }
+    val priorGenFiles: Seq[java.nio.file.Path] =
+      generations(s"stats-$head-", s"stats-$head.puffin", ".puffin")
     val gen = Iterator.iterate(System.currentTimeMillis())(_ + 1).find(g =>
       !Files.exists(tableDir(table).resolve(s"stats-$head-$g.puffin"))).get
     val statsPath = tableDir(table).resolve(s"stats-$head-$gen.puffin").toString
@@ -1107,6 +1118,14 @@ final class GraftCatalog(root: String,
       val rows = dataEntries
         .groupBy(e => specFields.map(f => e.partitionVals.getOrElse(f, null)))
         .toSeq.sortBy(_._1.mkString(""))
+        // a tuple with ANY unknown manifest count would roll up as a
+        // zero-clamped lie — estimateStatistics substitutes these numbers
+        // as CONFIDENT estimates, so a fake 0 could mis-broadcast an
+        // unbounded table. Omit the tuple instead: lookups miss and the
+        // estimate poisons to unknown, the conservative direction.
+        .filter { case (_, es) =>
+          es.forall(e => e.recordCount >= 0 && e.sizeBytes >= 0)
+        }
         .map { case (tuple, es) =>
           val typed = specFields.zip(tuple).map { case (f, v) =>
             if (v == null) null
@@ -1117,11 +1136,11 @@ final class GraftCatalog(root: String,
             // matches the exported metadata.json, which renders the
             // current spec as default-spec-id 0
             0,
-            es.map(e => math.max(0L, e.recordCount)).sum,
+            es.map(_.recordCount).sum,
             es.size,
-            es.map(e => math.max(0L, e.sizeBytes)).sum,
+            es.map(_.sizeBytes).sum,
             0L, 0, 0L, 0,
-            es.map(e => math.max(0L, e.recordCount)).sum,
+            es.map(_.recordCount).sum,
             null, head)
         }
       val tmpDir = tableDir(table).resolve(s".pstats-$head-tmp").toString
@@ -1131,15 +1150,9 @@ final class GraftCatalog(root: String,
       val part = CompactionRunner.listParquet(tmpDir).head
       // same write-once discipline as the Puffin file: re-analysis at an
       // unchanged head writes a NEW generation, never rewrites in place
-      val priorP: Seq[java.nio.file.Path] = {
-        val stream = Files.list(tableDir(table))
-        try stream.iterator().asScala.filter { p =>
-          val n = p.getFileName.toString
-          (n.startsWith(s"partition-stats-$head-") ||
-            n == s"partition-stats-$head.parquet") && n.endsWith(".parquet")
-        }.toSeq
-        finally stream.close()
-      }
+      val priorP: Seq[java.nio.file.Path] = generations(
+        s"partition-stats-$head-", s"partition-stats-$head.parquet",
+        ".parquet")
       val pPath = tableDir(table).resolve(s"partition-stats-$head-$gen.parquet")
       Files.move(java.nio.file.Paths.get(
         part.stripPrefix("file://").stripPrefix("file:")), pPath)
@@ -1151,9 +1164,12 @@ final class GraftCatalog(root: String,
       Files.deleteIfExists(java.nio.file.Paths.get(tmpDir))
       writeStatsPointer(pstatsPointerPath(table, head), head,
         pPath.toString, Files.size(pPath), -1L)
-      priorP.foreach(p =>
-        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () })
+      priorP.foreach { p =>
+        GraftCatalog.pstatsRollupCache.remove(p.toString)
+        try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
+      }
     }
+    } // withTableLock
     ndvs.toMap
   }
 
@@ -3846,10 +3862,12 @@ final class GraftCatalog(root: String,
         // re-analyze. Metadata-only (pointer files + one churn diff).
         val head = currentSnapshotId(table)
         val churn = statsChurn(table)
-        def rows(partition: Boolean) =
+        def rows(partition: Boolean) = {
+          // ONE live-pointer lookup per kind (newestPointer lists the
+          // table dir), not one per recorded row
+          val live = (if (partition) partitionStatistics(table)
+                      else tableStatistics(table)).map(_.path)
           statisticsFiles(table, partition).map { ref =>
-            val live = (if (partition) partitionStatistics(table)
-                        else tableStatistics(table)).map(_.path)
             (if (partition) "partition" else "column",
               ref.snapshotId, ref.path, opt(ref.fileSizeInBytes),
               live.contains(ref.path),
@@ -3863,6 +3881,7 @@ final class GraftCatalog(root: String,
               if (live.contains(ref.path) && !partition)
                 churn.map(c => c.addedDataFiles.toLong) else None)
           }
+        }
         (rows(partition = false) ++ rows(partition = true))
           .toDF("type", "snapshot_id", "path", "file_size", "is_current",
             "stale", "files_behind")
@@ -5006,23 +5025,28 @@ final class GraftCatalog(root: String,
     tableStatistics(table).map { ref =>
       val head = currentSnapshotId(table)
       if (ref.snapshotId == head)
-        GraftCatalog.StatsChurn(ref.snapshotId, 0, 0, 0, baseExpired = false)
+        GraftCatalog.StatsChurn(ref.snapshotId, 0, 0, 0, 0, baseExpired = false)
       else try {
         val before = loadEntriesAt(table, ref.snapshotId)
         val now = loadEntries(table)
         val beforeData = before.filter(_.kind == "data").map(_.path).toSet
         val nowData = now.filter(_.kind == "data").map(_.path).toSet
         val beforeDel = before.filter(_.kind != "data").map(_.path).toSet
+        val nowDel = now.filter(_.kind != "data").map(_.path).toSet
         GraftCatalog.StatsChurn(
           ref.snapshotId,
           removedDataFiles = (beforeData -- nowData).size,
-          addedDeleteFiles =
-            now.count(e => e.kind != "data" && !beforeDel(e.path)),
+          addedDeleteFiles = (nowDel -- beforeDel).size,
+          // a delete file REMOVED without its data files changing is a
+          // rollback or delete-retraction: the suppressed rows came BACK,
+          // so the sketches are stale-LOW — as re-analyze-worthy as
+          // stale-high
+          removedDeleteFiles = (beforeDel -- nowDel).size,
           addedDataFiles = (nowData -- beforeData).size,
           baseExpired = false)
       } catch {
         case _: Exception =>
-          GraftCatalog.StatsChurn(ref.snapshotId, 0, 0, 0, baseExpired = true)
+          GraftCatalog.StatsChurn(ref.snapshotId, 0, 0, 0, 0, baseExpired = true)
       }
     }
 
@@ -5040,7 +5064,8 @@ final class GraftCatalog(root: String,
     */
   def analyzeDebt(table: String): Int =
     statsChurn(table).map(c =>
-      c.removedDataFiles + c.addedDeleteFiles + (if (c.baseExpired) 1 else 0))
+      c.removedDataFiles + c.addedDeleteFiles + c.removedDeleteFiles +
+        (if (c.baseExpired) 1 else 0))
       .getOrElse(0)
 
   /** All tables in this catalog (any directory with a registered head) —
@@ -5494,10 +5519,12 @@ object GraftCatalog {
       statsSnapshotId: Long,
       removedDataFiles: Int,
       addedDeleteFiles: Int,
+      removedDeleteFiles: Int,
       addedDataFiles: Int,
       baseExpired: Boolean) {
     def stale: Boolean =
-      removedDataFiles > 0 || addedDeleteFiles > 0 || baseExpired
+      removedDataFiles > 0 || addedDeleteFiles > 0 ||
+        removedDeleteFiles > 0 || baseExpired
   }
 
   final case class AddedFile(

@@ -800,24 +800,48 @@ class GraftV1Scan(
     val surviving = data.filter(e =>
       statKeep.forall(_.contains(e.path)) && tupleSurvives(e))
     // per-tuple sizing: manifest sums where known, the stats-file rollup
-    // where not; a tuple neither can size poisons the whole estimate
-    val specFields = cat.partitionSpec(table).map(_.name)
+    // where not; a tuple neither can size poisons that DIMENSION of the
+    // estimate. Rows and bytes size INDEPENDENTLY — a file with a known
+    // size but an unknown record count (REST-appended externals) must
+    // keep serving sizeInBytes exactly as it did before the rollup
+    // fallback existed.
+    val specDefs = cat.partitionSpec(table)
+    val specFields = specDefs.map(_.name)
     lazy val rollup: Option[Map[Seq[String], (Long, Long)]] =
       cat.partitionStatsRollup(SparkSession.active, table, asOf)
-    val sized: Option[(Long, Long)] = // (rows, bytes) or None = unknown
-      if (surviving.forall(e => e.sizeBytes >= 0 && e.recordCount >= 0))
-        Some((surviving.map(_.recordCount).sum, surviving.map(_.sizeBytes).sum))
+    // canonical rollup key: catalog tuple strings parse as the
+    // transform's RESULT type and render in ONE fixed form (epoch-day
+    // ordinals for dates) — the same form partitionStatsRollup renders
+    // the typed parquet values in — so an identity-date tuple recorded
+    // as '2024-01-15' keys identically to the rollup's Date slot.
+    val slotTypeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      specDefs.map { d =>
+        d.name -> graft.sources.IcebergManifest
+          .resultType(d.transform, schemaTypes.getOrElse(d.source,
+            org.apache.spark.sql.types.StringType))
+          .getOrElse(org.apache.spark.sql.types.StringType)
+      }.toMap
+    def rollupKey(tuple: Seq[String]): Seq[String] =
+      specFields.zip(tuple).map { case (f, raw) =>
+        if (raw == null) null
+        else graft.sources.IcebergManifest.slotValue(slotTypeOf(f), raw)
+          .map(String.valueOf(_)).getOrElse(raw)
+      }
+    def estimateOf(
+        get: cat.TableEntry => Long,
+        fromRollup: ((Long, Long)) => Long): Option[Long] =
+      if (surviving.forall(get(_) >= 0)) Some(surviving.map(get).sum)
       else if (specFields.isEmpty) None
       else surviving.groupBy(e =>
         specFields.map(f => e.partitionVals.getOrElse(f, null)): Seq[String])
-        .foldLeft(Option((0L, 0L))) { case (acc, (tuple, es)) =>
-          acc.flatMap { case (r0, b0) =>
-            if (es.forall(e => e.sizeBytes >= 0 && e.recordCount >= 0))
-              Some((r0 + es.map(_.recordCount).sum, b0 + es.map(_.sizeBytes).sum))
-            else rollup.flatMap(_.get(tuple))
-              .map { case (r, b) => (r0 + r, b0 + b) }
+        .foldLeft(Option(0L)) { case (acc, (tuple, es)) =>
+          acc.flatMap { t =>
+            if (es.forall(get(_) >= 0)) Some(t + es.map(get).sum)
+            else rollup.flatMap(_.get(rollupKey(tuple))).map(t + fromRollup(_))
           }
         }
+    val rowsEst: Option[Long] = estimateOf(_.recordCount, _._1)
+    val bytesEst: Option[Long] = estimateOf(_.sizeBytes, _._2)
     val hasDeletes = entries.exists(_.kind != "data")
     // per-column distinct counts from the recorded statistics file (the
     // Puffin NDV sketches — native ANALYZE or an import's adopted foreign
@@ -830,6 +854,11 @@ class GraftV1Scan(
     // Numeric columns only (string bound ordering is collation-fraught);
     // a column reports only when EVERY surviving entry carries a
     // parseable bound — a partial min would silently misestimate.
+    // numVal deliberately does NOT reuse IcebergManifest.slotValue: the
+    // planner needs the attribute's EXTERNAL JVM type (Short for a
+    // ShortType column — catalyst ColumnStat values), while slotValue
+    // yields Avro SLOT types (Int for short/byte, epoch-day Int for
+    // dates).
     def numVal(dt: org.apache.spark.sql.types.DataType, s: String): Option[Any] = {
       import org.apache.spark.sql.types._
       dt match {
@@ -896,16 +925,16 @@ class GraftV1Scan(
     }
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
-        sized match {
-          case Some((_, bytes)) if data.nonEmpty =>
+        bytesEst match {
+          case Some(bytes) if data.nonEmpty =>
             java.util.OptionalLong.of(math.max(1L, bytes))
           case _ => java.util.OptionalLong.empty()
         }
       // pending deletes suppress an unknown number of rows at read time;
       // the manifest sum would OVERCOUNT — report size only then
       override def numRows(): java.util.OptionalLong =
-        sized match {
-          case Some((rows, _)) if data.nonEmpty && !hasDeletes =>
+        rowsEst match {
+          case Some(rows) if data.nonEmpty && !hasDeletes =>
             java.util.OptionalLong.of(rows)
           case _ => java.util.OptionalLong.empty()
         }

@@ -664,9 +664,17 @@ object RestCatalogServer {
           s""""statistics-path":${ref.map(r => q(r.path)).getOrElse("null")},""" +
           s""""stale":${catalog.statsStale(table)}}""")
     } catch {
-      case e: Exception =>
+      // client faults (bad table state the caller can fix) stay 400;
+      // anything else is a SERVER fault and must say so — automated
+      // clients retry 5xx, never 4xx
+      case e @ (_: IllegalArgumentException | _: GraftError) =>
         badRequest("analyze failed: " +
           Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+      case e: Exception =>
+        HttpResponseStatus.INTERNAL_SERVER_ERROR ->
+          errorJson("analyze failed: " +
+            Option(e.getMessage).getOrElse(e.getClass.getSimpleName),
+            "InternalServerError", 500)
     }
   }
 

@@ -393,6 +393,32 @@ class TableStatisticsSpec extends SparkSpec {
     } finally server.close()
   }
 
+  test("a rollback that removes delete files re-stales the stats (stale-LOW)") {
+    // sketches are computed from the MoR scan (deletes applied); a
+    // rollback that RETRACTS a delete file brings the suppressed rows
+    // back, so the recorded NDVs are now stale-LOW — as re-analyze-worthy
+    // as stale-high, and previously invisible to the churn diff
+    val root = Files.createTempDirectory("graft-stats-rb").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (k BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $g.t SELECT id FROM range(0, 100)")
+    val cat = new GraftCatalog(root)
+    val beforeDelete = cat.currentSnapshotId("t")
+    spark.sql(s"DELETE FROM $g.t WHERE k % 7 = 3")
+    spark.sql(s"CALL $g.system.compute_table_stats('t')").collect()
+    assert(!cat.statsStale("t"))
+    val ndvPostDelete = cat.columnNdv("t")("k")
+    assert(ndvPostDelete < 100, s"sketch must exclude deleted rows: $ndvPostDelete")
+    cat.rollbackTo("t", beforeDelete)
+    assert(cat.statsStale("t"),
+      "retracted delete files must mark the sketches stale")
+    assert(cat.statsChurn("t").exists(_.removedDeleteFiles > 0))
+    val swept = new CompactionScheduler(cat, s"$root/_sweep").statsSweep(spark)
+    assert(swept.exists(o => o.table == "t" && o.outcome == "re_analyzed"))
+    assert(cat.columnNdv("t").get("k").exists(n => math.abs(n - 100) <= 10))
+  }
+
   test("the statistics metadata table reports pointers and staleness") {
     val root = Files.createTempDirectory("graft-stats-meta").toString
     val g = mount(root)

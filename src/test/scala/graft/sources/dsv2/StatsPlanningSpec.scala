@@ -95,6 +95,65 @@ class StatsPlanningSpec extends SparkSpec {
       s"per-tuple rollup rows: ${one.numRows()}")
   }
 
+  test("rows and bytes estimate independently; rollups never fabricate zeros") {
+    val root = Files.createTempDirectory("graft-splan-indep").toString
+    val g = mount(root)
+    // unpartitioned, file SIZES known but record counts unknown (the
+    // REST-appended-external shape): sizeInBytes must keep serving (the
+    // pre-r18 behavior), numRows must stay honest-unknown
+    spark.sql(s"CREATE TABLE $g.u (k BIGINT)")
+    spark.sql(s"INSERT INTO $g.u SELECT id FROM range(0, 100)")
+    val cat = new GraftCatalog(root)
+    val staged = java.nio.file.Files.createTempDirectory("gsp-staged")
+    spark.range(50).selectExpr("id AS k").coalesce(1)
+      .write.mode("overwrite").parquet(staged.toString)
+    val p = graft.sources.CompactionRunner.listParquet(staged.toString).head
+    cat.commitAppend("u", Seq(GraftCatalog.AddedFile(p,
+      sizeBytes = java.nio.file.Files.size(java.nio.file.Paths.get(p)))))
+    val st = estimate(root, "u", Array.empty)
+    assert(st.sizeInBytes().isPresent && st.sizeInBytes().getAsLong > 0,
+      "known sizes must keep serving when only counts are unknown")
+    assert(!st.numRows().isPresent, "unknown counts must not fabricate rows")
+    // ...and an ANALYZE over unknown-count files must OMIT their tuples
+    // from the rollup rather than roll them up as zero — a fabricated
+    // 0-row estimate would mis-broadcast an unbounded table
+    spark.sql(s"CREATE TABLE $g.z (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $g.z SELECT id, 's0' FROM range(0, 100)")
+    val zfiles = cat.loadEntries("z").filter(_.kind == "data").map(_.path)
+    spark.sql(s"CREATE TABLE $g.z2 (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    cat.commitAppend("z2", zfiles.map(GraftCatalog.AddedFile(_)))
+    spark.sql(s"CALL $g.system.compute_table_stats('z2')").collect()
+    val z2 = estimate(root, "z2", Array.empty)
+    assert(!z2.numRows().isPresent && !z2.sizeInBytes().isPresent,
+      s"zero-fabricated rollup: ${z2.numRows()} / ${z2.sizeInBytes()}")
+  }
+
+  test("identity-date partitions key the rollup canonically") {
+    val root = Files.createTempDirectory("graft-splan-date").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.td (k BIGINT, d DATE) PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $g.td SELECT id, " +
+      "date_add(date'2024-01-01', CAST(id % 2 AS INT)) FROM range(0, 200)")
+    spark.sql(s"CALL $g.system.compute_table_stats('td')").collect()
+    val cat = new GraftCatalog(root)
+    // append an UNKNOWN-count file carrying the catalog's identity-date
+    // tuple rendering (Hive-layout dir); the rollup's typed Date slot
+    // must still match through the canonical key
+    val sd = Files.createTempDirectory("gsp-date-extra")
+    spark.range(10).selectExpr("id AS k").coalesce(1)
+      .write.parquet(s"$sd/d=2024-01-01")
+    val extra = graft.sources.CompactionRunner.listParquet(s"$sd/d=2024-01-01")
+    assert(extra.nonEmpty)
+    cat.commitAppend("td", extra.map(GraftCatalog.AddedFile(_)))
+    assert(cat.loadEntries("td").exists(e =>
+      e.recordCount < 0 && e.partitionVals.get("d").contains("2024-01-01")),
+      cat.loadEntries("td").map(e => (e.path, e.partitionVals)).toString)
+    val st = estimate(root, "td", Array.empty)
+    assert(st.numRows().isPresent,
+      "the rollup lookup must hit for identity-date tuples (canonical key)")
+    assert(st.numRows().getAsLong >= 200L - 110L, st.numRows().toString)
+  }
+
   test("entry bounds serve as min/max/nullCount column stats") {
     val root = Files.createTempDirectory("graft-splan-minmax").toString
     val g = mount(root)
