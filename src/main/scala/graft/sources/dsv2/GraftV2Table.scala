@@ -837,7 +837,13 @@ class GraftV1Scan(
         .foldLeft(Option(0L)) { case (acc, (tuple, es)) =>
           acc.flatMap { t =>
             if (es.forall(get(_) >= 0)) Some(t + es.map(get).sum)
-            else rollup.flatMap(_.get(rollupKey(tuple))).map(t + fromRollup(_))
+            else rollup.flatMap(_.get(rollupKey(tuple))).map { r =>
+              // the rollup snapshot may predate KNOWN files appended to
+              // this tuple since — both the known-file sum and the
+              // rollup are lower bounds on the tuple's true size, so
+              // take the larger (strictly tighter, never worse)
+              t + math.max(es.filter(get(_) >= 0).map(get).sum, fromRollup(r))
+            }
           }
         }
     val rowsEst: Option[Long] = estimateOf(_.recordCount, _._1)
