@@ -283,6 +283,10 @@ object Bench {
         hotAtRecord = c > 3 * canaryLevel
         val v = timeOne(name, fn)
         if (v >= 0) samples ::= v
+        // a stall can BEGIN mid-sample: re-probe after the measurement so
+        // a sample inflated by a stall that started during it is still
+        // named in stall_windows (either probe hot = stall-suspect)
+        hotAtRecord = hotAtRecord || canary() > 3 * canaryLevel
         attempts += 1
       }
       if (shouldRetry(best, recorded, retrySec) && hotAtRecord)

@@ -1818,7 +1818,67 @@ object MorQueries {
     spark.sql(q)
   }
 
+  /** q173 — EXACT row counts under pending position deletes (r19): a
+    * continuously-upserted MoR table (the reference's core workload,
+    * `datafusion_processor.rs:267-277`) previously lost its CBO row count
+    * the moment ANY delete was pending, even though pos-delete/DV
+    * cardinality is exact in the manifests. The gate ANALYZEs a dim,
+    * MoR-deletes half of it, then requires (a) the doorway estimate
+    * serves EXACTLY dataRows − posDeleteCardinality and (b) the
+    * NDV-driven broadcast decision SURVIVES the pending-delete state —
+    * the dim-filtered join still plans BHJ under CBO. The returned rows
+    * are the join itself (plan-invariant; the deleted half is visible
+    * through the seg-IN filter picking one live and one deleted segment).
+    */
+  private def q173(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q173").toString
+    val g = s"g173_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.dim (k BIGINT, seg BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.sql(s"INSERT INTO $g.dim SELECT id, id % 2000 FROM range(0, 20000)")
+    spark.sql(s"CALL $g.system.compute_table_stats('dim')").collect()
+    spark.sql(s"DELETE FROM $g.dim WHERE seg >= 1000")
+    val cat = new graft.sources.GraftCatalog(root)
+    require(cat.loadEntries("dim").exists(_.kind == "posdel"),
+      "the delete must land merge-on-read (pending position deletes)")
+    val scanStats = new graft.sources.dsv2.GraftV2Table(root, "dim", asOf = None)
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+      .estimateStatistics()
+    require(scanStats.numRows.isPresent && scanStats.numRows.getAsLong == 10000L,
+      s"pending position deletes must serve the EXACT live row count " +
+        s"(10000), got ${scanStats.numRows}")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("q173_l")
+    val q =
+      s"""SELECT d.k AS k, count(*) AS cnt,
+         |CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
+         |FROM q173_l l JOIN $g.dim d ON l.l_orderkey % 20000 = d.k
+         |WHERE d.seg IN (7, 1500)
+         |GROUP BY d.k""".stripMargin
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (16 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val bhj = spark.sql(q).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+      require(bhj == 1,
+        "the exact post-delete row count plus the recorded NDV must keep " +
+          "the filtered dim join broadcast under pending deletes")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(q)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_delete_rowcount" -> (q173 _),
     "q171_stats_lifecycle" -> (q171 _),
     "q172_stats_planning" -> (q172 _),
     "q170_table_stats" -> (q170 _),
@@ -1894,6 +1954,15 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q173_delete_rowcount" ->
+      """SELECT d.k AS k, count(*) AS cnt,
+        |CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
+        |FROM lineitem l JOIN (
+        |  SELECT CAST(range AS BIGINT) AS k, CAST(range % 2000 AS BIGINT) AS seg
+        |  FROM range(0, 20000)) d
+        |ON l.l_orderkey % 20000 = d.k
+        |WHERE d.seg IN (7, 1500) AND d.seg < 1000
+        |GROUP BY d.k""".stripMargin,
     "q171_stats_lifecycle" ->
       """SELECT 'o_orderpriority' AS col,
         |       count(DISTINCT o_orderpriority) AS v

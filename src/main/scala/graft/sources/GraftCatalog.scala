@@ -858,6 +858,10 @@ final class GraftCatalog(root: String,
           def render(v: Any): String = v match {
             case null => null
             case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+            // with spark.sql.datetime.java8API.enabled the collect()
+            // returns LocalDate — render the same epoch-day ordinal or
+            // every date-keyed lookup silently misses
+            case d: java.time.LocalDate => d.toEpochDay.toString
             case x => String.valueOf(x)
           }
           val rows = spark.read.parquet(ref.path)

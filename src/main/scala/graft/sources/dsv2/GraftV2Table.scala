@@ -827,6 +827,22 @@ class GraftV1Scan(
         else graft.sources.IcebergManifest.slotValue(slotTypeOf(f), raw)
           .map(String.valueOf(_)).getOrElse(raw)
       }
+    // rollup STALENESS guard (r19): the rollup writer omits any tuple
+    // containing an unknown-count file, so when the fallback fires for a
+    // tuple its unknown files either (a) existed at the stats snapshot —
+    // an adopted-at-import stats file that covers them — or (b) postdate
+    // it, in which case the rollup is a stale lower bound that would be
+    // served as confident (the mis-broadcast hazard the poison-to-unknown
+    // default guards against). Trust the rollup ONLY when every
+    // unknown-count file of the tuple existed at the stats snapshot; an
+    // expired stats base is unprovable and poisons too.
+    lazy val statsSnapshotPaths: Option[Set[String]] =
+      cat.partitionStatistics(table, asOf).flatMap { ref =>
+        try Some(cat.loadEntriesAt(table, ref.snapshotId).iterator
+          .filter(_.kind == "data")
+          .map(e => graft.sources.CompactionRunner.canonKey(e.path)).toSet)
+        catch { case _: Exception => None }
+      }
     def estimateOf(
         get: cat.TableEntry => Long,
         fromRollup: ((Long, Long)) => Long): Option[Long] =
@@ -837,18 +853,38 @@ class GraftV1Scan(
         .foldLeft(Option(0L)) { case (acc, (tuple, es)) =>
           acc.flatMap { t =>
             if (es.forall(get(_) >= 0)) Some(t + es.map(get).sum)
-            else rollup.flatMap(_.get(rollupKey(tuple))).map { r =>
-              // the rollup snapshot may predate KNOWN files appended to
-              // this tuple since — both the known-file sum and the
-              // rollup are lower bounds on the tuple's true size, so
-              // take the larger (strictly tighter, never worse)
-              t + math.max(es.filter(get(_) >= 0).map(get).sum, fromRollup(r))
+            else {
+              val covered = statsSnapshotPaths.exists(paths =>
+                es.filter(get(_) < 0).forall(e =>
+                  paths(graft.sources.CompactionRunner.canonKey(e.path))))
+              if (!covered) None
+              else rollup.flatMap(_.get(rollupKey(tuple))).map { r =>
+                // the rollup snapshot may predate KNOWN files appended to
+                // this tuple since — both the known-file sum and the
+                // rollup are lower bounds on the tuple's true size, so
+                // take the larger (strictly tighter, never worse)
+                t + math.max(es.filter(get(_) >= 0).map(get).sum, fromRollup(r))
+              }
             }
           }
         }
     val rowsEst: Option[Long] = estimateOf(_.recordCount, _._1)
     val bytesEst: Option[Long] = estimateOf(_.sizeBytes, _._2)
     val hasDeletes = entries.exists(_.kind != "data")
+    // EXACT row counts under pending POSITION deletes (r19): pos-delete
+    // and DV cardinality is exact in the manifests (DV blob record
+    // counts, posdel record counts — stamped by every commit path), and
+    // delete writers only record positions of rows LIVE at write time
+    // (the MoR scan masks already-deleted rows before a new delete is
+    // computed), so no (path, pos) repeats across pending files and the
+    // live row count is exactly dataRows − posCardinality. Eq-deletes
+    // stay conservative — their suppressed-row count needs the key join.
+    val posExact: Option[Long] = {
+      val pos = entries.filter(_.kind == "posdel")
+      if (entries.exists(_.kind == "eqdel") || pos.exists(_.recordCount < 0L))
+        None
+      else Some(pos.map(_.recordCount).sum)
+    }
     // per-column distinct counts from the recorded statistics file (the
     // Puffin NDV sketches — native ANALYZE or an import's adopted foreign
     // blobs); newest-at-or-before the served snapshot, Iceberg's stale-
@@ -891,6 +927,11 @@ class GraftV1Scan(
             if (vs.isEmpty || vs.exists(_.isEmpty)) None
             else Some(vs.flatten.reduce { (a, b) =>
               val c = (a, b) match {
+                // Longs compare as longs — doubleValue loses precision
+                // above 2^53 and two distinct large Longs would tie,
+                // serving the wrong bound to CBO
+                case (x: java.lang.Long, y: java.lang.Long) =>
+                  java.lang.Long.compare(x.longValue, y.longValue)
                 case (x: Number, y: Number) =>
                   x.doubleValue.compareTo(y.doubleValue)
                 case _ => 0
@@ -936,12 +977,20 @@ class GraftV1Scan(
             java.util.OptionalLong.of(math.max(1L, bytes))
           case _ => java.util.OptionalLong.empty()
         }
-      // pending deletes suppress an unknown number of rows at read time;
-      // the manifest sum would OVERCOUNT — report size only then
+      // pending EQ-deletes suppress an unknown number of rows at read
+      // time (the manifest sum would OVERCOUNT) — withhold then. Pending
+      // POSITION deletes subtract exactly, but only for the UNPRUNED
+      // estimate: subtracting the table-wide delete cardinality from a
+      // filter-pruned file subset could UNDERcount (the deletes may
+      // reference pruned files) — the mis-broadcast direction — so a
+      // pruned estimate under deletes still withholds.
       override def numRows(): java.util.OptionalLong =
         rowsEst match {
           case Some(rows) if data.nonEmpty && !hasDeletes =>
             java.util.OptionalLong.of(rows)
+          case Some(rows) if data.nonEmpty && posExact.isDefined &&
+              surviving.size == data.size =>
+            java.util.OptionalLong.of(math.max(0L, rows - posExact.get))
           case _ => java.util.OptionalLong.empty()
         }
       override def columnStats(): java.util.Map[

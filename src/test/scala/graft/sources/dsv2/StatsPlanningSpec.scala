@@ -131,27 +131,126 @@ class StatsPlanningSpec extends SparkSpec {
   test("identity-date partitions key the rollup canonically") {
     val root = Files.createTempDirectory("graft-splan-date").toString
     val g = mount(root)
-    spark.sql(s"CREATE TABLE $g.td (k BIGINT, d DATE) PARTITIONED BY (d)")
-    spark.sql(s"INSERT INTO $g.td SELECT id, " +
+    // t1: date-partitioned with partition statistics; td mounts the same
+    // files BY REFERENCE with unknown counts plus the adopted stats
+    // pointer (the import shape — every unknown file is COVERED by the
+    // stats snapshot, so the rollup substitutes). The rollup's typed
+    // Date slot must match the catalog's identity-date tuple rendering
+    // through the canonical key.
+    spark.sql(s"CREATE TABLE $g.t1 (k BIGINT, d DATE) PARTITIONED BY (d)")
+    spark.sql(s"INSERT INTO $g.t1 SELECT id, " +
       "date_add(date'2024-01-01', CAST(id % 2 AS INT)) FROM range(0, 200)")
-    spark.sql(s"CALL $g.system.compute_table_stats('td')").collect()
+    spark.sql(s"CALL $g.system.compute_table_stats('t1')").collect()
     val cat = new GraftCatalog(root)
-    // append an UNKNOWN-count file carrying the catalog's identity-date
-    // tuple rendering (Hive-layout dir); the rollup's typed Date slot
-    // must still match through the canonical key
-    val sd = Files.createTempDirectory("gsp-date-extra")
-    spark.range(10).selectExpr("id AS k").coalesce(1)
-      .write.parquet(s"$sd/d=2024-01-01")
-    val extra = graft.sources.CompactionRunner.listParquet(s"$sd/d=2024-01-01")
-    assert(extra.nonEmpty)
-    cat.commitAppend("td", extra.map(GraftCatalog.AddedFile(_)))
+    val pref = cat.partitionStatistics("t1").get
+    spark.sql(s"CREATE TABLE $g.td (k BIGINT, d DATE) PARTITIONED BY (d)")
+    val files = cat.loadEntries("t1").filter(_.kind == "data").map(e =>
+      GraftCatalog.AddedFile(e.path)) // recordCount/sizeBytes = -1: unknown
+    cat.commitAppend("td", files)
     assert(cat.loadEntries("td").exists(e =>
       e.recordCount < 0 && e.partitionVals.get("d").contains("2024-01-01")),
       cat.loadEntries("td").map(e => (e.path, e.partitionVals)).toString)
+    cat.adoptStatistics("td", cat.currentSnapshotId("td"), pref.path,
+      pref.fileSizeInBytes, pref.footerSizeInBytes, partition = true)
     val st = estimate(root, "td", Array.empty)
     assert(st.numRows().isPresent,
       "the rollup lookup must hit for identity-date tuples (canonical key)")
-    assert(st.numRows().getAsLong >= 200L - 110L, st.numRows().toString)
+    assert(st.numRows().getAsLong == 200L, st.numRows().toString)
+  }
+
+  test("a post-stats unknown-count append poisons the tuple's rollup estimate") {
+    val root = Files.createTempDirectory("graft-splan-stale").toString
+    val g = mount(root)
+    // the adopted-import shape that legitimately serves from the rollup...
+    spark.sql(s"CREATE TABLE $g.t1 (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    spark.sql(s"INSERT INTO $g.t1 SELECT id, concat('s', id % 2) " +
+      "FROM range(0, 1000)")
+    spark.sql(s"CALL $g.system.compute_table_stats('t1')").collect()
+    val cat = new GraftCatalog(root)
+    val pref = cat.partitionStatistics("t1").get
+    spark.sql(s"CREATE TABLE $g.t2 (k BIGINT, seg STRING) PARTITIONED BY (seg)")
+    cat.commitAppend("t2", cat.loadEntries("t1").filter(_.kind == "data")
+      .map(e => GraftCatalog.AddedFile(e.path)))
+    cat.adoptStatistics("t2", cat.currentSnapshotId("t2"), pref.path,
+      pref.fileSizeInBytes, pref.footerSizeInBytes, partition = true)
+    assert(estimate(root, "t2", Array.empty).numRows().getAsLong == 1000L)
+    // ...then a tuple GROWS after the stats snapshot with an unknown-count
+    // file: the rollup no longer covers it, so serving the recorded tuple
+    // size would present a stale LOWER bound as confident (the
+    // mis-broadcast hazard) — the estimate must poison instead
+    val sd = Files.createTempDirectory("gsp-stale-extra")
+    spark.range(100000).selectExpr("id AS k").coalesce(1)
+      .write.parquet(s"$sd/seg=s1")
+    val extra = graft.sources.CompactionRunner.listParquet(s"$sd/seg=s1")
+    assert(extra.nonEmpty)
+    cat.commitAppend("t2", extra.map(GraftCatalog.AddedFile(_)))
+    val stale = estimate(root, "t2", Array.empty)
+    assert(!stale.numRows().isPresent && !stale.sizeInBytes().isPresent,
+      s"an uncovered unknown-count tuple must poison the estimate: " +
+        s"${stale.numRows()} / ${stale.sizeInBytes()}")
+    // tuples the growth didn't touch still estimate post-prune (the
+    // poison is per-dimension over SURVIVING tuples, not table-global)
+    val s0 = estimate(root, "t2", Array(sources.EqualTo("seg", "s0")))
+    assert(s0.numRows().isPresent && s0.numRows().getAsLong == 500L,
+      s"untouched tuples keep their rollup estimate: ${s0.numRows()}")
+  }
+
+  test("pending position deletes serve the exact post-delete row count") {
+    val root = Files.createTempDirectory("graft-splan-posdel").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.m (k BIGINT, seg BIGINT)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    // two files with disjoint key ranges (prunable), NDV recorded before
+    // the delete (the stale-but-served Iceberg convention)
+    spark.sql(s"INSERT INTO $g.m SELECT id, id % 100 FROM range(0, 10000)")
+    spark.sql(s"INSERT INTO $g.m SELECT id, id % 100 FROM range(10000, 20000)")
+    spark.sql(s"CALL $g.system.compute_table_stats('m')").collect()
+    // untranslatable predicate -> WriteDelta position deletes
+    spark.sql(s"DELETE FROM $g.m WHERE k % 7 = 3")
+    val cat = new GraftCatalog(root)
+    assert(cat.loadEntries("m").exists(_.kind == "posdel"))
+    assert(!cat.loadEntries("m").exists(_.kind == "eqdel"))
+    val live = (0L until 20000L).count(_ % 7 != 3)
+    val st = estimate(root, "m", Array.empty)
+    assert(st.numRows().isPresent && st.numRows().getAsLong == live,
+      s"pending pos-deletes must subtract exactly: ${st.numRows()} vs $live")
+    // a PRUNED estimate under pending deletes still withholds rows (the
+    // table-wide delete cardinality may reference pruned files —
+    // subtracting it could UNDERcount, the mis-broadcast direction) while
+    // bytes keep serving
+    val pruned = estimate(root, "m",
+      Array(sources.GreaterThanOrEqual("k", 15000L)))
+    assert(!pruned.numRows().isPresent,
+      s"pruned-with-deletes must withhold rows: ${pruned.numRows()}")
+    assert(pruned.sizeInBytes().isPresent)
+    // the exact count is what keeps CBO decisions alive on an upserted
+    // table: the NDV-driven broadcast flip survives the pending deletes
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (16 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val plan = spark.sql(
+        s"""SELECT f.id, d.k FROM range(0, 100000) f
+           |JOIN $g.m d ON f.id % 20000 = d.k WHERE d.seg = 7""".stripMargin)
+        .queryExecution.sparkPlan
+      val bhj = plan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+      assert(bhj == 1,
+        s"the exact post-delete row count must keep the dim broadcast:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // eq-deletes stay conservative: their suppressed-row count needs the
+    // key join, so ANY pending eq-delete withholds the row count again
+    spark.sql(s"DELETE FROM $g.m WHERE k IN (4, 11)") // key equality -> eqdel
+    assert(cat.loadEntries("m").exists(_.kind == "eqdel"),
+      cat.loadEntries("m").map(_.kind).toString)
+    assert(!estimate(root, "m", Array.empty).numRows().isPresent,
+      "pending eq-deletes must withhold the row count")
   }
 
   test("entry bounds serve as min/max/nullCount column stats") {
