@@ -1877,7 +1877,91 @@ object MorQueries {
     spark.sql(q)
   }
 
+  /** q174 — SORT ELISION on sorted compacted tables (r19,
+    * `SupportsReportOrdering`): two co-bucketed tables with a declared
+    * write order, maintenance-compacted into one sorted file per tuple,
+    * merge-join with ZERO SortExec and zero shuffles — the scan reports
+    * the sorted-compaction watermark's order as per-partition ordering
+    * and the storage-partitioned layout supplies the distribution. At
+    * 100 TB this elides the dominant cost of every merge join / ORDER BY
+    * over a sorted table. In-gate requires: the sorted pair plans
+    * SMJ + 0 sorts + no hash exchange; an identical UNSORTED pair plans
+    * the same join WITH sorts (the claim is watermark-proven, not
+    * assumed). Returned rows are the join itself.
+    */
+  private def q174(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q174").toString
+    val g = s"g174_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("q174_li")
+    spark.read.parquet(s"$sfDir/supplier.parquet")
+      .createOrReplaceTempView("q174_s")
+    def mk(li: String, s: String): Unit = {
+      spark.sql(
+        s"""CREATE TABLE $g.$li
+           |(l_orderkey BIGINT, l_linenumber INT, l_suppkey BIGINT, l_quantity DOUBLE)
+           |PARTITIONED BY (bucket(4, l_suppkey))""".stripMargin)
+      spark.sql(
+        s"""CREATE TABLE $g.$s (s_suppkey BIGINT, s_name STRING)
+           |PARTITIONED BY (bucket(4, s_suppkey))""".stripMargin)
+      spark.sql(
+        s"""INSERT INTO $g.$li
+           |SELECT l_orderkey, l_linenumber, l_suppkey, l_quantity
+           |FROM q174_li WHERE l_orderkey <= 6000""".stripMargin)
+      spark.sql(s"INSERT INTO $g.$s SELECT s_suppkey, s_name FROM q174_s")
+    }
+    mk("li", "s")
+    mk("li0", "s0")
+    val cat = new graft.sources.GraftCatalog(root)
+    for ((t, c) <- Seq("li" -> "l_suppkey", "s" -> "s_suppkey")) {
+      cat.setSortOrder(t, Seq(c))
+      cat.compactTable(spark, t, s"$root/$t/_data/sorted",
+        graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 1))
+      require(cat.sortedSnapshot(t).exists(_._1 == cat.currentSnapshotId(t)),
+        s"sorted compaction must stamp the watermark for $t")
+    }
+    def q(li: String, s: String) =
+      s"""SELECT l.l_orderkey AS okey, l.l_linenumber AS lnum,
+         |       l.l_suppkey AS skey, s.s_name AS sname, l.l_quantity AS qty
+         |FROM $g.$li l JOIN $g.$s s ON l.l_suppkey = s.s_suppkey""".stripMargin
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def shape(sql: String): (Int, Int, Boolean) = {
+        val p = spark.sql(sql).queryExecution.executedPlan
+        (p.collect { case j: org.apache.spark.sql.execution.joins
+            .SortMergeJoinExec => j }.size,
+          p.collect { case st: org.apache.spark.sql.execution.SortExec => st }.size,
+          p.toString.contains("Exchange hashpartitioning"))
+      }
+      val (smj, sorts, shuffled) = shape(q("li", "s"))
+      require(smj == 1 && sorts == 0 && !shuffled,
+        s"sorted co-bucketed tables must merge-join sort-free and " +
+          s"shuffle-free, got smj=$smj sorts=$sorts shuffled=$shuffled")
+      val (smj0, sorts0, _) = shape(q("li0", "s0"))
+      require(smj0 == 1 && sorts0 > 0,
+        "the unsorted twin must still pay the merge-join sorts " +
+          s"(claim must be watermark-proven), got smj=$smj0 sorts=$sorts0")
+      // materialize under the sort-elided plan: rows must be exact
+      val n = spark.sql(q("li", "s")).count()
+      require(n > 0, "sorted SPJ join returned no rows")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(q("li", "s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_sorted_scan" -> (q174 _),
     "q173_delete_rowcount" -> (q173 _),
     "q171_stats_lifecycle" -> (q171 _),
     "q172_stats_planning" -> (q172 _),
@@ -1954,6 +2038,11 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q174_sorted_scan" ->
+      """SELECT l.l_orderkey AS okey, l.l_linenumber AS lnum,
+        |       l.l_suppkey AS skey, s.s_name AS sname, l.l_quantity AS qty
+        |FROM (SELECT * FROM lineitem WHERE l_orderkey <= 6000) l
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey""".stripMargin,
     "q173_delete_rowcount" ->
       """SELECT d.k AS k, count(*) AS cnt,
         |CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty

@@ -927,15 +927,29 @@ object CompactionRunner {
       else if (config.clusterBy.nonEmpty && config.targetPartitions > 0)
         merged.repartitionByRange(config.targetPartitions,
             config.clusterBy.map(col): _*)
-          .sortWithinPartitions(config.clusterBy.map(col): _*)
       else if (config.targetPartitions > 0) merged.repartition(config.targetPartitions)
       else merged
 
     // S7: materialize partition-transform columns and fan out.
     val dataOut = s"$outDir/data"
-    val withParts = config.partitionTransforms.foldLeft(repartitioned) {
+    val withParts0 = config.partitionTransforms.foldLeft(repartitioned) {
       case (df, (name, c)) => df.withColumn(name, c)
     }
+    // clusterBy's in-file sort happens AFTER the transform columns exist
+    // and leads with them: a dynamic-partition fanout write REQUIRES its
+    // rows ordered by the partition columns, and Spark would otherwise
+    // insert its own per-task sort by partition value alone — silently
+    // destroying the cluster order INSIDE each written file (the r19
+    // ordering work caught this as merge-join row loss). Sorting
+    // (partition cols, clusterBy) satisfies the writer's requirement, so
+    // rows stream into each file in cluster order; unpartitioned rewrites
+    // sort by clusterBy exactly as before.
+    val withParts =
+      if (config.clusterBy.nonEmpty && config.targetPartitions > 0)
+        withParts0.sortWithinPartitions(
+          (config.partitionTransforms.map(p => col(p._1)) ++
+            config.clusterBy.map(col)): _*)
+      else withParts0
     // §1.3: stamp parquet.field.id metadata so the written files carry the
     // Iceberg-style field ids (persisted to the parquet footer; read back
     // into scan schemas — the handle eq-delete resolution keys on).

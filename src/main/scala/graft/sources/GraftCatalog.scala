@@ -4762,6 +4762,7 @@ final class GraftCatalog(root: String,
             so.isEmpty) effective
         else effective.copy(clusterBy = so,
           statsCols = (effective.statsCols ++ so).distinct)
+      val sized = targetSizedConfig(table, layout, entries.filter(_.kind == "data"))
       val manifest = CompactionRunner.compact(spark,
         dataTasks(entries),
         entries.collect { case e if e.kind == "posdel" => PosDeleteTask(e.path, e.format, e.sizeBytes) },
@@ -4769,7 +4770,7 @@ final class GraftCatalog(root: String,
           EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes)
         },
         outDir,
-        targetSizedConfig(table, layout, entries.filter(_.kind == "data")),
+        sized,
         currentSchema(table))
       val maxSeq = entries.map(_.seqNum).max
       val partNames = effective.partitionTransforms.map(_._1)
@@ -4797,6 +4798,12 @@ final class GraftCatalog(root: String,
       val snapId = commitRewriteLocked(table, added,
         manifest.removedDataFiles ++ manifest.removedDeleteFiles)
       writeCompactWatermark(table, snapId)
+      // this rewrite range-clustered + sorted EVERY data file by the
+      // declared write order — stamp the snapshot as provably sorted so
+      // scans of exactly this state can report ordering (sort elision)
+      if (so.nonEmpty && sized.clusterBy == so && sized.zOrderBy.isEmpty &&
+          sized.targetPartitions > 0)
+        writeSortedWatermark(table, snapId, so)
       (snapId, manifest)
     }
 
@@ -4840,6 +4847,43 @@ final class GraftCatalog(root: String,
     Files.writeString(tmp, id.toString,
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     Files.move(tmp, watermarkPath(table),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def sortedWatermarkPath(table: String) =
+    tableDir(table).resolve("SORTED_WATERMARK")
+
+  /** The snapshot whose data files were ALL produced by a range-clustered
+    * rewrite sorted by the declared write order — stamped by the
+    * compaction commit that wrote them — plus the columns that sorted
+    * them. This is the PROOF a scan needs to report per-partition
+    * ordering (`SupportsReportOrdering`): the declared order alone is a
+    * write-time intent (files written before the declaration are not
+    * sorted), while this watermark names one snapshot whose physical
+    * layout is known-sorted. Any later commit moves the head past the
+    * stamped id and the claim expires with it; time-travel TO the stamped
+    * snapshot keeps it. None = never sorted-compacted.
+    */
+  def sortedSnapshot(table: String): Option[(Long, Seq[String])] = {
+    val p = sortedWatermarkPath(table)
+    if (!Files.exists(p)) None
+    else Files.readString(p).trim.split("\t", 2) match {
+      case Array(id, cols) =>
+        id.toLongOption.map(_ -> cols.split(",").toSeq.filter(_.nonEmpty)
+          .map(java.net.URLDecoder.decode(_, "UTF-8")))
+      case _ => None
+    }
+  }
+
+  private def writeSortedWatermark(
+      table: String, id: Long, cols: Seq[String]): Unit = {
+    val tmp = tableDir(table).resolve(
+      s".SORTED_WATERMARK.tmp-${Thread.currentThread().getId}")
+    val enc = cols.map(java.net.URLEncoder.encode(_, "UTF-8")).mkString(",")
+    Files.writeString(tmp, s"$id\t$enc",
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.move(tmp, sortedWatermarkPath(table),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }

@@ -647,9 +647,73 @@ class GraftV1Scan(
     extends Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
 
   override def readSchema(): StructType = required
+
+  /** Declared-write-order serving (`SupportsReportOrdering`): a sorted,
+    * compacted table reports its sort order as PER-PARTITION ordering so
+    * the engine elides sorts it would otherwise pay — a merge join over
+    * two sorted co-bucketed tables plans with ZERO SortExec (composing
+    * with the storage-partitioned layout below), the first-order lever
+    * on a 100 TB sorted table. The claim is metadata-PROVEN, never
+    * intent-derived:
+    *
+    *  - the served snapshot must be EXACTLY the sorted-compaction
+    *    watermark ([[GraftCatalog.sortedSnapshot]] — the commit that
+    *    range-clustered and sorted every data file by the declared
+    *    order); any later commit expires the claim, time travel TO the
+    *    stamped snapshot keeps it. A declared order alone proves nothing
+    *    about files written before the declaration.
+    *  - delete-free (the watermark snapshot is, by construction — this
+    *    guards racing reads of a later state).
+    *  - every served partition must hold at most ONE file's rows in file
+    *    order: keyed (storage-partitioned) serving proves it per tuple
+    *    (≤1 data file each — the engine itself additionally drops the
+    *    claim if a key group ends up with >1 input partition); unkeyed
+    *    serving proves it only for a single-data-file snapshot (splits
+    *    of ONE file never co-pack: `FilePartition` packing is
+    *    descending-size first-fit, and a full `maxSplitBytes` chunk
+    *    leaves no room, so each split serves alone, internally in row
+    *    order). Multi-file unkeyed snapshots refuse — Spark's packing
+    *    may interleave files within a partition.
+    *
+    * Only the prefix of the order present in the projection is claimed
+    * (rows sorted by (a, b) are sorted by (a)).
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    orderingClaim
+
+  private lazy val orderingClaim
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val cat = new GraftCatalog(root)
+    cat.sortedSnapshot(table) match {
+      case Some((sid, cols)) if cols.nonEmpty &&
+          asOf.getOrElse(cat.currentSnapshotId(table)) == sid =>
+        (try Some(cat.loadEntriesAt(table, sid))
+         catch { case _: Exception => None }) match {
+          case None => Array.empty
+          case Some(entries) =>
+            val data = entries.filter(_.kind == "data")
+            val singleFileSlices = keyedLayout match {
+              case Some(kl) => kl.tuples.forall(_._2.size <= 1)
+              case None => data.size <= 1
+            }
+            val prefix = cols.takeWhile(required.fieldNames.contains)
+            if (entries.exists(_.kind != "data") || !singleFileSlices ||
+                prefix.isEmpty)
+              Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+            else prefix.map(c =>
+              org.apache.spark.sql.connector.expressions.Expressions.sort(
+                org.apache.spark.sql.connector.expressions.Expressions.column(c),
+                org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+              .toArray
+        }
+      case _ => Array.empty
+    }
+  }
 
   /** STORAGE-PARTITIONED-JOIN layout: when every data file of a
     * partitioned table carries a full tuple under the CURRENT spec,
@@ -1606,8 +1670,17 @@ object GraftKeyedServing {
       kl: GraftKeyedLayout,
       runtimeKeep: Option[Set[String]] = None): Option[Seq[GraftServedGroup]] = {
     import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+    // the regroup joins in the CANONICAL LITERAL path domain (the same
+    // convention as the mask's seq lookup): entry paths key canonKey, the
+    // planned PartitionedFile's Hadoop-encoded rendering decodes once via
+    // canonDecoded. Raw-vs-canon comparison here silently dropped files
+    // whose entries carry a different-but-equivalent rendering (compaction
+    // records `file:/…`, the planner renders `file:///…`) — the r19
+    // sorted-compaction tests caught the miss as a loud regroup failure,
+    // and the keep-set variant of the same mismatch as silent row loss.
     val pathTuple: Map[String, Int] = kl.tuples.zipWithIndex.iterator.flatMap {
-      case ((_, files), i) => files.iterator.map(_ -> i)
+      case ((_, files), i) => files.iterator.map(f =>
+        graft.sources.CompactionRunner.canonKey(f) -> i)
     }.toMap
     // STATIC stats pruning applies INSIDE the regroup, exactly like DPP
     // runtime pruning (statsPrune = false below): pruned files are
@@ -1618,16 +1691,23 @@ object GraftKeyedServing {
     // relation the regroup cannot slice (which hard-failed the read).
     val statKeep: Option[Set[String]] = PinnedPrune.keep(filters,
       new graft.sources.GraftCatalog(root).loadEntriesAt(table, kl.snapshotId))
+    // keep sets arrive in the raw entry-path domain — normalize to the
+    // canonical keys the regroup compares in (see pathTuple above)
     val keep: Option[Set[String]] =
-      Seq(runtimeKeep, statKeep).flatten.reduceOption(_ intersect _)
+      Seq(runtimeKeep, statKeep).flatten
+        .map(_.map(graft.sources.CompactionRunner.canonKey))
+        .reduceOption(_ intersect _)
     // the frames plan AT the layout's snapshot (keepPaths alone would
     // intersect the layout's files with a FRESH head load — a commit
     // racing the planning could then silently drop rewritten files);
     // keepPaths still disables the pruned-scan shortcut (pruning there
     // would desync the key count)
+    // frames' dataKeep compares RAW entry paths — hand it the layout's own
+    // rendering, not the canonical keys
     val fs = GraftInnerFrame.frames(spark, root, table,
       Some(kl.snapshotId), required,
-      filters, keepPaths = Some(pathTuple.keySet), statsPrune = false)
+      filters, keepPaths = Some(kl.tuples.iterator.flatMap(_._2).toSet),
+      statsPrune = false)
     if (fs.isEmpty) return None
 
     /** The frame's planned FilePartitions regrouped tuple-pure. A tuple
@@ -1641,7 +1721,9 @@ object GraftKeyedServing {
       val buckets = Array.fill(kl.tuples.size)(
         scala.collection.mutable.ArrayBuffer.empty[PartitionedFile])
       parts.iterator.flatMap(_.files.iterator).foreach { pf =>
-        val canon = graft.sources.CompactionRunner.canonPath(pf.filePath.toString)
+        // the planner renders Hadoop-ENCODED paths — decode once into the
+        // literal domain the canonical keys live in
+        val canon = graft.sources.CompactionRunner.canonDecoded(pf.filePath.toString)
         pathTuple.get(canon) match {
           // runtime (DPP) AND static stats file pruning apply INSIDE the
           // regroup: a pruned file is skipped but its tuple's group
