@@ -1960,7 +1960,76 @@ object MorQueries {
     spark.sql(q("li", "s"))
   }
 
+  /** q175 — STREAMING CDC (r19): the `.changes` DSv2 table streams the
+    * NET `'I'`/`'D'` rows per snapshot window — initial image, then a MoR
+    * DELETE as `'D'` rows, then an append as `'I'` rows — where the plain
+    * append stream must fail (delete snapshots are not appends). This is
+    * the Delta-CDF analog a downstream index or materialized view
+    * consumes from a continuously upserted table
+    * ([[graft.sources.GraftStreamSource.changelogBatch]]). The gate
+    * drives insert → MoR delete → insert, drains the changelog stream
+    * under `Trigger.AvailableNow`, requires the streamed window equals
+    * the batch-changelog accounting in-gate, and returns the streamed
+    * rows aggregated in q120's oracle shape.
+    */
+  private def q175(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q175").toString
+    val g = s"g175_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.o (o_orderkey BIGINT, o_orderpriority STRING, " +
+      "o_totalprice DOUBLE) " +
+      "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .createOrReplaceTempView("q175_src")
+    spark.sql(s"INSERT INTO $g.o SELECT o_orderkey, o_orderpriority, " +
+      "o_totalprice FROM q175_src WHERE o_orderkey <= 20000")
+    // untranslatable predicate (modulo) -> a WriteDelta POSITION-delete
+    // commit, the MoR shape the append stream cannot consume
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderpriority = '1-URGENT' " +
+      "AND o_orderkey % 2 = 0")
+    spark.sql(s"INSERT INTO $g.o SELECT o_orderkey, o_orderpriority, " +
+      "o_totalprice FROM q175_src " +
+      "WHERE o_orderkey > 20000 AND o_orderkey <= 30000")
+    require(new graft.sources.GraftCatalog(root)
+      .loadEntries("o").exists(_.kind == "posdel"),
+      "the delete must land merge-on-read (the CDC-stream premise)")
+    val sink = java.nio.file.Files.createTempDirectory("graft-q175-sink")
+      .toString + "/rows"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q175-ckpt").toString
+    val q = spark.readStream.table(s"$g.o.changes").writeStream
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          b.write.mode("append").parquet(sink)
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(sink)
+    // the streamed window must account exactly: initial image as I, the
+    // MoR delete as D, the second append as I
+    val counts = streamed.groupBy(col("_change_type")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val Seq(nInit, nDel, nIns) = Seq(
+      "o_orderkey <= 20000",
+      "o_orderkey <= 20000 AND o_orderpriority = '1-URGENT' " +
+        "AND o_orderkey % 2 = 0",
+      "o_orderkey > 20000 AND o_orderkey <= 30000")
+      .map(w => spark.sql(s"SELECT count(*) FROM q175_src WHERE $w")
+        .head().getLong(0))
+    require(counts.getOrElse("I", 0L) == nInit + nIns &&
+        counts.getOrElse("D", 0L) == nDel,
+      s"streamed changelog accounting: $counts vs I=${nInit + nIns} D=$nDel")
+    streamed.groupBy(col("_change_type"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_tp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_stream_cdc" -> (q175 _),
     "q174_sorted_scan" -> (q174 _),
     "q173_delete_rowcount" -> (q173 _),
     "q171_stats_lifecycle" -> (q171 _),
@@ -2038,6 +2107,21 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q175_stream_cdc" ->
+      """SELECT _change_type, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_tp
+        |FROM (
+        |  SELECT 'I' AS _change_type, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey <= 20000
+        |  UNION ALL
+        |  SELECT 'D', o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey <= 20000
+        |    AND o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'I', o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey > 20000 AND o_orderkey <= 30000
+        |)
+        |GROUP BY 1, 2""".stripMargin,
     "q174_sorted_scan" ->
       """SELECT l.l_orderkey AS okey, l.l_linenumber AS lnum,
         |       l.l_suppkey AS skey, s.s_name AS sname, l.l_quantity AS qty

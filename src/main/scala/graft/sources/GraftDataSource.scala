@@ -59,8 +59,15 @@ final class GraftDataSource extends RelationProvider
         "table; drop .schema(...) from readStream (evolve the table's " +
         "schema instead)")
     val cat = new GraftCatalog(required("root"))
+    val base = cat.scanTable(sqlContext.sparkSession, required("table")).schema
     (shortName(),
-      cat.scanTable(sqlContext.sparkSession, required("table")).schema)
+      // .option("readChangeFeed", "true"): the CHANGELOG stream — net
+      // I/D rows per snapshot window instead of append deltas (see
+      // GraftStreamSource.changelogBatch); the tag column joins the schema
+      if (parameters.get("readChangeFeed").exists(_.toBoolean))
+        base.add(GraftStreamSource.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType)
+      else base)
   }
 
   override def createSource(
@@ -72,7 +79,8 @@ final class GraftDataSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source = {
     def required(k: String) = requiredOption(parameters, k)
     new GraftStreamSource(sqlContext, required("root"), required("table"),
-      skipRewrites = parameters.get("skipRewrites").exists(_.toBoolean))
+      skipRewrites = parameters.get("skipRewrites").exists(_.toBoolean),
+      changeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 
   override def shortName(): String = "graft"

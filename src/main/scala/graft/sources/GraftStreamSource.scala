@@ -35,13 +35,17 @@ final class GraftStreamSource(
     sqlContext: SQLContext,
     root: String,
     table: String,
-    skipRewrites: Boolean) extends Source {
+    skipRewrites: Boolean,
+    changeFeed: Boolean = false) extends Source {
 
   private val catalog = new GraftCatalog(root)
   private def spark = sqlContext.sparkSession
 
   override val schema: StructType =
-    catalog.scanTable(spark, table).schema
+    if (changeFeed)
+      catalog.scanTable(spark, table).schema
+        .add(GraftStreamSource.ChangeTypeCol, org.apache.spark.sql.types.StringType)
+    else catalog.scanTable(spark, table).schema
 
   override def getOffset: Option[Offset] = {
     val head = catalog.currentSnapshotId(table)
@@ -53,19 +57,26 @@ final class GraftStreamSource(
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val s = start.map(longOf).getOrElse(0L)
     val e = longOf(end)
-    val tasks = GraftStreamSource.deltaTasks(catalog, table, s, e, skipRewrites)
     val batch =
-      if (tasks.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      if (changeFeed)
+        GraftStreamSource.changelogBatch(catalog, spark, table, s, e,
+            skipRewrites, schema)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
       else {
-        // schema AS OF the end offset (see GraftMicroBatchStream: a schema
-        // evolution landing between offset capture and batch planning must
-        // not re-bind the batch's columns)
-        val scan = CompactionRunner.scanWithHiddenCols(spark, tasks,
-          catalog.schemaAt(table, e).orElse(catalog.currentSchema(table)))
-        scan.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-          .toIndexedSeq: _*)
+        val tasks = GraftStreamSource.deltaTasks(catalog, table, s, e, skipRewrites)
+        if (tasks.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        else {
+          // schema AS OF the end offset (see GraftMicroBatchStream: a schema
+          // evolution landing between offset capture and batch planning must
+          // not re-bind the batch's columns)
+          val scan = CompactionRunner.scanWithHiddenCols(spark, tasks,
+            catalog.schemaAt(table, e).orElse(catalog.currentSchema(table)))
+          scan.select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+        }
       }
     org.apache.spark.sql.graftbridge.DatasetBridge.asStreaming(batch)
   }
@@ -74,6 +85,104 @@ final class GraftStreamSource(
 }
 
 object GraftStreamSource {
+
+  /** The CDC tag column streamed changelog batches carry (`'I'`/`'D'`) —
+    * the Delta-CDF `_change_type` spelling, matching the batch changelog
+    * ([[GraftCatalog.changelog]]) and the `graft_changes` TVF.
+    */
+  val ChangeTypeCol = "_change_type"
+
+  /** CHANGELOG-mode stream batch (`readChangeFeed` / the `.changes`
+    * DSv2 table): the net row-level changes in `(s, e]`, one
+    * [[GraftCatalog.changelog]] window PER SNAPSHOT STEP so the result
+    * is well-defined whatever commits the window spans — this is what a
+    * downstream index or materialized view consumes from a continuously
+    * UPSERTED table, where the plain append stream must fail (delete
+    * snapshots are not appends). Semantics mirror [[deltaTasks]]:
+    *
+    *  - fresh stream (s == 0): the first retained snapshot full-loads as
+    *    `'I'` (the initial image), per-snapshot diffs follow; a
+    *    non-contiguous retained set (tag-island retention) full-loads at
+    *    `e` instead — nothing has been emitted yet;
+    *  - a resumed stream that fell behind snapshot expiry fails loudly
+    *    (emitting a reload would duplicate downstream);
+    *  - a REWRITE step (data files removed AND added — compaction) has
+    *    no net change to report and cannot be diffed without content
+    *    compare: fail loudly, or skip under `skipRewrites` (the same
+    *    contract as the append stream; row-level changes folded INTO the
+    *    rewrite become invisible);
+    *  - steps that touch no data files (metadata-only commits) emit
+    *    nothing.
+    *
+    * Cost per batch: the step's delta files plus the old files its
+    * deletes reference — never O(table) after the initial load.
+    */
+  private[graft] def changelogBatch(
+      catalog: GraftCatalog,
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      s: Long,
+      e: Long,
+      skipRewrites: Boolean,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    def tagged(df: DataFrame): DataFrame =
+      df.withColumn(ChangeTypeCol, lit("I"))
+    def hasData(id: Long): Boolean =
+      catalog.loadEntriesAt(table, id).exists(_.kind == "data")
+    val retained = catalog.snapshotIds(table).sorted
+    val first = retained.headOption.getOrElse(0L)
+    val ids = retained.filter(id => id > s && id <= e)
+    val freshStart = s == 0L
+    val contiguous = ids.isEmpty ||
+      ids.zip(ids.tail).forall { case (a, b) => b == a + 1 }
+    // the empty batch builds from the STREAM's declared schema — the
+    // table itself may be a schema-less empty creation the scan refuses
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (ids.isEmpty) return empty
+    val parts: Seq[DataFrame] =
+      if (freshStart && !contiguous) {
+        if (hasData(e)) Seq(tagged(catalog.scanTableAt(spark, table, e)))
+        else Nil
+      }
+      else ids.flatMap { id =>
+        val initial = freshStart && id == first
+        if (!initial && !retained.contains(id - 1))
+          throw GraftError.Metadata(
+            s"cannot stream changes of snapshot $id of $table: diff base " +
+              s"${id - 1} has been expired (retained: " +
+              s"${retained.mkString(", ")}; checkpointed offset $s). The " +
+              "stream fell behind snapshot expiry — restart with a fresh " +
+              "checkpoint to re-load, and retain snapshots longer than " +
+              "the stream's maximum lag")
+        if (initial) {
+          // a data-less first snapshot (created-then-appended tables)
+          // contributes no initial image
+          if (hasData(id)) Some(tagged(catalog.scanTableAt(spark, table, id)))
+          else None
+        }
+        else {
+          val before = catalog.loadEntriesAt(table, id - 1)
+            .collect { case en if en.kind == "data" => en.path }.toSet
+          val now = catalog.loadEntriesAt(table, id)
+            .collect { case en if en.kind == "data" => en.path }.toSet
+          if (before.isEmpty && now.isEmpty) None // metadata-only step
+          else if ((before -- now).nonEmpty && (now -- before).nonEmpty) {
+            if (skipRewrites) None
+            else throw GraftError.Metadata(
+              s"snapshot $id of $table is a rewrite (data files removed " +
+                "AND added) — a changelog stream has no net change to " +
+                "report for it; pass .option(\"skipRewrites\", \"true\") " +
+                "to skip rewrite snapshots (row-level changes folded " +
+                "into them become invisible to the stream)")
+          }
+          else Some(catalog.changelog(spark, table, id - 1, id))
+        }
+      }
+    if (parts.isEmpty) empty
+    else parts.reduce(_.unionByName(_))
+  }
 
   /** The data-file tasks whose rows constitute the stream delta
     * `(s, e]` — the shared offset semantics behind BOTH streaming

@@ -58,3 +58,119 @@ private[dsv2] object GraftMetadataV2Table {
   val Kinds: Set[String] =
     Set("files", "partitions", "snapshots", "history", "refs", "statistics")
 }
+
+/** The CHANGELOG stream of one table through the DSv2 doorway —
+  * `spark.readStream.table("graft.db.t.changes")`: each micro-batch is
+  * the NET row-level changes of the snapshot window, tagged
+  * `_change_type` `'I'`/`'D'` ([[graft.sources.GraftStreamSource
+  * .changelogBatch]] — the Delta-CDF analog over the catalog's commit
+  * log). This is the stream a downstream index / materialized view
+  * consumes from a continuously UPSERTED table, where the plain append
+  * stream must fail (delete snapshots are not appends). Compaction
+  * rewrites fail loudly unless `.option("skipRewrites", "true")`, the
+  * same contract as the append stream. Batch reads refuse with a
+  * pointer to the `graft_changes` TVF (the window-addressed batch twin,
+  * q120's surface).
+  */
+final class GraftChangesV2Table(
+    root: String,
+    parent: String)
+    extends Table
+    with SupportsRead {
+
+  override def name(): String = s"$parent.changes"
+
+  override lazy val schema: StructType =
+    new GraftCatalog(root).scanTable(SparkSession.active, parent).schema
+      .add(graft.sources.GraftStreamSource.ChangeTypeCol,
+        org.apache.spark.sql.types.StringType)
+
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = schema
+        override def description(): String = s"GraftChangesTable($parent)"
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+          new GraftChangesMicroBatchStream(root, parent, schema,
+            options.getBoolean("skipRewrites", false))
+        override def toBatch: org.apache.spark.sql.connector.read.Batch =
+          throw new UnsupportedOperationException(
+            s"$parent.changes is a streaming changelog source " +
+              "(spark.readStream.table); for a batch window use the " +
+              "graft_changes table-valued function")
+      }
+    }
+}
+
+/** Micro-batch stream behind [[GraftChangesV2Table]]: snapshot-id
+  * offsets (the commit log is the WAL, like the append stream), each
+  * batch served as the changelog frame's final-stage rdd. The changelog
+  * plan carries anti joins, so the serving takes the eager
+  * materialize-then-serve shape ([[GraftInnerFrame.servableRdd]]) —
+  * intermediate stages run at planning, the handed partitions are
+  * foreign-task-safe shuffle reads. Cost per batch stays O(step delta +
+  * referenced old files), never O(table) past the initial load.
+  */
+final class GraftChangesMicroBatchStream(
+    root: String,
+    table: String,
+    required: StructType,
+    skipRewrites: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def cat = new GraftCatalog(root)
+
+  override def initialOffset(): Offset = GraftStreamOffset(0L)
+
+  /** Native AvailableNow (see [[GraftMicroBatchStream]]'s note): pin the
+    * run's end snapshot so the engine doesn't wrap the stream.
+    */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(cat.currentSnapshotId(table))
+
+  override def latestOffset(): Offset =
+    GraftStreamOffset(availableNowCap
+      .fold(cat.currentSnapshotId(table))(math.min(_, cat.currentSnapshotId(table))))
+
+  // no read limits on the changelog stream (yet) — admission control is
+  // only here because SupportsTriggerAvailableNow extends it
+  override def latestOffset(
+      start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
+    latestOffset()
+
+  override def deserializeOffset(json: String): Offset =
+    GraftStreamOffset(json.trim.toLong)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].snapshotId
+    val e = end.asInstanceOf[GraftStreamOffset].snapshotId
+    val spark = SparkSession.active
+    val df = graft.sources.GraftStreamSource
+      .changelogBatch(cat, spark, table, s, e, skipRewrites, required)
+      .select(required.fieldNames.toIndexedSeq
+        .map(org.apache.spark.sql.functions.col): _*)
+    val rdd = GraftInnerFrame.servableRdd(df)
+    rdd.partitions.map(p =>
+      GraftRddInputPartition(rdd, p)
+        : org.apache.spark.sql.connector.read.InputPartition)
+  }
+
+  override def createReaderFactory()
+      : org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new GraftRddReaderFactory
+
+  override def stop(): Unit = ()
+}

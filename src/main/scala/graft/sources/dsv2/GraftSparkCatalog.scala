@@ -158,6 +158,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces
       if (GraftMetadataV2Table.Kinds(kind) &&
           parent.exists(cat.tableExists))
         new GraftMetadataV2Table(root, parent.get, kind)
+      // `graft.db.t.changes` — the streaming changelog (CDC) source
+      else if (kind == "changes" && parent.exists(cat.tableExists))
+        new GraftChangesV2Table(root, parent.get)
       else throw new NoSuchTableException(ident)
     }
   }
