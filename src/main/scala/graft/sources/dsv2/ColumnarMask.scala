@@ -86,14 +86,21 @@ object GraftColumnarMask {
 
   /** Types the eq-delete hash probe can normalize identically from a
     * driver `Row` (external values) and an executor `ColumnVector`
-    * (physical values): integral + date → Long, floating → Double,
-    * boolean and string as themselves. Timestamps are excluded — their
-    * external forms vary with session datetime settings, and a
-    * normalization mismatch would silently resurrect deleted rows.
+    * (physical values): integral + date + timestamp → Long, floating →
+    * Double, boolean and string as themselves. Timestamps (r19) ride the
+    * same Long family: whatever external class the session's datetime
+    * settings produce (`java.sql.Timestamp`, `Instant`, `LocalDateTime`
+    * for NTZ), each converts DETERMINISTICALLY to the micros-since-epoch
+    * long the vectors store physically — `Timestamp`/`Instant` are
+    * epoch-anchored (timezone-free), and NTZ's `LocalDateTime` maps to
+    * the local-micros the NTZ vector stores — so the probe is exact and
+    * the dominant CDC shape with a timestamp PK keeps the vectorized
+    * mask instead of refusing to the row path.
     */
   private def probeable(dt: DataType): Boolean = dt match {
     case BooleanType | ByteType | ShortType | IntegerType | LongType |
-         FloatType | DoubleType | DateType | StringType => true
+         FloatType | DoubleType | DateType | StringType |
+         TimestampType | TimestampNTZType => true
     case _ => false
   }
 
@@ -119,6 +126,14 @@ object GraftColumnarMask {
     case b: java.lang.Boolean => Some(b)
     case d: java.sql.Date => Some(java.lang.Long.valueOf(d.toLocalDate.toEpochDay))
     case d: java.time.LocalDate => Some(java.lang.Long.valueOf(d.toEpochDay))
+    // timestamps → the micros-since-epoch long the vectors store; the
+    // catalyst conversions are the exact inverses of the collect() path
+    case t: java.sql.Timestamp => Some(java.lang.Long.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)))
+    case i: java.time.Instant => Some(java.lang.Long.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i)))
+    case l: java.time.LocalDateTime => Some(java.lang.Long.valueOf(
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(l)))
     case _ => None
   }
 
@@ -289,7 +304,8 @@ object GraftColumnarMask {
     // delete — instead of crashing planning (the long fast path's unbox)
     // or silently matching nothing (boxed Double vs boxed Long).
     def classOk(v: Any, dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | DateType =>
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
         v.isInstanceOf[java.lang.Long]
       case FloatType | DoubleType => v.isInstanceOf[java.lang.Double]
       case BooleanType => v.isInstanceOf[java.lang.Boolean]
@@ -306,7 +322,8 @@ object GraftColumnarMask {
       // integral/date key value as java.lang.Long (validated above), so
       // the map's keys unbox directly.
       val integral = typed.types match {
-        case Seq(ByteType | ShortType | IntegerType | LongType | DateType) => true
+        case Seq(ByteType | ShortType | IntegerType | LongType | DateType |
+                 TimestampType | TimestampNTZType) => true
         case _ => false
       }
       if (!integral || typed.keys.isEmpty) typed
@@ -601,7 +618,7 @@ object GraftColumnarMask {
             val c = batch.column(idxs(0))
             if (!c.isNullAt(r)) {
               val k = set.types(0) match {
-                case LongType => c.getLong(r)
+                case LongType | TimestampType | TimestampNTZType => c.getLong(r)
                 case IntegerType | DateType => c.getInt(r).toLong
                 case ShortType => c.getShort(r).toLong
                 case ByteType => c.getByte(r).toLong
@@ -623,7 +640,8 @@ object GraftColumnarMask {
               case ShortType => java.lang.Long.valueOf(c.getShort(r).toLong)
               case IntegerType | DateType =>
                 java.lang.Long.valueOf(c.getInt(r).toLong)
-              case LongType => java.lang.Long.valueOf(c.getLong(r))
+              case LongType | TimestampType | TimestampNTZType =>
+                java.lang.Long.valueOf(c.getLong(r))
               case FloatType => normFloating(c.getFloat(r).toDouble)
               case DoubleType => normFloating(c.getDouble(r))
               case BooleanType => java.lang.Boolean.valueOf(c.getBoolean(r))

@@ -1830,6 +1830,9 @@ private[dsv2] object GraftV2Table {
         case ByteType => v.isInstanceOf[java.lang.Byte]
         case DateType => v.isInstanceOf[java.sql.Date] ||
           v.isInstanceOf[java.time.LocalDate]
+        case TimestampType => v.isInstanceOf[java.sql.Timestamp] ||
+          v.isInstanceOf[java.time.Instant]
+        case TimestampNTZType => v.isInstanceOf[java.time.LocalDateTime]
         case _: DecimalType => v.isInstanceOf[java.math.BigDecimal] ||
           v.isInstanceOf[scala.math.BigDecimal]
         case _ => false

@@ -353,4 +353,56 @@ class ColumnarMaskSpec extends SparkSpec {
     assert(out.count() == 90L)
     assert(out.collect().map(r => r.getSeq[String](1).head).sorted.head == "t0")
   }
+
+  test("timestamp eq keys probe through the long fast path, TZ and NTZ") {
+    // r19: timestamps eval to micros-since-epoch longs physically, and
+    // every external class the session can collect (Timestamp / Instant /
+    // LocalDateTime) converts to them deterministically — the dominant
+    // CDC shape with a timestamp PK keeps the vectorized mask instead of
+    // refusing to the row path
+    val root = Files.createTempDirectory("graft-mask-ts").toString
+    val g = mount(root)
+    spark.sql(s"CREATE TABLE $g.t (ts TIMESTAMP, v STRING)")
+    spark.sql(s"INSERT INTO $g.t SELECT timestampadd(SECOND, CAST(id AS INT), " +
+      "timestamp'2024-01-01 00:00:00'), concat('v', id) FROM range(0, 1000)")
+    // point + IN DELETEs on the timestamp key take the metadata eq path
+    spark.sql(s"DELETE FROM $g.t WHERE ts = timestamp'2024-01-01 00:00:10'")
+    spark.sql(s"DELETE FROM $g.t WHERE ts IN (timestamp'2024-01-01 00:02:00', " +
+      "timestamp'2024-01-01 00:03:00')")
+    val cat = new GraftCatalog(root)
+    assert(cat.loadEntries("t").count(e =>
+      e.kind == "eqdel" && e.eqCols == Seq("ts")) >= 2,
+      "a timestamp point DELETE must commit a metadata-sized eq-delete: " +
+        cat.loadEntries("t").map(e => (e.kind, e.eqCols)).toString)
+    val eq0 = GraftColumnarMask.maskedEqServed.get()
+    val out = spark.sql(s"SELECT ts, v FROM $g.t")
+    assert(scansColumnar(out),
+      "timestamp-keyed eq-deletes must serve masked columnar")
+    val masked = out.collect().map(_.getString(1)).sorted.toSeq
+    assert(GraftColumnarMask.maskedEqServed.get() > eq0)
+    val expect = (0L until 1000L).filterNot(Set(10L, 120L, 180L))
+      .map(i => s"v$i").sorted
+    assert(masked == expect)
+    // exactness contract: the mask agrees with the row-path anti join
+    GraftColumnarMask.disableForProbes = true
+    try assert(spark.sql(s"SELECT v FROM $g.t").collect()
+      .map(_.getString(0)).sorted.toSeq == expect)
+    finally GraftColumnarMask.disableForProbes = false
+    // seq guard: a re-inserted timestamp key survives the older delete
+    spark.sql(s"INSERT INTO $g.t SELECT timestamp'2024-01-01 00:00:10', 'reborn'")
+    assert(spark.sql(s"SELECT v FROM $g.t " +
+      "WHERE ts = timestamp'2024-01-01 00:00:10'")
+      .collect().map(_.getString(0)).toSeq == Seq("reborn"))
+
+    // TIMESTAMP_NTZ twin: LocalDateTime external, local-micros physical
+    spark.sql(s"CREATE TABLE $g.n (ts TIMESTAMP_NTZ, v STRING)")
+    spark.sql(s"INSERT INTO $g.n SELECT timestampadd(SECOND, CAST(id AS INT), " +
+      "timestamp_ntz'2024-01-01 00:00:00'), concat('v', id) FROM range(0, 200)")
+    spark.sql(s"DELETE FROM $g.n WHERE ts = timestamp_ntz'2024-01-01 00:00:05'")
+    assert(cat.loadEntries("n").exists(_.kind == "eqdel"))
+    val outN = spark.sql(s"SELECT v FROM $g.n")
+    assert(scansColumnar(outN), "NTZ timestamp keys must stay masked")
+    assert(outN.collect().map(_.getString(0)).sorted.toSeq ==
+      (0L until 200L).filterNot(_ == 5L).map(i => s"v$i").sorted)
+  }
 }
