@@ -2028,7 +2028,67 @@ object MorQueries {
           .as("sum_tp"))
   }
 
+  /** q176 — equi-height HISTOGRAM statistics (r19 stretch): recorded as
+    * `graft-histogram-v1` Puffin blobs by `compute_table_stats(...,
+    * histograms => true)` (a documented extension — Iceberg's statistics
+    * spec stops at sketches) and served through V2
+    * `ColumnStatistics.histogram`, they fix CBO's skewed RANGE
+    * selectivity: uniform interpolation inside [min, max] estimates a
+    * tail filter on 99%-skewed keys at ~95% (true: 1%) and keeps the
+    * filtered dim too big to broadcast — the histogram concentrates the
+    * mass where it is and flips the join. Both plans asserted in-gate
+    * (NDV+bounds alone: no BHJ; with histograms: BHJ), rows
+    * plan-invariant for the oracle.
+    */
+  private def q176(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-q176").toString
+    val g = s"g176_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$g.root", root)
+    spark.sql(s"CREATE TABLE $g.dim (k BIGINT, seg BIGINT)")
+    // 99% of keys in [0, 100), the 1% tail spread over (1000, 2990] —
+    // the modulus keeps the tail inside the fixture's key domain at
+    // every SF so the gate's rows are non-trivial
+    spark.sql(s"INSERT INTO $g.dim SELECT " +
+      "IF(id < 19800, id % 100, 1000 + (id - 19800) * 10), id " +
+      "FROM range(0, 20000)")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .createOrReplaceTempView("q176_l")
+    val q =
+      s"""SELECT d.k AS k, count(*) AS cnt,
+         |CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
+         |FROM q176_l l JOIN $g.dim d ON l.l_orderkey % 3000 = d.k
+         |WHERE d.k > 1000
+         |GROUP BY d.k""".stripMargin
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (16 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def bhj(): Int = spark.sql(q).queryExecution.sparkPlan.collect {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.size
+      spark.sql(s"CALL $g.system.compute_table_stats('dim')").collect()
+      require(bhj() == 0,
+        "NDV + bounds alone interpolate the skewed range at ~95% — " +
+          "the filtered dim must not broadcast")
+      spark.sql(s"CALL $g.system.compute_table_stats('dim', " +
+        "histograms => true)").collect()
+      require(new graft.sources.GraftCatalog(root)
+        .columnHistograms("dim").contains("k"),
+        "the histogram blob must record and serve")
+      require(bhj() == 1,
+        "the served histogram must shrink the skewed range estimate " +
+          "and flip the join to broadcast")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    spark.sql(q)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q176_stats_histogram" -> (q176 _),
     "q175_stream_cdc" -> (q175 _),
     "q174_sorted_scan" -> (q174 _),
     "q173_delete_rowcount" -> (q173 _),
@@ -2107,6 +2167,17 @@ object MorQueries {
        |  AND NOT $eqDelete2Exists""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q176_stats_histogram" ->
+      """SELECT d.k AS k, count(*) AS cnt,
+        |CAST(sum(CAST(l.l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS qty
+        |FROM lineitem l JOIN (
+        |  SELECT CASE WHEN range < 19800 THEN CAST(range % 100 AS BIGINT)
+        |              ELSE CAST(1000 + (range - 19800) * 10 AS BIGINT)
+        |         END AS k
+        |  FROM range(0, 20000)) d
+        |ON l.l_orderkey % 3000 = d.k
+        |WHERE d.k > 1000
+        |GROUP BY d.k""".stripMargin,
     "q175_stream_cdc" ->
       """SELECT _change_type, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_tp

@@ -141,7 +141,9 @@ object MaintenanceOp {
     * partition-statistics file on partitioned tables). One row per
     * analyzed column.
     */
-  final case class ComputeStats(incremental: Boolean = false)
+  final case class ComputeStats(
+      incremental: Boolean = false,
+      histograms: Boolean = false)
       extends MaintenanceOp {
     override def outputNames: Seq[String] = Seq("column", "ndv")
     override def outputTypes: Seq[DataType] = Seq(StringType, LongType)
@@ -292,8 +294,9 @@ object GraftMaintenanceExec {
       case MaintenanceOp.DropBranch(branch) =>
         cat.dropFork(s"$table@$branch")
         Seq(Seq(1L))
-      case MaintenanceOp.ComputeStats(incremental) =>
-        cat.computeTableStats(spark, table, incremental).toSeq.sortBy(_._1)
+      case MaintenanceOp.ComputeStats(incremental, histograms) =>
+        cat.computeTableStats(spark, table, incremental, histograms)
+          .toSeq.sortBy(_._1)
           .map { case (c, n) => Seq(c, n) }
       case MaintenanceOp.ImportTable(metadataLocation, historyDepth) =>
         // the SESSION's Hadoop conf, so fs.s3/wasb/gs FileIO mappings the

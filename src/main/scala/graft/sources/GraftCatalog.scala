@@ -913,6 +913,114 @@ final class GraftCatalog(root: String,
         }.toMap
     }.getOrElse(Map.empty)
 
+  /** Per-column equi-height histograms from the newest statistics file at
+    * or before `asOf` (the opt-in `graft-histogram-v1` blobs an ANALYZE
+    * with `histograms = true` records), keyed like [[columnNdv]] by the
+    * served snapshot's column names. Payloads parse once per stats file
+    * (write-once paths — process-wide cache keyed by field id; name
+    * resolution stays per-call because it depends on the served schema).
+    */
+  def columnHistograms(table: String, asOf: Option[Long] = None)
+      : Map[String, GraftCatalog.EquiHeightHistogram] =
+    tableStatistics(table, asOf).map { ref =>
+      val byId = Option(GraftCatalog.histogramCache.get(ref.path)).getOrElse {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val blobs = Option(GraftCatalog.statsFooterCache.get(ref.path))
+          .getOrElse {
+            try {
+              val b = Puffin.readFooter(ref.path, conf)._1
+              GraftCatalog.statsFooterCache.put(ref.path, b)
+              b
+            } catch { case _: Exception => Nil }
+          }
+        val m: Map[Int, GraftCatalog.EquiHeightHistogram] = blobs.iterator
+          .filter(_.blobType == GraftCatalog.HistogramBlobType)
+          .flatMap { b =>
+            for {
+              id <- b.fields.headOption
+              h <- (try GraftCatalog.decodeHistogram(
+                Puffin.readBlobPayload(ref.path, b, conf))
+              catch { case _: Exception => None })
+            } yield id -> h
+          }.toMap
+        // cache even an empty parse — the path is write-once, and most
+        // stats files legitimately carry no histograms
+        GraftCatalog.histogramCache.put(ref.path, m)
+        m
+      }
+      if (byId.isEmpty) Map.empty[String, GraftCatalog.EquiHeightHistogram]
+      else {
+        val schema = asOf.flatMap(schemaAt(table, _)).orElse(currentSchema(table))
+        byId.iterator.flatMap { case (id, h) =>
+          schema.flatMap(FieldIds.nameById(_, id)).map(_ -> h)
+        }.toMap
+      }
+    }.getOrElse(Map.empty)
+
+  /** The histogram pass behind [[computeTableStats]]: equi-height bins
+    * over every NUMERIC atomic column, in TWO distributed aggregates
+    * total (never per-column jobs) —
+    *
+    *  1. approximate percentiles + min/max/count per column: the bin
+    *     boundaries (equi-height: each bin holds ~rows/bins rows);
+    *  2. one aggregate computing every bin's approx-NDV
+    *     (`bins × columns` conditional agg expressions in one pass).
+    *
+    * Heavy skew collapses adjacent boundaries — equal-endpoint bins are
+    * legal (they carry the hot value's mass) and Spark's estimator
+    * handles them. Columns that are all-null (or the empty table) record
+    * no histogram.
+    */
+  private def computeHistograms(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      schema: org.apache.spark.sql.types.StructType,
+      atomic: Seq[String]): Map[String, GraftCatalog.EquiHeightHistogram] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val numeric = atomic.filter(c =>
+      schema.fields.find(_.name == c).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType |
+             FloatType | DoubleType => true
+        case _: DecimalType => true
+        case _ => false
+      })
+    if (numeric.isEmpty) return Map.empty
+    def q(c: String) = col(s"`${c.replace("`", "``")}`").cast("double")
+    val nBins = GraftCatalog.HistogramBins
+    val df = scanTable(spark, table)
+    val quantiles = (1 until nBins).map(_.toDouble / nBins)
+    val pass1 = numeric.flatMap(c => Seq(
+      percentile_approx(q(c), lit(quantiles.toArray), lit(10000)).as(s"qs_$c"),
+      min(q(c)).as(s"mn_$c"), max(q(c)).as(s"mx_$c"),
+      count(q(c)).as(s"n_$c")))
+    val r1 = df.agg(pass1.head, pass1.tail: _*).head()
+    val boundsOf: Seq[(String, Array[Double])] = numeric.flatMap { c =>
+      if (r1.isNullAt(r1.fieldIndex(s"mn_$c"))) None // all-null column
+      else {
+        val mid = r1.getSeq[Double](r1.fieldIndex(s"qs_$c"))
+        Some(c -> ((r1.getDouble(r1.fieldIndex(s"mn_$c")) +: mid) :+
+          r1.getDouble(r1.fieldIndex(s"mx_$c"))).toArray)
+      }
+    }
+    if (boundsOf.isEmpty) return Map.empty
+    val binAggs = boundsOf.flatMap { case (c, bounds) =>
+      (0 until nBins).map { i =>
+        val cond =
+          if (i == 0) q(c) >= bounds(0) && q(c) <= bounds(1)
+          else q(c) > bounds(i) && q(c) <= bounds(i + 1)
+        approx_count_distinct(when(cond, q(c))).as(s"b_${c}_$i")
+      }
+    }
+    val r2 = df.agg(binAggs.head, binAggs.tail: _*).head()
+    boundsOf.map { case (c, bounds) =>
+      val n = r1.getLong(r1.fieldIndex(s"n_$c"))
+      val bins = (0 until nBins).map(i =>
+        (bounds(i), bounds(i + 1), r2.getLong(r2.fieldIndex(s"b_${c}_$i"))))
+      c -> GraftCatalog.EquiHeightHistogram(n.toDouble / nBins, bins)
+    }.toMap
+  }
+
   /** ANALYZE: one distributed pass over the current snapshot sketching
     * every atomic column with a REAL Apache-DataSketches theta sketch
     * ([[graft.functions.ThetaNdvSketch]] — map tasks keep bounded
@@ -927,7 +1035,8 @@ final class GraftCatalog(root: String,
   def computeTableStats(
       spark: org.apache.spark.sql.SparkSession,
       table: String,
-      incremental: Boolean = false): Map[String, Long] = {
+      incremental: Boolean = false,
+      histograms: Boolean = false): Map[String, Long] = {
     import org.apache.spark.sql.functions._
     val conf = new org.apache.hadoop.conf.Configuration()
     val head = currentSnapshotId(table)
@@ -1019,6 +1128,26 @@ final class GraftCatalog(root: String,
     val ndvs: Seq[(String, Long)] = sketches.map { case (c, payload) =>
       c -> graft.functions.ThetaNdvSketch.estimate(payload)
     }
+    // equi-height HISTOGRAMS — the CBO tier past NDV + bounds (skewed
+    // RANGE selectivity): opt-in per call, and STICKY across re-analysis
+    // (a statsSweep re-ANALYZE of a table whose recorded stats carry
+    // histogram blobs recomputes them — requesting once keeps them
+    // maintained). Always a full pass over the numeric columns:
+    // histograms don't union, so incremental mode pays the extra scan
+    // only when histograms were asked for. Iceberg itself stops at
+    // sketches — the blob type is a documented graft extension.
+    val wantHistograms = histograms || tableStatistics(table).exists { ref =>
+      Option(GraftCatalog.statsFooterCache.get(ref.path)).getOrElse {
+        try {
+          val b = Puffin.readFooter(ref.path, conf)._1
+          GraftCatalog.statsFooterCache.put(ref.path, b)
+          b
+        } catch { case _: Exception => Nil }
+      }.exists(_.blobType == GraftCatalog.HistogramBlobType)
+    }
+    val histos: Map[String, GraftCatalog.EquiHeightHistogram] =
+      if (!wantHistograms) Map.empty
+      else computeHistograms(spark, table, schema, atomic)
     // Re-ANALYZE at an unchanged head must NOT rewrite the previous stats
     // file in place: Puffin footers are cached process-wide BY PATH
     // (statsFooterCache, justified by write-once paths), and ANOTHER
@@ -1062,13 +1191,21 @@ final class GraftCatalog(root: String,
     require(blobs.nonEmpty,
       s"$table: no analyzed column carries a field id — statistics blobs " +
         "key by field id and would be unbindable")
-    val (size, footerSize) = Puffin.writeBlobs(statsPath, blobs, conf)
+    val histoBlobs = histos.toSeq.sortBy(_._1).flatMap { case (name, h) =>
+      schema.fields.find(_.name == name).flatMap(FieldIds.idOf).map(id =>
+        Puffin.BlobSpec(GraftCatalog.HistogramBlobType, Seq(id), head, head,
+          GraftCatalog.encodeHistogram(h),
+          Map("bins" -> h.bins.size.toString)))
+    }
+    val (size, footerSize) =
+      Puffin.writeBlobs(statsPath, blobs ++ histoBlobs, conf)
     writeStatsPointer(statsPointerPath(table, head), head, statsPath,
       size, footerSize)
     // superseded generations (and the legacy un-suffixed path) go AFTER
     // the pointer swap — best-effort, the pointer no longer serves them
     priorGenFiles.foreach { p =>
       GraftCatalog.statsFooterCache.remove(p.toString)
+      GraftCatalog.histogramCache.remove(p.toString)
       try Files.deleteIfExists(p) catch { case _: java.io.IOException => () }
     }
     // partition statistics: per-tuple rollup of the entry inventory
@@ -5527,6 +5664,55 @@ object GraftCatalog {
   private[sources] val pstatsRollupCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, Map[Seq[String], (Long, Long)]]()
+
+  /** One equi-height histogram (Spark CBO's `Histogram` shape): `height`
+    * = rows per bin, each bin `(lo, hi, ndv)` with approx distinct count.
+    * Recorded per column as a `graft-histogram-v1` Puffin blob — a
+    * documented extension blob type (Iceberg's own statistics spec stops
+    * at sketches); foreign readers skip unknown blob types by contract.
+    */
+  final case class EquiHeightHistogram(
+      height: Double,
+      bins: Seq[(Double, Double, Long)])
+
+  private[sources] val HistogramBlobType = "graft-histogram-v1"
+
+  /** Equi-height bin count per column — 64 gives ~1.6% selectivity
+    * resolution at a few KB per column blob.
+    */
+  private[sources] val HistogramBins = 64
+
+  /** Decoded histograms per statistics file, keyed by path (write-once
+    * paths) → field id → histogram.
+    */
+  private[sources] val histogramCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, Map[Int, EquiHeightHistogram]]()
+
+  // payload text format, line-oriented (doubles round-trip via
+  // Double.toString/parse exactly): "v1\n<height>\n<lo>,<hi>,<ndv>\n..."
+  private[sources] def encodeHistogram(h: EquiHeightHistogram): Array[Byte] = {
+    val sb = new StringBuilder("v1\n").append(h.height).append('\n')
+    h.bins.foreach { case (lo, hi, ndv) =>
+      sb.append(lo).append(',').append(hi).append(',').append(ndv).append('\n')
+    }
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private[sources] def decodeHistogram(
+      payload: Array[Byte]): Option[EquiHeightHistogram] =
+    try {
+      val lines = new String(payload,
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+        .filter(_.nonEmpty)
+      if (lines.headOption.contains("v1") && lines.size >= 3)
+        Some(EquiHeightHistogram(lines(1).toDouble,
+          lines.drop(2).map { l =>
+            val Array(lo, hi, ndv) = l.split(",", 3)
+            (lo.toDouble, hi.toDouble, ndv.toLong)
+          }))
+      else None
+    } catch { case _: Exception => None }
 
   /** Marker file that makes a directory a namespace (and carries its
     * properties). Dot-prefixed so the table-document globs never see it.

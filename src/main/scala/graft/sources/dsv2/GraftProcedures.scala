@@ -134,14 +134,16 @@ object GraftProcedures {
         "'incremental' sketches only the files added since the last " +
         "statistics snapshot and unions with its sketches",
       Seq(p("table", StringType),
-        pDefault("mode", StringType, "'full'")),
+        pDefault("mode", StringType, "'full'"),
+        pDefault("histograms", org.apache.spark.sql.types.BooleanType, "false")),
       (cat, in) => {
         val mode = in.getUTF8String(1).toString
         require(mode == "full" || mode == "incremental",
           s"compute_table_stats mode must be 'full' or 'incremental', " +
             s"got '$mode'")
         (tableArg(in, 0),
-          MaintenanceOp.ComputeStats(incremental = mode == "incremental"))
+          MaintenanceOp.ComputeStats(incremental = mode == "incremental",
+            histograms = in.getBoolean(2)))
       }),
     Spec("import_table",
       "register a foreign Iceberg table by metadata.json location: walk " +

@@ -954,6 +954,10 @@ class GraftV1Scan(
     // blobs); newest-at-or-before the served snapshot, Iceberg's stale-
     // stats convention. Zero data IO: one cached footer parse.
     val ndv = cat.columnNdv(table, asOf)
+    // opt-in equi-height histograms (ANALYZE with histograms = true):
+    // skewed RANGE selectivity — CBO interpolates inside [min, max]
+    // without them, catastrophically wrong on skew
+    val histos = cat.columnHistograms(table, asOf)
     // min/max/nullCount from the SURVIVING entries' recorded writer
     // bounds — range-predicate selectivity (CBO interpolates inside
     // [min,max]) and IsNull estimates, on top of the sketch NDVs.
@@ -1015,6 +1019,25 @@ class GraftV1Scan(
       ndv.foreach { case (name, n) =>
         if (required.fieldNames.contains(name)) {
           val (lo, hi, nulls) = boundsOf(name)
+          val hist: java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+            histos.get(name).fold(java.util.Optional.empty[
+                org.apache.spark.sql.connector.read.colstats.Histogram]()) { h =>
+              val v2bins = h.bins.map { case (blo, bhi, bndv) =>
+                new org.apache.spark.sql.connector.read.colstats.HistogramBin {
+                  override def lo(): Double = blo
+                  override def hi(): Double = bhi
+                  override def ndv(): Long = bndv
+                }
+              }.toArray
+              java.util.Optional.of(
+                new org.apache.spark.sql.connector.read.colstats.Histogram {
+                  override def height(): Double = h.height
+                  override def bins(): Array[
+                      org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+                    v2bins
+                })
+            }
           m.put(
             org.apache.spark.sql.connector.expressions.Expressions.column(name),
             new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
@@ -1029,6 +1052,9 @@ class GraftV1Scan(
               override def nullCount(): java.util.OptionalLong =
                 nulls.fold(java.util.OptionalLong.empty())(
                   java.util.OptionalLong.of)
+              override def histogram(): java.util.Optional[
+                  org.apache.spark.sql.connector.read.colstats.Histogram] =
+                hist
             })
         }
       }

@@ -283,6 +283,53 @@ class StatsPlanningSpec extends SparkSpec {
       s"post-prune min must come from surviving files: ${pk.min()}")
   }
 
+  test("equi-height histograms fix skewed range selectivity under CBO") {
+    val root = Files.createTempDirectory("graft-splan-histo").toString
+    val g = mount(root)
+    // heavy skew: 99% of keys in [0, 100), the tail spread to 20000 —
+    // uniform interpolation inside [min, max] estimates `k > 1000` at
+    // ~95% selectivity (true: 1%), keeping the filtered dim too big to
+    // broadcast; the histogram concentrates the mass where it is
+    spark.sql(s"CREATE TABLE $g.dim (k BIGINT, seg BIGINT)")
+    spark.sql(s"INSERT INTO $g.dim SELECT IF(id < 19800, id % 100, id), id " +
+      "FROM range(0, 20000)")
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> (16 * 1024).toString)
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      def bhj(): Int = spark.sql(
+        s"""SELECT f.id, d.seg FROM range(0, 200000) f
+           |JOIN $g.dim d ON f.id % 20000 = d.k WHERE d.k > 1000""".stripMargin)
+        .queryExecution.sparkPlan.collect {
+          case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+        }.size
+      spark.sql(s"CALL $g.system.compute_table_stats('dim')").collect()
+      assert(bhj() == 0,
+        "NDV + bounds alone interpolate the skewed range at ~95% — no broadcast")
+      spark.sql(s"CALL $g.system.compute_table_stats('dim', " +
+        "histograms => true)").collect()
+      val cat = new GraftCatalog(root)
+      val h = cat.columnHistograms("dim")
+      assert(h.contains("k") && h("k").bins.size == GraftCatalog.HistogramBins,
+        s"histogram blobs must record and serve: ${h.keys}")
+      // payload codec round-trips exactly
+      assert(GraftCatalog.decodeHistogram(
+        GraftCatalog.encodeHistogram(h("k"))).contains(h("k")))
+      assert(bhj() == 1,
+        "the histogram must shrink the skewed range estimate to ~1% -> broadcast")
+      // stickiness: a plain re-ANALYZE (the statsSweep shape) keeps
+      // maintaining the histograms once requested
+      spark.sql(s"CALL $g.system.compute_table_stats('dim')").collect()
+      assert(cat.columnHistograms("dim").contains("k"),
+        "re-analysis must keep recorded histograms maintained")
+      assert(bhj() == 1)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("served NDV flips a filtered dim join to broadcast under CBO") {
     val root = Files.createTempDirectory("graft-splan-bhj").toString
     val g = mount(root)
