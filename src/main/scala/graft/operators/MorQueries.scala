@@ -1788,7 +1788,9 @@ object MorQueries {
     spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
     spark.conf.set(s"spark.sql.catalog.$g.root", root)
     spark.sql(s"CREATE TABLE $g.dim (k BIGINT, seg BIGINT)")
-    spark.sql(s"INSERT INTO $g.dim SELECT id, id % 2000 FROM range(0, 20000)")
+    // one slice -> one file: parallelism-independent estimate (see q173)
+    spark.sql(s"INSERT INTO $g.dim SELECT id, id % 2000 " +
+      "FROM range(0, 20000, 1, 1)")
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .createOrReplaceTempView("q172_l")
     val q =
@@ -1837,7 +1839,13 @@ object MorQueries {
     spark.conf.set(s"spark.sql.catalog.$g.root", root)
     spark.sql(s"CREATE TABLE $g.dim (k BIGINT, seg BIGINT) " +
       "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
-    spark.sql(s"INSERT INTO $g.dim SELECT id, id % 2000 FROM range(0, 20000)")
+    // ONE slice -> one data file whose bounds span the whole domain: the
+    // gate's estimate must be parallelism-independent (at local[32] a
+    // 32-file layout lets the pushed seg filter statically prune files,
+    // and a pruned estimate under pending deletes rightly withholds the
+    // row count — the property under test needs the unpruned shape)
+    spark.sql(s"INSERT INTO $g.dim SELECT id, id % 2000 " +
+      "FROM range(0, 20000, 1, 1)")
     spark.sql(s"CALL $g.system.compute_table_stats('dim')").collect()
     spark.sql(s"DELETE FROM $g.dim WHERE seg >= 1000")
     val cat = new graft.sources.GraftCatalog(root)
@@ -2048,10 +2056,13 @@ object MorQueries {
     spark.sql(s"CREATE TABLE $g.dim (k BIGINT, seg BIGINT)")
     // 99% of keys in [0, 100), the 1% tail spread over (1000, 2990] —
     // the modulus keeps the tail inside the fixture's key domain at
-    // every SF so the gate's rows are non-trivial
+    // every SF so the gate's rows are non-trivial. ONE slice -> one data
+    // file: a multi-file layout at high parallelism lets the pushed
+    // range filter statically prune the dim below the broadcast
+    // threshold WITHOUT histograms, destroying the gate's contrast
     spark.sql(s"INSERT INTO $g.dim SELECT " +
       "IF(id < 19800, id % 100, 1000 + (id - 19800) * 10), id " +
-      "FROM range(0, 20000)")
+      "FROM range(0, 20000, 1, 1)")
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .createOrReplaceTempView("q176_l")
     val q =
