@@ -933,19 +933,27 @@ final class GraftCatalog(root: String,
               b
             } catch { case _: Exception => Nil }
           }
-        val m: Map[Int, GraftCatalog.EquiHeightHistogram] = blobs.iterator
-          .filter(_.blobType == GraftCatalog.HistogramBlobType)
-          .flatMap { b =>
-            for {
-              id <- b.fields.headOption
-              h <- (try GraftCatalog.decodeHistogram(
-                Puffin.readBlobPayload(ref.path, b, conf))
-              catch { case _: Exception => None })
-            } yield id -> h
-          }.toMap
-        // cache even an empty parse — the path is write-once, and most
-        // stats files legitimately carry no histograms
-        GraftCatalog.histogramCache.put(ref.path, m)
+        // a transient payload-read failure must NOT pin an empty result
+        // for the path's lifetime (the columnNdv convention): any IO
+        // throw skips caching; a MALFORMED payload (decode None) is
+        // permanent for a write-once path and caches as absent
+        val parsed: Option[Map[Int, GraftCatalog.EquiHeightHistogram]] =
+          try Some(blobs.iterator
+            .filter(_.blobType == GraftCatalog.HistogramBlobType)
+            .flatMap { b =>
+              for {
+                id <- b.fields.headOption
+                h <- GraftCatalog.decodeHistogram(
+                  Puffin.readBlobPayload(ref.path, b, conf))
+              } yield id -> h
+            }.toMap)
+          catch { case _: Exception => None }
+        val m = parsed.getOrElse(Map.empty)
+        // cache (even an empty map — most stats files legitimately carry
+        // no histograms) only when the footer itself read clean
+        if (parsed.isDefined &&
+            GraftCatalog.statsFooterCache.containsKey(ref.path))
+          GraftCatalog.histogramCache.put(ref.path, m)
         m
       }
       if (byId.isEmpty) Map.empty[String, GraftCatalog.EquiHeightHistogram]
@@ -5243,6 +5251,63 @@ final class GraftCatalog(root: String,
     */
   def statsStale(table: String): Boolean = statsChurn(table).exists(_.stale)
 
+  /** True when a pending POSITION delete may reference a data file no
+    * longer in the snapshot (dangling positions) — the incremental-
+    * compaction shape: the delta's files are rewritten away while the
+    * delete files stay pending. Dangling positions match nothing at read
+    * time, so subtracting their cardinality from the data-file row sum
+    * would UNDERCOUNT live rows — the mis-broadcast direction — and the
+    * exact-rowcount estimate must withhold instead.
+    *
+    * Metadata-only and CONSERVATIVE: walking the retained snapshots, any
+    * commit that removed data files while a currently-pending posdel was
+    * already live flags the hazard (whether or not that posdel actually
+    * references a removed file — unknowable without reading the delete
+    * rows), as does any unprovable history (pending posdels that predate
+    * the oldest retained snapshot, or introduced inside a retention
+    * gap). A FULL compaction retires the pending set and clears the
+    * hazard. O(retained snapshots) document reads, cached per
+    * (table, head) — the answer only changes at a commit.
+    */
+  def posDeleteDanglingPossible(
+      table: String, asOf: Option[Long] = None): Boolean = {
+    val head = asOf.getOrElse(currentSnapshotId(table))
+    val key = (root, table, head)
+    Option(GraftCatalog.danglingCache.get(key)).map(Boolean.unbox).getOrElse {
+      val r =
+        try computeDanglingPossible(table, head)
+        catch { case _: Exception => true } // unreadable history: withhold
+      GraftCatalog.danglingCache.put(key, r)
+      r
+    }
+  }
+
+  private def computeDanglingPossible(table: String, head: Long): Boolean = {
+    val pending = loadEntriesAt(table, head)
+      .collect { case e if e.kind == "posdel" => e.path }.toSet
+    if (pending.isEmpty) return false
+    val ids = snapshotIds(table).filter(_ <= head).sorted
+    def snap(id: Long): (Set[String], Set[String]) = {
+      val es = loadEntriesAt(table, id)
+      (es.collect { case e if e.kind == "data" => e.path }.toSet,
+        es.collect { case e if e.kind == "posdel" => e.path }.toSet
+          .intersect(pending))
+    }
+    val first = snap(ids.head)
+    // pending posdels older than the oldest retained snapshot have
+    // invisible history — a removal could hide behind the expiry
+    if (first._2.nonEmpty && ids.head != 1L) return true
+    ids.zip(ids.tail).exists { case (a, b) =>
+      val (dataA, pendA) = snap(a)
+      val (dataB, pendB) = snap(b)
+      // a visible removal while a still-pending posdel was live
+      ((dataA -- dataB).nonEmpty && pendA.nonEmpty) ||
+        // a pending posdel introduced INSIDE a retention gap could
+        // reference a file added and removed inside the same gap
+        (b != a + 1 && (pendB -- pendA).nonEmpty)
+    }
+  }
+
   /** Re-ANALYZE debt for the scheduler: how many snapshot entries moved
     * in ways the recorded sketches cannot account for. 0 = fresh or
     * never analyzed.
@@ -5688,6 +5753,13 @@ object GraftCatalog {
   private[sources] val histogramCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, Map[Int, EquiHeightHistogram]]()
+
+  /** [[GraftCatalog.posDeleteDanglingPossible]] results per
+    * (root, table, snapshot) — the snapshot id keys staleness.
+    */
+  private[sources] val danglingCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, String, Long), java.lang.Boolean]()
 
   // payload text format, line-oriented (doubles round-trip via
   // Double.toString/parse exactly): "v1\n<height>\n<lo>,<hi>,<ndv>\n..."

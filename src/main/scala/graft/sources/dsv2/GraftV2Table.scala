@@ -686,33 +686,50 @@ class GraftV1Scan(
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
     orderingClaim
 
+  /** When a HEAD read claimed ordering, the snapshot the claim was
+    * PROVEN at: the non-keyed serve pins its planning to this id, so a
+    * commit racing between the claim (optimizer time) and the plan
+    * (execution time) can never slip newer, unsorted data under a sorted
+    * claim — a silently-wrong merge join otherwise. Keyed serving
+    * already pins at its layout's snapshot; pinned reads pin themselves.
+    */
+  @volatile private var orderingClaimSnapshot: Option[Long] = None
+
   private lazy val orderingClaim
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val cat = new GraftCatalog(root)
-    cat.sortedSnapshot(table) match {
-      case Some((sid, cols)) if cols.nonEmpty &&
-          asOf.getOrElse(cat.currentSnapshotId(table)) == sid =>
-        (try Some(cat.loadEntriesAt(table, sid))
-         catch { case _: Exception => None }) match {
-          case None => Array.empty
-          case Some(entries) =>
-            val data = entries.filter(_.kind == "data")
-            val singleFileSlices = keyedLayout match {
-              case Some(kl) => kl.tuples.forall(_._2.size <= 1)
-              case None => data.size <= 1
-            }
-            val prefix = cols.takeWhile(required.fieldNames.contains)
-            if (entries.exists(_.kind != "data") || !singleFileSlices ||
-                prefix.isEmpty)
-              Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
-            else prefix.map(c =>
-              org.apache.spark.sql.connector.expressions.Expressions.sort(
-                org.apache.spark.sql.connector.expressions.Expressions.column(c),
-                org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
-              .toArray
-        }
-      case _ => Array.empty
-    }
+    val claim: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      cat.sortedSnapshot(table) match {
+        case Some((sid, cols)) if cols.nonEmpty &&
+            asOf.getOrElse(cat.currentSnapshotId(table)) == sid =>
+          (try Some(cat.loadEntriesAt(table, sid))
+           catch { case _: Exception => None }) match {
+            case None => Array.empty
+            case Some(entries) =>
+              val data = entries.filter(_.kind == "data")
+              val singleFileSlices = keyedLayout match {
+                case Some(kl) => kl.tuples.forall(_._2.size <= 1)
+                case None => data.size <= 1
+              }
+              val prefix = cols.takeWhile(required.fieldNames.contains)
+              if (entries.exists(_.kind != "data") || !singleFileSlices ||
+                  prefix.isEmpty)
+                Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+              else {
+                if (asOf.isEmpty && keyedLayout.isEmpty)
+                  orderingClaimSnapshot = Some(sid)
+                prefix.map(c =>
+                  org.apache.spark.sql.connector.expressions.Expressions.sort(
+                    org.apache.spark.sql.connector.expressions.Expressions
+                      .column(c),
+                    org.apache.spark.sql.connector.expressions.SortDirection
+                      .ASCENDING))
+                  .toArray
+              }
+          }
+        case _ => Array.empty
+      }
+    claim
   }
 
   /** STORAGE-PARTITIONED-JOIN layout: when every data file of a
@@ -941,11 +958,22 @@ class GraftV1Scan(
     // delete writers only record positions of rows LIVE at write time
     // (the MoR scan masks already-deleted rows before a new delete is
     // computed), so no (path, pos) repeats across pending files and the
-    // live row count is exactly dataRows − posCardinality. Eq-deletes
-    // stay conservative — their suppressed-row count needs the key join.
+    // live row count is exactly dataRows − posCardinality. Imported
+    // chains share the discipline by spec: v3 allows at most one DV per
+    // data file and conforming v2 writers delete live rows only — the
+    // same assumption stock engines' cardinality-based estimates make.
+    // Eq-deletes stay conservative — their suppressed-row count needs
+    // the key join.
+    // DANGLING guard (r19 self-review): after an incremental compaction
+    // the pending posdels may reference rewritten-away files — their
+    // positions match nothing at read time, and subtracting them would
+    // UNDERCOUNT live rows (mis-broadcast). Withhold whenever the
+    // metadata walk cannot prove no data file was removed while these
+    // deletes were pending (a full compaction retires them and clears it).
     val posExact: Option[Long] = {
       val pos = entries.filter(_.kind == "posdel")
-      if (entries.exists(_.kind == "eqdel") || pos.exists(_.recordCount < 0L))
+      if (entries.exists(_.kind == "eqdel") || pos.exists(_.recordCount < 0L) ||
+          (pos.nonEmpty && cat.posDeleteDanglingPossible(table, asOf)))
         None
       else Some(pos.map(_.recordCount).sum)
     }
@@ -1157,6 +1185,11 @@ class GraftV1Scan(
           // rows. sessionUUID (not identityHashCode) keys the session: a
           // stopped-and-GC'd session's identity hash can be reused by a
           // new one, whose hit would serve RDDs bound to a dead context.
+          // a HEAD read that CLAIMED ordering pins its planning to the
+          // claim's snapshot (see orderingClaimSnapshot) — the commit
+          // window between optimizer-time claim and execution-time plan
+          // must never serve newer data under the sorted claim
+          val serveAsOf = asOf.orElse(orderingClaimSnapshot)
           val cacheKey: Option[Any] =
             if (host.nonEmpty || runtimeKeep.nonEmpty) None
             else scala.util.Try({
@@ -1164,8 +1197,9 @@ class GraftV1Scan(
               val sessionKey = org.apache.spark.sql.graftbridge.DatasetBridge
                 .sessionUUID(SparkSession.active)
               (sessionKey,
-                root, table, c.tableUuid(table).getOrElse(""), asOf.isDefined,
-                asOf.getOrElse(c.currentSnapshotId(table)),
+                root, table, c.tableUuid(table).getOrElse(""),
+                serveAsOf.isDefined,
+                serveAsOf.getOrElse(c.currentSnapshotId(table)),
                 required.catalogString, filters.toSeq.map(_.toString),
                 GraftColumnarMask.disableForProbes)
             }).toOption
@@ -1180,11 +1214,11 @@ class GraftV1Scan(
             if (host.nonEmpty ||
                 required.fieldNames.exists(n => n == "_file" || n == "_pos")) None
             else GraftColumnarMask.serve(SparkSession.active, root, table,
-                asOf, required, filters, runtimeKeep)
+                serveAsOf, required, filters, runtimeKeep)
               .map(_.map(GraftColumnarGroup(_): GraftServedGroup))
           masked.getOrElse {
           val fs = GraftInnerFrame.frames(
-            SparkSession.active, root, table, asOf, required, filters,
+            SparkSession.active, root, table, serveAsOf, required, filters,
             host.flatMap(_.groupFilter), keepPaths = runtimeKeep)
           // VECTORIZED HANDOFF: when every group's plan is a bare
           // columnar scan (no residual filter/cast/join — the plain

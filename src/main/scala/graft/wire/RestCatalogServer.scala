@@ -646,6 +646,10 @@ object RestCatalogServer {
       .filter(_.isTextual).map(_.asText).getOrElse("full")
     if (mode != "full" && mode != "incremental")
       return badRequest(s"mode must be 'full' or 'incremental', got '$mode'")
+    // {"histograms": true} — the opt-in equi-height tier (sticky across
+    // re-analysis once recorded, like the procedure spelling)
+    val histograms = Option(if (req == null) null else req.get("histograms"))
+      .exists(_.asBoolean(false))
     val spark = org.apache.spark.sql.SparkSession.getDefaultSession
       .orElse(org.apache.spark.sql.SparkSession.getActiveSession).getOrElse(
         return HttpResponseStatus.SERVICE_UNAVAILABLE ->
@@ -654,7 +658,7 @@ object RestCatalogServer {
             "ServiceUnavailableException", 503))
     try {
       val ndvs = catalog.computeTableStats(spark, table,
-        incremental = mode == "incremental")
+        incremental = mode == "incremental", histograms = histograms)
       val ref = catalog.tableStatistics(table)
       val cols = ndvs.toSeq.sortBy(_._1)
         .map { case (c, n) => s"${q(c)}:$n" }.mkString(",")

@@ -283,6 +283,41 @@ class StatsPlanningSpec extends SparkSpec {
       s"post-prune min must come from surviving files: ${pk.min()}")
   }
 
+  test("dangling-possible position deletes withhold the exact row count") {
+    val root = Files.createTempDirectory("graft-splan-dangle").toString
+    val g = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $g.m (k BIGINT, v STRING)
+         |TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')""".stripMargin)
+    spark.sql(s"INSERT INTO $g.m SELECT id, concat('v', id) FROM range(0, 5000)")
+    val cat = new GraftCatalog(root)
+    cat.compactTable(spark, "m", s"$root/m/_data/c0")
+    spark.sql(s"DELETE FROM $g.m WHERE k % 7 = 3") // pos-deletes
+    val live1 = (0L until 5000L).count(_ % 7 != 3)
+    assert(!cat.posDeleteDanglingPossible("m"),
+      "no data file has been removed while the delete pends")
+    assert(estimate(root, "m", Array.empty).numRows().getAsLong == live1)
+    // an append doesn't endanger the subtraction...
+    spark.sql(s"INSERT INTO $g.m SELECT id, concat('v', id) " +
+      "FROM range(5000, 10000)")
+    assert(estimate(root, "m", Array.empty).numRows().getAsLong == live1 + 5000)
+    // ...but an INCREMENTAL compaction rewrites the delta files away
+    // while the posdel stays pending — its positions could now dangle,
+    // and subtracting them could UNDERCOUNT (mis-broadcast direction)
+    cat.compactTableIncremental(spark, "m", s"$root/m/_data/c1")
+    assert(cat.loadEntries("m").exists(_.kind == "posdel"),
+      "the incremental rewrite must leave the posdel pending")
+    assert(cat.posDeleteDanglingPossible("m"),
+      "a data-file removal while the delete pends must flag the hazard")
+    assert(!estimate(root, "m", Array.empty).numRows().isPresent,
+      "dangling-possible deletes must withhold the row count")
+    // a FULL compaction retires the pending set: exact rows come back
+    // through the delete-free path
+    cat.compactTable(spark, "m", s"$root/m/_data/c2")
+    assert(!cat.loadEntries("m").exists(_.kind != "data"))
+    assert(estimate(root, "m", Array.empty).numRows().getAsLong == live1 + 5000)
+  }
+
   test("equi-height histograms fix skewed range selectivity under CBO") {
     val root = Files.createTempDirectory("graft-splan-histo").toString
     val g = mount(root)
