@@ -1055,6 +1055,173 @@ object ScalingProbe {
       }
     }
 
+    // ---- round 19: sort elision, CDC step cost, histogram ANALYZE -------
+    {
+      val g19 = s"g19_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+      // (1) SORT ELISION (SupportsReportOrdering): identically-compacted
+      // co-bucketed pairs — one with a declared write order (the scan
+      // claims per-partition ordering, SMJ plans ZERO SortExec), one
+      // without (same 1-file-per-tuple layout, SMJ pays both sorts). The
+      // wall delta is the elided sort cost, growing with the fact side.
+      val ordConfs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.enabled" -> "false")
+      val ordSaved = ordConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      val sortRows =
+        try {
+          ordConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+          Seq(1, 4, 16).map { m =>
+            val dir = s"/tmp/graft_scale_sorted_$m"
+            org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+            val g = s"${g19}_s$m"
+            spark.conf.set(s"spark.sql.catalog.$g",
+              "graft.sources.dsv2.GraftSparkCatalog")
+            spark.conf.set(s"spark.sql.catalog.$g.root", s"$dir/cat")
+            val rows = m * 250000L
+            def mk(f: String, d: String, sorted: Boolean): Unit = {
+              spark.sql(s"CREATE TABLE $g.$f (k BIGINT, v DOUBLE) " +
+                "PARTITIONED BY (bucket(8, k))")
+              spark.sql(s"CREATE TABLE $g.$d (k BIGINT, name STRING) " +
+                "PARTITIONED BY (bucket(8, k))")
+              spark.sql(s"INSERT INTO $g.$f SELECT id % ${rows / 4}, " +
+                s"CAST(id AS DOUBLE) FROM range(0, $rows)")
+              spark.sql(s"INSERT INTO $g.$d SELECT id, concat('n', id) " +
+                s"FROM range(0, ${rows / 4})")
+              val cat = new GraftCatalog(s"$dir/cat")
+              for (t <- Seq(f, d)) {
+                if (sorted) cat.setSortOrder(t, Seq("k"))
+                cat.compactTable(spark, t, s"$dir/cat/$t/_data/c",
+                  CompactionConfig(targetPartitions = 1))
+              }
+            }
+            mk("lf", "ld", sorted = true)
+            mk("uf", "ud", sorted = false)
+            def joinQ(f: String, d: String) = spark.sql(
+              s"SELECT x.k, x.v, y.name FROM $g.$f x JOIN $g.$d y ON x.k = y.k")
+            val planS = joinQ("lf", "ld").queryExecution.executedPlan
+            require(planS.collect {
+              case st: org.apache.spark.sql.execution.SortExec => st
+            }.isEmpty, s"sorted pair must elide both SMJ sorts:\n$planS")
+            require(joinQ("uf", "ud").queryExecution.executedPlan.collect {
+              case st: org.apache.spark.sql.execution.SortExec => st
+            }.nonEmpty, "the unsorted twin must pay the merge-join sorts")
+            def time(f: String, d: String): Double = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              joinQ(f, d).write.mode("overwrite").format("noop").save()
+              (System.nanoTime() - t0) / 1e9
+            }.min
+            val tU = time("uf", "ud")
+            val tS = time("lf", "ld")
+            println(f"sorted mult=$m%2d rows=$rows sorted=$tS%5.2f unsorted=$tU%5.2f")
+            (m, rows, tS, tU)
+          }
+        } finally ordSaved.foreach { case (k, v) =>
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        }
+
+      // (2) CDC changelog step cost: a FIXED MoR delete+append window over
+      // a base growing 1x/4x/16x. The delete-diff scans only the files the
+      // new positional deletes REFERENCE (plus removed ones), so wall and
+      // input bytes must track the delta, never the base.
+      val cdcRows = Seq(1, 4, 16).map { m =>
+        val dir = s"/tmp/graft_scale_cdc_$m"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        val g = s"${g19}_c$m"
+        spark.conf.set(s"spark.sql.catalog.$g",
+          "graft.sources.dsv2.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$g.root", s"$dir/cat")
+        spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING) " +
+          "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+        for (i <- 0 until m)
+          spark.sql(s"INSERT INTO $g.t SELECT id, md5(CAST(id AS STRING)) " +
+            s"FROM range(${i * 500000L}, ${(i + 1) * 500000L})")
+        val cat = new GraftCatalog(s"$dir/cat")
+        val s0 = cat.currentSnapshotId("t")
+        // the fixed delta: positions confined to the FIRST commit's keys,
+        // plus a 50k append
+        spark.sql(s"DELETE FROM $g.t WHERE k < 500000 AND k % 97 = 3")
+        spark.sql(s"INSERT INTO $g.t SELECT id, md5(CAST(id AS STRING)) " +
+          s"FROM range(${m * 500000L}, ${m * 500000L + 50000})")
+        val head = cat.currentSnapshotId("t")
+        val schema = cat.scanTable(spark, "t").schema
+          .add("_change_type", org.apache.spark.sql.types.StringType)
+        val (w0, i0) = probeMetrics.snapshot()
+        val wall = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.sources.GraftStreamSource
+            .changelogBatch(cat, spark, "t", s0, head,
+              skipRewrites = false, schema)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val (w1, i1) = probeMetrics.snapshot()
+        println(f"cdc mult=$m%2d base=${m * 500000L} wall=$wall%5.2f " +
+          f"in=${(i1 - i0) / 1e6}%.1fMB shuf=${(w1 - w0) / 1e6}%.1fMB")
+        (m, m * 500000L, wall, (i1 - i0) / 1e6)
+      }
+
+      // (3) histogram ANALYZE: the opt-in tier's two extra passes vs the
+      // plain theta pass, both over a growing base — both linear, the
+      // histogram premium a bounded constant factor.
+      val histoRows = Seq(1, 4, 16).map { m =>
+        val dir = s"/tmp/graft_scale_histo_$m"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        val g = s"${g19}_h$m"
+        spark.conf.set(s"spark.sql.catalog.$g",
+          "graft.sources.dsv2.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$g.root", s"$dir/cat")
+        spark.sql(s"CREATE TABLE $g.t (k BIGINT, x DOUBLE, v STRING)")
+        spark.sql(s"INSERT INTO $g.t SELECT id, CAST(id % 1000 AS DOUBLE), " +
+          s"md5(CAST(id AS STRING)) FROM range(0, ${m * 500000L})")
+        val cat = new GraftCatalog(s"$dir/cat")
+        def analyzed(histograms: Boolean): Double = {
+          val t0 = System.nanoTime()
+          cat.computeTableStats(spark, "t", histograms = histograms)
+          (System.nanoTime() - t0) / 1e9
+        }
+        // plain FIRST: histograms are sticky once recorded
+        val tPlain = Seq(analyzed(false), analyzed(false)).min
+        val tHisto = analyzed(true)
+        println(f"histo mult=$m%2d plain=$tPlain%5.2f histograms=$tHisto%5.2f")
+        (m, m * 500000L, tPlain, tHisto)
+      }
+
+      sb.append("\n## Sort elision, CDC step cost, histograms (round 19)\n\n")
+      sb.append("Sorted co-bucketed pairs (declared write order + sorted\n")
+      sb.append("compaction -> the scan claims per-partition ordering) merge-join\n")
+      sb.append("with ZERO SortExec; the unsorted twin has the identical\n")
+      sb.append("1-file-per-tuple layout and pays both sorts (plan shapes\n")
+      sb.append("require()d in-probe). The delta is the elided sort cost —\n")
+      sb.append("at 100 TB the dominant cost of a merge join over sorted data:\n\n")
+      sb.append("| mult | fact rows | sorted SMJ (s) | unsorted SMJ (s) |\n")
+      sb.append("|---|---|---|---|\n")
+      sortRows.foreach { case (m, n, tS, tU) =>
+        sb.append(f"| ${m}x | $n | $tS%.2f | $tU%.2f |\n")
+      }
+      sb.append("\nCDC changelog step (the `.changes` stream's per-batch work)\n")
+      sb.append("for a FIXED MoR delete+append window as the base grows: the\n")
+      sb.append("delete diff scans only the files the new positional deletes\n")
+      sb.append("REFERENCE (one bounded read of the delete files names them),\n")
+      sb.append("so wall and input bytes track the delta, never the table:\n\n")
+      sb.append("| mult | base rows | step wall (s) | step input (MB) |\n")
+      sb.append("|---|---|---|---|\n")
+      cdcRows.foreach { case (m, n, w, mb) =>
+        sb.append(f"| ${m}x | $n | $w%.2f | $mb%.1f |\n")
+      }
+      sb.append("\nANALYZE with equi-height histograms (the opt-in CBO tier) vs\n")
+      sb.append("the plain theta pass: two extra aggregates over the numeric\n")
+      sb.append("columns — a bounded constant premium, both linear in the base:\n\n")
+      sb.append("| mult | rows | plain ANALYZE (s) | + histograms (s) |\n")
+      sb.append("|---|---|---|---|\n")
+      histoRows.foreach { case (m, n, tp, th) =>
+        sb.append(f"| ${m}x | $n | $tp%.2f | $th%.2f |\n")
+      }
+    }
+
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
     println("SCALING.md written")
     spark.stop()

