@@ -1222,6 +1222,75 @@ object ScalingProbe {
       }
     }
 
+    // ---- round 20: equality-delete (point-delete) CDC step cost ---------
+    {
+      val g20 = s"g20_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      // The r19 pos-delete table's EQUALITY twin: a point DELETE lands as
+      // a metadata-sized eq-delete file (the key-equality fast path), and
+      // the changelog delete diff is restricted to the files whose
+      // bounds/tuples admit the keys (changelogEqDiffCandidates) — wall
+      // and input bytes must track the delta, never the base.
+      val eqCdcRows = Seq(1, 4, 16).map { m =>
+        val dir = s"/tmp/graft_scale_eqcdc_$m"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        val g = s"${g20}_e$m"
+        spark.conf.set(s"spark.sql.catalog.$g",
+          "graft.sources.dsv2.GraftSparkCatalog")
+        spark.conf.set(s"spark.sql.catalog.$g.root", s"$dir/cat")
+        spark.sql(s"CREATE TABLE $g.t (k BIGINT, v STRING) " +
+          "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
+        for (i <- 0 until m)
+          spark.sql(s"INSERT INTO $g.t SELECT id, md5(CAST(id AS STRING)) " +
+            s"FROM range(${i * 500000L}, ${(i + 1) * 500000L})")
+        val cat = new GraftCatalog(s"$dir/cat")
+        val s0 = cat.currentSnapshotId("t")
+        // the fixed delta: three point deletes by key (first commit's
+        // range) plus a 50k append
+        spark.sql(s"DELETE FROM $g.t WHERE k IN (3, 97, 4242)")
+        require(cat.loadEntries("t").exists(_.kind == "eqdel"),
+          "the IN-list delete must land as an equality delete")
+        spark.sql(s"INSERT INTO $g.t SELECT id, md5(CAST(id AS STRING)) " +
+          s"FROM range(${m * 500000L}, ${m * 500000L + 50000})")
+        val head = cat.currentSnapshotId("t")
+        // the planning half must bound the diff to a proper file subset
+        val fromData = cat.loadEntriesAt("t", s0).filter(_.kind == "data")
+        val cand = cat.changelogEqDiffCandidates(spark, "t", fromData,
+          cat.loadEntriesAt("t", head).filter(_.kind == "eqdel"),
+          cat.schemaAt("t", head))
+        require(cand.exists(c => c.nonEmpty && c.size < fromData.size),
+          s"eq diff must be bounded: ${cand.map(_.size)} of ${fromData.size}")
+        val schema = cat.scanTable(spark, "t").schema
+          .add("_change_type", org.apache.spark.sql.types.StringType)
+        val (_, i0) = probeMetrics.snapshot()
+        val wall = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.sources.GraftStreamSource
+            .changelogBatch(cat, spark, "t", s0, head,
+              skipRewrites = false, schema)
+            .write.mode("overwrite").format("noop").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        val (_, i1) = probeMetrics.snapshot()
+        val nCand = cand.map(_.size).getOrElse(-1)
+        println(f"eqcdc mult=$m%2d base=${m * 500000L} wall=$wall%5.2f " +
+          f"cand=$nCand/${fromData.size} in=${(i1 - i0) / 1e6}%.1fMB")
+        (m, m * 500000L, wall, nCand, fromData.size, (i1 - i0) / 1e6)
+      }
+      sb.append("\n## Equality-delete CDC step (round 20)\n\n")
+      sb.append("The pos-delete table's EQUALITY twin: a key-equality point\n")
+      sb.append("DELETE commits a metadata-sized eq-delete file (the fast path\n")
+      sb.append("that never scans data), and the changelog delete diff is\n")
+      sb.append("restricted to the files whose recorded bounds/partition tuples\n")
+      sb.append("admit the delete keys (seq-guarded, conservative on unknowns;\n")
+      sb.append("candidate subset require()d in-probe). Step wall and input\n")
+      sb.append("bytes track the delta, never the base:\n\n")
+      sb.append("| mult | base rows | step wall (s) | candidate files | step input (MB) |\n")
+      sb.append("|---|---|---|---|---|\n")
+      eqCdcRows.foreach { case (m, n, w, c, tot, mb) =>
+        sb.append(f"| ${m}x | $n | $w%.2f | $c of $tot | $mb%.1f |\n")
+      }
+    }
+
     Files.writeString(Paths.get("SCALING.md"), sb.toString)
     println("SCALING.md written")
     spark.stop()

@@ -1979,6 +1979,16 @@ object MorQueries {
     * under `Trigger.AvailableNow`, requires the streamed window equals
     * the batch-changelog accounting in-gate, and returns the streamed
     * rows aggregated in q120's oracle shape.
+    *
+    * r20 extension — the EQUALITY-delete window: a key-equality
+    * `DELETE … WHERE k IN (…)` lands as a metadata-sized eq-delete file
+    * (the r12 fast path), and the restarted stream must serve its `'D'`
+    * rows exactly. The scale contract is asserted in-gate: the changelog
+    * planning half ([[graft.sources.GraftCatalog.changelogEqDiffCandidates]])
+    * must BOUND the delete diff to a proper subset of `from`'s data files
+    * (the delete keys' bounds/tuples name the candidate files) — without
+    * it a CDC consumer of a table taking point deletes pays a full table
+    * scan per window at 100 TB.
     */
   private def q175(spark: SparkSession, sfDir: String): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft-q175").toString
@@ -1990,8 +2000,16 @@ object MorQueries {
       "TBLPROPERTIES ('write.delete.mode'='merge-on-read')")
     spark.read.parquet(s"$sfDir/orders.parquet")
       .createOrReplaceTempView("q175_src")
+    // the initial image lands as FOUR range-disjoint files (explicit
+    // repartitionByRange on the key) so per-file o_orderkey bounds can
+    // PROVE the later eq-delete window's diff a proper file subset — the
+    // clustered layout any 100 TB table being point-deleted would have
+    spark.read.parquet(s"$sfDir/orders.parquet")
+      .where("o_orderkey <= 20000")
+      .repartitionByRange(4, col("o_orderkey"))
+      .createOrReplaceTempView("q175_init")
     spark.sql(s"INSERT INTO $g.o SELECT o_orderkey, o_orderpriority, " +
-      "o_totalprice FROM q175_src WHERE o_orderkey <= 20000")
+      "o_totalprice FROM q175_init")
     // untranslatable predicate (modulo) -> a WriteDelta POSITION-delete
     // commit, the MoR shape the append stream cannot consume
     spark.sql(s"DELETE FROM $g.o WHERE o_orderpriority = '1-URGENT' " +
@@ -2005,32 +2023,59 @@ object MorQueries {
     val sink = java.nio.file.Files.createTempDirectory("graft-q175-sink")
       .toString + "/rows"
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q175-ckpt").toString
-    val q = spark.readStream.table(s"$g.o.changes").writeStream
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          b.write.mode("append").parquet(sink)
-          ()
-      }
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val streamed = spark.read.parquet(sink)
+    def drain(): Unit = {
+      val q = spark.readStream.table(s"$g.o.changes").writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+            b.write.mode("append").parquet(sink)
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
     // the streamed window must account exactly: initial image as I, the
     // MoR delete as D, the second append as I
-    val counts = streamed.groupBy(col("_change_type")).count()
+    def changeCounts(): Map[String, Long] = spark.read.parquet(sink)
+      .groupBy(col("_change_type")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val Seq(nInit, nDel, nIns) = Seq(
+    val counts = changeCounts()
+    val Seq(nInit, nDel, nIns, nEqDel) = Seq(
       "o_orderkey <= 20000",
       "o_orderkey <= 20000 AND o_orderpriority = '1-URGENT' " +
         "AND o_orderkey % 2 = 0",
-      "o_orderkey > 20000 AND o_orderkey <= 30000")
+      "o_orderkey > 20000 AND o_orderkey <= 30000",
+      "o_orderkey IN (3, 7, 11)")
       .map(w => spark.sql(s"SELECT count(*) FROM q175_src WHERE $w")
         .head().getLong(0))
     require(counts.getOrElse("I", 0L) == nInit + nIns &&
         counts.getOrElse("D", 0L) == nDel,
       s"streamed changelog accounting: $counts vs I=${nInit + nIns} D=$nDel")
-    streamed.groupBy(col("_change_type"), col("o_orderpriority"))
+    // --- equality-delete window: the r12 key-equality fast path commits a
+    // metadata-sized eq-delete; the restarted checkpointed stream must
+    // serve its D rows, and the changelog diff must be BOUNDED by the keys
+    val catR = new graft.sources.GraftCatalog(root)
+    val sPre = catR.currentSnapshotId("o")
+    spark.sql(s"DELETE FROM $g.o WHERE o_orderkey IN (3, 7, 11)")
+    val sPost = catR.currentSnapshotId("o")
+    val postEntries = catR.loadEntriesAt("o", sPost)
+    require(sPost > sPre && postEntries.exists(_.kind == "eqdel"),
+      "the IN-list delete must land as an equality delete (fast path)")
+    val fromData = catR.loadEntriesAt("o", sPre).filter(_.kind == "data")
+    val cand = catR.changelogEqDiffCandidates(spark, "o", fromData,
+      postEntries.filter(_.kind == "eqdel"), catR.schemaAt("o", sPost))
+    require(cand.exists(c => c.nonEmpty && c.size < fromData.size),
+      s"the eq-delete diff must be bounded to a proper subset of from's " +
+        s"${fromData.size} data files, got $cand")
+    drain()
+    val counts2 = changeCounts()
+    require(counts2.getOrElse("I", 0L) == nInit + nIns &&
+        counts2.getOrElse("D", 0L) == nDel + nEqDel,
+      s"eq-delete window accounting: $counts2 vs " +
+        s"I=${nInit + nIns} D=${nDel + nEqDel}")
+    spark.read.parquet(sink).groupBy(col("_change_type"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
         sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
           .as("sum_tp"))
@@ -2202,6 +2247,9 @@ object MorQueries {
         |  UNION ALL
         |  SELECT 'I', o_orderpriority, o_totalprice
         |  FROM orders WHERE o_orderkey > 20000 AND o_orderkey <= 30000
+        |  UNION ALL
+        |  SELECT 'D', o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey IN (3, 7, 11)
         |)
         |GROUP BY 1, 2""".stripMargin,
     "q174_sorted_scan" ->

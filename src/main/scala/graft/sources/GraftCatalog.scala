@@ -3646,9 +3646,19 @@ final class GraftCatalog(root: String,
       }.toSet
       toE.filter(e => e.kind != "data" && !fromDel((e.kind, e.path)))
     }
-    val oldForDiff: Seq[DataFileTask] =
-      if (newDeleteEntries.exists(_.kind == "eqdel")) oldTasks
-      else {
+    // New EQUALITY deletes can suppress rows anywhere — but the delete
+    // KEYS name the files a doomed row could live in: one bounded read of
+    // the (delta-sized) delete files, then partition-tuple + min/max +
+    // bloom pruning over from's entries picks the candidates. Unbounded
+    // key sets (over the cap, null keys) keep today's full from-scan.
+    val newEqEntries = newDeleteEntries.filter(_.kind == "eqdel")
+    val eqCandidates: Option[Set[String]] =
+      if (newEqEntries.isEmpty) Some(Set.empty)
+      else changelogEqDiffCandidates(spark, table,
+        fromE.filter(_.kind == "data"), newEqEntries, schema)
+    val oldForDiff: Seq[DataFileTask] = eqCandidates match {
+      case None => oldTasks
+      case Some(eqKeep) =>
         val newPos = pos(newDeleteEntries)
         val referenced: Set[String] =
           if (newPos.isEmpty) Set.empty
@@ -3659,9 +3669,9 @@ final class GraftCatalog(root: String,
             .getOrElse(Set.empty)
         oldTasks.filter(t => {
           val k = CompactionRunner.canonKey(t.path)
-          !toCanonSet(k) || referenced(k)
+          !toCanonSet(k) || referenced(k) || eqKeep(k)
         })
-      }
+    }
     val deletes =
       if (oldForDiff.isEmpty) None
       else {
@@ -3688,6 +3698,169 @@ final class GraftCatalog(root: String,
         throw GraftError.Metadata(
           s"changelog of $table: neither snapshot has data files")
     }
+  }
+
+  /** The planning half of the changelog's equality-delete diff
+    * restriction: which of `fromData`'s files COULD hold a row suppressed
+    * by one of the window's NEW equality-delete files. Returns the
+    * canonical keys of the candidate files, or None when the delete keys
+    * can't be bounded (more distinct key tuples than
+    * [[GraftCatalog.ChangelogEqKeyCap]], a null key value, an unreadable
+    * delete file) — the caller then falls back to scanning every
+    * from-file, the previous conservative behavior.
+    *
+    * Proof sources are the same metadata [[eqStringKeptEntries]] uses for
+    * point lookups: the partition tuple each file recorded under the
+    * transform that WROTE it (identity / bucket / truncate, string and
+    * integral sources), per-file min/max bounds with TYPED comparison
+    * (numeric columns compare as numbers — the stringified-bound
+    * lexicographic trap — strings and dates as the writer ordered them),
+    * the advisory per-file bloom sidecar, plus the sequence-number guard
+    * (an equality delete only suppresses rows of files with a strictly
+    * OLDER sequence). Conservative on every unknown: keeping a file only
+    * costs IO; a file is skipped only on proof no delete key can match it.
+    *
+    * At 100 TB this is what bounds a point-delete CDC step: the r12
+    * key-equality DELETE fast path commits eq-delete files for point
+    * deletes, and without this restriction every changelog window carrying
+    * one pays a full table scan. With it, the step reads the delta's
+    * delete files (driver-bounded: ≤ cap distinct keys) plus only the data
+    * files whose metadata admits a match — O(delta), not O(table).
+    */
+  private[graft] def changelogEqDiffCandidates(
+      spark: SparkSession,
+      table: String,
+      fromData: Seq[TableEntry],
+      newEqDeletes: Seq[TableEntry],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[Set[String]] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val cap = GraftCatalog.ChangelogEqKeyCap
+    val tasks = newEqDeletes.map(e =>
+      EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes))
+    // (data-side eq column names, distinct (key values, delete seq)) per
+    // delete group — the delete files are the window's delta, so this read
+    // is bounded by construction; the cap bounds the driver-side collect
+    val keyed: Seq[(Seq[String], Array[org.apache.spark.sql.Row])] =
+      try CompactionRunner.readEqualityDeletes(spark, tasks, schema).map { g =>
+        val rows = g.df
+          .select((g.equalityCols :+ graft.operators.MorPlanner.SeqNumCol)
+            .map(col): _*)
+          .distinct().limit(cap + 1).collect()
+        if (rows.length > cap) return None
+        if (rows.exists(r => (0 until r.length - 1).exists(r.isNullAt)))
+          return None // null-keyed deletes: bounds/blooms can't prove absence
+        (g.equalityCols, rows)
+      }
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val fieldType: Map[String, DataType] =
+      schema.fold(Map.empty[String, DataType])(
+        _.fields.map(f => f.name -> f.dataType).toMap)
+    val specFields = partitionSpec(table)
+    val Param = """([a-z]+)\[(\d+)\]""".r
+    def longOf(v: Any): Option[Long] = v match {
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case _ => None
+    }
+    // partition-tuple proof per (file, column, probe value) — the
+    // spec-evolution-safe recorded binding, like [[eqStringKeptEntries]]
+    def tupleKeeps(e: TableEntry, column: String, v: Any): Boolean =
+      specFields.filter(_.source == column).forall { f =>
+        (e.partitionVals.get(f.name), e.partitionTransforms.get(f.name)) match {
+          case (Some(pv), Some(recorded)) if pv == null =>
+            // non-void transforms are null-intolerant: the null partition
+            // holds only null-source rows, which a non-null key never hits
+            val (transform, recSource) = recordedBinding(recorded, f.source)
+            recSource != column || transform == "void"
+          case (Some(pv), Some(recorded)) =>
+            val (transform, recSource) = recordedBinding(recorded, f.source)
+            if (recSource != column) true
+            else (transform, fieldType.get(column), longOf(v)) match {
+              case ("identity", Some(StringType), _) =>
+                pv == v.asInstanceOf[String]
+              case ("identity", _, Some(lv)) =>
+                scala.util.Try(pv.toLong == lv).getOrElse(true)
+              case (Param("bucket", n), Some(StringType), _) =>
+                pv == graft.functions.IcebergMurmur3.bucketUTF8(
+                  org.apache.spark.unsafe.types.UTF8String.fromString(
+                    v.asInstanceOf[String]), n.toInt).toString
+              case (Param("bucket", n), _, Some(lv)) =>
+                scala.util.Try(pv.toInt ==
+                  graft.functions.IcebergMurmur3.bucketLong(lv, n.toInt))
+                  .getOrElse(true)
+              case (Param("truncate", w), Some(StringType), _) =>
+                pv == v.asInstanceOf[String].take(w.toInt)
+              case (Param("truncate", w), _, Some(lv)) =>
+                // exact writer-side truncate of the probe (floored mod) —
+                // deterministic, so equality is sound even near the wrap
+                scala.util.Try(pv.toLong ==
+                  lv - java.lang.Math.floorMod(lv, w.toLong)).getOrElse(true)
+              case _ => true
+            }
+          case _ => true
+        }
+      }
+    // typed min/max proof — stringified bounds compare numerically for
+    // numeric columns ("10" < "9" lexicographically), lexicographically
+    // for strings and dates (the renderings the stats audit recorded)
+    def boundsKeep(e: TableEntry, column: String, v: Any): Boolean =
+      e.stats.forall { s =>
+        (s.colMins.get(column), s.colMaxs.get(column)) match {
+          case (Some(mn), Some(mx)) if mn != "null" && mx != "null" &&
+              mn != "below_min" && mx != "above_max" =>
+            fieldType.get(column) match {
+              case Some(StringType) | Some(DateType) =>
+                val sv = String.valueOf(v)
+                mn <= sv && sv <= mx
+              case Some(ByteType | ShortType | IntegerType | LongType |
+                  FloatType | DoubleType | _: DecimalType) =>
+                try {
+                  val bv = new java.math.BigDecimal(String.valueOf(v))
+                  new java.math.BigDecimal(mn).compareTo(bv) <= 0 &&
+                    bv.compareTo(new java.math.BigDecimal(mx)) <= 0
+                } catch { case _: NumberFormatException => true }
+              case _ => true
+            }
+          case _ => true
+        }
+      }
+    // advisory bloom sidecar (string columns): a 0-bit proves absence
+    // where bounds straddle everything on an unclustered column
+    val bloomsByCol = scala.collection.mutable.HashMap
+      .empty[String, Map[String, Array[Byte]]]
+    val parsedBlooms = scala.collection.mutable.HashMap
+      .empty[(String, String), org.apache.spark.util.sketch.BloomFilter]
+    def bloomKeep(e: TableEntry, column: String, v: Any): Boolean =
+      fieldType.get(column) match {
+        case Some(StringType) =>
+          val blooms = bloomsByCol.getOrElseUpdate(column,
+            readBlooms(table, column))
+          val key = CompactionRunner.canonPath(e.path)
+          blooms.get(key).forall { bytes =>
+            parsedBlooms.getOrElseUpdate((column, key),
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(bytes)))
+              .mightContainString(v.asInstanceOf[String])
+          }
+        case _ => true
+      }
+    val kept = fromData.filter { e =>
+      keyed.exists { case (cols, rows) =>
+        rows.exists { r =>
+          // seq guard: deletes never suppress rows of same-or-newer files
+          e.seqNum < r.getLong(r.length - 1) &&
+            cols.zipWithIndex.forall { case (c, i) =>
+              val v = r.get(i)
+              tupleKeeps(e, c, v) && boundsKeep(e, c, v) && bloomKeep(e, c, v)
+            }
+        }
+      }
+    }
+    Some(kept.map(e => CompactionRunner.canonKey(e.path)).toSet)
   }
 
   /** Orphan detection: which of `candidates` (e.g. a storage listing) are
@@ -5309,7 +5482,12 @@ final class GraftCatalog(root: String,
   def posDeleteDanglingPossible(
       table: String, asOf: Option[Long] = None): Boolean = {
     val head = asOf.getOrElse(currentSnapshotId(table))
-    val key = (root, table, head)
+    // the generation UUID keys out drop/recreate: snapshot ids restart at
+    // 1 on re-create, so a (root, table, head) key alone could serve the
+    // DROPPED generation's cached false and let the exact pos-delete
+    // row-count subtraction run in a state where positions may dangle —
+    // the undercount/mis-broadcast hazard this guard exists to block.
+    val key = (root, table, tableUuid(table).getOrElse(""), head)
     Option(GraftCatalog.danglingCache.get(key)).map(Boolean.unbox).getOrElse {
       val r =
         try computeDanglingPossible(table, head)
@@ -5791,12 +5969,23 @@ object GraftCatalog {
     new java.util.concurrent.ConcurrentHashMap[
       String, Map[Int, EquiHeightHistogram]]()
 
+  /** Cap on distinct equality-delete key tuples the changelog diff
+    * restriction will collect driver-side before declaring the key set
+    * unbounded and falling back to the full from-scan
+    * ([[GraftCatalog.changelogEqDiffCandidates]]). Point/batch deletes —
+    * the shape the key-equality DELETE fast path commits — sit far under
+    * it; a bulk eq-delete over millions of keys is table-shaped work and
+    * scans the table as before.
+    */
+  private[graft] val ChangelogEqKeyCap = 4096
+
   /** [[GraftCatalog.posDeleteDanglingPossible]] results per
-    * (root, table, snapshot) — the snapshot id keys staleness.
+    * (root, table, generation uuid, snapshot) — the snapshot id keys
+    * staleness within a generation; the uuid keys out drop/recreate.
     */
   private[sources] val danglingCache =
     new java.util.concurrent.ConcurrentHashMap[
-      (String, String, Long), java.lang.Boolean]()
+      (String, String, String, Long), java.lang.Boolean]()
 
   // payload text format, line-oriented (doubles round-trip via
   // Double.toString/parse exactly): "v1\n<height>\n<lo>,<hi>,<ndv>\n..."

@@ -698,10 +698,19 @@ class GraftV1Scan(
   private lazy val orderingClaim
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val cat = new GraftCatalog(root)
+    // The snapshot the scan will actually SERVE. Keyed serving pins at its
+    // layout's captured snapshot — validating the sorted watermark against
+    // the current head instead would let a sorted compaction committing
+    // between layout capture and claim evaluation make head == watermark
+    // while rows are served from the older, unsorted layout: a sorted
+    // claim over unsorted data and a silently wrong merge join.
+    val servedSnapshot: Long = keyedLayout match {
+      case Some(kl) => kl.snapshotId
+      case None => asOf.getOrElse(cat.currentSnapshotId(table))
+    }
     val claim: Array[org.apache.spark.sql.connector.expressions.SortOrder] =
       cat.sortedSnapshot(table) match {
-        case Some((sid, cols)) if cols.nonEmpty &&
-            asOf.getOrElse(cat.currentSnapshotId(table)) == sid =>
+        case Some((sid, cols)) if cols.nonEmpty && servedSnapshot == sid =>
           (try Some(cat.loadEntriesAt(table, sid))
            catch { case _: Exception => None }) match {
             case None => Array.empty

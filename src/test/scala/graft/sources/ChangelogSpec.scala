@@ -68,6 +68,45 @@ class ChangelogSpec extends SparkSpec {
     assert(got == Set((6L, "v6", "D"), (7L, "v7", "D"), (8L, "v8", "D")))
   }
 
+  test("eq-delete window: diff bounded to the keys' candidate files, exact D rows") {
+    val (cat, out) = freshTable()
+    // a recorded schema is what makes TYPED bound pruning possible; the
+    // clustered compaction lands 4 files with near-disjoint k ranges and
+    // per-file k bounds in the snapshot
+    cat.evolveSchema("t", graft.sources.FieldIds.stamp(
+      cat.scanTable(spark, "t").schema))
+    val (s1, _) = cat.compactTable(spark, "t", s"$out/c0",
+      CompactionRunner.CompactionConfig(clusterBy = Seq("k"),
+        statsCols = Seq("k", "v"), targetPartitions = 4))
+    val s2 = cat.deleteWhereEq(spark, "t", Seq(5L, 7L).toDF("k"), out)
+    val fromData = cat.loadEntriesAt("t", s1).filter(_.kind == "data")
+    assert(fromData.size >= 3, "clustered compaction must land several files")
+    // planning half: the delete keys' bounds name a PROPER subset — the
+    // O(delta)-not-O(table) claim a point-delete CDC step rides on
+    val cand = cat.changelogEqDiffCandidates(spark, "t", fromData,
+      cat.loadEntriesAt("t", s2).filter(_.kind == "eqdel"),
+      cat.schemaAt("t", s2))
+    assert(cand.exists(c => c.nonEmpty && c.size < fromData.size),
+      s"expected a bounded proper subset of ${fromData.size} files: $cand")
+    // the pruned diff must still produce EXACTLY the suppressed rows
+    val got = rows(cat.changelog(spark, "t", s1, s2))
+    assert(got == Set((5L, "v5", "D"), (7L, "v7", "D")))
+  }
+
+  test("eq-delete window without metadata keeps every file (conservative)") {
+    val (cat, out) = freshTable() // schema-less, stats-less, unpartitioned
+    val s1 = cat.currentSnapshotId("t")
+    val s2 = cat.deleteWhereEq(spark, "t", Seq(5L).toDF("k"), out)
+    val fromData = cat.loadEntriesAt("t", s1).filter(_.kind == "data")
+    val cand = cat.changelogEqDiffCandidates(spark, "t", fromData,
+      cat.loadEntriesAt("t", s2).filter(_.kind == "eqdel"),
+      cat.schemaAt("t", s2))
+    assert(cand.contains(
+      fromData.map(e => CompactionRunner.canonKey(e.path)).toSet),
+      s"no metadata to prune by must keep all files: $cand")
+    assert(rows(cat.changelog(spark, "t", s1, s2)) == Set((5L, "v5", "D")))
+  }
+
   test("compaction inside the window is rejected; flanking windows work") {
     val (cat, out) = freshTable()
     val s1 = cat.currentSnapshotId("t")
