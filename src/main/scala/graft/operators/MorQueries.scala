@@ -688,8 +688,8 @@ object MorQueries {
   }
 
   /** Q148: the DEFAULT-ON copy-on-write runtime group filter, oracle-gated
-    * on a table where it can actually win — the slice compacted into 8
-    * range-clustered files, then a DSv2 DELETE whose untranslatable
+    * on a table where it can actually win — a fork of the session-shared
+    * 8-file range-clustered slice, then a DSv2 DELETE whose untranslatable
     * condition (forcing the ReplaceData rewrite) matches a narrow
     * l_orderkey band. Spark's `RowLevelOperationRuntimeGroupFiltering`
     * finds the files containing matching rows through the `_file`
@@ -700,22 +700,24 @@ object MorQueries {
     * `write.cow.group-filter=false`.
     */
   private def q148(spark: SparkSession, sfDir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-q148").toString
-    val cat = new graft.sources.GraftCatalog(s"$root/cat")
-    cat.createTable("lineitem", DmlFixtures.lineitemSliceTasks(spark, sfDir))
-    cat.compactTable(spark, "lineitem", s"$root/out",
-      graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 8,
-        clusterBy = Seq("l_orderkey"), statsCols = Seq("l_orderkey")))
-    val before = cat.loadEntries("lineitem").filter(_.kind == "data")
+    // the 8-file range-clustered layout is exactly DmlFixtures'
+    // session-shared clusteredLineitem (same compaction config); fork it
+    // (metadata copy — entries, stats, spec all carried) instead of
+    // re-staging the compaction per invocation, and run the doorway
+    // DELETE on the fork (the q121/q162 mutating-gate precedent)
+    val (cat, t) = DmlFixtures.forkOf(spark, sfDir,
+      DmlFixtures.clusteredLineitem(spark, sfDir))
+    val before = cat.loadEntries(t).filter(_.kind == "data")
       .map(_.path).toSet
     require(before.size >= 4, s"staging must fan out files, got ${before.size}")
     val g = s"g148_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     spark.conf.set(s"spark.sql.catalog.$g", "graft.sources.dsv2.GraftSparkCatalog")
-    spark.conf.set(s"spark.sql.catalog.$g.root", s"$root/cat")
+    spark.conf.set(s"spark.sql.catalog.$g.root",
+      s"${DmlFixtures.sharedRoot(sfDir)}/cat")
     spark.sql(
-      s"""DELETE FROM $g.lineitem
+      s"""DELETE FROM $g.`$t`
          |WHERE l_orderkey BETWEEN 100 AND 180 AND l_partkey % 2 = 0""".stripMargin)
-    val after = cat.loadEntries("lineitem").filter(_.kind == "data")
+    val after = cat.loadEntries(t).filter(_.kind == "data")
       .map(_.path).toSet
     val untouched = before.intersect(after)
     val replaced = before -- after
@@ -723,7 +725,7 @@ object MorQueries {
     require(untouched.nonEmpty && replaced.size < before.size,
       s"group filtering must replace a PROPER subset of the ${before.size} " +
         s"range-clustered files (replaced ${replaced.size})")
-    cat.scanTable(spark, "lineitem")
+    cat.scanTable(spark, t)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("sum_qty"))
@@ -976,8 +978,9 @@ object MorQueries {
       require(!plan.contains("Exchange hashpartitioning"),
         s"a pending MoR delete must not cost the join its storage " +
           s"partitioning:\n$plan")
-      val n = joined.count()
-      require(n > 0, "q154 join returned no rows")
+      // non-emptiness needs one row, not a full second materialization of
+      // the join (the oracle compare evaluates the returned rows exactly)
+      require(!joined.isEmpty, "q154 join returned no rows")
       joined
     } finally olds.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
@@ -1921,15 +1924,7 @@ object MorQueries {
       spark.sql(s"INSERT INTO $g.$s SELECT s_suppkey, s_name FROM q174_s")
     }
     mk("li", "s")
-    mk("li0", "s0")
     val cat = new graft.sources.GraftCatalog(root)
-    for ((t, c) <- Seq("li" -> "l_suppkey", "s" -> "s_suppkey")) {
-      cat.setSortOrder(t, Seq(c))
-      cat.compactTable(spark, t, s"$root/$t/_data/sorted",
-        graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 1))
-      require(cat.sortedSnapshot(t).exists(_._1 == cat.currentSnapshotId(t)),
-        s"sorted compaction must stamp the watermark for $t")
-    }
     def q(li: String, s: String) =
       s"""SELECT l.l_orderkey AS okey, l.l_linenumber AS lnum,
          |       l.l_suppkey AS skey, s.s_name AS sname, l.l_quantity AS qty
@@ -1940,30 +1935,45 @@ object MorQueries {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false")
-    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try {
-      def shape(sql: String): (Int, Int, Boolean) = {
-        val p = spark.sql(sql).queryExecution.executedPlan
-        (p.collect { case j: org.apache.spark.sql.execution.joins
-            .SortMergeJoinExec => j }.size,
-          p.collect { case st: org.apache.spark.sql.execution.SortExec => st }.size,
-          p.toString.contains("Exchange hashpartitioning"))
+    def withConfs[T](body: => T): T = {
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
       }
+    }
+    def shape(sql: String): (Int, Int, Boolean) = {
+      val p = spark.sql(sql).queryExecution.executedPlan
+      (p.collect { case j: org.apache.spark.sql.execution.joins
+          .SortMergeJoinExec => j }.size,
+        p.collect { case st: org.apache.spark.sql.execution.SortExec => st }.size,
+        p.toString.contains("Exchange hashpartitioning"))
+    }
+    // the unsorted control is the SAME pair before its sorted compaction
+    // (no watermark yet) — it must still pay the merge-join sorts, so the
+    // claim stays watermark-proven without staging a second table pair
+    withConfs {
+      val (smj0, sorts0, _) = shape(q("li", "s"))
+      require(smj0 == 1 && sorts0 > 0,
+        "the unsorted (pre-compaction) pair must still pay the merge-join " +
+          s"sorts (claim must be watermark-proven), got smj=$smj0 sorts=$sorts0")
+    }
+    for ((t, c) <- Seq("li" -> "l_suppkey", "s" -> "s_suppkey")) {
+      cat.setSortOrder(t, Seq(c))
+      cat.compactTable(spark, t, s"$root/$t/_data/sorted",
+        graft.sources.CompactionRunner.CompactionConfig(targetPartitions = 1))
+      require(cat.sortedSnapshot(t).exists(_._1 == cat.currentSnapshotId(t)),
+        s"sorted compaction must stamp the watermark for $t")
+    }
+    withConfs {
       val (smj, sorts, shuffled) = shape(q("li", "s"))
       require(smj == 1 && sorts == 0 && !shuffled,
         s"sorted co-bucketed tables must merge-join sort-free and " +
           s"shuffle-free, got smj=$smj sorts=$sorts shuffled=$shuffled")
-      val (smj0, sorts0, _) = shape(q("li0", "s0"))
-      require(smj0 == 1 && sorts0 > 0,
-        "the unsorted twin must still pay the merge-join sorts " +
-          s"(claim must be watermark-proven), got smj=$smj0 sorts=$sorts0")
       // materialize under the sort-elided plan: rows must be exact
       val n = spark.sql(q("li", "s")).count()
       require(n > 0, "sorted SPJ join returned no rows")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
     spark.sql(q("li", "s"))
   }
@@ -2042,14 +2052,17 @@ object MorQueries {
       .groupBy(col("_change_type")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val counts = changeCounts()
-    val Seq(nInit, nDel, nIns, nEqDel) = Seq(
-      "o_orderkey <= 20000",
-      "o_orderkey <= 20000 AND o_orderpriority = '1-URGENT' " +
-        "AND o_orderkey % 2 = 0",
-      "o_orderkey > 20000 AND o_orderkey <= 30000",
-      "o_orderkey IN (3, 7, 11)")
-      .map(w => spark.sql(s"SELECT count(*) FROM q175_src WHERE $w")
-        .head().getLong(0))
+    // all four window cardinalities in ONE pass over the source (four
+    // separate COUNT queries scanned the fixture four times)
+    val accRow = spark.sql(
+      """SELECT
+        |  count(IF(o_orderkey <= 20000, 1, NULL)) AS n_init,
+        |  count(IF(o_orderkey <= 20000 AND o_orderpriority = '1-URGENT'
+        |           AND o_orderkey % 2 = 0, 1, NULL)) AS n_del,
+        |  count(IF(o_orderkey > 20000 AND o_orderkey <= 30000, 1, NULL)) AS n_ins,
+        |  count(IF(o_orderkey IN (3, 7, 11), 1, NULL)) AS n_eqdel
+        |FROM q175_src""".stripMargin).head()
+    val Seq(nInit, nDel, nIns, nEqDel) = (0 to 3).map(accRow.getLong(_))
     require(counts.getOrElse("I", 0L) == nInit + nIns &&
         counts.getOrElse("D", 0L) == nDel,
       s"streamed changelog accounting: $counts vs I=${nInit + nIns} D=$nDel")
