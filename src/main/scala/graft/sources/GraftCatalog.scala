@@ -2004,11 +2004,17 @@ final class GraftCatalog(root: String,
             col(graft.operators.MorPlanner.PosCol).as("pos"))
         val delDir = s"$outDir/overwrite-pos-${java.util.UUID.randomUUID()}"
         matched.write.mode("errorifexists").parquet(delDir)
+        // row counts from the parquet footers (driver-side, one footer per
+        // file) — the per-file count() here was one Spark JOB per written
+        // file; an unreadable footer (-1) falls back to the scan count
+        val hconf = spark.sessionState.newHadoopConf()
         listParquetsIn(spark, delDir).flatMap { p =>
-          val n = spark.read.parquet(p).count()
+          val (fr, fb) = CompactionRunner.parquetFooterCounts(p, hconf)
+          val n = if (fr >= 0) fr else spark.read.parquet(p).count()
           if (n == 0) None
           else Some(GraftCatalog.AddedFile(p, "parquet", n,
-            Files.size(java.nio.file.Paths.get(p.stripPrefix("file:")))))
+            if (fb >= 0) fb
+            else Files.size(java.nio.file.Paths.get(p.stripPrefix("file:")))))
         }
       }
     if (dataFiles.isEmpty && posFiles.isEmpty) currentSnapshotId(table)
@@ -2912,7 +2918,11 @@ final class GraftCatalog(root: String,
     aligned.na.drop("any", keyCols)
       .distinct().write.mode("errorifexists").parquet(delDir)
     val written = listParquetsIn(spark, delDir)
-    val empty = written.isEmpty || spark.read.parquet(written: _*).isEmpty
+    // emptiness from the footers (driver-side); -1 (unreadable) counts as
+    // non-empty so the conservative path commits, as the reader did
+    val empty = written.isEmpty || written.forall(p =>
+      CompactionRunner.parquetFooterCounts(
+        p, spark.sessionState.newHadoopConf())._1 == 0L)
     if (empty) currentSnapshotId(table)
     else withTableLock(table) {
       val entries = loadEntries(table)
@@ -2953,16 +2963,16 @@ final class GraftCatalog(root: String,
         col(graft.operators.MorPlanner.PosCol).as("pos"))
     val token = java.util.UUID.randomUUID().toString
     val delDir = s"$outDir/delete-pos-$token"
-    matched.write.mode("errorifexists").parquet(delDir)
+    // the referenced-file set (driver-sized: bounded by the table's file
+    // count) is observed ON the delete write itself — the previous
+    // read-back job re-read the whole delete output from disk, a second
+    // full pass over the delete set at scale
+    val obs = org.apache.spark.sql.Observation(s"graft-del-$token")
+    matched.observe(obs, org.apache.spark.sql.functions.collect_set(col("file_path")).as("files"))
+      .write.mode("errorifexists").parquet(delDir)
     val written = listParquetsIn(spark, delDir)
-    // ONE read-back job learns both emptiness and the referenced-file set
-    // (driver-sized: bounded by the table's file count, not row count). A
-    // fully-empty match may surface as ZERO part files, hence the listing
-    // guard before the reader.
-    val referenced =
-      if (written.isEmpty) Nil
-      else spark.read.parquet(written: _*).select("file_path").distinct()
-        .collect().map(_.getString(0)).toSeq
+    val referenced: Seq[String] =
+      obs.get("files").asInstanceOf[scala.collection.Seq[String]].toSeq
     if (referenced.isEmpty) currentSnapshotId(table)
     else {
       withTableLock(table) {
@@ -3245,9 +3255,12 @@ final class GraftCatalog(root: String,
     val token = java.util.UUID.randomUUID().toString
     val delDir = s"$outDir/merge-eqdel-$token"
     val dataDir = s"$outDir/merge-data-$token"
+    // srcKeys is PROVEN unique per key by the cardinality require above,
+    // and a left-semi join neither duplicates its left side nor cares
+    // about build-side duplicates — the two distinct()s this carried were
+    // two redundant exchanges on the merge path
     val matchedKeys = srcKeys
-      .join(live.select(keyCols.map(col): _*).distinct(),
-        keyCols, "left_semi").distinct()
+      .join(live.select(keyCols.map(col): _*), keyCols, "left_semi")
     // field-id re-alignment before writing, like the UPDATE writers: a SET
     // or inserted column's `.as(c)` strips the canonical metadata, and an
     // id-resolving read would serve NULL for the id-less columns
@@ -3260,9 +3273,17 @@ final class GraftCatalog(root: String,
 
     val delFiles = listParquetsIn(spark, delDir)
     val dataFiles = listParquetsIn(spark, dataDir)
-    // footer-metadata counts: one cheap job per output set, no row scan
+    // footer row counts, driver-side (one footer read per file, zero Spark
+    // jobs); an unreadable footer falls back to the distributed count
+    val hconf = spark.sessionState.newHadoopConf()
     def rowsIn(files: Seq[String]): Long =
-      if (files.isEmpty) 0L else spark.read.parquet(files: _*).count()
+      if (files.isEmpty) 0L
+      else {
+        val footer = files.map(p =>
+          CompactionRunner.parquetFooterCounts(p, hconf)._1)
+        if (footer.forall(_ >= 0)) footer.sum
+        else spark.read.parquet(files: _*).count()
+      }
     val nothingDeleted = rowsIn(delFiles) == 0L
     val nothingWritten = rowsIn(dataFiles) == 0L
     if (nothingDeleted && nothingWritten) currentSnapshotId(table)
@@ -3389,9 +3410,14 @@ final class GraftCatalog(root: String,
       val token = java.util.UUID.randomUUID().toString
       val delDir = s"$outDir/update-pos-$token"
       val dataDir = s"$outDir/update-data-$token"
+      // referenced-file set observed on the delete-side write (same
+      // no-read-back discipline as deleteWhere)
+      val obs = org.apache.spark.sql.Observation(s"graft-upd-$token")
       matched
         .select(col(graft.operators.MorPlanner.FilePathCol).as("file_path"),
           col(graft.operators.MorPlanner.PosCol).as("pos"))
+        .observe(obs, org.apache.spark.sql.functions.collect_set(
+          col("file_path")).as("files"))
         .write.mode("errorifexists").parquet(delDir)
       // re-align to the canonical schema before writing: a SET column's
       // `.as(c)` strips the field-id metadata the scan attached, and an
@@ -3402,10 +3428,8 @@ final class GraftCatalog(root: String,
       schema0.fold(newVersions)(s => FieldIds.alignToSchema(newVersions, s))
         .write.mode("errorifexists").parquet(dataDir)
       val delFiles = listParquetsIn(spark, delDir)
-      val referenced =
-        if (delFiles.isEmpty) Nil
-        else spark.read.parquet(delFiles: _*).select("file_path").distinct()
-          .collect().map(_.getString(0)).toSeq
+      val referenced: Seq[String] =
+        obs.get("files").asInstanceOf[scala.collection.Seq[String]].toSeq
       if (referenced.isEmpty) currentSnapshotId(table)
       else {
         withTableLock(table) {
@@ -3675,19 +3699,67 @@ final class GraftCatalog(root: String,
     val deletes =
       if (oldForDiff.isEmpty) None
       else {
+        import org.apache.spark.sql.functions.{broadcast, coalesce, max}
+        val fp = graft.operators.MorPlanner.FilePathCol
+        val pc = graft.operators.MorPlanner.PosCol
+        val sq = graft.operators.MorPlanner.SeqNumCol
+        def quoted(n: String) = "`" + n.replace("`", "``") + "`"
         val scanOld = CompactionRunner.scanWithHiddenCols(spark, oldForDiff, schema)
         val liveFrom = liveWithHidden(scanOld, fromE)
-        // files dropped between the snapshots contribute NO live rows at
-        // `to` — every from-live row of theirs lands in the delete diff
-        val liveTo = liveWithHidden(scanOld, toE)
-          .filter(col(graft.operators.MorPlanner.FilePathCol)
-            .isin(toCanonSet.toSeq: _*))
-        Some(dropHidden(liveFrom.join(
-          liveTo.select(hidden.filterNot(_ == graft.operators.MorPlanner.SeqNumCol)
-            .map(col).toSeq: _*),
-          Seq(graft.operators.MorPlanner.FilePathCol,
-            graft.operators.MorPlanner.PosCol),
-          "left_anti"))
+        // A from-live row is dead at `to` iff its FILE left the snapshot
+        // (metadata drop — contributes no rows at `to`) or a delete entry
+        // NEW in the window kills it: the window cannot rewrite data files
+        // (guard above), so sequence numbers are stable and a row that
+        // survived every from-delete can only die to an ADDED delete file.
+        // Marking those conditions on ONE pass over liveFrom — broadcast
+        // left-outer joins against the DELTA-sized new delete sets —
+        // replaces the previous second full scan of the old files plus the
+        // anti join whose build side was the entire liveTo subplan (at
+        // scale: a table-sized broadcast, or a full-width shuffle). The
+        // markers are filters, not unions, so an overlap (a dropped file's
+        // row also matched by a new eq-delete) can never duplicate a row.
+        val dropped = !col(fp).isin(toCanonSet.toSeq: _*)
+        val posMark = "_graft_cdc_posm"
+        val withPos = CompactionRunner.readPositionDeletes(
+            spark, pos(newDeleteEntries)) match {
+          case None => liveFrom.withColumn(posMark, lit(false))
+          case Some(pd) =>
+            liveFrom.join(
+              broadcast(pd.select(col(fp), col(pc)).distinct()
+                .withColumn(posMark, lit(true))),
+              Seq(fp, pc), "left_outer")
+              .withColumn(posMark, coalesce(col(posMark), lit(false)))
+        }
+        val eqGroups = CompactionRunner.readEqualityDeletes(
+          spark, eq(newDeleteEntries), Some(scanOld.schema))
+        val (marked, eqMarks) = eqGroups.zipWithIndex
+          .foldLeft((withPos, Seq.empty[String])) {
+            case ((df, marks), (g, i)) =>
+              val m = s"_graft_cdc_eqm$i"
+              // one row per key carrying the NEWEST delete sequence:
+              // `data.seq < max(del.seq)` is exactly "some delete in the
+              // group kills the row", and the distinct keys keep the
+              // outer join cardinality-preserving (no row duplication)
+              val keys = g.df
+                .groupBy(g.equalityCols.map(c => col(quoted(c))): _*)
+                .agg(max(col(sq)).as(sq))
+                .withColumn(m, lit(true))
+              val d = df.as("graft_cdc_d")
+              val k = keys.as("graft_cdc_k")
+              val cond = g.equalityCols.map(c =>
+                  col(s"graft_cdc_d.${quoted(c)}") ===
+                    col(s"graft_cdc_k.${quoted(c)}")).reduce(_ && _) &&
+                (col(s"graft_cdc_d.$sq") < col(s"graft_cdc_k.$sq"))
+              val joined = d.join(broadcast(k), cond, "left_outer")
+              val kept = df.columns.toSeq.map(c =>
+                col(s"graft_cdc_d.${quoted(c)}").as(c)) :+
+                coalesce(col(s"graft_cdc_k.$m"), lit(false)).as(m)
+              (joined.select(kept: _*), marks :+ m)
+          }
+        val killed = (col(posMark) +: eqMarks.map(col))
+          .foldLeft(dropped)(_ || _)
+        Some(dropHidden(marked.filter(killed)
+          .drop((posMark +: eqMarks): _*))
           .withColumn("_change_type", lit("D")))
       }
     (inserts, deletes) match {
@@ -4946,8 +5018,10 @@ final class GraftCatalog(root: String,
         .write.mode("errorifexists").parquet(dir)
       val written = CompactionRunner.listParquet(dir)
       // an all-miss delete set writes an empty file; commit no entry for it
+      // (footer row count, driver-side — was one Spark job per file)
       val nonEmpty = written.filter(p =>
-        spark.read.parquet(p).limit(1).count() > 0)
+        CompactionRunner.parquetFooterCounts(
+          p, spark.sessionState.newHadoopConf())._1 != 0L)
       withTableLock(table) {
         commitRewriteLocked(table,
           posDeleteEntries(spark, nonEmpty, maxEqSeq),
@@ -5006,7 +5080,8 @@ final class GraftCatalog(root: String,
       // early return can never retire it, and the zero-row posdel entry
       // disables the metadata COUNT(*) fast path forever
       val written = CompactionRunner.listParquet(dir).filter(p =>
-        spark.read.parquet(p).limit(1).count() > 0)
+        CompactionRunner.parquetFooterCounts(
+          p, spark.sessionState.newHadoopConf())._1 != 0L)
       withTableLock(table) {
         commitRewriteLocked(table,
           posDeleteEntries(spark, written, seq),

@@ -107,6 +107,36 @@ class ChangelogSpec extends SparkSpec {
     assert(rows(cat.changelog(spark, "t", s1, s2)) == Set((5L, "v5", "D")))
   }
 
+  test("dropped-file, pos-delete and eq-delete kills in one window: " +
+      "each D exactly once") {
+    // the single-scan diff (r20) marks three kill conditions on one pass
+    // — a row matched by MORE than one (here k=10: its file is DROPPED by
+    // the range delete AND its key is in the eq-delete file) must still
+    // report exactly once, and each condition alone must report
+    val (cat, out) = freshTable()
+    cat.setPartitionSpec("t", Seq(
+      GraftCatalog.PartitionFieldDef("k_t", "truncate[50]", "k")))
+    val (s1, _) = cat.compactTable(spark, "t", s"$out/c0",
+      CompactionRunner.CompactionConfig(targetPartitions = 1))
+    // remove-only commit: bin 0 (k 1..49) is fully covered -> metadata drop
+    cat.deleteWhereRange(spark, "t", "k", 0, 49, out)
+    assert(cat.loadEntries("t").count(_.kind == "data") <
+      cat.loadEntriesAt("t", s1).count(_.kind == "data"),
+      "the range delete must drop the covered partition's files")
+    // eq-delete keys: 10 lives in the DROPPED file, 60 in a kept one
+    cat.deleteWhereEq(spark, "t", Seq(10L, 60L).toDF("k"), out)
+    // pos delete on a kept file
+    val s4 = cat.deleteWhere(spark, "t", col("k") === 55L, out)
+    val got = rows(cat.changelog(spark, "t", s1, s4))
+    val want = ((1L to 49L) ++ Seq(55L, 60L)).map(k => (k, s"v$k", "D")).toSet
+    assert(got == want,
+      s"diff must be exact and duplicate-free; missing=${want -- got} " +
+        s"extra=${got -- want}")
+    // the collected rows were a set; ALSO prove no duplicates came back
+    val n = cat.changelog(spark, "t", s1, s4).count()
+    assert(n == want.size, s"expected ${want.size} D rows, got $n")
+  }
+
   test("compaction inside the window is rejected; flanking windows work") {
     val (cat, out) = freshTable()
     val s1 = cat.currentSnapshotId("t")
