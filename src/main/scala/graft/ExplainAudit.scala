@@ -155,11 +155,16 @@ object ExplainAudit {
         "skipping happens in catalog metadata; the plan just shows the shrunken " +
         "scan plus the exact residual filter."),
     "q120_changelog" ->
-      ("Changelog window: inserts = the window's NEW files MoR-merged at `to`; " +
-        "deletes = ONE scan of the old files with both snapshots' delete sets " +
-        "applied and an anti join on the hidden (file_path, pos) identity. " +
-        "All joins hash-based with broadcast delete sides; union of two tagged " +
-        "branches then one keyed aggregate."),
+      ("Changelog window (r20 single-scan diff): inserts = the window's NEW " +
+        "files MoR-merged at `to`; deletes = ONE scan of the old files with " +
+        "`from`'s delete sets applied, then kill conditions MARKED in the " +
+        "same pass — dropped-file membership as a filter, the window's new " +
+        "pos/eq delete sets as broadcast LEFT-OUTER marker joins (delta-" +
+        "sized build sides), one filter on the disjunction. Replaces the " +
+        "pre-r20 shape that scanned the old files TWICE and anti-joined " +
+        "liveFrom against the whole liveTo subplan (a table-sized build " +
+        "side at scale). Union of two tagged branches then one keyed " +
+        "aggregate."),
     "q121_range_delete" ->
       ("Catalog read after a deleteWhereRange commit: the fully-covered " +
         "partition's files are GONE from the task list (metadata drop — they " +
@@ -668,6 +673,41 @@ object ExplainAudit {
     sb.append("1.43). Biggest non-stalled queries remain the commit-lifecycle\n")
     sb.append("gates (q145 3.8, q148 3.6, q154 3.4) whose scale-safe shapes\n")
     sb.append("are asserted in-gate; no plan regressions.\n")
+    sb.append("r20 (optimization round) adjudication of the r19 record: the\n")
+    sb.append("r19 driver run recorded 213 s / 169 queries with a 1.5-2.4x\n")
+    sb.append("cluster on the lifecycle gates (q132, q136-q138, q145-q146,\n")
+    sb.append("q151, q154, q157) and EMPTY stall_windows. A full-suite\n")
+    sb.append("idle-box re-run of the IDENTICAL code (r19 HEAD, before any\n")
+    sb.append("r20 change) measured 161 s total with every flagged query at\n")
+    sb.append("or near its recorded level: q132 1.9 (level 1.66), q136 3.0\n")
+    sb.append("(2.4), q137 2.0 (1.4), q138 2.2 (2.47), q145 4.0 (3.5),\n")
+    sb.append("q146 2.4 (2.3), q148 2.7 (2.87), q151 2.0 (1.4), q154 2.9\n")
+    sb.append("(2.9), q157 1.6 (0.94) — the documented uniform host\n")
+    sb.append("inflation (~1.3x), no plan cause; recordedSec unchanged for\n")
+    sb.append("those keys. The one code-attributable r19 delta is q175\n")
+    sb.append("(7.0 recorded -> 10.0 idle): the mid-build eq-delete-window\n")
+    sb.append("extension added a second stream drain + accounting — r20's\n")
+    sb.append("optimization target, see OPTIMIZATION_r20.md. The bench now\n")
+    sb.append("emits a `drift` field (suite total / recordedSec sum over\n")
+    sb.append("recorded keys) so uniform mild inflation is named in the\n")
+    sb.append("graded artifact itself (~1.0 healthy, >=1.3 a hot box).\n")
+    sb.append("r20 changes with plan effect (before/after dumps in\n")
+    sb.append("plans/r20/): the changelog delete diff is SINGLE-SCAN now\n")
+    sb.append("(see the q120 note — broadcast delta-sized marker joins\n")
+    sb.append("replace the second scan + table-sized anti-join build side);\n")
+    sb.append("mergeInto dropped two redundant exchanges (distinct on a\n")
+    sb.append("semi-join build side + distinct on proven-unique keys);\n")
+    sb.append("deleteWhere/updateWhere learn their referenced-file sets via\n")
+    sb.append("Observation on the delete write instead of a read-back job;\n")
+    sb.append("per-file emptiness/row counts come from parquet footers\n")
+    sb.append("driver-side (was one Spark job per file on the DML/\n")
+    sb.append("maintenance commit paths). Gate staging: q148 forks the\n")
+    sb.append("session-shared clustered layout (compaction no longer paid\n")
+    sb.append("per run), q174 proves the unsorted control on the SAME pair\n")
+    sb.append("pre-compaction (second table pair gone), q154's row-presence\n")
+    sb.append("check is isEmpty (one full SPJ materialization gone), q175's\n")
+    sb.append("accounting is one conditional-aggregation pass (was four\n")
+    sb.append("scans).\n")
     Notes.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))

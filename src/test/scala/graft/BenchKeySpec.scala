@@ -27,9 +27,9 @@ class BenchKeySpec extends AnyFunSuite {
     // 4-char outliers (sub-0.1 s gates like q74, or a 10+ s stall — a
     // run where MANY values exceed 10 s is already garbage and its
     // truncation loses nothing). Wrapper: metric/value/unit ~45 + empty
-    // errors 12 + sf 14 ≈ 71.
+    // errors 12 + sf 14 ≈ 71, plus the r20 drift field (≤14).
     val line = Bench.shortKeys(names).map(k => "\"" + k + "\":9.9")
-      .mkString("{", ",", "}").length + 71 + 40
+      .mkString("{", ",", "}").length + 71 + 40 + 14
     assert(line < 1925, s"projected bench line $line bytes — shrink keys " +
       "or compress values further")
   }
@@ -51,6 +51,19 @@ class BenchKeySpec extends AnyFunSuite {
       r)
     // worst-case field stays small enough for the driver's tail window
     assert(r.length <= 60, s"${r.length}: $r")
+  }
+
+  test("drift_ratio renders compact and absent without recorded pairs") {
+    assert(Bench.driftField(Nil) == "")
+    // a healthy box: measured ≈ recorded
+    assert(Bench.driftField(Seq((1.0, 1.0), (0.5, 0.5))) ==
+      ""","drift":1""")
+    // the r19 profile: ~1.4× uniform inflation, named in the artifact
+    assert(Bench.driftField(Seq((1.4, 1.0), (7.0, 5.0))) ==
+      ""","drift":1.4""")
+    // worst plausible render stays inside the 14-byte budget the line
+    // projection reserves
+    assert(Bench.driftField(Seq((99.99, 1.0))).length <= 14)
   }
 
   test("per-query retry fires on drift the global threshold misses") {
