@@ -70,7 +70,8 @@ object Bench {
     "q105" -> 1.28, "q106" -> 1.12, "q107" -> 1.19, "q108" -> 0.53,
     "q109" -> 0.95, "q110" -> 0.53, "q111" -> 0.71, "q112" -> 1.22,
     "q113" -> 0.28, "q114" -> 1.61, "q115" -> 1.83, "q116" -> 0.27,
-    "q117" -> 2.08, "q118" -> 0.57, "q119" -> 0.4, "q120" -> 2.91,
+    // q117/q120 re-leveled r20 (merge exchange trim; single-scan diff)
+    "q117" -> 2.0, "q118" -> 0.57, "q119" -> 0.4, "q120" -> 1.96,
     "q121" -> 0.93, "q122" -> 1.03, "q123" -> 0.46, "q124" -> 0.29,
     "q125" -> 0.06, "q126" -> 0.79, "q127" -> 1.2, "q128" -> 1.59,
     "q129" -> 0.29, "q130" -> 0.96, "q131" -> 0.29, "q132" -> 1.66,
@@ -103,7 +104,8 @@ object Bench {
     // overwrite; q151 storage-partitioned join (2 CREATEs + 2 fanout
     // INSERTs + the SPJ join + the oracle materialization — gate cost,
     // the join itself is exchange-free, asserted in-gate)
-    "q147" -> 0.46, "q148" -> 2.87, "q149" -> 0.59, "q150" -> 0.81,
+    // q148 re-leveled r20: forks the shared clustered layout (min-of-3 1.65)
+    "q147" -> 0.46, "q148" -> 1.65, "q149" -> 0.59, "q150" -> 0.81,
     // q151 re-recorded after round-13's one-plan keyed serving (2.65 ->
     // 1.4: the per-tuple Catalyst passes left the gate's planning cost)
     "q151" -> 1.4,
@@ -120,7 +122,8 @@ object Bench {
     // same work: q136 4.01 -> 2.4, q137 2.46 -> 1.4 (served-plan cache),
     // q145 4.77 -> 3.5 (masked MoR reads), q144 1.06 -> 0.86,
     // q129 0.46 -> 0.29
-    "q154" -> 2.9, "q155" -> 0.61, "q156" -> 1.2,
+    // q154 re-leveled r20: isEmpty presence check (min-of-3 2.26)
+    "q154" -> 2.26, "q155" -> 0.61, "q156" -> 1.2,
     "q157" -> 0.94, "q158" -> 0.51, "q159" -> 1.4,
     // round-14/15 gates (per-key min of the r14 driver run and two r15
     // idle-box runs; the clean closing run measured 125 s / 158 queries):
@@ -143,7 +146,13 @@ object Bench {
     // lifecycle (2 ANALYZEs + MoR delete + compaction + 2 sweeps — gate
     // cost is the fixture lifecycle), q172 NDV broadcast flip (2 plans +
     // the broadcast join itself)
-    "q171" -> 2.33, "q172" -> 1.43)
+    "q171" -> 2.33, "q172" -> 1.43,
+    // round-19 gates, first recorded r20 (idle-box min of the full-suite
+    // run and a min-of-3 DriftProbe): q173 exact delete rowcount, q174
+    // sort elision (one-pair staging as of r20), q175 streaming CDC (two
+    // stream lifecycles + 4 DML — the suite's heaviest gate; 6.7 bench /
+    // 7.9 probe, level keeps the min), q176 histogram CBO flip
+    "q173" -> 0.91, "q174" -> 2.04, "q175" -> 6.7, "q176" -> 1.01)
 
   /** The self-adjudication field: queries still over their threshold
     * whose deferred recording happened under a hot canary — i.e. values
@@ -228,6 +237,7 @@ object Bench {
     // gate timings measure the delete/merge/scan itself. (r9 measured the
     // per-gate staging at ~40 s of the 142 s suite total.)
     graft.operators.DmlFixtures.stageAll(spark, sfDir)
+    BenchWarmup.run(spark)
     val lastError = scala.collection.mutable.LinkedHashMap[String, String]()
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -41,6 +41,7 @@ object DriftProbe {
     spark.read.parquet(s"$sfDir/region.parquet").count()
     graft.operators.MorFixtures.dataTable(spark, sfDir).count()
     graft.operators.DmlFixtures.stageAll(spark, sfDir)
+    BenchWarmup.run(spark)
     def fmt(v: Double) = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

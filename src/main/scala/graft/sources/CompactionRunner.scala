@@ -744,7 +744,11 @@ object CompactionRunner {
     sum
   }
 
-  private def hintSmall(
+  /** Broadcast-hint `df` only when the files' recorded/stat'd byte sum is
+    * provably under [[DeleteBroadcastCap]] — the size gate every delete-set
+    * join rides (package-visible for the changelog's delta marker joins).
+    */
+  private[sources] def hintSmall(
       spark: SparkSession, df: DataFrame, files: Seq[(String, Long)]): DataFrame = {
     val s = statSum(spark, files)
     if (s >= 0L && s <= DeleteBroadcastCap) broadcast(df) else df

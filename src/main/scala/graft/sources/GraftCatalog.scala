@@ -3699,7 +3699,7 @@ final class GraftCatalog(root: String,
     val deletes =
       if (oldForDiff.isEmpty) None
       else {
-        import org.apache.spark.sql.functions.{broadcast, coalesce, max}
+        import org.apache.spark.sql.functions.{coalesce, max}
         val fp = graft.operators.MorPlanner.FilePathCol
         val pc = graft.operators.MorPlanner.PosCol
         val sq = graft.operators.MorPlanner.SeqNumCol
@@ -3719,14 +3719,22 @@ final class GraftCatalog(root: String,
         // markers are filters, not unions, so an overlap (a dropped file's
         // row also matched by a new eq-delete) can never duplicate a row.
         val dropped = !col(fp).isin(toCanonSet.toSeq: _*)
+        // marker build sides ride the same size-gated broadcast hint every
+        // delete-set join uses (entry-recorded byte sums vs the cap) — an
+        // oversized delete window falls back to a shuffled join instead of
+        // forcing an unbounded broadcast
+        def hinted(df: DataFrame, entries: Seq[TableEntry]): DataFrame =
+          CompactionRunner.hintSmall(spark, df,
+            entries.map(e => (e.path, e.sizeBytes)))
         val posMark = "_graft_cdc_posm"
         val withPos = CompactionRunner.readPositionDeletes(
             spark, pos(newDeleteEntries)) match {
           case None => liveFrom.withColumn(posMark, lit(false))
           case Some(pd) =>
             liveFrom.join(
-              broadcast(pd.select(col(fp), col(pc)).distinct()
-                .withColumn(posMark, lit(true))),
+              hinted(pd.select(col(fp), col(pc)).distinct()
+                .withColumn(posMark, lit(true)),
+                newDeleteEntries.filter(_.kind == "posdel")),
               Seq(fp, pc), "left_outer")
               .withColumn(posMark, coalesce(col(posMark), lit(false)))
         }
@@ -3750,7 +3758,12 @@ final class GraftCatalog(root: String,
                   col(s"graft_cdc_d.${quoted(c)}") ===
                     col(s"graft_cdc_k.${quoted(c)}")).reduce(_ && _) &&
                 (col(s"graft_cdc_d.$sq") < col(s"graft_cdc_k.$sq"))
-              val joined = d.join(broadcast(k), cond, "left_outer")
+              // eq groups don't expose their task subset here — hint from
+              // the window's WHOLE new-eq byte sum (an over-estimate can
+              // only skip a safe broadcast, never force an unsafe one)
+              val joined = d.join(
+                hinted(k, newDeleteEntries.filter(_.kind == "eqdel")),
+                cond, "left_outer")
               val kept = df.columns.toSeq.map(c =>
                 col(s"graft_cdc_d.${quoted(c)}").as(c)) :+
                 coalesce(col(s"graft_cdc_k.$m"), lit(false)).as(m)
