@@ -2567,13 +2567,46 @@ final class GraftCatalog(root: String,
     }
   }
 
+  /** `(path, rowCount, sizeBytes)` per non-empty parquet file under `dir`
+    * — parquet FOOTER reads, driver-side (one footer per file, the same
+    * cardinality as the manifest entries built from it), so the per-commit
+    * manifest counting costs no distributed job and never re-reads the
+    * just-written generation. Any unreadable footer falls back to the one
+    * distributed count pass this replaced.
+    */
+  private def countedParquetsIn(
+      spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+    val files = listParquetsIn(spark, dir)
+    if (files.isEmpty) return Nil
+    val hconf = spark.sessionState.newHadoopConf()
+    val footer = files.map(p =>
+      (p, CompactionRunner.parquetFooterCounts(p, hconf)))
+    val counted =
+      if (footer.forall(_._2._1 >= 0))
+        footer.map { case (p, (r, b)) => (p, r, b) }
+      else {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        spark.read.parquet(files: _*)
+          .groupBy(col("_metadata.file_path").as("path"),
+            col("_metadata.file_size").as("size"))
+          .agg(count(lit(1)).as("rc"))
+          .collect().toSeq.map(r => (r.getAs[String]("path"),
+            r.getAs[Long]("rc"), r.getAs[Long]("size")))
+      }
+    // zero-row part files carry no manifest entry (the empty-write
+    // discipline; the distributed groupBy likewise emitted no row for them)
+    counted.filter(_._2 > 0L)
+  }
+
   /** Pure append commit: write `df` as a fresh parquet generation and add
     * the files to the snapshot — Iceberg's `AppendFiles` fast path (no
     * deletes, no rewrite; the reference's incremental scan consumes exactly
-    * these commits, `GraftCatalog.appendedFilesBetween`). One read-back job
-    * records per-file record counts and sizes into the entries (the
+    * these commits, `GraftCatalog.appendedFilesBetween`). Per-file record
+    * counts and sizes come from the parquet footers driver-side (the
     * manifest fields [[metadataTable]] and debt scoring read), so appended
-    * generations stay metadata-countable like compacted ones.
+    * generations stay metadata-countable like compacted ones — with no
+    * read-back pass over the generation just written (this is the
+    * streaming sink's per-batch commit path).
     *
     * Zero-row appends commit nothing (the empty-write discipline of the
     * DML writers) and return the unchanged head.
@@ -2583,7 +2616,6 @@ final class GraftCatalog(root: String,
       table: String,
       df: DataFrame,
       outDir: String): Long = {
-    import org.apache.spark.sql.functions.{col, count, lit}
     val token = java.util.UUID.randomUUID().toString
     val dir = s"$outDir/append-$token"
     val aligned = currentSchema(table) match {
@@ -2591,20 +2623,17 @@ final class GraftCatalog(root: String,
       case None => df
     }
     aligned.write.mode("errorifexists").parquet(dir)
-    val counted = spark.read.parquet(dir)
-      .groupBy(col("_metadata.file_path").as("path"),
-        col("_metadata.file_size").as("size"))
-      .agg(count(lit(1)).as("rc"))
-      .collect() // one row per written file — driver-sized manifest metadata
+    val counted = countedParquetsIn(spark, dir)
     if (counted.isEmpty) currentSnapshotId(table)
     else withTableLock(table) {
       val entries = loadEntries(table)
       val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
-      val added = counted.toSeq.map(r =>
-        TableEntry("data", CompactionRunner.canonPath(r.getAs[String]("path")),
+      val added = counted.map { case (p, rc, size) =>
+        TableEntry("data", CompactionRunner.canonPath(p),
           seq, "parquet", Nil,
-          recordCount = r.getAs[Long]("rc"),
-          sizeBytes = r.getAs[Long]("size")))
+          recordCount = rc,
+          sizeBytes = size)
+      }
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, entries ++ added)
       carrySchema(table, nextId - 1, nextId)
@@ -2627,7 +2656,6 @@ final class GraftCatalog(root: String,
       table: String,
       df: DataFrame,
       outDir: String): Long = {
-    import org.apache.spark.sql.functions.{col, count, lit}
     val token = java.util.UUID.randomUUID().toString
     val dir = s"$outDir/overwrite-$token"
     val aligned = currentSchema(table) match {
@@ -2635,18 +2663,15 @@ final class GraftCatalog(root: String,
       case None => df
     }
     aligned.write.mode("errorifexists").parquet(dir)
-    val counted = spark.read.parquet(dir)
-      .groupBy(col("_metadata.file_path").as("path"),
-        col("_metadata.file_size").as("size"))
-      .agg(count(lit(1)).as("rc"))
-      .collect() // one row per written file — driver-sized manifest metadata
+    val counted = countedParquetsIn(spark, dir)
     withTableLock(table) {
       val seq = loadEntries(table).map(_.seqNum).foldLeft(0L)(math.max) + 1
-      val added = counted.toSeq.map(r =>
-        TableEntry("data", CompactionRunner.canonPath(r.getAs[String]("path")),
+      val added = counted.map { case (p, rc, size) =>
+        TableEntry("data", CompactionRunner.canonPath(p),
           seq, "parquet", Nil,
-          recordCount = r.getAs[Long]("rc"),
-          sizeBytes = r.getAs[Long]("size")))
+          recordCount = rc,
+          sizeBytes = size)
+      }
       val nextId = currentSnapshotId(table) + 1
       writeSnapshot(table, nextId, added)
       carrySchema(table, nextId - 1, nextId)
@@ -2737,11 +2762,9 @@ final class GraftCatalog(root: String,
       case None => df
     }
     aligned.write.mode("errorifexists").parquet(dir)
-    val counted = spark.read.parquet(dir)
-      .groupBy(col("_metadata.file_path").as("path"),
-        col("_metadata.file_size").as("size"))
-      .agg(count(lit(1)).as("rc"))
-      .collect()
+    // footer-counted, driver-side — the per-micro-batch commit no longer
+    // re-reads the batch it just wrote (see countedParquetsIn)
+    val counted = countedParquetsIn(spark, dir)
     withTableLock(table) { // torn-commit roll-forward rides the lock entry
       val marks = readStreamMarks(table)
       if (marks.get(queryId).exists(_._1 >= batchId)) None
@@ -2749,11 +2772,12 @@ final class GraftCatalog(root: String,
       else {
         val entries = loadEntries(table)
         val seq = entries.map(_.seqNum).foldLeft(0L)(math.max) + 1
-        val added = counted.toSeq.map(r =>
-          TableEntry("data", CompactionRunner.canonPath(r.getAs[String]("path")),
+        val added = counted.map { case (p, rc, size) =>
+          TableEntry("data", CompactionRunner.canonPath(p),
             seq, "parquet", Nil,
-            recordCount = r.getAs[Long]("rc"),
-            sizeBytes = r.getAs[Long]("size")))
+            recordCount = rc,
+            sizeBytes = size)
+        }
         val nextId = currentSnapshotId(table) + 1
         writeSnapshot(table, nextId, entries ++ added) // reserves nextId
         writeStreamMarks(table, marks + (queryId -> (batchId, nextId)))
@@ -3718,7 +3742,16 @@ final class GraftCatalog(root: String,
         // scale: a table-sized broadcast, or a full-width shuffle). The
         // markers are filters, not unions, so an overlap (a dropped file's
         // row also matched by a new eq-delete) can never duplicate a row.
-        val dropped = !col(fp).isin(toCanonSet.toSeq: _*)
+        // membership list bounded by the DIFF's file set (delta-sized),
+        // not all of `to`'s files — an In() over a 100 TB table's whole
+        // file inventory would bloat the plan for no information: only
+        // files the diff actually scans can match the column
+        val present = oldForDiff
+          .map(t => CompactionRunner.canonKey(t.path))
+          .filter(toCanonSet)
+        val dropped =
+          if (present.isEmpty) lit(true) // every scanned file left the snapshot
+          else !col(fp).isin(present: _*)
         // marker build sides ride the same size-gated broadcast hint every
         // delete-set join uses (entry-recorded byte sums vs the cap) — an
         // oversized delete window falls back to a shuffled join instead of
