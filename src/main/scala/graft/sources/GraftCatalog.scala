@@ -2747,7 +2747,6 @@ final class GraftCatalog(root: String,
       outDir: String,
       queryId: String,
       batchId: Long): Option[Long] = {
-    import org.apache.spark.sql.functions.{col, count, lit}
     // fast replay path: fully committed (mark visible at or below HEAD) —
     // skip without writing files
     readStreamMarks(table).get(queryId) match {
