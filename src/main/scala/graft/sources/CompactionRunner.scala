@@ -299,7 +299,9 @@ object CompactionRunner {
       case ("avro", ts) =>
         Seq(AvroScan.readWithHiddenCols(spark, ts.map(_.path)))
       case (fmt, ts) => Seq {
-      val inferred = spark.read.format(fmt).load(ts.map(_.path): _*)
+      val inferred =
+        if (fmt == "parquet") inferredParquet(spark, ts.map(_.path))
+        else spark.read.format(fmt).load(ts.map(_.path): _*)
       // Schema-less parquet reads resolve by footer inference, which picks
       // ONE file's schema — if that footer carries field ids the read
       // demands ids from EVERY file, so a table mixing id-stamped
@@ -541,6 +543,29 @@ object CompactionRunner {
       .sortBy(_._2.head)
   }
 
+  /** Inference-equivalent parquet reader served from the driver-side
+    * footer caches instead of a per-plan schema-inference job. With ONE
+    * distinct physical schema across `paths` — the overwhelmingly common
+    * case; delete files and schema-less tables' generations are
+    * single-schema by construction — the read pins that schema, which IS
+    * Spark's single-footer inference output for these files (cached in
+    * [[digestSparkSchema]] by [[schemaGroups]]), so resolution semantics
+    * (field-id metadata included) are byte-identical. A genuinely mixed
+    * set, or any footer the digest pass cannot read, falls back to the
+    * real inference read unchanged. Every DML statement re-plans its scan
+    * several times (analysis, rewrite planning, execution); without this
+    * each re-plan paid a fresh footer-reading Spark job.
+    */
+  private[graft] def inferredParquet(
+      spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val groups =
+      try schemaGroups(spark, paths)
+      catch { case scala.util.control.NonFatal(_) => Nil }
+    if (groups.lengthCompare(1) == 0)
+      spark.read.schema(groups.head._1).parquet(paths: _*)
+    else spark.read.parquet(paths: _*)
+  }
+
   /** One distributed scan of a group of parquet files sharing a physical
     * schema, projected onto the canonical schema by FIELD ID, with the
     * hidden columns fabricated exactly like the plain parquet branch
@@ -621,7 +646,9 @@ object CompactionRunner {
         }
       case (fmt, ts) => Seq {
         // same mixed-id fallback as the hidden-col generic branch
-        val inferred = spark.read.format(fmt).load(ts.map(_.path): _*)
+        val inferred =
+          if (fmt == "parquet") inferredParquet(spark, ts.map(_.path))
+          else spark.read.format(fmt).load(ts.map(_.path): _*)
         if (fmt == "parquet" &&
             inferred.schema.fields.exists(FieldIds.idOf(_).isDefined) &&
             anyIdlessFooter(spark, ts.map(_.path)))
@@ -770,7 +797,7 @@ object CompactionRunner {
       def sized(ts: Seq[PosDeleteTask]) = ts.map(t => (t.path, t.sizeBytes))
       val pq =
         if (pqPaths.isEmpty) None
-        else Some(hintSmall(spark, spark.read.parquet(paths(pqPaths): _*)
+        else Some(hintSmall(spark, inferredParquet(spark, paths(pqPaths))
           .select(canonColDelete(col("file_path")).as(MorPlanner.FilePathCol),
             col("pos").as(MorPlanner.PosCol)), sized(pqPaths)))
       val dv =
@@ -846,7 +873,7 @@ object CompactionRunner {
     groups.map { ts =>
       val seqDf = ts.flatMap(t => canonKeys(t.path).map((_, t.seqNum)))
         .toDF("graft_eq_path", MorPlanner.SeqNumCol)
-      val raw = spark.read.parquet(ts.map(_.path): _*)
+      val raw = inferredParquet(spark, ts.map(_.path))
       val head = ts.head
       // (delete-file column, data-side join name) per equality column —
       // the SAME resolution the vectorized mask applies

@@ -864,7 +864,7 @@ final class GraftCatalog(root: String,
             case d: java.time.LocalDate => d.toEpochDay.toString
             case x => String.valueOf(x)
           }
-          val rows = spark.read.parquet(ref.path)
+          val rows = CompactionRunner.inferredParquet(spark, Seq(ref.path))
             .select("partition", "data_record_count",
               "total_data_file_size_in_bytes")
             .collect() // one row per partition tuple — metadata-sized
@@ -2211,7 +2211,9 @@ final class GraftCatalog(root: String,
       : Option[org.apache.spark.sql.types.DataType] =
     currentSchema(table)
       .orElse(loadTable(table).headOption.map(t =>
-        spark.read.format(t.format).load(t.path).schema))
+        if (t.format == "parquet")
+          CompactionRunner.inferredParquet(spark, Seq(t.path)).schema
+        else spark.read.format(t.format).load(t.path).schema))
       .flatMap(_.fields.find(_.name == column)).map(_.dataType)
 
   private def isIntType(t: Option[org.apache.spark.sql.types.DataType]): Boolean =
@@ -5219,7 +5221,8 @@ final class GraftCatalog(root: String,
         if (config.partitionTransforms.nonEmpty || spec.isEmpty) config
         else {
           val schema = currentSchema(table).getOrElse(
-            spark.read.parquet(dataTasks(entries).head.path).schema)
+            CompactionRunner.inferredParquet(
+              spark, Seq(dataTasks(entries).head.path)).schema)
           config.copy(partitionTransforms = spec.map { f =>
             val srcType = schema.fields.find(_.name == f.source).map(_.dataType)
               .getOrElse(throw GraftError.Metadata(

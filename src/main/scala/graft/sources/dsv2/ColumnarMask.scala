@@ -399,7 +399,7 @@ object GraftColumnarMask {
     val (dvFiles, pqFiles) = (dvEntries.map(_.path), pqEntries.map(_.path))
     val pqRows: Seq[(String, Long)] =
       if (pqFiles.isEmpty) Nil
-      else spark.read.parquet(pqFiles: _*)
+      else CompactionRunner.inferredParquet(spark, pqFiles)
         .select(col("file_path"), col("pos"))
         .collect().toSeq
         .map(r => (CompactionRunner.canonPath(r.getString(0)), r.getLong(1)))
@@ -501,7 +501,7 @@ object GraftColumnarMask {
       // whole set and silently degrade every read to the row-path join)
       val seqByPath = es.map(e =>
         CompactionRunner.canonKey(e.path) -> e.seqNum).toMap
-      val raw = spark.read.parquet(paths: _*)
+      val raw = CompactionRunner.inferredParquet(spark, paths)
       // (delete-file column, data-side name) — the SAME resolution the
       // row path applies ([[FieldIds.resolveEqColumns]], one shared
       // implementation): ids bind to footer columns, names fall back
