@@ -781,6 +781,18 @@ object CompactionRunner {
     if (s >= 0L && s <= DeleteBroadcastCap) broadcast(df) else df
   }
 
+  /** The [[hintSmall]] gate as a predicate: true iff the files' byte sum
+    * is PROVABLY under [[DeleteBroadcastCap]] — callers that want to
+    * collect a delete set driver-side (memory-equivalent to the broadcast
+    * the join would build anyway) consult the same gate so the two
+    * decisions can never diverge.
+    */
+  private[sources] def provablySmall(
+      spark: SparkSession, files: Seq[(String, Long)]): Boolean = {
+    val s = statSum(spark, files)
+    s >= 0L && s <= DeleteBroadcastCap
+  }
+
   def readPositionDeletes(spark: SparkSession, tasks: Seq[PosDeleteTask]): Option[DataFrame] =
     if (tasks.isEmpty) None
     else {

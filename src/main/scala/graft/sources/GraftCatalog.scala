@@ -3622,7 +3622,23 @@ final class GraftCatalog(root: String,
       spark: SparkSession,
       table: String,
       fromSnapshotId: Long,
-      toSnapshotId: Long): DataFrame = {
+      toSnapshotId: Long): DataFrame =
+    changelogParts(spark, table, fromSnapshotId, toSnapshotId)
+      .reduce(_.unionByName(_))
+
+  /** [[changelog]] WITHOUT the final I/D union: the branch frames in
+    * union order. The DSv2 changelog stream serves these group-wise
+    * ([[graft.sources.dsv2]]'s `servableRdds`): each branch is a narrow
+    * plan (file scans + broadcast marker joins) in the common case, so
+    * the micro-batch's partitions stay lazy file-task slices — a
+    * top-level union would force the eager materialize-and-reshuffle
+    * serving shape on every CDC batch.
+    */
+  def changelogParts(
+      spark: SparkSession,
+      table: String,
+      fromSnapshotId: Long,
+      toSnapshotId: Long): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
     require(fromSnapshotId < toSnapshotId,
       s"changelog window must advance: $fromSnapshotId >= $toSnapshotId")
@@ -3705,17 +3721,41 @@ final class GraftCatalog(root: String,
       if (newEqEntries.isEmpty) Some(Set.empty)
       else changelogEqDiffCandidates(spark, table,
         fromE.filter(_.kind == "data"), newEqEntries, schema)
+    // The window's new POSITION-delete pairs, collected driver-side when
+    // their byte sum is provably under the delete-broadcast cap — exactly
+    // the rows the marker join below would broadcast anyway (same gate,
+    // same driver-sized result). A driver-held pair set (1) feeds the
+    // diff's referenced-file restriction without a second job and (2)
+    // builds the marker from a LocalRelation, keeping the D branch free
+    // of shuffles — what lets the CDC stream serve it as lazy file-task
+    // partitions. Over the cap (or on any read failure) everything falls
+    // back to the distributed read + shuffled join, today's behavior.
+    val newPosTasks = pos(newDeleteEntries)
+    val posPairs: Option[IndexedSeq[(String, Long)]] =
+      if (newPosTasks.isEmpty) Some(IndexedSeq.empty)
+      else if (!CompactionRunner.provablySmall(
+          spark, newPosTasks.map(t => (t.path, t.sizeBytes)))) None
+      else try {
+        CompactionRunner.readPositionDeletes(spark, newPosTasks)
+          .map(_.select(col(graft.operators.MorPlanner.FilePathCol),
+              col(graft.operators.MorPlanner.PosCol))
+            .distinct().collect()
+            .map(r => (r.getString(0), r.getLong(1))).toIndexedSeq)
+      } catch { case scala.util.control.NonFatal(_) => None }
     val oldForDiff: Seq[DataFileTask] = eqCandidates match {
       case None => oldTasks
       case Some(eqKeep) =>
-        val newPos = pos(newDeleteEntries)
-        val referenced: Set[String] =
-          if (newPos.isEmpty) Set.empty
-          else CompactionRunner.readPositionDeletes(spark, newPos)
-            .map(_.select(col(graft.operators.MorPlanner.FilePathCol))
-              .distinct().collect()
-              .map(r => CompactionRunner.canonKey(r.getString(0))).toSet)
-            .getOrElse(Set.empty)
+        val referenced: Set[String] = posPairs match {
+          case Some(pairs) =>
+            pairs.map(p => CompactionRunner.canonKey(p._1)).toSet
+          case None =>
+            if (newPosTasks.isEmpty) Set.empty
+            else CompactionRunner.readPositionDeletes(spark, newPosTasks)
+              .map(_.select(col(graft.operators.MorPlanner.FilePathCol))
+                .distinct().collect()
+                .map(r => CompactionRunner.canonKey(r.getString(0))).toSet)
+              .getOrElse(Set.empty)
+        }
         oldTasks.filter(t => {
           val k = CompactionRunner.canonKey(t.path)
           !toCanonSet(k) || referenced(k) || eqKeep(k)
@@ -3761,16 +3801,29 @@ final class GraftCatalog(root: String,
           CompactionRunner.hintSmall(spark, df,
             entries.map(e => (e.path, e.sizeBytes)))
         val posMark = "_graft_cdc_posm"
-        val withPos = CompactionRunner.readPositionDeletes(
-            spark, pos(newDeleteEntries)) match {
-          case None => liveFrom.withColumn(posMark, lit(false))
-          case Some(pd) =>
+        val withPos = posPairs match {
+          case Some(pairs) if pairs.isEmpty =>
+            liveFrom.withColumn(posMark, lit(false))
+          case Some(pairs) =>
+            // LocalRelation build side (driver-held pairs, provably under
+            // the broadcast cap) — no distinct shuffle in the served plan
+            import spark.implicits._
             liveFrom.join(
-              hinted(pd.select(col(fp), col(pc)).distinct()
-                .withColumn(posMark, lit(true)),
-                newDeleteEntries.filter(_.kind == "posdel")),
+              org.apache.spark.sql.functions.broadcast(
+                pairs.toDF(fp, pc).withColumn(posMark, lit(true))),
               Seq(fp, pc), "left_outer")
               .withColumn(posMark, coalesce(col(posMark), lit(false)))
+          case None => CompactionRunner.readPositionDeletes(
+              spark, newPosTasks) match {
+            case None => liveFrom.withColumn(posMark, lit(false))
+            case Some(pd) =>
+              liveFrom.join(
+                hinted(pd.select(col(fp), col(pc)).distinct()
+                  .withColumn(posMark, lit(true)),
+                  newDeleteEntries.filter(_.kind == "posdel")),
+                Seq(fp, pc), "left_outer")
+                .withColumn(posMark, coalesce(col(posMark), lit(false)))
+          }
         }
         val eqGroups = CompactionRunner.readEqualityDeletes(
           spark, eq(newDeleteEntries), Some(scanOld.schema))
@@ -3782,9 +3835,26 @@ final class GraftCatalog(root: String,
               // `data.seq < max(del.seq)` is exactly "some delete in the
               // group kills the row", and the distinct keys keep the
               // outer join cardinality-preserving (no row duplication)
-              val keys = g.df
+              val grouped = g.df
                 .groupBy(g.equalityCols.map(c => col(quoted(c))): _*)
                 .agg(max(col(sq)).as(sq))
+              // key sets within the changelog cap collect driver-side and
+              // join as a LocalRelation build (cap-bounded — the same
+              // driver posture changelogEqDiffCandidates already takes
+              // for these exact keys), keeping the D branch shuffle-free;
+              // over the cap, the distributed aggregate build stays
+              val cap = GraftCatalog.ChangelogEqKeyCap
+              val localKeys: Option[DataFrame] =
+                try {
+                  val rs = grouped.limit(cap + 1).collect()
+                  if (rs.length > cap) None
+                  else Some(org.apache.spark.sql.functions.broadcast(
+                    spark.createDataFrame(
+                      java.util.Arrays.asList(rs: _*), grouped.schema)))
+                } catch { case scala.util.control.NonFatal(_) => None }
+              val keys = localKeys
+                .getOrElse(hinted(grouped,
+                  newDeleteEntries.filter(_.kind == "eqdel")))
                 .withColumn(m, lit(true))
               val d = df.as("graft_cdc_d")
               val k = keys.as("graft_cdc_k")
@@ -3792,12 +3862,7 @@ final class GraftCatalog(root: String,
                   col(s"graft_cdc_d.${quoted(c)}") ===
                     col(s"graft_cdc_k.${quoted(c)}")).reduce(_ && _) &&
                 (col(s"graft_cdc_d.$sq") < col(s"graft_cdc_k.$sq"))
-              // eq groups don't expose their task subset here — hint from
-              // the window's WHOLE new-eq byte sum (an over-estimate can
-              // only skip a safe broadcast, never force an unsafe one)
-              val joined = d.join(
-                hinted(k, newDeleteEntries.filter(_.kind == "eqdel")),
-                cond, "left_outer")
+              val joined = d.join(k, cond, "left_outer")
               val kept = df.columns.toSeq.map(c =>
                 col(s"graft_cdc_d.${quoted(c)}").as(c)) :+
                 coalesce(col(s"graft_cdc_k.$m"), lit(false)).as(m)
@@ -3809,14 +3874,11 @@ final class GraftCatalog(root: String,
           .drop((posMark +: eqMarks): _*))
           .withColumn("_change_type", lit("D")))
       }
-    (inserts, deletes) match {
-      case (Some(i), Some(d)) => i.unionByName(d)
-      case (Some(i), None) => i
-      case (None, Some(d)) => d
-      case (None, None) =>
-        throw GraftError.Metadata(
-          s"changelog of $table: neither snapshot has data files")
-    }
+    val parts = inserts.toSeq ++ deletes.toSeq
+    if (parts.isEmpty)
+      throw GraftError.Metadata(
+        s"changelog of $table: neither snapshot has data files")
+    parts
   }
 
   /** The planning half of the changelog's equality-delete diff

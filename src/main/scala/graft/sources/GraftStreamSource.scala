@@ -125,6 +125,31 @@ object GraftStreamSource {
       e: Long,
       skipRewrites: Boolean,
       schema: StructType): DataFrame = {
+    // the empty batch builds from the STREAM's declared schema — the
+    // table itself may be a schema-less empty creation the scan refuses
+    val parts = changelogBatchParts(catalog, spark, table, s, e, skipRewrites)
+    if (parts.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else parts.reduce(_.unionByName(_))
+  }
+
+  /** [[changelogBatch]] WITHOUT the final union: one frame per window
+    * branch (initial image, per-window I and D), in union order — empty
+    * for a windowless batch. The DSv2 changelog stream serves the parts
+    * group-wise (each is narrow in the common case: file scans +
+    * broadcast marker joins), so a micro-batch's partitions stay LAZY
+    * file-task slices; the single-frame union forced the eager
+    * materialize-then-reshuffle serving shape — a full extra shuffle of
+    * every CDC batch, paid at planning time.
+    */
+  private[graft] def changelogBatchParts(
+      catalog: GraftCatalog,
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      s: Long,
+      e: Long,
+      skipRewrites: Boolean): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.lit
     def tagged(df: DataFrame): DataFrame =
       df.withColumn(ChangeTypeCol, lit("I"))
@@ -136,11 +161,7 @@ object GraftStreamSource {
     val freshStart = s == 0L
     val contiguous = ids.isEmpty ||
       ids.zip(ids.tail).forall { case (a, b) => b == a + 1 }
-    // the empty batch builds from the STREAM's declared schema — the
-    // table itself may be a schema-less empty creation the scan refuses
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    if (ids.isEmpty) return empty
+    if (ids.isEmpty) return Nil
     val parts: Seq[DataFrame] =
       if (freshStart && !contiguous) {
         if (hasData(e)) Seq(tagged(catalog.scanTableAt(spark, table, e)))
@@ -159,17 +180,17 @@ object GraftStreamSource {
         if (initial) {
           // a data-less first snapshot (created-then-appended tables)
           // contributes no initial image
-          if (hasData(id)) Some(tagged(catalog.scanTableAt(spark, table, id)))
-          else None
+          if (hasData(id)) Seq(tagged(catalog.scanTableAt(spark, table, id)))
+          else Nil
         }
         else {
           val before = catalog.loadEntriesAt(table, id - 1)
             .collect { case en if en.kind == "data" => en.path }.toSet
           val now = catalog.loadEntriesAt(table, id)
             .collect { case en if en.kind == "data" => en.path }.toSet
-          if (before.isEmpty && now.isEmpty) None // metadata-only step
+          if (before.isEmpty && now.isEmpty) Nil // metadata-only step
           else if ((before -- now).nonEmpty && (now -- before).nonEmpty) {
-            if (skipRewrites) None
+            if (skipRewrites) Nil
             else throw GraftError.Metadata(
               s"snapshot $id of $table is a rewrite (data files removed " +
                 "AND added) — a changelog stream has no net change to " +
@@ -177,11 +198,10 @@ object GraftStreamSource {
                 "to skip rewrite snapshots (row-level changes folded " +
                 "into them become invisible to the stream)")
           }
-          else Some(catalog.changelog(spark, table, id - 1, id))
+          else catalog.changelogParts(spark, table, id - 1, id)
         }
       }
-    if (parts.isEmpty) empty
-    else parts.reduce(_.unionByName(_))
+    parts
   }
 
   /** The data-file tasks whose rows constitute the stream delta

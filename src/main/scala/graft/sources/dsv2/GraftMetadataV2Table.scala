@@ -158,14 +158,22 @@ final class GraftChangesMicroBatchStream(
     val s = start.asInstanceOf[GraftStreamOffset].snapshotId
     val e = end.asInstanceOf[GraftStreamOffset].snapshotId
     val spark = SparkSession.active
-    val df = graft.sources.GraftStreamSource
-      .changelogBatch(cat, spark, table, s, e, skipRewrites, required)
-      .select(required.fieldNames.toIndexedSeq
-        .map(org.apache.spark.sql.functions.col): _*)
-    val rdd = GraftInnerFrame.servableRdd(df)
-    rdd.partitions.map(p =>
-      GraftRddInputPartition(rdd, p)
-        : org.apache.spark.sql.connector.read.InputPartition)
+    // group-wise serving over the window's branch frames (the append
+    // stream's shape): each branch is narrow in the common case — file
+    // scans + broadcast marker joins — so the partitions stay LAZY
+    // file-task slices with no planning-time job; the previous top-level
+    // union forced the eager materialize-then-reshuffle disposition, a
+    // full extra shuffle of every CDC batch. A shuffle-bearing branch
+    // still falls the whole batch back to that shape (servableRdds).
+    val parts = graft.sources.GraftStreamSource
+      .changelogBatchParts(cat, spark, table, s, e, skipRewrites)
+    if (parts.isEmpty) return Array.empty
+    val projected = parts.map(_.select(required.fieldNames.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col): _*))
+    GraftInnerFrame.servableRdds(projected).flatMap(rdd =>
+      rdd.partitions.map(p =>
+        GraftRddInputPartition(rdd, p)
+          : org.apache.spark.sql.connector.read.InputPartition)).toArray
   }
 
   override def createReaderFactory()

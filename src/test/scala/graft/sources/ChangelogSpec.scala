@@ -137,6 +137,42 @@ class ChangelogSpec extends SparkSpec {
     assert(n == want.size, s"expected ${want.size} D rows, got $n")
   }
 
+  test("size-gated delete window: branch parts plan shuffle-free and " +
+      "union to the changelog") {
+    // the CDC stream serves changelogParts group-wise as LAZY file-task
+    // partitions — legal only because a gated window's branches carry no
+    // shuffle (LocalRelation marker builds + broadcast joins). This pins
+    // that plan shape; if a shuffle reappears the stream silently falls
+    // back to the eager materialize-then-reshuffle serving (correct but
+    // the per-batch extra shuffle this round removed).
+    val (cat, out) = freshTable()
+    cat.deleteWhereEq(spark, "t", Seq(7L, 9L).toDF("k"), out)
+    val s2 = cat.currentSnapshotId("t")
+    cat.deleteWhere(spark, "t", col("k") === 20L, out) // pos delete
+    cat.deleteWhereEq(spark, "t", Seq(30L).toDF("k"), out)
+    val s4 = cat.upsert(spark, "t",
+      Seq((101L, "v101")).toDF("k", "v"), Seq("k"), s"$out/u1")
+    val parts = cat.changelogParts(spark, "t", s2, s4)
+    assert(parts.size == 2, s"expected I and D branches, got ${parts.size}")
+    val conf = spark.conf
+    val prevAqe = conf.get("spark.sql.adaptive.enabled", "true")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      parts.foreach { p =>
+        val shuffles = p.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+        }
+        assert(shuffles.isEmpty,
+          s"a gated window's branch must plan shuffle-free, got:\n" +
+            p.queryExecution.executedPlan)
+      }
+    } finally conf.set("spark.sql.adaptive.enabled", prevAqe)
+    val got = parts.map(rows).reduce(_ ++ _)
+    assert(got == rows(cat.changelog(spark, "t", s2, s4)))
+    assert(got == Set((20L, "v20", "D"), (30L, "v30", "D"),
+      (101L, "v101", "I")))
+  }
+
   test("compaction inside the window is rejected; flanking windows work") {
     val (cat, out) = freshTable()
     val s1 = cat.currentSnapshotId("t")
