@@ -87,11 +87,11 @@ object Bench {
     // (the 2-file slice can never win from the group-filter subquery;
     // the mechanism's own evidence is GraftDeltaDmlSpec + SCALING.md's
     // COW curve); probed 4.01 min-of-3 on a drifting box
-    "q142" -> 0.29, "q143" -> 2.27, "q144" -> 0.86,
+    "q142" -> 0.29, "q143" -> 1.8, "q144" -> 0.86,
     // q145 merge-on-read DSv2 DML: three WriteDelta lifecycles (identity
     // scan + pos-delete/data pair per statement) on the 60k slice —
-    // settled at 4.5-4.8 across r11/r12 idle-box runs
-    "q145" -> 3.5,
+    // re-leveled 3.5 -> 2.8 after the r20 schema-resolution caching
+    "q145" -> 2.8,
     // q146 CALL-procedure lifecycle (compact + expire through the native
     // ProcedureCatalog) — idle-box min-of-3
     "q146" -> 2.3,
@@ -150,9 +150,10 @@ object Bench {
     // round-19 gates, first recorded r20 (idle-box min of the full-suite
     // run and a min-of-3 DriftProbe): q173 exact delete rowcount, q174
     // sort elision (one-pair staging as of r20), q175 streaming CDC (two
-    // stream lifecycles + 4 DML — the suite's heaviest gate; 6.7 bench /
-    // 7.9 probe, level keeps the min), q176 histogram CBO flip
-    "q173" -> 0.91, "q174" -> 2.04, "q175" -> 6.7, "q176" -> 1.01)
+    // stream lifecycles + 4 DML — the suite's heaviest gate; re-leveled
+    // 6.7 -> 5.1 after the r20 group-wise CDC serving + local-relation
+    // marker builds), q176 histogram CBO flip
+    "q173" -> 0.91, "q174" -> 2.04, "q175" -> 5.1, "q176" -> 1.01)
 
   /** The self-adjudication field: queries still over their threshold
     * whose deferred recording happened under a hot canary — i.e. values

@@ -113,6 +113,10 @@ object DevProfile {
       }
       println(f"TOTAL ${(System.nanoTime() - t0all) / 1e9}%6.2f s")
     }
+    // top Catalyst rules by cumulative time across the whole run — names
+    // the analyzer/optimizer tax, including any injected extension rules
+    println("=== rule time spent ===")
+    println(org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent())
     spark.stop()
   }
 }
