@@ -1271,7 +1271,7 @@ final class GraftCatalog(root: String,
         StructField("last_updated_snapshot_id", LongType)))
       val rows = dataEntries
         .groupBy(e => specFields.map(f => e.partitionVals.getOrElse(f, null)))
-        .toSeq.sortBy(_._1.mkString(""))
+        .toSeq.sortBy(_._1.mkString("\u0001"))
         // a tuple with ANY unknown manifest count would roll up as a
         // zero-clamped lie — estimateStatistics substitutes these numbers
         // as CONFIDENT estimates, so a fake 0 could mis-broadcast an
