@@ -61,6 +61,12 @@ object BenchWarmup {
       cat.changelog(spark, "w", head - 1, head)
         .write.mode("overwrite").format("noop").save()
       ()
-    } catch { case _: Throwable => () }
+    } catch {
+      // NonFatal only (r20 advice): a warmup OOM/VM error must surface, not
+      // leave the bench silently running on a degraded JVM — the warmup
+      // exists to stabilize the very timings that degradation would skew
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BenchWarmup skipped: ${e.getClass.getSimpleName}")
+    }
   }
 }

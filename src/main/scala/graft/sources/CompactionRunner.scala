@@ -482,6 +482,62 @@ object CompactionRunner {
       (rows, size)
     } catch { case _: Throwable => (-1L, -1L) }
 
+  /** Bounded daemon pool for the commit-path footer reads: at 100 TB a bulk
+    * append commits thousands of files, and a SERIAL per-file footer loop on
+    * object storage pays thousands of sequential remote roundtrips (~50–100
+    * ms each → minutes of driver wall). The pool overlaps them; bounded so a
+    * huge commit cannot spawn unbounded threads. Floored at 4 so the
+    * parallelism contract ([[FooterPoolSpec]]) holds on small-CPU boxes too.
+    */
+  private val footerPoolSize: Int =
+    math.min(16, math.max(4, Runtime.getRuntime.availableProcessors()))
+  private lazy val footerPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(footerPoolSize,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger()
+        override def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-footer-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Test seam: invoked inside each pooled footer task with the path being
+    * read. [[FooterPoolSpec]] installs a barrier here to prove the reads
+    * genuinely overlap (a serial loop would deadlock the barrier, not pass).
+    */
+  @volatile private[sources] var footerReadProbe: String => Unit = _ => ()
+
+  /** [[parquetFooterCounts]] over many files with the per-file reads fanned
+    * out on the bounded driver pool — result order matches `paths`. Same
+    * contract per file ((-1,-1) on an unreadable footer) and still ZERO
+    * Spark jobs, so the one-job-per-commit posture
+    * ([[graft.sources]] CommitFooterCountSpec) is unchanged; only the
+    * serial-roundtrip wall goes away. Short lists skip the pool (the
+    * handoff costs more than one local footer read).
+    */
+  def parquetFooterCountsBulk(
+      paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[(Long, Long)] =
+    if (paths.lengthCompare(2) <= 0)
+      paths.map(parquetFooterCounts(_, conf))
+    else {
+      import scala.jdk.CollectionConverters._
+      val tasks: java.util.List[java.util.concurrent.Callable[(Long, Long)]] =
+        paths.map { p =>
+          new java.util.concurrent.Callable[(Long, Long)] {
+            override def call(): (Long, Long) = {
+              footerReadProbe(p)
+              parquetFooterCounts(p, conf)
+            }
+          }: java.util.concurrent.Callable[(Long, Long)]
+        }.asJava
+      // invokeAll blocks until every task ran; the per-file reader never
+      // throws (it maps failures to (-1,-1)), so get() cannot fail on a
+      // task exception — an interrupt propagates, as the serial loop's did
+      footerPool.invokeAll(tasks).asScala.map(_.get()).toSeq
+    }
+
   private def footerDigest(p: String, conf: org.apache.hadoop.conf.Configuration): String = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(p), conf)

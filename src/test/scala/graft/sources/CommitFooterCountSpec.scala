@@ -34,10 +34,26 @@ class CommitFooterCountSpec extends SparkSpec {
     }
     spark.sparkContext.addSparkListener(l)
     val r =
-      try { val v = body; Thread.sleep(500); v } // listener bus is async
+      try { val v = body; awaitListenerBus(); v }
       finally spark.sparkContext.removeSparkListener(l)
     (r, jobs.get(), records.get())
   }
+
+  /** Drain the async listener bus before reading the counters — a fixed
+    * sleep under-counts on a loaded box (r20 advice). `listenerBus` /
+    * `waitUntilEmpty` are `private[spark]` (public bytecode), so reflection;
+    * the sleep stays only as the fallback if either ever disappears.
+    */
+  private def awaitListenerBus(): Unit =
+    try {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      bus.getClass.getMethods.find(m =>
+        m.getName == "waitUntilEmpty" && m.getParameterCount == 0) match {
+        case Some(m) => m.invoke(bus); ()
+        case None => Thread.sleep(500)
+      }
+    } catch { case scala.util.control.NonFatal(_) => Thread.sleep(500) }
 
   private def entryChecks(cat: GraftCatalog, table: String,
       expectRows: Long, atLeastFiles: Int): Unit = {
