@@ -3720,10 +3720,18 @@ final class GraftCatalog(root: String,
     // bloom pruning over from's entries picks the candidates. Unbounded
     // key sets (over the cap, null keys) keep today's full from-scan.
     val newEqEntries = newDeleteEntries.filter(_.kind == "eqdel")
+    // ONE read of the window's new eq-delete keys (r21, folding r20's
+    // deliberately-kept double read): the distinct (keys, seq) rows feed
+    // BOTH the candidate pruning and the marker builds below — per CDC
+    // batch the marker previously paid a second delete-file read plus a
+    // planning-time collect job on the streaming hot path
+    val eqWindows: Option[Seq[EqKeyWindow]] =
+      if (newEqEntries.isEmpty) Some(Nil)
+      else changelogEqKeyWindows(spark, newEqEntries, schema)
     val eqCandidates: Option[Set[String]] =
       if (newEqEntries.isEmpty) Some(Set.empty)
-      else changelogEqDiffCandidates(spark, table,
-        fromE.filter(_.kind == "data"), newEqEntries, schema)
+      else eqWindows.map(ws => eqDiffCandidatesFromWindows(
+        table, fromE.filter(_.kind == "data"), ws, schema))
     // The window's new POSITION-delete pairs, collected driver-side when
     // their byte sum is provably under the delete-broadcast cap — exactly
     // the rows the marker join below would broadcast anyway (same gate,
@@ -3787,14 +3795,18 @@ final class GraftCatalog(root: String,
         // markers are filters, not unions, so an overlap (a dropped file's
         // row also matched by a new eq-delete) can never duplicate a row.
         // membership list bounded by the DIFF's file set (delta-sized),
-        // not all of `to`'s files — an In() over a 100 TB table's whole
-        // file inventory would bloat the plan for no information: only
-        // files the diff actually scans can match the column
-        val present = oldForDiff
+        // not all of `to`'s files — and phrased over the SMALLER of the
+        // two partitions (r21, r20 advice): in the eqCandidates=None
+        // fallback oldForDiff is ALL from-files, and an In() over a
+        // 100 TB table's surviving inventory would bloat the plan when
+        // one isin over the few dropped files says the same thing
+        val (present, removed) = oldForDiff
           .map(t => CompactionRunner.canonKey(t.path))
-          .filter(toCanonSet)
+          .partition(toCanonSet)
         val dropped =
-          if (present.isEmpty) lit(true) // every scanned file left the snapshot
+          if (removed.isEmpty) lit(false) // every scanned file survived
+          else if (present.isEmpty) lit(true) // every scanned file left
+          else if (removed.size <= present.size) col(fp).isin(removed: _*)
           else !col(fp).isin(present: _*)
         // marker build sides ride the same size-gated broadcast hint every
         // delete-set join uses (entry-recorded byte sums vs the cap) — an
@@ -3838,16 +3850,38 @@ final class GraftCatalog(root: String,
               // `data.seq < max(del.seq)` is exactly "some delete in the
               // group kills the row", and the distinct keys keep the
               // outer join cardinality-preserving (no row duplication)
-              val grouped = g.df
+              lazy val grouped = g.df
                 .groupBy(g.equalityCols.map(c => col(quoted(c))): _*)
                 .agg(max(col(sq)).as(sq))
-              // key sets within the changelog cap collect driver-side and
-              // join as a LocalRelation build (cap-bounded — the same
-              // driver posture changelogEqDiffCandidates already takes
-              // for these exact keys), keeping the D branch shuffle-free;
-              // over the cap, the distributed aggregate build stays
+              // the windows already collected this group's distinct
+              // (keys, seq) rows — max-seq per key folds on the DRIVER
+              // when every key type carries value equality (a binary key
+              // is an Array ref compare; Float/Double ±0.0 split keys SQL
+              // `=` would merge — both fall back), so the common case
+              // reads the delete files ONCE per window and plans the
+              // marker with no collect job at all
+              val sharedKeys: Option[DataFrame] =
+                eqWindows.flatMap(_.lift(i)).collect {
+                  case w if w.equalityCols == g.equalityCols &&
+                      GraftCatalog.driverGroupSafe(w.schema) =>
+                    val k = w.schema.length - 1
+                    val folded = w.rows
+                      .groupBy(r => (0 until k).map(r.get).toVector)
+                      .map { case (key, rs) =>
+                        org.apache.spark.sql.Row.fromSeq(
+                          key :+ rs.map(_.getLong(k)).max)
+                      }.toArray
+                    org.apache.spark.sql.functions.broadcast(
+                      spark.createDataFrame(
+                        java.util.Arrays.asList(folded: _*), w.schema))
+                }
+              // no shared window (over-cap, null keys, ref-equality key
+              // types): key sets within the changelog cap collect
+              // driver-side and join as a LocalRelation build, keeping
+              // the D branch shuffle-free; over the cap, the distributed
+              // aggregate build stays
               val cap = GraftCatalog.ChangelogEqKeyCap
-              val localKeys: Option[DataFrame] =
+              val localKeys: Option[DataFrame] = sharedKeys.orElse {
                 try {
                   val rs = grouped.limit(cap + 1).collect()
                   if (rs.length > cap) None
@@ -3855,6 +3889,7 @@ final class GraftCatalog(root: String,
                     spark.createDataFrame(
                       java.util.Arrays.asList(rs: _*), grouped.schema)))
                 } catch { case scala.util.control.NonFatal(_) => None }
+              }
               val keys = localKeys
                 .getOrElse(hinted(grouped,
                   newDeleteEntries.filter(_.kind == "eqdel")))
@@ -3917,27 +3952,65 @@ final class GraftCatalog(root: String,
       fromData: Seq[TableEntry],
       newEqDeletes: Seq[TableEntry],
       schema: Option[org.apache.spark.sql.types.StructType])
-      : Option[Set[String]] = {
+      : Option[Set[String]] =
+    changelogEqKeyWindows(spark, newEqDeletes, schema)
+      .map(ws => eqDiffCandidatesFromWindows(table, fromData, ws, schema))
+
+  /** One group's collected equality-delete keys: the data-side equality
+    * column names, the DISTINCT (key values…, delete seq) rows, and the
+    * rows' schema — the one driver-bounded read of a changelog window's
+    * new eq-delete files that both the candidate pruning and the D-branch
+    * marker builds share (r21; previously each consumer read the files
+    * itself).
+    */
+  private[graft] final case class EqKeyWindow(
+      equalityCols: Seq[String],
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType)
+
+  /** Collect the distinct (keys, seq) rows of each new-eq-delete group,
+    * one group per [[EqKeyWindow]] in [[CompactionRunner.readEqualityDeletes]]
+    * order. None when the keys can't be driver-bounded (more distinct
+    * tuples than [[GraftCatalog.ChangelogEqKeyCap]], a null key value, an
+    * unreadable delete file) — callers then keep their conservative
+    * fallbacks (full from-scan; distributed marker build).
+    */
+  private[graft] def changelogEqKeyWindows(
+      spark: SparkSession,
+      newEqDeletes: Seq[TableEntry],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[Seq[EqKeyWindow]] = {
     import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types._
     val cap = GraftCatalog.ChangelogEqKeyCap
     val tasks = newEqDeletes.map(e =>
       EqDeleteTask(e.path, e.seqNum, e.eqCols, e.eqIds, e.sizeBytes))
-    // (data-side eq column names, distinct (key values, delete seq)) per
-    // delete group — the delete files are the window's delta, so this read
-    // is bounded by construction; the cap bounds the driver-side collect
+    // the delete files are the window's delta, so this read is bounded by
+    // construction; the cap bounds the driver-side collect
+    try Some(CompactionRunner.readEqualityDeletes(spark, tasks, schema).map { g =>
+      val sel = g.df
+        .select((g.equalityCols :+ graft.operators.MorPlanner.SeqNumCol)
+          .map(col): _*)
+      val rows = sel.distinct().limit(cap + 1).collect()
+      if (rows.length > cap) return None
+      if (rows.exists(r => (0 until r.length - 1).exists(r.isNullAt)))
+        return None // null-keyed deletes: bounds/blooms can't prove absence
+      EqKeyWindow(g.equalityCols, rows, sel.schema)
+    })
+    catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The pruning half of [[changelogEqDiffCandidates]], fed by the shared
+    * [[EqKeyWindow]] collect.
+    */
+  private def eqDiffCandidatesFromWindows(
+      table: String,
+      fromData: Seq[TableEntry],
+      windows: Seq[EqKeyWindow],
+      schema: Option[org.apache.spark.sql.types.StructType])
+      : Set[String] = {
+    import org.apache.spark.sql.types._
     val keyed: Seq[(Seq[String], Array[org.apache.spark.sql.Row])] =
-      try CompactionRunner.readEqualityDeletes(spark, tasks, schema).map { g =>
-        val rows = g.df
-          .select((g.equalityCols :+ graft.operators.MorPlanner.SeqNumCol)
-            .map(col): _*)
-          .distinct().limit(cap + 1).collect()
-        if (rows.length > cap) return None
-        if (rows.exists(r => (0 until r.length - 1).exists(r.isNullAt)))
-          return None // null-keyed deletes: bounds/blooms can't prove absence
-        (g.equalityCols, rows)
-      }
-      catch { case scala.util.control.NonFatal(_) => return None }
+      windows.map(w => (w.equalityCols, w.rows))
     val fieldType: Map[String, DataType] =
       schema.fold(Map.empty[String, DataType])(
         _.fields.map(f => f.name -> f.dataType).toMap)
@@ -4044,7 +4117,7 @@ final class GraftCatalog(root: String,
         }
       }
     }
-    Some(kept.map(e => CompactionRunner.canonKey(e.path)).toSet)
+    kept.map(e => CompactionRunner.canonKey(e.path)).toSet
   }
 
   /** Orphan detection: which of `candidates` (e.g. a storage listing) are
@@ -6167,6 +6240,25 @@ object GraftCatalog {
     * scans the table as before.
     */
   private[graft] val ChangelogEqKeyCap = 4096
+
+  /** Whether every KEY field of a collected (keys…, seq) row schema has
+    * JVM value equality matching SQL `=` — the precondition for folding
+    * max-seq-per-key on the driver from already-collected rows. Binary
+    * lands as Array[Byte] (reference equality: every row its own "key"),
+    * and Float/Double split ±0.0 that SQL equality merges — both would
+    * let one data row match several marker keys and DUPLICATE changelog
+    * rows, so they (and nested types) take the distributed build instead.
+    */
+  private[graft] def driverGroupSafe(
+      schema: org.apache.spark.sql.types.StructType): Boolean = {
+    import org.apache.spark.sql.types._
+    schema.fields.dropRight(1).forall(_.dataType match {
+      case ByteType | ShortType | IntegerType | LongType | BooleanType |
+           StringType | DateType | TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    })
+  }
 
   /** [[GraftCatalog.posDeleteDanglingPossible]] results per
     * (root, table, generation uuid, snapshot) — the snapshot id keys

@@ -173,6 +173,80 @@ class ChangelogSpec extends SparkSpec {
       (101L, "v101", "I")))
   }
 
+  test("eq-delete window reads the delete keys ONCE: the marker build " +
+      "adds no jobs beyond the shared key collect") {
+    // r21 folds r20's deliberately-kept double read: the window collect
+    // (changelogEqKeyWindows) feeds both the candidate pruning and the
+    // marker build, whose max-seq-per-key now folds on the driver — so
+    // constructing the parts runs exactly the jobs of the key collect
+    // itself and NOTHING more (previously: a second delete-file read +
+    // collect per marker group). Planning-time work on the CDC stream's
+    // per-micro-batch hot path.
+    val (cat, out) = freshTable()
+    val s1 = cat.currentSnapshotId("t")
+    val s2 = cat.deleteWhereEq(spark, "t", Seq(5L, 7L).toDF("k"), out)
+    val eqEntries = cat.loadEntriesAt("t", s2).filter(_.kind == "eqdel")
+    val schema = cat.schemaAt("t", s2)
+    def countJobs[T](body: => T): (T, Int) = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger()
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      val r =
+        try body
+        finally spark.sparkContext.removeSparkListener(l)
+      (r, jobs.get())
+    }
+    // warm pass first: one-time schema-inference jobs must not skew either
+    // side of the comparison
+    cat.changelogParts(spark, "t", s1, s2)
+    val (ws, collectJobs) =
+      countJobs(cat.changelogEqKeyWindows(spark, eqEntries, schema))
+    assert(ws.exists(_.nonEmpty), s"expected a bounded key window, got $ws")
+    val (parts, planJobs) = countJobs(cat.changelogParts(spark, "t", s1, s2))
+    assert(planJobs == collectJobs,
+      s"constructing the parts must run only the shared key collect's " +
+        s"$collectJobs jobs, ran $planJobs")
+    assert(parts.map(rows).reduce(_ ++ _) ==
+      Set((5L, "v5", "D"), (7L, "v7", "D")))
+  }
+
+  test("binary eq-delete keys: exact D rows through the ref-equality fallback") {
+    // Array[Byte] keys have reference equality on the driver, so the
+    // shared-window max-seq fold must NOT claim them
+    // (GraftCatalog.driverGroupSafe) — the marker falls back to the
+    // distributed/collected build and the diff stays exact and
+    // duplicate-free
+    val cat = new GraftCatalog(
+      Files.createTempDirectory("graft-cdc-bin").toString)
+    val base = Files.createTempDirectory("graft-cdc-bin-base").toString
+    val out = Files.createTempDirectory("graft-cdc-bin-out").toString
+    (1 to 20).map(k => (s"k$k".getBytes("UTF-8"), s"v$k")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/b0")
+    cat.createTable("t",
+      CompactionRunner.listParquet(s"$base/b0").map(DataFileTask(_, 1L)))
+    assert(!GraftCatalog.driverGroupSafe(
+      spark.read.parquet(s"$base/b0").select("k").schema.add("seq", "long")),
+      "binary keys must be refused by the driver-grouping allowlist")
+    val s1 = cat.currentSnapshotId("t")
+    // two eq-delete commits so the same key appears under TWO seq nums —
+    // the shape a wrong per-key max fold would double-report
+    cat.deleteWhereEq(spark, "t",
+      Seq("k5".getBytes("UTF-8"), "k7".getBytes("UTF-8")).toDF("k"), out)
+    val s3 = cat.deleteWhereEq(spark, "t",
+      Seq("k5".getBytes("UTF-8"), "k9".getBytes("UTF-8")).toDF("k"), out)
+    val got = cat.changelog(spark, "t", s1, s3)
+      .select("k", "v", "_change_type").collect()
+      .map(r => (new String(r.getAs[Array[Byte]](0), "UTF-8"),
+        r.getString(1), r.getString(2)))
+    assert(got.length == got.toSet.size, s"duplicate D rows: ${got.toSeq}")
+    assert(got.toSet == Set(("k5", "v5", "D"), ("k7", "v7", "D"),
+      ("k9", "v9", "D")))
+  }
+
   test("compaction inside the window is rejected; flanking windows work") {
     val (cat, out) = freshTable()
     val s1 = cat.currentSnapshotId("t")
