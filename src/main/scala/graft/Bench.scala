@@ -180,13 +180,49 @@ object Bench {
     * query has a recorded level.
     */
   private[graft] def driftField(pairs: Seq[(Double, Double)]): String =
+    driftNamed("drift", pairs)
+
+  /** One drift ratio rendered under `name` — `driftField`'s engine, reused
+    * by the r21 per-tier split.
+    */
+  private[graft] def driftNamed(
+      name: String, pairs: Seq[(Double, Double)]): String =
     if (pairs.isEmpty) ""
     else {
       val ratio = pairs.map(_._1).sum / pairs.map(_._2).sum
-      ""","drift":""" +
+      s""","$name":""" +
         BigDecimal(ratio).setScale(2, BigDecimal.RoundingMode.HALF_UP)
           .underlying.stripTrailingZeros.toPlainString
     }
+
+  /** The r21 per-tier drift split: `dg` (the gate tier — fixture-driving
+    * DML/maintenance/stream queries, MorQueries ∪ StreamQueries) and `dd`
+    * (everything else: the data-shaped joins/aggs/TPC-H/pipeline tiers).
+    * A stall window that hits only part of the suite moves one tier's
+    * ratio and not the other's, so partial inflation localizes in the
+    * graded artifact instead of diluting into the suite-wide scalar.
+    * Rendered ONLY when the tiers meaningfully disagree (≥ 0.15 apart):
+    * on a healthy or uniformly-hot box the fields carry no information
+    * beyond `drift`, and their absence keeps the projected line inside
+    * the driver's tail budget — the same render-only-when-diagnostic
+    * posture `stall_windows` takes (a partially-inflated run is already
+    * a degraded artifact; naming the inflated tier is worth the marginal
+    * tail risk).
+    */
+  private[graft] def tierDriftFields(
+      gatePairs: Seq[(Double, Double)],
+      dataPairs: Seq[(Double, Double)]): String =
+    if (gatePairs.isEmpty || dataPairs.isEmpty) ""
+    else {
+      def ratio(ps: Seq[(Double, Double)]) = ps.map(_._1).sum / ps.map(_._2).sum
+      if ((ratio(gatePairs) - ratio(dataPairs)).abs < 0.15) ""
+      else driftNamed("dg", gatePairs) + driftNamed("dd", dataPairs)
+    }
+
+  /** Full query names of the gate tier (see [[tierDriftFields]]). */
+  private[graft] def gateTierNames: Set[String] =
+    graft.operators.MorQueries.queries.keySet ++
+      graft.streaming.StreamQueries.queries.keySet
 
   /** Retry decision for one measured run: errors always retry; otherwise
     * retry past the GLOBAL threshold or past 2× the query's recorded
@@ -363,10 +399,15 @@ object Bench {
     val errJson = errors.map(e => "\"" + e.replace("\"", "'") + "\"")
       .mkString(""","errors":[""", ",", "]")
     val stallJson = Bench.stallField(stalledKeys.toSeq)
-    val driftJson = Bench.driftField(results.collect {
+    val driftPairs: Seq[(String, (Double, Double))] = results.collect {
       case (n, v) if v >= 0 && shortOf.get(n).exists(recordedSec.contains) =>
-        (v, recordedSec(shortOf(n)))
-    })
+        n -> (v, recordedSec(shortOf(n)))
+    }
+    val gates = Bench.gateTierNames
+    val driftJson = Bench.driftField(driftPairs.map(_._2)) +
+      Bench.tierDriftFields(
+        driftPairs.collect { case (n, p) if gates(n) => p },
+        driftPairs.collect { case (n, p) if !gates(n) => p })
     // sf records the basename ("sf0.1"), not the full testdata path — the
     // scale factor is the information, and the 15 spare bytes keep the
     // growing suite inside the driver's ~2 KB output tail

@@ -27,7 +27,10 @@ class BenchKeySpec extends AnyFunSuite {
     // 4-char outliers (sub-0.1 s gates like q74, or a 10+ s stall — a
     // run where MANY values exceed 10 s is already garbage and its
     // truncation loses nothing). Wrapper: metric/value/unit ~45 + empty
-    // errors 12 + sf 14 ≈ 71, plus the r20 drift field (≤14).
+    // errors 12 + sf 14 ≈ 71, plus the r20 drift field (≤14). The r21
+    // dg/dd tier fields and stall_windows are NOT reserved: both render
+    // only on a partially-inflated/stalled run, where the artifact is
+    // already degraded and the diagnosis is worth the marginal tail risk.
     val line = Bench.shortKeys(names).map(k => "\"" + k + "\":9.9")
       .mkString("{", ",", "}").length + 71 + 40 + 14
     assert(line < 1925, s"projected bench line $line bytes — shrink keys " +
@@ -64,6 +67,28 @@ class BenchKeySpec extends AnyFunSuite {
     // worst plausible render stays inside the 14-byte budget the line
     // projection reserves
     assert(Bench.driftField(Seq((99.99, 1.0))).length <= 14)
+  }
+
+  test("per-tier drift fields render only on partial inflation, compact") {
+    // uniform box (healthy or uniformly hot): absent — no information
+    // beyond `drift`, and no bytes spent
+    assert(Bench.tierDriftFields(Seq((1.0, 1.0)), Seq((1.1, 1.0))) == "")
+    assert(Bench.tierDriftFields(Seq((1.4, 1.0)), Seq((1.4, 1.0))) == "")
+    // partial inflation: the gate tier ran 1.4×, data tier healthy —
+    // both tiers named so the inflation localizes
+    assert(Bench.tierDriftFields(Seq((1.4, 1.0)), Seq((1.0, 1.0))) ==
+      ""","dg":1.4,"dd":1""")
+    // one empty tier can't split anything
+    assert(Bench.tierDriftFields(Nil, Seq((1.4, 1.0))) == "")
+    // worst plausible render stays small
+    assert(Bench.tierDriftFields(
+      Seq((99.99, 1.0)), Seq((1.0, 1.0))).length <= 22)
+    // the tier split must actually split: both sides populated, and every
+    // gate name is a declared query (a module refactor that empties one
+    // side would silently turn a tier field into the suite scalar)
+    val gates = Bench.gateTierNames
+    assert(gates.nonEmpty && gates.subsetOf(names.toSet))
+    assert((names.toSet -- gates).nonEmpty)
   }
 
   test("per-query retry fires on drift the global threshold misses") {
