@@ -247,6 +247,34 @@ object DmlFixtures {
       ()
     }
 
+  /** q171's staged input: the 3-column orders slice (o_orderkey ≤ 30000)
+    * written once per session as a 2-file parquet directory. A plain
+    * directory, NOT a shared catalog table: the gate's statsSweep walks
+    * its whole catalog, so the stats lifecycle needs a private catalog
+    * per invocation — it mounts these files with a metadata-only
+    * createTable, and the bench times the lifecycle, not the slice write.
+    */
+  def orders30kTasks(spark: SparkSession, sfDir: String): Seq[DataFileTask] =
+    lock.synchronized {
+      val dir = s"${sharedRoot(sfDir)}/src-orders30k"
+      // re-validated per call like lineitemSliceTasks: a tmp reaper may
+      // have removed the staged directory since — a miss re-stages
+      val existing = graft.sources.CompactionRunner.listParquet(dir)
+      val files =
+        if (stagedTables((sfDir, "src-orders30k")) && existing.nonEmpty) existing
+        else {
+          spark.read.parquet(s"$sfDir/orders.parquet")
+            .where(col("o_orderkey") <= 30000)
+            .select(col("o_orderkey"), col("o_orderpriority"),
+              col("o_orderstatus"))
+            .repartition(2)
+            .write.mode("overwrite").parquet(dir)
+          stagedTables += ((sfDir, "src-orders30k"))
+          graft.sources.CompactionRunner.listParquet(dir)
+        }
+      files.map(DataFileTask(_, 1L))
+    }
+
   /** q127's layout: orders compacted with stats — the metadata min/max
     * input (mutating gates fork it first).
     */
@@ -284,6 +312,7 @@ object DmlFixtures {
     docsFingerprinted(spark, sfDir)
     docsSorted(spark, sfDir)
     compactedOrders(spark, sfDir)
+    orders30kTasks(spark, sfDir)
     ()
   }
 }
