@@ -85,8 +85,31 @@ final class GraftV2Table(
 
   override lazy val schema: StructType = asOf match {
     case Some(sid) => cat.scanTableAt(spark, tableName, sid).schema
-    case None => cat.currentSchema(tableName)
-      .getOrElse(cat.scanTable(spark, tableName).schema)
+    case None => cat.currentSchema(tableName).getOrElse {
+      // Schema-less table: the read schema is the DATA files' footer
+      // schema — deletes never change it. Serve it from the footer-digest
+      // caches instead of building the full MoR scan plan just to read
+      // `.schema`: the doorway resolves the relation fresh for every DML
+      // statement, and once delete files exist that throwaway plan build
+      // measured ~70 ms per statement (the analyzer's single biggest
+      // rule cost, ResolveRelations). One schema group of parquet files
+      // pins exactly what single-footer inference returns — the same
+      // equivalence inferredParquet rides; anything else (mixed groups,
+      // non-parquet formats, unreadable footers, no data files) keeps
+      // the exact scan-derived path unchanged.
+      val data = cat.loadEntries(tableName).filter(_.kind == "data")
+      val cheap: Option[StructType] =
+        if (data.isEmpty || data.exists(_.format.toLowerCase != "parquet"))
+          None
+        else try {
+          graft.sources.CompactionRunner
+            .schemaGroups(spark, data.map(_.path)) match {
+              case Seq((s, _)) => Some(s)
+              case _ => None
+            }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      cheap.getOrElse(cat.scanTable(spark, tableName).schema)
+    }
   }
 
   override def capabilities(): util.Set[TableCapability] =

@@ -243,6 +243,44 @@ class GraftSparkCatalogSpec extends SparkSpec {
     }
   }
 
+  test("schema-less table load serves the footer schema, byte-equal to " +
+      "the scan's, with deletes pending") {
+    // r21: the doorway's relation resolution no longer builds the MoR
+    // scan plan just to read .schema for schema-less tables — the footer
+    // schema must stay EXACTLY what the scan serves, including once
+    // delete files exist (deletes never change the read schema) and on a
+    // mixed-schema table (which keeps the scan-derived path)
+    val root = Files.createTempDirectory("graft-dsv2-schema").toString
+    val cat = new GraftCatalog(root)
+    val base = Files.createTempDirectory("graft-dsv2-schema-src").toString
+    import spark.implicits._
+    (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$base/b0")
+    cat.createTable("t",
+      graft.sources.CompactionRunner.listParquet(s"$base/b0")
+        .map(graft.sources.CompactionRunner.DataFileTask(_, 1L)))
+    assert(cat.currentSchema("t").isEmpty, "fixture must be schema-less")
+    def loadedSchema() =
+      new GraftV2Table(root, "t", asOf = None).schema
+    assert(loadedSchema() == cat.scanTable(spark, "t").schema)
+    // MoR delete: posdel entries pend, schema unchanged
+    cat.deleteWhere(spark, "t",
+      org.apache.spark.sql.functions.col("k") <= 5,
+      Files.createTempDirectory("graft-dsv2-schema-out").toString)
+    assert(cat.loadEntries("t").exists(_.kind == "posdel"))
+    assert(loadedSchema() == cat.scanTable(spark, "t").schema)
+    // second generation with a DIFFERENT physical schema (extra column):
+    // two schema groups -> the cheap path must refuse and the load must
+    // still agree with the scan
+    (51L to 60L).map(k => (k, s"v$k", k * 2)).toDF("k", "v", "w")
+      .coalesce(1).write.parquet(s"$base/b1")
+    cat.commitAppend("t",
+      graft.sources.CompactionRunner.listParquet(s"$base/b1")
+        .map(p => GraftCatalog.AddedFile(p, "parquet", 10L,
+          new java.io.File(p).length())))
+    assert(loadedSchema() == cat.scanTable(spark, "t").schema)
+  }
+
   test("DDL edges: drop, rename across namespaces, properties, errors") {
     val root = Files.createTempDirectory("graft-dsv2-ddl").toString
     withCatalogSession(root) { s =>
