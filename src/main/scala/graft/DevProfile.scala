@@ -44,9 +44,15 @@ object DevProfile {
       }
     })
 
+    // GRAFT_RULES=1 additionally prints each phase's top Catalyst rules
+    // (resetMetrics per phase), splitting the driver-side wall between
+    // analyzer/optimizer tax and everything else (commit IO, scan planning)
+    val ruleDump = sys.env.get("GRAFT_RULES").contains("1")
     def phase[T](name: String)(f: => T): T = {
       val j0 = jobs
       val ids0 = new java.util.HashSet(jobInfo.keySet())
+      if (ruleDump)
+        org.apache.spark.sql.catalyst.rules.RuleExecutor.resetMetrics()
       val t0 = System.nanoTime()
       val r = f
       val dt = (System.nanoTime() - t0) / 1e9
@@ -57,6 +63,14 @@ object DevProfile {
           val d = if (t1j > 0) (t1j - t0j) / 1e3 else -1.0
           println(f"    job $id%-4d ${d}%8.3f s  ${desc.take(160)}")
         }
+      if (ruleDump) {
+        val dump = org.apache.spark.sql.catalyst.rules.RuleExecutor.dumpTimeSpent()
+        dump.linesIterator.find(_.startsWith("Total time:"))
+          .foreach(l => println(s"    RULES $l"))
+        dump.linesIterator.filter(_.startsWith("org."))
+          .take(5)
+          .foreach(l => println("    RULE " + l.replaceAll("\\s+", " ").take(150)))
+      }
       r
     }
 

@@ -81,6 +81,9 @@ object DevProfileQ175 {
         .toString + "/rows"
       val ckpt = java.nio.file.Files.createTempDirectory("graft-devq175-ckpt").toString
       def drain(): Unit = {
+        val st = graft.sources.dsv2.GraftChangesMicroBatchStream
+        val (c0, m0, b0, s0) = (st.planCalls.get, st.memoHits.get,
+          st.buildMsTotal.get, st.serveMsTotal.get)
         val q = spark.readStream.table(s"$g.o.changes").writeStream
           .foreachBatch {
             (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -91,6 +94,10 @@ object DevProfileQ175 {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
+        println(s"  PLAN calls=${st.planCalls.get - c0} " +
+          s"memoHits=${st.memoHits.get - m0} " +
+          s"buildMs=${st.buildMsTotal.get - b0} " +
+          s"serveMs=${st.serveMsTotal.get - s0}")
       }
       phase("drain-1")(drain())
       phase("counts-1") {

@@ -153,11 +153,30 @@ final class GraftChangesMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
 
+  /** Last planned window → its partitions. The engine calls
+    * planInputPartitions SEVERAL times per micro-batch (measured 4× per
+    * q175 drain — physical-plan construction plus each action on the
+    * foreachBatch frame re-plans), and a window's parts are DETERMINISTIC:
+    * the offsets pin immutable committed snapshots. One-entry memo per
+    * stream instance — session-bound like the rdds it wraps, replaced as
+    * the stream advances; reusing the same rdds also lets Spark reuse
+    * their shuffle output across the batch's actions instead of
+    * recomputing intermediate stages.
+    */
+  @volatile private var lastPlanned
+      : ((Long, Long), Array[org.apache.spark.sql.connector.read.InputPartition]) = null
+
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].snapshotId
     val e = end.asInstanceOf[GraftStreamOffset].snapshotId
+    val cached = lastPlanned
+    if (cached != null && cached._1 == ((s, e))) {
+      GraftChangesMicroBatchStream.noteMemoHit()
+      return cached._2
+    }
     val spark = SparkSession.active
+    val t0 = System.nanoTime()
     // group-wise serving over the window's branch frames (the append
     // stream's shape): each branch is narrow in the common case — file
     // scans + broadcast marker joins — so the partitions stay LAZY
@@ -167,13 +186,21 @@ final class GraftChangesMicroBatchStream(
     // still falls the whole batch back to that shape (servableRdds).
     val parts = graft.sources.GraftStreamSource
       .changelogBatchParts(cat, spark, table, s, e, skipRewrites)
-    if (parts.isEmpty) return Array.empty
-    val projected = parts.map(_.select(required.fieldNames.toIndexedSeq
-      .map(org.apache.spark.sql.functions.col): _*))
-    GraftInnerFrame.servableRdds(projected).flatMap(rdd =>
-      rdd.partitions.map(p =>
-        GraftRddInputPartition(rdd, p)
-          : org.apache.spark.sql.connector.read.InputPartition)).toArray
+    val t1 = System.nanoTime()
+    val served =
+      if (parts.isEmpty) Array.empty[org.apache.spark.sql.connector.read.InputPartition]
+      else {
+        val projected = parts.map(_.select(required.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*))
+        GraftInnerFrame.servableRdds(projected).flatMap(rdd =>
+          rdd.partitions.map(p =>
+            GraftRddInputPartition(rdd, p)
+              : org.apache.spark.sql.connector.read.InputPartition)).toArray
+      }
+    GraftChangesMicroBatchStream.notePlan(
+      (t1 - t0) / 1000000, (System.nanoTime() - t1) / 1000000)
+    lastPlanned = ((s, e), served)
+    served
   }
 
   override def createReaderFactory()
@@ -181,4 +208,27 @@ final class GraftChangesMicroBatchStream(
     new GraftRddReaderFactory
 
   override def stop(): Unit = ()
+}
+
+/** Dev-observable planning counters for the changelog stream (read by the
+  * q175 phase profiler): how many times the engine called
+  * planInputPartitions and where the milliseconds went (changelog frame
+  * build vs servable-rdd conversion). Counters only — no behavior.
+  */
+object GraftChangesMicroBatchStream {
+  val planCalls = new java.util.concurrent.atomic.AtomicInteger
+  val memoHits = new java.util.concurrent.atomic.AtomicInteger
+  val buildMsTotal = new java.util.concurrent.atomic.AtomicLong
+  val serveMsTotal = new java.util.concurrent.atomic.AtomicLong
+  private[dsv2] def notePlan(buildMs: Long, serveMs: Long): Unit = {
+    planCalls.incrementAndGet()
+    buildMsTotal.addAndGet(buildMs)
+    serveMsTotal.addAndGet(serveMs)
+    ()
+  }
+  private[dsv2] def noteMemoHit(): Unit = {
+    planCalls.incrementAndGet()
+    memoHits.incrementAndGet()
+    ()
+  }
 }

@@ -167,10 +167,21 @@ final class GraftMicroBatchStream(
 
   override def commit(end: Offset): Unit = ()
 
+  /** Last planned window → its partitions (same memo as the changelog
+    * stream, [[GraftChangesMicroBatchStream]]): the engine re-plans the
+    * same pinned window several times per micro-batch, and the window's
+    * parts are deterministic over immutable snapshots. One entry,
+    * replaced as the stream advances.
+    */
+  @volatile private var lastPlanned
+      : ((Long, Long), Array[InputPartition]) = null
+
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[GraftStreamOffset].snapshotId
     val e = end.asInstanceOf[GraftStreamOffset].snapshotId
+    val cached = lastPlanned
+    if (cached != null && cached._1 == ((s, e))) return cached._2
     val tasks = GraftStreamSource.deltaTasks(cat, table, s, e, skipRewrites)
     if (tasks.isEmpty) return Array.empty
     val spark = SparkSession.active
@@ -184,9 +195,11 @@ final class GraftMicroBatchStream(
       spark, tasks, cat.schemaAt(table, e).orElse(cat.currentSchema(table)))
     val projected = groups.map(
       _.select(required.fieldNames.map(col).toIndexedSeq: _*))
-    GraftInnerFrame.servableRdds(projected).flatMap(rdd =>
+    val served = GraftInnerFrame.servableRdds(projected).flatMap(rdd =>
       rdd.partitions.map(p =>
         GraftRddInputPartition(rdd, p): InputPartition)).toArray
+    lastPlanned = ((s, e), served)
+    served
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
