@@ -65,20 +65,25 @@ object Bench {
     "q85" -> 0.19, "q86" -> 0.97, "q87" -> 0.71, "q88" -> 0.43,
     "q89" -> 0.21, "q90" -> 1.23, "q91" -> 0.14, "q92" -> 0.92,
     "q93" -> 0.57, "q94" -> 1.8, "q95" -> 0.43, "q96" -> 0.3,
-    "q97" -> 0.36, "q98" -> 0.35, "q99" -> 0.24, "q100" -> 1.5,
+    // q100 re-leveled r21 (stream window memo + transformWithState warmup;
+    // min-of-3 1.1 at drift ~1.1)
+    "q97" -> 0.36, "q98" -> 0.35, "q99" -> 0.24, "q100" -> 1.1,
     "q101" -> 0.66, "q102" -> 1.34, "q103" -> 1.51, "q104" -> 1.08,
     "q105" -> 1.28, "q106" -> 1.12, "q107" -> 1.19, "q108" -> 0.53,
     "q109" -> 0.95, "q110" -> 0.53, "q111" -> 0.71, "q112" -> 1.22,
     "q113" -> 0.28, "q114" -> 1.61, "q115" -> 1.83, "q116" -> 0.27,
     // q117/q120 re-leveled r20 (merge exchange trim; single-scan diff)
-    "q117" -> 2.0, "q118" -> 0.57, "q119" -> 0.4, "q120" -> 1.96,
+    // q120 re-leveled r21 (eq-key single read; min-of-3 1.92)
+    "q117" -> 2.0, "q118" -> 0.57, "q119" -> 0.4, "q120" -> 1.92,
     "q121" -> 0.93, "q122" -> 1.03, "q123" -> 0.46, "q124" -> 0.29,
-    "q125" -> 0.06, "q126" -> 0.79, "q127" -> 1.2, "q128" -> 1.59,
+    // q126 re-leveled r21 (stream window memo; min-of-3 0.51)
+    "q125" -> 0.06, "q126" -> 0.51, "q127" -> 1.2, "q128" -> 1.59,
     "q129" -> 0.29, "q130" -> 0.96, "q131" -> 0.29, "q132" -> 1.66,
-    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 2.4,
+    "q133" -> 0.53, "q134" -> 0.36, "q135" -> 0.25, "q136" -> 2.03,
     // q137 level re-recorded after its r11 re-pointing through the DSv2
     // doorway (1.57 was the pre-doorway level)
-    "q137" -> 1.4, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
+    // q137 re-leveled r21 (schema-less load fast path; min-of-3 1.27)
+    "q137" -> 1.27, "q138" -> 2.47, "q139" -> 1, "q140" -> 1.39,
     "q141" -> 0.18,
     // round-11 gates (idle-box min-of-3): q142 REST namespace round-trip;
     // q143 eq->pos conversion; q144 DSv2 CREATE/INSERT/DELETE/SELECT;
@@ -87,14 +92,15 @@ object Bench {
     // (the 2-file slice can never win from the group-filter subquery;
     // the mechanism's own evidence is GraftDeltaDmlSpec + SCALING.md's
     // COW curve); probed 4.01 min-of-3 on a drifting box
+    // q136 re-leveled r21 (schema-less load fast path; min-of-3 2.03)
     "q142" -> 0.29, "q143" -> 1.8, "q144" -> 0.86,
     // q145 merge-on-read DSv2 DML: three WriteDelta lifecycles (identity
     // scan + pos-delete/data pair per statement) on the 60k slice —
     // re-leveled 3.5 -> 2.8 after the r20 schema-resolution caching
     "q145" -> 2.8,
     // q146 CALL-procedure lifecycle (compact + expire through the native
-    // ProcedureCatalog) — idle-box min-of-3
-    "q146" -> 2.3,
+    // ProcedureCatalog) — re-leveled r21 (min-of-3 1.95)
+    "q146" -> 1.95,
     // round-12 gates (idle-box levels, refreshed after the delete-free
     // bare-scan fast path landed): q147 PARTITIONED BY + bucket-pruned
     // point lookup through the doorway (0.8 -> 0.46 from that fast path);
@@ -146,14 +152,17 @@ object Bench {
     // lifecycle (2 ANALYZEs + MoR delete + compaction + 2 sweeps — gate
     // cost is the fixture lifecycle), q172 NDV broadcast flip (2 plans +
     // the broadcast join itself)
-    "q171" -> 2.33, "q172" -> 1.43,
+    // q171 re-leveled r21 (staged slice; min-of-3 1.75)
+    "q171" -> 1.75, "q172" -> 1.43,
     // round-19 gates, first recorded r20 (idle-box min of the full-suite
     // run and a min-of-3 DriftProbe): q173 exact delete rowcount, q174
     // sort elision (one-pair staging as of r20), q175 streaming CDC (two
     // stream lifecycles + 4 DML — the suite's heaviest gate; re-leveled
     // 6.7 -> 5.1 after the r20 group-wise CDC serving + local-relation
     // marker builds), q176 histogram CBO flip
-    "q173" -> 0.91, "q174" -> 2.04, "q175" -> 5.1, "q176" -> 1.01)
+    // q175 re-leveled r21 (per-window stream planning memo + eq-key single
+    // read; min-of-3 3.43)
+    "q173" -> 0.91, "q174" -> 2.04, "q175" -> 3.4, "q176" -> 1.01)
 
   /** The self-adjudication field: queries still over their threshold
     * whose deferred recording happened under a hot canary — i.e. values
