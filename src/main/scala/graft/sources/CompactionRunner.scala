@@ -453,6 +453,16 @@ object CompactionRunner {
         override def removeEldestEntry(
             e: java.util.Map.Entry[String, String]): Boolean = size() > 65536
       })
+  /** JVM-global by design, keyed ONLY by the physical parquet schema
+    * digest — which assumes every SparkSession in this JVM resolves
+    * parquet schemas under the same inference conf (the flags that change
+    * inference output: `spark.sql.legacy.parquet.nanosAsLong`, field-id
+    * read flags). Every entrypoint in this library sets identical values
+    * (session builders, Bench, Verify, tests), so the assumption holds;
+    * a second session with a DIFFERENT inference conf would need this
+    * cache keyed by (conf values, digest) — documented rather than built,
+    * per the r20 advice, because no such entrypoint exists.
+    */
   private val digestSparkSchema
       : java.util.Map[String, org.apache.spark.sql.types.StructType] =
     java.util.Collections.synchronizedMap(
